@@ -1,0 +1,105 @@
+"""Pipeline configuration — the engine's "webalizer.conf" analog.
+
+The reference's entire user-extension surface is ~100 config keys parsed by
+``webalizer.c:get_config()`` (≈lines 1200–2200 [verify]; see SURVEY.md §2.10).
+Ours is a declarative dataclass: the grok pattern registry (parser.c analogs),
+ignore/hide wildcard lists (linklist.c:isinlist analogs), the session timeout
+(``VisitTimeout``, default 1800 s, consumed by hashtab.c:put_hnode ≈300–450
+[verify]), top-N sizes (``TopSites``/``TopURLs``/… in output.c), and lookup
+table paths (the DNS-cache / GeoDB analogs from dns_resolv.c / geodb.c).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# The transcript "grok" grammar (FIXTURES.md §1.1) — the CLF/combined-parser
+# analog (parser.c:parse_record_web() ≈200–450 [verify]). RE2-compatible so
+# the identical pattern string drives pyarrow.compute.extract_regex (engine),
+# pandas str.extract (refmodel), and DuckDB regexp_extract (oracle).
+PARSE_PATTERN = (
+    r'^ACTION=(?P<action>[a-z]+) STATUS=(?P<status>\d{3}) '
+    r'KB=(?P<kb>\d+\.\d{2})(?: QUERY="(?P<query>[^"]*)")?'
+)
+
+# Versioned-tool suffix stripped by tool normalization (the URL-normalize /
+# IndexAlias analog, webalizer.c:unescape + main block ≈3700 [verify]).
+TOOL_VERSION_SUFFIX = r"_v\d+$"
+
+# Response-code analog buckets (webalizer.h TOTAL_RC histogram [verify]).
+STATUS_CLASSES = {
+    2: "success",
+    3: "redirect",
+    4: "client_error",
+    5: "server_error",
+}
+
+# Top-N table sizes, mirroring the reference defaults (webalizer.conf.sample:
+# TopSites=30 TopKSites=10 TopURLs=30 TopKURLs=10 TopEntry=10 TopExit=10
+# TopRefs=30 TopAgents=15 TopSearch=20 TopUsers=20 [verify]).
+DEFAULT_TOP_N = {
+    "conv": 30,        # TopSites analog (hosts → conv_id)
+    "conv_kb": 10,     # TopKSites analog (by transfer volume)
+    "tool": 30,        # TopURLs analog
+    "tool_kb": 10,     # TopKURLs analog
+    "entry": 10,       # TopEntry
+    "exit": 10,        # TopExit
+    "role": 15,        # TopAgents analog
+    "category": 30,    # TopCountries analog
+    "search": 20,      # TopSearch
+}
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """All knobs for the flagship parse→enrich→route→aggregate pipeline."""
+
+    # --- semantics -------------------------------------------------------
+    #: Visit/session timeout in seconds (``VisitTimeout``; gap >= timeout
+    #: starts a NEW session — the reference tests ``rec_tstamp - tstamp >=
+    #: Visit_Timeout`` in put_hnode, so the exact-boundary gap splits).
+    session_timeout_s: int = 1800
+    #: Sessions additionally split at month boundaries (W3: clear_month()
+    #: flushes all state at month change, implicitly ending every visit).
+    split_sessions_on_month: bool = True
+    #: Role whose turns count as "pages" (ispage() analog): content turns.
+    content_role: str = "assistant"
+    #: Status code counted as a "file" hit (reference: files = code 200 only).
+    file_status: int = 200
+    #: strict_seq=True reproduces the reference's out-of-order drop rule
+    #: (W4: record older than current per-conv time → ignored+counted).
+    #: Default False = heal by sorting on turn_idx (documented deviation,
+    #: strictly more correct; SURVEY.md §7.3 item 5).
+    strict_seq: bool = False
+
+    # --- parsing ---------------------------------------------------------
+    parse_pattern: str = PARSE_PATTERN
+
+    # --- filters (linklist.c Ignore*/Hide* analogs; RE2 regexes) ---------
+    ignore_conv_patterns: tuple[str, ...] = ()
+    ignore_tool_patterns: tuple[str, ...] = ()
+    ignore_role_patterns: tuple[str, ...] = ()
+    hide_tool_patterns: tuple[str, ...] = ()
+    hide_conv_patterns: tuple[str, ...] = ()
+
+    # --- enrichment (dns_resolv.c / geodb.c analogs) ---------------------
+    #: Category assigned to tools absent from the lookup table — the
+    #: unresolved-DNS / unknown-country analog.
+    unresolved_category: str = "Unresolved"
+
+    # --- outputs ---------------------------------------------------------
+    top_n: dict = field(default_factory=lambda: dict(DEFAULT_TOP_N))
+
+    # --- execution knobs (Ray only; refmodel ignores) --------------------
+    parse_batch_size: int = 32768
+    enrich_concurrency: tuple[int, int] = (2, 8)
+    session_shuffle_partitions: int = 0   # 0 = let Ray pick
+    #: Salt modulus for skewed-key two-phase aggregation helpers.
+    salt_buckets: int = 16
+    #: Rows per chunk when range-chunking a giant conversation for
+    #: sessionization (SURVEY.md §4.3 item 2).
+    giant_conv_chunk: int = 100_000
+
+
+DEFAULT_CONFIG = PipelineConfig()
