@@ -92,6 +92,9 @@ class PipelineConfig:
     top_n: dict = field(default_factory=lambda: dict(DEFAULT_TOP_N))
 
     # --- execution knobs (Ray only; refmodel ignores) --------------------
+    #: Hash buckets for explicit conv_id partitioning (sessionization unit;
+    #: at 10^12 turns size this to total_bytes / target_bucket_bytes).
+    num_buckets: int = 64
     parse_batch_size: int = 32768
     enrich_concurrency: tuple[int, int] = (2, 8)
     session_shuffle_partitions: int = 0   # 0 = let Ray pick

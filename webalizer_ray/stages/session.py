@@ -1,0 +1,177 @@
+"""Sessionization (SURVEY.md §2.9 W1–W6) — the visit-window logic.
+
+The reference detects "visits" inside hashtab.c:put_hnode() (≈300–450
+[verify]): per host, a new visit starts when ``rec_tstamp - hnode.tstamp >=
+Visit_Timeout`` (default 1800 s, note ``>=`` — the exact-boundary gap
+splits), entry pages are counted at session start (update_entry()), the
+host's lasturl becomes the exit page at flush (update_exit()), and
+clear_month() implicitly ends every visit at a month boundary (W3).
+
+Re-expression: sessions are a per-``conv_id`` ordered window. We hash-
+partition by ``bucket = hash(conv_id) % B`` (computed in the parse stage)
+and run ``groupby("bucket").map_groups(fn)`` so each fn call receives ALL
+turns of many complete conversations at once and sessionizes them with one
+vectorized pandas pass (sort + shift + cumsum) — B bounded calls total, not
+one Python call per conversation. This is the documented partitioning
+assumption: a conversation never spans buckets (guaranteed by the hash),
+and one bucket fits in a worker's heap (B is sized to the data; at 10^12
+turns B ≈ total_bytes / target_bucket_bytes). Hot/giant conversations are
+range-chunked by ``turn_idx`` and boundary-merged (chunk_sessionize_frame)
+— the salting-compatible path for keys too big for one group.
+
+Out-of-order handling (W4): default heals by sorting on ``turn_idx``
+(documented deviation — strictly more correct); ``strict_seq=True``
+reproduces the reference's drop rule (a row older than the per-conv running
+max ts → dropped and counted, total_ignore analog) via a ``seq_drop``
+column the caller routes to the ignored sink.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from webalizer_ray.config import DEFAULT_CONFIG, PipelineConfig
+
+#: Output columns of the sessions table (order fixed for parity tests).
+SESSION_COLS = ["conv_id", "session_id", "start_ts", "end_ts", "n_turns",
+                "kb", "files", "pages", "entry_tool", "exit_tool",
+                "month", "date"]
+
+
+def sessionize_frame(df: pd.DataFrame,
+                     config: PipelineConfig = DEFAULT_CONFIG) -> pd.DataFrame:
+    """Vectorized multi-conversation sessionizer (one bucket per call).
+
+    Input: parsed ok-route turns of >=1 complete conversations. Output:
+    the same rows sorted by (conv_id, turn_idx) with ``session_id`` (int64,
+    1-based per conv) and ``seq_drop`` (bool) appended.
+    """
+    df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    if config.strict_seq and len(df):
+        runmax = df.groupby("conv_id", sort=False)["ts"].cummax()
+        seq_drop = (df["ts"] < runmax).to_numpy()
+    else:
+        seq_drop = np.zeros(len(df), dtype=bool)
+    live = df[~seq_drop]
+
+    same_conv = live["conv_id"].eq(live["conv_id"].shift())
+    gap = (live["ts"] - live["ts"].shift()).dt.total_seconds()
+    new_sess = ~same_conv | (gap >= config.session_timeout_s)
+    if config.split_sessions_on_month:
+        new_sess |= same_conv & live["month"].ne(live["month"].shift())
+    sess = new_sess.groupby(live["conv_id"], sort=False).cumsum().astype(np.int64)
+
+    out = df.copy()
+    out["seq_drop"] = seq_drop
+    out["session_id"] = np.int64(-1)
+    out.loc[~seq_drop, "session_id"] = sess
+    return out
+
+
+def chunk_sessionize_frame(df: pd.DataFrame,
+                           config: PipelineConfig = DEFAULT_CONFIG,
+                           chunk_rows: int | None = None) -> pd.DataFrame:
+    """Giant-conversation path (SURVEY.md §4.3 item 2, §7.3 item 2).
+
+    Range-chunk one conversation's turns by ``turn_idx``, sessionize each
+    chunk independently, then merge boundary sessions: a chunk's first
+    session is NOT new if the gap across the chunk edge is < timeout and the
+    month didn't change — renumber by a cumulative offset. Equivalent to
+    sessionize_frame (property-tested); enables splitting a 10^9-turn conv
+    across workers: only the per-chunk boundary rows (2 per chunk) need a
+    second, driver-side pass.
+    """
+    chunk_rows = chunk_rows or config.giant_conv_chunk
+    df = df.sort_values("turn_idx", kind="mergesort").reset_index(drop=True)
+    n = len(df)
+    if n == 0:
+        return sessionize_frame(df.assign(), config)
+    parts = []
+    for lo in range(0, n, chunk_rows):
+        chunk = df.iloc[lo:lo + chunk_rows]
+        parts.append(sessionize_frame(chunk, config))
+    # boundary merge: decide whether each chunk's first turn continues the
+    # previous chunk's last session
+    offset = np.int64(0)
+    merged = []
+    prev_last = None  # (last_ts, last_month, last_session_id_global)
+    for p in parts:
+        p = p.copy()
+        live_mask = ~p["seq_drop"]
+        if prev_last is not None and live_mask.any():
+            first = p[live_mask].iloc[0]
+            gap = (first["ts"] - prev_last[0]).total_seconds()
+            cont = (gap < config.session_timeout_s and
+                    not (config.split_sessions_on_month
+                         and first["month"] != prev_last[1]))
+            # chunk-local ids are 1-based; continuation fuses local 1 into
+            # the previous global session
+            p.loc[live_mask, "session_id"] += offset - (1 if cont else 0)
+        if live_mask.any():
+            lastrow = p[live_mask].iloc[-1]
+            offset = np.int64(lastrow["session_id"])
+            prev_last = (lastrow["ts"], lastrow["month"], offset)
+        merged.append(p)
+    return pd.concat(merged, ignore_index=True)
+
+
+def make_sessionize_group(config: PipelineConfig = DEFAULT_CONFIG):
+    """map_groups fn over bucket groups → turns + session_id/seq_drop."""
+    def fn(group: pd.DataFrame) -> pd.DataFrame:
+        return sessionize_frame(group, config)
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# Sessions summary table: partial-per-batch → final-per-bucket combine.
+# The classic pre-aggregate pattern: the wide data never shuffles twice —
+# per-batch partials are tiny (one row per (conv, session) per batch), and
+# the final combine is vectorized per bucket.
+# ---------------------------------------------------------------------------
+
+_PARTIAL_KEYS = ["bucket", "conv_id", "session_id"]
+
+
+def session_partials(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch partial session aggregates (assumes rows of one (conv,
+    session) appear in turn_idx order within the batch — guaranteed because
+    the sessionizer's output is written sorted and Parquet preserves order).
+    """
+    d = df[(df["session_id"] >= 0)]
+    if "seq_drop" in d.columns:
+        d = d[~d["seq_drop"]]
+    d = d.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    g = d.groupby(_PARTIAL_KEYS, sort=False)
+    out = g.agg(n_turns=("turn_idx", "size"), kb=("kb", "sum"),
+                files=("is_file", "sum"), pages=("is_content", "sum"),
+                min_idx=("turn_idx", "min"), max_idx=("turn_idx", "max"),
+                start_ts=("ts", "first"), end_ts=("ts", "last"))
+    t = d[d["tool_norm"].notna()].groupby(_PARTIAL_KEYS, sort=False)
+    ent = t.agg(entry_tool=("tool_norm", "first"),
+                exit_tool=("tool_norm", "last"))
+    out = out.join(ent, how="left").reset_index()
+    for c in ("n_turns", "files", "pages"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+def combine_session_partials(df: pd.DataFrame) -> pd.DataFrame:
+    """Final combine of session partials — one vectorized call per bucket.
+
+    Partials of one session cover disjoint, ordered turn_idx ranges, so
+    sorting by min_idx orders everything; groupby first/last skip NaN which
+    yields the first/last non-null entry/exit tool.
+    """
+    df = df.sort_values(["conv_id", "session_id", "min_idx"], kind="mergesort")
+    g = df.groupby(["conv_id", "session_id"], sort=True)
+    out = g.agg(n_turns=("n_turns", "sum"), kb=("kb", "sum"),
+                files=("files", "sum"), pages=("pages", "sum"),
+                start_ts=("start_ts", "first"), end_ts=("end_ts", "last"),
+                entry_tool=("entry_tool", "first"),
+                exit_tool=("exit_tool", "last")).reset_index()
+    out["month"] = out["start_ts"].dt.strftime("%Y-%m")
+    out["date"] = out["start_ts"].dt.strftime("%Y-%m-%d")
+    for c in ("n_turns", "files", "pages"):
+        out[c] = out[c].astype(np.int64)
+    return out[SESSION_COLS]
