@@ -1,0 +1,133 @@
+"""Benchmark harness (SURVEY.md §6; BASELINE.json metric).
+
+Headline: the flagship parse→enrich→route→sessionize→aggregate pipeline
+over a deterministic synthetic transcript table (~1.2M turns, seed=42,
+cached under /tmp so both scaling levels read the SAME input), reported
+as wall seconds + turns/sec. Also times representative driver queries
+over $GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "turns_per_sec": ...}
+
+--scaling: runs the plain bench twice in FRESH subprocesses at
+RAY_GRAFT_CPUS=8 and =32 (the sandbox stand-in for N vs 4N nodes) and
+prints both throughputs + scaling efficiency = (t_8 / t_32) / 4.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+BENCH_FIXTURE = "/tmp/wr_bench_fixture_v1"
+BENCH_CONVS = 40_000          # ~1.2M turns incl. one 20k-turn giant conv
+SF_DEFAULT = "/root/testdata/sf0.1"
+
+
+def build_bench_fixture() -> str:
+    from webalizer_ray import fixtures
+
+    marker = os.path.join(BENCH_FIXTURE, ".complete")
+    if not os.path.exists(marker):
+        shutil.rmtree(BENCH_FIXTURE, ignore_errors=True)
+        fixtures.build_fixture_dir(BENCH_FIXTURE, scale="bench",
+                                   n_convs=BENCH_CONVS)
+        open(marker, "w").close()
+    return BENCH_FIXTURE
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+    from ray.data import DataContext
+
+    logging.getLogger("ray").setLevel(logging.ERROR)
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from webalizer_ray.pipelines import queries as Q
+    from webalizer_ray.pipelines.flagship import run_flagship
+
+    fixture = build_bench_fixture()
+
+    # warm the page cache so we measure compute + shuffle, not cold disk
+    import pyarrow.dataset as pads
+    n_turns = pads.dataset(os.path.join(fixture, "turns")).count_rows()
+    pads.dataset(os.path.join(fixture, "turns")).to_table()
+
+    out_dir = tempfile.mkdtemp(prefix="wr_bench_out_")
+    t0 = time.perf_counter()
+    run_flagship(fixture, out_dir)
+    headline = time.perf_counter() - t0
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    qtimes = {}
+    for name in ["hourly_events", "monthly_events", "user_sessions",
+                 "session_entry_exit", "exact_dedup_docs",
+                 "minhash_dup_pairs", "ann_topk", "flagship_monthly"]:
+        fn = Q.REGISTRY[name][0]
+        t0 = time.perf_counter()
+        fn(sf_dir)
+        qtimes[name] = round(time.perf_counter() - t0, 3)
+
+    result = {
+        "metric": "flagship parse→enrich→route→sessionize→aggregate "
+                  f"wall sec over {n_turns} synthetic transcript turns",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "bench_turns": int(n_turns),
+        "turns_per_sec": int(n_turns / headline),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+    build_bench_fixture()  # shared input, built before either timed run
+
+    def sub(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True, cwd=os.path.dirname(
+                                 os.path.abspath(__file__))).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    r_lo, r_hi = sub(lo), sub(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling efficiency, same input, fresh ray sessions "
+                  f"(num_cpus={lo} vs {hi}; sandbox stand-in for N vs 4N "
+                  "nodes)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        f"sec_{lo}": t_lo, f"sec_{hi}": t_hi,
+        f"turns_per_sec_{lo}": r_lo["turns_per_sec"],
+        f"turns_per_sec_{hi}": r_hi["turns_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": sf_dir,
+    }
+
+
+if __name__ == "__main__":
+    sf = os.environ.get("GRAFT_SF_DIR", SF_DEFAULT)
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(sf)))
+    else:
+        ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+        print(json.dumps(run_bench(sf, ncpu)))

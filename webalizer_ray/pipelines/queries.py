@@ -1,0 +1,542 @@
+"""Driver-contract queries: Ray pipelines + matching DuckDB oracle SQL.
+
+One entry per implemented operator family from SURVEY.md §2, expressed
+over the driver's testdata views (events / documents / embeddings /
+lineitem). Each Ray callable takes ``sf_dir`` and returns a pandas
+DataFrame whose COLUMN NAMES AND TYPES exactly match the oracle SQL
+(the driver hashes values after sorting columns by name).
+
+Conventions for hash-stable floats: every float aggregate is rounded
+(ROUND(x, 2) for sums, 6 for similarities) on BOTH sides; int aggregates
+are CAST(. AS BIGINT) in SQL because DuckDB's SUM(int) is HUGEINT.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from webalizer_ray.stages import ann, dedup, textstats
+from webalizer_ray.stages.aggregate import (
+    distinct_count,
+    reduce_sink,
+    salted_two_phase,
+)
+from webalizer_ray.stages.topn import top_n_pandas
+
+#: name -> (ray_callable, oracle_sql | None)
+REGISTRY: dict = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        REGISTRY[name] = (fn, sql)
+        return fn
+    return deco
+
+
+def _events(sf_dir: str, cols) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=list(cols))
+
+
+def _docs(sf_dir: str, cols) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(cols))
+
+
+# ---------------------------------------------------------------------------
+# A1–A3: time-bucket aggregates over events (daily/hourly/monthly tables)
+# ---------------------------------------------------------------------------
+
+def _with_time_cols(cols):
+    def f(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"]
+        if "hour" in cols:
+            batch = batch.append_column(
+                "hour", pc.cast(pc.hour(ts), pa.int64()))
+        if "date" in cols:
+            batch = batch.append_column("date",
+                                        pc.strftime(ts, format="%Y-%m-%d"))
+        if "month" in cols:
+            batch = batch.append_column("month",
+                                        pc.strftime(ts, format="%Y-%m"))
+        return batch
+    return f
+
+
+@register("hourly_events", sql="""
+SELECT CAST(hour(ts) AS BIGINT) AS hour, COUNT(*) AS hits,
+       ROUND(SUM(value), 2) AS value_sum
+FROM events GROUP BY hour""")
+def hourly_events(sf_dir: str) -> pd.DataFrame:
+    ds = _events(sf_dir, ["ts", "value"]) \
+        .map_batches(_with_time_cols({"hour"}), batch_format="pyarrow")
+    out = reduce_sink(ds, ["hour"], {"hits": ("ts", "size"),
+                                     "value_sum": ("value", "sum")}).to_pandas()
+    out["value_sum"] = out["value_sum"].round(2)
+    return out.sort_values("hour", ignore_index=True)
+
+
+@register("daily_events", sql="""
+SELECT strftime(ts, '%Y-%m-%d') AS date, COUNT(*) AS hits,
+       ROUND(SUM(value), 2) AS value_sum
+FROM events GROUP BY date""")
+def daily_events(sf_dir: str) -> pd.DataFrame:
+    ds = _events(sf_dir, ["ts", "value"]) \
+        .map_batches(_with_time_cols({"date"}), batch_format="pyarrow")
+    out = reduce_sink(ds, ["date"], {"hits": ("ts", "size"),
+                                     "value_sum": ("value", "sum")}).to_pandas()
+    out["value_sum"] = out["value_sum"].round(2)
+    return out.sort_values("date", ignore_index=True)
+
+
+@register("monthly_events", sql="""
+SELECT strftime(ts, '%Y-%m') AS month, COUNT(*) AS hits,
+       COUNT(DISTINCT user_id) AS users, ROUND(SUM(value), 2) AS value_sum
+FROM events GROUP BY month""")
+def monthly_events(sf_dir: str) -> pd.DataFrame:
+    ds = _events(sf_dir, ["ts", "value", "user_id"]) \
+        .map_batches(_with_time_cols({"month"}), batch_format="pyarrow")
+    agg = reduce_sink(ds, ["month"], {"hits": ("ts", "size"),
+                                      "value_sum": ("value", "sum")}).to_pandas()
+    users = distinct_count(ds, ["month"], "user_id", "users").to_pandas()
+    out = agg.merge(users, on="month")
+    out["value_sum"] = out["value_sum"].round(2)
+    return out[["month", "hits", "users", "value_sum"]] \
+        .sort_values("month", ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# K1, A10, P9, P10 analogs over events
+# ---------------------------------------------------------------------------
+
+@register("top_event_types", sql="""
+SELECT event_type, COUNT(*) AS hits FROM events
+GROUP BY event_type ORDER BY hits DESC, event_type LIMIT 3""")
+def top_event_types(sf_dir: str) -> pd.DataFrame:
+    agg = reduce_sink(_events(sf_dir, ["event_type"]), ["event_type"],
+                      {"hits": ("event_type", "size")}).to_pandas()
+    return top_n_pandas(agg, "event_type", "hits", 3)
+
+
+@register("distinct_users", sql="""
+SELECT COUNT(DISTINCT user_id) AS users FROM events""")
+def distinct_users(sf_dir: str) -> pd.DataFrame:
+    ds = _events(sf_dir, ["user_id"])
+    d = (ds.map_batches(lambda df: df.drop_duplicates(), batch_format="pandas")
+         .unique("user_id"))
+    return pd.DataFrame({"users": np.array([len(d)], dtype=np.int64)})
+
+
+_CLASS_SQL = """CASE WHEN event_type IN ('view', 'click') THEN 'engagement'
+       WHEN event_type IN ('purchase', 'signup') THEN 'conversion'
+       WHEN event_type = 'error' THEN 'failure' ELSE 'other' END"""
+_CLASS_MAP = {"view": "engagement", "click": "engagement",
+              "purchase": "conversion", "signup": "conversion",
+              "error": "failure"}
+
+
+@register("event_class_hist", sql=f"""
+SELECT {_CLASS_SQL} AS class, COUNT(*) AS hits, ROUND(SUM(value), 2) AS value_sum
+FROM events GROUP BY class""")
+def event_class_hist(sf_dir: str) -> pd.DataFrame:
+    """P9/J2 analog: classify via broadcast lookup, aggregate per class."""
+    from webalizer_ray.stages.enrich import _Lookup
+    lk = _Lookup(_CLASS_MAP, "other")
+
+    def classify(batch: pa.Table) -> pa.Table:
+        return batch.append_column("class", lk(batch["event_type"]))
+
+    ds = _events(sf_dir, ["event_type", "value"]) \
+        .map_batches(classify, batch_format="pyarrow")
+    out = reduce_sink(ds, ["class"], {"hits": ("class", "size"),
+                                      "value_sum": ("value", "sum")}).to_pandas()
+    out["value_sum"] = out["value_sum"].round(2)
+    return out.sort_values("class", ignore_index=True)
+
+
+@register("filtered_event_counts", sql="""
+SELECT event_type, COUNT(*) AS hits FROM events
+WHERE NOT regexp_matches(event_type, '^err') GROUP BY event_type""")
+def filtered_event_counts(sf_dir: str) -> pd.DataFrame:
+    """P10 Ignore*-list analog: vectorized anti-filter then aggregate."""
+    def drop_ignored(batch: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.match_substring_regex(batch["event_type"], "^err"))
+        return batch.filter(keep)
+
+    ds = _events(sf_dir, ["event_type"]) \
+        .map_batches(drop_ignored, batch_format="pyarrow")
+    return (reduce_sink(ds, ["event_type"],
+                        {"hits": ("event_type", "size")})
+            .to_pandas().sort_values("event_type", ignore_index=True))
+
+
+# ---------------------------------------------------------------------------
+# W1/W2: sessionization of the events stream (30-min gap, >= rule)
+# ---------------------------------------------------------------------------
+
+_NS_SQL = """
+SELECT user_id, event_type, ts, event_id,
+       CASE WHEN prev_ts IS NULL
+                 OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+            THEN 1 ELSE 0 END AS ns
+FROM (SELECT user_id, event_type, ts, event_id,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS prev_ts
+      FROM events)"""
+
+
+def _sessionized_events(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
+    """events + session id per user (vectorized per user-hash bucket)."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket_"] = (df["user_id"].to_numpy() % num_buckets).astype(np.int32)
+        return df
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        same = g["user_id"].eq(g["user_id"].shift())
+        gap_s = (g["ts"] - g["ts"].shift()).dt.total_seconds()
+        ns = (~same) | (gap_s >= 1800.0)
+        g["sid"] = ns.groupby(g["user_id"], sort=False).cumsum() \
+            .astype(np.int64)
+        return g.drop(columns=["bucket_"])
+
+    return (ds.map_batches(with_bucket, batch_format="pandas")
+            .groupby("bucket_").map_groups(sessionize, batch_format="pandas"))
+
+
+@register("user_sessions", sql=f"""
+SELECT user_id, CAST(SUM(ns) AS BIGINT) AS sessions
+FROM ({_NS_SQL}) GROUP BY user_id""")
+def user_sessions(sf_dir: str) -> pd.DataFrame:
+    sess = _sessionized_events(sf_dir)
+    out = reduce_sink(sess, ["user_id"],
+                      {"sessions": ("sid", "max")}).to_pandas()
+    return out.sort_values("user_id", ignore_index=True)
+
+
+@register("session_entry_exit", sql=f"""
+WITH s AS (SELECT user_id, event_type, ts, event_id,
+                  SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+           FROM ({_NS_SQL})),
+per_sess AS (SELECT user_id, sid,
+                    FIRST(event_type ORDER BY ts, event_id) AS entry_type,
+                    LAST(event_type ORDER BY ts, event_id) AS exit_type
+             FROM s GROUP BY user_id, sid),
+en AS (SELECT entry_type AS event_type, COUNT(*) AS entry FROM per_sess
+       GROUP BY 1),
+ex AS (SELECT exit_type AS event_type, COUNT(*) AS exit FROM per_sess
+       GROUP BY 1)
+SELECT event_type, COALESCE(entry, 0) AS entry, COALESCE(exit, 0) AS exit
+FROM en FULL JOIN ex USING (event_type)""")
+def session_entry_exit(sf_dir: str) -> pd.DataFrame:
+    """W2 analog: first/last event of each session → entry/exit counts."""
+    sess = _sessionized_events(sf_dir)
+
+    def firstlast(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g = df.groupby(["user_id", "sid"], sort=False)
+        return g.agg(entry_type=("event_type", "first"),
+                     exit_type=("event_type", "last"),
+                     min_ts=("ts", "min"),
+                     min_eid=("event_id", "min")).reset_index()
+
+    # per-batch partials could split a session across blocks → combine in
+    # (ts, event_id) order (same pattern as session.py)
+    partials = sess.map_batches(firstlast, batch_format="pandas").to_pandas()
+    partials = partials.sort_values(["user_id", "sid", "min_ts", "min_eid"],
+                                    kind="mergesort")
+    per_sess = partials.groupby(["user_id", "sid"], sort=False).agg(
+        entry_type=("entry_type", "first"), exit_type=("exit_type", "last"))
+    en = per_sess.groupby("entry_type").size().rename("entry")
+    ex = per_sess.groupby("exit_type").size().rename("exit")
+    out = pd.concat([en, ex], axis=1).fillna(0).astype(np.int64) \
+        .rename_axis("event_type").reset_index()
+    return out.sort_values("event_type", ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# P2/P14/J3 analogs over documents
+# ---------------------------------------------------------------------------
+
+@register("docs_first_word", sql="""
+SELECT regexp_extract(text, '^[a-z]+') AS word, COUNT(*) AS docs
+FROM documents GROUP BY word""")
+def docs_first_word(sf_dir: str) -> pd.DataFrame:
+    def extract(batch: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(batch["text"], r"^(?P<w>[a-z]+)")
+        return batch.append_column(
+            "word", pc.fill_null(pc.struct_field(ext, "w"), ""))
+
+    ds = _docs(sf_dir, ["text"]).map_batches(extract, batch_format="pyarrow")
+    return (reduce_sink(ds, ["word"], {"docs": ("word", "size")})
+            .to_pandas().sort_values("word", ignore_index=True))
+
+
+@register("docs_with_term", sql="""
+SELECT source, COUNT(*) AS docs FROM documents
+WHERE text LIKE '%query%' GROUP BY source""")
+def docs_with_term(sf_dir: str) -> pd.DataFrame:
+    def semi(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.match_substring(batch["text"], "query"))
+
+    ds = _docs(sf_dir, ["text", "source"]).map_batches(
+        semi, batch_format="pyarrow")
+    return (reduce_sink(ds, ["source"], {"docs": ("source", "size")})
+            .to_pandas().sort_values("source", ignore_index=True))
+
+
+@register("token_count_docs", sql=r"""
+SELECT doc_id, CASE WHEN trim(text) = '' THEN 0
+       ELSE CAST(array_length(string_split_regex(trim(text), '\s+')) AS BIGINT)
+       END AS n_tokens
+FROM documents""")
+def token_count_docs(sf_dir: str) -> pd.DataFrame:
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        textstats.add_token_counts, batch_format="pyarrow")
+    return (ds.select_columns(["doc_id", "n_tokens"]).to_pandas()
+            .sort_values("doc_id", ignore_index=True))
+
+
+# ---------------------------------------------------------------------------
+# A11 skew / K3 over lineitem
+# ---------------------------------------------------------------------------
+
+@register("salted_returnflag_qty", sql="""
+SELECT l_returnflag, ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY l_returnflag""")
+def salted_returnflag_qty(sf_dir: str) -> pd.DataFrame:
+    """Explicit salted two-phase aggregation (hot-key mitigation path)."""
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_quantity"])
+    out = salted_two_phase(ds, "l_returnflag", "l_quantity",
+                           salt_buckets=16, alias="sum_qty").to_pandas()
+    out["sum_qty"] = out["sum_qty"].round(2)
+    return out.sort_values("l_returnflag", ignore_index=True)
+
+
+@register("top_revenue_parts", sql="""
+SELECT l_partkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem GROUP BY l_partkey
+ORDER BY ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) DESC, l_partkey
+LIMIT 10""")
+def top_revenue_parts(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_extendedprice",
+                                  "l_discount"])
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        return batch.append_column("rev", rev)
+
+    agg = reduce_sink(ds.map_batches(revenue, batch_format="pyarrow"),
+                      ["l_partkey"], {"revenue": ("rev", "sum")}).to_pandas()
+    agg["revenue"] = agg["revenue"].round(2)
+    return top_n_pandas(agg, "l_partkey", "revenue", 10)
+
+
+# ---------------------------------------------------------------------------
+# Dedup / similarity / text-analysis (training-data operators)
+# ---------------------------------------------------------------------------
+
+@register("exact_dedup_docs", sql=r"""
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS copies FROM documents
+GROUP BY lower(regexp_replace(trim(text), '\s+', ' ', 'g'))""")
+def exact_dedup_docs(sf_dir: str) -> pd.DataFrame:
+    out = dedup.exact_dedup(_docs(sf_dir, ["doc_id", "text"])).to_pandas()
+    return out.sort_values("doc_id", ignore_index=True)
+
+
+@register("cosine_dup_pairs", sql="""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6)
+           AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.4""")
+def cosine_dup_pairs(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return dedup.cosine_dup_pairs(ds, threshold=0.4)
+
+
+@register("ann_topk", sql="""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id < 3),
+sims AS (SELECT q.query_id, e.vec_id,
+                ROUND(list_cosine_similarity(q.qe,
+                      CAST(e.embedding AS DOUBLE[])), 9) AS cosine
+         FROM q CROSS JOIN embeddings e),
+ranked AS (SELECT query_id, vec_id, cosine,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id) AS rank
+           FROM sims)
+SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine, rank
+FROM ranked WHERE rank <= 5""")
+def ann_topk(sf_dir: str) -> pd.DataFrame:
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    qmask = pc.less(tbl["vec_id"], 3)
+    qtbl = tbl.filter(qmask)
+    qids = np.asarray(qtbl["vec_id"])
+    queries = np.stack(qtbl["embedding"].to_pandas().to_numpy())
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    out = ann.brute_force_topk(ds, queries, k=5)
+    out["query_id"] = qids[out["query_id"].to_numpy()]
+    out["cosine"] = out["cosine"].round(6)
+    return out[["query_id", "vec_id", "cosine", "rank"]] \
+        .sort_values(["query_id", "rank"], ignore_index=True)
+
+
+# --- rows-only checks (non-SQL-expressible; driver records row counts) ----
+
+@register("minhash_dup_pairs")
+def minhash_dup_pairs(sf_dir: str) -> pd.DataFrame:
+    return dedup.minhash_lsh_pairs(_docs(sf_dir, ["doc_id", "text"]),
+                                   threshold=0.5)
+
+
+@register("simhash_dup_pairs")
+def simhash_dup_pairs(sf_dir: str) -> pd.DataFrame:
+    return dedup.simhash_pairs(_docs(sf_dir, ["doc_id", "text"]),
+                               max_hamming=8)
+
+
+@register("ngram_jaccard_pairs")
+def ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
+    """MinHash-LSH candidates verified by EXACT word-3-gram Jaccard."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    cand = dedup.minhash_lsh_pairs(docs, threshold=0.3)
+    texts = dict(zip(*[c.to_pylist() for c in
+                       pq.read_table(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "text"]).columns]))
+    return dedup.ngram_jaccard_verify(texts, cand, n=3, threshold=0.3)
+
+
+@register("ann_topk_lsh")
+def ann_topk_lsh(sf_dir: str) -> pd.DataFrame:
+    """Approximate variant of ann_topk (LSH buckets; recall < 1)."""
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    qtbl = tbl.filter(pc.less(tbl["vec_id"], 3))
+    qids = np.asarray(qtbl["vec_id"])
+    queries = np.stack(qtbl["embedding"].to_pandas().to_numpy())
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    out = ann.lsh_bucket_topk(ds, queries, k=5)
+    out["query_id"] = qids[out["query_id"].to_numpy()]
+    return out.sort_values(["query_id", "rank"], ignore_index=True)
+
+
+@register("lang_id_docs")
+def lang_id_docs(sf_dir: str) -> pd.DataFrame:
+    ds = _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+        textstats.add_lang_id, batch_format="pandas")
+    out = ds.select_columns(["doc_id", "lang", "pred_lang", "lang_conf"]) \
+        .to_pandas()
+    return out.sort_values("doc_id", ignore_index=True)
+
+
+@register("quality_docs")
+def quality_docs(sf_dir: str) -> pd.DataFrame:
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        textstats.add_quality_score, batch_format="pandas")
+    return (ds.select_columns(["doc_id", "n_chars", "n_tokens", "punct_ratio",
+                               "stopword_ratio", "quality_score"])
+            .to_pandas().sort_values("doc_id", ignore_index=True))
+
+
+@register("fingerprint_docs")
+def fingerprint_docs(sf_dir: str) -> pd.DataFrame:
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda df: textstats.add_fingerprint(df)[["doc_id", "fingerprint"]],
+        batch_format="pandas")
+    out = ds.to_pandas()
+    out["fingerprint"] = out["fingerprint"].astype(np.uint64)
+    return out.sort_values("doc_id", ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# Flagship over the adapted events stream (full parse→enrich→route→agg),
+# oracle-checked end to end including sessionization with month split.
+# ---------------------------------------------------------------------------
+
+_FLAGSHIP_T_SQL = """
+SELECT 'u' || lpad(CAST(user_id AS VARCHAR), 6, '0') AS conv_id,
+       event_id, ts, strftime(ts, '%Y-%m') AS month,
+       CASE event_type WHEN 'signup' THEN 'system'
+            WHEN 'purchase' THEN 'assistant' WHEN 'error' THEN 'tool'
+            ELSE 'user' END AS role,
+       CASE event_type WHEN 'signup' THEN 206 WHEN 'error' THEN 500
+            ELSE 200 END AS status,
+       CASE event_type WHEN 'click' THEN 'browse'
+            WHEN 'purchase' THEN 'checkout' WHEN 'error' THEN 'probe'
+            ELSE NULL END AS tool_norm,
+       ROUND(value, 2) AS kb
+FROM events"""
+
+
+@register("flagship_monthly", sql=f"""
+WITH t AS ({_FLAGSHIP_T_SQL}),
+marks AS (SELECT month, CASE WHEN prev_ts IS NULL
+                 OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+                 OR strftime(prev_ts, '%Y-%m') <> month
+                 THEN 1 ELSE 0 END AS ns
+          FROM (SELECT month, ts,
+                       LAG(ts) OVER (PARTITION BY conv_id
+                                     ORDER BY ts, event_id) AS prev_ts
+                FROM t)),
+sess AS (SELECT month, CAST(SUM(ns) AS BIGINT) AS sessions FROM marks
+         GROUP BY month),
+agg AS (SELECT month, COUNT(*) AS hits,
+               CAST(SUM(CASE WHEN status = 200 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS files,
+               CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS pages,
+               ROUND(SUM(kb), 2) AS kb,
+               COUNT(DISTINCT conv_id) AS convs,
+               COUNT(DISTINCT tool_norm) AS tools
+        FROM t GROUP BY month)
+SELECT agg.month AS month, hits, files, pages, kb, convs, tools, sessions
+FROM agg JOIN sess ON agg.month = sess.month""")
+def flagship_monthly(sf_dir: str) -> pd.DataFrame:
+    """Full flagship pipeline over events adapted to the turns schema."""
+    from webalizer_ray.pipelines.flagship import run_flagship
+    from webalizer_ray.sources.events_adapter import (
+        ROLE_GROUPS,
+        TOOL_CATEGORIES,
+        events_to_turns,
+    )
+    work = tempfile.mkdtemp(prefix="wr_flagship_")
+    turns_dir = os.path.join(work, "in", "turns")
+    os.makedirs(turns_dir, exist_ok=True)
+    events_to_turns(sf_dir).write_parquet(turns_dir)
+    res = run_flagship(os.path.join(work, "in"), os.path.join(work, "out"),
+                       lookups=(TOOL_CATEGORIES, ROLE_GROUPS))
+    out = res["sinks"]["monthly"].copy()
+    out["kb"] = out["kb"].round(2)
+    return out[["month", "hits", "files", "pages", "kb", "convs", "tools",
+                "sessions"]]
+
+
+def all_queries():
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def all_oracle_sql():
+    return {name: sql for name, (_, sql) in REGISTRY.items()
+            if sql is not None}

@@ -1,0 +1,130 @@
+"""Similarity search over an embedding column (list<float>).
+
+Brute-force cosine top-k is the exact baseline: the query matrix is
+broadcast once (``ray.put``), every batch does one numpy matmul against
+it and emits its LOCAL top-k per query (a per-batch combiner — k rows per
+query per batch cross the shuffle, never the full similarity matrix), and
+a final tiny merge keeps the global top-k. The scale path is the
+LSH-bucketed variant: random-hyperplane signs bucket both vectors and
+queries; only matching buckets multiply (probe several buckets for
+recall). Both are deterministic given the seed.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data as rd
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+def brute_force_topk(ds: rd.Dataset, queries: np.ndarray, k: int = 5,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> pd.DataFrame:
+    """Exact cosine top-k: (query_id, vec_id, cosine, rank) per query.
+
+    Ties broken deterministically by (cosine desc, vec_id asc) on
+    similarities rounded to 9 dp (so float noise cannot flip ranks
+    between engines).
+    """
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put(qn)
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        q = ray.get(q_ref)
+        mat = _normalize(np.stack(df[vec_col].to_numpy()).astype(np.float64))
+        sims = np.round(q @ mat.T, 9)                    # (nq, nb)
+        ids = df[id_col].to_numpy()
+        nq, nb = sims.shape
+        kk = min(k, nb)
+        # local top-k per query (argpartition then exact ordering)
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(np.arange(nq), kk)
+        cols = part.reshape(-1)
+        return pd.DataFrame({
+            "query_id": rows.astype(np.int64),
+            id_col: ids[cols],
+            "cosine": sims[rows, cols],
+        })
+
+    partials = ds.map_batches(local_topk, batch_format="pandas").to_pandas()
+    partials = partials.sort_values(
+        ["query_id", "cosine", id_col], ascending=[True, False, True],
+        kind="mergesort")
+    out = partials.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    out["rank"] = out.groupby("query_id").cumcount().astype(np.int64) + 1
+    return out
+
+
+def lsh_bucket_topk(ds: rd.Dataset, queries: np.ndarray, k: int = 5,
+                    n_planes: int = 8, n_probe: int = 4, seed: int = 7,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> pd.DataFrame:
+    """Approximate top-k via random-hyperplane LSH buckets.
+
+    bucket(v) = sign bits of v·P (P drawn once from seed). Queries probe
+    their own bucket plus the ``n_probe-1`` nearest buckets (smallest
+    |margin| bit flips), so each data batch multiplies only against the
+    queries probing its buckets. Recall < 1 by construction; the exact
+    variant above is the parity baseline.
+    """
+    rng = np.random.default_rng(seed)
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    dim = qn.shape[1]
+    planes = rng.standard_normal((dim, n_planes))
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    def bucket_of(m: np.ndarray) -> np.ndarray:
+        return ((m @ planes) > 0).astype(np.int64) @ weights
+
+    # query probes: own bucket + buckets with the lowest-|margin| bit flipped
+    proj = qn @ planes
+    base = (proj > 0).astype(np.int64) @ weights
+    order = np.argsort(np.abs(proj), axis=1)
+    probes = {int(b) for b in base}
+    for p in range(min(n_probe - 1, n_planes)):
+        flipped = base ^ weights[order[:, p]]
+        probes |= {int(b) for b in flipped}
+    probe_sets = {}
+    for qi in range(len(qn)):
+        mine = {int(base[qi])}
+        for p in range(min(n_probe - 1, n_planes)):
+            mine.add(int(base[qi] ^ weights[order[qi, p]]))
+        probe_sets[qi] = mine
+    q_ref = ray.put((qn, probe_sets))
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        q, psets = ray.get(q_ref)
+        mat = _normalize(np.stack(df[vec_col].to_numpy()).astype(np.float64))
+        buckets = bucket_of(mat)
+        ids = df[id_col].to_numpy()
+        frames = []
+        for qi, mine in psets.items():
+            mask = np.isin(buckets, list(mine))
+            if not mask.any():
+                continue
+            sims = np.round(mat[mask] @ q[qi], 9)
+            sel = ids[mask]
+            kk = min(k, len(sel))
+            top = np.argpartition(-sims, kk - 1)[:kk]
+            frames.append(pd.DataFrame({
+                "query_id": np.full(kk, qi, dtype=np.int64),
+                id_col: sel[top], "cosine": sims[top]}))
+        if not frames:
+            return pd.DataFrame({"query_id": pd.Series(dtype=np.int64),
+                                 id_col: pd.Series(dtype=np.int64),
+                                 "cosine": pd.Series(dtype=np.float64)})
+        return pd.concat(frames, ignore_index=True)
+
+    partials = ds.map_batches(local_topk, batch_format="pandas").to_pandas()
+    partials = partials.sort_values(
+        ["query_id", "cosine", id_col], ascending=[True, False, True],
+        kind="mergesort")
+    out = partials.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    out["rank"] = out.groupby("query_id").cumcount().astype(np.int64) + 1
+    return out
