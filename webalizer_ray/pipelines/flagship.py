@@ -225,13 +225,22 @@ def make_bucket_task(out_dir: str, config: PipelineConfig):
     return task
 
 
-def run_parse_pass(input_dir: str, out_dir: str,
-                   config: PipelineConfig = DEFAULT_CONFIG,
-                   lookups: tuple[dict, dict] | None = None,
-                   use_actors: bool = True) -> None:
-    """Pass 1: parse + enrich + route/bucket-partitioned write."""
-    tc, rg = lookups if lookups is not None else read_lookup_dicts(input_dir)
-    ds = read_turns(input_dir)
+def parse_enrich_dataset(source, config: PipelineConfig = DEFAULT_CONFIG,
+                         lookups: tuple[dict, dict] | None = None,
+                         use_actors: bool = True) -> rd.Dataset:
+    """parse + enrich Dataset plan over a turns source.
+
+    ``source`` is a fixture dir (str) or an explicit list of parquet file
+    paths (the unit-granular entry used by state/checkpoint.py).
+    """
+    if isinstance(source, str):
+        tc, rg = lookups if lookups is not None else read_lookup_dicts(source)
+        ds = read_turns(source)
+    else:
+        if lookups is None:
+            raise ValueError("explicit file lists require lookups")
+        tc, rg = lookups
+        ds = rd.read_parquet(list(source))
     parsed = ds.map_batches(make_parse_fn(config, config.num_buckets),
                             batch_format="pyarrow", zero_copy_batch=True,
                             batch_size=config.parse_batch_size)
@@ -246,6 +255,15 @@ def run_parse_pass(input_dir: str, out_dir: str,
         parsed = parsed.map_batches(
             enrich_fn(tc, rg, config.unresolved_category),
             batch_format="pyarrow")
+    return parsed
+
+
+def run_parse_pass(input_dir: str, out_dir: str,
+                   config: PipelineConfig = DEFAULT_CONFIG,
+                   lookups: tuple[dict, dict] | None = None,
+                   use_actors: bool = True) -> None:
+    """Pass 1: parse + enrich + route/bucket-partitioned write."""
+    parsed = parse_enrich_dataset(input_dir, config, lookups, use_actors)
     parsed.write_parquet(os.path.join(out_dir, "parsed"),
                          partition_cols=["route", "bucket"])
 

@@ -1,0 +1,355 @@
+"""Per-partition checkpoint / resume — the ``webalizer.current`` analog.
+
+The reference checkpoints its ENTIRE in-memory state (all hash tables +
+counters + the ``cur_tstamp`` watermark) into one text file at end of run
+(preserve.c:save_state() ≈100–600 [verify]) and on resume skips every
+record older than the watermark (webalizer.c main-loop check vs
+cur_tstamp [verify]) — exactly-once across overlapping month-to-date log
+feeds, but all-or-nothing: a crash mid-month loses everything since the
+last full run.
+
+Our re-expression is PARTITIONED and idempotent (SURVEY.md §4.3):
+
+  pass 1 (parse+enrich) commits per input *unit* (one unit per input
+  parquet file — the deterministic partition plan). A unit's output goes
+  to ``out/parsed/unit=<key>/route=*/bucket=*`` via a tmp-dir + atomic
+  rename, then a manifest JSON commits it:
+      state/pass1/unit-<key>.json
+        {unit, digest(inputs), inputs, rows{in,ok,bad,ignored},
+         max_ts watermark, wall_s}
+  Resume skips units whose manifest digest matches the current input
+  file — re-feeding an already-processed log is a no-op (the reference's
+  no-double-count contract, record-free: file identity, not record
+  timestamps, is the dedup key — never record-level dedup at 10^12).
+
+  pass 2 (sessionize+aggregate) commits per conv_id *bucket*. Each bucket
+  task reads that bucket's rows from ALL committed units (a conversation
+  never spans buckets — the explicit hash partitioning), writes its
+  deterministic row-level outputs (idempotent on retry), writes its
+  small-sink partial aggregates to state/partials/bucket-<id>.parquet,
+  then commits a manifest carrying LINEAGE — the exact set of
+  (unit, digest) pairs it consumed — plus metrics:
+      state/pass2/bucket-<id>.json
+        {bucket, lineage[{unit,digest}], rows, sessions, convs,
+         max_ts, wall_s}
+  Resume recomputes a bucket iff its lineage differs from the current
+  committed-unit set (new log data arrived for that bucket) or its
+  manifest/partial is missing (killed mid-commit). Committed buckets'
+  partials are loaded from Parquet — no recompute, no double count.
+
+  finalize is a cheap, idempotent driver-side combine of the per-bucket
+  partials (always re-run; it holds no state of its own).
+
+Commit ordering guarantees: outputs → partial → manifest (the manifest is
+the commit point, written tmp+rename). A kill at ANY point leaves either
+an uncommitted unit/bucket (fully recomputed on resume, outputs
+overwritten deterministically) or a committed one (skipped entirely).
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import json
+import os
+import shutil
+import time
+
+import pandas as pd
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from webalizer_ray.config import DEFAULT_CONFIG, PipelineConfig
+from webalizer_ray.pipelines.flagship import (
+    _empty_long,
+    _write_atomic,
+    finalize_sinks,
+    parse_enrich_dataset,
+    process_bucket_frame,
+    write_bucket_outputs,
+)
+from webalizer_ray.sources.readers import read_lookup_dicts, turns_path
+
+
+# ---------------------------------------------------------------------------
+# manifest + digest helpers
+# ---------------------------------------------------------------------------
+
+def _digest(parts) -> str:
+    h = hashlib.sha1()
+    for p in parts:
+        h.update(str(p).encode())
+        h.update(b"\0")
+    return h.hexdigest()[:16]
+
+
+def _write_json_atomic(obj: dict, path: str) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1, default=str)
+    os.replace(tmp, path)
+
+
+def _read_json(path: str) -> dict | None:
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+
+
+def _file_max_ts(path: str) -> str | None:
+    """Max ``ts`` from parquet row-group statistics — zero data read."""
+    try:
+        md = pq.ParquetFile(path).metadata
+        idx = md.schema.to_arrow_schema().get_field_index("ts")
+        vals = []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is not None and st.has_min_max:
+                vals.append(st.max)
+        return str(max(vals)) if vals else None
+    except Exception:
+        return None
+
+
+# ---------------------------------------------------------------------------
+# partition plan (pass 1 units)
+# ---------------------------------------------------------------------------
+
+def plan_units(input_dir: str) -> list[dict]:
+    """Deterministic partition plan: one unit per input parquet file.
+
+    Unit identity derives from the file NAME (stable when new log files
+    are added later — the incremental-feed case); the digest adds the
+    file size so a rewritten file forces recompute.
+    """
+    files = sorted(glob.glob(os.path.join(turns_path(input_dir),
+                                          "*.parquet")))
+    units = []
+    for f in files:
+        base = os.path.basename(f)
+        units.append({
+            "unit": _digest([base]),
+            "inputs": [base],
+            "paths": [f],
+            "digest": _digest([(base, os.path.getsize(f))]),
+        })
+    return units
+
+
+def _pass1_manifest_path(out_dir: str, unit: str) -> str:
+    return os.path.join(out_dir, "state", "pass1", f"unit-{unit}.json")
+
+
+def _pass2_manifest_path(out_dir: str, bucket: int) -> str:
+    return os.path.join(out_dir, "state", "pass2",
+                        f"bucket-{bucket:05d}.json")
+
+
+def _partial_path(out_dir: str, bucket: int) -> str:
+    return os.path.join(out_dir, "state", "partials",
+                        f"bucket-{bucket:05d}.parquet")
+
+
+def _count_dir(path: str) -> int:
+    if not os.path.isdir(path):
+        return 0
+    return pads.dataset(path).count_rows()
+
+
+# ---------------------------------------------------------------------------
+# pass 1 — resumable parse+enrich, committed per unit
+# ---------------------------------------------------------------------------
+
+def run_parse_pass_resumable(input_dir: str, out_dir: str,
+                             config: PipelineConfig = DEFAULT_CONFIG,
+                             lookups: tuple[dict, dict] | None = None,
+                             use_actors: bool = True) -> dict:
+    """Parse+enrich every uncommitted unit; returns resume statistics."""
+    if lookups is None:
+        lookups = read_lookup_dicts(input_dir)
+    parsed_root = os.path.join(out_dir, "parsed")
+    os.makedirs(parsed_root, exist_ok=True)
+    # a kill mid-write leaves tmp dirs — never read, always safe to drop
+    for junk in glob.glob(os.path.join(parsed_root, "_tmp_*")):
+        shutil.rmtree(junk, ignore_errors=True)
+
+    units = plan_units(input_dir)
+    skipped, recomputed = [], []
+    for u in units:
+        man = _read_json(_pass1_manifest_path(out_dir, u["unit"]))
+        dest = os.path.join(parsed_root, f"unit={u['unit']}")
+        if man and man.get("digest") == u["digest"] and os.path.isdir(dest):
+            skipped.append(u["unit"])
+            continue
+        t0 = time.perf_counter()
+        tmp = os.path.join(parsed_root, f"_tmp_{u['unit']}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        n_in = sum(pq.ParquetFile(p).metadata.num_rows for p in u["paths"])
+        ds = parse_enrich_dataset(u["paths"], config, lookups, use_actors)
+        ds.write_parquet(tmp, partition_cols=["route", "bucket"])
+        if os.path.isdir(dest):       # stale version (input file rewritten)
+            shutil.rmtree(dest)
+        os.replace(tmp, dest)
+        rows = {r: _count_dir(os.path.join(dest, f"route={r}"))
+                for r in ("ok", "bad", "ignored")}
+        rows["in"] = n_in
+        _write_json_atomic({
+            "unit": u["unit"], "digest": u["digest"], "inputs": u["inputs"],
+            "rows": rows,
+            "max_ts": max(filter(None, (_file_max_ts(p) for p in u["paths"])),
+                          default=None),
+            "wall_s": round(time.perf_counter() - t0, 3),
+        }, _pass1_manifest_path(out_dir, u["unit"]))
+        recomputed.append(u["unit"])
+    return {"units": len(units), "skipped": skipped, "recomputed": recomputed}
+
+
+# ---------------------------------------------------------------------------
+# pass 2 — resumable per-bucket sessionize+aggregate with lineage
+# ---------------------------------------------------------------------------
+
+def _bucket_lineage(out_dir: str) -> dict[int, list[list[str]]]:
+    """bucket → sorted [(unit, digest)] of committed units containing it."""
+    unit_digest = {}
+    for mp in glob.glob(os.path.join(out_dir, "state", "pass1", "*.json")):
+        man = _read_json(mp)
+        if man:
+            unit_digest[man["unit"]] = man["digest"]
+    lineage: dict[int, list[list[str]]] = {}
+    for d in glob.glob(os.path.join(out_dir, "parsed", "unit=*",
+                                    "route=ok", "bucket=*")):
+        parts = d.split(os.sep)
+        unit = parts[-3].split("=", 1)[1]
+        bucket = int(parts[-1].split("=", 1)[1])
+        if unit in unit_digest:
+            lineage.setdefault(bucket, []).append([unit, unit_digest[unit]])
+    return {b: sorted(v) for b, v in lineage.items()}
+
+
+def _make_ckpt_bucket_task(out_dir: str, config: PipelineConfig):
+    def task(batch: pd.DataFrame) -> pd.DataFrame:
+        longs = []
+        for _, row in batch.iterrows():
+            bucket = int(row["bucket"])
+            dirs = json.loads(row["dirs"])
+            lineage = json.loads(row["lineage"])
+            t0 = time.perf_counter()
+            files = sorted(f for d in dirs for f in
+                           glob.glob(os.path.join(d, "**", "*.parquet"),
+                                     recursive=True))
+            df = pads.dataset(files).to_table().to_pandas()
+            res = process_bucket_frame(df, config)
+            write_bucket_outputs(res, out_dir, bucket)
+            _write_atomic(res["long"], _partial_path(out_dir, bucket))
+            _write_json_atomic({
+                "bucket": bucket, "lineage": lineage,
+                "rows": int(len(res["turns_ok"])),
+                "seq_dropped": int(len(res["turns_seq"])),
+                "sessions": int(len(res["sessions"])),
+                "convs": int(len(res["per_conv"])),
+                "max_ts": (str(res["turns_ok"]["ts"].max())
+                           if len(res["turns_ok"]) else None),
+                "wall_s": round(time.perf_counter() - t0, 3),
+            }, _pass2_manifest_path(out_dir, bucket))
+            longs.append(res["long"])
+        out = pd.concat(longs, ignore_index=True) if longs else _empty_long()
+        return out if len(out) else _empty_long()
+    return task
+
+
+def run_bucket_pass_resumable(out_dir: str,
+                              config: PipelineConfig = DEFAULT_CONFIG
+                              ) -> tuple[pd.DataFrame, dict]:
+    """Sessionize+aggregate uncommitted/stale buckets; load the rest."""
+    lineage = _bucket_lineage(out_dir)
+    todo, cached = [], []
+    for bucket, lin in sorted(lineage.items()):
+        man = _read_json(_pass2_manifest_path(out_dir, bucket))
+        partial = _partial_path(out_dir, bucket)
+        if (man and sorted(map(list, man.get("lineage", []))) == lin
+                and os.path.exists(partial)):
+            cached.append(bucket)
+        else:
+            unit_set = {u for u, _ in lin}
+            # hive dirs from write_parquet are unpadded (bucket=3)
+            dirs = sorted(
+                d for d in glob.glob(os.path.join(
+                    out_dir, "parsed", "unit=*", "route=ok", "bucket=*"))
+                if int(d.split(os.sep)[-1].split("=", 1)[1]) == bucket
+                and d.split(os.sep)[-3].split("=", 1)[1] in unit_set)
+            todo.append({"bucket": bucket, "dirs": json.dumps(dirs),
+                         "lineage": json.dumps(lin)})
+
+    longs = []
+    if todo:
+        fresh = (rd.from_items(todo)
+                 .map_batches(_make_ckpt_bucket_task(out_dir, config),
+                              batch_format="pandas", batch_size=1)
+                 .to_pandas())
+        if "sink" in fresh.columns and len(fresh):
+            longs.append(fresh)
+    for bucket in cached:
+        p = pq.read_table(_partial_path(out_dir, bucket)).to_pandas()
+        if len(p):
+            longs.append(p)
+    long = (pd.concat(longs, ignore_index=True) if longs else _empty_long())
+    stats = {"buckets": len(lineage), "cached": cached,
+             "recomputed": [t["bucket"] for t in todo]}
+    return long, stats
+
+
+# ---------------------------------------------------------------------------
+# end-to-end resumable run
+# ---------------------------------------------------------------------------
+
+def run_flagship_resumable(input_dir: str, out_dir: str,
+                           config: PipelineConfig = DEFAULT_CONFIG,
+                           lookups: tuple[dict, dict] | None = None,
+                           use_actors: bool = True) -> dict:
+    """Resumable flagship: kill at any point, rerun, get identical sinks.
+
+    Returns {'metrics', 'sinks', 'resume': {pass1, pass2}} — 'resume'
+    reports what was skipped vs recomputed so callers (and tests) can
+    verify the no-double-count contract.
+    """
+    p1 = run_parse_pass_resumable(input_dir, out_dir, config, lookups,
+                                  use_actors)
+    long, p2 = run_bucket_pass_resumable(out_dir, config)
+    sinks = finalize_sinks(long, out_dir, config)
+
+    rows = {"in": 0, "ok": 0, "bad": 0, "ignored": 0}
+    watermark = None
+    for mp in glob.glob(os.path.join(out_dir, "state", "pass1", "*.json")):
+        man = _read_json(mp)
+        if man:
+            for k in rows:
+                rows[k] += man["rows"].get(k, 0)
+            if man.get("max_ts"):
+                watermark = max(watermark or man["max_ts"], man["max_ts"])
+    seq = sum((_read_json(mp) or {}).get("seq_dropped", 0)
+              for mp in glob.glob(os.path.join(out_dir, "state", "pass2",
+                                               "*.json")))
+    metrics = {
+        "total_rec": rows["in"], "bad": rows["bad"],
+        "ignored_pattern": rows["ignored"], "ignored_seq": seq,
+        "ignored": rows["ignored"] + seq,
+        "parsed": rows["ok"] - seq,
+        "sessions": int(len(sinks["sessions"])),
+        "convs": int(len(sinks["per_conv"])),
+        "watermark": watermark,
+    }
+    _write_json_atomic(metrics, os.path.join(out_dir, "metrics.json"))
+    _write_json_atomic({
+        "metrics": metrics,
+        "pass1": {"units": p1["units"], "skipped": len(p1["skipped"]),
+                  "recomputed": len(p1["recomputed"])},
+        "pass2": {"buckets": p2["buckets"], "cached": len(p2["cached"]),
+                  "recomputed": len(p2["recomputed"])},
+    }, os.path.join(out_dir, "state", "run_manifest.json"))
+    return {"metrics": metrics, "sinks": sinks, "out_dir": out_dir,
+            "resume": {"pass1": p1, "pass2": p2}}
