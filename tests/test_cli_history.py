@@ -1,0 +1,104 @@
+"""CLI (S3), lookup manager (wcmgr analog) and history roll-up (S12)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from webalizer_ray import run as cli
+from webalizer_ray.pipelines.history import read_history, update_history
+
+
+@pytest.fixture(scope="module")
+def run_out(ray_session, tiny_fixture, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("cli_run"))
+    rc = cli.main(["run", "--input", tiny_fixture, "--out", out,
+                   "--no-actors", "--set", "num_buckets=4"])
+    assert rc == 0
+    return out
+
+
+def test_cli_run_writes_sinks_and_metrics(run_out):
+    assert os.path.exists(os.path.join(run_out, "metrics.json"))
+    m = json.load(open(os.path.join(run_out, "metrics.json")))
+    assert m["total_rec"] == m["parsed"] + m["bad"] + m["ignored"]
+    assert os.path.exists(os.path.join(run_out, "sinks", "monthly.parquet"))
+
+
+def test_cli_resume_run(ray_session, tiny_fixture, tmp_path):
+    out = str(tmp_path / "o")
+    assert cli.main(["run", "--input", tiny_fixture, "--out", out,
+                     "--resume", "--no-actors",
+                     "--set", "num_buckets=4"]) == 0
+    assert os.path.exists(os.path.join(out, "state", "run_manifest.json"))
+    # second invocation is a no-op resume
+    assert cli.main(["run", "--input", tiny_fixture, "--out", out,
+                     "--resume", "--no-actors",
+                     "--set", "num_buckets=4"]) == 0
+    man = json.load(open(os.path.join(out, "state", "run_manifest.json")))
+    assert man["pass1"]["recomputed"] == 0
+    assert man["pass2"]["recomputed"] == 0
+
+
+def test_cli_ingest_log(ray_session, tiny_fixture, tmp_path):
+    import ray.data as rd
+
+    from webalizer_ray.sources.rawlog import write_transcript_log
+    log_dir = str(tmp_path / "log")
+    write_transcript_log(
+        rd.read_parquet(os.path.join(tiny_fixture, "turns")), log_dir, "clf")
+    out = str(tmp_path / "ing")
+    assert cli.main(["ingest-log", "--log", log_dir, "--fmt", "clf",
+                     "--out", out]) == 0
+    got = pq.read_table(os.path.join(out, "turns"))
+    want = pq.read_table(os.path.join(tiny_fixture, "turns"))
+    assert got.num_rows == want.num_rows
+
+
+def test_history_update_and_replace(run_out, tmp_path):
+    sink = os.path.join(run_out, "sinks")
+    monthly = pq.read_table(os.path.join(sink, "monthly.parquet")).to_pandas()
+    daily = pq.read_table(os.path.join(sink, "daily.parquet")).to_pandas()
+    hist = str(tmp_path / "history.parquet")
+
+    h1 = update_history(monthly, daily, hist)
+    assert set(h1["month"]) == set(monthly["month"])
+    assert (h1["first_date"] <= h1["last_date"]).all()
+
+    # a re-run of the same month REPLACES its row (month-to-date mode)
+    monthly2 = monthly.copy()
+    monthly2["hits"] = monthly2["hits"] + 5
+    h2 = update_history(monthly2, daily, hist)
+    assert len(h2) == len(h1)
+    pd.testing.assert_series_equal(h2["hits"], h1["hits"] + 5,
+                                   check_names=False)
+
+    # a NEW month appends, old months keep their rows
+    new_m = monthly.iloc[[0]].assign(month="2031-01")
+    new_d = daily.iloc[[0]].assign(date="2031-01-07")
+    h3 = update_history(new_m, new_d, hist)
+    assert len(h3) == len(h1) + 1
+    assert read_history(hist)["month"].is_monotonic_increasing
+
+
+def test_lookup_manager_roundtrip(tmp_path, tiny_fixture):
+    import shutil
+    tbl = str(tmp_path / "tool_categories.parquet")
+    shutil.copy(os.path.join(tiny_fixture, "tool_categories.parquet"), tbl)
+    n0 = len(pq.read_table(tbl))
+    assert cli.main(["lookup", "add", tbl, "newtool", "newcat"]) == 0
+    df = pq.read_table(tbl).to_pandas()
+    assert len(df) == n0 + 1
+    assert df.set_index("tool").loc["newtool", "category"] == "newcat"
+    # add existing key = upsert
+    assert cli.main(["lookup", "add", tbl, "newtool", "other"]) == 0
+    df = pq.read_table(tbl).to_pandas()
+    assert len(df) == n0 + 1
+    assert df.set_index("tool").loc["newtool", "category"] == "other"
+    assert cli.main(["lookup", "del", tbl, "newtool"]) == 0
+    assert len(pq.read_table(tbl)) == n0
+    assert cli.main(["lookup", "list", tbl]) == 0

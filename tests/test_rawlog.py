@@ -1,0 +1,99 @@
+"""Raw text-log ingestion round-trips (SURVEY.md S1/P1–P5 analogs)."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyarrow.dataset as pads
+import pytest
+
+from webalizer_ray.sources import rawlog
+
+COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def _turns(fixture_dir):
+    return (pads.dataset(os.path.join(fixture_dir, "turns")).to_table()
+            .to_pandas()
+            .sort_values(["conv_id", "turn_idx"], ignore_index=True)[COLS])
+
+
+@pytest.mark.parametrize("fmt", ["clf", "squid", "w3c"])
+@pytest.mark.parametrize("compress", [False, True])
+def test_roundtrip(ray_session, tiny_fixture, tmp_path, fmt, compress):
+    """turns → log text (per-format grok grammar) → turns, exactly.
+
+    The tiny fixture includes empty text, embedded quotes/brackets,
+    unicode, the grammar's own delimiters, and null tools — the nasty
+    cases for the escape discipline."""
+    import ray.data as rd
+
+    want = _turns(tiny_fixture)
+    log_dir = str(tmp_path / f"log_{fmt}{compress}")
+    rawlog.write_transcript_log(
+        rd.read_parquet(os.path.join(tiny_fixture, "turns")),
+        log_dir, fmt=fmt, compress=compress)
+    got = (rawlog.read_transcript_log(log_dir, fmt=fmt).to_pandas()
+           .sort_values(["conv_id", "turn_idx"], ignore_index=True)[COLS])
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_bad_lines_routed(ray_session, tmp_path):
+    """Malformed lines → route=bad, counted not crashed (total_bad, P15)."""
+    import ray.data as rd
+
+    log_dir = str(tmp_path / "badlog")
+    os.makedirs(log_dir)
+    with open(os.path.join(log_dir, "part-0.log"), "w") as f:
+        f.write('c1 [2024-01-01T00:00:00.000000] 0 user - "hello"\n')
+        f.write("THIS IS NOT A LOG LINE\n")
+        f.write('c1 [2024-01-01T00:10:00.000000] 1 assistant - "hi"\n')
+        f.write('c1 [not-a-date] 2 user - "x\n')  # unterminated quote
+    ds = rawlog.read_transcript_log(log_dir, fmt="clf", include_bad=True)
+    df = ds.to_pandas()
+    assert (df["route"] == "bad").sum() == 2
+    ok = df[df["route"] == "ok"]
+    assert len(ok) == 2 and ok["tool"].isna().all()
+    # default path drops bad rows
+    assert len(rawlog.read_transcript_log(log_dir, fmt="clf").to_pandas()) == 2
+
+
+def test_w3c_header_drives_field_order(ray_session, tmp_path):
+    """#Fields order is honored (parse_record_w3c header-map analog)."""
+    log_dir = str(tmp_path / "w3c")
+    os.makedirs(log_dir)
+    with open(os.path.join(log_dir, "part-0.log"), "w") as f:
+        f.write("#Fields: ts role conv_id tool turn_idx text\n")
+        f.write("2024-01-01T00:00:00.000000 user c9 search 3 hello%20world\n")
+    df = rawlog.read_transcript_log(log_dir, fmt="w3c").to_pandas()
+    assert df.iloc[0]["conv_id"] == "c9"
+    assert df.iloc[0]["turn_idx"] == 3
+    assert df.iloc[0]["text"] == "hello world"
+
+
+def test_rawlog_feeds_flagship(ray_session, tiny_fixture, lookups, tmp_path):
+    """Ingested raw log produces the same flagship sinks as the parquet
+    path — the LogType-selection contract: format in, same tables out."""
+    import ray.data as rd
+
+    from webalizer_ray.config import PipelineConfig
+    from webalizer_ray.pipelines.flagship import run_flagship
+
+    cfg = PipelineConfig(num_buckets=4, enrich_concurrency=(1, 2))
+    out_pq = run_flagship(tiny_fixture, str(tmp_path / "out_pq"), cfg,
+                          lookups=lookups, use_actors=False)
+
+    log_dir = str(tmp_path / "log")
+    rawlog.write_transcript_log(
+        rd.read_parquet(os.path.join(tiny_fixture, "turns")), log_dir, "clf")
+    in2 = str(tmp_path / "in2")
+    os.makedirs(os.path.join(in2, "turns"))
+    rawlog.read_transcript_log(log_dir, "clf") \
+        .write_parquet(os.path.join(in2, "turns"))
+    out_log = run_flagship(in2, str(tmp_path / "out_log"), cfg,
+                           lookups=lookups, use_actors=False)
+    for sink in ("monthly", "hourly", "per_tool", "status_hist"):
+        a = out_pq["sinks"][sink].reset_index(drop=True)
+        b = out_log["sinks"][sink].reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)

@@ -1,0 +1,188 @@
+"""CLI driver (SURVEY.md §2.1 S3 — the ``webalizer [...] logfile`` analog).
+
+The reference's surface is ``webalizer [-c conf] [-p incremental]
+[-F type] [-o outdir] [-q] [logfile]`` (webalizer.c:main() getopt
+≈2900–3050 [verify]). Ours:
+
+    python -m webalizer_ray.run run        --input DIR --out DIR
+                                           [--resume] [--config FILE.json]
+                                           [--no-actors] [--num-cpus N]
+    python -m webalizer_ray.run ingest-log --log DIR --fmt clf|squid|w3c
+                                           --out DIR [--keep-bad]
+    python -m webalizer_ray.run history    --out RUN_OUT_DIR [--hist FILE]
+    python -m webalizer_ray.run lookup     <list|add|del|export> ...
+
+``run --resume`` is the ``-p`` incremental mode (per-partition
+checkpoints, state/checkpoint.py). ``ingest-log --fmt`` is ``-F``
+LogType selection (sources/rawlog.py). ``lookup`` is the ``wcmgr``
+DNS-cache manager analog (wcmgr.c [verify]) over the enrichment Parquet
+tables. ``--config`` is ``-c webalizer.conf`` — a JSON object of
+PipelineConfig fields.
+
+This module OWNS the Ray session (guarded init); library code never
+does.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def load_config(path: str | None, overrides: list[str]):
+    from webalizer_ray.config import DEFAULT_CONFIG, PipelineConfig
+
+    kw = {}
+    if path:
+        with open(path) as f:
+            kw.update(json.load(f))
+    for kv in overrides:
+        k, _, v = kv.partition("=")
+        try:
+            kw[k] = json.loads(v)
+        except json.JSONDecodeError:
+            kw[k] = v
+    for k in ("ignore_conv_patterns", "ignore_tool_patterns",
+              "ignore_role_patterns", "hide_tool_patterns",
+              "hide_conv_patterns", "enrich_concurrency"):
+        if k in kw and isinstance(kw[k], list):
+            kw[k] = tuple(kw[k])
+    return PipelineConfig(**kw) if kw else DEFAULT_CONFIG
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+
+
+def cmd_run(args) -> int:
+    _init_ray(args.num_cpus)
+    cfg = load_config(args.config, args.set or [])
+    if args.resume:
+        from webalizer_ray.state.checkpoint import run_flagship_resumable
+        res = run_flagship_resumable(args.input, args.out, cfg,
+                                     use_actors=not args.no_actors)
+        r = res["resume"]
+        print(f"pass1: {len(r['pass1']['skipped'])} skipped, "
+              f"{len(r['pass1']['recomputed'])} recomputed; "
+              f"pass2: {len(r['pass2']['cached'])} cached, "
+              f"{len(r['pass2']['recomputed'])} recomputed",
+              file=sys.stderr)
+    else:
+        from webalizer_ray.pipelines.flagship import run_flagship
+        res = run_flagship(args.input, args.out, cfg,
+                           use_actors=not args.no_actors)
+    print(json.dumps(res["metrics"], default=str))
+    return 0
+
+
+def cmd_ingest_log(args) -> int:
+    _init_ray(args.num_cpus)
+    from webalizer_ray.sources.rawlog import read_transcript_log
+    ds = read_transcript_log(args.log, fmt=args.fmt,
+                             include_bad=args.keep_bad)
+    dest = os.path.join(args.out, "turns")
+    if args.keep_bad:
+        ds.write_parquet(dest, partition_cols=["route"])
+    else:
+        ds.write_parquet(dest)
+    print(json.dumps({"out": dest}))
+    return 0
+
+
+def cmd_history(args) -> int:
+    import pyarrow.parquet as pq
+
+    from webalizer_ray.pipelines.history import update_history
+    sink = os.path.join(args.out, "sinks")
+    monthly = pq.read_table(os.path.join(sink, "monthly.parquet")).to_pandas()
+    daily = pq.read_table(os.path.join(sink, "daily.parquet")).to_pandas()
+    hist = args.hist or os.path.join(args.out, "history.parquet")
+    merged = update_history(monthly, daily, hist)
+    print(merged.to_string(index=False))
+    return 0
+
+
+def cmd_lookup(args) -> int:
+    """wcmgr analog: manage the enrichment lookup Parquet tables."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = args.table
+    key, val = ("tool", "category") if "tool" in os.path.basename(path) \
+        else ("role", "grp")
+    df = (pq.read_table(path).to_pandas() if os.path.exists(path)
+          else pd.DataFrame({key: [], val: []}, dtype=object))
+    if args.op == "list":
+        print(df.to_string(index=False))
+        return 0
+    if args.op == "add":
+        df = df[df[key] != args.key]
+        df = pd.concat([df, pd.DataFrame({key: [args.key],
+                                          val: [args.value]})],
+                       ignore_index=True).sort_values(key,
+                                                      ignore_index=True)
+    elif args.op == "del":
+        df = df[df[key] != args.key].reset_index(drop=True)
+    elif args.op == "export":
+        df.to_csv(args.value or "/dev/stdout", index=False)
+        return 0
+    tmp = path + ".tmp"
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), tmp)
+    os.replace(tmp, path)
+    print(f"{args.op}: {len(df)} entries")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="python -m webalizer_ray.run")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("run", help="flagship pipeline over a turns dir")
+    r.add_argument("--input", required=True)
+    r.add_argument("--out", required=True)
+    r.add_argument("--resume", action="store_true",
+                   help="incremental mode (-p): per-partition checkpoints")
+    r.add_argument("--config", help="JSON file of PipelineConfig fields")
+    r.add_argument("--set", action="append", metavar="KEY=VAL",
+                   help="config override (repeatable)")
+    r.add_argument("--no-actors", action="store_true")
+    r.add_argument("--num-cpus", type=int, default=None)
+    r.set_defaults(fn=cmd_run)
+
+    i = sub.add_parser("ingest-log", help="raw text log -> turns parquet")
+    i.add_argument("--log", required=True)
+    i.add_argument("--fmt", default="clf", choices=["clf", "squid", "w3c"])
+    i.add_argument("--out", required=True)
+    i.add_argument("--keep-bad", action="store_true")
+    i.add_argument("--num-cpus", type=int, default=None)
+    i.set_defaults(fn=cmd_ingest_log)
+
+    h = sub.add_parser("history", help="update monthly history roll-up")
+    h.add_argument("--out", required=True, help="a finished run's out dir")
+    h.add_argument("--hist", default=None)
+    h.set_defaults(fn=cmd_history)
+
+    lk = sub.add_parser("lookup", help="manage enrichment lookup tables "
+                                       "(wcmgr analog)")
+    lk.add_argument("op", choices=["list", "add", "del", "export"])
+    lk.add_argument("table", help="path to tool_categories.parquet / "
+                                  "role_groups.parquet")
+    lk.add_argument("key", nargs="?")
+    lk.add_argument("value", nargs="?")
+    lk.set_defaults(fn=cmd_lookup)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,281 @@
+"""Raw text transcript-log ingestion (SURVEY.md §2.1 S1, §2.2 P1–P5).
+
+The reference reads line-oriented text logs in four dialects selected by
+``LogType`` — CLF/combined (parser.c:parse_record_web() ≈200–450
+[verify]), FTP xferlog (parse_record_ftp() ≈450–650), Squid native
+(parse_record_squid() ≈650–800) and W3C extended with a ``#Fields:``
+header (parse_record_w3c() ≈800–1100) — through a per-line C tokenizer
+(fmt_logrec() ≈60–120) that splits on spaces while respecting quotes and
+brackets.
+
+Our re-expression: a FORMAT REGISTRY of grok (RE2) patterns, each parsed
+with ONE vectorized ``pyarrow.compute.extract_regex`` call per batch over
+the zero-copy line column from ``ray.data.read_text`` — no per-line
+Python. Malformed lines get route="bad" (total_bad analog, P15) instead
+of a ``continue``. Each format also has a vectorized serializer so tests
+can round-trip: turns → log text → turns.
+
+Formats (all line = one turn of the canonical schema):
+  clf    ``conv [iso_ts] idx role tool "text"``   — quoted free text with
+         backslash escapes, tool "-" = null (the combined-log analog)
+  squid  ``epoch_us conv idx role tool "text"``   — epoch-microsecond ts
+         (the squid native-format analog: epoch.ms leading timestamp)
+  w3c    ``#Fields: …`` header naming the space-separated columns in any
+         order; values %XX-escaped (the IIS extended-log analog; header
+         drives a generated pattern, like the reference's field map)
+
+Escape discipline for quoted text (clf/squid): ``\\`` ``\"`` and ``\n``;
+decode is 3 chained replaces via a NUL placeholder (text must not contain
+NUL — asserted at serialize time). W3C uses %25/%20/%22/%0A escapes.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+TURN_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("turn_idx", pa.int32()),
+    ("role", pa.string()), ("text", pa.string()),
+    ("tool", pa.string()), ("ts", pa.timestamp("us")),
+])
+
+_QTEXT = r'"(?P<text>(?:[^"\\]|\\.)*)"'
+
+CLF_PATTERN = (r'^(?P<conv_id>\S+) \[(?P<ts>[^\]]+)\] (?P<turn_idx>\d+) '
+               r'(?P<role>\S+) (?P<tool>\S+) ' + _QTEXT + r'$')
+SQUID_PATTERN = (r'^(?P<ts>\d+) (?P<conv_id>\S+) (?P<turn_idx>\d+) '
+                 r'(?P<role>\S+) (?P<tool>\S+) ' + _QTEXT + r'$')
+
+W3C_FIELDS = ["conv_id", "turn_idx", "role", "tool", "ts", "text"]
+
+
+# ---------------------------------------------------------------------------
+# vectorized escape / unescape
+# ---------------------------------------------------------------------------
+
+def _esc_quoted(col: pa.ChunkedArray) -> pa.ChunkedArray:
+    col = pc.replace_substring(col, pattern="\\", replacement="\\\\")
+    col = pc.replace_substring(col, pattern='"', replacement='\\"')
+    return pc.replace_substring(col, pattern="\n", replacement="\\n")
+
+
+def _unesc_quoted(col):
+    # NUL placeholder makes sequential replace correct for '\\"' etc.
+    col = pc.replace_substring(col, pattern="\\\\", replacement="\x00")
+    col = pc.replace_substring(col, pattern='\\"', replacement='"')
+    col = pc.replace_substring(col, pattern="\\n", replacement="\n")
+    return pc.replace_substring(col, pattern="\x00", replacement="\\")
+
+
+def _esc_w3c(col):
+    col = pc.replace_substring(col, pattern="%", replacement="%25")
+    col = pc.replace_substring(col, pattern=" ", replacement="%20")
+    col = pc.replace_substring(col, pattern='"', replacement="%22")
+    col = pc.replace_substring(col, pattern="\n", replacement="%0A")
+    # empty field can't survive a space-split line: "-" token stands in
+    # (the W3C/IIS convention); a literal lone "-" is escaped to "%2D"
+    col = pc.if_else(pc.equal(col, "-"), pa.scalar("%2D"), col)
+    return pc.if_else(pc.equal(col, ""), pa.scalar("-"), col)
+
+
+def _unesc_w3c(col):
+    col = pc.if_else(pc.equal(col, "-"), pa.scalar(""), col)
+    col = pc.if_else(pc.equal(col, "%2D"), pa.scalar("-"), col)
+    col = pc.replace_substring(col, pattern="%20", replacement=" ")
+    col = pc.replace_substring(col, pattern='%22', replacement='"')
+    col = pc.replace_substring(col, pattern="%0A", replacement="\n")
+    return pc.replace_substring(col, pattern="%25", replacement="%")
+
+
+def _null_dash(col):
+    """'-' token ⇒ null (the CLF missing-field convention)."""
+    return pc.if_else(pc.equal(col, "-"), pa.scalar(None, pa.string()), col)
+
+
+def _dash_null(col):
+    return pc.fill_null(col, "-")
+
+
+# ---------------------------------------------------------------------------
+# serializers: canonical turns batch -> line array
+# ---------------------------------------------------------------------------
+
+def _check_no_nul(text):
+    if len(text) and pc.any(pc.match_substring(text, "\x00")).as_py():
+        raise ValueError("text contains NUL; not serializable to clf/squid")
+
+
+def _fmt_clf(tbl: pa.Table) -> pa.Array:
+    _check_no_nul(tbl["text"])
+    iso = pc.strftime(tbl["ts"], format="%Y-%m-%dT%H:%M:%S")
+    parts = [tbl["conv_id"], pa.scalar(" ["), iso, pa.scalar("] "),
+             pc.cast(tbl["turn_idx"], pa.string()), pa.scalar(" "),
+             tbl["role"], pa.scalar(" "), _dash_null(tbl["tool"]),
+             pa.scalar(' "'), _esc_quoted(tbl["text"]), pa.scalar('"')]
+    return pc.binary_join_element_wise(
+        *[pc.cast(p, pa.string()) if isinstance(p, (pa.Array, pa.ChunkedArray))
+          else p for p in parts], "")
+
+
+def _fmt_squid(tbl: pa.Table) -> pa.Array:
+    _check_no_nul(tbl["text"])
+    epoch = pc.cast(pc.cast(tbl["ts"], pa.int64()), pa.string())
+    parts = [epoch, pa.scalar(" "), tbl["conv_id"], pa.scalar(" "),
+             pc.cast(tbl["turn_idx"], pa.string()), pa.scalar(" "),
+             tbl["role"], pa.scalar(" "), _dash_null(tbl["tool"]),
+             pa.scalar(' "'), _esc_quoted(tbl["text"]), pa.scalar('"')]
+    return pc.binary_join_element_wise(*parts, "")
+
+
+def _fmt_w3c(tbl: pa.Table) -> pa.Array:
+    iso = pc.strftime(tbl["ts"], format="%Y-%m-%dT%H:%M:%S")
+    cols = {"conv_id": tbl["conv_id"],
+            "turn_idx": pc.cast(tbl["turn_idx"], pa.string()),
+            "role": tbl["role"],
+            "tool": _dash_null(tbl["tool"]),
+            "ts": iso,
+            "text": _esc_w3c(tbl["text"])}
+    parts = []
+    for i, f in enumerate(W3C_FIELDS):
+        if i:
+            parts.append(pa.scalar(" "))
+        parts.append(cols[f])
+    return pc.binary_join_element_wise(*parts, "")
+
+
+# ---------------------------------------------------------------------------
+# parsers: line batch -> canonical turns batch (+ route)
+# ---------------------------------------------------------------------------
+
+def _decode_common(ext, n, ts_arr, unesc):
+    text = unesc(pc.fill_null(pc.struct_field(ext, "text"), ""))
+    return pa.table({
+        "conv_id": pc.struct_field(ext, "conv_id"),
+        "turn_idx": pc.cast(pc.struct_field(ext, "turn_idx"), pa.int32()),
+        "role": pc.struct_field(ext, "role"),
+        "text": text,
+        "tool": _null_dash(pc.struct_field(ext, "tool")),
+        "ts": ts_arr,
+        "route": pc.if_else(pc.fill_null(pc.is_valid(ext), False),
+                            pa.scalar("ok"), pa.scalar("bad")),
+    })
+
+
+def _parse_clf(lines: pa.ChunkedArray) -> pa.Table:
+    ext = pc.extract_regex(lines, CLF_PATTERN)
+    ts = pc.cast(pc.struct_field(ext, "ts"), pa.timestamp("us"))
+    return _decode_common(ext, len(lines), ts, _unesc_quoted)
+
+
+def _parse_squid(lines: pa.ChunkedArray) -> pa.Table:
+    ext = pc.extract_regex(lines, SQUID_PATTERN)
+    ts = pc.cast(pc.cast(pc.struct_field(ext, "ts"), pa.int64()),
+                 pa.timestamp("us"))
+    return _decode_common(ext, len(lines), ts, _unesc_quoted)
+
+
+def _w3c_pattern(fields: list[str]) -> str:
+    """Generate the positional grok pattern from a #Fields header —
+    the analog of parse_record_w3c()'s header-driven field map."""
+    return "^" + " ".join(rf"(?P<{f}>\S+)" for f in fields) + "$"
+
+
+def _make_parse_w3c(fields: list[str]):
+    pattern = _w3c_pattern(fields)
+
+    def parse(lines: pa.ChunkedArray) -> pa.Table:
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        keep = pc.invert(pc.starts_with(pc.fill_null(lines, "#"), "#"))
+        lines = lines.filter(keep)
+        ext = pc.extract_regex(lines, pattern)
+        ts = pc.cast(pc.struct_field(ext, "ts"), pa.timestamp("us"))
+        out = _decode_common(ext, len(lines), ts, _unesc_w3c)
+        return out
+    return parse
+
+
+FORMATS = {
+    "clf": (_fmt_clf, _parse_clf),
+    "squid": (_fmt_squid, _parse_squid),
+    # w3c parse is header-driven; see read_transcript_log
+    "w3c": (_fmt_w3c, None),
+}
+
+
+# ---------------------------------------------------------------------------
+# Ray Data source / sink
+# ---------------------------------------------------------------------------
+
+def write_transcript_log(turns: rd.Dataset, out_dir: str, fmt: str = "clf",
+                         compress: bool = False) -> None:
+    """Serialize a turns Dataset to a directory of log shards.
+
+    Each task writes its own ``part-*.log[.gz]`` — a distributed text
+    sink (test/demo utility; the engine's real outputs are Parquet).
+    """
+    fmt_fn, _ = FORMATS[fmt]
+    os.makedirs(out_dir, exist_ok=True)
+    header = (" ".join(["#Fields:"] + W3C_FIELDS) + "\n") if fmt == "w3c" \
+        else ""
+
+    def write_shard(tbl: pa.Table) -> pa.Table:
+        lines = fmt_fn(tbl)
+        body = header + "\n".join(lines.to_pylist()) + "\n" if tbl.num_rows \
+            else header
+        name = f"part-{uuid.uuid4().hex}.log" + (".gz" if compress else "")
+        path = os.path.join(out_dir, name)
+        if compress:
+            with gzip.open(path + ".tmp", "wt", encoding="utf-8") as f:
+                f.write(body)
+        else:
+            with open(path + ".tmp", "w", encoding="utf-8") as f:
+                f.write(body)
+        os.replace(path + ".tmp", path)
+        return pa.table({"path": [name], "rows": [tbl.num_rows]})
+
+    turns.map_batches(write_shard, batch_format="pyarrow").materialize()
+
+
+def _peek_w3c_fields(path: str) -> list[str]:
+    op = gzip.open if path.endswith(".gz") else open
+    with op(path, "rt", encoding="utf-8") as f:
+        first = f.readline().strip()
+    if not first.startswith("#Fields:"):
+        raise ValueError(f"w3c log {path} missing #Fields header")
+    return first.split()[1:]
+
+
+def read_transcript_log(path: str, fmt: str = "clf",
+                        include_bad: bool = False) -> rd.Dataset:
+    """read_text + one vectorized grok parse per batch → turns Dataset.
+
+    Malformed lines are counted into route="bad"; by default they are
+    dropped here (set include_bad=True to keep the route column and
+    route them to a bad sink, P15 style).
+    """
+    if fmt == "w3c":
+        files = sorted(f for f in os.listdir(path) if f.startswith("part-")) \
+            if os.path.isdir(path) else [os.path.basename(path)]
+        base = path if os.path.isdir(path) else os.path.dirname(path)
+        parse = _make_parse_w3c(_peek_w3c_fields(os.path.join(base, files[0])))
+    else:
+        parse = FORMATS[fmt][1]
+
+    def parse_batch(tbl: pa.Table) -> pa.Table:
+        out = parse(tbl["text"])
+        if not include_bad:
+            out = out.filter(pc.equal(out["route"], "ok")) \
+                .drop_columns(["route"])
+        return out
+
+    return rd.read_text(path).map_batches(parse_batch, batch_format="pyarrow",
+                                          zero_copy_batch=True)
