@@ -475,6 +475,205 @@ def fingerprint_docs(sf_dir: str) -> pd.DataFrame:
 # oracle-checked end to end including sessionization with month split.
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# P13 / J2 / J6 / P14 / K3 analogs (mangle, suffix-table join, domain
+# grouping, JSON field extraction, top-by-volume)
+# ---------------------------------------------------------------------------
+
+_TOOL_SQL = """SELECT CASE event_type WHEN 'click' THEN 'browse'
+       WHEN 'purchase' THEN 'checkout_v2' WHEN 'error' THEN 'probe'
+       END AS tool FROM events WHERE event_type IN ('click','purchase','error')"""
+
+
+@register("mangled_tool_hits", sql=f"""
+WITH t AS ({_TOOL_SQL}),
+lv AS (SELECT 0 AS level, tool FROM t
+       UNION ALL SELECT 1, regexp_replace(tool, '_v\\d+$', '') FROM t
+       UNION ALL SELECT 2, substring(regexp_replace(tool, '_v\\d+$', ''),
+                                     1, 4) FROM t)
+SELECT level, tool, COUNT(*) AS hits FROM lv GROUP BY level, tool""")
+def mangled_tool_hits(sf_dir: str) -> pd.DataFrame:
+    """P13 MangleAgents analog: progressive normalization levels 0..2
+    (raw → version-stripped → 4-char truncation, the MAXAGENT-buffer
+    analog), each an Arrow kernel."""
+    from webalizer_ray.sources.events_adapter import TOOL_OF
+
+    def levels(batch: pa.Table) -> pa.Table:
+        tool = pc.drop_null(batch["tool"])
+        l1 = pc.replace_substring_regex(tool, pattern=r"_v\d+$",
+                                        replacement="")
+        l2 = pc.utf8_slice_codeunits(l1, 0, 4)
+        return pa.concat_tables(
+            pa.table({"level": pa.array(np.full(len(t), i, dtype=np.int32)),
+                      "tool": t}) for i, t in enumerate((tool, l1, l2)))
+
+    def to_tool(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"tool": df["event_type"].map(TOOL_OF)})
+
+    ds = (_events(sf_dir, ["event_type"])
+          .map_batches(to_tool, batch_format="pandas")
+          .map_batches(levels, batch_format="pyarrow"))
+    out = reduce_sink(ds, ["level", "tool"],
+                      {"hits": ("tool", "size")}).to_pandas()
+    out["level"] = out["level"].astype(np.int64)
+    return out.sort_values(["level", "tool"], ignore_index=True)
+
+
+@register("conv_domain_groups", sql="""
+SELECT substring('u' || lpad(CAST(user_id AS VARCHAR), 6, '0'), 1, 4)
+           AS domain,
+       COUNT(*) AS hits, COUNT(DISTINCT user_id) AS convs
+FROM events GROUP BY domain""")
+def conv_domain_groups(sf_dir: str) -> pd.DataFrame:
+    """J6 GroupDomains analog: truncate the conv key to its N-label
+    prefix and aggregate per group (get_domain() ≈3950 [verify])."""
+    def dom(df: pd.DataFrame) -> pd.DataFrame:
+        conv = "u" + df["user_id"].astype(np.int64).astype(str).str.zfill(6)
+        return pd.DataFrame({"domain": conv.str.slice(0, 4),
+                             "user_id": df["user_id"]})
+
+    ds = _events(sf_dir, ["user_id"]).map_batches(dom, batch_format="pandas")
+    hits = reduce_sink(ds, ["domain"], {"hits": ("domain", "size")})
+    convs = distinct_count(ds, ["domain"], "user_id", "convs")
+    out = hits.to_pandas().merge(convs.to_pandas(), on="domain")
+    return out.sort_values("domain", ignore_index=True)
+
+
+_FAMILY_SQL = """CASE lang WHEN 'en' THEN 'germanic' WHEN 'de' THEN 'germanic'
+    WHEN 'fr' THEN 'romance' WHEN 'es' THEN 'romance'
+    WHEN 'zh' THEN 'sinitic' ELSE 'other' END"""
+_FAMILY_MAP = {"en": "germanic", "de": "germanic", "fr": "romance",
+               "es": "romance", "zh": "sinitic"}
+
+
+@register("lang_family_docs", sql=f"""
+SELECT {_FAMILY_SQL} AS family, COUNT(*) AS docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars
+FROM documents GROUP BY family""")
+def lang_family_docs(sf_dir: str) -> pd.DataFrame:
+    """J2 country-TLD-table analog: tiny static suffix table broadcast
+    into the batch fn (ctry[] scan in put_hnode path ≈3900 [verify])."""
+    from webalizer_ray.stages.enrich import _Lookup
+    lk = _Lookup(_FAMILY_MAP, "other")
+
+    def fam(batch: pa.Table) -> pa.Table:
+        return batch.append_column("family", lk(batch["lang"]))
+
+    ds = _docs(sf_dir, ["lang", "n_chars"]).map_batches(
+        fam, batch_format="pyarrow")
+    out = reduce_sink(ds, ["family"], {"docs": ("family", "size"),
+                                       "chars": ("n_chars", "sum")}).to_pandas()
+    return out.sort_values("family", ignore_index=True)
+
+
+@register("props_json_k_sum", sql="""
+SELECT event_type,
+       CAST(SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT))
+            AS BIGINT) AS k_sum
+FROM events GROUP BY event_type""")
+def props_json_k_sum(sf_dir: str) -> pd.DataFrame:
+    """P14 search-param-extraction analog over a JSON props column:
+    vectorized regex pull of a field, then aggregate."""
+    def extract(batch: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(batch["props"], r'"k": (?P<k>\d+)')
+        k = pc.cast(pc.struct_field(ext, "k"), pa.int64())
+        return batch.append_column("k", pc.fill_null(k, 0))
+
+    ds = _events(sf_dir, ["event_type", "props"]).map_batches(
+        extract, batch_format="pyarrow")
+    out = reduce_sink(ds, ["event_type"],
+                      {"k_sum": ("k", "sum")}).to_pandas()
+    return out.sort_values("event_type", ignore_index=True)
+
+
+@register("top_users_by_value", sql="""
+SELECT user_id, ROUND(SUM(value), 2) AS value_sum FROM events
+GROUP BY user_id
+ORDER BY ROUND(SUM(value), 2) DESC, user_id LIMIT 10""")
+def top_users_by_value(sf_dir: str) -> pd.DataFrame:
+    """K3 top-by-KBytes analog: second top-N metric over one aggregate."""
+    agg = reduce_sink(_events(sf_dir, ["user_id", "value"]), ["user_id"],
+                      {"value_sum": ("value", "sum")}).to_pandas()
+    agg["value_sum"] = agg["value_sum"].round(2)
+    return top_n_pandas(agg, "user_id", "value_sum", 10)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (rows-only: binary payloads, actor-pool decode)
+# ---------------------------------------------------------------------------
+
+def _media_ds(n: int = 96):
+    from webalizer_ray.stages.multimodal import synth_media_table
+    d = os.path.join(tempfile.gettempdir(), f"wr_media_{n}")
+    marker = os.path.join(d, "media.parquet")
+    if not os.path.exists(marker):
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(synth_media_table(n), marker + ".tmp")
+        os.replace(marker + ".tmp", marker)
+    return rd.read_parquet(marker)
+
+
+@register("media_image_features")
+def media_image_features(sf_dir: str) -> pd.DataFrame:
+    """Actor-pool decode stage over opaque binary payloads (deterministic
+    fake decoder; real codec drops into DecodeImage.__init__)."""
+    from webalizer_ray.stages.multimodal import (
+        MEDIA_BATCH_KWARGS,
+        DecodeImage,
+    )
+    feats = _media_ds().map_batches(
+        DecodeImage, fn_constructor_kwargs=dict(fake_decoder=True),
+        concurrency=(1, 2), **MEDIA_BATCH_KWARGS)
+    out = feats.to_pandas()
+    out["feat_mean"] = out["features"].map(lambda v: float(np.mean(v))) \
+        .round(6)
+    return out[["media_id", "kind", "feat_mean"]] \
+        .sort_values("media_id", ignore_index=True)
+
+
+@register("media_frame_sample")
+def media_frame_sample(sf_dir: str) -> pd.DataFrame:
+    """Flat-map actor stage: video payload → n_frames feature rows."""
+    from webalizer_ray.stages.multimodal import (
+        MEDIA_BATCH_KWARGS,
+        FrameSample,
+    )
+    frames = _media_ds().map_batches(
+        FrameSample, fn_constructor_kwargs=dict(fake_decoder=True,
+                                                n_frames=4),
+        concurrency=(1, 2), **MEDIA_BATCH_KWARGS)
+    out = frames.to_pandas()
+    out["feat0"] = out["features"].map(lambda v: float(v[0])).round(6)
+    return out[["media_id", "frame_idx", "feat0"]] \
+        .sort_values(["media_id", "frame_idx"], ignore_index=True)
+
+
+_FLAGSHIP_CACHE: dict[str, dict] = {}
+
+
+def _flagship_sinks(sf_dir: str) -> dict:
+    """Run the flagship once per sf_dir per process; serve every
+    flagship_* query from the same sinks (one pipeline, many sinks —
+    that IS the fan-out routing)."""
+    key = os.path.realpath(sf_dir)
+    if key not in _FLAGSHIP_CACHE:
+        from webalizer_ray.pipelines.flagship import run_flagship
+        from webalizer_ray.sources.events_adapter import (
+            ROLE_GROUPS,
+            TOOL_CATEGORIES,
+            events_to_turns,
+        )
+        work = tempfile.mkdtemp(prefix="wr_flagship_")
+        turns_dir = os.path.join(work, "in", "turns")
+        os.makedirs(turns_dir, exist_ok=True)
+        events_to_turns(sf_dir).write_parquet(turns_dir)
+        res = run_flagship(os.path.join(work, "in"),
+                           os.path.join(work, "out"),
+                           lookups=(TOOL_CATEGORIES, ROLE_GROUPS))
+        _FLAGSHIP_CACHE[key] = res["sinks"]
+    return _FLAGSHIP_CACHE[key]
+
+
 _FLAGSHIP_T_SQL = """
 SELECT 'u' || lpad(CAST(user_id AS VARCHAR), 6, '0') AS conv_id,
        event_id, ts, strftime(ts, '%Y-%m') AS month,
@@ -515,22 +714,87 @@ SELECT agg.month AS month, hits, files, pages, kb, convs, tools, sessions
 FROM agg JOIN sess ON agg.month = sess.month""")
 def flagship_monthly(sf_dir: str) -> pd.DataFrame:
     """Full flagship pipeline over events adapted to the turns schema."""
-    from webalizer_ray.pipelines.flagship import run_flagship
-    from webalizer_ray.sources.events_adapter import (
-        ROLE_GROUPS,
-        TOOL_CATEGORIES,
-        events_to_turns,
-    )
-    work = tempfile.mkdtemp(prefix="wr_flagship_")
-    turns_dir = os.path.join(work, "in", "turns")
-    os.makedirs(turns_dir, exist_ok=True)
-    events_to_turns(sf_dir).write_parquet(turns_dir)
-    res = run_flagship(os.path.join(work, "in"), os.path.join(work, "out"),
-                       lookups=(TOOL_CATEGORIES, ROLE_GROUPS))
-    out = res["sinks"]["monthly"].copy()
+    out = _flagship_sinks(sf_dir)["monthly"].copy()
     out["kb"] = out["kb"].round(2)
     return out[["month", "hits", "files", "pages", "kb", "convs", "tools",
                 "sessions"]]
+
+
+_FLAGSHIP_SESS_SQL = f"""
+m AS (SELECT conv_id, event_id, ts, month, tool_norm,
+             CASE WHEN prev_ts IS NULL
+                  OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+                  OR strftime(prev_ts, '%Y-%m') <> month
+                  THEN 1 ELSE 0 END AS ns
+      FROM (SELECT conv_id, event_id, ts, month, tool_norm,
+                   LAG(ts) OVER (PARTITION BY conv_id
+                                 ORDER BY ts, event_id) AS prev_ts
+            FROM t)),
+s AS (SELECT conv_id, event_id, ts, tool_norm,
+             SUM(ns) OVER (PARTITION BY conv_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m),
+per_sess AS (SELECT conv_id, sid,
+                    FIRST(tool_norm ORDER BY ts, event_id)
+                        FILTER (WHERE tool_norm IS NOT NULL) AS entry_tool,
+                    LAST(tool_norm ORDER BY ts, event_id)
+                        FILTER (WHERE tool_norm IS NOT NULL) AS exit_tool
+             FROM s GROUP BY conv_id, sid)"""
+
+
+@register("flagship_per_tool", sql=f"""
+WITH t AS ({_FLAGSHIP_T_SQL}),
+{_FLAGSHIP_SESS_SQL},
+hits AS (SELECT tool_norm, COUNT(*) AS hits, ROUND(SUM(kb), 2) AS kb
+         FROM t WHERE tool_norm IS NOT NULL GROUP BY tool_norm),
+en AS (SELECT entry_tool AS tool_norm, COUNT(*) AS entry FROM per_sess
+       WHERE entry_tool IS NOT NULL GROUP BY 1),
+ex AS (SELECT exit_tool AS tool_norm, COUNT(*) AS exit FROM per_sess
+       WHERE exit_tool IS NOT NULL GROUP BY 1)
+SELECT h.tool_norm AS tool_norm, h.hits AS hits, h.kb AS kb,
+       COALESCE(en.entry, 0) AS entry, COALESCE(ex.exit, 0) AS exit
+FROM hits h LEFT JOIN en USING (tool_norm) LEFT JOIN ex USING (tool_norm)""")
+def flagship_per_tool(sf_dir: str) -> pd.DataFrame:
+    """Per-tool sink (A5 per-URL analog) incl. session entry/exit
+    attribution (W2 update_entry/update_exit analog)."""
+    out = _flagship_sinks(sf_dir)["per_tool"].copy()
+    out["kb"] = out["kb"].round(2)
+    return out[["tool_norm", "hits", "kb", "entry", "exit"]] \
+        .sort_values("tool_norm", ignore_index=True)
+
+
+@register("flagship_hourly", sql=f"""
+WITH t AS ({_FLAGSHIP_T_SQL})
+SELECT CAST(hour(ts) AS BIGINT) AS hour, COUNT(*) AS hits,
+       CAST(SUM(CASE WHEN status = 200 THEN 1 ELSE 0 END) AS BIGINT)
+           AS files,
+       CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT)
+           AS pages,
+       ROUND(SUM(kb), 2) AS kb
+FROM t GROUP BY hour""")
+def flagship_hourly(sf_dir: str) -> pd.DataFrame:
+    """Hourly table (A3, th_* arrays analog) from the flagship run."""
+    out = _flagship_sinks(sf_dir)["hourly"].copy()
+    out["kb"] = out["kb"].round(2)
+    out["hour"] = out["hour"].astype(np.int64)
+    return out[["hour", "hits", "files", "pages", "kb"]] \
+        .sort_values("hour", ignore_index=True)
+
+
+@register("flagship_status_class", sql=f"""
+WITH t AS ({_FLAGSHIP_T_SQL})
+SELECT CASE WHEN status // 100 = 2 THEN 'success'
+            WHEN status // 100 = 3 THEN 'redirect'
+            WHEN status // 100 = 4 THEN 'client_error'
+            WHEN status // 100 = 5 THEN 'server_error'
+            ELSE 'other' END AS status_class,
+       COUNT(*) AS hits
+FROM t GROUP BY status_class""")
+def flagship_status_class(sf_dir: str) -> pd.DataFrame:
+    """Response-class histogram (A7, response[TOTAL_RC] analog)."""
+    out = _flagship_sinks(sf_dir)["status_class_hist"].copy()
+    return out[["status_class", "hits"]] \
+        .sort_values("status_class", ignore_index=True)
 
 
 def all_queries():
