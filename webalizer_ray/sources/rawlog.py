@@ -75,11 +75,14 @@ def _unesc_quoted(col):
     return pc.replace_substring(col, pattern="\x00", replacement="\\")
 
 
+_W3C_WS = [(" ", "%20"), ("\t", "%09"), ("\n", "%0A"), ("\r", "%0D"),
+           ("\f", "%0C"), ("\v", "%0B"), ('"', "%22")]
+
+
 def _esc_w3c(col):
     col = pc.replace_substring(col, pattern="%", replacement="%25")
-    col = pc.replace_substring(col, pattern=" ", replacement="%20")
-    col = pc.replace_substring(col, pattern='"', replacement="%22")
-    col = pc.replace_substring(col, pattern="\n", replacement="%0A")
+    for ch, code in _W3C_WS:
+        col = pc.replace_substring(col, pattern=ch, replacement=code)
     # empty field can't survive a space-split line: "-" token stands in
     # (the W3C/IIS convention); a literal lone "-" is escaped to "%2D"
     col = pc.if_else(pc.equal(col, "-"), pa.scalar("%2D"), col)
@@ -89,9 +92,8 @@ def _esc_w3c(col):
 def _unesc_w3c(col):
     col = pc.if_else(pc.equal(col, "-"), pa.scalar(""), col)
     col = pc.if_else(pc.equal(col, "%2D"), pa.scalar("-"), col)
-    col = pc.replace_substring(col, pattern="%20", replacement=" ")
-    col = pc.replace_substring(col, pattern='%22', replacement='"')
-    col = pc.replace_substring(col, pattern="%0A", replacement="\n")
+    for ch, code in _W3C_WS:
+        col = pc.replace_substring(col, pattern=code, replacement=ch)
     return pc.replace_substring(col, pattern="%25", replacement="%")
 
 
