@@ -102,3 +102,21 @@ def test_lookup_manager_roundtrip(tmp_path, tiny_fixture):
     assert cli.main(["lookup", "del", tbl, "newtool"]) == 0
     assert len(pq.read_table(tbl)) == n0
     assert cli.main(["lookup", "list", tbl]) == 0
+
+
+def test_tsv_dumps_written(ray_session, tiny_fixture, lookups, tmp_path):
+    """Dump* TSV analogs (S9): every small sink also lands as .tab."""
+    import glob
+
+    from webalizer_ray.config import PipelineConfig
+    from webalizer_ray.pipelines.flagship import run_flagship
+    out = str(tmp_path / "o")
+    cfg = PipelineConfig(num_buckets=4, dump_tsv=True)
+    res = run_flagship(tiny_fixture, out, cfg, lookups=lookups,
+                       use_actors=False)
+    tabs = glob.glob(os.path.join(out, "dumps", "*.tab"))
+    assert len(tabs) >= 10
+    monthly = pd.read_csv(os.path.join(out, "dumps", "monthly.tab"),
+                          sep="\t")
+    assert len(monthly) == len(res["sinks"]["monthly"])
+    assert list(monthly.columns) == list(res["sinks"]["monthly"].columns)

@@ -90,6 +90,10 @@ class PipelineConfig:
 
     # --- outputs ---------------------------------------------------------
     top_n: dict = field(default_factory=lambda: dict(DEFAULT_TOP_N))
+    #: Also dump every small sink as a tab-separated ``<name>.tab`` with a
+    #: header row (the Dump*/DumpHeader TSV outputs, output.c:
+    #: dump_all_sites() … ≈3300–3700 [verify]).
+    dump_tsv: bool = False
 
     # --- execution knobs (Ray only; refmodel ignores) --------------------
     #: Hash buckets for explicit conv_id partitioning (sessionization unit;

@@ -398,6 +398,22 @@ def finalize_sinks(long: pd.DataFrame, out_dir: str,
         sinks[name] = (top_n_pandas(frame, key, metric, n, hide)
                        if len(frame) else frame)
 
+    # A9 max/avg derivations (mh_hit/avg trackers; computed from the
+    # small daily/hourly tables like output.c does from tm_*/th_* arrays)
+    if len(daily):
+        d = daily.assign(month=daily["date"].str.slice(0, 7),
+                         kb=daily["kb"].round(2))
+        ext = d.groupby("month").agg(
+            max_hits_day=("hits", "max"), avg_hits_day=("hits", "mean"),
+            max_kb_day=("kb", "max")).reset_index()
+        ext["avg_hits_day"] = ext["avg_hits_day"].round(2)
+        ext["max_kb_day"] = ext["max_kb_day"].round(2)
+        ext["max_hits_day"] = ext["max_hits_day"].astype(np.int64)
+        sinks["monthly_extremes"] = ext
+    else:
+        sinks["monthly_extremes"] = pd.DataFrame(
+            columns=["month", "max_hits_day", "avg_hits_day", "max_kb_day"])
+
     # persist the small sinks (the HTML/TSV report analogs, S6–S9)
     sink_dir = os.path.join(out_dir, "sinks")
     os.makedirs(sink_dir, exist_ok=True)
@@ -405,6 +421,12 @@ def finalize_sinks(long: pd.DataFrame, out_dir: str,
         if isinstance(obj, pd.DataFrame) and name not in ("sessions",
                                                           "per_conv"):
             _write_atomic(obj, os.path.join(sink_dir, f"{name}.parquet"))
+            if config.dump_tsv:
+                dump_dir = os.path.join(out_dir, "dumps")
+                os.makedirs(dump_dir, exist_ok=True)
+                tmp = os.path.join(dump_dir, f"{name}.tab.tmp")
+                obj.to_csv(tmp, sep="\t", index=False)
+                os.replace(tmp, os.path.join(dump_dir, f"{name}.tab"))
     return sinks
 
 

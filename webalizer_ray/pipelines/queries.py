@@ -797,6 +797,24 @@ def flagship_status_class(sf_dir: str) -> pd.DataFrame:
         .sort_values("status_class", ignore_index=True)
 
 
+
+@register("flagship_monthly_extremes", sql=f"""
+WITH t AS ({_FLAGSHIP_T_SQL}),
+d AS (SELECT strftime(ts, '%Y-%m') AS month,
+             strftime(ts, '%Y-%m-%d') AS date,
+             COUNT(*) AS hits, ROUND(SUM(kb), 2) AS kb
+      FROM t GROUP BY 1, 2)
+SELECT month, CAST(MAX(hits) AS BIGINT) AS max_hits_day,
+       ROUND(AVG(hits), 2) AS avg_hits_day,
+       ROUND(MAX(kb), 2) AS max_kb_day
+FROM d GROUP BY month""")
+def flagship_monthly_extremes(sf_dir: str) -> pd.DataFrame:
+    """A9 max/avg derivations (mh_hit / avg-per-day trackers, computed
+    by output.c from the tm_* arrays [verify]); avg is over days with
+    data, matching the finalize-side definition."""
+    out = _flagship_sinks(sf_dir)["monthly_extremes"].copy()
+    return out.sort_values("month", ignore_index=True)
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
