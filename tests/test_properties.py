@@ -216,3 +216,30 @@ def test_rawlog_roundtrip_identity(texts, fmt):
     for col in ("conv_id", "turn_idx", "role", "text", "tool"):
         assert back[col].to_pylist() == tbl[col].to_pylist(), col
     assert back["ts"].to_pylist() == tbl["ts"].to_pylist()
+
+
+def test_hot_bucket_subsplit_parity(ray_session, small_fixture, lookups,
+                                    tmp_path):
+    """Forcing every bucket through the k-way conv-hash sub-split (the
+    hot-bucket fan-out path) yields identical sinks, sessions, and
+    routed rows to whole-bucket processing."""
+    from webalizer_ray.pipelines.flagship import run_flagship
+
+    base = PipelineConfig(num_buckets=8, enrich_concurrency=(1, 2))
+    split = PipelineConfig(num_buckets=8, enrich_concurrency=(1, 2),
+                           bucket_split_target_bytes=16_384)  # force k > 1
+    a = run_flagship(small_fixture, str(tmp_path / "a"), base,
+                     lookups=lookups, use_actors=False)
+    b = run_flagship(small_fixture, str(tmp_path / "b"), split,
+                     lookups=lookups, use_actors=False)
+    for sink in ("monthly", "daily", "hourly", "per_tool", "per_category",
+                 "status_hist", "search_terms", "top_conv", "top_tool"):
+        pd.testing.assert_frame_equal(
+            a["sinks"][sink].reset_index(drop=True),
+            b["sinks"][sink].reset_index(drop=True), check_dtype=False)
+    sa = a["sinks"]["sessions"].sort_values(["conv_id", "session_id"],
+                                            ignore_index=True)
+    sb = b["sinks"]["sessions"].sort_values(["conv_id", "session_id"],
+                                            ignore_index=True)
+    pd.testing.assert_frame_equal(sa, sb, check_dtype=False)
+    assert a["metrics"] == b["metrics"]

@@ -100,13 +100,21 @@ class PipelineConfig:
     #: at 10^12 turns size this to total_bytes / target_bucket_bytes).
     num_buckets: int = 64
     parse_batch_size: int = 32768
-    enrich_concurrency: tuple[int, int] = (2, 8)
+    #: Enrich actor-pool (min, max); None = auto-size max to the
+    #: cluster's CPU count at plan-build time (a fixed cap would leave
+    #: cores idle at 4N and silently serialize the stage).
+    enrich_concurrency: tuple[int, int] | None = None
     session_shuffle_partitions: int = 0   # 0 = let Ray pick
     #: Salt modulus for skewed-key two-phase aggregation helpers.
     salt_buckets: int = 16
     #: Rows per chunk when range-chunking a giant conversation for
     #: sessionization (SURVEY.md §4.3 item 2).
     giant_conv_chunk: int = 100_000
+    #: Pass-2 skew mitigation: a bucket dir bigger than this (compressed
+    #: bytes) is processed by ceil(bytes/target) tasks, each owning a
+    #: disjoint conv-hash residue — a hot bucket fans out instead of
+    #: becoming the straggler that gates the whole pass.
+    bucket_split_target_bytes: int = 24 * 2**20
 
 
 DEFAULT_CONFIG = PipelineConfig()

@@ -155,47 +155,65 @@ def generate_turns(
         ts[prev], ts[elig] = ts[elig].copy(), ts[prev].copy()
 
     # --- roles / tools ---------------------------------------------------
-    role = ROLES[rng.choice(len(ROLES), n, p=ROLE_P)]
-    tool_pool = np.array(TOOL_POOL)
-    tool = tool_pool[rng.integers(0, len(tool_pool), n)]
-    tool_ok = np.isin(role, ["assistant", "tool"]) & (rng.random(n) < 0.25)
-    tool = tool.astype(object)
-    tool[~tool_ok] = None
+    role_ix = rng.choice(len(ROLES), n, p=ROLE_P)
+    # ROLES order: user, assistant, tool, system → tools only on 1/2
+    tool_ok = np.isin(role_ix, [1, 2]) & (rng.random(n) < 0.25)
 
-    # --- text (vectorized string assembly) -------------------------------
-    action = VERBS[rng.integers(0, len(VERBS), n)]
+    # --- text (Arrow-kernel string assembly; np.char loops at Python
+    # speed and U-dtype arrays blow memory at 10^7+ rows) ----------------
+    import pyarrow.compute as pc
+
+    def take(pool, ix):
+        return pc.take(pa.array(list(pool), pa.string()), pa.array(ix))
+
+    action = take(VERBS, rng.integers(0, len(VERBS), n))
     status = STATUS_CODES[rng.choice(len(STATUS_CODES), n, p=STATUS_P)]
-    kb = np.round(rng.lognormal(0.5, 1.0, n), 2).clip(0.01, 9999.99)
-    words = np.array(WORDS)
-    q_words = (
-        np.char.add(np.char.add(words[rng.integers(0, len(words), n)], " "),
-                    words[rng.integers(0, len(words), n)])
-    )
-    has_q = rng.random(n) < 0.10
-    # pre-built pool of free-text tails (keeps assembly O(n) numpy ops)
-    tail_pool = np.array([
-        " ".join(words[rng.integers(0, len(words), rng.integers(3, 40))])
+    kb_cents = np.round(rng.lognormal(0.5, 1.0, n), 2).clip(0.01, 9999.99)
+    kb_cents = np.round(kb_cents * 100).astype(np.int64)
+    kb_str = pc.binary_join_element_wise(
+        pc.cast(pa.array(kb_cents // 100), pa.string()), ".",
+        pc.utf8_slice_codeunits(
+            pc.cast(pa.array(kb_cents % 100 + 100), pa.string()), 1, 3), "")
+    words = list(WORDS)
+    q_words = pc.binary_join_element_wise(
+        take(words, rng.integers(0, len(words), n)), " ",
+        take(words, rng.integers(0, len(words), n)), "")
+    has_q = pa.array(rng.random(n) < 0.10)
+    # pre-built pool of free-text tails (keeps assembly O(n) array ops)
+    warr = np.array(WORDS)
+    tail_pool = [
+        " ".join(warr[rng.integers(0, len(warr), rng.integers(3, 40))])
         for _ in range(256)
-    ])
-    tails = tail_pool[rng.integers(0, 256, n)]
-    text = np.char.add("ACTION=", action)
-    text = np.char.add(text, np.char.add(" STATUS=", status.astype("U3")))
-    text = np.char.add(text, np.char.add(" KB=", np.char.mod("%.2f", kb)))
-    qpart = np.where(has_q, np.char.add(np.char.add(' QUERY="', q_words), '"'), "")
-    text = np.char.add(text, qpart)
-    text = np.char.add(text, np.char.add(" ", tails))
-    bad_ix = rng.random(n) < bad_frac
-    mal = np.array(MALFORMED)
-    text = np.where(bad_ix, mal[rng.integers(0, len(mal), n)], text)
+    ]
+    tails = take(tail_pool, rng.integers(0, 256, n))
+    qpart = pc.if_else(
+        has_q,
+        pc.binary_join_element_wise(' QUERY="', q_words, '"', ""),
+        pa.scalar(""))
+    text = pc.binary_join_element_wise(
+        "ACTION=", action, " STATUS=",
+        pc.cast(pa.array(status), pa.string()), " KB=", kb_str, qpart,
+        " ", tails, "")
+    bad_ix = pa.array(rng.random(n) < bad_frac)
+    text = pc.if_else(bad_ix,
+                      take(MALFORMED, rng.integers(0, len(MALFORMED), n)),
+                      text)
 
-    conv_id = np.char.mod("conv-%08d", conv_ix)
+    conv_id = pc.binary_join_element_wise(
+        "conv-", pc.utf8_slice_codeunits(
+            pc.cast(pa.array(conv_ix + 100_000_000), pa.string()), 1, 9), "")
+
+    role = take(ROLES, role_ix)
+    tool = pc.if_else(pa.array(tool_ok),
+                      take(TOOL_POOL, rng.integers(0, len(TOOL_POOL), n)),
+                      pa.scalar(None, pa.string()))
 
     tbl = pa.table({
-        "conv_id": pa.array(conv_id, pa.string()),
+        "conv_id": conv_id,
         "turn_idx": pa.array(turn_idx, pa.int32()),
-        "role": pa.array(role, pa.string()),
-        "text": pa.array(text.tolist(), pa.string()),
-        "tool": pa.array(tool.tolist(), pa.string()),
+        "role": role,
+        "text": text,
+        "tool": tool,
         "ts": pa.array(ts, pa.timestamp("us")),
     })
     # global time order (real log shape): convs interleave across files

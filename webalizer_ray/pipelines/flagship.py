@@ -185,44 +185,98 @@ def process_bucket_frame(df: pd.DataFrame,
 
 def _write_atomic(df: pd.DataFrame, path: str):
     """tmp+rename so a killed task never leaves a partial file behind."""
+    import pyarrow.compute as pac
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + ".tmp"
-    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), tmp)
+    tbl = pa.Table.from_pandas(df, preserve_index=False)
+    # an all-None object column infers type null, which breaks schema
+    # unification when other buckets' parts have real strings
+    for i, f in enumerate(tbl.schema):
+        if pa.types.is_null(f.type):
+            tbl = tbl.set_column(i, pa.field(f.name, pa.string()),
+                                 pac.cast(tbl.column(i), pa.string()))
+    pq.write_table(tbl, tmp)
     os.replace(tmp, path)
 
 
-def write_bucket_outputs(res: dict, out_dir: str, bucket: int) -> None:
+#: Columns of the routed turns sink: the input schema + session id (the
+#: parity contract). Derived parse/enrich columns already live in
+#: parsed/route=ok — re-writing them here would double pass-2 I/O.
+ROUTED_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts",
+               "session_id"]
+
+
+def write_bucket_outputs(res: dict, out_dir: str, bucket: int,
+                         part: int = 0) -> None:
     """Deterministic per-bucket output files (idempotent on retry)."""
     b = f"bucket={bucket:05d}"
-    _write_atomic(res["turns_ok"],
-                  os.path.join(out_dir, "turns", "route=ok", b,
-                               "part-0.parquet"))
+    p = f"part-{part}.parquet"
+    _write_atomic(res["turns_ok"][ROUTED_COLS],
+                  os.path.join(out_dir, "turns", "route=ok", b, p))
     if len(res["turns_seq"]):
-        _write_atomic(res["turns_seq"],
-                      os.path.join(out_dir, "turns", "route=seq", b,
-                                   "part-0.parquet"))
+        _write_atomic(res["turns_seq"][ROUTED_COLS],
+                      os.path.join(out_dir, "turns", "route=seq", b, p))
     _write_atomic(res["sessions"],
-                  os.path.join(out_dir, "sessions", b, "part-0.parquet"))
+                  os.path.join(out_dir, "sessions", b, p))
     _write_atomic(res["per_conv"],
-                  os.path.join(out_dir, "per_conv", b, "part-0.parquet"))
+                  os.path.join(out_dir, "per_conv", b, p))
 
 
 def _bucket_id(path: str) -> int:
     return int(re.search(r"bucket=(\d+)", path).group(1))
 
 
+#: 16-byte SipHash key for the second-level conv split — independent of
+#: the key behind parse.conv_bucket (pandas' default), so residues are
+#: uncorrelated with bucket assignment.
+_SUBSPLIT_KEY = "wr_subsplit_key1"
+
+
+def sub_residue(conv_id, k: int) -> np.ndarray:
+    return (pd.util.hash_array(np.asarray(conv_id, dtype=object),
+                               hash_key=_SUBSPLIT_KEY)
+            % np.uint64(k)).astype(np.int32)
+
+
 def make_bucket_task(out_dir: str, config: PipelineConfig):
-    """map_batches fn over bucket-directory items → long partials."""
+    """map_batches fn over bucket-dir items → long partials.
+
+    Items carry (dir, k, rem): the task owns the convs of the dir whose
+    second-level hash ≡ rem (mod k). k=1 is the common whole-bucket
+    case; hot buckets arrive as k>1 so their work fans out across tasks
+    while every conversation still lives in exactly one task (the
+    partitioning invariant sessionization needs).
+    """
     def task(batch: pd.DataFrame) -> pd.DataFrame:
         longs = []
-        for d in batch["dir"]:
+        for _, row in batch.iterrows():
+            d, k, rem = row["dir"], int(row["k"]), int(row["rem"])
             df = pads.dataset(d).to_table().to_pandas()
+            if k > 1:
+                df = df[sub_residue(df["conv_id"].to_numpy(), k) == rem]
             res = process_bucket_frame(df, config)
-            write_bucket_outputs(res, out_dir, _bucket_id(d))
+            write_bucket_outputs(res, out_dir, _bucket_id(d), part=rem)
             longs.append(res["long"])
         out = pd.concat(longs, ignore_index=True) if longs else _empty_long()
         return out if len(out) else _empty_long()
     return task
+
+
+def _dir_bytes(d: str) -> int:
+    return sum(os.path.getsize(f)
+               for f in glob.glob(os.path.join(d, "*.parquet")))
+
+
+def plan_bucket_items(dirs: list[str],
+                      config: PipelineConfig) -> list[dict]:
+    """(dir, k, rem) work items; oversized dirs get k = ceil(size/target)."""
+    items = []
+    for d in dirs:
+        k = max(1, -(-_dir_bytes(d) // config.bucket_split_target_bytes))
+        k = min(k, 16)   # fan-out cap: re-reading the dir k times is the
+        #                  cost of the split; beyond ~16 it beats the gain
+        items.extend({"dir": d, "k": k, "rem": r} for r in range(k))
+    return items
 
 
 def parse_enrich_dataset(source, config: PipelineConfig = DEFAULT_CONFIG,
@@ -233,24 +287,37 @@ def parse_enrich_dataset(source, config: PipelineConfig = DEFAULT_CONFIG,
     ``source`` is a fixture dir (str) or an explicit list of parquet file
     paths (the unit-granular entry used by state/checkpoint.py).
     """
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    # split the read into ~2 blocks per core — with a handful of large
+    # input files the default one-block-per-file caps pass-1 parallelism
+    nblocks = 2 * ncpu
     if isinstance(source, str):
         tc, rg = lookups if lookups is not None else read_lookup_dicts(source)
-        ds = read_turns(source)
+        ds = read_turns(source, override_num_blocks=nblocks)
     else:
         if lookups is None:
             raise ValueError("explicit file lists require lookups")
         tc, rg = lookups
-        ds = rd.read_parquet(list(source))
+        ds = rd.read_parquet(list(source), override_num_blocks=nblocks)
     parsed = ds.map_batches(make_parse_fn(config, config.num_buckets),
                             batch_format="pyarrow", zero_copy_batch=True,
                             batch_size=config.parse_batch_size)
     if use_actors:
+        conc = config.enrich_concurrency
+        if conc is None:
+            # FIXED pool sized to ~3/4 of the cluster: the parse stage
+            # fuses into this operator, and an autoscaling (min,max) pool
+            # ramps too slowly to reach max within a short job; the
+            # remaining CPUs keep the read/write task operators fed
+            # (a full-size pool starves them into deadlock)
+            conc = max(1, ncpu - max(1, ncpu // 4))
         parsed = parsed.map_batches(
             EnrichActor, batch_format="pyarrow",
             fn_constructor_kwargs=dict(
                 tool_categories=ray.put(tc), role_groups=ray.put(rg),
                 unresolved=config.unresolved_category),
-            concurrency=config.enrich_concurrency, num_cpus=1)
+            concurrency=conc, num_cpus=1)
     else:
         parsed = parsed.map_batches(
             enrich_fn(tc, rg, config.unresolved_category),
@@ -277,7 +344,10 @@ def run_bucket_pass(out_dir: str,
             os.path.join(out_dir, "parsed", "route=ok", "bucket=*")))
     if not dirs:
         return _empty_long()
-    long = (rd.from_items([{"dir": d} for d in dirs])
+    # one BLOCK per work item — from_items defaults to a single block,
+    # which would serialize the whole pass into one task
+    items = plan_bucket_items(dirs, config)
+    long = (rd.from_items(items, override_num_blocks=len(items))
             .map_batches(make_bucket_task(out_dir, config),
                          batch_format="pandas", batch_size=1)
             .to_pandas())

@@ -287,7 +287,8 @@ def run_bucket_pass_resumable(out_dir: str,
 
     longs = []
     if todo:
-        fresh = (rd.from_items(todo)
+        # one block per bucket so the tasks actually fan out
+        fresh = (rd.from_items(todo, override_num_blocks=len(todo))
                  .map_batches(_make_ckpt_bucket_task(out_dir, config),
                               batch_format="pandas", batch_size=1)
                  .to_pandas())
