@@ -103,13 +103,23 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
     build_bench_fixture()  # shared input, built before either timed run
 
     def sub(ncpu: int) -> dict:
+        """Best of 2 fresh-process runs — the sandbox is a shared host
+        and lazy writeback from the previous run's ~5 GB of output can
+        tax the next run; min-of-2 with a sync between reads through
+        that noise."""
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    WR_BENCH_HEADLINE_ONLY="1")
-        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                             env=env, capture_output=True, text=True,
-                             check=True, cwd=os.path.dirname(
-                                 os.path.abspath(__file__))).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        best = None
+        for _ in range(2):
+            subprocess.run(["sync"], check=False)
+            out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                                 env=env, capture_output=True, text=True,
+                                 check=True, cwd=os.path.dirname(
+                                     os.path.abspath(__file__))).stdout
+            r = json.loads(out.strip().splitlines()[-1])
+            if best is None or r["value"] < best["value"]:
+                best = r
+        return best
 
     r_lo, r_hi = sub(lo), sub(hi)
     t_lo, t_hi = r_lo["value"], r_hi["value"]

@@ -178,7 +178,8 @@ def test_routed_rows_equal_after_resume(ray_session, small_fixture, lookups,
 
     def routed(out_dir):
         return (pads.dataset(os.path.join(out_dir, "turns", "route=ok"))
-                .to_table(columns=["conv_id", "turn_idx", "text"]).to_pandas()
+                .to_table(columns=["conv_id", "turn_idx", "session_id"])
+                .to_pandas()
                 .sort_values(["conv_id", "turn_idx"], ignore_index=True))
 
     pd.testing.assert_frame_equal(routed(out), routed(baseline["out_dir"]))

@@ -99,11 +99,19 @@ def test_topn_parity(engine_result, small_refmodel, sink, keys):
 
 
 def test_routed_turns_text_equality(engine_result, small_refmodel):
-    """Per-turn text equality under stable (conv_id, turn_idx) ordering."""
-    ok_dir = f"{engine_result['out_dir']}/turns/route=ok"
-    ours = (pads.dataset(ok_dir).to_table(
-        columns=["conv_id", "turn_idx", "text", "session_id"]).to_pandas()
-        .sort_values(["conv_id", "turn_idx"], ignore_index=True))
+    """Per-turn text equality under stable (conv_id, turn_idx) ordering.
+
+    The routed row STORE is parsed/route=ok (full text, written by pass
+    1); pass 2's turns/route=ok annotates each row with its session id,
+    keyed by (conv_id, turn_idx) — join the two and compare to the
+    oracle."""
+    text = (pads.dataset(f"{engine_result['out_dir']}/parsed/route=ok")
+            .to_table(columns=["conv_id", "turn_idx", "text"]).to_pandas())
+    sess = (pads.dataset(f"{engine_result['out_dir']}/turns/route=ok")
+            .to_table(columns=["conv_id", "turn_idx", "session_id"])
+            .to_pandas())
+    ours = (text.merge(sess, on=["conv_id", "turn_idx"], how="inner")
+            .sort_values(["conv_id", "turn_idx"], ignore_index=True))
     ref = small_refmodel["turns"][
         ["conv_id", "turn_idx", "text", "session_id"]].reset_index(drop=True)
     assert len(ours) == len(ref)

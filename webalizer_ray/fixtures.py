@@ -166,49 +166,69 @@ def generate_turns(
     def take(pool, ix):
         return pc.take(pa.array(list(pool), pa.string()), pa.array(ix))
 
-    action = take(VERBS, rng.integers(0, len(VERBS), n))
+    action_ix = rng.integers(0, len(VERBS), n)
     status = STATUS_CODES[rng.choice(len(STATUS_CODES), n, p=STATUS_P)]
     kb_cents = np.round(rng.lognormal(0.5, 1.0, n), 2).clip(0.01, 9999.99)
     kb_cents = np.round(kb_cents * 100).astype(np.int64)
-    kb_str = pc.binary_join_element_wise(
-        pc.cast(pa.array(kb_cents // 100), pa.string()), ".",
-        pc.utf8_slice_codeunits(
-            pc.cast(pa.array(kb_cents % 100 + 100), pa.string()), 1, 3), "")
-    words = list(WORDS)
-    q_words = pc.binary_join_element_wise(
-        take(words, rng.integers(0, len(words), n)), " ",
-        take(words, rng.integers(0, len(words), n)), "")
-    has_q = pa.array(rng.random(n) < 0.10)
+    qa_ix = rng.integers(0, len(WORDS), n)
+    qb_ix = rng.integers(0, len(WORDS), n)
+    has_q = rng.random(n) < 0.10
     # pre-built pool of free-text tails (keeps assembly O(n) array ops)
     warr = np.array(WORDS)
     tail_pool = [
         " ".join(warr[rng.integers(0, len(warr), rng.integers(3, 40))])
         for _ in range(256)
     ]
-    tails = take(tail_pool, rng.integers(0, 256, n))
-    qpart = pc.if_else(
-        has_q,
-        pc.binary_join_element_wise(' QUERY="', q_words, '"', ""),
-        pa.scalar(""))
-    text = pc.binary_join_element_wise(
-        "ACTION=", action, " STATUS=",
-        pc.cast(pa.array(status), pa.string()), " KB=", kb_str, qpart,
-        " ", tails, "")
-    bad_ix = pa.array(rng.random(n) < bad_frac)
-    text = pc.if_else(bad_ix,
-                      take(MALFORMED, rng.integers(0, len(MALFORMED), n)),
-                      text)
+    tail_ix = rng.integers(0, 256, n)
+    bad_mask = rng.random(n) < bad_frac
+    mal_ix = rng.integers(0, len(MALFORMED), n)
+    tool_ix = rng.integers(0, len(TOOL_POOL), n)
+
+    # global time order (real log shape: convs interleave across files),
+    # applied to the index arrays BEFORE Arrow assembly — sorting the
+    # built table would materialize a >2 GiB single text array
+    order = np.lexsort((turn_idx, conv_ix, ts))
+    (conv_ix, turn_idx, ts, role_ix, tool_ok, tool_ix, action_ix, status,
+     kb_cents, qa_ix, qb_ix, has_q, tail_ix, bad_mask, mal_ix) = (
+        a[order] for a in (conv_ix, turn_idx, ts, role_ix, tool_ok,
+                           tool_ix, action_ix, status, kb_cents, qa_ix,
+                           qb_ix, has_q, tail_ix, bad_mask, mal_ix))
+
+    # assemble in ≤4M-row chunks: one joined 10^7+-row text array would
+    # blow the 2 GiB non-large string limit
+    CHUNK = 4_000_000
+    chunks = []
+    for lo in range(0, n, CHUNK):
+        s = slice(lo, lo + CHUNK)
+        kb_str = pc.binary_join_element_wise(
+            pc.cast(pa.array(kb_cents[s] // 100), pa.string()), ".",
+            pc.utf8_slice_codeunits(
+                pc.cast(pa.array(kb_cents[s] % 100 + 100), pa.string()),
+                1, 3), "")
+        q_words = pc.binary_join_element_wise(
+            take(WORDS, qa_ix[s]), " ", take(WORDS, qb_ix[s]), "")
+        qpart = pc.if_else(
+            pa.array(has_q[s]),
+            pc.binary_join_element_wise(' QUERY="', q_words, '"', ""),
+            pa.scalar(""))
+        chunk = pc.binary_join_element_wise(
+            "ACTION=", take(VERBS, action_ix[s]), " STATUS=",
+            pc.cast(pa.array(status[s]), pa.string()), " KB=", kb_str,
+            qpart, " ", take(tail_pool, tail_ix[s]), "")
+        chunk = pc.if_else(pa.array(bad_mask[s]),
+                           take(MALFORMED, mal_ix[s]), chunk)
+        chunks.append(chunk)
+    text = pa.chunked_array(chunks)
 
     conv_id = pc.binary_join_element_wise(
         "conv-", pc.utf8_slice_codeunits(
             pc.cast(pa.array(conv_ix + 100_000_000), pa.string()), 1, 9), "")
 
     role = take(ROLES, role_ix)
-    tool = pc.if_else(pa.array(tool_ok),
-                      take(TOOL_POOL, rng.integers(0, len(TOOL_POOL), n)),
+    tool = pc.if_else(pa.array(tool_ok), take(TOOL_POOL, tool_ix),
                       pa.scalar(None, pa.string()))
 
-    tbl = pa.table({
+    return pa.table({
         "conv_id": conv_id,
         "turn_idx": pa.array(turn_idx, pa.int32()),
         "role": role,
@@ -216,9 +236,6 @@ def generate_turns(
         "tool": tool,
         "ts": pa.array(ts, pa.timestamp("us")),
     })
-    # global time order (real log shape): convs interleave across files
-    return tbl.sort_by([("ts", "ascending"), ("conv_id", "ascending"),
-                        ("turn_idx", "ascending")])
 
 
 def write_turns(tbl: pa.Table, out_dir: str, n_files: int = 8) -> list[str]:

@@ -106,7 +106,8 @@ def sessions_from_sorted(ok: pd.DataFrame) -> pd.DataFrame:
     first/last skip NaN, giving first/last non-null tool (entry/exit page
     analog, webalizer.c:update_entry()/update_exit() [verify]).
     """
-    g = ok.groupby(["conv_id", "session_id"], sort=True)
+    g = ok[["conv_id", "session_id", "ts", "kb", "is_file", "is_content",
+            "tool_norm"]].groupby(["conv_id", "session_id"], sort=True)
     out = g.agg(start_ts=("ts", "first"), end_ts=("ts", "last"),
                 n_turns=("ts", "size"), kb=("kb", "sum"),
                 files=("is_file", "sum"), pages=("is_content", "sum"),
@@ -123,7 +124,12 @@ def bucket_partials(ok: pd.DataFrame, sess: pd.DataFrame) -> pd.DataFrame:
     """Long-format small-sink rows for one bucket (final within bucket)."""
     frames = []
     for sink, key in SMALL_AGG_KEYS.items():
-        g = ok.dropna(subset=[key]).groupby(key, sort=False)
+        # slim before dropna/groupby: dropping nulls on the 16-column
+        # frame copies every column, nine times per bucket
+        sub = ok[[key, "ts", "is_file", "is_content", "kb"]]
+        if sub[key].hasnans:
+            sub = sub.dropna(subset=[key])
+        g = sub.groupby(key, sort=False)
         p = g.agg(hits=("ts", "size"), files=("is_file", "sum"),
                   pages=("is_content", "sum"), kb=("kb", "sum")).reset_index()
         frames.append(_long_rows(sink, p[key].astype(str), p["hits"],
@@ -168,10 +174,17 @@ def process_bucket_frame(df: pd.DataFrame,
     Output: {'turns_ok', 'turns_seq', 'sessions', 'per_conv', 'long'}.
     """
     turns = sessionize_frame(df, config)
-    seq = turns[turns["seq_drop"]].drop(columns=["seq_drop"])
-    ok = turns[~turns["seq_drop"]].drop(columns=["seq_drop"])
+    seqmask = turns["seq_drop"].to_numpy()
+    if seqmask.any():
+        seq = turns[seqmask].drop(columns=["seq_drop"])
+        ok = turns[~seqmask].drop(columns=["seq_drop"])
+    else:
+        # common path: no drops — masking would copy the whole frame
+        seq = turns.iloc[0:0].drop(columns=["seq_drop"])
+        ok = turns
     sess = sessions_from_sorted(ok)
-    pc_g = ok.groupby("conv_id", sort=True)
+    pc_g = ok[["conv_id", "ts", "kb", "is_file", "is_content",
+               "session_id"]].groupby("conv_id", sort=True)
     per_conv = pc_g.agg(hits=("ts", "size"), files=("is_file", "sum"),
                         pages=("is_content", "sum"), kb=("kb", "sum"),
                         sessions=("session_id", "max"),
@@ -179,8 +192,14 @@ def process_bucket_frame(df: pd.DataFrame,
                         last_ts=("ts", "max")).reset_index()
     for c in ("hits", "files", "pages", "sessions"):
         per_conv[c] = per_conv[c].astype(np.int64)
+    long = bucket_partials(ok, sess)
+    # row-count partials ride the long channel so the driver never has
+    # to re-scan thousands of output files just to fill metrics.json
+    meta = _long_rows("_meta", ["ok", "seq"],
+                      np.array([len(ok), len(seq)], dtype=np.int64))
     return {"turns_ok": ok, "turns_seq": seq, "sessions": sess,
-            "per_conv": per_conv, "long": bucket_partials(ok, sess)}
+            "per_conv": per_conv,
+            "long": pd.concat([long, meta], ignore_index=True)}
 
 
 def _write_atomic(df: pd.DataFrame, path: str):
@@ -199,11 +218,19 @@ def _write_atomic(df: pd.DataFrame, path: str):
     os.replace(tmp, path)
 
 
-#: Columns of the routed turns sink: the input schema + session id (the
-#: parity contract). Derived parse/enrich columns already live in
-#: parsed/route=ok — re-writing them here would double pass-2 I/O.
-ROUTED_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts",
-               "session_id"]
+#: Columns of the pass-2 turns sink. The canonical ROUTED ROW STORE is
+#: pass 1's ``parsed/route=*`` (full input columns incl. ``text`` plus
+#: every derived column); pass 2 only ANNOTATES ok rows with their
+#: session id, keyed by (conv_id, turn_idx). Hauling the wide text
+#: column through pass 2 again would multiply its I/O several-fold for
+#: bytes that already sit route-partitioned on disk.
+ROUTED_COLS = ["conv_id", "turn_idx", "session_id"]
+
+#: Pass-2 working columns — everything the sessionizer and the small
+#: sinks need; pruning ``text``/``query`` at the read is the point.
+PASS2_COLS = ["conv_id", "turn_idx", "ts", "role", "status", "kb",
+              "query", "tool_norm", "month", "date", "hour", "is_content",
+              "is_file", "status_class", "grp", "category"]
 
 
 def write_bucket_outputs(res: dict, out_dir: str, bucket: int,
@@ -251,7 +278,7 @@ def make_bucket_task(out_dir: str, config: PipelineConfig):
         longs = []
         for _, row in batch.iterrows():
             d, k, rem = row["dir"], int(row["k"]), int(row["rem"])
-            df = pads.dataset(d).to_table().to_pandas()
+            df = pads.dataset(d).to_table(columns=PASS2_COLS).to_pandas()
             if k > 1:
                 df = df[sub_residue(df["conv_id"].to_numpy(), k) == rem]
             res = process_bucket_frame(df, config)
@@ -379,6 +406,9 @@ def finalize_sinks(long: pd.DataFrame, out_dir: str,
                  pages=("pages", "sum"), kb=("kb", "sum")).reset_index())
 
     sinks: dict = {}
+    meta = comb[comb["sink"] == "_meta"]
+    sinks["_meta"] = dict(zip(meta["key"], meta["hits"].astype(int)))
+    comb = comb[comb["sink"] != "_meta"]
     sinks["hourly"] = _sum_sink(comb, "hourly", "hour", dtype=np.int64)
     daily = _sum_sink(comb, "daily", "date")
     monthly = _sum_sink(comb, "monthly", "month")
@@ -430,18 +460,19 @@ def finalize_sinks(long: pd.DataFrame, out_dir: str,
     sinks["per_category"]["convs"] = sinks["per_category"]["convs"] \
         .fillna(0).astype(np.int64)
 
-    # row-level sinks written per bucket in pass 2 — read back (small at
-    # test scale; at 10^12 consume the Parquet directly instead)
-    def read_dir(sub, sort_keys):
+    # row-level sinks written per bucket in pass 2 — read back UNSORTED
+    # (a driver-side sort of 10^6+ rows is pure serial wall time; every
+    # consumer sorts or aggregates for itself; at 10^12 consume the
+    # Parquet directly instead)
+    def read_dir(sub):
         p = os.path.join(out_dir, sub)
         if not os.path.isdir(p) or not glob.glob(p + "/**/*.parquet",
                                                  recursive=True):
             return pd.DataFrame()
-        return (pads.dataset(p).to_table().to_pandas()
-                .sort_values(sort_keys, ignore_index=True))
+        return pads.dataset(p).to_table().to_pandas()
 
-    sinks["sessions"] = read_dir("sessions", ["conv_id", "session_id"])
-    per_conv_df = read_dir("per_conv", ["conv_id"])
+    sinks["sessions"] = read_dir("sessions")
+    per_conv_df = read_dir("per_conv")
     sinks["per_conv"] = per_conv_df
 
     # top-N tables (K1–K3) with deterministic (metric desc, key asc) order
@@ -516,15 +547,15 @@ def run_flagship(input_dir: str, out_dir: str,
     sinks = finalize_sinks(long, out_dir, config)
 
     parsed_dir = os.path.join(out_dir, "parsed")
-    turns_dir = os.path.join(out_dir, "turns")
+    meta = sinks.get("_meta", {})
     metrics = {
         "total_rec": _count_rows(os.path.join(input_dir, "turns"))
                      or _count_rows(input_dir),
         "bad": _count_rows(os.path.join(parsed_dir, "route=bad")),
         "ignored_pattern": _count_rows(os.path.join(parsed_dir,
                                                     "route=ignored")),
-        "ignored_seq": _count_rows(os.path.join(turns_dir, "route=seq")),
-        "parsed": _count_rows(os.path.join(turns_dir, "route=ok")),
+        "ignored_seq": int(meta.get("seq", 0)),
+        "parsed": int(meta.get("ok", 0)),
     }
     metrics["ignored"] = metrics["ignored_pattern"] + metrics["ignored_seq"]
     metrics["sessions"] = int(len(sinks["sessions"]))
