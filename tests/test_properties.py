@@ -226,8 +226,11 @@ def test_hot_bucket_subsplit_parity(ray_session, small_fixture, lookups,
     from webalizer_ray.pipelines.flagship import run_flagship
 
     base = PipelineConfig(num_buckets=8, enrich_concurrency=(1, 2))
+    # force k > 1 everywhere AND session-splitting of any conv over 40
+    # rows (the giant-conv cross-task decomposition path)
     split = PipelineConfig(num_buckets=8, enrich_concurrency=(1, 2),
-                           bucket_split_target_bytes=16_384)  # force k > 1
+                           bucket_split_target_bytes=16_384,
+                           giant_conv_chunk=40)
     a = run_flagship(small_fixture, str(tmp_path / "a"), base,
                      lookups=lookups, use_actors=False)
     b = run_flagship(small_fixture, str(tmp_path / "b"), split,

@@ -16,14 +16,17 @@ finalize:
           the same rows, and the layout doubles as the resume point
           (state/checkpoint.py processes buckets independently).
 
-  pass 2  one task per bucket directory: read the bucket (whole
-          conversations by construction), sessionize vectorized, write
-          turns + sessions + per_conv for that bucket under deterministic
-          names (idempotent on retry), and RETURN long-format small-sink
-          partials. Because a conversation lives in exactly one bucket,
-          per-bucket session tables, per-conv aggregates and
+  pass 2  one task per (bucket dir, conv-hash residue): read the
+          bucket's WORKING columns only (text stays on disk — pass 1's
+          parsed/route=* IS the routed row store), sessionize with the
+          numpy sessionizer, write the (conv_id, turn_idx, session_id)
+          annotation + sessions + per_conv under deterministic names
+          (idempotent on retry), and RETURN long-format small-sink
+          partials. Because a conversation lives in exactly one
+          (bucket, residue), session tables, per-conv aggregates and
           conv-distinct counts are globally exact with no further
-          shuffle.
+          shuffle; a hot bucket fans out across residues instead of
+          becoming the pass straggler.
 
   finalize  driver-side pandas combine of the per-bucket partials
           (B × keys rows — tiny next to the data; at 10^12 turns this
@@ -120,8 +123,17 @@ def sessions_from_sorted(ok: pd.DataFrame) -> pd.DataFrame:
     return out[SESSION_COLS]
 
 
-def bucket_partials(ok: pd.DataFrame, sess: pd.DataFrame) -> pd.DataFrame:
-    """Long-format small-sink rows for one bucket (final within bucket)."""
+def bucket_partials(ok: pd.DataFrame, sess: pd.DataFrame,
+                    shared_convs: set | None = None) -> pd.DataFrame:
+    """Long-format small-sink rows for one bucket slice.
+
+    ``shared_convs``: conv_ids whose SESSIONS are split across residue
+    tasks (the giant-conv decomposition). Their conv-distinct
+    contributions are emitted as (key, conv) PAIR rows — deduplicated at
+    finalize — because two slices of the same conv may touch the same
+    date/month/category. Non-shared convs stay exact-per-slice. Giants
+    are few by definition, so the pair channel stays tiny at any scale.
+    """
     frames = []
     for sink, key in SMALL_AGG_KEYS.items():
         # slim before dropna/groupby: dropping nulls on the 16-column
@@ -140,11 +152,25 @@ def bucket_partials(ok: pd.DataFrame, sess: pd.DataFrame) -> pd.DataFrame:
         tc = term.groupby(term).size()
         frames.append(_long_rows("search_terms", tc.index.astype(object),
                                  tc.to_numpy()))
-    # conv-distinct counts: exact per bucket (convs are bucket-exclusive)
+    # conv-distinct counts: exact for convs wholly owned by this slice;
+    # pair rows (deduped at finalize) for session-split shared convs
+    shared_mask = (ok["conv_id"].isin(shared_convs).to_numpy()
+                   if shared_convs else np.zeros(len(ok), dtype=bool))
     for sink, key in CONV_DISTINCT_SPECS.items():
         d = ok[[key, "conv_id"]].dropna()
-        n = d.groupby(key, sort=False)["conv_id"].nunique()
+        if shared_mask.any():
+            dm = d["conv_id"].isin(shared_convs).to_numpy()
+            own, sh = d[~dm], d[dm]
+        else:
+            own, sh = d, d.iloc[0:0]
+        n = own.groupby(key, sort=False)["conv_id"].nunique()
         frames.append(_long_rows(sink, n.index.astype(str), n.to_numpy()))
+        if len(sh):
+            pairs = sh.drop_duplicates()
+            frames.append(_long_rows(
+                sink + "_pairs", pairs[key].astype(str),
+                np.ones(len(pairs), dtype=np.int64),
+                sub=pairs["conv_id"].astype(object)))
     # tool-distinct pairs: tools span buckets → driver dedupes (month, tool)
     mt = ok[["month", "tool_norm"]].dropna().drop_duplicates()
     frames.append(_long_rows("monthly_tools", mt["month"].astype(str),
@@ -167,13 +193,35 @@ def bucket_partials(ok: pd.DataFrame, sess: pd.DataFrame) -> pd.DataFrame:
 
 
 def process_bucket_frame(df: pd.DataFrame,
-                         config: PipelineConfig = DEFAULT_CONFIG) -> dict:
-    """Pure per-bucket computation (unit-testable without Ray).
+                         config: PipelineConfig = DEFAULT_CONFIG,
+                         k: int = 1, rem: int = 0) -> dict:
+    """Pure per-bucket-slice computation (unit-testable without Ray).
 
     Input: parsed ok-route turns of one bucket (complete conversations).
+    With k > 1 this task owns slice ``rem`` of a k-way split: normal
+    conversations by conv-hash residue, and GIANT conversations (rows >
+    giant_conv_chunk) by ``session_id % k`` — whole sessions only, so
+    every downstream aggregate stays exact. All k tasks sessionize the
+    same full frame (cheap, numpy) and deterministically agree on the
+    split; the expensive per-row work then fans out instead of leaving
+    one straggler task per hot conversation (SURVEY.md §7.3 item 2).
+
     Output: {'turns_ok', 'turns_seq', 'sessions', 'per_conv', 'long'}.
     """
     turns = sessionize_frame(df, config)
+    shared: set = set()
+    if k > 1 and len(turns):
+        vc = turns["conv_id"].value_counts()
+        shared = set(vc.index[vc.to_numpy() > config.giant_conv_chunk])
+        conv = turns["conv_id"].to_numpy()
+        sid = turns["session_id"].to_numpy()
+        keep = sub_residue(conv, k) == rem
+        if shared:
+            is_sh = turns["conv_id"].isin(shared).to_numpy()
+            keep = np.where(
+                is_sh, np.where(sid >= 0, sid % k == rem, rem == 0), keep)
+        turns = turns[keep]
+        shared = {c for c in shared} if shared else set()
     seqmask = turns["seq_drop"].to_numpy()
     if seqmask.any():
         seq = turns[seqmask].drop(columns=["seq_drop"])
@@ -192,11 +240,12 @@ def process_bucket_frame(df: pd.DataFrame,
                         last_ts=("ts", "max")).reset_index()
     for c in ("hits", "files", "pages", "sessions"):
         per_conv[c] = per_conv[c].astype(np.int64)
-    long = bucket_partials(ok, sess)
+    long = bucket_partials(ok, sess, shared_convs=shared)
     # row-count partials ride the long channel so the driver never has
     # to re-scan thousands of output files just to fill metrics.json
-    meta = _long_rows("_meta", ["ok", "seq"],
-                      np.array([len(ok), len(seq)], dtype=np.int64))
+    meta = _long_rows("_meta", ["ok", "seq", "sessions"],
+                      np.array([len(ok), len(seq), len(sess)],
+                               dtype=np.int64))
     return {"turns_ok": ok, "turns_seq": seq, "sessions": sess,
             "per_conv": per_conv,
             "long": pd.concat([long, meta], ignore_index=True)}
@@ -279,9 +328,7 @@ def make_bucket_task(out_dir: str, config: PipelineConfig):
         for _, row in batch.iterrows():
             d, k, rem = row["dir"], int(row["k"]), int(row["rem"])
             df = pads.dataset(d).to_table(columns=PASS2_COLS).to_pandas()
-            if k > 1:
-                df = df[sub_residue(df["conv_id"].to_numpy(), k) == rem]
-            res = process_bucket_frame(df, config)
+            res = process_bucket_frame(df, config, k=k, rem=rem)
             write_bucket_outputs(res, out_dir, _bucket_id(d), part=rem)
             longs.append(res["long"])
         out = pd.concat(longs, ignore_index=True) if longs else _empty_long()
@@ -330,6 +377,10 @@ def parse_enrich_dataset(source, config: PipelineConfig = DEFAULT_CONFIG,
     parsed = ds.map_batches(make_parse_fn(config, config.num_buckets),
                             batch_format="pyarrow", zero_copy_batch=True,
                             batch_size=config.parse_batch_size)
+    if use_actors and config.enrich_concurrency is None and ncpu < 2:
+        # a fixed actor pool on a 1-CPU cluster would hold the only CPU
+        # and starve the read/write tasks into deadlock
+        use_actors = False
     if use_actors:
         conc = config.enrich_concurrency
         if conc is None:
@@ -393,14 +444,16 @@ def _sum_sink(comb: pd.DataFrame, name: str, key_name: str,
 
 
 def finalize_sinks(long: pd.DataFrame, out_dir: str,
-                   config: PipelineConfig = DEFAULT_CONFIG) -> dict:
+                   config: PipelineConfig = DEFAULT_CONFIG,
+                   load_sessions: bool = True) -> dict:
     """Driver-side combine of per-bucket partials → finished sinks + top-N."""
-    # combine sum-style sinks across buckets (monthly_tools needs pair
-    # dedup first — tools span buckets)
-    pairs = long[long["sink"] == "monthly_tools"] \
-        .drop_duplicates(subset=["key", "sub"])
-    long = pd.concat([long[long["sink"] != "monthly_tools"], pairs],
-                     ignore_index=True)
+    # combine sum-style sinks across buckets. Pair-style sinks (one row
+    # per (key, member)) dedup FIRST: tools span buckets, and a
+    # session-split giant conv spans residue slices
+    is_pair = (long["sink"] == "monthly_tools") \
+        | long["sink"].str.endswith("_pairs")
+    pairs = long[is_pair].drop_duplicates(subset=["sink", "key", "sub"])
+    long = pd.concat([long[~is_pair], pairs], ignore_index=True)
     comb = (long.groupby(["sink", "key"], sort=True)
             .agg(hits=("hits", "sum"), files=("files", "sum"),
                  pages=("pages", "sum"), kb=("kb", "sum")).reset_index())
@@ -425,8 +478,13 @@ def finalize_sinks(long: pd.DataFrame, out_dir: str,
                                       cols=("hits",))
 
     def counts_of(name, key_name, alias):
-        f = _sum_sink(comb, name, key_name, cols=("hits",))
-        return f.rename(columns={"hits": alias})
+        """Exact per-slice counts + deduped pair counts (shared convs)."""
+        base = comb[comb["sink"].isin([name, name + "_pairs"])]
+        f = (base.groupby("key", as_index=False)["hits"].sum()
+             .rename(columns={"key": key_name, "hits": alias})
+             .sort_values(key_name, ignore_index=True))
+        f[alias] = f[alias].astype(np.int64)
+        return f
 
     daily = (daily.merge(counts_of("daily_convs", "date", "convs"),
                          on="date", how="left")
@@ -471,8 +529,19 @@ def finalize_sinks(long: pd.DataFrame, out_dir: str,
             return pd.DataFrame()
         return pads.dataset(p).to_table().to_pandas()
 
-    sinks["sessions"] = read_dir("sessions")
+    # the sessions TABLE is a product of pass 2 (Parquet on disk); pulling
+    # 10^6+ rows into the driver is a test convenience, not a pipeline
+    # step — callers that only need counts skip it (_meta carries them)
+    sinks["sessions"] = read_dir("sessions") if load_sessions \
+        else pd.DataFrame()
     per_conv_df = read_dir("per_conv")
+    if len(per_conv_df) and not per_conv_df["conv_id"].is_unique:
+        # session-split giant convs emit one per_conv part per slice
+        per_conv_df = per_conv_df.groupby("conv_id", as_index=False).agg(
+            hits=("hits", "sum"), files=("files", "sum"),
+            pages=("pages", "sum"), kb=("kb", "sum"),
+            sessions=("sessions", "max"), first_ts=("first_ts", "min"),
+            last_ts=("last_ts", "max"))
     sinks["per_conv"] = per_conv_df
 
     # top-N tables (K1–K3) with deterministic (metric desc, key asc) order
@@ -540,11 +609,13 @@ def _count_rows(path: str) -> int:
 def run_flagship(input_dir: str, out_dir: str,
                  config: PipelineConfig = DEFAULT_CONFIG,
                  lookups: tuple[dict, dict] | None = None,
-                 use_actors: bool = True) -> dict:
+                 use_actors: bool = True,
+                 load_sessions: bool = True) -> dict:
     """Full pipeline; returns {'metrics': ..., 'sinks': {...}}."""
     run_parse_pass(input_dir, out_dir, config, lookups, use_actors)
     long = run_bucket_pass(out_dir, config)
-    sinks = finalize_sinks(long, out_dir, config)
+    sinks = finalize_sinks(long, out_dir, config,
+                           load_sessions=load_sessions)
 
     parsed_dir = os.path.join(out_dir, "parsed")
     meta = sinks.get("_meta", {})
@@ -558,7 +629,8 @@ def run_flagship(input_dir: str, out_dir: str,
         "parsed": int(meta.get("ok", 0)),
     }
     metrics["ignored"] = metrics["ignored_pattern"] + metrics["ignored_seq"]
-    metrics["sessions"] = int(len(sinks["sessions"]))
+    metrics["sessions"] = int(meta.get("sessions",
+                                       len(sinks["sessions"])))
     metrics["convs"] = int(len(sinks["per_conv"]))
     with open(os.path.join(out_dir, "metrics.json"), "w") as f:
         json.dump(metrics, f, indent=2, default=str)
