@@ -601,9 +601,17 @@ def finalize_sinks(long: pd.DataFrame, out_dir: str,
 
 
 def _count_rows(path: str) -> int:
+    """Metadata-only row count, footers read on a thread pool (a serial
+    pads.dataset discovery over thousands of small files costs seconds)."""
     if not os.path.isdir(path):
         return 0
-    return pads.dataset(path).count_rows()
+    files = glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    if not files:
+        return 0
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(min(16, len(files))) as ex:
+        return sum(ex.map(lambda f: pq.ParquetFile(f).metadata.num_rows,
+                          files))
 
 
 def run_flagship(input_dir: str, out_dir: str,
