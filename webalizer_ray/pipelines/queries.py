@@ -815,6 +815,44 @@ def flagship_monthly_extremes(sf_dir: str) -> pd.DataFrame:
     out = _flagship_sinks(sf_dir)["monthly_extremes"].copy()
     return out.sort_values("month", ignore_index=True)
 
+
+@register("strict_seq_drops", sql="""
+SELECT user_id, CAST(SUM(CASE WHEN prev_max IS NOT NULL AND ts < prev_max
+                              THEN 1 ELSE 0 END) AS BIGINT) AS dropped
+FROM (SELECT user_id, ts,
+             MAX(ts) OVER (PARTITION BY user_id ORDER BY value, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS prev_max
+      FROM events)
+GROUP BY user_id""")
+def strict_seq_drops(sf_dir: str) -> pd.DataFrame:
+    """W4 out-of-sequence drop rule (webalizer.c sequence check ≈3460
+    [verify]): a record older than the per-stream running max timestamp
+    is dropped and counted (total_ignore analog). Vectorized per
+    user-hash bucket: running cummax over event_id order."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "value"])
+
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket_"] = (df["user_id"].to_numpy() % 32).astype(np.int32)
+        return df
+
+    def count_drops(g: pd.DataFrame) -> pd.DataFrame:
+        # "value" stands in for an out-of-order replay feed
+        g = g.sort_values(["user_id", "value", "event_id"], kind="mergesort")
+        runmax = g.groupby("user_id", sort=False)["ts"].cummax()
+        first = ~g["user_id"].duplicated()
+        dropped = (g["ts"] < runmax) & ~first
+        out = dropped.groupby(g["user_id"], sort=False).sum() \
+            .rename("dropped").reset_index()
+        out["dropped"] = out["dropped"].astype(np.int64)
+        return out
+
+    out = (ds.map_batches(with_bucket, batch_format="pandas")
+           .groupby("bucket_").map_groups(count_drops, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("user_id", ignore_index=True)
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
