@@ -1,8 +1,8 @@
 """Benchmark harness (SURVEY.md §6; BASELINE.json metric).
 
 Headline: the flagship parse→enrich→route→sessionize→aggregate pipeline
-over a deterministic synthetic transcript table (~1.2M turns, seed=42,
-cached under /tmp so both scaling levels read the SAME input), reported
+over a deterministic synthetic transcript table (~13M turns, seed=42,
+cached under /tmp so all scaling levels read the SAME input), reported
 as wall seconds + turns/sec. Also times representative driver queries
 over $GRAFT_SF_DIR (default /root/testdata/sf0.1).
 
@@ -10,9 +10,9 @@ Prints ONE JSON line:
   {"metric": ..., "value": <headline sec>, "unit": "sec",
    "queries": {...}, "sf": ..., "num_cpus": N, "turns_per_sec": ...}
 
---scaling: runs the plain bench twice in FRESH subprocesses at
-RAY_GRAFT_CPUS=8 and =32 (the sandbox stand-in for N vs 4N nodes) and
-prints both throughputs + scaling efficiency = (t_8 / t_32) / 4.
+--scaling: runs the headline in FRESH subprocesses at num_cpus 2, 8 and
+32 (sandbox stand-in for N vs 4N nodes) and prints throughput at each
+level plus the N-vs-4N efficiency pairs (2→8 and 8→32).
 """
 
 from __future__ import annotations
@@ -26,8 +26,8 @@ import sys
 import tempfile
 import time
 
-BENCH_FIXTURE = "/tmp/wr_bench_fixture_v4"
-BENCH_CONVS = 1_200_000       # ~29M turns incl. hot + giant convs; sized so
+BENCH_FIXTURE = "/tmp/wr_bench_fixture_v3"
+BENCH_CONVS = 600_000         # ~13M turns incl. hot + giant convs; sized so
 #                               parallel compute dominates the fixed seconds
 #                               of job/actor-pool startup (the 100 TB regime)
 SF_DEFAULT = "/root/testdata/sf0.1"
