@@ -90,3 +90,36 @@ def test_session_partials_combine_equals_direct(lookups):
             else combined[col]
         assert (np.asarray(a) == np.asarray(b)).all(), col
     assert np.allclose(direct["kb"], combined["kb"])
+
+
+def test_ivf_topk_recall_and_exact_cosines(ray_session):
+    """IVF returns true cosines for whatever it returns, with decent
+    recall vs the exact brute-force baseline."""
+    import ray.data as rd
+
+    from webalizer_ray.stages import ann
+
+    rng = np.random.default_rng(5)
+    n, d = 400, 16
+    vecs = rng.standard_normal((n, d))
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": list(vecs)})
+    ds = rd.from_pandas(df).repartition(4)
+    queries = vecs[:3]
+    exact = ann.brute_force_topk(ds, queries, k=5)
+    approx = ann.ivf_topk(ds, queries, k=5)
+    # self-match must be rank 1 (query vectors are in the dataset and a
+    # query always probes its own cell)
+    r1 = approx[approx["rank"] == 1]
+    assert list(r1["vec_id"]) == [0, 1, 2]
+    hits = 0
+    for qi in range(3):
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        a = set(approx[approx["query_id"] == qi]["vec_id"])
+        hits += len(e & a)
+    assert hits / 15 >= 0.5   # recall@5 with 16 cells / 4 probes
+    # returned cosines are TRUE cosines (IVF never approximates scores)
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    for _, row in approx.iterrows():
+        true = round(float(vn[int(row["query_id"])] @ vn[int(row["vec_id"])]), 9)
+        assert abs(row["cosine"] - true) < 1e-9

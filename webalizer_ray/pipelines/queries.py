@@ -853,6 +853,21 @@ def strict_seq_drops(sf_dir: str) -> pd.DataFrame:
            .to_pandas())
     return out.sort_values("user_id", ignore_index=True)
 
+
+@register("ann_topk_ivf")
+def ann_topk_ivf(sf_dir: str) -> pd.DataFrame:
+    """IVF-cell approximate variant of ann_topk (scale path #2)."""
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    qtbl = tbl.filter(pc.less(tbl["vec_id"], 3))
+    qids = np.asarray(qtbl["vec_id"])
+    queries = np.stack(qtbl["embedding"].to_pandas().to_numpy())
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    out = ann.ivf_topk(ds, queries, k=5)
+    out["query_id"] = qids[out["query_id"].to_numpy()]
+    return out.sort_values(["query_id", "rank"], ignore_index=True)
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

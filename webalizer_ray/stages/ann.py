@@ -128,3 +128,74 @@ def lsh_bucket_topk(ds: rd.Dataset, queries: np.ndarray, k: int = 5,
     out = partials.groupby("query_id", sort=True).head(k).reset_index(drop=True)
     out["rank"] = out.groupby("query_id").cumcount().astype(np.int64) + 1
     return out
+
+
+def ivf_topk(ds: rd.Dataset, queries: np.ndarray, k: int = 5,
+             n_centroids: int = 16, n_probe: int = 4, n_iter: int = 10,
+             sample_rows: int = 4096, seed: int = 7,
+             id_col: str = "vec_id", vec_col: str = "embedding"
+             ) -> pd.DataFrame:
+    """Approximate top-k via an IVF coarse quantizer (k-means cells).
+
+    Train: Lloyd iterations on a driver-side sample (deterministic —
+    first ``sample_rows`` rows, seeded init). Search: centroids are
+    broadcast; every batch assigns its vectors to their nearest cell and
+    multiplies only against the queries probing that cell (each query
+    probes its ``n_probe`` nearest cells). Same shape as a FAISS
+    IVF-Flat scan, expressed as a per-batch combiner + tiny top-k merge.
+    Recall < 1 by construction; brute_force_topk is the parity baseline.
+    """
+    rng = np.random.default_rng(seed)
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+
+    sample = ds.limit(sample_rows).to_pandas()
+    train = _normalize(np.stack(sample[vec_col].to_numpy())
+                       .astype(np.float64))
+    n_centroids = min(n_centroids, len(train))
+    cents = train[rng.choice(len(train), n_centroids, replace=False)]
+    for _ in range(n_iter):
+        assign = np.argmax(train @ cents.T, axis=1)
+        for c in range(n_centroids):
+            m = assign == c
+            if m.any():
+                cents[c] = train[m].mean(axis=0)
+        cents = _normalize(cents)
+
+    # per-query probe lists: the n_probe nearest cells
+    qsims = qn @ cents.T
+    probe = np.argsort(-qsims, axis=1)[:, :min(n_probe, n_centroids)]
+    probe_sets = {qi: set(map(int, probe[qi])) for qi in range(len(qn))}
+    q_ref = ray.put((qn, cents, probe_sets))
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        q, C, psets = ray.get(q_ref)
+        mat = _normalize(np.stack(df[vec_col].to_numpy())
+                         .astype(np.float64))
+        cell = np.argmax(mat @ C.T, axis=1)
+        ids = df[id_col].to_numpy()
+        frames = []
+        for qi, mine in psets.items():
+            mask = np.isin(cell, list(mine))
+            if not mask.any():
+                continue
+            sims = np.round(mat[mask] @ q[qi], 9)
+            sel = ids[mask]
+            kk = min(k, len(sel))
+            top = np.argpartition(-sims, kk - 1)[:kk]
+            frames.append(pd.DataFrame({
+                "query_id": np.full(kk, qi, dtype=np.int64),
+                id_col: sel[top], "cosine": sims[top]}))
+        if not frames:
+            return pd.DataFrame({"query_id": pd.Series(dtype=np.int64),
+                                 id_col: pd.Series(dtype=np.int64),
+                                 "cosine": pd.Series(dtype=np.float64)})
+        return pd.concat(frames, ignore_index=True)
+
+    partials = ds.map_batches(local_topk, batch_format="pandas").to_pandas()
+    partials = partials.sort_values(
+        ["query_id", "cosine", id_col], ascending=[True, False, True],
+        kind="mergesort")
+    out = partials.groupby("query_id", sort=True).head(k) \
+        .reset_index(drop=True)
+    out["rank"] = out.groupby("query_id").cumcount().astype(np.int64) + 1
+    return out
