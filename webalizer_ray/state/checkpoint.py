@@ -44,6 +44,11 @@ Commit ordering guarantees: outputs → partial → manifest (the manifest is
 the commit point, written tmp+rename). A kill at ANY point leaves either
 an uncommitted unit/bucket (fully recomputed on resume, outputs
 overwritten deterministically) or a committed one (skipped entirely).
+
+Note: the resumable path processes each bucket as ONE task (no hot-bucket
+residue fan-out) — lineage identity is simplest at bucket granularity and
+resume correctness dominates; flagship.run_bucket_pass has the k-split
+fast path for non-resumable runs.
 """
 
 from __future__ import annotations
