@@ -868,6 +868,47 @@ def ann_topk_ivf(sf_dir: str) -> pd.DataFrame:
     out["query_id"] = qids[out["query_id"].to_numpy()]
     return out.sort_values(["query_id", "rank"], ignore_index=True)
 
+
+@register("tumbling_6h_events", sql="""
+SELECT CAST(epoch_us(ts) // 21600000000 AS BIGINT) AS win, COUNT(*) AS hits,
+       ROUND(SUM(value), 2) AS value_sum
+FROM events GROUP BY win""")
+def tumbling_6h_events(sf_dir: str) -> pd.DataFrame:
+    """Tumbling 6-hour window aggregate (generalizes the reference's
+    fixed hourly/daily/monthly tumbling tables to arbitrary widths)."""
+    def win(batch: pa.Table) -> pa.Table:
+        epoch = pc.cast(batch["ts"], pa.int64())  # µs since epoch
+        w = pc.divide(epoch, 21_600_000_000)
+        return batch.append_column("win", pc.cast(w, pa.int64()))
+
+    ds = _events(sf_dir, ["ts", "value"]).map_batches(
+        win, batch_format="pyarrow")
+    out = reduce_sink(ds, ["win"], {"hits": ("ts", "size"),
+                                    "value_sum": ("value", "sum")}).to_pandas()
+    out["value_sum"] = out["value_sum"].round(2)
+    return out.sort_values("win", ignore_index=True)
+
+
+@register("rolling_7d_events", sql="""
+WITH d AS (SELECT strftime(ts, '%Y-%m-%d') AS date, COUNT(*) AS hits
+           FROM events GROUP BY date)
+SELECT date, hits,
+       CAST(SUM(hits) OVER (ORDER BY date
+                            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS hits_7d
+FROM d""")
+def rolling_7d_events(sf_dir: str) -> pd.DataFrame:
+    """Sliding 7-day window over the DAILY aggregate: the distributed
+    part collapses to one row per day (reduce_sink), then the window
+    runs over the tiny result — a rolling window never needs to touch
+    the wide data."""
+    ds = _events(sf_dir, ["ts"]).map_batches(
+        _with_time_cols({"date"}), batch_format="pyarrow")
+    d = reduce_sink(ds, ["date"], {"hits": ("ts", "size")}).to_pandas() \
+        .sort_values("date", ignore_index=True)
+    d["hits_7d"] = d["hits"].rolling(7, min_periods=1).sum().astype(np.int64)
+    return d[["date", "hits", "hits_7d"]]
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
