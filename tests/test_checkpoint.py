@@ -183,3 +183,27 @@ def test_routed_rows_equal_after_resume(ray_session, small_fixture, lookups,
                 .sort_values(["conv_id", "turn_idx"], ignore_index=True))
 
     pd.testing.assert_frame_equal(routed(out), routed(baseline["out_dir"]))
+
+
+def test_same_size_rewrite_forces_recompute(ray_session, small_fixture,
+                                            lookups, tmp_path_factory):
+    """A same-size in-place rewrite of an input file must invalidate its
+    unit (digest includes mtime; code-review regression)."""
+    import time as _time
+    stage = tmp_path_factory.mktemp("ckpt_rewrite")
+    in_dir = str(stage / "in")
+    os.makedirs(os.path.join(in_dir, "turns"))
+    for f in glob.glob(os.path.join(small_fixture, "turns", "*.parquet")):
+        shutil.copy(f, os.path.join(in_dir, "turns"))
+    out = str(stage / "out")
+    ckpt.run_flagship_resumable(in_dir, out, CFG, lookups=lookups,
+                                use_actors=False)
+    victim = sorted(glob.glob(os.path.join(in_dir, "turns",
+                                           "*.parquet")))[0]
+    _time.sleep(0.01)
+    data = open(victim, "rb").read()
+    with open(victim, "wb") as f:    # identical bytes, new mtime
+        f.write(data)
+    res = ckpt.run_flagship_resumable(in_dir, out, CFG, lookups=lookups,
+                                      use_actors=False)
+    assert len(res["resume"]["pass1"]["recomputed"]) == 1

@@ -97,3 +97,50 @@ def test_rawlog_feeds_flagship(ray_session, tiny_fixture, lookups, tmp_path):
         a = out_pq["sinks"][sink].reset_index(drop=True)
         b = out_log["sinks"][sink].reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_uncastable_values_route_bad_not_crash(ray_session, tmp_path):
+    """Lines that LOOK structured but carry uncastable values (bad date,
+    int32-overflowing turn_idx, oversized epoch) must route to bad, not
+    crash the job (code-review regression)."""
+    log_dir = str(tmp_path / "badvals")
+    os.makedirs(log_dir)
+    with open(os.path.join(log_dir, "part-0.log"), "w") as f:
+        f.write('c1 [2024-01-01T00:00:00.000000] 0 user - "good"\n')
+        f.write('c1 [not-a-date] 1 user - "terminated quote"\n')
+        f.write('c1 [2024-01-01T00:00:01.000000] 99999999999 user - "idx"\n')
+    df = rawlog.read_transcript_log(log_dir, "clf", include_bad=True) \
+        .to_pandas()
+    assert (df["route"] == "bad").sum() == 2
+    assert (df["route"] == "ok").sum() == 1
+
+    sq = str(tmp_path / "sq")
+    os.makedirs(sq)
+    with open(os.path.join(sq, "part-0.log"), "w") as f:
+        f.write('1704067200000000 c1 0 user - "good"\n')
+        f.write('99999999999999999999999999 c1 1 user - "epoch overflow"\n')
+    df = rawlog.read_transcript_log(sq, "squid", include_bad=True).to_pandas()
+    assert (df["route"] == "bad").sum() == 1
+
+
+def test_w3c_mismatched_headers_rejected(ray_session, tmp_path):
+    log_dir = str(tmp_path / "w3c2")
+    os.makedirs(log_dir)
+    with open(os.path.join(log_dir, "a.log"), "w") as f:
+        f.write("#Fields: conv_id turn_idx role tool ts text\nx\n")
+    with open(os.path.join(log_dir, "b.log"), "w") as f:
+        f.write("#Fields: ts conv_id turn_idx role tool text\nx\n")
+    with pytest.raises(ValueError, match="disagree"):
+        rawlog.read_transcript_log(log_dir, "w3c")
+
+
+def test_nonresume_out_dir_reuse_refused(ray_session, tiny_fixture, lookups,
+                                         tmp_path):
+    from webalizer_ray.config import PipelineConfig
+    from webalizer_ray.pipelines.flagship import run_flagship
+    cfg = PipelineConfig(num_buckets=4)
+    out = str(tmp_path / "o")
+    run_flagship(tiny_fixture, out, cfg, lookups=lookups, use_actors=False)
+    with pytest.raises(FileExistsError, match="resumable"):
+        run_flagship(tiny_fixture, out, cfg, lookups=lookups,
+                     use_actors=False)

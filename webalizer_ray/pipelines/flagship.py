@@ -154,11 +154,11 @@ def bucket_partials(ok: pd.DataFrame, sess: pd.DataFrame,
                                  tc.to_numpy()))
     # conv-distinct counts: exact for convs wholly owned by this slice;
     # pair rows (deduped at finalize) for session-split shared convs
-    shared_mask = (ok["conv_id"].isin(shared_convs).to_numpy()
-                   if shared_convs else np.zeros(len(ok), dtype=bool))
+    has_shared = bool(shared_convs) and \
+        ok["conv_id"].isin(shared_convs).any()
     for sink, key in CONV_DISTINCT_SPECS.items():
         d = ok[[key, "conv_id"]].dropna()
-        if shared_mask.any():
+        if has_shared:
             dm = d["conv_id"].isin(shared_convs).to_numpy()
             own, sh = d[~dm], d[dm]
         else:
@@ -221,7 +221,6 @@ def process_bucket_frame(df: pd.DataFrame,
             keep = np.where(
                 is_sh, np.where(sid >= 0, sid % k == rem, rem == 0), keep)
         turns = turns[keep]
-        shared = {c for c in shared} if shared else set()
     seqmask = turns["seq_drop"].to_numpy()
     if seqmask.any():
         seq = turns[seqmask].drop(columns=["seq_drop"])
@@ -361,8 +360,8 @@ def parse_enrich_dataset(source, config: PipelineConfig = DEFAULT_CONFIG,
     ``source`` is a fixture dir (str) or an explicit list of parquet file
     paths (the unit-granular entry used by state/checkpoint.py).
     """
-    ncpu = int(ray.cluster_resources().get("CPU", 8)) \
-        if ray.is_initialized() else 8
+    ray_up = ray.is_initialized()
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray_up else 8
     # split the read into ~2 blocks per core — with a handful of large
     # input files the default one-block-per-file caps pass-1 parallelism
     nblocks = 2 * ncpu
@@ -377,13 +376,19 @@ def parse_enrich_dataset(source, config: PipelineConfig = DEFAULT_CONFIG,
     parsed = ds.map_batches(make_parse_fn(config, config.num_buckets),
                             batch_format="pyarrow", zero_copy_batch=True,
                             batch_size=config.parse_batch_size)
-    if use_actors and config.enrich_concurrency is None and ncpu < 2:
+    if use_actors and config.enrich_concurrency is None and ray_up \
+            and ncpu < 2:
         # a fixed actor pool on a 1-CPU cluster would hold the only CPU
         # and starve the read/write tasks into deadlock
         use_actors = False
     if use_actors:
         conc = config.enrich_concurrency
-        if conc is None:
+        if conc is None and not ray_up:
+            # cluster size unknown until Ray auto-inits at execution: an
+            # AUTOSCALING pool can never deadlock (min 1 actor, tasks
+            # keep their share); a fixed guess could starve a small box
+            conc = (1, 8)
+        elif conc is None:
             # FIXED pool sized to ~3/4 of the cluster: the parse stage
             # fuses into this operator, and an autoscaling (min,max) pool
             # ramps too slowly to reach max within a short job; the
@@ -408,9 +413,17 @@ def run_parse_pass(input_dir: str, out_dir: str,
                    lookups: tuple[dict, dict] | None = None,
                    use_actors: bool = True) -> None:
     """Pass 1: parse + enrich + route/bucket-partitioned write."""
+    parsed_dir = os.path.join(out_dir, "parsed")
+    if os.path.isdir(parsed_dir) and os.listdir(parsed_dir):
+        # write_parquet APPENDS uuid-named files: rerunning into a used
+        # out dir would silently double every row. Repeated runs belong
+        # to the resumable path (state/checkpoint.py), which commits and
+        # skips partitions instead.
+        raise FileExistsError(
+            f"{parsed_dir} already holds a run; use a fresh --out dir or "
+            "the resumable mode (run --resume)")
     parsed = parse_enrich_dataset(input_dir, config, lookups, use_actors)
-    parsed.write_parquet(os.path.join(out_dir, "parsed"),
-                         partition_cols=["route", "bucket"])
+    parsed.write_parquet(parsed_dir, partition_cols=["route", "bucket"])
 
 
 def run_bucket_pass(out_dir: str,

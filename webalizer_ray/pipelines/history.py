@@ -19,18 +19,12 @@ from __future__ import annotations
 import os
 
 import pandas as pd
-import pyarrow as pa
 import pyarrow.parquet as pq
+
+from webalizer_ray.pipelines.flagship import _write_atomic as _atomic
 
 HISTORY_COLS = ["month", "hits", "files", "pages", "kb", "convs",
                 "sessions", "first_date", "last_date"]
-
-
-def _atomic(df: pd.DataFrame, path: str) -> None:
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    tmp = path + ".tmp"
-    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), tmp)
-    os.replace(tmp, path)
 
 
 def history_rows(monthly: pd.DataFrame, daily: pd.DataFrame) -> pd.DataFrame:

@@ -110,8 +110,9 @@ def cmd_history(args) -> int:
 def cmd_lookup(args) -> int:
     """wcmgr analog: manage the enrichment lookup Parquet tables."""
     import pandas as pd
-    import pyarrow as pa
     import pyarrow.parquet as pq
+
+    from webalizer_ray.pipelines.flagship import _write_atomic
 
     path = args.table
     key, val = ("tool", "category") if "tool" in os.path.basename(path) \
@@ -132,9 +133,7 @@ def cmd_lookup(args) -> int:
     elif args.op == "export":
         df.to_csv(args.value or "/dev/stdout", index=False)
         return 0
-    tmp = path + ".tmp"
-    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), tmp)
-    os.replace(tmp, path)
+    _write_atomic(df, path)
     print(f"{args.op}: {len(df)} entries")
     return 0
 

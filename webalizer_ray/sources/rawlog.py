@@ -33,7 +33,6 @@ from __future__ import annotations
 
 import gzip
 import os
-import uuid
 
 import numpy as np
 import pyarrow as pa
@@ -48,10 +47,19 @@ TURN_SCHEMA = pa.schema([
 ])
 
 _QTEXT = r'"(?P<text>(?:[^"\\]|\\.)*)"'
+#: Typed sub-patterns: the regex admits ONLY castable values, so a line
+#: with a malformed date / overflowing index routes to bad instead of
+#: crashing the cast ("\d+" alone would match e.g. an 11-digit turn_idx
+#: that overflows int32).
+_TS = r'\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d{1,6})?'
+_IDX = r'\d{1,9}'          # < 2^31
+_EPOCH = r'\d{1,18}'       # < 2^63 µs
 
-CLF_PATTERN = (r'^(?P<conv_id>\S+) \[(?P<ts>[^\]]+)\] (?P<turn_idx>\d+) '
+CLF_PATTERN = (rf'^(?P<conv_id>\S+) \[(?P<ts>{_TS})\] '
+               rf'(?P<turn_idx>{_IDX}) '
                r'(?P<role>\S+) (?P<tool>\S+) ' + _QTEXT + r'$')
-SQUID_PATTERN = (r'^(?P<ts>\d+) (?P<conv_id>\S+) (?P<turn_idx>\d+) '
+SQUID_PATTERN = (rf'^(?P<ts>{_EPOCH}) (?P<conv_id>\S+) '
+                 rf'(?P<turn_idx>{_IDX}) '
                  r'(?P<role>\S+) (?P<tool>\S+) ' + _QTEXT + r'$')
 
 W3C_FIELDS = ["conv_id", "turn_idx", "role", "tool", "ts", "text"]
@@ -186,8 +194,13 @@ def _parse_squid(lines: pa.ChunkedArray) -> pa.Table:
 
 def _w3c_pattern(fields: list[str]) -> str:
     """Generate the positional grok pattern from a #Fields header —
-    the analog of parse_record_w3c()'s header-driven field map."""
-    return "^" + " ".join(rf"(?P<{f}>\S+)" for f in fields) + "$"
+    the analog of parse_record_w3c()'s header-driven field map. The
+    ts/turn_idx positions use typed sub-patterns so uncastable values
+    route to bad rather than crash."""
+    typed = {"ts": _TS, "turn_idx": _IDX}
+    default = r"\S+"
+    return "^" + " ".join(rf"(?P<{f}>{typed.get(f, default)})"
+                          for f in fields) + "$"
 
 
 def _make_parse_w3c(fields: list[str]):
@@ -233,7 +246,16 @@ def write_transcript_log(turns: rd.Dataset, out_dir: str, fmt: str = "clf",
         lines = fmt_fn(tbl)
         body = header + "\n".join(lines.to_pylist()) + "\n" if tbl.num_rows \
             else header
-        name = f"part-{uuid.uuid4().hex}.log" + (".gz" if compress else "")
+        # deterministic per-block name (content hash): a retried task
+        # overwrites its own shard instead of appending a duplicate
+        import hashlib
+        key = hashlib.sha1()
+        if tbl.num_rows:
+            key.update(str(tbl["conv_id"][0]).encode())
+            key.update(str(tbl["turn_idx"][0]).encode())
+            key.update(str(tbl.num_rows).encode())
+        name = f"part-{key.hexdigest()[:16]}.log" + (".gz" if compress
+                                                     else "")
         path = os.path.join(out_dir, name)
         if compress:
             with gzip.open(path + ".tmp", "wt", encoding="utf-8") as f:
@@ -265,10 +287,23 @@ def read_transcript_log(path: str, fmt: str = "clf",
     route them to a bad sink, P15 style).
     """
     if fmt == "w3c":
-        files = sorted(f for f in os.listdir(path) if f.startswith("part-")) \
-            if os.path.isdir(path) else [os.path.basename(path)]
         base = path if os.path.isdir(path) else os.path.dirname(path)
-        parse = _make_parse_w3c(_peek_w3c_fields(os.path.join(base, files[0])))
+        files = sorted(f for f in os.listdir(base)
+                       if not f.startswith(".")) \
+            if os.path.isdir(path) else [os.path.basename(path)]
+        if not files:
+            raise ValueError(f"no log files under {path}")
+        # one #Fields order must hold for the whole dir (the vectorized
+        # pattern is generated once); verify every header up front
+        headers = {f: _peek_w3c_fields(os.path.join(base, f))
+                   for f in files}
+        first = headers[files[0]]
+        bad = [f for f, h in headers.items() if h != first]
+        if bad:
+            raise ValueError(
+                f"w3c shards disagree on #Fields order: {bad[:3]} differ "
+                f"from {files[0]}; ingest them separately")
+        parse = _make_parse_w3c(first)
     else:
         parse = FORMATS[fmt][1]
 

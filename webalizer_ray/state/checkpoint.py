@@ -137,11 +137,17 @@ def plan_units(input_dir: str) -> list[dict]:
     units = []
     for f in files:
         base = os.path.basename(f)
+        st = os.stat(f)
         units.append({
             "unit": _digest([base]),
             "inputs": [base],
             "paths": [f],
-            "digest": _digest([(base, os.path.getsize(f))]),
+            # size + mtime_ns: a same-size in-place rewrite still forces
+            # recompute. Known limitation (documented, mirrors feeding a
+            # renamed log to the reference without its watermark): a
+            # ROTATED file re-fed under a new name is a new unit and
+            # would double-count — feed stable file names.
+            "digest": _digest([(base, st.st_size, st.st_mtime_ns)]),
         })
     return units
 
@@ -273,6 +279,26 @@ def run_bucket_pass_resumable(out_dir: str,
                               ) -> tuple[pd.DataFrame, dict]:
     """Sessionize+aggregate uncommitted/stale buckets; load the rest."""
     lineage = _bucket_lineage(out_dir)
+    # drop row-level outputs of buckets no longer in lineage (an input
+    # unit was rewritten away): finalize's recursive reads must see only
+    # live partitions or sessions/per_conv would disagree with the
+    # lineage-filtered small sinks
+    live = {f"bucket={b:05d}" for b in lineage}
+    for sub in ("turns/route=ok", "turns/route=seq", "sessions",
+                "per_conv"):
+        for d in glob.glob(os.path.join(out_dir, sub, "bucket=*")):
+            if os.path.basename(d) not in live:
+                shutil.rmtree(d, ignore_errors=True)
+    for b in list(lineage):
+        man = _read_json(_pass2_manifest_path(out_dir, b))
+        if man and sorted(map(list, man.get("lineage", []))) != lineage[b]:
+            # stale bucket: clear its outputs so a recompute that writes
+            # fewer parts (e.g. no seq rows this time) leaves no orphans
+            for sub in ("turns/route=ok", "turns/route=seq", "sessions",
+                        "per_conv"):
+                shutil.rmtree(os.path.join(out_dir, sub,
+                                           f"bucket={b:05d}"),
+                              ignore_errors=True)
     todo, cached = [], []
     for bucket, lin in sorted(lineage.items()):
         man = _read_json(_pass2_manifest_path(out_dir, bucket))
