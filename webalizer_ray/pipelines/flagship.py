@@ -395,10 +395,17 @@ def parse_enrich_dataset(source, config: PipelineConfig = DEFAULT_CONFIG,
             # remaining CPUs keep the read/write task operators fed
             # (a full-size pool starves them into deadlock)
             conc = max(1, ncpu - max(1, ncpu // 4))
+        # broadcast: ObjectRef for big tables (read once per actor), by
+        # VALUE for small ones — ObjectRef constructor args break actor
+        # restarts if the ref is lost (ray#53727), so don't pay that
+        # fragility for a few-KB dict
+        big = (len(tc) + len(rg)) > 100_000
+        tc_arg = ray.put(tc) if big else tc
+        rg_arg = ray.put(rg) if big else rg
         parsed = parsed.map_batches(
             EnrichActor, batch_format="pyarrow",
             fn_constructor_kwargs=dict(
-                tool_categories=ray.put(tc), role_groups=ray.put(rg),
+                tool_categories=tc_arg, role_groups=rg_arg,
                 unresolved=config.unresolved_category),
             concurrency=conc, num_cpus=1)
     else:
