@@ -909,6 +909,30 @@ def rolling_7d_events(sf_dir: str) -> pd.DataFrame:
     d["hits_7d"] = d["hits"].rolling(7, min_periods=1).sum().astype(np.int64)
     return d[["date", "hits", "hits_7d"]]
 
+
+@register("mktsegment_order_totals", sql="""
+SELECT c_mktsegment, COUNT(*) AS orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment""")
+def mktsegment_order_totals(sf_dir: str) -> pd.DataFrame:
+    """Distributed hash join (Dataset.join) — beyond the reference,
+    which has no relational joins (SURVEY.md §2.4): orders ⋈ customer
+    on custkey, then the standard partial-combine aggregate. For a
+    small build side prefer the broadcast-dict pattern (J1/J2); this
+    exercises the real shuffle join for when both sides are big."""
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+    joined = orders.join(cust, join_type="inner", num_partitions=8,
+                         on=("o_custkey",), right_on=("c_custkey",))
+    out = reduce_sink(joined, ["c_mktsegment"],
+                      {"orders": ("o_custkey", "size"),
+                       "total_price": ("o_totalprice", "sum")}).to_pandas()
+    out["total_price"] = out["total_price"].round(2)
+    return out.sort_values("c_mktsegment", ignore_index=True)
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
