@@ -132,10 +132,10 @@ def run_scaling(sf_dir: str, levels: tuple = (2, 8, 32)) -> dict:
                 best = r
         return best
 
-    # the lowest level is compute-dominated (stable) and the longest —
-    # one run there, best-of-2 where fixed latencies make runs noisy
-    runs = {n: sub(n, repeats=1 if n == min(levels) else 2)
-            for n in levels}
+    # best-of-2 at EVERY level: single measurements at any level have
+    # been observed to swing ±50% on this shared host, flipping which
+    # pair looks good run to run
+    runs = {n: sub(n, repeats=2) for n in levels}
     out = {
         "metric": "scaling efficiency T(N)/(4*T(4N)), same input, fresh "
                   f"ray sessions at num_cpus={list(levels)} (sandbox "
