@@ -207,3 +207,39 @@ def test_same_size_rewrite_forces_recompute(ray_session, small_fixture,
     res = ckpt.run_flagship_resumable(in_dir, out, CFG, lookups=lookups,
                                       use_actors=False)
     assert len(res["resume"]["pass1"]["recomputed"]) == 1
+
+
+def test_deleted_input_is_retired(ray_session, small_fixture, lookups,
+                                  tmp_path_factory):
+    """Deleting an input log file must RETIRE its unit on resume: its rows
+    leave every sink (lineage differs → recompute), matching the
+    reference's state-re-derived-from-the-fed-log contract."""
+    stage = tmp_path_factory.mktemp("ckpt_retire")
+    in_dir = str(stage / "in")
+    os.makedirs(os.path.join(in_dir, "turns"))
+    for f in glob.glob(os.path.join(small_fixture, "*.parquet")):
+        shutil.copy(f, in_dir)
+    files = sorted(glob.glob(os.path.join(small_fixture, "turns",
+                                          "*.parquet")))
+    for f in files:
+        shutil.copy(f, os.path.join(in_dir, "turns"))
+    out = str(stage / "out")
+    ckpt.run_flagship_resumable(in_dir, out, CFG, lookups=lookups,
+                                use_actors=False)
+    # remove one input file and resume
+    victim = sorted(glob.glob(os.path.join(in_dir, "turns",
+                                           "*.parquet")))[0]
+    os.remove(victim)
+    res = ckpt.run_flagship_resumable(in_dir, out, CFG, lookups=lookups,
+                                      use_actors=False)
+    assert len(res["resume"]["pass1"]["retired"]) == 1
+    retired_unit = res["resume"]["pass1"]["retired"][0]
+    assert not os.path.isdir(os.path.join(out, "parsed",
+                                          f"unit={retired_unit}"))
+    assert not os.path.exists(
+        ckpt._pass1_manifest_path(out, retired_unit))
+    # sinks must equal a FRESH run over the reduced input set
+    fresh_out = str(stage / "fresh")
+    fresh = ckpt.run_flagship_resumable(in_dir, fresh_out, CFG,
+                                        lookups=lookups, use_actors=False)
+    _assert_sinks_equal(res, fresh)

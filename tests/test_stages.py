@@ -9,6 +9,10 @@ import pytest
 from webalizer_ray.stages.multimodal import (
     DecodeImage,
     FrameSample,
+    decode_bmp,
+    decode_ppm,
+    encode_bmp,
+    encode_ppm,
     synth_media_table,
 )
 
@@ -25,12 +29,40 @@ def test_decode_image_deterministic_and_shaped():
     assert feats[0] == dec(tbl.slice(0, 1))["features"].to_pylist()[0]
 
 
+def test_ppm_bmp_roundtrip():
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (11, 7, 3), dtype=np.uint8)
+    assert (decode_ppm(encode_ppm(px)) == px).all()
+    assert (decode_bmp(encode_bmp(px)) == px).all()
+    # PPM comments in the header are skipped per the netpbm spec
+    with_comment = b"P6\n# a comment\n7 11\n255\n" + px.tobytes()
+    assert (decode_ppm(with_comment) == px).all()
+
+
+def test_decode_image_real_pixels_expected_values():
+    """Features over REAL encoded pixels match the closed-form values."""
+    import pyarrow as pa
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    px[:2] = [255, 0, 0]          # half pure red, half black
+    for payload in (encode_ppm(px), encode_bmp(px)):
+        tbl = pa.table({"media_id": [0], "kind": ["image"],
+                        "payload": pa.array([payload], pa.large_binary())})
+        f = np.asarray(
+            DecodeImage(feature_dim=7)(tbl)["features"].to_pylist()[0])
+        assert np.allclose(f[:3], [0.5, 0.0, 0.0])     # channel means /255
+        # grayscale: 8 px at 85.0, 8 at 0.0 → bins 0 and 1 of 4 get 0.5
+        assert np.allclose(f[3:], [0.5, 0.5, 0.0, 0.0])
+
+
 def test_decode_image_stub_raises_without_codec():
-    tbl = synth_media_table(n=2, seed=7)
+    import pyarrow as pa
+    fake = pa.table({"media_id": [0], "kind": ["image"],
+                     "payload": pa.array([b"\x89PNG fake compressed"],
+                                         pa.large_binary())})
     with pytest.raises(NotImplementedError):
-        DecodeImage()(tbl)
+        DecodeImage()(fake)
     with pytest.raises(NotImplementedError):
-        FrameSample()(tbl)
+        FrameSample()(fake)
 
 
 def test_frame_sample_flatmap_shape():

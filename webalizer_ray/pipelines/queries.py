@@ -129,10 +129,14 @@ def top_event_types(sf_dir: str) -> pd.DataFrame:
 @register("distinct_users", sql="""
 SELECT COUNT(DISTINCT user_id) AS users FROM events""")
 def distinct_users(sf_dir: str) -> pd.DataFrame:
-    ds = _events(sf_dir, ["user_id"])
-    d = (ds.map_batches(lambda df: df.drop_duplicates(), batch_format="pandas")
-         .unique("user_id"))
-    return pd.DataFrame({"users": np.array([len(d)], dtype=np.int64)})
+    """Global exact distinct via the two-phase distinct_count with a
+    constant key — per-batch dedup, hash-bucketed global dedup + count,
+    tiny sum of disjoint partials. The distinct VALUES never gather on
+    the driver (10^9 users would not fit)."""
+    ds = _events(sf_dir, ["user_id"]).map_batches(
+        lambda df: df.assign(_g=np.int32(0)), batch_format="pandas")
+    out = distinct_count(ds, ["_g"], "user_id", "users").to_pandas()
+    return pd.DataFrame({"users": out["users"].astype(np.int64).to_numpy()})
 
 
 _CLASS_SQL = """CASE WHEN event_type IN ('view', 'click') THEN 'engagement'
@@ -603,13 +607,20 @@ def top_users_by_value(sf_dir: str) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 def _media_ds(n: int = 96):
-    from webalizer_ray.stages.multimodal import synth_media_table
-    d = os.path.join(tempfile.gettempdir(), f"wr_media_{n}")
+    from webalizer_ray.stages.multimodal import MEDIA_TABLE_VERSION, \
+        synth_media_table
+    # per-user dir + generator-version tag in the name: a schema change in
+    # a future version, another user's file, or a stale tmp-cleaner
+    # leftover can never be served as this version's fixture
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    d = os.path.join(tempfile.gettempdir(),
+                     f"wr_media_u{uid}_v{MEDIA_TABLE_VERSION}_{n}")
     marker = os.path.join(d, "media.parquet")
     if not os.path.exists(marker):
         os.makedirs(d, exist_ok=True)
-        pq.write_table(synth_media_table(n), marker + ".tmp")
-        os.replace(marker + ".tmp", marker)
+        tmp = os.path.join(d, f".media-{os.getpid()}.tmp")
+        pq.write_table(synth_media_table(n), tmp)
+        os.replace(tmp, marker)
     return rd.read_parquet(marker)
 
 
@@ -625,8 +636,8 @@ def media_image_features(sf_dir: str) -> pd.DataFrame:
         DecodeImage, fn_constructor_kwargs=dict(fake_decoder=True),
         concurrency=(1, 2), **MEDIA_BATCH_KWARGS)
     out = feats.to_pandas()
-    out["feat_mean"] = out["features"].map(lambda v: float(np.mean(v))) \
-        .round(6)
+    out["feat_mean"] = np.stack(out["features"].to_numpy()) \
+        .mean(axis=1).round(6)
     return out[["media_id", "kind", "feat_mean"]] \
         .sort_values("media_id", ignore_index=True)
 
@@ -643,7 +654,7 @@ def media_frame_sample(sf_dir: str) -> pd.DataFrame:
                                                 n_frames=4),
         concurrency=(1, 2), **MEDIA_BATCH_KWARGS)
     out = frames.to_pandas()
-    out["feat0"] = out["features"].map(lambda v: float(v[0])).round(6)
+    out["feat0"] = np.stack(out["features"].to_numpy())[:, 0].round(6)
     return out[["media_id", "frame_idx", "feat0"]] \
         .sort_values(["media_id", "frame_idx"], ignore_index=True)
 

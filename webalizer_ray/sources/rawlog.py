@@ -35,6 +35,7 @@ import gzip
 import os
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -123,8 +124,38 @@ def _check_no_nul(text):
         raise ValueError("text contains NUL; not serializable to clf/squid")
 
 
+def _check_fields(tbl: pa.Table, w3c_first: str | None = None):
+    """Serialize-time validation of the UNQUOTED fields.
+
+    conv_id/role/tool travel as bare space-separated tokens in every
+    dialect: embedded whitespace would shift the line's field grid and
+    the row would silently route to bad (or worse, misparse) on
+    read-back. Likewise a w3c line whose first token starts with '#'
+    would be dropped as a comment. Fail loudly at serialize time instead
+    of silently losing data.
+    """
+    for name in ("conv_id", "role", "tool"):
+        col = tbl[name]
+        valid = pc.drop_null(col)
+        if len(valid) and pc.any(
+                pc.match_substring_regex(valid, r"\s")).as_py():
+            raise ValueError(
+                f"{name} contains whitespace; not serializable as a bare "
+                "log token")
+        if len(valid) and pc.any(pc.equal(valid, "")).as_py():
+            raise ValueError(f"{name} contains empty strings; not "
+                             "serializable as a bare log token")
+    if w3c_first is not None:
+        col = pc.fill_null(tbl[w3c_first], "")
+        if len(col) and pc.any(pc.starts_with(col, "#")).as_py():
+            raise ValueError(
+                f"w3c first field {w3c_first} starts with '#'; such lines "
+                "would be dropped as comments on read-back")
+
+
 def _fmt_clf(tbl: pa.Table) -> pa.Array:
     _check_no_nul(tbl["text"])
+    _check_fields(tbl)
     iso = pc.strftime(tbl["ts"], format="%Y-%m-%dT%H:%M:%S")
     parts = [tbl["conv_id"], pa.scalar(" ["), iso, pa.scalar("] "),
              pc.cast(tbl["turn_idx"], pa.string()), pa.scalar(" "),
@@ -137,6 +168,7 @@ def _fmt_clf(tbl: pa.Table) -> pa.Array:
 
 def _fmt_squid(tbl: pa.Table) -> pa.Array:
     _check_no_nul(tbl["text"])
+    _check_fields(tbl)
     epoch = pc.cast(pc.cast(tbl["ts"], pa.int64()), pa.string())
     parts = [epoch, pa.scalar(" "), tbl["conv_id"], pa.scalar(" "),
              pc.cast(tbl["turn_idx"], pa.string()), pa.scalar(" "),
@@ -146,6 +178,7 @@ def _fmt_squid(tbl: pa.Table) -> pa.Array:
 
 
 def _fmt_w3c(tbl: pa.Table) -> pa.Array:
+    _check_fields(tbl, w3c_first=W3C_FIELDS[0])
     iso = pc.strftime(tbl["ts"], format="%Y-%m-%dT%H:%M:%S")
     cols = {"conv_id": tbl["conv_id"],
             "turn_idx": pc.cast(tbl["turn_idx"], pa.string()),
@@ -243,17 +276,23 @@ def write_transcript_log(turns: rd.Dataset, out_dir: str, fmt: str = "clf",
         else ""
 
     def write_shard(tbl: pa.Table) -> pa.Table:
+        if not tbl.num_rows:
+            # an empty block would produce a header-only (or zero-byte)
+            # shard whose name collides with every other empty block
+            return pa.table({"path": pa.array([], pa.string()),
+                             "rows": pa.array([], pa.int64())})
         lines = fmt_fn(tbl)
-        body = header + "\n".join(lines.to_pylist()) + "\n" if tbl.num_rows \
-            else header
-        # deterministic per-block name (content hash): a retried task
-        # overwrites its own shard instead of appending a duplicate
+        body = header + "\n".join(lines.to_pylist()) + "\n"
+        # deterministic per-block name: hash over the FULL key columns —
+        # a retried task overwrites its own shard, while two blocks that
+        # happen to share a first row and row count still get distinct
+        # names (duplicate (conv_id, turn_idx) inputs are legal here)
         import hashlib
         key = hashlib.sha1()
-        if tbl.num_rows:
-            key.update(str(tbl["conv_id"][0]).encode())
-            key.update(str(tbl["turn_idx"][0]).encode())
-            key.update(str(tbl.num_rows).encode())
+        key.update(pd.util.hash_array(
+            np.asarray(tbl["conv_id"], dtype=object)).tobytes())
+        key.update(pd.util.hash_array(
+            np.asarray(tbl["turn_idx"], dtype=np.int64)).tobytes())
         name = f"part-{key.hexdigest()[:16]}.log" + (".gz" if compress
                                                      else "")
         path = os.path.join(out_dir, name)

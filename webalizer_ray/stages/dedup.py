@@ -189,6 +189,12 @@ def minhash_lsh_pairs(ds: rd.Dataset, id_col: str = "doc_id",
 # SimHash (Charikar) — 64-bit, near-dup = small Hamming distance
 # ---------------------------------------------------------------------------
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount over uint64 (byte view + unpackbits)."""
+    x = np.ascontiguousarray(x, dtype=np.uint64)
+    return np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1) \
+        .sum(axis=1).astype(np.int64)
+
 def simhash_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     """64-bit SimHash per row; token hashing vectorized, bit loop is 64."""
     tokens = [t.lower().split() for t in df[text_col].fillna("")]
@@ -238,7 +244,7 @@ def simhash_pairs(ds: rd.Dataset, id_col: str = "doc_id",
             return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
         ia, ib = np.triu_indices(len(ids), k=1)
         x = h[ia] ^ h[ib]
-        ham = np.array([bin(v).count("1") for v in x], dtype=np.int64)
+        ham = _popcount64(x)
         return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib], "hamming": ham})
 
     pairs = (hashed.map_batches(explode, batch_format="pandas")

@@ -6,20 +6,28 @@ are ACTOR-POOL ``map_batches`` stages (codec state loaded once per actor,
 small batches because payloads are MBs, ``batch_format="pyarrow"`` so the
 bytes never round-trip through pandas object dtype).
 
-The decode kernels themselves are STUBBED here (this container ships no
-image/audio codecs — PIL/cv2/torchaudio are unavailable): ``DecodeImage``
-raises ``NotImplementedError`` unless constructed with
+Decode support: the two codec-FREE public raster formats are decoded for
+real with pure numpy — binary PPM (P6, the netpbm spec) and uncompressed
+24-bit BMP (BITMAPINFOHEADER, BI_RGB) — no external library needed.
+Compressed formats (JPEG/PNG/audio/video) are STUBBED (this container
+ships no codecs — PIL/cv2/torchaudio are unavailable): ``DecodeImage``
+raises ``NotImplementedError`` for them unless constructed with
 ``fake_decoder=True``, in which case a deterministic fake (seeded from the
-payload hash) produces stable "pixels"/features so the Ray-side plumbing
-— schema, batch sizing, actor signature, output layout — is fully real
-and tested.
+payload hash) produces stable features so the Ray-side plumbing — schema,
+batch sizing, actor signature, output layout — is fully real and tested.
 """
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+#: Version tag of synth_media_table's schema+payloads; bump on any change
+#: so cached fixture files are never served across versions.
+MEDIA_TABLE_VERSION = 2
 
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.int64()),
@@ -36,19 +44,110 @@ MEDIA_SCHEMA = pa.schema([
 MEDIA_BATCH_KWARGS = dict(batch_format="pyarrow", batch_size=32, num_cpus=1)
 
 
+# ---------------------------------------------------------------------------
+# pure-numpy raster codecs (public formats; no libraries needed)
+# ---------------------------------------------------------------------------
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary PPM (P6, maxval 255; netpbm spec)."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, c = px.shape
+    assert c == 3
+    return b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    """Binary PPM (P6) → (h, w, 3) uint8; handles comments/whitespace."""
+    toks, i = [], 0
+    while len(toks) < 4:
+        while i < len(data) and data[i:i + 1].isspace():
+            i += 1
+        if data[i:i + 1] == b"#":
+            while i < len(data) and data[i:i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(data) and not data[j:j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("truncated PPM header")
+        toks.append(data[i:j])
+        i = j
+    if toks[0] != b"P6" or int(toks[3]) != 255:
+        raise ValueError(f"unsupported PPM variant {toks[0]!r} "
+                         f"maxval={toks[3]!r}")
+    w, h = int(toks[1]), int(toks[2])
+    i += 1  # exactly one whitespace byte separates maxval from the raster
+    raster = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=i)
+    return raster.reshape(h, w, 3).copy()
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB → uncompressed 24-bit BMP (BI_RGB, bottom-up)."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up, BGR
+    raster = rows.tobytes()
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + len(raster), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster),
+                       2835, 2835, 0, 0)
+    return header + info + raster
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BI_RGB BMP → (h, w, 3) uint8 RGB."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    off = struct.unpack_from("<I", data, 10)[0]
+    w, h = struct.unpack_from("<ii", data, 18)
+    bpp = struct.unpack_from("<H", data, 28)[0]
+    comp = struct.unpack_from("<I", data, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    flip = h > 0          # positive height = bottom-up storage
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(data, dtype=np.uint8, count=h * stride,
+                         offset=off).reshape(h, stride)
+    px = rows[:, :w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    return (px[::-1] if flip else px).copy()
+
+
 def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
-    """Deterministic fake media table (payload = seeded random bytes)."""
+    """Deterministic media table: image rows carry REAL encoded pixels
+    (PPM or BMP, alternating), audio/video rows carry seeded fake bytes."""
     rng = np.random.default_rng(seed)
     kinds = np.array(["image", "audio", "video"])[rng.integers(0, 3, n)]
-    payloads = [rng.integers(0, 256, int(ln), dtype=np.uint8).tobytes()
-                for ln in rng.integers(256, 4096, n)]
+    payloads, widths, heights, mimes = [], [], [], []
+    for i, k in enumerate(kinds):
+        if k == "image":
+            w, h = int(rng.integers(4, 24)), int(rng.integers(4, 24))
+            px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            if i % 2:
+                payloads.append(encode_bmp(px))
+                mimes.append("image/bmp")
+            else:
+                payloads.append(encode_ppm(px))
+                mimes.append("image/x-portable-pixmap")
+            widths.append(w)
+            heights.append(h)
+        else:
+            ln = int(rng.integers(256, 4096))
+            payloads.append(rng.integers(0, 256, ln, dtype=np.uint8)
+                            .tobytes())
+            mimes.append(f"{k}/x-fake")
+            widths.append(-1)
+            heights.append(-1)
     return pa.table({
         "media_id": pa.array(np.arange(n), pa.int64()),
         "kind": pa.array(kinds.tolist(), pa.string()),
         "payload": pa.array(payloads, pa.large_binary()),
-        "mime": pa.array([f"{k}/x-fake" for k in kinds], pa.string()),
-        "width": pa.array(rng.integers(16, 512, n, dtype=np.int32)),
-        "height": pa.array(rng.integers(16, 512, n, dtype=np.int32)),
+        "mime": pa.array(mimes, pa.string()),
+        "width": pa.array(np.array(widths, dtype=np.int32)),
+        "height": pa.array(np.array(heights, dtype=np.int32)),
         "duration_ms": pa.array(
             np.where(kinds == "image", -1,
                      rng.integers(1000, 60000, n)).astype(np.int32)),
@@ -62,24 +161,43 @@ def _payload_seed(payload: bytes) -> int:
 class DecodeImage:
     """Actor-pool stage: payload → fixed-size feature vector.
 
-    Real decode is NOT implemented in this container (no codec libraries);
-    construct with ``fake_decoder=True`` for the deterministic stand-in.
-    The actor signature, batch handling, and output schema are the real
-    contract a codec-backed implementation drops into.
+    Payloads sniffed as PPM (``P6``) or BMP (``BM``) are decoded FOR REAL
+    with the pure-numpy parsers above; features are [mean R, mean G,
+    mean B] / 255 followed by a (feature_dim - 3)-bin grayscale histogram
+    (fractions) — fully deterministic from the pixels. Other formats
+    (JPEG/PNG/...) need codec libraries this container lacks: they raise
+    ``NotImplementedError`` unless ``fake_decoder=True`` supplies the
+    deterministic payload-hash stand-in.
     """
 
     def __init__(self, feature_dim: int = 16, fake_decoder: bool = False):
+        assert feature_dim > 3
         self.feature_dim = feature_dim
         self.fake = fake_decoder
-        # real impl: import the codec ONCE here (per actor), e.g. libjpeg
-        # bindings; compiled kernels, colorspace LUTs, etc.
+        # real impl for compressed formats: import the codec ONCE here
+        # (per actor), e.g. libjpeg bindings; kernels, colorspace LUTs.
+
+    def _features_from_pixels(self, px: np.ndarray) -> np.ndarray:
+        f = np.empty(self.feature_dim, dtype=np.float64)
+        flat = px.reshape(-1, 3).astype(np.float64)
+        f[:3] = flat.mean(axis=0) / 255.0
+        gray = flat.mean(axis=1)
+        hist, _ = np.histogram(gray, bins=self.feature_dim - 3,
+                               range=(0.0, 255.0 + 1e-9))
+        f[3:] = hist / max(len(gray), 1)
+        return f
 
     def _decode_one(self, payload: bytes) -> np.ndarray:
+        if payload[:2] == b"P6":
+            return self._features_from_pixels(decode_ppm(payload))
+        if payload[:2] == b"BM":
+            return self._features_from_pixels(decode_bmp(payload))
         if not self.fake:
             raise NotImplementedError(
-                "image decode requires a codec library not present in this "
-                "container; construct DecodeImage(fake_decoder=True) for the "
-                "deterministic stand-in")
+                "compressed-image decode requires a codec library not "
+                "present in this container; construct "
+                "DecodeImage(fake_decoder=True) for the deterministic "
+                "stand-in")
         rng = np.random.default_rng(_payload_seed(payload) % (2 ** 63))
         return rng.random(self.feature_dim, dtype=np.float64)
 

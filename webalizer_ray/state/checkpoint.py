@@ -190,6 +190,21 @@ def run_parse_pass_resumable(input_dir: str, out_dir: str,
         shutil.rmtree(junk, ignore_errors=True)
 
     units = plan_units(input_dir)
+    # retire units whose input file vanished: drop manifest + parsed dir
+    # so the affected buckets' lineage changes and they recompute (the
+    # reference re-derives all state from the fed log; a deleted log must
+    # not leave its rows in the sinks forever)
+    live_units = {u["unit"] for u in units}
+    retired = []
+    for mp in glob.glob(os.path.join(out_dir, "state", "pass1", "*.json")):
+        man = _read_json(mp)
+        unit = (man or {}).get("unit") or \
+            os.path.basename(mp)[len("unit-"):-len(".json")]
+        if unit not in live_units:
+            shutil.rmtree(os.path.join(parsed_root, f"unit={unit}"),
+                          ignore_errors=True)
+            os.remove(mp)
+            retired.append(unit)
     skipped, recomputed = [], []
     for u in units:
         man = _read_json(_pass1_manifest_path(out_dir, u["unit"]))
@@ -217,7 +232,8 @@ def run_parse_pass_resumable(input_dir: str, out_dir: str,
             "wall_s": round(time.perf_counter() - t0, 3),
         }, _pass1_manifest_path(out_dir, u["unit"]))
         recomputed.append(u["unit"])
-    return {"units": len(units), "skipped": skipped, "recomputed": recomputed}
+    return {"units": len(units), "skipped": skipped,
+            "recomputed": recomputed, "retired": retired}
 
 
 # ---------------------------------------------------------------------------
