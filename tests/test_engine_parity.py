@@ -122,6 +122,67 @@ def test_routed_turns_text_equality(engine_result, small_refmodel):
             == ref["session_id"].to_numpy()).all()
 
 
+#: Variant config exercising the round-2 knobs together: Include*
+#: overriding Ignore* (P10), FoldSeqErr fold (W4) over the fixture's
+#: ~0.5% out-of-order rows, and a coarser mangle level (P13).
+VARIANT_CFG = None  # built lazily (frozen dataclass w/ validation)
+
+
+def _variant_cfg():
+    from webalizer_ray.config import PipelineConfig
+    return PipelineConfig(
+        ignore_conv_patterns=(r"[048]$",),
+        include_conv_patterns=(r"8$",),
+        ignore_role_patterns=(r"^system$",),
+        include_tool_patterns=(r"^mem",),
+        fold_seq=True,
+        mangle_level=2,
+    )
+
+
+@pytest.fixture(scope="module")
+def variant_engine(ray_session, small_fixture, tmp_path_factory):
+    out = tmp_path_factory.mktemp("flagship_variant")
+    return run_flagship(small_fixture, str(out), _variant_cfg())
+
+
+@pytest.fixture(scope="module")
+def variant_refmodel(small_fixture, lookups):
+    from webalizer_ray.refmodel import run_refmodel
+    tcd, rgd = lookups
+    return run_refmodel(load_turns(small_fixture), _variant_cfg(), tcd, rgd)
+
+
+def test_variant_metrics_and_filters(variant_engine, variant_refmodel):
+    m, rm = variant_engine["metrics"], variant_refmodel["metrics"]
+    for k in ("total_rec", "bad", "ignored", "parsed", "sessions", "convs"):
+        assert m[k] == rm[k], k
+    assert m["ignored"] > 0          # the ignore list actually fired
+    # include override actually kept rows an ignore pattern matches
+    turns = variant_refmodel["turns"]
+    assert turns["conv_id"].str.endswith("8").any()
+    # rows of an ignored conv survive ONLY via the tool include override
+    kept0 = turns[turns["conv_id"].str.endswith(("0", "4"))]
+    assert len(kept0) and kept0["tool_norm"].str.startswith("mem").all()
+
+
+@pytest.mark.parametrize("sink,keys", [
+    ("monthly", ["month"]), ("daily", ["date"]), ("per_tool", ["tool_norm"]),
+    ("per_category", ["category"]), ("per_role", ["role"]),
+])
+def test_variant_sink_parity(variant_engine, variant_refmodel, sink, keys):
+    assert_frame_match(variant_engine["sinks"][sink], variant_refmodel[sink],
+                       keys, name=sink)
+
+
+def test_variant_sessions_parity(variant_engine, variant_refmodel):
+    ref = variant_refmodel["sessions"][
+        ["conv_id", "session_id", "start_ts", "end_ts", "n_turns", "kb",
+         "files", "pages", "entry_tool", "exit_tool", "month", "date"]]
+    assert_frame_match(variant_engine["sinks"]["sessions"], ref,
+                       ["conv_id", "session_id"], name="sessions_variant")
+
+
 def test_bad_rows_routed(engine_result, small_refmodel):
     bad_dir = f"{engine_result['out_dir']}/parsed/route=bad"
     ours = (pads.dataset(bad_dir).to_table(columns=TURN_COLS).to_pandas()

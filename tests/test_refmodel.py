@@ -137,6 +137,63 @@ def test_strict_seq_drops_out_of_order():
     assert healed["metrics"]["parsed"] == 3
 
 
+def test_include_overrides_ignore():
+    """P10: a row matching an Include* pattern is kept even when an
+    Ignore* pattern matches it (include checked first, as in the
+    reference's main loop)."""
+    df = mk([
+        ("spam-1", 0, "user", T, None, "2024-01-01 00:00:00"),
+        ("spam-keep", 0, "user", T, None, "2024-01-01 00:00:00"),
+        ("c1", 0, "user", T, None, "2024-01-01 00:00:00"),
+    ])
+    cfg = PipelineConfig(ignore_conv_patterns=(r"^spam-",),
+                         include_conv_patterns=(r"keep",))
+    out = run_refmodel(df, cfg)
+    assert out["metrics"]["ignored"] == 1
+    assert out["metrics"]["parsed"] == 2
+    assert set(out["turns"]["conv_id"]) == {"spam-keep", "c1"}
+    # include on one field overrides ignore on ANOTHER field too
+    cfg2 = PipelineConfig(ignore_conv_patterns=(r"^spam-",),
+                          include_role_patterns=(r"^user$",))
+    out2 = run_refmodel(df, cfg2)
+    assert out2["metrics"]["ignored"] == 0
+
+
+def test_fold_seq_restarts_session_on_backwards_jump():
+    """W4 fold variant (FoldSeqErr): the out-of-sequence record flushes
+    the current period and restarts instead of being dropped."""
+    df = mk([
+        ("c1", 0, "user", T, None, "2024-01-01 00:02:00"),
+        ("c1", 1, "user", T, None, "2024-01-01 00:01:00"),   # backwards
+        ("c1", 2, "user", T, None, "2024-01-01 00:03:00"),
+    ])
+    fold = run_refmodel(df, PipelineConfig(fold_seq=True))
+    assert fold["metrics"]["parsed"] == 3        # nothing dropped
+    assert fold["metrics"]["sessions"] == 2      # flush + restart
+    assert list(fold["turns"]["session_id"]) == [1, 2, 2]
+    healed = run_refmodel(df, CFG)
+    assert healed["metrics"]["sessions"] == 1
+    with pytest.raises(ValueError):
+        PipelineConfig(strict_seq=True, fold_seq=True)
+
+
+def test_mangle_levels_progressive():
+    df = mk([
+        ("c1", 0, "user", T, "Browse_v12", "2024-01-01 00:00:00"),
+        ("c1", 1, "user", T, "CheckoutTool_v2", "2024-01-01 00:01:00"),
+    ])
+    expect = {0: ["browse_v12", "checkouttool_v2"],
+              1: ["browse", "checkouttool"],
+              2: ["browse", "checkout"],
+              3: ["brow", "chec"],
+              4: ["br", "ch"]}
+    for lvl, tools in expect.items():
+        out = run_refmodel(df, PipelineConfig(mangle_level=lvl))
+        assert list(out["turns"]["tool_norm"]) == tools, lvl
+    with pytest.raises(ValueError):
+        PipelineConfig(mangle_level=5)
+
+
 def test_top_n_deterministic_tiebreak():
     rows = [(f"c{i}", 0, "user", T, None, "2024-01-01 00:00:00")
             for i in range(5)]

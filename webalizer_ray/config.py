@@ -72,14 +72,34 @@ class PipelineConfig:
     #: Default False = heal by sorting on turn_idx (documented deviation,
     #: strictly more correct; SURVEY.md §7.3 item 5).
     strict_seq: bool = False
+    #: fold_seq=True is the ``FoldSeqErr`` analog (W4 fold variant): an
+    #: out-of-sequence record — within a conv in feed order, ts earlier
+    #: than the previous record's — FLUSHES the current period and
+    #: restarts instead of being dropped: the backwards jump starts a NEW
+    #: session (the reference closes out the month and keeps processing).
+    #: Mutually exclusive with strict_seq.
+    fold_seq: bool = False
+    #: ``MangleAgents`` analog (P13): progressive tool normalization level
+    #: applied by the parse stage. 0 = lowercase only; 1 = + strip the
+    #: ``_v<digits>`` version suffix (the historical default); 2/3/4 =
+    #: + truncate to 8/4/2 chars (the MAXAGENT-buffer coarsening).
+    mangle_level: int = 1
 
     # --- parsing ---------------------------------------------------------
     parse_pattern: str = PARSE_PATTERN
 
-    # --- filters (linklist.c Ignore*/Hide* analogs; RE2 regexes) ---------
+    # --- filters (linklist.c Ignore*/Hide*/Include* analogs; RE2) --------
     ignore_conv_patterns: tuple[str, ...] = ()
     ignore_tool_patterns: tuple[str, ...] = ()
     ignore_role_patterns: tuple[str, ...] = ()
+    #: Include* override lists (P10): a row matching ANY Include* pattern
+    #: on its field is KEPT even if an Ignore* pattern matches — the
+    #: reference checks include lists before ignore lists
+    #: (webalizer.c main loop + linklist.c:isinlist() [verify]), making
+    #: "ignore everything except X" expressible.
+    include_conv_patterns: tuple[str, ...] = ()
+    include_tool_patterns: tuple[str, ...] = ()
+    include_role_patterns: tuple[str, ...] = ()
     hide_tool_patterns: tuple[str, ...] = ()
     hide_conv_patterns: tuple[str, ...] = ()
 
@@ -115,6 +135,13 @@ class PipelineConfig:
     #: disjoint conv-hash residue — a hot bucket fans out instead of
     #: becoming the straggler that gates the whole pass.
     bucket_split_target_bytes: int = 24 * 2**20
+
+    def __post_init__(self):
+        if self.strict_seq and self.fold_seq:
+            raise ValueError("strict_seq and fold_seq are mutually "
+                             "exclusive out-of-sequence policies")
+        if not 0 <= self.mangle_level <= 4:
+            raise ValueError("mangle_level must be in 0..4")
 
 
 DEFAULT_CONFIG = PipelineConfig()

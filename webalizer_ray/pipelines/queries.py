@@ -182,6 +182,28 @@ def filtered_event_counts(sf_dir: str) -> pd.DataFrame:
             .to_pandas().sort_values("event_type", ignore_index=True))
 
 
+@register("filtered_event_counts_with_include", sql="""
+SELECT event_type, COUNT(*) AS hits FROM events
+WHERE NOT (regexp_matches(event_type, '^(err|p)')
+           AND NOT regexp_matches(event_type, '^purch'))
+GROUP BY event_type""")
+def filtered_event_counts_with_include(sf_dir: str) -> pd.DataFrame:
+    """P10 Include*-override analog: ignore list drops '^(err|p)' but the
+    include list '^purch' overrides — ignore-with-exception, the
+    reference's include-before-ignore check order."""
+    def drop_ignored(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"]
+        ign = pc.match_substring_regex(et, "^(err|p)")
+        inc = pc.match_substring_regex(et, "^purch")
+        return batch.filter(pc.invert(pc.and_(ign, pc.invert(inc))))
+
+    ds = _events(sf_dir, ["event_type"]) \
+        .map_batches(drop_ignored, batch_format="pyarrow")
+    return (reduce_sink(ds, ["event_type"],
+                        {"hits": ("event_type", "size")})
+            .to_pandas().sort_values("event_type", ignore_index=True))
+
+
 # ---------------------------------------------------------------------------
 # W1/W2: sessionization of the events stream (30-min gap, >= rule)
 # ---------------------------------------------------------------------------
@@ -861,6 +883,46 @@ def strict_seq_drops(sf_dir: str) -> pd.DataFrame:
 
     out = (ds.map_batches(with_bucket, batch_format="pandas")
            .groupby("bucket_").map_groups(count_drops, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("user_id", ignore_index=True)
+
+
+@register("fold_seq_sessions", sql="""
+SELECT user_id, CAST(SUM(ns) AS BIGINT) AS sessions FROM (
+  SELECT user_id, CASE WHEN prev_ts IS NULL
+       OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+       OR epoch_us(ts) < epoch_us(prev_ts)
+       THEN 1 ELSE 0 END AS ns
+  FROM (SELECT user_id, ts,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY value, event_id)
+                   AS prev_ts
+        FROM events))
+GROUP BY user_id""")
+def fold_seq_sessions(sf_dir: str) -> pd.DataFrame:
+    """W4 FoldSeqErr fold variant: over an out-of-order feed ("value"
+    stands in for feed order, as in strict_seq_drops), a backwards time
+    jump FLUSHES the current session and restarts — counted as a new
+    session instead of a dropped record."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "value"])
+
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket_"] = (df["user_id"].to_numpy() % 32).astype(np.int32)
+        return df
+
+    def count_sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "value", "event_id"], kind="mergesort")
+        same = g["user_id"].eq(g["user_id"].shift())
+        gap_s = (g["ts"] - g["ts"].shift()).dt.total_seconds()
+        ns = (~same) | (gap_s >= 1800.0) | (gap_s < 0)
+        out = ns.groupby(g["user_id"], sort=False).sum() \
+            .rename("sessions").reset_index()
+        out["sessions"] = out["sessions"].astype(np.int64)
+        return out
+
+    out = (ds.map_batches(with_bucket, batch_format="pandas")
+           .groupby("bucket_").map_groups(count_sessions,
+                                          batch_format="pandas")
            .to_pandas())
     return out.sort_values("user_id", ignore_index=True)
 

@@ -51,8 +51,18 @@ DERIVED_COLS = [
 ]
 
 
-def normalize_tool(s: pd.Series) -> pd.Series:
-    return s.str.lower().str.replace(TOOL_VERSION_SUFFIX, "", regex=True)
+#: mangle_level → truncation length (mirrors parse.MANGLE_TRUNC)
+_MANGLE_TRUNC = {2: 8, 3: 4, 4: 2}
+
+
+def normalize_tool(s: pd.Series, level: int = 1) -> pd.Series:
+    """Progressive MangleAgents-analog normalization (P13), levels 0–4."""
+    t = s.str.lower()
+    if level >= 1:
+        t = t.str.replace(TOOL_VERSION_SUFFIX, "", regex=True)
+    if level >= 2:
+        t = t.str.slice(0, _MANGLE_TRUNC[min(level, 4)])
+    return t
 
 
 def status_class(status: pd.Series) -> pd.Series:
@@ -89,13 +99,21 @@ def run_refmodel(
     good["kb"] = ext["kb"].astype(np.float64)
     good["query"] = ext["query"]
 
-    # ---- normalize + ignore filters (P7, P10) ----------------------------
-    good["tool_norm"] = normalize_tool(good["tool"])
+    # ---- normalize + ignore/include filters (P7, P10, P13) ---------------
+    good["tool_norm"] = normalize_tool(good["tool"], config.mangle_level)
     ign = (
         _matches_any(good["conv_id"], config.ignore_conv_patterns)
         | _matches_any(good["tool_norm"], config.ignore_tool_patterns)
         | _matches_any(good["role"], config.ignore_role_patterns)
     )
+    if (config.include_conv_patterns or config.include_tool_patterns
+            or config.include_role_patterns):
+        inc = (
+            _matches_any(good["conv_id"], config.include_conv_patterns)
+            | _matches_any(good["tool_norm"], config.include_tool_patterns)
+            | _matches_any(good["role"], config.include_role_patterns)
+        )
+        ign &= ~inc
     ignored = good[ign][TURN_COLS].copy()
     ignored["ign_reason"] = "pattern"
     good = good[~ign].copy()
@@ -132,6 +150,10 @@ def run_refmodel(
     new_sess = ~same_conv | (gap >= config.session_timeout_s)
     if config.split_sessions_on_month:
         new_sess |= same_conv & good["month"].ne(good["month"].shift())
+    if config.fold_seq:
+        # FoldSeqErr (W4 fold): a backwards time jump flushes the current
+        # period — the out-of-sequence row starts a NEW session
+        new_sess |= same_conv & (gap < 0)
     good["session_id"] = new_sess.groupby(good["conv_id"]).cumsum().astype(np.int64)
 
     def first_nonnull(s):

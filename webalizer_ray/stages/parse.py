@@ -71,6 +71,23 @@ def conv_bucket(conv_id, num_buckets: int) -> np.ndarray:
             % np.uint64(num_buckets)).astype(np.int32)
 
 
+#: mangle_level → truncation length (the MAXAGENT-buffer coarsening steps)
+MANGLE_TRUNC = {2: 8, 3: 4, 4: 2}
+
+
+def mangle_tool_arrow(tool, level: int):
+    """Progressive tool normalization (P13 MangleAgents analog), Arrow
+    kernels only: 0 = lowercase; 1 = + strip version suffix; 2/3/4 =
+    + truncate to 8/4/2 chars."""
+    t = pc.utf8_lower(tool)
+    if level >= 1:
+        t = pc.replace_substring_regex(t, pattern=TOOL_VERSION_SUFFIX,
+                                       replacement="")
+    if level >= 2:
+        t = pc.utf8_slice_codeunits(t, 0, MANGLE_TRUNC[min(level, 4)])
+    return t
+
+
 def status_class_arr(status: pa.Array) -> pa.Array:
     """Response-code family classify (webalizer.h TOTAL_RC analog)."""
     fam = pc.cast(pc.divide(status, 100), pa.int64())
@@ -95,9 +112,13 @@ def make_parse_fn(config: PipelineConfig = DEFAULT_CONFIG,
     """
     B = num_buckets or config.salt_buckets * 16
     parse_pattern = config.parse_pattern
+    mangle_level = config.mangle_level
     ignore_conv_rx = _alternation(config.ignore_conv_patterns)
     ignore_tool_rx = _alternation(config.ignore_tool_patterns)
     ignore_role_rx = _alternation(config.ignore_role_patterns)
+    include_conv_rx = _alternation(config.include_conv_patterns)
+    include_tool_rx = _alternation(config.include_tool_patterns)
+    include_role_rx = _alternation(config.include_role_patterns)
 
     def parse_batch(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -113,9 +134,7 @@ def make_parse_fn(config: PipelineConfig = DEFAULT_CONFIG,
         query = pc.if_else(pc.equal(query, ""), pa.scalar(None, pa.string()),
                            query)
 
-        tool_norm = pc.replace_substring_regex(
-            pc.utf8_lower(batch["tool"]), pattern=TOOL_VERSION_SUFFIX,
-            replacement="")
+        tool_norm = mangle_tool_arrow(batch["tool"], mangle_level)
 
         ts = batch["ts"]
         month = pc.strftime(ts, format="%Y-%m")
@@ -130,6 +149,14 @@ def make_parse_fn(config: PipelineConfig = DEFAULT_CONFIG,
             pc.or_(_matches(batch["conv_id"], ignore_conv_rx),
                    _matches(tool_norm, ignore_tool_rx)),
             _matches(role, ignore_role_rx))
+        if include_conv_rx or include_tool_rx or include_role_rx:
+            # Include* overrides (P10): an include match anywhere KEEPS
+            # the row — checked before ignore, like the reference
+            inc = pc.or_(
+                pc.or_(_matches(batch["conv_id"], include_conv_rx),
+                       _matches(tool_norm, include_tool_rx)),
+                _matches(role, include_role_rx))
+            ign = pc.and_(ign, pc.invert(inc))
 
         route = pc.case_when(
             pc.make_struct(pc.invert(ok), ign),

@@ -57,6 +57,9 @@ def _session_ids(codes: np.ndarray, ts: np.ndarray, month: np.ndarray,
         mchg[0] = False
         mchg[1:] = month[1:] != month[:-1]
         new_sess |= same & mchg
+    if config.fold_seq:
+        # FoldSeqErr (W4 fold): backwards ts jump = flush + restart
+        new_sess |= same & (gap_s < 0)
     gsid = np.cumsum(new_sess)
     firsts = np.flatnonzero(~same)
     counts = np.diff(np.append(firsts, n))
@@ -135,6 +138,7 @@ def chunk_sessionize_frame(df: pd.DataFrame,
             first = p[live_mask].iloc[0]
             gap = (first["ts"] - prev_last[0]).total_seconds()
             cont = (gap < config.session_timeout_s and
+                    not (config.fold_seq and gap < 0) and
                     not (config.split_sessions_on_month
                          and first["month"] != prev_last[1]))
             # chunk-local ids are 1-based; continuation fuses local 1 into
