@@ -19,8 +19,8 @@ def _turns(fixture_dir):
             .sort_values(["conv_id", "turn_idx"], ignore_index=True)[COLS])
 
 
-@pytest.mark.parametrize("fmt", ["clf", "squid", "w3c"])
-@pytest.mark.parametrize("compress", [False, True])
+@pytest.mark.parametrize("fmt", ["clf", "squid", "w3c", "ftp"])
+@pytest.mark.parametrize("compress", [False, True, "bz2"])
 def test_roundtrip(ray_session, tiny_fixture, tmp_path, fmt, compress):
     """turns → log text (per-format grok grammar) → turns, exactly.
 
@@ -57,6 +57,25 @@ def test_bad_lines_routed(ray_session, tmp_path):
     assert len(ok) == 2 and ok["tool"].isna().all()
     # default path drops bad rows
     assert len(rawlog.read_transcript_log(log_dir, fmt="clf").to_pandas()) == 2
+
+
+def test_ftp_dialect_parse_and_bad_month(ray_session, tmp_path):
+    """wu-ftpd xferlog timestamp grammar: month-name lookup, space-padded
+    day; a bogus month name routes to bad instead of crashing."""
+    log_dir = str(tmp_path / "ftp")
+    os.makedirs(log_dir)
+    with open(os.path.join(log_dir, "part-0.log"), "w") as f:
+        f.write('Mon Jul  7 12:34:56 2025 c1 0 user - "padded day"\n')
+        f.write('Tue Dec 31 23:59:59 2024 c1 1 assistant search "hi"\n')
+        f.write('Tue Foo 31 23:59:59 2024 c1 2 user - "bad month"\n')
+        f.write("garbage line\n")
+    df = (rawlog.read_transcript_log(log_dir, fmt="ftp", include_bad=True)
+          .to_pandas())
+    assert (df["route"] == "bad").sum() == 2
+    ok = df[df["route"] == "ok"].sort_values("turn_idx")
+    assert str(ok.iloc[0]["ts"]) == "2025-07-07 12:34:56"
+    assert str(ok.iloc[1]["ts"]) == "2024-12-31 23:59:59"
+    assert ok.iloc[1]["tool"] == "search"
 
 
 def test_w3c_header_drives_field_order(ray_session, tmp_path):

@@ -23,6 +23,17 @@ Formats (all line = one turn of the canonical schema):
   w3c    ``#Fields: …`` header naming the space-separated columns in any
          order; values %XX-escaped (the IIS extended-log analog; header
          drives a generated pattern, like the reference's field map)
+  ftp    ``Ddd Mmm dd hh:mm:ss YYYY conv idx role tool "text"`` — the
+         wu-ftpd xferlog timestamp grammar (asctime-style: weekday +
+         month NAME + space-padded day; parse_record_ftp() ≈450–650
+         [verify]); the month-name lookup and day padding are the
+         dialect's distinguishing parse steps. The weekday token is
+         accepted unvalidated, as in the reference.
+
+Compression: shards ending ``.gz`` / ``.bz2`` decompress transparently on
+read (Arrow's by-extension codec detection under ``ray.data.read_text``);
+the writer takes ``compress=False | True/'gz' | 'bz2'`` (the reference
+links both zlib and bzlib for the same purpose).
 
 Escape discipline for quoted text (clf/squid): ``\\`` ``\"`` and ``\n``;
 decode is 3 chained replaces via a NUL placeholder (text must not contain
@@ -31,6 +42,7 @@ NUL — asserted at serialize time). W3C uses %25/%20/%22/%0A escapes.
 
 from __future__ import annotations
 
+import bz2
 import gzip
 import os
 
@@ -62,6 +74,14 @@ CLF_PATTERN = (rf'^(?P<conv_id>\S+) \[(?P<ts>{_TS})\] '
 SQUID_PATTERN = (rf'^(?P<ts>{_EPOCH}) (?P<conv_id>\S+) '
                  rf'(?P<turn_idx>{_IDX}) '
                  r'(?P<role>\S+) (?P<tool>\S+) ' + _QTEXT + r'$')
+
+_MONTHS = ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+           "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
+FTP_PATTERN = (r'^(?P<wday>[A-Za-z]{3}) (?P<mon>[A-Za-z]{3})'
+               r'\s+(?P<day>\d{1,2}) '
+               r'(?P<time>\d{2}:\d{2}:\d{2}(?:\.\d{1,6})?) (?P<year>\d{4}) '
+               rf'(?P<conv_id>\S+) (?P<turn_idx>{_IDX}) '
+               r'(?P<role>\S+) (?P<tool>\S+) ' + _QTEXT + r'$')
 
 W3C_FIELDS = ["conv_id", "turn_idx", "role", "tool", "ts", "text"]
 
@@ -177,6 +197,24 @@ def _fmt_squid(tbl: pa.Table) -> pa.Array:
     return pc.binary_join_element_wise(*parts, "")
 
 
+def _fmt_ftp(tbl: pa.Table) -> pa.Array:
+    _check_no_nul(tbl["text"])
+    _check_fields(tbl)
+    ts = tbl["ts"]
+    wday = pc.strftime(ts, format="%a")
+    mon = pc.strftime(ts, format="%b")
+    # asctime convention: day-of-month right-aligned in a 2-char field
+    day = pc.utf8_lpad(pc.cast(pc.day(ts), pa.string()), 2, " ")
+    rest = pc.strftime(ts, format="%H:%M:%S %Y")
+    parts = [wday, pa.scalar(" "), mon, pa.scalar(" "), day,
+             pa.scalar(" "), rest, pa.scalar(" "), tbl["conv_id"],
+             pa.scalar(" "), pc.cast(tbl["turn_idx"], pa.string()),
+             pa.scalar(" "), tbl["role"], pa.scalar(" "),
+             _dash_null(tbl["tool"]), pa.scalar(' "'),
+             _esc_quoted(tbl["text"]), pa.scalar('"')]
+    return pc.binary_join_element_wise(*parts, "")
+
+
 def _fmt_w3c(tbl: pa.Table) -> pa.Array:
     _check_fields(tbl, w3c_first=W3C_FIELDS[0])
     iso = pc.strftime(tbl["ts"], format="%Y-%m-%dT%H:%M:%S")
@@ -225,6 +263,29 @@ def _parse_squid(lines: pa.ChunkedArray) -> pa.Table:
     return _decode_common(ext, len(lines), ts, _unesc_quoted)
 
 
+def _parse_ftp(lines: pa.ChunkedArray) -> pa.Table:
+    """xferlog-timestamp dialect: month-NAME lookup + padded day →
+    timestamp; a matching line with a bogus month name routes to bad
+    (null month index propagates through the join to a null ts)."""
+    ext = pc.extract_regex(lines, FTP_PATTERN)
+    mon_idx = pc.index_in(pc.struct_field(ext, "mon"),
+                          value_set=pa.array(_MONTHS))
+    mon_num = pc.take(pa.array([f"{m + 1:02d}" for m in range(12)]),
+                      mon_idx)
+    day = pc.utf8_lpad(pc.struct_field(ext, "day"), 2, "0")
+    iso = pc.binary_join_element_wise(
+        pc.struct_field(ext, "year"), pa.scalar("-"), mon_num,
+        pa.scalar("-"), day, pa.scalar("T"),
+        pc.struct_field(ext, "time"), "")
+    ts = pc.cast(iso, pa.timestamp("us"))
+    out = _decode_common(ext, len(lines), ts, _unesc_quoted)
+    route = pc.if_else(
+        pc.and_(pc.equal(out["route"], "ok"), pc.is_valid(ts)),
+        pa.scalar("ok"), pa.scalar("bad"))
+    return out.set_column(out.schema.get_field_index("route"),
+                          "route", route)
+
+
 def _w3c_pattern(fields: list[str]) -> str:
     """Generate the positional grok pattern from a #Fields header —
     the analog of parse_record_w3c()'s header-driven field map. The
@@ -254,6 +315,7 @@ def _make_parse_w3c(fields: list[str]):
 FORMATS = {
     "clf": (_fmt_clf, _parse_clf),
     "squid": (_fmt_squid, _parse_squid),
+    "ftp": (_fmt_ftp, _parse_ftp),
     # w3c parse is header-driven; see read_transcript_log
     "w3c": (_fmt_w3c, None),
 }
@@ -263,13 +325,19 @@ FORMATS = {
 # Ray Data source / sink
 # ---------------------------------------------------------------------------
 
+_CODECS = {False: None, None: None, True: "gz", "gz": "gz",
+           "gzip": "gz", "bz2": "bz2"}
+
+
 def write_transcript_log(turns: rd.Dataset, out_dir: str, fmt: str = "clf",
-                         compress: bool = False) -> None:
+                         compress: bool | str = False) -> None:
     """Serialize a turns Dataset to a directory of log shards.
 
-    Each task writes its own ``part-*.log[.gz]`` — a distributed text
-    sink (test/demo utility; the engine's real outputs are Parquet).
+    Each task writes its own ``part-*.log[.gz|.bz2]`` — a distributed
+    text sink (test/demo utility; the engine's real outputs are Parquet).
+    ``compress``: False, True/'gz', or 'bz2'.
     """
+    codec = _CODECS[compress]
     fmt_fn, _ = FORMATS[fmt]
     os.makedirs(out_dir, exist_ok=True)
     header = (" ".join(["#Fields:"] + W3C_FIELDS) + "\n") if fmt == "w3c" \
@@ -293,15 +361,12 @@ def write_transcript_log(turns: rd.Dataset, out_dir: str, fmt: str = "clf",
             np.asarray(tbl["conv_id"], dtype=object)).tobytes())
         key.update(pd.util.hash_array(
             np.asarray(tbl["turn_idx"], dtype=np.int64)).tobytes())
-        name = f"part-{key.hexdigest()[:16]}.log" + (".gz" if compress
-                                                     else "")
+        name = f"part-{key.hexdigest()[:16]}.log" + \
+            (f".{codec}" if codec else "")
         path = os.path.join(out_dir, name)
-        if compress:
-            with gzip.open(path + ".tmp", "wt", encoding="utf-8") as f:
-                f.write(body)
-        else:
-            with open(path + ".tmp", "w", encoding="utf-8") as f:
-                f.write(body)
+        opener = {None: open, "gz": gzip.open, "bz2": bz2.open}[codec]
+        with opener(path + ".tmp", "wt", encoding="utf-8") as f:
+            f.write(body)
         os.replace(path + ".tmp", path)
         return pa.table({"path": [name], "rows": [tbl.num_rows]})
 
@@ -309,7 +374,8 @@ def write_transcript_log(turns: rd.Dataset, out_dir: str, fmt: str = "clf",
 
 
 def _peek_w3c_fields(path: str) -> list[str]:
-    op = gzip.open if path.endswith(".gz") else open
+    op = gzip.open if path.endswith(".gz") \
+        else bz2.open if path.endswith(".bz2") else open
     with op(path, "rt", encoding="utf-8") as f:
         first = f.readline().strip()
     if not first.startswith("#Fields:"):
