@@ -70,9 +70,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     out_dir = tempfile.mkdtemp(prefix="wr_bench_out_")
     t0 = time.perf_counter()
-    # load_sessions=False: the sessions table is a pass-2 Parquet output;
-    # pulling it into the driver is a test convenience, not pipeline work
-    run_flagship(fixture, out_dir, load_sessions=False)
+    # load_sessions/load_per_conv=False: those tables are pass-2 Parquet
+    # outputs; pulling them into the driver is a test convenience, not
+    # pipeline work (top-N comes from the per-bucket top partials)
+    run_flagship(fixture, out_dir, load_sessions=False,
+                 load_per_conv=False)
     headline = time.perf_counter() - t0
     shutil.rmtree(out_dir, ignore_errors=True)
 

@@ -183,6 +183,26 @@ def test_variant_sessions_parity(variant_engine, variant_refmodel):
                        ["conv_id", "session_id"], name="sessions_variant")
 
 
+def test_topn_without_full_per_conv_load(ray_session, small_fixture, lookups,
+                                         small_refmodel, tmp_path_factory):
+    """The bench/scale path (load_per_conv=False, load_sessions=False)
+    must produce the exact top-N conv tables from the per-bucket top
+    partials WITHOUT reading the full per_conv table into the driver."""
+    out = tmp_path_factory.mktemp("noload")
+    res = run_flagship(small_fixture, str(out), DEFAULT_CONFIG,
+                       lookups=lookups, use_actors=False,
+                       load_per_conv=False, load_sessions=False)
+    assert res["sinks"]["per_conv"].empty
+    assert res["sinks"]["sessions"].empty
+    for sink in ("top_conv", "top_conv_kb"):
+        assert_frame_match(res["sinks"][sink], small_refmodel[sink],
+                           ["conv_id"], name=sink)
+        assert list(res["sinks"][sink]["conv_id"]) == \
+            list(small_refmodel[sink]["conv_id"]), f"{sink} order"
+    assert res["metrics"]["convs"] == small_refmodel["metrics"]["convs"]
+    assert res["metrics"]["sessions"] == small_refmodel["metrics"]["sessions"]
+
+
 def test_bad_rows_routed(engine_result, small_refmodel):
     bad_dir = f"{engine_result['out_dir']}/parsed/route=bad"
     ours = (pads.dataset(bad_dir).to_table(columns=TURN_COLS).to_pandas()

@@ -239,14 +239,35 @@ def process_bucket_frame(df: pd.DataFrame,
                         last_ts=("ts", "max")).reset_index()
     for c in ("hits", "files", "pages", "sessions"):
         per_conv[c] = per_conv[c].astype(np.int64)
+    # distributed top-N partials: the global top-N conv lives in exactly
+    # one slice, so slice-local top-N (hide applied, same comparator)
+    # union ⊇ global top-N — exact — EXCEPT session-split shared convs,
+    # whose per-slice rows are all forwarded (giants are few by
+    # definition) and re-combined at finalize. The driver then touches
+    # B × ~2N rows, never the 10^8-row per_conv table.
+    N = max(config.top_n["conv"], config.top_n["conv_kb"])
+    if shared and len(per_conv):
+        sh_mask = per_conv["conv_id"].isin(shared)
+        sh, own = per_conv[sh_mask], per_conv[~sh_mask]
+    else:
+        sh, own = per_conv.iloc[0:0], per_conv
+    cand = pd.concat(
+        [top_n_pandas(own, "conv_id", "hits", N, config.hide_conv_patterns),
+         top_n_pandas(own, "conv_id", "kb", N, config.hide_conv_patterns)],
+        ignore_index=True).drop_duplicates(subset="conv_id")
+    per_conv_top = pd.concat([sh.assign(is_shared=True),
+                              cand.assign(is_shared=False)],
+                             ignore_index=True)
     long = bucket_partials(ok, sess, shared_convs=shared)
     # row-count partials ride the long channel so the driver never has
-    # to re-scan thousands of output files just to fill metrics.json
-    meta = _long_rows("_meta", ["ok", "seq", "sessions"],
-                      np.array([len(ok), len(seq), len(sess)],
+    # to re-scan thousands of output files just to fill metrics.json;
+    # convs_own counts NON-shared convs (exactly one slice each — exact
+    # sum); shared convs are counted distinct from per_conv_top rows
+    meta = _long_rows("_meta", ["ok", "seq", "sessions", "convs_own"],
+                      np.array([len(ok), len(seq), len(sess), len(own)],
                                dtype=np.int64))
     return {"turns_ok": ok, "turns_seq": seq, "sessions": sess,
-            "per_conv": per_conv,
+            "per_conv": per_conv, "per_conv_top": per_conv_top,
             "long": pd.concat([long, meta], ignore_index=True)}
 
 
@@ -295,6 +316,8 @@ def write_bucket_outputs(res: dict, out_dir: str, bucket: int,
                   os.path.join(out_dir, "sessions", b, p))
     _write_atomic(res["per_conv"],
                   os.path.join(out_dir, "per_conv", b, p))
+    _write_atomic(res["per_conv_top"],
+                  os.path.join(out_dir, "per_conv_top", b, p))
 
 
 def _bucket_id(path: str) -> int:
@@ -465,7 +488,8 @@ def _sum_sink(comb: pd.DataFrame, name: str, key_name: str,
 
 def finalize_sinks(long: pd.DataFrame, out_dir: str,
                    config: PipelineConfig = DEFAULT_CONFIG,
-                   load_sessions: bool = True) -> dict:
+                   load_sessions: bool = True,
+                   load_per_conv: bool = True) -> dict:
     """Driver-side combine of per-bucket partials → finished sinks + top-N."""
     # combine sum-style sinks across buckets. Pair-style sinks (one row
     # per (key, member)) dedup FIRST: tools span buckets, and a
@@ -554,7 +578,31 @@ def finalize_sinks(long: pd.DataFrame, out_dir: str,
     # step — callers that only need counts skip it (_meta carries them)
     sinks["sessions"] = read_dir("sessions") if load_sessions \
         else pd.DataFrame()
-    per_conv_df = read_dir("per_conv")
+    # top-N source: the per-bucket top partials (B × ~2N rows + the few
+    # session-split shared-conv rows), NEVER the full per_conv table —
+    # one row per conversation is 10^8–10^9 rows at target scale
+    top_src = read_dir("per_conv_top")
+    n_shared_convs = 0
+    if len(top_src):
+        shm = top_src["is_shared"].to_numpy(dtype=bool)
+        sh, own_top = top_src[shm], top_src[~shm]
+        n_shared_convs = int(sh["conv_id"].nunique())
+        if len(sh):
+            sh = sh.groupby("conv_id", as_index=False).agg(
+                hits=("hits", "sum"), files=("files", "sum"),
+                pages=("pages", "sum"), kb=("kb", "sum"),
+                sessions=("sessions", "max"), first_ts=("first_ts", "min"),
+                last_ts=("last_ts", "max"))
+            top_src = pd.concat([own_top.drop(columns=["is_shared"]), sh],
+                                ignore_index=True)
+        else:
+            top_src = own_top.drop(columns=["is_shared"])
+    sinks["_meta"]["convs"] = int(sinks["_meta"].get("convs_own", 0)
+                                  + n_shared_convs)
+
+    # the full per_conv TABLE, like sessions, is a pass-2 Parquet output;
+    # load into the driver only on request (test convenience)
+    per_conv_df = read_dir("per_conv") if load_per_conv else pd.DataFrame()
     if len(per_conv_df) and not per_conv_df["conv_id"].is_unique:
         # session-split giant convs emit one per_conv part per slice
         per_conv_df = per_conv_df.groupby("conv_id", as_index=False).agg(
@@ -567,9 +615,9 @@ def finalize_sinks(long: pd.DataFrame, out_dir: str,
     # top-N tables (K1–K3) with deterministic (metric desc, key asc) order
     N = config.top_n
     tops = {
-        "top_conv": (per_conv_df, "conv_id", "hits", N["conv"],
+        "top_conv": (top_src, "conv_id", "hits", N["conv"],
                      config.hide_conv_patterns),
-        "top_conv_kb": (per_conv_df, "conv_id", "kb", N["conv_kb"],
+        "top_conv_kb": (top_src, "conv_id", "kb", N["conv_kb"],
                         config.hide_conv_patterns),
         "top_tool": (per_tool, "tool_norm", "hits", N["tool"],
                      config.hide_tool_patterns),
@@ -638,12 +686,14 @@ def run_flagship(input_dir: str, out_dir: str,
                  config: PipelineConfig = DEFAULT_CONFIG,
                  lookups: tuple[dict, dict] | None = None,
                  use_actors: bool = True,
-                 load_sessions: bool = True) -> dict:
+                 load_sessions: bool = True,
+                 load_per_conv: bool = True) -> dict:
     """Full pipeline; returns {'metrics': ..., 'sinks': {...}}."""
     run_parse_pass(input_dir, out_dir, config, lookups, use_actors)
     long = run_bucket_pass(out_dir, config)
     sinks = finalize_sinks(long, out_dir, config,
-                           load_sessions=load_sessions)
+                           load_sessions=load_sessions,
+                           load_per_conv=load_per_conv)
 
     parsed_dir = os.path.join(out_dir, "parsed")
     meta = sinks.get("_meta", {})
@@ -659,7 +709,7 @@ def run_flagship(input_dir: str, out_dir: str,
     metrics["ignored"] = metrics["ignored_pattern"] + metrics["ignored_seq"]
     metrics["sessions"] = int(meta.get("sessions",
                                        len(sinks["sessions"])))
-    metrics["convs"] = int(len(sinks["per_conv"]))
+    metrics["convs"] = int(meta.get("convs", 0))
     with open(os.path.join(out_dir, "metrics.json"), "w") as f:
         json.dump(metrics, f, indent=2, default=str)
     return {"metrics": metrics, "sinks": sinks, "out_dir": out_dir}

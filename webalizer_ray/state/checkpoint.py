@@ -301,7 +301,7 @@ def run_bucket_pass_resumable(out_dir: str,
     # lineage-filtered small sinks
     live = {f"bucket={b:05d}" for b in lineage}
     for sub in ("turns/route=ok", "turns/route=seq", "sessions",
-                "per_conv"):
+                "per_conv", "per_conv_top"):
         for d in glob.glob(os.path.join(out_dir, sub, "bucket=*")):
             if os.path.basename(d) not in live:
                 shutil.rmtree(d, ignore_errors=True)
@@ -311,7 +311,7 @@ def run_bucket_pass_resumable(out_dir: str,
             # stale bucket: clear its outputs so a recompute that writes
             # fewer parts (e.g. no seq rows this time) leaves no orphans
             for sub in ("turns/route=ok", "turns/route=seq", "sessions",
-                        "per_conv"):
+                        "per_conv", "per_conv_top"):
                 shutil.rmtree(os.path.join(out_dir, sub,
                                            f"bucket={b:05d}"),
                               ignore_errors=True)
@@ -389,7 +389,7 @@ def run_flagship_resumable(input_dir: str, out_dir: str,
         "ignored": rows["ignored"] + seq,
         "parsed": rows["ok"] - seq,
         "sessions": int(len(sinks["sessions"])),
-        "convs": int(len(sinks["per_conv"])),
+        "convs": int(sinks["_meta"].get("convs", 0)),
         "watermark": watermark,
     }
     _write_json_atomic(metrics, os.path.join(out_dir, "metrics.json"))
