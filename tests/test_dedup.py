@@ -1,0 +1,89 @@
+"""Dedup operator tests: scale guards + LSH/exact agreement.
+
+Covers the round-2 scale-safety work: degenerate-bucket capping (no
+O(n²) pair blowup on a cluster of identical docs), the in-cluster
+join-based verify paths, and the LSH cosine variant's agreement with the
+exact all-pairs baseline.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from webalizer_ray.stages import dedup
+
+
+@pytest.fixture()
+def rd_mod(ray_session):
+    import ray.data as rd
+    return rd
+
+
+def test_skewed_identical_docs_capped(rd_mod):
+    """1k identical docs: the band buckets are degenerate; the cap must
+    emit the consecutive chain (n-1 pairs per band), not O(n²)."""
+    n_dup, n_other = 1000, 20
+    texts = ["the same document body repeated many times over"] * n_dup + [
+        f"unique document number {i} with its own words" for i in
+        range(n_other)]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    ds = rd_mod.from_pandas(df).repartition(4)
+    out = dedup.minhash_lsh_pairs(ds, threshold=0.9, bucket_cap=64,
+                                  concurrency=1)
+    # chain pairs of the duplicate cluster, est_jaccard exactly 1.0
+    dup_pairs = out[(out["id_a"] < n_dup) & (out["id_b"] < n_dup)]
+    assert len(out) < 5 * (n_dup + n_other)      # nowhere near n²/2
+    assert (dup_pairs["est_jaccard"] == 1.0).all()
+    # the chain keeps the cluster fully connected for union-find
+    ids = np.union1d(dup_pairs["id_a"], dup_pairs["id_b"])
+    assert len(ids) == n_dup
+    parent = np.arange(n_dup)
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(dup_pairs["id_a"], dup_pairs["id_b"]):
+        parent[find(int(a))] = find(int(b))
+    assert len({find(i) for i in range(n_dup)}) == 1
+
+
+def test_ngram_distributed_equals_driver_verify(rd_mod):
+    texts = ["alpha beta gamma delta epsilon zeta",
+             "alpha beta gamma delta epsilon eta",
+             "completely different words here now",
+             "alpha beta gamma delta epsilon zeta"]
+    df = pd.DataFrame({"doc_id": np.arange(4, dtype=np.int64),
+                       "text": texts})
+    pairs = pd.DataFrame({"id_a": [0, 0, 0, 1],
+                          "id_b": [1, 2, 3, 2]}).astype(np.int64)
+    want = dedup.ngram_jaccard_verify(dict(zip(df["doc_id"], df["text"])),
+                                      pairs, n=3, threshold=0.3)
+    got = dedup.ngram_jaccard_pairs_distributed(
+        rd_mod.from_pandas(df), pairs, n=3, threshold=0.3)
+    pd.testing.assert_frame_equal(
+        got.sort_values(["id_a", "id_b"], ignore_index=True),
+        want.sort_values(["id_a", "id_b"], ignore_index=True))
+
+
+def test_cosine_lsh_equals_exact_all_pairs(rd_mod):
+    """LSH-bucketed cosine dedup reproduces the exact all-pairs result
+    (full recall at the default (k, L); exact cosines verified)."""
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((150, 32))
+    # plant 30 near-dup partners: small perturbations of existing rows
+    noisy = base[:30] + 0.55 * rng.standard_normal((30, 32))
+    vecs = np.vstack([base, noisy])
+    df = pd.DataFrame({"vec_id": np.arange(len(vecs), dtype=np.int64),
+                       "embedding": list(vecs)})
+    ds = rd_mod.from_pandas(df).repartition(4)
+    exact = dedup.cosine_dup_pairs(ds, threshold=0.4)
+    lsh = dedup.cosine_dup_pairs_lsh(ds, threshold=0.4, n_planes=4,
+                                     n_tables=48)
+    assert len(exact) > 10          # the planted dups actually exist
+    pd.testing.assert_frame_equal(lsh, exact)

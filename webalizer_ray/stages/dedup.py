@@ -14,10 +14,11 @@ Scale notes (the partitioning contract):
   the permutation/bit dimension; the ragged shingle construction is the
   only per-doc step and produces data, not compute);
 * LSH bucketing is a groupby on (band, band_hash) — only doc ids and
-  band hashes shuffle;
-* pair verification joins signatures back by broadcast at test scale
-  (``ray.put`` once); at 10^12-doc scale replace with a bucketed join on
-  doc id (documented where used).
+  band hashes shuffle; degenerate buckets are capped (consecutive-chain
+  emission) so no task ever goes O(n²) on a cluster of identical docs;
+* pair verification joins signatures / texts / vectors back to candidate
+  ids with BUCKETED HASH JOINS (``join_pairs_to_values``) — only
+  candidate rows move; nothing is broadcast or gathered on the driver.
 """
 
 from __future__ import annotations
@@ -29,6 +30,7 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Min, Sum
 
+from webalizer_ray.stages.aggregate import key_bucket
 from webalizer_ray.stages.textstats import add_fingerprint
 
 _MIX = np.uint64(0x9E3779B97F4A7C15)  # 64-bit golden-ratio mix constant
@@ -128,24 +130,100 @@ def _band_hashes(sig: np.ndarray, bands: int) -> np.ndarray:
     return out
 
 
+def _empty_pairs(value_col: str) -> pd.DataFrame:
+    return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                         "id_b": pd.Series(dtype=np.int64),
+                         value_col: pd.Series(dtype=np.float64)})
+
+
+def dedup_pairs_ds(pairs: rd.Dataset, num_buckets: int = 32) -> rd.Dataset:
+    """Distributed exact dedup of (id_a, id_b) rows — per-batch dedup,
+    then per-hash-bucket global dedup (a pair lives in exactly one
+    bucket). The pair set never lands on the driver."""
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates().copy()
+        d["_h"] = key_bucket(d, ["id_a", "id_b"], num_buckets)
+        return d
+
+    def bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=["id_a", "id_b"]) \
+            .drop(columns=["_h"])
+
+    return (pairs.map_batches(local, batch_format="pandas")
+            .groupby("_h").map_groups(bucket, batch_format="pandas"))
+
+
+def _pack_rows(col: pd.Series, dtype) -> list[bytes]:
+    """Fixed-width numeric rows → one bytes blob per row (Ray's hash join
+    supports binary columns but not tensor-extension list columns)."""
+    arr = np.ascontiguousarray(np.stack(col.to_numpy()).astype(dtype))
+    return [r.tobytes() for r in arr]
+
+
+def _unpack_rows(col: pd.Series, dtype) -> np.ndarray:
+    n = len(col)
+    # copy: frombuffer views are read-only; consumers normalize in place
+    return np.frombuffer(b"".join(col.to_numpy()), dtype=dtype) \
+        .reshape(n, -1).copy()
+
+
+def join_pairs_to_values(pairs: rd.Dataset, values: rd.Dataset,
+                         id_col: str, value_col: str,
+                         num_partitions: int = 8,
+                         pack_dtype=None) -> rd.Dataset:
+    """(id_a, id_b) ⋈ values twice → (id_a, id_b, <value>_a, <value>_b).
+
+    Two bucketed hash joins — the scale-safe replacement for broadcasting
+    the whole value table to the driver: only candidate ids and their
+    values move, partitioned by id hash. ``pack_dtype`` packs fixed-width
+    array values (signatures, embeddings) into binary for the join;
+    consumers unpack with ``_unpack_rows``.
+    """
+    def side(suffix):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            vals = _pack_rows(df[value_col], pack_dtype) if pack_dtype \
+                else df[value_col].to_numpy()
+            return pd.DataFrame({
+                f"id_{suffix}": df[id_col].to_numpy(),
+                f"{value_col}_{suffix}": vals})
+        return f
+
+    va = values.map_batches(side("a"), batch_format="pandas")
+    vb = values.map_batches(side("b"), batch_format="pandas")
+    j = pairs.join(va, join_type="inner", num_partitions=num_partitions,
+                   on=("id_a",))
+    return j.join(vb, join_type="inner", num_partitions=num_partitions,
+                  on=("id_b",))
+
+
 def minhash_lsh_pairs(ds: rd.Dataset, id_col: str = "doc_id",
                       text_col: str = "text", num_perm: int = 64,
                       bands: int = 16, threshold: float = 0.7,
                       shingle_k: int = 5, seed: int = 7,
-                      concurrency=2) -> pd.DataFrame:
+                      concurrency=2, bucket_cap: int = 256) -> pd.DataFrame:
     """MinHash+LSH near-duplicate pairs with estimated Jaccard ≥ threshold.
 
     shingle→minhash (actor pool) → explode to (band, band_hash, id) rows →
-    groupby((band, band_hash)) buckets → candidate pairs → verify by
-    signature agreement (the standard estimator: fraction of equal
-    minhashes is an unbiased estimate of Jaccard resemblance).
+    groupby((band, band_hash)) buckets → candidate pairs → distributed
+    pair dedup → signatures joined back by BUCKETED HASH JOIN (never a
+    driver broadcast) → per-batch vectorized verify (fraction of equal
+    minhashes, Broder's unbiased resemblance estimator).
     Returns (id_a, id_b, est_jaccard), id_a < id_b, sorted.
+
+    Degenerate-bucket guard: a band bucket larger than ``bucket_cap``
+    (typically a cluster of identical docs) emits the sorted-consecutive
+    CHAIN of pairs instead of all O(n²) pairs — identical members stay
+    fully connected for union-find clustering; near-identical members may
+    lose some cross pairs (documented recall trade, standard practice —
+    exact clusters belong to exact_dedup anyway).
     """
     sigs = ds.map_batches(
         MinHashSignatures, batch_format="pandas",
         fn_constructor_kwargs=dict(num_perm=num_perm, shingle_k=shingle_k,
                                    seed=seed, text_col=text_col),
-        concurrency=concurrency)
+        concurrency=concurrency).materialize()
+    # ^ materialized once: consumed by the banding pass AND both join
+    # sides below; (id, 64×u64) rows — object-store-backed, spillable
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         sig = np.stack(df["sig"].to_numpy())
@@ -161,27 +239,35 @@ def minhash_lsh_pairs(ds: rd.Dataset, id_col: str = "doc_id",
         ids = np.sort(g[id_col].to_numpy())
         if len(ids) < 2:
             return pd.DataFrame({"id_a": [], "id_b": []})
+        if len(ids) > bucket_cap:
+            return pd.DataFrame({"id_a": ids[:-1], "id_b": ids[1:]})
         ia, ib = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
 
     cand = (sigs.map_batches(explode, batch_format="pandas")
             .groupby(["band", "band_hash"])
-            .map_groups(bucket_pairs, batch_format="pandas")
-            .to_pandas().drop_duplicates(ignore_index=True))
+            .map_groups(bucket_pairs, batch_format="pandas"))
+    cand = dedup_pairs_ds(cand).materialize()
+    if cand.count() == 0:
+        return _empty_pairs("est_jaccard")
 
-    # verify by signature agreement. Signatures are broadcast here (small at
-    # test scale); at 10^12-doc scale replace with a bucketed join on id.
-    sig_df = sigs.to_pandas()
-    sig_map = dict(zip(sig_df[id_col], sig_df["sig"]))
-    if not len(cand):
-        return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
-                             "id_b": pd.Series(dtype=np.int64),
-                             "est_jaccard": pd.Series(dtype=np.float64)})
-    sa = np.stack(cand["id_a"].map(sig_map).to_numpy())
-    sb = np.stack(cand["id_b"].map(sig_map).to_numpy())
-    est = (sa == sb).mean(axis=1)
-    cand = cand.assign(est_jaccard=np.round(est, 6))
-    out = cand[cand["est_jaccard"] >= threshold]
+    j = join_pairs_to_values(cand, sigs, id_col, "sig",
+                             pack_dtype=np.uint64)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return _empty_pairs("est_jaccard")
+        sa = _unpack_rows(df["sig_a"], np.uint64)
+        sb = _unpack_rows(df["sig_b"], np.uint64)
+        est = np.round((sa == sb).mean(axis=1), 6)
+        out = pd.DataFrame({"id_a": df["id_a"].to_numpy(),
+                            "id_b": df["id_b"].to_numpy(),
+                            "est_jaccard": est})
+        return out[out["est_jaccard"] >= threshold]
+
+    out = j.map_batches(verify, batch_format="pandas").to_pandas()
+    if "id_a" not in out.columns:
+        return _empty_pairs("est_jaccard")
     return out.sort_values(["id_a", "id_b"], ignore_index=True)
 
 
@@ -281,6 +367,121 @@ def ngram_jaccard_verify(texts_by_id: dict, pairs: pd.DataFrame, n: int = 3,
             rows.append((a, b, round(j, 6)))
     return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"]).astype(
         {"id_a": np.int64, "id_b": np.int64})
+
+
+def ngram_jaccard_pairs_distributed(docs: rd.Dataset, pairs: pd.DataFrame,
+                                    n: int = 3, threshold: float = 0.5,
+                                    id_col: str = "doc_id",
+                                    text_col: str = "text") -> pd.DataFrame:
+    """Exact word-n-gram Jaccard verify of candidate pairs, IN-CLUSTER.
+
+    Candidate (id_a, id_b) rows are hash-joined back to their texts
+    (``join_pairs_to_values`` — two bucketed joins, so only candidate
+    docs' texts move and the driver never holds a text dict), then each
+    batch verifies its pairs. The per-pair set intersection is inherent
+    to ragged n-gram sets; it runs distributed over candidate-scale data
+    only. Returns (id_a, id_b, jaccard ≥ threshold), sorted.
+    """
+    if not len(pairs):
+        return _empty_pairs("jaccard")
+    p = rd.from_pandas(pairs[["id_a", "id_b"]])
+    j = join_pairs_to_values(p, docs, id_col, text_col)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for a, b, ta, tb in zip(df["id_a"], df["id_b"],
+                                df[f"{text_col}_a"], df[f"{text_col}_b"]):
+            sa, sb = word_ngrams(ta, n), word_ngrams(tb, n)
+            jac = len(sa & sb) / max(len(sa | sb), 1)
+            if jac >= threshold:
+                rows.append((a, b, round(jac, 6)))
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"]) \
+            .astype({"id_a": np.int64, "id_b": np.int64})
+
+    out = j.map_batches(verify, batch_format="pandas").to_pandas()
+    if "id_a" not in out.columns:
+        return _empty_pairs("jaccard")
+    return out.sort_values(["id_a", "id_b"], ignore_index=True)
+
+
+def cosine_dup_pairs_lsh(ds: rd.Dataset, id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         threshold: float = 0.9, n_planes: int = 4,
+                         n_tables: int = 48, seed: int = 7,
+                         bucket_cap: int = 4096) -> pd.DataFrame:
+    """LSH-bucketed embedding near-dup pairs — the scale path replacing
+    the blocked all-pairs ``cosine_dup_pairs``.
+
+    L independent random-hyperplane tables (Charikar sign-LSH): vector →
+    L bucket keys (one per table); pairs sharing a bucket in ANY table
+    are candidates (groupby per (table, bucket) — only ids + bucket keys
+    shuffle); distributed pair dedup; exact cosine verified on candidates
+    via bucketed joins back to the vectors. Per-pair miss probability is
+    (1 - p^k)^L with p = 1 - θ/π, so recall is tuned by (k=n_planes,
+    L=n_tables): k scales up with density/N to keep buckets small, L
+    scales up to hold recall — at the default (4, 48) a cos≥0.4 pair is
+    missed with prob ≈ 2.5e-4. Deterministic given the seed.
+    """
+    rng = np.random.default_rng(seed)
+
+    def first_batch_dim(df):
+        return len(df[vec_col].iloc[0])
+
+    # draw planes lazily sized from the first batch is racy across tasks;
+    # instead size from a 1-row sample (cheap metadata read)
+    dim = first_batch_dim(ds.limit(1).to_pandas())
+    planes = rng.standard_normal((n_tables, dim, n_planes))
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+    planes_ref = ray.put(planes)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        P = ray.get(planes_ref)
+        m = np.stack(df[vec_col].to_numpy()).astype(np.float64)
+        ids = df[id_col].to_numpy()
+        n = len(df)
+        frames = []
+        for t in range(n_tables):
+            b = ((m @ P[t]) > 0).astype(np.int64) @ weights
+            frames.append(pd.DataFrame({
+                "table": np.full(n, t, dtype=np.int64),
+                "bucket": b, id_col: ids}))
+        return pd.concat(frames, ignore_index=True)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g[id_col].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        if len(ids) > bucket_cap:
+            return pd.DataFrame({"id_a": ids[:-1], "id_b": ids[1:]})
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+
+    cand = (ds.map_batches(explode, batch_format="pandas")
+            .groupby(["table", "bucket"])
+            .map_groups(bucket_pairs, batch_format="pandas"))
+    cand = dedup_pairs_ds(cand).materialize()
+    if cand.count() == 0:
+        return _empty_pairs("cosine")
+
+    j = join_pairs_to_values(cand, ds, id_col, vec_col,
+                             pack_dtype=np.float64)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return _empty_pairs("cosine")
+        a = _unpack_rows(df[f"{vec_col}_a"], np.float64)
+        b = _unpack_rows(df[f"{vec_col}_b"], np.float64)
+        a /= np.maximum(np.linalg.norm(a, axis=1, keepdims=True), 1e-12)
+        b /= np.maximum(np.linalg.norm(b, axis=1, keepdims=True), 1e-12)
+        cos = np.round((a * b).sum(axis=1), 6)
+        out = pd.DataFrame({"id_a": df["id_a"].to_numpy(),
+                            "id_b": df["id_b"].to_numpy(), "cosine": cos})
+        return out[out["cosine"] >= threshold]
+
+    out = j.map_batches(verify, batch_format="pandas").to_pandas()
+    if "id_a" not in out.columns:
+        return _empty_pairs("cosine")
+    return out.sort_values(["id_a", "id_b"], ignore_index=True)
 
 
 def cosine_dup_pairs(ds: rd.Dataset, id_col: str = "vec_id",
