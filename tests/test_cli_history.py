@@ -104,6 +104,37 @@ def test_lookup_manager_roundtrip(tmp_path, tiny_fixture):
     assert cli.main(["lookup", "list", tbl]) == 0
 
 
+def test_lookup_ttl_purge(tmp_path, tiny_fixture):
+    """CacheTTL analog: purge drops stamped entries older than the TTL;
+    legacy entries without a timestamp are kept (unknown age != stale)."""
+    import shutil
+    import time
+
+    import pandas as pd
+    tbl = str(tmp_path / "tool_categories.parquet")
+    shutil.copy(os.path.join(tiny_fixture, "tool_categories.parquet"), tbl)
+    n0 = len(pq.read_table(tbl))            # legacy rows: no ts column
+    assert cli.main(["lookup", "add", tbl, "fresh_tool", "cat"]) == 0
+    # backdate a second entry to simulate an expired cache record
+    assert cli.main(["lookup", "add", tbl, "stale_tool", "cat"]) == 0
+    df = pq.read_table(tbl).to_pandas()
+    df.loc[df["tool"] == "stale_tool", "ts"] = time.time() - 7200
+    df.to_parquet(tbl, index=False)
+    assert cli.main(["lookup", "purge", tbl, "3600"]) == 0
+    out = pq.read_table(tbl).to_pandas()
+    assert "stale_tool" not in set(out["tool"])
+    assert "fresh_tool" in set(out["tool"])
+    assert len(out) == n0 + 1               # legacy rows survive the purge
+    # purged table still loads through the normal reader path
+    from webalizer_ray.sources.readers import read_lookup_dicts
+    shutil.copy(os.path.join(tiny_fixture, "role_groups.parquet"),
+                str(tmp_path / "role_groups.parquet"))
+    tc, rg = read_lookup_dicts(str(tmp_path))
+    assert tc["fresh_tool"] == "cat" and "stale_tool" not in tc
+    # pandas upsert kept values aligned
+    assert pd.Series(list(tc.values())).notna().all()
+
+
 def test_tsv_dumps_written(ray_session, tiny_fixture, lookups, tmp_path):
     """Dump* TSV analogs (S9): every small sink also lands as .tab."""
     import glob

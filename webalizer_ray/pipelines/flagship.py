@@ -208,19 +208,32 @@ def process_bucket_frame(df: pd.DataFrame,
 
     Output: {'turns_ok', 'turns_seq', 'sessions', 'per_conv', 'long'}.
     """
-    turns = sessionize_frame(df, config)
     shared: set = set()
-    if k > 1 and len(turns):
-        vc = turns["conv_id"].value_counts()
+    if k > 1 and len(df):
+        # pre-slice BEFORE sessionizing: session ids are per-conv, so
+        # sessionizing only (my residue convs ∪ giant convs) yields
+        # identical ids while skipping the other slices' conv rows —
+        # the k tasks no longer each re-sessionize the whole bucket
+        vc = df["conv_id"].value_counts()
         shared = set(vc.index[vc.to_numpy() > config.giant_conv_chunk])
-        conv = turns["conv_id"].to_numpy()
-        sid = turns["session_id"].to_numpy()
-        keep = sub_residue(conv, k) == rem
+        mine = sub_residue(df["conv_id"].to_numpy(), k) == rem
         if shared:
+            is_sh = df["conv_id"].isin(shared).to_numpy()
+            df = df[(mine & ~is_sh) | is_sh]
+        else:
+            df = df[mine]
+        turns = sessionize_frame(df, config)
+        if shared:
+            # giant (session-split) convs: keep whole sessions of my
+            # residue; their seq-dropped rows belong to slice 0
             is_sh = turns["conv_id"].isin(shared).to_numpy()
-            keep = np.where(
-                is_sh, np.where(sid >= 0, sid % k == rem, rem == 0), keep)
-        turns = turns[keep]
+            sid = turns["session_id"].to_numpy()
+            keep = np.where(is_sh,
+                            np.where(sid >= 0, sid % k == rem, rem == 0),
+                            True)
+            turns = turns[keep]
+    else:
+        turns = sessionize_frame(df, config)
     seqmask = turns["seq_drop"].to_numpy()
     if seqmask.any():
         seq = turns[seqmask].drop(columns=["seq_drop"])
@@ -385,9 +398,10 @@ def parse_enrich_dataset(source, config: PipelineConfig = DEFAULT_CONFIG,
     """
     ray_up = ray.is_initialized()
     ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray_up else 8
-    # split the read into ~2 blocks per core — with a handful of large
-    # input files the default one-block-per-file caps pass-1 parallelism
-    nblocks = 2 * ncpu
+    # split the read into ~4 blocks per core — with a handful of large
+    # input files the default one-block-per-file caps pass-1 parallelism,
+    # and finer blocks pack the parse stage tighter (smaller tail)
+    nblocks = 4 * ncpu
     if isinstance(source, str):
         tc, rg = lookups if lookups is not None else read_lookup_dicts(source)
         ds = read_turns(source, override_num_blocks=nblocks)
@@ -670,14 +684,15 @@ def finalize_sinks(long: pd.DataFrame, out_dir: str,
 
 def _count_rows(path: str) -> int:
     """Metadata-only row count, footers read on a thread pool (a serial
-    pads.dataset discovery over thousands of small files costs seconds)."""
+    pads.dataset discovery over thousands of small files costs seconds;
+    footer reads are I/O-bound so the pool is wide)."""
     if not os.path.isdir(path):
         return 0
     files = glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
     if not files:
         return 0
     from concurrent.futures import ThreadPoolExecutor
-    with ThreadPoolExecutor(min(16, len(files))) as ex:
+    with ThreadPoolExecutor(min(64, len(files))) as ex:
         return sum(ex.map(lambda f: pq.ParquetFile(f).metadata.num_rows,
                           files))
 
@@ -697,15 +712,23 @@ def run_flagship(input_dir: str, out_dir: str,
 
     parsed_dir = os.path.join(out_dir, "parsed")
     meta = sinks.get("_meta", {})
-    metrics = {
-        "total_rec": _count_rows(os.path.join(input_dir, "turns"))
-                     or _count_rows(input_dir),
-        "bad": _count_rows(os.path.join(parsed_dir, "route=bad")),
-        "ignored_pattern": _count_rows(os.path.join(parsed_dir,
-                                                    "route=ignored")),
-        "ignored_seq": int(meta.get("seq", 0)),
-        "parsed": int(meta.get("ok", 0)),
-    }
+    # the three dir counts are independent footer sweeps — overlap them
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(3) as ex:
+        f_tot = ex.submit(lambda: _count_rows(os.path.join(input_dir,
+                                                           "turns"))
+                          or _count_rows(input_dir))
+        f_bad = ex.submit(_count_rows, os.path.join(parsed_dir,
+                                                    "route=bad"))
+        f_ign = ex.submit(_count_rows, os.path.join(parsed_dir,
+                                                    "route=ignored"))
+        metrics = {
+            "total_rec": f_tot.result(),
+            "bad": f_bad.result(),
+            "ignored_pattern": f_ign.result(),
+            "ignored_seq": int(meta.get("seq", 0)),
+            "parsed": int(meta.get("ok", 0)),
+        }
     metrics["ignored"] = metrics["ignored_pattern"] + metrics["ignored_seq"]
     metrics["sessions"] = int(meta.get("sessions",
                                        len(sinks["sessions"])))

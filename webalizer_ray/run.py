@@ -108,7 +108,17 @@ def cmd_history(args) -> int:
 
 
 def cmd_lookup(args) -> int:
-    """wcmgr analog: manage the enrichment lookup Parquet tables."""
+    """wcmgr analog: manage the enrichment lookup Parquet tables.
+
+    ``add`` stamps each entry with its insertion time; ``purge TABLE
+    TTL_SECONDS`` drops entries older than the TTL — the ``CacheTTL``
+    staleness expiry of the reference's DNS cache (dns_resolv.c TTL
+    check in resolve_dns() [verify]). Entries from tables written before
+    timestamps existed (ts null) are kept by purge (unknown age ≠ stale).
+    """
+    import time as _time
+
+    import numpy as np
     import pandas as pd
     import pyarrow.parquet as pq
 
@@ -120,16 +130,30 @@ def cmd_lookup(args) -> int:
     df = (pq.read_table(path).to_pandas() if os.path.exists(path)
           else pd.DataFrame({key: [], val: []}, dtype=object))
     if args.op == "list":
-        print(df.to_string(index=False))
+        show = df.copy()
+        if "ts" in show.columns:
+            age = _time.time() - show["ts"]
+            show["age_s"] = age.round(1)
+            show = show.drop(columns=["ts"])
+        print(show.to_string(index=False))
         return 0
     if args.op == "add":
+        if "ts" not in df.columns:
+            df["ts"] = np.nan
         df = df[df[key] != args.key]
         df = pd.concat([df, pd.DataFrame({key: [args.key],
-                                          val: [args.value]})],
+                                          val: [args.value],
+                                          "ts": [_time.time()]})],
                        ignore_index=True).sort_values(key,
                                                       ignore_index=True)
     elif args.op == "del":
         df = df[df[key] != args.key].reset_index(drop=True)
+    elif args.op == "purge":
+        ttl = float(args.key)
+        if "ts" in df.columns:
+            cutoff = _time.time() - ttl
+            stale = df["ts"].notna() & (df["ts"] < cutoff)
+            df = df[~stale].reset_index(drop=True)
     elif args.op == "export":
         df.to_csv(args.value or "/dev/stdout", index=False)
         return 0
@@ -156,7 +180,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     i = sub.add_parser("ingest-log", help="raw text log -> turns parquet")
     i.add_argument("--log", required=True)
-    i.add_argument("--fmt", default="clf", choices=["clf", "squid", "w3c"])
+    i.add_argument("--fmt", default="clf",
+                   choices=["clf", "squid", "w3c", "ftp"])
     i.add_argument("--out", required=True)
     i.add_argument("--keep-bad", action="store_true")
     i.add_argument("--num-cpus", type=int, default=None)
@@ -169,10 +194,11 @@ def build_parser() -> argparse.ArgumentParser:
 
     lk = sub.add_parser("lookup", help="manage enrichment lookup tables "
                                        "(wcmgr analog)")
-    lk.add_argument("op", choices=["list", "add", "del", "export"])
+    lk.add_argument("op", choices=["list", "add", "del", "purge", "export"])
     lk.add_argument("table", help="path to tool_categories.parquet / "
                                   "role_groups.parquet")
-    lk.add_argument("key", nargs="?")
+    lk.add_argument("key", nargs="?",
+                    help="entry key (add/del) or TTL seconds (purge)")
     lk.add_argument("value", nargs="?")
     lk.set_defaults(fn=cmd_lookup)
     return p
