@@ -66,6 +66,42 @@ def test_chunked_equals_whole_sessionization(gaps, chunk_rows):
         chunked.sort_values("turn_idx")["session_id"].reset_index(drop=True))
 
 
+@given(gaps=_gap_lists, nconv=st.integers(1, 5), seed=st.integers(0, 99),
+       fold=st.booleans())
+@settings(max_examples=80, deadline=None)
+def test_sessionize_arrays_equals_frame(gaps, nconv, seed, fold):
+    """The Arrow-path array sessionizer must agree with the pandas one
+    on session ids for every (conv, turn), incl. fold_seq mode."""
+    from webalizer_ray.config import PipelineConfig
+    from webalizer_ray.stages.session import sessionize_arrays
+
+    rng = np.random.default_rng(seed)
+    frames = []
+    for c in range(nconv):
+        f = _conv_frame(gaps)
+        f["conv_id"] = f"c{c}"
+        # shuffle ts a bit across convs so codes orderings differ
+        f["ts"] = f["ts"] + pd.Timedelta(seconds=int(rng.integers(0, 3600)))
+        f["month"] = f["ts"].dt.strftime("%Y-%m")
+        frames.append(f)
+    df = pd.concat(frames, ignore_index=True)
+    df = df.sample(frac=1.0, random_state=seed).reset_index(drop=True)
+    cfg = PipelineConfig(fold_seq=fold)
+
+    want = sessionize_frame(df, cfg).sort_values(
+        ["conv_id", "turn_idx"], ignore_index=True)
+
+    codes, u = pd.factorize(df["conv_id"], sort=False)
+    mcodes, _ = pd.factorize(df["month"], sort=False)
+    ts_us = df["ts"].astype("int64").to_numpy() // 1000  # ns → µs
+    order, sid, seq = sessionize_arrays(
+        codes, df["turn_idx"].to_numpy(), ts_us, mcodes, cfg)
+    got = df.iloc[order].assign(session_id=sid).sort_values(
+        ["conv_id", "turn_idx"], ignore_index=True)
+    assert (got["session_id"].to_numpy()
+            == want["session_id"].to_numpy()).all()
+
+
 @given(gaps=_gap_lists)
 @settings(max_examples=60, deadline=None)
 def test_exact_timeout_gap_starts_new_session(gaps):

@@ -60,7 +60,7 @@ from webalizer_ray.config import DEFAULT_CONFIG, PipelineConfig
 from webalizer_ray.sources.readers import read_lookup_dicts, read_turns
 from webalizer_ray.stages.enrich import EnrichActor, enrich_fn
 from webalizer_ray.stages.parse import make_parse_fn
-from webalizer_ray.stages.session import SESSION_COLS, sessionize_frame
+from webalizer_ray.stages.session import SESSION_COLS, sessionize_arrays
 from webalizer_ray.stages.topn import top_n_pandas
 
 #: small aggregate sinks computed per bucket: sink → turns key column
@@ -192,48 +192,76 @@ def bucket_partials(ok: pd.DataFrame, sess: pd.DataFrame,
     return pd.concat(frames, ignore_index=True) if frames else _empty_long()
 
 
-def process_bucket_frame(df: pd.DataFrame,
+def process_bucket_frame(df: pd.DataFrame | pa.Table,
                          config: PipelineConfig = DEFAULT_CONFIG,
                          k: int = 1, rem: int = 0) -> dict:
     """Pure per-bucket-slice computation (unit-testable without Ray).
 
-    Input: parsed ok-route turns of one bucket (complete conversations).
-    With k > 1 this task owns slice ``rem`` of a k-way split: normal
+    Input: parsed ok-route turns of one bucket (complete conversations),
+    as a pandas frame or (the hot path) a zero-copy Arrow table. With
+    k > 1 this task owns slice ``rem`` of a k-way split: normal
     conversations by conv-hash residue, and GIANT conversations (rows >
     giant_conv_chunk) by ``session_id % k`` — whole sessions only, so
-    every downstream aggregate stays exact. All k tasks sessionize the
-    same full frame (cheap, numpy) and deterministically agree on the
-    split; the expensive per-row work then fans out instead of leaving
-    one straggler task per hot conversation (SURVEY.md §7.3 item 2).
+    every downstream aggregate stays exact.
 
-    Output: {'turns_ok', 'turns_seq', 'sessions', 'per_conv', 'long'}.
+    The sessionize step runs on dictionary CODES + int64 µs arrays
+    (stages/session.sessionize_arrays): multi-million-row buckets never
+    materialize Python string objects, and each slice applies exactly
+    ONE Arrow ``take`` of only the rows it keeps — a k-way-split hot
+    bucket costs each task the (cheap, columnar) array pass plus
+    slice-sized pandas work, not k whole-frame copies (SURVEY.md §7.3
+    item 2; round-1 verdict finding #7).
+
+    Output: {'turns_ok', 'turns_seq', 'sessions', 'per_conv',
+    'per_conv_top', 'long'}.
     """
+    tbl = pa.Table.from_pandas(df, preserve_index=False) \
+        if isinstance(df, pd.DataFrame) else df
+    import pyarrow.compute as pac
+    enc = pac.dictionary_encode(tbl["conv_id"].combine_chunks())
+    codes = np.asarray(enc.indices)
+    uniq = np.asarray(enc.dictionary, dtype=object)
+    tidx = np.asarray(tbl["turn_idx"].combine_chunks())
+    ts_us = np.asarray(pac.cast(tbl["ts"].combine_chunks(), pa.int64()))
+    mcodes = np.asarray(
+        pac.dictionary_encode(tbl["month"].combine_chunks()).indices)
+
     shared: set = set()
-    if k > 1 and len(df):
+    shared_per_code = None
+    if k > 1 and len(codes):
+        counts = np.bincount(codes, minlength=len(uniq))
+        shared_per_code = counts > config.giant_conv_chunk
+        mine_per_code = (pd.util.hash_array(uniq, hash_key=_SUBSPLIT_KEY)
+                         % np.uint64(k)).astype(np.int64) == rem
         # pre-slice BEFORE sessionizing: session ids are per-conv, so
         # sessionizing only (my residue convs ∪ giant convs) yields
-        # identical ids while skipping the other slices' conv rows —
-        # the k tasks no longer each re-sessionize the whole bucket
-        vc = df["conv_id"].value_counts()
-        shared = set(vc.index[vc.to_numpy() > config.giant_conv_chunk])
-        mine = sub_residue(df["conv_id"].to_numpy(), k) == rem
-        if shared:
-            is_sh = df["conv_id"].isin(shared).to_numpy()
-            df = df[(mine & ~is_sh) | is_sh]
-        else:
-            df = df[mine]
-        turns = sessionize_frame(df, config)
-        if shared:
-            # giant (session-split) convs: keep whole sessions of my
-            # residue; their seq-dropped rows belong to slice 0
-            is_sh = turns["conv_id"].isin(shared).to_numpy()
-            sid = turns["session_id"].to_numpy()
-            keep = np.where(is_sh,
-                            np.where(sid >= 0, sid % k == rem, rem == 0),
-                            True)
-            turns = turns[keep]
+        # identical ids while skipping the other slices' conv rows
+        idx = np.flatnonzero((mine_per_code | shared_per_code)[codes])
+        shared = set(uniq[shared_per_code])
     else:
-        turns = sessionize_frame(df, config)
+        idx = np.arange(len(codes))
+    order, sid, seq_drop = sessionize_arrays(
+        codes[idx], tidx[idx], ts_us[idx], mcodes[idx], config)
+    sel = idx[order]
+    if shared_per_code is not None and shared_per_code.any():
+        # giant (session-split) convs: keep whole sessions of my
+        # residue; their seq-dropped rows belong to slice 0
+        is_sh = shared_per_code[codes[sel]]
+        keep = np.where(is_sh,
+                        np.where(sid >= 0, sid % k == rem, rem == 0),
+                        True)
+        sel, sid, seq_drop = sel[keep], sid[keep], seq_drop[keep]
+    turns = tbl.take(pa.array(sel)).to_pandas()
+    turns["session_id"] = sid
+    turns["seq_drop"] = seq_drop
+    return _finish_slice(turns, shared, config)
+
+
+def _finish_slice(turns: pd.DataFrame, shared: set,
+                  config: PipelineConfig) -> dict:
+    """Aggregation tail over one sessionized, session-sorted slice —
+    shared by the direct path (process_bucket_frame) and the two-stage
+    presplit path (big dirs sessionized once, slices aggregated here)."""
     seqmask = turns["seq_drop"].to_numpy()
     if seqmask.any():
         seq = turns[seqmask].drop(columns=["seq_drop"])
@@ -349,22 +377,108 @@ def sub_residue(conv_id, k: int) -> np.ndarray:
             % np.uint64(k)).astype(np.int32)
 
 
-def make_bucket_task(out_dir: str, config: PipelineConfig):
-    """map_batches fn over bucket-dir items → long partials.
+#: A dir whose plan gives k >= this goes through the TWO-STAGE presplit
+#: path: one task sessionizes the dir ONCE and writes k slice files;
+#: k cheap tasks then aggregate the slices. Below the threshold the
+#: write+re-read round trip costs more than the duplicate array pass.
+PRESPLIT_MIN_K = 4
 
-    Items carry (dir, k, rem): the task owns the convs of the dir whose
-    second-level hash ≡ rem (mod k). k=1 is the common whole-bucket
-    case; hot buckets arrive as k>1 so their work fans out across tasks
-    while every conversation still lives in exactly one task (the
-    partitioning invariant sessionization needs).
+
+def _scan_dir(d: str) -> pa.Table:
+    # use_threads=False: many concurrent bucket tasks each spinning the
+    # default per-process Arrow scan pool (one thread per host core)
+    # oversubscribe the node into a context-switch storm
+    return pads.dataset(d).scanner(columns=PASS2_COLS,
+                                   use_threads=False).to_table()
+
+
+def _write_table_atomic(tbl: pa.Table, path: str) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+
+
+def make_presplit_task(out_dir: str, config: PipelineConfig):
+    """Stage A for big dirs: sessionize ONCE, write per-slice files.
+
+    Emits one row per dir: (bucket, k, shared) — ``shared`` is the JSON
+    list of session-split giant conv ids the slice aggregator needs for
+    its pair-row accounting.
+    """
+    def task(batch: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.compute as pac
+        rows = []
+        for _, row in batch.iterrows():
+            d, k = row["dir"], int(row["k"])
+            tbl = _scan_dir(d)
+            enc = pac.dictionary_encode(tbl["conv_id"].combine_chunks())
+            codes = np.asarray(enc.indices)
+            uniq = np.asarray(enc.dictionary, dtype=object)
+            tidx = np.asarray(tbl["turn_idx"].combine_chunks())
+            ts_us = np.asarray(pac.cast(tbl["ts"].combine_chunks(),
+                                        pa.int64()))
+            mcodes = np.asarray(pac.dictionary_encode(
+                tbl["month"].combine_chunks()).indices)
+            counts = np.bincount(codes, minlength=len(uniq))
+            shared_per_code = counts > config.giant_conv_chunk
+            res_per_code = (pd.util.hash_array(uniq,
+                                               hash_key=_SUBSPLIT_KEY)
+                            % np.uint64(k)).astype(np.int64)
+            order, sid, seq_drop = sessionize_arrays(
+                codes, tidx, ts_us, mcodes, config)
+            sc = codes[order]
+            slice_id = res_per_code[sc]
+            if shared_per_code.any():
+                slice_id = np.where(shared_per_code[sc],
+                                    np.where(sid >= 0, sid % k, 0),
+                                    slice_id)
+            sorted_tbl = tbl.take(pa.array(order)) \
+                .append_column("session_id", pa.array(sid)) \
+                .append_column("seq_drop", pa.array(seq_drop))
+            bucket = _bucket_id(d)
+            for r in range(k):
+                part = sorted_tbl.filter(pa.array(slice_id == r))
+                _write_table_atomic(part, _presplit_path(out_dir, bucket,
+                                                         r))
+            rows.append({"bucket": bucket, "k": k,
+                         "shared": json.dumps(
+                             sorted(map(str, uniq[shared_per_code])))})
+        return pd.DataFrame(rows,
+                            columns=["bucket", "k", "shared"])
+    return task
+
+
+def _presplit_path(out_dir: str, bucket: int, rem: int) -> str:
+    return os.path.join(out_dir, "presplit", f"bucket={bucket:05d}",
+                        f"slice-{rem}.parquet")
+
+
+def make_bucket_task(out_dir: str, config: PipelineConfig):
+    """map_batches fn over bucket work items → long partials.
+
+    Two item kinds: ``dir`` items carry (dir, k, rem) — the task reads
+    the dir and owns the convs whose second-level hash ≡ rem (mod k);
+    ``slice`` items point at a presplit file (already sessionized by
+    stage A) and only run the aggregation tail. Every conversation still
+    lives in exactly one task (the partitioning invariant sessionization
+    needs).
     """
     def task(batch: pd.DataFrame) -> pd.DataFrame:
         longs = []
         for _, row in batch.iterrows():
-            d, k, rem = row["dir"], int(row["k"]), int(row["rem"])
-            df = pads.dataset(d).to_table(columns=PASS2_COLS).to_pandas()
-            res = process_bucket_frame(df, config, k=k, rem=rem)
-            write_bucket_outputs(res, out_dir, _bucket_id(d), part=rem)
+            if row.get("kind") == "slice":
+                bucket, rem = int(row["bucket"]), int(row["rem"])
+                turns = pq.read_table(
+                    _presplit_path(out_dir, bucket, rem)).to_pandas()
+                res = _finish_slice(turns, set(json.loads(row["shared"])),
+                                    config)
+                write_bucket_outputs(res, out_dir, bucket, part=rem)
+            else:
+                d, k, rem = row["dir"], int(row["k"]), int(row["rem"])
+                res = process_bucket_frame(_scan_dir(d), config, k=k,
+                                           rem=rem)
+                write_bucket_outputs(res, out_dir, _bucket_id(d), part=rem)
             longs.append(res["long"])
         out = pd.concat(longs, ignore_index=True) if longs else _empty_long()
         return out if len(out) else _empty_long()
@@ -473,15 +587,37 @@ def run_parse_pass(input_dir: str, out_dir: str,
 def run_bucket_pass(out_dir: str,
                     config: PipelineConfig = DEFAULT_CONFIG,
                     dirs: list[str] | None = None) -> pd.DataFrame:
-    """Pass 2: one Ray task per bucket dir; returns combined long partials."""
+    """Pass 2: one Ray task per work item; returns combined long partials.
+
+    Dirs whose split factor k ≥ PRESPLIT_MIN_K run the two-stage path:
+    stage A sessionizes each big dir ONCE and writes k slice files
+    (instead of k tasks each re-reading and re-sessionizing the same
+    dir); the main stage then aggregates dirs and slices uniformly.
+    """
     if dirs is None:
         dirs = sorted(glob.glob(
             os.path.join(out_dir, "parsed", "route=ok", "bucket=*")))
     if not dirs:
         return _empty_long()
+    planned = plan_bucket_items(dirs, config)
+    items = [{"kind": "dir", "dir": it["dir"], "k": it["k"],
+              "rem": it["rem"], "bucket": -1, "shared": "[]"}
+             for it in planned if it["k"] < PRESPLIT_MIN_K]
+    big = sorted({(it["dir"], it["k"]) for it in planned
+                  if it["k"] >= PRESPLIT_MIN_K})
+    if big:
+        pre = [{"dir": d, "k": k} for d, k in big]
+        meta = (rd.from_items(pre, override_num_blocks=len(pre))
+                .map_batches(make_presplit_task(out_dir, config),
+                             batch_format="pandas", batch_size=1)
+                .to_pandas())
+        for _, m in meta.iterrows():
+            items.extend({"kind": "slice", "dir": "", "k": int(m["k"]),
+                          "rem": r, "bucket": int(m["bucket"]),
+                          "shared": m["shared"]}
+                         for r in range(int(m["k"])))
     # one BLOCK per work item — from_items defaults to a single block,
     # which would serialize the whole pass into one task
-    items = plan_bucket_items(dirs, config)
     long = (rd.from_items(items, override_num_blocks=len(items))
             .map_batches(make_bucket_task(out_dir, config),
                          batch_format="pandas", batch_size=1)

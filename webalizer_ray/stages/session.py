@@ -66,6 +66,65 @@ def _session_ids(codes: np.ndarray, ts: np.ndarray, month: np.ndarray,
     return (gsid - np.repeat(gsid[firsts] - 1, counts)).astype(np.int64)
 
 
+def _session_ids_us(codes: np.ndarray, ts_us: np.ndarray,
+                    month_codes: np.ndarray,
+                    config: PipelineConfig) -> np.ndarray:
+    """`_session_ids` over raw int arrays (ts in epoch µs, month as
+    dictionary codes) — the allocation-free kernel for the Arrow bucket
+    path. Identical rule set: new session at conv change, gap >= timeout,
+    month change (W3), or backwards jump when fold_seq (W4 fold)."""
+    n = len(codes)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    same = np.empty(n, dtype=bool)
+    same[0] = False
+    same[1:] = codes[1:] == codes[:-1]
+    gap_s = np.empty(n, dtype=np.float64)
+    gap_s[0] = np.inf
+    gap_s[1:] = (ts_us[1:] - ts_us[:-1]) / 1e6
+    new_sess = ~same | (gap_s >= config.session_timeout_s)
+    if config.split_sessions_on_month:
+        mchg = np.empty(n, dtype=bool)
+        mchg[0] = False
+        mchg[1:] = month_codes[1:] != month_codes[:-1]
+        new_sess |= same & mchg
+    if config.fold_seq:
+        new_sess |= same & (gap_s < 0)
+    gsid = np.cumsum(new_sess)
+    firsts = np.flatnonzero(~same)
+    counts = np.diff(np.append(firsts, n))
+    return (gsid - np.repeat(gsid[firsts] - 1, counts)).astype(np.int64)
+
+
+def sessionize_arrays(codes: np.ndarray, turn_idx: np.ndarray,
+                      ts_us: np.ndarray, month_codes: np.ndarray,
+                      config: PipelineConfig = DEFAULT_CONFIG
+                      ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Array-level sessionizer: returns (order, session_id, seq_drop),
+    all aligned to ``order`` (positions into the input arrays sorted by
+    (conv-code, turn_idx)). Avoids materializing Python string objects
+    for multi-million-row buckets — the callers apply ``order`` with one
+    Arrow ``take`` of only the rows they keep."""
+    order = np.lexsort((turn_idx, codes))
+    c = codes[order]
+    t = ts_us[order]
+    m = month_codes[order]
+    if config.strict_seq and len(c):
+        runmax = pd.Series(t).groupby(pd.Series(c), sort=False).cummax() \
+            .to_numpy()
+        seq_drop = t < runmax
+    else:
+        seq_drop = np.zeros(len(c), dtype=bool)
+    if seq_drop.any():
+        keep = ~seq_drop
+        live = _session_ids_us(c[keep], t[keep], m[keep], config)
+        sid = np.full(len(c), -1, dtype=np.int64)
+        sid[keep] = live
+    else:
+        sid = _session_ids_us(c, t, m, config)
+    return order, sid, seq_drop
+
+
 def sessionize_frame(df: pd.DataFrame,
                      config: PipelineConfig = DEFAULT_CONFIG) -> pd.DataFrame:
     """Vectorized multi-conversation sessionizer (one bucket per call).

@@ -270,8 +270,8 @@ def _make_ckpt_bucket_task(out_dir: str, config: PipelineConfig):
                            glob.glob(os.path.join(d, "**", "*.parquet"),
                                      recursive=True))
             from webalizer_ray.pipelines.flagship import PASS2_COLS
-            df = pads.dataset(files).to_table(columns=PASS2_COLS).to_pandas()
-            res = process_bucket_frame(df, config)
+            tbl = pads.dataset(files).to_table(columns=PASS2_COLS)
+            res = process_bucket_frame(tbl, config)
             write_bucket_outputs(res, out_dir, bucket)
             _write_atomic(res["long"], _partial_path(out_dir, bucket))
             _write_json_atomic({
