@@ -399,54 +399,50 @@ def _write_table_atomic(tbl: pa.Table, path: str) -> None:
     os.replace(tmp, path)
 
 
-def make_presplit_task(out_dir: str, config: PipelineConfig):
-    """Stage A for big dirs: sessionize ONCE, write per-slice files.
+def _presplit_dir(d: str, k: int, out_dir: str,
+                  config: PipelineConfig) -> tuple[int, str]:
+    """Stage A for one big dir: sessionize ONCE, write per-slice files.
 
-    Emits one row per dir: (bucket, k, shared) — ``shared`` is the JSON
-    list of session-split giant conv ids the slice aggregator needs for
-    its pair-row accounting.
+    Returns (bucket, shared_json) — the JSON list of session-split giant
+    conv ids the slice aggregator needs for its pair-row accounting.
     """
-    def task(batch: pd.DataFrame) -> pd.DataFrame:
-        import pyarrow.compute as pac
-        rows = []
-        for _, row in batch.iterrows():
-            d, k = row["dir"], int(row["k"])
-            tbl = _scan_dir(d)
-            enc = pac.dictionary_encode(tbl["conv_id"].combine_chunks())
-            codes = np.asarray(enc.indices)
-            uniq = np.asarray(enc.dictionary, dtype=object)
-            tidx = np.asarray(tbl["turn_idx"].combine_chunks())
-            ts_us = np.asarray(pac.cast(tbl["ts"].combine_chunks(),
-                                        pa.int64()))
-            mcodes = np.asarray(pac.dictionary_encode(
-                tbl["month"].combine_chunks()).indices)
-            counts = np.bincount(codes, minlength=len(uniq))
-            shared_per_code = counts > config.giant_conv_chunk
-            res_per_code = (pd.util.hash_array(uniq,
-                                               hash_key=_SUBSPLIT_KEY)
-                            % np.uint64(k)).astype(np.int64)
-            order, sid, seq_drop = sessionize_arrays(
-                codes, tidx, ts_us, mcodes, config)
-            sc = codes[order]
-            slice_id = res_per_code[sc]
-            if shared_per_code.any():
-                slice_id = np.where(shared_per_code[sc],
-                                    np.where(sid >= 0, sid % k, 0),
-                                    slice_id)
-            sorted_tbl = tbl.take(pa.array(order)) \
-                .append_column("session_id", pa.array(sid)) \
-                .append_column("seq_drop", pa.array(seq_drop))
-            bucket = _bucket_id(d)
-            for r in range(k):
-                part = sorted_tbl.filter(pa.array(slice_id == r))
-                _write_table_atomic(part, _presplit_path(out_dir, bucket,
-                                                         r))
-            rows.append({"bucket": bucket, "k": k,
-                         "shared": json.dumps(
-                             sorted(map(str, uniq[shared_per_code])))})
-        return pd.DataFrame(rows,
-                            columns=["bucket", "k", "shared"])
-    return task
+    import pyarrow.compute as pac
+    # stage A runs as one task per big dir (there are few) — let ITS
+    # scan use the Arrow thread pool, unlike the wide stage
+    tbl = pads.dataset(d).scanner(columns=PASS2_COLS,
+                                  use_threads=True).to_table()
+    enc = pac.dictionary_encode(tbl["conv_id"].combine_chunks())
+    codes = np.asarray(enc.indices)
+    uniq = np.asarray(enc.dictionary, dtype=object)
+    tidx = np.asarray(tbl["turn_idx"].combine_chunks())
+    ts_us = np.asarray(pac.cast(tbl["ts"].combine_chunks(), pa.int64()))
+    mcodes = np.asarray(pac.dictionary_encode(
+        tbl["month"].combine_chunks()).indices)
+    counts = np.bincount(codes, minlength=len(uniq))
+    shared_per_code = counts > config.giant_conv_chunk
+    res_per_code = (pd.util.hash_array(uniq, hash_key=_SUBSPLIT_KEY)
+                    % np.uint64(k)).astype(np.int64)
+    order, sid, seq_drop = sessionize_arrays(codes, tidx, ts_us, mcodes,
+                                             config)
+    sc = codes[order]
+    slice_id = res_per_code[sc]
+    if shared_per_code.any():
+        slice_id = np.where(shared_per_code[sc],
+                            np.where(sid >= 0, sid % k, 0), slice_id)
+    sorted_tbl = tbl.take(pa.array(order)) \
+        .append_column("session_id", pa.array(sid)) \
+        .append_column("seq_drop", pa.array(seq_drop))
+    bucket = _bucket_id(d)
+    # filter+encode the k slices on a thread pool (Arrow releases the
+    # GIL) — stage A is the pass's serial neck otherwise
+    from concurrent.futures import ThreadPoolExecutor
+
+    def write_slice(r):
+        part = sorted_tbl.filter(pa.array(slice_id == r))
+        _write_table_atomic(part, _presplit_path(out_dir, bucket, r))
+    with ThreadPoolExecutor(min(8, k)) as ex:
+        list(ex.map(write_slice, range(k)))
+    return bucket, json.dumps(sorted(map(str, uniq[shared_per_code])))
 
 
 def _presplit_path(out_dir: str, bucket: int, rem: int) -> str:
@@ -467,7 +463,19 @@ def make_bucket_task(out_dir: str, config: PipelineConfig):
     def task(batch: pd.DataFrame) -> pd.DataFrame:
         longs = []
         for _, row in batch.iterrows():
-            if row.get("kind") == "slice":
+            kind = row.get("kind")
+            if kind == "presplit":
+                # stage A rides the same job as the dir items, so it
+                # overlaps them instead of serializing the whole pass;
+                # its result travels on the long channel as a marker row
+                bucket, shared = _presplit_dir(row["dir"], int(row["k"]),
+                                               out_dir, config)
+                longs.append(_long_rows("_presplit", [str(bucket)],
+                                        np.array([int(row["k"])],
+                                                 dtype=np.int64),
+                                        sub=shared))
+                continue
+            if kind == "slice":
                 bucket, rem = int(row["bucket"]), int(row["rem"])
                 turns = pq.read_table(
                     _presplit_path(out_dir, bucket, rem)).to_pandas()
@@ -581,7 +589,11 @@ def run_parse_pass(input_dir: str, out_dir: str,
             f"{parsed_dir} already holds a run; use a fresh --out dir or "
             "the resumable mode (run --resume)")
     parsed = parse_enrich_dataset(input_dir, config, lookups, use_actors)
-    parsed.write_parquet(parsed_dir, partition_cols=["route", "bucket"])
+    # zstd: ~35% fewer bytes than snappy on this text-heavy store — the
+    # write (and pass 2's re-read) is partly disk-bound; encode cost is
+    # paid in parallel across the write tasks
+    parsed.write_parquet(parsed_dir, partition_cols=["route", "bucket"],
+                         compression="zstd")
 
 
 def run_bucket_pass(out_dir: str,
@@ -605,24 +617,40 @@ def run_bucket_pass(out_dir: str,
              for it in planned if it["k"] < PRESPLIT_MIN_K]
     big = sorted({(it["dir"], it["k"]) for it in planned
                   if it["k"] >= PRESPLIT_MIN_K})
-    if big:
-        pre = [{"dir": d, "k": k} for d, k in big]
-        meta = (rd.from_items(pre, override_num_blocks=len(pre))
-                .map_batches(make_presplit_task(out_dir, config),
-                             batch_format="pandas", batch_size=1)
-                .to_pandas())
-        for _, m in meta.iterrows():
-            items.extend({"kind": "slice", "dir": "", "k": int(m["k"]),
-                          "rem": r, "bucket": int(m["bucket"]),
-                          "shared": m["shared"]}
-                         for r in range(int(m["k"])))
-    # one BLOCK per work item — from_items defaults to a single block,
-    # which would serialize the whole pass into one task
-    long = (rd.from_items(items, override_num_blocks=len(items))
-            .map_batches(make_bucket_task(out_dir, config),
-                         batch_format="pandas", batch_size=1)
-            .to_pandas())
-    return long if "sink" in long.columns else _empty_long()
+    # job 1: dir items + presplit stage-A items TOGETHER (stage A
+    # overlaps the independent dir work instead of gating the pass);
+    # presplit items first so the long stage-A tasks start immediately
+    job1 = [{"kind": "presplit", "dir": d, "k": k, "rem": 0,
+             "bucket": -1, "shared": "[]"} for d, k in big] + items
+    long_frames = []
+    slice_items = []
+    if job1:
+        # one BLOCK per work item — from_items defaults to a single
+        # block, which would serialize the whole pass into one task
+        l1 = (rd.from_items(job1, override_num_blocks=len(job1))
+              .map_batches(make_bucket_task(out_dir, config),
+                           batch_format="pandas", batch_size=1)
+              .to_pandas())
+        if "sink" in l1.columns and len(l1):
+            marker = l1["sink"] == "_presplit"
+            for _, m in l1[marker].iterrows():
+                k = int(m["hits"])
+                slice_items.extend(
+                    {"kind": "slice", "dir": "", "k": k, "rem": r,
+                     "bucket": int(m["key"]), "shared": m["sub"]}
+                    for r in range(k))
+            long_frames.append(l1[~marker])
+    if slice_items:
+        l2 = (rd.from_items(slice_items,
+                            override_num_blocks=len(slice_items))
+              .map_batches(make_bucket_task(out_dir, config),
+                           batch_format="pandas", batch_size=1)
+              .to_pandas())
+        if "sink" in l2.columns and len(l2):
+            long_frames.append(l2)
+    if not long_frames:
+        return _empty_long()
+    return pd.concat(long_frames, ignore_index=True)
 
 
 def _sum_sink(comb: pd.DataFrame, name: str, key_name: str,

@@ -162,7 +162,14 @@ def make_parse_fn(config: PipelineConfig = DEFAULT_CONFIG,
             pc.make_struct(pc.invert(ok), ign),
             ROUTE_BAD, ROUTE_IGNORED, ROUTE_OK)
 
-        bucket = pa.array(conv_bucket(batch["conv_id"], B), pa.int32())
+        # bad/ignored rows never reach pass 2: collapsing their bucket to
+        # -1 turns route=bad/ignored into ONE hive partition each (a file
+        # per write task, not per (task, bucket)) — metrics counts scan
+        # hundreds of footers instead of thousands
+        bucket = pa.array(
+            np.where(np.asarray(pc.equal(route, ROUTE_OK)),
+                     conv_bucket(batch["conv_id"], B),
+                     np.int32(-1)), pa.int32())
 
         cols = {
             "action": action, "status": status, "kb": kb, "query": query,

@@ -217,7 +217,8 @@ def run_parse_pass_resumable(input_dir: str, out_dir: str,
         shutil.rmtree(tmp, ignore_errors=True)
         n_in = sum(pq.ParquetFile(p).metadata.num_rows for p in u["paths"])
         ds = parse_enrich_dataset(u["paths"], config, lookups, use_actors)
-        ds.write_parquet(tmp, partition_cols=["route", "bucket"])
+        ds.write_parquet(tmp, partition_cols=["route", "bucket"],
+                         compression="zstd")
         if os.path.isdir(dest):       # stale version (input file rewritten)
             shutil.rmtree(dest)
         os.replace(tmp, dest)
