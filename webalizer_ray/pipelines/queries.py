@@ -645,6 +645,72 @@ def top_users_by_value(sf_dir: str) -> pd.DataFrame:
     return top_n_pandas(agg, "user_id", "value_sum", 10)
 
 
+@register("train_val_split_counts", sql="""
+SELECT CASE WHEN doc_id % 10 < 8 THEN 'train' ELSE 'val' END AS split,
+       lang, COUNT(*) AS docs
+FROM documents GROUP BY split, lang""")
+def train_val_split_counts(sf_dir: str) -> pd.DataFrame:
+    """Deterministic train/val split (the K4-adjacent op every training
+    pipeline needs): membership is a pure function of the stable doc id,
+    so the split is reproducible across runs/cluster sizes and needs no
+    shuffle — each batch tags its own rows."""
+    def tag(batch: pa.Table) -> pa.Table:
+        frac = np.asarray(batch["doc_id"]) % 10
+        split = pa.array(np.where(frac < 8, "train", "val"), pa.string())
+        return batch.append_column("split", split)
+
+    ds = _docs(sf_dir, ["doc_id", "lang"]).map_batches(
+        tag, batch_format="pyarrow")
+    out = reduce_sink(ds, ["split", "lang"],
+                      {"docs": ("lang", "size")}).to_pandas()
+    return out.sort_values(["split", "lang"], ignore_index=True)
+
+
+@register("cleaned_docs_len", sql=r"""
+SELECT doc_id,
+       CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+            AS BIGINT) AS clean_len
+FROM documents""")
+def cleaned_docs_len(sf_dir: str) -> pd.DataFrame:
+    """Text-cleaning op (lowercase, whitespace collapse, trim) as pure
+    Arrow kernels — the normalize step ahead of dedup/tokenize."""
+    def clean(batch: pa.Table) -> pa.Table:
+        t = pc.utf8_lower(batch["text"])
+        t = pc.replace_substring_regex(t, pattern=r"\s+", replacement=" ")
+        t = pc.utf8_trim(t, " ")
+        return batch.append_column(
+            "clean_len", pc.cast(pc.utf8_length(t), pa.int64()))
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        clean, batch_format="pyarrow")
+    return (ds.select_columns(["doc_id", "clean_len"]).to_pandas()
+            .sort_values("doc_id", ignore_index=True))
+
+
+@register("value_quantiles_by_type", sql="""
+SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.95), 6) AS p95
+FROM events GROUP BY event_type""")
+def value_quantiles_by_type(sf_dir: str) -> pd.DataFrame:
+    """Exact per-group quantiles: shuffle by the (low-cardinality) group
+    key, one vectorized np.quantile per group — linear interpolation,
+    matching SQL quantile_cont. Partitioning note: exact quantiles need
+    a key's values co-located; for high-cardinality keys at 100 TB use a
+    mergeable sketch (t-digest) as partial-per-batch instead."""
+    ds = _events(sf_dir, ["event_type", "value"])
+
+    def q(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["value"].to_numpy()
+        p50, p95 = np.quantile(v, [0.5, 0.95], method="linear")
+        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
+                             "p50": [round(float(p50), 6)],
+                             "p95": [round(float(p95), 6)]})
+
+    out = (ds.groupby("event_type").map_groups(q, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("event_type", ignore_index=True)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (rows-only: binary payloads, actor-pool decode)
 # ---------------------------------------------------------------------------
