@@ -1,0 +1,75 @@
+"""Mergeable sketch tests: accuracy, mergeability, determinism, and the
+query-level agreement with the exact operators."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from webalizer_ray.stages.sketch import HyperLogLog, TDigest
+
+
+def test_tdigest_quantile_accuracy_and_merge():
+    rng = np.random.default_rng(7)
+    v = rng.lognormal(1.0, 0.8, 50_000)
+    d = TDigest.from_values(v)
+    assert len(d.means) < 400          # compressed to O(delta) centroids
+    for q in (0.05, 0.5, 0.95):
+        exact = np.quantile(v, q)
+        approx = d.quantile(q)
+        span = np.quantile(v, 0.99) - np.quantile(v, 0.01)
+        assert abs(approx - exact) < 0.02 * span, q
+    # merge of disjoint parts ≈ digest of the whole
+    parts = np.array_split(v, 7)
+    merged = TDigest()
+    for p in parts:
+        merged = merged.merge(TDigest.from_values(p))
+    for q in (0.5, 0.95):
+        assert abs(merged.quantile(q) - np.quantile(v, q)) < 0.03 * span
+    # bytes round-trip + determinism
+    blob = d.to_bytes()
+    d2 = TDigest.from_bytes(blob)
+    assert d2.quantile(0.5) == d.quantile(0.5)
+    assert TDigest.from_values(v).to_bytes() == blob
+
+
+def test_tdigest_edges():
+    assert np.isnan(TDigest.from_values(np.array([])).quantile(0.5))
+    one = TDigest.from_values(np.array([3.25]))
+    assert one.quantile(0.0) == one.quantile(1.0) == 3.25
+    d = TDigest.from_values(np.array([1.0, 2.0]))
+    assert d.quantile(0.0) == 1.0 and d.quantile(1.0) == 2.0
+
+
+def test_hll_accuracy_and_merge():
+    rng = np.random.default_rng(3)
+    vals = rng.choice(10_000_000, 100_000, replace=False)
+    h = pd.util.hash_array(vals)
+    sk = HyperLogLog.from_hashes(h)
+    est = sk.count()
+    assert abs(est - 100_000) / 100_000 < 0.03
+    # merge of overlapping halves estimates the union, not the sum
+    a = HyperLogLog.from_hashes(h[:70_000])
+    b = HyperLogLog.from_hashes(h[30_000:])
+    est_u = a.merge(b).count()
+    assert abs(est_u - 100_000) / 100_000 < 0.03
+    # small-range linear counting stays accurate
+    small = HyperLogLog.from_hashes(pd.util.hash_array(np.arange(50)))
+    assert abs(small.count() - 50) < 3
+    # bytes round-trip
+    assert HyperLogLog.from_bytes(sk.to_bytes()).count() == est
+
+
+def test_sketch_queries_match_exact(ray_session):
+    from webalizer_ray.pipelines import queries as Q
+    sf = "/root/testdata/sf0.001"
+    exact = Q.REGISTRY["distinct_users"][0](sf)["users"].iloc[0]
+    approx = Q.REGISTRY["distinct_users_hll"][0](sf)["users_approx"].iloc[0]
+    assert abs(approx - exact) / max(exact, 1) < 0.05
+
+    eq = Q.REGISTRY["value_quantiles_by_type"][0](sf)
+    aq = Q.REGISTRY["value_quantiles_sketch"][0](sf)
+    m = eq.merge(aq, on="event_type")
+    spread = (m["p95"] - m["p50"]).clip(lower=1e-9)
+    assert ((m["p50_approx"] - m["p50"]).abs() / spread < 0.15).all()
+    assert ((m["p95_approx"] - m["p95"]).abs() / spread < 0.15).all()

@@ -711,6 +711,60 @@ def value_quantiles_by_type(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_type", ignore_index=True)
 
 
+# --- sketch-based approximate variants (the high-cardinality scale path:
+#     fixed-size mergeable partials shuffle, never the values) -------------
+
+@register("distinct_users_hll")
+def distinct_users_hll(sf_dir: str) -> pd.DataFrame:
+    """Approximate global distinct via HyperLogLog (p=14, ~0.8% err):
+    one 16 KiB register array per batch, elementwise-max merge — at 10^9
+    users only B tiny partials move, vs the exact two-phase shuffle."""
+    from webalizer_ray.stages.sketch import HyperLogLog
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_array(df["user_id"].to_numpy())
+        return pd.DataFrame(
+            {"hll": [HyperLogLog.from_hashes(h).to_bytes()]})
+
+    parts = _events(sf_dir, ["user_id"]).map_batches(
+        partial, batch_format="pandas").to_pandas()
+    sk = HyperLogLog()
+    for blob in parts["hll"]:
+        sk = sk.merge(HyperLogLog.from_bytes(blob))
+    return pd.DataFrame({"users_approx":
+                         np.array([int(round(sk.count()))], dtype=np.int64)})
+
+
+@register("value_quantiles_sketch")
+def value_quantiles_sketch(sf_dir: str) -> pd.DataFrame:
+    """Approximate per-group quantiles via mergeable t-digests: per-batch
+    per-key digests (O(δ) bytes) → groupby(key) digest merge → quantile.
+    The key's raw values never co-locate — the scale path the exact
+    value_quantiles_by_type docstring points at."""
+    from webalizer_ray.stages.sketch import TDigest
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = [(et, TDigest.from_values(g["value"].to_numpy()).to_bytes())
+                for et, g in df.groupby("event_type", sort=False)]
+        return pd.DataFrame(rows, columns=["event_type", "td"])
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        sk = TDigest()
+        for blob in g["td"]:
+            sk = sk.merge(TDigest.from_bytes(blob))
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "p50_approx": [round(sk.quantile(0.5), 6)],
+            "p95_approx": [round(sk.quantile(0.95), 6)]})
+
+    out = (_events(sf_dir, ["event_type", "value"])
+           .map_batches(partial, batch_format="pandas")
+           .groupby("event_type").map_groups(combine,
+                                             batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("event_type", ignore_index=True)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing (rows-only: binary payloads, actor-pool decode)
 # ---------------------------------------------------------------------------
