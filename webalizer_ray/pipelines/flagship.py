@@ -372,6 +372,9 @@ _SUBSPLIT_KEY = "wr_subsplit_key1"
 
 
 def sub_residue(conv_id, k: int) -> np.ndarray:
+    """Second-level conv residue (the k-way split rule); the bucket path
+    applies the same hash to the dictionary VALUES only (one hash per
+    distinct conv) — this row-wise form is the executable definition."""
     return (pd.util.hash_array(np.asarray(conv_id, dtype=object),
                                hash_key=_SUBSPLIT_KEY)
             % np.uint64(k)).astype(np.int32)
@@ -878,10 +881,14 @@ def run_flagship(input_dir: str, out_dir: str,
     meta = sinks.get("_meta", {})
     # the three dir counts are independent footer sweeps — overlap them
     from concurrent.futures import ThreadPoolExecutor
+    turns_dir = os.path.join(input_dir, "turns")
     with ThreadPoolExecutor(3) as ex:
-        f_tot = ex.submit(lambda: _count_rows(os.path.join(input_dir,
-                                                           "turns"))
-                          or _count_rows(input_dir))
+        # fall back to the flat layout only when turns/ doesn't exist —
+        # an EMPTY turns table is a real count of 0, not a miss (falling
+        # through would count the lookup parquet files as records)
+        f_tot = ex.submit(lambda: _count_rows(turns_dir)
+                          if os.path.isdir(turns_dir)
+                          else _count_rows(input_dir))
         f_bad = ex.submit(_count_rows, os.path.join(parsed_dir,
                                                     "route=bad"))
         f_ign = ex.submit(_count_rows, os.path.join(parsed_dir,

@@ -271,7 +271,10 @@ def _make_ckpt_bucket_task(out_dir: str, config: PipelineConfig):
                            glob.glob(os.path.join(d, "**", "*.parquet"),
                                      recursive=True))
             from webalizer_ray.pipelines.flagship import PASS2_COLS
-            tbl = pads.dataset(files).to_table(columns=PASS2_COLS)
+            # single-threaded scan: one bucket task per core already —
+            # per-task Arrow thread pools would oversubscribe the node
+            tbl = pads.dataset(files).scanner(
+                columns=PASS2_COLS, use_threads=False).to_table()
             res = process_bucket_frame(tbl, config)
             write_bucket_outputs(res, out_dir, bucket)
             _write_atomic(res["long"], _partial_path(out_dir, bucket))
