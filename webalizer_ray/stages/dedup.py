@@ -300,12 +300,16 @@ def simhash_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
 
 
 def simhash_pairs(ds: rd.Dataset, id_col: str = "doc_id",
-                  text_col: str = "text", max_hamming: int = 3) -> pd.DataFrame:
+                  text_col: str = "text", max_hamming: int = 3,
+                  bucket_cap: int = 4096) -> pd.DataFrame:
     """Near-dup pairs by SimHash: 4×16-bit chunk banding → verify Hamming.
 
     Two docs within Hamming distance ≤ 3 of a 64-bit simhash share at
     least one of the four 16-bit chunks (pigeonhole) — the standard
-    chunk-banding trick, so candidates come from a groupby, not N².
+    chunk-banding trick, so candidates come from a groupby, not N². The
+    Hamming filter and pair dedup run in-cluster (only surviving pairs
+    reach the driver); a degenerate chunk bucket (identical-doc cluster)
+    emits the sorted-consecutive chain, like the MinHash path.
     """
     hashed = ds.map_batches(
         lambda df: simhash_batch(df, text_col)[[id_col, "simhash"]],
@@ -328,20 +332,25 @@ def simhash_pairs(ds: rd.Dataset, id_col: str = "doc_id",
         ids, h = g[id_col].to_numpy(), g["simhash"].to_numpy().astype(np.uint64)
         if len(ids) < 2:
             return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-        ia, ib = np.triu_indices(len(ids), k=1)
+        if len(ids) > bucket_cap:
+            ia, ib = np.arange(len(ids) - 1), np.arange(1, len(ids))
+        else:
+            ia, ib = np.triu_indices(len(ids), k=1)
         x = h[ia] ^ h[ib]
         ham = _popcount64(x)
-        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib], "hamming": ham})
+        out = pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib],
+                            "hamming": ham})
+        return out[out["hamming"] <= max_hamming]
 
-    pairs = (hashed.map_batches(explode, batch_format="pandas")
-             .groupby(["chunk", "chunk_val"])
-             .map_groups(bucket_pairs, batch_format="pandas")
-             .to_pandas())
-    if not len(pairs):
-        return pairs
-    pairs = pairs.drop_duplicates(subset=["id_a", "id_b"], ignore_index=True)
-    return (pairs[pairs["hamming"] <= max_hamming]
-            .sort_values(["id_a", "id_b"], ignore_index=True))
+    cand = (hashed.map_batches(explode, batch_format="pandas")
+            .groupby(["chunk", "chunk_val"])
+            .map_groups(bucket_pairs, batch_format="pandas"))
+    pairs = dedup_pairs_ds(cand).to_pandas()
+    if not len(pairs) or "id_a" not in pairs.columns:
+        return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                             "id_b": pd.Series(dtype=np.int64),
+                             "hamming": pd.Series(dtype=np.int64)})
+    return pairs.sort_values(["id_a", "id_b"], ignore_index=True)
 
 
 # ---------------------------------------------------------------------------
