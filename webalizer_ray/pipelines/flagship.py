@@ -18,26 +18,34 @@ finalize:
 
   pass 2  one task per (bucket dir, conv-hash residue): read the
           bucket's WORKING columns only (text stays on disk — pass 1's
-          parsed/route=* IS the routed row store), sessionize with the
-          numpy sessionizer, write the (conv_id, turn_idx, session_id)
-          annotation + sessions + per_conv under deterministic names
-          (idempotent on retry), and RETURN long-format small-sink
-          partials. Because a conversation lives in exactly one
-          (bucket, residue), session tables, per-conv aggregates and
-          conv-distinct counts are globally exact with no further
-          shuffle; a hot bucket fans out across residues instead of
-          becoming the pass straggler.
+          parsed/route=* IS the routed row store), sessionize on
+          dictionary codes + int64 arrays (no Python string objects on
+          multi-million-row buckets), write the (conv_id, turn_idx,
+          session_id) annotation + sessions + per_conv + per-bucket
+          top-N partials under deterministic names (idempotent on
+          retry), and RETURN long-format small-sink partials. Because a
+          conversation lives in exactly one (bucket, residue), session
+          tables, per-conv aggregates and conv-distinct counts are
+          globally exact with no further shuffle. A bucket dir too big
+          for one task (k ≥ PRESPLIT_MIN_K) takes the TWO-STAGE path:
+          a stage-A task — overlapped with the independent bucket work
+          in the same job — sessionizes the dir ONCE and writes k slice
+          files; k cheap tasks then aggregate the slices (normal convs
+          split by conv-hash residue, giant convs by session_id % k —
+          whole sessions only, so every aggregate stays exact).
 
   finalize  driver-side pandas combine of the per-bucket partials
           (B × keys rows — tiny next to the data; at 10^12 turns this
           combine can itself ride aggregate.bucket_combine) → daily /
-          monthly / per_tool / ... sinks + deterministic top-N + Parquet
-          report outputs (the HTML/TSV analogs, S6–S9).
+          monthly / per_tool / ... sinks + deterministic top-N (from the
+          per-bucket top partials, never the full per_conv table) +
+          Parquet report outputs (the HTML/TSV analogs, S6–S9).
 
 Skew note (north_rule): small-sink partials collapse every bucket to one
 row per key, so a hot conversation (20 % of all rows) costs one bucket
 extra compute, never a hot shuffle partition; a conversation too big for
-one bucket task takes the chunk-merge path (session.chunk_sessionize_frame).
+one bucket task is session-split across slice tasks by the presplit path
+(chunk_sessionize_frame remains the in-frame chunk-merge primitive).
 """
 
 from __future__ import annotations
