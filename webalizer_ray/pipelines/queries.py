@@ -1124,6 +1124,35 @@ def rolling_7d_events(sf_dir: str) -> pd.DataFrame:
     return d[["date", "hits", "hits_7d"]]
 
 
+@register("sliding_1h_events", sql="""
+WITH e AS (SELECT epoch_us(ts) // 1800000000 AS j, value FROM events)
+SELECT win, COUNT(*) AS hits, ROUND(SUM(value), 2) AS value_sum
+FROM (SELECT j AS win, value FROM e
+      UNION ALL SELECT j - 1 AS win, value FROM e)
+GROUP BY win""")
+def sliding_1h_events(sf_dir: str) -> pd.DataFrame:
+    """SLIDING event-time window (width 1 h, slide 30 min): window ``win``
+    covers [win·30 min, win·30 min + 1 h), so each event belongs to
+    exactly width/slide = 2 windows. Expressed as a per-batch flat-map
+    (each row duplicated into its covering windows — vectorized concat,
+    no Python loop) followed by the standard partial/combine aggregate;
+    the expansion factor is the window overlap, never N²."""
+    def expand(batch: pa.Table) -> pa.Table:
+        j = np.asarray(pc.cast(batch["ts"], pa.int64())) // 1_800_000_000
+        v = np.asarray(batch["value"])
+        return pa.table({
+            "win": pa.array(np.concatenate([j, j - 1]), pa.int64()),
+            "value": pa.array(np.concatenate([v, v])),
+        })
+
+    ds = _events(sf_dir, ["ts", "value"]).map_batches(
+        expand, batch_format="pyarrow")
+    out = reduce_sink(ds, ["win"], {"hits": ("win", "size"),
+                                    "value_sum": ("value", "sum")}).to_pandas()
+    out["value_sum"] = out["value_sum"].round(2)
+    return out.sort_values("win", ignore_index=True)
+
+
 @register("mktsegment_order_totals", sql="""
 SELECT c_mktsegment, COUNT(*) AS orders,
        ROUND(SUM(o_totalprice), 2) AS total_price
