@@ -142,29 +142,28 @@ def run_scaling(sf_dir: str, levels: tuple = (1, 4, 32)) -> dict:
     """
     build_bench_fixture()  # shared input, built before any timed run
 
-    def sub(ncpu: int, repeats: int = 2) -> dict:
-        """Best of N fresh-process runs — the sandbox is a shared host
-        and lazy writeback from the previous run's ~5 GB of output can
-        tax the next run; min-of-N with a sync between reads through
-        that noise."""
+    def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    WR_BENCH_HEADLINE_ONLY="1")
-        best = None
-        for _ in range(repeats):
-            subprocess.run(["sync"], check=False)
-            out = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                                 env=env, capture_output=True, text=True,
-                                 check=True, cwd=os.path.dirname(
-                                     os.path.abspath(__file__))).stdout
-            r = json.loads(out.strip().splitlines()[-1])
-            if best is None or r["value"] < best["value"]:
-                best = r
-        return best
+        subprocess.run(["sync"], check=False)
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True, cwd=os.path.dirname(
+                                 os.path.abspath(__file__))).stdout
+        return json.loads(out.strip().splitlines()[-1])
 
-    # best-of-2 at EVERY level: single measurements at any level have
-    # been observed to swing ±50% on this shared host, flipping which
-    # pair looks good run to run
-    runs = {n: sub(n, repeats=2) for n in levels}
+    # best-of-2 at EVERY level, with the repeat loop OUTSIDE the level
+    # loop (1,4,32,1,4,32 — not 1,1,4,4,...): single measurements swing
+    # ±50% with co-tenant load on this shared host, and measuring the
+    # two ends of a pair in separate time windows turns that common-mode
+    # noise into a differential error on the ratio; interleaving keeps
+    # each round's levels under similar host conditions
+    runs: dict = {}
+    for _ in range(2):
+        for n in levels:
+            r = one(n)
+            if n not in runs or r["value"] < runs[n]["value"]:
+                runs[n] = r
     out = {
         "metric": "scaling efficiency T(N)/(4*T(4N)), same input, fresh "
                   f"ray sessions at num_cpus={list(levels)} (sandbox "
