@@ -498,7 +498,32 @@ def lang_id_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id", ignore_index=True)
 
 
-@register("quality_docs")
+#: Stopword alternation shared with the SQL oracle (RE2 on both sides:
+#: Arrow kernels in the engine, DuckDB regexp_extract_all in the oracle).
+_STOP_RX_SQL = r"\b(?:" + "|".join(textstats.LANG_STOPWORDS["en"]) + r")\b"
+
+
+@register("quality_docs", sql=f"""
+WITH q AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT)
+           AS n_tokens,
+         CAST(length(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT)
+           AS n_punct,
+         CAST(length(regexp_extract_all(text, '{_STOP_RX_SQL}')) AS BIGINT)
+           AS n_stop
+  FROM documents),
+r AS (
+  SELECT doc_id, n_chars, n_tokens,
+         ROUND(n_punct * 1.0 / GREATEST(n_chars, 1), 4) AS punct_ratio,
+         ROUND(n_stop * 1.0 / GREATEST(n_tokens, 1), 4) AS stopword_ratio
+  FROM q)
+SELECT doc_id, n_chars, n_tokens, punct_ratio, stopword_ratio,
+       ROUND(0.4 * (LEAST(n_tokens, 200) / 200.0)
+             + 0.3 * (1.0 - LEAST(punct_ratio, 1.0))
+             + 0.3 * LEAST(stopword_ratio, 1.0), 4) AS quality_score
+FROM r""")
 def quality_docs(sf_dir: str) -> pd.DataFrame:
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         textstats.add_quality_score, batch_format="pandas")
@@ -1175,6 +1200,258 @@ def mktsegment_order_totals(sf_dir: str) -> pd.DataFrame:
                        "total_price": ("o_totalprice", "sum")}).to_pandas()
     out["total_price"] = out["total_price"].round(2)
     return out.sort_values("c_mktsegment", ignore_index=True)
+
+# ---------------------------------------------------------------------------
+# Relational operators Ray Data lacks natively, re-expressed as scale-safe
+# compositions (grouped top-N, pivot, rollup, anti-join, window functions,
+# as-of join, band join). Each documents the partitioning assumption.
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register("top_users_per_type", sql="""
+WITH agg AS (SELECT event_type, user_id, ROUND(SUM(value), 2) AS value_sum
+             FROM events GROUP BY event_type, user_id),
+r AS (SELECT event_type, user_id, value_sum,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value_sum DESC, user_id) AS rn
+      FROM agg)
+SELECT event_type, user_id, value_sum FROM r WHERE rn <= 2""")
+def top_users_per_type(sf_dir: str) -> pd.DataFrame:
+    """Grouped top-N (K1 generalized to top-k PER GROUP, which the
+    reference's qsort'd global tables never need). Scale shape: the
+    (event_type, user_id) aggregate ships only reduce_sink partials;
+    a per-batch local top-k then bounds the per-group final combine to
+    k rows per (batch, group) — the full aggregate never gathers."""
+    agg = reduce_sink(_events(sf_dir, ["event_type", "user_id", "value"]),
+                      ["event_type", "user_id"],
+                      {"value_sum": ("value", "sum")})
+
+    def localtop(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["value_sum"] = df["value_sum"].round(2)
+        return (df.sort_values(["value_sum", "user_id"],
+                               ascending=[False, True], kind="mergesort")
+                .groupby("event_type", sort=False).head(2))
+
+    out = (agg.map_batches(localtop, batch_format="pandas")
+           .groupby("event_type")
+           .map_groups(localtop, batch_format="pandas")).to_pandas()
+    return out.sort_values(["event_type", "user_id"], ignore_index=True)
+
+
+@register("hour_type_pivot", sql="""
+SELECT CAST(hour(ts) AS BIGINT) AS hour, """ + ", ".join(
+    f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) "
+    f"AS {t}_hits" for t in _EVENT_TYPES) + """
+FROM events GROUP BY hour""")
+def hour_type_pivot(sf_dir: str) -> pd.DataFrame:
+    """Pivot / crosstab (hour x event_type): indicator columns added per
+    batch (Arrow kernels), then the ordinary partial-combine aggregate —
+    a pivot is just a multi-column combiner, no extra shuffle."""
+    def widen(batch: pa.Table) -> pa.Table:
+        batch = batch.append_column(
+            "hour", pc.cast(pc.hour(batch["ts"]), pa.int64()))
+        et = batch["event_type"]
+        for t in _EVENT_TYPES:
+            batch = batch.append_column(
+                f"{t}_hits", pc.cast(pc.equal(et, t), pa.int64()))
+        return batch.drop_columns(["ts", "event_type"])
+
+    ds = _events(sf_dir, ["ts", "event_type"]) \
+        .map_batches(widen, batch_format="pyarrow")
+    spec = {f"{t}_hits": (f"{t}_hits", "sum") for t in _EVENT_TYPES}
+    out = reduce_sink(ds, ["hour"], spec).to_pandas()
+    return out.sort_values("hour", ignore_index=True)
+
+
+@register("events_rollup", sql="""
+SELECT COALESCE(month, 'ALL') AS month,
+       COALESCE(event_type, 'ALL') AS event_type,
+       CAST(hits AS BIGINT) AS hits, ROUND(value_sum, 2) AS value_sum
+FROM (SELECT strftime(ts, '%Y-%m') AS month, event_type,
+             COUNT(*) AS hits, SUM(value) AS value_sum
+      FROM events GROUP BY ROLLUP(month, event_type))""")
+def events_rollup(sf_dir: str) -> pd.DataFrame:
+    """ROLLUP / grouping sets: one distributed pass computes the finest
+    (month, event_type) level; the coarser levels are derived from those
+    already-tiny partials on the driver (sums of sums), never from a
+    second scan. 'ALL' stands in for the aggregated-out key."""
+    ds = _events(sf_dir, ["ts", "value", "event_type"]).map_batches(
+        _with_time_cols({"month"}), batch_format="pyarrow")
+    fine = reduce_sink(ds, ["month", "event_type"],
+                       {"hits": ("value", "size"),
+                        "value_sum": ("value", "sum")}).to_pandas()
+    mid = fine.groupby("month", as_index=False).agg(
+        hits=("hits", "sum"), value_sum=("value_sum", "sum"))
+    mid["event_type"] = "ALL"
+    top = pd.DataFrame({"month": ["ALL"], "event_type": ["ALL"],
+                        "hits": [fine["hits"].sum()],
+                        "value_sum": [fine["value_sum"].sum()]})
+    out = pd.concat([fine, mid, top], ignore_index=True)[
+        ["month", "event_type", "hits", "value_sum"]]
+    out["hits"] = out["hits"].astype(np.int64)
+    out["value_sum"] = out["value_sum"].round(2)
+    return out.sort_values(["month", "event_type"], ignore_index=True)
+
+
+@register("users_no_purchase", sql="""
+SELECT CAST(COUNT(*) AS BIGINT) AS users FROM (
+  SELECT user_id FROM events GROUP BY user_id
+  HAVING SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 0)""")
+def users_no_purchase(sf_dir: str) -> pd.DataFrame:
+    """Distributed anti-join (users with events but never a purchase).
+    No driver-side membership set: the per-user any-purchase flag is a
+    reduce_sink max over indicator partials; the final count sums tiny
+    per-batch counts — at 10^9 users nothing but partials move."""
+    def flag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "is_p", pc.cast(pc.equal(batch["event_type"], "purchase"),
+                            pa.int64())).drop_columns(["event_type"])
+
+    per_user = reduce_sink(
+        _events(sf_dir, ["user_id", "event_type"])
+        .map_batches(flag, batch_format="pyarrow"),
+        ["user_id"], {"has_p": ("is_p", "max")})
+
+    def cnt(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"users": [np.int64((df["has_p"] == 0).sum())]})
+
+    n = per_user.map_batches(cnt, batch_format="pandas") \
+        .to_pandas()["users"].sum()
+    return pd.DataFrame({"users": [np.int64(n)]})
+
+
+@register("user_running_value", sql="""
+SELECT event_id,
+       ROUND(SUM(value) OVER w, 2) AS run_sum,
+       CAST(COALESCE(date_diff('microsecond', lag(ts) OVER w, ts), -1)
+            AS BIGINT) AS prev_gap_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING)""")
+def user_running_value(sf_dir: str) -> pd.DataFrame:
+    """SQL window functions (running SUM + LAG) as a partitioned
+    operator: hash users into buckets, one vectorized sort + grouped
+    cumsum/shift per bucket. Partitioning assumption: a user's full
+    history fits one group — the same assumption sessionization makes."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "value"])
+
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket_"] = (df["user_id"].to_numpy() % 32).astype(np.int32)
+        return df
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        run = g.groupby("user_id", sort=False)["value"].cumsum().round(2)
+        ts_us = pd.Series(
+            g["ts"].to_numpy("datetime64[us]").astype(np.int64),
+            index=g.index)
+        same = g["user_id"].eq(g["user_id"].shift())
+        gap = (ts_us - ts_us.shift()).where(same, -1).astype(np.int64)
+        return pd.DataFrame({"event_id": g["event_id"], "run_sum": run,
+                             "prev_gap_us": gap})
+
+    out = (ds.map_batches(with_bucket, batch_format="pandas")
+           .groupby("bucket_").map_groups(running, batch_format="pandas")) \
+        .to_pandas()
+    return out.sort_values("event_id", ignore_index=True)
+
+
+@register("asof_last_view_gap", sql="""
+SELECT p.event_id, p.user_id,
+       CAST(COALESCE(date_diff('microsecond', v.ts, p.ts), -1) AS BIGINT)
+         AS gap_us
+FROM (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT user_id, ts FROM events
+                WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.ts >= v.ts""")
+def asof_last_view_gap(sf_dir: str) -> pd.DataFrame:
+    """As-of join (each purchase ↔ the latest view at ts <= purchase.ts
+    by the same user) — an operator Ray Data has no kernel for. Both
+    sides hash-partition on user; within a bucket one vectorized
+    pd.merge_asof(by=user) resolves every user at once. Gap is exact µs
+    so equal-ts ties are value-identical regardless of which duplicate
+    the oracle picks; -1 marks purchases with no prior view."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def keep_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin(("purchase", "view"))].copy()
+        df["bucket_"] = (df["user_id"].to_numpy() % 32).astype(np.int32)
+        return df
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["event_type"] == "purchase"][["event_id", "user_id", "ts"]] \
+            .sort_values("ts", kind="mergesort")
+        v = g[g["event_type"] == "view"][["user_id", "ts"]] \
+            .sort_values("ts", kind="mergesort") \
+            .rename(columns={"ts": "vts"})
+        m = pd.merge_asof(p, v, left_on="ts", right_on="vts", by="user_id",
+                          direction="backward")
+        pus = m["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        vus = m["vts"].to_numpy("datetime64[us]").astype(np.int64)
+        gap = np.where(m["vts"].isna(), np.int64(-1), pus - vus) \
+            .astype(np.int64)
+        return pd.DataFrame({"event_id": m["event_id"],
+                             "user_id": m["user_id"], "gap_us": gap})
+
+    out = (ds.map_batches(keep_bucket, batch_format="pandas")
+           .groupby("bucket_").map_groups(asof, batch_format="pandas")) \
+        .to_pandas()
+    return out.sort_values("event_id", ignore_index=True)
+
+
+@register("orders_nearby_7d", sql="""
+SELECT a.o_orderkey, CAST(COUNT(b.o_orderkey) AS BIGINT) AS nearby
+FROM orders a LEFT JOIN orders b
+  ON a.o_custkey = b.o_custkey AND b.o_orderkey <> a.o_orderkey
+ AND b.o_orderdate >= a.o_orderdate - INTERVAL 7 DAY
+ AND b.o_orderdate <= a.o_orderdate + INTERVAL 7 DAY
+GROUP BY a.o_orderkey""")
+def orders_nearby_7d(sf_dir: str) -> pd.DataFrame:
+    """Band (interval) join: per order, how many OTHER orders by the same
+    customer landed within ±7 days. Scale shape: bucket time into
+    band-width (7 d) buckets; probe rows keep their bucket, build rows
+    replicate to the 3 adjacent buckets, so every qualifying pair meets
+    in EXACTLY one (custkey, bucket) group and the pairwise check runs
+    on tiny per-customer-per-fortnight groups — never all-to-all."""
+    week_us = 7 * 86400 * 10**6
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["o_orderdate"].to_numpy("datetime64[us]").astype(np.int64)
+        base = {"o_custkey": df["o_custkey"].to_numpy(),
+                "key": df["o_orderkey"].to_numpy(), "us": us}
+        b = us // week_us
+        parts = [pd.DataFrame({**base, "bucket": b, "side": np.int8(0)})]
+        parts += [pd.DataFrame({**base, "bucket": b + d, "side": np.int8(1)})
+                  for d in (-1, 0, 1)]
+        return pd.concat(parts, ignore_index=True)
+
+    def count_nearby(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == 0]
+        if not len(left):
+            return pd.DataFrame({"o_orderkey": pd.Series([], dtype=np.int64),
+                                 "nearby": pd.Series([], dtype=np.int64)})
+        right = g[g["side"] == 1]
+        lus = left["us"].to_numpy()[:, None]
+        rus = right["us"].to_numpy()[None, :]
+        ok = (np.abs(lus - rus) <= week_us) \
+            & (left["key"].to_numpy()[:, None]
+               != right["key"].to_numpy()[None, :])
+        return pd.DataFrame({"o_orderkey": left["key"].to_numpy(),
+                             "nearby": ok.sum(axis=1).astype(np.int64)})
+
+    out = (orders.map_batches(expand, batch_format="pandas")
+           .groupby(["o_custkey", "bucket"])
+           .map_groups(count_nearby, batch_format="pandas")).to_pandas()
+    return out.sort_values("o_orderkey", ignore_index=True)
+
 
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}

@@ -44,31 +44,55 @@ def add_token_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch
 
 
+#: One alternation so a single RE2 pass counts every stopword hit; distinct
+#: \b-anchored words can never match at the same start offset, so the
+#: alternation count equals the sum of per-word counts.
+STOPWORD_EN_RX = r"\b(?:" + "|".join(LANG_STOPWORDS["en"]) + r")\b"
+
+
+def round_half_away(x, decimals: int) -> np.ndarray:
+    """SQL-style ROUND (half away from zero) — numpy's round is half-to-
+    even, and the difference is NOT rare here: ratios over token counts
+    are often dyadic (2/64 = 0.03125), landing exactly on the half."""
+    p = 10.0 ** decimals
+    y = np.asarray(x, dtype=np.float64) * p
+    return np.copysign(np.floor(np.abs(y) + 0.5), y) / p
+
+
 def add_quality_score(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     """Length / punctuation / stopword-ratio quality features + score.
 
-    The classic cheap quality heuristics (C4/Gopher-style rules re-expressed
-    as vectorized pandas): docs that are too short, all punctuation, or
-    stopword-free are likely junk.
+    The classic cheap quality heuristics (C4/Gopher-style rules): docs that
+    are too short, all punctuation, or stopword-free are likely junk. All
+    counts come from Arrow's RE2 kernels (ASCII ``\\w``/``\\s``/``\\b``
+    classes — a deliberate, documented choice: byte-class filters are the
+    norm for cheap at-scale quality scoring, and DuckDB's RE2
+    ``regexp_extract_all`` reproduces the exact same counts for the
+    correctness oracle).
     """
-    text = df[text_col].fillna("")
-    n_chars = text.str.len().astype(np.int64)
-    n_tokens = text.str.count(TOKEN_RX).astype(np.int64)
-    n_punct = text.str.count(PUNCT_RX).astype(np.int64)
-    n_stop = sum(text.str.count(rf"\b{w}\b") for w in LANG_STOPWORDS["en"])
+    text = pa.array(df[text_col].fillna(""), type=pa.large_string())
+
+    def count(rx: str) -> np.ndarray:
+        return pc.cast(pc.count_substring_regex(text, rx), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64()) \
+        .to_numpy(zero_copy_only=False)
+    n_tokens = count(TOKEN_RX)
+    n_punct = count(PUNCT_RX)
+    n_stop = count(STOPWORD_EN_RX)
     out = df.copy()
     out["n_chars"] = n_chars
     out["n_tokens"] = n_tokens
-    tok = n_tokens.clip(lower=1)
-    out["mean_token_len"] = ((n_chars - (n_tokens - 1).clip(lower=0)) / tok) \
-        .round(4)
-    out["punct_ratio"] = (n_punct / n_chars.clip(lower=1)).round(4)
-    out["stopword_ratio"] = (n_stop / tok).round(4)
-    out["quality_score"] = (
-        0.4 * (n_tokens.clip(upper=200) / 200)
-        + 0.3 * (1.0 - out["punct_ratio"].clip(upper=1.0))
-        + 0.3 * out["stopword_ratio"].clip(upper=1.0)
-    ).round(4)
+    tok = np.maximum(n_tokens, 1)
+    out["mean_token_len"] = round_half_away(
+        (n_chars - np.maximum(n_tokens - 1, 0)) / tok, 4)
+    out["punct_ratio"] = round_half_away(n_punct / np.maximum(n_chars, 1), 4)
+    out["stopword_ratio"] = round_half_away(n_stop / tok, 4)
+    out["quality_score"] = round_half_away(
+        0.4 * (np.minimum(n_tokens, 200) / 200)
+        + 0.3 * (1.0 - np.minimum(out["punct_ratio"], 1.0))
+        + 0.3 * np.minimum(out["stopword_ratio"], 1.0), 4)
     return out
 
 
