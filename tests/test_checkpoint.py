@@ -243,3 +243,40 @@ def test_deleted_input_is_retired(ray_session, small_fixture, lookups,
     fresh = ckpt.run_flagship_resumable(in_dir, fresh_out, CFG,
                                         lookups=lookups, use_actors=False)
     _assert_sinks_equal(res, fresh)
+
+
+def test_presplit_resume_parity(ray_session, small_fixture, lookups,
+                                baseline, tmp_path_factory):
+    """Big-bucket two-stage presplit on the resumable path: same sinks,
+    same commit semantics, driver-side manifest carries presplit_k."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, bucket_split_target_bytes=1)
+    out = str(tmp_path_factory.mktemp("ckpt_split"))
+    res = ckpt.run_flagship_resumable(small_fixture, out, cfg,
+                                      lookups=lookups, use_actors=False)
+    assert res["resume"]["pass2"].get("presplit"), \
+        "expected at least one presplit bucket with a 1-byte split target"
+    _assert_sinks_equal(res, baseline)
+    mans = [json.load(open(p)) for p in
+            glob.glob(os.path.join(out, "state", "pass2", "*.json"))]
+    assert any(m.get("presplit_k", 0) >= 4 for m in mans)
+    # scratch cleaned up after commit
+    assert not glob.glob(os.path.join(out, "presplit", "*"))
+    assert not glob.glob(os.path.join(out, "state", "pass2_parts", "*"))
+
+    # no-op resume recomputes nothing
+    res2 = ckpt.run_flagship_resumable(small_fixture, out, cfg,
+                                       lookups=lookups, use_actors=False)
+    assert res2["resume"]["pass2"]["recomputed"] == []
+    _assert_sinks_equal(res2, baseline)
+
+    # kill one split bucket before its commit point (manifest gone):
+    # resume recomputes it through the presplit path and re-converges
+    victim = max(mans, key=lambda m: m.get("presplit_k", 0))["bucket"]
+    os.remove(ckpt._pass2_manifest_path(out, victim))
+    res3 = ckpt.run_flagship_resumable(small_fixture, out, cfg,
+                                       lookups=lookups, use_actors=False)
+    assert res3["resume"]["pass2"]["recomputed"] == [victim]
+    assert res3["resume"]["pass2"]["presplit"] == [victim]
+    _assert_sinks_equal(res3, baseline)

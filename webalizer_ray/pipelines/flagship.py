@@ -410,18 +410,19 @@ def _write_table_atomic(tbl: pa.Table, path: str) -> None:
     os.replace(tmp, path)
 
 
-def _presplit_dir(d: str, k: int, out_dir: str,
-                  config: PipelineConfig) -> tuple[int, str]:
-    """Stage A for one big dir: sessionize ONCE, write per-slice files.
+def _presplit_table(tbl: pa.Table, bucket: int, k: int, out_dir: str,
+                    config: PipelineConfig) -> tuple[list, dict]:
+    """Stage A core over one bucket's scanned table: sessionize ONCE,
+    write per-slice files.
 
-    Returns (bucket, shared_json) — the JSON list of session-split giant
-    conv ids the slice aggregator needs for its pair-row accounting.
+    Returns (shared_ids, stats): the session-split giant conv ids the
+    slice aggregators need for pair-row accounting, and the bucket-level
+    stats {rows, seq_dropped, sessions, convs, max_ts} the resumable
+    path records in its per-bucket commit manifest (they are free here —
+    the arrays are already in hand — and spare the slice tasks any
+    cross-slice accounting).
     """
     import pyarrow.compute as pac
-    # stage A runs as one task per big dir (there are few) — let ITS
-    # scan use the Arrow thread pool, unlike the wide stage
-    tbl = pads.dataset(d).scanner(columns=PASS2_COLS,
-                                  use_threads=True).to_table()
     enc = pac.dictionary_encode(tbl["conv_id"].combine_chunks())
     codes = np.asarray(enc.indices)
     uniq = np.asarray(enc.dictionary, dtype=object)
@@ -440,10 +441,24 @@ def _presplit_dir(d: str, k: int, out_dir: str,
     if shared_per_code.any():
         slice_id = np.where(shared_per_code[sc],
                             np.where(sid >= 0, sid % k, 0), slice_id)
+    # bucket stats over ok (non-seq-dropped) rows; `order` groups convs
+    # contiguously with sid nondecreasing inside a conv, so session and
+    # conv counts are one changed-neighbor pass each
+    okm = ~seq_drop
+    oc, osid = sc[okm], sid[okm]
+    if len(oc):
+        chg = (oc[1:] != oc[:-1])
+        sessions = int(1 + (chg | (osid[1:] != osid[:-1])).sum())
+        convs = int(1 + chg.sum())
+        max_ts = str(pd.Timestamp(int(ts_us[order][okm].max()), unit="us"))
+    else:
+        sessions = convs = 0
+        max_ts = None
+    stats = {"rows": int(okm.sum()), "seq_dropped": int((~okm).sum()),
+             "sessions": sessions, "convs": convs, "max_ts": max_ts}
     sorted_tbl = tbl.take(pa.array(order)) \
         .append_column("session_id", pa.array(sid)) \
         .append_column("seq_drop", pa.array(seq_drop))
-    bucket = _bucket_id(d)
     # filter+encode the k slices on a thread pool (Arrow releases the
     # GIL) — stage A is the pass's serial neck otherwise
     from concurrent.futures import ThreadPoolExecutor
@@ -453,7 +468,18 @@ def _presplit_dir(d: str, k: int, out_dir: str,
         _write_table_atomic(part, _presplit_path(out_dir, bucket, r))
     with ThreadPoolExecutor(min(8, k)) as ex:
         list(ex.map(write_slice, range(k)))
-    return bucket, json.dumps(sorted(map(str, uniq[shared_per_code])))
+    return sorted(map(str, uniq[shared_per_code])), stats
+
+
+def _presplit_dir(d: str, k: int, out_dir: str,
+                  config: PipelineConfig) -> tuple[int, str]:
+    """Stage A for one big dir: returns (bucket, shared_json)."""
+    # stage A runs as one task per big dir (there are few) — let ITS
+    # scan use the Arrow thread pool, unlike the wide stage
+    tbl = pads.dataset(d).scanner(columns=PASS2_COLS,
+                                  use_threads=True).to_table()
+    shared, _ = _presplit_table(tbl, _bucket_id(d), k, out_dir, config)
+    return _bucket_id(d), json.dumps(shared)
 
 
 def _presplit_path(out_dir: str, bucket: int, rem: int) -> str:

@@ -45,10 +45,14 @@ the commit point, written tmp+rename). A kill at ANY point leaves either
 an uncommitted unit/bucket (fully recomputed on resume, outputs
 overwritten deterministically) or a committed one (skipped entirely).
 
-Note: the resumable path processes each bucket as ONE task (no hot-bucket
-residue fan-out) — lineage identity is simplest at bucket granularity and
-resume correctness dominates; flagship.run_bucket_pass has the k-split
-fast path for non-resumable runs.
+Lineage identity stays at bucket granularity, but a bucket whose data is
+big enough to split (k >= flagship.PRESPLIT_MIN_K by bytes) runs the same
+TWO-STAGE presplit as the non-resumable path: stage A sessionizes the
+bucket ONCE and writes k slice files plus the bucket stats; k cheap slice
+tasks aggregate. The bucket's long partial and manifest are then written
+by the DRIVER after every slice commits — the commit point is unchanged
+(partial → manifest, tmp+rename), so a kill anywhere inside the split
+leaves an uncommitted bucket that is simply recomputed.
 """
 
 from __future__ import annotations
@@ -60,6 +64,7 @@ import os
 import shutil
 import time
 
+import numpy as np
 import pandas as pd
 import pyarrow.dataset as pads
 import pyarrow.parquet as pq
@@ -68,7 +73,11 @@ import ray.data as rd
 
 from webalizer_ray.config import DEFAULT_CONFIG, PipelineConfig
 from webalizer_ray.pipelines.flagship import (
+    PRESPLIT_MIN_K,
     _empty_long,
+    _finish_slice,
+    _presplit_path,
+    _presplit_table,
     _write_atomic,
     finalize_sinks,
     parse_enrich_dataset,
@@ -259,27 +268,68 @@ def _bucket_lineage(out_dir: str) -> dict[int, list[list[str]]]:
     return {b: sorted(v) for b, v in lineage.items()}
 
 
+def _slice_long_path(out_dir: str, bucket: int, rem: int) -> str:
+    return os.path.join(out_dir, "state", "pass2_parts",
+                        f"long-{bucket:05d}-{rem}.parquet")
+
+
+def _bucket_files(dirs: list[str]) -> list[str]:
+    return sorted(f for d in dirs for f in
+                  glob.glob(os.path.join(d, "**", "*.parquet"),
+                            recursive=True))
+
+
 def _make_ckpt_bucket_task(out_dir: str, config: PipelineConfig):
+    """map_batches fn over resumable pass-2 work items → long partials.
+
+    Three item kinds mirror flagship.make_bucket_task: ``whole`` reads,
+    sessionizes, aggregates and COMMITS one bucket; ``presplit`` is
+    stage A for a big bucket (slices + stats marker row, no commit);
+    ``slice`` aggregates one presplit slice and writes its outputs +
+    slice-long file — the driver commits the bucket once all k landed.
+    """
     def task(batch: pd.DataFrame) -> pd.DataFrame:
         longs = []
         for _, row in batch.iterrows():
             bucket = int(row["bucket"])
-            dirs = json.loads(row["dirs"])
-            lineage = json.loads(row["lineage"])
+            kind = row.get("kind", "whole")
             t0 = time.perf_counter()
-            files = sorted(f for d in dirs for f in
-                           glob.glob(os.path.join(d, "**", "*.parquet"),
-                                     recursive=True))
-            from webalizer_ray.pipelines.flagship import PASS2_COLS
-            # single-threaded scan: one bucket task per core already —
-            # per-task Arrow thread pools would oversubscribe the node
-            tbl = pads.dataset(files).scanner(
-                columns=PASS2_COLS, use_threads=False).to_table()
+            from webalizer_ray.pipelines.flagship import PASS2_COLS, \
+                _long_rows
+            if kind == "presplit":
+                # one task per big bucket (there are few): let ITS scan
+                # use the Arrow thread pool, unlike the wide stages
+                tbl = pads.dataset(_bucket_files(json.loads(row["dirs"]))) \
+                    .scanner(columns=PASS2_COLS, use_threads=True) \
+                    .to_table()
+                shared, stats = _presplit_table(tbl, bucket, int(row["k"]),
+                                                out_dir, config)
+                stats["shared"] = shared
+                stats["wall_s"] = round(time.perf_counter() - t0, 3)
+                longs.append(_long_rows(
+                    "_presplit", [str(bucket)],
+                    np.array([int(row["k"])], dtype=np.int64),
+                    sub=json.dumps(stats)))
+                continue
+            if kind == "slice":
+                rem = int(row["rem"])
+                turns = pq.read_table(
+                    _presplit_path(out_dir, bucket, rem)).to_pandas()
+                res = _finish_slice(turns, set(json.loads(row["shared"])),
+                                    config)
+                write_bucket_outputs(res, out_dir, bucket, part=rem)
+                _write_atomic(res["long"],
+                              _slice_long_path(out_dir, bucket, rem))
+                continue
+            # whole bucket: single-threaded scan — one bucket task per
+            # core already; per-task Arrow pools would oversubscribe
+            tbl = pads.dataset(_bucket_files(json.loads(row["dirs"]))) \
+                .scanner(columns=PASS2_COLS, use_threads=False).to_table()
             res = process_bucket_frame(tbl, config)
             write_bucket_outputs(res, out_dir, bucket)
             _write_atomic(res["long"], _partial_path(out_dir, bucket))
             _write_json_atomic({
-                "bucket": bucket, "lineage": lineage,
+                "bucket": bucket, "lineage": json.loads(row["lineage"]),
                 "rows": int(len(res["turns_ok"])),
                 "seq_dropped": int(len(res["turns_seq"])),
                 "sessions": int(len(res["sessions"])),
@@ -309,16 +359,6 @@ def run_bucket_pass_resumable(out_dir: str,
         for d in glob.glob(os.path.join(out_dir, sub, "bucket=*")):
             if os.path.basename(d) not in live:
                 shutil.rmtree(d, ignore_errors=True)
-    for b in list(lineage):
-        man = _read_json(_pass2_manifest_path(out_dir, b))
-        if man and sorted(map(list, man.get("lineage", []))) != lineage[b]:
-            # stale bucket: clear its outputs so a recompute that writes
-            # fewer parts (e.g. no seq rows this time) leaves no orphans
-            for sub in ("turns/route=ok", "turns/route=seq", "sessions",
-                        "per_conv", "per_conv_top"):
-                shutil.rmtree(os.path.join(out_dir, sub,
-                                           f"bucket={b:05d}"),
-                              ignore_errors=True)
     todo, cached = [], []
     for bucket, lin in sorted(lineage.items()):
         man = _read_json(_pass2_manifest_path(out_dir, bucket))
@@ -326,33 +366,95 @@ def run_bucket_pass_resumable(out_dir: str,
         if (man and sorted(map(list, man.get("lineage", []))) == lin
                 and os.path.exists(partial)):
             cached.append(bucket)
-        else:
-            unit_set = {u for u, _ in lin}
-            # hive dirs from write_parquet are unpadded (bucket=3)
-            dirs = sorted(
-                d for d in glob.glob(os.path.join(
-                    out_dir, "parsed", "unit=*", "route=ok", "bucket=*"))
-                if int(d.split(os.sep)[-1].split("=", 1)[1]) == bucket
-                and d.split(os.sep)[-3].split("=", 1)[1] in unit_set)
-            todo.append({"bucket": bucket, "dirs": json.dumps(dirs),
-                         "lineage": json.dumps(lin)})
+            continue
+        # recompute (stale lineage, or killed mid-commit): clear the
+        # bucket's outputs + split scratch first so an attempt that
+        # writes fewer parts (no seq rows, different split k) leaves
+        # no orphans
+        for sub in ("turns/route=ok", "turns/route=seq", "sessions",
+                    "per_conv", "per_conv_top", "presplit"):
+            shutil.rmtree(os.path.join(out_dir, sub, f"bucket={bucket:05d}"),
+                          ignore_errors=True)
+        for p in glob.glob(_slice_long_path(out_dir, bucket, 0)
+                           .replace("-0.parquet", "-*.parquet")):
+            os.remove(p)
+        unit_set = {u for u, _ in lin}
+        # hive dirs from write_parquet are unpadded (bucket=3)
+        dirs = sorted(
+            d for d in glob.glob(os.path.join(
+                out_dir, "parsed", "unit=*", "route=ok", "bucket=*"))
+            if int(d.split(os.sep)[-1].split("=", 1)[1]) == bucket
+            and d.split(os.sep)[-3].split("=", 1)[1] in unit_set)
+        size = sum(os.path.getsize(f) for f in _bucket_files(dirs))
+        k = min(16, max(1, -(-size // config.bucket_split_target_bytes)))
+        todo.append({"bucket": bucket, "dirs": json.dumps(dirs),
+                     "lineage": json.dumps(lin),
+                     "kind": "presplit" if k >= PRESPLIT_MIN_K else "whole",
+                     "k": k, "rem": 0, "shared": "[]"})
 
     longs = []
+    split_stats: dict[int, dict] = {}
     if todo:
-        # one block per bucket so the tasks actually fan out
-        fresh = (rd.from_items(todo, override_num_blocks=len(todo))
+        # job 1: whole-bucket items (self-committing) + stage-A presplit
+        # items for big buckets, TOGETHER — stage A overlaps the
+        # independent whole-bucket work. Presplit items first so the
+        # long stage-A tasks start immediately.
+        job1 = sorted(todo, key=lambda it: it["kind"] != "presplit")
+        fresh = (rd.from_items(job1, override_num_blocks=len(job1))
                  .map_batches(_make_ckpt_bucket_task(out_dir, config),
                               batch_format="pandas", batch_size=1)
                  .to_pandas())
+        slice_items = []
         if "sink" in fresh.columns and len(fresh):
-            longs.append(fresh)
+            marker = fresh["sink"] == "_presplit"
+            for _, m in fresh[marker].iterrows():
+                b, k = int(m["key"]), int(m["hits"])
+                st = json.loads(m["sub"])
+                split_stats[b] = st
+                shared = json.dumps(st.pop("shared"))
+                slice_items.extend(
+                    {"bucket": b, "dirs": "[]", "lineage": "[]",
+                     "kind": "slice", "k": k, "rem": r, "shared": shared}
+                    for r in range(k))
+            fresh = fresh[~marker]
+            if len(fresh):
+                longs.append(fresh)
+        if slice_items:
+            (rd.from_items(slice_items, override_num_blocks=len(slice_items))
+             .map_batches(_make_ckpt_bucket_task(out_dir, config),
+                          batch_format="pandas", batch_size=1)
+             .materialize())
+        # driver-side commit of each split bucket: merge the k slice
+        # longs → the canonical partial, THEN the manifest (same
+        # partial-before-manifest commit point as the whole path)
+        by_bucket = {it["bucket"]: it for it in todo}
+        for b, st in sorted(split_stats.items()):
+            k = by_bucket[b]["k"]
+            parts = [pq.read_table(_slice_long_path(out_dir, b, r))
+                     .to_pandas() for r in range(k)]
+            merged = pd.concat([p for p in parts if len(p)],
+                               ignore_index=True)
+            if not len(merged):
+                merged = _empty_long()
+            _write_atomic(merged, _partial_path(out_dir, b))
+            _write_json_atomic(
+                {"bucket": b, "lineage": json.loads(by_bucket[b]["lineage"]),
+                 **st, "presplit_k": k},
+                _pass2_manifest_path(out_dir, b))
+            for r in range(k):
+                os.remove(_slice_long_path(out_dir, b, r))
+            shutil.rmtree(os.path.join(out_dir, "presplit",
+                                       f"bucket={b:05d}"),
+                          ignore_errors=True)
+            longs.append(merged)
     for bucket in cached:
         p = pq.read_table(_partial_path(out_dir, bucket)).to_pandas()
         if len(p):
             longs.append(p)
     long = (pd.concat(longs, ignore_index=True) if longs else _empty_long())
     stats = {"buckets": len(lineage), "cached": cached,
-             "recomputed": [t["bucket"] for t in todo]}
+             "recomputed": [t["bucket"] for t in todo],
+             "presplit": sorted(split_stats)}
     return long, stats
 
 
