@@ -53,6 +53,30 @@ def test_skewed_identical_docs_capped(rd_mod):
     assert len({find(i) for i in range(n_dup)}) == 1
 
 
+def test_ngram_decontaminate_known_overlaps(rd_mod):
+    """Hand-built train/val with known 3-gram overlaps: exactly the
+    contaminated train ids come back, case-insensitively, and docs
+    shorter than n emit nothing."""
+    train = pd.DataFrame({
+        "doc_id": np.array([0, 1, 2, 3], dtype=np.int64),
+        "text": ["the quick brown fox jumps",        # shares "quick brown fox"
+                 "totally clean training text here",
+                 "THE QUICK BROWN cat sits",          # shares via lowercase
+                 "short one"]})                       # < n tokens: no shingles
+    val = pd.DataFrame({
+        "doc_id": np.array([100, 101], dtype=np.int64),
+        "text": ["a quick brown fox appears", "the quick brown dog"]})
+    out = dedup.ngram_decontaminate(
+        rd_mod.from_pandas(train).repartition(2),
+        rd_mod.from_pandas(val), n=3)
+    assert out["doc_id"].tolist() == [0, 2]
+    # empty val side → nothing contaminated
+    empty = dedup.ngram_decontaminate(
+        rd_mod.from_pandas(train),
+        rd_mod.from_pandas(val.iloc[:0]), n=3)
+    assert len(empty) == 0
+
+
 def test_ngram_distributed_equals_driver_verify(rd_mod):
     texts = ["alpha beta gamma delta epsilon zeta",
              "alpha beta gamma delta epsilon eta",

@@ -6,7 +6,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from webalizer_ray.stages.sketch import HyperLogLog, TDigest
+from webalizer_ray.stages.sketch import (BloomFilter, HyperLogLog,
+                                         MisraGries, TDigest)
 
 
 def test_tdigest_quantile_accuracy_and_merge():
@@ -58,6 +59,74 @@ def test_hll_accuracy_and_merge():
     assert abs(small.count() - 50) < 3
     # bytes round-trip
     assert HyperLogLog.from_bytes(sk.to_bytes()).count() == est
+
+
+def test_misra_gries_bounds_and_merge():
+    rng = np.random.default_rng(11)
+    stream = rng.zipf(1.5, 200_000) % 5000   # heavy-tailed keys
+    true = pd.Series(stream).value_counts()
+
+    def summarize(part: np.ndarray) -> MisraGries:
+        k, c = np.unique(part, return_counts=True)
+        return MisraGries.from_counts(k, c, capacity=64)
+
+    # single-shot and merged-from-parts must both honor
+    # est(x) <= true(x) <= est(x) + err for every retained key
+    for sk in (summarize(stream),
+               __import__("functools").reduce(
+                   MisraGries.merge,
+                   (summarize(p) for p in np.array_split(stream, 9)))):
+        assert len(sk.keys) <= 64
+        for key, est, est_hi in sk.top(64):
+            t = int(true.get(key, 0))
+            assert est <= t <= est_hi, (key, est, t, est_hi)
+        # every key with true count > err is guaranteed present
+        guaranteed = true[true > sk.err].index
+        assert set(guaranteed).issubset(set(sk.keys.tolist()))
+        # the true #1 heavy hitter leads the estimate ordering
+        assert sk.top(1)[0][0] == int(true.index[0])
+    # bytes round-trip preserves everything
+    sk = summarize(stream)
+    rt = MisraGries.from_bytes(sk.to_bytes(), capacity=64)
+    assert rt.err == sk.err and (rt.keys == sk.keys).all() \
+        and (rt.counts == sk.counts).all()
+
+
+def test_bloom_filter_semantics():
+    rng = np.random.default_rng(5)
+    members = pd.util.hash_array(rng.choice(10_000_000, 50_000,
+                                            replace=False))
+    others = pd.util.hash_array(rng.choice(10_000_000, 50_000,
+                                           replace=False) + 10_000_000)
+    bf = BloomFilter(log2m=20).add_hashes(members)
+    # no false negatives, ever
+    assert bf.contains_hashes(members).all()
+    # FP rate near theory: (1-e^{-kn/m})^k ≈ 0.6% for k=7,n=50k,m=2^20
+    fp = bf.contains_hashes(others).mean()
+    assert fp < 0.02, fp
+    # merge is union
+    a = BloomFilter(log2m=20).add_hashes(members[:30_000])
+    b = BloomFilter(log2m=20).add_hashes(members[30_000:])
+    assert a.merge(b).contains_hashes(members).all()
+    # bytes round-trip
+    rt = BloomFilter.from_bytes(bf.to_bytes(), log2m=20)
+    assert (rt.bits == bf.bits).all()
+    # empty filter rejects everything; empty query is well-typed
+    assert not BloomFilter(log2m=10).contains_hashes(members[:10]).any()
+    assert BloomFilter(log2m=10).contains_hashes(
+        np.array([], dtype=np.uint64)).shape == (0,)
+
+
+def test_heavy_hitter_query_bounds(ray_session):
+    """Query-level: every sketch row's bounds bracket the exact count."""
+    from webalizer_ray.pipelines import queries as Q
+    sf = "/root/testdata/sf0.001"
+    approx = Q.REGISTRY["heavy_hitter_users"][0](sf)
+    events = pd.read_parquet(f"{sf}/events.parquet", columns=["user_id"])
+    true = events["user_id"].value_counts()
+    for _, r in approx.iterrows():
+        t = int(true.get(r["user_id"], 0))
+        assert r["est"] <= t <= r["est_hi"], dict(r)
 
 
 def test_sketch_queries_match_exact(ray_session):

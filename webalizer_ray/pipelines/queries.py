@@ -1453,6 +1453,156 @@ def orders_nearby_7d(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("o_orderkey", ignore_index=True)
 
 
+# ---------------------------------------------------------------------------
+# Training-data ops round 2: decontamination, bloom semi-join prune,
+# heavy-hitters sketch, per-group mixture rebalancing
+# ---------------------------------------------------------------------------
+
+@register("decontaminated_train_docs", sql="""
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+           FROM documents),
+sh AS (
+  SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS sh
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks)-4)) AS i) g
+)
+SELECT DISTINCT a.doc_id FROM sh a
+WHERE a.doc_id % 10 < 8
+AND EXISTS (SELECT 1 FROM sh b WHERE b.doc_id % 10 >= 8 AND b.sh = a.sh)
+ORDER BY doc_id""")
+def decontaminated_train_docs(sf_dir: str) -> pd.DataFrame:
+    """Train/test decontamination: train-split docs sharing any word
+    5-gram with a val-split doc (split = same deterministic doc_id rule
+    as train_val_split_counts). Only (int64 id, int64 shingle-hash) rows
+    shuffle; the overlap is a bucketed hash join — see
+    dedup.ngram_decontaminate."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def split_filter(is_train: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            frac = np.asarray(batch["doc_id"]) % 10
+            return batch.filter(pa.array(
+                frac < 8 if is_train else frac >= 8))
+        return f
+
+    train = docs.map_batches(split_filter(True), batch_format="pyarrow")
+    val = docs.map_batches(split_filter(False), batch_format="pyarrow")
+    return dedup.ngram_decontaminate(train, val, n=5)
+
+
+@register("urgent_lineitem_qty", sql="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(SUM(l_quantity), 2) AS qty_sum
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'""")
+def urgent_lineitem_qty(sf_dir: str) -> pd.DataFrame:
+    """Bloom-filter semi-join prune ahead of a distributed join: the
+    small side (urgent orders) collapses to per-batch Bloom partials
+    (128 KiB bit arrays, OR-merged on the driver, broadcast once via
+    ray.put); the big side (lineitem) drops non-matching rows AT THE
+    SCAN, so only ~1/5 of the fact table enters the exact hash join
+    that removes Bloom false positives. At 100 TB this is the
+    difference between shuffling the whole fact table and shuffling
+    the semi-join survivors."""
+    from webalizer_ray.stages.sketch import BloomFilter
+    import ray as _ray
+
+    urgent = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"]) \
+        .map_batches(
+            lambda b: b.filter(pc.equal(b["o_orderpriority"], "1-URGENT"))
+                       .select(["o_orderkey"]),
+            batch_format="pyarrow").materialize()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        bf = BloomFilter(log2m=20).add_hashes(
+            pd.util.hash_array(df["o_orderkey"].to_numpy()))
+        return pd.DataFrame({"bf": [bf.to_bytes()]})
+
+    bf = BloomFilter(log2m=20)
+    for blob in urgent.map_batches(partial,
+                                   batch_format="pandas").to_pandas()["bf"]:
+        bf = bf.merge(BloomFilter.from_bytes(blob, log2m=20))
+    bf_ref = _ray.put(bf)
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        f = _ray.get(bf_ref)
+        keep = f.contains_hashes(
+            pd.util.hash_array(df["l_orderkey"].to_numpy()))
+        return df[keep]
+
+    survivors = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_quantity"]) \
+        .map_batches(prune, batch_format="pandas")
+    build = urgent.map_batches(
+        lambda df: df.rename(columns={"o_orderkey": "l_orderkey"}),
+        batch_format="pandas")
+    joined = survivors.join(build, join_type="inner", num_partitions=8,
+                            on=("l_orderkey",))
+    agg = reduce_sink(joined.map_batches(
+        lambda df: df.assign(_g=np.int32(0)), batch_format="pandas"),
+        ["_g"], {"n_rows": ("l_orderkey", "size"),
+                 "qty_sum": ("l_quantity", "sum")}).to_pandas()
+    return pd.DataFrame({
+        "n_rows": agg["n_rows"].astype(np.int64).to_numpy(),
+        "qty_sum": agg["qty_sum"].round(2).to_numpy()})
+
+
+@register("heavy_hitter_users")
+def heavy_hitter_users(sf_dir: str) -> pd.DataFrame:
+    """Approximate top-10 users by event count via mergeable Misra-Gries
+    summaries (capacity 48): each batch collapses its exact counts to
+    ≤48 (key, count) entries, the driver merges B tiny summaries — at
+    10^9 users nothing key-shaped ever shuffles or gathers. est ≤ true
+    ≤ est_hi = est + err (bounds checked by test_sketch accuracy tests
+    against the exact reduce_sink path)."""
+    from webalizer_ray.stages.sketch import MisraGries
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        keys, counts = np.unique(df["user_id"].to_numpy(),
+                                 return_counts=True)
+        return pd.DataFrame({"mg": [MisraGries.from_counts(
+            keys, counts, capacity=48).to_bytes()]})
+
+    parts = _events(sf_dir, ["user_id"]).map_batches(
+        partial, batch_format="pandas").to_pandas()
+    sk = MisraGries(capacity=48)
+    for blob in parts["mg"]:
+        sk = sk.merge(MisraGries.from_bytes(blob, capacity=48))
+    rows = sk.top(10)
+    return pd.DataFrame({
+        "user_id": np.array([r[0] for r in rows], dtype=np.int64),
+        "est": np.array([r[1] for r in rows], dtype=np.int64),
+        "est_hi": np.array([r[2] for r in rows], dtype=np.int64)})
+
+
+@register("mixture_rebalance_counts", sql="""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS docs
+FROM documents
+WHERE ((doc_id % 1000003) * 2654435761) % 100
+      < (CASE WHEN lang = 'en' THEN 10 ELSE 50 END)
+GROUP BY lang ORDER BY lang""")
+def mixture_rebalance_counts(sf_dir: str) -> pd.DataFrame:
+    """Per-group stratified sampling for dataset mixture rebalancing:
+    downsample the dominant language to 10%, keep 50% of the rest —
+    membership is a pure deterministic function of the stable doc id
+    (Knuth multiplicative hash), so the sample is reproducible across
+    runs and cluster sizes and needs NO shuffle: each batch filters its
+    own rows; only per-batch count partials move."""
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"])
+        frac = ((ids % 1000003) * 2654435761) % 100
+        lim = np.where(np.asarray(batch["lang"]) == "en", 10, 50)
+        return batch.filter(pa.array(frac < lim))
+
+    ds = _docs(sf_dir, ["doc_id", "lang"]).map_batches(
+        keep, batch_format="pyarrow")
+    out = reduce_sink(ds, ["lang"], {"docs": ("lang", "size")}).to_pandas()
+    out["docs"] = out["docs"].astype(np.int64)
+    return out.sort_values("lang", ignore_index=True)
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

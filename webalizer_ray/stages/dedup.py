@@ -25,6 +25,8 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
@@ -528,3 +530,85 @@ def cosine_dup_pairs(ds: rd.Dataset, id_col: str = "vec_id",
                             "id_b": pd.Series(dtype=np.int64),
                             "cosine": pd.Series(dtype=np.float64)})
     return out.sort_values(["id_a", "id_b"], ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# Train/test decontamination (cross-table n-gram overlap)
+# ---------------------------------------------------------------------------
+
+def _shingle_hash_table(batch: pa.Table, n: int, id_col: str,
+                        text_col: str, ids_too: bool) -> pa.Table:
+    """(doc_id, sh) rows — one int64 hash per word n-gram, batch-local
+    distinct. Tokenization is a single-space split of the lowercased
+    text (matching SQL string_split semantics); a doc with fewer than n
+    tokens emits nothing. The ragged shingle build is per-doc (data
+    production, not compute); hashing is one vectorized call. Output is
+    ALWAYS an Arrow table with an explicit schema — empty pandas blocks
+    lose their schema inside Ray's hash-shuffle join, empty Arrow
+    tables don't."""
+    schema = pa.schema(([(id_col, pa.int64())] if ids_too else [])
+                       + [("sh", pa.int64())])
+    ids_out, flat = [], []
+    for i, t in zip(batch[id_col].to_numpy(),
+                    pc.fill_null(batch[text_col], "").to_pylist()):
+        toks = t.lower().split(" ")
+        m = len(toks) - n + 1
+        if m <= 0:
+            continue
+        flat.extend(" ".join(toks[j:j + n]) for j in range(m))
+        ids_out.append(np.full(m, i, dtype=np.int64))
+    if not flat:
+        return schema.empty_table()
+    sh = _hash_strings(flat).view(np.int64)
+    d = pd.DataFrame({id_col: np.concatenate(ids_out),
+                      "sh": sh}).drop_duplicates(
+        subset=None if ids_too else ["sh"])
+    cols = [id_col, "sh"] if ids_too else ["sh"]
+    return pa.Table.from_pandas(d[cols], schema=schema,
+                                preserve_index=False)
+
+
+def ngram_decontaminate(train: rd.Dataset, val: rd.Dataset, n: int = 5,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        num_partitions: int = 8) -> pd.DataFrame:
+    """Ids of TRAIN docs sharing at least one word n-gram with ANY val doc
+    — the train/test decontamination sweep every eval-safe training
+    pipeline runs (n-gram overlap as in the GPT-3 appendix-C methodology,
+    public construction).
+
+    Shape: both sides shingle per batch into (id, shingle-hash) rows
+    (batch-local distinct), and a bucketed hash join on the 64-bit
+    shingle hash surfaces overlaps — only fixed-width (int64, int64)
+    rows ever shuffle, never text. The only driver materialization is
+    the contaminated-id list itself (batch-locally deduped first),
+    which is the function's return value. Val-side distinct is
+    batch-local only: a shingle shared by v val batches re-matches v
+    times before the id dedup — bounded by the (small, eval-sized) val
+    set. 64-bit hashing makes a false match ~n_shingles²/2⁶⁵ —
+    negligible next to the FP rate of the n-gram heuristic itself.
+    """
+    t_pairs = train.map_batches(
+        lambda b: _shingle_hash_table(b, n, id_col, text_col, True),
+        batch_format="pyarrow")
+    # The val side is the SMALL side by construction (eval benchmarks);
+    # materialize its int64 hash rows so the empty-val case can return
+    # early — Ray's join loses the right-side schema when that side
+    # contributes zero blocks, and the count is free post-materialize.
+    v_sh = val.map_batches(
+        lambda b: _shingle_hash_table(b, n, id_col, text_col, False),
+        batch_format="pyarrow").materialize()
+    if v_sh.count() == 0:
+        return pd.DataFrame({id_col: pd.Series(dtype=np.int64)})
+
+    hit = t_pairs.join(v_sh, join_type="inner",
+                       num_partitions=num_partitions, on=("sh",))
+
+    def local_ids(b: pa.Table) -> pa.Table:
+        return b.select([id_col]).group_by(id_col).aggregate([])
+
+    out = (hit.map_batches(local_ids, batch_format="pyarrow")
+           .to_pandas())
+    if id_col not in out.columns:
+        return pd.DataFrame({id_col: pd.Series(dtype=np.int64)})
+    return (out.drop_duplicates().sort_values(id_col, ignore_index=True)
+            .reset_index(drop=True)[[id_col]])

@@ -14,8 +14,17 @@ the same shape `reduce_sink` uses for algebraic aggregates.
   sorted-by-mean), mergeable, O(δ) memory.
 * ``HyperLogLog`` — Flajolet et al. 2007 with the standard small-range
   (linear counting) correction; register array merge is elementwise max.
+* ``MisraGries`` — heavy hitters / approximate top-k (Misra & Gries
+  1982; the mergeable formulation of Agarwal et al., "Mergeable
+  Summaries", PODS 2012): at most ``capacity`` (key, count) entries plus
+  one global error bound, with the guarantee
+  ``est(x) <= true(x) <= est(x) + err`` and every key whose true count
+  exceeds ``err`` guaranteed present.
+* ``BloomFilter`` — membership filter for semi-join pruning (Bloom
+  1970): k index bits per key via Kirsch–Mitzenmacher double hashing,
+  merge is bitwise OR. No false negatives; FP rate ≈ (1-e^{-kn/m})^k.
 
-Both are pure numpy and serialize to plain bytes so they ride Ray Data
+All are pure numpy and serialize to plain bytes so they ride Ray Data
 blocks as binary columns.
 """
 
@@ -181,3 +190,143 @@ class HyperLogLog:
     @classmethod
     def from_bytes(cls, blob: bytes, p: int = 14) -> "HyperLogLog":
         return cls(p, np.frombuffer(blob, dtype=np.uint8).copy())
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (mergeable)
+# ---------------------------------------------------------------------------
+
+class MisraGries:
+    """Mergeable heavy-hitters summary over int64 keys.
+
+    Invariant (Agarwal et al. 2012): for every key x,
+    ``est(x) <= true(x) <= est(x) + err`` where ``est`` is 0 for absent
+    keys — so any key with true count > err is guaranteed present, and
+    the true top-k is contained in the summary's top-k-by-(est+err) as
+    long as the k-th count exceeds err. Size is bounded by ``capacity``
+    entries regardless of stream length; only these tiny summaries
+    shuffle, never the raw keys.
+    """
+
+    __slots__ = ("keys", "counts", "err", "capacity")
+
+    def __init__(self, capacity: int = 64,
+                 keys: np.ndarray | None = None,
+                 counts: np.ndarray | None = None, err: int = 0):
+        self.capacity = capacity
+        self.keys = np.asarray([] if keys is None else keys, dtype=np.int64)
+        self.counts = np.asarray([] if counts is None else counts,
+                                 dtype=np.int64)
+        self.err = int(err)
+
+    @classmethod
+    def from_counts(cls, keys: np.ndarray, counts: np.ndarray,
+                    capacity: int = 64) -> "MisraGries":
+        """Build from EXACT (key, count) pairs (e.g. one batch's counts)."""
+        sk = cls(capacity, np.asarray(keys, dtype=np.int64),
+                 np.asarray(counts, dtype=np.int64), 0)
+        sk._shrink()
+        return sk
+
+    def _shrink(self) -> None:
+        """MG reduction: subtract the (capacity+1)-th largest count from
+        every entry, drop non-positives — err grows by that threshold."""
+        if len(self.keys) <= self.capacity:
+            return
+        thr = int(np.partition(self.counts,
+                               len(self.counts) - self.capacity - 1)
+                  [len(self.counts) - self.capacity - 1])
+        keep = self.counts > thr
+        self.keys = self.keys[keep]
+        self.counts = self.counts[keep] - thr
+        self.err += thr
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        k = np.concatenate([self.keys, other.keys])
+        c = np.concatenate([self.counts, other.counts])
+        uk, inv = np.unique(k, return_inverse=True)
+        uc = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(uc, inv, c)
+        out = MisraGries(self.capacity, uk, uc, self.err + other.err)
+        out._shrink()
+        return out
+
+    def top(self, n: int) -> "list[tuple[int, int, int]]":
+        """Top-n (key, est, est+err), est desc then key asc (stable)."""
+        order = np.lexsort((self.keys, -self.counts))[:n]
+        return [(int(self.keys[i]), int(self.counts[i]),
+                 int(self.counts[i]) + self.err) for i in order]
+
+    def to_bytes(self) -> bytes:
+        head = np.asarray([self.err, len(self.keys)], dtype=np.int64)
+        return np.concatenate([head, self.keys, self.counts]).tobytes()
+
+    @classmethod
+    def from_bytes(cls, blob: bytes, capacity: int = 64) -> "MisraGries":
+        a = np.frombuffer(blob, dtype=np.int64)
+        err, n = int(a[0]), int(a[1])
+        return cls(capacity, a[2:2 + n].copy(), a[2 + n:2 + 2 * n].copy(),
+                   err)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (semi-join pruning)
+# ---------------------------------------------------------------------------
+
+class BloomFilter:
+    """Bit-array membership filter over 64-bit hashes; merge = OR.
+
+    Index bits come from Kirsch–Mitzenmacher double hashing
+    ``idx_i = h + i·h2 mod m`` (h2 forced odd so it cycles the full
+    power-of-two table). Build per batch, OR the tiny bit arrays on the
+    driver, broadcast once with ``ray.put`` — the standard scan-side
+    prune ahead of a distributed join.
+    """
+
+    __slots__ = ("log2m", "k", "bits")
+
+    def __init__(self, log2m: int = 20, k: int = 7,
+                 bits: np.ndarray | None = None):
+        self.log2m = log2m
+        self.k = k
+        self.bits = np.zeros(1 << log2m, dtype=bool) if bits is None \
+            else np.asarray(bits, dtype=bool)
+
+    def _indices(self, h: np.ndarray) -> np.ndarray:
+        """(len(h), k) table indices.
+
+        The double-hash step derives from the HIGH 32 bits: with the
+        table mask applied, ``h + i*h2 mod 2^log2m`` depends only on the
+        low log2m bits of h and h2, so an h2 computed from h's low bits
+        would collapse the filter to a log2m-bit hash (measured: the FP
+        rate then equals the 2^-log2m birthday rate, ~30× theory)."""
+        h = np.asarray(h, dtype=np.uint64)
+        h2 = ((h >> np.uint64(32)) * np.uint64(0x9E3779B97F4A7C15)) \
+            | np.uint64(1)
+        i = np.arange(self.k, dtype=np.uint64)
+        mask = np.uint64((1 << self.log2m) - 1)
+        return ((h[:, None] + i[None, :] * h2[:, None]) & mask) \
+            .astype(np.int64)
+
+    def add_hashes(self, h: np.ndarray) -> "BloomFilter":
+        if len(h):
+            self.bits[self._indices(h).reshape(-1)] = True
+        return self
+
+    def contains_hashes(self, h: np.ndarray) -> np.ndarray:
+        if not len(h):
+            return np.zeros(0, dtype=bool)
+        return self.bits[self._indices(h)].all(axis=1)
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        return BloomFilter(self.log2m, self.k, self.bits | other.bits)
+
+    def to_bytes(self) -> bytes:
+        return np.packbits(self.bits).tobytes()
+
+    @classmethod
+    def from_bytes(cls, blob: bytes, log2m: int = 20,
+                   k: int = 7) -> "BloomFilter":
+        bits = np.unpackbits(np.frombuffer(blob, dtype=np.uint8)) \
+            .astype(bool)[:1 << log2m]
+        return cls(log2m, k, bits)
