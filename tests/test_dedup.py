@@ -111,3 +111,45 @@ def test_cosine_lsh_equals_exact_all_pairs(rd_mod):
                                      n_tables=48)
     assert len(exact) > 10          # the planted dups actually exist
     pd.testing.assert_frame_equal(lsh, exact)
+
+
+def test_connected_components_basic(rd_mod):
+    """Chain + disjoint pair + triangle → three components labeled by
+    their min node; output covers exactly the nodes seen in pairs."""
+    pairs = pd.DataFrame({"id_a": [0, 1, 2, 10, 20, 21, 22],
+                          "id_b": [1, 2, 3, 11, 21, 22, 20]})
+    out = dedup.connected_components(pairs)
+    got = dict(zip(out["node"], out["cluster_id"]))
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_long_chain(rd_mod):
+    """A 64-node path collapses to one component — pointer doubling
+    means O(log n) supersteps, and max_rounds=40 >> log2(64)."""
+    n = 64
+    pairs = pd.DataFrame({"id_a": np.arange(n - 1, dtype=np.int64),
+                          "id_b": np.arange(1, n, dtype=np.int64)})
+    out = dedup.connected_components(pairs)
+    assert len(out) == n
+    assert (out["cluster_id"] == 0).all()
+
+
+def test_connected_components_empty(rd_mod):
+    out = dedup.connected_components(
+        pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                      "id_b": pd.Series(dtype=np.int64)}))
+    assert len(out) == 0
+    assert list(out.columns) == ["node", "cluster_id"]
+
+
+def test_connected_components_skewed_star(rd_mod):
+    """Hot-key star (every node paired with node 0) — one component,
+    min label 0, and the per-bucket message-passing path handles the
+    skewed degree without all-pairs blowup."""
+    n = 300
+    pairs = pd.DataFrame({"id_a": np.zeros(n - 1, dtype=np.int64),
+                          "id_b": np.arange(1, n, dtype=np.int64)})
+    out = dedup.connected_components(pairs)
+    assert len(out) == n
+    assert (out["cluster_id"] == 0).all()

@@ -420,6 +420,35 @@ def cosine_dup_pairs_lsh(sf_dir: str) -> pd.DataFrame:
                                       n_tables=48)
 
 
+@register("cosine_dup_clusters", sql="""
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= 0.4),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+walk(node, reach) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, w.reach FROM edges e JOIN walk w ON w.node = e.v)
+SELECT CAST(node AS BIGINT) AS node, CAST(MIN(reach) AS BIGINT) AS cluster_id
+FROM walk GROUP BY node""")
+def cosine_dup_clusters(sf_dir: str) -> pd.DataFrame:
+    """Near-dup PAIRS → dedup DECISIONS: distributed connected
+    components (min-label propagation + pointer doubling, O(log d)
+    supersteps of fixed-width int64 shuffles) over the LSH-generated
+    cosine pair graph.  cluster_id = min vec_id per component — a
+    "keep one doc per cluster" policy falls out as
+    ``node != cluster_id → drop``.  Oracle: DuckDB recursive CTE
+    (reachability closure + MIN) over the identical pair predicate."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    pairs = dedup.cosine_dup_pairs_lsh(ds, threshold=0.4, n_planes=4,
+                                       n_tables=48)
+    return dedup.connected_components(pairs)
+
+
 @register("ann_topk", sql="""
 WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
            FROM embeddings WHERE vec_id < 3),
@@ -455,6 +484,18 @@ def ann_topk(sf_dir: str) -> pd.DataFrame:
 def minhash_dup_pairs(sf_dir: str) -> pd.DataFrame:
     return dedup.minhash_lsh_pairs(_docs(sf_dir, ["doc_id", "text"]),
                                    threshold=0.5)
+
+
+@register("minhash_dup_clusters")
+def minhash_dup_clusters(sf_dir: str) -> pd.DataFrame:
+    """Connected components over the MinHash-LSH candidate pair graph
+    (Jaccard-verified): the full fuzzy-dedup chain candidate → verify →
+    cluster.  Rows-only check (MinHash is sampling-based, not
+    SQL-expressible); the CC step itself is oracle-backed via
+    cosine_dup_clusters."""
+    pairs = dedup.minhash_lsh_pairs(_docs(sf_dir, ["doc_id", "text"]),
+                                    threshold=0.5)
+    return dedup.connected_components(pairs)
 
 
 @register("simhash_dup_pairs")

@@ -612,3 +612,129 @@ def ngram_decontaminate(train: rd.Dataset, val: rd.Dataset, n: int = 5,
         return pd.DataFrame({id_col: pd.Series(dtype=np.int64)})
     return (out.drop_duplicates().sort_values(id_col, ignore_index=True)
             .reset_index(drop=True)[[id_col]])
+
+
+# ---------------------------------------------------------------------------
+# Distributed connected components (dup-pair graph → clusters)
+# ---------------------------------------------------------------------------
+
+def connected_components(pairs: rd.Dataset | pd.DataFrame,
+                         id_a: str = "id_a", id_b: str = "id_b",
+                         num_partitions: int = 8,
+                         max_rounds: int = 40) -> pd.DataFrame:
+    """(node, cluster_id) for every node of the undirected pair graph;
+    cluster_id = min node id in the node's connected component — the
+    step that turns near-dup PAIRS into dedup DECISIONS (keep one doc
+    per cluster), run after MinHash/SimHash/cosine candidate generation.
+
+    Min-label propagation with a pointer-doubling step (the classic
+    MapReduce CC construction, cf. Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014): each round
+    (1) every node takes the min label over its neighbors,
+    (2) labels chase their own label's label — so chains collapse in
+    O(log diameter) rounds, not O(diameter). Both lookups are
+    co-partitioned message-passing groupbys (NOT ``Dataset.join``:
+    Ray's map operators pass empty blocks through without invoking the
+    UDF, so the 0-column empty blocks the join operator emits for
+    unpopulated partitions can never be re-schema'd and poison any
+    downstream join — sort/groupby shuffles tolerate them). Every
+    round shuffles only fixed-width int64 rows; the label frontier is
+    materialized between rounds (iterative algorithms checkpoint
+    between supersteps by nature — blocks live in the object store,
+    never on the driver). Convergence is detected by the sum of
+    labels, which is strictly decreasing until fixpoint.
+    """
+    if isinstance(pairs, pd.DataFrame):
+        pairs = rd.from_pandas(pairs[[id_a, id_b]]) if len(pairs) else None
+    if pairs is None:
+        return pd.DataFrame({"node": pd.Series(dtype=np.int64),
+                             "cluster_id": pd.Series(dtype=np.int64)})
+
+    lbl_schema = pa.schema([("node", pa.int64()), ("label", pa.int64())])
+    # message rows: tag 0 = "table" (key=node, val=label),
+    #               tag 1 = "query" (key=lookup key, val=output node)
+    msg_schema = pa.schema([("_h", pa.int32()), ("key", pa.int64()),
+                            ("val", pa.int64()), ("tag", pa.int8())])
+
+    def _bucket(key: np.ndarray) -> np.ndarray:
+        return (((key.astype(np.uint64) * np.uint64(2654435761))
+                 >> np.uint64(7)) % np.uint64(num_partitions)) \
+            .astype(np.int32)
+
+    def _msgs(key: np.ndarray, val: np.ndarray, tag: int) -> pa.Table:
+        return pa.Table.from_arrays(
+            [pa.array(_bucket(key)), pa.array(key.astype(np.int64)),
+             pa.array(val.astype(np.int64)),
+             pa.array(np.full(len(key), tag, dtype=np.int8))],
+            schema=msg_schema)
+
+    def edge_queries(b: pa.Table) -> pa.Table:
+        u = np.asarray(b[id_a], dtype=np.int64)
+        v = np.asarray(b[id_b], dtype=np.int64)
+        d = pd.DataFrame({"k": np.concatenate([u, v]),
+                          "v": np.concatenate([v, u])}).drop_duplicates()
+        return _msgs(d["k"].to_numpy(), d["v"].to_numpy(), 1)
+
+    # (key=node, val=nbr) queries, both directions, batch-local deduped.
+    # Every materialize point coalesces to num_partitions blocks: each
+    # groupby otherwise emits ~200 near-empty blocks (the context's
+    # default shuffle parallelism), and stacking those per round turns
+    # the supersteps into thousands of millisecond tasks — measured
+    # 1.7 s → 18 s per round by round 3 on a 200-edge graph.
+    equeries = pairs.map_batches(edge_queries, batch_format="pyarrow") \
+        .repartition(num_partitions).materialize()
+    if equeries.count() == 0:
+        return pd.DataFrame({"node": pd.Series(dtype=np.int64),
+                             "cluster_id": pd.Series(dtype=np.int64)})
+
+    def resolve(g: pd.DataFrame) -> pa.Table:
+        """One bucket: answer every query row from the table rows —
+        emits (node=query.val, label=table.label(query.key))."""
+        t = g[g["tag"] == 0][["key", "val"]].rename(columns={"val": "lbl"})
+        q = g[g["tag"] == 1]
+        m = q.merge(t, on="key", how="inner")
+        return pa.Table.from_arrays(
+            [pa.array(m["val"].to_numpy(np.int64)),
+             pa.array(m["lbl"].to_numpy(np.int64))], schema=lbl_schema)
+
+    def lookup(queries: rd.Dataset, labels: rd.Dataset) -> rd.Dataset:
+        tbl = labels.map_batches(
+            lambda b: _msgs(np.asarray(b["node"], dtype=np.int64),
+                            np.asarray(b["label"], dtype=np.int64), 0),
+            batch_format="pyarrow")
+        return queries.union(tbl).groupby("_h") \
+            .map_groups(resolve, batch_format="pandas")
+
+    def min_label(ds: rd.Dataset) -> rd.Dataset:
+        return ds.groupby("node") \
+            .aggregate(Min("label", alias_name="label")) \
+            .repartition(num_partitions)
+
+    def init_labels(b: pa.Table) -> pa.Table:
+        n = np.unique(np.asarray(b["key"], dtype=np.int64))
+        return pa.Table.from_arrays([pa.array(n), pa.array(n)],
+                                    schema=lbl_schema)
+
+    # batch-local unique; global dedup happens in the first min
+    labels = min_label(equeries.map_batches(
+        init_labels, batch_format="pyarrow")).materialize()
+    prev_sum = None
+    for _ in range(max_rounds):
+        # (1) neighbor min: for edge (n, m), propose label(n) to m
+        prop = lookup(equeries, labels)
+        half = min_label(labels.union(prop)).materialize()
+        # (2) pointer doubling: label(n) ← min(label(n), label(label(n)))
+        dbl_q = half.map_batches(
+            lambda b: _msgs(np.asarray(b["label"], dtype=np.int64),
+                            np.asarray(b["node"], dtype=np.int64), 1),
+            batch_format="pyarrow")
+        hop = lookup(dbl_q, half)
+        labels = min_label(half.union(hop)).materialize()
+        s = labels.sum("label")
+        if s == prev_sum:
+            break
+        prev_sum = s
+    out = labels.to_pandas()
+    out.columns = ["node", "cluster_id"]
+    return (out.astype(np.int64)
+            .sort_values("node", ignore_index=True))
