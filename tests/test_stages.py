@@ -155,3 +155,29 @@ def test_ivf_topk_recall_and_exact_cosines(ray_session):
     for _, row in approx.iterrows():
         true = round(float(vn[int(row["query_id"])] @ vn[int(row["vec_id"])]), 9)
         assert abs(row["cosine"] - true) < 1e-9
+
+
+def test_redact_pii_kernels():
+    """Pass-order semantics: dotted quads survive the digit-run passes,
+    a redacted email's domain can't be re-matched as an IP, and counts
+    come from the FINAL text (no double counting)."""
+    import pyarrow as pa
+    from webalizer_ray.stages.textstats import redact_pii
+    rows = [
+        "mail a.b+c@sub.example.org now",          # email with dots/+
+        "server at 192.168.0.1 and 10.0.255.7",    # two IPs
+        "ssn 987-65-4321 phone +1 800 555 0199",   # ssn then phone
+        "card 4111111111111111 ok",                # 16-digit CC
+        "phone 555-123-4567 end",                  # undashed-country phone
+        "no pii here",                             # nothing
+    ]
+    out = redact_pii(pa.table({"text": rows}))
+    red = out["red_text"].to_pylist()
+    assert red[0] == "mail <EMAIL> now"
+    assert red[1] == "server at <IP> and <IP>"
+    assert red[2] == "ssn <SSN> phone <PHONE>"
+    assert red[3] == "card <CC> ok"
+    assert red[4] == "phone <PHONE> end"
+    assert red[5] == "no pii here"
+    assert out["n_pii"].to_pylist() == [1, 2, 2, 1, 1, 0]
+    assert out["n_ip"].to_pylist() == [0, 2, 0, 0, 0, 0]

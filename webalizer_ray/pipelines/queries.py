@@ -753,6 +753,64 @@ def cleaned_docs_len(sf_dir: str) -> pd.DataFrame:
             .sort_values("doc_id", ignore_index=True))
 
 
+#: Deterministic PII augmentation shared by the Ray path and the oracle:
+#: the fixture docs are digit-free word salad, so each doc gets synthetic
+#: PII derived from its doc_id — identical string expression both sides.
+_PII_SUFFIX = ("@mail.example.com from 10.0.{m}.7 card 4111111111111111 "
+               "ssn 987-65-4321 tel +1 800 555 0199")
+
+@register("pii_redacted_docs", sql=r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com from 10.0.'
+              || CAST(doc_id % 256 AS VARCHAR)
+              || '.7 card 4111111111111111 ssn 987-65-4321'
+              || ' tel +1 800 555 0199' AS t
+  FROM documents),
+red AS (
+  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+                 regexp_replace(regexp_replace(t,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+      '\+?\b(?:\d{1,3}[- ])?\d{3}[- ]\d{3,4}[- ]\d{4}\b', '<PHONE>', 'g'),
+      '\b\d{13,16}\b', '<CC>', 'g') AS red_text
+  FROM aug)
+SELECT doc_id, red_text,
+       CAST(len(regexp_extract_all(red_text, '<EMAIL>')) AS BIGINT)
+           AS n_email,
+       CAST(len(regexp_extract_all(red_text, '<IP>')) AS BIGINT) AS n_ip,
+       CAST(len(regexp_extract_all(red_text, '<SSN>')) AS BIGINT) AS n_ssn,
+       CAST(len(regexp_extract_all(red_text, '<PHONE>')) AS BIGINT)
+           AS n_phone,
+       CAST(len(regexp_extract_all(red_text, '<CC>')) AS BIGINT) AS n_cc,
+       CAST(len(regexp_extract_all(red_text,
+            '<EMAIL>|<IP>|<SSN>|<PHONE>|<CC>')) AS BIGINT) AS n_pii
+FROM red""")
+def pii_redacted_docs(sf_dir: str) -> pd.DataFrame:
+    """PII scrubbing as sequential Arrow RE2 replace passes
+    (textstats.redact_pii) — email/IP/SSN/phone/credit-card →
+    placeholders, with per-type counts. Oracle: identical nested
+    DuckDB regexp_replace chain (both engines are RE2, so the redacted
+    text is compared byte-for-byte, not just counted)."""
+    def augment(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        pre, post = _PII_SUFFIX.split("{m}")
+        df["text"] = (df["text"].fillna("") + " contact user"
+                      + df["doc_id"].astype(str) + pre
+                      + (df["doc_id"] % 256).astype(str) + post)
+        return df
+
+    ds = _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(augment, batch_format="pandas") \
+        .map_batches(textstats.redact_pii, batch_format="pyarrow")
+    out = ds.select_columns(["doc_id", "red_text", "n_email", "n_ip",
+                             "n_ssn", "n_phone", "n_cc", "n_pii"]) \
+        .to_pandas()
+    return out.sort_values("doc_id", ignore_index=True)
+
+
 @register("value_quantiles_by_type", sql="""
 SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS p50,
        ROUND(quantile_cont(value, 0.95), 6) AS p95

@@ -120,6 +120,44 @@ def add_lang_id(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     return out
 
 
+#: PII redaction passes, applied IN ORDER (order matters: IP before the
+#: digit-run patterns so dotted quads aren't half-eaten; SSN before PHONE
+#: since a dashed SSN is a prefix-shaped phone candidate). RE2-only
+#: syntax (no lookaround/backrefs) so Arrow's kernels and DuckDB's
+#: regexp_replace(…, 'g') — both RE2 — produce byte-identical output,
+#: which is what makes the redaction oracle-checkable.
+PII_PASSES = [
+    ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("IP", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("SSN", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("PHONE", r"\+?\b(?:\d{1,3}[- ])?\d{3}[- ]\d{3,4}[- ]\d{4}\b"),
+    ("CC", r"\b\d{13,16}\b"),
+]
+
+
+def redact_pii(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Sequential vectorized PII scrubbing → red_text + per-type counts.
+
+    Each pass is one zero-copy Arrow RE2 ``replace_substring_regex`` over
+    the whole batch (emails → ``<EMAIL>``, dotted quads → ``<IP>``, …);
+    counts are placeholder occurrences in the final text, so a string
+    consumed by an earlier pass (an IP inside a URL already redacted)
+    is never double-counted. The closest reference ancestor is the
+    search-string extractor's per-record scan; the operator itself is
+    the standard pre-training scrub step (cf. C4/RefinedWeb pipelines).
+    """
+    red = pc.cast(batch[text_col], pa.large_string())
+    for tag, rx in PII_PASSES:
+        red = pc.replace_substring_regex(red, rx, f"<{tag}>")
+    batch = batch.append_column("red_text", red)
+    total = None
+    for tag, _ in PII_PASSES:
+        n = pc.cast(pc.count_substring(red, f"<{tag}>"), pa.int64())
+        batch = batch.append_column(f"n_{tag.lower()}", n)
+        total = n if total is None else pc.add(total, n)
+    return batch.append_column("n_pii", total)
+
+
 def add_fingerprint(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     """Deterministic 64-bit document fingerprint over normalized text.
 
