@@ -24,7 +24,7 @@ import pyarrow.parquet as pq
 
 import ray.data as rd
 
-from webalizer_ray.stages import ann, dedup, textstats
+from webalizer_ray.stages import ann, dedup, scan, textstats
 from webalizer_ray.stages.aggregate import (
     distinct_count,
     reduce_sink,
@@ -809,6 +809,126 @@ def pii_redacted_docs(sf_dir: str) -> pd.DataFrame:
                              "n_ssn", "n_phone", "n_cc", "n_pii"]) \
         .to_pandas()
     return out.sort_values("doc_id", ignore_index=True)
+
+
+@register("top_ngrams", sql=r"""
+WITH w AS (SELECT doc_id, generate_subscripts(ws, 1) AS i,
+                  unnest(ws) AS word
+           FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws
+                 FROM documents)),
+g AS (SELECT a.word || ' ' || b.word || ' ' || c.word AS ngram
+      FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+               JOIN w c ON a.doc_id = c.doc_id AND c.i = a.i + 2)
+SELECT ngram, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM g GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20""")
+def top_ngrams(sf_dir: str) -> pd.DataFrame:
+    """Corpus-wide top-k word trigrams — the corpus-statistics op
+    behind contamination checks and boilerplate detection. Per batch,
+    trigrams are built by numpy array shifts over the exploded word
+    array (no per-row loop) and PRE-COUNTED (value_counts partials =
+    the combiner), so the groupby shuffles one row per distinct
+    (trigram, batch), never one per occurrence."""
+    def trigram_partials(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].fillna("").str.split()
+        lens = words.str.len().to_numpy()
+        flat = words.explode().dropna().to_numpy()
+        if len(flat) < 3:
+            return pd.DataFrame({"ngram": pd.Series(dtype=object),
+                                 "cnt": pd.Series(dtype=np.int64)})
+        doc = np.repeat(np.arange(len(lens)), lens)
+        tri = flat[:-2] + " " + flat[1:-1] + " " + flat[2:]
+        tri = tri[doc[:-2] == doc[2:]]          # no cross-doc trigrams
+        vc = pd.Series(tri).value_counts()
+        return pd.DataFrame({"ngram": vc.index.to_numpy(),
+                             "cnt": vc.to_numpy(np.int64)})
+
+    ds = _docs(sf_dir, ["text"]).map_batches(trigram_partials,
+                                             batch_format="pandas")
+    agg = reduce_sink(ds, ["ngram"], {"cnt": ("cnt", "sum")}).to_pandas()
+    return top_n_pandas(agg, "ngram", "cnt", 20)
+
+
+@register("repetition_docs", sql=r"""
+WITH w AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS word
+           FROM documents),
+c AS (SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY doc_id, word)
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+       CAST(COUNT(*) AS BIGINT) AS n_uniq_words,
+       ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_word_frac,
+       ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS dup_word_frac
+FROM c GROUP BY doc_id""")
+def repetition_docs(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style repetition quality signals (most-frequent-word
+    fraction, duplicate-word fraction) — repetitious docs are the #1
+    junk class the Gopher rules target. Entirely batch-local (docs
+    never span batches): explode + one pandas groupby per batch, zero
+    shuffle."""
+    def rep_stats(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].fillna("").str.split()
+        lens = words.str.len().to_numpy()
+        flat = words.explode().dropna()
+        doc = np.repeat(df["doc_id"].to_numpy(), lens)
+        c = (pd.DataFrame({"doc_id": doc, "word": flat.to_numpy()})
+             .groupby(["doc_id", "word"], sort=False).size())
+        g = c.groupby(level="doc_id")
+        tot, uniq, mx = g.sum(), g.size(), g.max()
+        return pd.DataFrame({
+            "doc_id": tot.index.to_numpy(np.int64),
+            "n_words": tot.to_numpy(np.int64),
+            "n_uniq_words": uniq.to_numpy(np.int64),
+            "top_word_frac": textstats.round_half_away(
+                mx.to_numpy(np.float64) / tot.to_numpy(), 6),
+            "dup_word_frac": textstats.round_half_away(
+                1.0 - uniq.to_numpy(np.float64) / tot.to_numpy(), 6),
+        })
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        rep_stats, batch_format="pandas")
+    return ds.to_pandas().sort_values("doc_id", ignore_index=True)
+
+
+@register("packed_docs", sql=r"""
+WITH t AS (SELECT doc_id,
+                  len(regexp_extract_all(text, '\S+')) AS n_tokens
+           FROM documents)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(FLOOR((SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) - n_tokens) / 256.0)
+            AS BIGINT) AS bin_id
+FROM t""")
+def packed_docs(sf_dir: str) -> pd.DataFrame:
+    """Sequence packing via the distributed two-level prefix scan
+    (scan.pack_bins): docs concatenated in doc_id order, cut every 256
+    tokens. Only per-bucket totals reach the driver. Oracle: window
+    SUM OVER ORDER BY."""
+    def count_tokens(batch: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(
+            batch["text"], textstats.TOKEN_RX), pa.int64())
+        return pa.table({"doc_id": batch["doc_id"], "n_tokens": n})
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        count_tokens, batch_format="pyarrow")
+    out = scan.pack_bins(ds, "doc_id", "n_tokens", budget=256,
+                         bucket_width=64).to_pandas()
+    return (out[["doc_id", "n_tokens", "bin_id"]]
+            .sort_values("doc_id", ignore_index=True))
+
+
+@register("shuffled_doc_order", sql="""
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (
+            ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) - 1
+            AS BIGINT) AS shuffle_rank
+FROM documents""")
+def shuffled_doc_order(sf_dir: str) -> pd.DataFrame:
+    """Seeded deterministic global shuffle order (scan.shuffle_rank):
+    multiplicative-hash key + two-level rank scan — reproducible
+    across runs and cluster sizes, no full-dataset sort. Oracle:
+    ROW_NUMBER over the identical hash expression."""
+    ds = _docs(sf_dir, ["doc_id"])
+    out = scan.shuffle_rank(ds, "doc_id", seed=0).to_pandas()
+    return (out[["doc_id", "shuffle_rank"]]
+            .sort_values("doc_id", ignore_index=True))
 
 
 @register("value_quantiles_by_type", sql="""

@@ -1,0 +1,136 @@
+"""Distributed prefix-scan primitive + the training-data operators
+built on it (sequence packing, deterministic global shuffle rank).
+
+Ray Data has no cumulative/scan operator (window SUM OVER ORDER BY in
+SQL terms), and a naive ``sort → iterate on the driver`` materializes
+the dataset. The classic two-level scan fixes that at any scale:
+
+1. bucket every row by a RANGE of the order key (``key // width`` —
+   contiguous key ranges map to contiguous buckets, so bucket order ==
+   key order),
+2. one tiny aggregation computes each bucket's total (only
+   ``num_buckets`` rows ever reach the driver),
+3. the driver takes the exclusive cumsum over bucket totals — the
+   per-bucket OFFSETS — and broadcasts them,
+4. each bucket independently sorts its own rows and adds
+   ``offset + local cumsum``.
+
+Partitioning assumption (documented per the custom-operator contract):
+the order key must be range-bucketable — integer-like with a known
+bucket width. Skew in key ranges shows up as bucket-size skew; pick
+``bucket_width`` so the hottest bucket fits a worker (the same
+reasoning as the flagship's conv-hash buckets).
+
+The reference has no scan operator (webalizer's tables are pure
+groupbys); these are the beyond-reference ops a training-data pipeline
+needs: packing documents into fixed token budgets ahead of batching,
+and a seeded, reproducible global shuffle order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+#: Knuth multiplicative hash constant — also written out in the oracle
+#: SQL, so engine and DuckDB derive the identical shuffle key.
+_KNUTH = 2654435761
+_KEY_MOD = 1 << 32
+
+
+def _bucket_sums(ds: rd.Dataset, key_col: str, val_col: str | None,
+                 bucket_width: int) -> tuple[rd.Dataset, pd.DataFrame]:
+    """Tag rows with their range bucket; return (tagged, per-bucket
+    exclusive offsets). Only the per-bucket totals (num_buckets rows)
+    are ever collected."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch[key_col], dtype=np.int64)
+        b = k // bucket_width
+        out = batch.append_column("_bk", pa.array(b, type=pa.int64()))
+        if val_col is None:
+            out = out.append_column(
+                "_v", pa.array(np.ones(len(k), dtype=np.int64)))
+        return out
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    v = val_col if val_col is not None else "_v"
+    totals = tagged.groupby("_bk").aggregate(
+        Sum(v, alias_name="_total")).to_pandas()
+    totals = totals.sort_values("_bk", ignore_index=True)
+    totals["_offset"] = totals["_total"].cumsum().shift(fill_value=0)
+    return tagged, totals[["_bk", "_offset"]]
+
+
+def range_prefix_sum(ds: rd.Dataset, key_col: str, val_col: str | None,
+                     out_col: str, bucket_width: int,
+                     tiebreak_col: str | None = None) -> rd.Dataset:
+    """EXCLUSIVE running sum of ``val_col`` in ``key_col`` order
+    (``val_col=None`` → running COUNT, i.e. 0-based rank). Equivalent
+    SQL: ``SUM(v) OVER (ORDER BY key ROWS UNBOUNDED PRECEDING) - v``.
+
+    Two-level scan: bucket totals → driver cumsum (num_buckets rows) →
+    per-bucket local sort + cumsum under ``map_groups``. Rows never
+    leave their bucket; the only all-to-all is the groupby on ``_bk``.
+    """
+    tagged, offsets = _bucket_sums(ds, key_col, val_col, bucket_width)
+    off = dict(zip(offsets["_bk"], offsets["_offset"]))
+    v = val_col if val_col is not None else "_v"
+    order = [key_col] + ([tiebreak_col] if tiebreak_col else [])
+
+    def scan_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order, ignore_index=True)
+        base = int(off[g["_bk"].iat[0]])
+        vals = g[v].to_numpy()
+        g[out_col] = base + np.cumsum(vals) - vals
+        return g.drop(columns=["_bk"] + ([] if val_col else ["_v"]))
+
+    return tagged.groupby("_bk").map_groups(scan_bucket,
+                                            batch_format="pandas")
+
+
+def pack_bins(ds: rd.Dataset, key_col: str, tokens_col: str,
+              budget: int, bucket_width: int) -> rd.Dataset:
+    """Sequence packing: concatenate docs in ``key_col`` order and cut
+    at every ``budget`` tokens — ``bin_id = floor(excl_cumsum /
+    budget)``, the running-total packing rule real dataloaders use
+    (deterministic, order-defined; NOT bin-packing — a doc straddling
+    a boundary starts the overflow in the same bin, exactly like token
+    streams concatenated then chunked)."""
+    out = range_prefix_sum(ds, key_col, tokens_col, "_cum", bucket_width)
+
+    def binify(batch: pa.Table) -> pa.Table:
+        c = np.asarray(batch["_cum"], dtype=np.int64)
+        t = pa.table({k: batch[k] for k in batch.column_names
+                      if k != "_cum"})
+        return t.append_column("bin_id",
+                               pa.array(c // budget, type=pa.int64()))
+
+    return out.map_batches(binify, batch_format="pyarrow")
+
+
+def shuffle_rank(ds: rd.Dataset, id_col: str, seed: int = 0,
+                 num_buckets: int = 64) -> rd.Dataset:
+    """Seeded deterministic GLOBAL shuffle order without a global sort:
+    ``key = ((id XOR seed) * KNUTH) % 2^32`` scatters ids uniformly
+    (XOR, not +: an additive seed shifts every key by the same
+    constant and leaves the order unchanged), so
+    range-bucketing the key space into ``num_buckets`` equal slices
+    balances by construction; rank = bucket offset + local (key, id)
+    order. Reproducible across runs/cluster sizes — the property a
+    training dataloader needs from "global shuffle"."""
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        i = np.asarray(batch[id_col], dtype=np.int64)
+        k = ((i ^ seed) * _KNUTH) % _KEY_MOD
+        return batch.append_column("_sk", pa.array(k, type=pa.int64()))
+
+    width = _KEY_MOD // num_buckets
+    out = range_prefix_sum(ds.map_batches(keyed, batch_format="pyarrow"),
+                           "_sk", None, "shuffle_rank", width,
+                           tiebreak_col=id_col)
+    return out.drop_columns(["_sk"])
