@@ -22,6 +22,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
+import ray
 import ray.data as rd
 
 from webalizer_ray.stages import ann, dedup, scan, textstats
@@ -239,6 +240,91 @@ def _sessionized_events(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
 
     return (ds.map_batches(with_bucket, batch_format="pandas")
             .groupby("bucket_").map_groups(sessionize, batch_format="pandas"))
+
+
+@register("event_transitions", sql="""
+WITH o AS (SELECT user_id, event_type,
+                  LAG(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev
+           FROM events)
+SELECT prev AS from_type, event_type AS to_type,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM o WHERE prev IS NOT NULL GROUP BY prev, event_type""")
+def event_transitions(sf_dir: str) -> pd.DataFrame:
+    """Per-user consecutive-event transition matrix (funnel/Markov
+    analysis over the event log). Same partitioning pattern as
+    sessionization: hash-bucket by user, ONE vectorized sort+shift per
+    bucket (shift masked at user boundaries), then per-bucket partial
+    counts so only (from, to, cnt) partials shuffle — never raw events
+    twice."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket_"] = (df["user_id"].to_numpy() % 64).astype(np.int32)
+        return df
+
+    def transitions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        same = g["user_id"].eq(g["user_id"].shift()).to_numpy()
+        pairs = pd.DataFrame({"from_type": g["event_type"].shift()[same],
+                              "to_type": g["event_type"][same]})
+        c = pairs.groupby(["from_type", "to_type"], sort=False) \
+            .size().rename("cnt").reset_index()
+        c["cnt"] = c["cnt"].astype(np.int64)
+        return c
+
+    parts = (ds.map_batches(with_bucket, batch_format="pandas")
+             .groupby("bucket_").map_groups(transitions,
+                                            batch_format="pandas"))
+    out = reduce_sink(parts, ["from_type", "to_type"],
+                      {"cnt": ("cnt", "sum")}).to_pandas()
+    return out.sort_values(["from_type", "to_type"], ignore_index=True)
+
+
+@register("user_retention_cohorts", sql="""
+WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+f AS (SELECT user_id, MIN(day) AS cohort FROM d GROUP BY user_id)
+SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort,
+       CAST(date_diff('day', f.cohort, d.day) AS BIGINT) AS day_offset,
+       CAST(COUNT(*) AS BIGINT) AS active_users
+FROM d JOIN f USING (user_id) GROUP BY 1, 2""")
+def user_retention_cohorts(sf_dir: str) -> pd.DataFrame:
+    """Cohort retention (users active N days after their first-seen
+    day) — the classic telemetry roll-up. Every per-user step (distinct
+    days, first-seen min, offset join) happens inside the user's hash
+    bucket — cohort assignment never crosses buckets, so the only
+    all-to-all is the tiny final (cohort, offset) partial-count sum.
+    Days are int32 epoch days (zero-copy Arrow date32 cast) until the
+    final strftime on the combined result."""
+    ds = _events(sf_dir, ["user_id", "ts"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        day = pc.cast(pc.cast(batch["ts"], pa.date32()), pa.int32())
+        t = pa.table({"user_id": batch["user_id"], "day": day})
+        t = t.group_by(["user_id", "day"]).aggregate([])  # batch-local dedup
+        b = pc.cast(np.asarray(t["user_id"], dtype=np.int64) % 64,
+                    pa.int32())
+        return t.append_column("bucket_", b)
+
+    def cohortize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "day"]).copy()
+        g["cohort_day"] = g.groupby("user_id")["day"].transform("min")
+        g["day_offset"] = (g["day"] - g["cohort_day"]).astype(np.int64)
+        c = g.groupby(["cohort_day", "day_offset"], sort=False) \
+            .size().rename("active_users").reset_index()
+        c["active_users"] = c["active_users"].astype(np.int64)
+        return c
+
+    parts = (ds.map_batches(project, batch_format="pyarrow")
+             .groupby("bucket_").map_groups(cohortize,
+                                            batch_format="pandas"))
+    out = reduce_sink(parts, ["cohort_day", "day_offset"],
+                      {"active_users": ("active_users", "sum")}).to_pandas()
+    out["cohort"] = pd.to_datetime(out["cohort_day"], unit="D") \
+        .dt.strftime("%Y-%m-%d")
+    return (out[["cohort", "day_offset", "active_users"]]
+            .sort_values(["cohort", "day_offset"], ignore_index=True))
 
 
 @register("user_sessions", sql=f"""
@@ -929,6 +1015,72 @@ def shuffled_doc_order(sf_dir: str) -> pd.DataFrame:
     out = scan.shuffle_rank(ds, "doc_id", seed=0).to_pandas()
     return (out[["doc_id", "shuffle_rank"]]
             .sort_values("doc_id", ignore_index=True))
+
+
+@register("tfidf_top_terms", sql=r"""
+WITH w AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+           FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY term),
+n AS (SELECT COUNT(*) AS n FROM documents),
+s AS (SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                ORDER BY tfidf DESC, term) AS rk FROM s)
+SELECT doc_id, term AS top_term, tfidf FROM r WHERE rk = 1""")
+def tfidf_top_terms(sf_dir: str) -> pd.DataFrame:
+    """Most-distinctive term per doc by TF-IDF — the two-pass
+    broadcast pattern: pass 1 reduces (term, doc-frequency) partials
+    to a vocabulary-sized table (vocab << corpus even at 100 TB),
+    which is ray.put ONCE and merged batch-locally in pass 2; per-doc
+    term counts never shuffle at all (a doc's words live in its own
+    batch)."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def doc_term_tf(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].fillna("").str.split()
+        lens = words.str.len().to_numpy()
+        flat = words.explode().dropna().to_numpy()
+        doc = np.repeat(df["doc_id"].to_numpy(), lens)
+        c = (pd.DataFrame({"doc_id": doc, "term": flat})
+             .groupby(["doc_id", "term"], sort=False).size()
+             .rename("tf").reset_index())
+        c["tf"] = c["tf"].astype(np.int64)
+        c["one"] = np.int64(1)
+        return c
+
+    tf = docs.map_batches(doc_term_tf, batch_format="pandas")
+    dfreq = reduce_sink(tf, ["term"], {"df": ("one", "sum")}).to_pandas()
+    n_docs = _docs(sf_dir, ["doc_id"]).count()
+    df_ref = ray.put(dfreq)
+
+    class TopTerm:
+        def __init__(self):
+            self.dfreq = ray.get(df_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            m = b.merge(self.dfreq, on="term")
+            m["tfidf"] = textstats.round_half_away(
+                m["tf"].to_numpy(np.float64)
+                * np.log(float(n_docs) / m["df"].to_numpy(np.float64)), 6)
+            m = m.sort_values(["doc_id", "tfidf", "term"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+            top = m.groupby("doc_id", sort=False).head(1)
+            return top.rename(columns={"term": "top_term"})[
+                ["doc_id", "top_term", "tfidf"]]
+
+    # Per-batch top-1 is a PARTIAL (dynamic block splitting can cut a
+    # doc's tf rows across blocks); final combine over ≤2 candidate
+    # rows per doc resolves it exactly.
+    cand = tf.map_batches(TopTerm, concurrency=2,
+                          batch_format="pandas").to_pandas()
+    cand = cand.sort_values(["doc_id", "tfidf", "top_term"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+    return (cand.groupby("doc_id", sort=False).head(1)
+            .reset_index(drop=True))
 
 
 @register("value_quantiles_by_type", sql="""
