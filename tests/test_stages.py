@@ -181,3 +181,54 @@ def test_redact_pii_kernels():
     assert red[5] == "no pii here"
     assert out["n_pii"].to_pylist() == [1, 2, 2, 1, 1, 0]
     assert out["n_ip"].to_pylist() == [0, 2, 0, 0, 0, 0]
+
+
+def test_wav_roundtrip_and_chunk_skip():
+    """encode→decode is exact; a decoder must skip unknown chunks
+    (LIST inserted between fmt and data) per the RIFF spec."""
+    import numpy as np
+    from webalizer_ray.stages.multimodal import decode_wav, encode_wav
+    rng = np.random.default_rng(5)
+    s = rng.integers(-32768, 32767, 999, dtype=np.int16)
+    data = encode_wav(s, 8000)
+    back, rate = decode_wav(data)
+    assert rate == 8000 and np.array_equal(back, s)
+    # splice an unknown LIST chunk (odd size → word-aligned skip)
+    head, rest = data[:12], data[12:]
+    chunk = b"LIST" + (7).to_bytes(4, "little") + b"1234567" + b"\x00"
+    back2, rate2 = decode_wav(head + chunk + rest)
+    assert rate2 == 8000 and np.array_equal(back2, s)
+
+
+def test_decode_audio_known_sine_features():
+    """A full-scale 440 Hz sine at 8 kHz: RMS = 1/sqrt(2), ZCR =
+    2*440/8000, duration 1 s, peak ≈ 1 — real signal math, no fake."""
+    import numpy as np
+    from webalizer_ray.stages.multimodal import DecodeAudio, encode_wav
+    import pyarrow as pa
+    rate, freq = 8000, 440.0
+    t = np.arange(rate) / rate
+    s = np.round(np.sin(2 * np.pi * freq * t) * 32767).astype(np.int16)
+    batch = pa.table({"media_id": pa.array([1], pa.int64()),
+                      "kind": pa.array(["audio"]),
+                      "payload": pa.array([encode_wav(s, rate)],
+                                          pa.large_binary())})
+    out = DecodeAudio()(batch)
+    assert abs(out["duration_s"][0].as_py() - 1.0) < 1e-9
+    assert abs(out["rms"][0].as_py() - 1 / np.sqrt(2)) < 1e-3
+    assert abs(out["zcr"][0].as_py() - 2 * freq / rate) < 1e-3
+    assert out["peak"][0].as_py() > 0.999
+
+
+def test_decode_audio_stub_raises_without_codec():
+    import pytest
+    import pyarrow as pa
+    from webalizer_ray.stages.multimodal import DecodeAudio
+    batch = pa.table({"media_id": pa.array([1], pa.int64()),
+                      "kind": pa.array(["audio"]),
+                      "payload": pa.array([b"\xff\xfbmp3-ish"],
+                                          pa.large_binary())})
+    with pytest.raises(NotImplementedError):
+        DecodeAudio()(batch)
+    out = DecodeAudio(fake_decoder=True)(batch)
+    assert out.num_rows == 1

@@ -1201,6 +1201,23 @@ def media_image_features(sf_dir: str) -> pd.DataFrame:
         .sort_values("media_id", ignore_index=True)
 
 
+@register("media_audio_features")
+def media_audio_features(sf_dir: str) -> pd.DataFrame:
+    """REAL audio decode (pure-numpy RIFF/WAVE PCM chunk walker) in an
+    actor-pool stage: duration, RMS, zero-crossing rate, peak — no fake
+    path needed, every audio payload in the fixture is genuine WAV."""
+    from webalizer_ray.stages.multimodal import (
+        MEDIA_BATCH_KWARGS,
+        DecodeAudio,
+    )
+    feats = _media_ds().map_batches(
+        DecodeAudio, concurrency=(1, 2), **MEDIA_BATCH_KWARGS)
+    out = feats.to_pandas()
+    for c in ["duration_s", "rms", "zcr", "peak"]:
+        out[c] = out[c].round(6)
+    return out.sort_values("media_id", ignore_index=True)
+
+
 @register("media_frame_sample")
 def media_frame_sample(sf_dir: str) -> pd.DataFrame:
     """Flat-map actor stage: video payload → n_frames feature rows."""

@@ -6,10 +6,11 @@ are ACTOR-POOL ``map_batches`` stages (codec state loaded once per actor,
 small batches because payloads are MBs, ``batch_format="pyarrow"`` so the
 bytes never round-trip through pandas object dtype).
 
-Decode support: the two codec-FREE public raster formats are decoded for
-real with pure numpy — binary PPM (P6, the netpbm spec) and uncompressed
-24-bit BMP (BITMAPINFOHEADER, BI_RGB) — no external library needed.
-Compressed formats (JPEG/PNG/audio/video) are STUBBED (this container
+Decode support: the codec-FREE public formats are decoded for real with
+pure numpy — binary PPM (P6, the netpbm spec), uncompressed 24-bit BMP
+(BITMAPINFOHEADER, BI_RGB), and 16-bit PCM RIFF/WAVE audio (chunk-list
+walker) — no external library needed.
+Compressed formats (JPEG/PNG/mp3/video) are STUBBED (this container
 ships no codecs — PIL/cv2/torchaudio are unavailable): ``DecodeImage``
 raises ``NotImplementedError`` for them unless constructed with
 ``fake_decoder=True``, in which case a deterministic fake (seeded from the
@@ -27,7 +28,7 @@ import pyarrow as pa
 
 #: Version tag of synth_media_table's schema+payloads; bump on any change
 #: so cached fixture files are never served across versions.
-MEDIA_TABLE_VERSION = 2
+MEDIA_TABLE_VERSION = 3
 
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.int64()),
@@ -116,12 +117,52 @@ def decode_bmp(data: bytes) -> np.ndarray:
     return (px[::-1] if flip else px).copy()
 
 
+# ---------------------------------------------------------------------------
+# pure-numpy PCM audio codec (RIFF/WAVE spec; no libraries needed)
+# ---------------------------------------------------------------------------
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """int16 mono PCM samples → RIFF/WAVE bytes (the canonical
+    uncompressed format; 16-bit little-endian, format tag 1 = PCM)."""
+    s = np.asarray(samples, dtype="<i2")
+    data = s.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE 16-bit mono PCM → (int16 samples, sample_rate).
+    Walks the chunk list (spec-compliant readers must skip unknown
+    chunks like LIST/fact), so non-canonical writers still decode."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(data):
+        cid, sz = data[pos:pos + 4], struct.unpack_from("<I", data, pos + 4)[0]
+        body = data[pos + 8:pos + 8 + sz]
+        if cid == b"fmt ":
+            tag, ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", body)
+            if tag != 1 or ch != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV (tag={tag}, ch={ch}, bits={bits})")
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype="<i2").copy()
+        pos += 8 + sz + (sz & 1)          # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("truncated WAV (missing fmt/data chunk)")
+    return samples, rate
+
+
 def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
     """Deterministic media table: image rows carry REAL encoded pixels
-    (PPM or BMP, alternating), audio/video rows carry seeded fake bytes."""
+    (PPM or BMP, alternating), audio rows carry REAL 16-bit PCM WAV
+    (seeded sine + noise), video rows carry seeded fake bytes."""
     rng = np.random.default_rng(seed)
     kinds = np.array(["image", "audio", "video"])[rng.integers(0, 3, n)]
-    payloads, widths, heights, mimes = [], [], [], []
+    payloads, widths, heights, mimes, durations = [], [], [], [], []
     for i, k in enumerate(kinds):
         if k == "image":
             w, h = int(rng.integers(4, 24)), int(rng.integers(4, 24))
@@ -134,13 +175,30 @@ def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
                 mimes.append("image/x-portable-pixmap")
             widths.append(w)
             heights.append(h)
+            durations.append(-1)
+        elif k == "audio":
+            rate = 8000
+            n_samp = int(rng.integers(rate // 4, rate * 2))   # 0.25–2 s
+            t = np.arange(n_samp) / rate
+            freq = float(rng.uniform(100, 1500))
+            amp = float(rng.uniform(0.1, 0.8))
+            wave = (amp * np.sin(2 * np.pi * freq * t)
+                    + 0.02 * rng.standard_normal(n_samp))
+            payloads.append(encode_wav(
+                np.clip(wave * 32767, -32768, 32767).astype(np.int16),
+                rate))
+            mimes.append("audio/wav")
+            widths.append(-1)
+            heights.append(-1)
+            durations.append(int(n_samp * 1000 / rate))
         else:
             ln = int(rng.integers(256, 4096))
             payloads.append(rng.integers(0, 256, ln, dtype=np.uint8)
                             .tobytes())
-            mimes.append(f"{k}/x-fake")
+            mimes.append("video/x-fake")
             widths.append(-1)
             heights.append(-1)
+            durations.append(int(rng.integers(1000, 60000)))
     return pa.table({
         "media_id": pa.array(np.arange(n), pa.int64()),
         "kind": pa.array(kinds.tolist(), pa.string()),
@@ -148,9 +206,7 @@ def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
         "mime": pa.array(mimes, pa.string()),
         "width": pa.array(np.array(widths, dtype=np.int32)),
         "height": pa.array(np.array(heights, dtype=np.int32)),
-        "duration_ms": pa.array(
-            np.where(kinds == "image", -1,
-                     rng.integers(1000, 60000, n)).astype(np.int32)),
+        "duration_ms": pa.array(np.array(durations, dtype=np.int32)),
     })
 
 
@@ -209,6 +265,55 @@ class DecodeImage:
             "kind": batch["kind"],
             "features": pa.array(list(feats),
                                  pa.list_(pa.float64(), self.feature_dim)),
+        })
+
+
+class DecodeAudio:
+    """Actor-pool stage: audio payload → real signal features.
+
+    RIFF/WAVE PCM payloads are decoded FOR REAL (pure-numpy chunk
+    walker above): duration_s, RMS level, zero-crossing rate and peak
+    amplitude — fully deterministic from the samples. Compressed audio
+    (mp3/ogg/flac) needs codec libraries this container lacks: raises
+    ``NotImplementedError`` unless ``fake_decoder=True``.
+    """
+
+    def __init__(self, fake_decoder: bool = False):
+        self.fake = fake_decoder
+        # real impl for compressed formats: load the codec ONCE here.
+
+    def _features_one(self, payload: bytes) -> tuple[float, float, float,
+                                                     float]:
+        if payload[:4] == b"RIFF":
+            s, rate = decode_wav(payload)
+            x = s.astype(np.float64) / 32768.0
+            dur = len(x) / rate
+            rms = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
+            zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) \
+                if len(x) > 1 else 0.0
+            return dur, rms, zcr, float(np.abs(x).max(initial=0.0))
+        if not self.fake:
+            raise NotImplementedError(
+                "compressed-audio decode requires a codec library not "
+                "present in this container; construct "
+                "DecodeAudio(fake_decoder=True) for the deterministic "
+                "stand-in")
+        rng = np.random.default_rng(_payload_seed(payload) % (2 ** 63))
+        d, r, z, p = rng.random(4)
+        return float(d * 60), float(r), float(z), float(p)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mask = np.asarray(batch["kind"]) == "audio"
+        sub = batch.filter(pa.array(mask))
+        feats = [self._features_one(p) for p in sub["payload"].to_pylist()]
+        arr = (np.array(feats, dtype=np.float64)
+               if feats else np.empty((0, 4)))
+        return pa.table({
+            "media_id": sub["media_id"],
+            "duration_s": pa.array(arr[:, 0], pa.float64()),
+            "rms": pa.array(arr[:, 1], pa.float64()),
+            "zcr": pa.array(arr[:, 2], pa.float64()),
+            "peak": pa.array(arr[:, 3], pa.float64()),
         })
 
 
