@@ -232,3 +232,43 @@ def test_decode_audio_stub_raises_without_codec():
         DecodeAudio()(batch)
     out = DecodeAudio(fake_decoder=True)(batch)
     assert out.num_rows == 1
+
+
+def test_kmeans_recovers_planted_blobs(ray_session):
+    """Three well-separated direction blobs → 3 non-empty clusters,
+    each blob pure; assignment invariant under repartition (the
+    partial-sum reduce is order-independent for separated data)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from webalizer_ray.stages.ann import kmeans_fit_assign
+    rng = np.random.default_rng(9)
+    centers = np.eye(3) * 10
+    vecs = np.vstack([c + 0.1 * rng.standard_normal((40, 3))
+                      for c in centers])
+    df = pd.DataFrame({"vec_id": np.arange(120, dtype=np.int64),
+                       "embedding": list(vecs)})
+    out = kmeans_fit_assign(rd.from_pandas(df), n_clusters=3, n_iter=5)
+    lbl = out["cluster"].to_numpy()
+    blobs = [lbl[i * 40:(i + 1) * 40] for i in range(3)]
+    assert all(len(set(b)) == 1 for b in blobs)          # pure blobs
+    assert len({b[0] for b in blobs}) == 3               # distinct
+    out2 = kmeans_fit_assign(rd.from_pandas(df).repartition(6),
+                             n_clusters=3, n_iter=5)
+    assert (out2["cluster"].to_numpy() == lbl).all()
+
+
+def test_exact_quantiles_bounded_matches_numpy(ray_session):
+    """Histogram-interpolated quantiles == np.quantile(linear) ==
+    SQL quantile_cont, including interpolated (non-integer rank)
+    positions and duplicated values."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from webalizer_ray.stages.aggregate import exact_quantiles_bounded
+    rng = np.random.default_rng(4)
+    v = rng.integers(0, 40, 1003)
+    ds = rd.from_pandas(pd.DataFrame({"x": v})).repartition(5)
+    got = exact_quantiles_bounded(ds, "x", [0.0, 0.1, 0.5, 0.9, 1.0])
+    for q, val in got.items():
+        assert val == float(np.quantile(v, q, method="linear")), q

@@ -28,6 +28,7 @@ import ray.data as rd
 from webalizer_ray.stages import ann, dedup, scan, textstats
 from webalizer_ray.stages.aggregate import (
     distinct_count,
+    exact_quantiles_bounded,
     reduce_sink,
     salted_two_phase,
 )
@@ -1015,6 +1016,47 @@ def shuffled_doc_order(sf_dir: str) -> pd.DataFrame:
     out = scan.shuffle_rank(ds, "doc_id", seed=0).to_pandas()
     return (out[["doc_id", "shuffle_rank"]]
             .sort_values("doc_id", ignore_index=True))
+
+
+@register("docs_token_band", sql=r"""
+WITH t AS (SELECT doc_id,
+                  len(regexp_extract_all(text, '\S+')) AS n_tokens
+           FROM documents),
+q AS (SELECT quantile_cont(n_tokens, 0.1) AS lo,
+             quantile_cont(n_tokens, 0.9) AS hi FROM t)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM t, q WHERE n_tokens >= lo AND n_tokens <= hi""")
+def docs_token_band(sf_dir: str) -> pd.DataFrame:
+    """Percentile-band length gate (drop the shortest/longest 10% —
+    the C4-style outlier filter) using EXACT global quantiles from a
+    value histogram: token counts are bounded ints, so one (value,
+    count) row per distinct value shuffles — never the column — and
+    the driver interpolates quantile_cont to the bit. Second streaming
+    pass filters against the two broadcast scalars."""
+    def count_tokens(batch: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(
+            batch["text"], textstats.TOKEN_RX), pa.int64())
+        return pa.table({"doc_id": batch["doc_id"], "n_tokens": n})
+
+    tok = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        count_tokens, batch_format="pyarrow")
+    q = exact_quantiles_bounded(tok, "n_tokens", [0.1, 0.9])
+    lo, hi = q[0.1], q[0.9]
+    kept = tok.filter(
+        expr=f"n_tokens >= {lo!r} and n_tokens <= {hi!r}").to_pandas()
+    return kept.sort_values("doc_id", ignore_index=True)
+
+
+@register("embedding_clusters")
+def embedding_clusters(sf_dir: str) -> pd.DataFrame:
+    """Semantic clustering (SemDeDup-style bucketing): distributed
+    spherical k-means — per-iteration shuffle is k partial (sum, count)
+    rows per batch, centroids broadcast once per iteration. Rows-only
+    check (iterative, not SQL-expressible); determinism and
+    planted-blob recovery are pytest-verified."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return ann.kmeans_fit_assign(ds, n_clusters=8, n_iter=5)
 
 
 @register("tfidf_top_terms", sql=r"""

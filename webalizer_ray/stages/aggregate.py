@@ -159,3 +159,42 @@ def merge_small(left: pd.DataFrame, right: pd.DataFrame, on, how="left",
     for c in fill_int:
         out[c] = out[c].fillna(0).astype(np.int64)
     return out
+
+
+def exact_quantiles_bounded(ds: rd.Dataset, col: str,
+                            qs: list[float]) -> dict[float, float]:
+    """EXACT global quantile_cont for a bounded-cardinality column
+    (ints like token counts, status codes, day numbers): a value
+    histogram is a lossless summary, so shuffle one (value, count) row
+    per distinct value — never the column itself — and interpolate the
+    order statistics from cumulative counts on the driver. Matches SQL
+    quantile_cont (linear interpolation at rank q·(N-1)) to the bit.
+    For unbounded/continuous columns use the t-digest sketch instead
+    (sketch.py) — this is the exact path where it's affordable.
+    """
+    def value_counts(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df[col].value_counts()
+        return pd.DataFrame({col: vc.index.to_numpy(),
+                             "cnt": vc.to_numpy(np.int64)})
+
+    hist = reduce_sink(ds.map_batches(value_counts, batch_format="pandas"),
+                       [col], {"cnt": ("cnt", "sum")}).to_pandas()
+    hist = hist.sort_values(col, ignore_index=True)
+    vals = hist[col].to_numpy(np.float64)
+    cum = hist["cnt"].to_numpy(np.int64).cumsum()
+    n = int(cum[-1]) if len(cum) else 0
+
+    def order_stat(i: int) -> float:
+        return float(vals[np.searchsorted(cum, i, side="right")])
+
+    out = {}
+    for q in qs:
+        if n == 0:
+            out[q] = float("nan")
+            continue
+        p = q * (n - 1)
+        k = int(np.floor(p))
+        frac = p - k
+        lo = order_stat(k)
+        out[q] = lo if frac == 0 else lo + frac * (order_stat(k + 1) - lo)
+    return out

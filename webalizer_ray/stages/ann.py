@@ -199,3 +199,67 @@ def ivf_topk(ds: rd.Dataset, queries: np.ndarray, k: int = 5,
         .reset_index(drop=True)
     out["rank"] = out.groupby("query_id").cumcount().astype(np.int64) + 1
     return out
+
+
+def kmeans_fit_assign(ds: rd.Dataset, n_clusters: int = 8,
+                      n_iter: int = 5, sample_rows: int = 1024,
+                      seed: int = 7, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> pd.DataFrame:
+    """Distributed spherical k-means (the SemDeDup-style semantic
+    bucketing step): seeded init from a driver-side sample, then
+    ``n_iter`` DISTRIBUTED Lloyd iterations — each iteration broadcasts
+    the centroids once (``ray.put``) and every batch emits only
+    ``n_clusters`` partial rows (per-cluster vector sum + count), so the
+    update shuffles O(k·dim·num_batches) floats regardless of dataset
+    size; the driver reduces partials and renormalizes. Final pass
+    assigns every vector. Deterministic given the seed (partial sums
+    are order-independent up to float association; see the
+    repartition-invariance test).
+
+    Empty clusters keep their previous centroid (standard Lloyd
+    convention). Returns (id, cluster) sorted by id.
+    """
+    sample = ds.limit(sample_rows).to_pandas()
+    train = _normalize(np.stack(sample[vec_col].to_numpy())
+                       .astype(np.float64))
+    rng = np.random.default_rng(seed)
+    k = min(n_clusters, len(train))
+    cents = train[rng.choice(len(train), k, replace=False)]
+
+    for _ in range(n_iter):
+        cents_ref = ray.put(cents)
+
+        def partial_sums(df: pd.DataFrame) -> pd.DataFrame:
+            c = ray.get(cents_ref)
+            m = _normalize(np.stack(df[vec_col].to_numpy())
+                           .astype(np.float64))
+            assign = np.argmax(m @ c.T, axis=1)
+            rows = []
+            for cl in np.unique(assign):
+                sub = m[assign == cl]
+                rows.append((int(cl), sub.sum(axis=0).tobytes(),
+                             len(sub)))
+            return pd.DataFrame(rows, columns=["cluster", "vsum", "n"])
+
+        parts = ds.map_batches(partial_sums,
+                               batch_format="pandas").to_pandas()
+        new = cents.copy()
+        for cl, grp in parts.groupby("cluster"):
+            s = np.frombuffer(b"".join(grp["vsum"]), dtype=np.float64) \
+                .reshape(len(grp), -1).sum(axis=0)
+            n = grp["n"].sum()
+            if n:
+                new[cl] = s / n
+        cents = _normalize(new)
+
+    cents_ref = ray.put(cents)
+
+    def assign_batch(df: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cents_ref)
+        m = _normalize(np.stack(df[vec_col].to_numpy()).astype(np.float64))
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "cluster": np.argmax(m @ c.T, axis=1).astype(np.int64)})
+
+    out = ds.map_batches(assign_batch, batch_format="pandas").to_pandas()
+    return out.sort_values(id_col, ignore_index=True)
