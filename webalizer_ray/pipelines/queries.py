@@ -328,6 +328,94 @@ def user_retention_cohorts(sf_dir: str) -> pd.DataFrame:
             .sort_values(["cohort", "day_offset"], ignore_index=True))
 
 
+@register("hourly_anomaly_scores", sql="""
+WITH h AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hr,
+                  event_type, COUNT(*) AS cnt
+           FROM events GROUP BY 1, 2),
+s AS (SELECT event_type, AVG(cnt) AS mu, STDDEV_POP(cnt) AS sd
+      FROM h GROUP BY event_type)
+SELECT h.hr, h.event_type, CAST(h.cnt AS BIGINT) AS cnt,
+       ROUND((h.cnt - s.mu) / s.sd, 6) AS z
+FROM h JOIN s USING (event_type)""")
+def hourly_anomaly_scores(sf_dir: str) -> pd.DataFrame:
+    """Per-(hour, type) volume z-scores against the type's own
+    distribution — the monitoring/anomaly roll-up. The heavy step is
+    the partial-combined hourly count (raw events never shuffle, only
+    per-batch (hour, type, cnt) partials); z-scoring runs on the tiny
+    aggregate, which stays small (hours × types) at any event scale."""
+    ds = _events(sf_dir, ["ts", "event_type"])
+
+    def hour_partials(batch: pa.Table) -> pa.Table:
+        hr = pc.strftime(pc.floor_temporal(batch["ts"], unit="hour"),
+                         format="%Y-%m-%d %H")
+        t = pa.table({"hr": hr, "event_type": batch["event_type"]})
+        return t.group_by(["hr", "event_type"]).aggregate([("hr", "count")]) \
+            .rename_columns(["hr", "event_type", "cnt"])
+
+    h = reduce_sink(ds.map_batches(hour_partials, batch_format="pyarrow"),
+                    ["hr", "event_type"], {"cnt": ("cnt", "sum")}) \
+        .to_pandas()
+    g = h.groupby("event_type")["cnt"]
+    mu = g.transform("mean").to_numpy(np.float64)
+    sd = g.transform(lambda x: np.std(x.to_numpy(np.float64)))
+    h["z"] = textstats.round_half_away(
+        (h["cnt"].to_numpy(np.float64) - mu) / sd.to_numpy(np.float64), 6)
+    h["cnt"] = h["cnt"].astype(np.int64)
+    return h.sort_values(["hr", "event_type"], ignore_index=True)
+
+
+@register("session_funnel_conversion", sql=f"""
+WITH s AS (SELECT user_id, event_type, ts,
+                  SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+           FROM ({{ns}})),
+per AS (SELECT user_id, sid,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+               MAX(CASE WHEN event_type = 'purchase' THEN ts END)
+                   AS last_purchase
+        FROM s GROUP BY user_id, sid)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN first_view IS NOT NULL
+                      AND last_purchase IS NOT NULL
+                      AND first_view < last_purchase
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+FROM per""".format(ns=_NS_SQL))
+def session_funnel_conversion(sf_dir: str) -> pd.DataFrame:
+    """Funnel conversion: sessions where a 'view' strictly precedes a
+    'purchase' (same visit-window sessionization as user_sessions).
+    first-view/last-purchase per session via the exact two-phase
+    combiner (sentinel int64 µs, min/max merge — correct under any
+    block split), then only per-batch (sessions, converted) count
+    partials reach the driver."""
+    SENT_MAX, SENT_MIN = np.iinfo(np.int64).max, np.iinfo(np.int64).min
+    sess = _sessionized_events(sf_dir)
+
+    def flags(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        et = df["event_type"].to_numpy()
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(),
+            "sid": df["sid"].to_numpy(),
+            "fv": np.where(et == "view", us, SENT_MAX),
+            "lp": np.where(et == "purchase", us, SENT_MIN)})
+
+    per_sess = reduce_sink(sess.map_batches(flags, batch_format="pandas"),
+                           ["user_id", "sid"],
+                           {"fv": ("fv", "min"), "lp": ("lp", "max")})
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        conv = ((df["fv"] != SENT_MAX) & (df["lp"] != SENT_MIN)
+                & (df["fv"] < df["lp"])).sum()
+        return pd.DataFrame({"n_sessions": [np.int64(len(df))],
+                             "n_converted": [np.int64(conv)]})
+
+    parts = per_sess.map_batches(count_partial,
+                                 batch_format="pandas").to_pandas()
+    return pd.DataFrame({"n_sessions": [parts["n_sessions"].sum()],
+                         "n_converted": [parts["n_converted"].sum()]}) \
+        .astype(np.int64)
+
+
 @register("user_sessions", sql=f"""
 SELECT user_id, CAST(SUM(ns) AS BIGINT) AS sessions
 FROM ({_NS_SQL}) GROUP BY user_id""")
