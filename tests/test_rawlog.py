@@ -19,7 +19,7 @@ def _turns(fixture_dir):
             .sort_values(["conv_id", "turn_idx"], ignore_index=True)[COLS])
 
 
-@pytest.mark.parametrize("fmt", ["clf", "squid", "w3c", "ftp"])
+@pytest.mark.parametrize("fmt", ["clf", "squid", "w3c", "ftp", "jsonl"])
 @pytest.mark.parametrize("compress", [False, True, "bz2"])
 def test_roundtrip(ray_session, tiny_fixture, tmp_path, fmt, compress):
     """turns → log text (per-format grok grammar) → turns, exactly.
@@ -163,3 +163,41 @@ def test_nonresume_out_dir_reuse_refused(ray_session, tiny_fixture, lookups,
     with pytest.raises(FileExistsError, match="resumable"):
         run_flagship(tiny_fixture, out, cfg, lookups=lookups,
                      use_actors=False)
+
+
+def test_jsonl_lossless_and_bad_line_isolation(ray_session, tmp_path):
+    """JSONL is the lossless dialect: whitespace/quotes/unicode in any
+    field round-trip (the token-grid dialects reject these at serialize
+    time); a malformed line poisons only itself — the batch falls back to
+    per-line parse and routes exactly that line to bad."""
+    import pandas as pd
+    import ray.data as rd
+    from webalizer_ray.sources import rawlog
+
+    df = pd.DataFrame({
+        "conv_id": ['c 1"', "c\t2"],          # whitespace + quote
+        "turn_idx": pd.array([0, 1], dtype="int32"),
+        "role": ["user x", "assistant"],
+        "text": ['say "hi"\nnewline', "ünïcode ✓"],
+        "tool": [None, "tool kit"],
+        "ts": pd.to_datetime(["2024-01-01 00:00:07.179575",
+                              "2024-02-03 04:05:06"], format="mixed")
+              .astype("datetime64[us]"),
+    })
+    log_dir = str(tmp_path / "jsonl")
+    rawlog.write_transcript_log(rd.from_pandas(df), log_dir, fmt="jsonl")
+    got = (rawlog.read_transcript_log(log_dir, fmt="jsonl").to_pandas()
+           .sort_values("turn_idx", ignore_index=True))
+    pd.testing.assert_frame_equal(got[df.columns.tolist()], df)
+
+    # splice a malformed line + a wrong-typed line into the shard
+    import os
+    shard = os.path.join(log_dir, sorted(os.listdir(log_dir))[0])
+    with open(shard, "a", encoding="utf-8") as f:
+        f.write("{not json at all\n")
+        f.write('{"conv_id":"c3","turn_idx":"NOT_INT","role":"u",'
+                '"text":"t","tool":null,"ts":"2024-01-01T00:00:00"}\n')
+    all_rows = rawlog.read_transcript_log(log_dir, fmt="jsonl",
+                                          include_bad=True).to_pandas()
+    assert (all_rows["route"] == "bad").sum() == 2
+    assert (all_rows["route"] == "ok").sum() == 2

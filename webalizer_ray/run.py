@@ -7,7 +7,7 @@ The reference's surface is ``webalizer [-c conf] [-p incremental]
     python -m webalizer_ray.run run        --input DIR --out DIR
                                            [--resume] [--config FILE.json]
                                            [--no-actors] [--num-cpus N]
-    python -m webalizer_ray.run ingest-log --log DIR --fmt clf|squid|w3c
+    python -m webalizer_ray.run ingest-log --log DIR --fmt clf|squid|w3c|ftp|jsonl
                                            --out DIR [--keep-bad]
     python -m webalizer_ray.run history    --out RUN_OUT_DIR [--hist FILE]
     python -m webalizer_ray.run lookup     <list|add|del|export> ...
@@ -181,7 +181,7 @@ def build_parser() -> argparse.ArgumentParser:
     i = sub.add_parser("ingest-log", help="raw text log -> turns parquet")
     i.add_argument("--log", required=True)
     i.add_argument("--fmt", default="clf",
-                   choices=["clf", "squid", "w3c", "ftp"])
+                   choices=["clf", "squid", "w3c", "ftp", "jsonl"])
     i.add_argument("--out", required=True)
     i.add_argument("--keep-bad", action="store_true")
     i.add_argument("--num-cpus", type=int, default=None)

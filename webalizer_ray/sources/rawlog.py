@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import bz2
 import gzip
+import io
 import os
 
 import numpy as np
@@ -312,12 +313,95 @@ def _make_parse_w3c(fields: list[str]):
     return parse
 
 
+#: Canonical turn schema for the JSON-lines dialect. Unlike the
+#: token-grid dialects above, JSONL is LOSSLESS: whitespace in
+#: conv_id/role/tool and arbitrary text round-trip via JSON escaping,
+#: so no _check_fields gate is needed.
+JSONL_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("turn_idx", pa.int32()),
+    ("role", pa.string()), ("text", pa.string()),
+    ("tool", pa.string()), ("ts", pa.timestamp("us")),
+])
+
+
+def _fmt_jsonl(tbl: pa.Table) -> pa.Array:
+    """One JSON object per line, via pandas' C serializer (vectorized;
+    ISO-µs timestamps, non-ASCII passed through)."""
+    df = tbl.select([f.name for f in JSONL_SCHEMA]).to_pandas()
+    body = df.to_json(orient="records", lines=True, date_format="iso",
+                      date_unit="us", force_ascii=False)
+    return pa.array(body.splitlines(), pa.string())
+
+
+def _jsonl_route(t: pa.Table, n: int) -> pa.Table:
+    """Attach route: a parsed row is ok iff the NOT-NULL key fields
+    (conv_id, turn_idx, ts) are present; text nulls become ''."""
+    ok = pc.and_(pc.and_(pc.is_valid(t["conv_id"]),
+                         pc.is_valid(t["turn_idx"])),
+                 pc.is_valid(t["ts"]))
+    return pa.table({
+        "conv_id": t["conv_id"],
+        "turn_idx": t["turn_idx"],
+        "role": t["role"],
+        "text": pc.fill_null(t["text"], ""),
+        "tool": t["tool"],
+        "ts": t["ts"],
+        "route": pc.if_else(ok, pa.scalar("ok"), pa.scalar("bad")),
+    })
+
+
+def _parse_jsonl(lines: pa.ChunkedArray) -> pa.Table:
+    """Vectorized fast path: the whole batch through pyarrow.json's C++
+    NDJSON reader. A batch containing ANY malformed line falls back to
+    a per-line loop so only that batch pays Python cost and only the
+    bad lines route to bad (error isolation the block reader can't do)."""
+    import pyarrow.json as pajson
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    raw = ("\n".join(lines.to_pylist()) + "\n").encode("utf-8")
+    try:
+        t = pajson.read_json(
+            io.BytesIO(raw),
+            parse_options=pajson.ParseOptions(
+                explicit_schema=JSONL_SCHEMA,
+                unexpected_field_behavior="ignore"))
+        return _jsonl_route(t, len(lines))
+    except pa.ArrowInvalid:
+        pass
+    import json as _json
+    cols = {f.name: [] for f in JSONL_SCHEMA}
+    for ln in lines.to_pylist():
+        try:
+            o = _json.loads(ln)
+            if not isinstance(o, dict):
+                o = {}
+        except Exception:
+            o = {}
+        for f in JSONL_SCHEMA:
+            cols[f.name].append(o.get(f.name))
+    arrs = {}
+    for f in JSONL_SCHEMA:
+        try:
+            arrs[f.name] = pa.array(cols[f.name], f.type)
+        except (pa.ArrowInvalid, pa.ArrowTypeError):
+            # per-value salvage: wrong-typed values null out (route=bad)
+            vals = []
+            for v in cols[f.name]:
+                try:
+                    vals.append(pa.array([v], f.type)[0].as_py())
+                except Exception:
+                    vals.append(None)
+            arrs[f.name] = pa.array(vals, f.type)
+    return _jsonl_route(pa.table(arrs), len(lines))
+
+
 FORMATS = {
     "clf": (_fmt_clf, _parse_clf),
     "squid": (_fmt_squid, _parse_squid),
     "ftp": (_fmt_ftp, _parse_ftp),
     # w3c parse is header-driven; see read_transcript_log
     "w3c": (_fmt_w3c, None),
+    "jsonl": (_fmt_jsonl, _parse_jsonl),
 }
 
 
