@@ -1719,6 +1719,62 @@ def mktsegment_order_totals(sf_dir: str) -> pd.DataFrame:
     out["total_price"] = out["total_price"].round(2)
     return out.sort_values("c_mktsegment", ignore_index=True)
 
+@register("tpch_q3_top_orders", sql="""
+SELECT l_orderkey,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-06-01'
+  AND l_shipdate > TIMESTAMP '1997-06-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey LIMIT 10""")
+def tpch_q3_top_orders(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q3-shaped multi-join pipeline: both row predicates are
+    pushed INTO the parquet scan (``filter=`` prunes row groups before
+    bytes leave storage, ``columns=`` prunes the rest), the pruned
+    sides meet in two distributed hash joins, and only (orderkey,
+    revenue) partials reach the top-10. Join order: customer⋈orders
+    first (smallest intermediate), its result ⋈ lineitem."""
+    import datetime as _dt
+    import pyarrow.dataset as pds
+    pivot = _dt.datetime(1997, 6, 1)
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey"],
+                           filter=pds.field("c_mktsegment") == "BUILDING")
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"],
+                             filter=pds.field("o_orderdate") < pivot)
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount"],
+                         filter=pds.field("l_shipdate") > pivot)
+    sel = orders.join(cust, join_type="inner", num_partitions=8,
+                      on=("o_custkey",), right_on=("c_custkey",))
+    j = li.join(sel.select_columns(["o_orderkey", "o_orderdate"]),
+                join_type="inner", num_partitions=8,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        return pa.table({"l_orderkey": batch["l_orderkey"],
+                         "o_orderdate": batch["o_orderdate"],
+                         "rev": rev})
+
+    agg = reduce_sink(j.map_batches(revenue, batch_format="pyarrow"),
+                      ["l_orderkey", "o_orderdate"],
+                      {"revenue": ("rev", "sum")}).to_pandas()
+    agg["revenue"] = agg["revenue"].round(2)
+    top = (agg.sort_values(["revenue", "l_orderkey"],
+                           ascending=[False, True], kind="mergesort")
+           .head(10).reset_index(drop=True))
+    top["orderdate"] = top.pop("o_orderdate").dt.strftime("%Y-%m-%d")
+    return top[["l_orderkey", "revenue", "orderdate"]]
+
+
 # ---------------------------------------------------------------------------
 # Relational operators Ray Data lacks natively, re-expressed as scale-safe
 # compositions (grouped top-N, pivot, rollup, anti-join, window functions,
