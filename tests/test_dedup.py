@@ -153,3 +153,32 @@ def test_connected_components_skewed_star(rd_mod):
     out = dedup.connected_components(pairs)
     assert len(out) == n
     assert (out["cluster_id"] == 0).all()
+
+
+def test_incremental_dedup_store_rounds(rd_mod, tmp_path):
+    """Run 1 keeps all distinct texts; re-feeding the same corpus as
+    run 2 keeps nothing; run 3's mixed feed keeps only the new docs.
+    Re-running run 1 (crash/retry semantics) reproduces its kept set
+    byte-identically even though the store now holds later runs."""
+    store, out = str(tmp_path / "store"), str(tmp_path / "out")
+    a = pd.DataFrame({"doc_id": np.arange(6, dtype=np.int64),
+                      "text": ["t0", "t1", "t2", "t0", "t3", "t1"]})
+    k1 = dedup.incremental_exact_dedup(
+        rd_mod.from_pandas(a), store, "r1", out + "1").to_pandas()
+    assert sorted(k1["doc_id"]) == [0, 1, 2, 4]     # min-id per text
+
+    k2 = dedup.incremental_exact_dedup(
+        rd_mod.from_pandas(a), store, "r2", out + "2").to_pandas()
+    assert len(k2) == 0                              # all seen
+
+    b = pd.DataFrame({"doc_id": np.arange(10, 14, dtype=np.int64),
+                      "text": ["t1", "t9", "t9", "t8"]})
+    k3 = dedup.incremental_exact_dedup(
+        rd_mod.from_pandas(b), store, "r3", out + "3").to_pandas()
+    assert sorted(k3["doc_id"]) == [11, 13]          # only t9, t8 new
+
+    k1b = dedup.incremental_exact_dedup(
+        rd_mod.from_pandas(a), store, "r1", out + "1b").to_pandas()
+    pd.testing.assert_frame_equal(
+        k1b.sort_values("doc_id", ignore_index=True),
+        k1.sort_values("doc_id", ignore_index=True))

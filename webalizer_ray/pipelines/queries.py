@@ -560,6 +560,29 @@ def exact_dedup_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id", ignore_index=True)
 
 
+@register("incremental_dedup_counts", sql=r"""
+SELECT 'r1' AS run,
+       CAST(COUNT(DISTINCT lower(regexp_replace(trim(text), '\s+', ' ',
+                                                'g'))) AS BIGINT) AS kept
+FROM documents
+UNION ALL SELECT 'r2', 0""")
+def incremental_dedup_counts(sf_dir: str) -> pd.DataFrame:
+    """Cross-run dedup against the persistent fingerprint store: run 1
+    ingests the corpus (keeps one doc per distinct normalized text),
+    run 2 re-feeds the same corpus and must keep NOTHING — the
+    incremental-ingestion guarantee (D3 applied to the documents
+    table). Oracle: run 1 = COUNT(DISTINCT normalized text), run 2 = 0
+    by the store contract."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    store = tempfile.mkdtemp(prefix="wr_incstore_")
+    k1 = dedup.incremental_exact_dedup(
+        docs, store, "r1", tempfile.mkdtemp(prefix="wr_incout_")).count()
+    k2 = dedup.incremental_exact_dedup(
+        docs, store, "r2", tempfile.mkdtemp(prefix="wr_incout_")).count()
+    return pd.DataFrame({"run": ["r1", "r2"],
+                         "kept": np.array([k1, k2], dtype=np.int64)})
+
+
 @register("cosine_dup_pairs", sql="""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

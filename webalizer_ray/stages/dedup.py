@@ -23,10 +23,13 @@ Scale notes (the partitioning contract):
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
 import ray
 import ray.data as rd
@@ -738,3 +741,75 @@ def connected_components(pairs: rd.Dataset | pd.DataFrame,
     out.columns = ["node", "cluster_id"]
     return (out.astype(np.int64)
             .sort_values("node", ignore_index=True))
+
+
+# ---------------------------------------------------------------------------
+# Incremental exact dedup against a persistent fingerprint store
+# ---------------------------------------------------------------------------
+
+def incremental_exact_dedup(ds: rd.Dataset, store_dir: str, run_id: str,
+                            out_dir: str, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            num_buckets: int = 32) -> rd.Dataset:
+    """Exact dedup ACROSS ingestion runs: keep only docs whose
+    normalized-text fingerprint has never been seen by any PRIOR run,
+    recording this run's fingerprints so the next feed skips them —
+    the corpus-refresh primitive (the incremental analog of
+    exact_dedup, and the dedup counterpart of the flagship's
+    incremental checkpoint: webalizer's -p flag re-derives "already
+    counted" from webalizer.current; here the store IS that state).
+
+    Layout: ``store_dir/bucket=K/run-<run_id>.parquet`` holds the
+    fingerprints bucket K gained in run ``run_id``; kept ids land in
+    ``out_dir/bucket=K.parquet``. Each bucket task reads every store
+    file EXCEPT its own run's — so a rerun of the same ``run_id``
+    (crash recovery, task retry) recomputes the identical kept set and
+    atomically overwrites the same two files: the whole operation is
+    idempotent with no commit ordering to get wrong. Only
+    (fingerprint, id) pairs shuffle; per-bucket store reads are
+    column-pruned. At cluster scale store/out are shared-store paths
+    (same contract as the checkpoint dirs).
+
+    Within one run, duplicate texts keep min(id) (same rule as
+    exact_dedup). Returns the kept (id_col, fingerprint) Dataset.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        f = add_fingerprint(df, text_col)
+        g = f.groupby("fingerprint", sort=False)[id_col].min().reset_index()
+        g["_bk"] = (g["fingerprint"].to_numpy(np.uint64)
+                    % np.uint64(num_buckets)).astype(np.int32)
+        return g
+
+    def bucket_task(g: pd.DataFrame) -> pd.DataFrame:
+        bk = int(g["_bk"].iat[0])
+        # min-id per fingerprint across ALL of this run's batches
+        g = g.groupby("fingerprint", sort=False)[id_col].min().reset_index()
+        bdir = os.path.join(store_dir, f"bucket={bk}")
+        os.makedirs(bdir, exist_ok=True)
+        own = f"run-{run_id}.parquet"
+        seen_files = [os.path.join(bdir, f) for f in sorted(os.listdir(bdir))
+                      if f.endswith(".parquet") and f != own]
+        if seen_files:
+            seen = pq.read_table(seen_files,
+                                 columns=["fingerprint"])["fingerprint"] \
+                .to_numpy(zero_copy_only=False)
+            kept = g[~g["fingerprint"].isin(seen)]
+        else:
+            kept = g
+        kept = kept.sort_values(id_col, ignore_index=True)
+
+        def atomic_write(df: pd.DataFrame, path: str) -> None:
+            tmp = path + f".tmp-{os.getpid()}"
+            pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                           tmp)
+            os.replace(tmp, path)
+
+        atomic_write(kept[[id_col, "fingerprint"]],
+                     os.path.join(out_dir, f"bucket={bk}.parquet"))
+        atomic_write(kept[["fingerprint"]], os.path.join(bdir, own))
+        return kept[[id_col, "fingerprint"]]
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("_bk").map_groups(bucket_task, batch_format="pandas"))
