@@ -272,3 +272,38 @@ def test_exact_quantiles_bounded_matches_numpy(ray_session):
     got = exact_quantiles_bounded(ds, "x", [0.0, 0.1, 0.5, 0.9, 1.0])
     for q, val in got.items():
         assert val == float(np.quantile(v, q, method="linear")), q
+
+
+def test_curation_pipeline_routes_and_conservation(ray_session, tmp_path):
+    """Every doc lands in exactly one route (conservation); planted
+    duplicates keep min doc_id; gates fire in order (a doc that is both
+    out-of-band AND low quality routes to 'length'); rerunning into a
+    used dir raises (append-safety contract)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.dataset as pads
+    import pytest
+    import ray.data as rd
+    from webalizer_ray.pipelines.curate import run_curation
+
+    good = ("the cat and the dog is that it for a in is that good text "
+            "with many stopwords the and of to a in is that it for") 
+    docs = pd.DataFrame({
+        "doc_id": np.arange(8, dtype=np.int64),
+        "text": [good + " one", good + " two", good + " one",  # dup of 0
+                 good + " three", good + " one",               # dup of 0
+                 "x",                                          # too short
+                 " ".join(["zz"] * 2000),                      # too long
+                 good + " four"],
+    })
+    out = str(tmp_path / "curated")
+    res = run_curation(rd.from_pandas(docs).repartition(3), out,
+                       q_lo=0.2, q_hi=0.8, min_quality=0.2)
+    assert res["total"] == len(docs)                 # conservation
+    assert res["routes"]["duplicate"] == 2
+    assert res["routes"]["length"] == 2
+    kept = pads.dataset(out + "/route=kept").to_table().to_pandas()
+    assert 0 in set(kept["doc_id"])                  # min-id keeper
+    assert {2, 4}.isdisjoint(set(kept["doc_id"]))
+    with pytest.raises(FileExistsError):
+        run_curation(rd.from_pandas(docs), out)

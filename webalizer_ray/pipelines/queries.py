@@ -781,6 +781,61 @@ def fingerprint_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id", ignore_index=True)
 
 
+@register("curation_funnel", sql=f"""
+WITH q AS (
+  SELECT doc_id, text,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT)
+           AS n_tokens,
+         CAST(length(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT)
+           AS n_punct,
+         CAST(length(regexp_extract_all(text, '{_STOP_RX_SQL}')) AS BIGINT)
+           AS n_stop
+  FROM documents),
+s AS (
+  SELECT doc_id, text, n_tokens,
+         ROUND(0.4 * (LEAST(n_tokens, 200) / 200.0)
+               + 0.3 * (1.0 - LEAST(ROUND(n_punct * 1.0
+                                          / GREATEST(n_chars, 1), 4), 1.0))
+               + 0.3 * LEAST(ROUND(n_stop * 1.0
+                                   / GREATEST(n_tokens, 1), 4), 1.0), 4)
+             AS quality_score
+  FROM q),
+b AS (SELECT quantile_cont(n_tokens, 0.05) AS lo,
+             quantile_cont(n_tokens, 0.95) AS hi FROM s),
+g AS (SELECT doc_id, text,
+             CASE WHEN n_tokens < b.lo OR n_tokens > b.hi THEN 'length'
+                  WHEN quality_score < 0.38 THEN 'quality'
+                  ELSE 'pass' END AS gate
+      FROM s, b),
+p AS (SELECT doc_id,
+             MIN(doc_id) OVER (PARTITION BY
+                 lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+                 AS keeper
+      FROM g WHERE gate = 'pass'),
+routes AS (
+  SELECT doc_id, gate AS route FROM g WHERE gate != 'pass'
+  UNION ALL
+  SELECT doc_id, CASE WHEN doc_id = keeper THEN 'kept'
+                      ELSE 'duplicate' END FROM p)
+SELECT route, CAST(COUNT(*) AS BIGINT) AS docs
+FROM routes GROUP BY route""")
+def curation_funnel(sf_dir: str) -> pd.DataFrame:
+    """End-to-end curation pipeline (pipelines/curate.py): percentile
+    length band → quality gate → exact dedup among survivors, curated
+    parquet written hive-partitioned by route, funnel counts returned.
+    Oracle reproduces gate order, the quantile band, the rounded score
+    and the min-id keeper rule in plain SQL."""
+    from webalizer_ray.pipelines.curate import run_curation
+    res = run_curation(_docs(sf_dir, ["doc_id", "text"]),
+                       tempfile.mkdtemp(prefix="wr_curate_") + "/run",
+                       min_quality=0.38)
+    rows = [(r, c) for r, c in res["routes"].items() if c > 0]
+    return (pd.DataFrame(rows, columns=["route", "docs"])
+            .astype({"docs": np.int64})
+            .sort_values("route", ignore_index=True))
+
+
 # ---------------------------------------------------------------------------
 # Flagship over the adapted events stream (full parse→enrich→route→agg),
 # oracle-checked end to end including sessionization with month split.
