@@ -9,6 +9,9 @@ The reference's surface is ``webalizer [-c conf] [-p incremental]
                                            [--no-actors] [--num-cpus N]
     python -m webalizer_ray.run ingest-log --log DIR --fmt clf|squid|w3c|ftp|jsonl
                                            --out DIR [--keep-bad]
+    python -m webalizer_ray.run curate     --docs PARQUET --out DIR
+                                           [--q-lo F] [--q-hi F]
+                                           [--min-quality F]
     python -m webalizer_ray.run history    --out RUN_OUT_DIR [--hist FILE]
     python -m webalizer_ray.run lookup     <list|add|del|export> ...
 
@@ -91,6 +94,18 @@ def cmd_ingest_log(args) -> int:
     else:
         ds.write_parquet(dest)
     print(json.dumps({"out": dest}))
+    return 0
+
+
+def cmd_curate(args) -> int:
+    _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from webalizer_ray.pipelines.curate import run_curation
+    docs = rd.read_parquet(args.docs, columns=["doc_id", "text"])
+    res = run_curation(docs, args.out, q_lo=args.q_lo, q_hi=args.q_hi,
+                       min_quality=args.min_quality)
+    print(json.dumps(res))
     return 0
 
 
@@ -186,6 +201,18 @@ def build_parser() -> argparse.ArgumentParser:
     i.add_argument("--keep-bad", action="store_true")
     i.add_argument("--num-cpus", type=int, default=None)
     i.set_defaults(fn=cmd_ingest_log)
+
+    c = sub.add_parser("curate", help="document curation: length band + "
+                                      "quality gate + dedup -> route dirs")
+    c.add_argument("--docs", required=True,
+                   help="documents parquet file/dir (doc_id, text)")
+    c.add_argument("--out", required=True)
+    c.add_argument("--q-lo", type=float, default=0.05, dest="q_lo")
+    c.add_argument("--q-hi", type=float, default=0.95, dest="q_hi")
+    c.add_argument("--min-quality", type=float, default=0.38,
+                   dest="min_quality")
+    c.add_argument("--num-cpus", type=int, default=None, dest="num_cpus")
+    c.set_defaults(fn=cmd_curate)
 
     h = sub.add_parser("history", help="update monthly history roll-up")
     h.add_argument("--out", required=True, help="a finished run's out dir")
