@@ -307,3 +307,32 @@ def test_curation_pipeline_routes_and_conservation(ray_session, tmp_path):
     assert {2, 4}.isdisjoint(set(kept["doc_id"]))
     with pytest.raises(FileExistsError):
         run_curation(rd.from_pandas(docs), out)
+
+
+def test_knn_graph_matches_brute_force(ray_session):
+    """LSH knn graph vs exact brute force on 150 vectors: at (4, 48)
+    candidate recall is ~1, so the graphs agree exactly (ties broken
+    identically by neighbor id); every node has exactly k edges."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from webalizer_ray.stages import ann
+    rng = np.random.default_rng(21)
+    vecs = rng.standard_normal((150, 16))
+    df = pd.DataFrame({"vec_id": np.arange(150, dtype=np.int64),
+                       "embedding": list(vecs)})
+    ds = rd.from_pandas(df).repartition(4)
+    got = ann.knn_graph_lsh(ds, k=2)
+    assert len(got) == 300 and (got.groupby("node").size() == 2).all()
+    exact = ann.brute_force_topk(ds, vecs, k=3)   # rank 1 is self
+    exact = exact[exact["rank"] > 1].copy()
+    exact["neighbor"] = exact["vec_id"]
+    exact["node"] = exact["query_id"]
+    exact["rank"] = exact["rank"] - 1
+    exact["cosine"] = exact["cosine"].round(6)
+    merged = got.merge(exact[["node", "rank", "neighbor", "cosine"]],
+                       on=["node", "rank"], suffixes=("", "_x"))
+    assert (merged["neighbor"] == merged["neighbor_x"]).mean() > 0.97
+    same = merged["neighbor"] == merged["neighbor_x"]
+    assert np.allclose(merged.loc[same, "cosine"],
+                       merged.loc[same, "cosine_x"])

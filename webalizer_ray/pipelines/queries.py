@@ -713,6 +713,58 @@ def ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
                                                  threshold=0.3)
 
 
+@register("knn_graph", sql="""
+WITH sims AS (
+  SELECT a.vec_id AS node, b.vec_id AS neighbor,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6)
+             AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id),
+r AS (SELECT node, neighbor, cosine,
+             ROW_NUMBER() OVER (PARTITION BY node
+                                ORDER BY cosine DESC, neighbor) AS rank
+      FROM sims)
+SELECT node, neighbor, cosine, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 2""")
+def knn_graph(sf_dir: str) -> pd.DataFrame:
+    """EXACT k-NN graph (top-k similarity join), the parity baseline:
+    the query matrix is the whole (small) table broadcast once, each
+    batch emits local top-(k+1) per node — fine while N·dim fits a
+    broadcast; knn_graph_lsh below is the scale path (same split as
+    cosine_dup_pairs vs cosine_dup_pairs_lsh)."""
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    ids = np.asarray(tbl["vec_id"])
+    vecs = np.stack(tbl["embedding"].to_pandas().to_numpy())
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    out = ann.brute_force_topk(ds, vecs, k=3)     # k+1: self is in there
+    out["node"] = ids[out["query_id"].to_numpy()]
+    # drop the self edge by IDENTITY, not by rank — an exact duplicate
+    # vector with a smaller id would outrank self
+    out = out[out["node"] != out["vec_id"]].copy()
+    out = out.sort_values(["node", "rank"], ignore_index=True)
+    out["rank"] = (out.groupby("node", sort=False).cumcount() + 1) \
+        .astype(np.int64)
+    out = out[out["rank"] <= 2]
+    out["neighbor"] = out["vec_id"]
+    out["cosine"] = out["cosine"].round(6)
+    return (out[["node", "neighbor", "cosine", "rank"]]
+            .sort_values(["node", "rank"], ignore_index=True))
+
+
+@register("knn_graph_lsh")
+def knn_graph_lsh(sf_dir: str) -> pd.DataFrame:
+    """The SCALE path for the k-NN graph: LSH candidate pairs → exact
+    cosine via bucketed value joins → two-stage per-node top-k (local
+    top-k partials bound the shuffle to k rows per node per batch).
+    Approximate (candidate recall < 1); brute-force parity guarded by
+    pytest, rows-only here."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return ann.knn_graph_lsh(ds, k=2, n_planes=4, n_tables=48)
+
+
 @register("ann_topk_lsh")
 def ann_topk_lsh(sf_dir: str) -> pd.DataFrame:
     """Approximate variant of ann_topk (LSH buckets; recall < 1)."""

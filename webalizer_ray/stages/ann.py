@@ -263,3 +263,70 @@ def kmeans_fit_assign(ds: rd.Dataset, n_clusters: int = 8,
 
     out = ds.map_batches(assign_batch, batch_format="pandas").to_pandas()
     return out.sort_values(id_col, ignore_index=True)
+
+
+def knn_graph_lsh(ds: rd.Dataset, k: int = 2, n_planes: int = 4,
+                  n_tables: int = 48, seed: int = 7,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  bucket_cap: int = 4096) -> pd.DataFrame:
+    """Approximate k-nearest-neighbor GRAPH (the similarity JOIN with
+    top-k semantics — every vector gets its k most-cosine-similar
+    peers): LSH candidate pairs (shared generator with the threshold
+    dedup), exact cosine on candidates via bucketed value joins, then
+    per-node top-k in two stages — a per-batch local top-k bounds the
+    shuffle to k rows per (node, batch), the final per-node combine
+    sees only those partials. Candidate recall governs graph recall
+    (miss prob (1-p^planes)^tables per pair); the pytest baseline is
+    brute_force_topk over the full table.
+
+    Returns (node, neighbor, cosine, rank) sorted by (node, rank).
+    """
+    from webalizer_ray.stages.dedup import (
+        _unpack_rows,
+        join_pairs_to_values,
+        lsh_candidate_pairs,
+    )
+    cand = lsh_candidate_pairs(ds, id_col, vec_col, n_planes, n_tables,
+                               seed, bucket_cap)
+    if cand.count() == 0:
+        return pd.DataFrame({"node": pd.Series(dtype=np.int64),
+                             "neighbor": pd.Series(dtype=np.int64),
+                             "cosine": pd.Series(dtype=np.float64),
+                             "rank": pd.Series(dtype=np.int64)})
+    j = join_pairs_to_values(cand, ds, id_col, vec_col,
+                             pack_dtype=np.float64)
+
+    def score_both_directions(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"node": pd.Series(dtype=np.int64),
+                                 "neighbor": pd.Series(dtype=np.int64),
+                                 "cosine": pd.Series(dtype=np.float64)})
+        a = _normalize(_unpack_rows(df[f"{vec_col}_a"], np.float64))
+        b = _normalize(_unpack_rows(df[f"{vec_col}_b"], np.float64))
+        cos = np.round((a * b).sum(axis=1), 6)
+        ia = df["id_a"].to_numpy(np.int64)
+        ib = df["id_b"].to_numpy(np.int64)
+        return pd.DataFrame({"node": np.concatenate([ia, ib]),
+                             "neighbor": np.concatenate([ib, ia]),
+                             "cosine": np.concatenate([cos, cos])})
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["node", "cosine", "neighbor"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        return df.groupby("node", sort=False).head(k)
+
+    part = (j.map_batches(score_both_directions, batch_format="pandas")
+            .map_batches(local_topk, batch_format="pandas"))
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = local_topk(g.drop_duplicates(["node", "neighbor"]))
+        g = g.copy()
+        g["rank"] = g.groupby("node", sort=False).cumcount() + 1
+        return g
+
+    out = part.groupby("node").map_groups(final_topk,
+                                          batch_format="pandas") \
+        .to_pandas()
+    out["rank"] = out["rank"].astype(np.int64)
+    return out.sort_values(["node", "rank"], ignore_index=True)

@@ -418,32 +418,20 @@ def ngram_jaccard_pairs_distributed(docs: rd.Dataset, pairs: pd.DataFrame,
     return out.sort_values(["id_a", "id_b"], ignore_index=True)
 
 
-def cosine_dup_pairs_lsh(ds: rd.Dataset, id_col: str = "vec_id",
-                         vec_col: str = "embedding",
-                         threshold: float = 0.9, n_planes: int = 4,
-                         n_tables: int = 48, seed: int = 7,
-                         bucket_cap: int = 4096) -> pd.DataFrame:
-    """LSH-bucketed embedding near-dup pairs — the scale path replacing
-    the blocked all-pairs ``cosine_dup_pairs``.
-
-    L independent random-hyperplane tables (Charikar sign-LSH): vector →
-    L bucket keys (one per table); pairs sharing a bucket in ANY table
-    are candidates (groupby per (table, bucket) — only ids + bucket keys
-    shuffle); distributed pair dedup; exact cosine verified on candidates
-    via bucketed joins back to the vectors. Per-pair miss probability is
-    (1 - p^k)^L with p = 1 - θ/π, so recall is tuned by (k=n_planes,
-    L=n_tables): k scales up with density/N to keep buckets small, L
-    scales up to hold recall — at the default (4, 48) a cos≥0.4 pair is
-    missed with prob ≈ 2.5e-4. Deterministic given the seed.
-    """
+def lsh_candidate_pairs(ds: rd.Dataset, id_col: str, vec_col: str,
+                        n_planes: int, n_tables: int, seed: int,
+                        bucket_cap: int) -> rd.Dataset:
+    """Random-hyperplane LSH candidate pairs (id_a < id_b, globally
+    deduped): L independent sign-hash tables; vectors sharing a bucket
+    in ANY table pair up. Only (table, bucket, id) rows shuffle; a
+    degenerate bucket beyond ``bucket_cap`` degrades to chain pairs
+    (transitive closure keeps the bucket connected without the O(n²)
+    blowup). Shared by threshold dedup (cosine_dup_pairs_lsh) and the
+    top-k similarity join (ann.knn_graph_lsh)."""
     rng = np.random.default_rng(seed)
-
-    def first_batch_dim(df):
-        return len(df[vec_col].iloc[0])
-
-    # draw planes lazily sized from the first batch is racy across tasks;
-    # instead size from a 1-row sample (cheap metadata read)
-    dim = first_batch_dim(ds.limit(1).to_pandas())
+    # sizing planes from a racy first batch differs per task; use a
+    # 1-row sample (cheap metadata read) instead
+    dim = len(ds.limit(1).to_pandas()[vec_col].iloc[0])
     planes = rng.standard_normal((n_tables, dim, n_planes))
     weights = (1 << np.arange(n_planes, dtype=np.int64))
     planes_ref = ray.put(planes)
@@ -473,7 +461,29 @@ def cosine_dup_pairs_lsh(ds: rd.Dataset, id_col: str = "vec_id",
     cand = (ds.map_batches(explode, batch_format="pandas")
             .groupby(["table", "bucket"])
             .map_groups(bucket_pairs, batch_format="pandas"))
-    cand = dedup_pairs_ds(cand).materialize()
+    return dedup_pairs_ds(cand).materialize()
+
+
+def cosine_dup_pairs_lsh(ds: rd.Dataset, id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         threshold: float = 0.9, n_planes: int = 4,
+                         n_tables: int = 48, seed: int = 7,
+                         bucket_cap: int = 4096) -> pd.DataFrame:
+    """LSH-bucketed embedding near-dup pairs — the scale path replacing
+    the blocked all-pairs ``cosine_dup_pairs``.
+
+    L independent random-hyperplane tables (Charikar sign-LSH): vector →
+    L bucket keys (one per table); pairs sharing a bucket in ANY table
+    are candidates (groupby per (table, bucket) — only ids + bucket keys
+    shuffle); distributed pair dedup; exact cosine verified on candidates
+    via bucketed joins back to the vectors. Per-pair miss probability is
+    (1 - p^k)^L with p = 1 - θ/π, so recall is tuned by (k=n_planes,
+    L=n_tables): k scales up with density/N to keep buckets small, L
+    scales up to hold recall — at the default (4, 48) a cos≥0.4 pair is
+    missed with prob ≈ 2.5e-4. Deterministic given the seed.
+    """
+    cand = lsh_candidate_pairs(ds, id_col, vec_col, n_planes, n_tables,
+                               seed, bucket_cap)
     if cand.count() == 0:
         return _empty_pairs("cosine")
 
