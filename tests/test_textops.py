@@ -1,0 +1,73 @@
+"""Corpus LM / chunking ops vs DuckDB at sf0.001: unigram NLL scoring,
+vocabulary building with coverage, overlapping-window chunking."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+NEW_OPS = ["unigram_nll_docs", "vocab_top_words", "chunked_docs"]
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')")
+    return con
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+@pytest.mark.parametrize("name", NEW_OPS)
+def test_matches_oracle(ray_session, oracle_con, name):
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    fn, sql = REGISTRY[name]
+    ours, ref = canon(fn(SF)), canon(oracle_con.sql(sql).df())
+    assert len(ours) == len(ref)
+    assert list(ours.columns) == list(ref.columns)
+    for c in ours.columns:
+        a, b = ours[c].to_numpy(), ref[c].to_numpy()
+        assert (a == b).all(), c
+
+
+def test_chunk_overlap_reconstructs_doc(ray_session, oracle_con):
+    """Stride < window ⇒ consecutive chunks overlap by window-stride
+    tokens, and stitching chunks at stride boundaries rebuilds the doc."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    out = REGISTRY["chunked_docs"][0](SF)
+    docs = oracle_con.sql(
+        "SELECT doc_id, array_to_string(regexp_extract_all(text, '\\S+'), "
+        "' ') AS norm FROM documents WHERE len(text) > 0").df()
+    stride = 96
+    for doc_id, grp in out.groupby("doc_id"):
+        grp = grp.sort_values("chunk_idx")
+        stitched = " ".join(
+            " ".join(t.split()[:stride]) for t in grp["chunk_text"][:-1]
+        )
+        last = grp["chunk_text"].iloc[-1]
+        stitched = (stitched + " " + last).strip() if stitched else last
+        want = docs.loc[docs["doc_id"] == doc_id, "norm"].iloc[0]
+        assert stitched == want, doc_id
+
+
+def test_unigram_nll_orders_rare_docs_higher(ray_session):
+    """A doc made of rarer words must score a higher NLL than one made
+    of the corpus's most common words (sanity on the sign/direction)."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    nll = REGISTRY["unigram_nll_docs"][0](SF)
+    vocab = REGISTRY["vocab_top_words"][0](SF)
+    assert (nll["nll"] > 0).all()
+    assert nll["nll"].nunique() > 1
+    # coverage is a cumulative fraction: monotone, ends <= 1
+    cov = vocab["cum_coverage"].to_numpy()
+    assert (cov[1:] >= cov[:-1]).all() and cov[-1] <= 1.0

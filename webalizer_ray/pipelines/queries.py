@@ -2307,6 +2307,158 @@ def mixture_rebalance_counts(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("lang", ignore_index=True)
 
 
+# ---------------------------------------------------------------------------
+# Corpus language modeling: unigram LM scoring + vocabulary building
+# ---------------------------------------------------------------------------
+
+def _word_count_partials(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch (word, count) partials — the combiner ahead of the
+    vocabulary groupby, so one row per distinct (word, batch) shuffles,
+    never one per token occurrence."""
+    vc = df["text"].fillna("").str.split().explode().dropna().value_counts()
+    return pd.DataFrame({"word": vc.index.to_numpy(),
+                         "cnt": vc.to_numpy(np.int64)})
+
+
+@register("unigram_nll_docs", sql=r"""
+WITH w AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS word
+           FROM documents),
+c AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word),
+t AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS tot FROM c)
+SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(-AVG(LN(c.cnt / t.tot)), 6) AS nll
+FROM w JOIN c USING (word), t
+GROUP BY w.doc_id""")
+def unigram_nll_docs(sf_dir: str) -> pd.DataFrame:
+    """Unigram language-model scoring (mean negative log-likelihood
+    per doc) — the cheap perplexity-style quality signal CCNet/Gopher
+    pipelines gate on. Two passes: pass 1 reduces (word, count)
+    partials to the vocabulary table (vocab << corpus), whose log-prob
+    column is ray.put ONCE; pass 2 scores each doc batch-locally via a
+    hash-map lookup on the exploded word array (docs read straight
+    from parquet never span batches). Only vocabulary-sized state ever
+    reaches the driver besides the per-doc result itself."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    vocab = reduce_sink(docs.map_batches(_word_count_partials,
+                                         batch_format="pandas"),
+                        ["word"], {"cnt": ("cnt", "sum")}).to_pandas()
+    tot = float(vocab["cnt"].sum())
+    # identical float path to the oracle: LN(cnt / tot), not ln-diff
+    logp_ref = ray.put(pd.Series(
+        np.log(vocab["cnt"].to_numpy(np.float64) / tot),
+        index=vocab["word"].to_numpy()))
+
+    class Score:
+        def __init__(self):
+            self.logp = ray.get(logp_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            words = df["text"].fillna("").str.split()
+            lens = words.str.len().to_numpy()
+            flat = words.explode().dropna()
+            doc = np.repeat(df["doc_id"].to_numpy(), lens)
+            lp = flat.map(self.logp).to_numpy(np.float64)
+            g = (pd.DataFrame({"doc_id": doc, "lp": lp})
+                 .groupby("doc_id", sort=False)["lp"].agg(["mean", "size"]))
+            return pd.DataFrame({
+                "doc_id": g.index.to_numpy(np.int64),
+                "n_tokens": g["size"].to_numpy(np.int64),
+                "nll": textstats.round_half_away(
+                    -g["mean"].to_numpy(np.float64), 6)})
+
+    out = docs.map_batches(Score, concurrency=2,
+                           batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id", ignore_index=True)
+
+
+@register("vocab_top_words", sql=r"""
+WITH w AS (SELECT unnest(regexp_extract_all(text, '\S+')) AS word
+           FROM documents),
+c AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word),
+t AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS tot FROM c)
+SELECT word, CAST(cnt AS BIGINT) AS cnt,
+       ROUND(SUM(cnt) OVER (ORDER BY cnt DESC, word
+                            ROWS UNBOUNDED PRECEDING) / tot, 6)
+       AS cum_coverage
+FROM c, t ORDER BY cnt DESC, word LIMIT 20""")
+def vocab_top_words(sf_dir: str) -> pd.DataFrame:
+    """Vocabulary building: corpus top-20 words with cumulative corpus
+    coverage — the first step of any tokenizer/vocab pipeline. The
+    full vocabulary NEVER reaches the driver: after the bucketed
+    combine each word lives in exactly one row globally, so block-local
+    top-20 partials union ⊇ the global top-20 (exact), and the token
+    total is a per-block scalar partial over the same materialized
+    aggregate."""
+    ds = _docs(sf_dir, ["text"]).map_batches(_word_count_partials,
+                                             batch_format="pandas")
+    # small: one row per distinct word — object-store resident, reused
+    # by the top-k partials AND the total without recomputing the corpus
+    agg = reduce_sink(ds, ["word"], {"cnt": ("cnt", "sum")}).materialize()
+
+    def local_top(df: pd.DataFrame) -> pd.DataFrame:
+        return top_n_pandas(df, "word", "cnt", 20)
+
+    def tot_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"t": [np.int64(df["cnt"].sum())]})
+
+    cand = agg.map_batches(local_top, batch_format="pandas").to_pandas()
+    tot = float(agg.map_batches(tot_partial,
+                                batch_format="pandas").to_pandas()["t"].sum())
+    top = top_n_pandas(cand, "word", "cnt", 20)
+    top["cnt"] = top["cnt"].astype(np.int64)
+    top["cum_coverage"] = textstats.round_half_away(
+        top["cnt"].to_numpy(np.float64).cumsum() / tot, 6)
+    return top.reset_index(drop=True)
+
+
+@register("chunked_docs", sql=r"""
+WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+           FROM documents),
+s AS (SELECT doc_id, toks,
+             unnest(generate_series(0, len(toks) - 1, 96)) AS start
+      FROM t WHERE len(toks) > 0)
+SELECT doc_id, CAST(start / 96 AS BIGINT) AS chunk_idx,
+       CAST(LEAST(start + 128, len(toks)) - start AS BIGINT)
+       AS chunk_tokens,
+       array_to_string(toks[start + 1 : start + 128], ' ') AS chunk_text
+FROM s""")
+def chunked_docs(sf_dir: str) -> pd.DataFrame:
+    """Document chunking with overlap (window 128 tokens, stride 96 —
+    the context-window splitting step of an embedding/training-prep
+    pipeline), as a batch-local flat-map expansion: chunk starts are
+    derived with numpy repeat/cumsum over the per-doc token counts (no
+    per-row Python loop to FIND chunks; the join of each chunk's token
+    slice is inherently O(total output tokens)). Oracle: DuckDB
+    generate_series + list slicing reproduces the exact text."""
+    window, stride = 128, 96
+
+    def chunk(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].fillna("").str.split()
+        lens = words.str.len().to_numpy(np.int64)
+        n_chunks = np.where(lens > 0, (np.maximum(lens - 1, 0) // stride) + 1,
+                            0)
+        doc_ids = np.repeat(df["doc_id"].to_numpy(np.int64), n_chunks)
+        # chunk_idx = 0..n_chunks-1 within each doc, vectorized
+        off = np.arange(int(n_chunks.sum()), dtype=np.int64)
+        first = np.repeat(np.concatenate(([0], np.cumsum(n_chunks)[:-1])),
+                          n_chunks)
+        idx = off - first
+        starts = idx * stride
+        doc_len = np.repeat(lens, n_chunks)
+        ends = np.minimum(starts + window, doc_len)
+        toks = words.to_numpy()
+        row = np.repeat(np.arange(len(df), dtype=np.int64), n_chunks)
+        texts = [" ".join(toks[r][s:e])
+                 for r, s, e in zip(row, starts, ends)]
+        return pd.DataFrame({"doc_id": doc_ids, "chunk_idx": idx,
+                             "chunk_tokens": ends - starts,
+                             "chunk_text": texts})
+
+    out = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        chunk, batch_format="pandas").to_pandas()
+    return out.sort_values(["doc_id", "chunk_idx"], ignore_index=True)
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
