@@ -2459,6 +2459,191 @@ def chunked_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["doc_id", "chunk_idx"], ignore_index=True)
 
 
+# ---------------------------------------------------------------------------
+# Relational completeness: outer joins, set operations, deterministic samples
+# ---------------------------------------------------------------------------
+
+@register("urgent_orders_per_customer", sql="""
+WITH oc AS (SELECT o_custkey, COUNT(*) AS n FROM orders
+            WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+pc AS (SELECT c_mktsegment, COALESCE(n, 0) AS n_urgent
+       FROM customer LEFT JOIN oc ON c_custkey = o_custkey)
+SELECT c_mktsegment, CAST(n_urgent AS BIGINT) AS n_urgent,
+       COUNT(*) AS customers
+FROM pc GROUP BY 1, 2""")
+def urgent_orders_per_customer(sf_dir: str) -> pd.DataFrame:
+    """Distributed LEFT OUTER join with a real null path (customers
+    with zero urgent orders survive, null-filled to 0). Scale shape:
+    the orders side is pre-reduced to one (custkey, n) row per
+    customer BEFORE the join — the join's shuffle moves aggregates,
+    never raw orders — and the priority predicate is pushed into the
+    parquet scan so non-urgent row groups never leave storage."""
+    import pyarrow.dataset as pds
+    oc = reduce_sink(
+        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+                        filter=pds.field("o_orderpriority") == "1-URGENT"),
+        ["o_custkey"], {"n": ("o_custkey", "size")})
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    j = cust.join(oc, join_type="left_outer", num_partitions=8,
+                  on=("c_custkey",), right_on=("o_custkey",))
+
+    def fill(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "c_mktsegment": df["c_mktsegment"],
+            "n_urgent": df["n"].fillna(0).astype(np.int64)})
+
+    out = reduce_sink(j.map_batches(fill, batch_format="pandas"),
+                      ["c_mktsegment", "n_urgent"],
+                      {"customers": ("n_urgent", "size")}).to_pandas()
+    return out.sort_values(["c_mktsegment", "n_urgent"],
+                           ignore_index=True)
+
+
+@register("nation_presence", sql="""
+WITH s AS (SELECT s_nationkey AS snk, COUNT(*) AS suppliers
+           FROM supplier GROUP BY 1),
+c AS (SELECT c_nationkey AS cnk, COUNT(*) AS customers
+      FROM customer WHERE c_mktsegment = 'BUILDING' GROUP BY 1)
+SELECT CAST(COALESCE(snk, cnk) AS INTEGER) AS nationkey,
+       CAST(COALESCE(suppliers, 0) AS BIGINT) AS suppliers,
+       CAST(COALESCE(customers, 0) AS BIGINT) AS customers
+FROM s FULL JOIN c ON snk = cnk""")
+def nation_presence(sf_dir: str) -> pd.DataFrame:
+    """Distributed FULL OUTER join: nations holding suppliers vs
+    nations holding BUILDING customers — either side may be absent
+    (at sf0.001 suppliers cover 10/25 nations, so both null
+    directions are real). Both sides are pre-reduced per-nation
+    aggregates; for sides this small the broadcast-dict pattern
+    (J1/J2) is cheaper, but this exercises Ray's full_outer shuffle
+    join for when both sides are big."""
+    import pyarrow.dataset as pds
+    sup = reduce_sink(
+        rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                        columns=["s_nationkey"]),
+        ["s_nationkey"], {"suppliers": ("s_nationkey", "size")})
+    cus = reduce_sink(
+        rd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_nationkey"],
+                        filter=pds.field("c_mktsegment") == "BUILDING"),
+        ["c_nationkey"], {"customers": ("c_nationkey", "size")})
+    j = sup.join(cus, join_type="full_outer", num_partitions=4,
+                 on=("s_nationkey",), right_on=("c_nationkey",))
+
+    def coalesce(df: pd.DataFrame) -> pd.DataFrame:
+        # Ray's outer join already coalesces the key into the left
+        # key column; a missing right match shows as null aggregates.
+        nk = df["s_nationkey"].astype("float64")
+        if "c_nationkey" in df.columns:
+            nk = nk.fillna(df["c_nationkey"].astype("float64"))
+        return pd.DataFrame({
+            "nationkey": nk.to_numpy(np.int32),
+            "suppliers": df["suppliers"].fillna(0).astype(np.int64),
+            "customers": df["customers"].fillna(0).astype(np.int64)})
+
+    out = j.map_batches(coalesce, batch_format="pandas").to_pandas()
+    return out.sort_values("nationkey", ignore_index=True)
+
+
+@register("purchase_week_user_setops", sql="""
+WITH a AS (SELECT DISTINCT user_id FROM events
+           WHERE event_type = 'purchase' AND day(ts) <= 7),
+b AS (SELECT DISTINCT user_id FROM events
+      WHERE event_type = 'purchase' AND day(ts) >= 24)
+SELECT 'intersect' AS op, user_id
+FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+UNION ALL
+SELECT 'except_a', user_id FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+UNION ALL
+SELECT 'except_b', user_id FROM (SELECT * FROM b EXCEPT SELECT * FROM a)""")
+def purchase_week_user_setops(sf_dir: str) -> pd.DataFrame:
+    """Distributed set operations (INTERSECT / EXCEPT both ways) via
+    the presence-flag pattern: one streaming pass emits batch-distinct
+    (user_id, in_a, in_b) flag partials, a single groupby max-combines
+    them, and the classification is a batch-local map over the
+    user-sized aggregate. One shuffle serves all three set ops —
+    versus three separate distinct+join plans."""
+    import pyarrow.dataset as pds
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"],
+                         filter=pds.field("event_type") == "purchase")
+
+    def flags(batch: pa.Table) -> pa.Table:
+        day = pc.day(batch["ts"])
+        in_a = pc.cast(pc.less_equal(day, 7), pa.int64())
+        in_b = pc.cast(pc.greater_equal(day, 24), pa.int64())
+        t = pa.table({"user_id": batch["user_id"],
+                      "in_a": in_a, "in_b": in_b})
+        t = t.filter(pc.greater(pc.add(t["in_a"], t["in_b"]), 0))
+        return pa.TableGroupBy(t, "user_id").aggregate(
+            [("in_a", "max"), ("in_b", "max")]).rename_columns(
+            ["user_id", "in_a", "in_b"])
+
+    agg = reduce_sink(ev.map_batches(flags, batch_format="pyarrow"),
+                      ["user_id"], {"in_a": ("in_a", "max"),
+                                    "in_b": ("in_b", "max")})
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        op = np.where(df["in_a"].eq(1) & df["in_b"].eq(1), "intersect",
+                      np.where(df["in_a"].eq(1), "except_a", "except_b"))
+        return pd.DataFrame({"op": op, "user_id": df["user_id"]})
+
+    out = agg.map_batches(classify, batch_format="pandas").to_pandas()
+    return out.sort_values(["op", "user_id"], ignore_index=True)
+
+
+@register("sampled_docs", sql="""
+SELECT doc_id FROM documents
+WHERE (doc_id * 2654435761) % 4294967296 < 1073741824""")
+def sampled_docs(sf_dir: str) -> pd.DataFrame:
+    """Deterministic Bernoulli sampling (p = 1/4) by multiplicative
+    hash threshold — the reproducible alternative to
+    Dataset.random_sample: the kept set is identical across runs,
+    cluster sizes and block layouts, and membership is testable in
+    SQL. Zero shuffle: a batch-local numpy filter (the same Knuth
+    hash as scan.shuffle_rank)."""
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy().astype(np.uint64)
+        h = (ids * np.uint64(scan._KNUTH)) % np.uint64(1 << 32)
+        return batch.filter(pa.array(h < np.uint64(1 << 30)))
+
+    out = _docs(sf_dir, ["doc_id"]).map_batches(
+        keep, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id", ignore_index=True)
+
+
+@register("docs_per_lang_sample", sql="""
+SELECT lang, doc_id FROM (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang
+             ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+  FROM documents) t WHERE rn <= 5""")
+def docs_per_lang_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic per-group sampling (k = 5 per language): the
+    hash-min top-k is a MERGEABLE summary, so a batch-local top-k
+    bounds what shuffles to k rows per (batch, group) and a per-group
+    final combine finishes exactly — the distributed analog of
+    per-stratum reservoir sampling, but reproducible (same sample on
+    any cluster size)."""
+    def hashed(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy().astype(np.uint64)
+        h = (ids * np.uint64(scan._KNUTH)) % np.uint64(1 << 32)
+        return pa.table({"lang": batch["lang"], "doc_id": batch["doc_id"],
+                         "h": pa.array(h.astype(np.int64))})
+
+    def localtop(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(["h", "doc_id"], kind="mergesort")
+                .groupby("lang", sort=False).head(5))
+
+    ds = _docs(sf_dir, ["lang", "doc_id"]).map_batches(
+        hashed, batch_format="pyarrow")
+    out = (ds.map_batches(localtop, batch_format="pandas")
+           .groupby("lang")
+           .map_groups(localtop, batch_format="pandas")).to_pandas()
+    return (out[["lang", "doc_id"]]
+            .sort_values(["lang", "doc_id"], ignore_index=True))
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
