@@ -1,0 +1,76 @@
+"""Prefix-filtered set-similarity join: brute-force parity, hot-qgram
+skew behavior, short-string edge cases."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+
+def brute_force(keys: list[str], t: float, q: int = 3) -> pd.DataFrame:
+    def grams(s):
+        return {s[i:i + q] for i in range(len(s) - q + 1)}
+
+    rows = []
+    for i, a in enumerate(keys):
+        for b in keys[i + 1:]:
+            ga, gb = grams(a), grams(b)
+            if not ga or not gb:
+                continue
+            j = len(ga & gb) / len(ga | gb)
+            if j >= t:
+                x, y = (a, b) if a < b else (b, a)
+                rows.append((x, y, j))
+    return (pd.DataFrame(rows, columns=["a", "b", "jacc"])
+            .sort_values(["a", "b"], ignore_index=True))
+
+
+def run_join(keys: list[str], t: float) -> pd.DataFrame:
+    from webalizer_ray.stages.simjoin import set_similarity_join_prefix
+
+    ds = rd.from_pandas(pd.DataFrame({"key": keys}))
+    return set_similarity_join_prefix(ds, threshold=t)
+
+
+@pytest.mark.parametrize("t", [0.3, 0.5, 0.8])
+def test_matches_brute_force(ray_session, t):
+    """Recall AND precision 1.0 vs all-pairs on real part names."""
+    names = rd.read_parquet(
+        "/root/testdata/sf0.001/part.parquet",
+        columns=["p_name"]).to_pandas()["p_name"].unique().tolist()
+    ours = run_join(names, t)
+    want = brute_force(names, t)
+    assert len(ours) == len(want)
+    pd.testing.assert_series_equal(ours["a"], want["a"])
+    pd.testing.assert_series_equal(ours["b"], want["b"])
+    assert np.allclose(ours["jacc"], want["jacc"])
+
+
+def test_hot_qgram_does_not_bucket(ray_session):
+    """Strings sharing ONE ubiquitous trigram but nothing else must not
+    pair — and the hot trigram must not open a candidate bucket (its df
+    puts it at the END of every prefix ordering). Checked behaviorally:
+    result is exact and empty despite the 100%-df trigram."""
+    keys = [f"{i:03d}@xyz" for i in range(50)]  # all share '@xy','xyz'
+    out = run_join(keys, t=0.6)
+    want = brute_force(keys, t=0.6)
+    assert len(want) == 0  # the shared hot trigrams alone don't clear t
+    assert len(out) == 0
+
+
+def test_short_strings_excluded(ray_session):
+    """Strings shorter than q have no q-grams: never pair, never crash
+    (matches the oracle's empty generate_series)."""
+    out = run_join(["ab", "a", "abcdef", "abcdeg"], t=0.3)
+    assert set(out["a"]) | set(out["b"]) <= {"abcdef", "abcdeg"}
+    assert len(out) == 1
+
+
+def test_identical_sets_jaccard_one(ray_session):
+    """Anagram-style equal trigram sets reach jacc == 1.0."""
+    out = run_join(["abcabc", "cabcab"], t=0.9)
+    # trigram sets: {abc,bca,cab} both -> jaccard 1.0
+    assert len(out) == 1 and out["jacc"].iloc[0] == 1.0

@@ -2644,6 +2644,41 @@ def docs_per_lang_sample(sf_dir: str) -> pd.DataFrame:
             .sort_values(["lang", "doc_id"], ignore_index=True))
 
 
+@register("similar_part_names", sql="""
+WITH names AS (SELECT DISTINCT p_name AS key FROM part),
+g AS (SELECT key, unnest(list_transform(generate_series(1, len(key) - 2),
+                                        i -> substring(key, i, 3))) AS tri
+      FROM names),
+d AS (SELECT DISTINCT key, tri FROM g),
+sz AS (SELECT key, COUNT(*) AS n FROM d GROUP BY 1),
+inter AS (SELECT x.key AS a, y.key AS b, COUNT(*) AS c
+          FROM d x JOIN d y ON x.tri = y.tri AND x.key < y.key
+          GROUP BY 1, 2)
+SELECT a, b, ROUND(c * 1.0 / (s1.n + s2.n - c), 6) AS jacc
+FROM inter JOIN sz s1 ON s1.key = a JOIN sz s2 ON s2.key = b
+WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.5""")
+def similar_part_names(sf_dir: str) -> pd.DataFrame:
+    """Fuzzy string-similarity join (trigram-set Jaccard >= 0.5 over
+    distinct part names) via PREFIX FILTERING — recall 1.0 without the
+    all-pairs product: only each string's rarest ``n - ceil(t*n) + 1``
+    trigrams (by global df order) open candidate buckets, so hot
+    trigrams never bucket anything, and the in-bucket verify is exact
+    over the full carried rank arrays (see stages/simjoin.py). Oracle:
+    the brute-force trigram self-join in SQL."""
+    from webalizer_ray.stages.simjoin import set_similarity_join_prefix
+    names = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_name"])
+    distinct = reduce_sink(
+        names.map_batches(
+            lambda df: df.drop_duplicates().rename(
+                columns={"p_name": "key"}),
+            batch_format="pandas"),
+        ["key"], {"n": ("key", "size")}).select_columns(["key"])
+    out = set_similarity_join_prefix(distinct, threshold=0.5, q=3)
+    out["jacc"] = textstats.round_half_away(
+        out["jacc"].to_numpy(np.float64), 6)
+    return out
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

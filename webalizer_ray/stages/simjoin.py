@@ -1,0 +1,148 @@
+"""Set-similarity join with prefix filtering (fuzzy string join).
+
+Finds all pairs of strings whose q-gram-set Jaccard similarity clears a
+threshold t, WITHOUT the all-pairs product: prefix filtering (Chaudhuri
+et al. "A Primitive Operator for Similarity Joins", ICDE 2006; Xiao et
+al. "Efficient Similarity Joins for Near Duplicate Detection", WWW 2008
+— public constructions). The reference has no similarity join at all
+(SURVEY.md §2.4 lists only lookup joins); this is a beyond-reference
+operator for entity resolution / URL- and name-canonicalization at
+training-data scale.
+
+Why it scales. Candidate generation by "any shared q-gram" explodes on
+hot q-grams (every `bolt` meets every other `bolt`). The prefix-filter
+theorem says: order every string's q-gram set by GLOBAL document
+frequency ascending; then two sets with Jaccard >= t must share a
+q-gram within their first ``n - ceil(t*n) + 1`` q-grams (the RAREST
+ones). So only prefix q-grams generate candidate buckets — hot q-grams
+sit at the ends of the ordering and never bucket anything — and each
+bucket's exact verify is a vectorized within-bucket merge over the
+full q-gram rank arrays carried along (packed int32 bytes, no Python
+per-pair set ops).
+
+Exactness (vs an all-pairs oracle): the theorem guarantees recall 1.0;
+the in-bucket verify computes true Jaccard from the full sets, so
+precision is exact too; cross-bucket duplicate pairs are deduped by a
+final bucketed groupby.
+
+Two shuffles total: the q-gram document-frequency reduce (vocab-sized)
+and the prefix-bucket groupby (prefix rows only). The df->rank table is
+``ray.put`` once and read inside every pass-2 task.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data as rd
+
+from webalizer_ray.stages.aggregate import reduce_sink
+from webalizer_ray.stages.dedup import dedup_pairs_ds
+
+
+def _qgrams(s: str, q: int) -> list:
+    return [s[i:i + q] for i in range(len(s) - q + 1)]
+
+
+def _qgram_partials(q: int):
+    """Per-batch (gram, df) partials: each string contributes each of
+    its DISTINCT q-grams once, so df = #strings containing the gram."""
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        grams = df["key"].map(lambda s: list(set(_qgrams(s, q))))
+        flat = grams.explode().dropna()
+        vc = flat.value_counts()
+        return pd.DataFrame({"gram": vc.index.to_numpy(),
+                             "df": vc.to_numpy(np.int64)})
+    return f
+
+
+def set_similarity_join_prefix(keys: rd.Dataset, threshold: float,
+                               q: int = 3) -> pd.DataFrame:
+    """All (a, b, jacc) pairs with q-gram Jaccard >= threshold, a < b.
+
+    ``keys`` must hold one row per DISTINCT string in column ``key``
+    (callers dedup first — identical strings are a separate, cheaper
+    exact-dedup problem). Strings shorter than ``q`` have no q-grams
+    and never pair (matches the SQL oracle's empty generate_series).
+    """
+    # pass 1: global q-gram document frequencies (vocabulary-sized)
+    dfs = reduce_sink(keys.map_batches(_qgram_partials(q),
+                                       batch_format="pandas"),
+                      ["gram"], {"df": ("df", "sum")}).to_pandas()
+    # global ordering: df ascending, gram as the deterministic tiebreak
+    dfs = dfs.sort_values(["df", "gram"], ignore_index=True)
+    rank_ref = ray.put(pd.Series(np.arange(len(dfs), dtype=np.int32),
+                                 index=dfs["gram"].to_numpy()))
+
+    class PrefixRows:
+        """Pass 2: per string, emit one row per PREFIX q-gram carrying
+        the full sorted rank array (packed) for the exact verify."""
+
+        def __init__(self):
+            self.rank = ray.get(rank_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            out_bucket, out_key, out_sets = [], [], []
+            for s in df["key"]:
+                g = set(_qgrams(s, q))
+                if not g:
+                    continue
+                r = np.sort(self.rank[list(g)].to_numpy(np.int32))
+                n = len(r)
+                p = n - math.ceil(threshold * n) + 1
+                packed = r.tobytes()
+                out_bucket.extend(r[:p])
+                out_key.extend([s] * p)
+                out_sets.extend([packed] * p)
+            return pd.DataFrame({"bucket": np.asarray(out_bucket,
+                                                      dtype=np.int32),
+                                 "key": out_key, "set": out_sets})
+
+    prefix = keys.map_batches(PrefixRows, concurrency=2,
+                              batch_format="pandas")
+
+    def bucket_verify(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype=object),
+                              "id_b": pd.Series([], dtype=object),
+                              "jacc": pd.Series([], dtype=np.float64)})
+        g = g.drop_duplicates("key")
+        if len(g) < 2:
+            return empty
+        # explode full rank arrays, self-merge on rank = exact
+        # intersection counts for every co-bucketed pair (vectorized)
+        sets = {k: np.frombuffer(v, dtype=np.int32)
+                for k, v in zip(g["key"], g["set"])}
+        sizes = {k: len(v) for k, v in sets.items()}
+        ex = pd.DataFrame({
+            "key": np.repeat(list(sets), [len(v) for v in sets.values()]),
+            "rank": np.concatenate(list(sets.values()))})
+        m = ex.merge(ex, on="rank")
+        m = m[m["key_x"] < m["key_y"]]
+        c = m.groupby(["key_x", "key_y"], sort=False).size()
+        if not len(c):
+            return empty
+        ka = c.index.get_level_values(0)
+        kb = c.index.get_level_values(1)
+        na = np.array([sizes[k] for k in ka], dtype=np.float64)
+        nb = np.array([sizes[k] for k in kb], dtype=np.float64)
+        cc = c.to_numpy(np.float64)
+        jacc = cc / (na + nb - cc)
+        keep = jacc >= threshold
+        return pd.DataFrame({"id_a": ka.to_numpy()[keep],
+                             "id_b": kb.to_numpy()[keep],
+                             "jacc": jacc[keep]})
+
+    pairs = prefix.groupby("bucket").map_groups(bucket_verify,
+                                                batch_format="pandas")
+    # a pair can surface from several shared prefix grams: bucketed dedup
+    out = dedup_pairs_ds(pairs, num_buckets=8).to_pandas()
+    if out.empty:  # all-empty blocks arrive column-less
+        return pd.DataFrame({"a": pd.Series([], dtype=object),
+                             "b": pd.Series([], dtype=object),
+                             "jacc": pd.Series([], dtype=np.float64)})
+    out = out.rename(columns={"id_a": "a", "id_b": "b"})
+    return out.sort_values(["a", "b"], ignore_index=True)
