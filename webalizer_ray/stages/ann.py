@@ -201,6 +201,18 @@ def ivf_topk(ds: rd.Dataset, queries: np.ndarray, k: int = 5,
     return out
 
 
+def kmeans_fit(ds: rd.Dataset, n_clusters: int = 8,
+               n_iter: int = 5, sample_rows: int = 1024,
+               seed: int = 7, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> np.ndarray:
+    """Fit step of :func:`kmeans_fit_assign` (same distributed Lloyd
+    loop), returning the final normalized centroid matrix so callers
+    can broadcast it into their own assignment stage (e.g. semantic
+    dedup keeps the assignment distributed instead of gathering it)."""
+    return _kmeans_loop(ds, n_clusters, n_iter, sample_rows, seed,
+                        vec_col)
+
+
 def kmeans_fit_assign(ds: rd.Dataset, n_clusters: int = 8,
                       n_iter: int = 5, sample_rows: int = 1024,
                       seed: int = 7, id_col: str = "vec_id",
@@ -219,6 +231,24 @@ def kmeans_fit_assign(ds: rd.Dataset, n_clusters: int = 8,
     Empty clusters keep their previous centroid (standard Lloyd
     convention). Returns (id, cluster) sorted by id.
     """
+    cents = _kmeans_loop(ds, n_clusters, n_iter, sample_rows, seed,
+                         vec_col)
+    cents_ref = ray.put(cents)
+
+    def assign_batch(df: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cents_ref)
+        m = _normalize(np.stack(df[vec_col].to_numpy()).astype(np.float64))
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "cluster": np.argmax(m @ c.T, axis=1).astype(np.int64)})
+
+    out = ds.map_batches(assign_batch, batch_format="pandas").to_pandas()
+    return out.sort_values(id_col, ignore_index=True)
+
+
+def _kmeans_loop(ds: rd.Dataset, n_clusters: int, n_iter: int,
+                 sample_rows: int, seed: int,
+                 vec_col: str) -> np.ndarray:
     sample = ds.limit(sample_rows).to_pandas()
     train = _normalize(np.stack(sample[vec_col].to_numpy())
                        .astype(np.float64))
@@ -251,18 +281,7 @@ def kmeans_fit_assign(ds: rd.Dataset, n_clusters: int = 8,
             if n:
                 new[cl] = s / n
         cents = _normalize(new)
-
-    cents_ref = ray.put(cents)
-
-    def assign_batch(df: pd.DataFrame) -> pd.DataFrame:
-        c = ray.get(cents_ref)
-        m = _normalize(np.stack(df[vec_col].to_numpy()).astype(np.float64))
-        return pd.DataFrame({
-            id_col: df[id_col].to_numpy(),
-            "cluster": np.argmax(m @ c.T, axis=1).astype(np.int64)})
-
-    out = ds.map_batches(assign_batch, batch_format="pandas").to_pandas()
-    return out.sort_values(id_col, ignore_index=True)
+    return cents
 
 
 def knn_graph_lsh(ds: rd.Dataset, k: int = 2, n_planes: int = 4,

@@ -823,3 +823,65 @@ def incremental_exact_dedup(ds: rd.Dataset, store_dir: str, run_id: str,
 
     return (ds.map_batches(partial, batch_format="pandas")
             .groupby("_bk").map_groups(bucket_task, batch_format="pandas"))
+
+
+def semantic_dedup(ds: rd.Dataset, threshold: float = 0.9,
+                   n_clusters: int = 8, n_iter: int = 5,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   seed: int = 7) -> pd.DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540 — public construction): spherical k-means buckets
+    the embedding space, then near-duplicates are found ONLY within
+    each cluster, turning the O(N²) pairwise problem into k problems of
+    O((N/k)²) — at corpus scale k is chosen ∝ N so cluster size stays
+    bounded (the paper uses ~100k vectors per cluster).
+
+    Pipeline shape: the Lloyd fit shuffles k partial-sum rows per batch
+    per iteration (ann._kmeans_loop); the final centroids are broadcast
+    ONCE (``ray.put``) into a distributed assignment pass that carries
+    each normalized vector as packed bytes; a per-cluster ``map_groups``
+    computes the within-cluster cosine matrix (blocked matmul) and
+    applies the deterministic min-id keeper rule: drop row j iff some
+    i < j in the SAME cluster has cos(i, j) >= threshold (matches
+    exact_dedup's keeper convention; dropped rows still knock out later
+    ones, i.e. chain removal). Per-doc verdicts never gather anywhere
+    except the final result.
+
+    Returns (id, cluster, keep) sorted by id.
+    """
+    from webalizer_ray.stages.ann import _normalize, kmeans_fit
+
+    cents = kmeans_fit(ds, n_clusters=n_clusters, n_iter=n_iter,
+                       seed=seed, id_col=id_col, vec_col=vec_col)
+    cents_ref = ray.put(cents)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cents_ref)
+        m = _normalize(np.stack(df[vec_col].to_numpy())
+                       .astype(np.float64))
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(np.int64),
+            "cluster": np.argmax(m @ c.T, axis=1).astype(np.int64),
+            "vec": [r.tobytes() for r in m]})
+
+    def cluster_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, ignore_index=True)
+        m = np.frombuffer(b"".join(g["vec"]), dtype=np.float64) \
+            .reshape(len(g), -1)
+        keep = np.ones(len(g), dtype=bool)
+        # blocked lower-triangular scan: row block vs ALL earlier rows
+        blk = 2048
+        for s in range(1, len(g), blk):
+            e = min(s + blk, len(g))
+            sims = m[s:e] @ m[:e].T              # (e-s, e)
+            for r in range(s, e):
+                if (sims[r - s, :r] >= threshold).any():
+                    keep[r] = False
+        return pd.DataFrame({id_col: g[id_col], "cluster": g["cluster"],
+                             "keep": keep})
+
+    out = (ds.map_batches(assign, batch_format="pandas")
+           .groupby("cluster")
+           .map_groups(cluster_dedup, batch_format="pandas")).to_pandas()
+    return out.sort_values(id_col, ignore_index=True)
