@@ -71,3 +71,16 @@ def test_unigram_nll_orders_rare_docs_higher(ray_session):
     # coverage is a cumulative fraction: monotone, ends <= 1
     cov = vocab["cum_coverage"].to_numpy()
     assert (cov[1:] >= cov[:-1]).all() and cov[-1] <= 1.0
+
+
+def test_session_metrics_conservation(ray_session):
+    """bounce_rate_by_entry and session_duration_by_hour must agree on
+    the total session count, which must equal user_sessions' total."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    b = REGISTRY["bounce_rate_by_entry"][0](SF)
+    d = REGISTRY["session_duration_by_hour"][0](SF)
+    u = REGISTRY["user_sessions"][0](SF)
+    assert b["sessions"].sum() == d["sessions"].sum() == u["sessions"].sum()
+    assert (b["bounces"] <= b["sessions"]).all()
+    assert (d["max_dur_s"] < 1800 * 100).all()  # bounded by window logic

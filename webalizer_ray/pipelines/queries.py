@@ -2691,6 +2691,123 @@ def semantic_dedup_embeddings(sf_dir: str) -> pd.DataFrame:
     return dedup.semantic_dedup(ds, threshold=0.4, n_clusters=8)
 
 
+# ---------------------------------------------------------------------------
+# Webalizer-family session metrics: bounce rate, dwell time
+# ---------------------------------------------------------------------------
+
+def _per_session_rollup(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
+    """One row per visit-window session: (user_id, sid, entry_type,
+    n, t0_us, t1_us). Computed INSIDE the per-user-bucket sessionize
+    group — a bucket holds every event of its users, so sessions are
+    complete there and the rollup needs no cross-block combine (unlike
+    session_entry_exit, which demonstrates the partial-combine path)."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket_"] = (df["user_id"].to_numpy()
+                         % num_buckets).astype(np.int32)
+        return df
+
+    def rollup(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        same = g["user_id"].eq(g["user_id"].shift())
+        gap_s = (g["ts"] - g["ts"].shift()).dt.total_seconds()
+        ns = (~same) | (gap_s >= 1800.0)
+        g["sid"] = ns.groupby(g["user_id"], sort=False).cumsum() \
+            .astype(np.int64)
+        g["us"] = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        per = g.groupby(["user_id", "sid"], sort=False).agg(
+            entry_type=("event_type", "first"), n=("event_type", "size"),
+            t0_us=("us", "min"), t1_us=("us", "max")).reset_index()
+        per["n"] = per["n"].astype(np.int64)
+        return per
+
+    return (ds.map_batches(with_bucket, batch_format="pandas")
+            .groupby("bucket_").map_groups(rollup, batch_format="pandas"))
+
+
+_SESS_SQL = f"""
+SELECT user_id, event_type, ts, event_id,
+       SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS sid
+FROM ({_NS_SQL})"""
+
+
+@register("bounce_rate_by_entry", sql=f"""
+WITH s AS ({_SESS_SQL}),
+per AS (SELECT user_id, sid,
+               FIRST(event_type ORDER BY ts, event_id) AS entry_type,
+               COUNT(*) AS n
+        FROM s GROUP BY 1, 2)
+SELECT entry_type, COUNT(*) AS sessions,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bounces,
+       ROUND(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+           AS bounce_rate
+FROM per GROUP BY 1""")
+def bounce_rate_by_entry(sf_dir: str) -> pd.DataFrame:
+    """Bounce rate per entry event type (the webalizer-family
+    single-hit-visit metric, SURVEY.md §2.9 W1/W2 domain): share of
+    visit-window sessions that contain exactly one event, keyed by the
+    session's first event. Per-session rows come from the bucket-local
+    rollup; only (entry_type, sessions, bounces) partials shuffle."""
+    per = _per_session_rollup(sf_dir)
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(bounce=(df["n"] == 1).astype(np.int64),
+                       one=np.int64(1))
+        return df[["entry_type", "one", "bounce"]]
+
+    out = reduce_sink(per.map_batches(partials, batch_format="pandas"),
+                      ["entry_type"],
+                      {"sessions": ("one", "sum"),
+                       "bounces": ("bounce", "sum")}).to_pandas()
+    out["bounce_rate"] = textstats.round_half_away(
+        out["bounces"].to_numpy(np.float64)
+        / out["sessions"].to_numpy(np.float64), 6)
+    return out.sort_values("entry_type", ignore_index=True)
+
+
+@register("session_duration_by_hour", sql=f"""
+WITH s AS ({_SESS_SQL}),
+per AS (SELECT user_id, sid, MIN(ts) AS t0,
+               epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us
+        FROM s GROUP BY 1, 2)
+SELECT CAST(hour(t0) AS BIGINT) AS hour, COUNT(*) AS sessions,
+       ROUND(SUM(dur_us) * 1.0 / COUNT(*) / 1000000, 2) AS avg_dur_s,
+       ROUND(MAX(dur_us) / 1000000.0, 2) AS max_dur_s
+FROM per GROUP BY 1""")
+def session_duration_by_hour(sf_dir: str) -> pd.DataFrame:
+    """Dwell time: average and max session duration keyed by the hour
+    the session STARTED (webalizer's hourly table extended with the
+    visit-duration measure). Integer-µs duration sums combine exactly
+    across partials; the float division happens once on the final
+    aggregate, in the same order as the oracle."""
+    per = _per_session_rollup(sf_dir)
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        hour = ((df["t0_us"].to_numpy(np.int64) // 3_600_000_000)
+                % 24).astype(np.int64)
+        return pd.DataFrame({
+            "hour": hour, "one": np.int64(1),
+            "dur_us": df["t1_us"].to_numpy(np.int64)
+            - df["t0_us"].to_numpy(np.int64)})
+
+    agg = reduce_sink(per.map_batches(partials, batch_format="pandas"),
+                      ["hour"], {"sessions": ("one", "sum"),
+                                 "dur_sum": ("dur_us", "sum"),
+                                 "dur_max": ("dur_us", "max")}).to_pandas()
+    out = pd.DataFrame({
+        "hour": agg["hour"].astype(np.int64),
+        "sessions": agg["sessions"].astype(np.int64),
+        "avg_dur_s": textstats.round_half_away(
+            agg["dur_sum"].to_numpy(np.float64)
+            / agg["sessions"].to_numpy(np.float64) / 1e6, 2),
+        "max_dur_s": textstats.round_half_away(
+            agg["dur_max"].to_numpy(np.float64) / 1e6, 2)})
+    return out.sort_values("hour", ignore_index=True)
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
