@@ -105,3 +105,31 @@ def test_sampling_deterministic_and_blocksize_invariant(ray_session):
             .groupby("lang", sort=False).head(5))[["lang", "doc_id"]]
     want = want.sort_values(["lang", "doc_id"], ignore_index=True)
     pd.testing.assert_frame_equal(g, want)
+
+
+def test_skew_profile_properties(ray_session):
+    """Entropy <= ln(k), gini in [0,1), shares consistent."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+    import numpy as np
+
+    out = REGISTRY["user_key_skew"][0](SF).iloc[0]
+    k = out["distinct_keys"]
+    assert 0 < out["entropy"] <= np.log(k) + 1e-9
+    assert 0 <= out["gini"] < 1
+    assert 0 < out["max_share"] <= 1
+    assert out["max_n"] >= 1
+
+
+def test_mad_outliers_bounded(ray_session):
+    """Outlier counts are strictly less than group sizes (MAD never
+    flags the whole group) and medians are within the value range."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+    import duckdb
+
+    out = REGISTRY["value_outliers_mad"][0](SF)
+    sizes = duckdb.sql(
+        f"SELECT event_type, count(*) AS n FROM "
+        f"read_parquet('{SF}/events.parquet') GROUP BY 1").df()
+    m = out.merge(sizes, on="event_type")
+    assert (m["outliers"] < m["n"]).all()
+    assert (m["mad"] >= 0).all()

@@ -2808,6 +2808,118 @@ def session_duration_by_hour(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("hour", ignore_index=True)
 
 
+# ---------------------------------------------------------------------------
+# Distribution diagnostics: histogram, robust outliers, key-skew profile
+# ---------------------------------------------------------------------------
+
+@register("value_histogram", sql="""
+SELECT CAST(FLOOR(value / 25) AS BIGINT) AS bin, COUNT(*) AS cnt,
+       ROUND(SUM(value), 2) AS value_sum
+FROM events GROUP BY 1""")
+def value_histogram(sf_dir: str) -> pd.DataFrame:
+    """Fixed-width value histogram (bin width 25): binning is a
+    batch-local Arrow kernel, then the ordinary partial-combine
+    aggregate — a histogram is a groupby on a derived key, zero extra
+    shuffle beyond the tiny (bin, cnt, sum) partials."""
+    def binned(batch: pa.Table) -> pa.Table:
+        b = pc.cast(pc.floor(pc.divide(batch["value"],
+                                       pa.scalar(25.0))), pa.int64())
+        return pa.table({"bin": b, "value": batch["value"]})
+
+    out = reduce_sink(_events(sf_dir, ["value"]).map_batches(
+        binned, batch_format="pyarrow"),
+        ["bin"], {"cnt": ("value", "size"),
+                  "value_sum": ("value", "sum")}).to_pandas()
+    out["value_sum"] = out["value_sum"].round(2)
+    return out.sort_values("bin", ignore_index=True)
+
+
+@register("value_outliers_mad", sql="""
+WITH st AS (SELECT event_type, median(value) AS med, mad(value) AS m
+            FROM events GROUP BY 1)
+SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS outliers,
+       ROUND(ANY_VALUE(med), 6) AS med, ROUND(ANY_VALUE(m), 6) AS mad
+FROM events e JOIN st USING (event_type)
+WHERE abs(value - med) > 3 * 1.4826 * m
+GROUP BY 1""")
+def value_outliers_mad(sf_dir: str) -> pd.DataFrame:
+    """Robust outlier detection per group: median/MAD (the
+    breakdown-resistant alternative to mean/stddev z-scores) with the
+    standard 1.4826 normal-consistency constant. Exact medians need a
+    group's values co-located (low-cardinality event_type ⇒ one
+    map_groups task each); at high key cardinality swap in the t-digest
+    sketch partials (stages/sketch.py). Identical float expression on
+    both sides so the strict > threshold agrees bit-for-bit."""
+    ds = _events(sf_dir, ["event_type", "value"])
+
+    def stats(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["value"].to_numpy(np.float64)
+        med = float(np.quantile(v, 0.5, method="linear"))
+        mad = float(np.quantile(np.abs(v - med), 0.5, method="linear"))
+        n_out = int((np.abs(v - med) > 3 * 1.4826 * mad).sum())
+        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
+                             "outliers": np.array([n_out], dtype=np.int64),
+                             "med": [round(med, 6)],
+                             "mad": [round(mad, 6)]})
+
+    out = (ds.groupby("event_type").map_groups(stats,
+                                               batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("event_type", ignore_index=True)
+
+
+@register("user_key_skew", sql="""
+WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
+t AS (SELECT SUM(n) * 1.0 AS tot, COUNT(*) AS k FROM c),
+r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n, user_id) AS i FROM c)
+SELECT CAST(t.k AS BIGINT) AS distinct_keys,
+       CAST((SELECT MAX(n) FROM c) AS BIGINT) AS max_n,
+       ROUND((SELECT MAX(n) FROM c) / t.tot, 6) AS max_share,
+       ROUND(LN(t.tot) - (SELECT SUM(n * LN(n)) FROM c) / t.tot, 6)
+           AS entropy,
+       ROUND((SELECT SUM((2 * i - t.k - 1) * n) FROM r)
+             / (t.k * t.tot), 6) AS gini
+FROM t""")
+def user_key_skew(sf_dir: str) -> pd.DataFrame:
+    """Key-skew profiler — the diagnostic you run BEFORE picking a
+    partition key at 100 TB: distinct keys, hottest-key share, Shannon
+    entropy and Gini coefficient of the per-key count distribution.
+    Scale shape: per-key counts reduce as usual, then — because counts
+    are bounded small ints — an exact (count_value, frequency)
+    HISTOGRAM is the only thing that leaves the cluster (the
+    exact_quantiles_bounded trick), and entropy/Gini are closed-form
+    over that histogram: Σ n·ln n decomposes per bucket; Gini's sorted
+    rank sum has a closed form per tie-block of equal counts."""
+    counts = reduce_sink(_events(sf_dir, ["user_id"]), ["user_id"],
+                         {"n": ("user_id", "size")})
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["n"].value_counts()
+        return pd.DataFrame({"n": vc.index.to_numpy(np.int64),
+                             "k_n": vc.to_numpy(np.int64)})
+
+    h = reduce_sink(counts.map_batches(hist_partial,
+                                       batch_format="pandas"),
+                    ["n"], {"k_n": ("k_n", "sum")}).to_pandas()
+    h = h.sort_values("n", ignore_index=True)
+    n = h["n"].to_numpy(np.float64)
+    k_n = h["k_n"].to_numpy(np.float64)
+    tot, k = float((n * k_n).sum()), float(k_n.sum())
+    entropy = np.log(tot) - float((k_n * n * np.log(n)).sum()) / tot
+    # Gini via sorted ranks; a tie block of k_n equal values starting
+    # at 1-based rank s contributes n * (2*(k_n*s + k_n*(k_n-1)/2)
+    #                                    - k_n*(k+1))
+    starts = np.concatenate(([1.0], 1.0 + np.cumsum(k_n)[:-1]))
+    rank_sums = k_n * starts + k_n * (k_n - 1) / 2
+    gini = float((n * (2 * rank_sums - k_n * (k + 1))).sum()) / (k * tot)
+    return pd.DataFrame({
+        "distinct_keys": np.array([k], dtype=np.int64),
+        "max_n": np.array([n[-1]], dtype=np.int64),
+        "max_share": [round(n[-1] / tot, 6)],
+        "entropy": [round(entropy, 6)],
+        "gini": [round(gini, 6)]})
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
