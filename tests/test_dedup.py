@@ -182,3 +182,31 @@ def test_incremental_dedup_store_rounds(rd_mod, tmp_path):
     pd.testing.assert_frame_equal(
         k1b.sort_values("doc_id", ignore_index=True),
         k1.sort_values("doc_id", ignore_index=True))
+
+
+def test_shared_span_pairs_planted(ray_session):
+    """Two docs sharing exactly one 20-token span (at different
+    offsets) are found with shared_spans == 1; unrelated docs are not
+    paired; a 21-token shared run yields 2 overlapping spans."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from webalizer_ray.stages.dedup import shared_span_pairs
+
+    span20 = " ".join(f"w{i}" for i in range(20))
+    span21 = " ".join(f"v{i}" for i in range(21))
+    docs = pd.DataFrame({
+        "doc_id": np.arange(5, dtype=np.int64),
+        "text": [
+            "alpha " + span20 + " beta",
+            "gamma delta " + span20,
+            "totally unrelated text with enough words " * 5,
+            span21 + " tail",
+            "head " + span21,
+        ]})
+    out = shared_span_pairs(rd.from_pandas(docs), n=20)
+    got = {(a, b): c for a, b, c in
+           zip(out["id_a"], out["id_b"], out["shared_spans"])}
+    assert got[(0, 1)] == 1
+    assert got[(3, 4)] == 2          # 21-token run = 2 sliding 20-spans
+    assert set(got) == {(0, 1), (3, 4)}

@@ -2920,6 +2920,26 @@ def user_key_skew(sf_dir: str) -> pd.DataFrame:
         "gini": [round(gini, 6)]})
 
 
+@register("shared_span_pairs", sql="""
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+           FROM documents),
+sh AS (SELECT doc_id, array_to_string(toks[i:i+19], ' ') AS sp
+       FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks)-19))
+                        AS i) g),
+d AS (SELECT DISTINCT doc_id, sp FROM sh)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(COUNT(*) AS BIGINT) AS shared_spans
+FROM d a JOIN d b ON a.sp = b.sp AND a.doc_id < b.doc_id
+GROUP BY 1, 2""")
+def shared_span_pairs_q(sf_dir: str) -> pd.DataFrame:
+    """Duplicate-span detection (doc pairs sharing any 20-token span +
+    how many, the bounded substring-dedup of Lee et al. ACL'22): span
+    hashes bucket-join in-cluster, one vectorized self-merge per
+    bucket — see dedup.shared_span_pairs."""
+    return dedup.shared_span_pairs(_docs(sf_dir, ["doc_id", "text"]),
+                                   n=20)
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

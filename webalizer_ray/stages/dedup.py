@@ -885,3 +885,55 @@ def semantic_dedup(ds: rd.Dataset, threshold: float = 0.9,
            .groupby("cluster")
            .map_groups(cluster_dedup, batch_format="pandas")).to_pandas()
     return out.sort_values(id_col, ignore_index=True)
+
+
+def shared_span_pairs(docs: rd.Dataset, n: int = 20,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      num_buckets: int = 64) -> pd.DataFrame:
+    """Train-train duplicate-SPAN detection (the bounded cousin of
+    suffix-array substring dedup, Lee et al. "Deduplicating Training
+    Data Makes Language Models Better", ACL 2022 — public
+    construction): every doc pair sharing at least one word n-gram
+    span, with the count of shared spans.
+
+    Shape: each doc's distinct span hashes are emitted batch-locally
+    (fixed-width int64 rows, never text), hashed into ``num_buckets``
+    span-hash buckets, and each bucket resolves its pairs with ONE
+    vectorized self-merge (no per-span group calls, no Python pair
+    loops); per-bucket (id_a, id_b, c) partials then combine — a
+    (pair, span) lives in exactly one bucket, so the sum is exact.
+    A span shared by k docs inherently yields C(k,2) pairs — that IS
+    the output; production runs cap boilerplate with a df filter
+    first (drop spans with document frequency > cap), which this
+    keeps off to stay oracle-exact.
+    """
+    sh = docs.map_batches(
+        lambda b: _shingle_hash_table(b, n, id_col, text_col, True),
+        batch_format="pyarrow")
+
+    def with_bucket(b: pa.Table) -> pa.Table:
+        bk = pc.cast(pc.bit_wise_and(b["sh"], pa.scalar(num_buckets - 1)),
+                     pa.int32())
+        return b.append_column("bk", bk)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        m = g[[id_col, "sh"]].merge(g[[id_col, "sh"]], on="sh")
+        m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
+        c = m.groupby([f"{id_col}_x", f"{id_col}_y"], sort=False) \
+            .size().reset_index(name="c")
+        return pd.DataFrame({"id_a": c[f"{id_col}_x"].to_numpy(np.int64),
+                             "id_b": c[f"{id_col}_y"].to_numpy(np.int64),
+                             "c": c["c"].to_numpy(np.int64)})
+
+    pairs = (sh.map_batches(with_bucket, batch_format="pyarrow")
+             .groupby("bk").map_groups(bucket_pairs,
+                                       batch_format="pandas"))
+    from webalizer_ray.stages.aggregate import reduce_sink
+    out = reduce_sink(pairs, ["id_a", "id_b"],
+                      {"shared_spans": ("c", "sum")}).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                             "id_b": pd.Series(dtype=np.int64),
+                             "shared_spans": pd.Series(dtype=np.int64)})
+    out["shared_spans"] = out["shared_spans"].astype(np.int64)
+    return out.sort_values(["id_a", "id_b"], ignore_index=True)
