@@ -336,3 +336,47 @@ def test_knn_graph_matches_brute_force(ray_session):
     same = merged["neighbor"] == merged["neighbor_x"]
     assert np.allclose(merged.loc[same, "cosine"],
                        merged.loc[same, "cosine_x"])
+
+
+def test_resize_nearest_exact_pixels():
+    """4×4 → 2×2 nearest neighbor picks source rows/cols [0, 2]."""
+    import numpy as np
+    from webalizer_ray.stages.multimodal import resize_nearest
+
+    px = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    out = resize_nearest(px, 2, 2)
+    assert out.shape == (2, 2, 3)
+    assert (out == px[[0, 2]][:, [0, 2]]).all()
+
+
+def test_resize_image_stage_real_roundtrip(ray_session):
+    """ResizeImage over real PPM/BMP payloads: aspect preserved, max
+    side respected, thumbnail decodes back to the nearest-neighbor
+    downsample of the original pixels."""
+    import numpy as np
+    import pyarrow as pa
+    from webalizer_ray.stages.multimodal import (
+        ResizeImage, decode_ppm, encode_ppm, encode_bmp, resize_nearest)
+
+    rng = np.random.default_rng(11)
+    px_a = rng.integers(0, 256, (16, 8, 3), dtype=np.uint8)
+    px_b = rng.integers(0, 256, (5, 20, 3), dtype=np.uint8)
+    batch = pa.table({
+        "media_id": pa.array([1, 2], pa.int64()),
+        "kind": pa.array(["image", "image"]),
+        "payload": pa.array([encode_ppm(px_a), encode_bmp(px_b)],
+                            pa.large_binary())})
+    out = ResizeImage(max_side=8)(batch)
+    got = {m: decode_ppm(p) for m, p in
+           zip(out["media_id"].to_pylist(), out["payload"].to_pylist())}
+    assert got[1].shape == (8, 4, 3)      # 16x8 / 2
+    assert got[2].shape == (2, 8, 3)      # 5x20 / 2.5
+    assert (got[1] == resize_nearest(px_a, 8, 4)).all()
+    assert (got[2] == resize_nearest(px_b, 2, 8)).all()
+    # already-small images pass through unscaled
+    small = pa.table({
+        "media_id": pa.array([3], pa.int64()),
+        "kind": pa.array(["image"]),
+        "payload": pa.array([encode_ppm(px_a[:4, :4])], pa.large_binary())})
+    out2 = ResizeImage(max_side=8)(small)
+    assert decode_ppm(out2["payload"][0].as_py()).shape == (4, 4, 3)

@@ -2940,6 +2940,35 @@ def shared_span_pairs_q(sf_dir: str) -> pd.DataFrame:
                                    n=20)
 
 
+@register("media_image_thumbnails")
+def media_image_thumbnails(sf_dir: str) -> pd.DataFrame:
+    """REAL image resize chained into a feature pass: PPM/BMP payloads
+    decode with the pure-numpy parsers, nearest-neighbor downscale to
+    fit 8×8 (aspect preserved), re-encode as PPM, then a second stage
+    decodes the THUMBNAIL and emits its mean intensity — genuine pixels
+    through both hops (no fake path; every fixture image is real)."""
+    from webalizer_ray.stages.multimodal import (
+        MEDIA_BATCH_KWARGS,
+        ResizeImage,
+        decode_ppm,
+    )
+    thumbs = _media_ds().map_batches(
+        ResizeImage, fn_constructor_kwargs=dict(max_side=8),
+        concurrency=(1, 2), **MEDIA_BATCH_KWARGS)
+
+    def thumb_stats(batch: pa.Table) -> pa.Table:
+        means = [decode_ppm(p).astype(np.float64).mean() / 255.0
+                 for p in batch["payload"].to_pylist()]
+        return pa.table({
+            "media_id": batch["media_id"],
+            "width": batch["width"], "height": batch["height"],
+            "thumb_mean": pa.array(np.round(means, 6), pa.float64())})
+
+    out = thumbs.map_batches(thumb_stats,
+                             batch_format="pyarrow").to_pandas()
+    return out.sort_values("media_id", ignore_index=True)
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -352,3 +352,73 @@ class FrameSample:
             "frame_idx": pa.array(frame_ix, pa.int32()),
             "features": pa.array(feats, pa.list_(pa.float64(), self.dim)),
         })
+
+
+def resize_nearest(px: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize of an (h, w, 3) uint8 raster — pure
+    numpy fancy indexing (the deterministic, codec-free resampler;
+    source index = floor(i * in / out), the standard NN convention)."""
+    h, w = px.shape[:2]
+    rows = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    cols = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    return px[rows][:, cols]
+
+
+class ResizeImage:
+    """Actor-pool stage: image payload → thumbnail payload (REAL for the
+    codec-free formats). PPM/BMP payloads are decoded with the
+    pure-numpy parsers, nearest-neighbor resized to fit inside
+    (max_side × max_side) preserving aspect ratio, and re-encoded as
+    PPM — the canonical normalize-before-feature-extract step of an
+    image training pipeline, with genuine pixels end to end. Compressed
+    inputs raise unless ``fake_decoder=True`` (deterministic stand-in
+    thumbnail seeded from the payload hash).
+
+    Output schema: (media_id, payload, width, height) where payload is
+    the encoded thumbnail. Runs with MEDIA_BATCH_KWARGS (small batches:
+    payload bytes × concurrency must fit the worker heap)."""
+
+    def __init__(self, max_side: int = 8, fake_decoder: bool = False):
+        self.max_side = max_side
+        self.fake = fake_decoder
+
+    def _thumb_one(self, payload: bytes) -> np.ndarray:
+        if payload[:2] == b"P6":
+            px = decode_ppm(payload)
+        elif payload[:2] == b"BM":
+            px = decode_bmp(payload)
+        elif self.fake:
+            rng = np.random.default_rng(_payload_seed(payload) % (2 ** 63))
+            px = rng.integers(0, 256, size=(self.max_side, self.max_side,
+                                            3), dtype=np.uint8)
+        else:
+            raise NotImplementedError(
+                "compressed-image decode requires a codec library not "
+                "present in this container; construct "
+                "ResizeImage(fake_decoder=True) for the stand-in")
+        h, w = px.shape[:2]
+        scale = max(h, w) / self.max_side
+        if scale > 1.0:
+            out_h = max(1, int(h / scale))
+            out_w = max(1, int(w / scale))
+            px = resize_nearest(px, out_h, out_w)
+        return px
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, blobs, ws, hs = [], [], [], []
+        for mid, kind, payload in zip(batch["media_id"].to_pylist(),
+                                      batch["kind"].to_pylist(),
+                                      batch["payload"].to_pylist()):
+            if kind != "image":
+                continue
+            px = self._thumb_one(payload)
+            ids.append(mid)
+            blobs.append(encode_ppm(px))
+            hs.append(px.shape[0])
+            ws.append(px.shape[1])
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(blobs, pa.large_binary()),
+            "width": pa.array(ws, pa.int32()),
+            "height": pa.array(hs, pa.int32()),
+        })
