@@ -151,3 +151,42 @@ def test_tsv_dumps_written(ray_session, tiny_fixture, lookups, tmp_path):
                           sep="\t")
     assert len(monthly) == len(res["sinks"]["monthly"])
     assert list(monthly.columns) == list(res["sinks"]["monthly"].columns)
+
+
+def test_cli_profile_and_dedup(ray_session, tmp_path, capsys):
+    """profile prints skew JSON; dedup writes kept ids and a funnel
+    that detects a planted duplicate, incremental store skips it on
+    the next run."""
+    import numpy as np
+    import pyarrow as pa
+
+    docs = pa.table({
+        "doc_id": pa.array(np.arange(6, dtype=np.int64)),
+        "text": pa.array(["same text here", "unique one", "another doc",
+                          "same text here", "yet more words",
+                          "final entry"])})
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(docs, src)
+
+    assert cli.main(["profile", "--input", src, "--key", "doc_id"]) == 0
+    prof = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert prof["distinct_keys"] == 6 and prof["max_n"] == 1
+
+    out = str(tmp_path / "dd")
+    assert cli.main(["dedup", "--docs", src, "--out", out]) == 0
+    funnel = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert funnel == {"total": 6, "kept": 5, "dropped": 1}
+    kept = pq.read_table(os.path.join(out, "kept_ids")).to_pandas()
+    assert set(kept["doc_id"]) == {0, 1, 2, 4, 5}
+
+    store = str(tmp_path / "store")
+    out2 = str(tmp_path / "dd2")
+    assert cli.main(["dedup", "--docs", src, "--out", out2,
+                     "--incremental-store", store, "--run-id", "a"]) == 0
+    f1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert f1["kept"] == 5
+    out3 = str(tmp_path / "dd3")
+    assert cli.main(["dedup", "--docs", src, "--out", out3,
+                     "--incremental-store", store, "--run-id", "b"]) == 0
+    f2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert f2["kept"] == 0      # run b sees every fingerprint in store

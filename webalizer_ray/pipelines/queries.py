@@ -2890,34 +2890,14 @@ def user_key_skew(sf_dir: str) -> pd.DataFrame:
     exact_quantiles_bounded trick), and entropy/Gini are closed-form
     over that histogram: Σ n·ln n decomposes per bucket; Gini's sorted
     rank sum has a closed form per tie-block of equal counts."""
-    counts = reduce_sink(_events(sf_dir, ["user_id"]), ["user_id"],
-                         {"n": ("user_id", "size")})
-
-    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
-        vc = df["n"].value_counts()
-        return pd.DataFrame({"n": vc.index.to_numpy(np.int64),
-                             "k_n": vc.to_numpy(np.int64)})
-
-    h = reduce_sink(counts.map_batches(hist_partial,
-                                       batch_format="pandas"),
-                    ["n"], {"k_n": ("k_n", "sum")}).to_pandas()
-    h = h.sort_values("n", ignore_index=True)
-    n = h["n"].to_numpy(np.float64)
-    k_n = h["k_n"].to_numpy(np.float64)
-    tot, k = float((n * k_n).sum()), float(k_n.sum())
-    entropy = np.log(tot) - float((k_n * n * np.log(n)).sum()) / tot
-    # Gini via sorted ranks; a tie block of k_n equal values starting
-    # at 1-based rank s contributes n * (2*(k_n*s + k_n*(k_n-1)/2)
-    #                                    - k_n*(k+1))
-    starts = np.concatenate(([1.0], 1.0 + np.cumsum(k_n)[:-1]))
-    rank_sums = k_n * starts + k_n * (k_n - 1) / 2
-    gini = float((n * (2 * rank_sums - k_n * (k + 1))).sum()) / (k * tot)
+    from webalizer_ray.stages.aggregate import key_skew_profile
+    prof = key_skew_profile(_events(sf_dir, ["user_id"]), "user_id")
     return pd.DataFrame({
-        "distinct_keys": np.array([k], dtype=np.int64),
-        "max_n": np.array([n[-1]], dtype=np.int64),
-        "max_share": [round(n[-1] / tot, 6)],
-        "entropy": [round(entropy, 6)],
-        "gini": [round(gini, 6)]})
+        "distinct_keys": np.array([prof["distinct_keys"]], dtype=np.int64),
+        "max_n": np.array([prof["max_n"]], dtype=np.int64),
+        "max_share": [round(prof["max_share"], 6)],
+        "entropy": [round(prof["entropy"], 6)],
+        "gini": [round(prof["gini"], 6)]})
 
 
 @register("shared_span_pairs", sql="""

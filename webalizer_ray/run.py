@@ -109,6 +109,50 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_profile(args) -> int:
+    """Key-skew diagnostics over any parquet table column — run this
+    BEFORE picking a partition/groupby key on big data."""
+    _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from webalizer_ray.stages.aggregate import key_skew_profile
+    ds = rd.read_parquet(args.input, columns=[args.key])
+    prof = key_skew_profile(ds, args.key)
+    prof = {k: (round(v, 6) if isinstance(v, float) else v)
+            for k, v in prof.items()}
+    print(json.dumps({"key": args.key, **prof}))
+    return 0
+
+
+def cmd_dedup(args) -> int:
+    """Exact dedup of a documents table: writes the kept rows
+    (partitioned parquet) + a JSON funnel; --incremental-store reuses
+    fingerprints across runs (idempotent reruns)."""
+    _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from webalizer_ray.stages.dedup import (
+        exact_dedup,
+        incremental_exact_dedup,
+    )
+    docs = rd.read_parquet(args.docs, columns=[args.id_col, args.text_col])
+    total = docs.count()
+    if args.incremental_store:
+        kept = incremental_exact_dedup(
+            docs, args.incremental_store, args.run_id,
+            os.path.join(args.out, "kept_ids"),
+            id_col=args.id_col, text_col=args.text_col)
+        n_kept = kept.count()
+    else:
+        kept = exact_dedup(docs, text_col=args.text_col,
+                           id_col=args.id_col)
+        kept.write_parquet(os.path.join(args.out, "kept_ids"))
+        n_kept = kept.count()
+    print(json.dumps({"total": total, "kept": n_kept,
+                      "dropped": total - n_kept}))
+    return 0
+
+
 def cmd_history(args) -> int:
     import pyarrow.parquet as pq
 
@@ -213,6 +257,27 @@ def build_parser() -> argparse.ArgumentParser:
                    dest="min_quality")
     c.add_argument("--num-cpus", type=int, default=None, dest="num_cpus")
     c.set_defaults(fn=cmd_curate)
+
+    pr = sub.add_parser("profile", help="key-skew diagnostics over a "
+                                        "parquet column (entropy/Gini/"
+                                        "top-share)")
+    pr.add_argument("--input", required=True, help="parquet file/dir")
+    pr.add_argument("--key", required=True, help="column to profile")
+    pr.add_argument("--num-cpus", type=int, default=None, dest="num_cpus")
+    pr.set_defaults(fn=cmd_profile)
+
+    dd = sub.add_parser("dedup", help="exact dedup of a documents table "
+                                      "(optionally incremental across runs)")
+    dd.add_argument("--docs", required=True)
+    dd.add_argument("--out", required=True)
+    dd.add_argument("--id-col", default="doc_id", dest="id_col")
+    dd.add_argument("--text-col", default="text", dest="text_col")
+    dd.add_argument("--incremental-store", default=None,
+                    dest="incremental_store",
+                    help="fingerprint store dir; enables cross-run dedup")
+    dd.add_argument("--run-id", default="r1", dest="run_id")
+    dd.add_argument("--num-cpus", type=int, default=None, dest="num_cpus")
+    dd.set_defaults(fn=cmd_dedup)
 
     h = sub.add_parser("history", help="update monthly history roll-up")
     h.add_argument("--out", required=True, help="a finished run's out dir")

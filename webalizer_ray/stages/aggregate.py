@@ -198,3 +198,34 @@ def exact_quantiles_bounded(ds: rd.Dataset, col: str,
         lo = order_stat(k)
         out[q] = lo if frac == 0 else lo + frac * (order_stat(k + 1) - lo)
     return out
+
+
+def key_skew_profile(ds: rd.Dataset, key: str) -> dict:
+    """Key-skew diagnostics for partition-key selection: distinct keys,
+    hottest-key count/share, Shannon entropy and Gini coefficient of
+    the per-key count distribution. Per-key counts reduce as usual;
+    because counts are bounded small ints, only an exact (count_value,
+    frequency) HISTOGRAM leaves the cluster, and entropy/Gini are
+    closed-form over it (Σ n·ln n decomposes per bucket; Gini's sorted
+    rank sum has a closed form per tie block of equal counts)."""
+    counts = reduce_sink(ds, [key], {"n": (key, "size")})
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["n"].value_counts()
+        return pd.DataFrame({"n": vc.index.to_numpy(np.int64),
+                             "k_n": vc.to_numpy(np.int64)})
+
+    h = reduce_sink(counts.map_batches(hist_partial,
+                                       batch_format="pandas"),
+                    ["n"], {"k_n": ("k_n", "sum")}).to_pandas()
+    h = h.sort_values("n", ignore_index=True)
+    n = h["n"].to_numpy(np.float64)
+    k_n = h["k_n"].to_numpy(np.float64)
+    tot, k = float((n * k_n).sum()), float(k_n.sum())
+    entropy = float(np.log(tot) - float((k_n * n * np.log(n)).sum()) / tot)
+    starts = np.concatenate(([1.0], 1.0 + np.cumsum(k_n)[:-1]))
+    rank_sums = k_n * starts + k_n * (k_n - 1) / 2
+    gini = float((n * (2 * rank_sums - k_n * (k + 1))).sum()) / (k * tot)
+    return {"distinct_keys": int(k), "total_rows": int(tot),
+            "max_n": int(n[-1]), "max_share": n[-1] / tot,
+            "entropy": entropy, "gini": gini}
