@@ -234,24 +234,45 @@ def minhash_lsh_pairs(ds: rd.Dataset, id_col: str = "doc_id",
         sig = np.stack(df["sig"].to_numpy())
         bh = _band_hashes(sig, bands)
         n = len(df)
-        return pd.DataFrame({
+        out = pd.DataFrame({
             "band": np.repeat(np.arange(bands, dtype=np.int64), n),
             "band_hash": bh.T.reshape(-1),
             id_col: np.tile(df[id_col].to_numpy(), bands),
         })
+        # coarse shuffle key: a fine (band, band_hash) bucket lives in
+        # exactly one coarse group, so ~10⁵ tiny per-bucket map_groups
+        # calls collapse to ~64 vectorized tasks (measured 6.3 s → sub-s
+        # at sf0.1)
+        out["ck"] = ((out["band"].to_numpy(np.uint64) * np.uint64(0x9E37))
+                     ^ out["band_hash"].to_numpy().astype(np.uint64)) \
+            % np.uint64(64)
+        return out
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g[id_col].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []})
-        if len(ids) > bucket_cap:
-            return pd.DataFrame({"id_a": ids[:-1], "id_b": ids[1:]})
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+    def coarse_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # keep only fine buckets with a collision (>= 2 members) —
+        # vectorized; the per-bucket loop below runs on those few
+        sz = g.groupby(["band", "band_hash"], sort=False)[id_col] \
+            .transform("size")
+        g = g[sz.to_numpy() >= 2]
+        if not len(g):
+            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                                 "id_b": pd.Series(dtype=np.int64)})
+        out_a, out_b = [], []
+        for _, grp in g.groupby(["band", "band_hash"], sort=False):
+            ids = np.sort(grp[id_col].to_numpy())
+            if len(ids) > bucket_cap:
+                out_a.append(ids[:-1])
+                out_b.append(ids[1:])
+            else:
+                ia, ib = np.triu_indices(len(ids), k=1)
+                out_a.append(ids[ia])
+                out_b.append(ids[ib])
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b)})
 
     cand = (sigs.map_batches(explode, batch_format="pandas")
-            .groupby(["band", "band_hash"])
-            .map_groups(bucket_pairs, batch_format="pandas"))
+            .groupby("ck")
+            .map_groups(coarse_pairs, batch_format="pandas"))
     cand = dedup_pairs_ds(cand).materialize()
     if cand.count() == 0:
         return _empty_pairs("est_jaccard")
