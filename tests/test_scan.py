@@ -67,3 +67,28 @@ def test_shuffle_rank_is_seeded_permutation(rd_mod):
     c = scan.shuffle_rank(rd_mod.from_pandas(df), "doc_id", seed=99) \
         .to_pandas().sort_values("doc_id", ignore_index=True)
     assert c["shuffle_rank"].tolist() != a["shuffle_rank"].tolist()
+
+
+def test_global_rank_matches_argsort(ray_session):
+    """global_rank over adversarial data: heavy ties (including ties
+    straddling would-be bucket boundaries), skewed sample, tiny
+    buckets — must equal the lexicographic argsort rank exactly."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from webalizer_ray.stages.scan import global_rank
+
+    rng = np.random.default_rng(5)
+    vals = np.concatenate([
+        np.full(200, 1.5),                 # giant tie block
+        rng.integers(0, 10, 300).astype(np.float64),  # few distincts
+        rng.normal(1000, 1, 50),           # far-out cluster
+    ])
+    ids = rng.permutation(len(vals)).astype(np.int64)
+    df = pd.DataFrame({"v": vals, "i": ids})
+    out = global_rank(rd.from_pandas(df).repartition(9), "v", "i",
+                      num_buckets=16, sample_rows=64).to_pandas()
+    out = out.sort_values(["v", "i"], ignore_index=True)
+    assert (out["rnk"].to_numpy() == np.arange(1, len(df) + 1)).all()
+    # every id exactly once
+    assert sorted(out["i"]) == sorted(ids)

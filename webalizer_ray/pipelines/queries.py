@@ -2949,6 +2949,46 @@ def media_image_thumbnails(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("media_id", ignore_index=True)
 
 
+@register("users_ranked_by_value", sql="""
+WITH agg AS (SELECT user_id, ROUND(SUM(value), 2) AS value_sum
+             FROM events GROUP BY 1)
+SELECT user_id, value_sum,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rnk,
+       CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank
+FROM agg WINDOW w AS (ORDER BY value_sum, user_id)""")
+def users_ranked_by_value(sf_dir: str) -> pd.DataFrame:
+    """Distributed ORDER BY ranking (ROW_NUMBER / NTILE / PERCENT_RANK
+    without a global sort shuffle): scan.global_rank range-partitions
+    by sampled quantile cut points, ranks each bucket locally against
+    driver-cumsum'd offsets (only num_buckets count rows leave the
+    cluster), and NTILE/PERCENT_RANK are closed-form over the rank —
+    NTILE with SQL's larger-groups-first convention."""
+    agg = reduce_sink(_events(sf_dir, ["user_id", "value"]),
+                      ["user_id"], {"value_sum": ("value", "sum")})
+
+    def rounded(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["value_sum"] = df["value_sum"].round(2)
+        return df
+
+    ranked = scan.global_rank(
+        agg.map_batches(rounded, batch_format="pandas"),
+        "value_sum", "user_id", num_buckets=8).to_pandas()
+    k = len(ranked)
+    r = ranked["rnk"].to_numpy(np.int64)
+    q, rem = divmod(k, 4)
+    big = rem * (q + 1)          # SQL NTILE: first `rem` groups get q+1
+    quartile = np.where(r <= big, (r - 1) // max(q + 1, 1) + 1,
+                        rem + (r - big - 1) // max(q, 1) + 1)
+    ranked["quartile"] = quartile.astype(np.int64)
+    ranked["pct_rank"] = textstats.round_half_away(
+        (r - 1) / max(k - 1, 1), 6)
+    return (ranked[["user_id", "value_sum", "rnk", "quartile",
+                    "pct_rank"]]
+            .sort_values("user_id", ignore_index=True))
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -34,7 +34,7 @@ import pandas as pd
 import pyarrow as pa
 
 import ray.data as rd
-from ray.data.aggregate import Sum
+from ray.data.aggregate import Count, Sum
 
 #: Knuth multiplicative hash constant — also written out in the oracle
 #: SQL, so engine and DuckDB derive the identical shuffle key.
@@ -134,3 +134,54 @@ def shuffle_rank(ds: rd.Dataset, id_col: str, seed: int = 0,
                            "_sk", None, "shuffle_rank", width,
                            tiebreak_col=id_col)
     return out.drop_columns(["_sk"])
+
+
+def global_rank(ds: rd.Dataset, value_col: str, id_col: str,
+                out_col: str = "rnk", num_buckets: int = 32,
+                sample_rows: int = 4096) -> rd.Dataset:
+    """EXACT 1-based global rank in (value, id) order — the distributed
+    ORDER BY primitive (ROW_NUMBER without a global sort shuffle):
+
+    1. quantile CUT POINTS from a driver-side sample bound each range
+       bucket (skew-adaptive, unlike fixed-width range_prefix_sum, and
+       float-keyed);
+    2. rows are tagged by searchsorted bucket — equal values always
+       land in one bucket, so cross-bucket ties cannot happen;
+    3. per-bucket COUNTS (num_buckets rows, the only thing the driver
+       sees) cumsum into exclusive offsets;
+    4. each bucket sorts locally and ranks as offset + position.
+
+    A skewed sample only unbalances bucket SIZES, never correctness.
+    NTILE / PERCENT_RANK / CUME_DIST are all closed-form over the rank.
+    """
+    import ray
+
+    sample = ds.limit(sample_rows).to_pandas()[value_col] \
+        .to_numpy(np.float64)
+    cuts = np.unique(np.quantile(
+        sample, np.linspace(0.0, 1.0, num_buckets + 1)[1:-1]))
+    cuts_ref = ray.put(cuts)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cuts_ref)
+        df = df.copy()
+        df["_bk"] = np.searchsorted(
+            c, df[value_col].to_numpy(np.float64),
+            side="right").astype(np.int64)
+        return df
+
+    tagged = ds.map_batches(tag, batch_format="pandas")
+    counts = tagged.groupby("_bk").aggregate(
+        Count(alias_name="_n")).to_pandas().sort_values(
+        "_bk", ignore_index=True)
+    counts["_off"] = counts["_n"].cumsum().shift(fill_value=0)
+    off = dict(zip(counts["_bk"], counts["_off"]))
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([value_col, id_col], ignore_index=True)
+        base = int(off[g["_bk"].iat[0]])
+        g[out_col] = base + np.arange(1, len(g) + 1, dtype=np.int64)
+        return g.drop(columns=["_bk"])
+
+    return tagged.groupby("_bk").map_groups(rank_bucket,
+                                            batch_format="pandas")
