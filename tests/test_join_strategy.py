@@ -1,0 +1,45 @@
+"""auto_join: broadcast and shuffle strategies must produce identical
+rows; the strategy switches on build-side size."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+
+@pytest.fixture()
+def sides():
+    rng = np.random.default_rng(9)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 40, 500).astype(np.int64),
+        "x": rng.normal(size=500).round(4)})
+    right = pd.DataFrame({
+        "rk": np.arange(0, 35, dtype=np.int64),   # keys 35..39 unmatched
+        "tag": [f"t{i}" for i in range(35)]})
+    return left, right
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+def test_broadcast_equals_shuffle(ray_session, sides):
+    from webalizer_ray.stages.join import auto_join
+
+    left, right = sides
+    l_ds = rd.from_pandas(left).repartition(5)
+    r_ds = rd.from_pandas(right).repartition(3)
+    bc = auto_join(l_ds, r_ds, on="k", right_on="rk",
+                   broadcast_limit=10_000).to_pandas()
+    sh = auto_join(l_ds, r_ds, on="k", right_on="rk",
+                   broadcast_limit=0).to_pandas()
+    want = left.merge(right, left_on="k", right_on="rk") \
+        .drop(columns=["rk"])
+    pd.testing.assert_frame_equal(canon(bc), canon(want))
+    pd.testing.assert_frame_equal(canon(sh), canon(want))
+    # inner semantics: unmatched left keys drop
+    assert set(bc["k"]) <= set(right["rk"])

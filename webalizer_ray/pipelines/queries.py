@@ -2989,6 +2989,36 @@ def users_ranked_by_value(sf_dir: str) -> pd.DataFrame:
             .sort_values("user_id", ignore_index=True))
 
 
+@register("nation_order_stats", sql="""
+SELECT n_name, COUNT(*) AS orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1""")
+def nation_order_stats(sf_dir: str) -> pd.DataFrame:
+    """Auto-strategy joins (stages/join.py:auto_join): customer⋈nation
+    goes map-side (25-row build side broadcast once, the probe side
+    never shuffles), orders⋈customer picks by build-side row count —
+    the optimizer decision every SQL engine makes, surfaced as an
+    operator so pipelines scale without a rewrite when a dimension
+    table outgrows the broadcast limit."""
+    from webalizer_ray.stages.join import auto_join
+    nation = rd.read_parquet(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_name"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+    cn = auto_join(cust, nation, on="c_nationkey",
+                   right_on="n_nationkey")
+    j = auto_join(orders, cn, on="o_custkey", right_on="c_custkey")
+    out = reduce_sink(j, ["n_name"],
+                      {"orders": ("o_custkey", "size"),
+                       "total_price": ("o_totalprice", "sum")}).to_pandas()
+    out["total_price"] = out["total_price"].round(2)
+    return out.sort_values("n_name", ignore_index=True)
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
