@@ -190,3 +190,15 @@ def test_cli_profile_and_dedup(ray_session, tmp_path, capsys):
                      "--incremental-store", store, "--run-id", "b"]) == 0
     f2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert f2["kept"] == 0      # run b sees every fingerprint in store
+
+
+def test_cli_query(ray_session, tmp_path, capsys):
+    assert cli.main(["query", "--list"]) == 0
+    listing = capsys.readouterr().out
+    assert "hourly_events\toracle" in listing
+    out = str(tmp_path / "q.parquet")
+    assert cli.main(["query", "--name", "hourly_events",
+                     "--sf-dir", "/root/testdata/sf0.001",
+                     "--out", out]) == 0
+    assert pq.read_table(out).num_rows == 24
+    assert cli.main(["query", "--name", "nope"]) == 2

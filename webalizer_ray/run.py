@@ -153,6 +153,32 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_query(args) -> int:
+    """Run any registered pipeline query by name over a testdata-shaped
+    table dir (``--list`` prints the catalog)."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+    if args.list or not args.name:
+        for name, (_, sql) in sorted(REGISTRY.items()):
+            print(f"{name}\t{'oracle' if sql else 'rows-only'}")
+        return 0
+    if args.name not in REGISTRY:
+        print(f"unknown query {args.name!r}; --list shows the catalog",
+              file=sys.stderr)
+        return 2
+    _init_ray(args.num_cpus)
+    out = REGISTRY[args.name][0](args.sf_dir)
+    if args.out:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        pq.write_table(pa.Table.from_pandas(out, preserve_index=False),
+                       args.out)
+        print(json.dumps({"query": args.name, "rows": len(out),
+                          "out": args.out}))
+    else:
+        print(out.to_string(index=False, max_rows=args.max_rows))
+    return 0
+
+
 def cmd_history(args) -> int:
     import pyarrow.parquet as pq
 
@@ -278,6 +304,18 @@ def build_parser() -> argparse.ArgumentParser:
     dd.add_argument("--run-id", default="r1", dest="run_id")
     dd.add_argument("--num-cpus", type=int, default=None, dest="num_cpus")
     dd.set_defaults(fn=cmd_dedup)
+
+    q = sub.add_parser("query", help="run a registered pipeline query "
+                                     "by name (--list for the catalog)")
+    q.add_argument("--name", default=None)
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.001",
+                   dest="sf_dir")
+    q.add_argument("--out", default=None,
+                   help="write result parquet here instead of printing")
+    q.add_argument("--max-rows", type=int, default=40, dest="max_rows")
+    q.add_argument("--list", action="store_true")
+    q.add_argument("--num-cpus", type=int, default=None, dest="num_cpus")
+    q.set_defaults(fn=cmd_query)
 
     h = sub.add_parser("history", help="update monthly history roll-up")
     h.add_argument("--out", required=True, help="a finished run's out dir")
