@@ -3019,6 +3019,22 @@ def nation_order_stats(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("n_name", ignore_index=True)
 
 
+@register("embedding_pagerank")
+def embedding_pagerank(sf_dir: str) -> pd.DataFrame:
+    """PageRank over the k-NN similarity graph (centrality-based data
+    selection — rank documents by how "central" they are in embedding
+    space). Iterative and not SQL-expressible: rows-only driver check;
+    the pytest verifies parity vs a numpy power iteration to 1e-9.
+    See stages/graph.py for the co-partitioned message-passing shape."""
+    from webalizer_ray.stages.graph import pagerank
+    edges = knn_graph(sf_dir)[["node", "neighbor"]]
+    out = pagerank(edges.rename(columns={"node": "src",
+                                         "neighbor": "dst"}),
+                   n_iter=10)
+    out["r"] = textstats.round_half_away(out["r"].to_numpy(np.float64), 9)
+    return out
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
