@@ -108,6 +108,13 @@ class PipelineConfig:
     #: unresolved-DNS / unknown-country analog.
     unresolved_category: str = "Unresolved"
 
+    #: Named extension stages (SURVEY.md §2.10 — the plugin surface the
+    #: reference never had): each name must be registered via
+    #: ``extensions.register_stage``; the flagship splices them in after
+    #: enrichment as ordinary map_batches, and the refmodel applies the
+    #: identical functions, so parity tests cover extensions.
+    extra_stages: tuple = ()
+
     # --- outputs ---------------------------------------------------------
     top_n: dict = field(default_factory=lambda: dict(DEFAULT_TOP_N))
     #: Also dump every small sink as a tab-separated ``<name>.tab`` with a

@@ -608,6 +608,12 @@ def parse_enrich_dataset(source, config: PipelineConfig = DEFAULT_CONFIG,
         parsed = parsed.map_batches(
             enrich_fn(tc, rg, config.unresolved_category),
             batch_format="pyarrow")
+    # user-extension stages (§2.10): named batch fns spliced in after
+    # enrichment; unknown names fail here, at plan build, not mid-run
+    if config.extra_stages:
+        from webalizer_ray.extensions import resolve_stages
+        for fn in resolve_stages(config.extra_stages):
+            parsed = parsed.map_batches(fn, batch_format="pyarrow")
     return parsed
 
 

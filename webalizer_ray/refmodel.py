@@ -143,6 +143,14 @@ def run_refmodel(
     good["is_content"] = good["role"] == config.content_role
     good["is_file"] = good["status"] == config.file_status
 
+    # ---- user-extension stages (§2.10) ------------------------------
+    # Same registered Arrow fns the engine splices in after enrichment,
+    # applied to the parsed/enriched surface (stages contract: rewrite
+    # parsed columns only, one row in → one row out).
+    if config.extra_stages:
+        from webalizer_ray.extensions import apply_stages_pandas
+        good = apply_stages_pandas(good, config.extra_stages)
+
     # ---- sessionize (W1–W3), fully vectorized ----------------------------
     good = good.sort_values(["conv_id", "turn_idx"], kind="mergesort")
     same_conv = good["conv_id"].eq(good["conv_id"].shift())
