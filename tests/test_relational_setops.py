@@ -133,3 +133,22 @@ def test_mad_outliers_bounded(ray_session):
     m = out.merge(sizes, on="event_type")
     assert (m["outliers"] < m["n"]).all()
     assert (m["mad"] >= 0).all()
+
+
+def test_cube_internal_consistency(ray_session):
+    """CUBE lattice: grand total equals each marginal's sum; marginals
+    match the base cells."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    out = REGISTRY["events_cube"][0](SF)
+    base = out[(out["hour"] != -1) & (out["event_type"] != "ALL")]
+    by_h = out[(out["hour"] != -1) & (out["event_type"] == "ALL")]
+    by_t = out[(out["hour"] == -1) & (out["event_type"] != "ALL")]
+    grand = out[(out["hour"] == -1) & (out["event_type"] == "ALL")]
+    assert len(grand) == 1
+    g = grand["hits"].iloc[0]
+    assert base["hits"].sum() == by_h["hits"].sum() \
+        == by_t["hits"].sum() == g
+    m = base.groupby("hour")["hits"].sum().reset_index() \
+        .merge(by_h[["hour", "hits"]], on="hour")
+    assert (m["hits_x"] == m["hits_y"]).all()

@@ -3035,6 +3035,47 @@ def embedding_pagerank(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+@register("events_cube", sql="""
+SELECT COALESCE(CAST(hour(ts) AS BIGINT), -1) AS hour,
+       COALESCE(event_type, 'ALL') AS event_type,
+       COUNT(*) AS hits, ROUND(SUM(value), 2) AS value_sum
+FROM events GROUP BY CUBE (hour(ts), event_type)""")
+def events_cube(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY CUBE in ONE pass: every batch emits partials for all
+    2^k grouping sets (rolled-up dims as sentinels -1/'ALL'), so a
+    single shuffle serves the full lattice — versus 2^k separate
+    groupby plans re-reading the input. The partial explosion is
+    bounded: ≤ 4× the per-batch distinct (hour, type) combinations,
+    tiny next to the raw rows that DON'T shuffle."""
+    def cube_partials(df: pd.DataFrame) -> pd.DataFrame:
+        base = pd.DataFrame({
+            "hour": df["ts"].dt.hour.astype(np.int64),
+            "event_type": df["event_type"],
+            "value": df["value"]})
+        frames = []
+        for roll_h, roll_t in [(False, False), (False, True),
+                               (True, False), (True, True)]:
+            f = base.copy()
+            if roll_h:
+                f["hour"] = np.int64(-1)
+            if roll_t:
+                f["event_type"] = "ALL"
+            frames.append(f.groupby(["hour", "event_type"], sort=False)
+                          .agg(hits=("value", "size"),
+                               value_sum=("value", "sum")).reset_index())
+        out = pd.concat(frames, ignore_index=True)
+        out["hits"] = out["hits"].astype(np.int64)
+        return out
+
+    ds = _events(sf_dir, ["ts", "event_type", "value"]).map_batches(
+        cube_partials, batch_format="pandas")
+    out = reduce_sink(ds, ["hour", "event_type"],
+                      {"hits": ("hits", "sum"),
+                       "value_sum": ("value_sum", "sum")}).to_pandas()
+    out["value_sum"] = out["value_sum"].round(2)
+    return out.sort_values(["hour", "event_type"], ignore_index=True)
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
