@@ -142,3 +142,53 @@ def test_sketch_queries_match_exact(ray_session):
     spread = (m["p95"] - m["p50"]).clip(lower=1e-9)
     assert ((m["p50_approx"] - m["p50"]).abs() / spread < 0.15).all()
     assert ((m["p95_approx"] - m["p95"]).abs() / spread < 0.15).all()
+
+
+def test_countmin_bound_and_merge():
+    """est >= true always; est <= true + eps*N on a zipf stream;
+    merged partials equal the single-shot sketch (linearity)."""
+    import numpy as np
+    import pandas as pd
+    from webalizer_ray.stages.sketch import CountMin
+
+    rng = np.random.default_rng(4)
+    keys = (rng.zipf(1.3, 50_000) % 5000).astype(np.int64)
+    h = pd.util.hash_array(keys)
+    whole = CountMin.from_hashes(h, width=2048, depth=4)
+    parts = CountMin(2048, 4)
+    for i in range(0, len(h), 7000):
+        parts = parts.merge(CountMin.from_hashes(h[i:i + 7000],
+                                                 width=2048, depth=4))
+    assert (whole.table == parts.table).all() and whole.n == parts.n
+
+    true = pd.Series(keys).value_counts()
+    probe = true.index.to_numpy(np.int64)
+    est = whole.estimate(pd.util.hash_array(probe))
+    tv = true.to_numpy()
+    assert (est >= tv).all()
+    eps = np.e / 2048
+    assert (est - tv <= eps * whole.n).mean() > 0.99   # delta=e^-4
+
+
+def test_cms_and_grouped_hll_queries(ray_session):
+    """CMS per-user estimates dominate true counts and sum near N;
+    grouped HLL lands within 3% of exact per-group distincts."""
+    import duckdb
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    cms = REGISTRY["user_event_counts_cms"][0](sf)
+    true = duckdb.sql(
+        f"SELECT user_id, count(*) AS n FROM "
+        f"read_parquet('{sf}/events.parquet') GROUP BY 1").df()
+    m = cms.merge(true, on="user_id")
+    assert (m["est_events"] >= m["n"]).all()
+    assert m["est_events"].sum() <= 1.05 * m["n"].sum()
+
+    hll = REGISTRY["distinct_users_by_type_hll"][0](sf)
+    ex = duckdb.sql(
+        f"SELECT event_type, count(DISTINCT user_id) AS u FROM "
+        f"read_parquet('{sf}/events.parquet') GROUP BY 1").df()
+    j = hll.merge(ex, on="event_type")
+    rel = (j["users_approx"] - j["u"]).abs() / j["u"]
+    assert (rel < 0.03).all()

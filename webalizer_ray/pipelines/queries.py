@@ -3076,6 +3076,65 @@ def events_cube(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["hour", "event_type"], ignore_index=True)
 
 
+@register("user_event_counts_cms")
+def user_event_counts_cms(sf_dir: str) -> pd.DataFrame:
+    """Per-key frequency estimates via Count-Min (the linear-merge
+    sketch for per-key counts when the key space is too big for an
+    exact groupby result to live anywhere): per-batch sketches ADD
+    together, so only (depth×width) int64 tables shuffle, never keys.
+    One-sided error (est ≥ true); pytest checks the CM bound."""
+    from webalizer_ray.stages.sketch import CountMin
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_array(df["user_id"].to_numpy(np.int64))
+        return pd.DataFrame({
+            "cms": [CountMin.from_hashes(h).to_bytes()]})
+
+    parts = _events(sf_dir, ["user_id"]).map_batches(
+        partial, batch_format="pandas").to_pandas()
+    sk = CountMin()
+    for blob in parts["cms"]:
+        sk = sk.merge(CountMin.from_bytes(blob))
+    # query the sketch for the (small, known) key set — at real scale
+    # the probes come from a heavy-hitter summary, not a distinct scan
+    users = _events(sf_dir, ["user_id"]).map_batches(
+        lambda df: df.drop_duplicates(), batch_format="pandas") \
+        .to_pandas()["user_id"].drop_duplicates().sort_values()
+    est = sk.estimate(pd.util.hash_array(users.to_numpy(np.int64)))
+    return pd.DataFrame({"user_id": users.to_numpy(np.int64),
+                         "est_events": est.astype(np.int64)})
+
+
+@register("distinct_users_by_type_hll")
+def distinct_users_by_type_hll(sf_dir: str) -> pd.DataFrame:
+    """PER-GROUP approximate distinct: one HyperLogLog per (batch,
+    event_type) — fixed 16 KiB register arrays merge by max inside an
+    ordinary groupby, so per-group distinct users costs one small-row
+    shuffle however many users exist. Accuracy pytest vs the exact
+    two-phase count."""
+    from webalizer_ray.stages.sketch import HyperLogLog
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type", sort=False):
+            h = pd.util.hash_array(g["user_id"].to_numpy(np.int64))
+            rows.append((et, HyperLogLog.from_hashes(h).to_bytes()))
+        return pd.DataFrame(rows, columns=["event_type", "hll"])
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        sk = HyperLogLog()
+        for blob in g["hll"]:
+            sk = sk.merge(HyperLogLog.from_bytes(blob))
+        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
+                             "users_approx": [int(round(sk.count()))]})
+
+    out = (_events(sf_dir, ["event_type", "user_id"])
+           .map_batches(partial, batch_format="pandas")
+           .groupby("event_type")
+           .map_groups(combine, batch_format="pandas")).to_pandas()
+    return out.sort_values("event_type", ignore_index=True)
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -330,3 +330,72 @@ class BloomFilter:
         bits = np.unpackbits(np.frombuffer(blob, dtype=np.uint8)) \
             .astype(bool)[:1 << log2m]
         return cls(log2m, k, bits)
+
+
+class CountMin:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005): point-frequency
+    estimates over int64 keys with one-sided error — estimate >= true,
+    and estimate <= true + ε·N with prob 1-δ for width w = ⌈e/ε⌉,
+    depth d = ⌈ln 1/δ⌉. Merges by elementwise ADD (counts are linear),
+    so per-batch sketches combine exactly like the other partials here.
+    Row hashing: the same 64-bit input hashes the callers already
+    produce, mixed per row with odd multiplicative constants (a
+    2-universal-style family suffices for the CM bound in practice)."""
+
+    __slots__ = ("width", "depth", "table", "n")
+
+    _MIX = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                     0x165667B19E3779F9, 0x27D4EB2F165667C5,
+                     0x85EBCA77C2B2AE63], dtype=np.uint64)
+
+    def __init__(self, width: int = 2048, depth: int = 4,
+                 table: np.ndarray | None = None, n: int = 0):
+        assert depth <= len(self._MIX)
+        self.width, self.depth = width, depth
+        self.table = np.zeros((depth, width), dtype=np.int64) \
+            if table is None else np.asarray(table, dtype=np.int64)
+        self.n = int(n)
+
+    def _idx(self, h: np.ndarray) -> np.ndarray:
+        h = np.asarray(h, dtype=np.uint64)
+        # one row of indices per depth: mix then fold to the width
+        mixed = h[None, :] * self._MIX[:self.depth, None]
+        mixed ^= mixed >> np.uint64(33)
+        return (mixed % np.uint64(self.width)).astype(np.int64)
+
+    @classmethod
+    def from_hashes(cls, h: np.ndarray, counts: np.ndarray | None = None,
+                    width: int = 2048, depth: int = 4) -> "CountMin":
+        sk = cls(width, depth)
+        if not len(h):
+            return sk
+        c = np.ones(len(h), dtype=np.int64) if counts is None \
+            else np.asarray(counts, dtype=np.int64)
+        idx = sk._idx(h)
+        for d in range(sk.depth):
+            np.add.at(sk.table[d], idx[d], c)
+        sk.n = int(c.sum())
+        return sk
+
+    def estimate(self, h: np.ndarray) -> np.ndarray:
+        """Point estimates for the given key hashes (min over rows)."""
+        if not len(np.asarray(h)):
+            return np.zeros(0, dtype=np.int64)
+        idx = self._idx(h)
+        per_row = np.stack([self.table[d][idx[d]]
+                            for d in range(self.depth)])
+        return per_row.min(axis=0)
+
+    def merge(self, other: "CountMin") -> "CountMin":
+        return CountMin(self.width, self.depth,
+                        self.table + other.table, self.n + other.n)
+
+    def to_bytes(self) -> bytes:
+        return np.int64(self.n).tobytes() + self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, blob: bytes, width: int = 2048,
+                   depth: int = 4) -> "CountMin":
+        n = int(np.frombuffer(blob[:8], dtype=np.int64)[0])
+        t = np.frombuffer(blob[8:], dtype=np.int64).reshape(depth, width)
+        return cls(width, depth, t.copy(), n)
