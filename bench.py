@@ -107,7 +107,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     if not os.environ.get("WR_BENCH_HEADLINE_ONLY"):
         for name in ["hourly_events", "monthly_events", "user_sessions",
                      "session_entry_exit", "exact_dedup_docs",
-                     "minhash_dup_pairs", "ann_topk", "flagship_monthly"]:
+                     "minhash_dup_pairs", "ann_topk", "flagship_monthly",
+                     "curation_funnel", "knn_graph_lsh",
+                     "shared_span_pairs", "similar_part_names",
+                     "semantic_dedup_embeddings", "users_ranked_by_value",
+                     "tpch_q3_top_orders", "events_cube"]:
             fn = Q.REGISTRY[name][0]
             t0 = time.perf_counter()
             fn(sf_dir)
