@@ -124,7 +124,8 @@ def test_routed_turns_text_equality(engine_result, small_refmodel):
 
 #: Variant config exercising the round-2 knobs together: Include*
 #: overriding Ignore* (P10), FoldSeqErr fold (W4) over the fixture's
-#: ~0.5% out-of-order rows, and a coarser mangle level (P13).
+#: ~0.5% out-of-order rows, a coarser mangle level (P13), and a report
+#: timezone shift (GMTTime analog, P6) that crosses day boundaries.
 VARIANT_CFG = None  # built lazily (frozen dataclass w/ validation)
 
 
@@ -137,6 +138,7 @@ def _variant_cfg():
         include_tool_patterns=(r"^mem",),
         fold_seq=True,
         mangle_level=2,
+        tz_offset_hours=-5,
     )
 
 
@@ -211,3 +213,22 @@ def test_bad_rows_routed(engine_result, small_refmodel):
     assert len(ours) == len(ref)
     for c in ("conv_id", "turn_idx", "text"):
         assert (ours[c] == ref[c]).all(), c
+
+
+def test_tz_offset_actually_shifts_report(small_fixture, lookups):
+    """GMTTime analog: hours rotate by the offset; totals conserve."""
+    from dataclasses import replace
+
+    from webalizer_ray.refmodel import run_refmodel
+    tcd, rgd = lookups
+    turns = load_turns(small_fixture)
+    base = run_refmodel(turns, DEFAULT_CONFIG, tcd, rgd)
+    shifted = run_refmodel(
+        turns, replace(DEFAULT_CONFIG, tz_offset_hours=-5), tcd, rgd)
+    b = base["hourly"].set_index("hour")["hits"]
+    s = shifted["hourly"].set_index("hour")["hits"]
+    assert b.sum() == s.sum()
+    rotated = {(h - 5) % 24: v for h, v in b.items()}
+    assert {h: v for h, v in s.items()} == rotated
+    # the -5 shift pushes post-midnight turns to the previous date
+    assert set(shifted["daily"]["date"]) != set(base["daily"]["date"])

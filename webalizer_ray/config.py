@@ -108,6 +108,11 @@ class PipelineConfig:
     #: unresolved-DNS / unknown-country analog.
     unresolved_category: str = "Unresolved"
 
+    #: Report-timezone shift in whole hours (the ``GMTTime`` analog,
+    #: SURVEY.md §2.2 P6): derived month/date/hour columns shift by this
+    #: offset; raw timestamps (and session gaps) are unaffected.
+    tz_offset_hours: int = 0
+
     #: Named extension stages (SURVEY.md §2.10 — the plugin surface the
     #: reference never had): each name must be registered via
     #: ``extensions.register_stage``; the flagship splices them in after

@@ -137,9 +137,11 @@ def run_refmodel(
         else tool_categories.get(t, config.unresolved_category))
     good["grp"] = good["role"].map(
         lambda r: role_groups.get(r, config.unresolved_category))
-    good["month"] = good["ts"].dt.strftime("%Y-%m")
-    good["date"] = good["ts"].dt.strftime("%Y-%m-%d")
-    good["hour"] = good["ts"].dt.hour.astype(np.int64)
+    rts = good["ts"] + pd.Timedelta(hours=config.tz_offset_hours) \
+        if config.tz_offset_hours else good["ts"]
+    good["month"] = rts.dt.strftime("%Y-%m")
+    good["date"] = rts.dt.strftime("%Y-%m-%d")
+    good["hour"] = rts.dt.hour.astype(np.int64)
     good["is_content"] = good["role"] == config.content_role
     good["is_file"] = good["status"] == config.file_status
 

@@ -113,6 +113,7 @@ def make_parse_fn(config: PipelineConfig = DEFAULT_CONFIG,
     B = num_buckets or config.salt_buckets * 16
     parse_pattern = config.parse_pattern
     mangle_level = config.mangle_level
+    tz_offset_hours = config.tz_offset_hours
     ignore_conv_rx = _alternation(config.ignore_conv_patterns)
     ignore_tool_rx = _alternation(config.ignore_tool_patterns)
     ignore_role_rx = _alternation(config.ignore_role_patterns)
@@ -137,6 +138,11 @@ def make_parse_fn(config: PipelineConfig = DEFAULT_CONFIG,
         tool_norm = mangle_tool_arrow(batch["tool"], mangle_level)
 
         ts = batch["ts"]
+        if tz_offset_hours:
+            # GMTTime analog (webalizer.c tstamp shift [verify]): report
+            # in a fixed local offset; derived cols shift, raw ts stays
+            ts = pc.add(ts, pa.scalar(tz_offset_hours * 3_600_000_000,
+                                      pa.duration("us")))
         month = pc.strftime(ts, format="%Y-%m")
         date = pc.strftime(ts, format="%Y-%m-%d")
         hour = pc.cast(pc.hour(ts), pa.int64())
