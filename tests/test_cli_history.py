@@ -202,3 +202,21 @@ def test_cli_query(ray_session, tmp_path, capsys):
                      "--out", out]) == 0
     assert pq.read_table(out).num_rows == 24
     assert cli.main(["query", "--name", "nope"]) == 2
+
+
+def test_cli_lookup_prefill(ray_session, tiny_fixture, tmp_path, capsys):
+    """DNS-prepass analog: unseen tools get seeded as Unresolved; a
+    second prefill is a no-op (+0)."""
+    import shutil
+
+    work = str(tmp_path / "fx")
+    shutil.copytree(tiny_fixture, work)
+    table = os.path.join(work, "tool_categories.parquet")
+    before = pq.read_table(table).num_rows
+    assert cli.main(["lookup", "prefill", table, work]) == 0
+    first = capsys.readouterr().out
+    added = int(first.splitlines()[-2].split("+")[1].split()[0])
+    assert pq.read_table(table).num_rows == before + added
+    assert cli.main(["lookup", "prefill", table, work]) == 0
+    second = capsys.readouterr().out
+    assert "prefill: +0 keys" in second

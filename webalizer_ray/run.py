@@ -242,6 +242,30 @@ def cmd_lookup(args) -> int:
     elif args.op == "export":
         df.to_csv(args.value or "/dev/stdout", index=False)
         return 0
+    elif args.op == "prefill":
+        # DNS-resolver PRE-PASS analog (SURVEY §3.2, `webalizer -N10 -D
+        # cache.db`): scan the turns store for distinct keys the lookup
+        # table doesn't know yet and seed them (value = args.value or
+        # "Unresolved"), so the main run's enrich stage hits the cache.
+        # Distinct keys come from per-batch dedup partials — the turns
+        # table never lands on the driver.
+        _init_ray(getattr(args, "num_cpus", None))
+        import ray.data as rd
+        col = "tool" if key == "tool" else "role"
+        seen = rd.read_parquet(os.path.join(args.key, "turns"),
+                               columns=[col]) \
+            .map_batches(lambda d: d.drop_duplicates(),
+                         batch_format="pandas") \
+            .to_pandas()[col].dropna().drop_duplicates()
+        new = sorted(set(seen) - set(df[key]))
+        if new:
+            if "ts" not in df.columns:
+                df["ts"] = np.nan
+            df = pd.concat([df, pd.DataFrame(
+                {key: new, val: args.value or "Unresolved",
+                 "ts": _time.time()})], ignore_index=True) \
+                .sort_values(key, ignore_index=True)
+        print(f"prefill: +{len(new)} keys")
     _write_atomic(df, path)
     print(f"{args.op}: {len(df)} entries")
     return 0
@@ -324,12 +348,15 @@ def build_parser() -> argparse.ArgumentParser:
 
     lk = sub.add_parser("lookup", help="manage enrichment lookup tables "
                                        "(wcmgr analog)")
-    lk.add_argument("op", choices=["list", "add", "del", "purge", "export"])
+    lk.add_argument("op", choices=["list", "add", "del", "purge",
+                               "export", "prefill"])
     lk.add_argument("table", help="path to tool_categories.parquet / "
                                   "role_groups.parquet")
     lk.add_argument("key", nargs="?",
-                    help="entry key (add/del) or TTL seconds (purge)")
+                    help="entry key (add/del), TTL seconds (purge), or "
+                         "fixture dir holding turns/ (prefill)")
     lk.add_argument("value", nargs="?")
+    lk.add_argument("--num-cpus", type=int, default=None, dest="num_cpus")
     lk.set_defaults(fn=cmd_lookup)
     return p
 
