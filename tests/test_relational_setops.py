@@ -152,3 +152,30 @@ def test_cube_internal_consistency(ray_session):
     m = base.groupby("hour")["hits"].sum().reset_index() \
         .merge(by_h[["hour", "hits"]], on="hour")
     assert (m["hits_x"] == m["hits_y"]).all()
+
+
+def test_validate_rules_catches_planted_violations(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from webalizer_ray.stages.textstats import validate_rules
+
+    df = pd.DataFrame({
+        "event_id": np.array([1, 2, 2, 3, 4, 4, 4], dtype=np.int64),
+        "user_id": pd.array([1, None, 3, None, 5, 6, 7],
+                            dtype="Int64"),
+        "value": [-5.0, 0.0, 10.0, 2000.0, 3000.0, 1.0, 1.0],
+        "event_type": ["click", "BAD!", "view", "x9", "ok", "ok", "ok"]})
+    out = validate_rules(rd.from_pandas(df).repartition(3), {
+        "event_id": {"unique": True},
+        "user_id": {"not_null": True},
+        "value": {"min": 0, "max": 1000},
+        "event_type": {"regex": r"^[a-z]+$"},
+    })
+    got = {(c, r): v for c, r, v in
+           zip(out["column"], out["rule"], out["violations"])}
+    assert got == {("event_id", "unique"): 3,   # 2x2 + 4x3 -> 7-4 dups
+                   ("user_id", "not_null"): 2,
+                   ("value", "min"): 1,
+                   ("value", "max"): 2,
+                   ("event_type", "regex"): 2}

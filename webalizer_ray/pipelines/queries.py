@@ -3135,6 +3135,44 @@ def distinct_users_by_type_hll(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_type", ignore_index=True)
 
 
+@register("validate_events", sql="""
+SELECT * FROM (
+  SELECT 'event_id' AS "column", 'unique' AS rule,
+         CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT) AS violations
+  FROM events
+  UNION ALL
+  SELECT 'user_id', 'not_null',
+         CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM events
+  UNION ALL
+  SELECT 'value', 'min',
+         CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM events
+  UNION ALL
+  SELECT 'value', 'max',
+         CAST(SUM(CASE WHEN value > 1000 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM events
+  UNION ALL
+  SELECT 'event_type', 'regex',
+         CAST(SUM(CASE WHEN NOT regexp_matches(
+              COALESCE(event_type, ''), '^[a-z]+$') THEN 1 ELSE 0 END)
+              AS BIGINT)
+  FROM events) t
+ORDER BY "column", rule""")
+def validate_events(sf_dir: str) -> pd.DataFrame:
+    """Data-contract validation (the expectations gate a production
+    feed runs before trusting a drop): all non-unique rules check in
+    ONE streaming pass of per-batch violation partials; uniqueness
+    reuses the two-phase distinct count. One row per rule."""
+    ds = _events(sf_dir, ["event_id", "user_id", "event_type", "value"])
+    return textstats.validate_rules(ds, {
+        "event_id": {"unique": True},
+        "user_id": {"not_null": True},
+        "value": {"min": 0, "max": 1000},
+        "event_type": {"regex": r"^[a-z]+$"},
+    })
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -172,3 +172,72 @@ def add_fingerprint(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     out["fingerprint"] = pd.util.hash_array(norm.to_numpy(dtype=object)) \
         .astype(np.uint64)
     return out
+
+
+def validate_rules(ds, rules: dict) -> "pd.DataFrame":
+    """Schema/data-contract validation in ONE streaming pass (the
+    expectations check a production feed runs before trusting a drop):
+    per-batch violation-count partials per rule — nulls, range bounds,
+    regex misses — sum exactly; a `unique` rule runs the two-phase
+    distinct count and compares to the row count. Returns one row per
+    rule: (column, rule, violations).
+
+    rules = {col: {"not_null": True, "min": x, "max": y,
+                   "regex": pattern, "unique": True}}
+    """
+    import pandas as pd
+
+    import ray.data as rd  # noqa: F401
+
+    from webalizer_ray.stages.aggregate import distinct_count, reduce_sink
+
+    checks = []           # (col, rule, batch_fn)
+    for col, spec in rules.items():
+        if spec.get("not_null"):
+            checks.append((col, "not_null",
+                           lambda t, c=col: pc.sum(pc.cast(
+                               pc.is_null(t[c]), pa.int64())).as_py() or 0))
+        if "min" in spec:
+            checks.append((col, "min",
+                           lambda t, c=col, v=spec["min"]: pc.sum(pc.cast(
+                               pc.less(t[c], pa.scalar(v)),
+                               pa.int64())).as_py() or 0))
+        if "max" in spec:
+            checks.append((col, "max",
+                           lambda t, c=col, v=spec["max"]: pc.sum(pc.cast(
+                               pc.greater(t[c], pa.scalar(v)),
+                               pa.int64())).as_py() or 0))
+        if "regex" in spec:
+            checks.append((col, "regex",
+                           lambda t, c=col, v=spec["regex"]: pc.sum(
+                               pc.cast(pc.invert(pc.match_substring_regex(
+                                   pc.fill_null(t[c], ""), v)),
+                                   pa.int64())).as_py() or 0))
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "column": pa.array([c for c, _, _ in checks]),
+            "rule": pa.array([r for _, r, _ in checks]),
+            "violations": pa.array([np.int64(fn(t))
+                                    for _, _, fn in checks])})
+
+    rows = []
+    if checks:
+        agg = reduce_sink(ds.map_batches(partial, batch_format="pyarrow"),
+                          ["column", "rule"],
+                          {"violations": ("violations", "sum")}).to_pandas()
+        rows.append(agg)
+    for col, spec in rules.items():
+        if spec.get("unique"):
+            tagged = ds.map_batches(
+                lambda df, c=col: df[[c]].assign(_g=np.int32(0)),
+                batch_format="pandas")
+            nd = int(distinct_count(tagged, ["_g"], col, "n")
+                     .to_pandas()["n"].iloc[0])
+            total = ds.count()
+            rows.append(pd.DataFrame({
+                "column": [col], "rule": ["unique"],
+                "violations": np.array([total - nd], dtype=np.int64)}))
+    out = pd.concat(rows, ignore_index=True)
+    out["violations"] = out["violations"].astype(np.int64)
+    return out.sort_values(["column", "rule"], ignore_index=True)
