@@ -220,3 +220,25 @@ def test_cli_lookup_prefill(ray_session, tiny_fixture, tmp_path, capsys):
     assert cli.main(["lookup", "prefill", table, work]) == 0
     second = capsys.readouterr().out
     assert "prefill: +0 keys" in second
+
+
+def test_cli_compact(ray_session, tmp_path, capsys):
+    """Many tiny files -> few bigger ones, identical rows; idempotent
+    atomic publish (rerun replaces, never appends)."""
+    import numpy as np
+    import pyarrow as pa
+
+    src = str(tmp_path / "many")
+    os.makedirs(src)
+    for i in range(20):
+        pq.write_table(pa.table({
+            "k": pa.array(np.arange(i * 10, i * 10 + 10, dtype=np.int64))
+        }), os.path.join(src, f"f{i}.parquet"))
+    out = str(tmp_path / "compacted")
+    for _ in range(2):   # second run must replace, not append
+        assert cli.main(["compact", "--input", src, "--out", out,
+                         "--num-files", "4"]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["rows"] == 200 and res["files"] <= 4
+    merged = pq.read_table(out).to_pandas()["k"].sort_values()
+    assert list(merged) == list(range(200))

@@ -3173,6 +3173,45 @@ def validate_events(sf_dir: str) -> pd.DataFrame:
     })
 
 
+@register("user_moving_avg", sql="""
+SELECT user_id, event_id,
+       ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+           AS mov_avg
+FROM events""")
+def user_moving_avg(sf_dir: str) -> pd.DataFrame:
+    """Sliding ROWS-frame window function (3-event moving average per
+    user): user-hash bucket co-locates each user's stream, one
+    vectorized pandas rolling() per bucket — completing the window
+    family next to running-SUM/LAG (`user_running_value`) and the
+    rank windows (`users_ranked_by_value`)."""
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "value"])
+
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket_"] = (df["user_id"].to_numpy() % 32).astype(np.int32)
+        return df
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        # AVG over a count-varying frame: divide the rolling SUM by the
+        # rolling COUNT in the same order the oracle does
+        mv = (g.groupby("user_id", sort=False)["value"]
+              .rolling(3, min_periods=1).mean()
+              .reset_index(level=0, drop=True))
+        return pd.DataFrame({
+            "user_id": g["user_id"].to_numpy(np.int64),
+            "event_id": g["event_id"].to_numpy(np.int64),
+            "mov_avg": textstats.round_half_away(
+                mv.to_numpy(np.float64), 6)})
+
+    out = (ds.map_batches(with_bucket, batch_format="pandas")
+           .groupby("bucket_").map_groups(roll, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values(["user_id", "event_id"], ignore_index=True)
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -153,6 +153,31 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Small-files compaction: rewrite a parquet directory (e.g. an
+    incremental store that accumulated one file per run) into
+    ``--num-files`` bigger files — the maintenance op every
+    checkpoint/store layout eventually needs. Streaming repartition,
+    atomic publish (write to .tmp, rename)."""
+    _init_ray(args.num_cpus)
+    import shutil
+
+    import ray.data as rd
+    ds = rd.read_parquet(args.input)
+    n = ds.count()
+    tmp = args.out + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    ds.repartition(args.num_files).write_parquet(tmp,
+                                                 compression="zstd")
+    if os.path.exists(args.out):
+        shutil.rmtree(args.out)
+    os.replace(tmp, args.out)
+    n_files = len([f for f in os.listdir(args.out)
+                   if f.endswith(".parquet")])
+    print(json.dumps({"rows": n, "files": n_files, "out": args.out}))
+    return 0
+
+
 def cmd_query(args) -> int:
     """Run any registered pipeline query by name over a testdata-shaped
     table dir (``--list`` prints the catalog)."""
@@ -328,6 +353,14 @@ def build_parser() -> argparse.ArgumentParser:
     dd.add_argument("--run-id", default="r1", dest="run_id")
     dd.add_argument("--num-cpus", type=int, default=None, dest="num_cpus")
     dd.set_defaults(fn=cmd_dedup)
+
+    cp = sub.add_parser("compact", help="rewrite a many-small-files "
+                                        "parquet dir into fewer files")
+    cp.add_argument("--input", required=True)
+    cp.add_argument("--out", required=True)
+    cp.add_argument("--num-files", type=int, default=8, dest="num_files")
+    cp.add_argument("--num-cpus", type=int, default=None, dest="num_cpus")
+    cp.set_defaults(fn=cmd_compact)
 
     q = sub.add_parser("query", help="run a registered pipeline query "
                                      "by name (--list for the catalog)")
