@@ -109,6 +109,23 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_prepare(args) -> int:
+    """Full training-data prep: curate → (optional) decontaminate →
+    deterministic shuffle → token-budget packing → partitioned write."""
+    _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from webalizer_ray.pipelines.prepare import run_prepare
+    docs = rd.read_parquet(args.docs, columns=["doc_id", "text"])
+    val = rd.read_parquet(args.val, columns=["doc_id", "text"]) \
+        if args.val else None
+    res = run_prepare(docs, args.out, val=val,
+                      token_budget=args.budget, seed=args.seed,
+                      min_quality=args.min_quality)
+    print(json.dumps(res))
+    return 0
+
+
 def cmd_profile(args) -> int:
     """Key-skew diagnostics over any parquet table column — run this
     BEFORE picking a partition/groupby key on big data."""
@@ -332,6 +349,19 @@ def build_parser() -> argparse.ArgumentParser:
                    dest="min_quality")
     c.add_argument("--num-cpus", type=int, default=None, dest="num_cpus")
     c.set_defaults(fn=cmd_curate)
+
+    pp = sub.add_parser("prepare", help="training-data prep: curate -> "
+                                        "decontaminate -> shuffle -> pack")
+    pp.add_argument("--docs", required=True)
+    pp.add_argument("--out", required=True)
+    pp.add_argument("--val", default=None,
+                    help="eval-set parquet for n-gram decontamination")
+    pp.add_argument("--budget", type=int, default=2048)
+    pp.add_argument("--seed", type=int, default=0)
+    pp.add_argument("--min-quality", type=float, default=0.38,
+                    dest="min_quality")
+    pp.add_argument("--num-cpus", type=int, default=None, dest="num_cpus")
+    pp.set_defaults(fn=cmd_prepare)
 
     pr = sub.add_parser("profile", help="key-skew diagnostics over a "
                                         "parquet column (entropy/Gini/"
