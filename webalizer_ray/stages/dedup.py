@@ -468,20 +468,37 @@ def lsh_candidate_pairs(ds: rd.Dataset, id_col: str, vec_col: str,
             frames.append(pd.DataFrame({
                 "table": np.full(n, t, dtype=np.int64),
                 "bucket": b, id_col: ids}))
-        return pd.concat(frames, ignore_index=True)
+        out = pd.concat(frames, ignore_index=True)
+        # coarse shuffle key (same collapse as the MinHash banding): a
+        # fine (table, bucket) cell lives in exactly one coarse group,
+        # so L×2^k tiny map_groups calls become ≤64 vectorized tasks
+        out["ck"] = (out["table"].to_numpy(np.uint64) * np.uint64(0x9E37)
+                     ^ out["bucket"].to_numpy(np.uint64)) % np.uint64(64)
+        return out
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g[id_col].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []})
-        if len(ids) > bucket_cap:
-            return pd.DataFrame({"id_a": ids[:-1], "id_b": ids[1:]})
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+    def coarse_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        sz = g.groupby(["table", "bucket"], sort=False)[id_col] \
+            .transform("size")
+        g = g[sz.to_numpy() >= 2]
+        if not len(g):
+            return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                                 "id_b": pd.Series(dtype=np.int64)})
+        out_a, out_b = [], []
+        for _, grp in g.groupby(["table", "bucket"], sort=False):
+            ids = np.sort(grp[id_col].to_numpy())
+            if len(ids) > bucket_cap:
+                out_a.append(ids[:-1])
+                out_b.append(ids[1:])
+            else:
+                ia, ib = np.triu_indices(len(ids), k=1)
+                out_a.append(ids[ia])
+                out_b.append(ids[ib])
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b)})
 
     cand = (ds.map_batches(explode, batch_format="pandas")
-            .groupby(["table", "bucket"])
-            .map_groups(bucket_pairs, batch_format="pandas"))
+            .groupby("ck")
+            .map_groups(coarse_pairs, batch_format="pandas"))
     return dedup_pairs_ds(cand).materialize()
 
 
