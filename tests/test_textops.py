@@ -84,3 +84,45 @@ def test_session_metrics_conservation(ray_session):
     assert b["sessions"].sum() == d["sessions"].sum() == u["sessions"].sum()
     assert (b["bounces"] <= b["sessions"]).all()
     assert (d["max_dur_s"] < 1800 * 100).all()  # bounded by window logic
+
+
+def test_three_step_funnel_planted_sequences(ray_session, tmp_path):
+    """Synthetic sessions with known step completion: in-order chains
+    count at every step; out-of-order (purchase before click) do not."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+    rows = []
+
+    def sess(uid, start_min, types):
+        for i, t in enumerate(types):
+            rows.append((len(rows), base + np.timedelta64(
+                start_min * 60_000_000 + i * 60_000_000, "us"),
+                uid, t, 1.0, "{}"))
+
+    sess(1, 0, ["view", "click", "purchase"])       # full funnel
+    sess(1, 600, ["view", "purchase", "click"])     # purchase precedes
+                                                    # its click: view+click
+                                                    # complete, purchase not
+    sess(2, 0, ["click", "view", "click"])          # click AFTER view ok
+    sess(3, 0, ["purchase", "view"])                # view only
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows]),
+        "value": pa.array([r[4] for r in rows]),
+        "props": pa.array([r[5] for r in rows])})
+    d = str(tmp_path / "sf")
+    import os
+    os.makedirs(d)
+    pq.write_table(tbl, os.path.join(d, "events.parquet"))
+
+    from webalizer_ray.pipelines.queries import REGISTRY
+    out = REGISTRY["funnel_three_step"][0](d).iloc[0]
+    assert out["sessions"] == 4
+    assert out["step_view"] == 4      # every session has a view
+    assert out["step_click"] == 3     # click follows a view in 1a,1b,2
+    assert out["step_purchase"] == 1  # only the strictly in-order chain

@@ -3212,6 +3212,76 @@ def user_moving_avg(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["user_id", "event_id"], ignore_index=True)
 
 
+@register("funnel_three_step", sql=f"""
+WITH s AS ({_SESS_SQL}),
+k AS (SELECT DISTINCT user_id, sid FROM s),
+v AS (SELECT user_id, sid, MIN(ts) AS t FROM s
+      WHERE event_type = 'view' GROUP BY 1, 2),
+c AS (SELECT s.user_id, s.sid, MIN(s.ts) AS t
+      FROM s JOIN v ON s.user_id = v.user_id AND s.sid = v.sid
+      WHERE s.event_type = 'click' AND s.ts > v.t GROUP BY 1, 2),
+p AS (SELECT s.user_id, s.sid, MIN(s.ts) AS t
+      FROM s JOIN c ON s.user_id = c.user_id AND s.sid = c.sid
+      WHERE s.event_type = 'purchase' AND s.ts > c.t GROUP BY 1, 2)
+SELECT (SELECT COUNT(*) FROM k) AS sessions,
+       (SELECT COUNT(*) FROM v) AS step_view,
+       (SELECT COUNT(*) FROM c) AS step_click,
+       (SELECT COUNT(*) FROM p) AS step_purchase""")
+def funnel_three_step(sf_dir: str) -> pd.DataFrame:
+    """N-step ORDERED funnel (view → click-after-view →
+    purchase-after-that-click, within a visit-window session): the
+    sequential-pattern query behind conversion analysis. Each step's
+    anchor is the previous step's FIRST qualifying timestamp, so the
+    whole chain is a per-session forward scan — computed vectorized
+    inside the user-bucket sessionize group (sessions complete there),
+    with only four count partials per bucket reaching the driver."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket_"] = (df["user_id"].to_numpy() % 32).astype(np.int32)
+        return df
+
+    def funnel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        same = g["user_id"].eq(g["user_id"].shift())
+        gap_s = (g["ts"] - g["ts"].shift()).dt.total_seconds()
+        ns = (~same) | (gap_s >= 1800.0)
+        g["sid"] = ns.groupby(g["user_id"], sort=False).cumsum()
+        us = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        SENT = np.iinfo(np.int64).max
+
+        def first_after(step: str, anchor: pd.Series) -> pd.Series:
+            t = pd.Series(np.where(
+                (g["event_type"].to_numpy() == step)
+                & (us > anchor.reindex(
+                    pd.MultiIndex.from_arrays(
+                        [g["user_id"], g["sid"]])).to_numpy()),
+                us, SENT), index=g.index)
+            return t.groupby([g["user_id"], g["sid"]], sort=False).min()
+
+        zero = pd.Series(
+            np.int64(-1),
+            index=g.groupby(["user_id", "sid"], sort=False)
+            .size().index)
+        v = first_after("view", zero)
+        c = first_after("click", v)
+        p = first_after("purchase", c)
+        return pd.DataFrame({
+            "sessions": [np.int64(len(zero))],
+            "step_view": [np.int64((v < SENT).sum())],
+            "step_click": [np.int64((c < SENT).sum())],
+            "step_purchase": [np.int64((p < SENT).sum())]})
+
+    parts = (ds.map_batches(with_bucket, batch_format="pandas")
+             .groupby("bucket_").map_groups(funnel,
+                                            batch_format="pandas")
+             .to_pandas())
+    return pd.DataFrame({c: [np.int64(parts[c].sum())]
+                         for c in ["sessions", "step_view",
+                                   "step_click", "step_purchase"]})
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
