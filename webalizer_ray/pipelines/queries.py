@@ -2348,26 +2348,24 @@ def unigram_nll_docs(sf_dir: str) -> pd.DataFrame:
         np.log(vocab["cnt"].to_numpy(np.float64) / tot),
         index=vocab["word"].to_numpy()))
 
-    class Score:
-        def __init__(self):
-            self.logp = ray.get(logp_ref)
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        # stateless task: the log-prob table is a local object-store
+        # read per batch (shared memory), no actor-pool spinup
+        logp = ray.get(logp_ref)
+        words = df["text"].fillna("").str.split()
+        lens = words.str.len().to_numpy()
+        flat = words.explode().dropna()
+        doc = np.repeat(df["doc_id"].to_numpy(), lens)
+        lp = flat.map(logp).to_numpy(np.float64)
+        g = (pd.DataFrame({"doc_id": doc, "lp": lp})
+             .groupby("doc_id", sort=False)["lp"].agg(["mean", "size"]))
+        return pd.DataFrame({
+            "doc_id": g.index.to_numpy(np.int64),
+            "n_tokens": g["size"].to_numpy(np.int64),
+            "nll": textstats.round_half_away(
+                -g["mean"].to_numpy(np.float64), 6)})
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            words = df["text"].fillna("").str.split()
-            lens = words.str.len().to_numpy()
-            flat = words.explode().dropna()
-            doc = np.repeat(df["doc_id"].to_numpy(), lens)
-            lp = flat.map(self.logp).to_numpy(np.float64)
-            g = (pd.DataFrame({"doc_id": doc, "lp": lp})
-                 .groupby("doc_id", sort=False)["lp"].agg(["mean", "size"]))
-            return pd.DataFrame({
-                "doc_id": g.index.to_numpy(np.int64),
-                "n_tokens": g["size"].to_numpy(np.int64),
-                "nll": textstats.round_half_away(
-                    -g["mean"].to_numpy(np.float64), 6)})
-
-    out = docs.map_batches(Score, concurrency=2,
-                           batch_format="pandas").to_pandas()
+    out = docs.map_batches(score, batch_format="pandas").to_pandas()
     return out.sort_values("doc_id", ignore_index=True)
 
 
