@@ -346,31 +346,49 @@ def simhash_pairs(ds: rd.Dataset, id_col: str = "doc_id",
         n = len(df)
         chunks = [((h >> np.uint64(16 * c)) & np.uint64(0xFFFF))
                   for c in range(4)]
-        return pd.DataFrame({
+        out = pd.DataFrame({
             "chunk": np.repeat(np.arange(4, dtype=np.int64), n),
             "chunk_val": np.concatenate(chunks),
             id_col: np.tile(df[id_col].to_numpy(), 4),
             "simhash": np.tile(h, 4),
         })
+        # coarse collapse (same as MinHash banding): up to 4×65k tiny
+        # (chunk, chunk_val) groups become ≤64 vectorized tasks
+        out["ck"] = (out["chunk"].to_numpy(np.uint64) * np.uint64(0x9E37)
+                     ^ out["chunk_val"].to_numpy(np.uint64)) \
+            % np.uint64(64)
+        return out
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col)
-        ids, h = g[id_col].to_numpy(), g["simhash"].to_numpy().astype(np.uint64)
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-        if len(ids) > bucket_cap:
-            ia, ib = np.arange(len(ids) - 1), np.arange(1, len(ids))
-        else:
-            ia, ib = np.triu_indices(len(ids), k=1)
-        x = h[ia] ^ h[ib]
-        ham = _popcount64(x)
-        out = pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib],
-                            "hamming": ham})
-        return out[out["hamming"] <= max_hamming]
+    def coarse_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                              "id_b": pd.Series(dtype=np.int64),
+                              "hamming": pd.Series(dtype=np.int64)})
+        sz = g.groupby(["chunk", "chunk_val"], sort=False)[id_col] \
+            .transform("size")
+        g = g[sz.to_numpy() >= 2]
+        if not len(g):
+            return empty
+        frames = []
+        for _, grp in g.groupby(["chunk", "chunk_val"], sort=False):
+            grp = grp.sort_values(id_col)
+            ids = grp[id_col].to_numpy()
+            h = grp["simhash"].to_numpy().astype(np.uint64)
+            if len(ids) > bucket_cap:
+                ia = np.arange(len(ids) - 1)
+                ib = np.arange(1, len(ids))
+            else:
+                ia, ib = np.triu_indices(len(ids), k=1)
+            ham = _popcount64(h[ia] ^ h[ib])
+            keep = ham <= max_hamming
+            frames.append(pd.DataFrame({"id_a": ids[ia][keep],
+                                        "id_b": ids[ib][keep],
+                                        "hamming": ham[keep]}))
+        out = pd.concat(frames, ignore_index=True)
+        return out if len(out) else empty
 
     cand = (hashed.map_batches(explode, batch_format="pandas")
-            .groupby(["chunk", "chunk_val"])
-            .map_groups(bucket_pairs, batch_format="pandas"))
+            .groupby("ck")
+            .map_groups(coarse_pairs, batch_format="pandas"))
     pairs = dedup_pairs_ds(cand).to_pandas()
     if not len(pairs) or "id_a" not in pairs.columns:
         return pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
