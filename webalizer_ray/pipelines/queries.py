@@ -780,8 +780,31 @@ def ann_topk_lsh(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["query_id", "rank"], ignore_index=True)
 
 
-@register("lang_id_docs")
+def _lang_rx(lang: str) -> str:
+    return r"\b(?:" + "|".join(textstats.LANG_STOPWORDS[lang]) + r")\b"
+
+
+@register("lang_id_docs", sql=f"""
+WITH s AS (SELECT doc_id, lang,
+    len(regexp_extract_all(lower(text), '{_lang_rx("en")}')) AS s_en,
+    len(regexp_extract_all(lower(text), '{_lang_rx("de")}')) AS s_de,
+    len(regexp_extract_all(lower(text), '{_lang_rx("fr")}')) AS s_fr,
+    len(regexp_extract_all(lower(text), '{_lang_rx("es")}')) AS s_es
+    FROM documents),
+t AS (SELECT *, s_en + s_de + s_fr + s_es AS total,
+             GREATEST(s_en, s_de, s_fr, s_es) AS mx FROM s)
+SELECT doc_id, lang,
+       CASE WHEN total = 0 THEN 'und'
+            WHEN s_en = mx THEN 'en' WHEN s_de = mx THEN 'de'
+            WHEN s_fr = mx THEN 'fr' ELSE 'es' END AS pred_lang,
+       ROUND(CASE WHEN total = 0 THEN 0.0
+                  ELSE mx * 1.0 / total END, 4) AS lang_conf
+FROM t""")
 def lang_id_docs(sf_dir: str) -> pd.DataFrame:
+    """Stopword-hit language ID — now oracle-backed: the per-language
+    RE2 alternation counts and the first-max argmax (CASE in dict
+    order against GREATEST) are reproduced exactly in SQL; RE2 on both
+    sides makes the counts byte-identical."""
     ds = _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
         textstats.add_lang_id, batch_format="pandas")
     out = ds.select_columns(["doc_id", "lang", "pred_lang", "lang_conf"]) \

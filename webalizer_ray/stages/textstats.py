@@ -116,7 +116,9 @@ def add_lang_id(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     out["pred_lang"] = pred
     with np.errstate(invalid="ignore", divide="ignore"):
         conf = np.where(total > 0, scores.max(axis=1) / np.maximum(total, 1), 0.0)
-    out["lang_conf"] = np.round(conf, 4)
+    # half-away rounding to match SQL ROUND (np.round is banker's —
+    # 1/32 = 0.03125 would round to 0.0312 vs the oracle's 0.0313)
+    out["lang_conf"] = round_half_away(conf, 4)
     return out
 
 
