@@ -179,3 +179,24 @@ def test_validate_rules_catches_planted_violations(ray_session):
                    ("value", "min"): 1,
                    ("value", "max"): 2,
                    ("event_type", "regex"): 2}
+
+
+def test_fk_validation_catches_planted_orphans(ray_session, tmp_path):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "sf")
+    import os
+    os.makedirs(d)
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3], pa.int64())}),
+        os.path.join(d, "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(np.arange(6, dtype=np.int64)),
+        "o_custkey": pa.array([1, 1, 2, 99, 3, 77], pa.int64())}),
+        os.path.join(d, "orders.parquet"))
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    out = REGISTRY["validate_fk_orders"][0](d).iloc[0]
+    assert out["orphan_orders"] == 2 and out["total_orders"] == 6

@@ -3303,6 +3303,54 @@ def funnel_three_step(sf_dir: str) -> pd.DataFrame:
                                    "step_click", "step_purchase"]})
 
 
+@register("validate_fk_orders", sql="""
+SELECT CAST(SUM(CASE WHEN c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS orphan_orders,
+       CAST(COUNT(*) AS BIGINT) AS total_orders
+FROM (SELECT o_orderkey,
+             (SELECT 1 FROM customer WHERE c_custkey = o_custkey) AS c
+      FROM orders) t""")
+def validate_fk_orders(sf_dir: str) -> pd.DataFrame:
+    """Referential-integrity check (orders.o_custkey ⊆
+    customer.c_custkey) — the cross-table contract companion to
+    validate_events: the presence-flag pattern tags each custkey side
+    (parent=2/child=1), one groupby max-combines per key, and orphan
+    child rows sum from (key, n_child) partials — no join of the fact
+    table, only key-level aggregates shuffle."""
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey"])
+
+    def child(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["o_custkey"].value_counts()
+        return pd.DataFrame({"k": vc.index.to_numpy(np.int64),
+                             "n_child": vc.to_numpy(np.int64),
+                             "parent": np.int64(0)})
+
+    def parent(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["c_custkey"].drop_duplicates().to_numpy(np.int64)
+        return pd.DataFrame({"k": k,
+                             "n_child": np.int64(0),
+                             "parent": np.int64(1)})
+
+    both = orders.map_batches(child, batch_format="pandas").union(
+        cust.map_batches(parent, batch_format="pandas"))
+    agg = reduce_sink(both, ["k"], {"n_child": ("n_child", "sum"),
+                                    "parent": ("parent", "max")})
+
+    def orphan_partial(df: pd.DataFrame) -> pd.DataFrame:
+        orphan = df.loc[df["parent"].eq(0), "n_child"].sum()
+        return pd.DataFrame({"orphans": [np.int64(orphan)],
+                             "total": [np.int64(df["n_child"].sum())]})
+
+    parts = agg.map_batches(orphan_partial,
+                            batch_format="pandas").to_pandas()
+    return pd.DataFrame({
+        "orphan_orders": [np.int64(parts["orphans"].sum())],
+        "total_orders": [np.int64(parts["total"].sum())]})
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
