@@ -63,3 +63,26 @@ def test_prepare_deterministic(ray_session, tmp_path):
     b = pads.dataset(str(tmp_path / "b/packed"), partitioning="hive") \
         .to_table().to_pandas().sort_values("doc_id", ignore_index=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_prepare_rerun_serves_cached_funnel(ray_session, tmp_path):
+    """Same parquet input + params: the second run returns the stamped
+    funnel without recomputing (marker path); changed params recompute."""
+    import json
+    import time
+
+    from webalizer_ray.pipelines.prepare import run_prepare
+
+    out = str(tmp_path / "p")
+    f1 = run_prepare(_docs(), out, token_budget=512)
+    marker = os.path.join(out, "_PREPARE.json")
+    assert os.path.exists(marker)
+    stamp = os.path.getmtime(marker)
+    t0 = time.time()
+    f2 = run_prepare(_docs(), out, token_budget=512)
+    assert f2 == f1
+    assert os.path.getmtime(marker) == stamp        # untouched: cached
+    assert time.time() - t0 < 2.0                    # no recompute
+    f3 = run_prepare(_docs(), out, token_budget=256)  # params changed
+    assert f3["bins"] > f1["bins"]
+    assert json.load(open(marker))["funnel"] == f3

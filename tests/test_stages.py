@@ -278,7 +278,8 @@ def test_curation_pipeline_routes_and_conservation(ray_session, tmp_path):
     """Every doc lands in exactly one route (conservation); planted
     duplicates keep min doc_id; gates fire in order (a doc that is both
     out-of-band AND low quality routes to 'length'); rerunning into a
-    used dir raises (append-safety contract)."""
+    used dir recomputes from scratch, never appends (from_pandas input
+    has no file lineage, so the cached-funnel path can't be trusted)."""
     import numpy as np
     import pandas as pd
     import pyarrow.dataset as pads
@@ -305,8 +306,12 @@ def test_curation_pipeline_routes_and_conservation(ray_session, tmp_path):
     kept = pads.dataset(out + "/route=kept").to_table().to_pandas()
     assert 0 in set(kept["doc_id"])                  # min-id keeper
     assert {2, 4}.isdisjoint(set(kept["doc_id"]))
-    with pytest.raises(FileExistsError):
-        run_curation(rd.from_pandas(docs), out)
+    res2 = run_curation(rd.from_pandas(docs).repartition(2), out,
+                        q_lo=0.2, q_hi=0.8, min_quality=0.2)
+    assert res2 == res                      # wiped and recomputed, no
+    kept2 = pads.dataset(out + "/route=kept").to_table().to_pandas()
+    assert len(kept2) == len(kept)          # appended double rows
+    del pytest
 
 
 def test_knn_graph_matches_brute_force(ray_session):

@@ -37,6 +37,52 @@ from webalizer_ray.stages.textstats import add_fingerprint, add_quality_score
 
 ROUTES = ("kept", "length", "quality", "duplicate")
 
+#: bump when routing semantics change — invalidates lineage markers
+CURATE_VERSION = 1
+
+
+def lineage_key(ds: rd.Dataset, params: dict) -> str | None:
+    """Identity of (input files + sizes + params): a completed output
+    directory carrying this key can be trusted on rerun. None when the
+    input has no file lineage (e.g. from_pandas) — then reruns always
+    recompute (wipe-and-redo is still safe: the pipeline owns out_dir).
+    """
+    import hashlib
+    import json as _json
+    try:
+        files = ds.input_files()
+    except Exception:
+        return None
+    if not files:
+        return None
+    ident = [(f, os.stat(f).st_size) for f in sorted(files)
+             if os.path.exists(f)]
+    if len(ident) != len(files):
+        return None
+    blob = _json.dumps([ident, sorted(params.items()),
+                        CURATE_VERSION]).encode()
+    return hashlib.sha256(blob).hexdigest()
+
+
+def load_marker(out_dir: str, name: str, key: str | None) -> dict | None:
+    """Saved funnel if out_dir completed with the SAME lineage key."""
+    import json as _json
+    p = os.path.join(out_dir, name)
+    if key is None or not os.path.exists(p):
+        return None
+    saved = _json.load(open(p))
+    return saved["funnel"] if saved.get("lineage") == key else None
+
+
+def write_marker(out_dir: str, name: str, key: str | None,
+                 funnel: dict) -> None:
+    import json as _json
+    p = os.path.join(out_dir, name)
+    tmp = p + f".tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        _json.dump({"lineage": key, "funnel": funnel}, f)
+    os.replace(tmp, p)
+
 
 def run_curation(docs: rd.Dataset, out_dir: str, q_lo: float = 0.05,
                  q_hi: float = 0.95, min_quality: float = 0.5,
@@ -45,13 +91,24 @@ def run_curation(docs: rd.Dataset, out_dir: str, q_lo: float = 0.05,
     """Route every doc, write out_dir/route=*/...parquet, return the
     funnel: {"total": N, "routes": {route: count}, "band": (lo, hi)}.
 
-    ``out_dir`` must be fresh (write_parquet appends uuid-named files —
-    same contract as the flagship's pass-1 store); rerun into a new
-    dir, or wrap with the checkpoint machinery for partial resume.
-    """
+    Rerun-safe: a COMPLETED run stamps ``_FUNNEL.json`` with the input
+    lineage (file list + sizes + params); rerunning with the same
+    lineage returns the saved funnel without recomputing, while a
+    changed input, changed params, or a crashed partial output wipes
+    the directory and recomputes (write_parquet appends uuid-named
+    files, so reusing a dirty dir would double rows — same contract as
+    the flagship's pass-1 store, which solves it with per-partition
+    checkpoints instead)."""
+    key = lineage_key(docs, {"q_lo": q_lo, "q_hi": q_hi,
+                             "min_quality": min_quality,
+                             "num_buckets": num_buckets,
+                             "id_col": id_col})
+    cached = load_marker(out_dir, "_FUNNEL.json", key)
+    if cached is not None:
+        return cached
     if os.path.isdir(out_dir) and os.listdir(out_dir):
-        raise FileExistsError(f"{out_dir} already holds a run; "
-                              "use a fresh output dir")
+        import shutil
+        shutil.rmtree(out_dir)
 
     def signals(df: pd.DataFrame) -> pd.DataFrame:
         df = add_quality_score(df)
@@ -102,5 +159,7 @@ def run_curation(docs: rd.Dataset, out_dir: str, q_lo: float = 0.05,
         d = os.path.join(out_dir, f"route={r}")
         counts[r] = pads.dataset(d).count_rows() if os.path.isdir(d) else 0
     total = sum(counts.values())
-    return {"total": total, "routes": counts,
-            "band": (float(lo), float(hi))}
+    funnel = {"total": total, "routes": counts,
+              "band": [float(lo), float(hi)]}
+    write_marker(out_dir, "_FUNNEL.json", key, funnel)
+    return funnel

@@ -43,8 +43,31 @@ def run_prepare(docs: rd.Dataset, out_dir: str,
                 id_col: str = "doc_id") -> dict:
     """Run the full prep; returns the funnel dict (counts conserve at
     every hop: total = kept + dropped_by_route; kept = packed +
-    contaminated)."""
+    contaminated). Rerun-safe like run_curation: a completed run
+    stamps ``_PREPARE.json`` with the (docs, val, params) lineage and
+    same-lineage reruns return the saved funnel; anything else wipes
+    and recomputes."""
+    import shutil
+
     import ray
+
+    from webalizer_ray.pipelines.curate import (
+        lineage_key,
+        load_marker,
+        write_marker,
+    )
+    params = {"token_budget": token_budget, "seed": seed, "q_lo": q_lo,
+              "q_hi": q_hi, "min_quality": min_quality,
+              "decon_ngram": decon_ngram, "id_col": id_col}
+    key = lineage_key(docs, params)
+    if key is not None and val is not None:
+        vkey = lineage_key(val, params)
+        key = None if vkey is None else key + vkey
+    cached = load_marker(out_dir, "_PREPARE.json", key)
+    if cached is not None:
+        return cached
+    if os.path.isdir(out_dir) and os.listdir(out_dir):
+        shutil.rmtree(out_dir)
 
     funnel = run_curation(docs, os.path.join(out_dir, "curation"),
                           q_lo=q_lo, q_hi=q_hi, min_quality=min_quality,
@@ -96,6 +119,7 @@ def run_prepare(docs: rd.Dataset, out_dir: str,
     funnel["packed_tokens"] = int(stats["sum(n_tokens)"])
     funnel["bins"] = int(stats["max(bin_id)"]) + 1
     funnel["token_budget"] = token_budget
+    write_marker(out_dir, "_PREPARE.json", key, funnel)
     return funnel
 
 
