@@ -74,3 +74,28 @@ def test_identical_sets_jaccard_one(ray_session):
     out = run_join(["abcabc", "cabcab"], t=0.9)
     # trigram sets: {abc,bca,cab} both -> jaccard 1.0
     assert len(out) == 1 and out["jacc"].iloc[0] == 1.0
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_word = st.text(alphabet="abcdef ", min_size=0, max_size=12)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(_word, min_size=2, max_size=25, unique=True),
+       st.sampled_from([0.4, 0.7]))
+def test_simjoin_fuzz_matches_brute_force(ray_session, keys, t):
+    """Random short strings (incl. empty/whitespace/low-entropy):
+    prefix-filtered join equals all-pairs brute force exactly."""
+    ours = run_join(keys, t)
+    want = brute_force(keys, t)
+    assert len(ours) == len(want)
+    if len(want):
+        pd.testing.assert_series_equal(ours["a"], want["a"])
+        pd.testing.assert_series_equal(ours["b"], want["b"])
+        assert np.allclose(ours["jacc"], want["jacc"])
+
+
+def test_all_strings_shorter_than_q(ray_session):
+    out = run_join(["", "a", "bb"], t=0.5)
+    assert len(out) == 0 and list(out.columns) == ["a", "b", "jacc"]

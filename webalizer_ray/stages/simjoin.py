@@ -73,6 +73,10 @@ def set_similarity_join_prefix(keys: rd.Dataset, threshold: float,
     dfs = reduce_sink(keys.map_batches(_qgram_partials(q),
                                        batch_format="pandas"),
                       ["gram"], {"df": ("df", "sum")}).to_pandas()
+    if dfs.empty:        # every string shorter than q: nothing can pair
+        return pd.DataFrame({"a": pd.Series([], dtype=object),
+                             "b": pd.Series([], dtype=object),
+                             "jacc": pd.Series([], dtype=np.float64)})
     # global ordering: df ascending, gram as the deterministic tiebreak
     dfs = dfs.sort_values(["df", "gram"], ignore_index=True)
     rank_ref = ray.put(pd.Series(np.arange(len(dfs), dtype=np.int32),
