@@ -242,3 +242,21 @@ def test_cli_compact(ray_session, tmp_path, capsys):
     assert res["rows"] == 200 and res["files"] <= 4
     merged = pq.read_table(out).to_pandas()["k"].sort_values()
     assert list(merged) == list(range(200))
+
+
+def test_cli_ingest_rerun_never_doubles(ray_session, tmp_path, capsys):
+    """Rerunning ingest-log into the same out dir must not append-double
+    the turns (same-lineage rerun is a marker no-op or a clean rewrite)."""
+    log = str(tmp_path / "log")
+    os.makedirs(log)
+    with open(os.path.join(log, "a.log"), "w") as f:
+        for i in range(10):
+            f.write(f"conv{i % 2} [2024-01-01T00:0{i % 6}:00] {i} "
+                    f"user tool_a \"ACTION=ask STATUS=200 KB=1.00\"\n")
+    out = str(tmp_path / "o")
+    for _ in range(2):
+        assert cli.main(["ingest-log", "--log", log, "--fmt", "clf",
+                         "--out", out]) == 0
+    capsys.readouterr()
+    import pyarrow.dataset as pads
+    assert pads.dataset(os.path.join(out, "turns")).count_rows() == 10

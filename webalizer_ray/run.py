@@ -85,15 +85,32 @@ def cmd_run(args) -> int:
 
 def cmd_ingest_log(args) -> int:
     _init_ray(args.num_cpus)
+    from webalizer_ray.pipelines.curate import (
+        lineage_key,
+        load_marker,
+        write_marker,
+    )
     from webalizer_ray.sources.rawlog import read_transcript_log
     ds = read_transcript_log(args.log, fmt=args.fmt,
                              include_bad=args.keep_bad)
     dest = os.path.join(args.out, "turns")
+    # rerun safety (write_parquet appends): same-lineage rerun is a
+    # no-op, anything else wipes and reconverts
+    key = lineage_key(ds, {"fmt": args.fmt, "keep_bad": args.keep_bad})
+    cached = load_marker(args.out, "_INGEST.json", key)
+    if cached is not None:
+        print(json.dumps(cached))
+        return 0
+    if os.path.isdir(dest) and os.listdir(dest):
+        import shutil
+        shutil.rmtree(dest)
     if args.keep_bad:
         ds.write_parquet(dest, partition_cols=["route"])
     else:
         ds.write_parquet(dest)
-    print(json.dumps({"out": dest}))
+    out = {"out": dest}
+    write_marker(args.out, "_INGEST.json", key, out)
+    print(json.dumps(out))
     return 0
 
 
