@@ -200,3 +200,43 @@ def test_fk_validation_catches_planted_orphans(ray_session, tmp_path):
 
     out = REGISTRY["validate_fk_orders"][0](d).iloc[0]
     assert out["orphan_orders"] == 2 and out["total_orders"] == 6
+
+
+def test_psi_drift_properties(ray_session, tmp_path):
+    """PSI is ~0 for identical halves and large for a planted shift."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(2)
+    n = 4000
+    # identical distribution in both halves
+    ts_a = np.datetime64("2024-01-05", "us") + rng.integers(
+        0, 86_400_000_000, n // 2).astype("timedelta64[us]")
+    ts_b = np.datetime64("2024-01-25", "us") + rng.integers(
+        0, 86_400_000_000, n // 2).astype("timedelta64[us]")
+    same = np.concatenate([rng.normal(100, 20, n // 2),
+                           rng.normal(100, 20, n // 2)])
+    shifted = np.concatenate([rng.normal(100, 20, n // 2),
+                              rng.normal(300, 20, n // 2)])
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    for name, vals, bound in [("same", same, 0.05),
+                              ("shift", shifted, None)]:
+        d = str(tmp_path / name)
+        import os
+        os.makedirs(d)
+        pq.write_table(pa.table({
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array(np.concatenate([ts_a, ts_b]),
+                           pa.timestamp("us")),
+            "user_id": pa.array(np.zeros(n, dtype=np.int64)),
+            "event_type": pa.array(["view"] * n),
+            "value": pa.array(np.abs(vals)),
+            "props": pa.array(["{}"] * n)}),
+            os.path.join(d, "events.parquet"))
+        psi = REGISTRY["value_drift_psi"][0](d)["psi"].iloc[0]
+        if bound is not None:
+            assert psi < bound
+        else:
+            assert psi > 1.0     # gross shift -> large PSI

@@ -3351,6 +3351,48 @@ def validate_fk_orders(sf_dir: str) -> pd.DataFrame:
         "total_orders": [np.int64(parts["total"].sum())]})
 
 
+@register("value_drift_psi", sql="""
+WITH binned AS (SELECT CAST(FLOOR(value / 25) AS BIGINT) AS bin,
+                       CASE WHEN day(ts) <= 15 THEN 'a' ELSE 'b' END
+                           AS half
+                FROM events),
+c AS (SELECT bin,
+             SUM(CASE WHEN half = 'a' THEN 1 ELSE 0 END) AS na,
+             SUM(CASE WHEN half = 'b' THEN 1 ELSE 0 END) AS nb
+      FROM binned GROUP BY bin),
+t AS (SELECT SUM(na) * 1.0 AS ta, SUM(nb) * 1.0 AS tb FROM c),
+p AS (SELECT (na + 0.5) / (ta + 0.5 * COUNT(*) OVER ()) AS pa,
+             (nb + 0.5) / (tb + 0.5 * COUNT(*) OVER ()) AS pb
+      FROM c, t)
+SELECT ROUND(SUM((pa - pb) * LN(pa / pb)), 6) AS psi FROM p""")
+def value_drift_psi(sf_dir: str) -> pd.DataFrame:
+    """Distribution-drift monitor: Population Stability Index between
+    the month's two halves over the value histogram (the check a
+    production feed runs before trusting a new drop against the last).
+    Laplace-smoothed (+0.5 per bin over the UNION of observed bins) so
+    bins empty on one side stay finite. Only (bin, na, nb) rows leave
+    the cluster; PSI is closed-form on that tiny table."""
+    def partials(batch: pa.Table) -> pa.Table:
+        b = pc.cast(pc.floor(pc.divide(batch["value"],
+                                       pa.scalar(25.0))), pa.int64())
+        is_a = pc.less_equal(pc.day(batch["ts"]), 15)
+        return pa.table({
+            "bin": b,
+            "na": pc.cast(is_a, pa.int64()),
+            "nb": pc.cast(pc.invert(is_a), pa.int64())})
+
+    c = reduce_sink(_events(sf_dir, ["ts", "value"]).map_batches(
+        partials, batch_format="pyarrow"),
+        ["bin"], {"na": ("na", "sum"), "nb": ("nb", "sum")}).to_pandas()
+    na = c["na"].to_numpy(np.float64)
+    nb = c["nb"].to_numpy(np.float64)
+    k = float(len(c))
+    pa_ = (na + 0.5) / (na.sum() + 0.5 * k)
+    pb_ = (nb + 0.5) / (nb.sum() + 0.5 * k)
+    psi = float(((pa_ - pb_) * np.log(pa_ / pb_)).sum())
+    return pd.DataFrame({"psi": [round(psi, 6)]})
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
