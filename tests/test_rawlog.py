@@ -201,3 +201,21 @@ def test_jsonl_lossless_and_bad_line_isolation(ray_session, tmp_path):
                                           include_bad=True).to_pandas()
     assert (all_rows["route"] == "bad").sum() == 2
     assert (all_rows["route"] == "ok").sum() == 2
+
+
+def test_read_events_csv_roundtrip(ray_session, tmp_path):
+    """CSV events ingestion reproduces the parquet table byte-for-byte
+    after dtype coercion (ids int64, ts timestamp[us], value float64)."""
+    import duckdb
+    import pandas as pd
+
+    from webalizer_ray.sources.events_adapter import read_events_csv
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    csv = str(tmp_path / "events.csv")
+    duckdb.sql(f"COPY (SELECT * FROM read_parquet('{src}')) TO '{csv}' "
+               f"(HEADER, DATEFORMAT '%Y-%m-%dT%H:%M:%S.%f')")
+    a = read_events_csv(csv).to_pandas() \
+        .sort_values("event_id", ignore_index=True)
+    b = pd.read_parquet(src).sort_values("event_id", ignore_index=True)
+    pd.testing.assert_frame_equal(a, b[a.columns])

@@ -78,3 +78,39 @@ def events_to_turns(sf_dir: str, num_buckets: int = 64) -> rd.Dataset:
     return (ds.map_batches(with_bucket, batch_format="pandas")
             .groupby("bucket_")
             .map_groups(assign_turn_idx, batch_format="pandas"))
+
+
+EVENTS_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+
+def read_events_csv(path: str) -> rd.Dataset:
+    """CSV ingestion for the events table (header row, ISO timestamps):
+    ``ray.data.read_csv`` streams the files; a batch-local coercion
+    stage pins the canonical dtypes (int64 ids, timestamp[us] ts,
+    float64 value) so downstream queries behave identically to the
+    parquet path — CSV type inference varies per block otherwise (a
+    block of integer-looking values must not become int64 when the
+    schema says double). Round-trip-tested against the parquet table.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = rd.read_csv(path)
+
+    def coerce(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"]
+        if not pa.types.is_timestamp(ts.type):
+            ts = pc.strptime(pc.cast(ts, pa.string()),
+                             format="%Y-%m-%dT%H:%M:%S.%f", unit="us")
+        else:
+            ts = pc.cast(ts, pa.timestamp("us"))
+        return pa.table({
+            "event_id": pc.cast(batch["event_id"], pa.int64()),
+            "ts": ts,
+            "user_id": pc.cast(batch["user_id"], pa.int64()),
+            "event_type": pc.cast(batch["event_type"], pa.string()),
+            "value": pc.cast(batch["value"], pa.float64()),
+            "props": pc.cast(batch["props"], pa.string()),
+        })
+
+    return ds.map_batches(coerce, batch_format="pyarrow")
