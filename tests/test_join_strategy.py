@@ -43,3 +43,31 @@ def test_broadcast_equals_shuffle(ray_session, sides):
     pd.testing.assert_frame_equal(canon(sh), canon(want))
     # inner semantics: unmatched left keys drop
     assert set(bc["k"]) <= set(right["rk"])
+
+
+def test_bucketed_storage_join_matches_shuffle_join(ray_session,
+                                                    tmp_path):
+    """Write both sides bucketed by key hash, join per bucket with zero
+    shuffle — identical rows to the ordinary join (key-hash bucketing
+    is value-based, so differing column names co-bucket)."""
+    from webalizer_ray.stages.join import bucketed_join, write_bucketed
+
+    sf = "/root/testdata/sf0.001"
+    orders = rd.read_parquet(f"{sf}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_totalprice"])
+    cust = rd.read_parquet(f"{sf}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    lo = write_bucketed(orders, "o_custkey", str(tmp_path / "o"),
+                        num_buckets=8)
+    lc = write_bucketed(cust, "c_custkey", str(tmp_path / "c"),
+                        num_buckets=8)
+    j = bucketed_join(lo, lc, on="o_custkey", right_on="c_custkey",
+                      num_buckets=8).to_pandas()
+    want = orders.to_pandas().merge(
+        cust.to_pandas(), left_on="o_custkey",
+        right_on="c_custkey").drop(columns=["c_custkey"])
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment"]
+    a = j[cols].sort_values(cols, ignore_index=True)
+    b = want[cols].sort_values(cols, ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)
