@@ -58,3 +58,16 @@ def test_pagerank_sink_attracts_mass(ray_session):
                           "dst": [0, 0, 0, 0, 1]})
     out = pagerank(edges, n_iter=20)
     assert out.loc[out["r"].idxmax(), "node"] == 0
+
+
+def test_pagerank_edge_inputs(ray_session):
+    """Empty edge set → empty typed frame; a lone self-loop holds all
+    the mass; ranks always sum to 1 when nodes exist."""
+    from webalizer_ray.stages.graph import pagerank
+
+    empty = pagerank(pd.DataFrame({"src": pd.Series([], dtype="int64"),
+                                   "dst": pd.Series([], dtype="int64")}),
+                     n_iter=2)
+    assert len(empty) == 0 and list(empty.columns) == ["node", "r"]
+    loop = pagerank(pd.DataFrame({"src": [5], "dst": [5]}), n_iter=3)
+    assert len(loop) == 1 and abs(loop["r"].iloc[0] - 1.0) < 1e-12

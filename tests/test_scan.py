@@ -92,3 +92,19 @@ def test_global_rank_matches_argsort(ray_session):
     assert (out["rnk"].to_numpy() == np.arange(1, len(df) + 1)).all()
     # every id exactly once
     assert sorted(out["i"]) == sorted(ids)
+
+
+def test_global_rank_degenerate_inputs(ray_session):
+    """Single row and all-equal values rank correctly (ties by id)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from webalizer_ray.stages.scan import global_rank
+
+    one = global_rank(rd.from_pandas(
+        pd.DataFrame({"v": [7.0], "i": [1]})), "v", "i").to_pandas()
+    assert list(one["rnk"]) == [1]
+    eq = global_rank(rd.from_pandas(pd.DataFrame(
+        {"v": [3.0] * 50, "i": np.arange(50)})), "v", "i").to_pandas()
+    eq = eq.sort_values("i", ignore_index=True)
+    assert (eq["rnk"].to_numpy() == np.arange(1, 51)).all()

@@ -47,6 +47,9 @@ def pagerank(edges: rd.Dataset | pd.DataFrame, damping: float = 0.85,
     to 1. Deterministic given the edge set up to per-bucket float
     association (parity vs a numpy reference is tested to 1e-9)."""
     if isinstance(edges, pd.DataFrame):
+        if not len(edges):
+            return pd.DataFrame({"node": pd.Series(dtype=np.int64),
+                                 "r": pd.Series(dtype=np.float64)})
         edges = rd.from_pandas(edges[[src_col, dst_col]])
 
     # ---- static prep (once): nodes, outdegrees, edge weights --------
@@ -62,6 +65,9 @@ def pagerank(edges: rd.Dataset | pd.DataFrame, damping: float = 0.85,
              .drop_columns(["_c"])
              .repartition(num_partitions).materialize())
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        return pd.DataFrame({"node": pd.Series(dtype=np.int64),
+                             "r": pd.Series(dtype=np.float64)})
 
     def deg_partial(b: pa.Table) -> pa.Table:
         u, c = np.unique(np.asarray(b[src_col], dtype=np.int64),
