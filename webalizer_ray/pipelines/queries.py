@@ -3393,6 +3393,76 @@ def value_drift_psi(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"psi": [round(psi, 6)]})
 
 
+@register("daily_growth", sql="""
+WITH d AS (SELECT strftime(ts, '%Y-%m-%d') AS date, COUNT(*) AS hits
+           FROM events GROUP BY 1)
+SELECT date, hits,
+       ROUND(COALESCE((hits - LAG(hits) OVER (ORDER BY date)) * 100.0
+                      / LAG(hits) OVER (ORDER BY date), 0), 6)
+           AS pct_change
+FROM d""")
+def daily_growth(sf_dir: str) -> pd.DataFrame:
+    """Day-over-day traffic growth % (the trend arrow on every
+    dashboard): the heavy work is the ordinary partial-combine daily
+    aggregate; the LAG window runs on the date-cardinality result
+    (a window over a tiny aggregate is driver arithmetic, not a
+    distributed op — same stance as the flagship's finalize)."""
+    ds = _events(sf_dir, ["ts"]).map_batches(
+        _with_time_cols({"date"}), batch_format="pyarrow")
+    d = reduce_sink(ds, ["date"], {"hits": ("ts", "size")}).to_pandas()
+    d = d.sort_values("date", ignore_index=True)
+    prev = d["hits"].shift()
+    pct = ((d["hits"] - prev) * 100.0 / prev).fillna(0.0)
+    d["pct_change"] = textstats.round_half_away(
+        pct.to_numpy(np.float64), 6)
+    return d
+
+
+@register("return_visit_gaps", sql=f"""
+WITH s AS ({_SESS_SQL}),
+per AS (SELECT user_id, sid, MIN(ts) AS t0 FROM s GROUP BY 1, 2),
+g AS (SELECT user_id,
+             epoch_us(t0) - epoch_us(LAG(t0) OVER (PARTITION BY user_id
+                                                   ORDER BY t0)) AS gap_us
+      FROM per)
+SELECT CAST(FLOOR(gap_us / 3600000000.0) AS BIGINT) AS gap_hours,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM g WHERE gap_us IS NOT NULL GROUP BY 1""")
+def return_visit_gaps(sf_dir: str) -> pd.DataFrame:
+    """Return-visit gap histogram (hours between a user's consecutive
+    session starts — the webalizer-family loyalty metric): session
+    starts come from the bucket-local rollup, consecutive gaps from a
+    per-user shift INSIDE the same bucket (users never span buckets),
+    and only (gap_hours, n) partials shuffle."""
+    per = _per_session_rollup(sf_dir)
+
+    def gaps(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "t0_us"], kind="mergesort")
+        same = df["user_id"].eq(df["user_id"].shift())
+        gap = df["t0_us"] - df["t0_us"].shift()
+        h = (gap[same] // 3_600_000_000).astype(np.int64)
+        vc = h.value_counts()
+        return pd.DataFrame({"gap_hours": vc.index.to_numpy(np.int64),
+                             "n": vc.to_numpy(np.int64)})
+
+    # the rollup's map_groups output blocks are per user-bucket, but a
+    # later stage may re-split them: do the shift inside ONE map_groups
+    # over the same bucket key to stay split-proof
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket_"] = (df["user_id"].to_numpy() % 32).astype(np.int32)
+        return df
+
+    parts = (per.map_batches(with_bucket, batch_format="pandas")
+             .groupby("bucket_")
+             .map_groups(lambda g: gaps(g.drop(columns=["bucket_"])),
+                         batch_format="pandas"))
+    out = reduce_sink(parts, ["gap_hours"],
+                      {"n": ("n", "sum")}).to_pandas()
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values("gap_hours", ignore_index=True)
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
