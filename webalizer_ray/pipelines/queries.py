@@ -3463,6 +3463,34 @@ def return_visit_gaps(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("gap_hours", ignore_index=True)
 
 
+@register("region_supplier_stats", sql="""
+SELECT r_name, CAST(COUNT(*) AS BIGINT) AS suppliers,
+       ROUND(SUM(s_acctbal), 2) AS acctbal_sum
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1""")
+def region_supplier_stats(sf_dir: str) -> pd.DataFrame:
+    """Region-level rollup through the 3-level dimension chain
+    (supplier → nation → region): both dimensions are tiny, so
+    auto_join picks the broadcast path twice — the fact side never
+    shuffles; completes query coverage of every driver table."""
+    from webalizer_ray.stages.join import auto_join
+    sup = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                          columns=["s_nationkey", "s_acctbal"])
+    nat = rd.read_parquet(f"{sf_dir}/nation.parquet",
+                          columns=["n_nationkey", "n_regionkey"])
+    reg = rd.read_parquet(f"{sf_dir}/region.parquet",
+                          columns=["r_regionkey", "r_name"])
+    j = auto_join(auto_join(sup, nat, on="s_nationkey",
+                            right_on="n_nationkey"),
+                  reg, on="n_regionkey", right_on="r_regionkey")
+    out = reduce_sink(j, ["r_name"],
+                      {"suppliers": ("s_acctbal", "size"),
+                       "acctbal_sum": ("s_acctbal", "sum")}).to_pandas()
+    out["acctbal_sum"] = out["acctbal_sum"].round(2)
+    return out.sort_values("r_name", ignore_index=True)
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
