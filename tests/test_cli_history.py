@@ -260,3 +260,9 @@ def test_cli_ingest_rerun_never_doubles(ray_session, tmp_path, capsys):
     capsys.readouterr()
     import pyarrow.dataset as pads
     assert pads.dataset(os.path.join(out, "turns")).count_rows() == 10
+
+
+def test_cli_selfcheck(ray_session, capsys):
+    assert cli.main(["selfcheck", "--no-actors"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["status"] == "PASS" and out["conserved"]

@@ -238,6 +238,46 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_selfcheck(args) -> int:
+    """One-command install validation: build a tiny deterministic
+    fixture, run the full engine AND the pure-pandas refmodel, compare
+    every conservation metric — prints PASS/FAIL JSON, exit 0/1."""
+    import tempfile
+
+    import pyarrow.dataset as pads
+
+    _init_ray(args.num_cpus)
+    from webalizer_ray import fixtures
+    from webalizer_ray.config import DEFAULT_CONFIG
+    from webalizer_ray.pipelines.flagship import run_flagship
+    from webalizer_ray.refmodel import run_refmodel
+
+    d = tempfile.mkdtemp(prefix="wr_selfcheck_")
+    fixtures.build_fixture_dir(d, scale="tiny")
+    res = run_flagship(d, os.path.join(d, "out"), DEFAULT_CONFIG,
+                       use_actors=not args.no_actors)
+    turns = pads.dataset(os.path.join(d, "turns")).to_table().to_pandas()
+    import pandas as pd
+    lk = {}
+    for name in ["tool_categories", "role_groups"]:
+        t = pd.read_parquet(os.path.join(d, f"{name}.parquet"))
+        lk[name] = dict(zip(t.iloc[:, 0], t.iloc[:, 1]))
+    ref = run_refmodel(turns, DEFAULT_CONFIG, lk["tool_categories"],
+                       lk["role_groups"])
+    keys = ("total_rec", "bad", "ignored", "parsed", "sessions", "convs")
+    diffs = {k: (res["metrics"][k], ref["metrics"][k]) for k in keys
+             if res["metrics"][k] != ref["metrics"][k]}
+    conserved = (res["metrics"]["total_rec"]
+                 == res["metrics"]["parsed"] + res["metrics"]["bad"]
+                 + res["metrics"]["ignored"])
+    ok = not diffs and conserved
+    print(json.dumps({"status": "PASS" if ok else "FAIL",
+                      "metrics": res["metrics"],
+                      "mismatches": diffs, "conserved": conserved},
+                     default=str))
+    return 0 if ok else 1
+
+
 def cmd_history(args) -> int:
     import pyarrow.parquet as pq
 
@@ -420,6 +460,12 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--list", action="store_true")
     q.add_argument("--num-cpus", type=int, default=None, dest="num_cpus")
     q.set_defaults(fn=cmd_query)
+
+    sc = sub.add_parser("selfcheck", help="install validation: tiny "
+                                          "fixture, engine vs refmodel")
+    sc.add_argument("--no-actors", action="store_true")
+    sc.add_argument("--num-cpus", type=int, default=None, dest="num_cpus")
+    sc.set_defaults(fn=cmd_selfcheck)
 
     h = sub.add_parser("history", help="update monthly history roll-up")
     h.add_argument("--out", required=True, help="a finished run's out dir")
