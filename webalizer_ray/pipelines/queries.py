@@ -3491,6 +3491,44 @@ def region_supplier_stats(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("r_name", ignore_index=True)
 
 
+@register("tpch_q6_revenue", sql="""
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS qualifying
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.02 AND l_discount <= 0.08
+  AND l_quantity < 24""")
+def tpch_q6_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q6 shape — THE scan-efficiency benchmark: every predicate
+    is pushed into the parquet scan (``filter=`` prunes row groups
+    before bytes leave storage, ``columns=`` prunes to the two measure
+    columns), then per-batch revenue partials sum — nothing shuffles
+    but scalars."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pds
+    f = ((pds.field("l_shipdate") >= _dt.datetime(1997, 1, 1))
+         & (pds.field("l_shipdate") < _dt.datetime(1998, 1, 1))
+         & (pds.field("l_discount") >= 0.02)
+         & (pds.field("l_discount") <= 0.08)
+         & (pds.field("l_quantity") < 24))
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_extendedprice", "l_discount"],
+                         filter=f)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rev = pc.sum(pc.multiply(batch["l_extendedprice"],
+                                 batch["l_discount"])).as_py() or 0.0
+        return pa.table({"rev": pa.array([rev], pa.float64()),
+                         "n": pa.array([batch.num_rows], pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({
+        "revenue": [round(float(parts["rev"].sum()), 2)],
+        "qualifying": [np.int64(parts["n"].sum())]})
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
