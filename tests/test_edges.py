@@ -79,3 +79,30 @@ def test_session_timeout_extremes(ray_session, tiny_fixture, tmp_path,
         sess = r["sinks"]["sessions"]
         per_conv_months = sess.groupby(["conv_id", "month"]).size()
         assert (per_conv_months == 1).all()
+
+
+def test_profile_and_validate_on_empty_table(ray_session, tmp_path):
+    """CLI-reachable diagnostics must handle an empty input table:
+    profile returns zeroed stats, validation reports zero violations
+    for every rule (empty data violates nothing)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from webalizer_ray.stages.aggregate import key_skew_profile
+    from webalizer_ray.stages.textstats import validate_rules
+
+    p = str(tmp_path / "empty.parquet")
+    pq.write_table(pa.table({
+        "k": pa.array([], pa.int64()),
+        "v": pa.array([], pa.float64())}), p)
+    ds = rd.read_parquet(p)
+    prof = key_skew_profile(rd.read_parquet(p, columns=["k"]), "k")
+    assert prof == {"distinct_keys": 0, "total_rows": 0, "max_n": 0,
+                    "max_share": 0.0, "entropy": 0.0, "gini": 0.0}
+    out = validate_rules(ds, {"k": {"not_null": True, "unique": True},
+                              "v": {"min": 0.0}})
+    assert (out["violations"] == 0).all() and len(out) == 3
+    del os

@@ -215,9 +215,12 @@ def key_skew_profile(ds: rd.Dataset, key: str) -> dict:
         return pd.DataFrame({"n": vc.index.to_numpy(np.int64),
                              "k_n": vc.to_numpy(np.int64)})
 
-    h = reduce_sink(counts.map_batches(hist_partial,
+    h = sink_pandas(counts.map_batches(hist_partial,
                                        batch_format="pandas"),
-                    ["n"], {"k_n": ("k_n", "sum")}).to_pandas()
+                    ["n"], {"k_n": ("k_n", "sum")})
+    if h.empty:
+        return {"distinct_keys": 0, "total_rows": 0, "max_n": 0,
+                "max_share": 0.0, "entropy": 0.0, "gini": 0.0}
     h = h.sort_values("n", ignore_index=True)
     n = h["n"].to_numpy(np.float64)
     k_n = h["k_n"].to_numpy(np.float64)
@@ -229,3 +232,16 @@ def key_skew_profile(ds: rd.Dataset, key: str) -> dict:
     return {"distinct_keys": int(k), "total_rows": int(tot),
             "max_n": int(n[-1]), "max_share": n[-1] / tot,
             "entropy": entropy, "gini": gini}
+
+
+def sink_pandas(ds: rd.Dataset, keys: list[str], spec: dict,
+                dropna: bool = True, num_buckets: int = 64) -> "pd.DataFrame":
+    """reduce_sink → pandas with a SCHEMA-STABLE empty: Ray's all-empty
+    block path loses column names, so a zero-row result comes back as a
+    named (object-dtyped) frame instead of a column-less one — callers'
+    column selections and sorts keep working on empty inputs."""
+    out = reduce_sink(ds, keys, spec, dropna, num_buckets).to_pandas()
+    cols = list(keys) + list(spec)
+    if len(out) and set(cols) <= set(out.columns):
+        return out
+    return pd.DataFrame({c: pd.Series(dtype=object) for c in cols})

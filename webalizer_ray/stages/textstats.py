@@ -225,17 +225,23 @@ def validate_rules(ds, rules: dict) -> "pd.DataFrame":
 
     rows = []
     if checks:
-        agg = reduce_sink(ds.map_batches(partial, batch_format="pyarrow"),
+        from webalizer_ray.stages.aggregate import sink_pandas
+        agg = sink_pandas(ds.map_batches(partial, batch_format="pyarrow"),
                           ["column", "rule"],
-                          {"violations": ("violations", "sum")}).to_pandas()
+                          {"violations": ("violations", "sum")})
+        if agg.empty:   # empty input: zero violations for every rule
+            agg = pd.DataFrame({
+                "column": [c for c, _, _ in checks],
+                "rule": [r for _, r, _ in checks],
+                "violations": np.zeros(len(checks), dtype=np.int64)})
         rows.append(agg)
     for col, spec in rules.items():
         if spec.get("unique"):
             tagged = ds.map_batches(
                 lambda df, c=col: df[[c]].assign(_g=np.int32(0)),
                 batch_format="pandas")
-            nd = int(distinct_count(tagged, ["_g"], col, "n")
-                     .to_pandas()["n"].iloc[0])
+            ndf = distinct_count(tagged, ["_g"], col, "n").to_pandas()
+            nd = int(ndf["n"].iloc[0]) if len(ndf) and "n" in ndf else 0
             total = ds.count()
             rows.append(pd.DataFrame({
                 "column": [col], "rule": ["unique"],
