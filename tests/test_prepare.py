@@ -86,3 +86,22 @@ def test_prepare_rerun_serves_cached_funnel(ray_session, tmp_path):
     f3 = run_prepare(_docs(), out, token_budget=256)  # params changed
     assert f3["bins"] > f1["bins"]
     assert json.load(open(marker))["funnel"] == f3
+
+
+def test_prepare_and_curate_on_empty_corpus(ray_session, tmp_path):
+    """An empty documents table yields a zeroed funnel at every hop —
+    no crash, no partial output (the CLI path a bad glob would hit)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from webalizer_ray.pipelines.curate import run_curation
+    from webalizer_ray.pipelines.prepare import run_prepare
+
+    p = str(tmp_path / "docs.parquet")
+    pq.write_table(pa.table({"doc_id": pa.array([], "int64"),
+                             "text": pa.array([], "string")}), p)
+    docs = rd.read_parquet(p)
+    c = run_curation(docs, str(tmp_path / "c"))
+    assert c["total"] == 0 and sum(c["routes"].values()) == 0
+    f = run_prepare(docs, str(tmp_path / "p"), token_budget=512)
+    assert f["packed_docs"] == 0 and f["bins"] == 0

@@ -120,6 +120,12 @@ def run_curation(docs: rd.Dataset, out_dir: str, q_lo: float = 0.05,
     sig = docs.map_batches(signals, batch_format="pandas")
     band = exact_quantiles_bounded(sig, "n_tokens", [q_lo, q_hi])
     lo, hi = band[q_lo], band[q_hi]
+    if np.isnan(lo):    # empty corpus: zero-row funnel, nothing to write
+        os.makedirs(out_dir, exist_ok=True)
+        funnel = {"total": 0, "routes": {r: 0 for r in ROUTES},
+                  "band": [0.0, 0.0]}
+        write_marker(out_dir, "_FUNNEL.json", key, funnel)
+        return funnel
 
     def route_batch(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()

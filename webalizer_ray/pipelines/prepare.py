@@ -72,6 +72,13 @@ def run_prepare(docs: rd.Dataset, out_dir: str,
     funnel = run_curation(docs, os.path.join(out_dir, "curation"),
                           q_lo=q_lo, q_hi=q_hi, min_quality=min_quality,
                           id_col=id_col)
+    if funnel["routes"]["kept"] == 0:   # nothing survived curation
+        funnel.update({"contaminated": 0, "packed_docs": 0,
+                       "packed_tokens": 0, "bins": 0,
+                       "token_budget": token_budget})
+        os.makedirs(os.path.join(out_dir, "packed"), exist_ok=True)
+        write_marker(out_dir, "_PREPARE.json", key, funnel)
+        return funnel
     kept = rd.read_parquet(os.path.join(out_dir, "curation", "route=kept"),
                            columns=[id_col, "text", "n_tokens"])
 

@@ -177,8 +177,11 @@ def exact_quantiles_bounded(ds: rd.Dataset, col: str,
         return pd.DataFrame({col: vc.index.to_numpy(),
                              "cnt": vc.to_numpy(np.int64)})
 
-    hist = reduce_sink(ds.map_batches(value_counts, batch_format="pandas"),
-                       [col], {"cnt": ("cnt", "sum")}).to_pandas()
+    hist = sink_pandas(ds.map_batches(value_counts,
+                                      batch_format="pandas"),
+                       [col], {"cnt": ("cnt", "sum")})
+    if hist.empty:      # empty input: quantiles of nothing are NaN
+        return {q: float("nan") for q in qs}
     hist = hist.sort_values(col, ignore_index=True)
     vals = hist[col].to_numpy(np.float64)
     cum = hist["cnt"].to_numpy(np.int64).cumsum()
