@@ -3529,6 +3529,47 @@ def tpch_q6_revenue(sf_dir: str) -> pd.DataFrame:
         "qualifying": [np.int64(parts["n"].sum())]})
 
 
+@register("promo_revenue_share", sql="""
+SELECT ROUND(100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%' THEN
+                              l_extendedprice * (1 - l_discount)
+                         ELSE 0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 6)
+           AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+  AND l_shipdate < TIMESTAMP '1997-04-01'""")
+def promo_revenue_share(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q14 shape (promotion revenue share): the date predicate is
+    pushed into the lineitem scan, the part dimension broadcasts
+    through auto_join (fact side never shuffles), and both the promo
+    and total revenue sums combine from per-batch scalar partials —
+    the division happens once, on the driver, in oracle order."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pds
+
+    from webalizer_ray.stages.join import auto_join
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+        filter=((pds.field("l_shipdate") >= _dt.datetime(1997, 3, 1))
+                & (pds.field("l_shipdate") < _dt.datetime(1997, 4, 1))))
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_type"])
+    j = auto_join(li, part, on="l_partkey", right_on="p_partkey")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rev = (df["l_extendedprice"].to_numpy(np.float64)
+               * (1.0 - df["l_discount"].to_numpy(np.float64)))
+        promo = df["p_type"].str.startswith("PROMO").to_numpy()
+        return pd.DataFrame({"promo": [float(rev[promo].sum())],
+                             "total": [float(rev.sum())]})
+
+    parts = j.map_batches(partial, batch_format="pandas").to_pandas()
+    pct = 100.0 * parts["promo"].sum() / parts["total"].sum()
+    return pd.DataFrame({"promo_pct": [round(float(pct), 6)]})
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
