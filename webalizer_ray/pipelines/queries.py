@@ -3570,6 +3570,69 @@ def promo_revenue_share(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"promo_pct": [round(float(pct), 6)]})
 
 
+@register("bigram_pmi", sql=r"""
+WITH t AS (SELECT regexp_extract_all(lower(text), '\S+') AS w
+           FROM documents),
+u AS (SELECT unnest(w) AS word FROM t),
+uc AS (SELECT word, COUNT(*) AS c FROM u GROUP BY 1),
+tot AS (SELECT SUM(c) * 1.0 AS T FROM uc),
+bg AS (SELECT w[i] AS w1, w[i+1] AS w2
+       FROM t, LATERAL (SELECT unnest(generate_series(1, len(w) - 1))
+                        AS i) g),
+bc AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY 1, 2),
+btot AS (SELECT SUM(cb) * 1.0 AS B FROM bc)
+SELECT w1, w2, CAST(cb AS BIGINT) AS cnt,
+       ROUND(LN((cb / B) / ((ua.c / T) * (ub.c / T))), 6) AS pmi
+FROM bc JOIN uc ua ON ua.word = w1 JOIN uc ub ON ub.word = w2, tot, btot
+WHERE cb >= 5
+ORDER BY pmi DESC, w1, w2 LIMIT 15""")
+def bigram_pmi(sf_dir: str) -> pd.DataFrame:
+    """Collocation extraction: top-15 bigrams by pointwise mutual
+    information (min count 5) — the phrase-mining step of tokenizer /
+    vocab pipelines. Unigram and bigram counts reduce as partials
+    (bigrams from a numpy shift inside each doc, never across docs);
+    the PMI arithmetic runs on the count-threshold survivors against
+    the vocabulary-sized unigram table (same driver footprint as the
+    unigram-LM scorer), with the float expression in oracle order."""
+    def grams(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].fillna("").str.lower().str.split()
+        rows_u, rows_b = [], []
+        for ws in words:
+            rows_u.extend(ws)
+            rows_b.extend(zip(ws[:-1], ws[1:]))
+        vc_u = pd.Series(rows_u).value_counts() if rows_u \
+            else pd.Series(dtype=np.int64)
+        vc_b = pd.Series(rows_b).value_counts() if rows_b \
+            else pd.Series(dtype=np.int64)
+        u = pd.DataFrame({"w1": vc_u.index.to_numpy(), "w2": "",
+                          "cnt": vc_u.to_numpy(np.int64), "kind": "u"})
+        b = pd.DataFrame({
+            "w1": [a for a, _ in vc_b.index],
+            "w2": [bb for _, bb in vc_b.index],
+            "cnt": vc_b.to_numpy(np.int64), "kind": "b"})
+        return pd.concat([u, b], ignore_index=True)
+
+    agg = reduce_sink(_docs(sf_dir, ["text"]).map_batches(
+        grams, batch_format="pandas"),
+        ["kind", "w1", "w2"], {"cnt": ("cnt", "sum")}).to_pandas()
+    uni = agg[agg["kind"] == "u"].set_index("w1")["cnt"]
+    big = agg[agg["kind"] == "b"]
+    T = float(uni.sum())
+    B = float(big["cnt"].sum())
+    q = big[big["cnt"] >= 5].copy()
+    ca = uni.loc[q["w1"]].to_numpy(np.float64)
+    cb2 = uni.loc[q["w2"]].to_numpy(np.float64)
+    cb = q["cnt"].to_numpy(np.float64)
+    q["pmi"] = textstats.round_half_away(
+        np.log((cb / B) / ((ca / T) * (cb2 / T))), 6)
+    q = q.sort_values(["pmi", "w1", "w2"],
+                      ascending=[False, True, True]).head(15)
+    return pd.DataFrame({"w1": q["w1"].to_numpy(),
+                         "w2": q["w2"].to_numpy(),
+                         "cnt": q["cnt"].to_numpy(np.int64),
+                         "pmi": q["pmi"].to_numpy()})
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
