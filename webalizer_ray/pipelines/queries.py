@@ -3633,6 +3633,40 @@ def bigram_pmi(sf_dir: str) -> pd.DataFrame:
                          "pmi": q["pmi"].to_numpy()})
 
 
+@register("corpus_source_mix", sql=r"""
+WITH t AS (SELECT source,
+                  len(regexp_extract_all(text, '\S+')) AS n_tokens
+           FROM documents),
+s AS (SELECT source, COUNT(*) AS docs,
+             SUM(n_tokens) AS tokens FROM t GROUP BY 1),
+tot AS (SELECT SUM(tokens) * 1.0 AS T FROM s)
+SELECT source, CAST(docs AS BIGINT) AS docs,
+       CAST(tokens AS BIGINT) AS tokens,
+       ROUND(tokens / T, 6) AS token_share
+FROM s, tot""")
+def corpus_source_mix(sf_dir: str) -> pd.DataFrame:
+    """Per-source corpus mix report (docs, tokens, token share) — the
+    first table of every data-mixture card. Token counting is the
+    Arrow regex kernel; per-source partials combine; shares divide once
+    on the source-cardinality aggregate."""
+    def counts(batch: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(
+            batch["text"], textstats.TOKEN_RX), pa.int64())
+        return pa.table({"source": batch["source"], "n_tokens": n})
+
+    agg = reduce_sink(
+        _docs(sf_dir, ["source", "text"]).map_batches(
+            counts, batch_format="pyarrow"),
+        ["source"], {"docs": ("n_tokens", "size"),
+                     "tokens": ("n_tokens", "sum")}).to_pandas()
+    T = float(agg["tokens"].sum())
+    agg["docs"] = agg["docs"].astype(np.int64)
+    agg["tokens"] = agg["tokens"].astype(np.int64)
+    agg["token_share"] = textstats.round_half_away(
+        agg["tokens"].to_numpy(np.float64) / T, 6)
+    return agg.sort_values("source", ignore_index=True)
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
