@@ -1,0 +1,70 @@
+"""BM25 ranked retrieval: oracle parity + first-principles brute force."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def brute_bm25(docs: pd.DataFrame, terms, k1=1.2, b=0.75, k=10):
+    """Independent per-doc python implementation of Robertson/Lucene BM25."""
+    toks = [t.split() for t in docs["text"].fillna("")]
+    n = len(toks)
+    avgdl = sum(len(w) for w in toks) / n
+    df = {t: sum(1 for w in toks if t in w) for t in terms}
+    rows = []
+    for doc_id, w in zip(docs["doc_id"], toks):
+        s = 0.0
+        for t in terms:
+            tf = w.count(t)
+            if tf == 0:
+                continue
+            idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            s += idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * len(w) / avgdl))
+        if s > 0:
+            rows.append((doc_id, s))
+    rows.sort(key=lambda r: (-round(r[1], 6), r[0]))
+    return rows[:k]
+
+
+def test_bm25_matches_oracle(ray_session):
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    fn, sql = REGISTRY["bm25_search"]
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')")
+    ours, ref = fn(SF), con.sql(sql).df()
+    assert len(ours) == len(ref) == 10
+    assert ours["doc_id"].tolist() == ref["doc_id"].tolist()
+    assert np.allclose(ours["score"], ref["score"], rtol=0, atol=1e-9)
+
+
+def test_bm25_matches_brute_force(ray_session):
+    from webalizer_ray.pipelines.queries import REGISTRY, _BM25_TERMS
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    want = brute_bm25(docs, _BM25_TERMS)
+    got = REGISTRY["bm25_search"][0](SF)
+    assert got["doc_id"].tolist() == [d for d, _ in want]
+    assert np.allclose(got["score"],
+                       [round(s, 6) for _, s in want], atol=1e-6)
+
+
+def test_bm25_scores_descending_and_hits_only(ray_session):
+    from webalizer_ray.pipelines.queries import REGISTRY, _BM25_TERMS
+
+    got = REGISTRY["bm25_search"][0](SF)
+    assert (np.diff(got["score"]) <= 0).all()
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    texts = dict(zip(docs["doc_id"], docs["text"]))
+    for d in got["doc_id"]:
+        assert any(t in texts[d].split() for t in _BM25_TERMS)

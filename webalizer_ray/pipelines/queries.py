@@ -3667,6 +3667,147 @@ def corpus_source_mix(sf_dir: str) -> pd.DataFrame:
     return agg.sort_values("source", ignore_index=True)
 
 
+@register("cdc_merged_customers", sql="""
+WITH u AS (
+  SELECT c_custkey AS key, c_acctbal AS val,
+         CAST(-1 AS BIGINT) AS seq, 'upsert' AS op FROM customer
+  UNION ALL
+  SELECT o_custkey, o_totalprice, CAST(o_orderkey AS BIGINT),
+         CASE WHEN o_orderkey % 13 = 0 THEN 'delete' ELSE 'upsert' END
+  FROM orders),
+w AS (SELECT key, val, op,
+             ROW_NUMBER() OVER (PARTITION BY key ORDER BY seq DESC) AS rk
+      FROM u)
+SELECT key, ROUND(val, 2) AS val FROM w WHERE rk = 1 AND op <> 'delete'""")
+def cdc_merged_customers(sf_dir: str) -> pd.DataFrame:
+    """MERGE INTO / CDC upsert-apply (the lakehouse incremental-store
+    primitive): the customer snapshot is the base, orders replay as a
+    change stream keyed by custkey (orderkey = commit sequence; every
+    13th order is a delete). Last writer wins per key; a winning delete
+    retires the key. Scale shape: one streaming union, each row
+    shuffles ONCE into a coarse int32 key-hash bucket, winner-per-key
+    is a single vectorized sort+drop_duplicates inside the bucket."""
+    from webalizer_ray.stages.cdc import OP_DELETE, OP_UPSERT, merge_changes
+
+    base = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_acctbal"]) \
+        .rename_columns({"c_custkey": "key", "c_acctbal": "val"})
+
+    def to_changes(b: pa.Table) -> pa.Table:
+        ok = pc.cast(b["o_orderkey"], pa.int64())
+        # op: delete when orderkey % 13 == 0 (Arrow int divide truncates)
+        rem = pc.subtract(ok, pc.multiply(pc.divide(ok, 13), 13))
+        op = pc.if_else(pc.equal(rem, 0), pa.scalar(OP_DELETE),
+                        pa.scalar(OP_UPSERT))
+        return pa.table({"key": b["o_custkey"], "val": b["o_totalprice"],
+                         "seq": ok, "op": op})
+
+    changes = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_totalprice"]) \
+        .map_batches(to_changes, batch_format="pyarrow")
+    out = merge_changes(base, changes, "key").to_pandas()
+    out["key"] = out["key"].astype(np.int64)
+    out["val"] = textstats.round_half_away(
+        out["val"].to_numpy(np.float64), 2)
+    return out.sort_values("key", ignore_index=True)
+
+
+#: fixed keyword query + Robertson/Lucene BM25 constants for bm25_search.
+_BM25_TERMS = ("table", "hash", "merge")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@register("bm25_search", sql=r"""
+WITH d AS (SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS dl
+           FROM documents),
+n AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM d),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf
+       FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+             FROM documents)
+       WHERE term IN ('table', 'hash', 'merge') GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+s AS (SELECT tf.doc_id,
+             SUM(ln((n.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                 * tf.tf * (1.2 + 1.0)
+                 / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / n.avgdl)))
+               AS score
+      FROM tf JOIN df USING (term) JOIN d USING (doc_id) CROSS JOIN n
+      GROUP BY tf.doc_id)
+SELECT doc_id, ROUND(score, 6) AS score
+FROM s ORDER BY score DESC, doc_id LIMIT 10""")
+def bm25_search(sf_dir: str) -> pd.DataFrame:
+    """BM25 ranked retrieval (the search-engine scoring the reference's
+    search-string reports feed; Robertson et al. TREC-3 / Lucene idf
+    variant). Two streaming passes over the corpus: pass 1 reduces the
+    collection statistics — N, total token count, per-query-term doc
+    frequency — to a handful of scalars; pass 2 captures those scalars,
+    scores each batch vectorized, and emits per-batch top-k PARTIALS so
+    only k rows per block reach the final combine. A doc's tf/dl come
+    from its own text cell, so per-doc values never shuffle at all."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    terms = list(_BM25_TERMS)
+
+    def term_tf(df: pd.DataFrame) -> pd.DataFrame:
+        """(doc_id, dl) + per-query-term tf rows for one batch."""
+        words = df["text"].fillna("").str.split()
+        dl = words.str.len().to_numpy(np.int64)
+        # empty docs explode to a NaN placeholder — drop it so the
+        # flat token array aligns with np.repeat(doc_id, dl)
+        flat = words.explode().dropna().to_numpy()
+        doc = np.repeat(df["doc_id"].to_numpy(), dl)
+        m = pd.Series(flat).isin(terms).to_numpy()
+        tf = (pd.DataFrame({"doc_id": doc[m], "term": flat[m]})
+              .groupby(["doc_id", "term"], sort=False).size()
+              .rename("tf").reset_index())
+        tf["tf"] = tf["tf"].astype(np.int64)
+        return tf, pd.DataFrame({"doc_id": df["doc_id"], "dl": dl})
+
+    def stats_partial(df: pd.DataFrame) -> pd.DataFrame:
+        tf, dl = term_tf(df)
+        per_term = tf.groupby("term", sort=False).size().rename("df") \
+            .reset_index()
+        per_term["n"] = np.int64(0)
+        per_term["dl"] = np.int64(0)
+        tot = pd.DataFrame({"term": ["\x00stats"],
+                            "df": np.int64(0),
+                            "n": np.int64(len(df)),
+                            "dl": np.int64(dl["dl"].sum())})
+        return pd.concat([per_term, tot], ignore_index=True)
+
+    st = reduce_sink(
+        docs.map_batches(stats_partial, batch_format="pandas"),
+        ["term"], {"df": ("df", "sum"), "n": ("n", "sum"),
+                   "dl": ("dl", "sum")}).to_pandas()
+    n_docs = float(st["n"].sum())
+    avgdl = float(st["dl"].sum()) / n_docs
+    dfreq = {r["term"]: float(r["df"]) for _, r in st.iterrows()
+             if r["term"] != "\x00stats"}
+    k1, b = _BM25_K1, _BM25_B
+
+    def score_topk(df: pd.DataFrame) -> pd.DataFrame:
+        tf, dl = term_tf(df)
+        m = tf.merge(dl, on="doc_id")
+        dfv = m["term"].map(dfreq).to_numpy(np.float64)
+        idf = np.log((n_docs - dfv + 0.5) / (dfv + 0.5) + 1.0)
+        tfv = m["tf"].to_numpy(np.float64)
+        dlv = m["dl"].to_numpy(np.float64)
+        m["s"] = (idf * tfv * (k1 + 1.0)
+                  / (tfv + k1 * (1.0 - b + b * dlv / avgdl)))
+        sc = m.groupby("doc_id", sort=False)["s"].sum().reset_index()
+        sc["score"] = textstats.round_half_away(
+            sc["s"].to_numpy(np.float64), 6)
+        sc = sc.sort_values(["score", "doc_id"], ascending=[False, True],
+                            kind="mergesort").head(10)
+        return sc[["doc_id", "score"]]
+
+    cand = docs.map_batches(score_topk, batch_format="pandas").to_pandas()
+    out = cand.sort_values(["score", "doc_id"], ascending=[False, True],
+                           kind="mergesort").head(10)
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
