@@ -3713,6 +3713,68 @@ def cdc_merged_customers(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("key", ignore_index=True)
 
 
+@register("top_session_paths", sql=f"""
+WITH s AS (SELECT user_id, event_type, ts, event_id,
+                  SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+           FROM ({_NS_SQL})),
+r AS (SELECT user_id, sid, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                                ORDER BY ts, event_id) AS rk
+      FROM s),
+p AS (SELECT user_id, sid, string_agg(event_type, '>' ORDER BY rk) AS path
+      FROM r WHERE rk <= 3 GROUP BY user_id, sid)
+SELECT path, COUNT(*) AS sessions FROM p GROUP BY path
+ORDER BY sessions DESC, path LIMIT 15""")
+def top_session_paths(sf_dir: str) -> pd.DataFrame:
+    """Session path mining (clickstream navigation analysis): the most
+    common first-3-event-type journeys across visit-window sessions.
+    Scale shape: sessions are sessionized AND folded to their path
+    string inside the user-hash bucket task (a user's events never span
+    buckets), so only (path, n) partials — cardinality ≤ |types|³ —
+    shuffle to the final combine; top-15 resolves on the driver over
+    the tiny path table."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+    num_buckets = 32
+
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket_"] = (df["user_id"].to_numpy()
+                         % num_buckets).astype(np.int32)
+        return df
+
+    def path_counts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        same = g["user_id"].eq(g["user_id"].shift())
+        gap_s = (g["ts"] - g["ts"].shift()).dt.total_seconds()
+        ns = (~same) | (gap_s >= 1800.0)
+        sid = ns.cumsum()  # unique per session within the bucket
+        rk = g.groupby(sid.to_numpy(), sort=False).cumcount()
+        f = pd.DataFrame({"sid": sid[rk < 3], "pos": rk[rk < 3],
+                          "t": g["event_type"][rk < 3]})
+        wide = f.pivot(index="sid", columns="pos", values="t") \
+            .reindex(columns=[0, 1, 2])
+
+        def seg(col: pd.Series) -> np.ndarray:
+            # absent positions (session shorter than 3) contribute ""
+            return np.where(col.isna(), "",
+                            ">" + col.fillna("").astype(str))
+
+        path = pd.Series(wide[0].astype(str).to_numpy()
+                         + seg(wide[1]) + seg(wide[2]))
+        c = path.value_counts()
+        return pd.DataFrame({"path": c.index.to_numpy(),
+                             "n": c.to_numpy(np.int64)})
+
+    partials = ds.map_batches(with_bucket, batch_format="pandas") \
+        .groupby("bucket_").map_groups(path_counts, batch_format="pandas")
+    agg = reduce_sink(partials, ["path"], {"sessions": ("n", "sum")}) \
+        .to_pandas()
+    agg["sessions"] = agg["sessions"].astype(np.int64)
+    return agg.sort_values(["sessions", "path"], ascending=[False, True],
+                           kind="mergesort").head(15).reset_index(drop=True)
+
+
 #: fixed keyword query + Robertson/Lucene BM25 constants for bm25_search.
 _BM25_TERMS = ("table", "hash", "merge")
 _BM25_K1, _BM25_B = 1.2, 0.75
