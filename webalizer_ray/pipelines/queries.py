@@ -3870,6 +3870,40 @@ def bm25_search(sf_dir: str) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+@register("quality_classifier_docs", sql=None)  # iterative GD — not SQL
+def quality_classifier_docs(sf_dir: str) -> pd.DataFrame:
+    """Model-based quality filtering (fastText/CCNet-style): distill
+    the heuristic curation gate (quality_score >= 0.5) into a logistic
+    regression trained distributed — per-block gradient partials, one
+    streaming pass per iteration over a materialized feature
+    projection — then score every document in a stateless pass.
+    (The synthetic corpus's lang/source columns are independent of the
+    text, so the gate is the one genuinely learnable target; it is
+    also exactly what quality-classifier distillation does in real
+    pipelines.) Rows-only for the driver; pytest verifies bit-level
+    gradient parity vs a single-machine reference, repartition
+    invariance, and gate-reproduction accuracy."""
+    from webalizer_ray.stages.classifier import (
+        doc_feature_frame, score_logreg, train_logreg)
+
+    docs = _docs(sf_dir, ["doc_id", "text", "lang"])
+
+    def featurize(df: pd.DataFrame) -> pd.DataFrame:
+        f = doc_feature_frame(df)
+        q = textstats.add_quality_score(df)
+        f["y"] = (q["quality_score"].to_numpy(np.float64)
+                  >= 0.5).astype(np.float64)
+        return f
+
+    feats = docs.map_batches(featurize, batch_format="pandas")
+    w = train_logreg(feats, n_iter=10)
+    out = score_logreg(docs, w).to_pandas()
+    out["score"] = textstats.round_half_away(
+        out["score"].to_numpy(np.float64), 6)
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.sort_values("doc_id", ignore_index=True)
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
