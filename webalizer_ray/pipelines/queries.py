@@ -3904,6 +3904,57 @@ def quality_classifier_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id", ignore_index=True)
 
 
+#: Morton interleave as a generated SQL expression (bit i of x at 2i,
+#: bit i of y at 2i+1) — integer arithmetic, exact on both sides.
+_Z_BITS = 12
+_Z_EXPR = " + ".join(
+    f"(((x >> {i}) & 1) << {2 * i}) + (((y >> {i}) & 1) << {2 * i + 1})"
+    for i in range(_Z_BITS))
+
+
+@register("zorder_curve_hist", sql=f"""
+WITH q AS (SELECT CAST(hour(ts) AS BIGINT) AS x,
+                  CAST(NTILE(4096) OVER (ORDER BY value, event_id) - 1
+                       AS BIGINT) AS y
+           FROM events),
+z AS (SELECT ({_Z_EXPR}) AS z FROM q)
+SELECT CAST(z >> 12 AS BIGINT) AS zbucket, COUNT(*) AS n
+FROM z GROUP BY zbucket""")
+def zorder_curve_hist(sf_dir: str) -> pd.DataFrame:
+    """Z-order curve assignment (the OPTIMIZE ZORDER BY layout key):
+    hour × value-NTILE interleaved into a Morton code, histogrammed by
+    curve bucket. The NTILE quantization rides the distributed ORDER BY
+    rank (scan.global_rank — only bucket counts reach the driver), the
+    interleave is a vectorized per-batch transform, and only (zbucket,
+    n) partials shuffle. stages/layout.py applies the same curve as a
+    physical re-layout; the pruning win is asserted in tests from
+    parquet footer stats."""
+    from webalizer_ray.stages.layout import interleave_bits2
+
+    ds = _events(sf_dir, ["event_id", "ts", "value"]).map_batches(
+        _with_time_cols({"hour"}), batch_format="pyarrow")
+    n_rows = _events(sf_dir, ["event_id"]).count()
+    ranked = scan.global_rank(ds, "value", "event_id", num_buckets=16)
+
+    k = 4096
+    q, rem = divmod(n_rows, k)
+    big = rem * (q + 1)
+
+    def zbucket(df: pd.DataFrame) -> pd.DataFrame:
+        r = df["rnk"].to_numpy(np.int64)
+        ntile = np.where(r <= big, (r - 1) // max(q + 1, 1) + 1,
+                         rem + (r - big - 1) // max(q, 1) + 1)
+        z = interleave_bits2(df["hour"].to_numpy(np.int64),
+                             ntile.astype(np.int64) - 1, bits=_Z_BITS)
+        return pd.DataFrame({"zbucket": z >> 12,
+                             "one": np.ones(len(df), np.int64)})
+
+    agg = reduce_sink(ranked.map_batches(zbucket, batch_format="pandas"),
+                      ["zbucket"], {"n": ("one", "sum")}).to_pandas()
+    agg["n"] = agg["n"].astype(np.int64)
+    return agg.sort_values("zbucket", ignore_index=True)
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
