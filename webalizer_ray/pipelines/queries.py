@@ -3904,6 +3904,30 @@ def quality_classifier_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id", ignore_index=True)
 
 
+@register("ann_topk_int8", sql=None)  # int8 rounding — not SQL-exact
+def ann_topk_int8(sf_dir: str) -> pd.DataFrame:
+    """Cosine top-k over the int8-quantized embedding table (the 4×
+    smaller representation you would persist at 100 TB): quantize in
+    one stateless pass, score per-batch against the broadcast float
+    query matrix, per-batch top-k partials. Rows-only for the driver;
+    pytest asserts the per-component error bound and recall vs the
+    exact float path."""
+    from webalizer_ray.stages.quant import int8_topk, quantize_int8
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    qtbl = tbl.filter(pc.less(tbl["vec_id"], 3))
+    qids = np.asarray(qtbl["vec_id"])
+    queries = np.stack(qtbl["embedding"].to_pandas().to_numpy())
+    qds = quantize_int8(rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]))
+    out = int8_topk(qds, queries, k=5)
+    out["query_id"] = qids[out["query_id"].to_numpy()]
+    out["cosine"] = out["cosine"].round(6)
+    return out[["query_id", "vec_id", "cosine", "rank"]] \
+        .sort_values(["query_id", "rank"], ignore_index=True)
+
+
 #: Morton interleave as a generated SQL expression (bit i of x at 2i,
 #: bit i of y at 2i+1) — integer arithmetic, exact on both sides.
 _Z_BITS = 12
