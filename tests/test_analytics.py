@@ -1,0 +1,87 @@
+"""Co-occurrence pairs, decile lift and rank-sum AUC: planted-value
+tests + invariants (oracle parity runs in tools/check_oracle.py)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write_events(d, ts_list, users, types, values=None):
+    os.makedirs(d, exist_ok=True)
+    n = len(ts_list)
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(np.array(ts_list, dtype="datetime64[us]"),
+                       pa.timestamp("us")),
+        "user_id": pa.array(np.array(users, dtype=np.int64)),
+        "event_type": pa.array(types),
+        "value": pa.array(np.ones(n) if values is None
+                          else np.asarray(values, np.float64)),
+        "props": pa.array(["{}"] * n)}),
+        os.path.join(d, "events.parquet"))
+
+
+def test_pairs_only_within_sessions(ray_session, tmp_path):
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    # user 1: {a,b} in one session, then {a,c} after a 2h gap;
+    # b and c never share a session.
+    ts = [t0, t0 + 5 * s, t0 + 7200 * s, t0 + 7205 * s]
+    d = str(tmp_path / "pairs")
+    _write_events(d, ts, [1, 1, 1, 1], ["a", "b", "a", "c"])
+    out = REGISTRY["session_type_pairs"][0](d)
+    got = {(r.type_a, r.type_b): r.support for r in out.itertuples()}
+    assert got == {("a", "b"): 1, ("a", "c"): 1}
+
+
+def test_repeated_type_counts_once_per_session(ray_session, tmp_path):
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    ts = [t0, t0 + 1 * s, t0 + 2 * s, t0 + 3 * s]
+    d = str(tmp_path / "dups")
+    _write_events(d, ts, [1, 1, 1, 1], ["a", "a", "b", "b"])
+    out = REGISTRY["session_type_pairs"][0](d)
+    assert out["support"].tolist() == [1]  # (a,b) once, not 4x
+
+
+def test_decile_lift_partitions_users(ray_session):
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    out = REGISTRY["user_value_decile_lift"][0](SF)
+    users = pd.read_parquet(f"{SF}/events.parquet", columns=["user_id"])
+    assert out["decile"].tolist() == list(range(1, 11))
+    assert out["users"].sum() == users["user_id"].nunique()
+    assert (out["buyers"] <= out["users"]).all()
+    expect = np.round(out["buyers"] / out["users"], 6)
+    assert np.allclose(out["buyer_rate"], expect, atol=1e-9)
+
+
+def test_auc_extremes(ray_session, tmp_path):
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    n = 40
+    ts = [t0 + i * s for i in range(n)]
+    users = list(range(n))
+    # perfect separation: purchases hold the top half of value
+    types = ["view"] * (n // 2) + ["purchase"] * (n // 2)
+    values = list(range(n))
+    d1 = str(tmp_path / "perfect")
+    _write_events(d1, ts, users, types, values)
+    assert REGISTRY["auc_value_purchase"][0](d1)["auc"].iloc[0] == 1.0
+
+    d2 = str(tmp_path / "inverted")
+    _write_events(d2, ts, users, types[::-1], values)
+    assert REGISTRY["auc_value_purchase"][0](d2)["auc"].iloc[0] == 0.0

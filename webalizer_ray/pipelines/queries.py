@@ -3904,6 +3904,195 @@ def quality_classifier_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id", ignore_index=True)
 
 
+@register("smallqty_revenue_q17", sql="""
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#12'
+  AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = p_partkey)""")
+def smallqty_revenue_q17(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q17 shape — a correlated scalar subquery decorrelated into
+    a per-key aggregate + map-side re-probe. Scale shape: the brand's
+    partkeys broadcast once and prune BOTH lineitem passes map-side
+    (the fact table never shuffles); pass 1 reduces (partkey, sum, n)
+    partials to a per-part average table (≤ brand-part cardinality,
+    broadcast back via ray.put); pass 2 re-scans the pruned lineitems
+    and sums the below-threshold revenue as scalar partials. The
+    threshold 0.2*avg is exact: quantities are integer-valued doubles,
+    so the sum/count division is order-independent."""
+    parts = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"],
+        filters=[("p_brand", "=", "Brand#12")])
+    keys = frozenset(parts["p_partkey"].to_pylist())
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def avg_partial(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t["l_partkey"], value_set=pa.array(list(keys)))
+        t = t.filter(m)
+        return pa.table({"l_partkey": t["l_partkey"],
+                         "q": t["l_quantity"],
+                         "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    avgs = reduce_sink(li.map_batches(avg_partial, batch_format="pyarrow"),
+                       ["l_partkey"],
+                       {"s": ("q", "sum"), "n": ("one", "sum")}).to_pandas()
+    thr = {int(k): 0.2 * (s / n) for k, s, n in
+           zip(avgs["l_partkey"], avgs["s"], avgs["n"])}
+    thr_ref = ray.put(thr)
+
+    def rev_partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = ray.get(thr_ref)
+        df = df[df["l_partkey"].isin(t.keys())]
+        lim = df["l_partkey"].map(t).to_numpy(np.float64)
+        keep = df["l_quantity"].to_numpy(np.float64) < lim
+        return pd.DataFrame(
+            {"rev": [df["l_extendedprice"].to_numpy(np.float64)[keep]
+                     .sum()]})
+
+    parts_rev = li.map_batches(rev_partial,
+                               batch_format="pandas").to_pandas()
+    total = float(parts_rev["rev"].sum())
+    return pd.DataFrame({"avg_yearly": [
+        float(textstats.round_half_away(total / 7.0, 2))]})
+
+
+@register("session_type_pairs", sql=f"""
+WITH s AS (SELECT user_id, event_type, ts, event_id,
+                  SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+           FROM ({_NS_SQL})),
+d AS (SELECT DISTINCT user_id, sid, event_type FROM s),
+p AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM d a JOIN d b ON a.user_id = b.user_id AND a.sid = b.sid
+                       AND a.event_type < b.event_type)
+SELECT type_a, type_b, COUNT(*) AS support FROM p GROUP BY 1, 2""")
+def session_type_pairs(sf_dir: str) -> pd.DataFrame:
+    """Market-basket co-occurrence mining: support counts of unordered
+    event-type pairs appearing in the same visit-window session. Scale
+    shape: distinct (session, type) and the pair expansion are ONE
+    vectorized self-merge inside the user-hash bucket (a session's
+    pair fan-out is bounded by |types|²); only (type_a, type_b, n)
+    partials shuffle."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+    num_buckets = 32
+
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket_"] = (df["user_id"].to_numpy()
+                         % num_buckets).astype(np.int32)
+        return df
+
+    def pair_counts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        same = g["user_id"].eq(g["user_id"].shift())
+        gap_s = (g["ts"] - g["ts"].shift()).dt.total_seconds()
+        sid = ((~same) | (gap_s >= 1800.0)).cumsum()
+        d = pd.DataFrame({"sid": sid.to_numpy(),
+                          "t": g["event_type"].to_numpy()}) \
+            .drop_duplicates()
+        m = d.merge(d, on="sid")
+        m = m[m["t_x"] < m["t_y"]]
+        c = m.groupby(["t_x", "t_y"], sort=False).size()
+        out = c.rename("n").reset_index()
+        out["n"] = out["n"].astype(np.int64)
+        return out.rename(columns={"t_x": "type_a", "t_y": "type_b"})
+
+    partials = ds.map_batches(with_bucket, batch_format="pandas") \
+        .groupby("bucket_").map_groups(pair_counts, batch_format="pandas")
+    agg = reduce_sink(partials, ["type_a", "type_b"],
+                      {"support": ("n", "sum")}).to_pandas()
+    agg["support"] = agg["support"].astype(np.int64)
+    return agg.sort_values(["type_a", "type_b"], ignore_index=True)
+
+
+@register("user_value_decile_lift", sql="""
+WITH agg AS (SELECT user_id, ROUND(SUM(value), 2) AS v,
+                    MAX(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS buyer
+             FROM events GROUP BY 1),
+r AS (SELECT *, NTILE(10) OVER (ORDER BY v, user_id) AS decile FROM agg)
+SELECT CAST(decile AS BIGINT) AS decile, COUNT(*) AS users,
+       CAST(SUM(buyer) AS BIGINT) AS buyers,
+       ROUND(SUM(buyer) * 1.0 / COUNT(*), 6) AS buyer_rate
+FROM r GROUP BY decile""")
+def user_value_decile_lift(sf_dir: str) -> pd.DataFrame:
+    """Decile lift/gains table (the model-evaluation report scoring
+    teams read): users ranked into value deciles via the distributed
+    ORDER BY rank (only bucket counts reach the driver), buyer flags
+    reduced as per-user max partials, per-decile rates closed-form on
+    the 10-row aggregate."""
+    agg = reduce_sink(
+        _events(sf_dir, ["user_id", "value", "event_type"]).map_batches(
+            lambda t: pa.table({
+                "user_id": t["user_id"], "value": t["value"],
+                "buyer": pc.cast(pc.equal(t["event_type"], "purchase"),
+                                 pa.int64())}),
+            batch_format="pyarrow"),
+        ["user_id"], {"v": ("value", "sum"), "buyer": ("buyer", "max")})
+
+    def rounded(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["v"] = df["v"].round(2)
+        return df
+
+    ranked = scan.global_rank(
+        agg.map_batches(rounded, batch_format="pandas"),
+        "v", "user_id", num_buckets=8).to_pandas()
+    k = len(ranked)
+    r = ranked["rnk"].to_numpy(np.int64)
+    q, rem = divmod(k, 10)
+    big = rem * (q + 1)
+    ranked["decile"] = np.where(
+        r <= big, (r - 1) // max(q + 1, 1) + 1,
+        rem + (r - big - 1) // max(q, 1) + 1).astype(np.int64)
+    out = ranked.groupby("decile").agg(
+        users=("user_id", "size"), buyers=("buyer", "sum")).reset_index()
+    out["users"] = out["users"].astype(np.int64)
+    out["buyers"] = out["buyers"].astype(np.int64)
+    out["buyer_rate"] = textstats.round_half_away(
+        out["buyers"].to_numpy(np.float64) * 1.0
+        / out["users"].to_numpy(np.float64), 6)
+    return out.sort_values("decile", ignore_index=True)
+
+
+@register("auc_value_purchase", sql="""
+WITH r AS (SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+               AS pos,
+           ROW_NUMBER() OVER (ORDER BY value, event_id) AS rnk
+           FROM events),
+s AS (SELECT CAST(SUM(CASE WHEN pos = 1 THEN rnk ELSE 0 END) AS DOUBLE)
+          AS rank_sum,
+      CAST(SUM(pos) AS DOUBLE) AS np,
+      CAST(COUNT(*) - SUM(pos) AS DOUBLE) AS nn FROM r)
+SELECT ROUND((rank_sum - np * (np + 1) / 2) / (np * nn), 6) AS auc
+FROM s""")
+def auc_value_purchase(sf_dir: str) -> pd.DataFrame:
+    """Distributed AUC via the Mann-Whitney rank-sum identity (the
+    standard trick for AUC over data too big to sort locally): the
+    global rank comes from scan.global_rank (deterministic (value,
+    event_id) order on both engines — ties share the tiebreak, so the
+    statistic matches exactly), and only per-block (rank_sum, np, nn)
+    scalar partials reach the driver for the closed form."""
+    ds = _events(sf_dir, ["event_id", "value", "event_type"])
+    ranked = scan.global_rank(ds, "value", "event_id", num_buckets=16)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        pos = (df["event_type"] == "purchase").to_numpy()
+        r = df["rnk"].to_numpy(np.float64)
+        return pd.DataFrame({"rank_sum": [r[pos].sum()],
+                             "np": [float(pos.sum())],
+                             "nn": [float((~pos).sum())]})
+
+    p = ranked.map_batches(partial, batch_format="pandas").to_pandas()
+    rank_sum, n_pos, n_neg = (float(p["rank_sum"].sum()),
+                              float(p["np"].sum()), float(p["nn"].sum()))
+    auc = (rank_sum - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
+    return pd.DataFrame({"auc": [float(textstats.round_half_away(auc, 6))]})
+
+
 @register("ann_topk_int8", sql=None)  # int8 rounding — not SQL-exact
 def ann_topk_int8(sf_dir: str) -> pd.DataFrame:
     """Cosine top-k over the int8-quantized embedding table (the 4×
