@@ -220,6 +220,39 @@ def test_decode_audio_known_sine_features():
     assert out["peak"][0].as_py() > 0.999
 
 
+def test_spectral_features_recover_sine_frequency():
+    """440 Hz sine, 8000 samples at 8 kHz ⇒ 1 Hz FFT bins: dominant
+    frequency must be exactly 440.0; a narrowband signal's rolloff
+    sits on the same bin."""
+    import numpy as np
+    from webalizer_ray.stages.multimodal import (SpectralFeatures,
+                                                 encode_wav)
+    import pyarrow as pa
+    rate, freq = 8000, 440.0
+    t = np.arange(rate) / rate
+    s = np.round(np.sin(2 * np.pi * freq * t) * 32767).astype(np.int16)
+    batch = pa.table({"media_id": pa.array([1], pa.int64()),
+                      "kind": pa.array(["audio"]),
+                      "payload": pa.array([encode_wav(s, rate)],
+                                          pa.large_binary())})
+    out = SpectralFeatures()(batch)
+    assert out["dominant_hz"][0].as_py() == 440.0
+    assert abs(out["rolloff_hz"][0].as_py() - 440.0) <= 1.0
+    assert abs(out["centroid_hz"][0].as_py() - 440.0) < 5.0
+
+
+def test_spectral_query_fixture_sines_in_band(ray_session):
+    """Every fixture audio row is a seeded 100–1500 Hz sine (+2% noise):
+    the recovered dominant frequency must land in that band and the
+    rolloff can't sit below the dominant bin."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    out = REGISTRY["media_audio_spectral"][0]("/root/testdata/sf0.001")
+    assert len(out) > 0
+    assert ((out["dominant_hz"] >= 95) & (out["dominant_hz"] <= 1505)).all()
+    assert (out["rolloff_hz"] >= out["dominant_hz"] - 5).all()
+
+
 def test_decode_audio_stub_raises_without_codec():
     import pytest
     import pyarrow as pa

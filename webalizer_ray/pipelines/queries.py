@@ -1501,6 +1501,24 @@ def media_audio_features(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("media_id", ignore_index=True)
 
 
+@register("media_audio_spectral")
+def media_audio_spectral(sf_dir: str) -> pd.DataFrame:
+    """REAL spectral analysis (numpy rFFT over decoded PCM — no codec
+    library involved): dominant frequency, spectral centroid and 85%
+    rolloff per audio payload. The fixture's sines make the dominant
+    frequency verifiable to one FFT bin in tests."""
+    from webalizer_ray.stages.multimodal import (
+        MEDIA_BATCH_KWARGS,
+        SpectralFeatures,
+    )
+    feats = _media_ds().map_batches(
+        SpectralFeatures, concurrency=(1, 2), **MEDIA_BATCH_KWARGS)
+    out = feats.to_pandas()
+    for c in ["dominant_hz", "centroid_hz", "rolloff_hz"]:
+        out[c] = out[c].round(4)
+    return out.sort_values("media_id", ignore_index=True)
+
+
 @register("media_frame_sample")
 def media_frame_sample(sf_dir: str) -> pd.DataFrame:
     """Flat-map actor stage: video payload → n_frames feature rows."""
@@ -4115,6 +4133,25 @@ def ann_topk_int8(sf_dir: str) -> pd.DataFrame:
     out["cosine"] = out["cosine"].round(6)
     return out[["query_id", "vec_id", "cosine", "rank"]] \
         .sort_values(["query_id", "rank"], ignore_index=True)
+
+
+@register("bpe_merges", sql=None)  # iterative merge loop — not SQL
+def bpe_merges(sf_dir: str) -> pd.DataFrame:
+    """BPE tokenizer training (Sennrich et al. 2016): the distributed
+    part is ONE word-count reduce (only (word, n) partials shuffle —
+    BPE statistics depend on the frequency table alone, which is how
+    real subword trainers scale); the K-merge loop runs over the
+    vocabulary-sized table on the driver. Returns the learned merge
+    list; pytest checks the paper's worked example, encode/decode
+    round-trip and piece-count conservation."""
+    from webalizer_ray.stages.bpe import learn_bpe, word_counts
+
+    vocab = word_counts(_docs(sf_dir, ["text"]))
+    merges = learn_bpe(vocab, n_merges=50)
+    return pd.DataFrame({
+        "rank": np.arange(len(merges), dtype=np.int64),
+        "left": [a for a, _ in merges],
+        "right": [b for _, b in merges]})
 
 
 #: Morton interleave as a generated SQL expression (bit i of x at 2i,
