@@ -4154,6 +4154,76 @@ def bpe_merges(sf_dir: str) -> pd.DataFrame:
         "right": [b for _, b in merges]})
 
 
+_EVOLVED_VERSION = 1
+
+
+def _evolved_dir() -> str:
+    """Deterministic 3-generation parquet store whose schema widened
+    over time (gen1: id,val · gen2: +tag · gen3: +score) — the
+    schema-evolution fixture, built once per user under /tmp with the
+    same atomic-publish convention as _media_ds."""
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    d = os.path.join(tempfile.gettempdir(),
+                     f"wr_evolved_u{uid}_v{_EVOLVED_VERSION}")
+    marker = os.path.join(d, "gen3.parquet")
+    if not os.path.exists(marker):
+        os.makedirs(d, exist_ok=True)
+        ids1 = np.arange(0, 100, dtype=np.int64)
+        ids2 = np.arange(100, 200, dtype=np.int64)
+        ids3 = np.arange(200, 300, dtype=np.int64)
+        gens = [
+            ("gen1", pa.table({"id": ids1, "val": ids1 * 0.5})),
+            ("gen2", pa.table({"id": ids2, "val": ids2 * 0.5,
+                               "tag": pa.array([f"t{i % 3}"
+                                                for i in ids2])})),
+            ("gen3", pa.table({"id": ids3, "val": ids3 * 0.5,
+                               "tag": pa.array([f"t{i % 3}"
+                                                for i in ids3]),
+                               "score": ids3 * 0.25})),
+        ]
+        for name, t in gens:
+            tmp = os.path.join(d, f".{name}-{os.getpid()}.tmp")
+            pq.write_table(t, tmp)
+            os.replace(tmp, os.path.join(d, f"{name}.parquet"))
+    return d
+
+
+@register("evolved_store_profile", sql=None)  # filled in below
+def evolved_store_profile(sf_dir: str) -> pd.DataFrame:
+    """Schema-evolution read (union-by-name): three file generations
+    with widening schemas unify from footers only; missing columns
+    materialize as typed nulls in a zero-copy Arrow align pass; the
+    profile reduces as per-batch scalar partials. Oracle: DuckDB's own
+    read_parquet(..., union_by_name=true) over the same files."""
+    from webalizer_ray.sources.readers import read_parquet_unified
+
+    ds = read_parquet_unified(_evolved_dir())
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame({
+            "n_rows": [np.int64(t.num_rows)],
+            "n_tag": [np.int64(t.num_rows - t["tag"].null_count)],
+            "n_score": [np.int64(t.num_rows - t["score"].null_count)],
+            "val_sum": [float(pc.sum(t["val"]).as_py() or 0.0)]})
+
+    p = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({
+        "n_rows": [np.int64(p["n_rows"].sum())],
+        "n_tag": [np.int64(p["n_tag"].sum())],
+        "n_score": [np.int64(p["n_score"].sum())],
+        "val_sum": [float(textstats.round_half_away(
+            float(p["val_sum"].sum()), 2))]})
+
+
+# the oracle reads the same deterministic fixture path via DuckDB's
+# union_by_name (built on first query() call; queries run before oracles)
+REGISTRY["evolved_store_profile"] = (
+    evolved_store_profile,
+    f"""SELECT COUNT(*) AS n_rows, COUNT(tag) AS n_tag,
+       COUNT(score) AS n_score, ROUND(SUM(val), 2) AS val_sum
+FROM read_parquet('{os.path.join(tempfile.gettempdir(), "wr_evolved_u" + str(os.getuid() if hasattr(os, "getuid") else 0) + "_v" + str(_EVOLVED_VERSION))}/*.parquet', union_by_name=true)""")
+
+
 #: Morton interleave as a generated SQL expression (bit i of x at 2i,
 #: bit i of y at 2i+1) — integer arithmetic, exact on both sides.
 _Z_BITS = 12

@@ -47,3 +47,60 @@ def read_lookup_dicts(fixture_dir: str) -> tuple[dict[str, str], dict[str, str]]
     tool_categories = dict(zip(tc["tool"].to_pylist(), tc["category"].to_pylist()))
     role_groups = dict(zip(rg["role"].to_pylist(), rg["grp"].to_pylist()))
     return tool_categories, role_groups
+
+
+def read_parquet_unified(path: str, **read_kwargs) -> rd.Dataset:
+    """Schema-evolution read: union-by-name over parquet files whose
+    schemas differ (columns added over a store's lifetime).
+
+    Plain ``read_parquet`` over a mixed-schema directory either fails
+    or silently drops late columns depending on which file seeds the
+    schema. Here the unified schema comes from FOOTERS ONLY (one
+    metadata fetch per file on the driver — no data bytes), files are
+    grouped by schema fingerprint, each group is read as its own
+    streaming scan, aligned to the unified schema in a zero-copy Arrow
+    pass (missing columns materialize as typed nulls), and the groups
+    union — still lazy, still streaming, one task per file/row-group.
+    Type conflicts across files resolve by permissive Arrow promotion
+    (int → wider int/float); genuinely incompatible types raise at
+    plan-build time, not mid-stream.
+    """
+    import pyarrow as pa
+
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f) for f in os.listdir(path)
+            if f.endswith(".parquet"))
+    else:
+        files = [path]
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {path}")
+
+    groups: dict[tuple, list[str]] = {}
+    schemas: dict[tuple, pa.Schema] = {}
+    for f in files:
+        s = pq.ParquetFile(f).schema_arrow
+        key = tuple((n, str(s.field(n).type)) for n in s.names)
+        groups.setdefault(key, []).append(f)
+        schemas[key] = s
+    unified = pa.unify_schemas(list(schemas.values()),
+                               promote_options="permissive")
+
+    def align(target: pa.Schema):
+        def fn(t: pa.Table) -> pa.Table:
+            cols = []
+            for field in target:
+                if field.name in t.column_names:
+                    cols.append(t[field.name].cast(field.type))
+                else:
+                    cols.append(pa.nulls(t.num_rows, field.type))
+            return pa.table(dict(zip(target.names, cols)))
+        return fn
+
+    parts = [rd.read_parquet(fs, **read_kwargs)
+             .map_batches(align(unified), batch_format="pyarrow")
+             for fs in groups.values()]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
