@@ -85,3 +85,42 @@ def test_auc_extremes(ray_session, tmp_path):
     d2 = str(tmp_path / "inverted")
     _write_events(d2, ts, users, types[::-1], values)
     assert REGISTRY["auc_value_purchase"][0](d2)["auc"].iloc[0] == 0.0
+
+
+def test_label_centroids_match_numpy(ray_session):
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    out = REGISTRY["label_centroids"][0](SF)
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    for lab, grp in emb.groupby("label"):
+        m = np.stack(grp["embedding"].to_numpy()).astype(np.float64)
+        want = m.mean(axis=0)
+        got = out[out["label"] == lab].sort_values("dim")["centroid"] \
+            .to_numpy()
+        assert np.allclose(got, np.round(want, 6), atol=1e-6)
+
+
+def test_corr_and_ols_on_planted_line(ray_session, tmp_path):
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    day = np.timedelta64(86400, "s")
+    n = 50
+    ts = [t0 + i * day for i in range(n)]
+    x_days = np.arange(n, dtype=np.float64)
+    values = 2.0 * x_days + 3.0          # exact line
+    d = str(tmp_path / "line")
+    _write_events(d, ts, list(range(n)), ["view"] * n, values)
+
+    ols = REGISTRY["value_trend_ols"][0](d)
+    assert abs(ols["slope"].iloc[0] - 2.0) < 1e-6
+    assert abs(ols["intercept"].iloc[0] - 3.0) < 1e-6
+
+    # value is a strictly increasing function of ts but not of hour;
+    # plant an hour-aligned line for the corr check instead
+    ts2 = [t0 + np.timedelta64(h, "h") for h in range(20)]
+    vals2 = np.arange(20, dtype=np.float64) * 1.5 + 1
+    d2 = str(tmp_path / "hline")
+    _write_events(d2, ts2, list(range(20)), ["view"] * 20, vals2)
+    corr = REGISTRY["hour_value_corr"][0](d2)
+    assert abs(corr["corr"].iloc[0] - 1.0) < 1e-6

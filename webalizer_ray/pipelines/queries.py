@@ -4154,6 +4154,126 @@ def bpe_merges(sf_dir: str) -> pd.DataFrame:
         "right": [b for _, b in merges]})
 
 
+@register("label_centroids", sql="""
+WITH u AS (SELECT label, generate_subscripts(embedding, 1) AS dim,
+                  unnest(CAST(embedding AS DOUBLE[])) AS x
+           FROM embeddings)
+SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+       ROUND(SUM(x) / COUNT(*), 6) AS centroid
+FROM u GROUP BY label, dim""")
+def label_centroids(sf_dir: str) -> pd.DataFrame:
+    """Per-label embedding centroids (the class-prototype table behind
+    nearest-centroid classifiers and SemDeDup-style bucketing): each
+    batch reduces to one (sum-vector, count) partial per label via a
+    single matmul-free np.add.reduceat — only |labels| × dim floats
+    ever shuffle; the division happens once on the tiny aggregate in
+    oracle order (sum first, divide once)."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["label", "embedding"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        lab = df["label"].to_numpy()
+        order = np.argsort(lab, kind="mergesort")
+        m, lab = m[order], lab[order]
+        uniq, starts = np.unique(lab, return_index=True)
+        sums = np.add.reduceat(m, starts, axis=0)
+        counts = np.diff(np.append(starts, len(lab)))
+        d = m.shape[1]
+        return pd.DataFrame({
+            "label": np.repeat(uniq.astype(np.int64), d),
+            "dim": np.tile(np.arange(1, d + 1, dtype=np.int64),
+                           len(uniq)),
+            "s": sums.ravel(),
+            "n": np.repeat(counts.astype(np.int64), d)})
+
+    agg = reduce_sink(ds.map_batches(partial, batch_format="pandas"),
+                      ["label", "dim"],
+                      {"s": ("s", "sum"), "n": ("n", "sum")}).to_pandas()
+    agg["centroid"] = textstats.round_half_away(
+        agg["s"].to_numpy(np.float64) / agg["n"].to_numpy(np.float64), 6)
+    return agg[["label", "dim", "centroid"]] \
+        .sort_values(["label", "dim"], ignore_index=True)
+
+
+@register("hour_value_corr", sql="""
+WITH b AS (SELECT CAST(hour(ts) AS DOUBLE) AS x, value AS y FROM events),
+s AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy FROM b)
+SELECT ROUND((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+           AS corr
+FROM s""")
+def hour_value_corr(sf_dir: str) -> pd.DataFrame:
+    """Distributed Pearson correlation from the five classic scalar
+    moments — each block emits ONE (n, Σx, Σy, Σxy, Σx², Σy²) partial;
+    the closed form (written out identically in the oracle instead of
+    CORR() so the float expression order matches) runs once on the
+    driver."""
+    ds = _events(sf_dir, ["ts", "value"]).map_batches(
+        _with_time_cols({"hour"}), batch_format="pyarrow")
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        x = t["hour"].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pd.DataFrame({
+            "n": [np.int64(len(x))], "sx": [x.sum()], "sy": [y.sum()],
+            "sxy": [(x * y).sum()], "sxx": [(x * x).sum()],
+            "syy": [(y * y).sum()]})
+
+    p = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n = float(p["n"].sum())
+    sx, sy = float(p["sx"].sum()), float(p["sy"].sum())
+    sxy = float(p["sxy"].sum())
+    sxx, syy = float(p["sxx"].sum()), float(p["syy"].sum())
+    corr = (n * sxy - sx * sy) / (np.sqrt(n * sxx - sx * sx)
+                                  * np.sqrt(n * syy - sy * sy))
+    return pd.DataFrame({"corr": [float(textstats.round_half_away(
+        corr, 6))]})
+
+
+@register("value_trend_ols", sql="""
+WITH b AS (SELECT CAST(epoch_us(ts)
+                       - epoch_us(TIMESTAMP '2024-01-01') AS DOUBLE)
+                  / 86400000000.0 AS x,
+                  value AS y FROM events),
+s AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+             SUM(x * x) AS sxx FROM b)
+SELECT ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+           AS intercept
+FROM s""")
+def value_trend_ols(sf_dir: str) -> pd.DataFrame:
+    """Distributed OLS trend line (value vs time-in-days) via the
+    normal equations over the same scalar-moment partials as the
+    correlation — the two-coefficient special case of the classifier's
+    Hessian-partial pattern, oracle-backed because the closed form is
+    written out explicitly on both sides. x is centered at the corpus
+    epoch (2024-01-01): days-since-Unix-epoch (~19700) makes
+    n·Σx² − (Σx)² cancel catastrophically and the engines disagree
+    past the rounding guard."""
+    ds = _events(sf_dir, ["ts", "value"])
+    epoch_us_2024 = 1704067200000000  # TIMESTAMP '2024-01-01' in µs
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        x = ((pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+              - epoch_us_2024).astype(np.float64) / 86400000000.0)
+        y = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pd.DataFrame({
+            "n": [np.int64(len(x))], "sx": [x.sum()], "sy": [y.sum()],
+            "sxy": [(x * y).sum()], "sxx": [(x * x).sum()]})
+
+    p = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n = float(p["n"].sum())
+    sx, sy = float(p["sx"].sum()), float(p["sy"].sum())
+    sxy, sxx = float(p["sxy"].sum()), float(p["sxx"].sum())
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+    return pd.DataFrame({
+        "slope": [float(textstats.round_half_away(slope, 6))],
+        "intercept": [float(textstats.round_half_away(intercept, 6))]})
+
+
 _EVOLVED_VERSION = 1
 
 
