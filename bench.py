@@ -111,7 +111,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "curation_funnel", "knn_graph_lsh",
                      "shared_span_pairs", "similar_part_names",
                      "semantic_dedup_embeddings", "users_ranked_by_value",
-                     "tpch_q3_top_orders", "events_cube"]:
+                     "tpch_q3_top_orders", "events_cube",
+                     # round-2 additions
+                     "bm25_search", "cdc_merged_customers",
+                     "quality_classifier_docs", "top_session_paths",
+                     "smallqty_revenue_q17", "bpe_merges"]:
             fn = Q.REGISTRY[name][0]
             t0 = time.perf_counter()
             fn(sf_dir)
