@@ -124,3 +124,20 @@ def test_corr_and_ols_on_planted_line(ray_session, tmp_path):
     _write_events(d2, ts2, list(range(20)), ["view"] * 20, vals2)
     corr = REGISTRY["hour_value_corr"][0](d2)
     assert abs(corr["corr"].iloc[0] - 1.0) < 1e-6
+
+
+def test_snapshot_diff_all_statuses(ray_session, tmp_path):
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    a = np.datetime64("2024-01-05T00:00:00", "us")   # period A
+    b = np.datetime64("2024-01-20T00:00:00", "us")   # period B
+    # user 1: only A (removed) · user 2: only B (added)
+    # user 3: both, same value (unchanged) · user 4: both, differs
+    ts = [a, b, a, b, a, b]
+    users = [1, 2, 3, 3, 4, 4]
+    values = [1.0, 2.0, 5.0, 5.0, 1.0, 9.0]
+    d = str(tmp_path / "snap")
+    _write_events(d, ts, users, ["view"] * 6, values)
+    out = REGISTRY["snapshot_diff_users"][0](d)
+    got = dict(zip(out["status"], out["n"]))
+    assert got == {"added": 1, "removed": 1, "unchanged": 1, "changed": 1}

@@ -71,3 +71,49 @@ def test_bucketed_storage_join_matches_shuffle_join(ray_session,
     a = j[cols].sort_values(cols, ignore_index=True)
     b = want[cols].sort_values(cols, ignore_index=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_skew_join_equals_plain_join_on_zipf(ray_session):
+    """Planted hot key (60% of probe rows): the salted join must emit
+    exactly the plain shuffle join's multiset."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from webalizer_ray.stages.join import skew_join
+
+    rng = np.random.default_rng(9)
+    n = 5000
+    keys = np.where(rng.random(n) < 0.6, 7,
+                    rng.integers(0, 50, n)).astype(np.int64)
+    left = pd.DataFrame({"k": keys,
+                         "rid": np.arange(n, dtype=np.int64),
+                         "x": rng.normal(size=n).round(4)})
+    right = pd.DataFrame({"rk": np.arange(50, dtype=np.int64),
+                          "y": np.arange(50, dtype=np.float64) * 2})
+
+    salted = skew_join(rd.from_pandas(left), rd.from_pandas(right),
+                       on="k", right_on="rk", salt_src="rid",
+                       num_salts=4).to_pandas()
+    plain = rd.from_pandas(left).join(
+        rd.from_pandas(right), join_type="inner", num_partitions=4,
+        on=("k",), right_on=("rk",)).to_pandas()
+    cols = sorted(plain.columns)
+    a = salted[cols].sort_values(cols, ignore_index=True)
+    b = plain[cols].sort_values(cols, ignore_index=True)
+    pd.testing.assert_frame_equal(a, b, check_like=True)
+    assert len(a) == n  # every probe row matched exactly once
+
+
+def test_skew_join_no_hot_keys_degenerates_cleanly(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from webalizer_ray.stages.join import skew_join
+
+    left = pd.DataFrame({"k": np.arange(100, dtype=np.int64) % 50,
+                         "rid": np.arange(100, dtype=np.int64)})
+    right = pd.DataFrame({"k": np.arange(50, dtype=np.int64),
+                          "y": np.ones(50)})
+    out = skew_join(rd.from_pandas(left), rd.from_pandas(right),
+                    on="k", salt_src="rid", hot_threshold=0.5).to_pandas()
+    assert len(out) == 100

@@ -4274,6 +4274,134 @@ def value_trend_ols(sf_dir: str) -> pd.DataFrame:
         "intercept": [float(textstats.round_half_away(intercept, 6))]})
 
 
+@register("snapshot_diff_users", sql="""
+WITH a AS (SELECT user_id, ROUND(SUM(value), 2) AS v FROM events
+           WHERE ts < TIMESTAMP '2024-01-16' GROUP BY 1),
+b AS (SELECT user_id, ROUND(SUM(value), 2) AS v FROM events
+      WHERE ts >= TIMESTAMP '2024-01-16' GROUP BY 1),
+j AS (SELECT CASE WHEN a.user_id IS NULL THEN 'added'
+                  WHEN b.user_id IS NULL THEN 'removed'
+                  WHEN a.v <> b.v THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM a FULL JOIN b ON a.user_id = b.user_id)
+SELECT status, COUNT(*) AS n FROM j GROUP BY status""")
+def snapshot_diff_users(sf_dir: str) -> pd.DataFrame:
+    """Snapshot diff (the table-compare every incremental store needs
+    after a backfill): per-user value between the month's two halves,
+    classified added / removed / changed / unchanged. Scale shape: ONE
+    streaming pass computes both periods' partials (a period flag
+    rides each row, conditional sums combine exactly); the classify is
+    map-side on the per-user aggregate and only (status, n) partials
+    reach the driver — no second scan, no join of raw rows."""
+    cut = np.datetime64("2024-01-16T00:00:00")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        in_a = (df["ts"].to_numpy() < cut)
+        v = df["value"].to_numpy(np.float64)
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(),
+            "va": np.where(in_a, v, 0.0),
+            "vb": np.where(in_a, 0.0, v),
+            "na": in_a.astype(np.int64),
+            "nb": (~in_a).astype(np.int64)})
+
+    agg = reduce_sink(
+        _events(sf_dir, ["user_id", "ts", "value"]).map_batches(
+            partial, batch_format="pandas"),
+        ["user_id"], {"va": ("va", "sum"), "vb": ("vb", "sum"),
+                      "na": ("na", "sum"), "nb": ("nb", "sum")})
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        has_a = df["na"].to_numpy() > 0
+        has_b = df["nb"].to_numpy() > 0
+        va = textstats.round_half_away(df["va"].to_numpy(np.float64), 2)
+        vb = textstats.round_half_away(df["vb"].to_numpy(np.float64), 2)
+        status = np.where(~has_a, "added",
+                          np.where(~has_b, "removed",
+                                   np.where(va != vb, "changed",
+                                            "unchanged")))
+        c = pd.Series(status).value_counts()
+        return pd.DataFrame({"status": c.index.to_numpy(),
+                             "n": c.to_numpy(np.int64)})
+
+    out = reduce_sink(agg.map_batches(classify, batch_format="pandas"),
+                      ["status"], {"n": ("n", "sum")}).to_pandas()
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values("status", ignore_index=True)
+
+
+_SKEW_VERSION = 1
+
+
+def _skewed_dir() -> str:
+    """Deterministic zipf-ish join fixture (60% of probe rows share one
+    hot key) — built once per user under /tmp, same publish convention
+    as the evolved store."""
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    d = os.path.join(tempfile.gettempdir(),
+                     f"wr_skew_u{uid}_v{_SKEW_VERSION}")
+    marker = os.path.join(d, "dim.parquet")
+    if not os.path.exists(marker):
+        os.makedirs(d, exist_ok=True)
+        rng = np.random.default_rng(3)
+        n = 20000
+        k = np.where(rng.random(n) < 0.6, 7,
+                     rng.integers(0, 50, n)).astype(np.int64)
+        probe = pa.table({"k": k,
+                          "rid": np.arange(n, dtype=np.int64),
+                          "x": np.round(rng.normal(size=n), 4)})
+        dim = pa.table({"rk": np.arange(50, dtype=np.int64),
+                        "y": np.arange(50, dtype=np.float64) * 2.0})
+        for name, t in [("probe", probe), ("dim", dim)]:
+            tmp = os.path.join(d, f".{name}-{os.getpid()}.tmp")
+            pq.write_table(t, tmp)
+            os.replace(tmp, os.path.join(d, f"{name}.parquet"))
+    return d
+
+
+@register("skewed_join_totals", sql=None)  # filled in below
+def skewed_join_totals(sf_dir: str) -> pd.DataFrame:
+    """Salted skew join (stages/join.py:skew_join): 60% of probe rows
+    share one hot key, which a plain hash join funnels through a
+    single partition; salting spreads the hot key across num_salts
+    sub-partitions while the build side replicates only its hot rows —
+    every pair still meets exactly once (the per-key totals prove it
+    against DuckDB's join over the same files)."""
+    from webalizer_ray.stages.join import skew_join
+
+    d = _skewed_dir()
+    probe = rd.read_parquet(f"{d}/probe.parquet")
+    dim = rd.read_parquet(f"{d}/dim.parquet")
+    j = skew_join(probe, dim, on="k", right_on="rk", salt_src="rid",
+                  num_salts=8)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("k", sort=False).agg(
+            n=("rid", "size"), xs=("x", "sum")).reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    agg = reduce_sink(j.map_batches(partial, batch_format="pandas"),
+                      ["k"], {"n": ("n", "sum"), "xs": ("xs", "sum")}) \
+        .to_pandas()
+    # multiply by y ONCE after the full sum — SUM(x) * y in oracle order
+    dim_pd = pq.read_table(f"{d}/dim.parquet").to_pandas()
+    agg = agg.merge(dim_pd, left_on="k", right_on="rk")
+    agg["n"] = agg["n"].astype(np.int64)
+    agg["xy_sum"] = textstats.round_half_away(
+        agg["xs"].to_numpy(np.float64) * agg["y"].to_numpy(np.float64), 2)
+    return agg[["k", "n", "xy_sum"]].sort_values("k", ignore_index=True)
+
+
+REGISTRY["skewed_join_totals"] = (
+    skewed_join_totals,
+    f"""SELECT k, COUNT(*) AS n, ROUND(SUM(x) * y, 2) AS xy_sum
+FROM read_parquet('{os.path.join(tempfile.gettempdir(), "wr_skew_u" + str(os.getuid() if hasattr(os, "getuid") else 0) + "_v" + str(_SKEW_VERSION))}/probe.parquet') p
+JOIN read_parquet('{os.path.join(tempfile.gettempdir(), "wr_skew_u" + str(os.getuid() if hasattr(os, "getuid") else 0) + "_v" + str(_SKEW_VERSION))}/dim.parquet') d
+  ON k = rk
+GROUP BY k, y""")
+
+
 _EVOLVED_VERSION = 1
 
 

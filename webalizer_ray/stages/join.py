@@ -13,6 +13,7 @@ pick the plan.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 import ray
@@ -110,3 +111,56 @@ def bucketed_join(dir_left: str, dir_right: str, on: str,
     work = rd.from_pandas(pd.DataFrame({"b": range(num_buckets)})) \
         .repartition(num_buckets)
     return work.map_batches(join_bucket, batch_format="pandas")
+
+
+def skew_join(left: rd.Dataset, right: rd.Dataset, on: str,
+              salt_src: str, right_on: str | None = None,
+              num_salts: int = 8, num_partitions: int = 8,
+              sample_rows: int = 8192,
+              hot_threshold: float = 0.05) -> rd.Dataset:
+    """Skew-mitigated distributed inner join (the standard salted-join
+    technique): hot join keys would funnel all their rows through one
+    join partition; here the probe side's hot-key rows are salted
+    deterministically (hash of ``salt_src``, so reruns match) across
+    ``num_salts`` sub-keys and the build side REPLICATES its hot-key
+    rows once per salt — every pair still meets exactly once, but a
+    hot key's work spreads over num_salts partitions.
+
+    Hot keys come from a driver-side sample of the probe side (any key
+    holding > hot_threshold of sampled rows). A skewed sample only
+    mis-selects WHICH keys get salted, never correctness: non-hot keys
+    keep salt 0 on both sides.
+    """
+    right_on = right_on or on
+    sample = left.limit(sample_rows).to_pandas()[on]
+    freq = sample.value_counts(normalize=True)
+    hot = frozenset(freq[freq > hot_threshold].index.tolist())
+
+    def salt_probe(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        is_hot = df[on].isin(hot).to_numpy()
+        h = pd.util.hash_pandas_object(df[salt_src], index=False) \
+            .to_numpy()
+        df["_salt"] = np.where(is_hot,
+                               (h % np.uint64(num_salts)).astype(np.int32),
+                               np.int32(0))
+        return df
+
+    def replicate_build(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        is_hot = df[right_on].isin(hot).to_numpy()
+        reps = np.where(is_hot, num_salts, 1)
+        out = df.loc[df.index.repeat(reps)].reset_index(drop=True)
+        # vectorized 0..r-1 per source row: global index minus each
+        # row's replicated start offset
+        cum = np.cumsum(reps)
+        starts = np.repeat(cum - reps, reps)
+        out["_salt"] = (np.arange(cum[-1] if len(df) else 0)
+                        - starts).astype(np.int32)
+        return out
+
+    j = left.map_batches(salt_probe, batch_format="pandas").join(
+        right.map_batches(replicate_build, batch_format="pandas"),
+        join_type="inner", num_partitions=num_partitions,
+        on=(on, "_salt"), right_on=(right_on, "_salt"))
+    return j.drop_columns(["_salt"])
