@@ -141,3 +141,29 @@ def test_snapshot_diff_all_statuses(ray_session, tmp_path):
     out = REGISTRY["snapshot_diff_users"][0](d)
     got = dict(zip(out["status"], out["n"]))
     assert got == {"added": 1, "removed": 1, "unchanged": 1, "changed": 1}
+
+
+def test_centroid_confusion_perfect_on_planted_blobs(ray_session,
+                                                     tmp_path):
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    rng = np.random.default_rng(4)
+    centers = np.eye(3, 8) * 10.0          # well-separated directions
+    vecs, labels = [], []
+    for lab in range(3):
+        pts = centers[lab] + rng.normal(scale=0.05, size=(30, 8))
+        vecs.extend(pts.astype(np.float32))
+        labels.extend([lab] * 30)
+    d = str(tmp_path / "blobs")
+    os.makedirs(d)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(np.arange(90, dtype=np.int64)),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array(np.array(labels, np.int32))}),
+        os.path.join(d, "embeddings.parquet"))
+
+    out = REGISTRY["centroid_confusion"][0](d)
+    offdiag = out[out["true_label"] != out["pred_label"]]["n"].sum()
+    assert offdiag == 0
+    assert out["n"].sum() == 90

@@ -4330,6 +4330,80 @@ def snapshot_diff_users(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("status", ignore_index=True)
 
 
+@register("centroid_confusion", sql="""
+WITH u AS (SELECT label, generate_subscripts(embedding, 1) AS dim,
+                  unnest(CAST(embedding AS DOUBLE[])) AS x
+           FROM embeddings),
+c AS (SELECT label AS clabel, list(m ORDER BY dim) AS cvec
+      FROM (SELECT label, dim, SUM(x) / COUNT(*) AS m
+            FROM u GROUP BY label, dim) GROUP BY label),
+s AS (SELECT e.vec_id, CAST(e.label AS BIGINT) AS true_label,
+             CAST(c.clabel AS BIGINT) AS pred_label,
+             ROUND(list_cosine_similarity(
+                 CAST(e.embedding AS DOUBLE[]), c.cvec), 9) AS sim
+      FROM embeddings e CROSS JOIN c),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                ORDER BY sim DESC, pred_label) AS rk FROM s)
+SELECT true_label, pred_label, COUNT(*) AS n
+FROM r WHERE rk = 1 GROUP BY 1, 2""")
+def centroid_confusion(sf_dir: str) -> pd.DataFrame:
+    """Nearest-centroid classification + confusion matrix (the
+    Rocchio/prototype classifier — also SemDeDup's assignment step):
+    per-label centroids reduce from (sum-vector, count) partials, the
+    |labels|×dim centroid matrix broadcasts once, each batch assigns
+    by one cosine matmul (similarities rounded to 9 dp so float noise
+    can't flip an argmax between engines; ties break on the smaller
+    label), and only (true, pred, n) partials shuffle."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "label", "embedding"])
+
+    def sums(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        lab = df["label"].to_numpy()
+        order = np.argsort(lab, kind="mergesort")
+        m, lab = m[order], lab[order]
+        uniq, starts = np.unique(lab, return_index=True)
+        sv = np.add.reduceat(m, starts, axis=0)
+        cnt = np.diff(np.append(starts, len(lab)))
+        d = m.shape[1]
+        return pd.DataFrame({
+            "label": np.repeat(uniq.astype(np.int64), d),
+            "dim": np.tile(np.arange(d, dtype=np.int64), len(uniq)),
+            "s": sv.ravel(), "n": np.repeat(cnt.astype(np.int64), d)})
+
+    agg = reduce_sink(ds.map_batches(sums, batch_format="pandas"),
+                      ["label", "dim"],
+                      {"s": ("s", "sum"), "n": ("n", "sum")}).to_pandas()
+    agg["m"] = agg["s"] / agg["n"]
+    piv = agg.pivot(index="label", columns="dim", values="m").sort_index()
+    labels = piv.index.to_numpy(np.int64)
+    C = piv.to_numpy(np.float64)                    # (L, d)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    c_ref = ray.put((labels, Cn))
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        labs, cn = ray.get(c_ref)
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = np.round(mn @ cn.T, 9)               # (n, L)
+        # argmax with smaller-label tiebreak: labels ascend, argmax
+        # returns the FIRST max — matches ORDER BY sim DESC, label
+        pred = labs[np.argmax(sims, axis=1)]
+        g = pd.DataFrame({"true_label": df["label"].to_numpy(np.int64),
+                          "pred_label": pred}) \
+            .groupby(["true_label", "pred_label"], sort=False).size()
+        out = g.rename("n").reset_index()
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    out = reduce_sink(ds.map_batches(assign, batch_format="pandas"),
+                      ["true_label", "pred_label"],
+                      {"n": ("n", "sum")}).to_pandas()
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values(["true_label", "pred_label"],
+                           ignore_index=True)
+
+
 _SKEW_VERSION = 1
 
 
