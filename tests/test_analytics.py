@@ -167,3 +167,38 @@ def test_centroid_confusion_perfect_on_planted_blobs(ray_session,
     offdiag = out[out["true_label"] != out["pred_label"]]["n"].sum()
     assert offdiag == 0
     assert out["n"].sum() == 90
+
+
+def test_periodicity_detects_planted_24h_cycle(ray_session, tmp_path):
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    rng = np.random.default_rng(6)
+    ts = []
+    # 20 days; events per hour follow a 24 h sinusoid (2..18 events)
+    for h in range(20 * 24):
+        lam = 10 + 8 * np.sin(2 * np.pi * h / 24.0)
+        k = max(int(round(lam)), 0)
+        for j in range(k):
+            ts.append(t0 + np.timedelta64(h * 3600 + int(j * 60), "s"))
+    n = len(ts)
+    d = str(tmp_path / "daily")
+    _write_events(d, ts, list(range(n)), ["view"] * n,
+                  np.ones(n))
+    out = REGISTRY["event_periodicity"][0](d)
+    assert abs(out["dominant_period_hours"].iloc[0] - 24.0) < 1.3
+    assert out["power_share"].iloc[0] > 0.5
+    assert out["series_hours"].iloc[0] == 20 * 24
+
+
+def test_periodicity_flat_series_low_share(ray_session, tmp_path):
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    ts = [t0 + np.timedelta64(h * 3600, "s") for h in range(240)]
+    d = str(tmp_path / "flat")
+    _write_events(d, ts, list(range(240)), ["view"] * 240,
+                  np.ones(240))
+    out = REGISTRY["event_periodicity"][0](d)
+    # constant 1/hour: no periodic structure above noise
+    assert out["power_share"].iloc[0] < 0.2

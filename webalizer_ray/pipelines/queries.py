@@ -4404,6 +4404,45 @@ def centroid_confusion(sf_dir: str) -> pd.DataFrame:
                            ignore_index=True)
 
 
+@register("event_periodicity", sql=None)  # FFT — not SQL
+def event_periodicity(sf_dir: str) -> pd.DataFrame:
+    """Seasonality detection: dominant period of the event-arrival
+    series (the diurnal/weekly-pattern check every traffic report
+    implies). Scale shape: the heavy work is ONE distributed
+    count-per-hour-bucket reduce (only (bucket, n) partials shuffle —
+    the series is a few hundred points per month regardless of corpus
+    size); the periodogram (mean-detrended rFFT) runs on that tiny
+    series driver-side. Returns the dominant period in hours and its
+    share of non-DC spectral power."""
+    ds = _events(sf_dir, ["ts"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        b = us // 3_600_000_000
+        u, c = np.unique(b, return_counts=True)
+        return pd.DataFrame({"bucket": u.astype(np.int64),
+                             "n": c.astype(np.int64)})
+
+    agg = reduce_sink(ds.map_batches(partial, batch_format="pyarrow"),
+                      ["bucket"], {"n": ("n", "sum")}).to_pandas() \
+        .sort_values("bucket")
+    lo, hi = int(agg["bucket"].min()), int(agg["bucket"].max())
+    series = np.zeros(hi - lo + 1)
+    series[agg["bucket"].to_numpy() - lo] = agg["n"].to_numpy(np.float64)
+    x = series - series.mean()
+    power = np.abs(np.fft.rfft(x)) ** 2
+    freqs = np.fft.rfftfreq(len(x), d=1.0)          # cycles per hour
+    k = 1 + int(np.argmax(power[1:]))               # skip DC
+    period = 1.0 / freqs[k]
+    share = float(power[k] / power[1:].sum()) if power[1:].sum() > 0 \
+        else 0.0
+    return pd.DataFrame({
+        "dominant_period_hours": [float(textstats.round_half_away(
+            period, 4))],
+        "power_share": [float(textstats.round_half_away(share, 6))],
+        "series_hours": [np.int64(len(series))]})
+
+
 _SKEW_VERSION = 1
 
 
