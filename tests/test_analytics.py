@@ -202,3 +202,35 @@ def test_periodicity_flat_series_low_share(ray_session, tmp_path):
     out = REGISTRY["event_periodicity"][0](d)
     # constant 1/hour: no periodic structure above noise
     assert out["power_share"].iloc[0] < 0.2
+
+
+def test_mi_zero_for_independent_and_positive_for_coupled(ray_session,
+                                                          tmp_path):
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    # coupled: type 'a' only at hour 1, 'b' only at hour 13
+    ts, types = [], []
+    for d in range(10):
+        ts.append(t0 + np.timedelta64(d * 86400 + 3600, "s"))
+        types.append("a")
+        ts.append(t0 + np.timedelta64(d * 86400 + 13 * 3600, "s"))
+        types.append("b")
+    dd = str(tmp_path / "coupled")
+    _write_events(dd, ts, list(range(len(ts))), types)
+    mi_c = REGISTRY["type_hour_mi"][0](dd)["mi"].iloc[0]
+    assert abs(mi_c - np.log(2)) < 1e-6   # perfect 2x2 coupling
+
+    # independent: both types at both hours equally
+    ts2, types2 = [], []
+    for d in range(10):
+        for h in (1, 13):
+            for ty in ("a", "b"):
+                ts2.append(t0 + np.timedelta64(d * 86400 + h * 3600
+                                               + (0 if ty == "a" else 60),
+                                               "s"))
+                types2.append(ty)
+    d2 = str(tmp_path / "indep")
+    _write_events(d2, ts2, list(range(len(ts2))), types2)
+    mi_i = REGISTRY["type_hour_mi"][0](d2)["mi"].iloc[0]
+    assert abs(mi_i) < 1e-9

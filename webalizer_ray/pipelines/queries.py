@@ -4443,6 +4443,62 @@ def event_periodicity(sf_dir: str) -> pd.DataFrame:
         "series_hours": [np.int64(len(series))]})
 
 
+@register("embedding_pca_spectrum", sql=None)  # eigendecomposition — not SQL
+def embedding_pca_spectrum(sf_dir: str) -> pd.DataFrame:
+    """PCA spectrum + whitening check for the embedding table (the
+    retrieval-pipeline preprocessing of Jégou & Chum 2012): covariance
+    from ONE streaming pass of (Σx, Σxxᵀ, n) moment partials — nothing
+    bigger than d² floats per block shuffles — eigendecomposition on
+    the driver, then a stateless whitening matmul pass whose output
+    covariance the query verifies is the identity (per-dim variance
+    reported, must be ~1)."""
+    from webalizer_ray.stages.whiten import (
+        covariance_moments, pca_spectrum, whiten)
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    mean, cov, n = covariance_moments(ds)
+    eigvals, eigvecs = pca_spectrum(cov)
+    wds = whiten(ds, mean, eigvals, eigvecs)
+    _, wcov, _ = covariance_moments(wds)
+    return pd.DataFrame({
+        "dim": np.arange(len(eigvals), dtype=np.int64),
+        "eigenvalue": textstats.round_half_away(eigvals, 6),
+        "whitened_var": textstats.round_half_away(np.diag(wcov), 6)})
+
+
+@register("type_hour_mi", sql="""
+WITH j AS (SELECT event_type AS x, CAST(hour(ts) AS BIGINT) AS y,
+                  COUNT(*) AS nxy FROM events GROUP BY 1, 2),
+mx AS (SELECT x, SUM(nxy) AS nx FROM j GROUP BY 1),
+my AS (SELECT y, SUM(nxy) AS ny FROM j GROUP BY 1),
+t AS (SELECT SUM(nxy) AS n FROM j)
+SELECT ROUND(SUM(CAST(nxy AS DOUBLE) / n
+                 * ln(CAST(nxy AS DOUBLE) * n / (nx * ny))), 6) AS mi
+FROM j JOIN mx USING (x) JOIN my USING (y) CROSS JOIN t""")
+def type_hour_mi(sf_dir: str) -> pd.DataFrame:
+    """Mutual information between event type and hour-of-day (the
+    dependence screen feature-selection and drift monitors use, next
+    of kin to the bigram PMI table). Scale shape: the corpus reduces
+    to the joint (type, hour, n) histogram — |types|×24 rows — via
+    per-batch count partials; marginals and the MI closed form run on
+    that tiny table with the float expression in oracle order."""
+    ds = _events(sf_dir, ["ts", "event_type"]).map_batches(
+        _with_time_cols({"hour"}), batch_format="pyarrow")
+    j = reduce_sink(ds.map_batches(
+        lambda t: pa.table({"x": t["event_type"], "y": t["hour"],
+                            "one": pa.array(np.ones(t.num_rows,
+                                                    np.int64))}),
+        batch_format="pyarrow"),
+        ["x", "y"], {"nxy": ("one", "sum")}).to_pandas()
+    n = float(j["nxy"].sum())
+    nx = j.groupby("x")["nxy"].transform("sum").to_numpy(np.float64)
+    ny = j.groupby("y")["nxy"].transform("sum").to_numpy(np.float64)
+    nxy = j["nxy"].to_numpy(np.float64)
+    mi = float((nxy / n * np.log(nxy * n / (nx * ny))).sum())
+    return pd.DataFrame({"mi": [float(textstats.round_half_away(mi, 6))]})
+
+
 _SKEW_VERSION = 1
 
 
