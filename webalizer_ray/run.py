@@ -158,6 +158,18 @@ def cmd_profile(args) -> int:
     return 0
 
 
+def cmd_corpus_card(args) -> int:
+    """One-command corpus data card (the monthly-report analog for a
+    training corpus): every section is a registry query, so the
+    numbers inherit the oracle gate."""
+    _init_ray(args.num_cpus)
+    from webalizer_ray.pipelines.report import write_corpus_card
+    card = write_corpus_card(args.sf_dir, args.out)
+    print(json.dumps({"out": args.out,
+                      "sections": sorted(card["sections"].keys())}))
+    return 0
+
+
 def cmd_dedup(args) -> int:
     """Exact dedup of a documents table: writes the kept rows
     (partitioned parquet) + a JSON funnel; --incremental-store reuses
@@ -427,6 +439,15 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--key", required=True, help="column to profile")
     pr.add_argument("--num-cpus", type=int, default=None, dest="num_cpus")
     pr.set_defaults(fn=cmd_profile)
+
+    cc = sub.add_parser("corpus-card", help="emit a corpus data card "
+                                            "(card.json + card.md) from "
+                                            "the oracle-checked sections")
+    cc.add_argument("--sf-dir", required=True, dest="sf_dir",
+                    help="dir holding documents.parquet")
+    cc.add_argument("--out", required=True, help="output dir")
+    cc.add_argument("--num-cpus", type=int, default=None, dest="num_cpus")
+    cc.set_defaults(fn=cmd_corpus_card)
 
     dd = sub.add_parser("dedup", help="exact dedup of a documents table "
                                       "(optionally incremental across runs)")
