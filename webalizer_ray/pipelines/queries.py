@@ -4499,6 +4499,46 @@ def type_hour_mi(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"mi": [float(textstats.round_half_away(mi, 6))]})
 
 
+@register("padding_waste_by_bucket", sql=r"""
+WITH t AS (SELECT len(regexp_extract_all(text, '\S+')) AS n_tokens
+           FROM documents),
+b AS (SELECT n_tokens,
+             CAST(CEIL(CAST(n_tokens AS DOUBLE) / 64) AS BIGINT)
+                 AS bucket
+      FROM t)
+SELECT bucket, COUNT(*) AS docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+       CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+       CAST(COUNT(*) * MAX(n_tokens) - SUM(n_tokens) AS BIGINT)
+           AS padding_waste
+FROM b GROUP BY bucket""")
+def padding_waste_by_bucket(sf_dir: str) -> pd.DataFrame:
+    """Length-bucketed batching profile (the padding-waste report
+    behind inference/training batch planners): docs bucketed by
+    64-token length bands; padding waste = what batching each bucket
+    to its longest member costs. Token counts are the Arrow regex
+    kernel; only (bucket, docs, Σtokens, max) partials shuffle; the
+    waste expression is closed-form on the tiny aggregate."""
+    def partial(t: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(
+            t["text"], textstats.TOKEN_RX), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        bucket = np.ceil(n / 64.0).astype(np.int64)
+        return pa.table({"bucket": bucket, "n_tokens": n,
+                         "one": np.ones(len(n), np.int64)})
+
+    agg = reduce_sink(
+        _docs(sf_dir, ["text"]).map_batches(partial,
+                                            batch_format="pyarrow"),
+        ["bucket"], {"docs": ("one", "sum"), "tokens": ("n_tokens", "sum"),
+                     "max_tokens": ("n_tokens", "max")}).to_pandas()
+    for c in ["docs", "tokens", "max_tokens"]:
+        agg[c] = agg[c].astype(np.int64)
+    agg["padding_waste"] = (agg["docs"] * agg["max_tokens"]
+                            - agg["tokens"]).astype(np.int64)
+    return agg.sort_values("bucket", ignore_index=True)
+
+
 _SKEW_VERSION = 1
 
 
