@@ -4539,6 +4539,37 @@ def padding_waste_by_bucket(sf_dir: str) -> pd.DataFrame:
     return agg.sort_values("bucket", ignore_index=True)
 
 
+@register("monthly_unpivot", sql="""
+WITH m AS (SELECT strftime(ts, '%Y-%m') AS month,
+                  CAST(COUNT(*) AS BIGINT) AS hits,
+                  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users,
+                  CAST(COUNT(DISTINCT strftime(ts, '%Y-%m-%d'))
+                       AS BIGINT) AS days
+           FROM events GROUP BY 1)
+SELECT month, metric, val
+FROM m UNPIVOT (val FOR metric IN (hits, users, days))""")
+def monthly_unpivot(sf_dir: str) -> pd.DataFrame:
+    """UNPIVOT / melt (the inverse of hour_type_pivot, completing the
+    reshape family): the monthly wide aggregate — itself a partials
+    reduce — melts to (month, metric, val) long form batch-locally.
+    The melt is pure pandas on the tiny aggregate; nothing extra
+    shuffles."""
+    ds = _events(sf_dir, ["ts", "user_id"]).map_batches(
+        _with_time_cols({"month", "date"}), batch_format="pyarrow")
+    agg = reduce_sink(ds, ["month"],
+                      {"hits": ("ts", "size")}).to_pandas()
+    users = distinct_count(ds, ["month"], "user_id", "users").to_pandas()
+    days = distinct_count(ds, ["month"], "date", "days").to_pandas()
+    wide = agg.merge(users, on="month").merge(days, on="month")
+    wide = wide[["month", "hits", "users", "days"]]
+    for c in ["hits", "users", "days"]:
+        wide[c] = wide[c].astype(np.int64)
+    long = wide.melt(id_vars=["month"], var_name="metric",
+                     value_name="val")
+    long["val"] = long["val"].astype(np.int64)
+    return long.sort_values(["month", "metric"], ignore_index=True)
+
+
 _SKEW_VERSION = 1
 
 
