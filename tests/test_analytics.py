@@ -234,3 +234,16 @@ def test_mi_zero_for_independent_and_positive_for_coupled(ray_session,
     _write_events(d2, ts2, list(range(len(ts2))), types2)
     mi_i = REGISTRY["type_hour_mi"][0](d2)["mi"].iloc[0]
     assert abs(mi_i) < 1e-9
+
+
+def test_weighted_sample_bias_and_invariance(ray_session):
+    """Heavier docs must be overrepresented, and the draw must not
+    depend on block layout (mergeable top-k partials)."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    out1 = REGISTRY["weighted_sample_docs"][0](SF)
+    out2 = REGISTRY["weighted_sample_docs"][0](SF)  # deterministic
+    assert out1["doc_id"].tolist() == out2["doc_id"].tolist()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    pop_mean = docs["text"].str.split().str.len().mean()
+    assert out1["w"].mean() > pop_mean * 1.1

@@ -4570,6 +4570,47 @@ def monthly_unpivot(sf_dir: str) -> pd.DataFrame:
     return long.sort_values(["month", "metric"], ignore_index=True)
 
 
+@register("weighted_sample_docs", sql=r"""
+WITH t AS (SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS w
+           FROM documents),
+k AS (SELECT doc_id, CAST(w AS BIGINT) AS w,
+             ROUND(ln((((doc_id * 2654435761) % 4294967296) + 1)
+                      / 4294967297.0) / w, 9) AS key
+      FROM t WHERE w > 0)
+SELECT doc_id, w FROM k ORDER BY key DESC, doc_id LIMIT 50""")
+def weighted_sample_docs(sf_dir: str) -> pd.DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis
+    & Spirakis 2006: top-k by u^(1/w), here the order-equivalent
+    ln(u)/w): u comes from the same Knuth multiplicative hash the
+    shuffle oracle uses, so the draw is reproducible across runs,
+    cluster sizes AND engines. Per-batch local top-k partials are
+    mergeable (block-layout invariant); keys round to 9 dp with a
+    doc_id tiebreak so libm ulp differences can't flip the cut."""
+    k = 50
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        w = pc.cast(pc.count_substring_regex(
+            t["text"], textstats.TOKEN_RX), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        m = w > 0
+        ids, w = ids[m], w[m]
+        u = ((ids * 2654435761) % 4294967296 + 1) / 4294967297.0
+        key = textstats.round_half_away(np.log(u) / w, 9)
+        df = pd.DataFrame({"doc_id": ids, "w": w, "key": key})
+        return df.sort_values(["key", "doc_id"],
+                              ascending=[False, True],
+                              kind="mergesort").head(k)
+
+    cand = _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = cand.sort_values(["key", "doc_id"], ascending=[False, True],
+                           kind="mergesort").head(k)
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["w"] = out["w"].astype(np.int64)
+    return out[["doc_id", "w"]].reset_index(drop=True)
+
+
 _SKEW_VERSION = 1
 
 
