@@ -4611,13 +4611,16 @@ def weighted_sample_docs(sf_dir: str) -> pd.DataFrame:
     return out[["doc_id", "w"]].reset_index(drop=True)
 
 
-_SKEW_VERSION = 1
+_SKEW_VERSION = 2
 
 
 def _skewed_dir() -> str:
     """Deterministic zipf-ish join fixture (60% of probe rows share one
     hot key) — built once per user under /tmp, same publish convention
-    as the evolved store."""
+    as the evolved store. x values are dyadic (int/64) so float sums
+    are EXACT under any summation order — the join's output block
+    order varies run to run, and a non-dyadic sum at a rounding
+    boundary would flip the last digit against the oracle."""
     uid = os.getuid() if hasattr(os, "getuid") else 0
     d = os.path.join(tempfile.gettempdir(),
                      f"wr_skew_u{uid}_v{_SKEW_VERSION}")
@@ -4630,7 +4633,7 @@ def _skewed_dir() -> str:
                      rng.integers(0, 50, n)).astype(np.int64)
         probe = pa.table({"k": k,
                           "rid": np.arange(n, dtype=np.int64),
-                          "x": np.round(rng.normal(size=n), 4)})
+                          "x": rng.integers(-6400, 6400, n) / 64.0})
         dim = pa.table({"rk": np.arange(50, dtype=np.int64),
                         "y": np.arange(50, dtype=np.float64) * 2.0})
         for name, t in [("probe", probe), ("dim", dim)]:
