@@ -247,3 +247,27 @@ def test_weighted_sample_bias_and_invariance(ray_session):
     docs = pd.read_parquet(f"{SF}/documents.parquet")
     pop_mean = docs["text"].str.split().str.len().mean()
     assert out1["w"].mean() > pop_mean * 1.1
+
+
+def test_attribution_window_boundaries(ray_session, tmp_path):
+    """Window is (view_ts, view_ts + 1h]: a purchase exactly at +1h
+    converts, at +1h+1µs does not, at the same instant does not."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-10T12:00:00", "us")
+    h = np.timedelta64(3600, "s")
+    us1 = np.timedelta64(1, "us")
+    rows = [
+        (t0, 1, "view"), (t0 + h, 1, "purchase"),            # converts
+        (t0, 2, "view"), (t0 + h + us1, 2, "purchase"),      # too late
+        (t0, 3, "view"), (t0, 3, "purchase"),                # same µs: no
+        (t0, 4, "view"), (t0 + h, 5, "purchase"),            # other user
+    ]
+    ts = [r[0] for r in rows]
+    users = [r[1] for r in rows]
+    types = [r[2] for r in rows]
+    d = str(tmp_path / "attr")
+    _write_events(d, ts, users, types)
+    out = REGISTRY["view_purchase_1h_conversion"][0](d)
+    assert out["views"].iloc[0] == 4
+    assert out["converted"].iloc[0] == 1

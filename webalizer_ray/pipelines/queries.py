@@ -4539,6 +4539,110 @@ def padding_waste_by_bucket(sf_dir: str) -> pd.DataFrame:
     return agg.sort_values("bucket", ignore_index=True)
 
 
+@register("value_trend_by_type", sql="""
+WITH b AS (SELECT event_type,
+                  CAST(epoch_us(ts)
+                       - epoch_us(TIMESTAMP '2024-01-01') AS DOUBLE)
+                  / 86400000000.0 AS x,
+                  value AS y FROM events),
+s AS (SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM b GROUP BY 1)
+SELECT event_type,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope
+FROM s""")
+def value_trend_by_type(sf_dir: str) -> pd.DataFrame:
+    """Per-group OLS trend (grouped version of value_trend_ols — the
+    per-segment drift report): the five scalar moments reduce PER
+    EVENT TYPE as ordinary keyed partials, so the shuffle carries
+    |types| × 5 floats per block and the slope closed form runs on the
+    tiny per-type table in oracle expression order."""
+    ds = _events(sf_dir, ["ts", "value", "event_type"])
+    epoch_us_2024 = 1704067200000000
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = ((df["ts"].astype("int64").to_numpy() - epoch_us_2024)
+             .astype(np.float64) / 86400000000.0)
+        y = df["value"].to_numpy(np.float64)
+        g = pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                          "n": np.int64(1), "sx": x, "sy": y,
+                          "sxy": x * y, "sxx": x * x})
+        return g.groupby("event_type", sort=False).sum().reset_index()
+
+    agg = reduce_sink(ds.map_batches(partial, batch_format="pandas"),
+                      ["event_type"],
+                      {"n": ("n", "sum"), "sx": ("sx", "sum"),
+                       "sy": ("sy", "sum"), "sxy": ("sxy", "sum"),
+                       "sxx": ("sxx", "sum")}).to_pandas()
+    n = agg["n"].to_numpy(np.float64)
+    sx, sy = agg["sx"].to_numpy(np.float64), agg["sy"].to_numpy(np.float64)
+    sxy, sxx = (agg["sxy"].to_numpy(np.float64),
+                agg["sxx"].to_numpy(np.float64))
+    agg["slope"] = textstats.round_half_away(
+        (n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+    return agg[["event_type", "slope"]] \
+        .sort_values("event_type", ignore_index=True)
+
+
+@register("view_purchase_1h_conversion", sql="""
+WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT CAST(COUNT(*) AS BIGINT) AS views,
+       CAST(SUM(CASE WHEN EXISTS (
+            SELECT 1 FROM p WHERE p.user_id = v.user_id
+              AND p.ts > v.ts
+              AND p.ts <= v.ts + INTERVAL 1 HOUR)
+            THEN 1 ELSE 0 END) AS BIGINT) AS converted
+FROM v""")
+def view_purchase_1h_conversion(sf_dir: str) -> pd.DataFrame:
+    """Attribution-window conversion (EXISTS within a time window —
+    the ad-attribution primitive): for every view, did the same user
+    purchase within the next hour? Scale shape: both event streams
+    co-locate in the user-hash bucket; inside each bucket ONE
+    vectorized searchsorted of purchase timestamps answers every view
+    (no pairwise expansion); only two scalar partials per bucket reach
+    the driver."""
+    ds = _events(sf_dir, ["ts", "user_id", "event_type"])
+    num_buckets = 32
+    hour_us = 3_600_000_000
+
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin(["view", "purchase"])].copy()
+        df["bucket_"] = (df["user_id"].to_numpy()
+                         % num_buckets).astype(np.int32)
+        return df
+
+    def convert(g: pd.DataFrame) -> pd.DataFrame:
+        us = g["ts"].astype("int64").to_numpy()
+        uid = g["user_id"].to_numpy()
+        is_v = (g["event_type"] == "view").to_numpy()
+        # composite int64 key (user_rank * span + relative_ts) makes
+        # ONE sorted array searchable per (user, window) with plain
+        # searchsorted — no per-user Python loop, no pair expansion
+        base = us - us.min()
+        span = np.int64(base.max()) + np.int64(hour_us) + 2
+        uranks = np.searchsorted(np.unique(uid), uid).astype(np.int64)
+        # int64 headroom: users-per-bucket × time-span must fit; at a
+        # month span (~2.7e12 µs) that is ~3e6 users per bucket — raise
+        # num_buckets before this ever binds at scale
+        if int(uranks.max(initial=0) + 1) > (2 ** 63 - 1) // int(span):
+            raise ValueError("composite key overflow: raise num_buckets")
+        key = uranks * span + base
+        pk = np.sort(key[~is_v])
+        vk = key[is_v]
+        left = np.searchsorted(pk, vk, side="right")
+        right = np.searchsorted(pk, vk + hour_us, side="right")
+        return pd.DataFrame({
+            "views": [np.int64(len(vk))],
+            "converted": [np.int64(int((right > left).sum()))]})
+
+    p = ds.map_batches(with_bucket, batch_format="pandas") \
+        .groupby("bucket_").map_groups(convert, batch_format="pandas") \
+        .to_pandas()
+    return pd.DataFrame({"views": [np.int64(p["views"].sum())],
+                         "converted": [np.int64(p["converted"].sum())]})
+
+
 @register("monthly_unpivot", sql="""
 WITH m AS (SELECT strftime(ts, '%Y-%m') AS month,
                   CAST(COUNT(*) AS BIGINT) AS hits,
