@@ -4643,6 +4643,75 @@ def view_purchase_1h_conversion(sf_dir: str) -> pd.DataFrame:
                          "converted": [np.int64(p["converted"].sum())]})
 
 
+@register("analyze_events", sql="""
+SELECT 'event_id' AS col, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS nulls,
+       COUNT(DISTINCT event_id) AS ndv,
+       ROUND(MIN(event_id), 6) AS min_num,
+       ROUND(MAX(event_id), 6) AS max_num
+FROM events
+UNION ALL
+SELECT 'user_id', COUNT(*),
+       CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(DISTINCT user_id), ROUND(MIN(user_id), 6),
+       ROUND(MAX(user_id), 6) FROM events
+UNION ALL
+SELECT 'value', COUNT(*),
+       CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       COUNT(DISTINCT value), ROUND(MIN(value), 6),
+       ROUND(MAX(value), 6) FROM events
+UNION ALL
+SELECT 'event_type', COUNT(*),
+       CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT),
+       COUNT(DISTINCT event_type), NULL, NULL FROM events""")
+def analyze_events(sf_dir: str) -> pd.DataFrame:
+    """ANALYZE-style table profile (the stats collection every
+    optimizer and data-quality gate runs): per column — row count,
+    nulls, exact NDV, numeric min/max. One streaming pass emits a
+    single partial row per (block, column) for count/null/min/max; NDV
+    reuses the exact two-phase distinct (only distinct values shuffle,
+    then per-bucket counts). At extreme cardinality swap NDV to the
+    HLL sketch (`distinct_users_hll` shows the path)."""
+    cols = ["event_id", "user_id", "value", "event_type"]
+    ds = _events(sf_dir, cols)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c in cols:
+            s = df[c]
+            num = s.dtype.kind in "if"
+            rows.append({
+                "col": c, "n": np.int64(len(s)),
+                "nulls": np.int64(s.isna().sum()),
+                "min_num": float(s.min()) if num and len(s) else np.nan,
+                "max_num": float(s.max()) if num and len(s) else np.nan})
+        return pd.DataFrame(rows)
+
+    agg = reduce_sink(ds.map_batches(partial, batch_format="pandas"),
+                      ["col"], {"n": ("n", "sum"),
+                                "nulls": ("nulls", "sum"),
+                                "min_num": ("min_num", "min"),
+                                "max_num": ("max_num", "max")}).to_pandas()
+    ndvs = {}
+    for c in cols:
+        one = distinct_count(ds.map_batches(
+            lambda t, c=c: pa.table(
+                {"g": pa.array(np.zeros(t.num_rows, np.int64)),
+                 c: t[c]}), batch_format="pyarrow"),
+            ["g"], c, "ndv").to_pandas()
+        ndvs[c] = np.int64(one["ndv"].iloc[0]) if len(one) else np.int64(0)
+    agg["ndv"] = agg["col"].map(ndvs).astype(np.int64)
+    agg["n"] = agg["n"].astype(np.int64)
+    agg["nulls"] = agg["nulls"].astype(np.int64)
+    for c in ["min_num", "max_num"]:
+        agg[c] = textstats.round_half_away(
+            agg[c].to_numpy(np.float64), 6)
+    return agg[["col", "n", "nulls", "ndv", "min_num", "max_num"]] \
+        .sort_values("col", ignore_index=True)
+
+
 @register("monthly_unpivot", sql="""
 WITH m AS (SELECT strftime(ts, '%Y-%m') AS month,
                   CAST(COUNT(*) AS BIGINT) AS hits,
