@@ -4712,6 +4712,35 @@ def analyze_events(sf_dir: str) -> pd.DataFrame:
         .sort_values("col", ignore_index=True)
 
 
+@register("join_cardinality_estimate", sql="""
+WITH l AS (SELECT o_custkey AS k, COUNT(*) AS nl FROM orders GROUP BY 1),
+r AS (SELECT c_custkey AS k, COUNT(*) AS nr FROM customer GROUP BY 1)
+SELECT CAST(SUM(nl * nr) AS BIGINT) AS join_rows,
+       CAST(MAX(nl * nr) AS BIGINT) AS max_key_rows,
+       CAST(COUNT(*) AS BIGINT) AS matching_keys
+FROM l JOIN r USING (k)""")
+def join_cardinality_estimate(sf_dir: str) -> pd.DataFrame:
+    """Join-explosion guard (run BEFORE a big join): the exact output
+    cardinality of orders⋈customer from per-key count histograms —
+    Σ nl·nr — plus the hottest key's contribution. Only (key, count)
+    aggregates shuffle (never the fact rows), so the guard costs two
+    keyed reduces and a count-table join; max_key_rows is what tells
+    you to reach for skew_join."""
+    lo = reduce_sink(rd.read_parquet(f"{sf_dir}/orders.parquet",
+                                     columns=["o_custkey"]),
+                     ["o_custkey"], {"nl": ("o_custkey", "size")})
+    ro = reduce_sink(rd.read_parquet(f"{sf_dir}/customer.parquet",
+                                     columns=["c_custkey"]),
+                     ["c_custkey"], {"nr": ("c_custkey", "size")})
+    j = lo.join(ro, join_type="inner", num_partitions=4,
+                on=("o_custkey",), right_on=("c_custkey",)).to_pandas()
+    prod = (j["nl"].to_numpy(np.int64) * j["nr"].to_numpy(np.int64))
+    return pd.DataFrame({
+        "join_rows": [np.int64(prod.sum())],
+        "max_key_rows": [np.int64(prod.max() if len(prod) else 0)],
+        "matching_keys": [np.int64(len(j))]})
+
+
 @register("monthly_unpivot", sql="""
 WITH m AS (SELECT strftime(ts, '%Y-%m') AS month,
                   CAST(COUNT(*) AS BIGINT) AS hits,
