@@ -271,3 +271,22 @@ def test_attribution_window_boundaries(ray_session, tmp_path):
     out = REGISTRY["view_purchase_1h_conversion"][0](d)
     assert out["views"].iloc[0] == 4
     assert out["converted"].iloc[0] == 1
+
+
+def test_islands_merge_overlaps_exactly(ray_session, tmp_path):
+    """Three overlapping 5-min intervals merge into one island; a
+    6-min gap starts a second; equal boundary (s == prev end) merges
+    (window end is inclusive via s > prev_e)."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    m = np.timedelta64(60, "s")
+    ts = [t0, t0 + 2 * m, t0 + 4 * m,       # chain: one island, 9 min
+          t0 + 15 * m,                      # gap > 5 min: new island
+          t0 + 20 * m]                      # s == prev end: merges
+    d = str(tmp_path / "isl")
+    _write_events(d, ts, [1] * 5, ["view"] * 5)
+    out = REGISTRY["user_activity_islands"][0](d)
+    assert out["islands"].iloc[0] == 2
+    # island 1: 0..9 min = 540 s; island 2: 15..25 min = 600 s
+    assert out["covered_s"].iloc[0] == 540 + 600

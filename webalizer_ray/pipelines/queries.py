@@ -4741,6 +4741,75 @@ def join_cardinality_estimate(sf_dir: str) -> pd.DataFrame:
         "matching_keys": [np.int64(len(j))]})
 
 
+@register("user_activity_islands", sql="""
+WITH iv AS (SELECT user_id, ts AS s,
+                   ts + INTERVAL 5 MINUTE AS e FROM events),
+o AS (SELECT user_id, s, e,
+             MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prev_max
+      FROM iv),
+g AS (SELECT user_id, s, e,
+             SUM(CASE WHEN prev_max IS NULL OR s > prev_max
+                      THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY s, e
+                       ROWS UNBOUNDED PRECEDING) AS island
+      FROM o),
+m AS (SELECT user_id, island, MIN(s) AS st, MAX(e) AS en
+      FROM g GROUP BY user_id, island)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS islands,
+       CAST(SUM(epoch_us(en) - epoch_us(st)) // 1000000 AS BIGINT)
+           AS covered_s
+FROM m GROUP BY user_id""")
+def user_activity_islands(sf_dir: str) -> pd.DataFrame:
+    """Gaps-and-islands (merge overlapping intervals): each event opens
+    a 5-minute activity interval; overlapping intervals per user merge
+    into islands, reporting island count and covered seconds. The
+    classic hard-SQL window pattern, computed here as ONE vectorized
+    cummax/flag/segment-reduce inside the user-hash bucket (a user's
+    intervals never span buckets); only (user, islands, covered)
+    aggregates shuffle."""
+    ds = _events(sf_dir, ["ts", "user_id", "event_id"])
+    num_buckets = 32
+    win_us = 5 * 60 * 1_000_000
+
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket_"] = (df["user_id"].to_numpy()
+                         % num_buckets).astype(np.int32)
+        return df
+
+    def islands(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        s = g["ts"].astype("int64").to_numpy()
+        e = s + win_us
+        same = uid == np.roll(uid, 1)
+        if len(same):
+            same[0] = False
+        # equal-length intervals sorted by start ⇒ ends are sorted too,
+        # so the running max end within a user IS the previous end —
+        # the general cummax degenerates to one roll
+        prev_e = np.roll(e, 1)
+        new_island = (~same) | (s > prev_e)
+        island_id = np.cumsum(new_island) - 1
+        m = pd.DataFrame({"uid": uid, "isl": island_id, "s": s, "e": e}) \
+            .groupby("isl", sort=False).agg(
+                uid=("uid", "first"), st=("s", "min"), en=("e", "max"))
+        cov_us = (m["en"] - m["st"]).groupby(m["uid"]).sum()
+        cnt = m.groupby("uid", sort=False).size()
+        return pd.DataFrame({
+            "user_id": cnt.index.to_numpy(np.int64),
+            "islands": cnt.to_numpy(np.int64),
+            "covered_s": (cov_us.loc[cnt.index].to_numpy(np.int64)
+                          // 1_000_000)})
+
+    out = ds.map_batches(with_bucket, batch_format="pandas") \
+        .groupby("bucket_").map_groups(islands, batch_format="pandas") \
+        .to_pandas()
+    return out.sort_values("user_id", ignore_index=True)
+
+
 @register("monthly_unpivot", sql="""
 WITH m AS (SELECT strftime(ts, '%Y-%m') AS month,
                   CAST(COUNT(*) AS BIGINT) AS hits,
