@@ -290,3 +290,22 @@ def test_islands_merge_overlaps_exactly(ray_session, tmp_path):
     assert out["islands"].iloc[0] == 2
     # island 1: 0..9 min = 540 s; island 2: 15..25 min = 600 s
     assert out["covered_s"].iloc[0] == 540 + 600
+
+
+def test_wau_window_semantics(ray_session, tmp_path):
+    """A user active on day 0 counts toward anchors 0..6 only; two
+    active days in one window count once."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    day = np.timedelta64(86400, "s")
+    # user 1 on days 0 and 2; user 2 on day 9 (out of user 1's reach:
+    # day 2 supports anchors 2..8 only)
+    ts = [t0, t0 + 2 * day, t0 + 9 * day]
+    d = str(tmp_path / "wau")
+    _write_events(d, ts, [1, 1, 2], ["view"] * 3)
+    out = REGISTRY["weekly_active_users"][0](d)
+    got = dict(zip(out["day"], out["wau"]))
+    # anchors = observed days only (01, 03, 10); user 1's two active
+    # days collapse to one inside each window
+    assert got == {"2024-01-01": 1, "2024-01-03": 1, "2024-01-10": 1}

@@ -4810,6 +4810,63 @@ def user_activity_islands(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("user_id", ignore_index=True)
 
 
+@register("weekly_active_users", sql="""
+WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+SELECT strftime(days.day, '%Y-%m-%d') AS day,
+       CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS wau
+FROM days JOIN d ON d.day > days.day - 7 AND d.day <= days.day
+GROUP BY days.day""")
+def weekly_active_users(sf_dir: str) -> pd.DataFrame:
+    """7-day rolling distinct users (WAU — the rolling COUNT DISTINCT
+    that SQL window frames cannot express): the corpus reduces to
+    distinct (day, user) pairs; each pair flat-maps to the ≤7 window
+    anchors it supports; a second exact distinct collapses users seen
+    on several days of one window. Only (day, user) pairs — bounded by
+    users × days — ever shuffle, never events."""
+    ds = _events(sf_dir, ["ts", "user_id"])
+
+    def day_pairs(t: pa.Table) -> pd.DataFrame:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        day = (us // 86_400_000_000).astype(np.int64)
+        df = pd.DataFrame({"day": day,
+                           "user_id": t["user_id"].to_numpy(
+                               zero_copy_only=False)}).drop_duplicates()
+        return df
+
+    pairs = reduce_sink(ds.map_batches(day_pairs, batch_format="pyarrow"),
+                        ["day", "user_id"], {"n": ("day", "size")})
+    # the observed-day set bounds window anchors (match the oracle's
+    # "days" table = days with ≥1 event)
+    days = sorted(reduce_sink(pairs, ["day"], {"n": ("n", "size")})
+                  .to_pandas()["day"].tolist())
+    days_ref = ray.put(np.array(days, np.int64))
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        anchors = ray.get(days_ref)
+        d = df["day"].to_numpy(np.int64)
+        u = df["user_id"].to_numpy(np.int64)
+        # each (day, user) supports anchors in [day, day+6] ∩ observed
+        lo = np.searchsorted(anchors, d, side="left")
+        hi = np.searchsorted(anchors, d + 7, side="left")
+        reps = (hi - lo).astype(np.int64)
+        cum = np.cumsum(reps)
+        starts = np.repeat(cum - reps, reps)
+        offs = np.arange(cum[-1] if len(df) else 0) - starts
+        a_idx = np.repeat(lo, reps) + offs
+        return pd.DataFrame({"anchor": anchors[a_idx],
+                             "user_id": np.repeat(u, reps)}) \
+            .drop_duplicates()
+
+    wau = distinct_count(
+        pairs.map_batches(expand, batch_format="pandas"),
+        ["anchor"], "user_id", "wau").to_pandas()
+    wau["day"] = pd.to_datetime(wau["anchor"] * 86_400_000_000,
+                                unit="us").dt.strftime("%Y-%m-%d")
+    wau["wau"] = wau["wau"].astype(np.int64)
+    return wau[["day", "wau"]].sort_values("day", ignore_index=True)
+
+
 @register("monthly_unpivot", sql="""
 WITH m AS (SELECT strftime(ts, '%Y-%m') AS month,
                   CAST(COUNT(*) AS BIGINT) AS hits,
