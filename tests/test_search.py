@@ -68,3 +68,52 @@ def test_bm25_scores_descending_and_hits_only(ray_session):
     texts = dict(zip(docs["doc_id"], docs["text"]))
     for d in got["doc_id"]:
         assert any(t in texts[d].split() for t in _BM25_TERMS)
+
+
+def test_indexed_bm25_matches_scan_path(ray_session):
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    scan = REGISTRY["bm25_search"][0](SF)
+    idx = REGISTRY["bm25_search_indexed"][0](SF)
+    assert idx["doc_id"].tolist() == scan["doc_id"].tolist()
+    assert np.allclose(idx["score"], scan["score"], atol=1e-9)
+
+
+def test_index_query_reads_only_term_buckets(ray_session, tmp_path):
+    """A query for terms hashing to B buckets must not open the other
+    bucket directories (index-side pruning)."""
+    import ray.data as rd
+    from webalizer_ray.stages.invindex import (_term_bucket, build_index,
+                                               query_index)
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"]).head(200)
+    d = str(tmp_path / "idx")
+    build_index(rd.from_pandas(docs), d, num_buckets=16)
+    terms = ["table"]
+    b = set(_term_bucket(pd.Series(terms), 16).tolist())
+    import os
+    other = [f"bucket={i}" for i in range(16) if i not in b]
+    # remove every other bucket dir: a pruned query can't notice
+    import shutil
+    for o in other:
+        p = os.path.join(d, o)
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+    out = query_index(d, terms, k=5)
+    assert len(out) == 5
+    texts = dict(zip(docs["doc_id"], docs["text"]))
+    for did in out["doc_id"]:
+        assert "table" in texts[did].split()
+
+
+def test_empty_term_miss_returns_empty(ray_session, tmp_path):
+    import ray.data as rd
+    from webalizer_ray.stages.invindex import build_index, query_index
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"]).head(50)
+    d = str(tmp_path / "idx2")
+    build_index(rd.from_pandas(docs), d, num_buckets=8)
+    out = query_index(d, ["zzz_not_a_word"], k=5)
+    assert len(out) == 0

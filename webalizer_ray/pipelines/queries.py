@@ -5084,6 +5084,38 @@ REGISTRY["evolved_store_profile"] = (
 FROM read_parquet('{os.path.join(tempfile.gettempdir(), "wr_evolved_u" + str(os.getuid() if hasattr(os, "getuid") else 0) + "_v" + str(_EVOLVED_VERSION))}/*.parquet', union_by_name=true)""")
 
 
+_BM25_INDEX_VERSION = 1
+
+
+def _bm25_index_dir(sf_dir: str) -> str:
+    """Per-(user, corpus, version) index path; build once, reuse —
+    the index store is the point of the indexed path."""
+    import hashlib
+    docs = f"{sf_dir}/documents.parquet"
+    st = os.stat(docs)
+    tag = hashlib.sha1(
+        f"{os.path.abspath(docs)}|{st.st_size}|{st.st_mtime_ns}|"
+        f"v{_BM25_INDEX_VERSION}".encode()).hexdigest()[:16]
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    return os.path.join(tempfile.gettempdir(), f"wr_bm25idx_u{uid}_{tag}")
+
+
+@register("bm25_search_indexed", sql=None)  # oracle attached below
+def bm25_search_indexed(sf_dir: str) -> pd.DataFrame:
+    """BM25 over a PERSISTED term-sharded inverted index
+    (stages/invindex.py): the corpus scan is paid once at build; a
+    query reads only the term-hash buckets its terms live in, with a
+    term predicate pushed into the scan — query cost ∝ matched
+    postings, not corpus size. Same scoring math and oracle as
+    bm25_search (the scan path); df comes from the postings in hand."""
+    from webalizer_ray.stages.invindex import build_index, query_index
+
+    idx = _bm25_index_dir(sf_dir)
+    if not os.path.exists(os.path.join(idx, "_meta.json")):
+        build_index(_docs(sf_dir, ["doc_id", "text"]), idx)
+    return query_index(idx, list(_BM25_TERMS), k=10)
+
+
 #: Morton interleave as a generated SQL expression (bit i of x at 2i,
 #: bit i of y at 2i+1) — integer arithmetic, exact on both sides.
 _Z_BITS = 12
@@ -5133,6 +5165,11 @@ def zorder_curve_hist(sf_dir: str) -> pd.DataFrame:
                       ["zbucket"], {"n": ("one", "sum")}).to_pandas()
     agg["n"] = agg["n"].astype(np.int64)
     return agg.sort_values("zbucket", ignore_index=True)
+
+
+# the indexed path must reproduce the scan path bit-for-bit → same oracle
+REGISTRY["bm25_search_indexed"] = (bm25_search_indexed,
+                                   REGISTRY["bm25_search"][1])
 
 
 def all_queries():
