@@ -309,3 +309,24 @@ def test_wau_window_semantics(ray_session, tmp_path):
     # anchors = observed days only (01, 03, 10); user 1's two active
     # days collapse to one inside each window
     assert got == {"2024-01-01": 1, "2024-01-03": 1, "2024-01-10": 1}
+
+
+def test_compression_ratio_direction(ray_session, tmp_path):
+    import pyarrow as _pa
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    d = str(tmp_path / "cr")
+    os.makedirs(d)
+    texts = ["spam " * 400,                       # highly repetitive
+             ("quite varied natural language keeps introducing novel "
+              "vocabulary tokens steadily without obvious repetition "
+              "patterns anywhere forever onward mixing rare words")]
+    pq.write_table(_pa.table({
+        "doc_id": np.array([0, 1], np.int64),
+        "text": texts,
+        "lang": ["en", "en"], "source": ["s", "s"],
+        "n_chars": np.array([len(t) for t in texts], np.int64)}),
+        os.path.join(d, "documents.parquet"))
+    out = REGISTRY["compression_ratio_docs"][0](d)
+    r = dict(zip(out["doc_id"], out["compression_ratio"]))
+    assert r[0] < 0.1 < r[1]

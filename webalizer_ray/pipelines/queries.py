@@ -5172,6 +5172,36 @@ REGISTRY["bm25_search_indexed"] = (bm25_search_indexed,
                                    REGISTRY["bm25_search"][1])
 
 
+@register("compression_ratio_docs", sql=None)  # zlib — not SQL
+def compression_ratio_docs(sf_dir: str) -> pd.DataFrame:
+    """Compressibility quality signal (Gopher-family filter: templated
+    or repetitive text deflates far below natural prose): per-doc zlib
+    ratio as a stateless map_batches pass — per-payload C-speed
+    compression is inherent row work, same exemption as media decode.
+    Rows-only; pytest plants repetitive-vs-natural texts."""
+    out = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        textstats.add_compression_ratio, batch_format="pandas") \
+        .to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out[["doc_id", "compression_ratio"]] \
+        .sort_values("doc_id", ignore_index=True)
+
+
+@register("dup_cluster_sizes", sql=None)  # composition over LSH clusters
+def dup_cluster_sizes(sf_dir: str) -> pd.DataFrame:
+    """Duplicate-cluster size histogram (the dedup report's headline
+    table): connected components over the MinHash candidate graph,
+    folded to (cluster_size, n_clusters). Pure composition of
+    oracle/pytest-covered pieces; only (node, label) rows then the
+    tiny histogram shuffle."""
+    cl = minhash_dup_clusters(sf_dir)
+    sizes = cl.groupby("cluster_id").size()
+    hist = sizes.value_counts().sort_index()
+    return pd.DataFrame({
+        "cluster_size": hist.index.to_numpy(np.int64),
+        "n_clusters": hist.to_numpy(np.int64)})
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

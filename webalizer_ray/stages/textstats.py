@@ -249,3 +249,25 @@ def validate_rules(ds, rules: dict) -> "pd.DataFrame":
     out = pd.concat(rows, ignore_index=True)
     out["violations"] = out["violations"].astype(np.int64)
     return out.sort_values(["column", "rule"], ignore_index=True)
+
+
+def add_compression_ratio(df: pd.DataFrame,
+                          text_col: str = "text") -> pd.DataFrame:
+    """zlib-compressibility quality signal (the Gopher-family filter:
+    highly repetitive / templated text compresses far below natural
+    prose). Compression is inherently per-payload work — the same
+    exemption as image/audio decode — but the payloads stay inside the
+    batch and the loop is C-speed zlib per row, not Python parsing.
+    Ratio = deflated bytes / raw bytes (level 6), 1-char floor guard.
+    """
+    import zlib
+
+    raw = df[text_col].fillna("")
+    ratios = np.fromiter(
+        ((len(zlib.compress(b, 6)) / len(b)) if (
+            b := t.encode("utf-8", "surrogatepass")) else 1.0
+         for t in raw),
+        dtype=np.float64, count=len(raw))
+    out = df.copy()
+    out["compression_ratio"] = round_half_away(ratios, 6)
+    return out
