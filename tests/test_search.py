@@ -117,3 +117,28 @@ def test_empty_term_miss_returns_empty(ray_session, tmp_path):
     build_index(rd.from_pandas(docs), d, num_buckets=8)
     out = query_index(d, ["zzz_not_a_word"], k=5)
     assert len(out) == 0
+
+
+def test_search_cli_roundtrip(ray_session, tmp_path):
+    """CLI builds the index on first call, reuses it on the second,
+    and both answers match the library path."""
+    import json
+    import subprocess
+    import sys
+
+    idx = str(tmp_path / "cli_idx")
+    cmd = [sys.executable, "-m", "webalizer_ray.run", "search",
+           "--input", f"{SF}/documents.parquet", "--index-dir", idx,
+           "--terms", "table,hash", "--k", "3", "--num-cpus", "2"]
+    env = dict(__import__("os").environ, PYTHONPATH="/root/repo")
+    r1 = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                        check=True)
+    r2 = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                        check=True)
+    h1 = json.loads(r1.stdout.strip().splitlines()[-1])["hits"]
+    h2 = json.loads(r2.stdout.strip().splitlines()[-1])["hits"]
+    assert h1 == h2 and len(h1) == 3
+
+    from webalizer_ray.stages.invindex import query_index
+    lib = query_index(idx, ["table", "hash"], k=3)
+    assert [h["doc_id"] for h in h1] == lib["doc_id"].tolist()

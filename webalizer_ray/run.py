@@ -170,6 +170,25 @@ def cmd_corpus_card(args) -> int:
     return 0
 
 
+def cmd_search(args) -> int:
+    """BM25 keyword search: builds (or reuses) the term-sharded
+    inverted index, then answers from only the matching term buckets."""
+    _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from webalizer_ray.stages.invindex import build_index, query_index
+    idx = args.index_dir
+    if not os.path.exists(os.path.join(idx, "_meta.json")):
+        ds = rd.read_parquet(args.input, columns=[args.id_col,
+                                                  args.text_col])
+        build_index(ds, idx, text_col=args.text_col, id_col=args.id_col)
+    out = query_index(idx, [t for t in args.terms.split(",") if t],
+                      k=args.k)
+    print(json.dumps({"terms": args.terms.split(","),
+                      "hits": out.to_dict("records")}))
+    return 0
+
+
 def cmd_dedup(args) -> int:
     """Exact dedup of a documents table: writes the kept rows
     (partitioned parquet) + a JSON funnel; --incremental-store reuses
@@ -448,6 +467,19 @@ def build_parser() -> argparse.ArgumentParser:
     cc.add_argument("--out", required=True, help="output dir")
     cc.add_argument("--num-cpus", type=int, default=None, dest="num_cpus")
     cc.set_defaults(fn=cmd_corpus_card)
+
+    se = sub.add_parser("search", help="BM25 keyword search over a "
+                                       "documents table via a persisted "
+                                       "inverted index")
+    se.add_argument("--input", required=True, help="documents parquet")
+    se.add_argument("--index-dir", required=True, dest="index_dir")
+    se.add_argument("--terms", required=True,
+                    help="comma-separated query terms")
+    se.add_argument("--k", type=int, default=10)
+    se.add_argument("--text-col", default="text", dest="text_col")
+    se.add_argument("--id-col", default="doc_id", dest="id_col")
+    se.add_argument("--num-cpus", type=int, default=None, dest="num_cpus")
+    se.set_defaults(fn=cmd_search)
 
     dd = sub.add_parser("dedup", help="exact dedup of a documents table "
                                       "(optionally incremental across runs)")
