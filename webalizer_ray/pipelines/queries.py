@@ -5207,5 +5207,10 @@ def all_queries():
 
 
 def all_oracle_sql():
+    # two oracles read deterministic /tmp fixtures by absolute path —
+    # make sure they exist even if the caller runs SQL before the
+    # corresponding Ray query (cheap, idempotent, atomic publish)
+    _evolved_dir()
+    _skewed_dir()
     return {name: sql for name, (_, sql) in REGISTRY.items()
             if sql is not None}
