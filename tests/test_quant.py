@@ -62,3 +62,41 @@ def test_int8_query_surface(ray_session):
     assert (self_rows["query_id"].to_numpy()
             == self_rows["vec_id"].to_numpy()).all()
     assert (self_rows["cosine"] > 0.99).all()
+
+
+def test_mmr_lambda_one_is_plain_topk(ray_session):
+    from webalizer_ray.stages.ann import brute_force_topk, mmr_select
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    q = np.asarray(emb["embedding"].iloc[0], np.float64)
+    plain = brute_force_topk(_emb_ds(), q[None, :], k=5)
+    mmr = mmr_select(_emb_ds(), q, k=5, pool=50, lam=1.0)
+    assert mmr["vec_id"].tolist() == plain["vec_id"].tolist()
+
+
+def test_mmr_demotes_planted_duplicate(ray_session, tmp_path):
+    import os
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+    import ray.data as rd
+    from webalizer_ray.stages.ann import mmr_select
+
+    rng = np.random.default_rng(8)
+    base = rng.normal(size=(20, 8))
+    base[1] = base[0] + rng.normal(scale=1e-3, size=8)  # near-dup of 0
+    d = str(tmp_path / "mmr")
+    os.makedirs(d)
+    _pq.write_table(_pa.table({
+        "vec_id": np.arange(20, dtype=np.int64),
+        "embedding": _pa.array([list(map(float, v)) for v in base],
+                               _pa.list_(_pa.float32()))}),
+        os.path.join(d, "embeddings.parquet"))
+    ds = rd.read_parquet(os.path.join(d, "embeddings.parquet"))
+    q = base[0]
+    relevance_only = mmr_select(ds, q, k=3, pool=20, lam=1.0)
+    diverse = mmr_select(ds, q, k=3, pool=20, lam=0.5)
+    # pure relevance picks the near-duplicate second; MMR must not
+    assert relevance_only["vec_id"].tolist()[:2] == [0, 1]
+    assert 1 not in diverse["vec_id"].tolist()
+    assert diverse["vec_id"].iloc[0] == 0

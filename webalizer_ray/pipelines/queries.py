@@ -5172,6 +5172,24 @@ REGISTRY["bm25_search_indexed"] = (bm25_search_indexed,
                                    REGISTRY["bm25_search"][1])
 
 
+@register("mmr_diverse_topk", sql=None)  # greedy iterative — not SQL
+def mmr_diverse_topk(sf_dir: str) -> pd.DataFrame:
+    """Diversity-aware retrieval (Maximal Marginal Relevance, SIGIR'98
+    — the dedup-at-serving-time counterpart of the corpus dedup ops):
+    distributed relevance top-pool partials feed a driver-side greedy
+    loop over the tiny pool. Rows-only; pytest proves λ=1 reduces to
+    plain top-k and that a planted near-duplicate is demoted."""
+    from webalizer_ray.stages.ann import mmr_select
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    q = np.asarray(tbl.filter(pc.equal(tbl["vec_id"], 0))
+                   ["embedding"].to_pylist()[0], np.float64)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return mmr_select(ds, q, k=5, pool=50, lam=0.7)
+
+
 @register("compression_ratio_docs", sql=None)  # zlib — not SQL
 def compression_ratio_docs(sf_dir: str) -> pd.DataFrame:
     """Compressibility quality signal (Gopher-family filter: templated

@@ -349,3 +349,53 @@ def knn_graph_lsh(ds: rd.Dataset, k: int = 2, n_planes: int = 4,
         .to_pandas()
     out["rank"] = out["rank"].astype(np.int64)
     return out.sort_values(["node", "rank"], ignore_index=True)
+
+
+def mmr_select(ds: rd.Dataset, query_vec: np.ndarray, k: int = 5,
+               pool: int = 50, lam: float = 0.7,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> pd.DataFrame:
+    """Maximal Marginal Relevance diverse top-k (Carbonell & Goldstein,
+    SIGIR 1998): greedily pick items maximizing
+    ``lam·sim(query, d) − (1−lam)·max_{s∈S} sim(d, s)``.
+
+    Scale shape: the DISTRIBUTED work is the relevance top-``pool``
+    (brute_force_topk's per-batch partial pattern — only pool rows per
+    block reach the driver); the greedy loop then runs over the tiny
+    pool × k on the driver with vectorized similarity updates. Ties
+    break by id for cross-run determinism.
+    """
+    top = brute_force_topk(ds, query_vec[None, :], k=pool,
+                           id_col=id_col, vec_col=vec_col)
+    ids = top[id_col].to_numpy()
+    rel = top["cosine"].to_numpy(np.float64)
+    # fetch the pool's vectors once (pool rows — driver-tiny)
+    pool_ids = set(int(i) for i in ids)
+
+    def grab(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[df[id_col].isin(pool_ids)]
+        return m[[id_col, vec_col]]
+
+    vecs = ds.map_batches(grab, batch_format="pandas").to_pandas() \
+        .set_index(id_col).loc[ids][vec_col]
+    M = _normalize(np.stack(vecs.to_numpy()).astype(np.float64))
+    sim = np.round(M @ M.T, 9)
+
+    chosen: list[int] = []
+    cand = np.arange(len(ids))
+    # penalty term is 0 while S is empty (standard MMR convention)
+    max_to_chosen = np.zeros(len(ids))
+    for _ in range(min(k, len(ids))):
+        score = np.round(lam * rel[cand]
+                         - (1.0 - lam) * max_to_chosen[cand], 9)
+        # deterministic: best score, then smaller id
+        order = np.lexsort((ids[cand], -score))
+        pick = cand[order[0]]
+        chosen.append(pick)
+        cand = cand[cand != pick]
+        max_to_chosen = np.maximum(max_to_chosen, sim[:, pick])
+    out = pd.DataFrame({
+        id_col: ids[chosen].astype(np.int64),
+        "relevance": np.round(rel[chosen], 6),
+        "rank": np.arange(1, len(chosen) + 1, dtype=np.int64)})
+    return out
