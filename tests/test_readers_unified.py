@@ -68,3 +68,28 @@ def test_single_schema_passthrough(ray_session, tmp_path):
 def test_empty_dir_raises(tmp_path):
     with pytest.raises(FileNotFoundError):
         read_parquet_unified(str(tmp_path / "nothing_here"))
+
+
+def test_shard_balance_report(tmp_path):
+    from webalizer_ray.sources.readers import shard_balance_report
+
+    d = str(tmp_path / "shards")
+    # 9 small shards + 1 giant one: straggler factor ~5.3
+    sizes = [100] * 9 + [900]
+    for i, n in enumerate(sizes):
+        _write(d, f"f{i}.parquet",
+               pa.table({"x": pa.array(np.arange(n, dtype=np.int64))}))
+    r = shard_balance_report(d)
+    assert r["files"].iloc[0] == 10
+    assert r["total_rows"].iloc[0] == sum(sizes)
+    assert abs(r["straggler_factor"].iloc[0] - 900 / 180) < 1e-6
+    assert r["top_decile_row_share"].iloc[0] == 0.5
+
+    # perfectly balanced: factor 1, cv 0
+    d2 = str(tmp_path / "flat")
+    for i in range(4):
+        _write(d2, f"f{i}.parquet",
+               pa.table({"x": pa.array(np.arange(50, dtype=np.int64))}))
+    r2 = shard_balance_report(d2)
+    assert r2["straggler_factor"].iloc[0] == 1.0
+    assert r2["rows_cv"].iloc[0] == 0.0

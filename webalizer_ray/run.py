@@ -145,7 +145,14 @@ def cmd_prepare(args) -> int:
 
 def cmd_profile(args) -> int:
     """Key-skew diagnostics over any parquet table column — run this
-    BEFORE picking a partition/groupby key on big data."""
+    BEFORE picking a partition/groupby key on big data. With --shards,
+    a footer-only file-balance report instead (straggler detection)."""
+    if args.shards:
+        from webalizer_ray.sources.readers import shard_balance_report
+        print(shard_balance_report(args.input).iloc[0].to_json())
+        return 0
+    if not args.key:
+        raise SystemExit("profile: --key is required unless --shards")
     _init_ray(args.num_cpus)
     import ray.data as rd
 
@@ -455,7 +462,9 @@ def build_parser() -> argparse.ArgumentParser:
                                         "parquet column (entropy/Gini/"
                                         "top-share)")
     pr.add_argument("--input", required=True, help="parquet file/dir")
-    pr.add_argument("--key", required=True, help="column to profile")
+    pr.add_argument("--key", help="column to profile")
+    pr.add_argument("--shards", action="store_true",
+                    help="footer-only file-balance report instead")
     pr.add_argument("--num-cpus", type=int, default=None, dest="num_cpus")
     pr.set_defaults(fn=cmd_profile)
 

@@ -104,3 +104,43 @@ def read_parquet_unified(path: str, **read_kwargs) -> rd.Dataset:
     for p in parts[1:]:
         out = out.union(p)
     return out
+
+
+def shard_balance_report(path: str) -> "pd.DataFrame":
+    """File/shard balance diagnostics from parquet FOOTERS only (no
+    data bytes): per-file rows and bytes plus the skew measures that
+    predict stragglers at cluster scale — a 100 TB job is only as fast
+    as its largest shard. Run before picking read parallelism or after
+    a write to validate the layout (pairs with `run.py compact`).
+
+    Returns one summary row: files, total rows/bytes, max/mean row
+    ratio (straggler factor), coefficient of variation, and the share
+    of rows held by the largest decile of files.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(root, f)
+            for root, _, fs in os.walk(path) for f in fs
+            if f.endswith(".parquet"))
+    else:
+        files = [path]
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {path}")
+    rows = np.array([pq.ParquetFile(f).metadata.num_rows for f in files],
+                    dtype=np.float64)
+    size = np.array([os.path.getsize(f) for f in files], dtype=np.float64)
+    mean = rows.mean()
+    top = max(1, len(files) // 10)
+    top_share = float(np.sort(rows)[::-1][:top].sum() / max(rows.sum(), 1))
+    return pd.DataFrame({
+        "files": [np.int64(len(files))],
+        "total_rows": [np.int64(rows.sum())],
+        "total_bytes": [np.int64(size.sum())],
+        "straggler_factor": [round(float(rows.max() / max(mean, 1e-12)),
+                                   4)],
+        "rows_cv": [round(float(rows.std() / max(mean, 1e-12)), 4)],
+        "top_decile_row_share": [round(top_share, 4)],
+    })
