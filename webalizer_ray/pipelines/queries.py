@@ -5190,6 +5190,48 @@ def mmr_diverse_topk(sf_dir: str) -> pd.DataFrame:
     return mmr_select(ds, q, k=5, pool=50, lam=0.7)
 
 
+@register("incremental_fuzzy_dedup_counts", sql=None)  # MinHash — not SQL
+def incremental_fuzzy_dedup_counts(sf_dir: str) -> pd.DataFrame:
+    """Cross-run FUZZY dedup (near-dup corpus refresh): run A feeds
+    the first 60% of the corpus; run B feeds the rest plus 15 planted
+    light edits of run-A docs. The band/signature stores persist
+    between runs (idempotent run-tagged files — a rerun of the same
+    round converges to identical bytes), candidates come from LSH band
+    collisions against PRIOR runs only, and the verify is a
+    distributed signature merge. The planted near-dups must be exactly
+    the drops."""
+    import shutil
+
+    from webalizer_ray.stages.dedup import incremental_minhash_dedup
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    cut = int(len(docs) * 0.6)
+    run_a = docs.iloc[:cut]
+    edits = docs.iloc[:15].copy()
+    edits["doc_id"] = edits["doc_id"] + 100_000
+    edits["text"] = edits["text"] + " zz"
+    run_b = pd.concat([docs.iloc[cut:], edits], ignore_index=True)
+
+    # per-invocation scratch store: the query itself stays fully
+    # deterministic (re-invocations can't see earlier rounds' files);
+    # cross-run persistence semantics are covered by the store's own
+    # tests (test_incremental_fuzzy.py)
+    store = tempfile.mkdtemp(prefix="wr_fz_")
+    try:
+        rows = []
+        for rid, frame in [("a", run_a), ("b", run_b)]:
+            kept, drops = incremental_minhash_dedup(
+                rd.from_pandas(frame), store, rid, threshold=0.5)
+            rows.append({"round": rid,
+                         "input_docs": np.int64(len(frame)),
+                         "kept": np.int64(len(kept)),
+                         "dropped": np.int64(len(drops))})
+        return pd.DataFrame(rows)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
+
+
 @register("compression_ratio_docs", sql=None)  # zlib — not SQL
 def compression_ratio_docs(sf_dir: str) -> pd.DataFrame:
     """Compressibility quality signal (Gopher-family filter: templated

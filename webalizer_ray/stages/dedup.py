@@ -993,3 +993,187 @@ def shared_span_pairs(docs: rd.Dataset, n: int = 20,
                              "shared_spans": pd.Series(dtype=np.int64)})
     out["shared_spans"] = out["shared_spans"].astype(np.int64)
     return out.sort_values(["id_a", "id_b"], ignore_index=True)
+
+
+def incremental_minhash_dedup(ds: rd.Dataset, store_dir: str, run_id: str,
+                              id_col: str = "doc_id",
+                              text_col: str = "text", num_perm: int = 64,
+                              bands: int = 16, threshold: float = 0.7,
+                              shingle_k: int = 5, seed: int = 7,
+                              num_buckets: int = 32,
+                              concurrency=2) -> tuple[pd.DataFrame,
+                                                      pd.DataFrame]:
+    """FUZZY dedup ACROSS ingestion runs — the near-dup counterpart of
+    incremental_exact_dedup (corpus refresh: drop new docs that are
+    near-duplicates of anything any PRIOR run kept).
+
+    Store layout (shared-store paths at cluster scale, same contract
+    as the checkpoint dirs):
+      ``store_dir/bands/bucket=K/run-<id>.parquet`` (band, band_hash, id)
+      ``store_dir/sigs/bucket=K/run-<id>.parquet``  (id, sig)
+    A new doc becomes a CANDIDATE when any of its LSH band hashes
+    collides with a prior run's band row (bucket task reads only its
+    own band bucket, all runs except its own — so same-``run_id``
+    reruns are idempotent); candidates verify distributed against the
+    signature store via a per-old-bucket merge (Broder's resemblance
+    estimator over the 64 minhashes — no driver broadcast of either
+    side). Within-run near-dups are NOT this op's job: run
+    minhash_lsh_pairs/exact_dedup on the batch first.
+
+    Returns (kept ids, drops) where drops = (id, matched_id,
+    est_jaccard).
+    """
+    bands_dir = os.path.join(store_dir, "bands")
+    sigs_dir = os.path.join(store_dir, "sigs")
+    os.makedirs(bands_dir, exist_ok=True)
+    os.makedirs(sigs_dir, exist_ok=True)
+    own = f"run-{run_id}.parquet"
+
+    def _atomic(df: pd.DataFrame, path: str) -> None:
+        tmp = path + f".tmp-{os.getpid()}"
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                       tmp)
+        os.replace(tmp, path)
+
+    sigs = ds.map_batches(
+        MinHashSignatures, batch_format="pandas",
+        fn_constructor_kwargs=dict(num_perm=num_perm, shingle_k=shingle_k,
+                                   seed=seed, text_col=text_col),
+        concurrency=concurrency).materialize()
+
+    def band_rows(df: pd.DataFrame) -> pd.DataFrame:
+        sig = np.stack(df["sig"].to_numpy())
+        bh = _band_hashes(sig, bands)
+        n = len(df)
+        out = pd.DataFrame({
+            "band": np.repeat(np.arange(bands, dtype=np.int64), n),
+            "band_hash": bh.T.reshape(-1).astype(np.int64),
+            id_col: np.tile(df[id_col].to_numpy(), bands)})
+        out["_bk"] = ((out["band_hash"].to_numpy(np.uint64)
+                       ^ (out["band"].to_numpy(np.uint64)
+                          * np.uint64(0x9E3779B97F4A7C15)))
+                      % np.uint64(num_buckets)).astype(np.int32)
+        return out
+
+    cand_schema = pa.schema([(id_col, pa.int64()),
+                             ("old_id", pa.int64())])
+
+    def band_bucket_task(g: pd.DataFrame) -> pa.Table:
+        bk = int(g["_bk"].iat[0])
+        g = g.drop(columns=["_bk"]).drop_duplicates()
+        bdir = os.path.join(bands_dir, f"bucket={bk}")
+        os.makedirs(bdir, exist_ok=True)
+        prior_files = [os.path.join(bdir, f)
+                       for f in sorted(os.listdir(bdir))
+                       if f.endswith(".parquet") and f != own]
+        _atomic(g, os.path.join(bdir, own))
+        if not prior_files:
+            # explicit-schema empty Arrow table: all-empty pandas
+            # blocks lose column names and would poison the join
+            return cand_schema.empty_table()
+        prior = pq.read_table(prior_files).to_pandas() \
+            .rename(columns={id_col: "old_id"})
+        cand = g.merge(prior, on=["band", "band_hash"]) \
+            [[id_col, "old_id"]].drop_duplicates()
+        return pa.Table.from_pandas(cand, schema=cand_schema,
+                                    preserve_index=False)
+
+    # materialized: runs the band-store writes exactly once, and lets
+    # the no-candidates case (first run / all-novel feed) short-circuit
+    # — all-empty pandas blocks lose their schema and would break the
+    # verify join
+    cands = sigs.map_batches(band_rows, batch_format="pandas") \
+        .groupby("_bk").map_groups(band_bucket_task,
+                                   batch_format="pandas").materialize()
+
+    # publish this run's signatures (bucketed by id) BEFORE the verify
+    # pass — verify reads all-except-own, so ordering is safe either way
+    def sig_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[id_col, "sig"]].copy()
+        out["_sk"] = (out[id_col].to_numpy(np.int64)
+                      % num_buckets).astype(np.int32)
+        return out
+
+    def sig_bucket_task(g: pd.DataFrame) -> pd.DataFrame:
+        bk = int(g["_sk"].iat[0])
+        sdir = os.path.join(sigs_dir, f"bucket={bk}")
+        os.makedirs(sdir, exist_ok=True)
+        _atomic(g.drop(columns=["_sk"]).drop_duplicates(id_col),
+                os.path.join(sdir, own))
+        return pd.DataFrame({"bucket": [np.int64(bk)]})
+
+    sigs.map_batches(sig_rows, batch_format="pandas") \
+        .groupby("_sk").map_groups(sig_bucket_task,
+                                   batch_format="pandas").materialize()
+
+    empty_drops = pd.DataFrame({
+        id_col: pd.Series(dtype=np.int64),
+        "matched_id": pd.Series(dtype=np.int64),
+        "est_jaccard": pd.Series(dtype=np.float64)})
+    if cands.count() == 0:
+        kept = sigs.select_columns([id_col]).to_pandas() \
+            .sort_values(id_col, ignore_index=True)
+        return kept, empty_drops
+
+    # verify: join candidates back to this run's signatures (bucketed
+    # hash join semantics via Dataset.join), then one task per OLD
+    # bucket merges against that bucket's stored signatures. The
+    # signature rides the join as PACKED BYTES — Acero joins reject
+    # Ray's tensor-extension payload columns (same trick as
+    # semantic_dedup's packed vectors).
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(np.int64),
+            "sigb": [np.asarray(s, np.uint64).tobytes()
+                     for s in df["sig"]]})
+
+    j = cands.join(sigs.map_batches(pack, batch_format="pandas"),
+                   join_type="inner", num_partitions=8,
+                   on=(id_col,), right_on=(id_col,))
+
+    def add_obk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_obk"] = (df["old_id"].to_numpy(np.int64)
+                      % num_buckets).astype(np.int32)
+        return df
+
+    def verify_task(g: pd.DataFrame) -> pd.DataFrame:
+        bk = int(g["_obk"].iat[0])
+        sdir = os.path.join(sigs_dir, f"bucket={bk}")
+        files = [os.path.join(sdir, f) for f in sorted(os.listdir(sdir))
+                 if f.endswith(".parquet") and f != own] \
+            if os.path.isdir(sdir) else []
+        if not files:
+            return pd.DataFrame({id_col: pd.Series(dtype=np.int64),
+                                 "matched_id": pd.Series(dtype=np.int64),
+                                 "est_jaccard": pd.Series(
+                                     dtype=np.float64)})
+        old = pq.read_table(files).to_pandas() \
+            .rename(columns={id_col: "old_id", "sig": "old_sig"})
+        m = g.merge(old, on="old_id")
+        if not len(m):
+            return pd.DataFrame({id_col: pd.Series(dtype=np.int64),
+                                 "matched_id": pd.Series(dtype=np.int64),
+                                 "est_jaccard": pd.Series(
+                                     dtype=np.float64)})
+        a = np.stack([np.frombuffer(s, np.uint64) for s in m["sigb"]])
+        b = np.stack(m["old_sig"].to_numpy())
+        est = (a == b).mean(axis=1)
+        keep = est >= threshold
+        return pd.DataFrame({id_col: m[id_col].to_numpy(np.int64)[keep],
+                             "matched_id": m["old_id"]
+                             .to_numpy(np.int64)[keep],
+                             "est_jaccard": np.round(est[keep], 6)})
+
+    drops = j.map_batches(add_obk, batch_format="pandas") \
+        .groupby("_obk").map_groups(verify_task, batch_format="pandas") \
+        .to_pandas()
+    if len(drops):
+        drops = drops.sort_values([id_col, "est_jaccard", "matched_id"],
+                                  ascending=[True, False, True]) \
+            .drop_duplicates(id_col).reset_index(drop=True)
+    dropped = set(drops[id_col].tolist()) if len(drops) else set()
+    all_ids = sigs.select_columns([id_col]).to_pandas()
+    kept = all_ids[~all_ids[id_col].isin(dropped)] \
+        .sort_values(id_col, ignore_index=True)
+    return kept, drops
