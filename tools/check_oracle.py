@@ -62,7 +62,7 @@ def compare(name, ours: pd.DataFrame, ref: pd.DataFrame) -> list[str]:
     return errs
 
 
-def main(sf_dir: str):
+def main(sf_dir: str, only: str | None = None):
     import os
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
@@ -85,6 +85,8 @@ def main(sf_dir: str):
 
     n_ok = n_fail = 0
     for name, fn in qs.items():
+        if only and only not in name:
+            continue
         try:
             ours = to_pandas(fn(sf_dir))
         except Exception as ex:
@@ -115,4 +117,5 @@ def main(sf_dir: str):
 
 if __name__ == "__main__":
     sys.exit(1 if main(sys.argv[1] if len(sys.argv) > 1
-                       else "/root/testdata/sf0.01") else 0)
+                       else "/root/testdata/sf0.01",
+                       sys.argv[2] if len(sys.argv) > 2 else None) else 0)

@@ -5262,6 +5262,52 @@ def dup_cluster_sizes(sf_dir: str) -> pd.DataFrame:
         "n_clusters": hist.to_numpy(np.int64)})
 
 
+_VEC_INDEX_VERSION = 1
+
+
+def _vec_index_dir(sf_dir: str) -> str:
+    """Per-(user, corpus, version) IVF store path; build once, reuse —
+    the persisted store is the point of the indexed path."""
+    import hashlib
+    emb = f"{sf_dir}/embeddings.parquet"
+    st = os.stat(emb)
+    tag = hashlib.sha1(
+        f"{os.path.abspath(emb)}|{st.st_size}|{st.st_mtime_ns}|"
+        f"v{_VEC_INDEX_VERSION}".encode()).hexdigest()[:16]
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    return os.path.join(tempfile.gettempdir(), f"wr_vecidx_u{uid}_{tag}")
+
+
+@register("ann_topk_indexed", sql=None)  # oracle attached below
+def ann_topk_indexed(sf_dir: str) -> pd.DataFrame:
+    """Cosine top-k over a PERSISTED IVF cell store
+    (stages/vecindex.py): clustering is paid once at build; a query
+    loads only the k x d centroid matrix and scans JUST its probed
+    cell= directories. Probing ALL cells here makes the answer exactly
+    the brute-force scan's — same oracle as ann_topk; the pruning win
+    at nprobe < k is proven by the delete-unprobed-cells test."""
+    from webalizer_ray.stages import vecindex
+
+    idx = _vec_index_dir(sf_dir)
+    if not os.path.exists(os.path.join(idx, "_meta.json")):
+        vecindex.build(
+            rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"]), idx)
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    qtbl = tbl.filter(pc.less(tbl["vec_id"], 3))
+    qids = np.asarray(qtbl["vec_id"])
+    queries = np.stack(qtbl["embedding"].to_pandas().to_numpy())
+    out = vecindex.query(idx, queries, k=5, nprobe=None)
+    out["query_id"] = qids[out["query_id"].to_numpy()]
+    out["cosine"] = out["cosine"].round(6)
+    return out[["query_id", "vec_id", "cosine", "rank"]] \
+        .sort_values(["query_id", "rank"], ignore_index=True)
+
+
+REGISTRY["ann_topk_indexed"] = (ann_topk_indexed, REGISTRY["ann_topk"][1])
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
