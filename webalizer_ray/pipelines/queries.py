@@ -5308,6 +5308,35 @@ def ann_topk_indexed(sf_dir: str) -> pd.DataFrame:
 REGISTRY["ann_topk_indexed"] = (ann_topk_indexed, REGISTRY["ann_topk"][1])
 
 
+@register("events_stats_meta", sql="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(MIN(value), 2) AS value_min, ROUND(MAX(value), 2) AS value_max,
+       CAST(MIN(user_id) AS BIGINT) AS user_id_min,
+       CAST(MAX(user_id) AS BIGINT) AS user_id_max,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS ts_min,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS ts_max
+FROM events""")
+def events_stats_meta(sf_dir: str) -> pd.DataFrame:
+    """COUNT/MIN/MAX from parquet FOOTERS only (aggregate pushdown to
+    row-group statistics, sources/readers.py:footer_aggregate): O(files)
+    footer reads instead of O(rows) data bytes — the test suite proves
+    no data page is touched by corrupting them all in place. Exact:
+    stat-less columns fall back to a pruned per-file scan."""
+    from webalizer_ray.sources.readers import footer_aggregate
+
+    out = footer_aggregate(f"{sf_dir}/events.parquet",
+                           ["value", "user_id", "ts"])
+    return pd.DataFrame({
+        "n_rows": out["n_rows"].astype(np.int64),
+        "value_min": out["value_min"].astype(np.float64).round(2),
+        "value_max": out["value_max"].astype(np.float64).round(2),
+        "user_id_min": out["user_id_min"].astype(np.int64),
+        "user_id_max": out["user_id_max"].astype(np.int64),
+        "ts_min": [out["ts_min"][0].strftime("%Y-%m-%d %H:%M:%S.%f")],
+        "ts_max": [out["ts_max"][0].strftime("%Y-%m-%d %H:%M:%S.%f")],
+    })
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -144,3 +144,98 @@ def shard_balance_report(path: str) -> "pd.DataFrame":
         "rows_cv": [round(float(rows.std() / max(mean, 1e-12)), 4)],
         "top_decile_row_share": [round(top_share, 4)],
     })
+
+
+def footer_aggregate(path: str, columns: list[str]) -> "pd.DataFrame":
+    """COUNT(*) / MIN / MAX answered from parquet FOOTERS only.
+
+    The aggregate-pushdown endgame of scan pruning: row-group
+    statistics already hold the per-group row count and exact min/max
+    for numeric / temporal columns, so these aggregates cost O(files)
+    footer reads instead of O(rows) data bytes — at 100 TB that is the
+    difference between milliseconds and a cluster-wide scan. Footer
+    reads fan out as an ordinary Ray map_batches over the file list
+    (each batch of paths collapses to ONE partial row), and the driver
+    folds the per-batch partials.
+
+    Exactness: parquet stats are exact for numeric/temporal physical
+    types. Any (file, column) whose row group lacks min/max statistics
+    (e.g. written with ``write_statistics=False``, or a long-string
+    column whose stats the writer dropped) falls back to a pruned
+    single-column scan of THAT file only — the answer is always exact;
+    only the shortcut degrades. The test suite proves the shortcut is
+    real by corrupting every data page in place (footer intact): the
+    aggregate still answers while a full scan raises.
+
+    Returns one row: ``n_rows`` plus ``<col>_min`` / ``<col>_max``.
+    All-null columns yield None. Min/max ignore nulls (SQL semantics).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(root, f)
+            for root, _, fs in os.walk(path) for f in fs
+            if f.endswith(".parquet"))
+    else:
+        files = [path]
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {path}")
+
+    cols = list(columns)
+
+    def batch_partial(df: "pd.DataFrame") -> "pd.DataFrame":
+        import pyarrow.compute as pc_
+
+        n = 0
+        mins: dict[str, list] = {c: [] for c in cols}
+        maxs: dict[str, list] = {c: [] for c in cols}
+        for p in df["path"]:
+            md = pq.ParquetFile(p).metadata
+            n += md.num_rows
+            idx = {md.row_group(0).column(i).path_in_schema: i
+                   for i in range(md.row_group(0).num_columns)} \
+                if md.num_row_groups else {}
+            need_scan = []
+            for c in cols:
+                ok = md.num_row_groups > 0 and c in idx
+                lo, hi = [], []
+                if ok:
+                    for g in range(md.num_row_groups):
+                        col = md.row_group(g).column(idx[c])
+                        st = col.statistics
+                        if st is None or (not st.has_min_max
+                                          and col.num_values > 0):
+                            ok = False
+                            break
+                        if st.has_min_max:
+                            lo.append(st.min)
+                            hi.append(st.max)
+                if ok:
+                    mins[c].extend(lo)
+                    maxs[c].extend(hi)
+                else:
+                    need_scan.append(c)
+            if need_scan:  # exactness fallback: scan ONLY these columns
+                t = pq.read_table(p, columns=need_scan)
+                for c in need_scan:
+                    mm = pc_.min_max(t[c])
+                    if mm["min"].is_valid:
+                        mins[c].append(mm["min"].as_py())
+                        maxs[c].append(mm["max"].as_py())
+        row: dict = {"n_rows": np.int64(n)}
+        for c in cols:
+            row[f"{c}_min"] = [min(mins[c]) if mins[c] else None]
+            row[f"{c}_max"] = [max(maxs[c]) if maxs[c] else None]
+        return pd.DataFrame(row)
+
+    parts = rd.from_items([{"path": p} for p in files]) \
+        .map_batches(batch_partial, batch_format="pandas").to_pandas()
+    out = {"n_rows": np.int64(parts["n_rows"].sum())}
+    for c in cols:
+        lo = [v for v in parts[f"{c}_min"] if v is not None]
+        hi = [v for v in parts[f"{c}_max"] if v is not None]
+        out[f"{c}_min"] = [min(lo) if lo else None]
+        out[f"{c}_max"] = [max(hi) if hi else None]
+    return pd.DataFrame(out)
