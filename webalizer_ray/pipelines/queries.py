@@ -5337,6 +5337,80 @@ def events_stats_meta(sf_dir: str) -> pd.DataFrame:
     })
 
 
+@register("scd2_order_segments", sql="""
+WITH dim AS (
+  SELECT c_custkey, gen,
+         CASE gen WHEN 0 THEN TIMESTAMP '1970-01-01'
+                  WHEN 1 THEN TIMESTAMP '1996-01-01'
+                           + (c_custkey % 365) * INTERVAL 1 DAY
+                  ELSE TIMESTAMP '1998-06-01'
+                           + (c_custkey % 365) * INTERVAL 1 DAY END AS vfrom,
+         CASE gen WHEN 0 THEN TIMESTAMP '1996-01-01'
+                           + (c_custkey % 365) * INTERVAL 1 DAY
+                  WHEN 1 THEN TIMESTAMP '1998-06-01'
+                           + (c_custkey % 365) * INTERVAL 1 DAY
+                  ELSE TIMESTAMP '2200-01-01' END AS vto
+  FROM customer CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS gen))
+SELECT CAST(d.gen AS BIGINT) AS gen, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders o JOIN dim d ON o.o_custkey = d.c_custkey
+ AND o.o_orderdate >= d.vfrom AND o.o_orderdate < d.vto
+GROUP BY gen""")
+def scd2_order_segments(sf_dir: str) -> pd.DataFrame:
+    """SCD2 temporal-validity join (stages/join.py:temporal_join):
+    orders pick the customer-segment GENERATION valid at order date —
+    point-in-time-correct enrichment, the thing a current-values join
+    gets wrong. Dimension = 3 deterministic generations per customer
+    with boundaries derived arithmetically from the key (identical
+    expression in the oracle). Revenue in integer cents so sums are
+    exact under any summation order."""
+    from webalizer_ray.stages.join import temporal_join
+
+    day_us = np.int64(86_400_000_000)
+
+    def gen_dim(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.repeat(df["c_custkey"].to_numpy(np.int64), 3)
+        g = np.tile(np.array([0, 1, 2], np.int64), len(df))
+        off = (c % 365) * day_us
+        b1 = np.datetime64("1996-01-01", "us").astype(np.int64) + off
+        b2 = np.datetime64("1998-06-01", "us").astype(np.int64) + off
+        lo = np.datetime64("1970-01-01", "us").astype(np.int64)
+        hi = np.datetime64("2200-01-01", "us").astype(np.int64)
+        vfrom = np.where(g == 0, lo, np.where(g == 1, b1, b2))
+        vto = np.where(g == 0, b1, np.where(g == 1, b2, hi))
+        return pd.DataFrame({
+            "o_custkey": c, "gen": g,
+            "valid_from": vfrom.astype("datetime64[us]"),
+            "valid_to": vto.astype("datetime64[us]")})
+
+    dim = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                          columns=["c_custkey"]) \
+        .map_batches(gen_dim, batch_format="pandas")
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_custkey": df["o_custkey"].to_numpy(np.int64),
+            "ts": df["o_orderdate"],
+            "cents": np.rint(df["o_totalprice"].to_numpy(np.float64)
+                             * 100).astype(np.int64)})
+
+    facts = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"]) \
+        .map_batches(cents, batch_format="pandas")
+
+    joined = temporal_join(facts, dim, key="o_custkey", ts_col="ts",
+                           how="inner")
+    out = reduce_sink(joined, ["gen"],
+                      {"n_orders": ("cents", "size"),
+                       "revenue_cents": ("cents", "sum")}).to_pandas()
+    out["gen"] = out["gen"].astype(np.int64)
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    out["revenue_cents"] = out["revenue_cents"].astype(np.int64)
+    return out.sort_values("gen", ignore_index=True)
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

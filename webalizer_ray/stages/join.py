@@ -164,3 +164,93 @@ def skew_join(left: rd.Dataset, right: rd.Dataset, on: str,
         join_type="inner", num_partitions=num_partitions,
         on=(on, "_salt"), right_on=(right_on, "_salt"))
     return j.drop_columns(["_salt"])
+
+
+def temporal_join(facts: rd.Dataset, dim: rd.Dataset, key: str,
+                  ts_col: str, from_col: str = "valid_from",
+                  to_col: str = "valid_to", how: str = "inner",
+                  num_buckets: int = 32) -> rd.Dataset:
+    """SCD2 / temporal-validity join: each fact row picks the dimension
+    row valid at its event time — ``valid_from <= ts < valid_to``
+    (a null ``valid_to`` means open-ended, the current generation).
+
+    The point-in-time-correct enrichment every warehouse needs (a
+    slowly-changing dimension must be joined as of the FACT's
+    timestamp, not its current value — joining current values leaks
+    the future into historical rows). Ray Data has no interval-join
+    kernel; this is the composition: both sides align to one Arrow
+    schema with typed-null fill, union, shuffle ONCE into a coarse
+    key-hash bucket (a key's facts and its whole validity history land
+    in the same bucket), and within the bucket a single vectorized
+    ``pd.merge_asof(by=key)`` resolves every key at once, followed by
+    the exclusive upper-bound check. Validity gaps (ts between two
+    generations) therefore resolve to no-match, not the previous row.
+
+    ``how``: 'inner' drops unmatched facts; 'left' keeps them with
+    null dimension attributes. Output = fact columns + dim columns
+    (one shared ``key`` column), lazy. num_buckets bounds per-task
+    memory: size to (rows of the hotter side / buckets) at scale.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how={how!r}")
+    import pyarrow as pa
+
+    from webalizer_ray.stages.aggregate import key_bucket
+
+    def arrow_schema(ds: rd.Dataset) -> "pa.Schema":
+        # after a pandas-format map_batches Ray reports a
+        # PandasBlockSchema; materialize ONE block to get arrow types
+        sch = ds.schema().base_schema
+        if isinstance(sch, pa.Schema):
+            return sch
+        return pa.Table.from_pandas(
+            ds.limit(1).to_pandas(), preserve_index=False).schema
+
+    f_sch = arrow_schema(facts)
+    d_sch = arrow_schema(dim)
+    shared = set(f_sch.names) & set(d_sch.names)
+    if shared != {key}:
+        raise ValueError(f"sides must share ONLY the key; shared={shared}")
+    dim_only = [n for n in d_sch.names if n != key]
+    fact_only = [n for n in f_sch.names if n != key]
+    order = [key] + fact_only + dim_only + ["_tag"]
+
+    def align(missing: list, src: "pa.Schema", tag: int):
+        def f(t: "pa.Table") -> "pa.Table":
+            n = t.num_rows
+            for name in missing:
+                t = t.append_column(name, pa.nulls(n, src.field(name).type))
+            t = t.append_column(
+                "_tag", pa.array(np.full(n, tag, np.int8), pa.int8()))
+            return t.select(order)
+        return f
+
+    stream = facts.map_batches(align(dim_only, d_sch, 0),
+                               batch_format="pyarrow") \
+        .union(dim.map_batches(align(fact_only, f_sch, 1),
+                               batch_format="pyarrow"))
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_b"] = key_bucket(df, [key], num_buckets)
+        return df
+
+    out_cols = [key] + fact_only + dim_only
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        f = g[g["_tag"] == 0][[key] + fact_only] \
+            .sort_values(ts_col, kind="mergesort")
+        d = g[g["_tag"] == 1][[key] + dim_only] \
+            .sort_values(from_col, kind="mergesort")
+        m = pd.merge_asof(f, d, left_on=ts_col, right_on=from_col,
+                          by=key, direction="backward")
+        valid = m[from_col].notna() & (
+            m[to_col].isna() | (m[ts_col] < m[to_col]))
+        if how == "inner":
+            m = m[valid]
+        else:
+            m.loc[~valid, dim_only] = None
+        return m[out_cols].reset_index(drop=True)
+
+    return stream.map_batches(add_bucket, batch_format="pandas") \
+        .groupby("_b").map_groups(resolve, batch_format="pandas")
