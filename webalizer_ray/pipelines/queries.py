@@ -5411,6 +5411,118 @@ def scd2_order_segments(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("gen", ignore_index=True)
 
 
+_VSTORE_VERSION = 1
+
+
+def _vstore_dir(sf_dir: str) -> str:
+    import hashlib
+    cust = f"{sf_dir}/customer.parquet"
+    st = os.stat(cust)
+    tag = hashlib.sha1(
+        f"{os.path.abspath(cust)}|{st.st_size}|{st.st_mtime_ns}|"
+        f"v{_VSTORE_VERSION}".encode()).hexdigest()[:16]
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    return os.path.join(tempfile.gettempdir(), f"wr_vstore_u{uid}_{tag}")
+
+
+def _build_vstore(sf_dir: str) -> str:
+    """Deterministic 3-version store from customer: v1 = base
+    (k, cents); v2 deletes k%7==0 and bumps k%5==0 by +10000; v3
+    upserts k%3==0 to 555+k (re-inserting the k%21==0 keys v2
+    deleted). Built once per (user, corpus, version); atomic
+    staging+rename publish."""
+    from webalizer_ray.state import versioned_store as vs
+
+    out = _vstore_dir(sf_dir)
+    if os.path.isdir(os.path.join(out, "_log")):
+        return out
+
+    def base_rows(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["c_custkey"].to_numpy(np.int64)
+        cents = np.rint(df["c_acctbal"].to_numpy(np.float64) * 100) \
+            .astype(np.int64)
+        return pd.DataFrame({"k": k, "cents": cents})
+
+    def delta2(df: pd.DataFrame) -> pd.DataFrame:
+        r = base_rows(df)
+        dele = r[r["k"] % 7 == 0].copy()
+        dele["op"] = "delete"
+        ups = r[(r["k"] % 5 == 0) & (r["k"] % 7 != 0)].copy()
+        ups["cents"] = ups["cents"] + 10000
+        ups["op"] = "upsert"
+        out_ = pd.concat([dele, ups], ignore_index=True)
+        out_["seq"] = out_["k"].to_numpy(np.int64)
+        return out_[["k", "cents", "seq", "op"]]
+
+    def delta3(df: pd.DataFrame) -> pd.DataFrame:
+        r = base_rows(df)
+        ups = r[r["k"] % 3 == 0].copy()
+        ups["cents"] = 555 + ups["k"].to_numpy(np.int64)
+        ups["op"] = "upsert"
+        ups["seq"] = ups["k"].to_numpy(np.int64)
+        return ups[["k", "cents", "seq", "op"]]
+
+    cust = lambda: rd.read_parquet(  # noqa: E731
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"])
+    staging = out + f".staging-{os.getpid()}"
+    import shutil
+    shutil.rmtree(staging, ignore_errors=True)
+    vs.init(cust().map_batches(base_rows, batch_format="pandas"),
+            staging, key="k", num_buckets=8)
+    vs.commit_changes(staging,
+                      cust().map_batches(delta2, batch_format="pandas"))
+    vs.commit_changes(staging,
+                      cust().map_batches(delta3, batch_format="pandas"))
+    shutil.rmtree(out, ignore_errors=True)
+    os.replace(staging, out)
+    return out
+
+
+@register("time_travel_counts", sql="""
+WITH v1 AS (SELECT c_custkey AS k,
+                   CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+            FROM customer),
+u2 AS (SELECT k, cents + 10000 AS cents FROM v1
+       WHERE k % 5 = 0 AND k % 7 <> 0),
+v2 AS (SELECT k, cents FROM v1
+       WHERE k % 7 <> 0 AND NOT (k % 5 = 0 AND k % 7 <> 0)
+       UNION ALL SELECT k, cents FROM u2),
+u3 AS (SELECT k, 555 + k AS cents FROM v1 WHERE k % 3 = 0),
+v3 AS (SELECT k, cents FROM v2 WHERE k % 3 <> 0
+       UNION ALL SELECT k, cents FROM u3)
+SELECT * FROM (
+  SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(cents) AS BIGINT) AS cents_sum FROM v1
+  UNION ALL
+  SELECT 2, CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT) FROM v2
+  UNION ALL
+  SELECT 3, CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT) FROM v3)
+ORDER BY version""")
+def time_travel_counts(sf_dir: str) -> pd.DataFrame:
+    """Time travel over the versioned store (state/versioned_store.py):
+    three committed versions read AS OF each version — one log-entry
+    read resolves the exact immutable file list, no replay; the oracle
+    reconstructs each version relationally from the same deterministic
+    delta definitions. Integer cents so sums are exact in any order."""
+    from webalizer_ray.state import versioned_store as vs
+
+    store = _build_vstore(sf_dir)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "n": [np.int64(len(df))],
+            "s": [np.int64(df["cents"].sum()) if len(df) else np.int64(0)]})
+
+    rows = []
+    for v in (1, 2, 3):
+        p = vs.read(store, v).map_batches(
+            partial, batch_format="pandas").to_pandas()
+        rows.append({"version": np.int64(v),
+                     "n_rows": np.int64(p["n"].sum()),
+                     "cents_sum": np.int64(p["s"].sum())})
+    return pd.DataFrame(rows)
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
