@@ -330,3 +330,24 @@ def test_compression_ratio_direction(ray_session, tmp_path):
     out = REGISTRY["compression_ratio_docs"][0](d)
     r = dict(zip(out["doc_id"], out["compression_ratio"]))
     assert r[0] < 0.1 < r[1]
+
+
+# ---------------------------------------------------------------------------
+# change-point detection (two-segment least squares)
+# ---------------------------------------------------------------------------
+
+def test_best_sse_split_recovers_planted_shift():
+    from webalizer_ray.pipelines.queries import best_sse_split
+
+    rng = np.random.default_rng(11)
+    y = np.concatenate([rng.normal(100, 2, 40), rng.normal(180, 2, 25)])
+    i, cost, mb, ma = best_sse_split(y)
+    assert i == 40                      # exact boundary recovered
+    assert abs(mb - 100) < 2 and abs(ma - 180) < 2
+
+
+def test_best_sse_split_flat_series_tiebreaks_smallest_index():
+    from webalizer_ray.pipelines.queries import best_sse_split
+
+    i, cost, mb, ma = best_sse_split(np.full(10, 7.0))
+    assert i == 1 and cost == 0.0 and mb == ma == 7.0

@@ -5523,6 +5523,67 @@ def time_travel_counts(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def best_sse_split(y: np.ndarray) -> tuple[int, float, float, float]:
+    """Single change point by two-segment least squares: the split i
+    (1-based, left segment = first i points) minimizing
+    SSE(left)+SSE(right), computed in closed form from cumulative
+    sums — O(T), no per-split re-scan. Cost rounded to 6 dp with
+    smaller-i tiebreak so engines cannot disagree on hairline ties.
+    Returns (i, cost, mean_before, mean_after)."""
+    y = np.asarray(y, np.float64)
+    n = len(y)
+    if n < 2:
+        raise ValueError("need >= 2 points")
+    cs = np.cumsum(y)
+    cs2 = np.cumsum(y * y)
+    i = np.arange(1, n, dtype=np.float64)
+    left = cs2[:-1] - cs[:-1] ** 2 / i
+    right = (cs2[-1] - cs2[:-1]) - (cs[-1] - cs[:-1]) ** 2 / (n - i)
+    cost = np.round(left + right, 6)
+    k = int(np.argmin(cost))  # first minimum = smallest split index
+    return (k + 1, float(cost[k]), float(cs[k] / (k + 1)),
+            float((cs[-1] - cs[k]) / (n - k - 1)))
+
+
+@register("changepoint_day", sql="""
+WITH daily AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+                      CAST(COUNT(*) AS DOUBLE) AS y
+               FROM events GROUP BY day),
+ord AS (SELECT day, y, ROW_NUMBER() OVER (ORDER BY day) AS i,
+               COUNT(*) OVER () AS n,
+               SUM(y) OVER (ORDER BY day) AS cs,
+               SUM(y * y) OVER (ORDER BY day) AS cs2,
+               SUM(y) OVER () AS tot, SUM(y * y) OVER () AS tot2
+        FROM daily),
+costs AS (SELECT day, i, ROUND((cs2 - cs * cs / i)
+                 + ((tot2 - cs2) - (tot - cs) * (tot - cs) / (n - i)),
+                 6) AS cost,
+                 ROUND(cs / i, 4) AS mean_before,
+                 ROUND((tot - cs) / (n - i), 4) AS mean_after
+          FROM ord WHERE i < n)
+SELECT day AS change_day, cost, mean_before, mean_after
+FROM costs ORDER BY cost, i LIMIT 1""")
+def changepoint_day(sf_dir: str) -> pd.DataFrame:
+    """Change-point detection (two-segment least squares — the k=1
+    case of binary segmentation / PELT): the level-shift monitor a
+    telemetry pipeline runs on its daily volumes. Scale shape: the
+    heavy work is ONE distributed daily-count reduce (the series is
+    O(days) regardless of corpus size); the closed-form cumulative-sum
+    scan runs on that tiny series driver-side — and is fully
+    SQL-expressible, so the whole detector is oracle-backed."""
+    ds = _events(sf_dir, ["ts"]) \
+        .map_batches(_with_time_cols({"date"}), batch_format="pyarrow")
+    daily = reduce_sink(ds, ["date"], {"y": ("ts", "size")}).to_pandas() \
+        .sort_values("date", ignore_index=True)
+    y = daily["y"].to_numpy(np.float64)
+    i, cost, mb, ma = best_sse_split(y)
+    return pd.DataFrame({
+        "change_day": [daily["date"].iloc[i - 1]],
+        "cost": [round(cost, 6)],
+        "mean_before": [round(mb, 4)],
+        "mean_after": [round(ma, 4)]})
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
