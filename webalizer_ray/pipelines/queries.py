@@ -5584,6 +5584,29 @@ def changepoint_day(sf_dir: str) -> pd.DataFrame:
         "mean_after": [round(ma, 4)]})
 
 
+@register("ann_topk_pq", sql=None)  # quantized/approximate — not SQL
+def ann_topk_pq(sf_dir: str) -> pd.DataFrame:
+    """PQ/ADC cosine top-k (Jégou et al. TPAMI'11): vectors stored as
+    16 uint8 codes (16x smaller than float32 — the scan/shuffle tier
+    below SQ8's 4x); each query builds ONE (m, ks) partial-dot lookup
+    table and every data vector costs m table lookups. Rows-only
+    (quantized); pytest pins recall >= 0.6 vs the exact path at these
+    params (0.87 measured)."""
+    from webalizer_ray.stages import quant
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    qtbl = tbl.filter(pc.less(tbl["vec_id"], 3))
+    qids = np.asarray(qtbl["vec_id"])
+    queries = np.stack(qtbl["embedding"].to_pandas().to_numpy())
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    cb = quant.pq_train(ds, m=16, ks=256)
+    out = quant.pq_topk(quant.pq_encode(ds, cb), cb, queries, k=5)
+    out["query_id"] = qids[out["query_id"].to_numpy()]
+    return out.sort_values(["query_id", "rank"], ignore_index=True)
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -75,3 +75,118 @@ def int8_topk(qds: rd.Dataset, queries: np.ndarray, k: int = 5,
         .reset_index(drop=True)
     out["rank"] = out.groupby("query_id").cumcount().astype(np.int64) + 1
     return out
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou, Douze, Schmid, "Product Quantization for
+# Nearest Neighbor Search", TPAMI 2011) — the 32x compression tier below
+# SQ8's 4x: the d-dim vector splits into m subspaces, each quantized to
+# one of ks codewords, so a vector stores as m uint8 codes. Queries score
+# by Asymmetric Distance Computation (ADC): ONE (m, ks) lookup table of
+# partial dot products per query, then every data vector's score is m
+# table lookups — no float multiply per vector.
+#
+# Scale shape: codebooks train on a driver-side sample (the standard
+# practice — FAISS trains on a subset; the codebook is (m, ks, d/m)
+# floats, broadcast once), encoding is a stateless vectorized pass, and
+# ADC scoring is per-batch lookups + the same mergeable top-k partials
+# the exact path uses. At 100 TB the PQ table is 1/32 the scan and
+# shuffle bytes of float32.
+# ---------------------------------------------------------------------------
+
+def _kmeans_np(x: np.ndarray, ks: int, n_iter: int,
+               rng: np.random.Generator) -> np.ndarray:
+    """Plain seeded Lloyd on a (small) sample; empty clusters keep
+    their previous centroid. Deterministic given the rng state."""
+    c = x[rng.choice(len(x), size=min(ks, len(x)), replace=False)]
+    if len(c) < ks:  # degenerate tiny sample: pad by repeating
+        c = np.concatenate([c, np.repeat(c[:1], ks - len(c), axis=0)])
+    for _ in range(n_iter):
+        d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+        a = np.argmin(d, axis=1)
+        sums = np.zeros_like(c)
+        np.add.at(sums, a, x)
+        cnt = np.bincount(a, minlength=ks).astype(np.float64)
+        nz = cnt > 0
+        c = np.where(nz[:, None], sums / np.maximum(cnt, 1)[:, None], c)
+    return c
+
+
+def pq_train(ds: rd.Dataset, m: int = 8, ks: int = 16,
+             sample_rows: int = 2048, n_iter: int = 8, seed: int = 7,
+             vec_col: str = "embedding") -> np.ndarray:
+    """Train per-subspace codebooks on a sample → (m, ks, d/m)."""
+    sample = ds.limit(sample_rows).to_pandas()
+    x = _normalize(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.default_rng(seed)
+    return np.stack([
+        _kmeans_np(x[:, j * dsub:(j + 1) * dsub], ks, n_iter, rng)
+        for j in range(m)])
+
+
+def pq_encode(ds: rd.Dataset, codebooks: np.ndarray,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> rd.Dataset:
+    """→ (id_col, codes list<uint8>): m codes per vector, 1/32 the
+    bytes of the float32 input at m=8 over 64 float dims."""
+    cb_ref = ray.put(codebooks)
+
+    def encode(df: pd.DataFrame) -> pa.Table:
+        cb = ray.get(cb_ref)              # (m, ks, dsub)
+        mm, ks, dsub = cb.shape
+        x = _normalize(np.stack(df[vec_col].to_numpy())
+                       .astype(np.float64))
+        codes = np.empty((len(x), mm), np.uint8)
+        for j in range(mm):
+            sub = x[:, j * dsub:(j + 1) * dsub]
+            dist = ((sub[:, None, :] - cb[j][None, :, :]) ** 2).sum(-1)
+            codes[:, j] = np.argmin(dist, axis=1).astype(np.uint8)
+        return pa.table({
+            id_col: pa.array(df[id_col].to_numpy()),
+            "codes": pa.array(list(codes), type=pa.list_(pa.uint8()))})
+
+    return ds.map_batches(encode, batch_format="pandas")
+
+
+def pq_topk(codes_ds: rd.Dataset, codebooks: np.ndarray,
+            queries: np.ndarray, k: int = 5,
+            id_col: str = "vec_id") -> pd.DataFrame:
+    """ADC cosine top-k over the PQ table (same output shape and tie
+    rule as ann.brute_force_topk). Per query the (m, ks) partial-dot
+    LUT is built ONCE; each data vector costs m uint8 lookups."""
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    mm, ks, dsub = codebooks.shape
+    # LUT[q, j, c] = <query subvector j, codeword c of subspace j>
+    qsub = qn.reshape(len(qn), mm, dsub)               # (nq, m, dsub)
+    lut = np.einsum("qjd,jcd->qjc", qsub, codebooks)   # (nq, m, ks)
+    lut_ref = ray.put(lut)
+    cols_j = np.arange(mm)
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        lt = ray.get(lut_ref)
+        codes = np.stack(df["codes"].to_numpy()).astype(np.int64)
+        ids = df[id_col].to_numpy()
+        nq = lt.shape[0]
+        outs = []
+        for qi in range(nq):
+            sims = np.round(lt[qi][cols_j[None, :], codes].sum(1), 9)
+            kk = min(k, len(sims))
+            part = np.argpartition(-sims, kk - 1)[:kk]
+            outs.append(pd.DataFrame({
+                "query_id": np.full(kk, qi, np.int64),
+                id_col: ids[part], "cosine": sims[part]}))
+        return pd.concat(outs, ignore_index=True)
+
+    partials = codes_ds.map_batches(local_topk, batch_format="pandas") \
+        .to_pandas()
+    partials = partials.sort_values(
+        ["query_id", "cosine", id_col], ascending=[True, False, True],
+        kind="mergesort")
+    out = partials.groupby("query_id", sort=True).head(k) \
+        .reset_index(drop=True)
+    out["rank"] = out.groupby("query_id").cumcount().astype(np.int64) + 1
+    return out
