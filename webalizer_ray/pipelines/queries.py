@@ -5607,6 +5607,43 @@ def ann_topk_pq(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["query_id", "rank"], ignore_index=True)
 
 
+@register("forget_user_counts", sql="""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS hits,
+       COUNT(DISTINCT user_id) AS users
+FROM events WHERE user_id % 13 <> 0
+GROUP BY event_type""")
+def forget_user_counts(sf_dir: str) -> pd.DataFrame:
+    """Right-to-be-forgotten (state/forget.py:scrub_parquet_dir): a
+    COPY of the events table is physically scrubbed of every user with
+    user_id %% 13 == 0 (key list derived from footer-only max — the
+    GDPR request list stand-in), then aggregated from the scrubbed
+    FILES — proving erasure happened in the bytes, not in a filter.
+    Files without hits are skipped untouched (mtime-tested)."""
+    import shutil
+
+    from webalizer_ray.sources.readers import footer_aggregate
+    from webalizer_ray.state.forget import scrub_parquet_dir
+
+    work = tempfile.mkdtemp(prefix="wr_forget_")
+    try:
+        shutil.copy(f"{sf_dir}/events.parquet",
+                    os.path.join(work, "events.parquet"))
+        umax = int(footer_aggregate(work, ["user_id"])["user_id_max"][0])
+        keys = np.arange(0, umax + 1, 13, dtype=np.int64)
+        scrub_parquet_dir(work, "user_id", keys)
+        ds = rd.read_parquet(work, columns=["event_type", "user_id"])
+        agg = reduce_sink(ds, ["event_type"],
+                          {"hits": ("user_id", "size")}).to_pandas()
+        users = distinct_count(ds, ["event_type"], "user_id",
+                               "users").to_pandas()
+        out = agg.merge(users, on="event_type")
+        out["hits"] = out["hits"].astype(np.int64)
+        out["users"] = out["users"].astype(np.int64)
+        return out.sort_values("event_type", ignore_index=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
