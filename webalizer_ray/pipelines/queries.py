@@ -5644,6 +5644,215 @@ def forget_user_counts(sf_dir: str) -> pd.DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+# --- TPC-H join-breadth family: Q5 / Q10 / Q18 shapes ---------------------
+# Float discipline: revenue = l_extendedprice * (1 - l_discount) is a
+# ≤4-dp decimal; CAST(ROUND(rev * 10000) AS BIGINT) makes every revenue
+# an exact int64 so group sums cannot depend on summation order.
+
+@register("tpch_q5_region_revenue", sql="""
+SELECT n_name,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                     AS BIGINT)) AS BIGINT) AS revenue_dm,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name""")
+def tpch_q5_region_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q5 shape (6-table local-supplier volume): the date
+    predicate is pushed into the orders scan; customer rides a
+    distributed/auto join; the big lineitem side joins on orderkey;
+    supplier and the ASIA nation/region dims are tiny and broadcast
+    once (ray.put dicts in a map-side filter implementing the
+    c_nationkey = s_nationkey correlation) — the fact table never
+    shuffles for the dimension predicates."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pds
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    reg = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    asia = nat.merge(reg[reg["r_name"] == "ASIA"],
+                     left_on="n_regionkey", right_on="r_regionkey")
+    nk2name = dict(zip(asia["n_nationkey"].astype(int),
+                       asia["n_name"]))
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sk2nk_ref = ray.put(dict(zip(sup["s_suppkey"].astype(int),
+                                 sup["s_nationkey"].astype(int))))
+    nk2name_ref = ray.put(nk2name)
+
+    from webalizer_ray.stages.join import auto_join
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"],
+        filter=((pds.field("o_orderdate") >= _dt.datetime(1996, 1, 1))
+                & (pds.field("o_orderdate") < _dt.datetime(1997, 1, 1))))
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    ordc = auto_join(orders, cust, on="o_custkey", right_on="c_custkey")
+
+    def rev_dm(df: pd.DataFrame) -> pd.DataFrame:
+        p = df["l_extendedprice"].to_numpy(np.float64)
+        d = df["l_discount"].to_numpy(np.float64)
+        return pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+            "l_suppkey": df["l_suppkey"].to_numpy(np.int64),
+            "rev_dm": np.rint(p * (1 - d) * 10000).astype(np.int64)})
+
+    items = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"]) \
+        .map_batches(rev_dm, batch_format="pandas")
+    joined = auto_join(items, ordc, on="l_orderkey",
+                       right_on="o_orderkey")
+
+    def local_filter(df: pd.DataFrame) -> pd.DataFrame:
+        sk2nk = ray.get(sk2nk_ref)
+        nknm = ray.get(nk2name_ref)
+        snk = df["l_suppkey"].map(sk2nk)
+        keep = snk.eq(df["c_nationkey"]) & snk.isin(nknm.keys())
+        df = df[keep]
+        return pd.DataFrame({
+            "n_name": df["l_suppkey"].map(sk2nk).map(nknm),
+            "rev_dm": df["rev_dm"].to_numpy(np.int64)})
+
+    out = reduce_sink(joined.map_batches(local_filter,
+                                         batch_format="pandas"),
+                      ["n_name"], {"revenue_dm": ("rev_dm", "sum"),
+                                   "n_items": ("rev_dm", "size")}) \
+        .to_pandas()
+    out["revenue_dm"] = out["revenue_dm"].astype(np.int64)
+    out["n_items"] = out["n_items"].astype(np.int64)
+    return out.sort_values("n_name", ignore_index=True)
+
+
+@register("tpch_q10_returned_revenue", sql="""
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                           * 10000) AS BIGINT)) AS BIGINT) AS revenue_dm
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-07-01'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue_dm DESC, c.c_custkey LIMIT 20""")
+def tpch_q10_returned_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q10 shape (returned-item revenue, top 20 customers):
+    returnflag pushed into the lineitem scan and the date window into
+    orders; revenue pre-reduces PER CUSTKEY before the customer
+    dimension is consulted, so the top-N works on |customers| rows and
+    the name/nation attributes join only onto the 20 winners (driver-
+    side merge of a broadcast-scale dim). Integer revenue makes the
+    DESC/custkey tiebreak engine-stable."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pds
+
+    from webalizer_ray.stages.join import auto_join
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"],
+        filter=((pds.field("o_orderdate") >= _dt.datetime(1996, 1, 1))
+                & (pds.field("o_orderdate") < _dt.datetime(1996, 7, 1))))
+
+    def rev_dm(df: pd.DataFrame) -> pd.DataFrame:
+        p = df["l_extendedprice"].to_numpy(np.float64)
+        d = df["l_discount"].to_numpy(np.float64)
+        return pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+            "rev_dm": np.rint(p * (1 - d) * 10000).astype(np.int64)})
+
+    items = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pds.field("l_returnflag") == "R") \
+        .map_batches(rev_dm, batch_format="pandas")
+    joined = auto_join(items, orders, on="l_orderkey",
+                       right_on="o_orderkey")
+    per_cust = reduce_sink(joined, ["o_custkey"],
+                           {"revenue_dm": ("rev_dm", "sum")}).to_pandas()
+    per_cust["revenue_dm"] = per_cust["revenue_dm"].astype(np.int64)
+    top = per_cust.sort_values(["revenue_dm", "o_custkey"],
+                               ascending=[False, True],
+                               kind="mergesort").head(20)
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey"]).to_pandas()
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"]).to_pandas()
+    out = top.merge(cust, left_on="o_custkey", right_on="c_custkey") \
+        .merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+    out = out.sort_values(["revenue_dm", "c_custkey"],
+                          ascending=[False, True], kind="mergesort")
+    return out[["c_custkey", "c_name", "n_name", "revenue_dm"]] \
+        .reset_index(drop=True)
+
+
+@register("tpch_q18_large_orders", sql="""
+WITH big AS (SELECT l_orderkey,
+                    CAST(SUM(l_quantity) AS BIGINT) AS qty
+             FROM lineitem GROUP BY l_orderkey
+             HAVING SUM(l_quantity) > 300)
+SELECT c.c_custkey, b.l_orderkey AS o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+       b.qty
+FROM big b JOIN orders o ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY total_cents DESC, o_orderkey LIMIT 100""")
+def tpch_q18_large_orders(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q18 shape (large-volume orders — HAVING over a grouped
+    fact): per-order quantity sums reduce distributedly (only
+    (orderkey, qty) partials shuffle), the HAVING filter shrinks the
+    set to the rare giants, and ONLY those survivors join back to
+    orders/customer (broadcast-scale after the filter). Quantities and
+    cents are integers — exact under any order."""
+    from webalizer_ray.stages.join import auto_join
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_quantity"])
+
+    def qty_int(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+            "qty": np.rint(df["l_quantity"].to_numpy(np.float64))
+            .astype(np.int64)})
+
+    per_order = reduce_sink(li.map_batches(qty_int,
+                                           batch_format="pandas"),
+                            ["l_orderkey"], {"qty": ("qty", "sum")})
+    big = per_order.filter(lambda r: r["qty"] > 300)
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_totalprice"])
+    joined = auto_join(orders, big, on="o_orderkey",
+                       right_on="l_orderkey").to_pandas()
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey"]).to_pandas()
+    out = joined.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    out["total_cents"] = np.rint(
+        out["o_totalprice"].to_numpy(np.float64) * 100).astype(np.int64)
+    out["orderdate"] = out["o_orderdate"].dt.strftime("%Y-%m-%d")
+    out["qty"] = out["qty"].astype(np.int64)
+    out = out.sort_values(["total_cents", "o_orderkey"],
+                          ascending=[False, True],
+                          kind="mergesort").head(100)
+    return out[["c_custkey", "o_orderkey", "orderdate", "total_cents",
+                "qty"]].reset_index(drop=True)
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
