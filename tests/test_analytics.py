@@ -351,3 +351,59 @@ def test_best_sse_split_flat_series_tiebreaks_smallest_index():
 
     i, cost, mb, ma = best_sse_split(np.full(10, 7.0))
     assert i == 1 and cost == 0.0 and mb == ma == 7.0
+
+
+# ---------------------------------------------------------------------------
+# peak concurrent sessions (+1/-1 interval sweep)
+# ---------------------------------------------------------------------------
+
+def test_peak_concurrency_touching_sessions_count(ray_session, tmp_path):
+    """A session ENDING at t and another STARTING at t are concurrent
+    (starts apply before ends), and a single-event session is live at
+    its instant."""
+    from webalizer_ray.pipelines.queries import peak_concurrent_sessions
+
+    ts = pd.to_datetime([
+        "2024-01-01 10:00:00", "2024-01-01 10:10:00",  # user 1 session
+        "2024-01-01 10:10:00",                          # user 2 touches
+        "2024-01-01 09:00:00",                          # user 3 alone
+    ])
+    df = pd.DataFrame({
+        "event_id": np.arange(4, dtype=np.int64),
+        "ts": ts.astype("datetime64[us]"),
+        "user_id": np.array([1, 1, 2, 3], np.int64),
+        "event_type": ["view"] * 4,
+    })
+    d = tmp_path / "sf"
+    os.makedirs(d)
+    df.to_parquet(d / "events.parquet", index=False)
+
+    out = peak_concurrent_sessions(str(d))
+    assert out["peak"].iloc[0] == 2
+    assert out["peak_ts"].iloc[0] == "2024-01-01 10:10:00.000000"
+
+
+def test_attribution_planted_credits(ray_session, tmp_path):
+    """One purchase at 10:30 with views at 09:50 and 10:05 in its
+    (09:30, 10:30] window and one view at 09:00 outside it: first
+    touch -> hour 9, last touch -> hour 10, linear 0.5 each."""
+    from webalizer_ray.pipelines.queries import attribution_by_hour
+
+    ts = pd.to_datetime(["2024-01-01 09:00:00", "2024-01-01 09:50:00",
+                         "2024-01-01 10:05:00", "2024-01-01 10:30:00"])
+    df = pd.DataFrame({
+        "event_id": np.arange(4, dtype=np.int64),
+        "ts": ts.astype("datetime64[us]"),
+        "user_id": np.array([1, 1, 1, 1], np.int64),
+        "event_type": ["view", "view", "view", "purchase"],
+    })
+    d = tmp_path / "sf"
+    os.makedirs(d)
+    df.to_parquet(d / "events.parquet", index=False)
+
+    out = attribution_by_hour(str(d)).set_index("hour")
+    assert out.loc[9, "first_touch"] == 1 and out.loc[9, "last_touch"] == 0
+    assert out.loc[10, "first_touch"] == 0 and out.loc[10, "last_touch"] == 1
+    assert out.loc[9, "linear_credit"] == 0.5
+    assert out.loc[10, "linear_credit"] == 0.5
+    assert 8 not in out.index  # the 09:00 view got no credit

@@ -5853,6 +5853,186 @@ def tpch_q18_large_orders(sf_dir: str) -> pd.DataFrame:
                 "qty"]].reset_index(drop=True)
 
 
+@register("peak_concurrent_sessions", sql=f"""
+WITH sid AS (SELECT user_id, event_type, ts, event_id,
+                    SUM(ns) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+             FROM ({_NS_SQL})),
+s AS (SELECT user_id, sid, MIN(ts) AS st, MAX(ts) AS en
+      FROM sid GROUP BY user_id, sid),
+b AS (SELECT st AS ts, 1 AS pos, 0 AS neg FROM s
+      UNION ALL SELECT en, 0, 1 FROM s),
+g AS (SELECT ts, SUM(pos) AS pos, SUM(neg) AS neg FROM b GROUP BY ts),
+c AS (SELECT ts,
+             SUM(pos - neg) OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING)
+               - (pos - neg) + pos AS conc
+      FROM g)
+SELECT CAST(conc AS BIGINT) AS peak,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS peak_ts
+FROM c ORDER BY conc DESC, ts LIMIT 1""")
+def peak_concurrent_sessions(sf_dir: str) -> pd.DataFrame:
+    """Peak concurrency (the classic +1/-1 interval sweep — 'how many
+    sessions were live at once, and when first'): sessions reduce to
+    intervals inside the user-hash bucket, intervals flat-map to
+    per-timestamp (starts, ends) partials, and the global running sum
+    rides the TWO-LEVEL range prefix scan (stages/scan.py — bucket
+    totals, driver offsets over O(buckets) rows, per-bucket cumsum) so
+    no single task ever sees the whole boundary stream. Tie rule:
+    starts apply before ends at an equal timestamp (touching sessions
+    count as concurrent) — candidate peak at t = exclusive-cumsum +
+    starts(t), identical expression in the oracle."""
+    sess = _sessionized_events(sf_dir)
+    iv = reduce_sink(sess, ["user_id", "sid"],
+                     {"st": ("ts", "min"), "en": ("ts", "max")})
+
+    def boundaries(df: pd.DataFrame) -> pd.DataFrame:
+        st = df["st"].to_numpy("datetime64[us]").astype(np.int64)
+        en = df["en"].to_numpy("datetime64[us]").astype(np.int64)
+        out = pd.DataFrame({
+            "ts_us": np.concatenate([st, en]),
+            "pos": np.concatenate([np.ones(len(st), np.int64),
+                                   np.zeros(len(en), np.int64)]),
+            "neg": np.concatenate([np.zeros(len(st), np.int64),
+                                   np.ones(len(en), np.int64)])})
+        return out.groupby("ts_us", as_index=False).sum()
+
+    per_ts = reduce_sink(iv.map_batches(boundaries,
+                                        batch_format="pandas"),
+                         ["ts_us"], {"pos": ("pos", "sum"),
+                                     "neg": ("neg", "sum")})
+
+    def add_net(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["net"] = df["pos"] - df["neg"]
+        return df
+
+    day_us = 86_400_000_000
+    cum = scan.range_prefix_sum(
+        per_ts.map_batches(add_net, batch_format="pandas"),
+        key_col="ts_us", val_col="net", out_col="cum_excl",
+        bucket_width=day_us)
+
+    def local_peak(df: pd.DataFrame) -> pd.DataFrame:
+        cand = df["cum_excl"].to_numpy(np.int64) \
+            + df["pos"].to_numpy(np.int64)
+        i = int(np.lexsort((df["ts_us"].to_numpy(), -cand))[0])
+        return pd.DataFrame({"peak": [np.int64(cand[i])],
+                             "ts_us": [np.int64(df["ts_us"].iloc[i])]})
+
+    p = cum.map_batches(local_peak, batch_format="pandas").to_pandas()
+    p = p.sort_values(["peak", "ts_us"], ascending=[False, True],
+                      kind="mergesort").head(1)
+    ts = pd.Timestamp(int(p["ts_us"].iloc[0]), unit="us")
+    return pd.DataFrame({
+        "peak": [np.int64(p["peak"].iloc[0])],
+        "peak_ts": [ts.strftime("%Y-%m-%d %H:%M:%S.%f")]})
+
+
+@register("attribution_by_hour", sql="""
+WITH v AS (SELECT user_id, ts AS vts, event_id AS vid FROM events
+           WHERE event_type = 'view'),
+p AS (SELECT user_id, ts AS pts, event_id AS pid FROM events
+      WHERE event_type = 'purchase'),
+pairs AS (SELECT pid, vts, vid,
+                 COUNT(*) OVER (PARTITION BY pid) AS n,
+                 ROW_NUMBER() OVER (PARTITION BY pid
+                                    ORDER BY vts, vid) AS rf,
+                 ROW_NUMBER() OVER (PARTITION BY pid
+                                    ORDER BY vts DESC, vid DESC) AS rl
+          FROM p JOIN v ON p.user_id = v.user_id
+               AND v.vts <= p.pts
+               AND v.vts > p.pts - INTERVAL 1 HOUR)
+SELECT CAST(hour(vts) AS BIGINT) AS hour,
+       CAST(SUM(CASE WHEN rf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS first_touch,
+       CAST(SUM(CASE WHEN rl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS last_touch,
+       ROUND(SUM(1.0 / n), 4) AS linear_credit
+FROM pairs GROUP BY hour""")
+def attribution_by_hour(sf_dir: str) -> pd.DataFrame:
+    """Multi-touch attribution (first-touch / last-touch / linear —
+    the three standard marketing credit models) over the 1-hour
+    pre-purchase window, credited to the touch's hour of day. Both
+    event streams co-locate in the user-hash bucket; ONE composite-key
+    searchsorted per bucket finds every purchase's view window (no
+    join explosion — expansion is bounded by views-per-hour), ties at
+    equal timestamps broken by view event_id so engines agree; only
+    (hour, credit) partials shuffle."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def keep_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin(("purchase", "view"))].copy()
+        df["bucket_"] = (df["user_id"].to_numpy() % 32).astype(np.int32)
+        return df
+
+    hour_us = np.int64(3_600_000_000)
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame({"hour": pd.Series([], dtype=np.int64),
+                             "ft": pd.Series([], dtype=np.int64),
+                             "lt": pd.Series([], dtype=np.int64),
+                             "lin": pd.Series([], dtype=np.float64)})
+
+    def credit(g: pd.DataFrame) -> pd.DataFrame:
+        is_v = (g["event_type"] == "view").to_numpy()
+        if not is_v.any() or is_v.all():
+            return _empty()
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        is_v = (g["event_type"] == "view").to_numpy()
+        us = g["ts"].astype("int64").to_numpy()
+        uid = g["user_id"].to_numpy()
+        # composite int64 key (user_rank * span + relative_ts): ONE
+        # sorted view-key array answers every purchase window — same
+        # overflow-guarded construction as view_purchase_1h_conversion
+        base = us - us.min()
+        span = np.int64(base.max()) + np.int64(hour_us) + 2
+        uranks = np.searchsorted(np.unique(uid), uid).astype(np.int64)
+        if int(uranks.max(initial=0) + 1) > (2 ** 63 - 1) // int(span):
+            raise ValueError("composite key overflow: raise num_buckets")
+        key = uranks * span + base
+        vkey = key[is_v]          # nondecreasing (g sorted); ties keep
+        vh = g["ts"].dt.hour.to_numpy(np.int64)[is_v]  # event_id order
+        pkey = key[~is_v]
+        lo = np.searchsorted(vkey, pkey - hour_us, side="right")
+        hi = np.searchsorted(vkey, pkey, side="right")
+        n = hi - lo
+        has = n > 0
+        if not has.any():
+            return _empty()
+        reps = n[has]
+        # window expansion without a Python loop (repeat/arange trick);
+        # bounded: a window holds at most one user's views of one hour
+        offs = np.concatenate(([0], np.cumsum(reps)))[:-1]
+        flat = np.repeat(lo[has], reps) \
+            + (np.arange(reps.sum()) - np.repeat(offs, reps))
+        cat = pd.concat([
+            pd.DataFrame({"hour": vh[lo[has]], "ft": np.int64(1),
+                          "lt": np.int64(0), "lin": 0.0}),
+            pd.DataFrame({"hour": vh[hi[has] - 1], "ft": np.int64(0),
+                          "lt": np.int64(1), "lin": 0.0}),
+            pd.DataFrame({"hour": vh[flat], "ft": np.int64(0),
+                          "lt": np.int64(0),
+                          "lin": np.repeat(1.0 / reps, reps)}),
+        ], ignore_index=True)
+        part = cat.groupby("hour", as_index=False).sum()
+        part["ft"] = part["ft"].astype(np.int64)
+        part["lt"] = part["lt"].astype(np.int64)
+        return part
+
+    parts = (ds.map_batches(keep_bucket, batch_format="pandas")
+             .groupby("bucket_").map_groups(credit,
+                                            batch_format="pandas"))
+    out = reduce_sink(parts, ["hour"],
+                      {"first_touch": ("ft", "sum"),
+                       "last_touch": ("lt", "sum"),
+                       "linear_credit": ("lin", "sum")}).to_pandas()
+    out["first_touch"] = out["first_touch"].astype(np.int64)
+    out["last_touch"] = out["last_touch"].astype(np.int64)
+    out["linear_credit"] = out["linear_credit"].round(4)
+    return out.sort_values("hour", ignore_index=True)
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
