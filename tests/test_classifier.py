@@ -80,3 +80,63 @@ def test_feature_frame_matches_quality_features(ray_session):
     pd.testing.assert_frame_equal(f1, f2)
     assert (f1["f_bias"] == 1.0).all()
     assert f1["y"].isin([0.0, 1.0]).all()
+
+
+# ---------------------------------------------------------------------------
+# k-fold cross-validation + calibration
+# ---------------------------------------------------------------------------
+
+def test_fold_assignment_partitions_and_is_deterministic():
+    from webalizer_ray.stages.classifier import fold_of
+
+    ids = np.arange(1000, dtype=np.int64)
+    f1 = fold_of(ids, 5)
+    f2 = fold_of(ids, 5)
+    assert np.array_equal(f1, f2)
+    assert set(np.unique(f1)) == set(range(5))
+    sizes = np.bincount(f1, minlength=5)
+    assert sizes.min() > 120  # roughly balanced hash split
+
+
+def test_kfold_high_accuracy_on_separable_data(ray_session):
+    from webalizer_ray.stages.classifier import FEATURE_COLS, kfold_eval
+
+    rng = np.random.default_rng(3)
+    n = 600
+    X = rng.normal(size=(n, len(FEATURE_COLS) - 1))
+    y = (X[:, 0] > 0).astype(np.float64)  # separable on one feature
+    df = pd.DataFrame(X, columns=FEATURE_COLS[1:])
+    df["f_bias"] = 1.0
+    df["y"] = y
+    df["doc_id"] = np.arange(n, dtype=np.int64)
+    out = kfold_eval(rd.from_pandas(df), k=4, n_iter=10)
+    assert len(out) == 4
+    assert int(out["n_test"].sum()) == n      # every doc tested once
+    assert (out["accuracy"] > 0.95).all()
+    assert (out["brier"] < 0.05).all()
+
+
+def test_calibration_table_closed_form(ray_session):
+    from webalizer_ray.stages.classifier import calibration_table
+
+    df = pd.DataFrame({
+        "score": [0.05, 0.05, 0.95, 0.95, 0.95, 0.55],
+        "y":     [0.0,  1.0,  1.0,  1.0,  0.0,  1.0],
+    })
+    out = calibration_table(rd.from_pandas(df), n_bins=10) \
+        .set_index("bin")
+    assert int(out["n"].sum()) == 6            # conservation
+    assert out.loc[0, "n"] == 2
+    assert out.loc[0, "frac_pos"] == 0.5 and out.loc[0, "mean_score"] == 0.05
+    assert out.loc[9, "n"] == 3
+    assert round(out.loc[9, "frac_pos"], 6) == round(2 / 3, 6)
+    # ece_term = |mean_score - frac_pos| * n / N
+    assert out.loc[5, "ece_term"] == round(abs(0.55 - 1.0) * 1 / 6, 6)
+
+
+def test_calibration_top_bin_includes_score_one(ray_session):
+    from webalizer_ray.stages.classifier import calibration_table
+
+    df = pd.DataFrame({"score": [1.0, 0.999], "y": [1.0, 1.0]})
+    out = calibration_table(rd.from_pandas(df), n_bins=10)
+    assert out["bin"].tolist() == [9] and out["n"].iloc[0] == 2

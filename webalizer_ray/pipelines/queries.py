@@ -6033,6 +6033,56 @@ def attribution_by_hour(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("hour", ignore_index=True)
 
 
+def _classifier_feats(sf_dir: str) -> rd.Dataset:
+    from webalizer_ray.stages.classifier import doc_feature_frame
+
+    docs = _docs(sf_dir, ["doc_id", "text", "lang"])
+
+    def featurize(df: pd.DataFrame) -> pd.DataFrame:
+        f = doc_feature_frame(df)
+        q = textstats.add_quality_score(df)
+        f["y"] = (q["quality_score"].to_numpy(np.float64)
+                  >= 0.5).astype(np.float64)
+        f["doc_id"] = df["doc_id"].to_numpy(np.int64)
+        return f
+
+    return docs.map_batches(featurize, batch_format="pandas")
+
+
+@register("classifier_kfold_metrics", sql=None)  # iterative — not SQL
+def classifier_kfold_metrics(sf_dir: str) -> pd.DataFrame:
+    """Out-of-fold evaluation of the quality classifier: deterministic
+    hash folds, per-fold IRLS training on the other k-1 folds, scalar
+    accuracy/Brier partials — the no-leakage eval a model-based filter
+    needs before its threshold is trusted. Rows-only (iterative);
+    pytest proves fold partition, determinism and near-perfect CV
+    accuracy on a separable planted set."""
+    from webalizer_ray.stages.classifier import kfold_eval
+
+    return kfold_eval(_classifier_feats(sf_dir), k=5, n_iter=10)
+
+
+@register("classifier_calibration", sql=None)  # model scores — not SQL
+def classifier_calibration(sf_dir: str) -> pd.DataFrame:
+    """Reliability table + ECE terms for the quality classifier's
+    scores: fixed-width score bins, (bin, n, sums) partials only.
+    Rows-only; pytest pins the closed form on a hand-computable set
+    and conservation of n across bins."""
+    from webalizer_ray.stages.classifier import (
+        FEATURE_COLS, _sigmoid, calibration_table, train_logreg)
+
+    feats = _classifier_feats(sf_dir).materialize()
+    w = train_logreg(feats, n_iter=10)
+
+    def add_score(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["score"] = _sigmoid(df[FEATURE_COLS].to_numpy(np.float64) @ w)
+        return df
+
+    return calibration_table(
+        feats.map_batches(add_score, batch_format="pandas"))
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

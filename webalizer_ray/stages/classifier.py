@@ -150,3 +150,88 @@ def score_logreg(ds: rd.Dataset, w: np.ndarray,
         return out
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Model evaluation: deterministic k-fold cross-validation + calibration.
+# The eval half every model-based filter needs before its threshold is
+# trusted: out-of-fold metrics (no leakage — each doc is scored by a
+# model that never saw it) and a reliability table (is score=0.8 right
+# 80% of the time?).
+# ---------------------------------------------------------------------------
+
+def fold_of(ids: np.ndarray, k: int) -> np.ndarray:
+    """Deterministic fold assignment (Knuth multiplicative hash —
+    reproducible across runs, engines and cluster sizes; same family
+    as the shuffle/sampling keys)."""
+    h = (ids.astype(np.uint64) * np.uint64(2654435761)) >> np.uint64(7)
+    return (h % np.uint64(k)).astype(np.int64)
+
+
+def kfold_eval(feats: rd.Dataset, id_col: str = "doc_id", k: int = 5,
+               n_iter: int = 10, l2: float = 1e-6) -> pd.DataFrame:
+    """Out-of-fold evaluation: for each fold f, train on the other
+    k−1 folds (the same one-partial-row-per-block IRLS) and score
+    fold f; per-fold accuracy and Brier score reduce as scalar
+    partials. Cost = k × n_iter streaming passes over the materialized
+    feature table (features project once). Returns one row per fold
+    (fold, n_test, accuracy, brier)."""
+    feats = feats.materialize()
+    rows = []
+    for f in range(k):
+        def drop_fold(df: pd.DataFrame, _f=f) -> pd.DataFrame:
+            return df[fold_of(df[id_col].to_numpy(np.int64), k) != _f]
+
+        def keep_fold(df: pd.DataFrame, _f=f) -> pd.DataFrame:
+            return df[fold_of(df[id_col].to_numpy(np.int64), k) == _f]
+
+        w = train_logreg(
+            feats.map_batches(drop_fold, batch_format="pandas"),
+            n_iter=n_iter, l2=l2)
+
+        def metrics(df: pd.DataFrame) -> pd.DataFrame:
+            X = df[FEATURE_COLS].to_numpy(np.float64)
+            y = df["y"].to_numpy(np.float64)
+            s = _sigmoid(X @ w)
+            return pd.DataFrame({
+                "n": [np.int64(len(df))],
+                "correct": [np.int64(((s >= 0.5) == (y >= 0.5)).sum())],
+                "sq": [float(((s - y) ** 2).sum())]})
+
+        m = feats.map_batches(keep_fold, batch_format="pandas") \
+            .map_batches(metrics, batch_format="pandas").to_pandas()
+        n = int(m["n"].sum())
+        rows.append({
+            "fold": np.int64(f), "n_test": np.int64(n),
+            "accuracy": round(float(m["correct"].sum()) / max(n, 1), 6),
+            "brier": round(float(m["sq"].sum()) / max(n, 1), 6)})
+    return pd.DataFrame(rows)
+
+
+def calibration_table(scored: rd.Dataset, n_bins: int = 10,
+                      score_col: str = "score",
+                      y_col: str = "y") -> pd.DataFrame:
+    """Reliability table + ECE: scores bin into fixed-width buckets;
+    each block emits (bin, n, Σscore, Σy) partials, so only
+    O(bins × blocks) rows shuffle. Returns per-bin rows with
+    mean_score / frac_pos / ece_term (|gap|·n/N)."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[score_col].to_numpy(np.float64)
+        y = df[y_col].to_numpy(np.float64)
+        b = np.minimum((s * n_bins).astype(np.int64), n_bins - 1)
+        out = pd.DataFrame({"bin": b, "n": np.int64(1), "s": s, "y": y})
+        return out.groupby("bin", as_index=False).sum()
+
+    from webalizer_ray.stages.aggregate import reduce_sink
+    agg = reduce_sink(scored.map_batches(partial, batch_format="pandas"),
+                      ["bin"], {"n": ("n", "sum"), "s": ("s", "sum"),
+                                "y": ("y", "sum")}).to_pandas() \
+        .sort_values("bin", ignore_index=True)
+    total = float(agg["n"].sum())
+    agg["mean_score"] = (agg["s"] / agg["n"]).round(6)
+    agg["frac_pos"] = (agg["y"] / agg["n"]).round(6)
+    agg["ece_term"] = ((agg["mean_score"] - agg["frac_pos"]).abs()
+                       * agg["n"] / total).round(6)
+    agg["bin"] = agg["bin"].astype(np.int64)
+    agg["n"] = agg["n"].astype(np.int64)
+    return agg[["bin", "n", "mean_score", "frac_pos", "ece_term"]]
