@@ -5411,7 +5411,7 @@ def scd2_order_segments(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("gen", ignore_index=True)
 
 
-_VSTORE_VERSION = 1
+_VSTORE_VERSION = 2
 
 
 def _vstore_dir(sf_dir: str) -> str:
@@ -5441,7 +5441,7 @@ def _build_vstore(sf_dir: str) -> str:
         k = df["c_custkey"].to_numpy(np.int64)
         cents = np.rint(df["c_acctbal"].to_numpy(np.float64) * 100) \
             .astype(np.int64)
-        return pd.DataFrame({"k": k, "cents": cents})
+        return pd.DataFrame({"k": k, "grp": k % 10, "cents": cents})
 
     def delta2(df: pd.DataFrame) -> pd.DataFrame:
         r = base_rows(df)
@@ -5452,7 +5452,7 @@ def _build_vstore(sf_dir: str) -> str:
         ups["op"] = "upsert"
         out_ = pd.concat([dele, ups], ignore_index=True)
         out_["seq"] = out_["k"].to_numpy(np.int64)
-        return out_[["k", "cents", "seq", "op"]]
+        return out_[["k", "grp", "cents", "seq", "op"]]
 
     def delta3(df: pd.DataFrame) -> pd.DataFrame:
         r = base_rows(df)
@@ -5460,7 +5460,7 @@ def _build_vstore(sf_dir: str) -> str:
         ups["cents"] = 555 + ups["k"].to_numpy(np.int64)
         ups["op"] = "upsert"
         ups["seq"] = ups["k"].to_numpy(np.int64)
-        return ups[["k", "cents", "seq", "op"]]
+        return ups[["k", "grp", "cents", "seq", "op"]]
 
     cust = lambda: rd.read_parquet(  # noqa: E731
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"])
@@ -6081,6 +6081,46 @@ def classifier_calibration(sf_dir: str) -> pd.DataFrame:
 
     return calibration_table(
         feats.map_batches(add_score, batch_format="pandas"))
+
+
+@register("incremental_view_counts", sql="""
+WITH v1 AS (SELECT c_custkey AS k, c_custkey % 10 AS grp,
+                   CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+            FROM customer),
+u2 AS (SELECT k, grp, cents + 10000 AS cents FROM v1
+       WHERE k % 5 = 0 AND k % 7 <> 0),
+v2 AS (SELECT k, grp, cents FROM v1
+       WHERE k % 7 <> 0 AND NOT (k % 5 = 0 AND k % 7 <> 0)
+       UNION ALL SELECT k, grp, cents FROM u2),
+u3 AS (SELECT k, grp, 555 + k AS cents FROM v1 WHERE k % 3 = 0),
+v3 AS (SELECT k, grp, cents FROM v2 WHERE k % 3 <> 0
+       UNION ALL SELECT k, grp, cents FROM u3)
+SELECT CAST(grp AS BIGINT) AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS s
+FROM v3 GROUP BY grp""")
+def incremental_view_counts(sf_dir: str) -> pd.DataFrame:
+    """Incrementally-maintained materialized view
+    (state/incremental_view.py): the per-group SUM/COUNT aggregate of
+    the versioned store stays exact across commits by folding ONLY the
+    touched buckets' old/new file partials (view(V) = view(V-1) − old
+    + new) — untouched buckets contribute byte-identically because
+    their files carry over by name. Oracle checks the view at the
+    latest version; pytest proves incremental == full recompute and
+    that untouched files are never read."""
+    import shutil
+
+    from webalizer_ray.state.incremental_view import read_view, refresh
+
+    store = _build_vstore(sf_dir)
+    view_dir = tempfile.mkdtemp(prefix="wr_iview_")
+    try:
+        refresh(store, view_dir, group_col="grp", val_col="cents")
+        out = read_view(view_dir)
+        out = out.rename(columns={"grp": "grp"})
+        out["grp"] = out["grp"].astype(np.int64)
+        return out.sort_values("grp", ignore_index=True)
+    finally:
+        shutil.rmtree(view_dir, ignore_errors=True)
 
 
 def all_queries():
