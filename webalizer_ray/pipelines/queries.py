@@ -6123,6 +6123,99 @@ def incremental_view_counts(sf_dir: str) -> pd.DataFrame:
         shutil.rmtree(view_dir, ignore_errors=True)
 
 
+@register("cumulative_users_by_day", sql="""
+WITH f AS (SELECT user_id, MIN(strftime(ts, '%Y-%m-%d')) AS day
+           FROM events GROUP BY user_id),
+d AS (SELECT day, COUNT(*) AS new_users FROM f GROUP BY day)
+SELECT day, CAST(new_users AS BIGINT) AS new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_users
+FROM d""")
+def cumulative_users_by_day(sf_dir: str) -> pd.DataFrame:
+    """Running distinct-user count (cumulative NDV — the 'total users
+    ever seen' growth curve window frames cannot express as COUNT
+    (DISTINCT) OVER): distinct collapses to each user's FIRST-SEEN day
+    (one keyed min-reduce — only (user, day) partials shuffle), daily
+    new-user counts follow, and the cumsum runs over the O(days)
+    series on the driver."""
+    ds = _events(sf_dir, ["ts", "user_id"]) \
+        .map_batches(_with_time_cols({"date"}), batch_format="pyarrow")
+    first = reduce_sink(ds, ["user_id"], {"day": ("date", "min")})
+    daily = reduce_sink(first, ["day"],
+                        {"new_users": ("user_id", "size")}).to_pandas() \
+        .sort_values("day", ignore_index=True)
+    daily["new_users"] = daily["new_users"].astype(np.int64)
+    daily["cum_users"] = daily["new_users"].cumsum().astype(np.int64)
+    return daily.rename(columns={"day": "day"})[
+        ["day", "new_users", "cum_users"]]
+
+
+_ZONEMAP_VERSION = 1
+
+
+def _zonemap_dir(sf_dir: str) -> str:
+    """ts-sorted 8-file re-layout of events + its zone map (the layout
+    that makes time-range file pruning effective); built once per
+    (user, corpus, version), atomic staging+rename."""
+    import hashlib
+    import shutil
+
+    from webalizer_ray.stages.zonemap import build_zonemap
+
+    ev = f"{sf_dir}/events.parquet"
+    st = os.stat(ev)
+    tag = hashlib.sha1(
+        f"{os.path.abspath(ev)}|{st.st_size}|{st.st_mtime_ns}|"
+        f"v{_ZONEMAP_VERSION}".encode()).hexdigest()[:16]
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    out = os.path.join(tempfile.gettempdir(), f"wr_zm_u{uid}_{tag}")
+    if os.path.exists(os.path.join(out, "_zonemap.parquet")):
+        return out
+    staging = out + f".staging-{os.getpid()}"
+    shutil.rmtree(staging, ignore_errors=True)
+    os.makedirs(os.path.join(staging, "data"))
+    df = pq.read_table(ev).to_pandas() \
+        .sort_values(["ts", "event_id"], ignore_index=True)
+    for i, part in enumerate(np.array_split(df, 8)):
+        part.to_parquet(os.path.join(staging, "data",
+                                     f"f{i}.parquet"), index=False)
+    build_zonemap(os.path.join(staging, "data"), ["ts", "value"],
+                  os.path.join(staging, "_zonemap.parquet"))
+    shutil.rmtree(out, ignore_errors=True)
+    os.replace(staging, out)
+    return out
+
+
+@register("zonemap_pruned_daily_hits", sql="""
+SELECT strftime(ts, '%Y-%m-%d') AS day, CAST(COUNT(*) AS BIGINT) AS hits
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10' AND ts <= TIMESTAMP '2024-01-16'
+GROUP BY day""")
+def zonemap_pruned_daily_hits(sf_dir: str) -> pd.DataFrame:
+    """Range scan through the PERSISTED zone-map skipping index
+    (stages/zonemap.py): file-level min/max rows built once from
+    footers; the query reads the tiny index, skips every file whose
+    interval misses the week, and pushes the same predicate into the
+    surviving scans. Unknown files are never pruned; vanished mapped
+    files raise. Pytest proves pruning by deleting the pruned files."""
+    import datetime as _dt
+
+    from webalizer_ray.stages.zonemap import pruned_scan
+
+    d = _zonemap_dir(sf_dir)
+    ds = pruned_scan(os.path.join(d, "data"),
+                     os.path.join(d, "_zonemap.parquet"), "ts",
+                     _dt.datetime(2024, 1, 10), _dt.datetime(2024, 1, 16),
+                     columns=["ts"])
+    out = reduce_sink(
+        ds.map_batches(_with_time_cols({"date"}), batch_format="pyarrow"),
+        ["date"], {"hits": ("ts", "size")}).to_pandas()
+    out["hits"] = out["hits"].astype(np.int64)
+    return out.rename(columns={"date": "day"}) \
+        .sort_values("day", ignore_index=True)
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
