@@ -126,3 +126,43 @@ def test_three_step_funnel_planted_sequences(ray_session, tmp_path):
     assert out["step_view"] == 4      # every session has a view
     assert out["step_click"] == 3     # click follows a view in 1a,1b,2
     assert out["step_purchase"] == 1  # only the strictly in-order chain
+
+
+# ---------------------------------------------------------------------------
+# HTML boilerplate stripping
+# ---------------------------------------------------------------------------
+
+def test_strip_html_planted_exact():
+    import pyarrow as pa
+    from webalizer_ray.stages.textstats import strip_html
+
+    t = pa.table({"text": [
+        '<html><head><script>var a = "1 < 2";</script>'
+        "<style>p{}</style></head><body><h1>Title</h1>"
+        "<p>hello &amp; goodbye &lt;tag&gt;</p><!-- hidden -->"
+        "</body></html>",
+        None,
+    ]})
+    out = strip_html(t)
+    assert out["clean_text"].to_pylist() == \
+        ['Title hello & goodbye <tag>', ""]
+    assert out["clean_len"].to_pylist() == [27, 0]
+
+
+def test_strip_html_entity_order_amp_last():
+    import pyarrow as pa
+    from webalizer_ray.stages.textstats import strip_html
+
+    out = strip_html(pa.table({"text": ["a &amp;lt; b"]}))
+    # "&amp;lt;" must decode to the literal text "&lt;", not "<"
+    assert out["clean_text"].to_pylist() == ["a &lt; b"]
+
+
+def test_strip_html_idempotent_on_plain_text():
+    import pyarrow as pa
+    from webalizer_ray.stages.textstats import strip_html
+
+    once = strip_html(pa.table({"text": ["plain  words   here"]}))
+    again = strip_html(pa.table({"text": once["clean_text"]}))
+    assert once["clean_text"].to_pylist() == \
+        again["clean_text"].to_pylist() == ["plain words here"]

@@ -6216,6 +6216,131 @@ def zonemap_pruned_daily_hits(sf_dir: str) -> pd.DataFrame:
         .sort_values("day", ignore_index=True)
 
 
+@register("html_stripped_docs", sql=r"""
+WITH aug AS (
+  SELECT doc_id,
+         '<html><head><script type="text/javascript">var x = 1 < 2;'
+         || '</script><style>p { color: red; }</style></head><body><h1>'
+         || 'Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>'
+         || text || ' &amp; tail &lt;x&gt;</p><!-- trailing comment -->'
+         || '</body></html>' AS t
+  FROM documents),
+clean AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           replace(replace(replace(replace(
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               t,
+               '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+               '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+               '(?s)<!--.*?-->', ' ', 'g'),
+               '<[^>]+>', ' ', 'g'),
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&amp;', '&'),
+           '\s+', ' ', 'g')) AS clean_text
+  FROM aug)
+SELECT doc_id, clean_text, CAST(len(clean_text) AS BIGINT) AS clean_len
+FROM clean""")
+def html_stripped_docs(sf_dir: str) -> pd.DataFrame:
+    """HTML boilerplate extraction (the main-content step of a web
+    corpus): documents wrapped in deterministic doc_id-derived HTML
+    (script/style blocks, tags, comments, entities), then stripped by
+    the IDENTICAL RE2 chain on both sides — byte-identical clean_text
+    is the check, not just lengths (stages/textstats.py:strip_html)."""
+    def augment(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["text"] = (
+            '<html><head><script type="text/javascript">var x = 1 < 2;'
+            "</script><style>p { color: red; }</style></head><body><h1>"
+            "Doc " + df["doc_id"].astype(str) + "</h1><p>"
+            + df["text"].fillna("")
+            + " &amp; tail &lt;x&gt;</p><!-- trailing comment -->"
+            "</body></html>")
+        return df
+
+    out = _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(augment, batch_format="pandas") \
+        .map_batches(textstats.strip_html, batch_format="pyarrow") \
+        .to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["clean_len"] = out["clean_len"].astype(np.int64)
+    return out[["doc_id", "clean_text", "clean_len"]] \
+        .sort_values("doc_id", ignore_index=True)
+
+
+_BLOOMIDX_VERSION = 1
+
+
+def _bloomidx_dir(sf_dir: str) -> str:
+    """user-hash-bucketed 8-file re-layout of events + a per-file
+    Bloom index on user_id (point lookups prune to ~1 file); built
+    once per (user, corpus, version), atomic staging+rename."""
+    import hashlib
+    import shutil
+
+    from webalizer_ray.stages.zonemap import build_bloom_index
+
+    ev = f"{sf_dir}/events.parquet"
+    st = os.stat(ev)
+    tag = hashlib.sha1(
+        f"{os.path.abspath(ev)}|{st.st_size}|{st.st_mtime_ns}|"
+        f"v{_BLOOMIDX_VERSION}".encode()).hexdigest()[:16]
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    out = os.path.join(tempfile.gettempdir(), f"wr_bloomidx_u{uid}_{tag}")
+    if os.path.exists(os.path.join(out, "_bloom.parquet")):
+        return out
+    staging = out + f".staging-{os.getpid()}"
+    shutil.rmtree(staging, ignore_errors=True)
+    os.makedirs(os.path.join(staging, "data"))
+    df = pq.read_table(ev).to_pandas()
+    for b in range(8):
+        df[df["user_id"] % 8 == b].to_parquet(
+            os.path.join(staging, "data", f"b{b}.parquet"), index=False)
+    build_bloom_index(os.path.join(staging, "data"), "user_id",
+                      os.path.join(staging, "_bloom.parquet"))
+    shutil.rmtree(out, ignore_errors=True)
+    os.replace(staging, out)
+    return out
+
+
+@register("bloom_point_user_stats", sql="""
+SELECT CAST(COUNT(*) AS BIGINT) AS hits,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents,
+       COUNT(DISTINCT event_type) AS types
+FROM events WHERE user_id = 7""")
+def bloom_point_user_stats(sf_dir: str) -> pd.DataFrame:
+    """Point lookup through the PERSISTED per-file Bloom index
+    (stages/zonemap.py:bloom_point_scan) over a user-bucketed layout:
+    the tiny filter table routes the lookup to the files that might
+    hold the key (no false negatives; the pushed equality predicate
+    makes false positives wasted reads, never wrong rows). Pytest
+    proves pruning by deleting the non-candidate files."""
+    from webalizer_ray.stages.zonemap import bloom_point_scan
+
+    d = _bloomidx_dir(sf_dir)
+    ds = bloom_point_scan(os.path.join(d, "data"),
+                          os.path.join(d, "_bloom.parquet"),
+                          "user_id", np.int64(7),
+                          columns=["user_id", "value", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "hits": [np.int64(len(df))],
+            "value_cents": [np.int64(np.rint(
+                df["value"].to_numpy(np.float64) * 100).sum())
+                if len(df) else np.int64(0)],
+            "types": [df["event_type"].unique().tolist()]})
+
+    p = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    types = set()
+    for t in p["types"]:
+        types.update(t)
+    return pd.DataFrame({
+        "hits": [np.int64(p["hits"].sum())],
+        "value_cents": [np.int64(p["value_cents"].sum())],
+        "types": [np.int64(len(types))]})
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

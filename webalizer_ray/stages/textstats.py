@@ -271,3 +271,36 @@ def add_compression_ratio(df: pd.DataFrame,
     out = df.copy()
     out["compression_ratio"] = round_half_away(ratios, 6)
     return out
+
+
+#: HTML boilerplate passes, applied IN ORDER: block elements whose
+#: CONTENT must go (script/style), then comments, then remaining tags,
+#: then entity decode (&amp; LAST so "&amp;lt;" correctly yields the
+#: literal text "&lt;"), then whitespace collapse. RE2-safe patterns
+#: ((?s) inline flag, non-greedy, no backrefs) so the identical chain
+#: runs in Arrow and in DuckDB.
+HTML_STRIP_PASSES = [
+    (r"(?s)<script[^>]*>.*?</script>", " "),
+    (r"(?s)<style[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"<[^>]+>", " "),
+]
+
+HTML_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                 ("&amp;", "&")]
+
+
+def strip_html(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Vectorized HTML/boilerplate extraction → ``clean_text`` +
+    ``clean_len`` (the main-content step of a web-corpus pipeline;
+    Arrow RE2 kernels, zero Python per row)."""
+    t = pc.fill_null(batch[text_col], "")
+    for pat, repl in HTML_STRIP_PASSES:
+        t = pc.replace_substring_regex(t, pat, repl)
+    for ent, ch in HTML_ENTITIES:
+        t = pc.replace_substring(t, ent, ch)
+    t = pc.utf8_trim_whitespace(
+        pc.replace_substring_regex(t, r"\s+", " "))
+    batch = batch.append_column("clean_text", t)
+    return batch.append_column(
+        "clean_len", pc.cast(pc.utf8_length(t), pa.int64()))

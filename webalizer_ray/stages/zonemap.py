@@ -152,3 +152,90 @@ def pruned_scan(table_dir: str, zonemap_path: str, column: str,
     if existing is not None:
         f = f & existing
     return rd.read_parquet(paths, filter=f, **read_kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Persisted per-file Bloom index — point-lookup pruning where min/max
+# zone maps are useless (a high-cardinality key inside every file's
+# range). One row per file holds that file's Bloom filter over the key
+# column; a point lookup tests the tiny filters and scans only the
+# files that MIGHT contain the key (no false negatives — candidates
+# are a superset). Same safety rules as the zone map: unknown files
+# are always candidates, vanished mapped files raise.
+# ---------------------------------------------------------------------------
+
+def build_bloom_index(table_dir: str, column: str, out_path: str,
+                      log2m: int = 16, k: int = 7) -> str:
+    """One column-pruned pass per file → (file, bloom bytes, n_keys)
+    parquet at ``out_path`` (atomic publish). ~2^log2m bits per file:
+    size the FP rate to the file count you want to avoid scanning."""
+    from webalizer_ray.stages.sketch import BloomFilter
+
+    files = _list_files(table_dir)
+
+    def rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for p in df["path"]:
+            t = pq.read_table(p, columns=[column])
+            vals = t[column].drop_null()
+            h = pd.util.hash_array(np.asarray(vals))
+            bf = BloomFilter(log2m=log2m, k=k).add_hashes(h)
+            rel = os.path.relpath(p, table_dir) \
+                if os.path.isdir(table_dir) else os.path.basename(p)
+            out.append({"file": rel, "bf": bf.to_bytes(),
+                        "n_keys": np.int64(len(h)),
+                        "log2m": np.int64(log2m), "k": np.int64(k)})
+        return pd.DataFrame(out)
+
+    idx = rd.from_items([{"path": p} for p in files]) \
+        .map_batches(rows, batch_format="pandas").to_pandas()
+    tmp = out_path + f".{os.getpid()}.tmp"
+    pq.write_table(pa.Table.from_pandas(idx, preserve_index=False), tmp)
+    os.replace(tmp, out_path)
+    return out_path
+
+
+def bloom_candidate_files(table_dir: str, index_path: str,
+                          key) -> tuple[list[str], int]:
+    """Files that MIGHT contain ``key`` (superset — no false
+    negatives), plus every file unknown to the index. The key must be
+    passed with the column's dtype (hashes must match the build)."""
+    from webalizer_ray.stages.sketch import BloomFilter
+
+    idx = pq.read_table(index_path).to_pandas()
+    current = _list_files(table_dir)
+    rel = {(os.path.relpath(p, table_dir)
+            if os.path.isdir(table_dir) else os.path.basename(p)): p
+           for p in current}
+    missing = set(idx["file"]) - set(rel)
+    if missing:
+        raise FileNotFoundError(
+            f"bloom index references vanished files "
+            f"{sorted(missing)[:3]} — rebuild the index")
+    h = pd.util.hash_array(np.asarray([key]))
+    keep, pruned = [], 0
+    for _, r in idx.iterrows():
+        bf = BloomFilter.from_bytes(r["bf"], log2m=int(r["log2m"]),
+                                    k=int(r["k"]))
+        if bool(bf.contains_hashes(h)[0]):
+            keep.append(rel[r["file"]])
+        else:
+            pruned += 1
+    mapped = set(idx["file"])
+    keep.extend(p for name, p in rel.items() if name not in mapped)
+    return sorted(set(keep)), pruned
+
+
+def bloom_point_scan(table_dir: str, index_path: str, column: str,
+                     key, **read_kwargs) -> rd.Dataset:
+    """Point lookup that scans only the Bloom candidates, with the
+    equality predicate pushed into the surviving scans (bloom false
+    positives therefore cannot leak wrong rows — only wasted reads)."""
+    import pyarrow.dataset as pds
+
+    paths, _ = bloom_candidate_files(table_dir, index_path, key)
+    f = pds.field(column) == key
+    existing = read_kwargs.pop("filter", None)
+    if existing is not None:
+        f = f & existing
+    return rd.read_parquet(paths, filter=f, **read_kwargs)
