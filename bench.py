@@ -115,7 +115,14 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      # round-2 additions
                      "bm25_search", "cdc_merged_customers",
                      "quality_classifier_docs", "top_session_paths",
-                     "smallqty_revenue_q17", "bpe_merges"]:
+                     "smallqty_revenue_q17", "bpe_merges",
+                     # round-2 continuation additions
+                     "ann_topk_indexed", "scd2_order_segments",
+                     "time_travel_counts", "tpch_q5_region_revenue",
+                     "tpch_q18_large_orders", "peak_concurrent_sessions",
+                     "attribution_by_hour", "html_stripped_docs",
+                     "zonemap_pruned_daily_hits",
+                     "incremental_view_counts"]:
             fn = Q.REGISTRY[name][0]
             t0 = time.perf_counter()
             fn(sf_dir)

@@ -6341,6 +6341,51 @@ def bloom_point_user_stats(sf_dir: str) -> pd.DataFrame:
         "types": [np.int64(len(types))]})
 
 
+@register("wap_published_counts", sql="""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS hits,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events WHERE value >= 0 GROUP BY event_type""")
+def wap_published_counts(sf_dir: str) -> pd.DataFrame:
+    """Write–Audit–Publish (state/wap.py): the events feed stages to
+    an isolated directory, the data-contract gate audits the STAGED
+    files (not-null, range, regex — one streaming pass), and only then
+    does the atomic rename publish; the aggregate reads the PUBLISHED
+    files, proving the gated copy is what serves. Pytest proves a
+    failing batch never becomes visible."""
+    import shutil
+
+    from webalizer_ray.state.wap import write_audit_publish
+
+    work = tempfile.mkdtemp(prefix="wr_wap_")
+    out = os.path.join(work, "serving")
+    try:
+        ds = _events(sf_dir, ["event_id", "event_type", "value"])
+        write_audit_publish(ds, out, {
+            "event_id": {"not_null": True, "min": 0},
+            "value": {"min": 0.0},
+            "event_type": {"regex": r"^[a-z_]+$"}})
+        pub = rd.read_parquet(out, columns=["event_type", "value"])
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("event_type", as_index=False).agg(
+                hits=("value", "size"),
+                value_cents=("value", lambda v: np.int64(
+                    np.rint(v.to_numpy(np.float64) * 100).sum())))
+            return g
+
+        agg = reduce_sink(pub.map_batches(partial, batch_format="pandas"),
+                          ["event_type"],
+                          {"hits": ("hits", "sum"),
+                           "value_cents": ("value_cents", "sum")}) \
+            .to_pandas()
+        agg["hits"] = agg["hits"].astype(np.int64)
+        agg["value_cents"] = agg["value_cents"].astype(np.int64)
+        return agg.sort_values("event_type", ignore_index=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
