@@ -5,6 +5,7 @@ from __future__ import annotations
 import json
 import os
 
+import numpy as np
 import pandas as pd
 import pyarrow.parquet as pq
 import pytest
@@ -266,3 +267,47 @@ def test_cli_selfcheck(ray_session, capsys):
     assert cli.main(["selfcheck", "--no-actors"]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["status"] == "PASS" and out["conserved"]
+
+
+def test_cli_store_roundtrip(ray_session, tmp_path, capsys):
+    """store init → apply → log → read-as-of → rollback → forget →
+    vacuum end-to-end through the CLI (one JSON line per op)."""
+    import json as _json
+
+    from webalizer_ray import run as cli
+
+    base = pd.DataFrame({"k": np.arange(10, dtype=np.int64),
+                         "val": np.arange(10, dtype=np.int64) * 3})
+    base.to_parquet(tmp_path / "base.parquet", index=False)
+    ch = pd.DataFrame({"k": np.array([2, 5], np.int64),
+                       "val": np.array([999, 0], np.int64),
+                       "seq": np.array([1, 2], np.int64),
+                       "op": ["upsert", "delete"]})
+    ch.to_parquet(tmp_path / "ch.parquet", index=False)
+    store = str(tmp_path / "store")
+
+    assert cli.main(["store", "init", store, "--input",
+                     str(tmp_path / "base.parquet"), "--key", "k",
+                     "--num-buckets", "4"]) == 0
+    assert cli.main(["store", "apply", store, "--input",
+                     str(tmp_path / "ch.parquet")]) == 0
+    assert cli.main(["store", "read", store, "--version", "2",
+                     "--out", str(tmp_path / "v2")]) == 0
+    v2 = pd.read_parquet(tmp_path / "v2")
+    assert 5 not in v2["k"].to_numpy()
+    assert v2.loc[v2["k"] == 2, "val"].iloc[0] == 999
+
+    capsys.readouterr()
+    assert cli.main(["store", "log", store]) == 0
+    lines = [_json.loads(ln) for ln in
+             capsys.readouterr().out.strip().splitlines()]
+    assert [e["version"] for e in lines] == [1, 2]
+
+    assert cli.main(["store", "rollback", store, "--version", "1"]) == 0
+    assert cli.main(["store", "forget", store, "--keys", "3"]) == 0
+    assert cli.main(["store", "read", store, "--version", "3",
+                     "--out", str(tmp_path / "v3")]) == 0
+    v3 = pd.read_parquet(tmp_path / "v3")
+    assert 3 not in v3["k"].to_numpy()      # forgotten from history
+    assert 5 in v3["k"].to_numpy()          # rollback restored v1 state
+    assert cli.main(["store", "vacuum", store, "--version", "3"]) == 0

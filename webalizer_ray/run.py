@@ -546,7 +546,90 @@ def build_parser() -> argparse.ArgumentParser:
     lk.add_argument("value", nargs="?")
     lk.add_argument("--num-cpus", type=int, default=None, dest="num_cpus")
     lk.set_defaults(fn=cmd_lookup)
+
+    st = sub.add_parser("store", help="versioned table store: commit "
+                                      "log, time travel, rollback, "
+                                      "vacuum, GDPR forget")
+    st.add_argument("op", choices=["init", "apply", "read", "log",
+                                   "rollback", "vacuum", "forget"])
+    st.add_argument("store", help="store directory")
+    st.add_argument("--input", default=None,
+                    help="parquet path (init base / apply changes)")
+    st.add_argument("--key", default=None, help="key column (init)")
+    st.add_argument("--version", type=int, default=None,
+                    help="read as-of / rollback target / vacuum floor")
+    st.add_argument("--keys", default=None,
+                    help="comma-separated int keys (forget)")
+    st.add_argument("--out", default=None, help="read output parquet")
+    st.add_argument("--num-buckets", type=int, default=32,
+                    dest="num_buckets")
+    st.add_argument("--num-cpus", type=int, default=None, dest="num_cpus")
+    st.set_defaults(fn=cmd_store)
     return p
+
+
+def cmd_store(args) -> int:
+    """Versioned-store operations from the command line (the
+    state-file manager the reference never had): init a base snapshot,
+    apply CDC deltas as new versions, read AS OF any version, inspect
+    the commit log, rollback (metadata-only), vacuum old history, and
+    GDPR-forget keys from every version. One JSON line per op."""
+    _init_ray(args.num_cpus)
+    import ray.data as rd
+
+    from webalizer_ray.state import versioned_store as vs
+
+    if args.op == "init":
+        if not args.input or not args.key:
+            print("init needs --input and --key", file=sys.stderr)
+            return 2
+        v = vs.init(rd.read_parquet(args.input), args.store,
+                    key=args.key, num_buckets=args.num_buckets)
+        print(json.dumps({"op": "init", "version": v}))
+    elif args.op == "apply":
+        if not args.input:
+            print("apply needs --input (changes with seq/op cols)",
+                  file=sys.stderr)
+            return 2
+        v = vs.commit_changes(args.store, rd.read_parquet(args.input))
+        print(json.dumps({"op": "apply", "version": v}))
+    elif args.op == "read":
+        ds = vs.read(args.store, args.version)
+        if args.out:
+            ds.write_parquet(args.out)
+            print(json.dumps({"op": "read", "rows": ds.count(),
+                              "out": args.out}))
+        else:
+            print(ds.to_pandas().to_string(max_rows=40))
+    elif args.op == "log":
+        for e in vs.versions(args.store):
+            print(json.dumps({k: e[k] for k in e
+                              if k != "files"}))
+    elif args.op == "rollback":
+        if args.version is None:
+            print("rollback needs --version", file=sys.stderr)
+            return 2
+        v = vs.rollback(args.store, args.version)
+        print(json.dumps({"op": "rollback", "version": v,
+                          "rolled_back_to": args.version}))
+    elif args.op == "vacuum":
+        if args.version is None:
+            print("vacuum needs --version (keep floor)", file=sys.stderr)
+            return 2
+        stats = vs.vacuum(args.store, keep_from=args.version)
+        print(json.dumps({"op": "vacuum", **stats}))
+    elif args.op == "forget":
+        if not args.keys:
+            print("forget needs --keys", file=sys.stderr)
+            return 2
+        from webalizer_ray.state.forget import forget_keys
+        rep = forget_keys(args.store,
+                          [int(k) for k in args.keys.split(",")])
+        print(json.dumps({"op": "forget",
+                          "removed": int(rep["removed"].sum()),
+                          "files_rewritten":
+                              int(rep["rewritten"].sum())}))
+    return 0
 
 
 def main(argv: list[str] | None = None) -> int:
