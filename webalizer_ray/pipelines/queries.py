@@ -6386,6 +6386,33 @@ def wap_published_counts(sf_dir: str) -> pd.DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+@register("dup_rate_by_threshold", sql="""
+WITH p AS (SELECT ROUND(list_cosine_similarity(
+                    CAST(a.embedding AS DOUBLE[]),
+                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                 CAST(b.embedding AS DOUBLE[])) >= 0.3)
+SELECT CAST(FLOOR(cosine * 20) AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM p GROUP BY band""")
+def dup_rate_by_threshold(sf_dir: str) -> pd.DataFrame:
+    """Dedup-threshold calibration curve: candidate-pair cosines
+    banded into 0.05 steps — the table you read before PICKING the
+    near-dup threshold (how many pairs does each cut keep?). Bands
+    computed from the 6-dp-rounded similarity on both sides so band
+    edges cannot flip between engines."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    pairs = dedup.cosine_dup_pairs(ds, threshold=0.3)
+    band = np.floor(pairs["cosine"].to_numpy(np.float64) * 20) \
+        .astype(np.int64)
+    out = pd.DataFrame({"band": band}).groupby(
+        "band", as_index=False).size().rename(columns={"size": "n_pairs"})
+    out["n_pairs"] = out["n_pairs"].astype(np.int64)
+    return out.sort_values("band", ignore_index=True)
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
