@@ -192,3 +192,24 @@ def test_cms_and_grouped_hll_queries(ray_session):
     j = hll.merge(ex, on="event_type")
     rel = (j["users_approx"] - j["u"]).abs() / j["u"]
     assert (rel < 0.03).all()
+
+
+def test_hll_intersection_within_5pct_of_exact(ray_session):
+    """Inclusion–exclusion overlap estimate vs the exact pandas
+    overlap on the sf0.001 events table."""
+    import datetime as dt
+
+    from webalizer_ray.pipelines.queries import week_overlap_users_hll
+
+    got = week_overlap_users_hll("/root/testdata/sf0.001").iloc[0]
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet",
+                         columns=["ts", "user_id"])
+    d0 = pd.Timestamp(dt.datetime(2024, 1, 1))
+    a = set(ev.loc[(ev.ts >= d0) & (ev.ts < d0 + pd.Timedelta(days=7)),
+                   "user_id"])
+    b = set(ev.loc[(ev.ts >= d0 + pd.Timedelta(days=7))
+                   & (ev.ts < d0 + pd.Timedelta(days=14)), "user_id"])
+    exact = len(a & b)
+    assert exact > 0
+    assert abs(int(got["users_overlap"]) - exact) <= max(1, 0.05 * exact)
+    assert abs(int(got["users_a"]) - len(a)) <= max(1, 0.03 * len(a))

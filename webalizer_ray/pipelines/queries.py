@@ -6413,6 +6413,53 @@ def dup_rate_by_threshold(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("band", ignore_index=True)
 
 
+@register("week_overlap_users_hll")
+def week_overlap_users_hll(sf_dir: str) -> pd.DataFrame:
+    """Sketch set algebra: estimated user overlap between the first
+    two weeks via HyperLogLog inclusion–exclusion
+    (|A∩B| ≈ |A| + |B| − |A∪B|, union = elementwise register max —
+    the mergeable-summary answer when two 10⁹-key sets live on
+    different clusters and an exact presence-flag shuffle
+    (purchase_week_user_setops) is too expensive). ONE pass computes
+    both weeks' sketches (a week-tag per partial); rows-only — pytest
+    pins the estimate within 5% of the exact overlap."""
+    import datetime as _dt
+
+    from webalizer_ray.stages.sketch import HyperLogLog
+
+    d0 = _dt.datetime(2024, 1, 1)
+    d1 = d0 + _dt.timedelta(days=7)
+    d2 = d0 + _dt.timedelta(days=14)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        ts = df["ts"]
+        for tag, lo, hi in (("a", d0, d1), ("b", d1, d2)):
+            u = df.loc[(ts >= lo) & (ts < hi), "user_id"].to_numpy()
+            if len(u):
+                h = pd.util.hash_array(u)
+                out.append({"week": tag,
+                            "hll": HyperLogLog.from_hashes(h).to_bytes()})
+        return pd.DataFrame(
+            {"week": pd.Series([r["week"] for r in out], dtype="string"),
+             "hll": pd.Series([r["hll"] for r in out], dtype=object)})
+
+    parts = _events(sf_dir, ["ts", "user_id"]).map_batches(
+        partial, batch_format="pandas").to_pandas()
+    sk = {"a": HyperLogLog(), "b": HyperLogLog()}
+    for _, r in parts.iterrows():
+        sk[r["week"]] = sk[r["week"]].merge(
+            HyperLogLog.from_bytes(r["hll"]))
+    a, b = sk["a"].count(), sk["b"].count()
+    union = sk["a"].merge(sk["b"]).count()
+    inter = max(0.0, a + b - union)
+    return pd.DataFrame({
+        "users_a": [np.int64(round(a))],
+        "users_b": [np.int64(round(b))],
+        "users_union": [np.int64(round(union))],
+        "users_overlap": [np.int64(round(inter))]})
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
