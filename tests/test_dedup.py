@@ -210,3 +210,35 @@ def test_shared_span_pairs_planted(ray_session):
     assert got[(0, 1)] == 1
     assert got[(3, 4)] == 2          # 21-token run = 2 sliding 20-spans
     assert set(got) == {(0, 1), (3, 4)}
+
+
+def test_leakage_safe_split_keeps_clusters_together(ray_session):
+    """No verified near-dup pair may straddle the train/val cut, and the
+    cluster-aware split must conserve totals vs the naive id split."""
+    from webalizer_ray.pipelines.queries import (
+        cosine_dup_clusters,
+        cosine_dup_pairs,
+        leakage_safe_split_counts,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cl = cosine_dup_clusters(sf)
+    rep = dict(zip(cl["node"], cl["cluster_id"]))
+
+    def split_of(vec_id: int) -> str:
+        return "train" if rep.get(vec_id, vec_id) % 10 < 8 else "val"
+
+    pairs = cosine_dup_pairs(sf)
+    assert len(pairs), "fixture must contain verified near-dup pairs"
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        assert split_of(int(a)) == split_of(int(b)), (a, b)
+
+    counts = leakage_safe_split_counts(sf)
+    n = pd.read_parquet(f"{sf}/embeddings.parquet",
+                        columns=["vec_id"]).shape[0]
+    assert int(counts["vecs"].sum()) == n
+    # a cluster with members on both sides of the naive cut must exist,
+    # otherwise this test is vacuous
+    naive = {v: ("train" if v % 10 < 8 else "val") for v in rep}
+    moved = [v for v, r in rep.items() if naive[v] != split_of(v)]
+    assert moved, "fixture has no cluster spanning the naive cut"

@@ -6460,6 +6460,124 @@ def week_overlap_users_hll(sf_dir: str) -> pd.DataFrame:
         "users_overlap": [np.int64(round(inter))]})
 
 
+@register("leakage_safe_split_counts", sql="""
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= 0.4),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+walk(node, reach) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, w.reach FROM edges e JOIN walk w ON w.node = e.v),
+cl AS (SELECT node, MIN(reach) AS rep FROM walk GROUP BY node),
+r AS (SELECT e.vec_id, e.label, COALESCE(c.rep, e.vec_id) AS rep
+      FROM embeddings e LEFT JOIN cl c ON c.node = e.vec_id)
+SELECT CASE WHEN rep % 10 < 8 THEN 'train' ELSE 'val' END AS split,
+       CAST(label AS BIGINT) AS label, CAST(COUNT(*) AS BIGINT) AS vecs
+FROM r GROUP BY split, label""")
+def leakage_safe_split_counts(sf_dir: str) -> pd.DataFrame:
+    """Cluster-aware (leakage-safe) train/val split: a doc-id hash split
+    puts near-duplicates on BOTH sides of the cut — the eval set then
+    scores memorization, not generalization. Fix: split on the near-dup
+    CLUSTER representative (min id of the connected component over the
+    verified cosine pair graph), so every cluster lands atomically in
+    one split; singletons fall back to their own id, reproducing the
+    plain deterministic split. Scale shape: the clustered-node → rep
+    map is sparse (dup clusters are a small fraction of any corpus) and
+    broadcasts once via ray.put; membership is then a pure per-batch
+    function — no shuffle beyond the tiny (split, label) partials."""
+    cl = cosine_dup_clusters(sf_dir)
+    rep_ref = ray.put(dict(zip(cl["node"].to_numpy(),
+                               cl["cluster_id"].to_numpy())))
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        lut = ray.get(rep_ref)
+        rep = (df["vec_id"].map(lut).fillna(df["vec_id"])
+               .astype(np.int64))
+        return pd.DataFrame({
+            "split": np.where(rep % 10 < 8, "train", "val"),
+            "label": df["label"].to_numpy(np.int64)})
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "label"]) \
+        .map_batches(tag, batch_format="pandas")
+    out = reduce_sink(ds, ["split", "label"],
+                      {"vecs": ("label", "size")}).to_pandas()
+    return out.sort_values(["split", "label"], ignore_index=True)
+
+
+@register("tpch_q21_sole_late_supplier", sql="""
+WITH f AS (
+  SELECT l_orderkey, l_suppkey,
+         MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                  THEN 1 ELSE 0 END) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY 1, 2),
+o AS (SELECT l_orderkey, COUNT(*) AS n_supp, SUM(late) AS n_late
+      FROM f GROUP BY 1)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM f JOIN o USING (l_orderkey)
+     JOIN supplier ON s_suppkey = l_suppkey
+WHERE f.late = 1 AND o.n_supp > 1 AND o.n_late = 1
+GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""")
+def tpch_q21_sole_late_supplier(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q21-shaped correlated EXISTS + NOT-EXISTS (the hardest
+    standard join shape): suppliers who were the ONLY late supplier on
+    a multi-supplier finished order (late = shipped >90 days after the
+    order date; the dataset has no commit/receipt dates, so lateness is
+    date-arithmetic on the columns that exist). Re-expression: the two
+    correlated subqueries collapse to per-order aggregates — n_supp and
+    n_late over the per-(order, supplier) late flag — joined back to
+    the flag table; EXISTS ⇔ n_supp > 1, NOT EXISTS ⇔ n_late = 1.
+    Only (order, supplier, flag) partials and O(orders) aggregate rows
+    shuffle; raw lineitem never re-shuffles after the first join."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pds
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderdate"],
+                             filter=pds.field("o_orderstatus") == "F")
+    j = li.join(orders, join_type="inner", num_partitions=8,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def late_flag(batch: pa.Table) -> pa.Table:
+        cutoff = pc.add(batch["o_orderdate"],
+                        pa.scalar(_dt.timedelta(days=90)))
+        late = pc.cast(pc.greater(batch["l_shipdate"], cutoff), pa.int64())
+        return pa.table({"l_orderkey": batch["l_orderkey"],
+                         "l_suppkey": batch["l_suppkey"], "late": late})
+
+    f = reduce_sink(j.map_batches(late_flag, batch_format="pyarrow"),
+                    ["l_orderkey", "l_suppkey"], {"late": ("late", "max")})
+    per_order = reduce_sink(f, ["l_orderkey"],
+                            {"n_supp": ("late", "size"),
+                             "n_late": ("late", "sum")})
+    fo = f.join(per_order, join_type="inner", num_partitions=8,
+                on=("l_orderkey",), right_on=("l_orderkey",))
+
+    def qualify(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df[(df["late"] == 1) & (df["n_supp"] > 1)
+                  & (df["n_late"] == 1)]
+        return keep[["l_suppkey"]]
+
+    sup = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey", "s_name"])
+    named = (fo.map_batches(qualify, batch_format="pandas")
+             .join(sup, join_type="inner", num_partitions=8,
+                   on=("l_suppkey",), right_on=("s_suppkey",)))
+    agg = reduce_sink(named, ["s_name"],
+                      {"numwait": ("s_name", "size")}).to_pandas()
+    return (agg.sort_values(["numwait", "s_name"],
+                            ascending=[False, True], kind="mergesort")
+            .head(20).reset_index(drop=True))
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
