@@ -242,3 +242,41 @@ def test_leakage_safe_split_keeps_clusters_together(ray_session):
     naive = {v: ("train" if v % 10 < 8 else "val") for v in rep}
     moved = [v for v, r in rep.items() if naive[v] != split_of(v)]
     assert moved, "fixture has no cluster spanning the naive cut"
+
+
+def test_dhash_pairs_equal_brute_force_and_find_planted(ray_session):
+    """n_chunks=8 > max_hamming=6 ⇒ banding recall is exact: the
+    distributed pair set must EQUAL driver brute force, and every
+    planted variant (format flip, 2× upscale, noised copy) must pair
+    with its base."""
+    from webalizer_ray.pipelines.queries import media_image_dhash_pairs
+    from webalizer_ray.stages.multimodal import (
+        decode_bmp,
+        decode_ppm,
+        dhash64,
+        synth_image_dup_table,
+    )
+
+    got = media_image_dhash_pairs("unused")
+    got_set = set(zip(got["id_a"], got["id_b"]))
+
+    t = synth_image_dup_table().to_pandas()
+    px = {r.media_id: (decode_ppm(r.payload) if r.payload[:2] == b"P6"
+                       else decode_bmp(r.payload))
+          for r in t.itertuples()}
+    h = {m: int(dhash64(p)) for m, p in px.items()}
+    ids = sorted(h)
+    brute = {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
+             if bin(h[a] ^ h[b]).count("1") <= 6}
+    assert got_set == brute
+
+    base = t[t.variant == "base"].set_index("base_id")["media_id"]
+    planted_found = 0
+    for r in t[t.variant != "base"].itertuples():
+        a, b = sorted((int(base[r.base_id]), int(r.media_id)))
+        if bin(h[a] ^ h[b]).count("1") <= 6:
+            assert (a, b) in got_set, (a, b, r.variant)
+            planted_found += 1
+    assert planted_found >= 100   # 144 planted variants, noise mostly <=6
+    # non-vacuous: at least one pair needed the tolerance (hamming > 0)
+    assert (got["hamming"] > 0).any()

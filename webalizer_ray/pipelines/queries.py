@@ -6460,6 +6460,45 @@ def week_overlap_users_hll(sf_dir: str) -> pd.DataFrame:
         "users_overlap": [np.int64(round(inter))]})
 
 
+def _image_dup_ds(columns=None):
+    from webalizer_ray.stages.multimodal import (
+        IMAGE_DUP_TABLE_VERSION,
+        synth_image_dup_table,
+    )
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    d = os.path.join(tempfile.gettempdir(),
+                     f"wr_imgdup_u{uid}_v{IMAGE_DUP_TABLE_VERSION}")
+    marker = os.path.join(d, "images.parquet")
+    if not os.path.exists(marker):
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".images-{os.getpid()}.tmp")
+        pq.write_table(synth_image_dup_table(), tmp)
+        os.replace(tmp, marker)
+    return rd.read_parquet(marker, columns=columns)
+
+
+@register("media_image_dhash_pairs")
+def media_image_dhash_pairs(sf_dir: str) -> pd.DataFrame:
+    """Perceptual near-dup IMAGE pairs: real pixels → 64-bit dHash in an
+    actor-pool stage → chunk-banded Hamming pairs (n_chunks=8 >
+    max_hamming=6, so recall is exact by pigeonhole — the distributed
+    result provably equals brute force). Catches what byte/exact dedup
+    cannot: the fixture plants format-converted (PPM↔BMP), 2×-upscaled
+    and noised copies, all different bytes, same or near-same dHash.
+    Rows-only (pixel hashing isn't SQL); pytest verifies equality with
+    the driver-side brute-force pair set and that every planted variant
+    pairs with its base."""
+    from webalizer_ray.stages.multimodal import (
+        MEDIA_BATCH_KWARGS,
+        DHashImage,
+    )
+    hashed = _image_dup_ds(["media_id", "kind", "payload"]).map_batches(
+        DHashImage, concurrency=(1, 2), **MEDIA_BATCH_KWARGS)
+    return dedup.hamming64_pairs(hashed, id_col="media_id",
+                                 hash_col="dhash", max_hamming=6,
+                                 n_chunks=8)
+
+
 @register("leakage_safe_split_counts", sql="""
 WITH RECURSIVE pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b

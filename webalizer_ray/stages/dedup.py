@@ -328,31 +328,51 @@ def simhash_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
 def simhash_pairs(ds: rd.Dataset, id_col: str = "doc_id",
                   text_col: str = "text", max_hamming: int = 3,
                   bucket_cap: int = 4096) -> pd.DataFrame:
-    """Near-dup pairs by SimHash: 4×16-bit chunk banding → verify Hamming.
-
-    Two docs within Hamming distance ≤ 3 of a 64-bit simhash share at
-    least one of the four 16-bit chunks (pigeonhole) — the standard
-    chunk-banding trick, so candidates come from a groupby, not N². The
-    Hamming filter and pair dedup run in-cluster (only surviving pairs
-    reach the driver); a degenerate chunk bucket (identical-doc cluster)
-    emits the sorted-consecutive chain, like the MinHash path.
-    """
+    """Near-dup pairs by SimHash: 4×16-bit chunk banding → verify Hamming
+    (generic machinery in :func:`hamming64_pairs`)."""
     hashed = ds.map_batches(
         lambda df: simhash_batch(df, text_col)[[id_col, "simhash"]],
         batch_format="pandas")
+    return hamming64_pairs(hashed, id_col=id_col, hash_col="simhash",
+                           max_hamming=max_hamming, n_chunks=4,
+                           bucket_cap=bucket_cap)
+
+
+def hamming64_pairs(hashed: rd.Dataset, id_col: str, hash_col: str,
+                    max_hamming: int, n_chunks: int = 4,
+                    bucket_cap: int = 4096) -> pd.DataFrame:
+    """All pairs within Hamming distance ``max_hamming`` of a 64-bit
+    hash column: chunk banding → in-cluster exact Hamming verify.
+
+    Two hashes within distance d share at least one of n_chunks equal
+    chunks whenever n_chunks > d (pigeonhole) — recall is EXACT in that
+    regime; with n_chunks <= max_hamming the banding is deliberately
+    recall-incomplete (LSH-style: a pair at distance d > n_chunks-1 is
+    found only if its flipped bits happen to cluster). Either way
+    candidates come from a groupby, never N². The verify and pair dedup
+    run in-cluster (only surviving pairs reach the driver); a degenerate
+    chunk bucket (identical-item cluster) emits the sorted-consecutive
+    chain, like the MinHash path. Shared by SimHash text near-dup and
+    perceptual image-hash (dHash) near-dup.
+    """
+    if 64 % n_chunks:
+        raise ValueError("n_chunks must divide 64")
+    width = 64 // n_chunks
+    mask = np.uint64((1 << width) - 1)
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
-        h = df["simhash"].to_numpy().astype(np.uint64)
+        h = df[hash_col].to_numpy().astype(np.uint64)
         n = len(df)
-        chunks = [((h >> np.uint64(16 * c)) & np.uint64(0xFFFF))
-                  for c in range(4)]
+        chunks = [((h >> np.uint64(width * c)) & mask)
+                  for c in range(n_chunks)]
         out = pd.DataFrame({
-            "chunk": np.repeat(np.arange(4, dtype=np.int64), n),
-            "chunk_val": np.concatenate(chunks),
-            id_col: np.tile(df[id_col].to_numpy(), 4),
-            "simhash": np.tile(h, 4),
+            "chunk": np.repeat(np.arange(n_chunks, dtype=np.int64), n),
+            "chunk_val": np.concatenate(chunks) if n else
+            np.array([], dtype=np.uint64),
+            id_col: np.tile(df[id_col].to_numpy(), n_chunks),
+            hash_col: np.tile(h, n_chunks),
         })
-        # coarse collapse (same as MinHash banding): up to 4×65k tiny
+        # coarse collapse (same as MinHash banding): the many tiny
         # (chunk, chunk_val) groups become ≤64 vectorized tasks
         out["ck"] = (out["chunk"].to_numpy(np.uint64) * np.uint64(0x9E37)
                      ^ out["chunk_val"].to_numpy(np.uint64)) \
@@ -372,7 +392,7 @@ def simhash_pairs(ds: rd.Dataset, id_col: str = "doc_id",
         for _, grp in g.groupby(["chunk", "chunk_val"], sort=False):
             grp = grp.sort_values(id_col)
             ids = grp[id_col].to_numpy()
-            h = grp["simhash"].to_numpy().astype(np.uint64)
+            h = grp[hash_col].to_numpy().astype(np.uint64)
             if len(ids) > bucket_cap:
                 ia = np.arange(len(ids) - 1)
                 ib = np.arange(1, len(ids))

@@ -464,3 +464,111 @@ class ResizeImage:
             "width": pa.array(ws, pa.int32()),
             "height": pa.array(hs, pa.int32()),
         })
+
+
+# ---------------------------------------------------------------------------
+# perceptual image hashing (dHash) — near-dup detection that survives
+# re-encoding and resizing, which byte/exact dedup cannot see
+# ---------------------------------------------------------------------------
+
+#: Version tag of synth_image_dup_table; bump on any schema/payload change.
+IMAGE_DUP_TABLE_VERSION = 1
+
+
+def dhash64(px: np.ndarray) -> np.uint64:
+    """64-bit difference hash of an (h, w, 3) uint8 raster: integer-mean
+    grayscale → nearest-neighbor 8×9 → bit = left-pixel < right-pixel,
+    packed row-major. Invariant to re-encoding (operates on pixels) and
+    to exact nearest-neighbor upscales (floor-index sampling composes:
+    ((i·2h)//8)//2 == (i·h)//8), robust to small pixel noise — the
+    standard perceptual-dedup primitive (Krawetz's dHash construction).
+    """
+    gray = px.astype(np.uint16).sum(axis=2) // 3        # (h, w) 0..255
+    g = gray[:, :, None].repeat(3, axis=2).astype(np.uint8)
+    small = resize_nearest(g, 8, 9)[:, :, 0].astype(np.int16)
+    bits = (small[:, :-1] < small[:, 1:]).astype(np.uint64).ravel()
+    return np.uint64(np.sum(bits << np.arange(64, dtype=np.uint64)))
+
+
+class DHashImage:
+    """Actor-pool stage: image payload → (media_id, dhash uint64).
+
+    Real pixels for the codec-free formats (PPM/BMP); compressed inputs
+    raise unless ``fake_decoder=True`` (seeded stand-in raster). Non-image
+    rows are dropped. Runs with MEDIA_BATCH_KWARGS."""
+
+    def __init__(self, fake_decoder: bool = False):
+        self.fake = fake_decoder
+
+    def _px_one(self, payload: bytes) -> np.ndarray:
+        if payload[:2] == b"P6":
+            return decode_ppm(payload)
+        if payload[:2] == b"BM":
+            return decode_bmp(payload)
+        if self.fake:
+            rng = np.random.default_rng(_payload_seed(payload) % (2 ** 63))
+            return rng.integers(0, 256, size=(8, 9, 3), dtype=np.uint8)
+        raise NotImplementedError(
+            "compressed-image decode requires a codec library not present "
+            "in this container; construct DHashImage(fake_decoder=True) "
+            "for the stand-in")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, hashes = [], []
+        for mid, kind, payload in zip(batch["media_id"].to_pylist(),
+                                      batch["kind"].to_pylist(),
+                                      batch["payload"].to_pylist()):
+            if kind != "image":
+                continue
+            ids.append(mid)
+            hashes.append(dhash64(self._px_one(payload)))
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "dhash": pa.array(np.array(hashes, dtype=np.uint64),
+                              pa.uint64()),
+        })
+
+
+def synth_image_dup_table(n_base: int = 48, seed: int = 7) -> pa.Table:
+    """Deterministic image table with PLANTED perceptual duplicates.
+
+    Per base image (random 8–24 px raster), three variants exact dedup
+    cannot see: a format flip (same pixels, PPM↔BMP — different bytes,
+    dHash distance 0), a 2× nearest upscale (distance 0 by the floor-
+    index composition above), and a noised copy (±20 on ~25% of pixels
+    — a small nonzero dHash distance, exercising the Hamming-tolerance
+    path rather than exact hash equality). Columns ``base_id`` /
+    ``variant`` are ground truth for tests; the engine never reads them.
+    """
+    rng = np.random.default_rng(seed)
+    ids, payloads, base_ids, variants = [], [], [], []
+    next_id = 0
+
+    def emit(px: np.ndarray, base: int, variant: str, as_bmp: bool):
+        nonlocal next_id
+        ids.append(next_id)
+        payloads.append(encode_bmp(px) if as_bmp else encode_ppm(px))
+        base_ids.append(base)
+        variants.append(variant)
+        next_id += 1
+
+    for b in range(n_base):
+        h, w = int(rng.integers(8, 25)), int(rng.integers(8, 25))
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        emit(px, b, "base", as_bmp=bool(b % 2))
+        emit(px, b, "format", as_bmp=not b % 2)
+        up = px[np.repeat(np.arange(h), 2)][:, np.repeat(np.arange(w), 2)]
+        emit(up, b, "scale", as_bmp=bool(b % 2))
+        noise = rng.integers(-20, 21, px.shape, dtype=np.int16)
+        noise[rng.random(px.shape) > 0.25] = 0
+        noisy = np.clip(px.astype(np.int16) + noise, 0, 255).astype(np.uint8)
+        emit(noisy, b, "noise", as_bmp=bool(b % 2))
+
+    n = len(ids)
+    return pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "kind": pa.array(["image"] * n, pa.string()),
+        "payload": pa.array(payloads, pa.large_binary()),
+        "base_id": pa.array(base_ids, pa.int64()),
+        "variant": pa.array(variants, pa.string()),
+    })
