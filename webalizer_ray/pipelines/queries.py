@@ -3825,6 +3825,12 @@ def bm25_search(sf_dir: str) -> pd.DataFrame:
     scores each batch vectorized, and emits per-batch top-k PARTIALS so
     only k rows per block reach the final combine. A doc's tf/dl come
     from its own text cell, so per-doc values never shuffle at all."""
+    return _bm25_topk(sf_dir, k=10)
+
+
+def _bm25_topk(sf_dir: str, k: int) -> pd.DataFrame:
+    """Shared BM25 scorer (see bm25_search): distributed two-pass,
+    per-batch top-k partials, driver combines only k rows per block."""
     docs = _docs(sf_dir, ["doc_id", "text"])
     terms = list(_BM25_TERMS)
 
@@ -3878,12 +3884,12 @@ def bm25_search(sf_dir: str) -> pd.DataFrame:
         sc["score"] = textstats.round_half_away(
             sc["s"].to_numpy(np.float64), 6)
         sc = sc.sort_values(["score", "doc_id"], ascending=[False, True],
-                            kind="mergesort").head(10)
+                            kind="mergesort").head(k)
         return sc[["doc_id", "score"]]
 
     cand = docs.map_batches(score_topk, batch_format="pandas").to_pandas()
     out = cand.sort_values(["score", "doc_id"], ascending=[False, True],
-                           kind="mergesort").head(10)
+                           kind="mergesort").head(k)
     out["doc_id"] = out["doc_id"].astype(np.int64)
     return out.reset_index(drop=True)
 
@@ -6497,6 +6503,77 @@ def media_image_dhash_pairs(sf_dir: str) -> pd.DataFrame:
     return dedup.hamming64_pairs(hashed, id_col="media_id",
                                  hash_col="dhash", max_hamming=6,
                                  n_chunks=8)
+
+
+@register("hybrid_search_rrf", sql=r"""
+WITH d AS (SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS dl
+           FROM documents),
+n AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM d),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf
+       FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+             FROM documents)
+       WHERE term IN ('table', 'hash', 'merge') GROUP BY doc_id, term),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+s AS (SELECT tf.doc_id,
+             ROUND(SUM(ln((n.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+                 * tf.tf * (1.2 + 1.0)
+                 / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / n.avgdl))), 6)
+               AS score
+      FROM tf JOIN dfq USING (term) JOIN d USING (doc_id) CROSS JOIN n
+      GROUP BY tf.doc_id),
+lex AS (SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS lr
+        FROM s QUALIFY lr <= 50),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+      WHERE vec_id = 0),
+vs AS (SELECT e.vec_id AS doc_id,
+              ROUND(list_cosine_similarity(q.qe,
+                    CAST(e.embedding AS DOUBLE[])), 9) AS cos
+       FROM embeddings e CROSS JOIN q),
+vec AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS vr
+        FROM vs QUALIFY vr <= 50),
+f AS (SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+             COALESCE(1.0 / (60 + lr), 0) + COALESCE(1.0 / (60 + vr), 0)
+               AS rrf,
+             COALESCE(lr, 0) AS lex_rank, COALESCE(vr, 0) AS vec_rank
+      FROM lex FULL JOIN vec ON lex.doc_id = vec.doc_id)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, ROUND(rrf, 9) AS rrf,
+       CAST(lex_rank AS BIGINT) AS lex_rank,
+       CAST(vec_rank AS BIGINT) AS vec_rank
+FROM f ORDER BY rrf DESC, doc_id LIMIT 10""")
+def hybrid_search_rrf(sf_dir: str) -> pd.DataFrame:
+    """Hybrid retrieval with Reciprocal Rank Fusion (Cormack et al.
+    SIGIR'09 — the standard way a RAG/search stack combines a lexical
+    and a vector index): the BM25 leg and the exact-cosine leg each
+    produce their distributed top-50 (per-batch top-k partials; only
+    k rows per block reach the driver), then RRF fuses the two tiny
+    rank lists driver-side: score = Σ 1/(60 + rank), absent leg
+    contributes 0. Ranks on both engines are over 6-dp (BM25) / 9-dp
+    (cosine) rounded scores with id tiebreaks, so no float noise can
+    flip a rank; the fused score is one two-term double add."""
+    lex = _bm25_topk(sf_dir, k=50)
+    lex_rank = {int(d): r + 1 for r, d in enumerate(lex["doc_id"])}
+
+    qtbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "=", 0)])
+    query = np.stack(qtbl["embedding"].to_pandas().to_numpy())
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    vec = ann.brute_force_topk(ds, query, k=50)
+    vec_rank = {int(v): int(r) for v, r in zip(vec["vec_id"], vec["rank"])}
+
+    ids = sorted(set(lex_rank) | set(vec_rank))
+    lr = np.array([lex_rank.get(i, 0) for i in ids], dtype=np.int64)
+    vr = np.array([vec_rank.get(i, 0) for i in ids], dtype=np.int64)
+    rrf = (np.where(lr > 0, 1.0 / (60.0 + lr), 0.0)
+           + np.where(vr > 0, 1.0 / (60.0 + vr), 0.0))
+    out = pd.DataFrame({"doc_id": np.array(ids, dtype=np.int64),
+                        "rrf": np.round(rrf, 9),
+                        "lex_rank": lr, "vec_rank": vr})
+    return (out.sort_values(["rrf", "doc_id"], ascending=[False, True],
+                            kind="mergesort")
+            .head(10).reset_index(drop=True))
 
 
 @register("leakage_safe_split_counts", sql="""
