@@ -122,7 +122,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "tpch_q18_large_orders", "peak_concurrent_sessions",
                      "attribution_by_hour", "html_stripped_docs",
                      "zonemap_pruned_daily_hits",
-                     "incremental_view_counts"]:
+                     "incremental_view_counts",
+                     # round-2 second-continuation additions
+                     "tpch_q21_sole_late_supplier", "hybrid_search_rrf",
+                     "media_image_dhash_pairs",
+                     "leakage_safe_split_counts"]:
             fn = Q.REGISTRY[name][0]
             t0 = time.perf_counter()
             fn(sf_dir)

@@ -6576,6 +6576,186 @@ def hybrid_search_rrf(sf_dir: str) -> pd.DataFrame:
             .head(10).reset_index(drop=True))
 
 
+@register("ab_test_conversion_ztest", sql="""
+WITH u AS (SELECT user_id, user_id % 2 AS arm,
+                  MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS conv
+           FROM events GROUP BY user_id),
+a AS (SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b,
+             CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT)
+               AS conv_a,
+             CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT)
+               AS conv_b
+      FROM u)
+SELECT n_a, n_b, conv_a, conv_b,
+       ROUND((conv_a / CAST(n_a AS DOUBLE) - conv_b / CAST(n_b AS DOUBLE))
+             / sqrt(((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                    * (1.0 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                    * (1.0 / n_a + 1.0 / n_b)), 6) AS z
+FROM a""")
+def ab_test_conversion_ztest(sf_dir: str) -> pd.DataFrame:
+    """Experiment analysis: two-proportion z-test on user-level purchase
+    conversion under a deterministic id-parity assignment (the split a
+    real experimenation system computes over billions of users). Per-user
+    conversion flags are indicator-max partials (users never reach the
+    driver); the four arm counts are the only rows that move; the
+    z statistic is ONE closed-form expression written identically on
+    both engines (integer counts in, one rounded double out)."""
+    ds = _events(sf_dir, ["user_id", "event_type"])
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"],
+            "conv": (df["event_type"] == "purchase").astype(np.int64)})
+
+    per_user = reduce_sink(ds.map_batches(flag, batch_format="pandas"),
+                           ["user_id"], {"conv": ("conv", "max")})
+
+    def arm_partial(df: pd.DataFrame) -> pd.DataFrame:
+        arm = (df["user_id"].to_numpy(np.int64) % 2)
+        c = df["conv"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "n_a": [np.int64((arm == 0).sum())],
+            "n_b": [np.int64((arm == 1).sum())],
+            "conv_a": [np.int64(c[arm == 0].sum())],
+            "conv_b": [np.int64(c[arm == 1].sum())]})
+
+    tot = per_user.map_batches(arm_partial,
+                               batch_format="pandas").to_pandas().sum()
+    n_a, n_b = float(tot["n_a"]), float(tot["n_b"])
+    conv_a, conv_b = float(tot["conv_a"]), float(tot["conv_b"])
+    p = (conv_a + conv_b) / (n_a + n_b)
+    z = ((conv_a / n_a - conv_b / n_b)
+         / np.sqrt(p * (1.0 - p) * (1.0 / n_a + 1.0 / n_b)))
+    return pd.DataFrame({
+        "n_a": [np.int64(tot["n_a"])], "n_b": [np.int64(tot["n_b"])],
+        "conv_a": [np.int64(tot["conv_a"])],
+        "conv_b": [np.int64(tot["conv_b"])],
+        "z": [float(textstats.round_half_away(z, 6))]})
+
+
+@register("k_anonymity_audit", sql="""
+WITH g AS (SELECT event_type, hour(ts) AS hr, dayofweek(ts) AS dow,
+                  COUNT(*) AS n
+           FROM events GROUP BY 1, 2, 3)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS groups_violating,
+       CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+         AS rows_at_risk
+FROM g""")
+def k_anonymity_audit(sf_dir: str) -> pd.DataFrame:
+    """Privacy-governance audit: k-anonymity (k=5) over the
+    quasi-identifier tuple (event_type, hour, weekday) — a release is
+    k-anonymous when every QI group holds ≥ k rows, else the small
+    groups re-identify individuals (Sweeney 2002). Group sizes are
+    ordinary count partials; the audit then folds the COUNT TABLE (not
+    the rows) to three integers with per-batch partial sums, so neither
+    the events nor the group table ever reach the driver. The weekday
+    NUMBERING differs between engines (pandas Monday=0, DuckDB
+    Sunday=0) but the PARTITION it induces is identical, and only group
+    sizes matter."""
+    def qi(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": df["event_type"],
+                             "hr": df["ts"].dt.hour.astype(np.int64),
+                             "dow": df["ts"].dt.dayofweek.astype(np.int64)})
+
+    groups = reduce_sink(
+        _events(sf_dir, ["ts", "event_type"])
+        .map_batches(qi, batch_format="pandas"),
+        ["event_type", "hr", "dow"], {"n": ("hr", "size")})
+
+    def audit_partial(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(np.int64)
+        small = n < 5
+        return pd.DataFrame({"n_groups": [np.int64(len(n))],
+                             "groups_violating": [np.int64(small.sum())],
+                             "rows_at_risk": [np.int64(n[small].sum())]})
+
+    tot = groups.map_batches(audit_partial,
+                             batch_format="pandas").to_pandas().sum()
+    return pd.DataFrame({k: [np.int64(tot[k])]
+                         for k in ("n_groups", "groups_violating",
+                                   "rows_at_risk")})
+
+
+@register("containment_quote_pairs", sql=r"""
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+           FROM documents),
+sh AS (SELECT doc_id, array_to_string(toks[i:i+19], ' ') AS sp
+       FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks)-19))
+                        AS i) g),
+d AS (SELECT DISTINCT doc_id, sp FROM sh),
+cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM d a JOIN d b ON a.sp = b.sp AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+g3 AS (SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS g
+       FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks)-2))
+                        AS i) gg),
+dg AS (SELECT DISTINCT doc_id, g FROM g3),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM dg GROUP BY 1),
+inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS i
+          FROM cand c JOIN dg x ON x.doc_id = c.id_a
+               JOIN dg y ON y.doc_id = c.id_b AND y.g = x.g
+          GROUP BY 1, 2)
+SELECT c.id_a, c.id_b,
+       ROUND(COALESCE(i.i, 0) / CAST(LEAST(sa.n, sb.n) AS DOUBLE), 6)
+         AS containment,
+       ROUND(COALESCE(i.i, 0)
+             / CAST(sa.n + sb.n - COALESCE(i.i, 0) AS DOUBLE), 6)
+         AS jaccard
+FROM cand c JOIN sz sa ON sa.doc_id = c.id_a
+     JOIN sz sb ON sb.doc_id = c.id_b
+     LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+WHERE COALESCE(i.i, 0) / CAST(LEAST(sa.n, sb.n) AS DOUBLE) >= 0.8""")
+def containment_quote_pairs(sf_dir: str) -> pd.DataFrame:
+    """Quote/subset detection via n-gram CONTAINMENT, C(A,B) =
+    |G₃(A)∩G₃(B)| / min(|G₃(A)|,|G₃(B)|) — the asymmetric cousin of
+    Jaccard (Broder's resemblance vs containment split): a short doc
+    quoted inside a long one scores containment ≈ 1 but low Jaccard,
+    so symmetric dedup misses it. Candidates come from the
+    DETERMINISTIC shared-20-token-span prefilter (itself oracle-backed
+    — a containing pair shares its spans by construction, so recall
+    vs this filter is exact, which is what makes the whole chain
+    SQL-checkable, unlike the sampling-based MinHash candidates);
+    the verify joins candidate texts back in-cluster and emits both
+    measures so the containment-vs-jaccard gap is visible."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    cand = dedup.shared_span_pairs(docs, n=20)
+    empty = pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                          "id_b": pd.Series(dtype=np.int64),
+                          "containment": pd.Series(dtype=np.float64),
+                          "jaccard": pd.Series(dtype=np.float64)})
+    if not len(cand):
+        return empty
+    p = rd.from_pandas(cand[["id_a", "id_b"]])
+    j = dedup.join_pairs_to_values(p, docs, "doc_id", "text")
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for a, b, ta, tb in zip(df["id_a"], df["id_b"],
+                                df["text_a"], df["text_b"]):
+            sa, sb = dedup.word_ngrams(ta, 3), dedup.word_ngrams(tb, 3)
+            inter = len(sa & sb)
+            cont = inter / min(len(sa), len(sb))
+            if cont >= 0.8:
+                jac = inter / (len(sa) + len(sb) - inter)
+                rows.append((a, b,
+                             float(textstats.round_half_away(cont, 6)),
+                             float(textstats.round_half_away(jac, 6))))
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "containment",
+                                           "jaccard"]) \
+            .astype({"id_a": np.int64, "id_b": np.int64})
+
+    out = j.map_batches(verify, batch_format="pandas").to_pandas()
+    if "id_a" not in out.columns or not len(out):
+        return empty
+    return out.sort_values(["id_a", "id_b"], ignore_index=True)
+
+
 @register("leakage_safe_split_counts", sql="""
 WITH RECURSIVE pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
