@@ -71,3 +71,26 @@ def test_pagerank_edge_inputs(ray_session):
     assert len(empty) == 0 and list(empty.columns) == ["node", "r"]
     loop = pagerank(pd.DataFrame({"src": [5], "dst": [5]}), n_iter=3)
     assert len(loop) == 1 and abs(loop["r"].iloc[0] - 1.0) < 1e-12
+
+
+def test_triangle_count_planted(ray_session):
+    """K4 has 4 triangles; triangle+pendant has 1; bipartite has 0."""
+    import itertools
+
+    import pandas as pd
+
+    from webalizer_ray.stages.graph import triangle_count
+
+    k4 = pd.DataFrame(list(itertools.combinations(range(4), 2)),
+                      columns=["id_a", "id_b"])
+    assert triangle_count(k4) == {"n_nodes": 4, "n_edges": 6,
+                                  "n_triangles": 4}
+    tp = pd.DataFrame({"id_a": [0, 1, 2, 3], "id_b": [1, 2, 0, 0]})
+    assert triangle_count(tp) == {"n_nodes": 4, "n_edges": 4,
+                                  "n_triangles": 1}
+    # bipartite K2,3: 6 edges, no triangles; duplicate + reversed edges
+    # must not change anything
+    bp = pd.DataFrame({"id_a": [0, 0, 0, 1, 1, 1, 2, 0],
+                       "id_b": [2, 3, 4, 2, 3, 4, 0, 2]})
+    assert triangle_count(bp) == {"n_nodes": 5, "n_edges": 6,
+                                  "n_triangles": 0}

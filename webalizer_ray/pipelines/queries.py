@@ -6756,6 +6756,97 @@ def containment_quote_pairs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["id_a", "id_b"], ignore_index=True)
 
 
+@register("knn_triangle_stats", sql="""
+WITH sims AS (
+  SELECT a.vec_id AS node, b.vec_id AS neighbor,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6)
+             AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id),
+r AS (SELECT node, neighbor,
+             ROW_NUMBER() OVER (PARTITION BY node
+                                ORDER BY cosine DESC, neighbor) AS rank
+      FROM sims),
+k AS (SELECT node, neighbor FROM r WHERE rank <= 2),
+e AS (SELECT DISTINCT LEAST(node, neighbor) AS a,
+                      GREATEST(node, neighbor) AS b FROM k),
+nn AS (SELECT COUNT(DISTINCT x) AS n
+       FROM (SELECT a AS x FROM e UNION ALL SELECT b AS x FROM e)),
+tri AS (SELECT COUNT(*) AS t
+        FROM e e1 JOIN e e2 ON e2.a = e1.b
+             JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+SELECT CAST(nn.n AS BIGINT) AS n_nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+       CAST(tri.t AS BIGINT) AS n_triangles
+FROM nn CROSS JOIN tri""")
+def knn_triangle_stats(sf_dir: str) -> pd.DataFrame:
+    """Triangle census of the k-NN similarity graph — the standard
+    embedding-space clustering diagnostic (many triangles = tight
+    semantic clusters; a triangle-free kNN graph means the space is
+    spread thin). Distributed node-iterator counting in
+    graph.triangle_count: canonical edges → wedges by middle node →
+    closing-edge check, each step a co-partitioned union+groupby (the
+    CC/PageRank message pattern), only three scalars reach the driver.
+    Oracle: triple self-join over the identical canonical edge set."""
+    from webalizer_ray.stages import graph
+
+    edges = knn_graph(sf_dir)[["node", "neighbor"]].rename(
+        columns={"node": "id_a", "neighbor": "id_b"})
+    st = graph.triangle_count(edges)
+    return pd.DataFrame({"n_nodes": [np.int64(st["n_nodes"])],
+                         "n_edges": [np.int64(st["n_edges"])],
+                         "n_triangles": [np.int64(st["n_triangles"])]})
+
+
+@register("events_table_checksum", sql="""
+WITH d AS (SELECT (CAST(user_id AS HUGEINT) * 1000003
+                   + CAST(CAST(ROUND(value * 100, 0) AS BIGINT) AS HUGEINT)
+                     * 8191
+                   + CAST(hour(ts) AS HUGEINT) * 131071
+                   + CAST(ascii(event_type) * 131 + length(event_type)
+                          AS HUGEINT) * 524287)
+                  % 18446744073709551616 AS dig
+           FROM events)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(dig) % 18446744073709551616 AS VARCHAR) AS checksum
+FROM d""")
+def events_table_checksum(sf_dir: str) -> pd.DataFrame:
+    """Order-independent content checksum — the replication/migration
+    verifier: after copying a table between engines or clusters, two
+    sides agree iff (n_rows, checksum) agree, no sort and no row
+    transfer needed. The row digest is an ARITHMETIC closed form over
+    integer-coerced fields (cents-quantized value, hour, a char-code
+    fold of the type) in uint64 wrap-around — numpy's per-op wrapping
+    and SQL's single end mod are congruent because +/× commute with
+    mod 2⁶⁴ — and SUM is commutative, so any row order / any
+    partitioning yields the identical checksum. One uint64 partial per
+    batch reaches the driver."""
+    M = 1 << 64
+
+    def digest_partial(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].to_numpy(np.uint64)
+        cents = textstats.round_half_away(
+            df["value"].to_numpy(np.float64) * 100.0, 0) \
+            .astype(np.int64).astype(np.uint64)
+        hr = df["ts"].dt.hour.to_numpy().astype(np.uint64)
+        types = {t: np.uint64(ord(t[0]) * 131 + len(t))
+                 for t in df["event_type"].unique()}
+        tcode = df["event_type"].map(types).to_numpy(np.uint64)
+        dig = (u * np.uint64(1000003) + cents * np.uint64(8191)
+               + hr * np.uint64(131071) + tcode * np.uint64(524287))
+        s = int(np.sum(dig, dtype=np.uint64))   # wrap == mod 2^64
+        return pd.DataFrame({"n": [np.int64(len(df))],
+                             "s": [str(s)]})
+
+    parts = _events(sf_dir, ["ts", "user_id", "event_type", "value"]) \
+        .map_batches(digest_partial, batch_format="pandas").to_pandas()
+    total = 0
+    for s in parts["s"]:
+        total = (total + int(s)) % M
+    return pd.DataFrame({"n_rows": [np.int64(parts["n"].sum())],
+                         "checksum": [str(total)]})
+
+
 @register("leakage_safe_split_counts", sql="""
 WITH RECURSIVE pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b

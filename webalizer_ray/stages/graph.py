@@ -192,3 +192,99 @@ def pagerank(edges: rd.Dataset | pd.DataFrame, damping: float = 0.85,
 
     out = ranks.to_pandas()[["node", "r"]].astype({"node": np.int64})
     return out.sort_values("node", ignore_index=True)
+
+
+def triangle_count(edges: rd.Dataset | pd.DataFrame,
+                   num_buckets: int = 64) -> dict:
+    """Distributed triangle counting (node-iterator / wedge-check form).
+
+    Canonical a<b edges → wedges by the MIDDLE node (e1=(a,b) ⋈ e2=(b,c)
+    on b, so each triangle a<b<c is generated exactly once) → wedge
+    (a,c) checked against the edge set. Both the wedge join and the
+    closing check are the union+groupby co-partition pattern shared
+    with connected components / PageRank: edge and wedge rows tagged
+    and hashed into the same bucket, one vectorized pandas merge per
+    bucket — no driver materialization, only the three scalar counts
+    come back. Wedge fan-out is C(outdeg, 2) per node; a skewed hub
+    inflates one bucket, so production callers should degree-cap or
+    salt hubs first (the kNN graphs this serves have bounded out-degree
+    by construction).
+    """
+    if isinstance(edges, pd.DataFrame):
+        edges = rd.from_pandas(edges[["id_a", "id_b"]])
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["id_a"].to_numpy(np.int64)
+        b = df["id_b"].to_numpy(np.int64)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        out = pd.DataFrame({"a": lo, "b": hi})
+        out = out[out["a"] != out["b"]].drop_duplicates()
+        out["_h"] = _bucket(out["a"].to_numpy(np.int64) * np.int64(31)
+                            + out["b"].to_numpy(np.int64), num_buckets)
+        return out
+
+    def bucket_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=["a", "b"]).drop(columns=["_h"])
+
+    e = (edges.map_batches(canon, batch_format="pandas")
+         .groupby("_h").map_groups(bucket_dedup, batch_format="pandas"))
+
+    # wedge stage: co-partition on the middle node — e1 keyed by its b
+    # (tag 0), e2 keyed by its a (tag 1); per bucket, one merge.
+    def by_mid(tag: int, key: str):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            out = df[["a", "b"]].copy()
+            out["tag"] = np.int8(tag)
+            out["_h"] = _bucket(out[key].to_numpy(np.int64), num_buckets)
+            return out
+        return f
+
+    def make_wedges(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["tag"] == 0]     # (a, b): join key = b
+        right = g[g["tag"] == 1]    # (b, c): join key = a
+        if not len(left) or not len(right):
+            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                                 "c": pd.Series(dtype=np.int64)})
+        m = left.merge(right, left_on="b", right_on="a",
+                       suffixes=("_1", "_2"))
+        return pd.DataFrame({"a": m["a_1"].to_numpy(np.int64),
+                             "c": m["b_2"].to_numpy(np.int64)})
+
+    tagged = (e.map_batches(by_mid(0, "b"), batch_format="pandas")
+              .union(e.map_batches(by_mid(1, "a"), batch_format="pandas")))
+    wedges = tagged.groupby("_h").map_groups(make_wedges,
+                                             batch_format="pandas")
+
+    # closing check: wedges and edges co-partitioned on the (lo, hi) pair
+    def pair_key(df: pd.DataFrame, x: str, y: str,
+                 tag: int) -> pd.DataFrame:
+        out = pd.DataFrame({"a": df[x].to_numpy(np.int64),
+                            "b": df[y].to_numpy(np.int64)})
+        out["tag"] = np.int8(tag)
+        out["_h"] = _bucket(out["a"].to_numpy(np.int64) * np.int64(31)
+                            + out["b"].to_numpy(np.int64), num_buckets)
+        return out
+
+    def close_count(g: pd.DataFrame) -> pd.DataFrame:
+        have = g[g["tag"] == 0][["a", "b"]].drop_duplicates()
+        want = g[g["tag"] == 1][["a", "b"]]
+        n = len(want.merge(have, on=["a", "b"]))
+        return pd.DataFrame({"t": [np.int64(n)]})
+
+    both = (e.map_batches(lambda d: pair_key(d, "a", "b", 0),
+                          batch_format="pandas")
+            .union(wedges.map_batches(lambda d: pair_key(d, "a", "c", 1),
+                                      batch_format="pandas")))
+    tri = both.groupby("_h").map_groups(close_count,
+                                        batch_format="pandas").to_pandas()
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        nodes = np.unique(np.concatenate([df["a"].to_numpy(np.int64),
+                                          df["b"].to_numpy(np.int64)]))
+        return pd.DataFrame({"nodes": [nodes], "m": [np.int64(len(df))]})
+
+    stats = e.map_batches(count_partial, batch_format="pandas").to_pandas()
+    n_nodes = len(np.unique(np.concatenate(stats["nodes"].to_list()))) \
+        if len(stats) else 0
+    return {"n_nodes": int(n_nodes), "n_edges": int(stats["m"].sum()),
+            "n_triangles": int(tri["t"].sum())}
