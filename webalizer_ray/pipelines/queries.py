@@ -5178,6 +5178,48 @@ REGISTRY["bm25_search_indexed"] = (bm25_search_indexed,
                                    REGISTRY["bm25_search"][1])
 
 
+@register("bm25_search_index_appended", sql=None)  # oracle attached below
+def bm25_search_index_appended(sf_dir: str) -> pd.DataFrame:
+    """Incremental index MAINTENANCE: build the inverted index over 3/4
+    of the corpus, append_index the remaining 1/4 as a second segment
+    (no rebuild — the LSM pattern), query the segmented index. The
+    oracle is the FULL-corpus bm25_search SQL, so the green row proves
+    append+query ≡ rebuild bit-for-bit (collection stats are summed
+    across segments, df comes from the unioned postings). Fresh scratch
+    store per invocation — the append is what's under test."""
+    import shutil
+
+    from webalizer_ray.stages.invindex import (
+        append_index,
+        build_index,
+        query_index,
+    )
+
+    idx = tempfile.mkdtemp(prefix="wr_bm25app_")
+    try:
+        def part(keep_mod0: bool):
+            def f(t: pa.Table) -> pa.Table:
+                m = pc.equal(pc.bit_wise_and(t["doc_id"], pa.scalar(3)),
+                             pa.scalar(0))
+                return t.filter(m if keep_mod0 else pc.invert(m))
+            return f
+
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+        build_index(docs.map_batches(part(False),
+                                     batch_format="pyarrow"), idx)
+        append_index(docs.map_batches(part(True),
+                                      batch_format="pyarrow"),
+                     idx, run_tag="r2")
+        return query_index(idx, list(_BM25_TERMS), k=10)
+    finally:
+        shutil.rmtree(idx, ignore_errors=True)
+
+
+REGISTRY["bm25_search_index_appended"] = (bm25_search_index_appended,
+                                          REGISTRY["bm25_search"][1])
+
+
 @register("mmr_diverse_topk", sql=None)  # greedy iterative — not SQL
 def mmr_diverse_topk(sf_dir: str) -> pd.DataFrame:
     """Diversity-aware retrieval (Maximal Marginal Relevance, SIGIR'98

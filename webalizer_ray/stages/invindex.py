@@ -80,25 +80,69 @@ def build_index(ds: rd.Dataset, index_dir: str,
     return index_dir
 
 
+def append_index(ds: rd.Dataset, index_dir: str, run_tag: str,
+                 text_col: str = "text", id_col: str = "doc_id") -> str:
+    """Incremental index maintenance: add NEW documents to an existing
+    index without rebuilding it.
+
+    Each append is its own run directory (``runs/<tag>/bucket=K`` +
+    per-run ``_meta.json`` stats) written to a temp dir and atomically
+    renamed — re-running the same tag replaces its own output and
+    nothing else, the same idempotence contract as the incremental
+    dedup stores. ``query_index`` unions the base and every run (the
+    LSM pattern: queries read segments, ``run.py compact`` is the
+    merge). Append-only semantics: re-adding an existing doc_id
+    double-counts — updates belong to the CDC/upsert store."""
+    run_dir = os.path.join(index_dir, "runs", run_tag)
+    with open(os.path.join(index_dir, "_meta.json")) as f:
+        num_buckets = json.load(f)["num_buckets"]
+    tmp = run_dir + f".tmp-{os.getpid()}"
+    build_index(ds, tmp, num_buckets=num_buckets,
+                text_col=text_col, id_col=id_col)
+    os.makedirs(os.path.dirname(run_dir), exist_ok=True)
+    if os.path.isdir(run_dir):
+        import shutil
+        shutil.rmtree(run_dir)
+    os.replace(tmp, run_dir)
+    return run_dir
+
+
+def _index_segments(index_dir: str) -> list:
+    """(segment_dir, meta) for the base index + every appended run."""
+    segs = []
+    with open(os.path.join(index_dir, "_meta.json")) as f:
+        segs.append((index_dir, json.load(f)))
+    runs = os.path.join(index_dir, "runs")
+    if os.path.isdir(runs):
+        for tag in sorted(os.listdir(runs)):
+            mp = os.path.join(runs, tag, "_meta.json")
+            if os.path.isfile(mp):
+                with open(mp) as f:
+                    segs.append((os.path.join(runs, tag), json.load(f)))
+    return segs
+
+
 def query_index(index_dir: str, terms: list[str], k: int = 10
                 ) -> pd.DataFrame:
     """BM25 top-k from the index: reads ONLY the term buckets the
     query hashes to, with a ``term IN (...)`` predicate pushed into
-    the scan."""
-    with open(os.path.join(index_dir, "_meta.json")) as f:
-        meta = json.load(f)
-    n, avgdl = meta["n_docs"], meta["sum_dl"] / meta["n_docs"]
+    the scan. Collection stats are the SUM over segments (base +
+    appended runs), so scores after an append equal a full rebuild's."""
+    segs = _index_segments(index_dir)
+    n = sum(m["n_docs"] for _, m in segs)
+    avgdl = sum(m["sum_dl"] for _, m in segs) / n
+    num_buckets = segs[0][1]["num_buckets"]
     buckets = sorted(set(
-        _term_bucket(pd.Series(list(terms)),
-                     meta["num_buckets"]).tolist()))
+        _term_bucket(pd.Series(list(terms)), num_buckets).tolist()))
     frames = []
-    for b in buckets:
-        p = os.path.join(index_dir, f"bucket={b}")
-        if not os.path.isdir(p):
-            continue
-        t = pads.dataset(p).to_table(
-            filter=pads.field("term").isin(list(terms)))
-        frames.append(t.to_pandas())
+    for seg_dir, _ in segs:
+        for b in buckets:
+            p = os.path.join(seg_dir, f"bucket={b}")
+            if not os.path.isdir(p):
+                continue
+            t = pads.dataset(p).to_table(
+                filter=pads.field("term").isin(list(terms)))
+            frames.append(t.to_pandas())
     if not frames:
         return pd.DataFrame({"doc_id": pd.Series([], np.int64),
                              "score": pd.Series([], np.float64)})
