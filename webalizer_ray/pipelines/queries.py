@@ -6889,6 +6889,59 @@ def events_table_checksum(sf_dir: str) -> pd.DataFrame:
                          "checksum": [str(total)]})
 
 
+@register("target_encoded_event_types", sql="""
+WITH c AS (SELECT event_type, event_id % 3 AS fold,
+                  CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+           FROM events),
+f AS (SELECT event_type, fold, SUM(cents) AS s, COUNT(*) AS n
+      FROM c GROUP BY 1, 2),
+t AS (SELECT event_type, SUM(s) AS ts, SUM(n) AS tn FROM f GROUP BY 1)
+SELECT f.event_type, CAST(f.fold AS BIGINT) AS fold,
+       CAST(f.n AS BIGINT) AS n_rows,
+       ROUND((t.ts - f.s) / (100.0 * (t.tn - f.n)), 6) AS enc
+FROM f JOIN t USING (event_type)
+WHERE t.tn > f.n""")
+def target_encoded_event_types(sf_dir: str) -> pd.DataFrame:
+    """Leakage-protected (out-of-fold) target encoding — the standard
+    way a categorical feature absorbs a target without memorizing its
+    own row: fold k's encoding of a category is the target mean over
+    the OTHER folds, (tot − fold)/(n_tot − n_fold). Everything reduces
+    to per-(category, fold) integer partials — the 2-dp value column is
+    cent-quantized, so sums are EXACT in any order and partitioning
+    (the dyadic-fixture lesson applied to real money columns); the one
+    float division happens once per output row on both engines."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = textstats.round_half_away(
+            df["value"].to_numpy(np.float64) * 100.0, 0).astype(np.int64)
+        g = pd.DataFrame({
+            "event_type": df["event_type"],
+            "fold": df["event_id"].to_numpy(np.int64) % 3,
+            "s": cents,
+        }).groupby(["event_type", "fold"], sort=False) \
+            .agg(s=("s", "sum"), n=("s", "size")).reset_index()
+        g["s"] = g["s"].astype(np.int64)
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    f = reduce_sink(ds.map_batches(partial, batch_format="pandas"),
+                    ["event_type", "fold"],
+                    {"s": ("s", "sum"), "n": ("n", "sum")}).to_pandas()
+    t = f.groupby("event_type", sort=False) \
+        .agg(ts=("s", "sum"), tn=("n", "sum")).reset_index()
+    m = f.merge(t, on="event_type")
+    m = m[m["tn"] > m["n"]].copy()
+    m["enc"] = textstats.round_half_away(
+        (m["ts"] - m["s"]).to_numpy(np.float64)
+        / (100.0 * (m["tn"] - m["n"]).to_numpy(np.float64)), 6)
+    m["n_rows"] = m["n"].astype(np.int64)
+    m["fold"] = m["fold"].astype(np.int64)
+    return m[["event_type", "fold", "n_rows", "enc"]] \
+        .sort_values(["event_type", "fold"], ignore_index=True)
+
+
 @register("leakage_safe_split_counts", sql="""
 WITH RECURSIVE pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
