@@ -118,10 +118,11 @@ def test_connected_components_basic(rd_mod):
     their min node; output covers exactly the nodes seen in pairs."""
     pairs = pd.DataFrame({"id_a": [0, 1, 2, 10, 20, 21, 22],
                           "id_b": [1, 2, 3, 11, 21, 22, 20]})
-    out = dedup.connected_components(pairs)
-    got = dict(zip(out["node"], out["cluster_id"]))
-    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10,
-                   20: 20, 21: 20, 22: 20}
+    want = {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10,
+            20: 20, 21: 20, 22: 20}
+    for lim in (2_000_000, 0):      # in-core union-find / distributed
+        out = dedup.connected_components(pairs, driver_limit=lim)
+        assert dict(zip(out["node"], out["cluster_id"])) == want, lim
 
 
 def test_connected_components_long_chain(rd_mod):
@@ -130,9 +131,10 @@ def test_connected_components_long_chain(rd_mod):
     n = 64
     pairs = pd.DataFrame({"id_a": np.arange(n - 1, dtype=np.int64),
                           "id_b": np.arange(1, n, dtype=np.int64)})
-    out = dedup.connected_components(pairs)
-    assert len(out) == n
-    assert (out["cluster_id"] == 0).all()
+    for lim in (2_000_000, 0):
+        out = dedup.connected_components(pairs, driver_limit=lim)
+        assert len(out) == n
+        assert (out["cluster_id"] == 0).all()
 
 
 def test_connected_components_empty(rd_mod):
@@ -150,9 +152,10 @@ def test_connected_components_skewed_star(rd_mod):
     n = 300
     pairs = pd.DataFrame({"id_a": np.zeros(n - 1, dtype=np.int64),
                           "id_b": np.arange(1, n, dtype=np.int64)})
-    out = dedup.connected_components(pairs)
-    assert len(out) == n
-    assert (out["cluster_id"] == 0).all()
+    for lim in (2_000_000, 0):
+        out = dedup.connected_components(pairs, driver_limit=lim)
+        assert len(out) == n
+        assert (out["cluster_id"] == 0).all()
 
 
 def test_incremental_dedup_store_rounds(rd_mod, tmp_path):

@@ -99,3 +99,30 @@ def test_simjoin_fuzz_matches_brute_force(ray_session, keys, t):
 def test_all_strings_shorter_than_q(ray_session):
     out = run_join(["", "a", "bb"], t=0.5)
     assert len(out) == 0 and list(out.columns) == ["a", "b", "jacc"]
+
+
+def test_edit_distance_join_planted(ray_session):
+    """PassJoin recall is exact: distributed pairs == brute force on a
+    planted typo fixture (substitution, deletion, transposition, and
+    far-apart negatives)."""
+    import itertools
+
+    import ray.data as rd
+
+    from webalizer_ray.stages.simjoin import _lev_banded, edit_distance_join
+
+    keys = ["widget bolt", "widgat bolt",       # 1 substitution
+            "sprocket nut", "sprocket nt",      # 1 deletion
+            "anchor plate", "anchor platte",    # 1 insertion
+            "copper gear", "copper gera",       # transposition = ed 2
+            "flange", "totally different name"]
+    ds = rd.from_pandas(pd.DataFrame({"key": keys}))
+    got = edit_distance_join(ds, k=2)
+    got_set = set(zip(got["a"], got["b"]))
+    brute = {(a, b) if a < b else (b, a)
+             for a, b in itertools.combinations(keys, 2)
+             if _lev_banded(a, b, 2) <= 2}
+    assert got_set == brute
+    assert ("widgat bolt", "widget bolt") in got_set
+    assert ("copper gear", "copper gera") in got_set
+    assert not any("flange" in p for pair in got_set for p in pair)

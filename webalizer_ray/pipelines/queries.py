@@ -5879,7 +5879,10 @@ def tpch_q18_large_orders(sf_dir: str) -> pd.DataFrame:
     per_order = reduce_sink(li.map_batches(qty_int,
                                            batch_format="pandas"),
                             ["l_orderkey"], {"qty": ("qty", "sum")})
-    big = per_order.filter(lambda r: r["qty"] > 300)
+    # vectorized HAVING — a row-lambda filter here costs a Python call
+    # per order (measured 26 s → 4 s at sf0.1)
+    big = per_order.map_batches(lambda df: df[df["qty"] > 300],
+                                batch_format="pandas")
 
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet",
@@ -6940,6 +6943,255 @@ def target_encoded_event_types(sf_dir: str) -> pd.DataFrame:
     m["fold"] = m["fold"].astype(np.int64)
     return m[["event_type", "fold", "n_rows", "enc"]] \
         .sort_values(["event_type", "fold"], ignore_index=True)
+
+
+@register("benford_first_digit", sql="""
+WITH d AS (SELECT CAST(substr(CAST(CAST(ROUND(value * 100, 0) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+           FROM events
+           WHERE CAST(ROUND(value * 100, 0) AS BIGINT) > 0),
+c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+t AS (SELECT SUM(n) AS tot FROM c)
+SELECT digit, CAST(n AS BIGINT) AS n,
+       ROUND(n / CAST(t.tot AS DOUBLE), 6) AS observed,
+       ROUND(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS benford
+FROM c CROSS JOIN t""")
+def benford_first_digit(sf_dir: str) -> pd.DataFrame:
+    """Benford's-law digit audit — the classic fraud / synthetic-data
+    smell test on a money column: the first significant digit of
+    natural multiplicative data follows log10(1 + 1/d). Digits come
+    from the EXACT cent integer (decimal-string head, no float log
+    tricks that disagree at powers of ten), counts are ordinary
+    partials, and both the observed share and the Benford expectation
+    are one rounded expression per digit. The verdict (uniform-ish
+    synthetic values ≠ Benford) is the point — the table is what an
+    auditor reads."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+
+    def digit_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = textstats.round_half_away(
+            df["value"].to_numpy(np.float64) * 100.0, 0).astype(np.int64)
+        d = cents[cents > 0]
+        while (d >= 10).any():     # strip digits: O(log10 max) passes
+            d = np.where(d >= 10, d // 10, d)
+        g = pd.Series(d).value_counts()
+        return pd.DataFrame({"digit": g.index.to_numpy(np.int64),
+                             "n": g.to_numpy(np.int64)})
+
+    c = reduce_sink(ds.map_batches(digit_partial, batch_format="pandas"),
+                    ["digit"], {"n": ("n", "sum")}).to_pandas()
+    tot = float(c["n"].sum())
+    c["observed"] = textstats.round_half_away(
+        c["n"].to_numpy(np.float64) / tot, 6)
+    c["benford"] = textstats.round_half_away(
+        np.log(1.0 + 1.0 / c["digit"].to_numpy(np.float64))
+        / np.log(10.0), 6)
+    c["n"] = c["n"].astype(np.int64)
+    return c.sort_values("digit", ignore_index=True)
+
+
+@register("term_info_gain", sql=r"""
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+           FROM documents),
+lab AS (SELECT doc_id,
+               CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END
+                 AS y
+        FROM t),
+dw AS (SELECT DISTINCT doc_id, unnest(toks) AS w FROM t),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn,
+             CAST(SUM(y) AS DOUBLE) AS n1 FROM lab),
+c AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS dt,
+             CAST(SUM(y) AS DOUBLE) AS a
+      FROM dw JOIN lab USING (doc_id) GROUP BY w),
+ig AS (SELECT w,
+  (CASE WHEN n1 / nn <= 0 OR n1 / nn >= 1 THEN 0
+        ELSE -((n1 / nn) * ln(n1 / nn)
+               + (1 - n1 / nn) * ln(1 - n1 / nn)) END)
+  - (dt / nn) * (CASE WHEN a / dt <= 0 OR a / dt >= 1 THEN 0
+                      ELSE -((a / dt) * ln(a / dt)
+                             + (1 - a / dt) * ln(1 - a / dt)) END)
+  - (CASE WHEN nn - dt = 0 THEN 0
+          ELSE ((nn - dt) / nn)
+               * (CASE WHEN (n1 - a) / (nn - dt) <= 0
+                            OR (n1 - a) / (nn - dt) >= 1 THEN 0
+                       ELSE -(((n1 - a) / (nn - dt))
+                              * ln((n1 - a) / (nn - dt))
+                              + (1 - (n1 - a) / (nn - dt))
+                              * ln(1 - (n1 - a) / (nn - dt))) END) END)
+    AS gain
+  FROM c CROSS JOIN n)
+SELECT w AS term, ROUND(gain, 6) AS info_gain
+FROM ig ORDER BY ROUND(gain, 6) DESC, term LIMIT 10""")
+def term_info_gain(sf_dir: str) -> pd.DataFrame:
+    """Feature selection by information gain: IG(term; label) =
+    H(label) − Σ_splits p(split)·H(label | term present/absent), the
+    classic filter-method term ranker (and the decision-tree split
+    criterion). Label = doc contains 'spark', so the top term must be
+    'spark' itself (IG = H(label)) — a built-in sanity check. The heavy
+    work is ONE distinct-(doc, term) count reduce carrying the label
+    (vocab-sized output; the corpus never re-shuffles); the entropy
+    closed form runs on that tiny table in the oracle's exact
+    expression order, branches guarded the same way on both engines."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].fillna("").str.lower().str.split()
+        y = np.array([1 if "spark" in (w or []) else 0 for w in words],
+                     dtype=np.int64)
+        dl = words.str.len().to_numpy(np.int64)
+        flat = words.explode().dropna().to_numpy()
+        pairs = pd.DataFrame({
+            "doc_id": np.repeat(df["doc_id"].to_numpy(), dl),
+            "w": flat,
+            "y": np.repeat(y, dl)}).drop_duplicates(["doc_id", "w"])
+        # scalar partials ride as a sentinel row so one reduce serves
+        # both the per-term counts and (N, n1)
+        head = pd.DataFrame({"doc_id": [np.int64(-1)], "w": ["\x00n"],
+                             "y": [np.int64(y.sum())]})
+        head["dt"] = np.int64(len(df))
+        pairs["dt"] = np.int64(1)
+        return pd.concat([pairs[["w", "dt", "y"]],
+                          head[["w", "dt", "y"]]], ignore_index=True)
+
+    st = reduce_sink(docs.map_batches(explode, batch_format="pandas"),
+                     ["w"], {"dt": ("dt", "sum"), "a": ("y", "sum")}) \
+        .to_pandas()
+    tot = st[st["w"] == "\x00n"]
+    nn, n1 = float(tot["dt"].iloc[0]), float(tot["a"].iloc[0])
+    c = st[st["w"] != "\x00n"].copy()
+    dt = c["dt"].to_numpy(np.float64)
+    a = c["a"].to_numpy(np.float64)
+
+    def h(p: np.ndarray) -> np.ndarray:
+        p = np.asarray(p, dtype=np.float64)
+        inner = (p > 0) & (p < 1)
+        q = np.where(inner, p, 0.5)     # dummy where the branch is dead
+        return np.where(inner, -(q * np.log(q)
+                                 + (1 - q) * np.log(1 - q)), 0.0)
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cond = h(np.where(nn - dt == 0, 0.0,
+                          (n1 - a) / np.where(nn - dt == 0, 1.0,
+                                              nn - dt)))
+        gain = (h(n1 / nn) - (dt / nn) * h(a / dt)
+                - np.where(nn - dt == 0, 0.0, ((nn - dt) / nn) * cond))
+    c["info_gain"] = textstats.round_half_away(gain, 6)
+    c["term"] = c["w"]
+    return (c.sort_values(["info_gain", "term"],
+                          ascending=[False, True], kind="mergesort")
+            .head(10)[["term", "info_gain"]].reset_index(drop=True))
+
+
+@register("survival_time_to_purchase", sql="""
+WITH u AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'purchase'
+                  THEN CAST(ts AS DATE) END) AS pday,
+         MIN(CAST(ts AS DATE)) AS fday,
+         MAX(CAST(ts AS DATE)) AS lday
+  FROM events GROUP BY user_id),
+obs AS (SELECT CASE WHEN pday IS NOT NULL
+                    THEN datediff('day', fday, pday)
+                    ELSE datediff('day', fday, lday) END AS t,
+               CASE WHEN pday IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM u),
+e AS (SELECT t, SUM(ev) AS d, COUNT(*) AS ending FROM obs GROUP BY t),
+r AS (SELECT t, d,
+             (SELECT COUNT(*) FROM obs)
+             - COALESCE(SUM(ending) OVER (ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS n_risk
+      FROM e)
+SELECT CAST(t AS BIGINT) AS t_day, CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS events,
+       ROUND(PRODUCT(1.0 - d / CAST(n_risk AS DOUBLE))
+             OVER (ORDER BY t), 6) AS survival
+FROM r WHERE d > 0""")
+def survival_time_to_purchase(sf_dir: str) -> pd.DataFrame:
+    """Survival analysis: Kaplan–Meier estimate of time from a user's
+    first event to first purchase, RIGHT-CENSORED at the last seen day
+    for users who never purchase — the estimator conversion-lag and
+    churn studies actually need (a naive mean-over-converters is
+    biased). Heavy work = ONE per-user (min purchase day, first day,
+    last day) reduce; the (t, deaths, at-risk) life table is O(days)
+    and the ordered product runs on the driver in the oracle's exact
+    multiply order. d=0 rows contribute factor 1, so filtering them
+    before or after the product is equivalent (both engines filter)."""
+    ds = _events(sf_dir, ["ts", "user_id", "event_type"])
+    SENT = np.int64(1 << 60)
+
+    def per_user_partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = df["ts"].to_numpy().astype("datetime64[D]") \
+            .astype(np.int64)
+        is_p = (df["event_type"] == "purchase").to_numpy()
+        return pd.DataFrame({
+            "user_id": df["user_id"],
+            "pday": np.where(is_p, day, SENT),
+            "fday": day, "lday": day})
+
+    u = reduce_sink(ds.map_batches(per_user_partial,
+                                   batch_format="pandas"),
+                    ["user_id"], {"pday": ("pday", "min"),
+                                  "fday": ("fday", "min"),
+                                  "lday": ("lday", "max")})
+
+    def obs_partial(df: pd.DataFrame) -> pd.DataFrame:
+        conv = df["pday"].to_numpy(np.int64) < SENT
+        t = np.where(conv,
+                     df["pday"].to_numpy(np.int64)
+                     - df["fday"].to_numpy(np.int64),
+                     df["lday"].to_numpy(np.int64)
+                     - df["fday"].to_numpy(np.int64))
+        g = pd.DataFrame({"t": t, "ev": conv.astype(np.int64)}) \
+            .groupby("t", sort=False) \
+            .agg(d=("ev", "sum"), ending=("ev", "size")).reset_index()
+        g["d"] = g["d"].astype(np.int64)
+        g["ending"] = g["ending"].astype(np.int64)
+        return g
+
+    e = reduce_sink(u.map_batches(obs_partial, batch_format="pandas"),
+                    ["t"], {"d": ("d", "sum"),
+                            "ending": ("ending", "sum")}).to_pandas()
+    e = e.sort_values("t", ignore_index=True)
+    n_total = int(e["ending"].sum())
+    before = np.concatenate(([0], np.cumsum(e["ending"].to_numpy())[:-1]))
+    e["n_risk"] = n_total - before
+    surv = 1.0
+    out_rows = []
+    for t, d, nr in zip(e["t"], e["d"], e["n_risk"]):
+        surv = surv * (1.0 - float(d) / float(nr))
+        if d > 0:
+            out_rows.append((int(t), int(nr), int(d),
+                             float(textstats.round_half_away(surv, 6))))
+    return pd.DataFrame(out_rows, columns=["t_day", "n_risk", "events",
+                                           "survival"]) \
+        .astype({"t_day": np.int64, "n_risk": np.int64,
+                 "events": np.int64})
+
+
+@register("typo_part_name_pairs", sql="""
+WITH n AS (SELECT DISTINCT p_name AS key FROM part)
+SELECT a.key AS a, b.key AS b,
+       CAST(levenshtein(a.key, b.key) AS BIGINT) AS ed
+FROM n a JOIN n b ON a.key < b.key
+WHERE levenshtein(a.key, b.key) <= 2""")
+def typo_part_name_pairs(sf_dir: str) -> pd.DataFrame:
+    """Edit-distance fuzzy join (typo detection / entity resolution):
+    all distinct part-name pairs within Levenshtein distance ≤ 2 via
+    PassJoin segment signatures — k edits leave one of k+1 segments
+    verbatim in any partner, so candidates come from a signature
+    groupby (O(k·n) rows per key) and the banded-DP verify runs
+    in-cluster; recall is exact, proven against the brute-force
+    all-pairs oracle. Complements similar_part_names (set Jaccard):
+    edit distance sees transpositions/typos that q-gram sets score
+    leniently, and vice versa."""
+    from webalizer_ray.stages.simjoin import edit_distance_join
+
+    names = rd.read_parquet(f"{sf_dir}/part.parquet",
+                            columns=["p_name"]).map_batches(
+        lambda df: df.rename(columns={"p_name": "key"}),
+        batch_format="pandas")
+    return edit_distance_join(names, k=2)
 
 
 @register("leakage_safe_split_counts", sql="""

@@ -49,6 +49,13 @@ def auto_join(left: rd.Dataset, right: rd.Dataset, on: str,
     distributed hash join. Both paths emit the same columns (right key
     dropped when names differ)."""
     right_on = right_on or on
+    # materialize ONCE: count() then to_pandas()/join() on a lazy
+    # computed side would re-execute its whole upstream plan (measured
+    # 2× the reduce cost in the Q18 shape). No streaming is lost: a
+    # hash join is BLOCKING on its build side by nature (fully consumed
+    # before probing), so holding the build blocks in the (spillable)
+    # object store is work the join would have done anyway.
+    right = right.materialize()
     if right.count() <= broadcast_limit:
         return broadcast_join(left, right.to_pandas(), on, right_on)
     # Ray's hash join already emits only the left key when names differ
