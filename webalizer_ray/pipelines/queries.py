@@ -7194,6 +7194,101 @@ def typo_part_name_pairs(sf_dir: str) -> pd.DataFrame:
     return edit_distance_join(names, k=2)
 
 
+@register("type_hour_chi2", sql="""
+WITH j AS (SELECT event_type AS x, CAST(hour(ts) AS BIGINT) AS y,
+                  COUNT(*) AS nxy FROM events GROUP BY 1, 2),
+mx AS (SELECT x, SUM(nxy) AS nx FROM j GROUP BY 1),
+my AS (SELECT y, SUM(nxy) AS ny FROM j GROUP BY 1),
+t AS (SELECT CAST(SUM(nxy) AS DOUBLE) AS n FROM j),
+chi AS (SELECT SUM((nxy - nx * ny / n) * (nxy - nx * ny / n)
+                   / (nx * ny / n)) AS c2,
+               (SELECT COUNT(*) FROM mx) AS r,
+               (SELECT COUNT(*) FROM my) AS c
+        FROM j JOIN mx USING (x) JOIN my USING (y) CROSS JOIN t)
+SELECT ROUND(c2, 6) AS chi2,
+       CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+       ROUND(sqrt(c2 / ((SELECT n FROM t)
+                        * CAST(LEAST(r - 1, c - 1) AS DOUBLE))), 6)
+         AS cramers_v
+FROM chi""")
+def type_hour_chi2(sf_dir: str) -> pd.DataFrame:
+    """Pearson χ² test of independence (event_type × hour) with
+    Cramér's V effect size — the frequentist sibling of type_hour_mi
+    (MI measures shared information, χ²/V calibrates deviation against
+    sampling noise). Corpus reduces to the |types|×24 joint histogram
+    (integer partials); the χ² sum and V run on the tiny table in the
+    oracle's expression order. NOTE the missing-cell convention: only
+    OBSERVED (x, y) cells enter the sum on both engines — a zero cell
+    contributes its expected count; this implementation and the SQL
+    share the same (documented) convention so the statistic matches."""
+    def qi(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"x": df["event_type"],
+                             "y": df["ts"].dt.hour.astype(np.int64)})
+
+    j = reduce_sink(_events(sf_dir, ["ts", "event_type"])
+                    .map_batches(qi, batch_format="pandas"),
+                    ["x", "y"], {"nxy": ("x", "size")}).to_pandas()
+    nx = j.groupby("x")["nxy"].sum()
+    ny = j.groupby("y")["nxy"].sum()
+    n = float(j["nxy"].sum())
+    nxv = j["x"].map(nx).to_numpy(np.float64)
+    nyv = j["y"].map(ny).to_numpy(np.float64)
+    nxy = j["nxy"].to_numpy(np.float64)
+    exp = nxv * nyv / n
+    chi2 = float(np.sum((nxy - exp) * (nxy - exp) / exp))
+    r, c = len(nx), len(ny)
+    v = np.sqrt(chi2 / (n * float(min(r - 1, c - 1))))
+    return pd.DataFrame({
+        "chi2": [float(textstats.round_half_away(chi2, 6))],
+        "dof": [np.int64((r - 1) * (c - 1))],
+        "cramers_v": [float(textstats.round_half_away(v, 6))]})
+
+
+@register("daily_events_gapfilled", sql="""
+WITH b AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+           FROM events GROUP BY 1, 2),
+span AS (SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+         FROM b GROUP BY 1),
+cal AS (SELECT event_type, CAST(unnest(generate_series(d0, d1,
+                    INTERVAL 1 DAY)) AS DATE) AS day
+        FROM span)
+SELECT cal.event_type, strftime(cal.day, '%Y-%m-%d') AS day,
+       CAST(COALESCE(b.n, 0) AS BIGINT) AS hits
+FROM cal LEFT JOIN b ON b.event_type = cal.event_type
+                    AND b.day = cal.day""")
+def daily_events_gapfilled(sf_dir: str) -> pd.DataFrame:
+    """Calendar densification (gap filling): the daily-count series per
+    type with EXPLICIT zero rows for silent days — what every
+    time-series consumer downstream (charting, anomaly z-scores,
+    forecasting) assumes, and what a bare groupby cannot produce
+    because absent groups yield no row. Heavy work = the one daily
+    count reduce; the calendar expansion runs on the O(types × days)
+    aggregate with numpy repeat/arange — no per-day loop, no extra
+    shuffle."""
+    def day_col(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "day": df["ts"].to_numpy().astype("datetime64[D]")
+            .astype(np.int64)})
+
+    b = reduce_sink(_events(sf_dir, ["ts", "event_type"])
+                    .map_batches(day_col, batch_format="pandas"),
+                    ["event_type", "day"],
+                    {"n": ("day", "size")}).to_pandas()
+    span = b.groupby("event_type")["day"].agg(["min", "max"])
+    lens = (span["max"] - span["min"] + 1).to_numpy(np.int64)
+    types = np.repeat(span.index.to_numpy(), lens)
+    days = np.concatenate([np.arange(d0, d1 + 1, dtype=np.int64)
+                           for d0, d1 in zip(span["min"], span["max"])])
+    cal = pd.DataFrame({"event_type": types, "day": days})
+    out = cal.merge(b, on=["event_type", "day"], how="left")
+    out["hits"] = out["n"].fillna(0).astype(np.int64)
+    out["day"] = pd.to_datetime(out["day"], unit="D") \
+        .dt.strftime("%Y-%m-%d")
+    return out[["event_type", "day", "hits"]] \
+        .sort_values(["event_type", "day"], ignore_index=True)
+
+
 @register("leakage_safe_split_counts", sql="""
 WITH RECURSIVE pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
