@@ -7289,6 +7289,220 @@ def daily_events_gapfilled(sf_dir: str) -> pd.DataFrame:
         .sort_values(["event_type", "day"], ignore_index=True)
 
 
+@register("cohort_ltv_curve", sql="""
+WITH um AS (SELECT user_id, (year(ts) * 12 + month(ts)) AS ym,
+                   CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+            FROM events),
+uc AS (SELECT user_id, MIN(ym) AS cohort FROM um GROUP BY 1),
+ca AS (SELECT cohort, ym - cohort AS age, SUM(cents) AS cents
+       FROM um JOIN uc USING (user_id) GROUP BY 1, 2),
+sz AS (SELECT cohort, COUNT(*) AS users FROM uc GROUP BY 1)
+SELECT CAST(ca.cohort AS BIGINT) AS cohort_ym,
+       CAST(age AS BIGINT) AS age_months,
+       CAST(sz.users AS BIGINT) AS users,
+       ROUND(SUM(ca.cents) OVER (PARTITION BY ca.cohort ORDER BY age)
+             / (100.0 * sz.users), 6) AS cum_ltv
+FROM ca JOIN sz USING (cohort)""")
+def cohort_ltv_curve(sf_dir: str) -> pd.DataFrame:
+    """Cohort lifetime-value curve: cumulative value per user by cohort
+    age (the retention report's revenue twin). Per-(user, month) cent
+    partials reduce first; each user's cohort (min month) and age
+    offsets derive INSIDE the user-hash bucket so the fact rows never
+    join back to a cohort table; the (cohort, age) table is O(months²)
+    and the cumulative sum runs over exact integer cents — one division
+    per output row on both engines."""
+    ds = _events(sf_dir, ["ts", "user_id", "value"])
+
+    def um_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ym = (df["ts"].dt.year * 12 + df["ts"].dt.month) \
+            .to_numpy(np.int64)
+        cents = textstats.round_half_away(
+            df["value"].to_numpy(np.float64) * 100.0, 0).astype(np.int64)
+        g = pd.DataFrame({"user_id": df["user_id"], "ym": ym,
+                          "cents": cents}) \
+            .groupby(["user_id", "ym"], sort=False)["cents"].sum() \
+            .reset_index()
+        g["cents"] = g["cents"].astype(np.int64)
+        return g
+
+    um = reduce_sink(ds.map_batches(um_partial, batch_format="pandas"),
+                     ["user_id", "ym"], {"cents": ("cents", "sum")})
+
+    def bucket_cohort(df: pd.DataFrame) -> pd.DataFrame:
+        cohort = df.groupby("user_id", sort=False)["ym"].transform("min")
+        out = pd.DataFrame({"cohort": cohort.to_numpy(np.int64),
+                            "age": df["ym"].to_numpy(np.int64)
+                            - cohort.to_numpy(np.int64),
+                            "cents": df["cents"].to_numpy(np.int64)})
+        g = out.groupby(["cohort", "age"], sort=False)["cents"].sum() \
+            .reset_index()
+        g["users"] = np.int64(0)
+        # cohort sizes ride as age = -1 sentinel rows (one per cohort
+        # per bucket; users are bucket-disjoint so the final sum is
+        # exact and never double-counts across age rows)
+        users = df.groupby("user_id", sort=False)["ym"].min()
+        u = users.value_counts().rename("users").reset_index() \
+            .rename(columns={"ym": "cohort"})
+        u["age"] = np.int64(-1)
+        u["cents"] = np.int64(0)
+        both = pd.concat([g, u[["cohort", "age", "cents", "users"]]],
+                         ignore_index=True)
+        both["cents"] = both["cents"].astype(np.int64)
+        both["users"] = both["users"].astype(np.int64)
+        return both
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        from webalizer_ray.stages.aggregate import key_bucket
+        df = df.copy()
+        df["_h"] = key_bucket(df, ["user_id"], 64)
+        return df
+
+    ca = reduce_sink(
+        (um.map_batches(add_bucket, batch_format="pandas")
+         .groupby("_h").map_groups(bucket_cohort,
+                                   batch_format="pandas")),
+        ["cohort", "age"], {"cents": ("cents", "sum"),
+                            "users": ("users", "sum")}).to_pandas()
+    sz = ca[ca["age"] == -1].set_index("cohort")["users"]
+    ca = ca[ca["age"] >= 0].sort_values(["cohort", "age"],
+                                        ignore_index=True)
+    ca["cum"] = ca.groupby("cohort")["cents"].cumsum()
+    return pd.DataFrame({
+        "cohort_ym": ca["cohort"].astype(np.int64),
+        "age_months": ca["age"].astype(np.int64),
+        "users": ca["cohort"].map(sz).astype(np.int64),
+        "cum_ltv": textstats.round_half_away(
+            ca["cum"].to_numpy(np.float64)
+            / (100.0 * ca["cohort"].map(sz).to_numpy(np.float64)), 6)})
+
+
+@register("event_type_lift", sql="""
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+n AS (SELECT CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS nu FROM events),
+m AS (SELECT event_type, COUNT(*) AS c FROM ut GROUP BY 1),
+p AS (SELECT a.event_type AS ta, b.event_type AS tb, COUNT(*) AS cab
+      FROM ut a JOIN ut b ON a.user_id = b.user_id
+                         AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+SELECT ta, tb, CAST(cab AS BIGINT) AS users_both,
+       ROUND(cab * nu / (ma.c * mb.c), 6) AS lift
+FROM p JOIN m ma ON ma.event_type = ta
+       JOIN m mb ON mb.event_type = tb CROSS JOIN n""")
+def event_type_lift(sf_dir: str) -> pd.DataFrame:
+    """Association-rules lift over user baskets: lift(a,b) =
+    P(a,b)/(P(a)P(b)) — >1 means the types co-occur in the same users
+    beyond chance (the market-basket statistic behind
+    recommendations). Distinct (user, type) pairs reduce two-phase;
+    pair expansion is one vectorized self-merge INSIDE the user-hash
+    bucket (types per user is bounded by |types|, so no blowup);
+    margins and the lift expression run on the |types|²-sized table."""
+    from webalizer_ray.stages.aggregate import key_bucket
+
+    ds = _events(sf_dir, ["user_id", "event_type"])
+
+    def dedup_local(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates().copy()
+        d["_h"] = key_bucket(d, ["user_id"], 64)
+        return d
+
+    def bucket_stats(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["user_id", "event_type"])
+        pairs = d.merge(d, on="user_id")
+        pairs = pairs[pairs["event_type_x"] < pairs["event_type_y"]]
+        pc = pairs.groupby(["event_type_x", "event_type_y"],
+                           sort=False).size().rename("cab").reset_index()
+        pc.columns = ["ta", "tb", "cab"]
+        marg = d.groupby("event_type", sort=False).size().rename("c") \
+            .reset_index()
+        out = pd.DataFrame({
+            "ta": pd.concat([pc["ta"], marg["event_type"],
+                             pd.Series(["\x00nu"])], ignore_index=True),
+            "tb": pd.concat([pc["tb"],
+                             pd.Series(["\x00m"] * len(marg)),
+                             pd.Series(["\x00nu"])], ignore_index=True),
+            "n": pd.concat([pc["cab"], marg["c"],
+                            pd.Series([d["user_id"].nunique()])],
+                           ignore_index=True).astype(np.int64)})
+        return out
+
+    st = reduce_sink(
+        (ds.map_batches(dedup_local, batch_format="pandas")
+         .groupby("_h").map_groups(bucket_stats, batch_format="pandas")),
+        ["ta", "tb"], {"n": ("n", "sum")}).to_pandas()
+    nu = float(st.loc[st["ta"] == "\x00nu", "n"].iloc[0])
+    marg = st[st["tb"] == "\x00m"].set_index("ta")["n"]
+    p = st[(st["tb"] != "\x00m") & (st["ta"] != "\x00nu")].copy()
+    ca = p["ta"].map(marg).to_numpy(np.float64)
+    cb = p["tb"].map(marg).to_numpy(np.float64)
+    p["users_both"] = p["n"].astype(np.int64)
+    p["lift"] = textstats.round_half_away(
+        p["n"].to_numpy(np.float64) * nu / (ca * cb), 6)
+    return p[["ta", "tb", "users_both", "lift"]] \
+        .sort_values(["ta", "tb"], ignore_index=True)
+
+
+@register("new_vs_returning_daily", sql="""
+WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS fday
+           FROM events GROUP BY 1)
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       CAST(SUM(CASE WHEN CAST(ts AS DATE) = fday THEN 1 ELSE 0 END)
+            AS BIGINT) AS new_hits,
+       CAST(SUM(CASE WHEN CAST(ts AS DATE) > fday THEN 1 ELSE 0 END)
+            AS BIGINT) AS returning_hits
+FROM events JOIN f USING (user_id) GROUP BY 1""")
+def new_vs_returning_daily(sf_dir: str) -> pd.DataFrame:
+    """New-vs-returning daily split (the acquisition-vs-retention
+    headline every traffic report leads with): a hit is 'new' iff it
+    falls on its user's first-seen day. Per-(user, day) count partials
+    reduce first; the first-seen day derives INSIDE the user-hash
+    bucket (no join back to the fact rows); only (day, new, returning)
+    partials leave the buckets."""
+    from webalizer_ray.stages.aggregate import key_bucket
+
+    ds = _events(sf_dir, ["ts", "user_id"])
+
+    def ud_partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = df["ts"].to_numpy().astype("datetime64[D]") \
+            .astype(np.int64)
+        g = pd.DataFrame({"user_id": df["user_id"], "day": day}) \
+            .groupby(["user_id", "day"], sort=False).size().rename("n") \
+            .reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    ud = reduce_sink(ds.map_batches(ud_partial, batch_format="pandas"),
+                     ["user_id", "day"], {"n": ("n", "sum")})
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_h"] = key_bucket(df, ["user_id"], 64)
+        return df
+
+    def bucket_split(df: pd.DataFrame) -> pd.DataFrame:
+        fday = df.groupby("user_id", sort=False)["day"].transform("min")
+        new = df["day"].to_numpy(np.int64) == fday.to_numpy(np.int64)
+        n = df["n"].to_numpy(np.int64)
+        out = pd.DataFrame({"day": df["day"].to_numpy(np.int64),
+                            "new_hits": np.where(new, n, 0),
+                            "returning_hits": np.where(new, 0, n)})
+        g = out.groupby("day", sort=False).sum().reset_index()
+        for c in ("new_hits", "returning_hits"):
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    daily = reduce_sink(
+        (ud.map_batches(add_bucket, batch_format="pandas")
+         .groupby("_h").map_groups(bucket_split, batch_format="pandas")),
+        ["day"], {"new_hits": ("new_hits", "sum"),
+                  "returning_hits": ("returning_hits", "sum")}) \
+        .to_pandas()
+    daily["day"] = pd.to_datetime(daily["day"], unit="D") \
+        .dt.strftime("%Y-%m-%d")
+    for c in ("new_hits", "returning_hits"):
+        daily[c] = daily[c].astype(np.int64)
+    return daily.sort_values("day", ignore_index=True)
+
+
 @register("leakage_safe_split_counts", sql="""
 WITH RECURSIVE pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
