@@ -8128,6 +8128,433 @@ def tpch_q9_nation_profit(sf_dir: str) -> pd.DataFrame:
     return agg.sort_values(["nation", "o_year"], ignore_index=True)
 
 
+@register("tpch_q11_important_parts", sql="""
+WITH val AS (SELECT l_partkey,
+                    SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                    AS value_c
+             FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+                  JOIN nation ON s_nationkey = n_nationkey
+             WHERE n_name = 'NATION_3'
+             GROUP BY l_partkey)
+SELECT l_partkey, CAST(value_c AS BIGINT) AS value_c
+FROM val WHERE value_c > (SELECT SUM(value_c) * 0.001 FROM val)""")
+def tpch_q11_important_parts(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q11 (important stock: HAVING against a GLOBAL aggregate).
+    Adapted: no partsupp, so a part's "inventory value" is its shipped
+    extendedprice (exact cents) from NATION_3's suppliers — the
+    pattern is intact: the nation's supplier set broadcasts and
+    filters the fact map-side, the per-part view reduces once and is
+    materialized, its global total comes back as ONE streaming scalar,
+    and the threshold filter runs distributed over the view (the view
+    is |parts|-sized and never gathers to the driver before the
+    filter)."""
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    nk = int(nat.loc[nat["n_name"] == "NATION_3", "n_nationkey"]
+             .iloc[0])
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    keep_ref = ray.put(set(
+        sup.loc[sup["s_nationkey"] == nk, "s_suppkey"].astype(int)))
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_suppkey"].isin(ray.get(keep_ref))]
+        return pd.DataFrame({
+            "l_partkey": df["l_partkey"].to_numpy(np.int64),
+            "c": np.rint(df["l_extendedprice"].to_numpy(np.float64)
+                         * 100).astype(np.int64)})
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"]) \
+        .map_batches(cents, batch_format="pandas")
+    view = reduce_sink(li, ["l_partkey"],
+                       {"value_c": ("c", "sum")}).materialize()
+    thresh = view.sum("value_c") * 0.001
+    out = view.filter(expr=f"value_c > {thresh!r}").to_pandas()
+    out["value_c"] = out["value_c"].astype(np.int64)
+    return out.sort_values("l_partkey", ignore_index=True)
+
+
+@register("tpch_q13_order_distribution", sql="""
+WITH co AS (SELECT o_custkey, COUNT(*) AS c_count FROM orders
+            WHERE o_orderpriority <> '4-NOT SPECIFIED'
+            GROUP BY o_custkey)
+SELECT CAST(COALESCE(c_count, 0) AS BIGINT) AS c_count,
+       CAST(COUNT(*) AS BIGINT) AS custdist
+FROM customer LEFT JOIN co ON c_custkey = o_custkey
+GROUP BY 1""")
+def tpch_q13_order_distribution(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q13 (customer order-count distribution). Adapted: the
+    comment NOT LIKE filter becomes priority <> '4-NOT SPECIFIED'.
+    The LEFT JOIN's only job is the zero bucket, so it never runs:
+    per-customer counts reduce (|customers| rows max), the histogram
+    is a second O(distinct counts) reduce, and the c_count=0 row is
+    total customers (a parquet-metadata count, zero data bytes) minus
+    the customers the histogram covered — exact, join-free."""
+    import pyarrow.dataset as pds
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+        filter=pds.field("o_orderpriority") != "4-NOT SPECIFIED")
+    co = reduce_sink(orders, ["o_custkey"],
+                     {"c_count": ("o_custkey", "size")})
+    hist = reduce_sink(co, ["c_count"],
+                       {"custdist": ("c_count", "size")}).to_pandas()
+    n_cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey"]).count()
+    zero = n_cust - int(hist["custdist"].sum())
+    if zero > 0:
+        hist = pd.concat([hist, pd.DataFrame({"c_count": [0],
+                                              "custdist": [zero]})],
+                         ignore_index=True)
+    for c in ("c_count", "custdist"):
+        hist[c] = hist[c].astype(np.int64)
+    return hist.sort_values("c_count", ignore_index=True)
+
+
+@register("tpch_q16_supplier_cnt", sql="""
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 2, 3, 4, 5, 6, 7, 8)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")
+def tpch_q16_supplier_cnt(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q16 (supplier count by part attributes). Adapted: the
+    part–supplier relation comes from lineitem (no partsupp) and the
+    complaint-comment exclusion becomes s_acctbal < 0. The qualifying
+    partkey→(brand, type, size) map and the excluded-supplier set
+    broadcast once and apply map-side; the COUNT(DISTINCT) is the
+    two-phase exact distinct (per-batch dedup, then each (group,
+    suppkey) pair counted in exactly one bucket) — the same machinery
+    as A10, never a driver set."""
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_type",
+                                  "p_size"]).to_pandas()
+    ok = part[(part["p_brand"] != "Brand#1") & (part["p_type"] != "PROMO")
+              & part["p_size"].isin(range(1, 9))]
+    attr_ref = ray.put({int(k): (b, t, int(s)) for k, b, t, s in
+                        zip(ok["p_partkey"], ok["p_brand"],
+                            ok["p_type"], ok["p_size"])})
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_acctbal"]).to_pandas()
+    bad_ref = ray.put(set(
+        sup.loc[sup["s_acctbal"] < 0, "s_suppkey"].astype(int)))
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        attrs = df["l_partkey"].map(ray.get(attr_ref))
+        keep = attrs.notna() & ~df["l_suppkey"].isin(ray.get(bad_ref))
+        attrs = attrs[keep]
+        return pd.DataFrame({
+            "p_brand": attrs.str[0].to_numpy(object),
+            "p_type": attrs.str[1].to_numpy(object),
+            "p_size": attrs.str[2].to_numpy(np.int64),
+            "l_suppkey": df.loc[keep, "l_suppkey"]
+            .to_numpy(np.int64)})
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_suppkey"]) \
+        .map_batches(attach, batch_format="pandas")
+    out = distinct_count(li, ["p_brand", "p_type", "p_size"],
+                         "l_suppkey", alias="supplier_cnt").to_pandas()
+    out["supplier_cnt"] = out["supplier_cnt"].astype(np.int64)
+    out["p_size"] = out["p_size"].astype(np.int64)
+    return out.sort_values(
+        ["supplier_cnt", "p_brand", "p_type", "p_size"],
+        ascending=[False, True, True, True], kind="mergesort",
+        ignore_index=True)
+
+
+@register("tpch_q19_disjunctive_revenue", sql="""
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                     AS BIGINT)) AS BIGINT) AS revenue_dm
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)""")
+def tpch_q19_disjunctive_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q19 (three OR'd brand/size/quantity branches — the
+    disjunctive-predicate pattern no single pushed filter expresses):
+    the three brands' partkey→(brand, size) map broadcasts once; each
+    branch evaluates as a vectorized mask inside map_batches and the
+    disjunction keeps a row if ANY branch holds; revenue reduces to
+    ONE scalar partial per block. Adapted: container/shipmode columns
+    don't exist, brand/size/qty carry the three-branch shape."""
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand",
+                                  "p_size"]).to_pandas()
+    sel = part[part["p_brand"].isin(["Brand#1", "Brand#2", "Brand#3"])]
+    attr_ref = ray.put({int(k): (b, int(s)) for k, b, s in
+                        zip(sel["p_partkey"], sel["p_brand"],
+                            sel["p_size"])})
+    branches = [("Brand#1", 5, 1, 11), ("Brand#2", 10, 10, 20),
+                ("Brand#3", 15, 20, 30)]
+
+    def rev(df: pd.DataFrame) -> pd.DataFrame:
+        attrs = df["l_partkey"].map(ray.get(attr_ref))
+        df = df[attrs.notna()]
+        attrs = attrs.dropna()
+        brand = attrs.str[0].to_numpy(object)
+        size = attrs.str[1].to_numpy(np.int64)
+        q = df["l_quantity"].to_numpy(np.float64)
+        keep = np.zeros(len(df), dtype=bool)
+        for b, smax, qlo, qhi in branches:
+            keep |= ((brand == b) & (size >= 1) & (size <= smax)
+                     & (q >= qlo) & (q <= qhi))
+        p = df.loc[keep, "l_extendedprice"].to_numpy(np.float64)
+        d = df.loc[keep, "l_discount"].to_numpy(np.float64)
+        dm = np.rint(p * (1 - d) * 10000).astype(np.int64)
+        return pd.DataFrame({"rev_dm": [int(dm.sum())]})
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice",
+                 "l_discount"]) \
+        .map_batches(rev, batch_format="pandas")
+    return pd.DataFrame({"revenue_dm":
+                         np.array([li.sum("rev_dm")], dtype=np.int64)})
+
+
+@register("tpch_q20_heavy_shippers", sql="""
+SELECT s_suppkey, s_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_7' AND s_suppkey IN (
+  SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE '%red%'
+    AND l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_suppkey, l_partkey HAVING SUM(l_quantity) > 30)
+ORDER BY s_suppkey""")
+def tpch_q20_heavy_shippers(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q20 (nested IN over a grouped HAVING aggregate). Adapted:
+    no partsupp/availqty, so a supplier qualifies by shipping > 30
+    units of some 'red' part in 1997 — the shape is intact: the date
+    window is pushed into the fact scan, the red partkey set broadcasts
+    and prunes map-side, quantities reduce per (supplier, part) as
+    exact integral-float partials, the HAVING filter runs distributed,
+    and only the qualifying supplier KEYS (≤ |suppliers| rows) reach
+    the driver for the final nation semi-join."""
+    import pyarrow.dataset as pds
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name"]).to_pandas()
+    red_ref = ray.put(set(
+        part.loc[part["p_name"].str.contains("red"), "p_partkey"]
+        .astype(int)))
+    import datetime as _dt
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_partkey"].isin(ray.get(red_ref))]
+        return pd.DataFrame({
+            "l_suppkey": df["l_suppkey"].to_numpy(np.int64),
+            "l_partkey": df["l_partkey"].to_numpy(np.int64),
+            "qty": df["l_quantity"].to_numpy(np.float64)})
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity"],
+        filter=((pds.field("l_shipdate") >= _dt.datetime(1997, 1, 1))
+                & (pds.field("l_shipdate") < _dt.datetime(1998, 1, 1)))) \
+        .map_batches(prune, batch_format="pandas")
+    per_ps = reduce_sink(li, ["l_suppkey", "l_partkey"],
+                         {"qty": ("qty", "sum")})
+    heavy = per_ps.filter(expr="qty > 30") \
+        .select_columns(["l_suppkey"]).to_pandas()
+    keys = set(heavy["l_suppkey"].astype(int))
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name",
+                                 "s_nationkey"]).to_pandas()
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    nk = int(nat.loc[nat["n_name"] == "NATION_7", "n_nationkey"]
+             .iloc[0])
+    out = sup[(sup["s_nationkey"] == nk)
+              & sup["s_suppkey"].isin(keys)]
+    return out[["s_suppkey", "s_name"]] \
+        .sort_values("s_suppkey", ignore_index=True)
+
+
+@register("tpch_q22_dormant_customers", sql="""
+WITH act AS (SELECT c_custkey,
+                    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_c,
+                    CAST(c_nationkey % 5 AS BIGINT) AS cntrycode
+             FROM customer WHERE c_nationkey % 5 IN (0, 1, 2)),
+pos AS (SELECT SUM(bal_c) AS sum_c, COUNT(*) AS n FROM act
+        WHERE bal_c > 0)
+SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
+       ROUND(SUM(bal_c) / 100.0, 2) AS totacctbal
+FROM act, pos
+WHERE bal_c * n > sum_c
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY cntrycode""")
+def tpch_q22_dormant_customers(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q22 (global-average threshold + NOT EXISTS anti-join).
+    Adapted: country code = c_nationkey % 5 (no c_phone) and "no
+    orders" is windowed to orders since 2000 (every fixture customer
+    has SOME order). The above-average test is the exact integer
+    cross-multiplication bal_c·n > Σbal_c — no float average can
+    disagree between engines; the anti-join is a LEFT OUTER against
+    per-customer recent-order counts (only key-level aggregates
+    shuffle), null ⇒ dormant."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pds
+
+    def code_bal(df: pd.DataFrame) -> pd.DataFrame:
+        code = (df["c_nationkey"].to_numpy(np.int64)) % 5
+        keep = code <= 2
+        return pd.DataFrame({
+            "c_custkey": df["c_custkey"].to_numpy(np.int64)[keep],
+            "bal_c": np.rint(df["c_acctbal"].to_numpy(np.float64)
+                             * 100).astype(np.int64)[keep],
+            "cntrycode": code[keep]})
+
+    act = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                          columns=["c_custkey", "c_nationkey",
+                                   "c_acctbal"]) \
+        .map_batches(code_bal, batch_format="pandas").materialize()
+
+    def pos_partial(df: pd.DataFrame) -> pd.DataFrame:
+        p = df.loc[df["bal_c"] > 0, "bal_c"].to_numpy(np.int64)
+        return pd.DataFrame({"sum_c": [int(p.sum())], "n": [len(p)]})
+
+    pos = act.map_batches(pos_partial, batch_format="pandas")
+    sum_c, n = pos.sum("sum_c"), pos.sum("n")
+
+    recent = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+        filter=pds.field("o_orderdate") >= _dt.datetime(2000, 1, 1))
+    per_cust = reduce_sink(recent, ["o_custkey"],
+                           {"n_ord": ("o_custkey", "size")})
+    j = act.join(per_cust, join_type="left_outer", num_partitions=8,
+                 on=("c_custkey",), right_on=("o_custkey",))
+
+    def qualify(df: pd.DataFrame) -> pd.DataFrame:
+        keep = (df["bal_c"].to_numpy(np.int64) * n > sum_c) \
+            & df["n_ord"].isna().to_numpy()
+        df = df[keep]
+        return pd.DataFrame({
+            "cntrycode": df["cntrycode"].to_numpy(np.int64),
+            "numcust": np.ones(len(df), dtype=np.int64),
+            "bal_c": df["bal_c"].to_numpy(np.int64)})
+
+    agg = reduce_sink(j.map_batches(qualify, batch_format="pandas"),
+                      ["cntrycode"], {"numcust": ("numcust", "sum"),
+                                      "bal_c": ("bal_c", "sum")}) \
+        .to_pandas()
+    return pd.DataFrame({
+        "cntrycode": agg["cntrycode"].astype(np.int64),
+        "numcust": agg["numcust"].astype(np.int64),
+        "totacctbal": (agg["bal_c"].to_numpy(np.int64) / 100.0)
+        .round(2)}).sort_values("cntrycode", ignore_index=True)
+
+
+@register("tpch_q2_min_cost_supplier", sql="""
+WITH ps AS (SELECT l_partkey, l_suppkey,
+                   MIN(CAST(ROUND(l_extendedprice / l_quantity * 100)
+                            AS BIGINT)) AS cost_c
+            FROM lineitem GROUP BY l_partkey, l_suppkey),
+eligible AS (SELECT ps.l_partkey, ps.cost_c, s_suppkey,
+                    ROUND(s_acctbal, 2) AS s_acctbal, s_name, n_name
+             FROM ps JOIN supplier ON s_suppkey = l_suppkey
+                  JOIN nation ON s_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+             WHERE r_name = 'EUROPE'),
+best AS (SELECT l_partkey, MIN(cost_c) AS min_c FROM eligible
+         GROUP BY l_partkey)
+SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey,
+       CAST(e.cost_c AS BIGINT) AS cost_c
+FROM part p JOIN eligible e ON e.l_partkey = p.p_partkey
+     JOIN best b ON b.l_partkey = e.l_partkey
+                AND e.cost_c = b.min_c
+WHERE p.p_size = 15 AND p.p_type = 'LARGE'
+ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p.p_partkey
+LIMIT 10""")
+def tpch_q2_min_cost_supplier(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q2 (min-cost supplier: the correlated-MIN join). Adapted:
+    no partsupp, so a (part, supplier) unit cost is the MIN shipped
+    extendedprice/quantity in cents — rounded HALF-AWAY on both sides
+    because a float unit price CAN sit exactly on a .5 cent boundary
+    (e.g. 2500/8), where numpy's half-even rint would disagree with
+    SQL ROUND. The fact reduces once to (part, supplier, min-cost)
+    partials; the EUROPE supplier attrs broadcast map-side; the
+    per-part MIN is a second key-level reduce joined back by
+    (part, cost) equality — ties survive exactly as in SQL; only the
+    ORDER BY/LIMIT 10 winners reach the driver."""
+    from webalizer_ray.stages.join import auto_join
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    reg = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    eur = nat.merge(reg[reg["r_name"] == "EUROPE"],
+                    left_on="n_regionkey", right_on="r_regionkey")
+    nk2name = dict(zip(eur["n_nationkey"].astype(int), eur["n_name"]))
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet").to_pandas()
+    sup = sup[sup["s_nationkey"].isin(nk2name.keys())]
+    sup_ref = ray.put({int(k): (round(float(b), 2), nm,
+                                nk2name[int(n)])
+                       for k, b, nm, n in
+                       zip(sup["s_suppkey"], sup["s_acctbal"],
+                           sup["s_name"], sup["s_nationkey"])})
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_size",
+                                  "p_type"]).to_pandas()
+    want = set(part.loc[(part["p_size"] == 15)
+                        & (part["p_type"] == "LARGE"),
+                        "p_partkey"].astype(int))
+    want_ref = ray.put(want)
+
+    def unit_cost(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_partkey"].isin(ray.get(want_ref))]
+        c = textstats.round_half_away(
+            df["l_extendedprice"].to_numpy(np.float64)
+            / df["l_quantity"].to_numpy(np.float64) * 100, 0) \
+            .astype(np.int64)
+        return pd.DataFrame({
+            "l_partkey": df["l_partkey"].to_numpy(np.int64),
+            "l_suppkey": df["l_suppkey"].to_numpy(np.int64),
+            "cost_c": c})
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity",
+                 "l_extendedprice"]) \
+        .map_batches(unit_cost, batch_format="pandas")
+    ps = reduce_sink(li, ["l_partkey", "l_suppkey"],
+                     {"cost_c": ("cost_c", "min")})
+
+    def eur_only(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df["l_suppkey"].isin(ray.get(sup_ref)).to_numpy()
+        return df[keep]
+
+    eligible = ps.map_batches(eur_only,
+                              batch_format="pandas").materialize()
+    best = reduce_sink(eligible, ["l_partkey"],
+                       {"min_c": ("cost_c", "min")})
+    winners = auto_join(eligible, best, on="l_partkey") \
+        .filter(expr="cost_c == min_c").to_pandas()
+
+    attrs = winners["l_suppkey"].map(ray.get(sup_ref))
+    winners["s_acctbal"] = attrs.str[0].astype(np.float64)
+    winners["s_name"] = attrs.str[1]
+    winners["n_name"] = attrs.str[2]
+    winners["p_partkey"] = winners["l_partkey"].astype(np.int64)
+    winners["cost_c"] = winners["cost_c"].astype(np.int64)
+    out = winners.sort_values(
+        ["s_acctbal", "n_name", "s_name", "p_partkey"],
+        ascending=[False, True, True, True], kind="mergesort") \
+        .head(10).reset_index(drop=True)
+    return out[["s_acctbal", "s_name", "n_name", "p_partkey",
+                "cost_c"]]
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
