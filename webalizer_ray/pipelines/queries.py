@@ -8555,6 +8555,87 @@ def tpch_q2_min_cost_supplier(sf_dir: str) -> pd.DataFrame:
                 "cost_c"]]
 
 
+@register("retention_event_counts", sql="""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS hits,
+       ROUND(SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0, 2)
+       AS value_sum
+FROM events WHERE ts >= TIMESTAMP '2024-01-16'
+GROUP BY event_type""")
+def retention_event_counts(sf_dir: str) -> pd.DataFrame:
+    """Row-level TTL retention (state/maintain.py:apply_retention):
+    events land in a scratch store as TIME-SORTED files, the TTL pass
+    classifies every file from parquet FOOTER statistics alone (wholly
+    expired → unlink with zero data bytes read, wholly retained →
+    byte-untouched; only the one straddling boundary file is
+    rewritten), and the aggregate reads the RETAINED FILES — the
+    oracle's WHERE proves the physical expiry kept exactly the right
+    rows. Per-invocation scratch keeps reruns deterministic."""
+    from webalizer_ray.state.maintain import apply_retention
+
+    scratch = tempfile.mkdtemp(prefix="wr_ttl_")
+    _events(sf_dir, ["ts", "event_type", "value"]) \
+        .sort("ts").write_parquet(scratch)
+    apply_retention(scratch, "ts", "2024-01-16")
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "c": np.rint(df["value"].to_numpy(np.float64)
+                         * 100).astype(np.int64)})
+
+    agg = reduce_sink(
+        rd.read_parquet(scratch).map_batches(cents,
+                                             batch_format="pandas"),
+        ["event_type"], {"hits": ("c", "size"), "c": ("c", "sum")}) \
+        .to_pandas()
+    return pd.DataFrame({
+        "event_type": agg["event_type"],
+        "hits": agg["hits"].astype(np.int64),
+        "value_sum": (agg["c"].to_numpy(np.int64) / 100.0).round(2)}) \
+        .sort_values("event_type", ignore_index=True)
+
+
+@register("compacted_event_counts", sql="""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS hits,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+       AS value_c
+FROM events GROUP BY event_type""")
+def compacted_event_counts(sf_dir: str) -> pd.DataFrame:
+    """Small-file compaction (state/maintain.py:compact_dir): events
+    land as MANY small files (the steady drip every streaming ingest
+    produces), the compactor bin-packs them into ~target-row outputs
+    with a self-healing two-phase publish, and the aggregate reads the
+    COMPACTED store — matching the oracle over the original table
+    proves compaction moved every row exactly once. The query asserts
+    the file count actually shrank so a no-op compactor can't pass."""
+    from webalizer_ray.state.maintain import compact_dir
+
+    scratch = tempfile.mkdtemp(prefix="wr_cmp_")
+    _events(sf_dir, ["event_type", "value"]) \
+        .repartition(24).write_parquet(scratch)
+    n_before = len([f for f in os.listdir(scratch)
+                    if f.endswith(".parquet")])
+    compact_dir(scratch, target_rows=10_000_000)
+    n_after = len([f for f in os.listdir(scratch)
+                   if f.endswith(".parquet")])
+    assert n_after < n_before, (n_before, n_after)
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "c": np.rint(df["value"].to_numpy(np.float64)
+                         * 100).astype(np.int64)})
+
+    agg = reduce_sink(
+        rd.read_parquet(scratch).map_batches(cents,
+                                             batch_format="pandas"),
+        ["event_type"], {"hits": ("c", "size"),
+                         "value_c": ("c", "sum")}).to_pandas()
+    agg["hits"] = agg["hits"].astype(np.int64)
+    agg["value_c"] = agg["value_c"].astype(np.int64)
+    return agg.sort_values("event_type", ignore_index=True)
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
