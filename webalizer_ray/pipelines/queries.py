@@ -8636,6 +8636,266 @@ def compacted_event_counts(sf_dir: str) -> pd.DataFrame:
     return agg.sort_values("event_type", ignore_index=True)
 
 
+@register("rfm_segments", sql="""
+WITH u AS (SELECT user_id,
+                  date_diff('day', MAX(CAST(ts AS DATE)),
+                            DATE '2024-01-31') AS rec,
+                  COUNT(*) AS freq,
+                  SUM(CAST(ROUND(value * 100) AS BIGINT)) AS mon_c
+           FROM events GROUP BY 1),
+s AS (SELECT NTILE(5) OVER (ORDER BY -rec, user_id) AS r_score,
+             NTILE(5) OVER (ORDER BY freq, user_id) AS f_score,
+             NTILE(5) OVER (ORDER BY mon_c, user_id) AS m_score
+      FROM u)
+SELECT CAST(r_score AS BIGINT) AS r_score,
+       CAST(f_score AS BIGINT) AS f_score,
+       CAST(m_score AS BIGINT) AS m_score,
+       CAST(COUNT(*) AS BIGINT) AS users
+FROM s GROUP BY 1, 2, 3""")
+def rfm_segments(sf_dir: str) -> pd.DataFrame:
+    """RFM segmentation (recency/frequency/monetary quintiles — the
+    classic CRM customer grading): ONE per-user reduce produces the
+    three integer metrics, then THREE chained scan.global_rank passes
+    rank the SAME dataset by each metric (range-partitioned ranks, no
+    global sort, each pass appends a rank column); quintiles are the
+    SQL-NTILE closed form over rank and the 5×5×5-bounded segment
+    histogram is all that leaves the cluster. Recency ranks by -rec so
+    5 = most recent, matching the other two directions."""
+    anchor = np.datetime64("2024-01-31", "D").astype(np.int64)
+
+    def metrics(df: pd.DataFrame) -> pd.DataFrame:
+        day = df["ts"].to_numpy().astype("datetime64[D]") \
+            .astype(np.int64)
+        return pd.DataFrame({
+            "user_id": df["user_id"],
+            "last_day": day,
+            "one": np.ones(len(df), dtype=np.int64),
+            "mon_c": np.rint(df["value"].to_numpy(np.float64)
+                             * 100).astype(np.int64)})
+
+    u = reduce_sink(
+        _events(sf_dir, ["ts", "user_id", "value"])
+        .map_batches(metrics, batch_format="pandas"),
+        ["user_id"], {"last_day": ("last_day", "max"),
+                      "freq": ("one", "sum"),
+                      "mon_c": ("mon_c", "sum")})
+
+    def keys(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        # -rec = last_day - anchor (ascending == most-recent-last)
+        df["neg_rec"] = (df["last_day"].to_numpy(np.int64)
+                         - anchor).astype(np.float64)
+        df["freq_f"] = df["freq"].to_numpy(np.int64) \
+            .astype(np.float64)
+        df["mon_f"] = df["mon_c"].to_numpy(np.int64) \
+            .astype(np.float64)
+        return df
+
+    u = u.map_batches(keys, batch_format="pandas").materialize()
+    n = u.count()
+    ranked = scan.global_rank(u, "neg_rec", "user_id",
+                              out_col="r_rnk", num_buckets=8)
+    ranked = scan.global_rank(ranked, "freq_f", "user_id",
+                              out_col="f_rnk", num_buckets=8)
+    ranked = scan.global_rank(ranked, "mon_f", "user_id",
+                              out_col="m_rnk", num_buckets=8)
+
+    q, rem = divmod(n, 5)
+    big = rem * (q + 1)
+
+    def ntile(r: np.ndarray) -> np.ndarray:
+        return np.where(r <= big, (r - 1) // max(q + 1, 1) + 1,
+                        rem + (r - big - 1) // max(q, 1) + 1) \
+            .astype(np.int64)
+
+    def scores(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "r_score": ntile(df["r_rnk"].to_numpy(np.int64)),
+            "f_score": ntile(df["f_rnk"].to_numpy(np.int64)),
+            "m_score": ntile(df["m_rnk"].to_numpy(np.int64)),
+            "one": np.ones(len(df), dtype=np.int64)})
+
+    agg = reduce_sink(ranked.map_batches(scores, batch_format="pandas"),
+                      ["r_score", "f_score", "m_score"],
+                      {"users": ("one", "sum")}).to_pandas()
+    for c in agg.columns:
+        agg[c] = agg[c].astype(np.int64)
+    return agg.sort_values(["r_score", "f_score", "m_score"],
+                           ignore_index=True)
+
+
+@register("daily_trend_mann_kendall", sql="""
+WITH d AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+           FROM events GROUP BY 1),
+s AS (SELECT SUM(CASE WHEN b.cnt > a.cnt THEN 1
+                      WHEN b.cnt < a.cnt THEN -1 ELSE 0 END) AS s,
+             (SELECT COUNT(*) FROM d) AS n
+      FROM d a JOIN d b ON b.day > a.day),
+ties AS (SELECT SUM(t * (t - 1) * (2 * t + 5)) AS corr
+         FROM (SELECT COUNT(*) AS t FROM d GROUP BY cnt
+               HAVING COUNT(*) > 1) tt)
+SELECT CAST(s.s AS BIGINT) AS s_stat, CAST(s.n AS BIGINT) AS n_days,
+       ROUND((s.s - CASE WHEN s.s > 0 THEN 1
+                         WHEN s.s < 0 THEN -1 ELSE 0 END)
+             / sqrt((s.n * (s.n - 1) * (2 * s.n + 5)
+                     - COALESCE(ties.corr, 0)) / 18.0), 6) AS z
+FROM s, ties""")
+def daily_trend_mann_kendall(sf_dir: str) -> pd.DataFrame:
+    """Mann–Kendall trend test over the daily event-count series (the
+    non-parametric is-traffic-growing test; robust to outliers where
+    the OLS trend is not). Heavy work = ONE daily count reduce; the
+    O(days²) sign-pair sum, the tie-corrected variance (all integer
+    arithmetic) and the continuity-corrected z run on the driver in
+    the oracle's exact expression order — one sqrt, one division."""
+    daily = reduce_sink(_events(sf_dir, ["ts"]).map_batches(
+        lambda df: pd.DataFrame(
+            {"day": df["ts"].to_numpy().astype("datetime64[D]")
+             .astype(np.int64)}), batch_format="pandas"),
+        ["day"], {"cnt": ("day", "size")}).to_pandas() \
+        .sort_values("day", ignore_index=True)
+    x = daily["cnt"].to_numpy(np.int64)
+    n = len(x)
+    diff = np.sign(x[None, :] - x[:, None])
+    s = int(np.triu(diff, 1).sum())
+    _, t = np.unique(x, return_counts=True)
+    t = t[t > 1].astype(np.int64)
+    corr = int((t * (t - 1) * (2 * t + 5)).sum())
+    var = (n * (n - 1) * (2 * n + 5) - corr) / 18.0
+    cc = 1 if s > 0 else (-1 if s < 0 else 0)
+    z = textstats.round_half_away(
+        np.array([(s - cc) / np.sqrt(var)]), 6)[0]
+    return pd.DataFrame({"s_stat": np.array([s], dtype=np.int64),
+                         "n_days": np.array([n], dtype=np.int64),
+                         "z": [z]})
+
+
+@register("daily_value_drawdown", sql="""
+WITH d AS (SELECT CAST(ts AS DATE) AS day,
+                  SUM(CAST(ROUND(value * 100) AS BIGINT)) AS c
+           FROM events GROUP BY 1),
+r1 AS (SELECT day, SUM(c) OVER (ORDER BY day) AS run FROM d),
+r AS (SELECT day, run, MAX(run) OVER (ORDER BY day) AS peak FROM r1)
+SELECT CAST(MAX(peak - run) AS BIGINT) AS max_drawdown_c,
+       strftime((SELECT MIN(day) FROM r
+                 WHERE peak - run = (SELECT MAX(peak - run) FROM r)),
+                '%Y-%m-%d') AS trough_day
+FROM r""")
+def daily_value_drawdown(sf_dir: str) -> pd.DataFrame:
+    """Maximum drawdown of the cumulative daily value series (largest
+    peak-to-trough drop — the monitoring statistic for 'when did the
+    running total fall furthest behind its best day'). Exact integer
+    cents end to end: daily sums reduce once, the O(days) cumsum /
+    cummax / argmax run on the driver, first trough day breaks ties
+    exactly as the oracle's MIN(day)."""
+    daily = reduce_sink(
+        _events(sf_dir, ["ts", "value"]).map_batches(
+            lambda df: pd.DataFrame({
+                "day": df["ts"].to_numpy().astype("datetime64[D]")
+                .astype(np.int64),
+                "c": np.rint(df["value"].to_numpy(np.float64) * 100)
+                .astype(np.int64)}), batch_format="pandas"),
+        ["day"], {"c": ("c", "sum")}).to_pandas() \
+        .sort_values("day", ignore_index=True)
+    run = daily["c"].to_numpy(np.int64).cumsum()
+    peak = np.maximum.accumulate(run)
+    dd = peak - run
+    best = int(dd.max())
+    trough = daily["day"].to_numpy(np.int64)[dd == best].min()
+    return pd.DataFrame({
+        "max_drawdown_c": np.array([best], dtype=np.int64),
+        "trough_day": [pd.Timestamp(np.datetime64(int(trough), "D"))
+                       .strftime("%Y-%m-%d")]})
+
+
+@register("daily_acf", sql="""
+WITH d AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+           FROM events GROUP BY 1),
+p AS (SELECT l.lag, a.cnt AS x, b.cnt AS y
+      FROM (SELECT UNNEST(generate_series(1, 7)) AS lag) l
+           JOIN d a ON true
+           JOIN d b ON b.day = a.day + l.lag * INTERVAL 1 DAY),
+m AS (SELECT lag, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx,
+             SUM(y * y) AS syy
+      FROM p GROUP BY lag)
+SELECT CAST(lag AS BIGINT) AS lag,
+       ROUND((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy)),
+             6) AS acf
+FROM m""")
+def daily_acf(sf_dir: str) -> pd.DataFrame:
+    """Autocorrelation of daily event counts at lags 1–7 (the weekly-
+    seasonality screen: a spike at lag 7 means day-of-week structure).
+    Defined as the exact Pearson correlation over (x_t, x_{t+k}) pairs
+    so every moment is an INTEGER — the heavy work is the one daily
+    reduce; the driver computes the closed form in the oracle's
+    expression order, one sqrt + one division per lag. Calendar gaps
+    pair by real day arithmetic, not row adjacency."""
+    daily = reduce_sink(_events(sf_dir, ["ts"]).map_batches(
+        lambda df: pd.DataFrame(
+            {"day": df["ts"].to_numpy().astype("datetime64[D]")
+             .astype(np.int64)}), batch_format="pandas"),
+        ["day"], {"cnt": ("day", "size")}).to_pandas() \
+        .sort_values("day", ignore_index=True)
+    day = daily["day"].to_numpy(np.int64)
+    cnt = daily["cnt"].to_numpy(np.int64)
+    pos = {d: i for i, d in enumerate(day)}
+    rows = []
+    for lag in range(1, 8):
+        pair = [(cnt[i], cnt[pos[d + lag]]) for i, d in enumerate(day)
+                if d + lag in pos]
+        if not pair:
+            continue
+        x = np.array([p[0] for p in pair], dtype=np.int64)
+        y = np.array([p[1] for p in pair], dtype=np.int64)
+        n = len(x)
+        num = n * int((x * y).sum()) - int(x.sum()) * int(y.sum())
+        den = np.sqrt((n * int((x * x).sum()) - int(x.sum()) ** 2)
+                      * 1.0 * (n * int((y * y).sum())
+                               - int(y.sum()) ** 2))
+        rows.append({"lag": np.int64(lag),
+                     "acf": textstats.round_half_away(
+                         np.array([num / den]), 6)[0]})
+    return pd.DataFrame(rows).sort_values("lag", ignore_index=True)
+
+
+@register("decayed_type_popularity", sql="""
+WITH a AS (SELECT event_type,
+                  date_diff('day', CAST(ts AS DATE),
+                            DATE '2024-01-31') AS age,
+                  COUNT(*) AS cnt
+           FROM events GROUP BY 1, 2)
+SELECT event_type, ROUND(SUM(cnt * POWER(0.9, age)), 6) AS score
+FROM a GROUP BY event_type""")
+def decayed_type_popularity(sf_dir: str) -> pd.DataFrame:
+    """Time-decayed popularity (recency-weighted ranking — the
+    freshness signal feed rankers use, where yesterday counts 0.9× of
+    today): counts reduce per (type, integer age-in-days) — a ≤
+    |types|×|days| table no matter the corpus size — and the decay
+    fold Σ cnt·0.9^age happens on that tiny aggregate; rounding to 6dp
+    absorbs the sub-1e-12 float-order difference between engines on a
+    30-term sum."""
+    anchor = np.datetime64("2024-01-31", "D").astype(np.int64)
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        day = df["ts"].to_numpy().astype("datetime64[D]") \
+            .astype(np.int64)
+        return pd.DataFrame({"event_type": df["event_type"],
+                             "age": anchor - day})
+
+    a = reduce_sink(_events(sf_dir, ["ts", "event_type"])
+                    .map_batches(keyed, batch_format="pandas"),
+                    ["event_type", "age"],
+                    {"cnt": ("age", "size")}).to_pandas()
+    a["w"] = a["cnt"].to_numpy(np.int64) \
+        * np.power(0.9, a["age"].to_numpy(np.float64))
+    out = a.groupby("event_type", sort=True)["w"].sum().reset_index()
+    return pd.DataFrame({
+        "event_type": out["event_type"],
+        "score": textstats.round_half_away(
+            out["w"].to_numpy(np.float64), 6)})
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
