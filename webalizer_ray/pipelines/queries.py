@@ -8896,6 +8896,44 @@ def decayed_type_popularity(sf_dir: str) -> pd.DataFrame:
             out["w"].to_numpy(np.float64), 6)})
 
 
+@register("geo_nearby_customer_pairs", sql="""
+WITH p AS (SELECT c_custkey AS id,
+                  (c_custkey * 2654435761) % 180000 - 90000 AS x,
+                  (c_custkey * 2246822519) % 360000 - 180000 AS y
+           FROM customer)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST((a.x - b.x) * (a.x - b.x)
+            + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist_sq
+FROM p a JOIN p b ON a.id < b.id
+WHERE (a.x - b.x) * (a.x - b.x)
+      + (a.y - b.y) * (a.y - b.y) <= 5000 * 5000""")
+def geo_nearby_customer_pairs(sf_dir: str) -> pd.DataFrame:
+    """Spatial distance join (stages/spatial.py:grid_distance_join):
+    all customer pairs within 5000 integer units of each other, from
+    deterministic hash-derived milli-degree coordinates both engines
+    compute with the same modular arithmetic. The grid join replicates
+    each point to its 3×3 cell neighborhood (cell width = radius, so
+    no qualifying pair can escape) and each cell pairs its HOME points
+    against the replicas with id_a < id_b — every pair meets exactly
+    once; the oracle is the brute-force O(n²) self-join over the same
+    integer predicate, so recall is provably exact, not approximate."""
+    from webalizer_ray.stages.spatial import grid_distance_join
+
+    def to_points(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["c_custkey"].to_numpy(np.int64)
+        return pd.DataFrame({"id": k,
+                             "x": (k * 2654435761) % 180000 - 90000,
+                             "y": (k * 2246822519) % 360000 - 180000})
+
+    pts = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                          columns=["c_custkey"]) \
+        .map_batches(to_points, batch_format="pandas")
+    out = grid_distance_join(pts, radius=5000).to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["id_a", "id_b"], ignore_index=True)
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
