@@ -8934,6 +8934,66 @@ def geo_nearby_customer_pairs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["id_a", "id_b"], ignore_index=True)
 
 
+@register("als_part_recommendations")
+def als_part_recommendations(sf_dir: str) -> pd.DataFrame:
+    """ALS collaborative filtering (stages/recommend.py): factorize the
+    customer×part purchase-quantity matrix (implicit ratings =
+    per-(customer, part) shipped quantity) and recommend each of the 10
+    lowest-numbered customers their top UNSEEN part. Iterative least
+    squares — not SQL-expressible, rows-only driver check; pytest
+    proves the solver recovers a planted low-rank matrix and that
+    RMSE falls with sweeps. Item factors stay the broadcast side; the
+    user dimension never gathers (only the 10 requested users' factors
+    reach the driver)."""
+    from webalizer_ray.stages.recommend import als_fit
+
+    from webalizer_ray.stages.join import auto_join
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey",
+                                  "l_quantity"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    j = auto_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user": df["o_custkey"].to_numpy(np.int64),
+            "item": df["l_partkey"].to_numpy(np.int64),
+            "rating": np.log1p(df["l_quantity"]
+                               .to_numpy(np.float64))})
+
+    ratings = reduce_sink(j.map_batches(keyed, batch_format="pandas"),
+                          ["user", "item"],
+                          {"rating": ("rating", "sum")})
+    uf, vf = als_fit(ratings, k=8, iters=3, reg=0.1)
+
+    want = np.arange(1, 11, dtype=np.int64)
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["user"].isin(want)]
+
+    sel = uf.map_batches(pick, batch_format="pandas").to_pandas() \
+        .sort_values("user", ignore_index=True)
+    seen = ratings.map_batches(pick, batch_format="pandas") \
+        .to_pandas()[["user", "item"]]
+    fcols = [f"f{d}" for d in range(8)]
+    scores = sel[fcols].to_numpy(np.float64) \
+        @ vf[fcols].to_numpy(np.float64).T          # (10, |items|)
+    items = vf["item"].to_numpy(np.int64)
+    rows = []
+    for idx, u in enumerate(sel["user"]):
+        s = textstats.round_half_away(scores[idx], 6)
+        mask = ~np.isin(items, seen.loc[seen["user"] == u, "item"]
+                        .to_numpy(np.int64))
+        # deterministic: rounded score desc, then partkey asc
+        order = np.lexsort((items[mask], -s[mask]))
+        best = order[0]
+        rows.append({"c_custkey": np.int64(u),
+                     "p_partkey": items[mask][best],
+                     "score": s[mask][best]})
+    return pd.DataFrame(rows)
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
