@@ -8994,6 +8994,119 @@ def als_part_recommendations(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+@register("debounced_event_counts", sql="""
+WITH w AS (SELECT event_type,
+                  epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                    (PARTITION BY user_id, event_type
+                     ORDER BY ts) AS gap_us
+           FROM events)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS kept
+FROM w WHERE gap_us IS NULL OR gap_us >= 300 * 1000000
+GROUP BY event_type""")
+def debounced_event_counts(sf_dir: str) -> pd.DataFrame:
+    """Debounce / alert-throttle (suppress a (user, type) event that
+    fires within 300 s of the previous one — the monitoring dedup
+    every alerting pipeline applies before paging): gaps compute as
+    exact integer microseconds against the previous RAW event inside
+    the user-hash bucket ((user, type, ts) is unique in the fixture,
+    so ordering is total); only (type, kept) partials shuffle. The
+    stateful kept-chain variant (gap vs previous KEPT event) is the
+    same bucket pass with a per-group scan; the LAG form is the
+    SQL-checkable one."""
+    from webalizer_ray.stages.aggregate import key_bucket
+
+    ds = _events(sf_dir, ["ts", "user_id", "event_type"])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_h"] = key_bucket(df, ["user_id"], 64)
+        return df
+
+    def kept(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_type", "ts"],
+                          kind="mergesort")
+        us = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        same = (g["user_id"].to_numpy(np.int64)
+                == np.roll(g["user_id"].to_numpy(np.int64), 1))
+        same &= (g["event_type"].to_numpy(object)
+                 == np.roll(g["event_type"].to_numpy(object), 1))
+        same[0] = False
+        gap = us - np.roll(us, 1)
+        keep = ~same | (gap >= 300 * 1_000_000)
+        out = pd.DataFrame({"event_type": g["event_type"].
+                            to_numpy(object)[keep]})
+        c = out.groupby("event_type", sort=False).size() \
+            .rename("kept").reset_index()
+        c["kept"] = c["kept"].astype(np.int64)
+        return c
+
+    agg = reduce_sink(
+        (ds.map_batches(add_bucket, batch_format="pandas")
+         .groupby("_h").map_groups(kept, batch_format="pandas")),
+        ["event_type"], {"kept": ("kept", "sum")}).to_pandas()
+    agg["kept"] = agg["kept"].astype(np.int64)
+    return agg.sort_values("event_type", ignore_index=True)
+
+
+@register("locf_filled_value_sum", sql="""
+WITH v AS (SELECT user_id, ts, event_id, event_type,
+                  CASE WHEN event_type = 'error' THEN NULL
+                       ELSE CAST(ROUND(value * 100) AS BIGINT)
+                  END AS c
+           FROM events),
+f AS (SELECT event_type,
+             LAST_VALUE(c IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS fc
+      FROM v)
+SELECT event_type, CAST(COUNT(fc) AS BIGINT) AS filled_rows,
+       CAST(SUM(fc) AS BIGINT) AS filled_c
+FROM f GROUP BY event_type""")
+def locf_filled_value_sum(sf_dir: str) -> pd.DataFrame:
+    """Forward-fill imputation (LOCF — last observation carried
+    forward along each user's timeline; 'error' rows model the sensor
+    dropouts): users hash to buckets so every timeline ffills in ONE
+    vectorized pandas groupby pass over (ts, event_id)-ordered rows
+    (exact integer cents carry forward — no float drift); rows before
+    a user's first observation stay null and drop from both count and
+    sum, exactly as the oracle's IGNORE NULLS window."""
+    from webalizer_ray.stages.aggregate import key_bucket
+
+    ds = _events(sf_dir, ["ts", "event_id", "user_id", "event_type",
+                          "value"])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.rint(df["value"].to_numpy(np.float64) * 100) \
+            .astype(np.float64)
+        c[df["event_type"].to_numpy(object) == "error"] = np.nan
+        out = pd.DataFrame({"user_id": df["user_id"],
+                            "ts": df["ts"],
+                            "event_id": df["event_id"],
+                            "event_type": df["event_type"], "c": c})
+        out["_h"] = key_bucket(out, ["user_id"], 64)
+        return out
+
+    def fill(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        g["fc"] = g.groupby("user_id", sort=False)["c"].ffill()
+        got = g[g["fc"].notna()]
+        out = got.groupby("event_type", sort=False)["fc"] \
+            .agg(filled_rows="size", filled_c="sum").reset_index()
+        out["filled_rows"] = out["filled_rows"].astype(np.int64)
+        out["filled_c"] = out["filled_c"].astype(np.int64)
+        return out
+
+    agg = reduce_sink(
+        (ds.map_batches(add_bucket, batch_format="pandas")
+         .groupby("_h").map_groups(fill, batch_format="pandas")),
+        ["event_type"], {"filled_rows": ("filled_rows", "sum"),
+                         "filled_c": ("filled_c", "sum")}).to_pandas()
+    for c in ("filled_rows", "filled_c"):
+        agg[c] = agg[c].astype(np.int64)
+    return agg.sort_values("event_type", ignore_index=True)
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
