@@ -9107,6 +9107,85 @@ def locf_filled_value_sum(sf_dir: str) -> pd.DataFrame:
     return agg.sort_values("event_type", ignore_index=True)
 
 
+@register("late_event_rate", sql="""
+WITH w AS (SELECT event_type,
+                  MAX(epoch_us(ts)) OVER
+                    (ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS wm_us,
+                  epoch_us(ts) AS us
+           FROM events)
+SELECT event_type,
+       CAST(SUM(CASE WHEN wm_us > us + 600 * 1000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS late,
+       CAST(COUNT(*) AS BIGINT) AS total
+FROM w GROUP BY event_type""")
+def late_event_rate(sf_dir: str) -> pd.DataFrame:
+    """Watermark lateness audit (the W5 streaming semantic made
+    queryable): processing order = event_id, the watermark is the
+    running MAX event time over everything that arrived BEFORE a row,
+    and a row is late when it trails the watermark by more than the
+    600 s allowed lateness. The running max is a distributed TWO-LEVEL
+    PREFIX SCAN (the max twin of scan.range_prefix_sum): event_ids
+    range-bucket by fixed width, per-bucket maxima reduce to the
+    driver (O(buckets) rows), exclusive prefix maxima broadcast back,
+    and each bucket finishes with a local shifted cummax — no task
+    ever sees the whole stream. Exact integer microseconds end to
+    end."""
+    from webalizer_ray.stages.aggregate import reduce_sink as _rs
+
+    ds = _events(sf_dir, ["event_id", "ts", "event_type"])
+    width = 4096
+
+    def bucketed(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "us": df["ts"].to_numpy("datetime64[us]")
+            .astype(np.int64),
+            "event_type": df["event_type"],
+            "_bk": df["event_id"].to_numpy(np.int64) // width})
+
+    b = ds.map_batches(bucketed, batch_format="pandas").materialize()
+    maxima = _rs(b, ["_bk"], {"mx": ("us", "max")}).to_pandas() \
+        .sort_values("_bk", ignore_index=True)
+    # exclusive prefix max over the O(buckets) driver rows
+    run = np.maximum.accumulate(maxima["mx"].to_numpy(np.int64))
+    prior = {int(k): int(v) for k, v in
+             zip(maxima["_bk"].to_numpy(np.int64)[1:], run[:-1])}
+    prior_ref = ray.put(prior)
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("event_id", kind="mergesort")
+        us = g["us"].to_numpy(np.int64)
+        # watermark BEFORE each row: shifted local cummax seeded with
+        # the prior buckets' max (first bucket has no predecessor)
+        seed = ray.get(prior_ref).get(int(g["_bk"].iat[0]))
+        local = np.maximum.accumulate(us)
+        wm = np.empty_like(us)
+        wm[1:] = local[:-1]
+        wm[0] = np.iinfo(np.int64).min if seed is None else seed
+        if seed is not None:
+            wm = np.maximum(wm, seed)
+        # wm > us + lateness (never wm - lateness: the INT64_MIN
+        # sentinel on the first-ever row would wrap)
+        late = (wm > us + 600 * 1_000_000).astype(np.int64)
+        out = pd.DataFrame({"event_type": g["event_type"],
+                            "late": late,
+                            "total": np.ones(len(g), dtype=np.int64)})
+        r = out.groupby("event_type", sort=False).sum().reset_index()
+        for c in ("late", "total"):
+            r[c] = r[c].astype(np.int64)
+        return r
+
+    agg = _rs(b.groupby("_bk").map_groups(classify,
+                                          batch_format="pandas"),
+              ["event_type"], {"late": ("late", "sum"),
+                               "total": ("total", "sum")}).to_pandas()
+    for c in ("late", "total"):
+        agg[c] = agg[c].astype(np.int64)
+    return agg.sort_values("event_type", ignore_index=True)
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
