@@ -9186,6 +9186,52 @@ def late_event_rate(sf_dir: str) -> pd.DataFrame:
     return agg.sort_values("event_type", ignore_index=True)
 
 
+@register("vocab_zipf_slope", sql=r"""
+WITH w AS (SELECT unnest(regexp_extract_all(text, '\S+')) AS word
+           FROM documents),
+c AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word),
+r AS (SELECT cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS rnk
+      FROM c QUALIFY rnk <= 100),
+m AS (SELECT COUNT(*) AS n, SUM(ln(rnk)) AS sx, SUM(ln(cnt)) AS sy,
+             SUM(ln(rnk) * ln(cnt)) AS sxy,
+             SUM(ln(rnk) * ln(rnk)) AS sxx
+      FROM r)
+SELECT CAST(n AS BIGINT) AS n_ranks,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+       AS zipf_slope
+FROM m""")
+def vocab_zipf_slope(sf_dir: str) -> pd.DataFrame:
+    """Zipf's-law fit over the corpus vocabulary (the log-log
+    rank-frequency slope; natural text sits near −1, so the statistic
+    is a corpus-health check — synthetic or templated text shows a
+    flatter curve). The distributed part is the word-count reduce and
+    the exact block-local top-100 (each word lives in one aggregate
+    row, so bucket-local top-k partials union ⊇ the global top-k);
+    the 100-point OLS runs on the driver in the oracle's expression
+    order — 6-dp rounding absorbs float-order drift on the 100-term
+    log sums."""
+    ds = _docs(sf_dir, ["text"]).map_batches(_word_count_partials,
+                                             batch_format="pandas")
+    agg = reduce_sink(ds, ["word"], {"cnt": ("cnt", "sum")})
+
+    def local_top(df: pd.DataFrame) -> pd.DataFrame:
+        return top_n_pandas(df, "word", "cnt", 100)
+
+    cand = agg.map_batches(local_top, batch_format="pandas").to_pandas()
+    top = top_n_pandas(cand, "word", "cnt", 100)
+    n = len(top)
+    x = np.log(np.arange(1, n + 1, dtype=np.float64))
+    y = np.log(top["cnt"].to_numpy(np.float64))
+    sx, sy = x.sum(), y.sum()
+    sxy, sxx = (x * y).sum(), (x * x).sum()
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return pd.DataFrame({
+        "n_ranks": np.array([n], dtype=np.int64),
+        "zipf_slope": textstats.round_half_away(
+            np.array([slope]), 6)})
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
