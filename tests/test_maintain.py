@@ -121,6 +121,25 @@ def test_compaction_recovery_finishes_committed_bin(ray_session,
                                               "orphans_removed": 0}
 
 
+def test_cli_maintain_ttl_and_compact(ray_session, tmp_path, capsys):
+    import json
+
+    from webalizer_ray import run as cli
+    d = str(tmp_path / "clistore")
+    os.makedirs(d)
+    _write(d, "old.parquet", [0, 1], [1, 2])
+    _write(d, "a.parquet", [15], [3])
+    _write(d, "b.parquet", [16], [4])
+    assert cli.main(["maintain", "--dir", d,
+                     "--ttl-cutoff", "2024-01-11",
+                     "--compact-target-rows", "100"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["ttl"] == {"removed": 2, "deleted_files": 1,
+                          "rewritten": 0, "kept": 2}
+    assert rep["compact"]["compacted"] == 2
+    assert sorted(pq.read_table(d)["v"].to_pylist()) == [3, 4]
+
+
 def test_compaction_recovery_gcs_uncommitted_staging(ray_session,
                                                      tmp_path):
     d = str(tmp_path / "gc")

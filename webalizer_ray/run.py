@@ -250,6 +250,38 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_maintain(args) -> int:
+    """In-place lake maintenance (state/maintain.py): TTL retention
+    (footer-classified — wholly-expired files unlink without a data
+    read) and/or small-file compaction (self-healing two-phase
+    publish). ``--recover`` alone finishes any interrupted compaction.
+    Unlike ``compact`` (copy-rewrite to a new dir), these mutate the
+    store in place and touch only the files that must change."""
+    _init_ray(args.num_cpus)
+    from webalizer_ray.state import maintain
+
+    report: dict = {"dir": args.dir}
+    if args.recover or args.target_rows:
+        report["recover"] = maintain.recover_compaction(args.dir)
+    if args.ttl_cutoff:
+        rep = maintain.apply_retention(args.dir, args.ttl_column,
+                                       args.ttl_cutoff)
+        report["ttl"] = {
+            "removed": int(rep["removed"].sum()),
+            "deleted_files": int((rep["action"] == "deleted").sum()),
+            "rewritten": int((rep["action"] == "rewritten").sum()),
+            "kept": int((rep["action"] == "kept").sum())}
+    if args.target_rows:
+        rep = maintain.compact_dir(args.dir,
+                                   target_rows=args.target_rows)
+        report["compact"] = {
+            "compacted": int((rep["action"] == "compacted").sum()),
+            "kept": int((rep["action"] == "kept").sum()),
+            "bins": int(rep.loc[rep["bin"] >= 0, "bin"].nunique())}
+    print(json.dumps(report))
+    return 0
+
+
 def cmd_query(args) -> int:
     """Run any registered pipeline query by name over a testdata-shaped
     table dir (``--list`` prints the catalog)."""
@@ -510,6 +542,20 @@ def build_parser() -> argparse.ArgumentParser:
     cp.add_argument("--num-files", type=int, default=8, dest="num_files")
     cp.add_argument("--num-cpus", type=int, default=None, dest="num_cpus")
     cp.set_defaults(fn=cmd_compact)
+
+    mt = sub.add_parser("maintain", help="in-place TTL retention and/or "
+                                         "small-file compaction")
+    mt.add_argument("--dir", required=True)
+    mt.add_argument("--ttl-column", default="ts", dest="ttl_column")
+    mt.add_argument("--ttl-cutoff", default=None, dest="ttl_cutoff",
+                    help="delete rows with ttl-column < this timestamp")
+    mt.add_argument("--compact-target-rows", type=int, default=None,
+                    dest="target_rows")
+    mt.add_argument("--recover", action="store_true",
+                    help="only finish an interrupted compaction")
+    mt.add_argument("--num-cpus", type=int, default=None,
+                    dest="num_cpus")
+    mt.set_defaults(fn=cmd_maintain)
 
     q = sub.add_parser("query", help="run a registered pipeline query "
                                      "by name (--list for the catalog)")
