@@ -126,7 +126,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      # round-2 second-continuation additions
                      "tpch_q21_sole_late_supplier", "hybrid_search_rrf",
                      "media_image_dhash_pairs",
-                     "leakage_safe_split_counts"]:
+                     "leakage_safe_split_counts",
+                     # round-2 third-continuation additions
+                     "tpch_q1_pricing_summary", "tpch_q9_nation_profit",
+                     "geo_nearby_customer_pairs",
+                     "als_part_recommendations", "rfm_segments",
+                     "retention_event_counts", "late_event_rate"]:
             fn = Q.REGISTRY[name][0]
             t0 = time.perf_counter()
             fn(sf_dir)
