@@ -131,7 +131,14 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "tpch_q1_pricing_summary", "tpch_q9_nation_profit",
                      "geo_nearby_customer_pairs",
                      "als_part_recommendations", "rfm_segments",
-                     "retention_event_counts", "late_event_rate"]:
+                     "retention_event_counts", "late_event_rate",
+                     # round-2 fourth-continuation additions
+                     "knn_bfs_levels", "knn_sssp_distances",
+                     "knn_outlier_scores",
+                     "geo_dbscan_cluster_sizes",
+                     "doc_term_triples",
+                     "part_name_entity_clusters",
+                     "linear_interp_value_sum"]:
             fn = Q.REGISTRY[name][0]
             t0 = time.perf_counter()
             fn(sf_dir)

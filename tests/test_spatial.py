@@ -82,3 +82,65 @@ def test_block_layout_invariance(ray_session, cloud):
 def test_bad_radius_raises(ray_session, cloud):
     with pytest.raises(ValueError):
         grid_distance_join(rd.from_pandas(cloud), radius=0)
+
+
+# ---------------------------------------------------------------- DBSCAN
+
+def _dbscan(df: pd.DataFrame, r: int, min_pts: int = 3, blocks: int = 3):
+    from webalizer_ray.stages.spatial import dbscan_labels
+    member, noise = dbscan_labels(rd.from_pandas(df).repartition(blocks),
+                                  radius=r, min_pts=min_pts)
+    return (dict(zip(member["node"].astype(int),
+                     member["rep"].astype(int))), noise)
+
+
+def test_dbscan_planted_clusters(ray_session):
+    # cluster A: tight triangle around origin (ids 0,1,2 — all core at
+    # min_pts=3); cluster B: triangle at (1000, 1000) (ids 3,4,5);
+    # border: id 6 within r of A's id 0 only; noise: id 7 far away
+    pts = pd.DataFrame({
+        "id": np.arange(8, dtype=np.int64),
+        "x": np.array([0, 5, 0, 1000, 1005, 1000, 9, 5000], np.int64),
+        "y": np.array([0, 0, 5, 1000, 1000, 1005, 0, 5000], np.int64)})
+    got, noise = _dbscan(pts, r=10)
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 3, 6: 0}
+    assert noise == 1
+
+
+def test_dbscan_border_takes_min_rep(ray_session):
+    # two singleton-edge "clusters" won't form at min_pts=3 unless
+    # dense; build two 3-chains and put a border point adjacent to a
+    # core of EACH — it must take the smaller rep
+    pts = pd.DataFrame({
+        "id": np.array([0, 1, 2, 10, 11, 12, 20], np.int64),
+        # chain A around x=0..10, chain B around x=60..70,
+        # border id 20 at x=35 within r=30 of cores 1 (x=5) and 11 (x=65)?
+        "x": np.array([0, 5, 10, 60, 65, 70, 35], np.int64),
+        "y": np.zeros(7, np.int64)})
+    got, noise = _dbscan(pts, r=30)
+    # all of chain A and B are mutually within 30 → both fully core
+    assert got[20] == 0          # min rep wins (0 < 10)
+    assert noise == 0
+
+
+def test_dbscan_no_core_all_noise(ray_session):
+    pts = pd.DataFrame({"id": np.arange(3, dtype=np.int64),
+                        "x": np.array([0, 10_000, 20_000], np.int64),
+                        "y": np.zeros(3, np.int64)})
+    got, noise = _dbscan(pts, r=10)
+    assert got == {} and noise == 3
+
+
+def test_dbscan_isolated_core_pair_cluster(ray_session):
+    # min_pts=2: a pair is a 2-core cluster; a lone point is noise
+    pts = pd.DataFrame({"id": np.array([5, 9, 42], np.int64),
+                        "x": np.array([0, 3, 1000], np.int64),
+                        "y": np.zeros(3, np.int64)})
+    got, noise = _dbscan(pts, r=10, min_pts=2)
+    assert got == {5: 5, 9: 5} and noise == 1
+
+
+def test_dbscan_layout_invariance(ray_session, cloud):
+    a = _dbscan(cloud, r=600, blocks=1)
+    b = _dbscan(cloud, r=600, blocks=7)
+    assert a == b

@@ -84,8 +84,9 @@ def main(sf_dir: str, only: str | None = None):
                 f"read_parquet('{sf_dir}/{t}.parquet')")
 
     n_ok = n_fail = 0
+    pats = only.split(",") if only else None
     for name, fn in qs.items():
-        if only and only not in name:
+        if pats and not any(p in name for p in pats):
             continue
         try:
             ours = to_pandas(fn(sf_dir))

@@ -9232,6 +9232,607 @@ def vocab_zipf_slope(sf_dir: str) -> pd.DataFrame:
             np.array([slope]), 6)})
 
 
+@register("knn_bfs_levels", sql="""
+WITH RECURSIVE sims AS (
+  SELECT a.vec_id AS node, b.vec_id AS neighbor,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6)
+             AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id),
+r AS (SELECT node, neighbor,
+             ROW_NUMBER() OVER (PARTITION BY node
+                                ORDER BY cosine DESC, neighbor) AS rank
+      FROM sims),
+e AS (SELECT node AS src, neighbor AS dst FROM r WHERE rank <= 2
+      UNION SELECT neighbor, node FROM r WHERE rank <= 2),
+walk(node, level) AS (
+  SELECT DISTINCT src, 0 FROM e WHERE src IN (0, 1, 2)
+  UNION
+  SELECT e.dst, w.level + 1 FROM e JOIN walk w ON e.src = w.node
+  WHERE w.level < 6),
+best AS (SELECT node, MIN(level) AS level FROM walk GROUP BY node)
+SELECT CAST(level AS BIGINT) AS level,
+       CAST(COUNT(*) AS BIGINT) AS nodes
+FROM best GROUP BY level""")
+def knn_bfs_levels(sf_dir: str) -> pd.DataFrame:
+    """Multi-source BFS over the exact k-NN similarity graph
+    (stages/graph.py:bfs_levels — hop distance from seed vectors
+    {0,1,2}, capped at 6; the reachability/expansion primitive behind
+    'how far does influence spread from these examples'). Each
+    superstep is ONE frontier⋈edges join + a key-level MIN reduce;
+    state and frontier stay distributed, the driver sees one count per
+    round. Oracle: recursive-CTE MIN(level) over the identical
+    undirected top-2 edge set with the same depth cap."""
+    from webalizer_ray.stages.graph import bfs_levels
+
+    g = knn_graph(sf_dir)[["node", "neighbor"]]
+    edges = pd.DataFrame({
+        "src": np.concatenate([g["node"].to_numpy(np.int64),
+                               g["neighbor"].to_numpy(np.int64)]),
+        "dst": np.concatenate([g["neighbor"].to_numpy(np.int64),
+                               g["node"].to_numpy(np.int64)])}) \
+        .drop_duplicates(ignore_index=True)
+    state = bfs_levels(edges, roots=[0, 1, 2], max_depth=6)
+    out = reduce_sink(state, ["level"],
+                      {"nodes": ("level", "size")}).to_pandas()
+    for c in ("level", "nodes"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("level", ignore_index=True)
+
+
+@register("user_type_triples", sql="""
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+nu AS (SELECT COUNT(DISTINCT user_id) AS n FROM events),
+t AS (SELECT a.event_type AS ta, b.event_type AS tb,
+             c.event_type AS tc
+      FROM d a
+      JOIN d b ON a.user_id = b.user_id
+               AND a.event_type < b.event_type
+      JOIN d c ON a.user_id = c.user_id
+               AND b.event_type < c.event_type)
+SELECT ta AS item_a, tb AS item_b, tc AS item_c,
+       COUNT(*) AS support
+FROM t GROUP BY 1, 2, 3
+HAVING 2 * COUNT(*) >= (SELECT n FROM nu)
+ORDER BY item_a, item_b, item_c""")
+def user_type_triples(sf_dir: str) -> pd.DataFrame:
+    """Frequent 3-itemsets over user baskets (A-Priori,
+    stages/itemsets.py): event-type triples co-occurring in the
+    activity of >= 50% of users. Oracle: the unpruned triple
+    self-join with the same integer-cross-multiplied HAVING —
+    identical output by downward closure."""
+    from webalizer_ray.stages.itemsets import frequent_triples
+
+    ds = _events(sf_dir, ["user_id", "event_type"])
+    return frequent_triples(ds, basket_col="user_id",
+                            item_col="event_type", num=1, den=2)
+
+
+@register("doc_term_triples", sql=r"""
+WITH d AS (SELECT DISTINCT doc_id,
+                  unnest(regexp_extract_all(text, '\S+')) AS w
+           FROM documents),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+t AS (SELECT a.w AS ta, b.w AS tb, c.w AS tc
+      FROM d a
+      JOIN d b ON a.doc_id = b.doc_id AND a.w < b.w
+      JOIN d c ON a.doc_id = c.doc_id AND b.w < c.w)
+SELECT ta AS item_a, tb AS item_b, tc AS item_c,
+       COUNT(*) AS support
+FROM t GROUP BY 1, 2, 3
+HAVING 2 * COUNT(*) >= (SELECT n FROM nd)
+ORDER BY item_a, item_b, item_c""")
+def doc_term_triples(sf_dir: str) -> pd.DataFrame:
+    """Frequent term 3-itemsets over document baskets (A-Priori,
+    stages/itemsets.py) — the text-mining form of market-basket
+    analysis: word triples co-occurring in >= 50% of documents. Here
+    the downward-closure prune genuinely bites (words below the pair
+    threshold never enter the triple expansion); word split is the
+    corpus-wide \S+ convention shared with vocab/BPE/Zipf. Oracle:
+    unpruned triple self-join over distinct (doc, word) with the
+    identical integer-cross-multiplied HAVING."""
+    from webalizer_ray.stages.itemsets import frequent_triples
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.findall(r"\S+")
+        n = toks.str.len().to_numpy()
+        return pd.DataFrame({
+            "doc_id": np.repeat(df["doc_id"].to_numpy(np.int64), n),
+            "w": np.concatenate(toks.to_numpy())
+            if n.sum() else np.array([], dtype=object)})
+
+    rows = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        explode, batch_format="pandas")
+    return frequent_triples(rows, basket_col="doc_id", item_col="w",
+                            num=1, den=2)
+
+
+@register("daily_ewma_counts", sql="""
+WITH RECURSIVE daily AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         CAST(COUNT(*) AS DOUBLE) AS y
+  FROM events GROUP BY day),
+ord AS (SELECT day, y, ROW_NUMBER() OVER (ORDER BY day) AS i
+        FROM daily),
+w(i, day, s) AS (
+  SELECT i, day, y FROM ord WHERE i = 1
+  UNION ALL
+  SELECT o.i, o.day,
+         CAST(0.2 AS DOUBLE) * o.y + CAST(0.8 AS DOUBLE) * w.s
+  FROM ord o JOIN w ON o.i = w.i + 1)
+SELECT day, ROUND(s, 6) AS ewma FROM w ORDER BY day""")
+def daily_ewma_counts(sf_dir: str) -> pd.DataFrame:
+    """Exponentially-weighted moving average of the daily event volume
+    (α = 0.2; s₁ = y₁, sₜ = αyₜ + (1−α)sₜ₋₁) — the standard streaming
+    trend smoother dashboards and alert baselines run on. Scale shape
+    shared with changepoint/ACF/periodicity: the heavy work is ONE
+    distributed daily-count reduce (O(days) rows at any corpus size);
+    the recursion is inherently sequential so it runs driver-side in
+    EXACTLY the oracle's float expression order (same multiply-add
+    per step → bit-identical doubles). Oracle: recursive CTE over the
+    row-numbered day series."""
+    from webalizer_ray.stages import textstats
+
+    ds = _events(sf_dir, ["ts"]) \
+        .map_batches(_with_time_cols({"date"}), batch_format="pyarrow")
+    daily = reduce_sink(ds, ["date"], {"y": ("ts", "size")}) \
+        .to_pandas().sort_values("date", ignore_index=True)
+    y = daily["y"].to_numpy(np.float64)
+    s = np.empty(len(y))
+    if len(y):
+        s[0] = y[0]
+        for i in range(1, len(y)):
+            s[i] = 0.2 * y[i] + 0.8 * s[i - 1]
+    return pd.DataFrame({
+        "day": daily["date"],
+        "ewma": textstats.round_half_away(s, 6)})
+
+
+@register("fd_profile_docs", sql="""
+WITH pairs AS (
+  SELECT 'lang->source' AS fd, lang AS x, source AS y FROM documents
+  UNION ALL SELECT 'source->lang', source, lang FROM documents
+  UNION ALL SELECT 'lang->nchars', lang, CAST(n_chars AS VARCHAR)
+            FROM documents
+  UNION ALL SELECT 'nchars->lang', CAST(n_chars AS VARCHAR), lang
+            FROM documents
+  UNION ALL SELECT 'source->nchars', source, CAST(n_chars AS VARCHAR)
+            FROM documents
+  UNION ALL SELECT 'nchars->source', CAST(n_chars AS VARCHAR), source
+            FROM documents),
+d AS (SELECT DISTINCT fd, x, y FROM pairs),
+k AS (SELECT fd, x, COUNT(*) AS rhs FROM d GROUP BY fd, x)
+SELECT fd, CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(CASE WHEN rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violating_keys,
+       CAST(MAX(rhs) AS BIGINT) AS max_rhs
+FROM k GROUP BY fd ORDER BY fd""")
+def fd_profile_docs(sf_dir: str) -> pd.DataFrame:
+    """Functional-dependency discovery (the data-profiling primitive
+    behind schema normalization and data-contract inference, cf.
+    Papenbrock et al. VLDB 2015): for every ordered column pair among
+    (lang, source, n_chars), how many LHS keys exist, how many have
+    more than one distinct RHS value (FD violations), and the worst
+    fan-out. One melt pass emits all six candidates' (fd, x, y) rows;
+    a two-phase distinct reduce makes each (fd, x, y) one row
+    globally, per-key RHS counts and the per-FD rollup are ordinary
+    keyed partials — neither rows nor keys reach the driver until the
+    six-row summary. Values compare as strings (str(int) ==
+    CAST(BIGINT AS VARCHAR)) so typed columns profile uniformly."""
+    cands = [("lang->source", "lang", "source"),
+             ("source->lang", "source", "lang"),
+             ("lang->nchars", "lang", "n_chars"),
+             ("nchars->lang", "n_chars", "lang"),
+             ("source->nchars", "source", "n_chars"),
+             ("nchars->source", "n_chars", "source")]
+
+    def melt(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for fd, xc, yc in cands:
+            frames.append(pd.DataFrame({
+                "fd": fd,
+                "x": df[xc].astype(str).to_numpy(),
+                "y": df[yc].astype(str).to_numpy()}))
+        return pd.concat(frames, ignore_index=True).drop_duplicates()
+
+    ds = _docs(sf_dir, ["lang", "source", "n_chars"]) \
+        .map_batches(melt, batch_format="pandas")
+    # two-phase distinct: after this reduce each (fd, x, y) is ONE row
+    d = reduce_sink(ds, ["fd", "x", "y"], {"c": ("fd", "size")})
+    rhs = reduce_sink(d, ["fd", "x"], {"rhs": ("c", "size")})
+
+    def viol(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "fd": df["fd"],
+            "k": np.ones(len(df), np.int64),
+            "v": (df["rhs"].to_numpy(np.int64) > 1).astype(np.int64),
+            "m": df["rhs"].to_numpy(np.int64)})
+
+    out = reduce_sink(rhs.map_batches(viol, batch_format="pandas"),
+                      ["fd"], {"n_keys": ("k", "sum"),
+                               "n_violating_keys": ("v", "sum"),
+                               "max_rhs": ("m", "max")}).to_pandas()
+    for c in ("n_keys", "n_violating_keys", "max_rhs"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("fd", ignore_index=True)
+
+
+@register("knn_sssp_distances", sql="""
+WITH RECURSIVE sims AS (
+  SELECT a.vec_id AS node, b.vec_id AS neighbor,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6)
+             AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id),
+r AS (SELECT node, neighbor, cosine,
+             ROW_NUMBER() OVER (PARTITION BY node
+                                ORDER BY cosine DESC, neighbor) AS rank
+      FROM sims),
+e0 AS (SELECT node AS src, neighbor AS dst,
+              CAST(1000000 - ROUND(cosine * 1000000, 0) AS BIGINT) AS w
+       FROM r WHERE rank <= 2),
+e AS (SELECT src, dst, w FROM e0 UNION SELECT dst, src, w FROM e0),
+walk(node, cost, depth) AS (
+  SELECT DISTINCT src, CAST(0 AS BIGINT), 0 FROM e WHERE src IN (0, 1, 2)
+  UNION
+  SELECT e.dst, w2.cost + e.w, w2.depth + 1
+  FROM e JOIN walk w2 ON e.src = w2.node WHERE w2.depth < 4)
+SELECT CAST(node AS BIGINT) AS node, CAST(MIN(cost) AS BIGINT) AS dist
+FROM walk GROUP BY node ORDER BY node""")
+def knn_sssp_distances(sf_dir: str) -> pd.DataFrame:
+    """Weighted shortest-path distances (Bellman-Ford,
+    stages/graph.py:sssp_distances) from seed vectors {0,1,2} over
+    the exact k-NN graph, edge weight = integer micro-dissimilarity
+    1e6 − round(cosine·1e6) (exact int64 path sums — no float
+    accumulation to disagree on), capped at 4 hops. Each superstep is
+    one relax groupby + one settle groupby; the improvement-only
+    frontier re-expands late improvements (tested). Oracle:
+    recursive-CTE walk carrying (node, cost, depth < 4), MIN(cost)
+    at the end — identical hop-cap semantics."""
+    from webalizer_ray.stages.graph import sssp_distances
+
+    g = knn_graph(sf_dir)[["node", "neighbor", "cosine"]]
+    w = (1_000_000
+         - np.rint(g["cosine"].to_numpy(np.float64) * 1e6)) \
+        .astype(np.int64)
+    edges = pd.DataFrame({
+        "src": np.concatenate([g["node"].to_numpy(np.int64),
+                               g["neighbor"].to_numpy(np.int64)]),
+        "dst": np.concatenate([g["neighbor"].to_numpy(np.int64),
+                               g["node"].to_numpy(np.int64)]),
+        "w": np.concatenate([w, w])}) \
+        .drop_duplicates(subset=["src", "dst"], ignore_index=True)
+    state = sssp_distances(edges, roots=[0, 1, 2], max_hops=4)
+    out = state.to_pandas()
+    for c in ("node", "dist"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("node", ignore_index=True)
+
+
+@register("knn_outlier_scores", sql="""
+WITH sims AS (
+  SELECT a.vec_id AS node, b.vec_id AS neighbor,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6)
+             AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id),
+r AS (SELECT node, cosine,
+             ROW_NUMBER() OVER (PARTITION BY node
+                                ORDER BY cosine DESC, neighbor) AS rank
+      FROM sims)
+SELECT node AS vec_id, cosine AS knn3_cosine
+FROM r WHERE rank = 3
+ORDER BY knn3_cosine, vec_id LIMIT 20""")
+def knn_outlier_scores(sf_dir: str) -> pd.DataFrame:
+    """k-distance outlier scores (Ramaswamy et al. SIGMOD 2000): each
+    vector's cosine to its 3rd nearest neighbor, lowest-first — the
+    embedding-space quality gate that surfaces the 20 most isolated
+    vectors (corrupted / off-distribution points) before training.
+    Reuses the brute-force top-k combiner (per-batch local top-4, tiny
+    global merge) as the parity baseline; the LSH / IVF paths in
+    stages/ann.py are the scale route, exactly the ann_topk split.
+    The rank-3 VALUE is tie-safe across engines: the 9-dp ranking
+    refines the oracle's 6-dp ordering, so the 3rd-largest 6-dp
+    cosine is identical however 6-dp ties are broken."""
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    ids = np.asarray(tbl["vec_id"])
+    vecs = np.stack(tbl["embedding"].to_pandas().to_numpy())
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    out = ann.brute_force_topk(ds, vecs, k=4)   # 3 neighbors + self
+    out["node"] = ids[out["query_id"].to_numpy()]
+    # drop the self edge by IDENTITY, not rank (an exact-duplicate
+    # vector with a smaller id outranks self)
+    out = out[out["node"] != out["vec_id"]].copy()
+    out = out.sort_values(["node", "rank"], ignore_index=True)
+    out["nn"] = out.groupby("node", sort=False).cumcount() + 1
+    out = out[out["nn"] == 3]
+    res = pd.DataFrame({
+        "vec_id": out["node"].to_numpy(np.int64),
+        "knn3_cosine": out["cosine"].round(6)})
+    return res.sort_values(["knn3_cosine", "vec_id"],
+                           ignore_index=True).head(20)
+
+
+@register("geo_dbscan_cluster_sizes", sql="""
+WITH RECURSIVE p AS (
+  SELECT c_custkey AS id,
+         (c_custkey * 2654435761) % 180000 - 90000 AS x,
+         (c_custkey * 2246822519) % 360000 - 180000 AS y
+  FROM customer),
+e AS (SELECT a.id AS ia, b.id AS ib
+      FROM p a JOIN p b ON a.id != b.id
+      WHERE (a.x - b.x) * (a.x - b.x)
+            + (a.y - b.y) * (a.y - b.y) <= 5000 * 5000),
+deg AS (SELECT ia AS id, COUNT(*) AS n FROM e GROUP BY ia),
+core AS (SELECT id FROM deg WHERE n >= 2),
+ce AS (SELECT ia, ib FROM e
+       WHERE ia IN (SELECT id FROM core)
+         AND ib IN (SELECT id FROM core)),
+walk(node, rep) AS (
+  SELECT id, id FROM core
+  UNION
+  SELECT ce.ib, w.rep FROM ce JOIN walk w ON ce.ia = w.node),
+comp AS (SELECT node, MIN(rep) AS rep FROM walk GROUP BY node),
+border AS (
+  SELECT e.ia AS node, MIN(c.rep) AS rep
+  FROM e JOIN comp c ON e.ib = c.node
+  WHERE e.ia NOT IN (SELECT id FROM core)
+  GROUP BY e.ia),
+member AS (SELECT node, rep FROM comp
+           UNION ALL SELECT node, rep FROM border)
+SELECT CAST(rep AS BIGINT) AS cluster_rep,
+       CAST(COUNT(*) AS BIGINT) AS n_points
+FROM member GROUP BY rep
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(COUNT(*) AS BIGINT)
+FROM p WHERE id NOT IN (SELECT node FROM member)
+ORDER BY cluster_rep""")
+def geo_dbscan_cluster_sizes(sf_dir: str) -> pd.DataFrame:
+    """Grid DBSCAN (Ester et al. KDD 1996) composed from two existing
+    primitives: the EXACT ε-neighborhood pair set comes from the grid
+    distance join (stages/spatial.py — cell width = ε, every
+    qualifying pair meets exactly once) and core-core clusters from
+    connected components (stages/dedup.py). minPts = 3 (core iff ≥ 2
+    neighbors within ε = 5000); border points attach to the MIN
+    cluster rep among their core neighbors — textbook DBSCAN leaves
+    multi-cluster border ties scan-order-dependent, the min rule makes
+    the labeling deterministic and SQL-checkable. Core-id set and the
+    core→rep map broadcast once (the sparse-map pattern shared with
+    the leakage-safe split); only (id, deg) and (node, rep) partials
+    shuffle. Output: one (cluster_rep = min member id, n_points) row
+    per cluster including borders, plus a cluster_rep = -1 noise row.
+    Oracle: recursive-CTE min-label closure over the identical
+    integer-predicate edge set."""
+    from webalizer_ray.stages.spatial import dbscan_labels
+
+    def to_points(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["c_custkey"].to_numpy(np.int64)
+        return pd.DataFrame({"id": k,
+                             "x": (k * 2654435761) % 180000 - 90000,
+                             "y": (k * 2246822519) % 360000 - 180000})
+
+    pts = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                          columns=["c_custkey"]) \
+        .map_batches(to_points, batch_format="pandas")
+    member, n_noise = dbscan_labels(pts, radius=5000, min_pts=3)
+    sizes = member.groupby("rep").size().reset_index(name="n_points") \
+        if len(member) else pd.DataFrame(
+            {"rep": pd.Series(dtype=np.int64),
+             "n_points": pd.Series(dtype=np.int64)})
+    out = pd.concat([
+        pd.DataFrame({"cluster_rep": sizes["rep"].to_numpy(np.int64),
+                      "n_points": sizes["n_points"]
+                      .to_numpy(np.int64)}),
+        pd.DataFrame({"cluster_rep": np.array([-1], np.int64),
+                      "n_points": np.array([n_noise], np.int64)})],
+        ignore_index=True)
+    return out.sort_values("cluster_rep", ignore_index=True)
+
+
+@register("linear_interp_value_sum", sql="""
+WITH v AS (SELECT user_id, ts, event_id, event_type,
+                  CASE WHEN event_type = 'error' THEN NULL
+                       ELSE CAST(ROUND(value * 100) AS BIGINT)
+                  END AS c
+           FROM events),
+w AS (SELECT event_type, c,
+        epoch_us(ts) AS t,
+        LAST_VALUE(c IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pc,
+        LAST_VALUE(CASE WHEN c IS NOT NULL THEN epoch_us(ts) END
+                   IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
+        FIRST_VALUE(c IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nc,
+        FIRST_VALUE(CASE WHEN c IS NOT NULL THEN epoch_us(ts) END
+                    IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt
+      FROM v),
+i AS (SELECT event_type,
+             CAST(pc AS DOUBLE)
+             + (CAST(nc AS DOUBLE) - CAST(pc AS DOUBLE))
+               * (CAST(t - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+                 AS interp
+      FROM w WHERE c IS NULL AND pc IS NOT NULL AND nc IS NOT NULL)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS interp_rows,
+       CAST(SUM(CAST(ROUND(interp * 10000, 0) AS BIGINT)) AS BIGINT)
+           AS interp_qsum
+FROM i GROUP BY event_type ORDER BY event_type""")
+def linear_interp_value_sum(sf_dir: str) -> pd.DataFrame:
+    """Time-weighted linear-interpolation imputation (the upgrade of
+    LOCF for dropout gaps): each 'error' row between two of its
+    user's observations takes pc + (nc − pc)·(Δt_prev/Δt_span) —
+    exact-µs times and integer-cent endpoints feed ONE float
+    expression both engines evaluate in the same order, then each row
+    quantizes to an int64 tenth-milli-cent so the per-type SUM is
+    exact under any summation order (the Q1 micro-quantization rule:
+    rint can't sit on a .5 that the rational value doesn't). Rows
+    before a user's first / after its last observation stay null and
+    drop, exactly like the oracle's IGNORE NULLS frames. User-hash
+    buckets make the whole fill one vectorized cythonized
+    groupby-shift/ffill/bfill pass per bucket."""
+    from webalizer_ray.stages.aggregate import key_bucket
+
+    ds = _events(sf_dir, ["ts", "event_id", "user_id", "event_type",
+                          "value"])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.rint(df["value"].to_numpy(np.float64) * 100)
+        c[df["event_type"].to_numpy(object) == "error"] = np.nan
+        out = pd.DataFrame({
+            "user_id": df["user_id"], "ts": df["ts"],
+            "event_id": df["event_id"],
+            "event_type": df["event_type"], "c": c,
+            "t": df["ts"].to_numpy("datetime64[us]")
+            .astype(np.int64)})
+        out["_h"] = key_bucket(out, ["user_id"], 64)
+        return out
+
+    def interp(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        grp = g.groupby("user_id", sort=False)
+        tc = g["t"].where(g["c"].notna()).astype(np.float64)
+        g["pc"] = grp["c"].shift()
+        g["pc"] = grp["pc"].ffill()
+        g["pt"] = tc.groupby(g["user_id"], sort=False).shift()
+        g["pt"] = g.groupby("user_id", sort=False)["pt"].ffill()
+        g["nc"] = grp["c"].shift(-1)
+        g["nc"] = g.groupby("user_id", sort=False)["nc"].bfill()
+        g["nt"] = tc.groupby(g["user_id"], sort=False).shift(-1)
+        g["nt"] = g.groupby("user_id", sort=False)["nt"].bfill()
+        m = g["c"].isna() & g["pc"].notna() & g["nc"].notna()
+        s = g[m]
+        pc = s["pc"].to_numpy(np.float64)
+        nc = s["nc"].to_numpy(np.float64)
+        val = pc + (nc - pc) * ((s["t"].to_numpy(np.float64)
+                                 - s["pt"].to_numpy(np.float64))
+                                / (s["nt"].to_numpy(np.float64)
+                                   - s["pt"].to_numpy(np.float64)))
+        return pd.DataFrame({
+            "event_type": s["event_type"].to_numpy(),
+            "interp_rows": np.ones(len(s), np.int64),
+            "interp_qsum": np.rint(val * 10000).astype(np.int64)})
+
+    agg = reduce_sink(
+        (ds.map_batches(add_bucket, batch_format="pandas")
+         .groupby("_h").map_groups(interp, batch_format="pandas")),
+        ["event_type"], {"interp_rows": ("interp_rows", "sum"),
+                         "interp_qsum": ("interp_qsum", "sum")}) \
+        .to_pandas()
+    for c in ("interp_rows", "interp_qsum"):
+        agg[c] = agg[c].astype(np.int64)
+    return agg.sort_values("event_type", ignore_index=True)
+
+
+@register("knn_mutual_pairs", sql="""
+WITH sims AS (
+  SELECT a.vec_id AS node, b.vec_id AS neighbor,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6)
+             AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id),
+r AS (SELECT node, neighbor, cosine,
+             ROW_NUMBER() OVER (PARTITION BY node
+                                ORDER BY cosine DESC, neighbor) AS rank
+      FROM sims),
+t1 AS (SELECT node, neighbor, cosine FROM r WHERE rank = 1)
+SELECT a.node AS id_a, a.neighbor AS id_b, a.cosine AS cosine
+FROM t1 a JOIN t1 b ON a.node = b.neighbor AND a.neighbor = b.node
+WHERE a.node < a.neighbor
+ORDER BY id_a""")
+def knn_mutual_pairs(sf_dir: str) -> pd.DataFrame:
+    """Reciprocal best matches (mutual nearest neighbors): pairs that
+    are each other's top-1 — the high-precision match criterion
+    record-linkage and bitext-mining pipelines use before any
+    threshold tuning (cf. Artetxe & Schwenk, margin-based mining).
+    Pure composition: derive rank-1 edges from the already
+    oracle-exact knn_graph and keep the symmetric ones with one
+    self-merge of the tiny edge list."""
+    g = knn_graph(sf_dir)
+    t1 = g[g["rank"] == 1][["node", "neighbor", "cosine"]]
+    m = t1.merge(t1, left_on=["node", "neighbor"],
+                 right_on=["neighbor", "node"], suffixes=("", "_r"))
+    m = m[m["node"] < m["neighbor"]]
+    out = pd.DataFrame({
+        "id_a": m["node"].to_numpy(np.int64),
+        "id_b": m["neighbor"].to_numpy(np.int64),
+        "cosine": m["cosine"].to_numpy(np.float64)})
+    return out.sort_values("id_a", ignore_index=True)
+
+
+@register("part_name_entity_clusters", sql="""
+WITH RECURSIVE n AS (SELECT DISTINCT p_name AS key FROM part),
+e0 AS (SELECT a.key AS a, b.key AS b FROM n a JOIN n b ON a.key < b.key
+       WHERE levenshtein(a.key, b.key) <= 2),
+e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+walk(node, rep) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT e.b, w.rep FROM e JOIN walk w ON e.a = w.node),
+comp AS (SELECT node, MIN(rep) AS rep FROM walk GROUP BY node),
+sizes AS (SELECT rep, COUNT(*) AS sz FROM comp GROUP BY rep),
+hist AS (SELECT sz AS cluster_size,
+                CAST(COUNT(*) AS BIGINT) AS n_clusters
+         FROM sizes GROUP BY sz
+         UNION ALL
+         SELECT 1, (SELECT COUNT(*) FROM n)
+                   - (SELECT COUNT(*) FROM comp))
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(SUM(n_clusters) AS BIGINT) AS n_clusters
+FROM hist GROUP BY cluster_size ORDER BY cluster_size""")
+def part_name_entity_clusters(sf_dir: str) -> pd.DataFrame:
+    """End-to-end entity resolution composed from two verified
+    primitives: PassJoin edit-distance matching (exact recall at
+    k <= 2) supplies the match edges, connected components folds them
+    into entities, and names outside every match pair stay singleton
+    entities by arithmetic (total − clustered) — no second scan.
+    Cluster rep = min member (string order == the sorted-factorize
+    integer order CC runs on), so the size histogram is deterministic
+    on both engines. Oracle: brute-force levenshtein self-join +
+    recursive-CTE min-label closure + the same singleton fold."""
+    from webalizer_ray.stages.dedup import connected_components
+    from webalizer_ray.stages.simjoin import edit_distance_join
+
+    names = rd.read_parquet(f"{sf_dir}/part.parquet",
+                            columns=["p_name"]).map_batches(
+        lambda df: df.rename(columns={"p_name": "key"}),
+        batch_format="pandas")
+    n_names = reduce_sink(names, ["key"],
+                          {"c": ("key", "size")}).count()
+    pairs = edit_distance_join(names, k=2)
+    if not len(pairs):
+        return pd.DataFrame({
+            "cluster_size": np.array([1], np.int64),
+            "n_clusters": np.array([n_names], np.int64)})
+    # factorize pair-endpoint strings in SORTED order so min int id
+    # == min string — the rep convention the oracle's MIN(rep) uses
+    vocab = np.unique(np.concatenate([pairs["a"].to_numpy(object),
+                                      pairs["b"].to_numpy(object)]))
+    comp = connected_components(pd.DataFrame({
+        "id_a": np.searchsorted(vocab, pairs["a"].to_numpy(object)),
+        "id_b": np.searchsorted(vocab, pairs["b"].to_numpy(object))}))
+    sizes = comp.groupby("cluster_id").size().value_counts() \
+        .sort_index()
+    hist = pd.DataFrame({
+        "cluster_size": sizes.index.to_numpy(np.int64),
+        "n_clusters": sizes.to_numpy(np.int64)})
+    singletons = n_names - len(comp)
+    hist = pd.concat([hist, pd.DataFrame(
+        {"cluster_size": np.array([1], np.int64),
+         "n_clusters": np.array([singletons], np.int64)})],
+        ignore_index=True)
+    out = hist.groupby("cluster_size", as_index=False)["n_clusters"] \
+        .sum().sort_values("cluster_size", ignore_index=True)
+    return out.astype(np.int64)
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

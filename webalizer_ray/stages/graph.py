@@ -288,3 +288,220 @@ def triangle_count(edges: rd.Dataset | pd.DataFrame,
         if len(stats) else 0
     return {"n_nodes": int(n_nodes), "n_edges": int(stats["m"].sum()),
             "n_triangles": int(tri["t"].sum())}
+
+
+def bfs_levels(edges: rd.Dataset | pd.DataFrame, roots,
+               max_depth: int = 6, src_col: str = "src",
+               dst_col: str = "dst",
+               num_partitions: int = 8) -> rd.Dataset:
+    """Multi-source BFS: MIN hop distance from ``roots`` for every
+    node reachable within ``max_depth`` (directed — feed both
+    directions for an undirected graph). Returns a Dataset of
+    (node, level).
+
+    The frontier superstep is the CC/PageRank co-partitioned message
+    pattern (NOT Dataset.join — the Ray 2.49 hash join chokes on
+    empty/mixed-format partitions): edge rows keyed by src (tag 1,
+    bucketed once, reused every superstep) union frontier rows keyed
+    by node (tag 0); one vectorized isin per bucket emits (dst,
+    level+1) candidates, a key-level MIN reduce merges them into the
+    known-level state, and the next frontier is exactly the rows
+    whose min level equals the new depth (a node re-reached later
+    can never lower its level, so a node's level is final the first
+    time it appears). State and frontier stay DISTRIBUTED across
+    supersteps — the driver sees one count per round; only
+    (node, level) rows ever shuffle. Terminates early on an empty
+    frontier. Equivalent to the oracle's recursive-CTE MIN(level)
+    with the same depth cap."""
+    from webalizer_ray.stages.aggregate import reduce_sink
+
+    if isinstance(edges, pd.DataFrame):
+        edges = rd.from_pandas(edges[[src_col, dst_col]])
+
+    _BFS_MSG = pa.schema([("_h", pa.int32()), ("key", pa.int64()),
+                          ("dst", pa.int64()), ("tag", pa.int8())])
+
+    def edge_msgs(df: pd.DataFrame) -> pa.Table:
+        s = df[src_col].to_numpy(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(_bucket(s, num_partitions)), pa.array(s),
+             pa.array(df[dst_col].to_numpy(np.int64)),
+             pa.array(np.ones(len(s), dtype=np.int8))],
+            schema=_BFS_MSG)
+
+    # edges bucketed ONCE; every superstep reuses the materialized blocks
+    emsgs = edges.map_batches(edge_msgs,
+                              batch_format="pandas").materialize()
+
+    def _typed_state(df: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            "node": pa.array(df["node"].to_numpy(np.int64), pa.int64()),
+            "level": pa.array(df["level"].to_numpy(np.int64),
+                              pa.int64())})
+
+    roots = np.asarray(sorted(set(int(r) for r in roots)),
+                       dtype=np.int64)
+    state = rd.from_pandas(pd.DataFrame({
+        "node": roots, "level": np.zeros(len(roots), np.int64)})) \
+        .map_batches(_typed_state, batch_format="pandas").materialize()
+    frontier, n_front = state, len(roots)
+
+    def front_msgs(df: pd.DataFrame) -> pa.Table:
+        n = df["node"].to_numpy(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(_bucket(n, num_partitions)), pa.array(n),
+             pa.array(np.zeros(len(n), dtype=np.int64)),
+             pa.array(np.zeros(len(n), dtype=np.int8))],
+            schema=_BFS_MSG)
+
+    for depth in range(1, max_depth + 1):
+        def expand(g: pd.DataFrame, _d=depth) -> pd.DataFrame:
+            # one vectorized membership test per bucket: edges whose
+            # src is in this bucket's frontier slice emit (dst, depth)
+            f = g.loc[g["tag"] == 0, "key"]
+            e = g[g["tag"] == 1]
+            hit = e.loc[e["key"].isin(f), "dst"]
+            return pd.DataFrame({
+                "node": hit.to_numpy(np.int64),
+                "level": np.full(len(hit), _d, dtype=np.int64)})
+
+        cand = (emsgs.union(frontier.map_batches(
+                    front_msgs, batch_format="pandas"))
+                .groupby("_h").map_groups(expand, batch_format="pandas")
+                .union(state))
+        state = reduce_sink(cand, ["node"],
+                            {"level": ("level", "min")}).materialize()
+
+        def front(df: pd.DataFrame, _d=depth) -> pa.Table:
+            sel = df[df["level"] == _d]
+            return _typed_state(sel)
+
+        frontier = state.map_batches(front,
+                                     batch_format="pandas").materialize()
+        n_front = frontier.count()
+        if n_front == 0:
+            break
+
+    return state
+
+
+def sssp_distances(edges: rd.Dataset | pd.DataFrame, roots,
+                   max_hops: int = 6, src_col: str = "src",
+                   dst_col: str = "dst", weight_col: str = "w",
+                   num_partitions: int = 8) -> rd.Dataset:
+    """Multi-source SSSP (Bellman-Ford relaxation): MIN total integer
+    path weight from ``roots`` over paths of at most ``max_hops``
+    edges (directed; non-negative int64 weights keep every distance
+    exact). Returns a Dataset of (node, dist).
+
+    Same co-partitioned superstep family as bfs_levels, with the
+    improvement test folded INTO the per-bucket merge so each round
+    costs ONE groupby: frontier rows (tag 0, carrying dist) and
+    pre-bucketed edge rows (tag 1) meet in src-hash buckets where one
+    vectorized merge emits (dst, dist + w) candidates; those union the
+    old state (tag 0) into node-hash buckets where a per-node min
+    decides both the new state and the next frontier (strictly
+    improved or newly reached — the standard Bellman-Ford frontier
+    optimization, exact for <= k-edge paths after k rounds). State
+    and frontier never gather; the driver sees one count per round.
+    Oracle shape: recursive-CTE walk carrying (node, cost, depth
+    < max_hops), MIN(cost) at the end."""
+    if isinstance(edges, pd.DataFrame):
+        edges = rd.from_pandas(edges[[src_col, dst_col, weight_col]])
+
+    _MSG = pa.schema([("_h", pa.int32()), ("key", pa.int64()),
+                      ("dst", pa.int64()), ("dist", pa.int64()),
+                      ("tag", pa.int8())])
+
+    def edge_msgs(df: pd.DataFrame) -> pa.Table:
+        s = df[src_col].to_numpy(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(_bucket(s, num_partitions)), pa.array(s),
+             pa.array(df[dst_col].to_numpy(np.int64)),
+             pa.array(df[weight_col].to_numpy(np.int64)),
+             pa.array(np.ones(len(s), dtype=np.int8))],
+            schema=_MSG)
+
+    emsgs = edges.map_batches(edge_msgs,
+                              batch_format="pandas").materialize()
+
+    _STATE = pa.schema([("node", pa.int64()), ("dist", pa.int64())])
+
+    def typed_state(df: pd.DataFrame) -> pa.Table:
+        return pa.Table.from_arrays(
+            [pa.array(df["node"].to_numpy(np.int64)),
+             pa.array(df["dist"].to_numpy(np.int64))], schema=_STATE)
+
+    roots = np.asarray(sorted(set(int(r) for r in roots)),
+                       dtype=np.int64)
+    state = rd.from_pandas(pd.DataFrame({
+        "node": roots, "dist": np.zeros(len(roots), np.int64)})) \
+        .map_batches(typed_state, batch_format="pandas").materialize()
+    frontier, n_front = state, len(roots)
+
+    def front_msgs(df: pd.DataFrame) -> pa.Table:
+        n = df["node"].to_numpy(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(_bucket(n, num_partitions)), pa.array(n),
+             pa.array(np.zeros(len(n), dtype=np.int64)),
+             pa.array(df["dist"].to_numpy(np.int64)),
+             pa.array(np.zeros(len(n), dtype=np.int8))],
+            schema=_MSG)
+
+    def relax(g: pd.DataFrame) -> pa.Table:
+        # frontier dists merge onto this bucket's out-edges: one
+        # vectorized merge per bucket, candidates = dist + w
+        f = g[g["tag"] == 0][["key", "dist"]]
+        e = g[g["tag"] == 1][["key", "dst", "dist"]] \
+            .rename(columns={"dist": "w"})
+        m = e.merge(f, on="key")
+        return pa.Table.from_arrays(
+            [pa.array(m["dst"].to_numpy(np.int64)),
+             pa.array(m["w"].to_numpy(np.int64)
+                      + m["dist"].to_numpy(np.int64))], schema=_STATE)
+
+    # merge candidates with old state; per node the min wins, and a
+    # strict improvement (or first reach) seeds the next frontier
+    _MERGED = pa.schema([("node", pa.int64()), ("dist", pa.int64()),
+                         ("imp", pa.int8())])
+
+    def tag_rows(tag: int):
+        def f(df: pd.DataFrame, _t=tag) -> pd.DataFrame:
+            out = df[["node", "dist"]].copy()
+            out["tag"] = np.int8(_t)
+            out["_h"] = _bucket(out["node"].to_numpy(np.int64),
+                                num_partitions)
+            return out
+        return f
+
+    def settle(g: pd.DataFrame) -> pa.Table:
+        best = g.groupby("node", sort=False)["dist"].min()
+        old = g[g["tag"] == 0].groupby("node", sort=False)["dist"].min()
+        old = old.reindex(best.index)
+        imp = (old.isna() | (best < old)).to_numpy()
+        return pa.Table.from_arrays(
+            [pa.array(best.index.to_numpy(np.int64)),
+             pa.array(best.to_numpy(np.int64)),
+             pa.array(imp.astype(np.int8))], schema=_MERGED)
+
+    for _ in range(max_hops):
+        cand = (emsgs.union(frontier.map_batches(
+                    front_msgs, batch_format="pandas"))
+                .groupby("_h").map_groups(relax, batch_format="pandas"))
+        merged = (state.map_batches(tag_rows(0), batch_format="pandas")
+                  .union(cand.map_batches(tag_rows(1),
+                                          batch_format="pandas"))
+                  .groupby("_h").map_groups(settle,
+                                            batch_format="pandas")
+                  .materialize())
+        state = merged.map_batches(
+            lambda df: typed_state(df), batch_format="pandas") \
+            .materialize()
+        frontier = merged.map_batches(
+            lambda df: typed_state(df[df["imp"] == 1]),
+            batch_format="pandas").materialize()
+        n_front = frontier.count()
+        if n_front == 0:
+            break
+
+    return state

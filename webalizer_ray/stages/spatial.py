@@ -102,3 +102,94 @@ def grid_distance_join(points: rd.Dataset, radius: int,
         .map_batches(add_bucket, batch_format="pandas")
     return rep.groupby("_cell").map_groups(cell_pairs,
                                            batch_format="pandas")
+
+
+def dbscan_labels(points: rd.Dataset, radius: int, min_pts: int = 3,
+                  id_col: str = "id", x_col: str = "x",
+                  y_col: str = "y") -> tuple[pd.DataFrame, int]:
+    """Grid DBSCAN (Ester et al. KDD 1996) composed from the exact
+    grid distance join above and connected components (dedup.py).
+
+    A point is CORE iff its ε-neighborhood holds >= ``min_pts`` points
+    (the point itself included, the textbook convention). Clusters are
+    the connected components of core points under ε-adjacency, labeled
+    by their min member id; BORDER points (non-core with >= 1 core
+    neighbor) attach to the MIN cluster rep among their core
+    neighbors — textbook DBSCAN leaves multi-cluster border ties
+    scan-order-dependent; the min rule makes the labeling
+    deterministic and SQL-checkable. Everything heavy stays
+    distributed: the pair set never gathers, degrees reduce as
+    (id, n) partials, border assignment reduces as (node, rep) min
+    partials. The core-id set and core→rep map broadcast once
+    (``ray.put`` — the sparse-map pattern shared with the
+    leakage-safe split); at extreme core cardinality swap them for
+    the co-partitioned tagged-union merge CC itself uses.
+
+    Returns ``(member, n_noise)``: member has one (node, rep) row per
+    clustered point (core + border); noise = everything else.
+    """
+    import ray
+
+    from webalizer_ray.stages.aggregate import reduce_sink
+    from webalizer_ray.stages.dedup import connected_components
+
+    n_total = points.count()
+    pairs = grid_distance_join(points, radius, id_col=id_col,
+                               x_col=x_col, y_col=y_col).materialize()
+
+    def endpoints(df: pd.DataFrame) -> pd.DataFrame:
+        ids = np.concatenate([df["id_a"].to_numpy(np.int64),
+                              df["id_b"].to_numpy(np.int64)])
+        return pd.DataFrame({"id": ids,
+                             "n": np.ones(len(ids), np.int64)})
+
+    deg = reduce_sink(pairs.map_batches(endpoints,
+                                        batch_format="pandas"),
+                      ["id"], {"n": ("n", "sum")}) \
+        .filter(expr=f"n >= {min_pts - 1}").to_pandas()
+    empty = pd.DataFrame({"node": pd.Series(dtype=np.int64),
+                          "rep": pd.Series(dtype=np.int64)})
+    if not len(deg):                 # no core points: all noise
+        return empty, int(n_total)
+    core_ids = np.sort(deg["id"].to_numpy(np.int64))
+    core_ref = ray.put(core_ids)
+
+    def core_edges(df: pd.DataFrame) -> pd.DataFrame:
+        core = ray.get(core_ref)
+        a = df["id_a"].to_numpy(np.int64)
+        b = df["id_b"].to_numpy(np.int64)
+        m = np.isin(a, core) & np.isin(b, core)
+        return pd.DataFrame({"id_a": a[m], "id_b": b[m]})
+
+    comp = connected_components(
+        pairs.map_batches(core_edges, batch_format="pandas").to_pandas())
+    # isolated core points (no core neighbor) are singleton clusters
+    rep = core_ids.copy()
+    if len(comp):
+        pos = np.searchsorted(core_ids, comp["node"].to_numpy(np.int64))
+        rep[pos] = comp["cluster_id"].to_numpy(np.int64)
+    rep_ref = ray.put(rep)
+
+    def border_cand(df: pd.DataFrame) -> pd.DataFrame:
+        core = ray.get(core_ref)
+        reps = ray.get(rep_ref)
+        a = df["id_a"].to_numpy(np.int64)
+        b = df["id_b"].to_numpy(np.int64)
+        ca, cb = np.isin(a, core), np.isin(b, core)
+        m1 = ca & ~cb                # a core, b border candidate
+        m2 = cb & ~ca
+        node = np.concatenate([b[m1], a[m2]])
+        neigh = np.concatenate([a[m1], b[m2]])
+        return pd.DataFrame({
+            "node": node,
+            "rep": reps[np.searchsorted(core, neigh)]})
+
+    border = reduce_sink(pairs.map_batches(border_cand,
+                                           batch_format="pandas"),
+                         ["node"], {"rep": ("rep", "min")}).to_pandas()
+    member = pd.DataFrame({"node": core_ids, "rep": rep})
+    if len(border):
+        member = pd.concat(
+            [member, border[["node", "rep"]].astype(np.int64)],
+            ignore_index=True)
+    return member, int(n_total - len(member))
