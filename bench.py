@@ -138,7 +138,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "geo_dbscan_cluster_sizes",
                      "doc_term_triples",
                      "part_name_entity_clusters",
-                     "linear_interp_value_sum"]:
+                     "linear_interp_value_sum",
+                     # round-2 fifth-continuation additions
+                     "user_value_skyline", "chi_square_type_hour"]:
             fn = Q.REGISTRY[name][0]
             t0 = time.perf_counter()
             fn(sf_dir)

@@ -9833,6 +9833,96 @@ def part_name_entity_clusters(sf_dir: str) -> pd.DataFrame:
     return out.astype(np.int64)
 
 
+@register("user_value_skyline", sql="""
+WITH u AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                      AS value_cents
+           FROM events GROUP BY user_id)
+SELECT a.user_id, a.n_events, a.value_cents
+FROM u a
+WHERE NOT EXISTS (
+  SELECT 1 FROM u b
+  WHERE b.n_events >= a.n_events AND b.value_cents >= a.value_cents
+    AND (b.n_events > a.n_events OR b.value_cents > a.value_cents))
+ORDER BY user_id""")
+def user_value_skyline(sf_dir: str) -> pd.DataFrame:
+    """Skyline / Pareto frontier (Börzsönyi et al., ICDE 2001): users
+    undominated on (activity, spend) — the multi-criteria 'best'
+    operator behind leaderboards and trade-off exploration. The
+    per-user aggregate is the usual cents-quantized partial reduce;
+    the skyline itself is mergeable (stages/skyline.py), so only
+    block-local frontiers reach the driver. Oracle: the textbook
+    NOT EXISTS dominance anti-join."""
+    from webalizer_ray.stages.skyline import skyline_2d
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "_one": np.ones(len(df), np.int64),
+            "value_cents": np.rint(df["value"].to_numpy() * 100)
+            .astype(np.int64)})
+
+    per_user = reduce_sink(
+        _events(sf_dir, ["user_id", "value"])
+        .map_batches(cents, batch_format="pandas"),
+        ["user_id"], {"n_events": ("_one", "sum"),
+                      "value_cents": ("value_cents", "sum")})
+    out = skyline_2d(per_user, "n_events", "value_cents")
+    for c in ("user_id", "n_events", "value_cents"):
+        out[c] = out[c].astype(np.int64)
+    return out[["user_id", "n_events", "value_cents"]] \
+        .sort_values("user_id", ignore_index=True)
+
+
+@register("chi_square_type_hour", sql="""
+WITH c AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+r AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS rn FROM c GROUP BY 1),
+k AS (SELECT hour, CAST(SUM(n) AS BIGINT) AS cn FROM c GROUP BY 1),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM c),
+g AS (SELECT r.event_type, k.hour, COALESCE(c.n, 0) AS observed,
+             (r.rn * k.cn) / t.tot AS expected
+      FROM r CROSS JOIN k CROSS JOIN t
+      LEFT JOIN c ON c.event_type = r.event_type AND c.hour = k.hour)
+SELECT event_type, hour, CAST(observed AS BIGINT) AS observed,
+       ROUND(expected, 6) AS expected,
+       ROUND((observed - expected) * (observed - expected) / expected,
+             6) AS contrib
+FROM g ORDER BY event_type, hour""")
+def chi_square_type_hour(sf_dir: str) -> pd.DataFrame:
+    """Chi-square independence test cells (event_type x hour-of-day):
+    observed vs expected-under-independence and each cell's χ²
+    contribution. The heavy work is ONE contingency count reduce
+    (output = |types| x 24 at ANY corpus size); the closed form runs
+    on the tiny table in oracle expression order — integer marginal
+    products divided once, (o-e)*(o-e)/e with e computed exactly
+    once, so both engines execute the identical float expression
+    tree. Zero-observed cells are materialized from the marginal
+    cross product (textbook χ² sums over ALL cells)."""
+    obs = reduce_sink(
+        _events(sf_dir, ["ts", "event_type"])
+        .map_batches(_with_time_cols({"hour"}), batch_format="pyarrow"),
+        ["event_type", "hour"], {"n": ("hour", "size")}).to_pandas()
+    rn = obs.groupby("event_type")["n"].sum()
+    cn = obs.groupby("hour")["n"].sum()
+    tot = int(obs["n"].sum())
+    grid = pd.MultiIndex.from_product(
+        [sorted(rn.index), sorted(cn.index)],
+        names=["event_type", "hour"]).to_frame(index=False)
+    grid = grid.merge(obs, how="left").fillna({"n": 0})
+    o = grid["n"].to_numpy(np.int64)
+    e = (rn.loc[grid["event_type"]].to_numpy(np.int64)
+         * cn.loc[grid["hour"]].to_numpy(np.int64)) / tot
+    return pd.DataFrame({
+        "event_type": grid["event_type"],
+        "hour": grid["hour"].to_numpy(np.int64),
+        "observed": o,
+        "expected": np.round(e, 6),
+        "contrib": np.round((o - e) * (o - e) / e, 6),
+    }).sort_values(["event_type", "hour"], ignore_index=True)
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
