@@ -140,7 +140,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "part_name_entity_clusters",
                      "linear_interp_value_sum",
                      # round-2 fifth-continuation additions
-                     "user_value_skyline", "chi_square_type_hour"]:
+                     "user_value_skyline", "chi_square_type_hour",
+                     "user_max_streak", "spearman_activity_value"]:
             fn = Q.REGISTRY[name][0]
             t0 = time.perf_counter()
             fn(sf_dir)

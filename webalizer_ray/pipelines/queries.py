@@ -9923,6 +9923,311 @@ def chi_square_type_hour(sf_dir: str) -> pd.DataFrame:
     }).sort_values(["event_type", "hour"], ignore_index=True)
 
 
+@register("user_max_streak", sql="""
+WITH d AS (SELECT DISTINCT user_id,
+                  CAST(date_diff('day', DATE '1970-01-01',
+                                 CAST(ts AS DATE)) AS BIGINT) AS day
+           FROM events),
+r AS (SELECT user_id, day,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY day) AS BIGINT) AS rn
+      FROM d),
+i AS (SELECT user_id, day - rn AS island,
+             CAST(COUNT(*) AS BIGINT) AS len
+      FROM r GROUP BY 1, 2)
+SELECT user_id, CAST(MAX(len) AS BIGINT) AS max_streak,
+       CAST(SUM(len) AS BIGINT) AS active_days
+FROM i GROUP BY user_id ORDER BY user_id""")
+def user_max_streak(sf_dir: str) -> pd.DataFrame:
+    """Longest consecutive-active-day streak per user (the classic
+    gaps-and-islands ROW_NUMBER trick, run distributed): phase 1 is an
+    exact two-phase DISTINCT of (user, day) — only deduped day rows
+    shuffle; phase 2 buckets by user (a user's days never span
+    buckets) and finds islands with one vectorized scan per bucket
+    (island id = day − rank-within-user, constant within a run of
+    consecutive days). Only per-user (max_streak, active_days) rows
+    leave the cluster."""
+    def days(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "day": df["ts"].to_numpy().astype("datetime64[D]")
+            .astype(np.int64)})
+
+    distinct = reduce_sink(
+        _events(sf_dir, ["user_id", "ts"])
+        .map_batches(days, batch_format="pandas"),
+        ["user_id", "day"], {"_n": ("day", "size")})
+
+    def streaks(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "day"], ignore_index=True)
+        u = df["user_id"].to_numpy(np.int64)
+        d = df["day"].to_numpy(np.int64)
+        new = np.ones(len(df), dtype=bool)
+        new[1:] = (u[1:] != u[:-1]) | (d[1:] != d[:-1] + 1)
+        isl = np.cumsum(new)
+        lens = pd.DataFrame({"user_id": u, "isl": isl}) \
+            .groupby(["user_id", "isl"], sort=False).size() \
+            .reset_index(name="len")
+        out = lens.groupby("user_id", sort=False) \
+            .agg(max_streak=("len", "max"), active_days=("len", "sum")) \
+            .reset_index()
+        return out.astype(np.int64)
+
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket_"] = (df["user_id"].to_numpy(np.int64) % 32) \
+            .astype(np.int32)
+        return df
+
+    out = (distinct.map_batches(with_bucket, batch_format="pandas")
+           .groupby("bucket_")
+           .map_groups(lambda g: streaks(g.drop(columns=["bucket_"])),
+                       batch_format="pandas")).to_pandas()
+    return out.sort_values("user_id", ignore_index=True)
+
+
+@register("value_equidepth_hist", sql="""
+WITH r AS (SELECT value, event_id,
+                  NTILE(10) OVER (ORDER BY value, event_id) AS bin
+           FROM events)
+SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MIN(value), 6) AS lo, ROUND(MAX(value), 6) AS hi,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+           AS value_cents
+FROM r GROUP BY bin ORDER BY bin""")
+def value_equidepth_hist(sf_dir: str) -> pd.DataFrame:
+    """Equi-depth (NTILE) histogram of event value — the
+    optimizer-statistics / quantile-binning primitive. Bin assignment
+    is the SQL-NTILE closed form over scan.global_rank's exact
+    (value, event_id) rank (range-bucketed ranks, NO global sort
+    shuffle — equal values can't straddle buckets, so ranks and
+    therefore bins are bit-identical to the window function); bin
+    boundaries and the cents mass come from one reduce over the
+    10-row key space. Nothing but 10 summary rows reaches the
+    driver."""
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["cents"] = np.rint(df["value"].to_numpy(np.float64)
+                              * 100).astype(np.int64)
+        return df
+
+    u = _events(sf_dir, ["event_id", "value"]) \
+        .map_batches(prep, batch_format="pandas").materialize()
+    n = u.count()
+    ranked = scan.global_rank(u, "value", "event_id", out_col="rnk",
+                              num_buckets=16)
+
+    q, rem = divmod(n, 10)
+    big = rem * (q + 1)
+
+    def binned(df: pd.DataFrame) -> pd.DataFrame:
+        r = df["rnk"].to_numpy(np.int64)
+        df = df.copy()
+        df["bin"] = np.where(
+            r <= big, (r - 1) // max(q + 1, 1) + 1,
+            rem + (r - big - 1) // max(q, 1) + 1).astype(np.int64)
+        return df
+
+    out = reduce_sink(
+        ranked.map_batches(binned, batch_format="pandas"),
+        ["bin"], {"n": ("rnk", "size"), "lo": ("value", "min"),
+                  "hi": ("value", "max"),
+                  "value_cents": ("cents", "sum")}).to_pandas()
+    out["n"] = out["n"].astype(np.int64)
+    out["value_cents"] = out["value_cents"].astype(np.int64)
+    out["lo"] = out["lo"].round(6)
+    out["hi"] = out["hi"].round(6)
+    return out[["bin", "n", "lo", "hi", "value_cents"]] \
+        .sort_values("bin", ignore_index=True)
+
+
+@register("view_click_daily_crosscorr", sql="""
+WITH RECURSIVE
+b AS (SELECT CAST(date_diff('day', DATE '1970-01-01',
+                            MIN(CAST(ts AS DATE))) AS BIGINT) AS d0,
+             CAST(date_diff('day', MIN(CAST(ts AS DATE)),
+                            MAX(CAST(ts AS DATE))) AS BIGINT) AS span
+      FROM events),
+spine(t) AS (SELECT CAST(0 AS BIGINT)
+             UNION ALL
+             SELECT t + 1 FROM spine
+             WHERE t < (SELECT span FROM b)),
+c AS (SELECT CAST(date_diff('day', DATE '1970-01-01',
+                            CAST(ts AS DATE)) AS BIGINT)
+             - (SELECT d0 FROM b) AS t,
+             event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events WHERE event_type IN ('view', 'click')
+      GROUP BY 1, 2),
+sp AS (SELECT s.t, COALESCE(x.n, 0) AS xs, COALESCE(y.n, 0) AS ys
+       FROM spine s
+       LEFT JOIN c x ON x.t = s.t AND x.event_type = 'view'
+       LEFT JOIN c y ON y.t = s.t AND y.event_type = 'click'),
+l AS (SELECT UNNEST([0, 1, 2, 3, 4, 5, 6, 7]) AS lag),
+p AS (SELECT l.lag, a.xs AS xv, b2.ys AS yv
+      FROM l JOIN sp a ON TRUE
+             JOIN sp b2 ON b2.t = a.t + l.lag),
+m AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(xv) AS BIGINT) AS sx,
+             CAST(SUM(yv) AS BIGINT) AS sy,
+             CAST(SUM(xv * xv) AS BIGINT) AS sxx,
+             CAST(SUM(yv * yv) AS BIGINT) AS syy,
+             CAST(SUM(xv * yv) AS BIGINT) AS sxy
+      FROM p GROUP BY lag)
+SELECT CAST(lag AS BIGINT) AS lag, n AS n_days,
+       CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+            THEN ROUND((n * sxy - sx * sy) /
+                       sqrt(((n * sxx - sx * sx) * 1.0)
+                            * (n * syy - sy * sy)), 6)
+            END AS r
+FROM m ORDER BY lag""")
+def view_click_daily_crosscorr(sf_dir: str) -> pd.DataFrame:
+    """Lagged cross-correlation between two daily event series (does
+    'view' volume lead 'click' volume?): r(L) = Pearson(view_t,
+    click_{t+L}) for L = 0..7 over a FULL day spine (zero-count days
+    included — the textbook CCF needs the gaps). The cluster does ONE
+    (day, type) contingency reduce — |days| x 2 rows at any corpus
+    size; the per-lag sums are exact int64 over that tiny table, and
+    the closed form runs in oracle expression order so both engines
+    execute the identical float tree."""
+    def daily(df: pd.DataFrame) -> pd.DataFrame:
+        # keep ALL types: the spine bounds come from the full table and
+        # the contingency stays |days| x |types| — still tiny
+        return pd.DataFrame({
+            "t": df["ts"].to_numpy().astype("datetime64[D]")
+            .astype(np.int64),
+            "event_type": df["event_type"]})
+
+    counts = reduce_sink(
+        _events(sf_dir, ["ts", "event_type"])
+        .map_batches(daily, batch_format="pandas"),
+        ["t", "event_type"], {"n": ("t", "size")}).to_pandas()
+    d0 = int(counts["t"].min())
+    d1 = int(counts["t"].max())
+
+    span = d1 - d0 + 1
+    xs = np.zeros(span, dtype=np.int64)
+    ys = np.zeros(span, dtype=np.int64)
+    for col, arr in (("view", xs), ("click", ys)):
+        sub = counts[counts["event_type"] == col]
+        arr[sub["t"].to_numpy(np.int64) - d0] = \
+            sub["n"].to_numpy(np.int64)
+
+    rows = []
+    for lag in range(8):
+        xv, yv = xs[:span - lag], ys[lag:]
+        n = int(len(xv))
+        sx, sy = int(xv.sum()), int(yv.sum())
+        sxx, syy = int((xv * xv).sum()), int((yv * yv).sum())
+        sxy = int((xv * yv).sum())
+        va, vb = n * sxx - sx * sx, n * syy - sy * sy
+        r = float(textstats.round_half_away(
+            np.array([(n * sxy - sx * sy)
+                      / np.sqrt((va * 1.0) * vb)]), 6)[0]) \
+            if va > 0 and vb > 0 else None
+        rows.append((lag, n, r))
+    return pd.DataFrame(rows, columns=["lag", "n_days", "r"]) \
+        .astype({"lag": np.int64, "n_days": np.int64})
+
+
+@register("spearman_activity_value", sql="""
+WITH u AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x,
+                  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                       AS BIGINT) AS y
+           FROM events GROUP BY 1),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM u),
+r AS (SELECT 2 * CAST(RANK() OVER (ORDER BY x) AS BIGINT)
+             + CAST(COUNT(*) OVER (PARTITION BY x) AS BIGINT) - 1
+             - ((SELECT n FROM nn) + 1) AS cx,
+             2 * CAST(RANK() OVER (ORDER BY y) AS BIGINT)
+             + CAST(COUNT(*) OVER (PARTITION BY y) AS BIGINT) - 1
+             - ((SELECT n FROM nn) + 1) AS cy
+      FROM u),
+m AS (SELECT CAST(SUM(cx * cy) AS BIGINT) AS sxy,
+             CAST(SUM(cx * cx) AS BIGINT) AS sxx,
+             CAST(SUM(cy * cy) AS BIGINT) AS syy
+      FROM r)
+SELECT (SELECT n FROM nn) AS users,
+       CASE WHEN sxx > 0 AND syy > 0
+            THEN ROUND(sxy / sqrt((sxx * 1.0) * syy), 6) END AS rho
+FROM m""")
+def spearman_activity_value(sf_dir: str) -> pd.DataFrame:
+    """Spearman rank correlation (tie-averaged) between per-user
+    activity and spend — the robust dependence screen Pearson can't
+    give on heavy-tailed data. Exact everywhere: tie-averaged ranks
+    are kept INTEGER by doubling (2·avgrank = 2·minrank + ties − 1)
+    and centering by the constant mean n+1, so every moment is an
+    int64 sum and the single float division happens once, in oracle
+    expression order. Distribution: one per-user reduce, two
+    scan.global_rank passes (no global sort), per-key tie stats as a
+    second tiny reduce — the x map (distinct activity counts) and the
+    ties-only y map broadcast; only 3 scalar moments leave."""
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "_one": np.ones(len(df), np.int64),
+            "y": np.rint(df["value"].to_numpy(np.float64) * 100)
+            .astype(np.int64)})
+
+    u = reduce_sink(
+        _events(sf_dir, ["user_id", "value"])
+        .map_batches(cents, batch_format="pandas"),
+        ["user_id"], {"x": ("_one", "sum"), "y": ("y", "sum")})
+
+    def floats(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["x_f"] = df["x"].to_numpy(np.int64).astype(np.float64)
+        df["y_f"] = df["y"].to_numpy(np.int64).astype(np.float64)
+        return df
+
+    u = u.map_batches(floats, batch_format="pandas").materialize()
+    n = u.count()
+    ranked = scan.global_rank(u, "x_f", "user_id", out_col="rx",
+                              num_buckets=8)
+    ranked = scan.global_rank(ranked, "y_f", "user_id", out_col="ry",
+                              num_buckets=8).materialize()
+
+    # per-key tie stats: RANK() = min(row_number) over the key, ties =
+    # count.  x has few distinct values (activity counts) -> full map;
+    # y is near-unique -> broadcast ONLY the tied keys (rows with
+    # ties=1 use ry directly: 2*minrank+0 = 2*row_number)
+    xstats = reduce_sink(ranked, ["x"],
+                         {"mn": ("rx", "min"), "ct": ("rx", "size")}) \
+        .to_pandas()
+    xmap = {int(k): 2 * int(m) + int(c) - 1 - (n + 1)
+            for k, m, c in zip(xstats["x"], xstats["mn"], xstats["ct"])}
+    ystats = reduce_sink(ranked, ["y"],
+                         {"mn": ("ry", "min"), "ct": ("ry", "size")}) \
+        .map_batches(lambda df: df[df["ct"] > 1],
+                     batch_format="pandas").to_pandas()
+    # no tied y at all -> empty blocks lose their schema (Ray 2.49)
+    ymap = {} if ystats.empty else \
+        {int(k): 2 * int(m) + int(c) - 1 - (n + 1)
+         for k, m, c in zip(ystats["y"], ystats["mn"], ystats["ct"])}
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        cx = df["x"].map(xmap).to_numpy(np.int64)
+        y = df["y"].to_numpy(np.int64)
+        cy = 2 * df["ry"].to_numpy(np.int64) - (n + 1)
+        tied = df["y"].map(ymap)
+        cy = np.where(tied.notna(), tied.fillna(0).to_numpy(np.int64),
+                      cy)
+        return pd.DataFrame({"k": [0],
+                             "sxy": [int((cx * cy).sum())],
+                             "sxx": [int((cx * cx).sum())],
+                             "syy": [int((cy * cy).sum())]})
+
+    mom = reduce_sink(ranked.map_batches(moments, batch_format="pandas"),
+                      ["k"], {"sxy": ("sxy", "sum"),
+                              "sxx": ("sxx", "sum"),
+                              "syy": ("syy", "sum")}).to_pandas()
+    sxy, sxx, syy = (int(mom[c].iloc[0]) for c in ("sxy", "sxx", "syy"))
+    rho = float(textstats.round_half_away(
+        np.array([sxy / np.sqrt((sxx * 1.0) * syy)]), 6)[0]) \
+        if sxx > 0 and syy > 0 else None
+    return pd.DataFrame({"users": np.array([n], np.int64),
+                         "rho": [rho]})
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
