@@ -10228,6 +10228,216 @@ def spearman_activity_value(sf_dir: str) -> pd.DataFrame:
                          "rho": [rho]})
 
 
+@register("winsorized_value_by_type", sql="""
+WITH c AS (SELECT event_type,
+                  CAST(ROUND(value * 100) AS BIGINT) AS cents
+           FROM events),
+q AS (SELECT event_type,
+             quantile_disc(cents, 0.05) AS lo,
+             quantile_disc(cents, 0.95) AS hi
+      FROM c GROUP BY 1),
+w AS (SELECT c.event_type,
+             CASE WHEN cents < lo THEN lo
+                  WHEN cents > hi THEN hi ELSE cents END AS v
+      FROM c JOIN q USING (event_type))
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(v) AS BIGINT) AS wsum_cents,
+       ROUND(CAST(SUM(v) AS BIGINT) / CAST(COUNT(*) AS BIGINT), 6)
+           AS wmean_cents
+FROM w GROUP BY 1 ORDER BY 1""")
+def winsorized_value_by_type(sf_dir: str) -> pd.DataFrame:
+    """Winsorized (5%/95%-clipped) mean per event type — the robust
+    location estimate outlier-heavy metrics need. Cents quantization
+    makes the column bounded-cardinality, so ONE (type, cents, count)
+    histogram reduce is a lossless summary: the discrete quantile
+    bounds (DuckDB quantile_disc = 1-based rank ceil(q*n)) AND the
+    clipped integer sum both come off the histogram on the driver —
+    no second pass, nothing float until the single final division."""
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "cents": np.rint(df["value"].to_numpy(np.float64) * 100)
+            .astype(np.int64)})
+
+    hist = reduce_sink(
+        _events(sf_dir, ["event_type", "value"])
+        .map_batches(cents, batch_format="pandas"),
+        ["event_type", "cents"], {"cnt": ("cents", "size")}).to_pandas()
+
+    rows = []
+    for et, g in hist.groupby("event_type"):
+        g = g.sort_values("cents", ignore_index=True)
+        v = g["cents"].to_numpy(np.int64)
+        c = g["cnt"].to_numpy(np.int64)
+        cum = c.cumsum()
+        n = int(cum[-1])
+        lo = int(v[np.searchsorted(cum, int(np.ceil(0.05 * n)),
+                                   side="left")])
+        hi = int(v[np.searchsorted(cum, int(np.ceil(0.95 * n)),
+                                   side="left")])
+        wsum = int((np.clip(v, lo, hi) * c).sum())
+        rows.append((et, n, wsum, float(textstats.round_half_away(
+            np.array([wsum / float(n)]), 6)[0])))
+    return pd.DataFrame(rows, columns=["event_type", "n", "wsum_cents",
+                                       "wmean_cents"]) \
+        .astype({"n": np.int64, "wsum_cents": np.int64}) \
+        .sort_values("event_type", ignore_index=True)
+
+
+@register("theil_sen_daily_slope", sql="""
+WITH d AS (SELECT CAST(date_diff('day', DATE '1970-01-01',
+                                 CAST(ts AS DATE)) AS BIGINT) AS t,
+                  CAST(COUNT(*) AS BIGINT) AS hits
+           FROM events GROUP BY 1),
+p AS (SELECT (b.hits - a.hits) / (b.t - a.t) AS slope
+      FROM d a JOIN d b ON b.t > a.t)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(median(slope), 6) AS slope
+FROM p""")
+def theil_sen_daily_slope(sf_dir: str) -> pd.DataFrame:
+    """Theil–Sen trend estimator over the daily hit series — the
+    median of all pairwise slopes, robust where the OLS trend
+    (per-group OLS query) is dragged by single-day spikes. The
+    cluster does ONE daily-count reduce (|days| rows at any corpus
+    size); the O(D²) pair enumeration runs on that tiny series via
+    one triu broadcast, and the median mirrors DuckDB quantile_cont:
+    order statistic at rank q(m−1), lo + (hi−lo)·frac."""
+    d = reduce_sink(
+        _events(sf_dir, ["ts"]).map_batches(
+            lambda df: pd.DataFrame(
+                {"t": df["ts"].to_numpy().astype("datetime64[D]")
+                 .astype(np.int64)}), batch_format="pandas"),
+        ["t"], {"hits": ("t", "size")}).to_pandas() \
+        .sort_values("t", ignore_index=True)
+    t = d["t"].to_numpy(np.int64)
+    h = d["hits"].to_numpy(np.int64)
+    i, j = np.triu_indices(len(t), k=1)
+    slopes = np.sort((h[j] - h[i]) / (t[j] - t[i]))
+    m = len(slopes)
+    r = 0.5 * (m - 1)
+    lo = int(np.floor(r))
+    med = slopes[lo] + (slopes[min(lo + 1, m - 1)] - slopes[lo]) \
+        * (r - lo)
+    return pd.DataFrame({
+        "n_pairs": np.array([m], np.int64),
+        "slope": [float(textstats.round_half_away(
+            np.array([med]), 6)[0])]})
+
+
+@register("view_to_purchase_latency", sql="""
+WITH v AS (SELECT user_id, MIN(epoch_us(ts)) AS t0
+           FROM events WHERE event_type = 'view' GROUP BY 1),
+p AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t1
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > v.t0
+      GROUP BY 1),
+d AS (SELECT p.user_id, p.t1 - v.t0 AS delta
+      FROM p JOIN v ON p.user_id = v.user_id)
+SELECT CAST(COUNT(*) AS BIGINT) AS users,
+       CAST(quantile_disc(delta, 0.5) AS BIGINT) AS p50_us,
+       CAST(quantile_disc(delta, 0.9) AS BIGINT) AS p90_us
+FROM d""")
+def view_to_purchase_latency(sf_dir: str) -> pd.DataFrame:
+    """Time-to-convert distribution: per user, first 'view' → first
+    later 'purchase', then EXACT p50/p90 of the unbounded int64
+    latency WITHOUT collecting it — scan.global_rank ranks the
+    deltas (range-bucketed, no global sort) and the quantile_disc
+    order statistic is just the row where rank == ceil(q·n): a
+    distributed SELECTION, the scale path for exact percentiles the
+    bounded-histogram trick can't serve. Per-user firsts run inside
+    user-hash buckets (users never span buckets)."""
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin(["view", "purchase"])]
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "event_type": df["event_type"],
+            "us": df["ts"].to_numpy().astype("datetime64[us]")
+            .astype(np.int64),
+            "bucket_": (df["user_id"].to_numpy(np.int64) % 32)
+            .astype(np.int32)})
+
+    def deltas(g: pd.DataFrame) -> pd.DataFrame:
+        vm = g[g["event_type"] == "view"].groupby("user_id")["us"].min()
+        pu = g[g["event_type"] == "purchase"]
+        t0 = pu["user_id"].map(vm)
+        pu = pu[t0.notna() & (pu["us"] > t0)]
+        if pu.empty:
+            return pd.DataFrame({"user_id": pd.Series([], np.int64),
+                                 "delta": pd.Series([], np.int64)})
+        t1 = pu.groupby("user_id")["us"].min()
+        out = pd.DataFrame({"user_id": t1.index.to_numpy(np.int64),
+                            "delta": (t1 - vm.loc[t1.index])
+                            .to_numpy(np.int64)})
+        return out
+
+    dd = (_events(sf_dir, ["user_id", "event_type", "ts"])
+          .map_batches(prep, batch_format="pandas")
+          .groupby("bucket_")
+          .map_groups(lambda g: deltas(g), batch_format="pandas")
+          .map_batches(lambda df: df.assign(
+              delta_f=df["delta"].astype(np.float64)),
+              batch_format="pandas")
+          .materialize())
+    n = dd.count()
+    if n == 0:
+        return pd.DataFrame({"users": np.array([0], np.int64),
+                             "p50_us": [None], "p90_us": [None]})
+    targets = {int(np.ceil(0.5 * n)), int(np.ceil(0.9 * n))}
+    ranked = scan.global_rank(dd, "delta_f", "user_id", out_col="rnk",
+                              num_buckets=8)
+    hits = ranked.map_batches(
+        lambda df: df[df["rnk"].isin(list(targets))],
+        batch_format="pandas").to_pandas()
+    by_rank = dict(zip(hits["rnk"].astype(int), hits["delta"]))
+    return pd.DataFrame({
+        "users": np.array([n], np.int64),
+        "p50_us": np.array([by_rank[int(np.ceil(0.5 * n))]], np.int64),
+        "p90_us": np.array([by_rank[int(np.ceil(0.9 * n))]], np.int64)})
+
+
+@register("user_top3_types", sql="""
+WITH c AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+r AS (SELECT user_id, event_type, n,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY n DESC, event_type) AS rn
+      FROM c)
+SELECT user_id, STRING_AGG(event_type, ',' ORDER BY rn) AS top_types
+FROM r WHERE rn <= 3 GROUP BY user_id ORDER BY user_id""")
+def user_top3_types(sf_dir: str) -> pd.DataFrame:
+    """Ordered STRING_AGG of each user's top-3 event types (count
+    desc, name asc) — the per-entity ranked-list aggregate profile
+    tables are made of. One (user, type) reduce bounds the data at
+    |users|×|types|; the rank-filter-concat runs inside user-hash
+    buckets so a user's rows never split, and only one string row
+    per user leaves."""
+    per = reduce_sink(
+        _events(sf_dir, ["user_id", "event_type"]),
+        ["user_id", "event_type"], {"n": ("event_type", "size")})
+
+    def concat(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "n", "event_type"],
+                          ascending=[True, False, True],
+                          ignore_index=True)
+        top = g.groupby("user_id", sort=False).head(3)
+        out = top.groupby("user_id", sort=False)["event_type"] \
+            .agg(",".join).reset_index(name="top_types")
+        out["user_id"] = out["user_id"].astype(np.int64)
+        return out
+
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket_"] = (df["user_id"].to_numpy(np.int64) % 32) \
+            .astype(np.int32)
+        return df
+
+    out = (per.map_batches(with_bucket, batch_format="pandas")
+           .groupby("bucket_")
+           .map_groups(lambda g: concat(g.drop(columns=["bucket_"])),
+                       batch_format="pandas")).to_pandas()
+    return out.sort_values("user_id", ignore_index=True)
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
