@@ -126,6 +126,10 @@ class PipelineConfig:
     #: header row (the Dump*/DumpHeader TSV outputs, output.c:
     #: dump_all_sites() … ≈3300–3700 [verify]).
     dump_tsv: bool = False
+    #: Also render the four PNG usage graphs (graphs.c analogs: daily /
+    #: hourly / yearly bars + category pie) from the finished sinks into
+    #: ``out_dir/graphs`` — pure-stdlib encoder, driver-side O(KB).
+    emit_graphs: bool = False
 
     # --- execution knobs (Ray only; refmodel ignores) --------------------
     #: Hash buckets for explicit conv_id partitioning (sessionization unit;

@@ -886,6 +886,11 @@ def finalize_sinks(long: pd.DataFrame, out_dir: str,
                 tmp = os.path.join(dump_dir, f"{name}.tab.tmp")
                 obj.to_csv(tmp, sep="\t", index=False)
                 os.replace(tmp, os.path.join(dump_dir, f"{name}.tab"))
+    if config.emit_graphs:
+        # S10: the four usage PNGs render from the parquet sinks just
+        # written above — a driver-side O(KB) finishing step
+        from webalizer_ray.pipelines.graphs import write_flagship_graphs
+        write_flagship_graphs(out_dir)
     return sinks
 
 

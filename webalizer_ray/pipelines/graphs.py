@@ -1,0 +1,325 @@
+"""PNG usage graphs — the `graphs.c` analog (SURVEY.md §2.1 S10).
+
+The reference draws four libgd PNGs per report: the daily usage bar
+graph (`month_graph6()`), the hourly bar graph (`day_graph3()`), the
+country pie (`pie_chart()`) and the yearly index (`year_graph6x()`).
+This module renders the same artifacts from the flagship's finished
+sink tables with ZERO external imaging libraries: drawing is numpy
+rect/mask fills on an RGB uint8 canvas, and the PNG container is
+written with stdlib ``zlib`` + ``struct`` (8-bit truecolor, filter 0
+— the minimal always-valid encoder subset).
+
+Scale note: graphs are a DRIVER-side finishing step over the already
+tiny sink aggregates (≤ 31/24/12 rows per band, top-10 categories) —
+no cluster work happens here; the streaming pipeline ends at the sink
+parquet and this is O(KB) presentation on top, exactly like the
+reference where output.c hands graphs.c a few in-memory arrays.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import zlib
+
+import numpy as np
+import pandas as pd
+
+# ---------------------------------------------------------------------------
+# Minimal PNG container (encoder + decoder for this encoder's own subset)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+
+def encode_png(rgb: np.ndarray) -> bytes:
+    """8-bit truecolor PNG, every scanline filter 0 (None). Valid for
+    any viewer; deliberately the simplest spec-conforming subset so
+    :func:`decode_png` can verify round-trips without a PNG library."""
+    if rgb.dtype != np.uint8 or rgb.ndim != 3 or rgb.shape[2] != 3:
+        raise ValueError("encode_png expects HxWx3 uint8")
+    h, w = rgb.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    scan = np.zeros((h, 1 + w * 3), np.uint8)       # col 0 = filter byte
+    scan[:, 1:] = rgb.reshape(h, w * 3)
+    idat = zlib.compress(scan.tobytes(), 9)
+    return (_PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat)
+            + _chunk(b"IEND", b""))
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Inverse of :func:`encode_png` for its own output subset (8-bit
+    RGB, filter 0). NOT a general PNG reader — it exists so tests can
+    assert pixel-exact round trips with stdlib only."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, w = 8, 0
+    h = 0
+    idat = b""
+    while pos < len(data):
+        (ln,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + ln]
+        if tag == b"IHDR":
+            w, h, depth, ctype = struct.unpack(">IIBB", body[:10])
+            if (depth, ctype) != (8, 2):
+                raise ValueError("decode_png only reads encode_png output")
+        elif tag == b"IDAT":
+            idat += body
+        pos += 12 + ln
+    scan = np.frombuffer(zlib.decompress(idat), np.uint8) \
+        .reshape(h, 1 + w * 3)
+    if scan[:, 0].any():
+        raise ValueError("unexpected filter type (not encode_png output)")
+    return scan[:, 1:].reshape(h, w, 3).copy()
+
+
+# ---------------------------------------------------------------------------
+# Palette (the reference's libgd colors, webalizer.h CLR* analogs)
+# ---------------------------------------------------------------------------
+
+BG = (192, 192, 192)          # gray canvas
+PLOT_BG = (255, 255, 255)     # white plot area
+BORDER = (0, 0, 0)
+SHADOW = (128, 128, 128)
+C_HITS = (0, 128, 92)         # green   (hits)
+C_FILES = (0, 0, 255)         # blue    (files)
+C_PAGES = (0, 192, 192)       # cyan    (pages)
+C_SESS = (255, 208, 0)        # yellow  (sessions / "visits")
+C_CONVS = (255, 128, 0)       # orange  (convs / "sites")
+C_KB = (255, 0, 0)            # red     (kb)
+PIE_COLORS = [C_HITS, C_FILES, C_PAGES, C_SESS, C_CONVS, C_KB,
+              (128, 0, 128), (0, 64, 128), (128, 128, 0), (64, 64, 64)]
+
+# 5x7 digit glyphs for axis labels (row-major bit rows, '1' = ink)
+_FONT = {
+    "0": ("01110", "10001", "10011", "10101", "11001", "10001", "01110"),
+    "1": ("00100", "01100", "00100", "00100", "00100", "00100", "01110"),
+    "2": ("01110", "10001", "00001", "00010", "00100", "01000", "11111"),
+    "3": ("11111", "00010", "00100", "00010", "00001", "10001", "01110"),
+    "4": ("00010", "00110", "01010", "10010", "11111", "00010", "00010"),
+    "5": ("11111", "10000", "11110", "00001", "00001", "10001", "01110"),
+    "6": ("00110", "01000", "10000", "11110", "10001", "10001", "01110"),
+    "7": ("11111", "00001", "00010", "00100", "01000", "01000", "01000"),
+    "8": ("01110", "10001", "10001", "01110", "10001", "10001", "01110"),
+    "9": ("01110", "10001", "10001", "01111", "00001", "00010", "01100"),
+}
+
+
+def _draw_text(canvas: np.ndarray, y: int, x: int, text: str,
+               color=BORDER) -> None:
+    for ch in text:
+        glyph = _FONT.get(ch)
+        if glyph is not None:
+            for r, row in enumerate(glyph):
+                for c, bit in enumerate(row):
+                    if bit == "1" and 0 <= y + r < canvas.shape[0] \
+                            and 0 <= x + c < canvas.shape[1]:
+                        canvas[y + r, x + c] = color
+        x += 6
+
+
+def _frame(canvas: np.ndarray) -> None:
+    """Outer border + the reference's 3D inset look (light/dark edges)."""
+    canvas[0, :] = BORDER
+    canvas[-1, :] = BORDER
+    canvas[:, 0] = BORDER
+    canvas[:, -1] = BORDER
+    canvas[1, 1:-1] = PLOT_BG
+    canvas[1:-1, 1] = PLOT_BG
+    canvas[-2, 1:-1] = SHADOW
+    canvas[1:-1, -2] = SHADOW
+
+
+def _band(canvas: np.ndarray, y0: int, y1: int, x0: int, x1: int) -> None:
+    canvas[y0:y1, x0:x1] = PLOT_BG
+    canvas[y0, x0:x1] = BORDER
+    canvas[y1 - 1, x0:x1] = BORDER
+    canvas[y0:y1, x0] = BORDER
+    canvas[y0:y1, x1 - 1] = BORDER
+
+
+def _bars(canvas: np.ndarray, series: list[tuple[np.ndarray, tuple]],
+          y0: int, y1: int, x0: int, x1: int, n_slots: int) -> None:
+    """Overlaid bar series in one band, widest first (the reference
+    draws hits then files then pages the same way so narrower series
+    stay visible regardless of relative magnitude). Heights share the
+    band max so series are comparable within a band."""
+    vmax = max((float(v.max()) for v, _ in series if len(v)), default=0.0)
+    if vmax <= 0:
+        return
+    inner_h = (y1 - 1) - (y0 + 1)
+    slot_w = (x1 - x0 - 2) / n_slots
+    widths = [max(2, int(slot_w) - 4 - 2 * k) for k in range(len(series))]
+    for (vals, color), w in zip(series, widths):
+        for i in range(min(n_slots, len(vals))):
+            v = float(vals[i])
+            if v <= 0:
+                continue
+            hpx = max(1, int(round(v / vmax * inner_h)))
+            cx = x0 + 1 + int(i * slot_w) + int(slot_w / 2)
+            canvas[y1 - 1 - hpx:y1 - 1, cx - w // 2:cx - w // 2 + w] = color
+
+
+def _bar_graph(n_slots: int, bands: list[list[tuple[np.ndarray, tuple]]],
+               w: int = 512, h: int = 256) -> np.ndarray:
+    """Shared layout: stacked bands (top band double height, like the
+    reference's hits/files/pages main band), slot labels under the
+    bottom band."""
+    canvas = np.full((h, w, 3), BG, np.uint8)
+    _frame(canvas)
+    x0, x1 = 16, w - 8
+    top, bottom = 8, h - 18
+    weights = [2] + [1] * (len(bands) - 1)
+    total_weight = sum(weights)
+    gap = 4
+    avail = bottom - top - gap * (len(bands) - 1)
+    y = top
+    for band, wt in zip(bands, weights):
+        bh = int(avail * wt / total_weight)
+        _band(canvas, y, y + bh, x0, x1)
+        _bars(canvas, band, y, y + bh, x0, x1, n_slots)
+        y += bh + gap
+    slot_w = (x1 - x0 - 2) / n_slots
+    step = 1 if slot_w >= 13 else 2
+    for i in range(0, n_slots, step):
+        lbl = str(i + 1)
+        lx = x0 + 1 + int(i * slot_w) + int(slot_w / 2) - 3 * len(lbl)
+        _draw_text(canvas, h - 12, lx, lbl)
+    return canvas
+
+
+# ---------------------------------------------------------------------------
+# The four reference graphs
+# ---------------------------------------------------------------------------
+
+def _col(df: pd.DataFrame, name: str, n: int,
+         idx: np.ndarray | None = None) -> np.ndarray:
+    """Series column as a dense n-slot float vector (0-filled)."""
+    out = np.zeros(n, np.float64)
+    if name in df.columns and len(df):
+        v = df[name].to_numpy(np.float64)
+        pos = idx if idx is not None else np.arange(len(df))
+        ok = (pos >= 0) & (pos < n)
+        out[pos[ok]] = v[ok]
+    return out
+
+
+def daily_usage_graph(daily: pd.DataFrame) -> np.ndarray:
+    """`month_graph6()` analog: 31 day slots, hits/files/pages band,
+    sessions/convs band, kb band. ``daily.date`` is 'YYYY-MM-DD'."""
+    n = 31
+    idx = (daily["date"].str.slice(8, 10).astype(int).to_numpy() - 1
+           if len(daily) else np.array([], np.int64))
+    return _bar_graph(n, [
+        [(_col(daily, "hits", n, idx), C_HITS),
+         (_col(daily, "files", n, idx), C_FILES),
+         (_col(daily, "pages", n, idx), C_PAGES)],
+        [(_col(daily, "sessions", n, idx), C_SESS),
+         (_col(daily, "convs", n, idx), C_CONVS)],
+        [(_col(daily, "kb", n, idx), C_KB)],
+    ])
+
+
+def hourly_usage_graph(hourly: pd.DataFrame) -> np.ndarray:
+    """`day_graph3()` analog: 24 hour slots, hits/files/pages + kb."""
+    n = 24
+    idx = (hourly["hour"].astype(int).to_numpy()
+           if len(hourly) else np.array([], np.int64))
+    return _bar_graph(n, [
+        [(_col(hourly, "hits", n, idx), C_HITS),
+         (_col(hourly, "files", n, idx), C_FILES),
+         (_col(hourly, "pages", n, idx), C_PAGES)],
+        [(_col(hourly, "kb", n, idx), C_KB)],
+    ])
+
+
+def yearly_index_graph(monthly: pd.DataFrame) -> np.ndarray:
+    """`year_graph6x()` analog over the monthly sink (up to 12 most
+    recent months, slot order = chronological)."""
+    m = monthly.sort_values("month", ignore_index=True).tail(12) \
+        .reset_index(drop=True) if len(monthly) else monthly
+    n = max(len(m), 1)
+    return _bar_graph(n, [
+        [(_col(m, "hits", n), C_HITS),
+         (_col(m, "files", n), C_FILES),
+         (_col(m, "pages", n), C_PAGES)],
+        [(_col(m, "sessions", n), C_SESS),
+         (_col(m, "convs", n), C_CONVS)],
+        [(_col(m, "kb", n), C_KB)],
+    ])
+
+
+def category_pie(per_cat: pd.DataFrame, value_col: str = "hits",
+                 key_col: str = "category", top: int = 9,
+                 w: int = 512, h: int = 300) -> np.ndarray:
+    """`pie_chart()` analog (country pie): top-N slices + 'other',
+    drawn as one vectorized angle/radius mask — no per-pixel Python."""
+    canvas = np.full((h, w, 3), BG, np.uint8)
+    _frame(canvas)
+    df = per_cat.sort_values([value_col, key_col],
+                             ascending=[False, True], ignore_index=True) \
+        if len(per_cat) else per_cat
+    vals = df[value_col].to_numpy(np.float64) if len(df) else np.array([])
+    if vals.sum() <= 0:
+        return canvas
+    head = vals[:top]
+    other = vals[top:].sum()
+    shares = np.concatenate([head, [other]]) if other > 0 else head
+    frac = shares / shares.sum()
+    cum = np.cumsum(frac)
+    cy, cx, radius = h // 2, w // 2, min(h, w) // 2 - 20
+    yy, xx = np.mgrid[0:h, 0:w]
+    inside = (yy - cy) ** 2 + (xx - cx) ** 2 <= radius * radius
+    # clockwise from 12 o'clock, like the reference
+    ang = np.arctan2(xx - cx, cy - yy)
+    t = np.mod(ang, 2 * np.pi) / (2 * np.pi)
+    slice_idx = np.searchsorted(cum[:-1], t, side="right")
+    for k in range(len(frac)):
+        canvas[inside & (slice_idx == k)] = PIE_COLORS[k % len(PIE_COLORS)]
+    return canvas
+
+
+# ---------------------------------------------------------------------------
+# Sink-directory driver (reads the flagship's finished parquet sinks)
+# ---------------------------------------------------------------------------
+
+GRAPHS = {
+    "daily_usage.png": ("daily", daily_usage_graph),
+    "hourly_usage.png": ("hourly", hourly_usage_graph),
+    "usage.png": ("monthly", yearly_index_graph),
+    "ctry_usage.png": ("per_category", category_pie),
+}
+
+
+def _write_png_atomic(path: str, rgb: np.ndarray) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(encode_png(rgb))
+    os.replace(tmp, path)
+
+
+def write_flagship_graphs(out_dir: str) -> dict[str, str]:
+    """Render every graph whose sink table exists under
+    ``out_dir/sinks`` into ``out_dir/graphs``; idempotent (atomic
+    replace), returns {png_name: path}."""
+    import pyarrow.parquet as pq
+
+    sink_dir = os.path.join(out_dir, "sinks")
+    gdir = os.path.join(out_dir, "graphs")
+    written: dict[str, str] = {}
+    for png_name, (sink, fn) in GRAPHS.items():
+        p = os.path.join(sink_dir, f"{sink}.parquet")
+        if not os.path.exists(p):
+            continue
+        rgb = fn(pq.read_table(p).to_pandas())
+        os.makedirs(gdir, exist_ok=True)
+        dest = os.path.join(gdir, png_name)
+        _write_png_atomic(dest, rgb)
+        written[png_name] = dest
+    return written

@@ -10438,6 +10438,316 @@ def user_top3_types(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("user_id", ignore_index=True)
 
 
+@register("ks_test_view_purchase", sql="""
+WITH c AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                  CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS g1,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g2
+           FROM events WHERE event_type IN ('view', 'purchase')),
+h AS (SELECT cents, CAST(SUM(g1) AS BIGINT) AS c1,
+             CAST(SUM(g2) AS BIGINT) AS c2
+      FROM c GROUP BY 1),
+cum AS (SELECT SUM(c1) OVER (ORDER BY cents) AS f1,
+               SUM(c2) OVER (ORDER BY cents) AS f2
+        FROM h),
+t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(SUM(c2) AS BIGINT) AS n2 FROM h),
+m AS (SELECT CAST(MAX(ABS(f1 * (SELECT n2 FROM t)
+                          - f2 * (SELECT n1 FROM t))) AS BIGINT) AS d_num
+      FROM cum)
+SELECT n1, n2, d_num,
+       ROUND(CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2), 6) AS ks_d
+FROM t, m""")
+def ks_test_view_purchase(sf_dir: str) -> pd.DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between the 'view' and
+    'purchase' value distributions — the distribution-shift test you
+    run before trusting a segment comparison. Cents quantization makes
+    the value column bounded-cardinality, so ONE (cents, c1, c2)
+    histogram reduce is a lossless summary of BOTH empirical CDFs; the
+    sup-distance maximizes the INTEGER cross-product |F1·n2 − F2·n1|
+    over the tiny histogram (no float CDF can disagree between
+    engines) and divides exactly once at the end."""
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin(["view", "purchase"])]
+        is_v = (df["event_type"] == "view").to_numpy()
+        return pd.DataFrame({
+            "cents": np.rint(df["value"].to_numpy(np.float64) * 100)
+            .astype(np.int64),
+            "g1": is_v.astype(np.int64),
+            "g2": (~is_v).astype(np.int64)})
+
+    h = reduce_sink(
+        _events(sf_dir, ["event_type", "value"])
+        .map_batches(prep, batch_format="pandas"),
+        ["cents"], {"c1": ("g1", "sum"), "c2": ("g2", "sum")}) \
+        .to_pandas().sort_values("cents", ignore_index=True)
+    c1 = h["c1"].to_numpy(np.int64)
+    c2 = h["c2"].to_numpy(np.int64)
+    n1, n2 = int(c1.sum()), int(c2.sum())
+    # Python-int cross products: exact at any scale, no int64 overflow.
+    f1, f2 = c1.cumsum(), c2.cumsum()
+    d_num = max(abs(int(a) * n2 - int(b) * n1) for a, b in zip(f1, f2))
+    return pd.DataFrame({
+        "n1": np.array([n1], np.int64),
+        "n2": np.array([n2], np.int64),
+        "d_num": np.array([d_num], np.int64),
+        "ks_d": [float(textstats.round_half_away(
+            d_num / (float(n1) * n2), 6))]})
+
+
+@register("gini_user_value", sql="""
+WITH u AS (SELECT user_id,
+                  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                       AS BIGINT) AS cents
+           FROM events GROUP BY 1),
+r AS (SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents, user_id) AS rn
+      FROM u),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS total_cents,
+             CAST(SUM(rn * cents) AS BIGINT) AS s1
+      FROM r)
+SELECT n, total_cents,
+       ROUND(CAST(2 * s1 - (n + 1) * total_cents AS DOUBLE)
+             / (CAST(n AS DOUBLE) * total_cents), 6) AS gini
+FROM s""")
+def gini_user_value(sf_dir: str) -> pd.DataFrame:
+    """Gini coefficient of per-user total value — the concentration
+    metric curation uses to detect a corpus dominated by a few heavy
+    sources. One per-user cents reduce bounds the data at |users|;
+    scan.global_rank assigns the exact sorted position WITHOUT a
+    global sort (ties share equal cents, so the rank-weighted sum is
+    permutation-invariant among them and the (cents, user_id) tiebreak
+    is cosmetic); per-block integer partials (n, Σcents, Σ rnk·cents)
+    close the standard formula G = (2·S1 − (n+1)·T) / (n·T) with ONE
+    division on the driver."""
+    per = reduce_sink(
+        _events(sf_dir, ["user_id", "value"]).map_batches(
+            lambda df: pd.DataFrame({
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "cents": np.rint(df["value"].to_numpy(np.float64) * 100)
+                .astype(np.int64)}), batch_format="pandas"),
+        ["user_id"], {"cents": ("cents", "sum")}) \
+        .map_batches(lambda df: df.assign(
+            cents_f=df["cents"].astype(np.float64)),
+            batch_format="pandas")
+    ranked = scan.global_rank(per, "cents_f", "user_id", out_col="rn",
+                              num_buckets=16)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # Overflow-guarded Σ rnk·cents: rank offsets to the batch min
+        # (bucket-local rank spans, never the global n), chunked sums
+        # folded into a Python int, and the unbounded rmin·Σc term
+        # carried as exact Python arithmetic; transport splits the
+        # result into two int64 words so no column ever wraps.
+        if len(df) == 0:
+            return pd.DataFrame({"n": pd.Series([], np.int64),
+                                 "total": pd.Series([], np.int64),
+                                 "s1_hi": pd.Series([], np.int64),
+                                 "s1_lo": pd.Series([], np.int64)})
+        c = df["cents"].to_numpy(np.int64)
+        r = df["rn"].to_numpy(np.int64)
+        rmin = int(r.min())
+        rel = (r - rmin) * c
+        s1 = 0
+        for i in range(0, len(rel), 16384):
+            s1 += int(rel[i:i + 16384].sum())
+        total = int(c.sum())
+        s1 += rmin * total
+        hi, lo = divmod(s1, 1 << 62)
+        return pd.DataFrame({"n": [len(df)], "total": [total],
+                             "s1_hi": [hi], "s1_lo": [lo]})
+
+    p = ranked.map_batches(partial, batch_format="pandas").to_pandas()
+    n, total = int(p["n"].sum()), int(p["total"].sum())
+    s1 = sum(int(h) * (1 << 62) + int(l)
+             for h, l in zip(p["s1_hi"], p["s1_lo"]))
+    gini = (2 * s1 - (n + 1) * total) / (float(n) * total)
+    return pd.DataFrame({
+        "n": np.array([n], np.int64),
+        "total_cents": np.array([total], np.int64),
+        "gini": [float(textstats.round_half_away(gini, 6))]})
+
+
+@register("welch_t_view_purchase", sql="""
+WITH c AS (SELECT event_type,
+                  CAST(ROUND(value * 100) AS BIGINT) AS cents
+           FROM events WHERE event_type IN ('view', 'purchase')),
+m AS (SELECT CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                      END) AS BIGINT) AS n2,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN cents ELSE 0
+                      END) AS BIGINT) AS s1,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN cents
+                      ELSE 0 END) AS BIGINT) AS s2,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN cents * cents
+                      ELSE 0 END) AS BIGINT) AS q1,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN
+                      cents * cents ELSE 0 END) AS BIGINT) AS q2
+      FROM c)
+SELECT n1, n2,
+       ROUND(CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2, 6)
+           AS mean_diff_cents,
+       ROUND((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+             / SQRT((CAST(q1 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) / n1 * s1) / (n1 - 1) / n1
+                    + (CAST(q2 AS DOUBLE)
+                       - CAST(s2 AS DOUBLE) / n2 * s2) / (n2 - 1) / n2),
+             6) AS t_stat
+FROM m""")
+def welch_t_view_purchase(sf_dir: str) -> pd.DataFrame:
+    """Welch's unequal-variance two-sample t statistic between 'view'
+    and 'purchase' values — the continuous-metric sibling of the A/B
+    proportion z-test. Everything that shuffles is six INTEGER moments
+    (n, Σcents, Σcents² per arm) combined associatively; the float
+    closed form runs once on the driver in the oracle's exact
+    expression order so no accumulation-order drift exists to round
+    away."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin(["view", "purchase"])]
+        c = np.rint(df["value"].to_numpy(np.float64) * 100) \
+            .astype(np.int64)
+        v = (df["event_type"] == "view").to_numpy()
+        return pd.DataFrame({
+            "n1": [int(v.sum())], "n2": [int((~v).sum())],
+            "s1": [int(c[v].sum())], "s2": [int(c[~v].sum())],
+            "q1": [int((c[v] * c[v]).sum())],
+            "q2": [int((c[~v] * c[~v]).sum())]})
+
+    p = _events(sf_dir, ["event_type", "value"]) \
+        .map_batches(partial, batch_format="pandas").to_pandas()
+    n1, n2 = int(p["n1"].sum()), int(p["n2"].sum())
+    s1, s2 = int(p["s1"].sum()), int(p["s2"].sum())
+    q1, q2 = int(p["q1"].sum()), int(p["q2"].sum())
+    md = s1 / n1 - s2 / n2
+    t = md / np.sqrt((q1 - s1 / n1 * s1) / (n1 - 1) / n1
+                     + (q2 - s2 / n2 * s2) / (n2 - 1) / n2)
+    return pd.DataFrame({
+        "n1": np.array([n1], np.int64),
+        "n2": np.array([n2], np.int64),
+        "mean_diff_cents": [float(textstats.round_half_away(md, 6))],
+        "t_stat": [float(textstats.round_half_away(float(t), 6))]})
+
+
+@register("pareto_share_users", sql="""
+WITH u AS (SELECT user_id,
+                  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                       AS BIGINT) AS cents
+           FROM events GROUP BY 1),
+r AS (SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents DESC, user_id DESC)
+                 AS rd
+      FROM u),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS total_cents FROM r)
+SELECT n, total_cents,
+       CAST((SELECT SUM(cents) FROM r
+             WHERE rd <= CAST(CEIL(0.01 * n) AS BIGINT)) AS BIGINT)
+           AS top1_cents,
+       CAST((SELECT SUM(cents) FROM r
+             WHERE rd <= CAST(CEIL(0.10 * n) AS BIGINT)) AS BIGINT)
+           AS top10_cents,
+       ROUND(CAST((SELECT SUM(cents) FROM r
+                   WHERE rd <= CAST(CEIL(0.01 * n) AS BIGINT))
+                  AS DOUBLE) / total_cents, 6) AS top1_share,
+       ROUND(CAST((SELECT SUM(cents) FROM r
+                   WHERE rd <= CAST(CEIL(0.10 * n) AS BIGINT))
+                  AS DOUBLE) / total_cents, 6) AS top10_share
+FROM s""")
+def pareto_share_users(sf_dir: str) -> pd.DataFrame:
+    """Share of total value held by the top 1% and top 10% of users —
+    the concentration cut curation teams quote next to [[Gini]]. One
+    per-user reduce bounds the data at |users|; scan.global_rank gives
+    each user's exact ASCENDING position (the oracle's descending
+    ROW_NUMBER is its mirror rd = n − rn + 1, tiebreaks reversed in
+    lockstep), and ONE partial pass sums cents above the two rank
+    thresholds — only six integers reach the driver after the rank."""
+    per = reduce_sink(
+        _events(sf_dir, ["user_id", "value"]).map_batches(
+            lambda df: pd.DataFrame({
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "cents": np.rint(df["value"].to_numpy(np.float64) * 100)
+                .astype(np.int64)}), batch_format="pandas"),
+        ["user_id"], {"cents": ("cents", "sum")}) \
+        .map_batches(lambda df: df.assign(
+            cents_f=df["cents"].astype(np.float64)),
+            batch_format="pandas").materialize()
+    n = per.count()
+    k1 = int(np.ceil(0.01 * n))
+    k10 = int(np.ceil(0.10 * n))
+    ranked = scan.global_rank(per, "cents_f", "user_id", out_col="rn",
+                              num_buckets=16)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["cents"].to_numpy(np.int64)
+        rd_ = n - df["rn"].to_numpy(np.int64) + 1
+        return pd.DataFrame({
+            "total": [int(c.sum())],
+            "t1": [int(c[rd_ <= k1].sum())],
+            "t10": [int(c[rd_ <= k10].sum())]})
+
+    p = ranked.map_batches(partial, batch_format="pandas").to_pandas()
+    total, t1, t10 = (int(p["total"].sum()), int(p["t1"].sum()),
+                      int(p["t10"].sum()))
+    return pd.DataFrame({
+        "n": np.array([n], np.int64),
+        "total_cents": np.array([total], np.int64),
+        "top1_cents": np.array([t1], np.int64),
+        "top10_cents": np.array([t10], np.int64),
+        "top1_share": [float(textstats.round_half_away(t1 / total, 6))],
+        "top10_share": [float(textstats.round_half_away(
+            t10 / total, 6))]})
+
+
+@register("usage_graphs_meta", sql=None)  # pixel rendering — not SQL
+def usage_graphs_meta(sf_dir: str) -> pd.DataFrame:
+    """S10 end to end: renders the four usage PNGs (graphs.c analogs —
+    daily/hourly/yearly bars + category pie) from event aggregates and
+    returns one deterministic fingerprint row per graph (dimensions,
+    CRC32 of the encoded bytes, ink pixel count). The aggregates are
+    the cluster work (pruned reads, partial-combine reduces); rendering
+    is a driver-side O(KB) finishing step over ≤31/24/12-row tables."""
+    import zlib
+
+    from webalizer_ray.pipelines import graphs as G
+
+    def agg(key_fn, key_name):
+        def part(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({key_name: key_fn(df)})
+            out["value"] = df["value"].to_numpy(np.float64)
+            return out
+        return reduce_sink(
+            _events(sf_dir, ["ts", "value"])
+            .map_batches(part, batch_format="pandas"),
+            [key_name], {"hits": ("value", "size"),
+                         "kb": ("value", "sum")}).to_pandas() \
+            .sort_values(key_name, ignore_index=True)
+
+    daily = agg(lambda df: df["ts"].dt.strftime("%Y-%m-%d"), "date")
+    hourly = agg(lambda df: df["ts"].dt.hour.astype(np.int64), "hour")
+    monthly = agg(lambda df: df["ts"].dt.strftime("%Y-%m"), "month")
+    cats = reduce_sink(_events(sf_dir, ["event_type"]),
+                       ["event_type"],
+                       {"hits": ("event_type", "size")}).to_pandas()
+    imgs = {
+        "daily_usage.png": G.daily_usage_graph(daily),
+        "hourly_usage.png": G.hourly_usage_graph(hourly),
+        "usage.png": G.yearly_index_graph(monthly),
+        "ctry_usage.png": G.category_pie(cats, key_col="event_type"),
+    }
+    rows = []
+    bg = np.array(G.BG, np.uint8)
+    for name in sorted(imgs):
+        im = imgs[name]
+        rows.append((name, im.shape[1], im.shape[0],
+                     zlib.crc32(G.encode_png(im)) & 0xFFFFFFFF,
+                     int((im != bg).any(axis=2).sum())))
+    return pd.DataFrame(rows, columns=["graph", "width", "height",
+                                       "crc32", "ink_px"]) \
+        .astype({"width": np.int64, "height": np.int64,
+                 "crc32": np.int64, "ink_px": np.int64})
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

@@ -177,6 +177,17 @@ def cmd_corpus_card(args) -> int:
     return 0
 
 
+def cmd_graphs(args) -> int:
+    """Render the four PNG usage graphs (S10 graphs.c analogs) from a
+    flagship output directory's finished sinks — driver-side O(KB), no
+    Ray session needed."""
+    from webalizer_ray.pipelines.graphs import write_flagship_graphs
+    written = write_flagship_graphs(args.out)
+    print(json.dumps({"out": args.out,
+                      "graphs": sorted(written.keys())}))
+    return 0
+
+
 def cmd_search(args) -> int:
     """BM25 keyword search: builds (or reuses) the term-sharded
     inverted index, then answers from only the matching term buckets."""
@@ -508,6 +519,15 @@ def build_parser() -> argparse.ArgumentParser:
     cc.add_argument("--out", required=True, help="output dir")
     cc.add_argument("--num-cpus", type=int, default=None, dest="num_cpus")
     cc.set_defaults(fn=cmd_corpus_card)
+
+    gr = sub.add_parser("graphs", help="render the PNG usage graphs "
+                                       "(daily/hourly/yearly bars + "
+                                       "category pie) from a flagship "
+                                       "output dir's sinks")
+    gr.add_argument("--out", required=True,
+                    help="flagship output dir (reads <out>/sinks, "
+                         "writes <out>/graphs)")
+    gr.set_defaults(fn=cmd_graphs)
 
     se = sub.add_parser("search", help="BM25 keyword search over a "
                                        "documents table via a persisted "
