@@ -10748,6 +10748,225 @@ def usage_graphs_meta(sf_dir: str) -> pd.DataFrame:
                  "crc32": np.int64, "ink_px": np.int64})
 
 
+@register("daily_user_overlap", sql="""
+WITH du AS (SELECT DISTINCT
+                CAST(date_diff('day', DATE '1970-01-01',
+                               CAST(ts AS DATE)) AS BIGINT) AS t,
+                user_id
+            FROM events),
+n AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS nd FROM du GROUP BY 1),
+i AS (SELECT a.t AS t, CAST(COUNT(*) AS BIGINT) AS inter
+      FROM du a JOIN du b
+        ON b.user_id = a.user_id AND b.t = a.t + 1
+      GROUP BY 1)
+SELECT n1.t AS t, n1.nd AS n_day, n2.nd AS n_next,
+       COALESCE(i.inter, 0) AS inter,
+       ROUND(CAST(COALESCE(i.inter, 0) AS DOUBLE)
+             / (n1.nd + n2.nd - COALESCE(i.inter, 0)), 6) AS jaccard
+FROM n n1 JOIN n n2 ON n2.t = n1.t + 1
+LEFT JOIN i ON i.t = n1.t
+ORDER BY t""")
+def daily_user_overlap(sf_dir: str) -> pd.DataFrame:
+    """Day-over-day user-set Jaccard — the retention-overlap series
+    behind churn dashboards, and a set-similarity JOIN the engine runs
+    without ever joining the fact table: ONE distinct (user, day)
+    reduce bounds the data at users×days; consecutive-day intersections
+    count INSIDE user-hash buckets (each user's sorted day list answers
+    every adjacent pair via one vectorized isin — a user's days never
+    split); only (day, inter) and (day, nd) key-level partials shuffle
+    and the O(days) merge closes on the driver."""
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "t": df["ts"].to_numpy().astype("datetime64[D]")
+            .astype(np.int64)})
+
+    du = reduce_sink(
+        _events(sf_dir, ["user_id", "ts"])
+        .map_batches(prep, batch_format="pandas"),
+        ["user_id", "t"], {"c": ("t", "size")})
+
+    def inter_partial(g: pd.DataFrame) -> pd.DataFrame:
+        # one sort, one shifted compare: a (user, day) row scores an
+        # intersection for day d iff the SAME user's next sorted day is
+        # d+1 — no per-user loop
+        g = g.sort_values(["user_id", "t"], ignore_index=True)
+        u = g["user_id"].to_numpy(np.int64)
+        t = g["t"].to_numpy(np.int64)
+        hit = (u[1:] == u[:-1]) & (t[1:] == t[:-1] + 1)
+        ts_hit = t[:-1][hit]
+        if not len(ts_hit):
+            return pd.DataFrame({"t": pd.Series([], np.int64),
+                                 "inter": pd.Series([], np.int64)})
+        vals, cnt = np.unique(ts_hit, return_counts=True)
+        return pd.DataFrame({"t": vals.astype(np.int64),
+                             "inter": cnt.astype(np.int64)})
+
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket_"] = (df["user_id"].to_numpy(np.int64) % 32) \
+            .astype(np.int32)
+        return df
+
+    inter = reduce_sink(
+        du.map_batches(with_bucket, batch_format="pandas")
+        .groupby("bucket_")
+        .map_groups(lambda g: inter_partial(g), batch_format="pandas"),
+        ["t"], {"inter": ("inter", "sum")}).to_pandas()
+    nd = reduce_sink(du, ["t"], {"nd": ("t", "size")}).to_pandas() \
+        .sort_values("t", ignore_index=True)
+    nxt = nd.rename(columns={"t": "t_", "nd": "n_next"})
+    nxt["t"] = nxt["t_"] - 1
+    out = nd.merge(nxt[["t", "n_next"]], on="t", how="inner") \
+        .merge(inter, on="t", how="left")
+    out["inter"] = out["inter"].fillna(0).astype(np.int64)
+    denom = out["nd"] + out["n_next"] - out["inter"]
+    out["jaccard"] = textstats.round_half_away(
+        out["inter"].to_numpy(np.float64) / denom.to_numpy(np.float64),
+        6)
+    return out.rename(columns={"nd": "n_day"}) \
+        .astype({"t": np.int64, "n_day": np.int64,
+                 "n_next": np.int64}) \
+        [["t", "n_day", "n_next", "inter", "jaccard"]] \
+        .sort_values("t", ignore_index=True)
+
+
+@register("top_events_per_user_capped", sql="""
+WITH c AS (SELECT event_id, user_id,
+                  CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ROUND(value * 100) DESC,
+                                              event_id) AS rn
+           FROM events)
+SELECT event_id, user_id, cents
+FROM c WHERE rn <= 2
+ORDER BY cents DESC, event_id LIMIT 10""")
+def top_events_per_user_capped(sf_dir: str) -> pd.DataFrame:
+    """Diversity-constrained global top-N: the 10 highest-value events
+    with AT MOST 2 per user (the anti-flood rule every feed/leaderboard
+    needs so one hot key can't fill the list). Per-user cap runs inside
+    user-hash buckets (vectorized sort + groupby head, users never
+    split); survivors are ≤ 2·|users| rows, and per-batch local top-10
+    partials bound what the driver merges to B×10 — the same exact
+    bucket-local⊇global argument as the flagship top-N."""
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "cents": np.rint(df["value"].to_numpy(np.float64) * 100)
+            .astype(np.int64),
+            "bucket_": (df["user_id"].to_numpy(np.int64) % 32)
+            .astype(np.int32)})
+
+    def cap_and_local_top(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "cents", "event_id"],
+                          ascending=[True, False, True],
+                          ignore_index=True)
+        kept = g.groupby("user_id", sort=False).head(2)
+        return kept.sort_values(["cents", "event_id"],
+                                ascending=[False, True]).head(10) \
+            [["event_id", "user_id", "cents"]]
+
+    out = (_events(sf_dir, ["event_id", "user_id", "value"])
+           .map_batches(prep, batch_format="pandas")
+           .groupby("bucket_")
+           .map_groups(lambda g: cap_and_local_top(g),
+                       batch_format="pandas")).to_pandas()
+    return out.sort_values(["cents", "event_id"],
+                           ascending=[False, True],
+                           ignore_index=True).head(10)
+
+
+@register("dow_seasonality_index", sql="""
+WITH d AS (SELECT CAST(date_diff('day', DATE '1970-01-01',
+                                 CAST(ts AS DATE)) AS BIGINT) AS t,
+                  CAST(COUNT(*) AS BIGINT) AS hits
+           FROM events GROUP BY 1),
+w AS (SELECT (t + 4) % 7 AS dow, CAST(COUNT(*) AS BIGINT) AS days,
+             CAST(SUM(hits) AS BIGINT) AS hits
+      FROM d GROUP BY 1),
+tot AS (SELECT CAST(SUM(days) AS BIGINT) AS all_days,
+               CAST(SUM(hits) AS BIGINT) AS all_hits FROM w)
+SELECT dow, days, hits,
+       ROUND((CAST(hits AS DOUBLE) / days)
+             / (CAST(all_hits AS DOUBLE) / all_days), 6) AS idx
+FROM w, tot ORDER BY dow""")
+def dow_seasonality_index(sf_dir: str) -> pd.DataFrame:
+    """Day-of-week seasonality index: each weekday's average daily
+    traffic relative to the overall daily average (1.0 = flat). The dow
+    derives as plain epoch-day arithmetic ((t+4) % 7, 0 = Sunday) on
+    BOTH engines so neither's calendar convention can disagree; one
+    daily reduce bounds the cluster output at O(days), the 7-row fold
+    and two-division index run on the driver in oracle order."""
+    d = reduce_sink(
+        _events(sf_dir, ["ts"]).map_batches(
+            lambda df: pd.DataFrame(
+                {"t": df["ts"].to_numpy().astype("datetime64[D]")
+                 .astype(np.int64)}), batch_format="pandas"),
+        ["t"], {"hits": ("t", "size")}).to_pandas()
+    d["dow"] = (d["t"] + 4) % 7
+    w = d.groupby("dow", as_index=False).agg(days=("t", "size"),
+                                             hits=("hits", "sum"))
+    all_days, all_hits = int(w["days"].sum()), int(w["hits"].sum())
+    w["idx"] = textstats.round_half_away(
+        (w["hits"].to_numpy(np.float64) / w["days"].to_numpy(np.float64))
+        / (all_hits / float(all_days)), 6)
+    return w.astype({"dow": np.int64, "days": np.int64,
+                     "hits": np.int64}).sort_values("dow",
+                                                    ignore_index=True)
+
+
+@register("user_type_entropy_mean", sql="""
+WITH c AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+u AS (SELECT user_id, CAST(SUM(n) AS BIGINT) AS tot
+      FROM c GROUP BY 1),
+e AS (SELECT c.user_id,
+             SUM(-(CAST(n AS DOUBLE) / tot)
+                 * LOG2(CAST(n AS DOUBLE) / tot)) AS h
+      FROM c JOIN u USING (user_id) GROUP BY 1)
+SELECT CAST(COUNT(*) AS BIGINT) AS users,
+       ROUND(SUM(h) / COUNT(*), 6) AS mean_entropy
+FROM e""")
+def user_type_entropy_mean(sf_dir: str) -> pd.DataFrame:
+    """Mean Shannon entropy (bits) of each user's event-type mix — the
+    behavioral-diversity profile (0 = single-type bots, log2|types| =
+    uniform). One (user, type) reduce bounds the data; per-user
+    entropies vectorize inside user-hash buckets (|types| ≤ handful per
+    user) and only (Σh, n_users) scalar partials reach the driver.
+    Sub-1e-12 accumulation-order drift dies in the 6-dp round."""
+    per = reduce_sink(
+        _events(sf_dir, ["user_id", "event_type"]),
+        ["user_id", "event_type"], {"n": ("event_type", "size")})
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        n = g["n"].to_numpy(np.float64)
+        tot = g.groupby("user_id")["n"].transform("sum") \
+            .to_numpy(np.float64)
+        p = n / tot
+        h = pd.DataFrame({"user_id": g["user_id"],
+                          "term": -p * np.log2(p)}) \
+            .groupby("user_id")["term"].sum()
+        return pd.DataFrame({"users": [len(h)],
+                             "h_sum": [float(h.sum())]})
+
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket_"] = (df["user_id"].to_numpy(np.int64) % 32) \
+            .astype(np.int32)
+        return df
+
+    p = (per.map_batches(with_bucket, batch_format="pandas")
+         .groupby("bucket_")
+         .map_groups(lambda g: partial(g.drop(columns=["bucket_"])),
+                     batch_format="pandas")).to_pandas()
+    users = int(p["users"].sum())
+    return pd.DataFrame({
+        "users": np.array([users], np.int64),
+        "mean_entropy": [float(textstats.round_half_away(
+            float(p["h_sum"].sum()) / users, 6))]})
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
