@@ -130,6 +130,10 @@ class PipelineConfig:
     #: hourly / yearly bars + category pie) from the finished sinks into
     #: ``out_dir/graphs`` — pure-stdlib encoder, driver-side O(KB).
     emit_graphs: bool = False
+    #: Also compose the static HTML report tree (output.c analog:
+    #: index.html yearly summary + usage_YYYYMM.html month pages over
+    #: the sink tables, PNG graphs embedded). Implies the graphs.
+    emit_html: bool = False
 
     # --- execution knobs (Ray only; refmodel ignores) --------------------
     #: Hash buckets for explicit conv_id partitioning (sessionization unit;

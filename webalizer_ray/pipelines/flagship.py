@@ -886,9 +886,13 @@ def finalize_sinks(long: pd.DataFrame, out_dir: str,
                 tmp = os.path.join(dump_dir, f"{name}.tab.tmp")
                 obj.to_csv(tmp, sep="\t", index=False)
                 os.replace(tmp, os.path.join(dump_dir, f"{name}.tab"))
-    if config.emit_graphs:
-        # S10: the four usage PNGs render from the parquet sinks just
-        # written above — a driver-side O(KB) finishing step
+    if config.emit_html:
+        # S6–S8 + S10: HTML report pages (render graphs first so the
+        # <img> references resolve) — driver-side O(KB) finishing step
+        from webalizer_ray.pipelines.htmlreport import write_html_report
+        write_html_report(out_dir)
+    elif config.emit_graphs:
+        # S10 only: the four usage PNGs from the parquet sinks
         from webalizer_ray.pipelines.graphs import write_flagship_graphs
         write_flagship_graphs(out_dir)
     return sinks

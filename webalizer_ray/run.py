@@ -188,6 +188,16 @@ def cmd_graphs(args) -> int:
     return 0
 
 
+def cmd_html_report(args) -> int:
+    """Compose the static HTML report tree (index.html + one
+    usage_YYYYMM.html per month, PNG graphs embedded) from a flagship
+    output directory's sinks — driver-side, no Ray session."""
+    from webalizer_ray.pipelines.htmlreport import write_html_report
+    written = write_html_report(args.out, top_n=args.top_n)
+    print(json.dumps({"out": args.out, "pages": sorted(written.keys())}))
+    return 0
+
+
 def cmd_search(args) -> int:
     """BM25 keyword search: builds (or reuses) the term-sharded
     inverted index, then answers from only the matching term buckets."""
@@ -528,6 +538,15 @@ def build_parser() -> argparse.ArgumentParser:
                     help="flagship output dir (reads <out>/sinks, "
                          "writes <out>/graphs)")
     gr.set_defaults(fn=cmd_graphs)
+
+    hr = sub.add_parser("html-report", help="compose the static HTML "
+                                            "report tree (index + month "
+                                            "pages, graphs embedded) "
+                                            "from a flagship output dir")
+    hr.add_argument("--out", required=True,
+                    help="flagship output dir (reads <out>/sinks)")
+    hr.add_argument("--top-n", type=int, default=10, dest="top_n")
+    hr.set_defaults(fn=cmd_html_report)
 
     se = sub.add_parser("search", help="BM25 keyword search over a "
                                        "documents table via a persisted "
