@@ -1,0 +1,116 @@
+"""Hopping windows, multi-feature OLS and DSIR importance scoring:
+planted-value tests (oracle parity runs in tools/check_oracle.py)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write_events(d, ts_list, values, users=None, types=None):
+    os.makedirs(d, exist_ok=True)
+    n = len(ts_list)
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(np.array(ts_list, dtype="datetime64[us]"),
+                       pa.timestamp("us")),
+        "user_id": pa.array(np.zeros(n, np.int64) if users is None
+                            else np.asarray(users, np.int64)),
+        "event_type": pa.array(["view"] * n if types is None else types),
+        "value": pa.array(np.asarray(values, np.float64)),
+        "props": pa.array(["{}"] * n)}),
+        os.path.join(d, "events.parquet"))
+
+
+def _write_docs(d, texts, langs):
+    os.makedirs(d, exist_ok=True)
+    n = len(texts)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array(texts),
+        "lang": pa.array(langs),
+        "source": pa.array(["s0"] * n),
+        "n_chars": pa.array(np.array([len(t) for t in texts], np.int64)),
+    }), os.path.join(d, "documents.parquet"))
+
+
+def test_hopping_window_membership(ray_session, tmp_path):
+    """One event belongs to exactly window/hop = 4 windows; two events
+    one hop apart share exactly 3 of them."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T01:00:00", "us")   # exact slot edge
+    d = str(tmp_path / "hop")
+    _write_events(d, [t0, t0 + np.timedelta64(15, "m")], [1.0, 1.0])
+    out = REGISTRY["hopping_window_stats"][0](d)
+    slot0 = int(t0.astype("datetime64[us]").astype(np.int64)
+                // 900_000_000)
+    hits = dict(zip(out["window_slot"], out["hits"]))
+    # event A covers slots slot0-3..slot0; B covers slot0-2..slot0+1
+    assert sum(hits.values()) == 8
+    assert hits[slot0 - 3] == 1 and hits[slot0 + 1] == 1
+    for s in (slot0 - 2, slot0 - 1, slot0):
+        assert hits[s] == 2
+
+
+def test_hopping_window_cents_exact(ray_session, tmp_path):
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-05T12:07:00", "us")
+    d = str(tmp_path / "hopc")
+    _write_events(d, [t0], [12.34])
+    out = REGISTRY["hopping_window_stats"][0](d)
+    assert len(out) == 4
+    assert (out["cents_sum"] == 1234).all()
+
+
+def test_ols_recovers_planted_plane(ray_session, tmp_path):
+    """value = 2 + 3*hour + 5*dow exactly -> coefficients recovered to
+    the rounding guard (the moments are integer-exact)."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")  # a Monday, dow=0
+    ts, vals = [], []
+    for day in range(7):
+        for hour in range(24):
+            t = t0 + np.timedelta64(day, "D") + np.timedelta64(hour, "h")
+            dow = (int(t.astype("datetime64[D]").astype(np.int64)) + 4) % 7
+            ts.append(t)
+            vals.append(2.0 + 3.0 * hour + 5.0 * dow)
+    d = str(tmp_path / "ols")
+    _write_events(d, ts, vals)
+    out = REGISTRY["ols_value_hour_dow"][0](d)
+    assert abs(out["intercept"][0] - 2.0) < 1e-6
+    assert abs(out["beta_hour"][0] - 3.0) < 1e-6
+    assert abs(out["beta_dow"][0] - 5.0) < 1e-6
+
+
+def test_dsir_ranks_target_like_docs_first(ray_session, tmp_path):
+    """Docs written in the target slice's vocabulary outscore docs made
+    of raw-only words, regardless of their own lang label."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    texts, langs = [], []
+    for i in range(10):                    # the target domain: en docs
+        texts.append("alpha beta gamma alpha beta")
+        langs.append("en")
+    for i in range(10):                    # raw-only background
+        texts.append("zeta eta theta zeta eta")
+        langs.append("de")
+    # two probe docs, both labeled 'de': one target-like, one raw-like
+    texts.append("alpha beta gamma")       # doc_id 20
+    langs.append("de")
+    texts.append("zeta eta theta")         # doc_id 21
+    langs.append("de")
+    d = str(tmp_path / "dsir")
+    _write_docs(d, texts, langs)
+    out = REGISTRY["dsir_importance_top_docs"][0](d)
+    score = dict(zip(out["doc_id"], out["dsir_score"]))
+    assert score[20] > score[21]
+    # target-vocab docs occupy the head of the ranking
+    top5 = out.head(5)["doc_id"].tolist()
+    assert 21 not in top5

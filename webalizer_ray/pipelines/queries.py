@@ -10967,6 +10967,205 @@ def user_type_entropy_mean(sf_dir: str) -> pd.DataFrame:
             float(p["h_sum"].sum()) / users, 6))]})
 
 
+@register("hopping_window_stats", sql="""
+WITH e AS (SELECT epoch_us(ts) // 900000000 AS slot,
+                  CAST(ROUND(value * 100) AS BIGINT) AS cents
+           FROM events),
+x AS (SELECT e.slot - k.k AS wslot, e.cents
+      FROM e, (SELECT unnest([0, 1, 2, 3]) AS k) k)
+SELECT CAST(wslot AS BIGINT) AS window_slot,
+       CAST(COUNT(*) AS BIGINT) AS hits,
+       CAST(SUM(cents) AS BIGINT) AS cents_sum
+FROM x GROUP BY wslot""")
+def hopping_window_stats(sf_dir: str) -> pd.DataFrame:
+    """Hopping (sliding) window aggregate — 1 h windows advancing every
+    15 min, the standard streaming-telemetry rate view that a tumbling
+    bucket cannot express (each event belongs to exactly window/hop = 4
+    overlapping windows). Scale shape: the 4x expansion happens INSIDE
+    map_batches as a numpy tile (never a row loop) and is immediately
+    collapsed to per-(window) partials within the batch, so at most
+    4 x |distinct windows per batch| rows shuffle — not 4x the corpus.
+    Values quantize to exact integer cents so the float order can't
+    drift between engines."""
+    hop_us, n_hops = 900_000_000, 4
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        slot = df["ts"].to_numpy("datetime64[us]").astype(np.int64) \
+            // hop_us
+        cents = np.rint(df["value"].to_numpy(np.float64) * 100) \
+            .astype(np.int64)
+        wslot = (slot[None, :] - np.arange(n_hops, dtype=np.int64)[:, None]
+                 ).ravel()
+        c = np.tile(cents, n_hops)
+        g = pd.DataFrame({"window_slot": wslot, "cents": c}) \
+            .groupby("window_slot", sort=False)
+        out = g.agg(hits=("cents", "size"), cents_sum=("cents", "sum"))
+        return out.reset_index()
+
+    agg = reduce_sink(
+        _events(sf_dir, ["ts", "value"]).map_batches(
+            partial, batch_format="pandas"),
+        ["window_slot"],
+        {"hits": ("hits", "sum"), "cents_sum": ("cents_sum", "sum")})
+    out = agg.to_pandas()
+    out["window_slot"] = out["window_slot"].astype(np.int64)
+    out["hits"] = out["hits"].astype(np.int64)
+    out["cents_sum"] = out["cents_sum"].astype(np.int64)
+    return out
+
+
+@register("ols_value_hour_dow", sql="""
+WITH b AS (SELECT CAST(hour(ts) AS BIGINT) AS x1,
+                  (epoch_us(ts) // 86400000000 + 4) % 7 AS x2,
+                  CAST(ROUND(value * 100) AS BIGINT) AS y
+           FROM events),
+m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x1) AS DOUBLE) AS s1, CAST(SUM(x2) AS DOUBLE) AS s2,
+             CAST(SUM(x1 * x1) AS DOUBLE) AS s11,
+             CAST(SUM(x2 * x2) AS DOUBLE) AS s22,
+             CAST(SUM(x1 * x2) AS DOUBLE) AS s12,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x1 * y) AS DOUBLE) AS s1y,
+             CAST(SUM(x2 * y) AS DOUBLE) AS s2y FROM b),
+d AS (SELECT
+  n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2)
+      AS det,
+  sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y)
+      AS d0,
+  n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2)
+      AS d1,
+  n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2)
+      AS d2
+  FROM m)
+SELECT ROUND(d0 / det / 100, 6) AS intercept,
+       ROUND(d1 / det / 100, 6) AS beta_hour,
+       ROUND(d2 / det / 100, 6) AS beta_dow
+FROM d""")
+def ols_value_hour_dow(sf_dir: str) -> pd.DataFrame:
+    """Multi-feature linear regression (value ~ hour + day-of-week)
+    solved exactly from distributed moments: each block emits ONE
+    9-integer partial (the Gram matrix X'X and X'y entries — hour, dow
+    and cents are all integers, so every moment combines exactly in
+    any order), and the 3x3 normal equations solve via Cramer's rule
+    written out as the IDENTICAL expression on both engines — bit-exact
+    with zero float accumulation anywhere in the distributed part.
+    The general-p pattern (p^2 floats per block, driver solve) is what
+    stages/recommend.py's ALS uses; p=3 stays oracle-expressible."""
+    day_us = 86_400_000_000
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        x1 = (us // 3_600_000_000) % 24
+        x2 = (us // day_us + 4) % 7
+        y = np.rint(t["value"].to_numpy(zero_copy_only=False)
+                    .astype(np.float64) * 100).astype(np.int64)
+        return pd.DataFrame({
+            "n": [np.int64(len(y))], "s1": [x1.sum()], "s2": [x2.sum()],
+            "s11": [(x1 * x1).sum()], "s22": [(x2 * x2).sum()],
+            "s12": [(x1 * x2).sum()], "sy": [y.sum()],
+            "s1y": [(x1 * y).sum()], "s2y": [(x2 * y).sum()]})
+
+    p = _events(sf_dir, ["ts", "value"]).map_batches(
+        partial, batch_format="pyarrow").to_pandas()
+    n = float(p["n"].sum())
+    s1, s2 = float(p["s1"].sum()), float(p["s2"].sum())
+    s11, s22 = float(p["s11"].sum()), float(p["s22"].sum())
+    s12, sy = float(p["s12"].sum()), float(p["sy"].sum())
+    s1y, s2y = float(p["s1y"].sum()), float(p["s2y"].sum())
+    det = (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+           + s2 * (s1 * s12 - s11 * s2))
+    d0 = (sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+          + s2 * (s1y * s12 - s11 * s2y))
+    d1 = (n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+          + s2 * (s1 * s2y - s1y * s2))
+    d2 = (n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+          + sy * (s1 * s12 - s11 * s2))
+    r6 = textstats.round_half_away
+    return pd.DataFrame({
+        "intercept": [float(r6(d0 / det / 100, 6))],
+        "beta_hour": [float(r6(d1 / det / 100, 6))],
+        "beta_dow": [float(r6(d2 / det / 100, 6))]})
+
+
+@register("dsir_importance_top_docs", sql=r"""
+WITH w AS (SELECT doc_id, lang,
+                  unnest(regexp_extract_all(text, '\S+')) AS word
+           FROM documents),
+c AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cr,
+             CAST(COUNT(*) FILTER (lang = 'en') AS BIGINT) AS ct
+      FROM w GROUP BY word),
+t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v,
+             CAST(SUM(cr) AS DOUBLE) AS tr,
+             CAST(SUM(ct) AS DOUBLE) AS tt FROM c),
+r AS (SELECT word, LN((ct + 1) / (tt + v)) - LN((cr + 1) / (tr + v)) AS lr
+      FROM c, t),
+s AS (SELECT w.doc_id, ROUND(SUM(r.lr), 6) AS dsir_score
+      FROM w JOIN r USING (word) GROUP BY w.doc_id)
+SELECT doc_id, dsir_score FROM s
+ORDER BY dsir_score DESC, doc_id LIMIT 20""")
+def dsir_importance_top_docs(sf_dir: str) -> pd.DataFrame:
+    """DSIR-style importance weighting (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    each raw document by the log importance ratio of a target-domain
+    unigram LM (here: the lang='en' slice) against the raw-corpus LM,
+    both Laplace-smoothed over the shared vocabulary, and keep the
+    top-20. (The paper hashes n-grams into a fixed-width bucket space;
+    word-level features keep the op oracle-expressible — swapping in a
+    hash of the word changes one line.) Scale shape: ONE (word, raw,
+    target) count reduce builds both LMs (target counts ride the same
+    partial — no second scan), the vocabulary-sized log-ratio table
+    broadcasts once via ray.put, scoring is a batch-local hash-map
+    lookup, and only per-batch top-20 partials reach the driver."""
+    docs = _docs(sf_dir, ["doc_id", "text", "lang"])
+
+    def wc(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].fillna("").str.split()
+        lens = words.str.len().to_numpy(np.int64)
+        flat = words.explode().dropna()
+        is_t = np.repeat(
+            (df["lang"] == "en").to_numpy(), lens).astype(np.int64)
+        g = (pd.DataFrame({"word": flat.to_numpy(), "ct": is_t})
+             .groupby("word", sort=False)["ct"].agg(["size", "sum"]))
+        return pd.DataFrame({"word": g.index.to_numpy(),
+                             "cr": g["size"].to_numpy(np.int64),
+                             "ct": g["sum"].to_numpy(np.int64)})
+
+    vocab = reduce_sink(docs.map_batches(wc, batch_format="pandas"),
+                        ["word"],
+                        {"cr": ("cr", "sum"), "ct": ("ct", "sum")}) \
+        .to_pandas()
+    v = float(len(vocab))
+    tr = float(vocab["cr"].sum())
+    tt = float(vocab["ct"].sum())
+    # identical float path to the oracle: ln(smoothed) - ln(smoothed)
+    lr = (np.log((vocab["ct"].to_numpy(np.float64) + 1) / (tt + v))
+          - np.log((vocab["cr"].to_numpy(np.float64) + 1) / (tr + v)))
+    lr_ref = ray.put(pd.Series(lr, index=vocab["word"].to_numpy()))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        table = ray.get(lr_ref)
+        words = df["text"].fillna("").str.split()
+        lens = words.str.len().to_numpy()
+        flat = words.explode().dropna()
+        doc = np.repeat(df["doc_id"].to_numpy(), lens)
+        s = (pd.DataFrame({"doc_id": doc,
+                           "lr": flat.map(table).to_numpy(np.float64)})
+             .groupby("doc_id", sort=False)["lr"].sum())
+        part = pd.DataFrame({
+            "doc_id": s.index.to_numpy(np.int64),
+            "dsir_score": textstats.round_half_away(
+                s.to_numpy(np.float64), 6)})
+        return top_n_pandas(part, "doc_id", "dsir_score", 20)
+
+    cand = docs.map_batches(score, batch_format="pandas").to_pandas()
+    # rounding happens BEFORE selection on both engines so a hairline
+    # tie can't flip which doc makes the cut
+    out = cand.sort_values(["dsir_score", "doc_id"],
+                           ascending=[False, True],
+                           kind="mergesort").head(20)
+    return out.reset_index(drop=True)
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
