@@ -114,3 +114,71 @@ def test_dsir_ranks_target_like_docs_first(ray_session, tmp_path):
     # target-vocab docs occupy the head of the ranking
     top5 = out.head(5)["doc_id"].tolist()
     assert 21 not in top5
+
+
+def test_trailing_window_boundary_and_isolation(ray_session, tmp_path):
+    """RANGE frame is inclusive at exactly -1h, excludes older events,
+    and never crosses users."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T06:00:00", "us")
+    m = np.timedelta64(1, "m")
+    # user 1: events at 0, +30min, +61min; user 2: one event at +30min
+    ts = [t0, t0 + 30 * m, t0 + 61 * m, t0 + 60 * m, t0 + 30 * m]
+    users = [1, 1, 1, 1, 2]
+    vals = [1.0, 2.0, 4.0, 8.0, 16.0]
+    d = str(tmp_path / "trail")
+    _write_events(d, ts, vals, users=users)
+    out = REGISTRY["user_trailing_1h_value"][0](d)
+    got = dict(zip(out["event_id"], out["trailing_cents"]))
+    assert got[0] == 100            # only itself
+    assert got[1] == 300            # 1 + 2
+    assert got[3] == 1100           # exactly 1h back: inclusive (1+2+8)
+    assert got[2] == 1400           # 61 min drops event 0 (2+4+8)
+    assert got[4] == 1600           # user 2 isolated
+
+
+def test_naive_bayes_perfect_diagonal(ray_session, tmp_path):
+    """Distinct vocabularies per language -> the confusion matrix is
+    diagonal."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    texts, langs = [], []
+    for i in range(8):
+        texts.append("hund katze maus hund")
+        langs.append("de")
+        texts.append("dog cat mouse dog")
+        langs.append("en")
+    d = str(tmp_path / "nb")
+    _write_docs(d, texts, langs)
+    out = REGISTRY["naive_bayes_lang_confusion"][0](d)
+    got = {(r.true_lang, r.pred_lang): r.n for r in out.itertuples()}
+    assert got == {("de", "de"): 8, ("en", "en"): 8}
+
+
+def test_logreg_recovers_planted_separation(ray_session, tmp_path):
+    """Purchases planted at high values -> positive value coefficient
+    and well-separated predicted probabilities."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    h = np.timedelta64(1, "h")
+    ts, vals, types = [], [], []
+    for i in range(200):
+        ts.append(t0 + (i % 24) * h)
+        if i % 2 == 0:
+            vals.append(90.0 + (i % 10))
+            types.append("purchase")
+        else:
+            vals.append(1.0 + (i % 10))
+            types.append("view")
+    d = str(tmp_path / "logreg")
+    _write_events(d, ts, vals, types=types)
+    out = REGISTRY["logreg_purchase_coefs"][0](d)
+    coef = dict(zip(out["term"], out["coef"]))
+    assert coef["value_scaled"] > 0
+    w0, w1, w2 = (coef["intercept"], coef["hour_frac"],
+                  coef["value_scaled"])
+    hi = 1 / (1 + np.exp(-(w0 + w1 * 0.5 + w2 * 0.95)))
+    lo = 1 / (1 + np.exp(-(w0 + w1 * 0.5 + w2 * 0.05)))
+    assert hi > 0.9 and lo < 0.1

@@ -11166,6 +11166,252 @@ def dsir_importance_top_docs(sf_dir: str) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+@register("user_trailing_1h_value", sql="""
+WITH b AS (SELECT event_id, user_id, ts,
+                  CAST(ROUND(value * 100) AS BIGINT) AS cents
+           FROM events)
+SELECT event_id,
+       CAST(SUM(cents) OVER (
+           PARTITION BY user_id ORDER BY ts
+           RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS trailing_cents
+FROM b""")
+def user_trailing_1h_value(sf_dir: str) -> pd.DataFrame:
+    """RANGE-frame window aggregate (per-user trailing 1-hour value
+    sum) — the interval frame the existing ROWS-frame moving average
+    cannot express: the window holds however many events fall in the
+    last hour, including same-timestamp peers. Scale shape: users hash
+    into buckets (a user never spans buckets), each bucket sorts once
+    and answers every row with two vectorized searchsorteds against
+    the bucket's prefix-sum — no per-row loop, no global sort, and
+    only (event_id, sum) rows leave the task. Exact integer cents."""
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+    hour_us = 3_600_000_000
+
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket_"] = (df["user_id"].to_numpy(np.int64) % 32) \
+            .astype(np.int32)
+        return df
+
+    def window(g: pd.DataFrame) -> pd.DataFrame:
+        us = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        cents = np.rint(g["value"].to_numpy(np.float64) * 100) \
+            .astype(np.int64)
+        uid = g["user_id"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        order = np.lexsort((us, uid))
+        us, cents, uid, eid = us[order], cents[order], uid[order], \
+            eid[order]
+        prefix = np.concatenate(([0], np.cumsum(cents)))
+        # the lexsorted array is time-sorted only WITHIN each user run:
+        # shift every run onto a shared strictly-increasing axis with
+        # gaps wider than the frame, so one global searchsorted answers
+        # every row and a query can never fall into a neighboring user
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        ends = np.r_[starts[1:], len(uid)]
+        run_of = np.repeat(np.arange(len(starts)), ends - starts)
+        run_min, run_max = us[starts], us[ends - 1]
+        span = run_max - run_min
+        base = np.concatenate(
+            ([0], np.cumsum(span[:-1] + 2 * hour_us + 2)))
+        adj = us - run_min[run_of] + base[run_of]
+        left = np.searchsorted(adj, adj - hour_us, side="left")
+        right = np.searchsorted(adj, adj, side="right")
+        return pd.DataFrame({
+            "event_id": eid,
+            "trailing_cents": prefix[right] - prefix[left]})
+
+    out = (ds.map_batches(with_bucket, batch_format="pandas")
+           .groupby("bucket_")
+           .map_groups(lambda g: window(g.drop(columns=["bucket_"])),
+                       batch_format="pandas")).to_pandas()
+    out["trailing_cents"] = out["trailing_cents"].astype(np.int64)
+    return out.sort_values("event_id", ignore_index=True)
+
+
+@register("naive_bayes_lang_confusion", sql=r"""
+WITH w AS (SELECT doc_id, lang,
+                  unnest(regexp_extract_all(text, '\S+')) AS word
+           FROM documents),
+c AS (SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS c
+      FROM w GROUP BY 1, 2),
+totl AS (SELECT lang, CAST(SUM(c) AS DOUBLE) AS tot FROM c GROUP BY lang),
+v AS (SELECT CAST(COUNT(DISTINCT word) AS DOUBLE) AS v FROM c),
+pri AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS nd
+        FROM documents GROUP BY lang),
+nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+dw AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS cnt
+       FROM w GROUP BY 1, 2),
+sc AS (SELECT dw.doc_id, totl.lang,
+              SUM(dw.cnt * LN((COALESCE(c.c, 0) + 1) / (totl.tot + v.v)))
+              + ANY_VALUE(LN(pri.nd / nd.n)) AS score
+       FROM dw
+       CROSS JOIN totl
+       LEFT JOIN c ON c.lang = totl.lang AND c.word = dw.word
+       JOIN pri ON pri.lang = totl.lang, v, nd
+       GROUP BY dw.doc_id, totl.lang),
+pred AS (SELECT doc_id, lang AS pred_lang
+         FROM sc
+         QUALIFY ROW_NUMBER() OVER (
+             PARTITION BY doc_id
+             ORDER BY ROUND(score, 9) DESC, lang) = 1)
+SELECT d.lang AS true_lang, p.pred_lang,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM documents d JOIN pred p USING (doc_id)
+GROUP BY 1, 2""")
+def naive_bayes_lang_confusion(sf_dir: str) -> pd.DataFrame:
+    """Multinomial Naive Bayes (Laplace-smoothed) trained and evaluated
+    in-corpus, reported as a confusion matrix — the classical generative
+    text classifier as a distributed pipeline. Scale shape: ONE
+    (lang, word) count reduce trains every class at once (the table is
+    vocab x |langs|, never corpus-sized); the log-likelihood matrix and
+    log-priors broadcast once via ray.put; scoring is a batch-local
+    hash-map lookup per class with argmax on 9-dp-rounded scores and
+    smaller-label tiebreak (so engines can't disagree on hairline
+    ties); only (true, pred, n) partials shuffle. Oracle: the identical
+    smoothed closed form in relational algebra."""
+    docs = _docs(sf_dir, ["doc_id", "text", "lang"])
+
+    def wc(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].fillna("").str.split()
+        lens = words.str.len().to_numpy(np.int64)
+        flat = words.explode().dropna()
+        lang = np.repeat(df["lang"].to_numpy(), lens)
+        g = (pd.DataFrame({"lang": lang, "word": flat.to_numpy()})
+             .groupby(["lang", "word"], sort=False).size())
+        out = g.reset_index()
+        out.columns = ["lang", "word", "c"]
+        # per-batch doc-count partials ride along as sentinel rows
+        # (word = NUL can never appear in \S+ tokens)
+        nd = df.groupby("lang").size().reset_index()
+        nd.columns = ["lang", "c"]
+        nd["word"] = "\x00"
+        return pd.concat([out, nd[["lang", "word", "c"]]],
+                         ignore_index=True)
+
+    agg = reduce_sink(docs.map_batches(wc, batch_format="pandas"),
+                      ["lang", "word"], {"c": ("c", "sum")}).to_pandas()
+    is_sent = agg["word"] == "\x00"
+    nd = agg[is_sent].set_index("lang")["c"].astype(float)
+    cnt = agg[~is_sent]
+    langs = sorted(nd.index)
+    v = float(cnt["word"].nunique())
+    tot = cnt.groupby("lang")["c"].sum().astype(float)
+    n_docs = float(nd.sum())
+    # one log-likelihood Series per class + its unseen-word default;
+    # identical float path to the oracle: LN((c+1)/(tot+v))
+    tables = {}
+    for l in langs:
+        sub = cnt[cnt["lang"] == l]
+        tl = float(tot.get(l, 0.0))
+        tables[l] = (
+            pd.Series(np.log((sub["c"].to_numpy(np.float64) + 1)
+                             / (tl + v)),
+                      index=sub["word"].to_numpy()),
+            float(np.log(1.0 / (tl + v))),
+            float(np.log(float(nd[l]) / n_docs)))
+    tab_ref = ray.put(tables)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        tabs = ray.get(tab_ref)
+        words = df["text"].fillna("").str.split()
+        # zero-token docs have no likelihood terms and drop out of the
+        # oracle's word join — mirror that
+        keep = words.str.len() > 0
+        df, words = df[keep.to_numpy()], words[keep]
+        lens = words.str.len().to_numpy()
+        flat = words.explode().dropna()
+        doc = np.repeat(np.arange(len(df)), lens)
+        scores = np.empty((len(df), len(langs)), np.float64)
+        for j, l in enumerate(langs):
+            tab, dflt, lp = tabs[l]
+            per_tok = flat.map(tab).to_numpy(np.float64)
+            per_tok = np.where(np.isnan(per_tok), dflt, per_tok)
+            s = np.zeros(len(df), np.float64)
+            np.add.at(s, doc, per_tok)
+            scores[:, j] = s + lp
+        r9 = textstats.round_half_away(scores, 9)
+        pred_j = np.argmax(r9, axis=1)  # argmax takes FIRST max:
+        # langs sorted ascending = the oracle's smaller-label tiebreak
+        g = (pd.DataFrame({
+            "true_lang": df["lang"].to_numpy(),
+            "pred_lang": np.asarray(langs, object)[pred_j]})
+            .groupby(["true_lang", "pred_lang"], sort=False).size())
+        out = g.reset_index()
+        out.columns = ["true_lang", "pred_lang", "n"]
+        return out
+
+    out = reduce_sink(docs.map_batches(score, batch_format="pandas"),
+                      ["true_lang", "pred_lang"],
+                      {"n": ("n", "sum")}).to_pandas()
+    out["n"] = out["n"].astype(np.int64)
+    return out
+
+
+@register("logreg_purchase_coefs")
+def logreg_purchase_coefs(sf_dir: str) -> pd.DataFrame:
+    """Distributed logistic regression by IRLS / Newton's method
+    (rows-only: iterative float fitting has no SQL form): predict
+    P(event_type = 'purchase') from (hour, value). Every iteration is
+    ONE streaming pass where each block emits a 3-float gradient and a
+    3x3 Hessian partial (15 floats per block total — the GLM sibling
+    of the OLS Gram pattern); the driver solves the 3x3 Newton step.
+    p features cost O(p^2) floats per block at any corpus size.
+    Deterministic given the fixed iteration count; coefficients are
+    reported at 4 dp with a planted-separation recovery test in
+    tests/test_regression_ops.py."""
+    ds = _events(sf_dir, ["ts", "event_type", "value"])
+
+    def features(t: pa.Table) -> pd.DataFrame:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        hour = ((us // 3_600_000_000) % 24).astype(np.float64)
+        val = t["value"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        y = (pc.equal(t["event_type"], "purchase").to_numpy(
+            zero_copy_only=False)).astype(np.float64)
+        # fixed affine scaling keeps the Hessian well-conditioned
+        # without a data-dependent (order-sensitive) standardization
+        return pd.DataFrame({"x1": hour / 24.0, "x2": val / 100.0,
+                             "y": y})
+
+    feats = ds.map_batches(features, batch_format="pyarrow") \
+        .materialize()
+    w = np.zeros(3, np.float64)
+
+    for _ in range(8):
+        w_ref = ray.put(w.copy())
+
+        def newton_partial(df: pd.DataFrame) -> pd.DataFrame:
+            wv = ray.get(w_ref)
+            X = np.column_stack([np.ones(len(df)),
+                                 df["x1"].to_numpy(np.float64),
+                                 df["x2"].to_numpy(np.float64)])
+            y = df["y"].to_numpy(np.float64)
+            p = 1.0 / (1.0 + np.exp(-(X @ wv)))
+            grad = X.T @ (y - p)
+            r = p * (1.0 - p)
+            H = X.T @ (X * r[:, None])
+            out = {f"g{i}": [grad[i]] for i in range(3)}
+            out.update({f"h{i}{j}": [H[i, j]]
+                        for i in range(3) for j in range(i, 3)})
+            return pd.DataFrame(out)
+
+        p = feats.map_batches(newton_partial,
+                              batch_format="pandas").to_pandas()
+        grad = np.array([p[f"g{i}"].sum() for i in range(3)])
+        H = np.zeros((3, 3))
+        for i in range(3):
+            for j in range(i, 3):
+                H[i, j] = H[j, i] = p[f"h{i}{j}"].sum()
+        # ridge jitter keeps the solve stable if a class is rare
+        w = w + np.linalg.solve(H + 1e-9 * np.eye(3), grad)
+
+    return pd.DataFrame({
+        "term": ["intercept", "hour_frac", "value_scaled"],
+        "coef": np.round(w, 4)})
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
