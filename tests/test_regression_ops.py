@@ -182,3 +182,95 @@ def test_logreg_recovers_planted_separation(ray_session, tmp_path):
     hi = 1 / (1 + np.exp(-(w0 + w1 * 0.5 + w2 * 0.95)))
     lo = 1 / (1 + np.exp(-(w0 + w1 * 0.5 + w2 * 0.05)))
     assert hi > 0.9 and lo < 0.1
+
+
+def _write_lineitem(d, flags, prices, qtys):
+    os.makedirs(d, exist_ok=True)
+    n = len(flags)
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(np.arange(n, dtype=np.int64)),
+        "l_partkey": pa.array(np.ones(n, np.int64)),
+        "l_suppkey": pa.array(np.ones(n, np.int64)),
+        "l_linenumber": pa.array(np.ones(n, np.int32)),
+        "l_quantity": pa.array(np.asarray(qtys, np.float64)),
+        "l_extendedprice": pa.array(np.asarray(prices, np.float64)),
+        "l_discount": pa.array(np.zeros(n)),
+        "l_tax": pa.array(np.zeros(n)),
+        "l_returnflag": pa.array(flags),
+        "l_linestatus": pa.array(["O"] * n),
+        "l_shipdate": pa.array(
+            np.array(["2024-01-05"] * n, dtype="datetime64[us]"),
+            pa.timestamp("us"))}),
+        os.path.join(d, "lineitem.parquet"))
+
+
+def test_doc_keywords_rare_word_wins(ray_session, tmp_path):
+    """A word unique to one doc outranks words shared by every doc
+    (which have idf = 0 exactly)."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    texts = ["common words here unicorn",
+             "common words here",
+             "common words here"]
+    d = str(tmp_path / "kw")
+    _write_docs(d, texts, ["en"] * 3)
+    out = REGISTRY["doc_top_keywords"][0](d)
+    top_doc0 = out[(out.doc_id == 0) & (out.rnk == 1)]["word"].iloc[0]
+    assert top_doc0 == "unicorn"
+    # shared-by-all words score exactly 0
+    zero = out[out.word == "common"]["score"]
+    assert (zero == 0.0).all()
+
+
+def test_weighted_median_follows_weight(ray_session, tmp_path):
+    """Median shifts to the heavily-weighted price, and the half-total
+    boundary picks the smallest qualifying price."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    d = str(tmp_path / "wm")
+    # flag A: price 10 with weight 9, price 100 with weight 1 -> 10
+    # flag B: equal weights 1/1 on 10 and 100 -> 2*cum>=tot at 10
+    _write_lineitem(d, ["A", "A", "B", "B"],
+                    [10.0, 100.0, 10.0, 100.0], [9, 1, 1, 1])
+    out = REGISTRY["weighted_median_price_by_flag"][0](d)
+    got = dict(zip(out["flag"], out["wmedian_cents"]))
+    assert got == {"A": 1000, "B": 1000}
+
+
+def test_mode_geo_harm_planted(ray_session, tmp_path):
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    # type 'view': values 1,1,4,4 -> mode tie between 100 and 400
+    # cents -> smallest (100); geo = exp(mean(ln)) = 200 cents;
+    # harm = 4 / (2/100 + 2/400) = 160 cents
+    ts = [t0 + i * s for i in range(4)]
+    d = str(tmp_path / "mgh")
+    _write_events(d, ts, [1.0, 1.0, 4.0, 4.0])
+    out = REGISTRY["value_mode_geo_harm_by_type"][0](d)
+    r = out.iloc[0]
+    assert r["mode_cents"] == 100
+    assert abs(r["geo_mean_cents"] - 200.0) < 1e-6
+    assert abs(r["harm_mean_cents"] - 160.0) < 1e-6
+
+
+def test_holt_tracks_planted_linear_trend(ray_session, tmp_path):
+    """On an exactly linear series the trend estimate equals the slope
+    and the level equals the series at every step."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    ts = []
+    for day in range(10):
+        n = 10 + 2 * day          # y_t = 10 + 2t events on day t
+        for j in range(n):
+            ts.append(t0 + np.timedelta64(day, "D")
+                      + np.timedelta64(j, "s"))
+    d = str(tmp_path / "holt")
+    _write_events(d, ts, [1.0] * len(ts))
+    out = REGISTRY["holt_linear_daily"][0](d)
+    # exact-linear input is a fixed point of Holt's recursion
+    assert np.allclose(out["trend"].to_numpy(), 2.0, atol=1e-9)
+    assert np.allclose(out["level"].to_numpy(),
+                       10 + 2 * np.arange(10), atol=1e-9)

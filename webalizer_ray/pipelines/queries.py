@@ -11412,6 +11412,239 @@ def logreg_purchase_coefs(sf_dir: str) -> pd.DataFrame:
         "coef": np.round(w, 4)})
 
 
+@register("doc_top_keywords", sql=r"""
+WITH w AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS word
+           FROM documents),
+tf AS (SELECT doc_id, word, CAST(COUNT(*) AS DOUBLE) AS tf
+       FROM w GROUP BY 1, 2),
+df AS (SELECT word, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+       FROM w GROUP BY word),
+nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+s AS (SELECT tf.doc_id, tf.word,
+             ROUND(tf.tf * LN(nd.n / df.df), 6) AS score
+      FROM tf JOIN df USING (word), nd)
+SELECT doc_id, word, score, CAST(rnk AS BIGINT) AS rnk
+FROM (SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY doc_id ORDER BY score DESC, word) AS rnk
+      FROM s)
+WHERE rnk <= 3""")
+def doc_top_keywords(sf_dir: str) -> pd.DataFrame:
+    """Per-document keyword extraction: top-3 terms by TF-IDF — the
+    per-doc flavor of the corpus-level tfidf_top_terms, and the
+    standard tagging/snippet primitive. Scale shape: pass 1 reduces
+    (word, doc-frequency) partials — docs never span parquet batches,
+    so per-batch distinct-doc counts combine exactly — and the
+    vocabulary-sized IDF table broadcasts once via ray.put; pass 2
+    computes each batch's TF and top-3 entirely locally (one sort +
+    groupby-head per batch, no per-doc loop); scores round BEFORE the
+    rank on both engines so hairline ties can't flip membership."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    n_docs = float(docs.count())
+
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].fillna("").str.split()
+        lens = words.str.len().to_numpy(np.int64)
+        flat = words.explode().dropna()
+        doc = np.repeat(df["doc_id"].to_numpy(), lens)
+        u = pd.DataFrame({"doc": doc, "word": flat.to_numpy()}) \
+            .drop_duplicates()
+        g = u.groupby("word", sort=False).size()
+        return pd.DataFrame({"word": g.index.to_numpy(),
+                             "df": g.to_numpy(np.int64)})
+
+    dfs = reduce_sink(docs.map_batches(df_partial, batch_format="pandas"),
+                      ["word"], {"df": ("df", "sum")}).to_pandas()
+    idf = ray.put(pd.Series(
+        np.log(n_docs / dfs["df"].to_numpy(np.float64)),
+        index=dfs["word"].to_numpy()))
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        table = ray.get(idf)
+        words = df["text"].fillna("").str.split()
+        lens = words.str.len().to_numpy(np.int64)
+        flat = words.explode().dropna()
+        doc = np.repeat(df["doc_id"].to_numpy(), lens)
+        tf = (pd.DataFrame({"doc_id": doc, "word": flat.to_numpy()})
+              .groupby(["doc_id", "word"], sort=False).size()
+              .reset_index())
+        tf.columns = ["doc_id", "word", "tf"]
+        score = (tf["tf"].to_numpy(np.float64)
+                 * tf["word"].map(table).to_numpy(np.float64))
+        tf["score"] = textstats.round_half_away(score, 6)
+        tf = tf.sort_values(["doc_id", "score", "word"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        tf["rnk"] = tf.groupby("doc_id", sort=False).cumcount() + 1
+        out = tf[tf["rnk"] <= 3]
+        return pd.DataFrame({
+            "doc_id": out["doc_id"].to_numpy(np.int64),
+            "word": out["word"].to_numpy(),
+            "score": out["score"].to_numpy(np.float64),
+            "rnk": out["rnk"].to_numpy(np.int64)})
+
+    out = docs.map_batches(topk, batch_format="pandas").to_pandas()
+    return out.sort_values(["doc_id", "rnk"], ignore_index=True)
+
+
+@register("weighted_median_price_by_flag", sql="""
+WITH b AS (SELECT l_returnflag AS flag,
+                  CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+                  CAST(l_quantity AS BIGINT) AS qty
+           FROM lineitem),
+h AS (SELECT flag, cents, SUM(qty) AS w FROM b GROUP BY 1, 2),
+c AS (SELECT flag, cents,
+             SUM(w) OVER (PARTITION BY flag ORDER BY cents) AS cum,
+             SUM(w) OVER (PARTITION BY flag) AS tot
+      FROM h)
+SELECT flag, CAST(MIN(cents) AS BIGINT) AS wmedian_cents
+FROM c WHERE 2 * cum >= tot GROUP BY flag""")
+def weighted_median_price_by_flag(sf_dir: str) -> pd.DataFrame:
+    """Quantity-weighted median unit price per return flag — the
+    weighted-quantile aggregate SQL has no built-in for: the smallest
+    price whose cumulative weight covers half the total. Scale shape
+    shared with the winsorized mean: ONE lossless (flag, cents,
+    Σweight) histogram reduce (bounded by distinct prices, not rows);
+    the per-flag cumulative scan runs on that tiny table, and the
+    half-total test is the INTEGER cross-multiplication 2·cum ≥ tot so
+    no float division can disagree between engines."""
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "flag": df["l_returnflag"].to_numpy(),
+            "cents": np.rint(df["l_extendedprice"].to_numpy(np.float64)
+                             * 100).astype(np.int64),
+            "qty": np.rint(df["l_quantity"].to_numpy(np.float64))
+            .astype(np.int64)})
+
+    hist = reduce_sink(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_returnflag", "l_extendedprice",
+                                 "l_quantity"])
+        .map_batches(cents, batch_format="pandas"),
+        ["flag", "cents"], {"w": ("qty", "sum")}).to_pandas()
+    hist = hist.sort_values(["flag", "cents"], ignore_index=True)
+    cum = hist.groupby("flag", sort=False)["w"].cumsum().to_numpy(np.int64)
+    tot = hist.groupby("flag", sort=False)["w"].transform("sum") \
+        .to_numpy(np.int64)
+    ok = hist[2 * cum >= tot]
+    out = ok.groupby("flag", sort=False)["cents"].min().reset_index()
+    out.columns = ["flag", "wmedian_cents"]
+    out["wmedian_cents"] = out["wmedian_cents"].astype(np.int64)
+    return out
+
+
+@register("value_mode_geo_harm_by_type", sql="""
+WITH b AS (SELECT event_type,
+                  CAST(ROUND(value * 100) AS BIGINT) AS cents
+           FROM events),
+h AS (SELECT event_type, cents, CAST(COUNT(*) AS BIGINT) AS n
+      FROM b GROUP BY 1, 2),
+mode AS (SELECT event_type, cents AS mode_cents
+         FROM h QUALIFY ROW_NUMBER() OVER (
+             PARTITION BY event_type ORDER BY n DESC, cents) = 1),
+m AS (SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+             SUM(LN(cents)) AS sln, SUM(1.0 / cents) AS sinv
+      FROM b GROUP BY event_type)
+SELECT m.event_type, mode.mode_cents,
+       ROUND(EXP(m.sln / m.n), 6) AS geo_mean_cents,
+       ROUND(m.n / m.sinv, 6) AS harm_mean_cents
+FROM m JOIN mode USING (event_type)""")
+def value_mode_geo_harm_by_type(sf_dir: str) -> pd.DataFrame:
+    """Mode, geometric mean and harmonic mean of the value per event
+    type — the aggregate trio SQL exposes unevenly (no MODE tiebreak
+    guarantee, no geo/harm builtins) and webalizer-style reports want
+    for rate-like measures. Scale shape: the mode comes EXACTLY off
+    the same lossless (type, cents, n) histogram the weighted median
+    uses (highest count, smallest value on ties — deterministic on
+    both engines); ln- and reciprocal-sums ride as per-batch float
+    partials (values are strictly positive cents)."""
+    ds = _events(sf_dir, ["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(df["value"].to_numpy(np.float64) * 100) \
+            .astype(np.int64)
+        t = df["event_type"].to_numpy()
+        g = (pd.DataFrame({"event_type": t, "cents": cents})
+             .groupby(["event_type", "cents"], sort=False).size()
+             .reset_index())
+        g.columns = ["event_type", "cents", "n"]
+        return g
+
+    hist = reduce_sink(ds.map_batches(partial, batch_format="pandas"),
+                       ["event_type", "cents"],
+                       {"n": ("n", "sum")}).to_pandas()
+    # mode: highest count, smallest cents — deterministic tie rule
+    m = hist.sort_values(["event_type", "n", "cents"],
+                         ascending=[True, False, True], kind="mergesort") \
+        .groupby("event_type", sort=False).head(1) \
+        .rename(columns={"cents": "mode_cents"})[["event_type",
+                                                  "mode_cents"]]
+    c = hist["cents"].to_numpy(np.float64)
+    n = hist["n"].to_numpy(np.float64)
+    moments = pd.DataFrame({
+        "event_type": hist["event_type"],
+        "n": n, "sln": np.log(c) * n, "sinv": n / c})
+    mm = moments.groupby("event_type", sort=False).sum().reset_index()
+    r6 = textstats.round_half_away
+    out = mm.merge(m, on="event_type")
+    return pd.DataFrame({
+        "event_type": out["event_type"],
+        "mode_cents": out["mode_cents"].astype(np.int64),
+        "geo_mean_cents": r6(np.exp(out["sln"].to_numpy(np.float64)
+                                    / out["n"].to_numpy(np.float64)), 6),
+        "harm_mean_cents": r6(out["n"].to_numpy(np.float64)
+                              / out["sinv"].to_numpy(np.float64), 6)})
+
+
+@register("holt_linear_daily", sql="""
+WITH RECURSIVE daily AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         CAST(COUNT(*) AS DOUBLE) AS y
+  FROM events GROUP BY day),
+ord AS (SELECT day, y, ROW_NUMBER() OVER (ORDER BY day) AS i
+        FROM daily),
+w(i, day, l, b) AS (
+  SELECT o1.i, o1.day, o1.y, o2.y - o1.y
+  FROM ord o1 JOIN ord o2 ON o2.i = 2 WHERE o1.i = 1
+  UNION ALL
+  SELECT o.i, o.day,
+         0.5 * o.y + 0.5 * (w.l + w.b),
+         0.3 * ((0.5 * o.y + 0.5 * (w.l + w.b)) - w.l) + 0.7 * w.b
+  FROM ord o JOIN w ON o.i = w.i + 1)
+SELECT day, ROUND(l, 6) AS level, ROUND(b, 6) AS trend
+FROM w ORDER BY day""")
+def holt_linear_daily(sf_dir: str) -> pd.DataFrame:
+    """Holt's double exponential smoothing (level + linear trend,
+    α = 0.5, β = 0.3, l₁ = y₁, b₁ = y₂ − y₁) over the daily event
+    volume — the EWMA's trend-aware sibling that short-horizon
+    forecasts build on. Scale shape identical to the EWMA: ONE
+    distributed daily-count reduce (O(days) at any corpus size), and
+    the inherently-sequential recursion runs driver-side in EXACTLY
+    the oracle's float expression order — including recomputing the
+    new level inside the trend update the way the CTE spells it, so
+    every double is bit-identical. Fewer than two days -> empty
+    result on both engines (the CTE base case needs y₂)."""
+    ds = _events(sf_dir, ["ts"]) \
+        .map_batches(_with_time_cols({"date"}), batch_format="pyarrow")
+    daily = reduce_sink(ds, ["date"], {"y": ("ts", "size")}) \
+        .to_pandas().sort_values("date", ignore_index=True)
+    y = daily["y"].to_numpy(np.float64)
+    if len(y) < 2:
+        return pd.DataFrame({"day": pd.Series([], dtype=object),
+                             "level": pd.Series([], dtype=np.float64),
+                             "trend": pd.Series([], dtype=np.float64)})
+    l = np.empty(len(y))
+    b = np.empty(len(y))
+    l[0], b[0] = y[0], y[1] - y[0]
+    for i in range(1, len(y)):
+        l_new = 0.5 * y[i] + 0.5 * (l[i - 1] + b[i - 1])
+        b[i] = 0.3 * ((0.5 * y[i] + 0.5 * (l[i - 1] + b[i - 1]))
+                      - l[i - 1]) + 0.7 * b[i - 1]
+        l[i] = l_new
+    r6 = textstats.round_half_away
+    return pd.DataFrame({"day": daily["date"], "level": r6(l, 6),
+                         "trend": r6(b, 6)})
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
