@@ -274,3 +274,93 @@ def test_holt_tracks_planted_linear_trend(ray_session, tmp_path):
     assert np.allclose(out["trend"].to_numpy(), 2.0, atol=1e-9)
     assert np.allclose(out["level"].to_numpy(),
                        10 + 2 * np.arange(10), atol=1e-9)
+
+
+def _brute_kcore(edges, k):
+    """Driver-side reference peel."""
+    edges = set(map(tuple, edges))
+    while True:
+        deg = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        bad = {n for n, d in deg.items() if d < k}
+        if not bad:
+            return np.array(sorted(deg), np.int64)
+        edges = {(a, b) for a, b in edges
+                 if a not in bad and b not in bad}
+        if not edges:
+            return np.array([], np.int64)
+
+
+def test_kcore_planted_triangle_with_tail(ray_session):
+    """Triangle 1-2-3 with a tail 3-4: 2-core = the triangle, the tail
+    node peels, and peeling cascades (4 drops, then nothing else)."""
+    from webalizer_ray.stages import graph
+
+    e = pd.DataFrame({"src": [1, 2, 1, 3], "dst": [2, 3, 3, 4]})
+    assert graph.kcore_nodes(e, 1).tolist() == [1, 2, 3, 4]
+    assert graph.kcore_nodes(e, 2).tolist() == [1, 2, 3]
+    assert graph.kcore_nodes(e, 3).tolist() == []
+
+
+def test_kcore_cascading_peel_matches_bruteforce(ray_session):
+    """A chain hung off a clique forces multi-round cascading removal;
+    the distributed peel equals the reference at every k."""
+    from webalizer_ray.stages import graph
+
+    rng = np.random.RandomState(7)
+    # 6-clique
+    edges = [(a, b) for a in range(6) for b in range(a + 1, 6)]
+    # chain 5-10-11-12-13 (each peels in sequence at k=2)
+    edges += [(5, 10), (10, 11), (11, 12), (12, 13)]
+    # random sprinkles
+    for _ in range(20):
+        a, b = rng.randint(20, 40, 2)
+        if a != b:
+            edges.append((min(a, b), max(a, b)))
+    e = pd.DataFrame(edges, columns=["src", "dst"]).drop_duplicates()
+    for k in (1, 2, 3, 4, 5):
+        got = graph.kcore_nodes(e, k)
+        want = _brute_kcore(e.values.tolist(), k)
+        assert got.tolist() == want.tolist(), k
+
+
+def test_weighted_sample_prefers_heavy_items(ray_session, tmp_path):
+    """With overwhelming weight on a handful of docs, the A-Res top-k
+    is dominated by them (deterministically, via the shared hash)."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    texts = ["x" * 100000 if i < 5 else "x" for i in range(100)]
+    d = str(tmp_path / "wsamp")
+    _write_docs(d, texts, ["en"] * 100)
+    out = REGISTRY["weighted_doc_sample"][0](d)
+    # all five heavy docs make the sample of 10
+    assert set(range(5)) <= set(out["doc_id"].tolist())
+
+
+def test_seasonal_decompose_recovers_planted_components(ray_session,
+                                                        tmp_path):
+    """y = 100 + 3t + planted dow bump: residuals vanish and the bump
+    lands in the seasonal column."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    bump = {0: 0, 1: 0, 2: 14, 3: 0, 4: 0, 5: 0, 6: 0}
+    ts = []
+    for day in range(14):
+        t = t0 + np.timedelta64(day, "D")
+        dow = (int(t.astype("datetime64[D]").astype(np.int64)) + 4) % 7
+        n = 100 + 3 * day + bump[dow]
+        for j in range(n):
+            ts.append(t + np.timedelta64(j, "s"))
+    d = str(tmp_path / "season")
+    _write_events(d, ts, [1.0] * len(ts))
+    out = REGISTRY["daily_seasonal_decompose"][0](d)
+    # the bumped dow carries a clearly positive seasonal, others ~ -2
+    by_dow = {}
+    for r in out.itertuples():
+        by_dow.setdefault((r.epoch_day + 4) % 7, []).append(r.seasonal)
+    assert min(by_dow[2]) > 10
+    # trend + seasonal explain the series: residuals are tiny
+    assert np.abs(out["residual"].to_numpy()).max() < 1.0

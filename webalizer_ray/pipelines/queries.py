@@ -11645,6 +11645,137 @@ def holt_linear_daily(sf_dir: str) -> pd.DataFrame:
                          "trend": r6(b, 6)})
 
 
+@register("weighted_doc_sample", sql="""
+WITH p AS (SELECT doc_id,
+                  LN((((doc_id * 2654435761) % 4294967296) + 1)
+                     / 4294967296.0) / n_chars AS prio
+           FROM documents)
+SELECT doc_id, ROUND(prio, 9) AS priority FROM p
+ORDER BY ROUND(prio, 9) DESC, doc_id LIMIT 10""")
+def weighted_doc_sample(sf_dir: str) -> pd.DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    A-Res, 2006): each item draws a deterministic uniform u from the
+    shared Knuth hash and the k largest priorities u^(1/w) are the
+    weighted sample — here w = n_chars, so longer documents are
+    proportionally more likely, reproducibly. Ranking by ln(u)/w is
+    the monotone-equivalent form (one ln instead of a pow, and the
+    closed form both engines spell identically); priorities round to
+    9 dp BEFORE the cut with doc_id tiebreak so a hairline tie can't
+    flip membership. Zero shuffle: per-batch local top-10 partials,
+    driver merges B x 10 rows."""
+    def prio(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy().astype(np.uint64)
+        h = (ids * np.uint64(scan._KNUTH)) % np.uint64(1 << 32)
+        u = (h.astype(np.float64) + 1) / float(1 << 32)
+        w = batch["n_chars"].to_numpy().astype(np.float64)
+        part = pd.DataFrame({
+            "doc_id": batch["doc_id"].to_numpy(),
+            "priority": textstats.round_half_away(np.log(u) / w, 9)})
+        return top_n_pandas(part, "doc_id", "priority", 10)
+
+    cand = _docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        prio, batch_format="pyarrow").to_pandas()
+    out = cand.sort_values(["priority", "doc_id"],
+                           ascending=[False, True],
+                           kind="mergesort").head(10)
+    return out.reset_index(drop=True)
+
+
+@register("daily_seasonal_decompose", sql="""
+WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 - 19723 AS d,
+         CAST(COUNT(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1),
+s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             SUM(CAST(d AS DOUBLE)) AS sx, SUM(y) AS sy,
+             SUM(CAST(d AS DOUBLE) * y) AS sxy,
+             SUM(CAST(d AS DOUBLE) * CAST(d AS DOUBLE)) AS sxx
+      FROM daily),
+f AS (SELECT d, y,
+             (s.n * s.sxy - s.sx * s.sy) / (s.n * s.sxx - s.sx * s.sx)
+                 * CAST(d AS DOUBLE)
+             + (s.sy - (s.n * s.sxy - s.sx * s.sy)
+                       / (s.n * s.sxx - s.sx * s.sx) * s.sx) / s.n AS fit
+      FROM daily, s),
+sea AS (SELECT (d + 19723 + 4) % 7 AS dow, AVG(y - fit) AS seasonal
+        FROM f GROUP BY 1)
+SELECT CAST(f.d + 19723 AS BIGINT) AS epoch_day,
+       CAST(f.y AS BIGINT) AS observed,
+       ROUND(f.fit, 6) AS trend,
+       ROUND(sea.seasonal, 6) AS seasonal,
+       ROUND(f.y - f.fit - sea.seasonal, 6) AS residual
+FROM f JOIN sea ON (f.d + 19723 + 4) % 7 = sea.dow""")
+def daily_seasonal_decompose(sf_dir: str) -> pd.DataFrame:
+    """Classical seasonal decomposition of the daily event volume:
+    observed = linear trend (OLS over centered epoch days — centered
+    at the corpus epoch for conditioning, like value_trend_ols) +
+    day-of-week seasonal (mean detrended value per dow, the additive
+    analog of the seasonality index) + residual — the anomaly input
+    real monitoring evaluates instead of the raw series. Scale shape
+    shared with the EWMA family: the heavy work is ONE daily-count
+    reduce; trend, seasonal and residual are closed forms over the
+    O(days) table, written identically on both engines."""
+    epoch_2024 = 19723  # days: TIMESTAMP '2024-01-01' / 86400s
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        d = us // 86_400_000_000 - epoch_2024
+        u, c = np.unique(d, return_counts=True)
+        return pd.DataFrame({"d": u, "y": c.astype(np.int64)})
+
+    daily = reduce_sink(
+        _events(sf_dir, ["ts"]).map_batches(partial,
+                                            batch_format="pyarrow"),
+        ["d"], {"y": ("y", "sum")}).to_pandas() \
+        .sort_values("d", ignore_index=True)
+    d = daily["d"].to_numpy(np.float64)
+    y = daily["y"].to_numpy(np.float64)
+    n = float(len(d))
+    sx, sy = d.sum(), y.sum()
+    sxy, sxx = (d * y).sum(), (d * d).sum()
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    fit = slope * d + (sy - slope * sx) / n
+    dow = ((daily["d"].to_numpy(np.int64) + epoch_2024 + 4) % 7)
+    det = y - fit
+    sea = pd.DataFrame({"dow": dow, "det": det}) \
+        .groupby("dow")["det"].mean()
+    seasonal = sea.reindex(dow).to_numpy(np.float64)
+    r6 = textstats.round_half_away
+    return pd.DataFrame({
+        "epoch_day": (daily["d"].to_numpy(np.int64) + epoch_2024),
+        "observed": daily["y"].to_numpy(np.int64),
+        "trend": r6(fit, 6),
+        "seasonal": r6(seasonal, 6),
+        "residual": r6(y - fit - seasonal, 6)})
+
+
+@register("knn_kcore_sizes")
+def knn_kcore_sizes(sf_dir: str) -> pd.DataFrame:
+    """k-core decomposition of the k-NN similarity graph (rows-only:
+    the iterative peel has no SQL form; pytest proves parity against
+    a driver-side brute-force peel on planted graphs): how many nodes
+    survive at min-degree 1, 2 and 3 — the embedding-space density
+    diagnostic that separates tight semantic clusters (deep cores)
+    from thin hubs. Each peel round is ONE distributed degree reduce
+    over the surviving edges with the under-k set broadcast back
+    (stages/graph.py:kcore_nodes); rounds bound by peel depth."""
+    from webalizer_ray.stages import graph
+
+    e = knn_graph(sf_dir)[["node", "neighbor"]]
+    a = np.minimum(e["node"].to_numpy(np.int64),
+                   e["neighbor"].to_numpy(np.int64))
+    b = np.maximum(e["node"].to_numpy(np.int64),
+                   e["neighbor"].to_numpy(np.int64))
+    canon = pd.DataFrame({"src": a, "dst": b}).drop_duplicates()
+    rows = []
+    for k in (1, 2, 3):
+        nodes = graph.kcore_nodes(canon, k)
+        rows.append((k, len(nodes)))
+    return pd.DataFrame({
+        "k": np.array([r[0] for r in rows], np.int64),
+        "core_nodes": np.array([r[1] for r in rows], np.int64)})
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 

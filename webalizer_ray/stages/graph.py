@@ -23,6 +23,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+import ray
 import ray.data as rd
 from ray.data.aggregate import Max, Sum
 
@@ -505,3 +506,60 @@ def sssp_distances(edges: rd.Dataset | pd.DataFrame, roots,
             break
 
     return state
+
+
+def kcore_nodes(edges: rd.Dataset | pd.DataFrame, k: int,
+                src_col: str = "src", dst_col: str = "dst",
+                max_rounds: int = 200) -> np.ndarray:
+    """Node set of the k-core — the maximal subgraph in which every
+    node has degree >= k (Seidman 1983) — of the UNDIRECTED simple
+    graph given by canonical ``edges``, by iterative peeling.
+
+    Scale shape: each round is ONE distributed degree reduce over the
+    surviving edges (per-batch (node, count) partials over both
+    endpoints, the same combiner the PageRank outdegree prep uses);
+    the under-k node set — typically a small fraction per round — is
+    the only thing gathered, broadcast back as a sorted int64 array
+    via ray.put, and edges filter map-side with np.isin. Surviving
+    edges re-materialize each round, so round r scans the (shrinking)
+    round-(r-1) edge set, never the original. Rounds are bounded by
+    the peel depth of the graph, not its size.
+    """
+    if isinstance(edges, pd.DataFrame):
+        edges = rd.from_pandas(edges[[src_col, dst_col]])
+    from webalizer_ray.stages.aggregate import reduce_sink
+
+    live = edges.materialize()
+
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        nodes = np.concatenate([df[src_col].to_numpy(np.int64),
+                                df[dst_col].to_numpy(np.int64)])
+        u, c = np.unique(nodes, return_counts=True)
+        return pd.DataFrame({"node": u, "deg": c.astype(np.int64)})
+
+    for _ in range(max_rounds):
+        if live.count() == 0:
+            return np.array([], np.int64)
+        deg = reduce_sink(
+            live.map_batches(deg_partial, batch_format="pandas"),
+            ["node"], {"deg": ("deg", "sum")})
+        dropped = deg.map_batches(
+            lambda df: df[df["deg"].to_numpy() < k][["node"]],
+            batch_format="pandas").to_pandas()
+        if not len(dropped):
+            surv = deg.map_batches(
+                lambda df: df[["node"]], batch_format="pandas") \
+                .to_pandas()
+            return np.sort(surv["node"].to_numpy(np.int64))
+        drop_ref = ray.put(np.sort(dropped["node"].to_numpy(np.int64)))
+
+        def keep(df: pd.DataFrame) -> pd.DataFrame:
+            bad = ray.get(drop_ref)
+            a = df[src_col].to_numpy(np.int64)
+            b = df[dst_col].to_numpy(np.int64)
+            m = ~(np.isin(a, bad) | np.isin(b, bad))
+            return df[m]
+
+        live = live.map_batches(keep, batch_format="pandas") \
+            .materialize()
+    raise RuntimeError(f"k-core did not converge in {max_rounds} rounds")
