@@ -364,3 +364,65 @@ def test_seasonal_decompose_recovers_planted_components(ray_session,
     assert min(by_dow[2]) > 10
     # trend + seasonal explain the series: residuals are tiny
     assert np.abs(out["residual"].to_numpy()).max() < 1.0
+
+
+def test_did_removes_level_and_time_effects(ray_session, tmp_path):
+    """Planted: control 10->20 (common shock +10), treated 30->55
+    (shock +10, uplift +15). DiD recovers exactly 15."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    pre = np.datetime64("2024-01-10T00:00:00", "us")
+    post = np.datetime64("2024-01-20T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    ts, users, vals = [], [], []
+    for i in range(50):
+        # control arm: even user ids (arm 0)
+        ts += [pre + i * s, post + i * s]
+        users += [2, 2]
+        vals += [10.0, 20.0]
+        # treated arm: odd user ids (arm 1)
+        ts += [pre + i * s, post + i * s]
+        users += [3, 3]
+        vals += [30.0, 55.0]
+    d = str(tmp_path / "did")
+    _write_events(d, ts, vals, users=users)
+    out = REGISTRY["did_uplift_estimate"][0](d)
+    assert abs(out["did_estimate"][0] - 15.0) < 1e-9
+    assert abs(out["control_delta"][0] - 10.0) < 1e-9
+    assert abs(out["treated_delta"][0] - 25.0) < 1e-9
+
+
+def test_cusum_peaks_at_planted_shift(ray_session, tmp_path):
+    """A level shift halfway through the series puts the CUSUM peak
+    exactly on the last pre-shift day."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    ts = []
+    for day in range(20):
+        n = 10 if day < 10 else 30
+        for j in range(n):
+            ts.append(t0 + np.timedelta64(day, "D")
+                      + np.timedelta64(j, "s"))
+    d = str(tmp_path / "cusum")
+    _write_events(d, ts, [1.0] * len(ts))
+    out = REGISTRY["daily_cusum_peak"][0](d)
+    day0 = int(t0.astype("datetime64[D]").astype(np.int64))
+    assert out["epoch_day"][0] == day0 + 9
+
+
+def test_hll_per_group_within_tolerance(ray_session):
+    """Each type's HLL estimate lands within 5% of the exact distinct
+    user count at sf0.001."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    est = REGISTRY["type_user_ndv_hll"][0](sf)
+    exact = duckdb.sql(
+        f"SELECT event_type, COUNT(DISTINCT user_id) AS n "
+        f"FROM read_parquet('{sf}/events.parquet') GROUP BY 1").df()
+    ex = dict(zip(exact["event_type"], exact["n"]))
+    for r in est.itertuples():
+        assert abs(r.ndv_users_est - ex[r.event_type]) \
+            <= max(2, 0.05 * ex[r.event_type])

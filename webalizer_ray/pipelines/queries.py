@@ -11776,6 +11776,145 @@ def knn_kcore_sizes(sf_dir: str) -> pd.DataFrame:
         "core_nodes": np.array([r[1] for r in rows], np.int64)})
 
 
+@register("did_uplift_estimate", sql="""
+WITH b AS (SELECT user_id % 2 AS arm,
+                  CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END
+                      AS post,
+                  CAST(ROUND(value * 100) AS BIGINT) AS cents
+           FROM events),
+m AS (SELECT arm, post, CAST(SUM(cents) AS DOUBLE) AS s,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM b GROUP BY arm, post),
+w AS (SELECT
+  MAX(CASE WHEN arm = 1 AND post = 1 THEN s / n END) AS b_post,
+  MAX(CASE WHEN arm = 1 AND post = 0 THEN s / n END) AS b_pre,
+  MAX(CASE WHEN arm = 0 AND post = 1 THEN s / n END) AS a_post,
+  MAX(CASE WHEN arm = 0 AND post = 0 THEN s / n END) AS a_pre
+  FROM m)
+SELECT ROUND(((b_post - b_pre) - (a_post - a_pre)) / 100, 6)
+           AS did_estimate,
+       ROUND((b_post - b_pre) / 100, 6) AS treated_delta,
+       ROUND((a_post - a_pre) / 100, 6) AS control_delta
+FROM w""")
+def did_uplift_estimate(sf_dir: str) -> pd.DataFrame:
+    """Difference-in-differences uplift estimate (the quasi-
+    experimental causal workhorse; arm = user hash parity as in the
+    A/B z-test, period split mid-month): DiD = (treated post − pre) −
+    (control post − pre) on mean event value, removing both the level
+    difference between arms and the common time shock. Scale shape:
+    ONE streaming pass where each block emits 4 (arm, period) integer
+    (Σcents, n) partials; the four means and the closed form happen
+    once on the driver in oracle expression order."""
+    cut = np.datetime64("2024-01-16T00:00:00")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        arm = (df["user_id"].to_numpy(np.int64) % 2)
+        post = (df["ts"].to_numpy("datetime64[us]") >= cut) \
+            .astype(np.int64)
+        cents = np.rint(df["value"].to_numpy(np.float64) * 100) \
+            .astype(np.int64)
+        g = (pd.DataFrame({"arm": arm, "post": post, "cents": cents})
+             .groupby(["arm", "post"], sort=False)["cents"]
+             .agg(["sum", "size"]).reset_index())
+        g.columns = ["arm", "post", "s", "n"]
+        return g
+
+    m = reduce_sink(
+        _events(sf_dir, ["user_id", "ts", "value"]).map_batches(
+            partial, batch_format="pandas"),
+        ["arm", "post"], {"s": ("s", "sum"), "n": ("n", "sum")}) \
+        .to_pandas()
+    mean = {(int(r["arm"]), int(r["post"])):
+            float(r["s"]) / float(r["n"]) for _, r in m.iterrows()}
+    b_post, b_pre = mean[(1, 1)], mean[(1, 0)]
+    a_post, a_pre = mean[(0, 1)], mean[(0, 0)]
+    r6 = textstats.round_half_away
+    return pd.DataFrame({
+        "did_estimate": [float(r6(((b_post - b_pre)
+                                   - (a_post - a_pre)) / 100, 6))],
+        "treated_delta": [float(r6((b_post - b_pre) / 100, 6))],
+        "control_delta": [float(r6((a_post - a_pre) / 100, 6))]})
+
+
+@register("daily_cusum_peak", sql="""
+WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS d,
+                      CAST(COUNT(*) AS BIGINT) AS y
+               FROM events GROUP BY 1),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS sy
+      FROM daily),
+c AS (SELECT d,
+             s.n * SUM(y) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+             - ROW_NUMBER() OVER (ORDER BY d) * s.sy AS t
+      FROM daily, s)
+SELECT CAST(d AS BIGINT) AS epoch_day,
+       CAST(ABS(t) AS BIGINT) AS cusum_scaled
+FROM c ORDER BY ABS(t) DESC, d LIMIT 1""")
+def daily_cusum_peak(sf_dir: str) -> pd.DataFrame:
+    """CUSUM change detection (Page 1954) on the daily volume —
+    the sequential-detection sibling of the two-segment changepoint:
+    the day where the cumulative deviation from the series mean peaks.
+    Everything stays INTEGER by cross-multiplying the mean away:
+    n·cumsum(y) − t·Σy = n·Σ_{i≤t}(y_i − ȳ), so the peak and its
+    argmax (smallest day on ties) are bit-exact on both engines —
+    no float CDF, no rounding guard needed. Scale shape: ONE daily
+    reduce; the scan is O(days) on the driver."""
+    def partial(t: pa.Table) -> pd.DataFrame:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        d = us // 86_400_000_000
+        u, c = np.unique(d, return_counts=True)
+        return pd.DataFrame({"d": u, "y": c.astype(np.int64)})
+
+    daily = reduce_sink(
+        _events(sf_dir, ["ts"]).map_batches(partial,
+                                            batch_format="pyarrow"),
+        ["d"], {"y": ("y", "sum")}).to_pandas() \
+        .sort_values("d", ignore_index=True)
+    y = daily["y"].to_numpy(np.int64)
+    n, sy = np.int64(len(y)), y.sum()
+    t = n * np.cumsum(y) - (np.arange(len(y), dtype=np.int64) + 1) * sy
+    a = np.abs(t)
+    i = int(np.argmax(a))  # first max = smallest day on ties
+    return pd.DataFrame({
+        "epoch_day": [np.int64(daily["d"].iloc[i])],
+        "cusum_scaled": [np.int64(a[i])]})
+
+
+@register("type_user_ndv_hll")
+def type_user_ndv_hll(sf_dir: str) -> pd.DataFrame:
+    """Per-group approximate distinct count (HLL per event type) —
+    the mergeable-summary path for per-key NDV when the keys are too
+    many or the sets too large for the exact two-phase distinct
+    (which stays the small-cardinality baseline; pytest pins each
+    estimate within 5% of it). ONE pass: each batch emits one
+    (type, registers) sketch partial per type it saw; register-max
+    merges are associative, so only |types| x 16 KiB ever shuffles."""
+    from webalizer_ray.stages.sketch import HyperLogLog
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for t, g in df.groupby("event_type", sort=False):
+            h = pd.util.hash_array(g["user_id"].to_numpy(np.int64))
+            rows.append({"event_type": t,
+                         "hll": HyperLogLog.from_hashes(h).to_bytes()})
+        return pd.DataFrame({
+            "event_type": pd.Series([r["event_type"] for r in rows],
+                                    dtype="string"),
+            "hll": pd.Series([r["hll"] for r in rows], dtype=object)})
+
+    parts = _events(sf_dir, ["event_type", "user_id"]).map_batches(
+        partial, batch_format="pandas").to_pandas()
+    out = []
+    for t, g in parts.groupby("event_type"):
+        sk = HyperLogLog()
+        for b in g["hll"]:
+            sk = sk.merge(HyperLogLog.from_bytes(b))
+        out.append((t, int(round(sk.count()))))
+    out.sort()
+    return pd.DataFrame({
+        "event_type": [r[0] for r in out],
+        "ndv_users_est": np.array([r[1] for r in out], np.int64)})
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
