@@ -426,3 +426,65 @@ def test_hll_per_group_within_tolerance(ray_session):
     for r in est.itertuples():
         assert abs(r.ndv_users_est - ex[r.event_type]) \
             <= max(2, 0.05 * ex[r.event_type])
+
+
+def test_hhi_bounds_and_direction(ray_session, tmp_path):
+    """Single-source corpus -> HHI = 1; uniform 4 sources -> 0.25."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+    import pyarrow.parquet as _pq
+
+    def write(d, sources):
+        os.makedirs(d, exist_ok=True)
+        n = len(sources)
+        _pq.write_table(pa.table({
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(["t"] * n),
+            "lang": pa.array(["en"] * n),
+            "source": pa.array(sources),
+            "n_chars": pa.array(np.ones(n, np.int64))}),
+            os.path.join(d, "documents.parquet"))
+
+    d1 = str(tmp_path / "one")
+    write(d1, ["a"] * 8)
+    out = REGISTRY["source_concentration_hhi"][0](d1)
+    assert out["hhi"][0] == 1.0 and out["n_sources"][0] == 1
+    d2 = str(tmp_path / "four")
+    write(d2, ["a", "b", "c", "d"] * 2)
+    out = REGISTRY["source_concentration_hhi"][0](d2)
+    assert abs(out["hhi"][0] - 0.25) < 1e-9
+
+
+def test_copurchase_pairs_dedup_within_order(ray_session, tmp_path):
+    """Repeated (order, part) lines count the pair once per order."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    d = str(tmp_path / "basket")
+    # order 1 holds parts {10, 20} with part 10 on two lines;
+    # order 2 holds {10, 20, 30}
+    _write_lineitem_basket(d,
+                           orders=[1, 1, 1, 2, 2, 2],
+                           parts=[10, 10, 20, 10, 20, 30])
+    out = REGISTRY["copurchased_part_pairs"][0](d)
+    got = {(r.part_a, r.part_b): r.n for r in out.itertuples()}
+    assert got[(10, 20)] == 2
+    assert got[(10, 30)] == 1 and got[(20, 30)] == 1
+
+
+def _write_lineitem_basket(d, orders, parts):
+    os.makedirs(d, exist_ok=True)
+    n = len(orders)
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(np.asarray(orders, np.int64)),
+        "l_partkey": pa.array(np.asarray(parts, np.int64)),
+        "l_suppkey": pa.array(np.ones(n, np.int64)),
+        "l_linenumber": pa.array(np.ones(n, np.int32)),
+        "l_quantity": pa.array(np.ones(n)),
+        "l_extendedprice": pa.array(np.ones(n)),
+        "l_discount": pa.array(np.zeros(n)),
+        "l_tax": pa.array(np.zeros(n)),
+        "l_returnflag": pa.array(["N"] * n),
+        "l_linestatus": pa.array(["O"] * n),
+        "l_shipdate": pa.array(
+            np.array(["2024-01-05"] * n, dtype="datetime64[us]"),
+            pa.timestamp("us"))}),
+        os.path.join(d, "lineitem.parquet"))

@@ -11915,6 +11915,161 @@ def type_user_ndv_hll(sf_dir: str) -> pd.DataFrame:
         "ndv_users_est": np.array([r[1] for r in out], np.int64)})
 
 
+@register("source_concentration_hhi", sql="""
+WITH c AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS n
+           FROM documents GROUP BY source),
+t AS (SELECT SUM(n) AS tot FROM c)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+       ROUND(SUM((n / tot) * (n / tot)), 6) AS hhi
+FROM c, t""")
+def source_concentration_hhi(sf_dir: str) -> pd.DataFrame:
+    """Herfindahl–Hirschman concentration index of the corpus source
+    mix — the one-number answer to "is this corpus dominated by a few
+    sources?" that data cards report next to the source table (1/HHI
+    is the effective number of sources). Scale shape: per-batch
+    (source, n) partials reduce once; shares and the Σshare² closed
+    form run on the |sources|-row aggregate in oracle expression
+    order."""
+    agg = reduce_sink(
+        _docs(sf_dir, ["source"]).map_batches(
+            lambda df: df.groupby("source", sort=False).size()
+            .reset_index(name="n"), batch_format="pandas"),
+        ["source"], {"n": ("n", "sum")}).to_pandas()
+    n = agg["n"].to_numpy(np.float64)
+    tot = n.sum()
+    sh = n / tot
+    return pd.DataFrame({
+        "n_sources": [np.int64(len(agg))],
+        "hhi": [float(textstats.round_half_away(
+            float((sh * sh).sum()), 6))]})
+
+
+@register("bloom_semijoin_orders", sql="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_mktsegment = 'BUILDING'""")
+def bloom_semijoin_orders(sf_dir: str) -> pd.DataFrame:
+    """Bloom-filter semi-join reduction — the classic scan-side prune
+    ahead of a distributed join: the build side's keys (BUILDING
+    customers) fold into per-batch Bloom partials that OR-merge on the
+    driver (a few KiB however many keys) and broadcast once; the fact
+    scan drops every order whose custkey definitely isn't in the dim
+    BEFORE the join, so only candidate rows (matches + the filter's
+    false positives) pay the shuffle. The exact hash join afterwards
+    removes false positives — output is provably identical to the
+    plain join, which is exactly what the oracle checks."""
+    from webalizer_ray.stages.join import auto_join
+    from webalizer_ray.stages.sketch import BloomFilter
+
+    dim = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                          columns=["c_custkey", "c_mktsegment"]) \
+        .map_batches(lambda df: df[df["c_mktsegment"] == "BUILDING"]
+                     [["c_custkey"]], batch_format="pandas") \
+        .materialize()
+
+    def bloom_partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_array(df["c_custkey"].to_numpy(np.int64))
+        bf = BloomFilter(log2m=16, k=7).add_hashes(h)
+        return pd.DataFrame({"bloom": pd.Series([bf.to_bytes()],
+                                                dtype=object)})
+
+    parts = dim.map_batches(bloom_partial,
+                            batch_format="pandas").to_pandas()
+    bf = BloomFilter(log2m=16, k=7)
+    for blob in parts["bloom"]:
+        bf = bf.merge(BloomFilter.from_bytes(blob, log2m=16, k=7))
+    bf_ref = ray.put(bf.to_bytes())
+
+    def prefilter(df: pd.DataFrame) -> pd.DataFrame:
+        f = BloomFilter.from_bytes(ray.get(bf_ref), log2m=16, k=7)
+        keys = df["o_custkey"].to_numpy(np.int64)
+        m = f.contains_hashes(pd.util.hash_array(keys))
+        out = df[m]
+        return pd.DataFrame({
+            "o_custkey": out["o_custkey"].to_numpy(np.int64),
+            "cents": np.rint(out["o_totalprice"].to_numpy(np.float64)
+                             * 100).astype(np.int64)})
+
+    fact = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                           columns=["o_custkey", "o_totalprice"]) \
+        .map_batches(prefilter, batch_format="pandas")
+    joined = auto_join(fact, dim, on="o_custkey", right_on="c_custkey")
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": [np.int64(len(df))],
+                             "s": [df["cents"].to_numpy(np.int64).sum()]})
+
+    p = joined.map_batches(agg, batch_format="pandas").to_pandas()
+    return pd.DataFrame({
+        "n_orders": [np.int64(p["n"].sum())],
+        "total_cents": [np.int64(p["s"].sum())]})
+
+
+@register("copurchased_part_pairs", sql="""
+WITH d AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+           FROM lineitem),
+pr AS (SELECT a.p AS part_a, b.p AS part_b,
+              CAST(COUNT(*) AS BIGINT) AS n
+       FROM d a JOIN d b ON a.o = b.o AND a.p < b.p
+       GROUP BY 1, 2)
+SELECT part_a, part_b, n FROM pr
+ORDER BY n DESC, part_a, part_b LIMIT 10""")
+def copurchased_part_pairs(sf_dir: str) -> pd.DataFrame:
+    """Top co-purchased part pairs — the market-basket pattern at real
+    catalog cardinality (|parts| in the thousands, not the events
+    table's five types): a two-phase distinct makes each (order, part)
+    one row globally, orders hash into buckets (an order never spans
+    buckets), the pair expansion is ONE vectorized self-merge per
+    bucket bounded by items-per-order squared, and only (a, b, n)
+    partials shuffle into the final count + top-10 (deterministic
+    (n DESC, a, b) order on both engines — counts are integers, so no
+    rounding guard is needed)."""
+    from webalizer_ray.stages.aggregate import distinct_count  # noqa: F401
+
+    d = reduce_sink(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_orderkey", "l_partkey"])
+        .map_batches(lambda df: df.drop_duplicates(),
+                     batch_format="pandas"),
+        ["l_orderkey", "l_partkey"], {"c": ("l_partkey", "size")})
+
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket_"] = (df["l_orderkey"].to_numpy(np.int64) % 32) \
+            .astype(np.int32)
+        return df
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        m = g[["l_orderkey", "l_partkey"]].merge(
+            g[["l_orderkey", "l_partkey"]], on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        out = (m.groupby(["l_partkey_x", "l_partkey_y"], sort=False)
+               .size().reset_index(name="n"))
+        out.columns = ["part_a", "part_b", "n"]
+        return out
+
+    agg = reduce_sink(
+        (d.map_batches(with_bucket, batch_format="pandas")
+         .groupby("bucket_")
+         .map_groups(lambda g: pairs(g.drop(columns=["bucket_"])),
+                     batch_format="pandas")),
+        ["part_a", "part_b"], {"n": ("n", "sum")})
+
+    def local_top(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["n", "part_a", "part_b"],
+                              ascending=[False, True, True],
+                              kind="mergesort").head(10)
+
+    cand = agg.map_batches(local_top, batch_format="pandas").to_pandas()
+    out = cand.sort_values(["n", "part_a", "part_b"],
+                           ascending=[False, True, True],
+                           kind="mergesort").head(10)
+    out["n"] = out["n"].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
