@@ -488,3 +488,84 @@ def _write_lineitem_basket(d, orders, parts):
             np.array(["2024-01-05"] * n, dtype="datetime64[us]"),
             pa.timestamp("us"))}),
         os.path.join(d, "lineitem.parquet"))
+
+
+def test_markov_stationary_two_state_chain(ray_session, tmp_path):
+    """Planted 2-state chain with P(a->b)=1/3, P(b->a)=2/3 -> the
+    stationary distribution is (2/3, 1/3) up to 32-step convergence."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    # one user; craft the sequence so transition COUNTS give the
+    # desired probabilities: from a: a,a,b (x2 -> 4 aa, 2 ab);
+    # from b: a,a,... arrange counts 2 ba, 1 bb
+    seq = ["a", "a", "a", "b", "b", "a", "a", "b", "a"]
+    # transitions: aa,aa,ab,bb,ba,aa,ab,ba -> aa=3,ab=2,bb=1,ba=2
+    ts = [t0 + i * s for i in range(len(seq))]
+    d = str(tmp_path / "markov")
+    _write_events(d, ts, [1.0] * len(seq), types=seq)
+    out = REGISTRY["markov_stationary_types"][0](d)
+    got = dict(zip(out["event_type"], out["stationary_p"]))
+    # P = [[3/5,2/5],[2/3,1/3]] -> pi = (5/8, 3/8) = (0.625, 0.375)
+    assert abs(got["a"] - 0.625) < 1e-4
+    assert abs(got["b"] - 0.375) < 1e-4
+
+
+def test_bootstrap_ci_brackets_mean_and_shrinks(ray_session, tmp_path):
+    """The CI brackets the sample mean, and widens with variance."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    rng = np.random.RandomState(0)
+    tight = 50.0 + rng.randn(400) * 0.5
+    wide = 50.0 + rng.randn(400) * 20.0
+    d1, d2 = str(tmp_path / "bt"), str(tmp_path / "bw")
+    _write_events(d1, [t0 + i * s for i in range(400)],
+                  np.abs(tight).tolist())
+    _write_events(d2, [t0 + i * s for i in range(400)],
+                  np.abs(wide).tolist())
+    q = REGISTRY["bootstrap_value_mean_ci"][0]
+    o1, o2 = q(d1), q(d2)
+    m1 = np.abs(tight).mean() * 100
+    assert o1["ci_lo_cents"][0] < m1 < o1["ci_hi_cents"][0]
+    w1 = o1["ci_hi_cents"][0] - o1["ci_lo_cents"][0]
+    w2 = o2["ci_hi_cents"][0] - o2["ci_lo_cents"][0]
+    assert w2 > w1
+
+
+def test_lorenz_uniform_is_diagonal(ray_session, tmp_path):
+    """Equal per-user value -> the Lorenz curve is the diagonal."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    ts = [t0 + i * s for i in range(100)]
+    d = str(tmp_path / "lorenz")
+    _write_events(d, ts, [5.0] * 100, users=list(range(100)))
+    out = REGISTRY["user_value_lorenz"][0](d)
+    assert np.allclose(out["cum_share"].to_numpy(),
+                       np.arange(1, 11) / 10.0, atol=1e-9)
+
+
+def test_association_rules_hand_computed(ray_session, tmp_path):
+    """Two-type chain with known transition counts -> exact
+    support/confidence/lift."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    # one user, sequence a a b a -> transitions aa, ab, ba (n=3)
+    seq = ["a", "a", "b", "a"]
+    ts = [t0 + i * s for i in range(len(seq))]
+    d = str(tmp_path / "assoc")
+    _write_events(d, ts, [1.0] * len(seq), types=seq)
+    out = REGISTRY["transition_association_rules"][0](d)
+    rows = {(r.from_type, r.to_type): r for r in out.itertuples()}
+    # support: aa 1/3, ab 1/3, ba 1/3; confidence: aa 1/2, ab 1/2, ba 1
+    assert abs(rows[("a", "a")].support - 1 / 3) < 1e-6
+    assert abs(rows[("a", "b")].confidence - 0.5) < 1e-6
+    assert abs(rows[("b", "a")].confidence - 1.0) < 1e-6
+    # lift(b->a) = conf / P(to=a) = 1 / (2/3) = 1.5
+    assert abs(rows[("b", "a")].lift - 1.5) < 1e-6

@@ -12070,6 +12070,234 @@ def copurchased_part_pairs(sf_dir: str) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+@register("markov_stationary_types", sql="""
+WITH o AS (SELECT user_id, event_type,
+                  LAG(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev
+           FROM events),
+t AS (SELECT prev AS f, event_type AS tt, CAST(COUNT(*) AS DOUBLE) AS c
+      FROM o WHERE prev IS NOT NULL GROUP BY 1, 2),
+rt AS (SELECT f, SUM(c) AS tot FROM t GROUP BY f),
+p1 AS (SELECT t.f, t.tt, t.c / rt.tot AS p FROM t JOIN rt USING (f)),
+p2 AS (SELECT a.f, b.tt, SUM(a.p * b.p) AS p
+       FROM p1 a JOIN p1 b ON a.tt = b.f GROUP BY 1, 2),
+p4 AS (SELECT a.f, b.tt, SUM(a.p * b.p) AS p
+       FROM p2 a JOIN p2 b ON a.tt = b.f GROUP BY 1, 2),
+p8 AS (SELECT a.f, b.tt, SUM(a.p * b.p) AS p
+       FROM p4 a JOIN p4 b ON a.tt = b.f GROUP BY 1, 2),
+p16 AS (SELECT a.f, b.tt, SUM(a.p * b.p) AS p
+        FROM p8 a JOIN p8 b ON a.tt = b.f GROUP BY 1, 2),
+p32 AS (SELECT a.f, b.tt, SUM(a.p * b.p) AS p
+        FROM p16 a JOIN p16 b ON a.tt = b.f GROUP BY 1, 2),
+ns AS (SELECT CAST(COUNT(DISTINCT f) AS DOUBLE) AS n FROM t)
+SELECT p32.tt AS event_type,
+       ROUND(SUM(p32.p / ns.n), 6) AS stationary_p
+FROM p32, ns GROUP BY p32.tt ORDER BY event_type""")
+def markov_stationary_types(sf_dir: str) -> pd.DataFrame:
+    """Stationary distribution of the event-type Markov chain — where
+    a user's behavior settles if the observed transition dynamics
+    keep running (the long-run type mix, distinct from the empirical
+    mix whenever the chain has slow states). The heavy work is the
+    SAME per-user sort+shift transition reduce as event_transitions;
+    the |types|² row-normalized matrix is then raised to the 32nd
+    power by FIVE squarings (driver-side numpy here; chained
+    aggregate CTEs in the oracle — the identical association order,
+    uniform start vector, so both engines walk the same float path
+    to the rounding guard)."""
+    t = event_transitions(sf_dir)
+    sources = sorted(t["from_type"].unique())
+    all_types = sorted(set(sources) | set(t["to_type"].unique()))
+    piv = t.pivot_table(index="from_type", columns="to_type",
+                        values="cnt", fill_value=0, aggfunc="sum") \
+        .reindex(index=all_types, columns=all_types, fill_value=0)
+    P = piv.to_numpy(np.float64)
+    row = P.sum(axis=1, keepdims=True)
+    # never-source types keep an all-zero row: the oracle's join on
+    # a.tt = b.f drops flows routed through them, which is exactly
+    # what a zero row does to an ordinary matmul
+    P = np.divide(P, row, out=np.zeros_like(P), where=row > 0)
+    M = P.copy()
+    for _ in range(5):          # M = P^32 by repeated squaring
+        M = M @ M
+    n = float(len(sources))
+    pi = M.sum(axis=0) / n      # uniform start over source states
+    out = pd.DataFrame({"event_type": all_types,
+                        "stationary_p": textstats.round_half_away(
+                            pi, 6)})
+    # oracle rows exist iff the type is reachable in exactly 32 steps
+    # (the join chain only materializes positive-probability paths) —
+    # filter on the UNROUNDED mass so a rounds-to-zero row survives
+    out = out[pi > 0].reset_index(drop=True)
+    return out.sort_values("event_type", ignore_index=True)
+
+
+#: Poisson(1) CDF ladder shared verbatim with the oracle SQL
+_POIS1_CDF = (0.36787944117144233, 0.7357588823428847,
+              0.9196986029286058, 0.9810118431238462,
+              0.9963401531726563, 0.9994058151824183,
+              0.9999167588507119, 0.9999897508033253)
+
+
+@register("bootstrap_value_mean_ci", sql="""
+WITH r AS (SELECT unnest(generate_series(1, 100)) AS rep),
+b AS (SELECT e.event_id, CAST(ROUND(e.value * 100) AS BIGINT) AS cents,
+             r.rep,
+             (((e.event_id + r.rep) * 2654435761) % 4294967296)
+                 / 4294967296.0 AS u
+      FROM events e CROSS JOIN r),
+w AS (SELECT rep, cents,
+             CASE WHEN u < 0.36787944117144233 THEN 0
+                  WHEN u < 0.7357588823428847 THEN 1
+                  WHEN u < 0.9196986029286058 THEN 2
+                  WHEN u < 0.9810118431238462 THEN 3
+                  WHEN u < 0.9963401531726563 THEN 4
+                  WHEN u < 0.9994058151824183 THEN 5
+                  WHEN u < 0.9999167588507119 THEN 6
+                  WHEN u < 0.9999897508033253 THEN 7
+                  ELSE 8 END AS k
+      FROM b),
+m AS (SELECT rep,
+             ROUND(SUM(k * cents) * 1.0 / SUM(k), 6) AS mean_cents
+      FROM w GROUP BY rep),
+o AS (SELECT mean_cents,
+             ROW_NUMBER() OVER (ORDER BY mean_cents) AS rn FROM m)
+SELECT MAX(CASE WHEN rn = 3 THEN mean_cents END) AS ci_lo_cents,
+       MAX(CASE WHEN rn = 98 THEN mean_cents END) AS ci_hi_cents
+FROM o""")
+def bootstrap_value_mean_ci(sf_dir: str) -> pd.DataFrame:
+    """Deterministic Poisson bootstrap 95% CI for the mean event value
+    (Chamandy et al. 2012's streaming bootstrap, made reproducible):
+    each of 100 resamples weights every row by a Poisson(1) draw
+    derived from the shared Knuth hash of (event_id + rep), so the
+    'randomness' is a pure function both engines evaluate identically
+    — u is an exact dyadic double and the CDF ladder constants are
+    shared verbatim, so every weight matches bit-for-bit and the CI is
+    oracle-checkable (uncertainty quantification usually isn't). Scale
+    shape: the 100x expansion never materializes — each batch computes
+    its (rep, Σk·cents, Σk) integer partials from a (rows × 100)
+    vectorized weight matrix and ships 100 rows; resampled means and
+    the order statistics happen on the 100-row table."""
+    reps = 100
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["event_id"].to_numpy(np.int64)
+        cents = np.rint(df["value"].to_numpy(np.float64) * 100) \
+            .astype(np.int64)
+        r = np.arange(1, reps + 1, dtype=np.uint64)
+        h = ((ids.astype(np.uint64)[:, None] + r[None, :])
+             * np.uint64(2654435761)) % np.uint64(1 << 32)
+        u = h.astype(np.float64) / float(1 << 32)
+        k = np.searchsorted(np.asarray(_POIS1_CDF), u.ravel(),
+                            side="right").reshape(u.shape) \
+            .astype(np.int64)
+        return pd.DataFrame({
+            "rep": np.arange(1, reps + 1, dtype=np.int64),
+            "skc": (k * cents[:, None]).sum(axis=0),
+            "sk": k.sum(axis=0)})
+
+    m = reduce_sink(
+        _events(sf_dir, ["event_id", "value"]).map_batches(
+            partial, batch_format="pandas"),
+        ["rep"], {"skc": ("skc", "sum"), "sk": ("sk", "sum")}) \
+        .to_pandas()
+    means = np.sort(textstats.round_half_away(
+        m["skc"].to_numpy(np.float64) / m["sk"].to_numpy(np.float64),
+        6))
+    return pd.DataFrame({"ci_lo_cents": [float(means[2])],
+                         "ci_hi_cents": [float(means[97])]})
+
+
+@register("user_value_lorenz", sql="""
+WITH u AS (SELECT user_id,
+                  SUM(CAST(ROUND(value * 100) AS BIGINT)) AS c
+           FROM events GROUP BY 1),
+r AS (SELECT c, NTILE(10) OVER (ORDER BY c, user_id) AS decile FROM u),
+d AS (SELECT decile, SUM(c) AS s FROM r GROUP BY decile),
+t AS (SELECT SUM(s) AS tot FROM d)
+SELECT CAST(decile AS BIGINT) AS decile,
+       ROUND(SUM(s) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+             * 1.0 / tot, 6) AS cum_share
+FROM d, t ORDER BY decile""")
+def user_value_lorenz(sf_dir: str) -> pd.DataFrame:
+    """Lorenz curve of per-user value (the curve the Gini coefficient
+    integrates): cumulative share of total value held by each
+    ascending user decile. Per-user cents reduce once; decile
+    assignment is the SQL-NTILE closed form over scan.global_rank's
+    exact (cents, user_id) rank — no global sort shuffle — and only
+    the 10-row decile mass table reaches the driver, where the
+    cumulative shares divide exact integer sums."""
+    per = reduce_sink(
+        _events(sf_dir, ["user_id", "value"]).map_batches(
+            lambda df: pd.DataFrame({
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "c": np.rint(df["value"].to_numpy(np.float64)
+                             * 100).astype(np.int64)}),
+            batch_format="pandas"),
+        ["user_id"], {"c": ("c", "sum")}).materialize()
+    n = per.count()
+    ranked = scan.global_rank(per, "c", "user_id", out_col="rnk",
+                              num_buckets=8)
+    q, rem = divmod(n, 10)
+    big = rem * (q + 1)
+
+    def binned(df: pd.DataFrame) -> pd.DataFrame:
+        r = df["rnk"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "decile": np.where(
+                r <= big, (r - 1) // max(q + 1, 1) + 1,
+                rem + (r - big - 1) // max(q, 1) + 1).astype(np.int64),
+            "s": df["c"].to_numpy(np.int64)})
+
+    d = reduce_sink(ranked.map_batches(binned, batch_format="pandas"),
+                    ["decile"], {"s": ("s", "sum")}).to_pandas() \
+        .sort_values("decile", ignore_index=True)
+    s = d["s"].to_numpy(np.int64)
+    tot = float(s.sum())
+    return pd.DataFrame({
+        "decile": d["decile"].to_numpy(np.int64),
+        "cum_share": textstats.round_half_away(
+            np.cumsum(s).astype(np.float64) * 1.0 / tot, 6)})
+
+
+@register("transition_association_rules", sql="""
+WITH o AS (SELECT user_id, event_type,
+                  LAG(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev
+           FROM events),
+t AS (SELECT prev AS from_type, event_type AS to_type,
+             CAST(COUNT(*) AS DOUBLE) AS c
+      FROM o WHERE prev IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT SUM(c) AS n FROM t),
+rt AS (SELECT from_type, SUM(c) AS rowc FROM t GROUP BY 1),
+ct AS (SELECT to_type, SUM(c) AS colc FROM t GROUP BY 1)
+SELECT t.from_type, t.to_type,
+       ROUND(t.c / tot.n, 6) AS support,
+       ROUND(t.c / rt.rowc, 6) AS confidence,
+       ROUND((t.c / rt.rowc) / (ct.colc / tot.n), 6) AS lift
+FROM t JOIN rt USING (from_type) JOIN ct USING (to_type), tot""")
+def transition_association_rules(sf_dir: str) -> pd.DataFrame:
+    """Sequential association rules over consecutive-event transitions
+    (support / confidence / lift per from→to rule — the Agrawal-style
+    rule metrics on the SAME transition reduce the Markov family
+    shares, so the only distributed work is one sort+shift per user
+    bucket). Marginals and the three ratios are closed forms over the
+    |types|² aggregate, written identically on both engines."""
+    t = event_transitions(sf_dir)
+    c = t["cnt"].to_numpy(np.float64)
+    n = c.sum()
+    rowc = t.groupby("from_type")["cnt"].transform("sum") \
+        .to_numpy(np.float64)
+    colc = t.groupby("to_type")["cnt"].transform("sum") \
+        .to_numpy(np.float64)
+    r6 = textstats.round_half_away
+    return pd.DataFrame({
+        "from_type": t["from_type"],
+        "to_type": t["to_type"],
+        "support": r6(c / n, 6),
+        "confidence": r6(c / rowc, 6),
+        "lift": r6((c / rowc) / (colc / n), 6)})
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
