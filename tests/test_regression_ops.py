@@ -569,3 +569,96 @@ def test_association_rules_hand_computed(ray_session, tmp_path):
     assert abs(rows[("b", "a")].confidence - 1.0) < 1e-6
     # lift(b->a) = conf / P(to=a) = 1 / (2/3) = 1.5
     assert abs(rows[("b", "a")].lift - 1.5) < 1e-6
+
+
+def test_percentile_bands_distinct_values(ray_session, tmp_path):
+    """21 users with strictly increasing sums -> PERCENT_RANK bands are
+    rank-1 clipped to 19, so band 19 holds exactly two users and every
+    other band exactly one; CUME_DIST*n (sum_rank_le) equals the rank."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    n = 21
+    ts = [t0 + i * s for i in range(n)]
+    d = str(tmp_path / "bands")
+    _write_events(d, ts, [float(i + 1) for i in range(n)],
+                  users=list(range(n)))
+    out = REGISTRY["user_value_percentile_bands"][0](d)
+    got = dict(zip(out["band"], out["n_users"]))
+    assert got == {**{b: 1 for b in range(19)}, 19: 2}
+    # distinct values: rank_le == rank, so per-band sums are exact
+    rle = dict(zip(out["band"], out["sum_rank_le"]))
+    assert rle[0] == 1 and rle[19] == 20 + 21
+
+
+def test_percentile_bands_all_ties(ray_session, tmp_path):
+    """Every user equal -> rank_min 1 for all, single band 0, and
+    sum_rank_le = n*n (CUME_DIST == 1 for every row)."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    d = str(tmp_path / "bandtie")
+    _write_events(d, [t0 + i * s for i in range(8)], [3.0] * 8,
+                  users=list(range(8)))
+    out = REGISTRY["user_value_percentile_bands"][0](d)
+    assert out["band"].tolist() == [0]
+    assert out["n_users"].tolist() == [8]
+    assert out["sum_rank_le"].tolist() == [64]
+
+
+def test_grouping_sets_lattice_consistency(ray_session, tmp_path):
+    """Each grouping set partitions the input: n and cents summed
+    within any one set equal the grand total, and the () row is the
+    grand total itself."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-06T05:00:00", "us")  # a Saturday? fixed
+    h = np.timedelta64(1, "h")
+    types = ["view", "click", "view", "purchase", "click", "view"]
+    ts = [t0 + i * 7 * h for i in range(len(types))]
+    vals = [1.25, 2.50, 0.75, 10.00, 2.50, 1.25]
+    d = str(tmp_path / "gsets")
+    _write_events(d, ts, vals, types=types)
+    out = REGISTRY["events_grouping_sets"][0](d)
+    tot_n, tot_c = len(types), round(sum(vals) * 100)
+    grand = out[(out["event_type"] == "ALL") & (out["dow"] == -1)
+                & (out["hour"] == -1)]
+    assert grand["n"].tolist() == [tot_n]
+    assert grand["cents"].tolist() == [tot_c]
+    td = out[(out["event_type"] != "ALL") & (out["dow"] >= 0)]
+    th = out[(out["event_type"] != "ALL") & (out["hour"] >= 0)]
+    dw = out[(out["event_type"] == "ALL") & (out["dow"] >= 0)]
+    for part in (td, th, dw):
+        assert part["n"].sum() == tot_n
+        assert part["cents"].sum() == tot_c
+    # the two type-level sets agree per type
+    assert (td.groupby("event_type")["n"].sum().sort_index().tolist()
+            == th.groupby("event_type")["n"].sum().sort_index().tolist())
+
+
+def test_trailing_distinct_types_hand_case(ray_session, tmp_path):
+    """a@0, b@30min, a@90min -> k = 1, 2, 2 (the 90min event sees b@30
+    inside its trailing hour but not a@0)."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    m = np.timedelta64(1, "m")
+    d = str(tmp_path / "tdist")
+    _write_events(d, [t0, t0 + 30 * m, t0 + 90 * m], [1.0] * 3,
+                  types=["a", "b", "a"])
+    out = REGISTRY["user_trailing_1h_distinct_types"][0](d)
+    assert dict(zip(out["k"], out["n"])) == {1: 1, 2: 2}
+
+
+def test_trailing_distinct_types_range_peers(ray_session, tmp_path):
+    """RANGE semantics: two same-user events at the SAME timestamp with
+    different types both count each other -> k = 2 for both."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    d = str(tmp_path / "tpeer")
+    _write_events(d, [t0, t0], [1.0, 1.0], types=["a", "b"])
+    out = REGISTRY["user_trailing_1h_distinct_types"][0](d)
+    assert dict(zip(out["k"], out["n"])) == {2: 2}

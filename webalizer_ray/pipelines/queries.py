@@ -12298,6 +12298,195 @@ def transition_association_rules(sf_dir: str) -> pd.DataFrame:
         "lift": r6((c / rowc) / (colc / n), 6)})
 
 
+@register("user_value_percentile_bands", sql="""
+WITH u AS (SELECT user_id,
+                  SUM(CAST(ROUND(value * 100) AS BIGINT)) AS c
+           FROM events GROUP BY 1),
+t AS (SELECT COUNT(*) AS n FROM u),
+w AS (SELECT c, CAST(RANK() OVER (ORDER BY c) AS BIGINT) AS rmin,
+             CAST(COUNT(*) OVER (ORDER BY c) AS BIGINT) AS rle
+      FROM u)
+SELECT CAST(LEAST(19, CAST(FLOOR((rmin - 1) * 20.0 / (n - 1))
+                           AS BIGINT)) AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(rle) AS BIGINT) AS sum_rank_le
+FROM w, t GROUP BY 1 ORDER BY 1""")
+def user_value_percentile_bands(sf_dir: str) -> pd.DataFrame:
+    """PERCENT_RANK / CUME_DIST as closed forms over the exact global
+    rank — users histogrammed into 20 equal-width percent-rank bands.
+    SQL's tie semantics are reproduced exactly from integer rank
+    statistics: PERCENT_RANK = (rank_min − 1)/(n − 1) where rank_min is
+    the ties-low RANK(), and SUM(rank_le) carries CUME_DIST·n (the
+    ties-high count of rows ≤ c, integer so no float summation-order
+    risk). Per-user cents reduce once, scan.global_rank assigns unique
+    (c, user_id) ranks with no global sort shuffle, a per-distinct-value
+    reduce recovers rank_min/rank_le/count for each tie group, and only
+    the ≤|distinct sums| tie table then the 20-row band aggregate ever
+    shuffle — the band cut (rmin−1)·20.0/(n−1) is one float expression
+    evaluated with identical operands on both engines, so FLOOR cannot
+    disagree."""
+    per = reduce_sink(
+        _events(sf_dir, ["user_id", "value"]).map_batches(
+            lambda df: pd.DataFrame({
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "c": np.rint(df["value"].to_numpy(np.float64)
+                             * 100).astype(np.int64)}),
+            batch_format="pandas"),
+        ["user_id"], {"c": ("c", "sum")}).materialize()
+    n = per.count()
+    ranked = scan.global_rank(per, "c", "user_id", out_col="rnk",
+                              num_buckets=8)
+    ties = reduce_sink(
+        ranked.map_batches(
+            lambda df: pd.DataFrame({
+                "c": df["c"].to_numpy(np.int64),
+                "rmin": df["rnk"].to_numpy(np.int64),
+                "rle": df["rnk"].to_numpy(np.int64),
+                "cnt": np.ones(len(df), np.int64)}),
+            batch_format="pandas"),
+        ["c"], {"rmin": ("rmin", "min"), "rle": ("rle", "max"),
+                "cnt": ("cnt", "sum")})
+
+    def bands(df: pd.DataFrame) -> pd.DataFrame:
+        rmin = df["rmin"].to_numpy(np.int64)
+        band = np.minimum(
+            19, np.floor((rmin - 1) * 20.0 / (n - 1)).astype(np.int64))
+        return pd.DataFrame({
+            "band": band,
+            "n_users": df["cnt"].to_numpy(np.int64),
+            "sum_rank_le": df["rle"].to_numpy(np.int64)
+            * df["cnt"].to_numpy(np.int64)})
+
+    out = reduce_sink(ties.map_batches(bands, batch_format="pandas"),
+                      ["band"], {"n_users": ("n_users", "sum"),
+                                 "sum_rank_le": ("sum_rank_le", "sum")}) \
+        .to_pandas()
+    return out.sort_values("band", ignore_index=True)
+
+
+@register("events_grouping_sets", sql="""
+WITH b AS (SELECT event_type,
+                  (CAST(date_diff('day', DATE '1970-01-01',
+                                  CAST(ts AS DATE)) AS BIGINT) + 4) % 7
+                      AS dow,
+                  CAST(hour(ts) AS BIGINT) AS hour,
+                  CAST(ROUND(value * 100) AS BIGINT) AS cents
+           FROM events)
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(dow, -1) AS dow, COALESCE(hour, -1) AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS cents
+FROM b
+GROUP BY GROUPING SETS ((event_type, dow), (event_type, hour),
+                        (dow), ())
+ORDER BY 1, 2, 3""")
+def events_grouping_sets(sf_dir: str) -> pd.DataFrame:
+    """Arbitrary GROUPING SETS lattice in ONE pass — unlike the CUBE
+    query (events_cube, the full 2^k lattice), this computes a
+    hand-picked non-cube set {(type, dow), (type, hour), (dow), ()}
+    the way a reporting layer asks for exactly the rollups it renders.
+    Every batch emits partials for each set with rolled-up dims as
+    sentinels ('ALL'/−1 — never colliding because each set's sentinel
+    pattern is unique), so a single shuffle of ≤ Σ|set cardinalities|
+    partial rows serves all four granularities; re-running one groupby
+    per set would re-read the raw input four times. dow uses the
+    convention-free (epoch_day + 4) % 7 arithmetic shared with
+    dow_seasonality_index."""
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        et = df["event_type"].astype(str)
+        day = df["ts"].to_numpy().astype("datetime64[D]") \
+            .astype(np.int64)
+        dow = (day + 4) % 7
+        hour = df["ts"].dt.hour.to_numpy(np.int64)
+        cents = np.rint(df["value"].to_numpy(np.float64) * 100) \
+            .astype(np.int64)
+        all_t = pd.Series(np.repeat("ALL", len(df)))
+        neg = np.full(len(df), -1, dtype=np.int64)
+        frames = []
+        for t, d, h in [(et, dow, hour * 0 - 1),
+                        (et, neg, hour),
+                        (all_t, dow, neg),
+                        (all_t, neg, neg)]:
+            frames.append(pd.DataFrame({
+                "event_type": t.to_numpy() if hasattr(t, "to_numpy")
+                else t,
+                "dow": d, "hour": h, "n": 1, "cents": cents}))
+        allf = pd.concat(frames, ignore_index=True)
+        return allf.groupby(["event_type", "dow", "hour"], sort=False) \
+            .agg(n=("n", "sum"), cents=("cents", "sum")).reset_index()
+
+    out = reduce_sink(
+        _events(sf_dir, ["event_type", "ts", "value"]).map_batches(
+            partials, batch_format="pandas"),
+        ["event_type", "dow", "hour"],
+        {"n": ("n", "sum"), "cents": ("cents", "sum")}).to_pandas()
+    return out.sort_values(["event_type", "dow", "hour"],
+                           ignore_index=True)
+
+
+@register("user_trailing_1h_distinct_types", sql="""
+WITH w AS (SELECT e.event_id,
+        (SELECT COUNT(DISTINCT e2.event_type) FROM events e2
+         WHERE e2.user_id = e.user_id
+           AND e2.ts >= e.ts - INTERVAL 1 HOUR
+           AND e2.ts <= e.ts) AS k
+   FROM events e)
+SELECT CAST(k AS BIGINT) AS k, CAST(COUNT(*) AS BIGINT) AS n
+FROM w GROUP BY 1 ORDER BY 1""")
+def user_trailing_1h_distinct_types(sf_dir: str) -> pd.DataFrame:
+    """Windowed COUNT(DISTINCT) — for every event, the number of
+    distinct event types its user emitted in the trailing hour
+    (RANGE-frame inclusive bounds matching user_trailing_1h_value; SQL
+    window functions cannot express DISTINCT aggregates, so the oracle
+    is the correlated range subquery). The distributed form exploits
+    the bounded type alphabet: inside each user-hash bucket, one
+    per-type pass computes the running last-seen timestamp (a
+    peer-group max then segment cummax, so equal-timestamp rows see
+    each other exactly like a RANGE frame), and k is the count of
+    types whose last-seen falls inside [t − 1h, t]. |types| vectorized
+    passes per bucket, zero per-row Python; only the tiny (k, n)
+    histogram partials leave the buckets."""
+    def k_hist(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          ignore_index=True)
+        u = g["user_id"].to_numpy(np.int64)
+        ts = g["ts"].to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        types = g["event_type"].to_numpy()
+        new_user = np.ones(len(g), bool)
+        new_user[1:] = u[1:] != u[:-1]
+        seg = np.cumsum(new_user)
+        lo = ts - 3_600_000_000
+        k = np.zeros(len(g), np.int64)
+        sentinel = np.iinfo(np.int64).min
+        frame = pd.DataFrame({"seg": seg, "ts": ts})
+        for t in np.unique(types):
+            masked = np.where(types == t, ts, sentinel)
+            # peer-group max first: equal-ts rows of the same user see
+            # each other regardless of sort position (RANGE semantics)
+            peer = pd.Series(masked).groupby(
+                [frame["seg"], frame["ts"]]).transform("max")
+            last = peer.groupby(frame["seg"]).cummax().to_numpy()
+            k += last >= lo
+        h = pd.Series(k).value_counts()
+        return pd.DataFrame({"k": h.index.to_numpy(np.int64),
+                             "n": h.to_numpy(np.int64)})
+
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket_"] = (df["user_id"].to_numpy(np.int64) % 32) \
+            .astype(np.int32)
+        return df
+
+    parts = (_events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+             .map_batches(with_bucket, batch_format="pandas")
+             .groupby("bucket_")
+             .map_groups(lambda g: k_hist(g.drop(columns=["bucket_"])),
+                         batch_format="pandas"))
+    out = reduce_sink(parts, ["k"], {"n": ("n", "sum")}).to_pandas()
+    return out.sort_values("k", ignore_index=True)
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
