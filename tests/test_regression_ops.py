@@ -662,3 +662,130 @@ def test_trailing_distinct_types_range_peers(ray_session, tmp_path):
     _write_events(d, [t0, t0], [1.0, 1.0], types=["a", "b"])
     out = REGISTRY["user_trailing_1h_distinct_types"][0](d)
     assert dict(zip(out["k"], out["n"])) == {2: 2}
+
+
+def test_concurrency_hist_hand_case(ray_session, tmp_path):
+    """Two users: u0 live [0, 40min] (one session spanning a 20-min
+    gap), u1 live [10min, 20min] -> conc 1 for 30min, conc 2 for
+    10min. Durations are exact microseconds."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    m = np.timedelta64(1, "m")
+    ts = [t0, t0 + 20 * m, t0 + 40 * m, t0 + 10 * m, t0 + 20 * m]
+    d = str(tmp_path / "conc")
+    _write_events(d, ts, [1.0] * 5, users=[0, 0, 0, 1, 1])
+    out = REGISTRY["session_concurrency_hist"][0](d)
+    got = dict(zip(out["conc"], out["dur_us"]))
+    assert got == {1: 30 * 60_000_000, 2: 10 * 60_000_000}
+
+
+def test_concurrency_hist_zero_length_session(ray_session, tmp_path):
+    """A single-event session (st == en) nets to zero time: only the
+    other user's interval appears."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    m = np.timedelta64(1, "m")
+    d = str(tmp_path / "conc0")
+    _write_events(d, [t0, t0 + 10 * m, t0 + 5 * m], [1.0] * 3,
+                  users=[0, 0, 1])
+    out = REGISTRY["session_concurrency_hist"][0](d)
+    got = dict(zip(out["conc"], out["dur_us"]))
+    assert got == {1: 10 * 60_000_000}
+
+
+def test_concurrency_hist_cross_day_segment(ray_session, tmp_path):
+    """A session straddling midnight exercises the bucket-stitch path:
+    the last boundary of day 0's bucket must extend to day 1's first
+    boundary."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T23:50:00", "us")
+    m = np.timedelta64(1, "m")
+    # u0: one session 23:50 -> 00:10 (+1d); u1 joins 00:00 -> 00:10
+    ts = [t0, t0 + 20 * m, t0 + 10 * m, t0 + 20 * m]
+    d = str(tmp_path / "concx")
+    _write_events(d, ts, [1.0] * 4, users=[0, 0, 1, 1])
+    out = REGISTRY["session_concurrency_hist"][0](d)
+    got = dict(zip(out["conc"], out["dur_us"]))
+    assert got == {1: 10 * 60_000_000, 2: 10 * 60_000_000}
+
+
+def test_kruskal_wallis_planted_shift(ray_session, tmp_path):
+    """Identical groups -> H == 0; a large planted shift between two
+    groups -> H near the max (n-1 for two groups without ties)."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    n = 40
+    ts = [t0 + i * s for i in range(n)]
+    same = str(tmp_path / "kwsame")
+    _write_events(same, ts, [float(i % 5) + 1 for i in range(n)],
+                  types=["a", "b"] * (n // 2))
+    o = REGISTRY["kruskal_wallis_value_by_type"][0](same)
+    assert abs(o["h"][0]) < 1e-9 or o["h"][0] < 0.5  # near zero
+    shifted = str(tmp_path / "kwshift")
+    _write_events(shifted, ts,
+                  [1.0 + i * 0.01 for i in range(20)]
+                  + [100.0 + i * 0.01 for i in range(20)],
+                  types=["a"] * 20 + ["b"] * 20)
+    o2 = REGISTRY["kruskal_wallis_value_by_type"][0](shifted)
+    # perfect separation, no ties: H = 12/(n(n+1)) * (sum R_g^2/n_g)
+    # - 3(n+1) with R_a = 210, R_b = 610 -> H = 29.2682926...
+    assert abs(o2["h"][0] - 29.268293) < 1e-5
+    assert o2["h_tie"][0] == o2["h"][0]  # no ties -> correction = 1
+
+
+def test_cvm_identical_vs_disjoint(ray_session, tmp_path):
+    """Identical view/purchase samples -> T == 0; fully separated
+    samples -> the closed-form maximum for n1 == n2 == n."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    n = 10
+    ts = [t0 + i * s for i in range(2 * n)]
+    same = str(tmp_path / "cvmsame")
+    _write_events(same, ts, [float(i % n) + 1 for i in range(2 * n)],
+                  types=["view"] * n + ["purchase"] * n)
+    o = REGISTRY["cramer_von_mises_view_purchase"][0](same)
+    assert o["cvm_t"][0] == 0.0
+    sep = str(tmp_path / "cvmsep")
+    _write_events(sep, ts, [float(i + 1) for i in range(n)]
+                  + [float(i + 101) for i in range(n)],
+                  types=["view"] * n + ["purchase"] * n)
+    o2 = REGISTRY["cramer_von_mises_view_purchase"][0](sep)
+    # disjoint supports: D/(n*n) = f/n over the first sample's points
+    # (f=1..n, n points each multiplicity 1) then stays 1 .. T =
+    # sum over 2n points of (F-G)^2 / (2n)... closed form:
+    # S = n^2 * (sum_{f=1}^{n-1} f^2 * 1 ... compute directly instead
+    import numpy as _np
+    f1 = _np.concatenate([_np.arange(1, n + 1), _np.full(n, n)])
+    f2 = _np.concatenate([_np.zeros(n, int), _np.arange(1, n + 1)])
+    s_num = int((( _np.int64(1)) * ((f1 * n - f2 * n) ** 2)).sum())
+    expect = s_num / (n * n * (2 * n) ** 2)
+    assert abs(o2["cvm_t"][0] - round(expect, 9)) < 1e-12
+
+
+def test_brown_forsythe_equal_vs_spread(ray_session, tmp_path):
+    """Equal spreads -> F ~ 0; one group with 100x the spread -> large
+    F. Per-type integer moments are exact."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    n = 30
+    ts = [t0 + i * s for i in range(2 * n)]
+    vals = [10.0 + (i % 3) for i in range(n)] \
+        + [10.0 + 100.0 * (i % 3) for i in range(n)]
+    d = str(tmp_path / "bf")
+    _write_events(d, ts, vals, types=["a"] * n + ["b"] * n)
+    out = REGISTRY["brown_forsythe_value_by_type"][0](d)
+    rows = {r.event_type: r for r in out.itertuples()}
+    # group a: cents 1000,1100,1200 x10 each; med2 = 2*1100
+    assert rows["a"].med2 == 2200
+    assert rows["a"].s_abs == 10 * 200 + 10 * 0 + 10 * 200
+    assert rows["b"].med2 == 2 * 11000
+    assert out["f"].iloc[0] > 50.0

@@ -12487,6 +12487,321 @@ def user_trailing_1h_distinct_types(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("k", ignore_index=True)
 
 
+@register("session_concurrency_hist", sql=f"""
+WITH sid AS (SELECT user_id, ts, event_id,
+                    SUM(ns) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+             FROM ({_NS_SQL})),
+s AS (SELECT user_id, sid, MIN(ts) AS st, MAX(ts) AS en
+      FROM sid GROUP BY user_id, sid),
+b AS (SELECT st AS ts, 1 AS net FROM s
+      UNION ALL SELECT en, -1 FROM s),
+g AS (SELECT ts, CAST(SUM(net) AS BIGINT) AS net FROM b GROUP BY ts),
+c AS (SELECT epoch_us(ts) AS us,
+             LEAD(epoch_us(ts)) OVER (ORDER BY ts) AS next_us,
+             CAST(SUM(net) OVER (ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 AS conc
+      FROM g)
+SELECT conc, CAST(SUM(next_us - us) AS BIGINT) AS dur_us
+FROM c WHERE conc > 0 AND next_us IS NOT NULL
+GROUP BY 1 ORDER BY 1""")
+def session_concurrency_hist(sf_dir: str) -> pd.DataFrame:
+    """Concurrency DURATION histogram — exact microseconds the system
+    spent with exactly k sessions live (peak_concurrent_sessions'
+    sweep-line, but the full time-weighted distribution a capacity
+    planner actually bills against, not just the max). Sessions reduce
+    to intervals in the user-hash bucket; intervals collapse to
+    per-distinct-timestamp net (+starts −ends) partials; the running
+    concurrency rides the same two-level range scan as the peak query
+    (day-width buckets, O(buckets) totals to the driver). The segment
+    length needs each boundary's SUCCESSOR timestamp, which the scan's
+    bucket metadata already yields for free: the driver pairs every
+    bucket with the NEXT non-empty bucket's first timestamp (O(days)
+    rows), so each bucket closes its own last segment without any task
+    seeing the whole boundary stream. Zero-length sessions (st == en)
+    net to 0 and correctly contribute no time; the global last
+    boundary has conc 0 (every start has an end) and is masked on both
+    engines."""
+    sess = _sessionized_events(sf_dir)
+    iv = reduce_sink(sess, ["user_id", "sid"],
+                     {"st": ("ts", "min"), "en": ("ts", "max")})
+    day_us = 86_400_000_000
+
+    def boundaries(df: pd.DataFrame) -> pd.DataFrame:
+        st = df["st"].to_numpy("datetime64[us]").astype(np.int64)
+        en = df["en"].to_numpy("datetime64[us]").astype(np.int64)
+        out = pd.DataFrame({
+            "ts_us": np.concatenate([st, en]),
+            "net": np.concatenate([np.ones(len(st), np.int64),
+                                   -np.ones(len(en), np.int64)])})
+        return out.groupby("ts_us", as_index=False).sum()
+
+    per_ts = reduce_sink(
+        iv.map_batches(boundaries, batch_format="pandas"),
+        ["ts_us"], {"net": ("net", "sum")})
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_bk"] = df["ts_us"].to_numpy(np.int64) // day_us
+        return df
+
+    tagged = per_ts.map_batches(tag, batch_format="pandas")
+    meta = reduce_sink(tagged, ["_bk"],
+                       {"net": ("net", "sum"),
+                        "first_ts": ("ts_us", "min")}).to_pandas() \
+        .sort_values("_bk", ignore_index=True)
+    off = dict(zip(
+        meta["_bk"],
+        meta["net"].cumsum().shift(fill_value=0).astype(np.int64)))
+    nxt_first = dict(zip(meta["_bk"].to_numpy()[:-1],
+                         meta["first_ts"].to_numpy()[1:]))
+
+    def hist_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts_us", ignore_index=True)
+        bk = int(g["_bk"].iat[0])
+        ts = g["ts_us"].to_numpy(np.int64)
+        conc = off[bk] + np.cumsum(g["net"].to_numpy(np.int64))
+        nxt = np.empty(len(ts), np.int64)
+        nxt[:-1] = ts[1:]
+        # last segment of the bucket extends to the next non-empty
+        # bucket's first boundary; the global last boundary has conc 0
+        nxt[-1] = int(nxt_first.get(bk, ts[-1]))
+        keep = conc > 0
+        h = pd.DataFrame({"conc": conc[keep], "dur_us": (nxt - ts)[keep]})
+        return h.groupby("conc", as_index=False).sum()
+
+    parts = tagged.groupby("_bk").map_groups(hist_bucket,
+                                             batch_format="pandas")
+    out = reduce_sink(parts, ["conc"],
+                      {"dur_us": ("dur_us", "sum")}).to_pandas()
+    return out.sort_values("conc", ignore_index=True) \
+        .astype({"conc": np.int64, "dur_us": np.int64})
+
+
+@register("kruskal_wallis_value_by_type", sql="""
+WITH v AS (SELECT event_type AS g,
+                  CAST(ROUND(value * 100) AS BIGINT) AS c FROM events),
+hh AS (SELECT g, c, CAST(COUNT(*) AS BIGINT) AS cnt FROM v GROUP BY 1, 2),
+tot AS (SELECT c, CAST(SUM(cnt) AS BIGINT) AS tc FROM hh GROUP BY 1),
+r AS (SELECT c, CAST(2 * (SUM(tc) OVER (ORDER BY c) - tc) + tc + 1
+                     AS BIGINT) AS mr2
+      FROM tot),
+rg AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS n_g,
+              CAST(SUM(cnt * mr2) AS BIGINT) AS r2
+       FROM hh JOIN r USING (c) GROUP BY g),
+t AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             SUM((r2 / 2.0) * (r2 / 2.0) / n_g) AS s FROM rg),
+tie AS (SELECT CAST(SUM(tc * tc * tc - tc) AS HUGEINT) AS t3 FROM tot)
+SELECT n, k,
+       ROUND(12.0 / (n * (n + 1.0)) * s - 3.0 * (n + 1), 6) AS h,
+       CASE WHEN t3 = CAST(n AS HUGEINT) * n * n - n THEN 0.0
+            ELSE ROUND((12.0 / (n * (n + 1.0)) * s - 3.0 * (n + 1))
+                       / (1.0 - CAST(t3 AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * n * n - n)), 6)
+       END AS h_tie
+FROM t, tie""")
+def kruskal_wallis_value_by_type(sf_dir: str) -> pd.DataFrame:
+    """Kruskal–Wallis H across event types (the rank-based one-way
+    ANOVA — 'do the k value distributions differ?' without normality).
+    Cents quantization again makes ONE (type, cents) contingency
+    reduce a lossless summary: midranks come from the total histogram
+    as DOUBLED integers (2·midrank = 2·cum_before + tc + 1 — no .5
+    float ever exists), per-group rank sums R2 = Σ cnt·mr2 stay exact
+    BIGINTs, and both engines close H = 12/(N(N+1))·Σ(R_g²/n_g) −
+    3(N+1) plus the tie correction 1 − Σ(t³−t)/(N³−N) from those
+    identical integers in the identical expression order. The only
+    cross-engine float risk is the k-term group sum (k ≈ 4), bounded
+    well below the 6-dp round."""
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "g": df["event_type"].astype(str),
+            "c": np.rint(df["value"].to_numpy(np.float64) * 100)
+            .astype(np.int64)})
+
+    hh = reduce_sink(
+        _events(sf_dir, ["event_type", "value"])
+        .map_batches(prep, batch_format="pandas"),
+        ["g", "c"], {"cnt": ("c", "size")}).to_pandas() \
+        .sort_values(["c", "g"], ignore_index=True)
+    tot = hh.groupby("c", sort=True)["cnt"].sum()
+    tc = tot.to_numpy(np.int64)
+    cumb = np.cumsum(tc) - tc
+    mr2 = dict(zip(tot.index.to_numpy(),
+                   (2 * cumb + tc + 1).astype(np.int64)))
+    hh["mr2"] = hh["c"].map(mr2).astype(np.int64)
+    rg = hh.assign(prod=hh["cnt"] * hh["mr2"]) \
+        .groupby("g", sort=True).agg(n_g=("cnt", "sum"),
+                                     r2=("prod", "sum"))
+    n = int(rg["n_g"].sum())
+    k = len(rg)
+    s = float(sum((r2 / 2.0) * (r2 / 2.0) / n_g
+                  for r2, n_g in zip(rg["r2"], rg["n_g"])))
+    h = 12.0 / (n * (n + 1.0)) * s - 3.0 * (n + 1)
+    t3 = int(sum(int(t) ** 3 - int(t) for t in tc))
+    r6 = textstats.round_half_away
+    if t3 == n ** 3 - n:
+        h_tie = 0.0
+    else:
+        h_tie = r6(h / (1.0 - float(t3) / (float(n) * n * n - n)), 6)
+    return pd.DataFrame({"n": np.array([n], np.int64),
+                         "k": np.array([k], np.int64),
+                         "h": [float(r6(h, 6))],
+                         "h_tie": [float(h_tie)]})
+
+
+@register("cramer_von_mises_view_purchase", sql="""
+WITH c AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                  CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS g1,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g2
+           FROM events WHERE event_type IN ('view', 'purchase')),
+h AS (SELECT cents, CAST(SUM(g1) AS BIGINT) AS c1,
+             CAST(SUM(g2) AS BIGINT) AS c2
+      FROM c GROUP BY 1),
+cum AS (SELECT c1, c2,
+               CAST(SUM(c1) OVER (ORDER BY cents) AS HUGEINT) AS f1,
+               CAST(SUM(c2) OVER (ORDER BY cents) AS HUGEINT) AS f2
+        FROM h),
+t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(SUM(c2) AS BIGINT) AS n2 FROM h),
+s AS (SELECT CAST(SUM(CAST(c1 + c2 AS HUGEINT)
+                      * (f1 * (SELECT n2 FROM t)
+                         - f2 * (SELECT n1 FROM t))
+                      * (f1 * (SELECT n2 FROM t)
+                         - f2 * (SELECT n1 FROM t))) AS HUGEINT) AS s_num
+      FROM cum)
+SELECT n1, n2, CAST(s_num AS DOUBLE) AS s_num,
+       ROUND(CAST(s_num AS DOUBLE)
+             / (CAST(n1 AS DOUBLE) * n2 * (n1 + n2) * (n1 + n2)), 9)
+           AS cvm_t
+FROM t, s""")
+def cramer_von_mises_view_purchase(sf_dir: str) -> pd.DataFrame:
+    """Two-sample Cramér–von Mises statistic between the view and
+    purchase value distributions — KS's integral sibling (sensitive to
+    body shifts where KS only sees the sup). Same lossless cents
+    histogram as ks_test_view_purchase; the ECDF difference at every
+    combined sample point is the INTEGER cross product D = F1·n2 −
+    F2·n1, and T = Σ tc·D² / (n1·n2·(n1+n2)²) accumulates tc·D² in
+    exact Python/HUGEINT integers (D² overflows int64 by design —
+    both engines go 128-bit+), so the statistic is one identical
+    division from an exact integer on both sides."""
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin(["view", "purchase"])]
+        is_v = (df["event_type"] == "view").to_numpy()
+        return pd.DataFrame({
+            "cents": np.rint(df["value"].to_numpy(np.float64) * 100)
+            .astype(np.int64),
+            "g1": is_v.astype(np.int64),
+            "g2": (~is_v).astype(np.int64)})
+
+    h = reduce_sink(
+        _events(sf_dir, ["event_type", "value"])
+        .map_batches(prep, batch_format="pandas"),
+        ["cents"], {"c1": ("g1", "sum"), "c2": ("g2", "sum")}) \
+        .to_pandas().sort_values("cents", ignore_index=True)
+    c1 = h["c1"].to_numpy(np.int64)
+    c2 = h["c2"].to_numpy(np.int64)
+    n1, n2 = int(c1.sum()), int(c2.sum())
+    f1, f2 = c1.cumsum(), c2.cumsum()
+    s_num = sum(int(a + b) * (int(fa) * n2 - int(fb) * n1) ** 2
+                for a, b, fa, fb in zip(c1, c2, f1, f2))
+    r9 = textstats.round_half_away
+    t = r9(float(s_num)
+           / (float(n1) * n2 * (n1 + n2) * (n1 + n2)), 9)
+    return pd.DataFrame({"n1": np.array([n1], np.int64),
+                         "n2": np.array([n2], np.int64),
+                         "s_num": [float(s_num)],
+                         "cvm_t": [float(t)]})
+
+
+@register("brown_forsythe_value_by_type", sql="""
+WITH v AS (SELECT event_type AS g,
+                  CAST(ROUND(value * 100) AS BIGINT) AS c FROM events),
+hh AS (SELECT g, c, CAST(COUNT(*) AS BIGINT) AS cnt FROM v GROUP BY 1, 2),
+cum AS (SELECT g, c, cnt,
+               CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY c)
+                    AS BIGINT) AS cm,
+               CAST(SUM(cnt) OVER (PARTITION BY g) AS BIGINT) AS n_g
+        FROM hh),
+med AS (SELECT g, MIN(n_g) AS n_g,
+               MIN(CASE WHEN 2 * cm >= n_g THEN c END)
+               + MIN(CASE WHEN 2 * cm >= n_g + 1 THEN c END) AS med2
+        FROM cum GROUP BY g),
+z AS (SELECT hh.g, MIN(m.n_g) AS n,
+             MIN(m.med2) AS med2,
+             CAST(SUM(cnt * ABS(2 * c - m.med2)) AS BIGINT) AS s_abs,
+             CAST(SUM(cnt * (2 * c - m.med2) * (2 * c - m.med2))
+                  AS BIGINT) AS q_abs
+      FROM hh JOIN med m ON hh.g = m.g GROUP BY hh.g),
+sc AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+              CAST(COUNT(*) AS BIGINT) AS k,
+              CAST(SUM(s_abs) AS HUGEINT) AS stot,
+              CAST(SUM(q_abs) AS HUGEINT) AS qtot,
+              SUM(CAST(s_abs AS DOUBLE) * s_abs / n) AS sb
+       FROM z)
+SELECT g AS event_type, n, med2, s_abs, q_abs,
+       CASE WHEN CAST(qtot AS DOUBLE) - sb = 0.0 THEN 0.0
+            ELSE ROUND(((nn - k) * (sb - CAST(stot AS DOUBLE) * stot
+                                         / nn))
+                       / ((k - 1) * (CAST(qtot AS DOUBLE) - sb)), 6)
+       END AS f
+FROM z, sc ORDER BY 1""")
+def brown_forsythe_value_by_type(sf_dir: str) -> pd.DataFrame:
+    """Brown–Forsythe test (Levene with median centers) — 'do the
+    event types have equal value VARIANCE?', the robust
+    heteroscedasticity check run before trusting a pooled comparison.
+    Everything derives from the one (type, cents) contingency reduce:
+    each group's median comes off its histogram as a DOUBLED integer
+    (med2 = lower-middle + upper-middle via the 2·cum ≥ n half-total
+    test — the same trick as weighted_median_price_by_flag, so the
+    even-n .5 never exists), the absolute deviations z = |2c − med2|
+    stay integers, and the one-way ANOVA F over z closes from exact
+    per-group moments (S_g, Q_g — BIGINT) in identical expression
+    order; doubling z scales between and within by the same 4, so F
+    is unchanged. Per-type rows carry the exact integers; F rides as
+    a constant column."""
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "g": df["event_type"].astype(str),
+            "c": np.rint(df["value"].to_numpy(np.float64) * 100)
+            .astype(np.int64)})
+
+    hh = reduce_sink(
+        _events(sf_dir, ["event_type", "value"])
+        .map_batches(prep, batch_format="pandas"),
+        ["g", "c"], {"cnt": ("c", "size")}).to_pandas() \
+        .sort_values(["g", "c"], ignore_index=True)
+    rows = []
+    for g, grp in hh.groupby("g", sort=True):
+        cnt = grp["cnt"].to_numpy(np.int64)
+        c = grp["c"].to_numpy(np.int64)
+        n_g = int(cnt.sum())
+        cm = np.cumsum(cnt)
+        a = int(c[np.searchsorted(2 * cm, n_g, side="left")])
+        b = int(c[np.searchsorted(2 * cm, n_g + 1, side="left")])
+        med2 = a + b
+        dev = 2 * c - med2
+        s_abs = int(np.abs(dev) @ cnt)
+        q_abs = int((dev * dev) @ cnt)
+        rows.append((g, n_g, med2, s_abs, q_abs))
+    out = pd.DataFrame(rows, columns=["event_type", "n", "med2",
+                                      "s_abs", "q_abs"])
+    nn, k = int(out["n"].sum()), len(out)
+    stot, qtot = int(out["s_abs"].sum()), int(out["q_abs"].sum())
+    sb = float(sum(float(s) * s / n
+                   for s, n in zip(out["s_abs"], out["n"])))
+    w = float(qtot) - sb
+    r6 = textstats.round_half_away
+    f = 0.0 if w == 0.0 else r6(
+        ((nn - k) * (sb - float(stot) * stot / nn)) / ((k - 1) * w), 6)
+    out["f"] = float(f)
+    for col in ("n", "med2", "s_abs", "q_abs"):
+        out[col] = out[col].astype(np.int64)
+    return out.sort_values("event_type", ignore_index=True)
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
