@@ -789,3 +789,98 @@ def test_brown_forsythe_equal_vs_spread(ray_session, tmp_path):
     assert rows["a"].s_abs == 10 * 200 + 10 * 0 + 10 * 200
     assert rows["b"].med2 == 2 * 11000
     assert out["f"].iloc[0] > 50.0
+
+
+def test_holt_winters_constant_series(ray_session, tmp_path):
+    """A perfectly weekly-periodic series: after init, level stays at
+    the weekly mean, trend stays 0, and the one-step forecast
+    reproduces the series exactly."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T12:00:00", "us")
+    day = np.timedelta64(1, "D")
+    pattern = [10, 20, 30, 40, 30, 20, 10]
+    ts, n_days = [], 21
+    for i in range(n_days):
+        ts.extend([t0 + i * day] * pattern[i % 7])
+    d = str(tmp_path / "hw")
+    _write_events(d, ts, [1.0] * len(ts))
+    out = REGISTRY["holt_winters_dow_daily"][0](d)
+    assert len(out) == n_days - 7
+    # periodic input: s_i = y_i - mean, l = mean, b = 0 forever ->
+    # forecast l + b + s1 = y exactly
+    expect = [pattern[i % 7] for i in range(7, n_days)]
+    assert np.allclose(out["forecast"].to_numpy(), expect, atol=1e-9)
+    assert np.allclose(out["trend"].to_numpy(), 0.0, atol=1e-9)
+    assert np.allclose(out["level"].to_numpy(), 160 / 7, atol=1e-9)
+
+
+def test_holt_winters_too_short(ray_session, tmp_path):
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T12:00:00", "us")
+    day = np.timedelta64(1, "D")
+    d = str(tmp_path / "hwshort")
+    _write_events(d, [t0 + i * day for i in range(5)], [1.0] * 5)
+    assert len(REGISTRY["holt_winters_dow_daily"][0](d)) == 0
+
+
+def test_business_hours_overlap_hand_case(ray_session, tmp_path):
+    """Session 08:00->10:00 overlaps business hours for exactly 1h;
+    one spanning midnight 16:30->09:30(+1d) overlaps 30min + 30min."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    h = np.timedelta64(1, "h")
+    m = np.timedelta64(1, "m")
+    # 2024-01-01 is a Monday -> dow 1 ((epoch+4)%7 is Sunday=0)
+    a0 = np.datetime64("2024-01-01T08:00:00", "us")
+    b0 = np.datetime64("2024-01-02T16:30:00", "us")
+    d = str(tmp_path / "biz")
+    # u0: events 08:00 and 10:00 gap 2h -> TWO single-event sessions?
+    # no: gap 2h >= 30min splits sessions. keep events 20min apart.
+    ts = [a0 + i * 20 * m for i in range(7)]          # 08:00..10:00
+    ts += [b0 + i * 20 * m for i in range(52)]        # 16:30..+17h
+    d = str(tmp_path / "biz")
+    _write_events(d, ts, [1.0] * len(ts), users=[0] * 7 + [1] * 52)
+    out = REGISTRY["session_business_hours_overlap"][0](d)
+    rows = {int(r.dow): r for r in out.itertuples()}
+    # Monday session 08:00-10:00: 1h business
+    assert rows[1].business_us == 3_600_000_000
+    assert rows[1].total_us == 2 * 3_600_000_000
+    # Tuesday 16:30 -> Wed 09:30: 30min Tue + 30min Wed
+    assert rows[2].business_us == 3_600_000_000
+    assert rows[2].total_us == 17 * 3_600_000_000
+
+
+def test_jw_fuzzy_lookup_recovers_original(ray_session, tmp_path):
+    """Transposed probes resolve back to their source name when the
+    catalog is distinctive enough."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    d = str(tmp_path / "jw")
+    os.makedirs(d, exist_ok=True)
+    names = ["alpha bravo charlie", "delta echo foxtrot",
+             "golf hotel india", "juliet kilo lima",
+             "mike november oscar", "papa quebec romeo",
+             "sierra tango uniform", "victor whiskey xray",
+             "yankee zulu alpha", "bravo delta golf",
+             "completely different", "another unrelated"]
+    pq.write_table(pa.table({
+        "p_partkey": pa.array(range(len(names)), pa.int64()),
+        "p_name": pa.array(names),
+        "p_brand": pa.array(["b"] * len(names)),
+        "p_type": pa.array(["t"] * len(names)),
+        "p_size": pa.array([1] * len(names), pa.int32()),
+        "p_retailprice": pa.array([1.0] * len(names))}),
+        os.path.join(d, "part.parquet"))
+    out = REGISTRY["jw_fuzzy_part_lookup"][0](d)
+    by_probe = dict(zip(out["probe"], out["best_name"]))
+    for n in names[:10]:
+        probe = n[:2] + n[3] + n[2] + n[4:]
+        assert by_probe[probe] == n
+        assert out[out["probe"] == probe]["sim"].iloc[0] > 0.95

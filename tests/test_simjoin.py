@@ -126,3 +126,34 @@ def test_edit_distance_join_planted(ray_session):
     assert ("widgat bolt", "widget bolt") in got_set
     assert ("copper gear", "copper gera") in got_set
     assert not any("flange" in p for pair in got_set for p in pair)
+
+
+def test_jaro_winkler_reference_values():
+    """Classic published values + edge conventions (DuckDB-matching:
+    empty side scores 0.0 even vs empty)."""
+    from webalizer_ray.stages.simjoin import jaro_winkler as jw
+
+    assert abs(jw("martha", "marhta") - 0.9611111111111111) < 1e-15
+    assert abs(jw("dwayne", "duane") - 0.8400000000000001) < 1e-15
+    assert jw("same", "same") == 1.0
+    assert jw("", "") == 0.0 and jw("a", "") == 0.0
+    # jaro <= 0.7 -> NO prefix boost despite 4 shared leading chars
+    assert abs(jw("abcdxxxx", "abcdyyyy") - 2 / 3) < 1e-15
+
+
+def test_jaro_winkler_matches_duckdb_fuzz():
+    import random
+
+    import duckdb
+
+    from webalizer_ray.stages.simjoin import jaro_winkler as jw
+
+    con = duckdb.connect()
+    rng = random.Random(3)
+    alpha = "abcde fg"
+    for _ in range(200):
+        a = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 14)))
+        b = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 14)))
+        d = con.execute("SELECT jaro_winkler_similarity(?, ?)",
+                        [a, b]).fetchone()[0]
+        assert abs(d - jw(a, b)) < 1e-15, (a, b)

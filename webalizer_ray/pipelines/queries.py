@@ -25,7 +25,7 @@ import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
-from webalizer_ray.stages import ann, dedup, scan, textstats
+from webalizer_ray.stages import ann, dedup, scan, simjoin, textstats
 from webalizer_ray.stages.aggregate import (
     distinct_count,
     exact_quantiles_bounded,
@@ -12800,6 +12800,239 @@ def brown_forsythe_value_by_type(sf_dir: str) -> pd.DataFrame:
     for col in ("n", "med2", "s_abs", "q_abs"):
         out[col] = out[col].astype(np.int64)
     return out.sort_values("event_type", ignore_index=True)
+
+
+@register("jw_fuzzy_part_lookup", sql="""
+WITH nm AS (SELECT DISTINCT p_name FROM part),
+pr AS (SELECT substr(p_name, 1, 2) || substr(p_name, 4, 1)
+              || substr(p_name, 3, 1) || substr(p_name, 5) AS probe
+       FROM (SELECT p_name FROM part ORDER BY p_partkey LIMIT 10)),
+sc AS (SELECT probe, p_name,
+              ROUND(jaro_winkler_similarity(probe, p_name), 6) AS sim
+       FROM pr CROSS JOIN nm),
+best AS (SELECT probe, p_name AS best_name, sim,
+                ROW_NUMBER() OVER (PARTITION BY probe
+                                   ORDER BY sim DESC, p_name) AS rn
+         FROM sc)
+SELECT probe, best_name, sim FROM best WHERE rn = 1 ORDER BY probe""")
+def jw_fuzzy_part_lookup(sf_dir: str) -> pd.DataFrame:
+    """Fuzzy entity lookup by Jaro–Winkler similarity — K corrupted
+    probe strings (the 10 lowest-partkey part names with chars 3/4
+    transposed, the classic typo JW was designed for) each resolve to
+    their best-scoring catalog name. The scoring kernel
+    (simjoin.jaro_winkler) is verified bit-identical to DuckDB's
+    jaro_winkler_similarity, similarities round to 6 dp BEFORE the
+    argmax with name tiebreak, so the winner can't flip on a hairline.
+    Scale shape: the K probes broadcast once (ray.put), every batch of
+    the DISTINCT-name table scores locally and emits only its K best
+    (sim, name) partials, the driver merges B×K rows — the catalog
+    never gathers. JW itself is per-pair Python (inherently
+    character-sequential, same caveat as the ANN probe loops — fine
+    while K is small; block-level cost is K·|batch| short-string
+    comparisons)."""
+    probes_df = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]) \
+        .map_batches(lambda df: df.sort_values("p_partkey").head(10),
+                     batch_format="pandas").to_pandas() \
+        .sort_values("p_partkey", ignore_index=True).head(10)
+    probes = [n[:2] + n[3] + n[2] + n[4:]
+              for n in probes_df["p_name"]]
+    probes_ref = ray.put(probes)
+    r6 = textstats.round_half_away
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        ps = ray.get(probes_ref)
+        names = df["p_name"].tolist()
+        rows = []
+        for p in ps:
+            best_sim, best_name = -1.0, None
+            for nme in names:
+                s = float(r6(simjoin.jaro_winkler(p, nme), 6))
+                if s > best_sim or (s == best_sim
+                                    and nme < best_name):
+                    best_sim, best_name = s, nme
+            rows.append((p, best_name, best_sim))
+        return pd.DataFrame(rows,
+                            columns=["probe", "best_name", "sim"])
+
+    distinct = reduce_sink(
+        rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_name"]),
+        ["p_name"], {"n": ("p_name", "size")})
+    parts = distinct.map_batches(score, batch_format="pandas") \
+        .to_pandas()
+    out = parts.sort_values(["probe", "sim", "best_name"],
+                            ascending=[True, False, True],
+                            kind="mergesort") \
+        .groupby("probe", as_index=False).first()
+    return out.sort_values("probe", ignore_index=True)
+
+
+@register("holt_winters_dow_daily", sql="""
+WITH RECURSIVE
+daily AS (SELECT epoch_us(ts) // 86400000000 AS d,
+                 CAST(COUNT(*) AS DOUBLE) AS y
+          FROM events GROUP BY 1),
+bounds AS (SELECT MIN(d) AS mn, MAX(d) AS mx FROM daily),
+spine AS (SELECT UNNEST(generate_series(mn, mx)) AS d FROM bounds),
+g AS (SELECT spine.d, COALESCE(daily.y, 0.0) AS y,
+             ROW_NUMBER() OVER (ORDER BY spine.d) - 1 AS i
+      FROM spine LEFT JOIN daily USING (d)),
+init AS (SELECT SUM(y) / 7.0 AS l0 FROM g WHERE i < 7),
+w(i, d, l, b, s1, s2, s3, s4, s5, s6, s7, fc) AS (
+  SELECT 6, MAX(CASE WHEN i = 6 THEN d END), MAX(l0),
+         CAST(0 AS DOUBLE),
+         MAX(CASE WHEN i = 0 THEN y END) - MAX(l0),
+         MAX(CASE WHEN i = 1 THEN y END) - MAX(l0),
+         MAX(CASE WHEN i = 2 THEN y END) - MAX(l0),
+         MAX(CASE WHEN i = 3 THEN y END) - MAX(l0),
+         MAX(CASE WHEN i = 4 THEN y END) - MAX(l0),
+         MAX(CASE WHEN i = 5 THEN y END) - MAX(l0),
+         MAX(CASE WHEN i = 6 THEN y END) - MAX(l0),
+         CAST(0 AS DOUBLE)
+  FROM g, init WHERE i < 7
+  UNION ALL
+  SELECT g.i, g.d,
+         0.3 * (g.y - w.s1) + 0.7 * (w.l + w.b),
+         0.2 * ((0.3 * (g.y - w.s1) + 0.7 * (w.l + w.b)) - w.l)
+             + 0.8 * w.b,
+         w.s2, w.s3, w.s4, w.s5, w.s6, w.s7,
+         0.4 * (g.y - (0.3 * (g.y - w.s1) + 0.7 * (w.l + w.b)))
+             + 0.6 * w.s1,
+         w.l + w.b + w.s1
+  FROM g JOIN w ON g.i = w.i + 1)
+SELECT CAST(d AS BIGINT) AS epoch_day,
+       ROUND(fc, 6) AS forecast, ROUND(l, 6) AS level,
+       ROUND(b, 6) AS trend
+FROM w WHERE i >= 7 ORDER BY epoch_day""")
+def holt_winters_dow_daily(sf_dir: str) -> pd.DataFrame:
+    """Holt–Winters ADDITIVE triple exponential smoothing with weekly
+    (period-7) seasonality over the zero-filled daily event volume —
+    holt_linear_daily's seasonal big sibling, the standard short-term
+    forecaster for strongly day-of-week-cyclic traffic (α=0.3, β=0.2,
+    γ=0.4; l₀ = mean of week 1, b₀ = 0, s_i = y_i − l₀). The daily
+    series is gap-filled on the observed [min, max] day spine (a
+    recursion over a series with silent days skipped would misalign
+    the seasonal queue). Scale shape: ONE distributed daily reduce,
+    then the inherently-sequential recursion replays driver-side in
+    the recursive CTE's float expression order — y is integer-valued
+    (counts) so the week-1 mean's summation order cannot differ, and
+    every later operand is bit-identical, making all three smoothed
+    components oracle-checkable at 6 dp. The seasonal state rides as
+    an explicit 7-slot rotating queue in BOTH engines (columns
+    s1..s7 in the CTE, a deque in numpy). Under 8 observed days →
+    empty result on both sides."""
+    ds = _events(sf_dir, ["ts"])
+
+    def day_col(t: pa.Table) -> pd.DataFrame:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pd.DataFrame({"d": (us // 86_400_000_000)
+                             .astype(np.int64)})
+
+    daily = reduce_sink(ds.map_batches(day_col, batch_format="pyarrow"),
+                        ["d"], {"y": ("d", "size")}) \
+        .to_pandas().sort_values("d", ignore_index=True)
+    if not len(daily):
+        return pd.DataFrame(
+            {"epoch_day": pd.Series([], dtype=np.int64),
+             "forecast": pd.Series([], dtype=np.float64),
+             "level": pd.Series([], dtype=np.float64),
+             "trend": pd.Series([], dtype=np.float64)})
+    spine = np.arange(int(daily["d"].iloc[0]),
+                      int(daily["d"].iloc[-1]) + 1, dtype=np.int64)
+    y = np.zeros(len(spine), np.float64)
+    y[np.searchsorted(spine, daily["d"].to_numpy(np.int64))] = \
+        daily["y"].to_numpy(np.float64)
+    if len(y) < 8:
+        return pd.DataFrame(
+            {"epoch_day": pd.Series([], dtype=np.int64),
+             "forecast": pd.Series([], dtype=np.float64),
+             "level": pd.Series([], dtype=np.float64),
+             "trend": pd.Series([], dtype=np.float64)})
+    l0 = float(y[:7].sum()) / 7.0
+    l, b = l0, 0.0
+    s = [float(y[i]) - l0 for i in range(7)]
+    rows = []
+    for i in range(7, len(y)):
+        yi = float(y[i])
+        s1 = s[0]
+        fc = l + b + s1
+        l_new = 0.3 * (yi - s1) + 0.7 * (l + b)
+        b_new = 0.2 * ((0.3 * (yi - s1) + 0.7 * (l + b)) - l) \
+            + 0.8 * b
+        s_new = 0.4 * (yi - (0.3 * (yi - s1) + 0.7 * (l + b))) \
+            + 0.6 * s1
+        s = s[1:] + [s_new]
+        l, b = l_new, b_new
+        rows.append((int(spine[i]), fc, l, b))
+    r6 = textstats.round_half_away
+    out = pd.DataFrame(rows, columns=["epoch_day", "forecast",
+                                      "level", "trend"])
+    for c in ("forecast", "level", "trend"):
+        out[c] = r6(out[c].to_numpy(np.float64), 6)
+    out["epoch_day"] = out["epoch_day"].astype(np.int64)
+    return out
+
+
+@register("session_business_hours_overlap", sql=f"""
+WITH sid AS (SELECT user_id, ts, event_id,
+                    SUM(ns) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+             FROM ({_NS_SQL})),
+s AS (SELECT user_id, sid, epoch_us(MIN(ts)) AS a, epoch_us(MAX(ts)) AS b
+      FROM sid GROUP BY user_id, sid),
+g AS (SELECT (a // 86400000000 + 4) % 7 AS dow, b - a AS dur,
+             (28800000000 * (b // 86400000000)
+              + LEAST(GREATEST(b % 86400000000 - 32400000000, 0),
+                      28800000000))
+             - (28800000000 * (a // 86400000000)
+                + LEAST(GREATEST(a % 86400000000 - 32400000000, 0),
+                        28800000000)) AS biz
+      FROM s)
+SELECT CAST(dow AS BIGINT) AS dow, CAST(COUNT(*) AS BIGINT) AS sessions,
+       CAST(SUM(dur) AS BIGINT) AS total_us,
+       CAST(SUM(biz) AS BIGINT) AS business_us
+FROM g GROUP BY 1 ORDER BY 1""")
+def session_business_hours_overlap(sf_dir: str) -> pd.DataFrame:
+    """Interval-overlap aggregate: how much of each session's span
+    fell inside business hours (09:00–17:00 UTC daily), grouped by
+    the session's start day-of-week — the windowed-overlap join
+    pattern (sessions × a periodic calendar) WITHOUT materializing
+    calendar windows or expanding per-day rows. The trick is the
+    closed-form prefix function f(t) = 8h·floor(t/1d) +
+    clip(tod(t) − 9h, 0, 8h) = business-microseconds before t, so a
+    session [a, b] overlaps exactly f(b) − f(a) — one vectorized
+    integer expression per interval, identical in SQL, exact to the
+    microsecond, valid across any number of midnights. Zero shuffle
+    beyond the session reduce; only 7 (dow, sums) partials per block
+    leave the cluster."""
+    sess = _sessionized_events(sf_dir)
+    iv = reduce_sink(sess, ["user_id", "sid"],
+                     {"st": ("ts", "min"), "en": ("ts", "max")})
+    day_us = 86_400_000_000
+    h8, h9 = 28_800_000_000, 32_400_000_000
+
+    def overlap(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["st"].to_numpy("datetime64[us]").astype(np.int64)
+        b = df["en"].to_numpy("datetime64[us]").astype(np.int64)
+
+        def f(t):
+            return h8 * (t // day_us) + np.clip(
+                t % day_us - h9, 0, h8)
+
+        part = pd.DataFrame({
+            "dow": ((a // day_us + 4) % 7).astype(np.int64),
+            "sessions": np.ones(len(a), np.int64),
+            "total_us": b - a,
+            "business_us": f(b) - f(a)})
+        return part.groupby("dow", as_index=False).sum()
+
+    out = reduce_sink(
+        iv.map_batches(overlap, batch_format="pandas"),
+        ["dow"], {"sessions": ("sessions", "sum"),
+                  "total_us": ("total_us", "sum"),
+                  "business_us": ("business_us", "sum")}).to_pandas()
+    return out.sort_values("dow", ignore_index=True)
 
 
 def all_queries():

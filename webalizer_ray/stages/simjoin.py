@@ -277,3 +277,58 @@ def edit_distance_join(keys: rd.Dataset, k: int = 2,
                              "b": pd.Series(dtype=object),
                              "ed": pd.Series(dtype=np.int64)})
     return out.sort_values(["a", "b"], ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# Jaro-Winkler similarity (fuzzy-lookup scoring kernel)
+# ---------------------------------------------------------------------------
+
+def jaro_winkler(s1: str, s2: str) -> float:
+    """Jaro-Winkler similarity, standard convention (Winkler 1990):
+    match window = max(l1,l2)//2 - 1, transpositions = half the
+    out-of-order matches, prefix boost p=0.1 over at most 4 shared
+    leading chars applied only when jaro > 0.7. Verified bit-identical
+    to DuckDB's ``jaro_winkler_similarity`` on randomized pairs
+    (including the <=0.7 no-boost edge), which is what lets the fuzzy
+    lookup be oracle-checked; an EMPTY side scores 0.0 even against
+    another empty string (DuckDB's edge convention)."""
+    l1, l2 = len(s1), len(s2)
+    if l1 == 0 or l2 == 0:
+        return 0.0
+    if s1 == s2:
+        return 1.0
+    win = max(l1, l2) // 2 - 1
+    if win < 0:
+        win = 0
+    m1 = [False] * l1
+    m2 = [False] * l2
+    m = 0
+    for i, ch in enumerate(s1):
+        lo, hi = max(0, i - win), min(l2, i + win + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == ch:
+                m1[i] = m2[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    j = (m / l1 + m / l2 + (m - t) / m) / 3.0
+    if j > 0.7:
+        pl = 0
+        for a, b in zip(s1[:4], s2[:4]):
+            if a == b:
+                pl += 1
+            else:
+                break
+        j = j + pl * 0.1 * (1 - j)
+    return j
