@@ -884,3 +884,113 @@ def test_jw_fuzzy_lookup_recovers_original(ray_session, tmp_path):
         probe = n[:2] + n[3] + n[2] + n[4:]
         assert by_probe[probe] == n
         assert out[out["probe"] == probe]["sim"].iloc[0] > 0.95
+
+
+def test_mann_whitney_hand_case(ray_session, tmp_path):
+    """view = {1,2,3}, purchase = {2,3,4}: U1 = #(x>y) + 0.5#(x=y)
+    = 1 + 0.5*2 = 2 -> u2 = 4; r_rb = 1 - 2U/(n1 n2) = 1 - 4/9."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    d = str(tmp_path / "mw")
+    _write_events(d, [t0 + i * s for i in range(6)],
+                  [1.0, 2.0, 3.0, 2.0, 3.0, 4.0],
+                  types=["view"] * 3 + ["purchase"] * 3)
+    out = REGISTRY["mann_whitney_view_purchase"][0](d)
+    assert out["u2"][0] == 4
+    assert abs(out["r_rb"][0] - round(1 - 4 / 9, 6)) < 1e-12
+    # symmetric shift -> negative z (views below purchases)
+    assert out["z"][0] < 0
+
+
+def test_mann_whitney_all_tied(ray_session, tmp_path):
+    """All values equal -> tie factor 0 -> z short-circuits to 0 and
+    u2 = n1*n2 (all half-pairs)."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    d = str(tmp_path / "mwt")
+    _write_events(d, [t0 + i * s for i in range(6)], [5.0] * 6,
+                  types=["view"] * 3 + ["purchase"] * 3)
+    out = REGISTRY["mann_whitney_view_purchase"][0](d)
+    assert out["u2"][0] == 9 and out["z"][0] == 0.0
+
+
+def test_boxplot_hand_case(ray_session, tmp_path):
+    """1..8 plus an outlier 100: q1/q2/q3 = 2/4/6 (lower convention,
+    n=9), fences [2-6, 6+6] -> 100 is the only outlier, whiskers
+    hug the data range inside the fences."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    vals = [float(v) for v in range(1, 9)] + [100.0]
+    d = str(tmp_path / "box")
+    _write_events(d, [t0 + i * s for i in range(9)], vals)
+    out = REGISTRY["boxplot_stats_by_type"][0](d)
+    r = out.iloc[0]
+    # cents: 100..800, 10000; n=9 -> ceil(9/4)=3rd=300? lower conv:
+    # 4cm>=9 -> cm>=2.25 -> cm=3rd value? cm counts: 1,2,3.. -> first
+    # c with 4*cm >= 9 is cm=3 -> c=300
+    assert (r.q1, r.q2, r.q3) == (300, 500, 700)
+    assert r.iqr == 400
+    assert r.n_outliers == 1
+    assert r.whisker_lo == 100 and r.whisker_hi == 800
+
+
+def test_seat_allocation_sums_to_budget(ray_session, tmp_path):
+    """Seats always sum to exactly 10000 and ordering follows the
+    largest remainder."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    types = ["a"] * 1 + ["b"] * 2 + ["c"] * 4
+    d = str(tmp_path / "seats")
+    _write_events(d, [t0 + i * s for i in range(len(types))],
+                  [1.0] * len(types), types=types)
+    out = REGISTRY["proportional_seat_allocation"][0](d)
+    assert out["seats"].sum() == 10000
+    got = dict(zip(out["event_type"], out["seats"]))
+    # 10000*{1,2,4}/7 = 1428.57, 2857.14, 5714.28 -> floors
+    # 1428+2857+5714 = 9999, 1 extra to largest remainder (a: .571
+    # *7=4, b: .142*7=1? rems: 10000%7=4, 20000%7=1, 40000%7=2) -> a
+    assert got == {"a": 1429, "b": 2857, "c": 5714}
+
+
+def test_markov_hitting_time_two_state(ray_session, tmp_path):
+    """Chain a->purchase with prob 1: h(a) = 1; purchase->a->purchase
+    ... h(purchase) = 0."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    seq = ["a", "purchase"] * 6
+    d = str(tmp_path / "hit")
+    _write_events(d, [t0 + i * s for i in range(len(seq))],
+                  [1.0] * len(seq), types=seq)
+    out = REGISTRY["markov_hitting_time_purchase"][0](d)
+    got = dict(zip(out["event_type"], out["exp_steps"]))
+    assert got["a"] == 1.0 and got["purchase"] == 0.0
+
+
+def test_markov_hitting_time_geometric(ray_session, tmp_path):
+    """a self-loops half the time: true h(a) = 2; the 12-sweep
+    truncation gives 2 - 2^-11 on both engines (documented
+    truncation, not the limit)."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    # transitions from a: a->a and a->purchase equally often
+    seq = ["a", "a", "purchase", "a", "a", "purchase", "a"]
+    d = str(tmp_path / "hitg")
+    _write_events(d, [t0 + i * s for i in range(len(seq))],
+                  [1.0] * len(seq), types=seq)
+    out = REGISTRY["markov_hitting_time_purchase"][0](d)
+    got = dict(zip(out["event_type"], out["exp_steps"]))
+    # from 'a': P(a->a)=0.5? transitions: aa, ap, pa, aa, ap, pa ->
+    # from a: aa x2, ap x2 -> 0.5 each. h converges to 2.
+    assert abs(got["a"] - (2.0 - 2.0 ** -11)) < 1e-6

@@ -13035,6 +13035,268 @@ def session_business_hours_overlap(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("dow", ignore_index=True)
 
 
+@register("mann_whitney_view_purchase", sql="""
+WITH c AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                  CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS g1,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g2
+           FROM events WHERE event_type IN ('view', 'purchase')),
+h AS (SELECT cents, CAST(SUM(g1) AS BIGINT) AS c1,
+             CAST(SUM(g2) AS BIGINT) AS c2
+      FROM c GROUP BY 1),
+cum AS (SELECT cents, c1, c2,
+               CAST(SUM(c2) OVER (ORDER BY cents) AS BIGINT) AS f2
+        FROM h),
+t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(SUM(c2) AS BIGINT) AS n2,
+             CAST(SUM(c1 + c2) AS BIGINT) AS n FROM h),
+u AS (SELECT CAST(SUM(CAST(c1 AS HUGEINT) * (2 * (f2 - c2) + c2))
+              AS HUGEINT) AS u2 FROM cum),
+tie AS (SELECT CAST(SUM(CAST(c1 + c2 AS HUGEINT) * (c1 + c2) * (c1 + c2)
+                        - (c1 + c2)) AS HUGEINT) AS t3 FROM h)
+SELECT n1, n2, CAST(u2 AS BIGINT) AS u2,
+       CASE WHEN (n + 1) - CAST(t3 AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * (n - 1)) = 0.0 THEN 0.0
+            ELSE ROUND((CAST(u2 AS DOUBLE) / 2
+                        - CAST(n1 AS DOUBLE) * n2 / 2)
+                       / sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0
+                              * ((n + 1) - CAST(t3 AS DOUBLE)
+                                 / (CAST(n AS DOUBLE) * (n - 1)))), 6)
+       END AS z,
+       ROUND(1.0 - CAST(u2 AS DOUBLE)
+             / (CAST(n1 AS DOUBLE) * n2), 6) AS r_rb
+FROM t, u, tie""")
+def mann_whitney_view_purchase(sf_dir: str) -> pd.DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) between the view and
+    purchase value distributions, with the rank-biserial effect size
+    — the nonparametric location test that completes the KS/CvM/
+    Welch family. U₁ = #{(x, y): x > y} + ½#{x = y} comes exactly off
+    the shared cents histogram as a DOUBLED integer: 2U₁ =
+    Σ_v c1_v·(2·F2_before(v) + c2_v) (ties contribute their half
+    pairs without any .5 existing), accumulated 128-bit on both
+    engines. The normal-approximation z uses the tie-corrected
+    variance n1·n2/12·((N+1) − Σ(t³−t)/(N(N−1))) and r_rb = 1 −
+    2U/(n1n2), each a single identical float expression from exact
+    integers (no continuity correction, documented convention);
+    all-tied input short-circuits z to 0 on both sides."""
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin(["view", "purchase"])]
+        is_v = (df["event_type"] == "view").to_numpy()
+        return pd.DataFrame({
+            "cents": np.rint(df["value"].to_numpy(np.float64) * 100)
+            .astype(np.int64),
+            "g1": is_v.astype(np.int64),
+            "g2": (~is_v).astype(np.int64)})
+
+    h = reduce_sink(
+        _events(sf_dir, ["event_type", "value"])
+        .map_batches(prep, batch_format="pandas"),
+        ["cents"], {"c1": ("g1", "sum"), "c2": ("g2", "sum")}) \
+        .to_pandas().sort_values("cents", ignore_index=True)
+    c1 = h["c1"].to_numpy(np.int64)
+    c2 = h["c2"].to_numpy(np.int64)
+    n1, n2 = int(c1.sum()), int(c2.sum())
+    n = n1 + n2
+    f2b = c2.cumsum() - c2          # exclusive other-sample CDF
+    u2 = sum(int(a) * (2 * int(fb) + int(b))
+             for a, b, fb in zip(c1, c2, f2b))
+    t3 = sum(int(a + b) ** 3 - int(a + b) for a, b in zip(c1, c2))
+    r6 = textstats.round_half_away
+    tf = (n + 1) - float(t3) / (float(n) * (n - 1))
+    if tf == 0.0:
+        z = 0.0
+    else:
+        z = r6((float(u2) / 2 - float(n1) * n2 / 2)
+               / np.sqrt(float(n1) * n2 / 12.0 * tf), 6)
+    r_rb = r6(1.0 - float(u2) / (float(n1) * n2), 6)
+    return pd.DataFrame({"n1": np.array([n1], np.int64),
+                         "n2": np.array([n2], np.int64),
+                         "u2": np.array([u2], np.int64),
+                         "z": [float(z)], "r_rb": [float(r_rb)]})
+
+
+@register("boxplot_stats_by_type", sql="""
+WITH v AS (SELECT event_type AS g,
+                  CAST(ROUND(value * 100) AS BIGINT) AS c FROM events),
+hh AS (SELECT g, c, CAST(COUNT(*) AS BIGINT) AS cnt FROM v GROUP BY 1, 2),
+cum AS (SELECT g, c, cnt,
+               CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY c)
+                    AS BIGINT) AS cm,
+               CAST(SUM(cnt) OVER (PARTITION BY g) AS BIGINT) AS n
+        FROM hh),
+q AS (SELECT g, MIN(n) AS n,
+             MIN(CASE WHEN 4 * cm >= n THEN c END) AS q1,
+             MIN(CASE WHEN 2 * cm >= n THEN c END) AS q2,
+             MIN(CASE WHEN 4 * cm >= 3 * n THEN c END) AS q3
+      FROM cum GROUP BY g),
+f AS (SELECT g, n, q1, q2, q3, q3 - q1 AS iqr,
+             2 * q1 - 3 * (q3 - q1) AS lo2,
+             2 * q3 + 3 * (q3 - q1) AS hi2 FROM q)
+SELECT f.g AS event_type, f.n, f.q1, f.q2, f.q3, f.iqr,
+       CAST(SUM(CASE WHEN 2 * hh.c < f.lo2 OR 2 * hh.c > f.hi2
+                     THEN hh.cnt ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST(MIN(CASE WHEN 2 * hh.c >= f.lo2 THEN hh.c END)
+            AS BIGINT) AS whisker_lo,
+       CAST(MAX(CASE WHEN 2 * hh.c <= f.hi2 THEN hh.c END)
+            AS BIGINT) AS whisker_hi
+FROM hh JOIN f ON hh.g = f.g
+GROUP BY 1, 2, 3, 4, 5, 6 ORDER BY 1""")
+def boxplot_stats_by_type(sf_dir: str) -> pd.DataFrame:
+    """Tukey boxplot statistics per event type — quartiles, IQR,
+    1.5·IQR fences, whisker endpoints (most extreme values INSIDE the
+    fences) and outlier counts, i.e. everything a box-and-whisker
+    render needs, computed exactly. Quantiles use the lower
+    (ceil(p·n)-th order statistic) convention via the integer
+    half/quarter-total tests 4·cum ≥ n / 2·cum ≥ n / 4·cum ≥ 3n over
+    the per-type cents histogram (the same lossless reduce as the
+    median/mode family — no interpolated float quantile exists to
+    disagree), and the 1.5·IQR fences are DOUBLED integers (2q₁ −
+    3·IQR, 2q₃ + 3·IQR) compared against 2c, so fence membership is
+    pure integer arithmetic on both engines."""
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "g": df["event_type"].astype(str),
+            "c": np.rint(df["value"].to_numpy(np.float64) * 100)
+            .astype(np.int64)})
+
+    hh = reduce_sink(
+        _events(sf_dir, ["event_type", "value"])
+        .map_batches(prep, batch_format="pandas"),
+        ["g", "c"], {"cnt": ("c", "size")}).to_pandas() \
+        .sort_values(["g", "c"], ignore_index=True)
+    rows = []
+    for g, grp in hh.groupby("g", sort=True):
+        cnt = grp["cnt"].to_numpy(np.int64)
+        c = grp["c"].to_numpy(np.int64)
+        n = int(cnt.sum())
+        cm = np.cumsum(cnt)
+        q1 = int(c[np.searchsorted(4 * cm, n, side="left")])
+        q2 = int(c[np.searchsorted(2 * cm, n, side="left")])
+        q3 = int(c[np.searchsorted(4 * cm, 3 * n, side="left")])
+        iqr = q3 - q1
+        lo2, hi2 = 2 * q1 - 3 * iqr, 2 * q3 + 3 * iqr
+        out_mask = (2 * c < lo2) | (2 * c > hi2)
+        n_out = int(cnt[out_mask].sum())
+        inside_lo = c[2 * c >= lo2]
+        inside_hi = c[2 * c <= hi2]
+        rows.append((g, n, q1, q2, q3, iqr, n_out,
+                     int(inside_lo.min()), int(inside_hi.max())))
+    out = pd.DataFrame(rows, columns=[
+        "event_type", "n", "q1", "q2", "q3", "iqr", "n_outliers",
+        "whisker_lo", "whisker_hi"])
+    for col in out.columns[1:]:
+        out[col] = out[col].astype(np.int64)
+    return out.sort_values("event_type", ignore_index=True)
+
+
+@register("proportional_seat_allocation", sql="""
+WITH t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM events GROUP BY 1),
+s AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM t),
+a AS (SELECT event_type, cnt,
+             CAST((10000 * cnt) // tot AS BIGINT) AS fl,
+             CAST((10000 * cnt) % tot AS BIGINT) AS rem
+      FROM t, s),
+k AS (SELECT CAST(10000 - SUM(fl) AS BIGINT) AS extra FROM a),
+r AS (SELECT event_type, cnt, fl, rem,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, event_type) AS rn
+      FROM a)
+SELECT event_type, cnt,
+       CAST(fl + CASE WHEN rn <= k.extra THEN 1 ELSE 0 END
+            AS BIGINT) AS seats
+FROM r, k ORDER BY event_type""")
+def proportional_seat_allocation(sf_dir: str) -> pd.DataFrame:
+    """Largest-remainder (Hamilton) apportionment: split a budget of
+    10 000 'seats' (sampling slots, rate-limit shares, shard quotas)
+    across event types proportionally to their counts so the seats sum
+    EXACTLY to the budget — the integer-allocation operator behind
+    quota sampling and mixture rebalancing that naive rounding
+    breaks. Pure integer arithmetic end to end: floor share =
+    B·cnt // N, the B − Σfloor leftover seats go to the largest
+    remainders (B·cnt mod N) with type-name tiebreak — both engines
+    rank the identical integer pairs. One type-count reduce is the
+    only distributed work."""
+    t = reduce_sink(
+        _events(sf_dir, ["event_type"]),
+        ["event_type"], {"cnt": ("event_type", "size")}).to_pandas() \
+        .sort_values("event_type", ignore_index=True)
+    budget = 10_000
+    cnt = t["cnt"].to_numpy(np.int64)
+    tot = int(cnt.sum())
+    fl = (budget * cnt) // tot
+    rem = (budget * cnt) % tot
+    extra = budget - int(fl.sum())
+    order = np.lexsort((t["event_type"].to_numpy(), -rem))
+    seats = fl.copy()
+    seats[order[:extra]] += 1
+    out = pd.DataFrame({"event_type": t["event_type"],
+                        "cnt": cnt.astype(np.int64),
+                        "seats": seats.astype(np.int64)})
+    return out.sort_values("event_type", ignore_index=True)
+
+
+_HIT_STEPS = 12
+_HIT_SQL_BASE = """
+WITH o AS (SELECT user_id, event_type,
+                  LAG(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev
+           FROM events),
+t AS (SELECT prev AS f, event_type AS tt, CAST(COUNT(*) AS DOUBLE) AS c
+      FROM o WHERE prev IS NOT NULL GROUP BY 1, 2),
+rt AS (SELECT f, SUM(c) AS tot FROM t GROUP BY f),
+p1 AS (SELECT t.f, t.tt, t.c / rt.tot AS p FROM t JOIN rt USING (f)),
+h0 AS (SELECT f AS type, CAST(0 AS DOUBLE) AS h FROM rt)"""
+_HIT_SQL_STEP = """,
+h{k} AS (SELECT p.f AS type,
+              CASE WHEN p.f = 'purchase' THEN CAST(0 AS DOUBLE)
+                   ELSE 1.0 + SUM(p.p * COALESCE(h.h, 0.0)) END AS h
+         FROM p1 p LEFT JOIN h{prev} h ON p.tt = h.type
+         GROUP BY p.f)"""
+_HIT_SQL = _HIT_SQL_BASE + "".join(
+    _HIT_SQL_STEP.format(k=k, prev=k - 1)
+    for k in range(1, _HIT_STEPS + 1)) + f"""
+SELECT type AS event_type, ROUND(h, 6) AS exp_steps
+FROM h{_HIT_STEPS} ORDER BY event_type"""
+
+
+@register("markov_hitting_time_purchase", sql=_HIT_SQL)
+def markov_hitting_time_purchase(sf_dir: str) -> pd.DataFrame:
+    """Expected number of steps from each event type to the next
+    'purchase' under the observed transition chain, truncated at 12
+    value-iteration sweeps (h ← 1 + P·h with h(purchase) ≡ 0 — the
+    truncated Neumann series of the absorbing-chain hitting time,
+    so the statistic is well-defined and finite even when some state
+    can't reach purchase). Deterministic state convention shared with
+    the oracle: target types that are never a SOURCE contribute 0
+    (COALESCE — they have no observed dynamics to continue through).
+    The heavy work is the same per-user transition reduce as the
+    stationary query; the 12 sweeps run driver-side on the |types|²
+    matrix while the oracle walks 12 chained CTEs — identical
+    association order, so both float paths agree to the 6-dp guard."""
+    t = event_transitions(sf_dir)
+    sources = sorted(t["from_type"].unique())
+    tot = t.groupby("from_type")["cnt"].sum()
+    h = {s: 0.0 for s in sources}
+    pr = {(r.from_type, r.to_type): r.cnt / float(tot[r.from_type])
+          for r in t.itertuples()}
+    for _ in range(_HIT_STEPS):
+        nh = {}
+        for s in sources:
+            if s == "purchase":
+                nh[s] = 0.0
+                continue
+            acc = 0.0
+            for (f, tt), p in sorted(pr.items()):
+                if f == s:
+                    acc += p * h.get(tt, 0.0)
+            nh[s] = 1.0 + acc
+        h = nh
+    r6 = textstats.round_half_away
+    out = pd.DataFrame({"event_type": sources,
+                        "exp_steps": [float(r6(h[s], 6))
+                                      for s in sources]})
+    return out.sort_values("event_type", ignore_index=True)
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
