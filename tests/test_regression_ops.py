@@ -994,3 +994,102 @@ def test_markov_hitting_time_geometric(ray_session, tmp_path):
     # from 'a': P(a->a)=0.5? transitions: aa, ap, pa, aa, ap, pa ->
     # from a: aa x2, ap x2 -> 0.5 each. h converges to 2.
     assert abs(got["a"] - (2.0 - 2.0 ** -11)) < 1e-6
+
+
+def test_pettitt_planted_level_shift(ray_session, tmp_path):
+    """10 low days then 10 high days: the split at the boundary wins
+    with |U| = 100 (all cross pairs signed the same way)."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T12:00:00", "us")
+    day = np.timedelta64(1, "D")
+    ts = []
+    for i in range(20):
+        cnt = 2 if i < 10 else 9
+        ts.extend([t0 + i * day] * cnt)
+    d = str(tmp_path / "pett")
+    _write_events(d, ts, [1.0] * len(ts))
+    out = REGISTRY["pettitt_change_day"][0](d)
+    assert out["k"][0] == 100
+    # change day = last day of the first regime
+    assert out["change_day"][0] == int(
+        (t0 + 9 * day).astype("datetime64[D]").astype(np.int64))
+    assert out["u_t"][0] == -100  # low regime first -> negative signs
+
+
+def test_cochran_armitage_planted_trend(ray_session, tmp_path):
+    """Purchase share rising with the hour -> strongly positive z;
+    flat share -> A = 0 -> z short-circuits to 0."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    h = np.timedelta64(1, "h")
+    s = np.timedelta64(1, "s")
+    ts, types = [], []
+    for hour in range(10):
+        for j in range(10):
+            ts.append(t0 + hour * h + j * s)
+            types.append("purchase" if j < hour else "view")
+    d = str(tmp_path / "ca")
+    _write_events(d, ts, [1.0] * len(ts), types=types)
+    out = REGISTRY["cochran_armitage_purchase_by_hour"][0](d)
+    assert out["z"][0] > 3.0
+    flat = str(tmp_path / "caflat")
+    types2 = (["purchase"] * 5 + ["view"] * 5) * 10
+    _write_events(flat, ts, [1.0] * len(ts), types=types2)
+    out2 = REGISTRY["cochran_armitage_purchase_by_hour"][0](flat)
+    assert out2["a"][0] == 0 and out2["z"][0] == 0.0
+
+
+def test_runs_test_alternating_vs_blocked(ray_session, tmp_path):
+    """Alternating high/low days -> maximum runs -> z > 0; two solid
+    blocks -> exactly 2 runs -> z < 0."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T12:00:00", "us")
+    day = np.timedelta64(1, "D")
+
+    def build(pattern, name):
+        ts = []
+        for i, cnt in enumerate(pattern):
+            ts.extend([t0 + i * day] * cnt)
+        d = str(tmp_path / name)
+        _write_events(d, ts, [1.0] * len(ts))
+        return d
+
+    # ten alternating 2/9 days plus one median-3 day (dropped):
+    # the survivors alternate perfectly -> R = na + nb = 10
+    alt = build([2, 9] * 5 + [3], "runsalt")
+    o1 = REGISTRY["runs_test_daily"][0](alt)
+    assert (int(o1["na"][0]), int(o1["nb"][0])) == (5, 5)
+    assert o1["r"][0] == 10
+    assert o1["z"][0] > 0
+    blk = build([2] * 6 + [9] * 6 + [3] * 0, "runsblk")
+    o2 = REGISTRY["runs_test_daily"][0](blk)
+    # lower median 2: the six 2-days drop (== median), only highs
+    # remain -> one-sided -> z = 0. build with 3 values instead:
+    blk2 = build([2, 2, 2, 3, 3, 3, 9, 9, 9, 9, 9, 9], "runsblk2")
+    o2 = REGISTRY["runs_test_daily"][0](blk2)
+    assert o2["r"][0] == 2 and o2["z"][0] < 0
+
+
+def test_entropy_rate_deterministic_chain(ray_session, tmp_path):
+    """A deterministic cycle a->b->a has zero entropy rate; a fair
+    coin chain has ln 2."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    det = str(tmp_path / "entdet")
+    seq = ["a", "b"] * 10
+    _write_events(det, [t0 + i * s for i in range(len(seq))],
+                  [1.0] * len(seq), types=seq)
+    o = REGISTRY["markov_entropy_rate"][0](det)
+    assert abs(o["entropy_rate_nats"][0]) < 1e-9
+    coin = str(tmp_path / "entcoin")
+    # 'a a b b' repeated: transitions aa, ab, bb, ba equally often
+    seq2 = ["a", "a", "b", "b"] * 2 + ["a"]
+    _write_events(coin, [t0 + i * s for i in range(len(seq2))],
+                  [1.0] * len(seq2), types=seq2)
+    o2 = REGISTRY["markov_entropy_rate"][0](coin)
+    assert abs(o2["entropy_rate_nats"][0] - np.log(2)) < 1e-3

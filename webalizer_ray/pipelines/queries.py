@@ -13297,6 +13297,270 @@ def markov_hitting_time_purchase(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_type", ignore_index=True)
 
 
+@register("pettitt_change_day", sql="""
+WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS d,
+                      CAST(COUNT(*) AS BIGINT) AS y
+               FROM events GROUP BY 1),
+u AS (SELECT t.d AS t,
+             CAST(SUM(SIGN(a.y - b.y)) AS BIGINT) AS u_t
+      FROM daily t JOIN daily a ON a.d <= t.d
+                   JOIN daily b ON b.d > t.d
+      GROUP BY t.d),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS t_days FROM daily),
+best AS (SELECT t, u_t, ABS(u_t) AS k,
+                ROW_NUMBER() OVER (ORDER BY ABS(u_t) DESC, t) AS rn
+         FROM u)
+SELECT CAST(t AS BIGINT) AS change_day, u_t, CAST(k AS BIGINT) AS k,
+       ROUND(LEAST(1.0, 2.0 * EXP(-6.0 * k * k
+             / (CAST(t_days AS DOUBLE) * t_days * t_days
+                + CAST(t_days AS DOUBLE) * t_days))), 6) AS p_approx
+FROM best, n WHERE rn = 1""")
+def pettitt_change_day(sf_dir: str) -> pd.DataFrame:
+    """Pettitt change-point test on the daily event volume — the
+    rank-based (Mann-Whitney-family) single change-point detector,
+    CUSUM's nonparametric sibling: U_t = Σ_{i≤t}Σ_{j>t} sgn(y_i−y_j)
+    over the observed-day series, the split maximizing |U_t| is the
+    change point (first day on ties, both engines rank the identical
+    integers), and the classic approximation p ≈ 2·exp(−6K²/(T³+T²))
+    is one shared float expression. ONE distributed daily reduce
+    bounds the data at O(days); the O(T²) sign matrix runs
+    driver-side in numpy on integers (the oracle spells the same sums
+    as a triple self-join). Observed days only — a silent day is not
+    a zero observation in a rank test (documented convention)."""
+    ds = _events(sf_dir, ["ts"])
+
+    def day_col(t: pa.Table) -> pd.DataFrame:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pd.DataFrame({"d": (us // 86_400_000_000)
+                             .astype(np.int64)})
+
+    daily = reduce_sink(ds.map_batches(day_col, batch_format="pyarrow"),
+                        ["d"], {"y": ("d", "size")}) \
+        .to_pandas().sort_values("d", ignore_index=True)
+    y = daily["y"].to_numpy(np.int64)
+    t_days = len(y)
+    if t_days < 2:
+        return pd.DataFrame(
+            {"change_day": pd.Series([], dtype=np.int64),
+             "u_t": pd.Series([], dtype=np.int64),
+             "k": pd.Series([], dtype=np.int64),
+             "p_approx": pd.Series([], dtype=np.float64)})
+    sgn = np.sign(y[:, None] - y[None, :]).astype(np.int64)
+    # U_t = Σ_{i<=t} Σ_{j>t} sgn(y_i − y_j): direct masked sums over
+    # the tiny T×T integer matrix (T = observed days)
+    u = np.array([int(sgn[:t + 1, t + 1:].sum())
+                  for t in range(t_days - 1)], np.int64)
+    k = np.abs(u)
+    i = int(np.lexsort((daily["d"].to_numpy()[:-1], -k))[0])
+    kk = int(k[i])
+    p = textstats.round_half_away(
+        min(1.0, 2.0 * np.exp(-6.0 * kk * kk
+                              / (float(t_days) * t_days * t_days
+                                 + float(t_days) * t_days))), 6)
+    return pd.DataFrame({
+        "change_day": np.array([int(daily["d"].iloc[i])], np.int64),
+        "u_t": np.array([int(u[i])], np.int64),
+        "k": np.array([kk], np.int64),
+        "p_approx": [float(p)]})
+
+
+@register("cochran_armitage_purchase_by_hour", sql="""
+WITH b AS (SELECT CAST(hour(ts) AS BIGINT) AS w,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                      AS s
+           FROM events),
+g AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_i,
+             CAST(SUM(s) AS BIGINT) AS s_i
+      FROM b GROUP BY 1),
+t AS (SELECT CAST(SUM(n_i) AS BIGINT) AS n,
+             CAST(SUM(s_i) AS BIGINT) AS n1,
+             CAST(SUM(w * n_i) AS BIGINT) AS w1,
+             CAST(SUM(w * w * n_i) AS BIGINT) AS w2,
+             CAST(SUM(w * s_i) AS BIGINT) AS traw FROM g),
+i AS (SELECT n, n1,
+             CAST(n AS HUGEINT) * traw - CAST(n1 AS HUGEINT) * w1 AS a,
+             CAST(n AS HUGEINT) * w2 - CAST(w1 AS HUGEINT) * w1 AS bb
+      FROM t)
+SELECT n, n1, CAST(a AS BIGINT) AS a, CAST(bb AS BIGINT) AS b,
+       CASE WHEN a = 0 OR bb = 0 OR n1 = 0 OR n1 = n THEN 0.0
+            ELSE ROUND(CAST(a AS DOUBLE)
+                       / sqrt(CAST(n1 AS DOUBLE) * (n - n1)
+                              * CAST(bb AS DOUBLE) / (n - 1)), 6)
+       END AS z
+FROM i""")
+def cochran_armitage_purchase_by_hour(sf_dir: str) -> pd.DataFrame:
+    """Cochran–Armitage trend test: does the purchase PROPORTION rise
+    or fall monotonically across the ordered hours of day? (The
+    dose-response test — chi-square sees any deviation, CA targets the
+    ordered trend with scores w = 0..23.) The entire statistic closes
+    from FOUR integer moments of one (hour, count, successes) reduce:
+    A = N·Σw·s_i − N1·Σw·n_i and B = N·Σw²n_i − (Σw n_i)² are exact
+    (HUGEINT/Python-int), z = A/√(N1(N−N1)B/(N−1)) is one shared
+    float expression, degenerate inputs (no / all purchases, constant
+    hour) short-circuit to 0 on both engines."""
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "w": df["ts"].dt.hour.to_numpy(np.int64),
+            "s": (df["event_type"] == "purchase")
+            .to_numpy().astype(np.int64)})
+
+    g = reduce_sink(
+        _events(sf_dir, ["ts", "event_type"])
+        .map_batches(prep, batch_format="pandas"),
+        ["w"], {"n_i": ("s", "size"), "s_i": ("s", "sum")}) \
+        .to_pandas().sort_values("w", ignore_index=True)
+    w = g["w"].to_numpy(np.int64)
+    n_i = g["n_i"].to_numpy(np.int64)
+    s_i = g["s_i"].to_numpy(np.int64)
+    n, n1 = int(n_i.sum()), int(s_i.sum())
+    w1 = int((w * n_i).sum())
+    w2 = int((w * w * n_i).sum())
+    traw = int((w * s_i).sum())
+    a = n * traw - n1 * w1
+    b = n * w2 - w1 * w1
+    r6 = textstats.round_half_away
+    if a == 0 or b == 0 or n1 == 0 or n1 == n:
+        z = 0.0
+    else:
+        z = r6(float(a) / np.sqrt(float(n1) * (n - n1)
+                                  * float(b) / (n - 1)), 6)
+    return pd.DataFrame({"n": np.array([n], np.int64),
+                         "n1": np.array([n1], np.int64),
+                         "a": np.array([a], np.int64),
+                         "b": np.array([b], np.int64),
+                         "z": [float(z)]})
+
+
+@register("runs_test_daily", sql="""
+WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS d,
+                      CAST(COUNT(*) AS BIGINT) AS y
+               FROM events GROUP BY 1),
+cum AS (SELECT d, y,
+               CAST(SUM(1) OVER (ORDER BY y, d) AS BIGINT) AS r,
+               CAST(COUNT(*) OVER () AS BIGINT) AS t FROM daily),
+med AS (SELECT MIN(y) AS m FROM cum WHERE 2 * r >= t),
+sgn AS (SELECT d, CASE WHEN y > m THEN 1 ELSE -1 END AS s
+        FROM daily, med WHERE y <> m),
+runs AS (SELECT s, LAG(s) OVER (ORDER BY d) AS prev FROM sgn),
+agg AS (SELECT CAST(SUM(CASE WHEN prev IS NULL OR s <> prev
+                             THEN 1 ELSE 0 END) AS BIGINT) AS r,
+               CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS na,
+               CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS nb
+        FROM runs)
+SELECT r, na, nb,
+       CASE WHEN na = 0 OR nb = 0 THEN 0.0
+            ELSE ROUND((r - (2.0 * na * nb / (na + nb) + 1))
+                       / sqrt(2.0 * na * nb
+                              * (2.0 * na * nb - na - nb)
+                              / (CAST(na + nb AS DOUBLE) * (na + nb)
+                                 * (na + nb - 1))), 6)
+       END AS z
+FROM agg""")
+def runs_test_daily(sf_dir: str) -> pd.DataFrame:
+    """Wald–Wolfowitz runs test for randomness of the daily volume
+    around its median — too FEW runs means trending/clustered days,
+    too many means oscillation; the classic 'is this series i.i.d.?'
+    gate before trusting an i.i.d.-assuming test. Days dichotomize
+    against the LOWER median (the 2·cum ≥ n order statistic — same
+    integer convention as the boxplot family), median-equal days drop
+    (the standard convention), runs count by day-ordered sign changes
+    (pure integers), and z closes from (R, n_above, n_below) in one
+    shared float expression with a one-sided-empty short-circuit.
+    ONE daily reduce is the only distributed work."""
+    ds = _events(sf_dir, ["ts"])
+
+    def day_col(t: pa.Table) -> pd.DataFrame:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pd.DataFrame({"d": (us // 86_400_000_000)
+                             .astype(np.int64)})
+
+    daily = reduce_sink(ds.map_batches(day_col, batch_format="pyarrow"),
+                        ["d"], {"y": ("d", "size")}) \
+        .to_pandas().sort_values("d", ignore_index=True)
+    y = daily["y"].to_numpy(np.int64)
+    t = len(y)
+    ys = np.sort(y)
+    m = int(ys[np.searchsorted(2 * np.arange(1, t + 1), t,
+                               side="left")])
+    keep = y != m
+    s = np.where(y[keep] > m, 1, -1)
+    na = int((s == 1).sum())
+    nb = int((s == -1).sum())
+    r = int(1 + (s[1:] != s[:-1]).sum()) if len(s) else 0
+    r6 = textstats.round_half_away
+    if na == 0 or nb == 0:
+        z = 0.0
+    else:
+        z = r6((r - (2.0 * na * nb / (na + nb) + 1))
+               / np.sqrt(2.0 * na * nb * (2.0 * na * nb - na - nb)
+                         / (float(na + nb) * (na + nb)
+                            * (na + nb - 1))), 6)
+    return pd.DataFrame({"r": np.array([r], np.int64),
+                         "na": np.array([na], np.int64),
+                         "nb": np.array([nb], np.int64),
+                         "z": [float(z)]})
+
+
+@register("markov_entropy_rate", sql="""
+WITH o AS (SELECT user_id, event_type,
+                  LAG(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev
+           FROM events),
+t AS (SELECT prev AS f, event_type AS tt, CAST(COUNT(*) AS DOUBLE) AS c
+      FROM o WHERE prev IS NOT NULL GROUP BY 1, 2),
+rt AS (SELECT f, SUM(c) AS tot FROM t GROUP BY f),
+p1 AS (SELECT t.f, t.tt, t.c / rt.tot AS p FROM t JOIN rt USING (f)),
+p2 AS (SELECT a.f, b.tt, SUM(a.p * b.p) AS p
+       FROM p1 a JOIN p1 b ON a.tt = b.f GROUP BY 1, 2),
+p4 AS (SELECT a.f, b.tt, SUM(a.p * b.p) AS p
+       FROM p2 a JOIN p2 b ON a.tt = b.f GROUP BY 1, 2),
+p8 AS (SELECT a.f, b.tt, SUM(a.p * b.p) AS p
+       FROM p4 a JOIN p4 b ON a.tt = b.f GROUP BY 1, 2),
+p16 AS (SELECT a.f, b.tt, SUM(a.p * b.p) AS p
+        FROM p8 a JOIN p8 b ON a.tt = b.f GROUP BY 1, 2),
+p32 AS (SELECT a.f, b.tt, SUM(a.p * b.p) AS p
+        FROM p16 a JOIN p16 b ON a.tt = b.f GROUP BY 1, 2),
+ns AS (SELECT CAST(COUNT(DISTINCT f) AS DOUBLE) AS n FROM t),
+pi AS (SELECT p32.tt AS type, SUM(p32.p / ns.n) AS pi
+       FROM p32, ns GROUP BY 1),
+ent AS (SELECT f, -SUM(p * LN(p)) AS hrow FROM p1 GROUP BY f)
+SELECT ROUND(SUM(pi.pi * ent.hrow), 6) AS entropy_rate_nats
+FROM pi JOIN ent ON ent.f = pi.type""")
+def markov_entropy_rate(sf_dir: str) -> pd.DataFrame:
+    """Entropy rate of the event-type Markov chain, H = −Σᵢ πᵢ Σⱼ
+    Pᵢⱼ ln Pᵢⱼ nats/step — how unpredictable the NEXT event is given
+    the current one (the sequence-compressibility number; the
+    user_type_entropy query is the memoryless upper bound). Reuses
+    the stationary machinery verbatim: π = uniform-start P³² mass
+    (five squarings, same association order as the chained CTEs) and
+    per-row transition entropies off the single per-user transition
+    reduce; only source states carry dynamics, so target-only types
+    join away identically on both engines."""
+    t = event_transitions(sf_dir)
+    sources = sorted(t["from_type"].unique())
+    all_types = sorted(set(sources) | set(t["to_type"].unique()))
+    piv = t.pivot_table(index="from_type", columns="to_type",
+                        values="cnt", fill_value=0, aggfunc="sum") \
+        .reindex(index=all_types, columns=all_types, fill_value=0)
+    P = piv.to_numpy(np.float64)
+    row = P.sum(axis=1, keepdims=True)
+    P = np.divide(P, row, out=np.zeros_like(P), where=row > 0)
+    M = P.copy()
+    for _ in range(5):
+        M = M @ M
+    n = float(len(sources))
+    pi = M.sum(axis=0) / n
+    hrow = np.where(
+        P > 0, -P * np.log(np.where(P > 0, P, 1.0)), 0.0).sum(axis=1)
+    # only source rows have dynamics (zero rows contribute hrow 0 and
+    # the oracle's ent join drops them — same mass either way)
+    h = float((pi * hrow).sum())
+    r6 = textstats.round_half_away
+    return pd.DataFrame({"entropy_rate_nats": [float(r6(h, 6))]})
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
