@@ -1093,3 +1093,90 @@ def test_entropy_rate_deterministic_chain(ray_session, tmp_path):
                   [1.0] * len(seq2), types=seq2)
     o2 = REGISTRY["markov_entropy_rate"][0](coin)
     assert abs(o2["entropy_rate_nats"][0] - np.log(2)) < 1e-3
+
+
+def test_kendall_tau_perfect_and_reversed(ray_session, tmp_path):
+    """Views and purchases rising together -> tau_b = 1; purchases
+    reversed -> tau_b = -1."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T12:00:00", "us")
+    day = np.timedelta64(1, "D")
+
+    def build(vcounts, pcounts, name):
+        ts, types = [], []
+        for i, (vc, pc) in enumerate(zip(vcounts, pcounts)):
+            ts.extend([t0 + i * day] * (vc + pc))
+            types.extend(["view"] * vc + ["purchase"] * pc)
+        d = str(tmp_path / name)
+        _write_events(d, ts, [1.0] * len(ts), types=types)
+        return d
+
+    up = build([1, 2, 3, 4, 5], [2, 3, 4, 5, 6], "ktup")
+    o = REGISTRY["kendall_tau_daily"][0](up)
+    assert o["tau_b"][0] == 1.0 and o["cd"][0] == 10
+    down = build([1, 2, 3, 4, 5], [6, 5, 4, 3, 2], "ktdown")
+    o2 = REGISTRY["kendall_tau_daily"][0](down)
+    assert o2["tau_b"][0] == -1.0
+
+
+def test_wilcoxon_hand_case(ray_session, tmp_path):
+    """diffs (v-p) = +1, +2, -3, 0(dropped): |d| ranks 1,2,3 ->
+    W+ = 1+2 = 3 -> w2 = (2*1+... doubled midranks 2r = 1*2? no
+    ties: mr2 = 2r-? For distinct |d|: mr2 = 2*cum_before + 1 + 1 =
+    2r. W2 = 2*3 = 6? check: ranks 1,2 positive -> W2 = 2+4 = 6."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T12:00:00", "us")
+    day = np.timedelta64(1, "D")
+    # day diffs: v-p = 1, 2, -3, 0
+    vc, pc = [2, 3, 1, 2], [1, 1, 4, 2]
+    ts, types = [], []
+    for i, (a, b) in enumerate(zip(vc, pc)):
+        ts.extend([t0 + i * day] * (a + b))
+        types.extend(["view"] * a + ["purchase"] * b)
+    d = str(tmp_path / "wsr")
+    _write_events(d, ts, [1.0] * len(ts), types=types)
+    out = REGISTRY["wilcoxon_signed_rank_daily"][0](d)
+    assert out["n"][0] == 3
+    assert out["w2"][0] == 6           # doubled W+ = 2*(1+2)
+    assert out["num"][0] == 0          # 2*6 - 3*4 = 0 -> z = 0
+    assert out["z"][0] == 0.0
+
+
+def test_jsd_identical_and_disjoint(ray_session, tmp_path):
+    """Identical hourly profiles -> JSD 0; disjoint hours -> ln 2."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    h = np.timedelta64(1, "h")
+    same = str(tmp_path / "jsdsame")
+    ts = [t0 + ((i // 2) % 4) * h for i in range(16)]
+    _write_events(same, ts, [1.0] * 16,
+                  types=["view", "purchase"] * 8)
+    o = REGISTRY["jensen_shannon_type_hours"][0](same)
+    assert o["jsd_nats"][0] == 0.0
+    dis = str(tmp_path / "jsddis")
+    ts2 = [t0 + (0 if i < 8 else 12) * h for i in range(16)]
+    _write_events(dis, ts2, [1.0] * 16,
+                  types=["view"] * 8 + ["purchase"] * 8)
+    o2 = REGISTRY["jensen_shannon_type_hours"][0](dis)
+    assert abs(o2["jsd_nats"][0] - round(np.log(2), 6)) < 1e-9
+
+
+def test_theil_equal_vs_concentrated(ray_session, tmp_path):
+    """Equal users -> T = 0; everything on one of n users -> ln n."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    eq = str(tmp_path / "theileq")
+    _write_events(eq, [t0 + i * s for i in range(8)], [5.0] * 8,
+                  users=list(range(8)))
+    o = REGISTRY["theil_index_user_value"][0](eq)
+    assert o["theil_t"][0] == 0.0
+    conc = str(tmp_path / "theilc")
+    _write_events(conc, [t0 + i * s for i in range(8)],
+                  [40.0] + [0.0] * 7, users=list(range(8)))
+    o2 = REGISTRY["theil_index_user_value"][0](conc)
+    assert abs(o2["theil_t"][0] - round(np.log(8), 6)) < 1e-9

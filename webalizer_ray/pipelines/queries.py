@@ -13561,6 +13561,262 @@ def markov_entropy_rate(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"entropy_rate_nats": [float(r6(h, 6))]})
 
 
+@register("kendall_tau_daily", sql="""
+WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS d,
+                      CAST(SUM(CASE WHEN event_type = 'view'
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS v,
+                      CAST(SUM(CASE WHEN event_type = 'purchase'
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS p
+               FROM events GROUP BY 1),
+pairs AS (SELECT CAST(SUM(SIGN(a.v - b.v) * SIGN(a.p - b.p))
+                      AS BIGINT) AS cd
+          FROM daily a JOIN daily b ON a.d < b.d),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+tv AS (SELECT CAST(SUM(c * (c - 1) / 2) AS BIGINT) AS n1
+       FROM (SELECT COUNT(*) AS c FROM daily GROUP BY v)),
+tp AS (SELECT CAST(SUM(c * (c - 1) / 2) AS BIGINT) AS n2
+       FROM (SELECT COUNT(*) AS c FROM daily GROUP BY p))
+SELECT n, cd, n1, n2,
+       CASE WHEN (n * (n - 1) / 2 - n1) * (n * (n - 1) / 2 - n2) = 0
+            THEN 0.0
+            ELSE ROUND(CAST(cd AS DOUBLE)
+                       / sqrt(CAST(n * (n - 1) / 2 - n1 AS DOUBLE)
+                              * (n * (n - 1) / 2 - n2)), 6)
+       END AS tau_b
+FROM t, pairs, tv, tp""")
+def kendall_tau_daily(sf_dir: str) -> pd.DataFrame:
+    """Kendall τ-b between the daily view and purchase volumes —
+    Spearman's concordance-counting sibling (robust to any monotone
+    rescaling, with the proper tie correction). ONE daily conditional
+    reduce bounds everything at O(days); C − D = Σ_{i<j}
+    sgn(Δv)·sgn(Δp) and both tie terms are exact integers off the
+    tiny day table (numpy outer signs ≡ the oracle's triangular
+    self-join), and τ-b = (C−D)/√((n₀−n₁)(n₀−n₂)) is one shared
+    float expression with a constant-margin short-circuit."""
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        et = df["event_type"].to_numpy()
+        return pd.DataFrame({
+            "d": (us // 86_400_000_000).astype(np.int64),
+            "v": (et == "view").astype(np.int64),
+            "p": (et == "purchase").astype(np.int64)})
+
+    daily = reduce_sink(
+        _events(sf_dir, ["ts", "event_type"])
+        .map_batches(prep, batch_format="pandas"),
+        ["d"], {"v": ("v", "sum"), "p": ("p", "sum")}) \
+        .to_pandas().sort_values("d", ignore_index=True)
+    v = daily["v"].to_numpy(np.int64)
+    p = daily["p"].to_numpy(np.int64)
+    n = len(daily)
+    sv = np.sign(v[:, None] - v[None, :])
+    sp = np.sign(p[:, None] - p[None, :])
+    iu = np.triu_indices(n, k=1)
+    cd = int((sv[iu] * sp[iu]).sum())
+    n1 = int(sum(c * (c - 1) // 2
+                 for c in pd.Series(v).value_counts()))
+    n2 = int(sum(c * (c - 1) // 2
+                 for c in pd.Series(p).value_counts()))
+    n0 = n * (n - 1) // 2
+    r6 = textstats.round_half_away
+    if (n0 - n1) * (n0 - n2) == 0:
+        tau = 0.0
+    else:
+        tau = r6(float(cd) / np.sqrt(float(n0 - n1) * (n0 - n2)), 6)
+    return pd.DataFrame({"n": np.array([n], np.int64),
+                         "cd": np.array([cd], np.int64),
+                         "n1": np.array([n1], np.int64),
+                         "n2": np.array([n2], np.int64),
+                         "tau_b": [float(tau)]})
+
+
+@register("wilcoxon_signed_rank_daily", sql="""
+WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS d,
+                      CAST(SUM(CASE WHEN event_type = 'view'
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS v,
+                      CAST(SUM(CASE WHEN event_type = 'purchase'
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS p
+               FROM events GROUP BY 1),
+diff AS (SELECT v - p AS dd, ABS(v - p) AS ad FROM daily
+         WHERE v <> p),
+h AS (SELECT ad, CAST(COUNT(*) AS BIGINT) AS tc,
+             CAST(SUM(CASE WHEN dd > 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS pos
+      FROM diff GROUP BY ad),
+r AS (SELECT ad, tc, pos,
+             CAST(2 * (SUM(tc) OVER (ORDER BY ad) - tc) + tc + 1
+                  AS BIGINT) AS mr2
+      FROM h),
+agg AS (SELECT CAST(SUM(tc) AS BIGINT) AS n,
+               CAST(SUM(pos * mr2) AS BIGINT) AS w2,
+               CAST(SUM(tc * tc * tc - tc) AS BIGINT) AS t3
+        FROM r)
+SELECT n, w2,
+       CAST(2 * w2 - n * (n + 1) AS BIGINT) AS num,
+       CAST(2 * n * (n + 1) * (2 * n + 1) - t3 AS BIGINT) AS var48,
+       CASE WHEN 2 * n * (n + 1) * (2 * n + 1) - t3 = 0 THEN 0.0
+            ELSE ROUND((CAST(2 * w2 - n * (n + 1) AS DOUBLE) / 4)
+                       / sqrt(CAST(2 * n * (n + 1) * (2 * n + 1) - t3
+                                   AS DOUBLE) / 48.0), 6)
+       END AS z
+FROM agg""")
+def wilcoxon_signed_rank_daily(sf_dir: str) -> pd.DataFrame:
+    """Wilcoxon signed-rank test on the PAIRED daily (views −
+    purchases) differences — the nonparametric paired-t: are views
+    systematically above purchases day by day? Zero differences drop
+    (standard convention), |d| midranks come off the tiny difference
+    histogram as DOUBLED integers (the same 2·cum + tc + 1 trick as
+    Kruskal–Wallis), the doubled statistic W2 = Σ mr2·[d>0] stays
+    integral, and z closes from the integer pair (num = 2W2 −
+    n(n+1), var48 = 2n(n+1)(2n+1) − Σ(t³−t)) in one shared float
+    expression (normal approximation with tie correction, no
+    continuity correction — documented)."""
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        et = df["event_type"].to_numpy()
+        return pd.DataFrame({
+            "d": (us // 86_400_000_000).astype(np.int64),
+            "v": (et == "view").astype(np.int64),
+            "p": (et == "purchase").astype(np.int64)})
+
+    daily = reduce_sink(
+        _events(sf_dir, ["ts", "event_type"])
+        .map_batches(prep, batch_format="pandas"),
+        ["d"], {"v": ("v", "sum"), "p": ("p", "sum")}).to_pandas()
+    dd = (daily["v"] - daily["p"]).to_numpy(np.int64)
+    dd = dd[dd != 0]
+    ad = np.abs(dd)
+    h = pd.DataFrame({"ad": ad, "pos": (dd > 0).astype(np.int64)}) \
+        .groupby("ad", sort=True).agg(tc=("pos", "size"),
+                                      pos=("pos", "sum"))
+    tc = h["tc"].to_numpy(np.int64)
+    pos = h["pos"].to_numpy(np.int64)
+    mr2 = 2 * (np.cumsum(tc) - tc) + tc + 1
+    n = int(tc.sum())
+    w2 = int((pos * mr2).sum())
+    t3 = int(sum(int(t) ** 3 - int(t) for t in tc))
+    num = 2 * w2 - n * (n + 1)
+    var48 = 2 * n * (n + 1) * (2 * n + 1) - t3
+    r6 = textstats.round_half_away
+    z = 0.0 if var48 == 0 else r6(
+        (float(num) / 4) / np.sqrt(float(var48) / 48.0), 6)
+    return pd.DataFrame({"n": np.array([n], np.int64),
+                         "w2": np.array([w2], np.int64),
+                         "num": np.array([num], np.int64),
+                         "var48": np.array([var48], np.int64),
+                         "z": [float(z)]})
+
+
+@register("jensen_shannon_type_hours", sql="""
+WITH h AS (SELECT CAST(hour(ts) AS BIGINT) AS hr,
+                  CAST(SUM(CASE WHEN event_type = 'view'
+                                THEN 1 ELSE 0 END) AS BIGINT) AS cv,
+                  CAST(SUM(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) AS BIGINT) AS cp
+           FROM events WHERE event_type IN ('view', 'purchase')
+           GROUP BY 1),
+t AS (SELECT CAST(SUM(cv) AS BIGINT) AS nv,
+             CAST(SUM(cp) AS BIGINT) AS np FROM h),
+pq AS (SELECT cv / CAST(nv AS DOUBLE) AS p,
+              cp / CAST(np AS DOUBLE) AS q
+       FROM h, t),
+d AS (SELECT SUM(CASE WHEN p > 0
+                      THEN 0.5 * p * LN(p / ((p + q) / 2))
+                      ELSE 0.0 END
+                 + CASE WHEN q > 0
+                        THEN 0.5 * q * LN(q / ((p + q) / 2))
+                        ELSE 0.0 END) AS jsd
+      FROM pq)
+SELECT ROUND(jsd, 6) AS jsd_nats FROM d""")
+def jensen_shannon_type_hours(sf_dir: str) -> pd.DataFrame:
+    """Jensen–Shannon divergence between the hour-of-day profiles of
+    views and purchases — the symmetric, always-finite distribution
+    distance (bounded by ln 2) that corpus-mix monitoring uses where
+    KL blows up on empty cells. One 24-row conditional reduce is the
+    only distributed work; both engines normalize with the identical
+    division and evaluate the identical 0·ln 0 = 0 guarded
+    expression over ≤24 terms, far inside the 6-dp round."""
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin(["view", "purchase"])]
+        return pd.DataFrame({
+            "hr": df["ts"].dt.hour.to_numpy(np.int64),
+            "cv": (df["event_type"] == "view")
+            .to_numpy().astype(np.int64),
+            "cp": (df["event_type"] == "purchase")
+            .to_numpy().astype(np.int64)})
+
+    h = reduce_sink(
+        _events(sf_dir, ["ts", "event_type"])
+        .map_batches(prep, batch_format="pandas"),
+        ["hr"], {"cv": ("cv", "sum"), "cp": ("cp", "sum")}) \
+        .to_pandas().sort_values("hr", ignore_index=True)
+    cv = h["cv"].to_numpy(np.float64)
+    cp = h["cp"].to_numpy(np.float64)
+    p = cv / float(int(cv.sum()))
+    q = cp / float(int(cp.sum()))
+    m = (p + q) / 2
+    terms = np.where(p > 0, 0.5 * p * np.log(
+        np.where(p > 0, p, 1.0) / np.where(m > 0, m, 1.0)), 0.0) \
+        + np.where(q > 0, 0.5 * q * np.log(
+            np.where(q > 0, q, 1.0) / np.where(m > 0, m, 1.0)), 0.0)
+    r6 = textstats.round_half_away
+    return pd.DataFrame({"jsd_nats": [float(r6(float(terms.sum()),
+                                               6))]})
+
+
+@register("theil_index_user_value", sql="""
+WITH u AS (SELECT user_id,
+                  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                       AS BIGINT) AS x
+           FROM events GROUP BY 1),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS xt FROM u),
+s AS (SELECT SUM(CASE WHEN x > 0
+                      THEN x * LN(x * CAST(n AS DOUBLE) / xt)
+                      ELSE 0.0 END) AS sx
+      FROM u, t)
+SELECT n, xt, ROUND(sx / xt, 6) AS theil_t
+FROM t, s""")
+def theil_index_user_value(sf_dir: str) -> pd.DataFrame:
+    """Theil T inequality index of per-user total value — the
+    Gini's information-theoretic sibling (0 = perfect equality, ln n
+    = one user holds everything), decomposable across subgroups in a
+    way Gini isn't. T = (1/X)·Σ xᵢ·ln(xᵢ·n/X) over the per-user
+    cents reduce: the scalars (n, X) come from one tiny aggregate,
+    then per-batch float partials Σ x·ln(x·n/X) accumulate with the
+    broadcast scalars — identical term values on both engines, sum
+    order differing only at ~1e-11 relative against the 6-dp guard.
+    Non-positive users contribute 0 (the x·ln x limit)."""
+    per = reduce_sink(
+        _events(sf_dir, ["user_id", "value"]).map_batches(
+            lambda df: pd.DataFrame({
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "x": np.rint(df["value"].to_numpy(np.float64) * 100)
+                .astype(np.int64)}),
+            batch_format="pandas"),
+        ["user_id"], {"x": ("x", "sum")}).materialize()
+    scal = per.map_batches(
+        lambda df: pd.DataFrame({
+            "n": [np.int64(len(df))],
+            "xt": [np.int64(df["x"].sum())]}),
+        batch_format="pandas").to_pandas()
+    n, xt = int(scal["n"].sum()), int(scal["xt"].sum())
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["x"].to_numpy(np.float64)
+        term = np.where(x > 0,
+                        x * np.log(np.where(x > 0, x, 1.0)
+                                   * float(n) / xt), 0.0)
+        return pd.DataFrame({"sx": [float(term.sum())]})
+
+    sx = float(per.map_batches(partial, batch_format="pandas")
+               .to_pandas()["sx"].sum())
+    r6 = textstats.round_half_away
+    return pd.DataFrame({"n": np.array([n], np.int64),
+                         "xt": np.array([xt], np.int64),
+                         "theil_t": [float(r6(sx / xt, 6))]})
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
