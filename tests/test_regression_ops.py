@@ -1180,3 +1180,93 @@ def test_theil_equal_vs_concentrated(ray_session, tmp_path):
                   [40.0] + [0.0] * 7, users=list(range(8)))
     o2 = REGISTRY["theil_index_user_value"][0](conc)
     assert abs(o2["theil_t"][0] - round(np.log(8), 6)) < 1e-9
+
+
+def test_friedman_consistent_vs_shuffled(ray_session, tmp_path):
+    """A stable daily ordering of 3 types maximizes chi2 = 2*T... for
+    k=3 the max is 2*T*(k-1)/... just assert ordering: consistent
+    ranking -> chi2 large; per-day-identical counts -> chi2 = 0."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T12:00:00", "us")
+    day = np.timedelta64(1, "D")
+
+    def build(counts_per_day, name):
+        ts, types = [], []
+        for i, counts in enumerate(counts_per_day):
+            for g, c in counts.items():
+                ts.extend([t0 + i * day] * c)
+                types.extend([g] * c)
+        d = str(tmp_path / name)
+        _write_events(d, ts, [1.0] * len(ts), types=types)
+        return d
+
+    stable = build([{"a": 1, "b": 5, "c": 9}] * 6, "frst")
+    o = REGISTRY["friedman_test_types_by_day"][0](stable)
+    # perfect consistency, no ties: chi2 = T*(k-1) = 12
+    assert o["chi2"][0] == 12.0
+    tied = build([{"a": 4, "b": 4, "c": 4}] * 6, "frtie")
+    o2 = REGISTRY["friedman_test_types_by_day"][0](tied)
+    assert o2["chi2"][0] == 0.0
+
+
+def test_cohen_kappa_perfect_agreement(ray_session, tmp_path):
+    """Users keep their modal type across halves -> kappa = 1 (two
+    distinct modal types so margins aren't degenerate)."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T12:00:00", "us")
+    day = np.timedelta64(1, "D")
+    ts, types, users = [], [], []
+    for u, g in [(0, "a"), (1, "b")]:
+        for dd in (0, 10):   # both halves (cut splits 0..10 at 6)
+            ts.append(t0 + dd * day)
+            types.append(g)
+            users.append(u)
+    d = str(tmp_path / "kap")
+    _write_events(d, ts, [1.0] * len(ts), users=users, types=types)
+    out = REGISTRY["cohen_kappa_period_modal_type"][0](d)
+    assert out["n"][0] == 2 and out["agree"][0] == 2
+    assert out["kappa"][0] == 1.0
+
+
+def test_cohen_kappa_systematic_swap(ray_session, tmp_path):
+    """Both users swap their modal types between halves -> agreement
+    0, kappa = (0 - pe)/(1 - pe) < 0."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T12:00:00", "us")
+    day = np.timedelta64(1, "D")
+    ts, types, users = [], [], []
+    for u, (g1, g2) in [(0, ("a", "b")), (1, ("b", "a"))]:
+        ts.append(t0); types.append(g1); users.append(u)
+        ts.append(t0 + 10 * day); types.append(g2); users.append(u)
+    d = str(tmp_path / "kapswap")
+    _write_events(d, ts, [1.0] * len(ts), users=users, types=types)
+    out = REGISTRY["cohen_kappa_period_modal_type"][0](d)
+    assert out["agree"][0] == 0 and out["kappa"][0] < 0
+
+
+def test_mcnemar_hand_case(ray_session, tmp_path):
+    """3 users convert only in H1, 1 only in H2, 1 in both, 1 never:
+    b=3, c=1, chi2 = 4/4 = 1."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T12:00:00", "us")
+    day = np.timedelta64(1, "D")
+    ts, types, users = [], [], []
+
+    def add(u, dd, g):
+        ts.append(t0 + dd * day); types.append(g); users.append(u)
+
+    for u in (0, 1, 2):
+        add(u, 0, "purchase"); add(u, 10, "view")
+    add(3, 0, "view"); add(3, 10, "purchase")
+    add(4, 0, "purchase"); add(4, 10, "purchase")
+    add(5, 0, "view"); add(5, 10, "view")
+    d = str(tmp_path / "mcn")
+    _write_events(d, ts, [1.0] * len(ts), users=users, types=types)
+    out = REGISTRY["mcnemar_purchase_periods"][0](d)
+    assert (int(out["b10"][0]), int(out["c01"][0]),
+            int(out["a11"][0]), int(out["d00"][0])) == (3, 1, 1, 1)
+    assert out["chi2"][0] == 1.0

@@ -13817,6 +13817,276 @@ def theil_index_user_value(sf_dir: str) -> pd.DataFrame:
                          "theil_t": [float(r6(sx / xt, 6))]})
 
 
+@register("friedman_test_types_by_day", sql="""
+WITH d0 AS (SELECT epoch_us(ts) // 86400000000 AS d, event_type AS g,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2),
+days AS (SELECT DISTINCT d FROM d0),
+types AS (SELECT DISTINCT g FROM d0),
+grid AS (SELECT days.d, types.g, COALESCE(d0.c, 0) AS c
+         FROM days CROSS JOIN types
+         LEFT JOIN d0 ON d0.d = days.d AND d0.g = types.g),
+r AS (SELECT d, g,
+             CAST(2 * RANK() OVER (PARTITION BY d ORDER BY c) - 1
+                  + COUNT(*) OVER (PARTITION BY d, c) AS BIGINT) AS r2
+      FROM grid),
+agg AS (SELECT g, CAST(SUM(r2) AS BIGINT) AS rj FROM r GROUP BY g),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS tt FROM days),
+k AS (SELECT CAST(COUNT(*) AS BIGINT) AS kk FROM types),
+den AS (SELECT CAST(SUM(r2 * r2) AS BIGINT) AS s2 FROM r),
+num AS (SELECT CAST(SUM((rj - tt * (kk + 1))
+                        * (rj - tt * (kk + 1))) AS BIGINT) AS nm
+        FROM agg, t, k)
+SELECT tt AS n_days, kk AS n_types, nm, s2,
+       CASE WHEN s2 - tt * kk * (kk + 1) * (kk + 1) = 0 THEN 0.0
+            ELSE ROUND(CAST((kk - 1) * nm AS DOUBLE)
+                       / (s2 - tt * kk * (kk + 1) * (kk + 1)), 6)
+       END AS chi2
+FROM t, k, num, den""")
+def friedman_test_types_by_day(sf_dir: str) -> pd.DataFrame:
+    """Friedman test — the within-block rank ANOVA: do the event
+    types keep the same volume ORDERING day after day, or does the
+    daily ranking shuffle? Each day is a block; the k type-counts
+    (zero-filled — an absent type ranks lowest, which is the point)
+    rank within their day as DOUBLED midrank integers (2·rank_min − 1
+    + tie_count), so the tie-general statistic χ² = (k−1)·Σ(R2ⱼ −
+    T(k+1))² / (Σr2² − Tk(k+1)²) is a ratio of EXACT integers with
+    one shared division; an all-tied grid short-circuits to 0. One
+    (day, type) reduce bounds the distributed work at O(days·k)."""
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        return pd.DataFrame({
+            "d": (us // 86_400_000_000).astype(np.int64),
+            "g": df["event_type"].astype(str)})
+
+    d0 = reduce_sink(
+        _events(sf_dir, ["ts", "event_type"])
+        .map_batches(prep, batch_format="pandas"),
+        ["d", "g"], {"c": ("d", "size")}).to_pandas()
+    days = np.sort(d0["d"].unique())
+    types = np.sort(d0["g"].unique())
+    grid = d0.pivot_table(index="d", columns="g", values="c",
+                          fill_value=0, aggfunc="sum") \
+        .reindex(index=days, columns=types, fill_value=0) \
+        .to_numpy(np.int64)
+    tt, kk = len(days), len(types)
+    # doubled midranks per day: 2*rank_min - 1 + tie_count
+    order = np.argsort(grid, axis=1, kind="stable")
+    r2 = np.empty_like(grid)
+    for ti in range(tt):                     # tiny T×k loop
+        row = grid[ti]
+        for j in range(kk):
+            smaller = int((row < row[j]).sum())
+            tie = int((row == row[j]).sum())
+            r2[ti, j] = 2 * smaller + 1 + tie
+    _ = order
+    rj = r2.sum(axis=0).astype(np.int64)
+    s2 = int((r2.astype(np.int64) ** 2).sum())
+    nm = int(((rj - tt * (kk + 1)) ** 2).sum())
+    den = s2 - tt * kk * (kk + 1) * (kk + 1)
+    r6 = textstats.round_half_away
+    chi2 = 0.0 if den == 0 else r6(float((kk - 1) * nm) / den, 6)
+    return pd.DataFrame({"n_days": np.array([tt], np.int64),
+                         "n_types": np.array([kk], np.int64),
+                         "nm": np.array([nm], np.int64),
+                         "s2": np.array([s2], np.int64),
+                         "chi2": [float(chi2)]})
+
+
+@register("cohen_kappa_period_modal_type", sql="""
+WITH b AS (SELECT user_id, event_type AS g,
+                  epoch_us(ts) // 86400000000 AS d FROM events),
+sp AS (SELECT (MIN(d) + MAX(d) + 1) // 2 AS cut FROM b),
+pc AS (SELECT user_id, CASE WHEN d < cut THEN 0 ELSE 1 END AS per, g,
+              CAST(COUNT(*) AS BIGINT) AS c
+       FROM b, sp GROUP BY 1, 2, 3),
+m AS (SELECT user_id, per, g,
+             ROW_NUMBER() OVER (PARTITION BY user_id, per
+                                ORDER BY c DESC, g) AS rn
+      FROM pc),
+modal AS (SELECT user_id, per, g FROM m WHERE rn = 1),
+paired AS (SELECT a.user_id, a.g AS g1, b2.g AS g2
+           FROM modal a JOIN modal b2 ON a.user_id = b2.user_id
+           WHERE a.per = 0 AND b2.per = 1),
+conf AS (SELECT g1, g2, CAST(COUNT(*) AS BIGINT) AS c
+         FROM paired GROUP BY 1, 2),
+t AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN g1 = g2 THEN c ELSE 0 END)
+                  AS BIGINT) AS agree FROM conf),
+marg AS (SELECT CAST(SUM(r.rc * col.cc) AS BIGINT) AS pe_num
+         FROM (SELECT g1, SUM(c) AS rc FROM conf GROUP BY 1) r
+         JOIN (SELECT g2, SUM(c) AS cc FROM conf GROUP BY 1) col
+           ON r.g1 = col.g2)
+SELECT n, agree, pe_num,
+       CASE WHEN n * n - pe_num = 0 THEN 1.0
+            ELSE ROUND(CAST(n * agree - pe_num AS DOUBLE)
+                       / (n * n - pe_num), 6)
+       END AS kappa
+FROM t, marg""")
+def cohen_kappa_period_modal_type(sf_dir: str) -> pd.DataFrame:
+    """Cohen's kappa between each user's MODAL event type in the
+    first and second half of the date range — chance-corrected
+    behavioral consistency ('do users keep their dominant behavior?'),
+    the agreement statistic with the marginal-frequency correction a
+    raw match-rate lacks. Modal types break ties by smallest name
+    (round-free integer argmax on both engines); only users active in
+    BOTH halves pair up; kappa = (N·Σdiag − Σrᵢcᵢ)/(N² − Σrᵢcᵢ) is a
+    ratio of exact integers with one shared division (degenerate
+    all-one-cell margins → 1.0). Scale shape: the (user, period,
+    type) reduce and per-user-bucket argmax keep everything
+    partitioned by user; only the k×k confusion partials shuffle."""
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "d": (us // 86_400_000_000).astype(np.int64),
+            "g": df["event_type"].astype(str)})
+
+    base = _events(sf_dir, ["ts", "user_id", "event_type"]) \
+        .map_batches(prep, batch_format="pandas").materialize()
+    bounds = base.map_batches(
+        lambda df: pd.DataFrame({"mn": [df["d"].min()],
+                                 "mx": [df["d"].max()]}),
+        batch_format="pandas").to_pandas()
+    cut = (int(bounds["mn"].min()) + int(bounds["mx"].max()) + 1) // 2
+
+    def with_per(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"],
+            "per": (df["d"] >= cut).astype(np.int64),
+            "g": df["g"]})
+
+    pc = reduce_sink(base.map_batches(with_per, batch_format="pandas"),
+                     ["user_id", "per", "g"], {"c": ("per", "size")})
+
+    def modal(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "per", "c", "g"],
+                            ascending=[True, True, False, True],
+                            kind="mergesort")
+        return df.groupby(["user_id", "per"], as_index=False).first() \
+            [["user_id", "per", "g"]]
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket_"] = (df["user_id"].to_numpy(np.int64) % 32) \
+            .astype(np.int32)
+        return df
+
+    def pair_conf(g: pd.DataFrame) -> pd.DataFrame:
+        m = modal(g.drop(columns=["bucket_"]))
+        p0 = m[m["per"] == 0][["user_id", "g"]].rename(
+            columns={"g": "g1"})
+        p1 = m[m["per"] == 1][["user_id", "g"]].rename(
+            columns={"g": "g2"})
+        j = p0.merge(p1, on="user_id")
+        out = j.groupby(["g1", "g2"], as_index=False).size() \
+            .rename(columns={"size": "c"})
+        return out
+
+    conf = reduce_sink(
+        pc.map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket_").map_groups(pair_conf,
+                                       batch_format="pandas"),
+        ["g1", "g2"], {"c": ("c", "sum")}).to_pandas()
+    n = int(conf["c"].sum())
+    agree = int(conf[conf["g1"] == conf["g2"]]["c"].sum())
+    rmarg = conf.groupby("g1")["c"].sum()
+    cmarg = conf.groupby("g2")["c"].sum()
+    pe_num = int(sum(int(rmarg.get(g, 0)) * int(cmarg.get(g, 0))
+                     for g in set(rmarg.index) | set(cmarg.index)))
+    r6 = textstats.round_half_away
+    kappa = 1.0 if n * n - pe_num == 0 else \
+        r6(float(n * agree - pe_num) / (n * n - pe_num), 6)
+    return pd.DataFrame({"n": np.array([n], np.int64),
+                         "agree": np.array([agree], np.int64),
+                         "pe_num": np.array([pe_num], np.int64),
+                         "kappa": [float(kappa)]})
+
+
+@register("mcnemar_purchase_periods", sql="""
+WITH b AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                      AS s
+           FROM events),
+sp AS (SELECT (MIN(d) + MAX(d) + 1) // 2 AS cut FROM b),
+u AS (SELECT user_id,
+             CAST(MAX(CASE WHEN d < cut THEN s ELSE 0 END)
+                  AS BIGINT) AS p1,
+             CAST(MAX(CASE WHEN d >= cut THEN s ELSE 0 END)
+                  AS BIGINT) AS p2
+      FROM b, sp GROUP BY user_id),
+cells AS (SELECT CAST(SUM(CASE WHEN p1 = 1 AND p2 = 0 THEN 1 ELSE 0
+                          END) AS BIGINT) AS b10,
+                 CAST(SUM(CASE WHEN p1 = 0 AND p2 = 1 THEN 1 ELSE 0
+                          END) AS BIGINT) AS c01,
+                 CAST(SUM(CASE WHEN p1 = 1 AND p2 = 1 THEN 1 ELSE 0
+                          END) AS BIGINT) AS a11,
+                 CAST(SUM(CASE WHEN p1 = 0 AND p2 = 0 THEN 1 ELSE 0
+                          END) AS BIGINT) AS d00
+          FROM u)
+SELECT a11, b10, c01, d00,
+       CASE WHEN b10 + c01 = 0 THEN 0.0
+            ELSE ROUND(CAST((b10 - c01) * (b10 - c01) AS DOUBLE)
+                       / (b10 + c01), 6)
+       END AS chi2
+FROM cells""")
+def mcnemar_purchase_periods(sf_dir: str) -> pd.DataFrame:
+    """McNemar's test on paired per-user purchase indicators between
+    the two halves of the date range — did the purchasing POPULATION
+    shift (conversions gained vs lost), the within-subject test a
+    two-sample proportion z gets wrong because the halves share
+    users. One per-user reduce (MAX of the purchase flag per period —
+    partials combine exactly), the 2×2 concordance cells are
+    integers, and χ² = (b−c)²/(b+c) (no continuity correction,
+    documented) is one shared division with a b+c=0 short-circuit."""
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "d": (us // 86_400_000_000).astype(np.int64),
+            "s": (df["event_type"] == "purchase")
+            .to_numpy().astype(np.int64)})
+
+    base = _events(sf_dir, ["ts", "user_id", "event_type"]) \
+        .map_batches(prep, batch_format="pandas").materialize()
+    bounds = base.map_batches(
+        lambda df: pd.DataFrame({"mn": [df["d"].min()],
+                                 "mx": [df["d"].max()]}),
+        batch_format="pandas").to_pandas()
+    cut = (int(bounds["mn"].min()) + int(bounds["mx"].max()) + 1) // 2
+
+    def flags(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"],
+            "p1": np.where(df["d"] < cut, df["s"], 0),
+            "p2": np.where(df["d"] >= cut, df["s"], 0)})
+
+    u = reduce_sink(base.map_batches(flags, batch_format="pandas"),
+                    ["user_id"], {"p1": ("p1", "max"),
+                                  "p2": ("p2", "max")})
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        p1 = df["p1"].to_numpy(np.int64)
+        p2 = df["p2"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "a11": [np.int64(((p1 == 1) & (p2 == 1)).sum())],
+            "b10": [np.int64(((p1 == 1) & (p2 == 0)).sum())],
+            "c01": [np.int64(((p1 == 0) & (p2 == 1)).sum())],
+            "d00": [np.int64(((p1 == 0) & (p2 == 0)).sum())]})
+
+    c = u.map_batches(cells, batch_format="pandas").to_pandas().sum()
+    a11, b10 = int(c["a11"]), int(c["b10"])
+    c01, d00 = int(c["c01"]), int(c["d00"])
+    r6 = textstats.round_half_away
+    chi2 = 0.0 if b10 + c01 == 0 else \
+        r6(float((b10 - c01) * (b10 - c01)) / (b10 + c01), 6)
+    return pd.DataFrame({"a11": np.array([a11], np.int64),
+                         "b10": np.array([b10], np.int64),
+                         "c01": np.array([c01], np.int64),
+                         "d00": np.array([d00], np.int64),
+                         "chi2": [float(chi2)]})
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
