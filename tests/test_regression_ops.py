@@ -1270,3 +1270,91 @@ def test_mcnemar_hand_case(ray_session, tmp_path):
     assert (int(out["b10"][0]), int(out["c01"][0]),
             int(out["a11"][0]), int(out["d00"][0])) == (3, 1, 1, 1)
     assert out["chi2"][0] == 1.0
+
+
+def test_period_power_weekly_signal(ray_session, tmp_path):
+    """A clean 7-day cycle puts the spectral peak at period 7."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T12:00:00", "us")
+    day = np.timedelta64(1, "D")
+    pattern = [2, 2, 2, 2, 2, 12, 12]
+    ts = []
+    for i in range(28):
+        ts.extend([t0 + i * day] * pattern[i % 7])
+    d = str(tmp_path / "dft")
+    _write_events(d, ts, [1.0] * len(ts))
+    out = REGISTRY["daily_period_power"][0](d)
+    assert len(out) == 13
+    best = out.loc[out["power"].idxmax(), "period_days"]
+    assert best == 7
+
+
+def test_pot_clusters_hand_case(ray_session, tmp_path):
+    """20 quiet days at 2-3 events + spikes on days 5,6 (sum 30) and
+    day 12 (16): P90 threshold separates them into two clusters; the
+    2-day run is longest and heaviest."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T12:00:00", "us")
+    day = np.timedelta64(1, "D")
+    # 30 days, 27 quiet (<=3) so the P90 order stat lands on 3
+    counts = [2, 3, 2, 3, 2, 14, 16, 2, 3, 2, 3, 2, 16, 3, 2, 3, 2,
+              3, 2, 3, 2, 3, 2, 3, 2, 3, 2, 3, 2, 3]
+    ts = []
+    for i, c in enumerate(counts):
+        ts.extend([t0 + i * day] * c)
+    d = str(tmp_path / "pot")
+    _write_events(d, ts, [1.0] * len(ts))
+    out = REGISTRY["pot_exceedance_clusters"][0](d)
+    r = out.iloc[0]
+    assert r.threshold == 3
+    assert r.n_exceed == 3 and r.n_clusters == 2
+    assert r.max_run_len == 2
+    assert r.best_cluster_sum == 30
+    assert r.best_cluster_day == int(
+        (t0 + 5 * day).astype("datetime64[D]").astype(np.int64))
+
+
+def test_moments_symmetric_vs_skewed(ray_session, tmp_path):
+    """A symmetric two-point 50/50 mix has kurtosis_excess = -2 (the
+    minimum) and Bowley 1? quartiles of {1x10, 3x10}: q1=1,q2=1,q3=3
+    -> bowley = (3+1-2)/2 = 1. A heavy right tail gives positive
+    moment kurtosis."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    sym = str(tmp_path / "momsym")
+    _write_events(sym, [t0 + i * s for i in range(20)],
+                  [1.0] * 10 + [3.0] * 10)
+    o = REGISTRY["moments_skew_kurtosis_by_type"][0](sym)
+    assert o["kurtosis_excess"][0] == -2.0
+    assert o["bowley_skew"][0] == 1.0
+    tail = str(tmp_path / "momtail")
+    _write_events(tail, [t0 + i * s for i in range(21)],
+                  [5.0] * 20 + [100.0])
+    o2 = REGISTRY["moments_skew_kurtosis_by_type"][0](tail)
+    assert o2["kurtosis_excess"][0] > 10
+
+
+def test_burstiness_metronome_vs_bursty(ray_session, tmp_path):
+    """Perfectly regular gaps -> B = -1 per user; highly variable
+    gaps -> B approaches +1; mean reflects the mix."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    reg = str(tmp_path / "breg")
+    _write_events(reg, [t0 + i * 60 * s for i in range(10)],
+                  [1.0] * 10)
+    o = REGISTRY["user_burstiness_mean"][0](reg)
+    assert o["mean_burstiness"][0] == -1.0
+    brs = str(tmp_path / "bbur")
+    # gaps: 1s x99 then one huge 100-day gap: sigma/mu ~ sqrt(n-1)
+    # -> B ~ (sqrt(99)-1)/(sqrt(99)+1) ~ 0.82
+    ts = [t0 + i * s for i in range(100)] \
+        + [t0 + np.timedelta64(100, "D")]
+    _write_events(brs, ts, [1.0] * 101)
+    o2 = REGISTRY["user_burstiness_mean"][0](brs)
+    assert o2["mean_burstiness"][0] > 0.7

@@ -14087,6 +14087,318 @@ def mcnemar_purchase_periods(sf_dir: str) -> pd.DataFrame:
                          "chi2": [float(chi2)]})
 
 
+@register("daily_period_power", sql="""
+WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS d,
+                      CAST(COUNT(*) AS BIGINT) AS y
+               FROM events GROUP BY 1),
+b AS (SELECT MIN(d) AS mn, MAX(d) AS mx FROM daily),
+spine AS (SELECT UNNEST(generate_series(mn, mx)) AS d FROM b),
+g AS (SELECT spine.d - (SELECT mn FROM b) AS t,
+             COALESCE(daily.y, 0) AS y
+      FROM spine LEFT JOIN daily ON daily.d = spine.d),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(y AS DOUBLE)) AS sy FROM g),
+per AS (SELECT UNNEST(generate_series(2, 14)) AS p),
+dft AS (SELECT per.p,
+               SUM((y - m.sy / m.n)
+                   * COS(2 * PI() * g.t / per.p)) AS c,
+               SUM((y - m.sy / m.n)
+                   * SIN(2 * PI() * g.t / per.p)) AS s
+        FROM g, m, per GROUP BY per.p, m.n)
+SELECT CAST(p AS BIGINT) AS period_days,
+       ROUND((c * c + s * s) / ((SELECT n FROM m)
+                                * CAST((SELECT n FROM m) AS DOUBLE)),
+             6) AS power
+FROM dft ORDER BY 1""")
+def daily_period_power(sf_dir: str) -> pd.DataFrame:
+    """Oracle-backed periodogram: spectral power of the mean-detrended
+    daily volume at candidate periods 2–14 days (the Goertzel-style
+    explicit DFT — event_periodicity's rFFT finds the same peaks but
+    can't be SQL-checked; this one can, and the weekly cycle shows as
+    the period-7 spike). One daily reduce; the zero-filled spine,
+    the shared per-term cos/sin operands (2·π·t/p evaluated in the
+    identical order, both libm), and power = (C² + S²)/T² close
+    driver-side; ≤ 13·T float terms, far inside the 6-dp round."""
+    ds = _events(sf_dir, ["ts"])
+
+    def day_col(t: pa.Table) -> pd.DataFrame:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pd.DataFrame({"d": (us // 86_400_000_000)
+                             .astype(np.int64)})
+
+    daily = reduce_sink(ds.map_batches(day_col, batch_format="pyarrow"),
+                        ["d"], {"y": ("d", "size")}) \
+        .to_pandas().sort_values("d", ignore_index=True)
+    lo, hi = int(daily["d"].iloc[0]), int(daily["d"].iloc[-1])
+    y = np.zeros(hi - lo + 1, np.float64)
+    y[daily["d"].to_numpy(np.int64) - lo] = \
+        daily["y"].to_numpy(np.float64)
+    n = len(y)
+    t = np.arange(n, dtype=np.float64)
+    x = y - float(y.sum()) / n
+    r6 = textstats.round_half_away
+    rows = []
+    for p in range(2, 15):
+        c = float((x * np.cos(2 * np.pi * t / p)).sum())
+        s = float((x * np.sin(2 * np.pi * t / p)).sum())
+        rows.append((p, float(r6((c * c + s * s)
+                                 / (n * float(n)), 6))))
+    return pd.DataFrame(rows, columns=["period_days", "power"]) \
+        .astype({"period_days": np.int64})
+
+
+@register("pot_exceedance_clusters", sql="""
+WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS d,
+                      CAST(COUNT(*) AS BIGINT) AS y
+               FROM events GROUP BY 1),
+r AS (SELECT d, y,
+             CAST(SUM(1) OVER (ORDER BY y, d) AS BIGINT) AS rk,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n FROM daily),
+thr AS (SELECT MIN(y) AS t FROM r WHERE 10 * rk >= 9 * n),
+ex AS (SELECT d, y,
+              d - ROW_NUMBER() OVER (ORDER BY d) AS island
+       FROM daily, thr WHERE y > t),
+cl AS (SELECT island, CAST(COUNT(*) AS BIGINT) AS len,
+              CAST(SUM(y) AS BIGINT) AS tot,
+              CAST(MIN(d) AS BIGINT) AS start_d
+       FROM ex GROUP BY island),
+best AS (SELECT len, tot, start_d,
+                ROW_NUMBER() OVER (ORDER BY tot DESC, start_d) AS rn
+         FROM cl)
+SELECT (SELECT CAST(t AS BIGINT) FROM thr) AS threshold,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM ex) AS n_exceed,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM cl) AS n_clusters,
+       (SELECT CAST(MAX(len) AS BIGINT) FROM cl) AS max_run_len,
+       (SELECT tot FROM best WHERE rn = 1) AS best_cluster_sum,
+       (SELECT start_d FROM best WHERE rn = 1) AS best_cluster_day""")
+def pot_exceedance_clusters(sf_dir: str) -> pd.DataFrame:
+    """Peaks-over-threshold exceedance clustering — the extreme-value
+    view of the daily series: days above the P90 volume threshold
+    (lower-convention integer quantile, 10·cum ≥ 9n) group into
+    CALENDAR-consecutive clusters (the d − row_number gaps-and-islands
+    identity, so a silent or sub-threshold day breaks the run), and
+    the capacity answer is how many storms, how long the longest, and
+    which burst carried the most volume (earliest on ties). Pure
+    integer arithmetic off the one daily reduce on both engines."""
+    ds = _events(sf_dir, ["ts"])
+
+    def day_col(t: pa.Table) -> pd.DataFrame:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pd.DataFrame({"d": (us // 86_400_000_000)
+                             .astype(np.int64)})
+
+    daily = reduce_sink(ds.map_batches(day_col, batch_format="pyarrow"),
+                        ["d"], {"y": ("d", "size")}) \
+        .to_pandas().sort_values("d", ignore_index=True)
+    y = daily["y"].to_numpy(np.int64)
+    d = daily["d"].to_numpy(np.int64)
+    n = len(y)
+    ys = np.sort(y)
+    thr = int(ys[np.searchsorted(10 * np.arange(1, n + 1), 9 * n,
+                                 side="left")])
+    mask = y > thr
+    ex_d = d[mask]
+    ex_y = y[mask]
+    if not len(ex_d):
+        return pd.DataFrame({
+            "threshold": np.array([thr], np.int64),
+            "n_exceed": np.array([0], np.int64),
+            "n_clusters": np.array([0], np.int64),
+            "max_run_len": pd.array([None], dtype="Int64"),
+            "best_cluster_sum": pd.array([None], dtype="Int64"),
+            "best_cluster_day": pd.array([None], dtype="Int64")})
+    island = ex_d - np.arange(1, len(ex_d) + 1)
+    cl = pd.DataFrame({"island": island, "y": ex_y, "d": ex_d}) \
+        .groupby("island").agg(length=("y", "size"), tot=("y", "sum"),
+                               start_d=("d", "min"))
+    best = cl.sort_values(["tot", "start_d"],
+                          ascending=[False, True]).iloc[0]
+    return pd.DataFrame({
+        "threshold": np.array([thr], np.int64),
+        "n_exceed": np.array([int(mask.sum())], np.int64),
+        "n_clusters": np.array([len(cl)], np.int64),
+        "max_run_len": np.array([int(cl["length"].max())], np.int64),
+        "best_cluster_sum": np.array([int(best["tot"])], np.int64),
+        "best_cluster_day": np.array([int(best["start_d"])],
+                                     np.int64)})
+
+
+@register("moments_skew_kurtosis_by_type", sql="""
+WITH v AS (SELECT event_type AS g,
+                  CAST(ROUND(value * 100) AS BIGINT) AS c FROM events),
+hh AS (SELECT g, c, CAST(COUNT(*) AS BIGINT) AS cnt FROM v GROUP BY 1, 2),
+cum AS (SELECT g, c, cnt,
+               CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY c)
+                    AS BIGINT) AS cm,
+               CAST(SUM(cnt) OVER (PARTITION BY g) AS BIGINT) AS n
+        FROM hh),
+q AS (SELECT g, MIN(n) AS n,
+             MIN(CASE WHEN 4 * cm >= n THEN c END) AS q1,
+             MIN(CASE WHEN 2 * cm >= n THEN c END) AS q2,
+             MIN(CASE WHEN 4 * cm >= 3 * n THEN c END) AS q3
+      FROM cum GROUP BY g),
+mom AS (SELECT g, CAST(SUM(cnt * c) AS BIGINT) AS s1,
+               CAST(SUM(cnt * c * c) AS HUGEINT) AS s2,
+               CAST(SUM(CAST(cnt AS HUGEINT) * c * c * c)
+                    AS HUGEINT) AS s3,
+               CAST(SUM(CAST(cnt AS HUGEINT) * c * c * c * c)
+                    AS HUGEINT) AS s4
+        FROM hh GROUP BY g)
+SELECT q.g AS event_type, q.n, q.q1, q.q2, q.q3, mom.s1,
+       CASE WHEN q.q3 = q.q1 THEN 0.0
+            ELSE ROUND(CAST(q.q3 + q.q1 - 2 * q.q2 AS DOUBLE)
+                       / (q.q3 - q.q1), 6) END AS bowley_skew,
+       CASE WHEN CAST(s2 AS DOUBLE) / q.n
+                 - (CAST(s1 AS DOUBLE) / q.n)
+                 * (CAST(s1 AS DOUBLE) / q.n) = 0.0 THEN 0.0
+            ELSE ROUND((CAST(s4 AS DOUBLE) / q.n
+                        - 4 * (CAST(s3 AS DOUBLE) / q.n)
+                          * (CAST(s1 AS DOUBLE) / q.n)
+                        + 6 * (CAST(s2 AS DOUBLE) / q.n)
+                          * (CAST(s1 AS DOUBLE) / q.n)
+                          * (CAST(s1 AS DOUBLE) / q.n)
+                        - 3 * (CAST(s1 AS DOUBLE) / q.n)
+                          * (CAST(s1 AS DOUBLE) / q.n)
+                          * (CAST(s1 AS DOUBLE) / q.n)
+                          * (CAST(s1 AS DOUBLE) / q.n))
+                       / ((CAST(s2 AS DOUBLE) / q.n
+                           - (CAST(s1 AS DOUBLE) / q.n)
+                           * (CAST(s1 AS DOUBLE) / q.n))
+                          * (CAST(s2 AS DOUBLE) / q.n
+                             - (CAST(s1 AS DOUBLE) / q.n)
+                             * (CAST(s1 AS DOUBLE) / q.n)))
+                       - 3.0, 6)
+       END AS kurtosis_excess
+FROM q JOIN mom ON q.g = mom.g ORDER BY 1""")
+def moments_skew_kurtosis_by_type(sf_dir: str) -> pd.DataFrame:
+    """Distribution-shape profile per event type: Bowley (quartile)
+    skewness — the robust skew measure, exact integers over the
+    boxplot family's quantile convention — and moment excess
+    kurtosis from the raw power sums S1..S4 (128-bit integers; the
+    central-moment expansion m4/m2² − 3 is evaluated with the
+    IDENTICAL division-by-n operand order on both engines, so the
+    cancellation-prone floats agree bit-for-bit). One (type, cents)
+    contingency reduce feeds both statistics; constant columns
+    (q3 = q1 or zero variance) short-circuit to 0."""
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "g": df["event_type"].astype(str),
+            "c": np.rint(df["value"].to_numpy(np.float64) * 100)
+            .astype(np.int64)})
+
+    hh = reduce_sink(
+        _events(sf_dir, ["event_type", "value"])
+        .map_batches(prep, batch_format="pandas"),
+        ["g", "c"], {"cnt": ("c", "size")}).to_pandas() \
+        .sort_values(["g", "c"], ignore_index=True)
+    r6 = textstats.round_half_away
+    rows = []
+    for g, grp in hh.groupby("g", sort=True):
+        cnt = grp["cnt"].to_numpy(np.int64)
+        c = grp["c"].to_numpy(np.int64)
+        n = int(cnt.sum())
+        cm = np.cumsum(cnt)
+        q1 = int(c[np.searchsorted(4 * cm, n, side="left")])
+        q2 = int(c[np.searchsorted(2 * cm, n, side="left")])
+        q3 = int(c[np.searchsorted(4 * cm, 3 * n, side="left")])
+        s1 = sum(int(a) * int(b) for a, b in zip(cnt, c))
+        s2 = sum(int(a) * int(b) ** 2 for a, b in zip(cnt, c))
+        s3 = sum(int(a) * int(b) ** 3 for a, b in zip(cnt, c))
+        s4 = sum(int(a) * int(b) ** 4 for a, b in zip(cnt, c))
+        bow = 0.0 if q3 == q1 else \
+            r6(float(q3 + q1 - 2 * q2) / (q3 - q1), 6)
+        m1 = float(s1) / n
+        m2 = float(s2) / n - m1 * m1
+        if m2 == 0.0:
+            kur = 0.0
+        else:
+            m4 = float(s4) / n - 4 * (float(s3) / n) * m1 \
+                + 6 * (float(s2) / n) * m1 * m1 \
+                - 3 * m1 * m1 * m1 * m1
+            kur = r6(m4 / (m2 * m2) - 3.0, 6)
+        rows.append((g, n, q1, q2, q3, s1, float(bow), float(kur)))
+    out = pd.DataFrame(rows, columns=[
+        "event_type", "n", "q1", "q2", "q3", "s1", "bowley_skew",
+        "kurtosis_excess"])
+    for col in ("n", "q1", "q2", "q3", "s1"):
+        out[col] = out[col].astype(np.int64)
+    return out.sort_values("event_type", ignore_index=True)
+
+
+@register("user_burstiness_mean", sql="""
+WITH o AS (SELECT user_id,
+                  (epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)))
+                  // 1000000 AS gap_s
+           FROM events),
+g AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(gap_s) AS BIGINT) AS s,
+             CAST(SUM(gap_s * gap_s) AS HUGEINT) AS sq
+      FROM o WHERE gap_s IS NOT NULL GROUP BY user_id),
+b AS (SELECT CASE WHEN s = 0 THEN 0.0
+                  ELSE (sqrt(CAST(n * sq - CAST(s AS HUGEINT) * s
+                                  AS DOUBLE)) - s)
+                       / (sqrt(CAST(n * sq - CAST(s AS HUGEINT) * s
+                                    AS DOUBLE)) + s)
+             END AS bu
+      FROM g)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND(SUM(bu) / COUNT(*), 6) AS mean_burstiness
+FROM b""")
+def user_burstiness_mean(sf_dir: str) -> pd.DataFrame:
+    """Mean burstiness of user inter-event times, B = (σ−μ)/(σ+μ)
+    per user (Goh & Barabási 2008: −1 = metronome, 0 = Poisson,
+    → 1 = extreme bursts) — the temporal-pattern fingerprint that
+    session statistics miss. Gaps quantize to integer SECONDS
+    (floor division, shared convention) inside the user-hash bucket;
+    the n in σ/μ cancels, so B = (√R − S)/(√R + S) with R = n·Σg² −
+    S² an EXACT ≥0 integer (128-bit — g² alone would overflow int64)
+    and one shared sqrt; the all-zero-gap user pins to 0. Only
+    per-user (n, S, Σg²) partials leave the buckets; the final mean
+    is a bounded float sum against the 6-dp guard."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id"])
+
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket_"] = (df["user_id"].to_numpy(np.int64) % 32) \
+            .astype(np.int32)
+        return df
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        us = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        uid = g["user_id"].to_numpy(np.int64)
+        same = np.zeros(len(g), bool)
+        same[1:] = uid[1:] == uid[:-1]
+        gap = np.where(same, (us - np.roll(us, 1)) // 1_000_000, 0)
+        d = pd.DataFrame({"user_id": uid[same], "g": gap[same]})
+        if not len(d):
+            return pd.DataFrame({"bu": pd.Series([], np.float64)})
+        agg = d.assign(sq=d["g"].astype(object) ** 2) \
+            .groupby("user_id").agg(n=("g", "size"), s=("g", "sum"),
+                                    sq=("sq", "sum"))
+        bu = []
+        for n, s, sq in zip(agg["n"], agg["s"], agg["sq"]):
+            n, s, sq = int(n), int(s), int(sq)
+            if s == 0:
+                bu.append(0.0)
+                continue
+            root = np.sqrt(float(n * sq - s * s))
+            bu.append((root - s) / (root + s))
+        return pd.DataFrame({"bu": np.array(bu, np.float64)})
+
+    bu = (ds.map_batches(with_bucket, batch_format="pandas")
+          .groupby("bucket_")
+          .map_groups(per_user, batch_format="pandas")).to_pandas()
+    r6 = textstats.round_half_away
+    n_users = len(bu)
+    return pd.DataFrame({
+        "n_users": np.array([n_users], np.int64),
+        "mean_burstiness": [float(r6(float(bu["bu"].sum()) / n_users,
+                                     6))]})
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
