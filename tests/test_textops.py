@@ -166,3 +166,75 @@ def test_strip_html_idempotent_on_plain_text():
     again = strip_html(pa.table({"text": once["clean_text"]}))
     assert once["clean_text"].to_pylist() == \
         again["clean_text"].to_pylist() == ["plain words here"]
+
+
+def _write_docs_min(d, texts, sources):
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(d, exist_ok=True)
+    n = len(texts)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * n),
+        "source": pa.array(sources),
+        "n_chars": pa.array(np.array([len(t) for t in texts],
+                                     np.int64)),
+    }), os.path.join(d, "documents.parquet"))
+
+
+def test_term_occurrences_nonoverlapping(ray_session, tmp_path):
+    """'hashhash' counts 'hash' twice; 'mergesort' hits both terms;
+    doc counts track containment not multiplicity."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    d = str(tmp_path / "terms")
+    _write_docs_min(d, ["hashhash join", "mergesort scan scan",
+                        "nothing here"], ["s0", "s0", "s1"])
+    out = REGISTRY["term_occurrence_counts"][0](d)
+    got = {(r.term, r.source): (r.occurrences, r.docs)
+           for r in out.itertuples()}
+    assert got[("hash", "s0")] == (2, 1)
+    assert got[("scan", "s0")] == (2, 1)
+    assert got[("merge", "s0")] == (1, 1)
+    assert got[("sort", "s0")] == (1, 1)
+    assert got[("join", "s0")] == (1, 1)
+    assert got[("hash", "s1")] == (0, 0)
+
+
+def test_word_length_hist_hand(ray_session, tmp_path):
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    d = str(tmp_path / "wl")
+    _write_docs_min(d, ["a bb  ccc", "", "  dd a  "], ["s"] * 3)
+    out = REGISTRY["word_length_hist"][0](d)
+    got = dict(zip(out["len"], out["n"]))
+    assert got == {1: 2, 2: 2, 3: 1}
+
+
+def test_char_entropy_uniform_vs_constant(ray_session, tmp_path):
+    """Four equiprobable chars -> exactly 2 bits; a single repeated
+    char -> 0 bits."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    d = str(tmp_path / "ent")
+    _write_docs_min(d, ["abcd" * 10, "aaaa" * 10], ["u", "k"])
+    out = REGISTRY["char_entropy_by_source"][0](d)
+    got = dict(zip(out["source"], out["entropy_bits"]))
+    assert got["u"] == 2.0
+    assert got["k"] == 0.0
+
+
+def test_region_share_rollup_sums(ray_session):
+    """Shares within each region sum to 1; region shares sum to 1."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    out = REGISTRY["region_share_rollup"][0]("/root/testdata/sf0.001")
+    for _, grp in out.groupby("region"):
+        assert abs(grp["nation_share_of_region"].sum() - 1.0) < 1e-4
+    regs = out.drop_duplicates("region")
+    assert abs(regs["region_share_of_total"].sum() - 1.0) < 1e-4

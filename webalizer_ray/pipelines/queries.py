@@ -14399,6 +14399,204 @@ def user_burstiness_mean(sf_dir: str) -> pd.DataFrame:
                                      6))]})
 
 
+@register("term_occurrence_counts", sql="""
+WITH terms AS (SELECT unnest(['scan', 'join', 'merge', 'sort',
+                              'hash']) AS term),
+c AS (SELECT t.term, d.source,
+             (length(d.text) - length(replace(d.text, t.term, '')))
+             // length(t.term) AS k
+      FROM documents d CROSS JOIN terms t)
+SELECT term, source, CAST(SUM(k) AS BIGINT) AS occurrences,
+       CAST(SUM(CASE WHEN k > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs
+FROM c GROUP BY 1, 2 ORDER BY 1, 2""")
+def term_occurrence_counts(sf_dir: str) -> pd.DataFrame:
+    """Multi-pattern substring counting — total NON-OVERLAPPING
+    occurrences and containing-doc counts for a broadcast term
+    dictionary, per source (the dictionary-scan primitive behind
+    contamination screens and keyword dashboards). Arrow's
+    count_substring kernel is non-overlapping by definition, which is
+    exactly the oracle's replace-arithmetic (len − len(replace))/len,
+    so the counts are integer-identical. One vectorized kernel per
+    term per batch (|terms| broadcast once), only (term, source)
+    partials shuffle."""
+    terms = ["scan", "join", "merge", "sort", "hash"]
+    terms_ref = ray.put(terms)
+
+    def count(batch: pa.Table) -> pd.DataFrame:
+        ts = ray.get(terms_ref)
+        src = batch["source"].to_pandas()
+        frames = []
+        for term in ts:
+            k = pc.count_substring(batch["text"], term) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            frames.append(pd.DataFrame({
+                "term": term, "source": src, "k": k,
+                "d": (k > 0).astype(np.int64)}))
+        allf = pd.concat(frames, ignore_index=True)
+        return allf.groupby(["term", "source"], as_index=False) \
+            .agg(occurrences=("k", "sum"), docs=("d", "sum"))
+
+    out = reduce_sink(
+        _docs(sf_dir, ["text", "source"]).map_batches(
+            count, batch_format="pyarrow"),
+        ["term", "source"], {"occurrences": ("occurrences", "sum"),
+                             "docs": ("docs", "sum")}).to_pandas()
+    return out.sort_values(["term", "source"], ignore_index=True)
+
+
+@register("word_length_hist", sql=r"""
+WITH w AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS wd
+           FROM documents)
+SELECT CAST(length(wd) AS BIGINT) AS len,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM w WHERE length(wd) > 0 GROUP BY 1 ORDER BY 1""")
+def word_length_hist(sf_dir: str) -> pd.DataFrame:
+    """Corpus word-length histogram — the tokenizer-health profile
+    (a long tail of 50-char 'words' means markup leaked through
+    cleaning). Fully Arrow-vectorized: split_pattern_regex explodes
+    each batch to a list column, utf8_length runs on the FLATTENED
+    child array with no Python per-token work, empties drop on both
+    engines, and only (len, n) partials — bounded by the longest
+    word — ever shuffle."""
+    def lens(batch: pa.Table) -> pd.DataFrame:
+        words = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(batch["text"]), r"\s+")
+        flat = pc.list_flatten(words)
+        ln = pc.utf8_length(flat).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ln = ln[ln > 0]
+        u, c = np.unique(ln, return_counts=True)
+        return pd.DataFrame({"len": u.astype(np.int64),
+                             "n": c.astype(np.int64)})
+
+    out = reduce_sink(
+        _docs(sf_dir, ["text"]).map_batches(lens,
+                                            batch_format="pyarrow"),
+        ["len"], {"n": ("n", "sum")}).to_pandas()
+    return out.sort_values("len", ignore_index=True)
+
+
+@register("char_entropy_by_source", sql="""
+WITH ch AS (SELECT source, unnest(string_split(text, '')) AS c
+            FROM documents),
+h AS (SELECT source, c, CAST(COUNT(*) AS BIGINT) AS n
+      FROM ch GROUP BY 1, 2),
+t AS (SELECT source, CAST(SUM(n) AS BIGINT) AS tot FROM h GROUP BY 1)
+SELECT h.source, t.tot AS n_chars,
+       ROUND(-SUM((n / CAST(tot AS DOUBLE))
+                  * LOG2(n / CAST(tot AS DOUBLE))), 6) AS entropy_bits
+FROM h JOIN t ON h.source = t.source
+GROUP BY h.source, t.tot ORDER BY 1""")
+def char_entropy_by_source(sf_dir: str) -> pd.DataFrame:
+    """Shannon entropy of the CHARACTER distribution per source —
+    the cheapest gibberish/compressibility screen (natural prose sits
+    ≈4 bits; base64 blobs or repeated padding stand out immediately).
+    Each batch concatenates its per-source texts and histograms raw
+    bytes with ONE np.frombuffer + bincount (no per-char Python, no
+    unnest explosion — the oracle pays that instead); only ≤256
+    (source, byte, n) partials per batch shuffle and the entropy
+    closes over the tiny aggregate with the shared p·log₂p
+    expression."""
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for src, grp in df.groupby("source", sort=False):
+            b = np.frombuffer("".join(grp["text"].tolist())
+                              .encode("utf-8"), np.uint8)
+            cnt = np.bincount(b, minlength=256)
+            nz = np.nonzero(cnt)[0]
+            frames.append(pd.DataFrame({
+                "source": src, "byte": nz.astype(np.int64),
+                "n": cnt[nz].astype(np.int64)}))
+        if not frames:
+            return pd.DataFrame({"source": pd.Series([], dtype=object),
+                                 "byte": pd.Series([], dtype=np.int64),
+                                 "n": pd.Series([], dtype=np.int64)})
+        return pd.concat(frames, ignore_index=True)
+
+    h = reduce_sink(
+        _docs(sf_dir, ["text", "source"]).map_batches(
+            hist, batch_format="pandas"),
+        ["source", "byte"], {"n": ("n", "sum")}).to_pandas()
+    r6 = textstats.round_half_away
+    rows = []
+    for src, grp in h.groupby("source", sort=True):
+        n = grp["n"].to_numpy(np.float64)
+        tot = int(n.sum())
+        p = n / float(tot)
+        ent = float(-(p * np.log2(p)).sum())
+        rows.append((src, tot, float(r6(ent, 6))))
+    return pd.DataFrame(rows, columns=["source", "n_chars",
+                                       "entropy_bits"]) \
+        .astype({"n_chars": np.int64})
+
+
+@register("region_share_rollup", sql="""
+WITH rev AS (SELECT c_nationkey AS nk,
+                    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                         AS BIGINT) AS cents
+             FROM orders JOIN customer ON o_custkey = c_custkey
+             GROUP BY 1),
+j AS (SELECT r.r_name AS region, n.n_name AS nation, rev.cents
+      FROM rev JOIN nation n ON rev.nk = n.n_nationkey
+               JOIN region r ON n.n_regionkey = r.r_regionkey),
+t AS (SELECT region, nation, cents,
+             CAST(SUM(cents) OVER (PARTITION BY region) AS BIGINT)
+                 AS rtot,
+             CAST(SUM(cents) OVER () AS BIGINT) AS gtot FROM j)
+SELECT region, nation, cents,
+       ROUND(CAST(cents AS DOUBLE) / rtot, 6)
+           AS nation_share_of_region,
+       ROUND(CAST(rtot AS DOUBLE) / gtot, 6)
+           AS region_share_of_total
+FROM t ORDER BY 1, 2""")
+def region_share_rollup(sf_dir: str) -> pd.DataFrame:
+    """Hierarchical percent-of-parent rollup (RATIO_TO_REPORT):
+    nation revenue with its share of the region and the region's
+    share of the grand total — the two-level drill-down every BI
+    report renders. Scale shape: the fact table reduces per
+    nationkey with the customer→nation map broadcast once (ray.put
+    — the dimension side, never shuffled); the 25-row aggregate
+    joins names and computes both share levels driver-side with
+    exact integer cents and one rounded division per row."""
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"]) \
+        .to_pandas()
+    cmap_ref = ray.put(dict(zip(cust["c_custkey"].to_numpy(np.int64),
+                                cust["c_nationkey"]
+                                .to_numpy(np.int64))))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cmap = ray.get(cmap_ref)
+        nk = df["o_custkey"].map(cmap).to_numpy(np.int64)
+        cents = np.rint(df["o_totalprice"].to_numpy(np.float64)
+                        * 100).astype(np.int64)
+        return pd.DataFrame({"nk": nk, "cents": cents}) \
+            .groupby("nk", as_index=False).sum()
+
+    rev = reduce_sink(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_totalprice"])
+        .map_batches(partial, batch_format="pandas"),
+        ["nk"], {"cents": ("cents", "sum")}).to_pandas()
+    nat = rd.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    reg = rd.read_parquet(f"{sf_dir}/region.parquet").to_pandas()
+    j = rev.merge(nat, left_on="nk", right_on="n_nationkey") \
+        .merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    j = j.rename(columns={"r_name": "region", "n_name": "nation"})
+    rtot = j.groupby("region")["cents"].transform("sum")
+    gtot = int(j["cents"].sum())
+    r6 = textstats.round_half_away
+    out = pd.DataFrame({
+        "region": j["region"], "nation": j["nation"],
+        "cents": j["cents"].astype(np.int64),
+        "nation_share_of_region": r6(
+            j["cents"].to_numpy(np.float64)
+            / rtot.to_numpy(np.float64), 6),
+        "region_share_of_total": r6(
+            rtot.to_numpy(np.float64) / float(gtot), 6)})
+    return out.sort_values(["region", "nation"], ignore_index=True)
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
