@@ -1358,3 +1358,71 @@ def test_burstiness_metronome_vs_bursty(ray_session, tmp_path):
     _write_events(brs, ts, [1.0] * 101)
     o2 = REGISTRY["user_burstiness_mean"][0](brs)
     assert o2["mean_burstiness"][0] > 0.7
+
+
+def test_rate_limit_audit_hand_case(ray_session, tmp_path):
+    """7 events in one minute -> bursts 1..7, two violations (k=6,7);
+    an event 301s later only sees itself."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    ts = [t0 + i * 10 * s for i in range(7)] + [t0 + 361 * s]
+    d = str(tmp_path / "rl")
+    _write_events(d, ts, [1.0] * 8)
+    out = REGISTRY["rate_limit_audit"][0](d)
+    assert out["n_events"][0] == 8
+    assert out["max_burst"][0] == 7
+    assert out["violations"][0] == 2
+    # 361s after t0: events at 10..60s are all > 61s out of window?
+    # window is (361-300, 361] = (61, 361]: t0+60s exactly at 60 < 61
+    # -> excluded; only itself counts
+
+
+def test_rate_limit_strict_boundary(ray_session, tmp_path):
+    """An event exactly 300s earlier is OUTSIDE the strict window."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    d = str(tmp_path / "rlb")
+    _write_events(d, [t0, t0 + 300 * s, t0 + 599 * s], [1.0] * 3)
+    out = REGISTRY["rate_limit_audit"][0](d)
+    # event 2 sees only itself (t0 exactly 300s before: excluded);
+    # event 3 sees event 2 (299s before) and itself
+    assert out["max_burst"][0] == 2
+
+
+def test_stratified_split_budget_and_membership(ray_session,
+                                                tmp_path):
+    """n_val sums to exactly tot // 10 and the checksum matches a
+    brute-force recomputation of the smallest-hash members."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    d = str(tmp_path / "strat")
+    os.makedirs(d, exist_ok=True)
+    n = 97
+    langs = [("en", "de", "fr")[i % 3] for i in range(n)]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array(["x"] * n),
+        "lang": pa.array(langs),
+        "source": pa.array(["s"] * n),
+        "n_chars": pa.array(np.ones(n, np.int64))}),
+        os.path.join(d, "documents.parquet"))
+    out = REGISTRY["stratified_split_exact_counts"][0](d)
+    assert out["n_val"].sum() == n // 10
+    # brute-force membership per lang
+    h = (np.arange(n, dtype=np.uint64) * np.uint64(2654435761)) \
+        % np.uint64(1 << 32)
+    for r in out.itertuples():
+        ids = np.array([i for i in range(n)
+                        if langs[i] == r.lang], np.int64)
+        key = sorted(zip(h[ids].astype(np.int64), ids))
+        expect = sum(i for _, i in key[:r.n_val])
+        assert r.val_id_sum == expect

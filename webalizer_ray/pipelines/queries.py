@@ -14597,6 +14597,195 @@ def region_share_rollup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["region", "nation"], ignore_index=True)
 
 
+@register("rate_limit_audit", sql="""
+WITH c AS (SELECT e.user_id, e.ts, e.event_id,
+                  (SELECT COUNT(*) FROM events e2
+                   WHERE e2.user_id = e.user_id
+                     AND epoch_us(e2.ts) > epoch_us(e.ts) - 300000000
+                     AND (e2.ts < e.ts OR (e2.ts = e.ts
+                          AND e2.event_id <= e.event_id))) AS k
+           FROM events e)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN k > 5 THEN 1 ELSE 0 END) AS BIGINT)
+           AS violations,
+       CAST(MAX(k) AS BIGINT) AS max_burst,
+       ROUND(CAST(SUM(CASE WHEN k > 5 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS violation_rate
+FROM c""")
+def rate_limit_audit(sf_dir: str) -> pd.DataFrame:
+    """Sliding-window rate-limit audit: for every event, how many
+    events its user fired in the trailing 5 minutes (arrival order =
+    (ts, event_id), self included, strict 300 s lookback) — the
+    would-this-trip-a-limiter question asked over the historical log,
+    with violations counted above a burst budget of 5. Same bucket
+    machinery as user_trailing_1h_value: users hash into buckets,
+    each bucket sorts ONCE by (user, ts, id) and shifts every user
+    run onto a shared monotonic axis with gaps wider than the
+    window, so a single searchsorted against (adj − 300s + 1µs)
+    answers every row — the positional index minus the boundary IS
+    the burst size, which also encodes the equal-timestamp id≤ tie
+    rule for free. Only four partial scalars leave each bucket."""
+    ds = _events(sf_dir, ["event_id", "user_id", "ts"])
+    win = 300_000_000
+
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket_"] = (df["user_id"].to_numpy(np.int64) % 32) \
+            .astype(np.int32)
+        return df
+
+    def audit(g: pd.DataFrame) -> pd.DataFrame:
+        us = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        uid = g["user_id"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        order = np.lexsort((eid, us, uid))
+        us, uid = us[order], uid[order]
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        ends = np.r_[starts[1:], len(uid)]
+        run_of = np.repeat(np.arange(len(starts)), ends - starts)
+        run_min, run_max = us[starts], us[ends - 1]
+        span = run_max - run_min
+        base = np.concatenate(
+            ([0], np.cumsum(span[:-1] + 2 * win + 2)))
+        adj = us - run_min[run_of] + base[run_of]
+        left = np.searchsorted(adj, adj - win + 1, side="left")
+        k = np.arange(len(adj)) - left + 1
+        return pd.DataFrame({
+            "n_events": [np.int64(len(k))],
+            "violations": [np.int64((k > 5).sum())],
+            "max_burst": [np.int64(k.max() if len(k) else 0)]})
+
+    parts = (ds.map_batches(with_bucket, batch_format="pandas")
+             .groupby("bucket_")
+             .map_groups(lambda g: audit(g.drop(columns=["bucket_"])),
+                         batch_format="pandas")).to_pandas()
+    n = int(parts["n_events"].sum())
+    viol = int(parts["violations"].sum())
+    r6 = textstats.round_half_away
+    return pd.DataFrame({
+        "n_events": np.array([n], np.int64),
+        "violations": np.array([viol], np.int64),
+        "max_burst": np.array([int(parts["max_burst"].max())],
+                              np.int64),
+        "violation_rate": [float(r6(float(viol) / n, 6))]})
+
+
+@register("stratified_split_exact_counts", sql="""
+WITH d AS (SELECT doc_id, lang,
+                  (doc_id * 2654435761) % 4294967296 AS h
+           FROM documents),
+t AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1),
+s AS (SELECT CAST(SUM(n) AS BIGINT) AS tot,
+             CAST(SUM(n) // 10 AS BIGINT) AS b FROM t),
+a AS (SELECT lang, n, (b * n) // tot AS fl, (b * n) % tot AS rem
+      FROM t, s),
+k AS (SELECT CAST(MIN(b) - SUM(fl) AS BIGINT) AS extra FROM a,
+      (SELECT b FROM s) x(b)),
+r AS (SELECT lang, n,
+             CAST(fl + CASE WHEN ROW_NUMBER()
+                                 OVER (ORDER BY rem DESC, lang)
+                            <= k.extra THEN 1 ELSE 0 END
+                  AS BIGINT) AS n_val
+      FROM a, k),
+rk AS (SELECT doc_id, lang,
+              ROW_NUMBER() OVER (PARTITION BY lang
+                                 ORDER BY h, doc_id) AS rn
+       FROM d),
+sel AS (SELECT rk.lang, rk.doc_id
+        FROM rk JOIN r USING (lang) WHERE rk.rn <= r.n_val)
+SELECT r.lang, r.n, r.n_val,
+       CAST(COALESCE(SUM(sel.doc_id), 0) AS BIGINT) AS val_id_sum
+FROM r LEFT JOIN sel ON r.lang = sel.lang
+GROUP BY r.lang, r.n, r.n_val ORDER BY r.lang""")
+def stratified_split_exact_counts(sf_dir: str) -> pd.DataFrame:
+    """EXACT stratified validation split: a global 10% budget
+    apportioned across language strata by largest remainder (so the
+    val set is exactly tot//10 docs — per-stratum hash thresholds
+    can't promise that), each stratum's members chosen as its n_val
+    smallest (Knuth-hash, doc_id) keys — deterministic, reproducible,
+    and order-free. Scale path is two passes, NO per-stratum sort:
+    pass 1 reduces (lang, high-byte-of-hash) 256-bin counts, the
+    driver finds each stratum's cut bin from the tiny table; pass 2
+    sums sub-cut-bin members map-side and gathers ONLY the cut bin
+    (~1/256 of the stratum) to resolve the boundary exactly by
+    (h, doc_id). The val_id_sum checksum proves membership equality
+    against the oracle's ROW_NUMBER form, not just counts."""
+    knuth = np.uint64(2654435761)
+    mod = np.uint64(1 << 32)
+
+    def keyed(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy().astype(np.uint64)
+        h = (ids * knuth) % mod
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].to_numpy(),
+            "lang": batch["lang"].to_pandas(),
+            "h": h.astype(np.int64),
+            "bin": (h >> np.uint64(24)).astype(np.int64)})
+
+    d = _docs(sf_dir, ["doc_id", "lang"]).map_batches(
+        keyed, batch_format="pyarrow").materialize()
+    bins = reduce_sink(d, ["lang", "bin"],
+                       {"n": ("bin", "size")}).to_pandas()
+    t = bins.groupby("lang", sort=True)["n"].sum()
+    tot = int(t.sum())
+    budget = tot // 10
+    n_arr = t.to_numpy(np.int64)
+    fl = (budget * n_arr) // tot
+    rem = (budget * n_arr) % tot
+    extra = budget - int(fl.sum())
+    order = np.lexsort((np.asarray(t.index), -rem))
+    nv = fl.copy()
+    nv[order[:extra]] += 1
+    n_val = dict(zip(t.index, nv))
+    # per-stratum cut bin + how many needed inside it
+    cut_bin, need_in = {}, {}
+    for lang, grp in bins.groupby("lang"):
+        grp = grp.sort_values("bin")
+        cum = grp["n"].cumsum()
+        target = int(n_val[lang])
+        if target == 0:
+            cut_bin[lang], need_in[lang] = -1, 0
+            continue
+        idx = int(np.searchsorted(cum.to_numpy(), target,
+                                  side="left"))
+        cut_bin[lang] = int(grp["bin"].iloc[idx])
+        before = int(cum.iloc[idx - 1]) if idx else 0
+        need_in[lang] = target - before
+    cb_ref = ray.put((cut_bin, need_in))
+
+    def pass2(df: pd.DataFrame) -> pd.DataFrame:
+        cb, _ = ray.get(cb_ref)
+        cut = df["lang"].map(cb).fillna(-1).to_numpy(np.int64)
+        b = df["bin"].to_numpy(np.int64)
+        below = b < cut
+        sub = df[below].groupby("lang", as_index=False) \
+            .agg(id_sum=("doc_id", "sum"))
+        sub["kind"] = "sum"
+        sub["h"] = np.int64(0)
+        sub = sub.rename(columns={"id_sum": "doc_id"})
+        edge = df[b == cut][["lang", "doc_id", "h"]].copy()
+        edge["kind"] = "edge"
+        return pd.concat([sub[["lang", "doc_id", "h", "kind"]],
+                          edge[["lang", "doc_id", "h", "kind"]]],
+                         ignore_index=True)
+
+    parts = d.map_batches(pass2, batch_format="pandas").to_pandas()
+    rows = []
+    for lang in t.index:
+        p = parts[parts["lang"] == lang]
+        ssum = int(p[p["kind"] == "sum"]["doc_id"].sum())
+        edge = p[p["kind"] == "edge"].sort_values(
+            ["h", "doc_id"], kind="mergesort")
+        take = edge.head(need_in[lang])
+        rows.append((lang, int(t[lang]), int(n_val[lang]),
+                     ssum + int(take["doc_id"].sum())))
+    return pd.DataFrame(rows, columns=["lang", "n", "n_val",
+                                       "val_id_sum"]) \
+        .astype({"n": np.int64, "n_val": np.int64,
+                 "val_id_sum": np.int64}) \
+        .sort_values("lang", ignore_index=True)
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
