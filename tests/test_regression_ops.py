@@ -1426,3 +1426,68 @@ def test_stratified_split_budget_and_membership(ray_session,
         key = sorted(zip(h[ids].astype(np.int64), ids))
         expect = sum(i for _, i in key[:r.n_val])
         assert r.val_id_sum == expect
+
+
+def test_nearest_view_bands_bidirectional(ray_session, tmp_path):
+    """A purchase 90s AFTER its nearest view when an older view sits
+    10min before: the forward-nearest must win (band 1, not 2); a
+    user with no views lands in band -1."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    ts = [t0, t0 + 600 * s, t0 + 690 * s,   # u0: view, purchase, view
+          t0 + 5 * s]                        # u1: purchase, no view
+    types = ["view", "purchase", "view", "purchase"]
+    d = str(tmp_path / "nv")
+    _write_events(d, ts, [1.0] * 4, users=[0, 0, 0, 1], types=types)
+    out = REGISTRY["nearest_view_gap_bands"][0](d)
+    got = dict(zip(out["band"], out["n"]))
+    # u0's purchase: backward view 600s away, forward 90s -> band 2?
+    # 90s = 9e7us -> band 2 (60s <= gap < 600s)
+    assert got == {-1: 1, 2: 1}
+
+
+def test_sequence_anomaly_rare_path_ranks_first(ray_session,
+                                                tmp_path):
+    """A user walking a rare transition repeatedly scores the lowest
+    mean log-likelihood."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    ts, types, users = [], [], []
+    # 20 normal users: a->b->a->b... (common transitions)
+    i = 0
+    for u in range(20):
+        for k in range(8):
+            ts.append(t0 + i * s); i += 1
+            types.append("a" if k % 2 == 0 else "b")
+            users.append(u)
+    # 1 anomalous user: a->a->a... where a->a is rare globally
+    for k in range(8):
+        ts.append(t0 + i * s); i += 1
+        types.append("a")
+        users.append(99)
+    d = str(tmp_path / "anom")
+    _write_events(d, ts, [1.0] * len(ts), users=users, types=types)
+    out = REGISTRY["user_sequence_anomaly_topk"][0](d)
+    assert out["user_id"].iloc[0] == 99
+
+
+def test_wow_change_planted(ray_session, tmp_path):
+    """Second week doubles the first -> wow_pct = 1.0 on every day of
+    week two."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T12:00:00", "us")
+    day = np.timedelta64(1, "D")
+    ts = []
+    for i in range(14):
+        ts.extend([t0 + i * day] * (3 if i < 7 else 6))
+    d = str(tmp_path / "wow")
+    _write_events(d, ts, [1.0] * len(ts))
+    out = REGISTRY["daily_wow_change"][0](d)
+    assert len(out) == 7
+    assert (out["wow_pct"] == 1.0).all()
+    assert (out["y_prev_week"] == 3).all()

@@ -14786,6 +14786,223 @@ def stratified_split_exact_counts(sf_dir: str) -> pd.DataFrame:
         .sort_values("lang", ignore_index=True)
 
 
+@register("nearest_view_gap_bands", sql="""
+WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+p AS (SELECT user_id, ts, event_id FROM events
+      WHERE event_type = 'purchase'),
+nb AS (SELECT p.event_id,
+              (SELECT MIN(ABS(epoch_us(v.ts) - epoch_us(p.ts)))
+               FROM v WHERE v.user_id = p.user_id) AS gap
+       FROM p),
+b AS (SELECT CASE WHEN gap IS NULL THEN -1
+                  WHEN gap < 1000000 THEN 0
+                  WHEN gap < 60000000 THEN 1
+                  WHEN gap < 600000000 THEN 2
+                  WHEN gap < 3600000000 THEN 3
+                  ELSE 4 END AS band
+      FROM nb)
+SELECT CAST(band AS BIGINT) AS band, CAST(COUNT(*) AS BIGINT) AS n
+FROM b GROUP BY 1 ORDER BY 1""")
+def nearest_view_gap_bands(sf_dir: str) -> pd.DataFrame:
+    """BIDIRECTIONAL as-of join: for every purchase, the nearest
+    view by |Δt| in EITHER direction (the symmetric sibling of
+    asof_last_view_gap's backward-only rule — attribution wants
+    'closest context', not 'last click'), histogrammed into
+    sub-second/minute/10-min/hour/beyond bands (integer µs
+    thresholds, band −1 = user never viewed). Scale shape: both
+    streams co-locate in the user-hash bucket; the bucket sorts views
+    ONCE onto the per-user gap-shifted axis and a single searchsorted
+    gives each purchase its floor/ceiling view — min of the two
+    candidate deltas IS the global minimum because views are sorted;
+    only ≤6 (band, n) partials leave each bucket."""
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+    big = np.int64(1 << 62)
+
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin(["view", "purchase"])].copy()
+        df["bucket_"] = (df["user_id"].to_numpy(np.int64) % 32) \
+            .astype(np.int32)
+        return df
+
+    def bands(g: pd.DataFrame) -> pd.DataFrame:
+        us = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        uid = g["user_id"].to_numpy(np.int64)
+        isv = (g["event_type"] == "view").to_numpy()
+        order = np.lexsort((us, uid))
+        us, uid, isv = us[order], uid[order], isv[order]
+        # shared monotonic axis: per-user offset with gaps wider than
+        # any real in-user delta, so cross-user neighbors are either
+        # detected by uid mismatch or lose on distance anyway
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        ends = np.r_[starts[1:], len(uid)]
+        run_of = np.repeat(np.arange(len(starts)), ends - starts)
+        run_min, run_max = us[starts], us[ends - 1]
+        span = run_max - run_min
+        gap_w = (int(span.max()) if len(span) else 0) + 2
+        base = np.concatenate(([0], np.cumsum(span[:-1] + gap_w)))
+        adj = us - run_min[run_of] + base[run_of]
+        v_adj, v_uid = adj[isv], uid[isv]
+        p_adj, p_uid = adj[~isv], uid[~isv]
+        nmax = len(v_adj)
+        if nmax == 0:
+            gap = np.full(len(p_adj), big)
+        else:
+            pos = np.searchsorted(v_adj, p_adj, side="right")
+            prev_i = np.clip(pos - 1, 0, nmax - 1)
+            next_i = np.clip(pos, 0, nmax - 1)
+            d_prev = np.where(
+                (pos - 1 >= 0) & (v_uid[prev_i] == p_uid),
+                p_adj - v_adj[prev_i], big)
+            d_next = np.where(
+                (pos < nmax) & (v_uid[next_i] == p_uid),
+                v_adj[next_i] - p_adj, big)
+            gap = np.minimum(d_prev, d_next)
+        band = np.select(
+            [gap >= big, gap < 1_000_000, gap < 60_000_000,
+             gap < 600_000_000, gap < 3_600_000_000],
+            [-1, 0, 1, 2, 3], default=4).astype(np.int64)
+        u, c = np.unique(band, return_counts=True)
+        return pd.DataFrame({"band": u.astype(np.int64),
+                             "n": c.astype(np.int64)})
+
+    out = reduce_sink(
+        ds.map_batches(with_bucket, batch_format="pandas")
+        .groupby("bucket_")
+        .map_groups(lambda g: bands(g.drop(columns=["bucket_"])),
+                    batch_format="pandas"),
+        ["band"], {"n": ("n", "sum")}).to_pandas()
+    return out.sort_values("band", ignore_index=True)
+
+
+@register("user_sequence_anomaly_topk", sql="""
+WITH o AS (SELECT user_id, event_type,
+                  LAG(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev
+           FROM events),
+t AS (SELECT prev AS f, event_type AS tt, CAST(COUNT(*) AS DOUBLE) AS c
+      FROM o WHERE prev IS NOT NULL GROUP BY 1, 2),
+rt AS (SELECT f, SUM(c) AS tot FROM t GROUP BY f),
+p1 AS (SELECT t.f, t.tt, t.c / rt.tot AS p FROM t JOIN rt USING (f)),
+ut AS (SELECT user_id, prev AS f, event_type AS tt FROM o
+       WHERE prev IS NOT NULL),
+ll AS (SELECT ut.user_id, CAST(COUNT(*) AS BIGINT) AS n,
+              ROUND(SUM(LN(p1.p)) / COUNT(*), 6) AS mean_ll
+       FROM ut JOIN p1 ON ut.f = p1.f AND ut.tt = p1.tt
+       GROUP BY ut.user_id HAVING COUNT(*) >= 5)
+SELECT user_id, n, mean_ll FROM ll
+ORDER BY mean_ll, user_id LIMIT 10""")
+def user_sequence_anomaly_topk(sf_dir: str) -> pd.DataFrame:
+    """Sequence-anomaly scoring: each user's event stream scored by
+    its mean log-likelihood under the GLOBAL transition chain — the
+    bot/fraud screen that surfaces users whose type-to-type dynamics
+    least resemble everyone else's (low mean ln P = improbable
+    paths). Two passes, both scale-shaped: the shared transition
+    reduce builds P, the |types|² ln P table broadcasts once, and the
+    second per-user-bucket sort+shift emits only (user, n, Σln p)
+    partials; users under 5 transitions drop (no evidence), scores
+    round to 6 dp BEFORE the ascending top-10 cut with user_id
+    tiebreak so a hairline can't flip membership."""
+    t = event_transitions(sf_dir)
+    tot = t.groupby("from_type")["cnt"].sum()
+    types = sorted(set(t["from_type"]) | set(t["to_type"]))
+    idx = {g: i for i, g in enumerate(types)}
+    lnp_mat = np.full((len(types), len(types)), np.nan)
+    for r in t.itertuples():
+        lnp_mat[idx[r.from_type], idx[r.to_type]] = \
+            float(np.log(r.cnt / float(tot[r.from_type])))
+    lnp_ref = ray.put((idx, lnp_mat))
+
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket_"] = (df["user_id"].to_numpy(np.int64) % 32) \
+            .astype(np.int32)
+        return df
+
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        tidx, mat = ray.get(lnp_ref)
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        code = g["event_type"].map(tidx).to_numpy(np.int64)
+        same = np.zeros(len(g), bool)
+        same[1:] = uid[1:] == uid[:-1]
+        m = same[1:]
+        if not m.any():
+            return pd.DataFrame({"user_id": pd.Series([], np.int64),
+                                 "n": pd.Series([], dtype=np.int64),
+                                 "sll": pd.Series([],
+                                                  dtype=np.float64)})
+        lp = mat[code[:-1][m], code[1:][m]]   # vectorized lookup
+        return pd.DataFrame({"user_id": uid[1:][m], "lp": lp}) \
+            .groupby("user_id", as_index=False) \
+            .agg(n=("lp", "size"), sll=("lp", "sum"))
+
+    parts = reduce_sink(
+        _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+        .map_batches(with_bucket, batch_format="pandas")
+        .groupby("bucket_")
+        .map_groups(lambda g: score(g.drop(columns=["bucket_"])),
+                    batch_format="pandas"),
+        ["user_id"], {"n": ("n", "sum"), "sll": ("sll", "sum")}) \
+        .to_pandas()
+    parts = parts[parts["n"] >= 5].copy()
+    r6 = textstats.round_half_away
+    parts["mean_ll"] = r6(parts["sll"].to_numpy(np.float64)
+                          / parts["n"].to_numpy(np.float64), 6)
+    out = parts.sort_values(["mean_ll", "user_id"],
+                            kind="mergesort").head(10)
+    return out[["user_id", "n", "mean_ll"]].reset_index(drop=True) \
+        .astype({"user_id": np.int64, "n": np.int64})
+
+
+@register("daily_wow_change", sql="""
+WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS d,
+                      CAST(COUNT(*) AS BIGINT) AS y
+               FROM events GROUP BY 1),
+b AS (SELECT MIN(d) AS mn, MAX(d) AS mx FROM daily),
+spine AS (SELECT UNNEST(generate_series(mn, mx)) AS d FROM b),
+g AS (SELECT spine.d, COALESCE(daily.y, 0) AS y
+      FROM spine LEFT JOIN daily ON daily.d = spine.d),
+w AS (SELECT d, y, LAG(y, 7) OVER (ORDER BY d) AS y7 FROM g)
+SELECT CAST(d AS BIGINT) AS epoch_day, CAST(y AS BIGINT) AS y,
+       CAST(y7 AS BIGINT) AS y_prev_week,
+       ROUND(CAST(y - y7 AS DOUBLE) / y7, 6) AS wow_pct
+FROM w WHERE y7 > 0 ORDER BY 1""")
+def daily_wow_change(sf_dir: str) -> pd.DataFrame:
+    """Week-over-week daily growth: each day against the SAME WEEKDAY
+    a week earlier on the zero-filled spine (the seasonal-aware
+    growth readout — day-over-day compares Monday to Sunday and lies).
+    One daily reduce; the LAG-7 alignment is an index shift on the
+    tiny spine; days whose comparison point is 0 drop on both
+    engines (no NULL-vs-NaN ambiguity in the hash)."""
+    ds = _events(sf_dir, ["ts"])
+
+    def day_col(t: pa.Table) -> pd.DataFrame:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pd.DataFrame({"d": (us // 86_400_000_000)
+                             .astype(np.int64)})
+
+    daily = reduce_sink(ds.map_batches(day_col, batch_format="pyarrow"),
+                        ["d"], {"y": ("d", "size")}) \
+        .to_pandas().sort_values("d", ignore_index=True)
+    lo, hi = int(daily["d"].iloc[0]), int(daily["d"].iloc[-1])
+    y = np.zeros(hi - lo + 1, np.int64)
+    y[daily["d"].to_numpy(np.int64) - lo] = \
+        daily["y"].to_numpy(np.int64)
+    d = np.arange(lo, hi + 1, dtype=np.int64)
+    y7 = np.empty_like(y)
+    y7[:7] = -1
+    y7[7:] = y[:-7]
+    keep = y7 > 0
+    r6 = textstats.round_half_away
+    return pd.DataFrame({
+        "epoch_day": d[keep],
+        "y": y[keep],
+        "y_prev_week": y7[keep],
+        "wow_pct": r6((y[keep] - y7[keep]).astype(np.float64)
+                      / y7[keep].astype(np.float64), 6)})
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
