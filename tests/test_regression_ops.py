@@ -1491,3 +1491,58 @@ def test_wow_change_planted(ray_session, tmp_path):
     assert len(out) == 7
     assert (out["wow_pct"] == 1.0).all()
     assert (out["y_prev_week"] == 3).all()
+
+
+def test_type_share_sums_to_user_count(ray_session, tmp_path):
+    """Per-user shares sum to 1, so share_sum across types equals the
+    number of contributing users."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    # u0: a=1, b=3 (shares .25/.75); u1: a=10 (share 1)
+    d = str(tmp_path / "tshare")
+    _write_events(d, [t0, t0 + s, t0 + 2 * s], [1.0, 3.0, 10.0],
+                  users=[0, 0, 1], types=["a", "b", "a"])
+    out = REGISTRY["type_share_of_user_total"][0](d)
+    got = dict(zip(out["event_type"], out["share_sum"]))
+    assert got == {"a": 1.25, "b": 0.75}
+
+
+def test_ar1_constant_and_alternating(ray_session, tmp_path):
+    """Constant series -> phi 0, forecast = mean; alternating series
+    -> phi near -1 and the forecast flips to the other level."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T12:00:00", "us")
+    day = np.timedelta64(1, "D")
+    const = str(tmp_path / "arc")
+    ts = []
+    for i in range(10):
+        ts.extend([t0 + i * day] * 4)
+    _write_events(const, ts, [1.0] * len(ts))
+    o = REGISTRY["ar1_daily_forecast"][0](const)
+    assert o["phi"][0] == 0.0 and o["forecast"][0] == 4.0
+    alt = str(tmp_path / "ara")
+    ts2 = []
+    for i in range(10):
+        ts2.extend([t0 + i * day] * (2 if i % 2 == 0 else 8))
+    _write_events(alt, ts2, [1.0] * len(ts2))
+    o2 = REGISTRY["ar1_daily_forecast"][0](alt)
+    assert o2["phi"][0] < -0.7
+    # last day is high (8) -> forecast swings below the mean
+    assert o2["forecast"][0] < o2["mean"][0]
+
+
+def test_mktsegment_join_conservation(ray_session):
+    """Every event's user exists in customer at the test SFs, so
+    segment rollups conserve the event count."""
+    import pyarrow.parquet as pq2
+
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    out = REGISTRY["event_value_by_mktsegment"][0](sf)
+    n_events = pq2.read_metadata(sf + "/events.parquet").num_rows
+    assert out["n_events"].sum() == n_events
+    assert (out["n_users"] >= 1).all()

@@ -15003,6 +15003,182 @@ def daily_wow_change(sf_dir: str) -> pd.DataFrame:
                       / y7[keep].astype(np.float64), 6)})
 
 
+@register("type_share_of_user_total", sql="""
+WITH c AS (SELECT user_id, event_type,
+                  CAST(ROUND(value * 100) AS BIGINT) AS c FROM events),
+u AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS tot
+      FROM c GROUP BY 1),
+s AS (SELECT c.event_type, c.c / CAST(u.tot AS DOUBLE) AS share
+      FROM c JOIN u USING (user_id) WHERE u.tot > 0)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(share), 6) AS share_sum
+FROM s GROUP BY 1 ORDER BY 1""")
+def type_share_of_user_total(sf_dir: str) -> pd.DataFrame:
+    """Ratio-to-group-total at FACT-TABLE scale: every event's value
+    as a share of its user's lifetime value, aggregated per type —
+    'which event types eat users' wallets' normalized per user so
+    whales don't drown the signal. The classic distributed-window
+    problem (SUM OVER (PARTITION BY user) needs every row twice):
+    solved in ONE co-partitioned pass — the user-hash bucket computes
+    its users' totals AND the per-row shares in the same task
+    (transform), so fact rows never meet a join or a second shuffle;
+    only (type, n, Σshare) partials leave. Each share is the
+    identical c/tot double on both engines; the per-type float sum's
+    order differs only at ~1e-12 against the 6-dp guard."""
+    ds = _events(sf_dir, ["user_id", "event_type", "value"])
+
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket_"] = (df["user_id"].to_numpy(np.int64) % 32) \
+            .astype(np.int32)
+        return df
+
+    def shares(g: pd.DataFrame) -> pd.DataFrame:
+        c = np.rint(g["value"].to_numpy(np.float64) * 100) \
+            .astype(np.int64)
+        tot = pd.Series(c).groupby(
+            g["user_id"].to_numpy(np.int64)).transform("sum") \
+            .to_numpy(np.int64)
+        keep = tot > 0
+        part = pd.DataFrame({
+            "event_type": g["event_type"].to_numpy()[keep],
+            "n": 1,
+            "share": c[keep] / tot[keep].astype(np.float64)})
+        return part.groupby("event_type", as_index=False) \
+            .agg(n=("n", "sum"), share=("share", "sum"))
+
+    out = reduce_sink(
+        ds.map_batches(with_bucket, batch_format="pandas")
+        .groupby("bucket_")
+        .map_groups(lambda g: shares(g.drop(columns=["bucket_"])),
+                    batch_format="pandas"),
+        ["event_type"], {"n": ("n", "sum"),
+                         "share": ("share", "sum")}).to_pandas()
+    r6 = textstats.round_half_away
+    out["share_sum"] = r6(out["share"].to_numpy(np.float64), 6)
+    return out[["event_type", "n", "share_sum"]] \
+        .astype({"n": np.int64}) \
+        .sort_values("event_type", ignore_index=True)
+
+
+@register("ar1_daily_forecast", sql="""
+WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS d,
+                      CAST(COUNT(*) AS BIGINT) AS y
+               FROM events GROUP BY 1),
+b AS (SELECT MIN(d) AS mn, MAX(d) AS mx FROM daily),
+spine AS (SELECT UNNEST(generate_series(mn, mx)) AS d FROM b),
+g AS (SELECT spine.d, CAST(COALESCE(daily.y, 0) AS DOUBLE) AS y
+      FROM spine LEFT JOIN daily ON daily.d = spine.d),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS t, SUM(y) / COUNT(*) AS mu
+      FROM g),
+l AS (SELECT y, LAG(y) OVER (ORDER BY d) AS yp,
+             LAST_VALUE(y) OVER (ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND UNBOUNDED FOLLOWING) AS ylast
+      FROM g),
+s AS (SELECT SUM(CASE WHEN yp IS NOT NULL
+                      THEN (y - m.mu) * (yp - m.mu) ELSE 0 END) AS num,
+             SUM((y - m.mu) * (y - m.mu)) AS den,
+             MIN(ylast) AS ylast
+      FROM l, m)
+SELECT t, ROUND(mu, 6) AS mean,
+       CASE WHEN den = 0 THEN 0.0 ELSE ROUND(num / den, 6) END
+           AS phi,
+       CASE WHEN den = 0 THEN ROUND(mu, 6)
+            ELSE ROUND(mu + (num / den) * (ylast - mu), 6)
+       END AS forecast
+FROM s, m""")
+def ar1_daily_forecast(sf_dir: str) -> pd.DataFrame:
+    """AR(1) fit + one-step forecast for the daily volume: φ is the
+    lag-1 autocovariance over the full-series variance (the Yule-
+    Walker estimate with the ACF denominator convention, matching
+    daily_acf) on the zero-filled spine, and tomorrow's forecast is
+    μ + φ(y_T − μ) — the minimal autoregressive baseline every
+    fancier forecaster must beat. One daily reduce; μ, φ and the
+    forecast are shared float expressions over the identical per-day
+    operands (y integer-valued, so μ's summation order can't
+    differ); constant series short-circuits φ to 0."""
+    ds = _events(sf_dir, ["ts"])
+
+    def day_col(t: pa.Table) -> pd.DataFrame:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pd.DataFrame({"d": (us // 86_400_000_000)
+                             .astype(np.int64)})
+
+    daily = reduce_sink(ds.map_batches(day_col, batch_format="pyarrow"),
+                        ["d"], {"y": ("d", "size")}) \
+        .to_pandas().sort_values("d", ignore_index=True)
+    lo, hi = int(daily["d"].iloc[0]), int(daily["d"].iloc[-1])
+    y = np.zeros(hi - lo + 1, np.float64)
+    y[daily["d"].to_numpy(np.int64) - lo] = \
+        daily["y"].to_numpy(np.float64)
+    t = len(y)
+    mu = float(y.sum()) / t
+    num = float(((y[1:] - mu) * (y[:-1] - mu)).sum())
+    den = float(((y - mu) * (y - mu)).sum())
+    r6 = textstats.round_half_away
+    if den == 0.0:
+        phi, fc = 0.0, r6(mu, 6)
+    else:
+        phi = r6(num / den, 6)
+        fc = r6(mu + (num / den) * (float(y[-1]) - mu), 6)
+    return pd.DataFrame({"t": np.array([t], np.int64),
+                         "mean": [float(r6(mu, 6))],
+                         "phi": [float(phi)],
+                         "forecast": [float(fc)]})
+
+
+@register("event_value_by_mktsegment", sql="""
+SELECT c.c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1 ORDER BY 1""")
+def event_value_by_mktsegment(sf_dir: str) -> pd.DataFrame:
+    """Cross-dataset dimension enrichment: the event stream joined to
+    the TPC-H customer dimension on user_id = c_custkey, rolled up by
+    market segment — the canonical 'behavioral fact × CRM dimension'
+    star join. The dimension side broadcasts ONCE (ray.put of the
+    custkey→segment map — never shuffled, never per-batch); each
+    fact batch maps segments and emits (segment, n, cents) partials
+    plus distinct (segment, user) pairs for the exact two-phase
+    user count. Integer cents end to end."""
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"]) \
+        .to_pandas()
+    cmap_ref = ray.put(dict(zip(cust["c_custkey"].to_numpy(np.int64),
+                                cust["c_mktsegment"])))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cmap = ray.get(cmap_ref)
+        seg = df["user_id"].map(cmap)
+        keep = seg.notna()
+        cents = np.rint(df["value"].to_numpy(np.float64) * 100) \
+            .astype(np.int64)[keep.to_numpy()]
+        return pd.DataFrame({
+            "segment": seg[keep].to_numpy(),
+            "user_id": df["user_id"].to_numpy(np.int64)[
+                keep.to_numpy()],
+            "n": 1, "cents": cents})
+
+    tagged = _events(sf_dir, ["user_id", "value"]).map_batches(
+        partial, batch_format="pandas")
+    agg = reduce_sink(tagged, ["segment"],
+                      {"n_events": ("n", "sum"),
+                       "cents": ("cents", "sum")}).to_pandas()
+    users = reduce_sink(
+        reduce_sink(tagged, ["segment", "user_id"],
+                    {"n": ("n", "sum")}),
+        ["segment"], {"n_users": ("n", "size")}).to_pandas()
+    out = agg.merge(users, on="segment")
+    return out[["segment", "n_events", "n_users", "cents"]] \
+        .astype({"n_events": np.int64, "n_users": np.int64,
+                 "cents": np.int64}) \
+        .sort_values("segment", ignore_index=True)
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
