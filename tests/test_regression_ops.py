@@ -1546,3 +1546,95 @@ def test_mktsegment_join_conservation(ray_session):
     n_events = pq2.read_metadata(sf + "/events.parquet").num_rows
     assert out["n_events"].sum() == n_events
     assert (out["n_users"] >= 1).all()
+
+
+def test_hill_exact_pareto(ray_session, tmp_path):
+    """Exact Pareto-ish data x_i proportional to 1/i: the Hill
+    estimate over the top-100 of 150 users recovers alpha ~ 1."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    n = 150
+    # user i gets value 10000/ (i+1) -> tail index 1
+    vals = [10000.0 / (i + 1) for i in range(n)]
+    d = str(tmp_path / "hill")
+    _write_events(d, [t0 + i * s for i in range(n)], vals,
+                  users=list(range(n)))
+    out = REGISTRY["hill_tail_index_user_value"][0](d)
+    assert len(out) == 1
+    assert 0.8 < out["alpha"][0] < 1.3
+
+
+def test_hill_too_few_users_empty(ray_session, tmp_path):
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    d = str(tmp_path / "hillfew")
+    _write_events(d, [t0 + i * s for i in range(5)], [1.0] * 5,
+                  users=list(range(5)))
+    assert len(REGISTRY["hill_tail_index_user_value"][0](d)) == 0
+
+
+def test_geometric_gof_exact_geometric(ray_session, tmp_path):
+    """Session counts drawn exactly proportional to a geometric law
+    fit with small chi2; a flat (uniform) distribution fits badly."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    h = np.timedelta64(1, "h")
+    s = np.timedelta64(1, "s")
+
+    def build(counts, name):
+        # counts[k] = number of users with k+1 sessions; sessions are
+        # events 1h apart (each its own session)
+        ts, users = [], []
+        u = 0
+        for k0, cnt in enumerate(counts):
+            for _ in range(cnt):
+                for j in range(k0 + 1):
+                    ts.append(t0 + j * h + u * s)
+                    users.append(u)
+                u += 1
+        d = str(tmp_path / name)
+        _write_events(d, ts, [1.0] * len(ts), users=users)
+        return d
+
+    # geometric p=0.5: 64, 32, 16, 8, 4, 2, 1 users of 1..7 sessions
+    geo = build([64, 32, 16, 8, 4, 2, 1], "geo")
+    o = REGISTRY["geometric_gof_sessions_per_user"][0](geo)
+    assert abs(o["p_hat"][0] - 0.5) < 0.02
+    assert o["chi2"][0] < 3.0
+    flat = build([20, 20, 20, 20, 20], "flat")
+    o2 = REGISTRY["geometric_gof_sessions_per_user"][0](flat)
+    assert o2["chi2"][0] > o["chi2"][0]
+
+
+def test_poisson_mixture_recovers_two_rates(ray_session, tmp_path):
+    """Counts that are exactly the factorial-moment image of a
+    2/8-rate half-half mixture: Prony recovers the two rates from
+    planted per-(user, day) counts."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    day = np.timedelta64(1, "D")
+    s = np.timedelta64(1, "s")
+    ts, users = [], []
+    # deterministic "Poisson-like" counts: half the user-days at 2,
+    # half at 8 -> the fitted atoms must straddle [2, 8] with mean 5
+    u = 0
+    for cnt in ([2] * 30 + [8] * 30):
+        for j in range(cnt):
+            ts.append(t0 + (u % 10) * day + j * s)
+            users.append(u)
+        u += 1
+    d = str(tmp_path / "pmix")
+    _write_events(d, ts, [1.0] * len(ts), users=users)
+    out = REGISTRY["poisson_mixture_user_day_counts"][0](d)
+    assert out["m1"][0] == 5.0
+    # point masses at 2 and 8 have zero within-component variance;
+    # a Poisson mixture with the same first three factorial moments
+    # pulls the atoms inside — they must straddle the mean
+    assert out["lambda_lo"][0] < 5.0 < out["lambda_hi"][0]
+    assert 0.0 < out["w_hi"][0] < 1.0

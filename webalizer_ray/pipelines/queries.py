@@ -15179,6 +15179,200 @@ def event_value_by_mktsegment(sf_dir: str) -> pd.DataFrame:
         .sort_values("segment", ignore_index=True)
 
 
+@register("hill_tail_index_user_value", sql="""
+WITH u AS (SELECT user_id,
+                  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                       AS BIGINT) AS x
+           FROM events GROUP BY 1),
+top AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x DESC, user_id) AS rn
+        FROM u WHERE x > 0),
+kref AS (SELECT x AS xk FROM top WHERE rn = 101),
+h AS (SELECT SUM(LN(CAST(x AS DOUBLE) / (SELECT xk FROM kref))) / 100
+          AS inv_alpha
+      FROM top WHERE rn <= 100)
+SELECT ROUND(inv_alpha, 6) AS inv_alpha,
+       ROUND(1.0 / inv_alpha, 6) AS alpha
+FROM h WHERE EXISTS (SELECT 1 FROM kref)""")
+def hill_tail_index_user_value(sf_dir: str) -> pd.DataFrame:
+    """Hill estimator of the heavy-tail index of per-user total value
+    (k = 100): α̂⁻¹ = (1/k)Σ ln(x₍ᵢ₎/x₍ₖ₊₁₎) over the top order
+    statistics — the standard 'how Pareto is my whale curve' number
+    that decides whether mean-based capacity planning is even valid
+    (α ≤ 2 → infinite variance). Scale shape: per-user cents reduce,
+    then each block ships only its local top-101 (value, user)
+    partials — the union provably contains the global top-101 — and
+    the driver computes the 100-term shared-operand ln sum. Ties are
+    value-ties, so the multiset of top values (all that enters the
+    formula) is deterministic; fewer than 101 positive users →
+    empty result on both engines."""
+    per = reduce_sink(
+        _events(sf_dir, ["user_id", "value"]).map_batches(
+            lambda df: pd.DataFrame({
+                "user_id": df["user_id"].to_numpy(np.int64),
+                "x": np.rint(df["value"].to_numpy(np.float64) * 100)
+                .astype(np.int64)}),
+            batch_format="pandas"),
+        ["user_id"], {"x": ("x", "sum")})
+
+    def local_top(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["x"] > 0]
+        return df.sort_values(["x", "user_id"],
+                              ascending=[False, True]).head(101)
+
+    cand = per.map_batches(local_top, batch_format="pandas") \
+        .to_pandas().sort_values(["x", "user_id"],
+                                 ascending=[False, True],
+                                 kind="mergesort").head(101)
+    if len(cand) < 101:
+        return pd.DataFrame({"inv_alpha": pd.Series([],
+                                                    dtype=np.float64),
+                             "alpha": pd.Series([],
+                                                dtype=np.float64)})
+    x = cand["x"].to_numpy(np.float64)
+    xk = float(x[100])
+    inv_alpha = float(np.log(x[:100] / xk).sum()) / 100
+    r6 = textstats.round_half_away
+    return pd.DataFrame({"inv_alpha": [float(r6(inv_alpha, 6))],
+                         "alpha": [float(r6(1.0 / inv_alpha, 6))]})
+
+
+@register("geometric_gof_sessions_per_user", sql=f"""
+WITH ns AS ({_NS_SQL}),
+k AS (SELECT user_id, CAST(SUM(ns) AS BIGINT) AS k
+      FROM ns GROUP BY user_id),
+h AS (SELECT LEAST(k, 10) AS kb, CAST(COUNT(*) AS BIGINT) AS o
+      FROM k GROUP BY 1),
+t AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN kb < 10 THEN kb * o ELSE 0 END)
+                  AS BIGINT) AS sk_head,
+             (SELECT CAST(COALESCE(SUM(k.k), 0) AS BIGINT) FROM k
+              WHERE k.k >= 10) AS sk_tail
+      FROM h),
+p AS (SELECT n, CAST(n AS DOUBLE) / (sk_head + sk_tail) AS ph FROM t),
+e AS (SELECT h.kb, h.o,
+             CASE WHEN h.kb < 10
+                  THEN p.n * p.ph * POWER(1 - p.ph, h.kb - 1)
+                  ELSE p.n * POWER(1 - p.ph, 9) END AS ex
+      FROM h, p)
+SELECT (SELECT n FROM p) AS n_users,
+       ROUND((SELECT ph FROM p), 6) AS p_hat,
+       ROUND(SUM((o - ex) * (o - ex) / ex), 6) AS chi2
+FROM e""")
+def geometric_gof_sessions_per_user(sf_dir: str) -> pd.DataFrame:
+    """Goodness-of-fit of the sessions-per-user distribution to a
+    geometric law (the memoryless return-visit model: each user quits
+    with probability p after any session) — method-of-moments
+    p̂ = n/Σk, expected bins E_k = n·p̂(1−p̂)^{k−1} for k = 1..9 with
+    the tail lumped at k ≥ 10, and Pearson χ² over the observed
+    bins. The sessions-per-user reduce is the same bucket-local
+    sessionize as user_sessions; the bin histogram is O(10); p̂ and
+    every expected count are shared float expressions (libm pow on
+    identical operands) against the 6-dp round."""
+    sess = _sessionized_events(sf_dir)
+    per = reduce_sink(sess, ["user_id"],
+                      {"k": ("sid", "max")}).to_pandas()
+    k = per["k"].to_numpy(np.int64)
+    n = len(k)
+    kb = np.minimum(k, 10)
+    o = pd.Series(kb).value_counts().sort_index()
+    ph = float(n) / int(k.sum())
+    r6 = textstats.round_half_away
+    chi2 = 0.0
+    for kbin, obs in o.items():
+        if kbin < 10:
+            ex = n * ph * (1 - ph) ** (int(kbin) - 1)
+        else:
+            ex = n * (1 - ph) ** 9
+        chi2 += (int(obs) - ex) * (int(obs) - ex) / ex
+    return pd.DataFrame({"n_users": np.array([n], np.int64),
+                         "p_hat": [float(r6(ph, 6))],
+                         "chi2": [float(r6(chi2, 6))]})
+
+
+@register("poisson_mixture_user_day_counts", sql="""
+WITH c AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d,
+                  CAST(COUNT(*) AS BIGINT) AS k
+           FROM events GROUP BY 1, 2),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(k AS DOUBLE)) / COUNT(*) AS m1,
+             SUM(CAST(k * (k - 1) AS DOUBLE)) / COUNT(*) AS m2,
+             SUM(CAST(k * (k - 1) * (k - 2) AS DOUBLE)) / COUNT(*)
+                 AS m3
+      FROM c),
+e AS (SELECT n, m1, m2, m3,
+             CASE WHEN m2 - m1 * m1 = 0 THEN 0.0
+                  ELSE (m3 - m1 * m2) / (m2 - m1 * m1) END AS e1,
+             CASE WHEN m2 - m1 * m1 = 0 THEN 0.0
+                  ELSE (m1 * m3 - m2 * m2) / (m2 - m1 * m1) END AS e2
+      FROM m)
+SELECT e.n, ROUND(e.m1, 6) AS m1,
+       CASE WHEN m2 - m1 * m1 = 0 OR e1 * e1 - 4 * e2 < 0
+            THEN ROUND(m1, 6)
+            ELSE ROUND((e1 + sqrt(e1 * e1 - 4 * e2)) / 2, 6)
+       END AS lambda_hi,
+       CASE WHEN m2 - m1 * m1 = 0 OR e1 * e1 - 4 * e2 < 0
+            THEN ROUND(m1, 6)
+            ELSE ROUND((e1 - sqrt(e1 * e1 - 4 * e2)) / 2, 6)
+       END AS lambda_lo,
+       CASE WHEN m2 - m1 * m1 = 0 OR e1 * e1 - 4 * e2 <= 0 THEN 1.0
+            ELSE ROUND((m1 - (e1 - sqrt(e1 * e1 - 4 * e2)) / 2)
+                       / sqrt(e1 * e1 - 4 * e2), 6)
+       END AS w_hi
+FROM e""")
+def poisson_mixture_user_day_counts(sf_dir: str) -> pd.DataFrame:
+    """Two-component Poisson mixture fit to (user, day) activity
+    counts by Prony's method — a CLOSED-FORM model fit (no EM, no
+    iteration): the factorial moments m_r = E[K(K−1)…] of a Poisson
+    mixture are the weighted power sums Σwᵢλᵢʳ, so the two rates are
+    the roots of x² − e₁x + e₂ with e₁, e₂ solving the 2×2 Hankel
+    system — separating casual from power usage intensity
+    deterministically. One (user, day) count reduce (active pairs
+    only, documented); the three factorial-moment sums are exact
+    integers before one division each; degenerate (pure Poisson /
+    negative discriminant) collapses to λ = m₁, w = 1 on both
+    engines."""
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "d": (us // 86_400_000_000).astype(np.int64)})
+
+    c = reduce_sink(
+        _events(sf_dir, ["ts", "user_id"])
+        .map_batches(prep, batch_format="pandas"),
+        ["user_id", "d"], {"k": ("d", "size")}).to_pandas()
+    k = c["k"].to_numpy(np.int64)
+    n = len(k)
+    s1 = int(k.sum())
+    s2 = int((k * (k - 1)).sum())
+    s3 = int((k * (k - 1) * (k - 2)).sum())
+    m1 = float(s1) / n
+    m2 = float(s2) / n
+    m3 = float(s3) / n
+    r6 = textstats.round_half_away
+    var = m2 - m1 * m1
+    if var == 0:
+        lam_hi = lam_lo = r6(m1, 6)
+        w_hi = 1.0
+    else:
+        e1 = (m3 - m1 * m2) / var
+        e2 = (m1 * m3 - m2 * m2) / var
+        disc = e1 * e1 - 4 * e2
+        if disc < 0:
+            lam_hi = lam_lo = r6(m1, 6)
+            w_hi = 1.0
+        else:
+            lam_hi = r6((e1 + np.sqrt(disc)) / 2, 6)
+            lam_lo = r6((e1 - np.sqrt(disc)) / 2, 6)
+            w_hi = 1.0 if disc == 0 else \
+                r6((m1 - (e1 - np.sqrt(disc)) / 2) / np.sqrt(disc), 6)
+    return pd.DataFrame({"n": np.array([n], np.int64),
+                         "m1": [float(r6(m1, 6))],
+                         "lambda_hi": [float(lam_hi)],
+                         "lambda_lo": [float(lam_lo)],
+                         "w_hi": [float(w_hi)]})
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
