@@ -1638,3 +1638,96 @@ def test_poisson_mixture_recovers_two_rates(ray_session, tmp_path):
     # pulls the atoms inside — they must straddle the mean
     assert out["lambda_lo"][0] < 5.0 < out["lambda_hi"][0]
     assert 0.0 < out["w_hi"][0] < 1.0
+
+
+def test_cross_fact_profile_classes(ray_session, tmp_path):
+    """Planted keys in one, other, and both facts classify exactly."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    d = str(tmp_path / "xfact")
+    # events users: 0 (both), 1 (events_only)
+    _write_events(d, [t0, t0 + s], [1.0, 2.0], users=[0, 1])
+    # orders custkeys: 0 (both), 2 (orders_only)
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([10, 11], pa.int64()),
+        "o_custkey": pa.array([0, 2], pa.int64()),
+        "o_orderstatus": pa.array(["F", "O"]),
+        "o_totalprice": pa.array([10.0, 20.0]),
+        "o_orderdate": pa.array(
+            np.array(["1995-01-01", "1995-01-02"],
+                     dtype="datetime64[us]"), pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT", "2-HIGH"])}),
+        os.path.join(d, "orders.parquet"))
+    out = REGISTRY["user_cross_fact_profile"][0](d)
+    got = {r.presence: r for r in out.itertuples()}
+    assert got["both"].n_users == 1
+    assert got["both"].event_cents == 100
+    assert got["both"].order_cents == 1000
+    assert got["events_only"].n_users == 1
+    assert got["orders_only"].n_users == 1
+    assert got["orders_only"].order_cents == 2000
+
+
+def test_probe_percentiles_hand(ray_session, tmp_path):
+    """Values 1..9 dollars: probe $5 -> below=4, at=1 -> pct 0.5."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    d = str(tmp_path / "probe")
+    _write_events(d, [t0 + i * s for i in range(9)],
+                  [float(i + 1) for i in range(9)])
+    out = REGISTRY["value_percentile_of_probes"][0](d)
+    row = out[out["probe_cents"] == 500].iloc[0]
+    assert (row.below, row.at_probe) == (4, 1)
+    assert row.percentile == 0.5
+    assert out[out["probe_cents"] == 10000].iloc[0].percentile == 1.0
+
+
+def test_trimmed_mean_drops_tails(ray_session, tmp_path):
+    """20 values: 18 at $5 plus $0.01 and $100 -> 10% trim (k=2)
+    drops both extremes entirely... k=2 drops the two smallest and
+    two largest ranks: 0.01, one 5, one 5, 100 -> kept 16 fives."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    vals = [0.01] + [5.0] * 18 + [100.0]
+    d = str(tmp_path / "trim")
+    _write_events(d, [t0 + i * s for i in range(20)], vals)
+    out = REGISTRY["trimmed_mean_by_type"][0](d)
+    r = out.iloc[0]
+    assert r.k == 2 and r.n_kept == 16
+    assert r.trimmed_mean == 500.0
+
+
+def test_blomqvist_concordant_vs_discordant(ray_session, tmp_path):
+    """Views and purchases high on the same days -> beta = 1;
+    opposite days -> beta = -1."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T12:00:00", "us")
+    day = np.timedelta64(1, "D")
+
+    def build(vc, pc, name):
+        ts, types = [], []
+        for i, (a, b) in enumerate(zip(vc, pc)):
+            ts.extend([t0 + i * day] * (a + b))
+            types.extend(["view"] * a + ["purchase"] * b)
+        d = str(tmp_path / name)
+        _write_events(d, ts, [1.0] * len(ts), types=types)
+        return d
+
+    con = build([1, 2, 8, 9], [1, 2, 8, 9], "bbc")
+    o = REGISTRY["blomqvist_beta_daily"][0](con)
+    assert o["beta"][0] == 1.0
+    dis = build([1, 2, 8, 9], [9, 8, 2, 1], "bbd")
+    o2 = REGISTRY["blomqvist_beta_daily"][0](dis)
+    assert o2["beta"][0] == -1.0

@@ -15373,6 +15373,277 @@ def poisson_mixture_user_day_counts(sf_dir: str) -> pd.DataFrame:
                          "w_hi": [float(w_hi)]})
 
 
+@register("user_cross_fact_profile", sql="""
+WITH e AS (SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS en,
+                  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                       AS BIGINT) AS ec
+           FROM events GROUP BY 1),
+o AS (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS onn,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS oc
+      FROM orders GROUP BY 1),
+j AS (SELECT COALESCE(e.k, o.k) AS k, en, ec, onn, oc
+      FROM e FULL JOIN o ON e.k = o.k),
+cls AS (SELECT CASE WHEN en IS NOT NULL AND onn IS NOT NULL
+                    THEN 'both'
+                    WHEN en IS NOT NULL THEN 'events_only'
+                    ELSE 'orders_only' END AS presence,
+               COALESCE(en, 0) AS en, COALESCE(ec, 0) AS ec,
+               COALESCE(onn, 0) AS onn, COALESCE(oc, 0) AS oc
+        FROM j)
+SELECT presence, CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(en) AS BIGINT) AS n_events,
+       CAST(SUM(ec) AS BIGINT) AS event_cents,
+       CAST(SUM(onn) AS BIGINT) AS n_orders,
+       CAST(SUM(oc) AS BIGINT) AS order_cents
+FROM cls GROUP BY 1 ORDER BY 1""")
+def user_cross_fact_profile(sf_dir: str) -> pd.DataFrame:
+    """Multi-fact FULL OUTER profile: every key's presence across TWO
+    fact tables (behavioral events vs commercial orders) classified
+    into both / events_only / orders_only with per-class volume — the
+    identity-coverage audit run before any cross-fact model join.
+    The FULL OUTER never materializes per-key rows on the driver:
+    both per-key reduces UNION with presence flags, ONE keyed reduce
+    merges them (max flags + sums — associative), classification is
+    map-side, and only 3 class partials per block shuffle."""
+    ev = reduce_sink(
+        _events(sf_dir, ["user_id", "value"]).map_batches(
+            lambda df: pd.DataFrame({
+                "k": df["user_id"].to_numpy(np.int64),
+                "en": np.ones(len(df), np.int64),
+                "ec": np.rint(df["value"].to_numpy(np.float64) * 100)
+                .astype(np.int64),
+                "onn": np.zeros(len(df), np.int64),
+                "oc": np.zeros(len(df), np.int64),
+                "fe": np.ones(len(df), np.int64),
+                "fo": np.zeros(len(df), np.int64)}),
+            batch_format="pandas"),
+        ["k"], {"en": ("en", "sum"), "ec": ("ec", "sum"),
+                "onn": ("onn", "sum"), "oc": ("oc", "sum"),
+                "fe": ("fe", "max"), "fo": ("fo", "max")})
+    orders = reduce_sink(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_totalprice"])
+        .map_batches(
+            lambda df: pd.DataFrame({
+                "k": df["o_custkey"].to_numpy(np.int64),
+                "en": np.zeros(len(df), np.int64),
+                "ec": np.zeros(len(df), np.int64),
+                "onn": np.ones(len(df), np.int64),
+                "oc": np.rint(df["o_totalprice"]
+                              .to_numpy(np.float64) * 100)
+                .astype(np.int64),
+                "fe": np.zeros(len(df), np.int64),
+                "fo": np.ones(len(df), np.int64)}),
+            batch_format="pandas"),
+        ["k"], {"en": ("en", "sum"), "ec": ("ec", "sum"),
+                "onn": ("onn", "sum"), "oc": ("oc", "sum"),
+                "fe": ("fe", "max"), "fo": ("fo", "max")})
+    merged = reduce_sink(
+        ev.union(orders), ["k"],
+        {"en": ("en", "sum"), "ec": ("ec", "sum"),
+         "onn": ("onn", "sum"), "oc": ("oc", "sum"),
+         "fe": ("fe", "max"), "fo": ("fo", "max")})
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        pres = np.select(
+            [(df["fe"] == 1) & (df["fo"] == 1), df["fe"] == 1],
+            ["both", "events_only"], default="orders_only")
+        out = df.assign(presence=pres, n_users=np.int64(1))
+        return out.groupby("presence", as_index=False).agg(
+            n_users=("n_users", "sum"), n_events=("en", "sum"),
+            event_cents=("ec", "sum"), n_orders=("onn", "sum"),
+            order_cents=("oc", "sum"))
+
+    out = reduce_sink(
+        merged.map_batches(classify, batch_format="pandas"),
+        ["presence"],
+        {"n_users": ("n_users", "sum"), "n_events": ("n_events", "sum"),
+         "event_cents": ("event_cents", "sum"),
+         "n_orders": ("n_orders", "sum"),
+         "order_cents": ("order_cents", "sum")}).to_pandas()
+    return out.sort_values("presence", ignore_index=True)
+
+
+@register("value_percentile_of_probes", sql="""
+WITH h AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS c,
+                  CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM events GROUP BY 1),
+t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM h),
+pr AS (SELECT UNNEST([100, 500, 1000, 5000, 10000]) AS probe),
+s AS (SELECT pr.probe,
+             CAST(COALESCE(SUM(CASE WHEN h.c < pr.probe
+                                    THEN h.cnt END), 0)
+                  AS BIGINT) AS below,
+             CAST(COALESCE(SUM(CASE WHEN h.c = pr.probe
+                                    THEN h.cnt END), 0)
+                  AS BIGINT) AS at_probe
+      FROM pr LEFT JOIN h ON TRUE GROUP BY pr.probe)
+SELECT CAST(probe AS BIGINT) AS probe_cents, below, at_probe,
+       ROUND(CAST(2 * below + at_probe AS DOUBLE)
+             / (2 * (SELECT n FROM t)), 6) AS percentile
+FROM s ORDER BY 1""")
+def value_percentile_of_probes(sf_dir: str) -> pd.DataFrame:
+    """Inverse-CDF probe lookup: at fixed score thresholds (¢100 …
+    ¢10 000), what fraction of events falls below — the score-banding
+    table a pricing/alerting rule consults ('is $50 high?'), with the
+    midrank tie convention (below + ½·at) kept in DOUBLED integers so
+    no .5 float ever exists. One cents histogram reduce; the probe
+    scan is O(probes × |histogram|) on the tiny aggregate."""
+    h = reduce_sink(
+        _events(sf_dir, ["value"]).map_batches(
+            lambda df: pd.DataFrame({
+                "c": np.rint(df["value"].to_numpy(np.float64) * 100)
+                .astype(np.int64)}),
+            batch_format="pandas"),
+        ["c"], {"cnt": ("c", "size")}).to_pandas() \
+        .sort_values("c", ignore_index=True)
+    c = h["c"].to_numpy(np.int64)
+    cnt = h["cnt"].to_numpy(np.int64)
+    n = int(cnt.sum())
+    r6 = textstats.round_half_away
+    rows = []
+    for probe in (100, 500, 1000, 5000, 10000):
+        below = int(cnt[c < probe].sum())
+        at = int(cnt[c == probe].sum())
+        rows.append((probe, below, at,
+                     float(r6((2 * below + at) / (2.0 * n), 6))))
+    return pd.DataFrame(rows, columns=["probe_cents", "below",
+                                       "at_probe", "percentile"]) \
+        .astype({"probe_cents": np.int64, "below": np.int64,
+                 "at_probe": np.int64})
+
+
+@register("trimmed_mean_by_type", sql="""
+WITH v AS (SELECT event_type AS g,
+                  CAST(ROUND(value * 100) AS BIGINT) AS c FROM events),
+hh AS (SELECT g, c, CAST(COUNT(*) AS BIGINT) AS cnt FROM v GROUP BY 1, 2),
+cum AS (SELECT g, c, cnt,
+               CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY c)
+                    - cnt AS BIGINT) AS cb,
+               CAST(SUM(cnt) OVER (PARTITION BY g) AS BIGINT) AS n
+        FROM hh),
+kept AS (SELECT g, n, n // 10 AS k,
+                GREATEST(0, LEAST(cb + cnt, n - n // 10)
+                            - GREATEST(cb, n // 10)) AS kc, c
+         FROM cum),
+agg AS (SELECT g, MIN(n) AS n, MIN(k) AS k,
+               CAST(SUM(kc) AS BIGINT) AS n_kept,
+               CAST(SUM(kc * c) AS BIGINT) AS sum_kept
+        FROM kept GROUP BY g)
+SELECT g AS event_type, n, CAST(k AS BIGINT) AS k, n_kept, sum_kept,
+       ROUND(CAST(sum_kept AS DOUBLE) / n_kept, 6) AS trimmed_mean
+FROM agg ORDER BY 1""")
+def trimmed_mean_by_type(sf_dir: str) -> pd.DataFrame:
+    """10% symmetric trimmed mean per event type — the
+    outlier-robust center (winsorize clamps, trimming DROPS the
+    tails) computed EXACTLY from the lossless cents histogram: each
+    bin keeps max(0, min(cb+cnt, n−k) − max(cb, k)) of its members
+    (pure integer rank clipping, k = n//10), so the kept count and
+    kept sum are exact integers and the mean is one shared division.
+    No sort, no per-row pass — the same one-reduce shape as the
+    median/mode family."""
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "g": df["event_type"].astype(str),
+            "c": np.rint(df["value"].to_numpy(np.float64) * 100)
+            .astype(np.int64)})
+
+    hh = reduce_sink(
+        _events(sf_dir, ["event_type", "value"])
+        .map_batches(prep, batch_format="pandas"),
+        ["g", "c"], {"cnt": ("c", "size")}).to_pandas() \
+        .sort_values(["g", "c"], ignore_index=True)
+    r6 = textstats.round_half_away
+    rows = []
+    for g, grp in hh.groupby("g", sort=True):
+        cnt = grp["cnt"].to_numpy(np.int64)
+        c = grp["c"].to_numpy(np.int64)
+        n = int(cnt.sum())
+        k = n // 10
+        cb = np.cumsum(cnt) - cnt
+        kc = np.maximum(
+            0, np.minimum(cb + cnt, n - k) - np.maximum(cb, k))
+        n_kept = int(kc.sum())
+        s_kept = int((kc * c).sum())
+        rows.append((g, n, k, n_kept, s_kept,
+                     float(r6(float(s_kept) / n_kept, 6))))
+    out = pd.DataFrame(rows, columns=["event_type", "n", "k",
+                                      "n_kept", "sum_kept",
+                                      "trimmed_mean"])
+    for col in ("n", "k", "n_kept", "sum_kept"):
+        out[col] = out[col].astype(np.int64)
+    return out.sort_values("event_type", ignore_index=True)
+
+
+@register("blomqvist_beta_daily", sql="""
+WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS d,
+                      CAST(SUM(CASE WHEN event_type = 'view'
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS v,
+                      CAST(SUM(CASE WHEN event_type = 'purchase'
+                                    THEN 1 ELSE 0 END) AS BIGINT) AS p
+               FROM events GROUP BY 1),
+rv AS (SELECT d, v, p,
+              CAST(SUM(1) OVER (ORDER BY v, d) AS BIGINT) AS r,
+              CAST(COUNT(*) OVER () AS BIGINT) AS t FROM daily),
+mv AS (SELECT MIN(v) AS m FROM rv WHERE 2 * r >= t),
+rp AS (SELECT d, p, CAST(SUM(1) OVER (ORDER BY p, d) AS BIGINT) AS r,
+              CAST(COUNT(*) OVER () AS BIGINT) AS t FROM daily),
+mp AS (SELECT MIN(p) AS m FROM rp WHERE 2 * r >= t),
+sg AS (SELECT SIGN(daily.v - mv.m) * SIGN(daily.p - mp.m) AS s
+       FROM daily, mv, mp),
+agg AS (SELECT CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS conc,
+               CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS disc
+        FROM sg)
+SELECT conc, disc,
+       CASE WHEN conc + disc = 0 THEN 0.0
+            ELSE ROUND(CAST(conc - disc AS DOUBLE) / (conc + disc), 6)
+       END AS beta
+FROM agg""")
+def blomqvist_beta_daily(sf_dir: str) -> pd.DataFrame:
+    """Blomqvist's β (medial correlation) between the daily view and
+    purchase series: the sign-concordance of each day against the
+    two LOWER medians — the crudest, most robust dependence measure
+    (quadrant test), closing the Pearson/Spearman/Kendall/β family.
+    Medians use the shared 2·cum ≥ n order-statistic convention,
+    days on either median drop (sign 0), and β = (C − D)/(C + D) is
+    one division over exact integer quadrant counts from the one
+    daily reduce."""
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        et = df["event_type"].to_numpy()
+        return pd.DataFrame({
+            "d": (us // 86_400_000_000).astype(np.int64),
+            "v": (et == "view").astype(np.int64),
+            "p": (et == "purchase").astype(np.int64)})
+
+    daily = reduce_sink(
+        _events(sf_dir, ["ts", "event_type"])
+        .map_batches(prep, batch_format="pandas"),
+        ["d"], {"v": ("v", "sum"), "p": ("p", "sum")}).to_pandas()
+    v = daily["v"].to_numpy(np.int64)
+    p = daily["p"].to_numpy(np.int64)
+    t = len(daily)
+
+    def lower_median(a):
+        s = np.sort(a)
+        return int(s[np.searchsorted(2 * np.arange(1, t + 1), t,
+                                     side="left")])
+
+    mv, mp = lower_median(v), lower_median(p)
+    s = np.sign(v - mv) * np.sign(p - mp)
+    conc = int((s == 1).sum())
+    disc = int((s == -1).sum())
+    r6 = textstats.round_half_away
+    beta = 0.0 if conc + disc == 0 else \
+        r6(float(conc - disc) / (conc + disc), 6)
+    return pd.DataFrame({"conc": np.array([conc], np.int64),
+                         "disc": np.array([disc], np.int64),
+                         "beta": [float(beta)]})
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
