@@ -1731,3 +1731,70 @@ def test_blomqvist_concordant_vs_discordant(ray_session, tmp_path):
     dis = build([1, 2, 8, 9], [9, 8, 2, 1], "bbd")
     o2 = REGISTRY["blomqvist_beta_daily"][0](dis)
     assert o2["beta"][0] == -1.0
+
+
+def test_record_days_monotone_series(ray_session, tmp_path):
+    """Strictly rising series: every day is a record; falling series
+    after day 1: only the first is."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T12:00:00", "us")
+    day = np.timedelta64(1, "D")
+
+    def build(counts, name):
+        ts = []
+        for i, c in enumerate(counts):
+            ts.extend([t0 + i * day] * c)
+        d = str(tmp_path / name)
+        _write_events(d, ts, [1.0] * len(ts))
+        return d
+
+    up = build([1, 2, 3, 4, 5], "recup")
+    o = REGISTRY["record_days_count"][0](up)
+    assert o["n_records"][0] == 5
+    assert o["last_record_day"][0] == int(
+        (t0 + 4 * day).astype("datetime64[D]").astype(np.int64))
+    down = build([5, 4, 3, 2, 1], "recdown")
+    o2 = REGISTRY["record_days_count"][0](down)
+    assert o2["n_records"][0] == 1
+
+
+def test_weekly_churn_hand_case(ray_session, tmp_path):
+    """u0 active weeks 0,1; u1 only week 0; u2 only week 1:
+    week0: active 2, retained 1 (u0), churned 1 (u1);
+    week1: active 2, new 1 (u2), no retained/churned (last week)."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T12:00:00", "us")
+    wk = np.timedelta64(7, "D")
+    ts = [t0, t0 + wk, t0, t0 + wk]
+    users = [0, 0, 1, 2]
+    d = str(tmp_path / "churn")
+    _write_events(d, ts, [1.0] * 4, users=users)
+    out = REGISTRY["weekly_churn_retention"][0](d)
+    assert len(out) == 2
+    w0, w1 = out.iloc[0], out.iloc[1]
+    assert (w0.active, w0.retained, w0.churned, w0.new_users) \
+        == (2, 1, 1, 0)
+    assert (w1.active, w1.retained, w1.churned, w1.new_users) \
+        == (2, 0, 0, 1)
+
+
+def test_stickiness_daily_user_is_one(ray_session, tmp_path):
+    """One user active every day within a 30-day span: DAU = MAU = 1
+    -> stickiness 1.0 every day."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T12:00:00", "us")
+    day = np.timedelta64(1, "D")
+    d = str(tmp_path / "stick")
+    _write_events(d, [t0 + i * day for i in range(10)], [1.0] * 10)
+    out = REGISTRY["dau_mau_stickiness"][0](d)
+    assert (out["stickiness"] == 1.0).all()
+    # two users alternating days -> MAU 2, DAU 1 -> 0.5 after both
+    d2 = str(tmp_path / "stick2")
+    _write_events(d2, [t0 + i * day for i in range(10)], [1.0] * 10,
+                  users=[i % 2 for i in range(10)])
+    o2 = REGISTRY["dau_mau_stickiness"][0](d2)
+    assert (o2["stickiness"].iloc[1:] == 0.5).all()
+    assert o2["stickiness"].iloc[0] == 1.0

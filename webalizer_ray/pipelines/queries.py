@@ -15644,6 +15644,200 @@ def blomqvist_beta_daily(sf_dir: str) -> pd.DataFrame:
                          "beta": [float(beta)]})
 
 
+@register("record_days_count", sql="""
+WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS d,
+                      CAST(COUNT(*) AS BIGINT) AS y
+               FROM events GROUP BY 1),
+r AS (SELECT d, y,
+             MAX(y) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prevmax
+      FROM daily),
+rec AS (SELECT d, y FROM r WHERE prevmax IS NULL OR y > prevmax)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+       CAST(COUNT(*) AS BIGINT) AS n_records,
+       CAST(MAX(d) AS BIGINT) AS last_record_day,
+       (SELECT CAST(MAX(y) AS BIGINT) FROM daily) AS max_y
+FROM rec""")
+def record_days_count(sf_dir: str) -> pd.DataFrame:
+    """Record-breaking days: how often the daily volume set a new
+    all-time high, and when it last did — the novelty statistic
+    (an i.i.d. series expects ~ln T records; a trending series far
+    more, a stale one goes quiet). Pure integer running-max scan
+    over the one daily reduce; the first day is a record by
+    convention on both engines."""
+    ds = _events(sf_dir, ["ts"])
+
+    def day_col(t: pa.Table) -> pd.DataFrame:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pd.DataFrame({"d": (us // 86_400_000_000)
+                             .astype(np.int64)})
+
+    daily = reduce_sink(ds.map_batches(day_col, batch_format="pyarrow"),
+                        ["d"], {"y": ("d", "size")}) \
+        .to_pandas().sort_values("d", ignore_index=True)
+    y = daily["y"].to_numpy(np.int64)
+    d = daily["d"].to_numpy(np.int64)
+    runmax = np.maximum.accumulate(y)
+    is_rec = np.r_[True, y[1:] > runmax[:-1]]
+    return pd.DataFrame({
+        "n_days": np.array([len(y)], np.int64),
+        "n_records": np.array([int(is_rec.sum())], np.int64),
+        "last_record_day": np.array([int(d[is_rec][-1])], np.int64),
+        "max_y": np.array([int(y.max())], np.int64)})
+
+
+@register("weekly_churn_retention", sql="""
+WITH uw AS (SELECT DISTINCT user_id,
+                   epoch_us(ts) // 86400000000 // 7 AS w
+            FROM events),
+b AS (SELECT MIN(w) AS wmin, MAX(w) AS wmax FROM uw),
+f AS (SELECT u.user_id, u.w,
+             EXISTS(SELECT 1 FROM uw n WHERE n.user_id = u.user_id
+                    AND n.w = u.w + 1) AS nxt,
+             EXISTS(SELECT 1 FROM uw p WHERE p.user_id = u.user_id
+                    AND p.w = u.w - 1) AS prv
+      FROM uw u)
+SELECT CAST(w AS BIGINT) AS week,
+       CAST(COUNT(*) AS BIGINT) AS active,
+       CAST(SUM(CASE WHEN w < (SELECT wmax FROM b) AND nxt
+                     THEN 1 ELSE 0 END) AS BIGINT) AS retained,
+       CAST(SUM(CASE WHEN w < (SELECT wmax FROM b) AND NOT nxt
+                     THEN 1 ELSE 0 END) AS BIGINT) AS churned,
+       CAST(SUM(CASE WHEN w > (SELECT wmin FROM b) AND NOT prv
+                     THEN 1 ELSE 0 END) AS BIGINT) AS new_users
+FROM f GROUP BY w ORDER BY 1""")
+def weekly_churn_retention(sf_dir: str) -> pd.DataFrame:
+    """Weekly churn decomposition: per epoch-week, the active users
+    split into retained (also active next week), churned (not), and
+    new (not active the week before) — THE growth-accounting table
+    (net change = new − churned). Conventions shared with the
+    oracle: the last observed week produces no retained/churned (no
+    next week to test), the first produces no new. Scale shape: one
+    distinct (user, week) reduce, then the user-hash bucket answers
+    both neighbor-presence tests from each user's OWN sorted week
+    row (next/prev row ±1 — weeks are unique per user, so adjacency
+    is a shift compare, no join); only per-week flag partials
+    shuffle."""
+    ds = _events(sf_dir, ["ts", "user_id"])
+
+    def pairs(t: pa.Table) -> pd.DataFrame:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            "w": (us // 86_400_000_000 // 7).astype(np.int64)}) \
+            .drop_duplicates()
+
+    uw = reduce_sink(ds.map_batches(pairs, batch_format="pyarrow"),
+                     ["user_id", "w"], {"n": ("w", "size")})
+    bounds = uw.map_batches(
+        lambda df: pd.DataFrame({"mn": [df["w"].min()],
+                                 "mx": [df["w"].max()]}),
+        batch_format="pandas").to_pandas()
+    wmin, wmax = int(bounds["mn"].min()), int(bounds["mx"].max())
+
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket_"] = (df["user_id"].to_numpy(np.int64) % 32) \
+            .astype(np.int32)
+        return df
+
+    def flags(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "w"], ignore_index=True)
+        u = g["user_id"].to_numpy(np.int64)
+        w = g["w"].to_numpy(np.int64)
+        same_n = np.zeros(len(g), bool)
+        same_n[:-1] = (u[:-1] == u[1:]) & (w[1:] == w[:-1] + 1)
+        same_p = np.zeros(len(g), bool)
+        same_p[1:] = (u[1:] == u[:-1]) & (w[1:] == w[:-1] + 1)
+        part = pd.DataFrame({
+            "week": w,
+            "active": 1,
+            "retained": ((w < wmax) & same_n).astype(np.int64),
+            "churned": ((w < wmax) & ~same_n).astype(np.int64),
+            "new_users": ((w > wmin) & ~same_p).astype(np.int64)})
+        return part.groupby("week", as_index=False).sum()
+
+    out = reduce_sink(
+        uw.map_batches(with_bucket, batch_format="pandas")
+        .groupby("bucket_")
+        .map_groups(lambda g: flags(g.drop(columns=["bucket_",
+                                                    "n"])),
+                    batch_format="pandas"),
+        ["week"], {"active": ("active", "sum"),
+                   "retained": ("retained", "sum"),
+                   "churned": ("churned", "sum"),
+                   "new_users": ("new_users", "sum")}).to_pandas()
+    return out.sort_values("week", ignore_index=True)
+
+
+@register("dau_mau_stickiness", sql="""
+WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+           FROM events),
+days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM d GROUP BY 1),
+mau AS (SELECT days.day,
+               CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS mau
+        FROM days JOIN d ON d.day > days.day - 30
+                        AND d.day <= days.day
+        GROUP BY days.day)
+SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, mau.mau,
+       ROUND(CAST(dau.dau AS DOUBLE) / mau.mau, 6) AS stickiness
+FROM dau JOIN mau ON dau.day = mau.day ORDER BY 1""")
+def dau_mau_stickiness(sf_dir: str) -> pd.DataFrame:
+    """DAU/MAU stickiness per day — the engagement-frequency ratio
+    (1.0 = everyone active monthly shows up daily) that WAU's 7-day
+    machinery extends to the 30-day window: the distinct (day, user)
+    reduce bounds the data, each pair flat-maps to its ≤30 window
+    anchors for the rolling-distinct MAU (exact two-phase distinct —
+    no sketch), DAU reuses the same pair table, and the ratio is one
+    shared division per observed day."""
+    ds = _events(sf_dir, ["ts", "user_id"])
+
+    def day_pairs(t: pa.Table) -> pd.DataFrame:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pd.DataFrame({
+            "day": (us // 86_400_000_000).astype(np.int64),
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False)}) \
+            .drop_duplicates()
+
+    pairs = reduce_sink(ds.map_batches(day_pairs,
+                                       batch_format="pyarrow"),
+                        ["day", "user_id"], {"n": ("day", "size")})
+    dau = reduce_sink(pairs, ["day"], {"dau": ("n", "size")}) \
+        .to_pandas()
+    days = np.sort(dau["day"].to_numpy(np.int64))
+    days_ref = ray.put(days)
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        anchors = ray.get(days_ref)
+        d = df["day"].to_numpy(np.int64)
+        u = df["user_id"].to_numpy(np.int64)
+        lo = np.searchsorted(anchors, d, side="left")
+        hi = np.searchsorted(anchors, d + 30, side="left")
+        reps = (hi - lo).astype(np.int64)
+        cum = np.cumsum(reps)
+        starts = np.repeat(cum - reps, reps)
+        offs = np.arange(cum[-1] if len(df) else 0) - starts
+        a_idx = np.repeat(lo, reps) + offs
+        return pd.DataFrame({"anchor": anchors[a_idx],
+                             "user_id": np.repeat(u, reps)}) \
+            .drop_duplicates()
+
+    mau = distinct_count(
+        pairs.map_batches(expand, batch_format="pandas"),
+        ["anchor"], "user_id", "mau").to_pandas() \
+        .rename(columns={"anchor": "day"})
+    out = dau.merge(mau, on="day")
+    r6 = textstats.round_half_away
+    out["stickiness"] = r6(out["dau"].to_numpy(np.float64)
+                           / out["mau"].to_numpy(np.float64), 6)
+    out["day"] = pd.to_datetime(out["day"] * 86_400_000_000,
+                                unit="us").dt.strftime("%Y-%m-%d")
+    return out[["day", "dau", "mau", "stickiness"]] \
+        .astype({"dau": np.int64, "mau": np.int64}) \
+        .sort_values("day", ignore_index=True)
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
