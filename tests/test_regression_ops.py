@@ -1798,3 +1798,63 @@ def test_stickiness_daily_user_is_one(ray_session, tmp_path):
     o2 = REGISTRY["dau_mau_stickiness"][0](d2)
     assert (o2["stickiness"].iloc[1:] == 0.5).all()
     assert o2["stickiness"].iloc[0] == 1.0
+
+
+def test_cov_matrix_perfect_and_anti(ray_session, tmp_path):
+    """Two types moving identically -> corr 1; anti-phase -> -1;
+    diagonal corr is 1 when variance > 0."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T12:00:00", "us")
+    day = np.timedelta64(1, "D")
+    ts, types = [], []
+    av = [1, 2, 3, 4]
+    bv = [2, 4, 6, 8]
+    cv = [4, 3, 2, 1]
+    for i in range(4):
+        ts.extend([t0 + i * day] * av[i]); types.extend(["a"] * av[i])
+        ts.extend([t0 + i * day] * bv[i]); types.extend(["b"] * bv[i])
+        ts.extend([t0 + i * day] * cv[i]); types.extend(["c"] * cv[i])
+    d = str(tmp_path / "cov")
+    _write_events(d, ts, [1.0] * len(ts), types=types)
+    out = REGISTRY["type_daily_cov_matrix"][0](d)
+    got = {(r.type_a, r.type_b): r.corr for r in out.itertuples()}
+    assert got[("a", "b")] == 1.0
+    assert got[("a", "c")] == -1.0
+    assert got[("a", "a")] == 1.0
+
+
+def test_seasonal_anomaly_planted_spike(ray_session, tmp_path):
+    """A weekly-periodic series with one spiked day: the spike day is
+    the top residual anomaly."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T12:00:00", "us")
+    day = np.timedelta64(1, "D")
+    pattern = [5, 6, 7, 8, 7, 6, 5]
+    ts = []
+    for i in range(28):
+        cnt = pattern[i % 7] + (30 if i == 17 else 0)
+        ts.extend([t0 + i * day] * cnt)
+    d = str(tmp_path / "sanom")
+    _write_events(d, ts, [1.0] * len(ts))
+    out = REGISTRY["seasonal_residual_anomalies"][0](d)
+    assert out["epoch_day"].iloc[0] == int(
+        (t0 + 17 * day).astype("datetime64[D]").astype(np.int64))
+    assert out["residual"].iloc[0] > 20
+
+
+def test_activity_span_hand(ray_session, tmp_path):
+    """Type active on days {0, 2, 4}: span 5, coverage 0.6."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T12:00:00", "us")
+    day = np.timedelta64(1, "D")
+    d = str(tmp_path / "span")
+    _write_events(d, [t0, t0 + 2 * day, t0 + 4 * day, t0 + 2 * day],
+                  [1.0] * 4)
+    out = REGISTRY["type_activity_span"][0](d)
+    r = out.iloc[0]
+    assert r.n_days == 3
+    assert r.last_day - r.first_day == 4
+    assert r.coverage == 0.6

@@ -15838,6 +15838,163 @@ def dau_mau_stickiness(sf_dir: str) -> pd.DataFrame:
         .sort_values("day", ignore_index=True)
 
 
+@register("type_daily_cov_matrix", sql="""
+WITH d0 AS (SELECT epoch_us(ts) // 86400000000 AS d, event_type AS g,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2),
+t AS (SELECT CAST(COUNT(DISTINCT d) AS BIGINT) AS t FROM d0),
+m AS (SELECT g, CAST(SUM(c) AS BIGINT) AS s,
+             CAST(SUM(c * c) AS BIGINT) AS ss FROM d0 GROUP BY g),
+x AS (SELECT a.g AS ga, b.g AS gb,
+             CAST(SUM(a.c * b.c) AS BIGINT) AS sxy
+      FROM d0 a JOIN d0 b ON a.d = b.d AND a.g < b.g GROUP BY 1, 2),
+pairs AS (SELECT ga, gb, sxy FROM x
+          UNION ALL SELECT g, g, ss FROM m)
+SELECT p.ga AS type_a, p.gb AS type_b,
+       ROUND((p.sxy - CAST(ma.s AS DOUBLE) * mb.s / t.t) / t.t, 6)
+           AS cov,
+       CASE WHEN (ma.ss - CAST(ma.s AS DOUBLE) * ma.s / t.t)
+                 * (mb.ss - CAST(mb.s AS DOUBLE) * mb.s / t.t) = 0
+            THEN 0.0
+            ELSE ROUND((p.sxy - CAST(ma.s AS DOUBLE) * mb.s / t.t)
+                       / sqrt((ma.ss - CAST(ma.s AS DOUBLE) * ma.s
+                               / t.t)
+                              * (mb.ss - CAST(mb.s AS DOUBLE) * mb.s
+                                 / t.t)), 6)
+       END AS corr
+FROM pairs p JOIN m ma ON p.ga = ma.g JOIN m mb ON p.gb = mb.g, t
+ORDER BY 1, 2""")
+def type_daily_cov_matrix(sf_dir: str) -> pd.DataFrame:
+    """Covariance and correlation matrix of the daily volumes across
+    event types — the multivariate co-movement profile ('do errors
+    spike with clicks?') behind any cross-metric alerting rule. The
+    zero-filled cross products need NO day spine: absent days
+    contribute 0 to Σyₐy_b, so the one (day, type) reduce plus a
+    same-day pair join of the TINY aggregate carries everything;
+    marginal and cross moments stay exact integers, and cov/corr
+    are shared float expressions over identical operands (population
+    convention, ÷T observed days). Upper triangle incl. diagonal,
+    |types|² rows total."""
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        return pd.DataFrame({
+            "d": (us // 86_400_000_000).astype(np.int64),
+            "g": df["event_type"].astype(str)})
+
+    d0 = reduce_sink(
+        _events(sf_dir, ["ts", "event_type"])
+        .map_batches(prep, batch_format="pandas"),
+        ["d", "g"], {"c": ("d", "size")}).to_pandas()
+    t = int(d0["d"].nunique())
+    types = sorted(d0["g"].unique())
+    grid = d0.pivot_table(index="d", columns="g", values="c",
+                          fill_value=0, aggfunc="sum") \
+        .reindex(columns=types, fill_value=0).to_numpy(np.int64)
+    r6 = textstats.round_half_away
+    rows = []
+    for i, ga in enumerate(types):
+        for j in range(i, len(types)):
+            gb = types[j]
+            sxy = int((grid[:, i] * grid[:, j]).sum())
+            sa, sb = int(grid[:, i].sum()), int(grid[:, j].sum())
+            ssa = int((grid[:, i] * grid[:, i]).sum())
+            ssb = int((grid[:, j] * grid[:, j]).sum())
+            cov = r6((sxy - float(sa) * sb / t) / t, 6)
+            va = ssa - float(sa) * sa / t
+            vb = ssb - float(sb) * sb / t
+            corr = 0.0 if va * vb == 0 else \
+                r6((sxy - float(sa) * sb / t) / np.sqrt(va * vb), 6)
+            rows.append((ga, gb, float(cov), float(corr)))
+    return pd.DataFrame(rows, columns=["type_a", "type_b", "cov",
+                                       "corr"]) \
+        .sort_values(["type_a", "type_b"], ignore_index=True)
+
+
+@register("seasonal_residual_anomalies", sql="""
+WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 - 19723 AS d,
+         CAST(COUNT(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1),
+s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             SUM(CAST(d AS DOUBLE)) AS sx, SUM(y) AS sy,
+             SUM(CAST(d AS DOUBLE) * y) AS sxy,
+             SUM(CAST(d AS DOUBLE) * CAST(d AS DOUBLE)) AS sxx
+      FROM daily),
+f AS (SELECT d, y,
+             (s.n * s.sxy - s.sx * s.sy) / (s.n * s.sxx - s.sx * s.sx)
+                 * CAST(d AS DOUBLE)
+             + (s.sy - (s.n * s.sxy - s.sx * s.sy)
+                       / (s.n * s.sxx - s.sx * s.sx) * s.sx) / s.n
+                 AS fit
+      FROM daily, s),
+sea AS (SELECT (d + 19723 + 4) % 7 AS dow, AVG(y - fit) AS seasonal
+        FROM f GROUP BY 1),
+r AS (SELECT CAST(f.d + 19723 AS BIGINT) AS epoch_day,
+             CAST(f.y AS BIGINT) AS observed,
+             ROUND(f.y - f.fit - sea.seasonal, 6) AS residual
+      FROM f JOIN sea ON (f.d + 19723 + 4) % 7 = sea.dow)
+SELECT epoch_day, observed, residual
+FROM r ORDER BY ABS(residual) DESC, epoch_day LIMIT 3""")
+def seasonal_residual_anomalies(sf_dir: str) -> pd.DataFrame:
+    """Top-3 anomalous days AFTER removing trend and weekly
+    seasonality — what daily_seasonal_decompose exists for: the raw
+    series' biggest days are just Mondays; the biggest RESIDUALS are
+    incidents. Reuses the decompose pipeline verbatim (same one
+    daily reduce, same closed-form float path) and ranks on the
+    6-dp-ROUNDED residual magnitude with day tiebreak, so the cut
+    is deterministic on both engines."""
+    dec = daily_seasonal_decompose(sf_dir)
+    dec = dec.assign(absr=dec["residual"].abs())
+    out = dec.sort_values(["absr", "epoch_day"],
+                          ascending=[False, True],
+                          kind="mergesort").head(3)
+    return out[["epoch_day", "observed", "residual"]] \
+        .reset_index(drop=True)
+
+
+@register("type_activity_span", sql="""
+WITH d0 AS (SELECT event_type, epoch_us(ts) // 86400000000 AS d
+            FROM events),
+g AS (SELECT event_type, CAST(COUNT(DISTINCT d) AS BIGINT) AS n_days,
+             CAST(MIN(d) AS BIGINT) AS first_day,
+             CAST(MAX(d) AS BIGINT) AS last_day
+      FROM d0 GROUP BY 1)
+SELECT event_type, n_days, first_day, last_day,
+       ROUND(CAST(n_days AS DOUBLE) / (last_day - first_day + 1), 6)
+           AS coverage
+FROM g ORDER BY 1""")
+def type_activity_span(sf_dir: str) -> pd.DataFrame:
+    """Per-type activity span and sparsity: first/last active day,
+    distinct active days, and coverage = active/(span) — the
+    data-availability profile consulted before trusting any per-type
+    time series (a 0.3-coverage type can't feed a daily model).
+    One (type, day) distinct reduce; min/max/count combine as
+    ordinary partials; a single shared division per type."""
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        return pd.DataFrame({
+            "event_type": df["event_type"].astype(str),
+            "d": (us // 86_400_000_000).astype(np.int64)}) \
+            .drop_duplicates()
+
+    pairs = reduce_sink(
+        _events(sf_dir, ["ts", "event_type"])
+        .map_batches(prep, batch_format="pandas"),
+        ["event_type", "d"], {"n": ("d", "size")})
+    g = reduce_sink(pairs, ["event_type"],
+                    {"n_days": ("d", "size"),
+                     "first_day": ("d", "min"),
+                     "last_day": ("d", "max")}).to_pandas()
+    r6 = textstats.round_half_away
+    g["coverage"] = r6(
+        g["n_days"].to_numpy(np.float64)
+        / (g["last_day"].to_numpy(np.int64)
+           - g["first_day"].to_numpy(np.int64) + 1), 6)
+    return g.astype({"n_days": np.int64, "first_day": np.int64,
+                     "last_day": np.int64}) \
+        .sort_values("event_type", ignore_index=True)
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
