@@ -1858,3 +1858,61 @@ def test_activity_span_hand(ray_session, tmp_path):
     assert r.n_days == 3
     assert r.last_day - r.first_day == 4
     assert r.coverage == 0.6
+
+
+def test_stump_split_planted_boundary(ray_session, tmp_path):
+    """Purchases only in hours 0-5, views only in 6-11: the perfect
+    split is cut = 5 with IG = H(0.5)."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    h = np.timedelta64(1, "h")
+    s = np.timedelta64(1, "s")
+    ts, types = [], []
+    for hour in range(12):
+        for j in range(5):
+            ts.append(t0 + hour * h + j * s)
+            types.append("purchase" if hour < 6 else "view")
+    d = str(tmp_path / "stump")
+    _write_events(d, ts, [1.0] * len(ts), types=types)
+    out = REGISTRY["purchase_rate_stump_split"][0](d)
+    assert out["best_cut_hour"][0] == 5
+    assert abs(out["info_gain"][0] - round(np.log(2), 6)) < 1e-9
+    assert out["s_left"][0] == 30 and out["n_left"][0] == 30
+
+
+def test_heaps_hand_counts(ray_session, tmp_path):
+    """Known token/vocab/hapax counts per source; two sources with
+    V = N^0.5 exactly give beta = 0.5."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    d = str(tmp_path / "heaps")
+    # source A: 4 tokens, 2 distinct (V=2=4^0.5);
+    # source B: 16 tokens, 4 distinct (V=4=16^0.5)
+    texts = ["a a b b", " ".join(["w", "x", "y", "z"] * 4)]
+    _write_docs_min_local(d, texts, ["A", "B"])
+    out = REGISTRY["heaps_law_sources"][0](d)
+    rows = {r.source: r for r in out.itertuples()}
+    assert (rows["A"].n_tokens, rows["A"].vocab,
+            rows["A"].hapax) == (4, 2, 0)
+    assert (rows["B"].n_tokens, rows["B"].vocab,
+            rows["B"].hapax) == (16, 4, 0)
+    assert out["heaps_beta"].iloc[0] == 0.5
+
+
+def _write_docs_min_local(d, texts, sources):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(d, exist_ok=True)
+    n = len(texts)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * n),
+        "source": pa.array(sources),
+        "n_chars": pa.array(np.array([len(t) for t in texts],
+                                     np.int64)),
+    }), os.path.join(d, "documents.parquet"))

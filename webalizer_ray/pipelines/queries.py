@@ -15995,6 +15995,183 @@ def type_activity_span(sf_dir: str) -> pd.DataFrame:
         .sort_values("event_type", ignore_index=True)
 
 
+@register("purchase_rate_stump_split", sql="""
+WITH g AS (SELECT CAST(hour(ts) AS BIGINT) AS h,
+                  CAST(COUNT(*) AS BIGINT) AS n,
+                  CAST(SUM(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) AS BIGINT) AS s
+           FROM events GROUP BY 1),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+             CAST(SUM(s) AS BIGINT) AS ss FROM g),
+th AS (SELECT UNNEST(generate_series(0, 22)) AS cut),
+pre AS (SELECT th.cut,
+               CAST(SUM(CASE WHEN g.h <= th.cut THEN g.n
+                             ELSE 0 END) AS BIGINT) AS nl,
+               CAST(SUM(CASE WHEN g.h <= th.cut THEN g.s
+                             ELSE 0 END) AS BIGINT) AS sl
+        FROM th, g GROUP BY th.cut),
+ig AS (SELECT cut, nl, sl,
+              (CASE WHEN ss = 0 OR ss = nn THEN 0.0
+                    ELSE -(CAST(ss AS DOUBLE) / nn)
+                         * LN(CAST(ss AS DOUBLE) / nn)
+                         - (CAST(nn - ss AS DOUBLE) / nn)
+                         * LN(CAST(nn - ss AS DOUBLE) / nn) END)
+              - (CAST(nl AS DOUBLE) / nn)
+                * (CASE WHEN nl = 0 OR sl = 0 OR sl = nl THEN 0.0
+                        ELSE -(CAST(sl AS DOUBLE) / nl)
+                             * LN(CAST(sl AS DOUBLE) / nl)
+                             - (CAST(nl - sl AS DOUBLE) / nl)
+                             * LN(CAST(nl - sl AS DOUBLE) / nl) END)
+              - (CAST(nn - nl AS DOUBLE) / nn)
+                * (CASE WHEN nn - nl = 0 OR ss - sl = 0
+                             OR ss - sl = nn - nl THEN 0.0
+                        ELSE -(CAST(ss - sl AS DOUBLE) / (nn - nl))
+                             * LN(CAST(ss - sl AS DOUBLE) / (nn - nl))
+                             - (CAST((nn - nl) - (ss - sl) AS DOUBLE)
+                                / (nn - nl))
+                             * LN(CAST((nn - nl) - (ss - sl)
+                                       AS DOUBLE) / (nn - nl)) END)
+                  AS gain
+       FROM pre, t),
+best AS (SELECT cut, nl, sl, gain,
+                ROW_NUMBER() OVER (ORDER BY ROUND(gain, 9) DESC, cut)
+                    AS rn
+         FROM ig)
+SELECT CAST(cut AS BIGINT) AS best_cut_hour, nl AS n_left,
+       sl AS s_left, ROUND(gain, 6) AS info_gain
+FROM best WHERE rn = 1""")
+def purchase_rate_stump_split(sf_dir: str) -> pd.DataFrame:
+    """Decision-stump split finder: the hour-of-day threshold whose
+    binary split (hour ≤ h vs >) maximizes information gain on the
+    purchase label — the C4.5/CART inner loop as a standalone
+    operator, the first thing feature-importance tooling computes.
+    All 23 candidate splits evaluate from ONE 24-row (hour, n,
+    successes) reduce via prefix integers; the three guarded binary
+    entropies are one shared float expression, and the argmax ranks
+    on the 9-dp-ROUNDED gain with smallest-hour tiebreak so a
+    hairline can't flip the winner."""
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "h": df["ts"].dt.hour.to_numpy(np.int64),
+            "s": (df["event_type"] == "purchase")
+            .to_numpy().astype(np.int64)})
+
+    g = reduce_sink(
+        _events(sf_dir, ["ts", "event_type"])
+        .map_batches(prep, batch_format="pandas"),
+        ["h"], {"n": ("s", "size"), "s": ("s", "sum")}) \
+        .to_pandas().sort_values("h", ignore_index=True)
+    full = np.zeros(24, np.int64)
+    suc = np.zeros(24, np.int64)
+    full[g["h"].to_numpy(np.int64)] = g["n"].to_numpy(np.int64)
+    suc[g["h"].to_numpy(np.int64)] = g["s"].to_numpy(np.int64)
+    nn, ss = int(full.sum()), int(suc.sum())
+
+    def hent(s, n):
+        if n == 0 or s == 0 or s == n:
+            return 0.0
+        return -(float(s) / n) * np.log(float(s) / n) \
+            - (float(n - s) / n) * np.log(float(n - s) / n)
+
+    r9 = textstats.round_half_away
+    h_root = hent(ss, nn)
+    best = None
+    for cut in range(23):
+        nl = int(full[:cut + 1].sum())
+        sl = int(suc[:cut + 1].sum())
+        gain = h_root - (float(nl) / nn) * hent(sl, nl) \
+            - (float(nn - nl) / nn) * hent(ss - sl, nn - nl)
+        key = (-r9(gain, 9), cut)
+        if best is None or key < best[0]:
+            best = (key, cut, nl, sl, gain)
+    _, cut, nl, sl, gain = best
+    return pd.DataFrame({
+        "best_cut_hour": np.array([cut], np.int64),
+        "n_left": np.array([nl], np.int64),
+        "s_left": np.array([sl], np.int64),
+        "info_gain": [float(r9(gain, 6))]})
+
+
+@register("heaps_law_sources", sql=r"""
+WITH w AS (SELECT source,
+                  unnest(regexp_extract_all(text, '\S+')) AS word
+           FROM documents),
+c AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM w GROUP BY 1, 2),
+g AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS vocab,
+             CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS hapax
+      FROM c GROUP BY 1),
+f AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k,
+             SUM(LN(CAST(n_tokens AS DOUBLE))) AS sx,
+             SUM(LN(CAST(vocab AS DOUBLE))) AS sy,
+             SUM(LN(CAST(n_tokens AS DOUBLE))
+                 * LN(CAST(vocab AS DOUBLE))) AS sxy,
+             SUM(LN(CAST(n_tokens AS DOUBLE))
+                 * LN(CAST(n_tokens AS DOUBLE))) AS sxx
+      FROM g)
+SELECT g.source, g.n_tokens, g.vocab, g.hapax,
+       CASE WHEN f.k * f.sxx - f.sx * f.sx = 0 THEN 0.0
+            ELSE ROUND((f.k * f.sxy - f.sx * f.sy)
+                       / (f.k * f.sxx - f.sx * f.sx), 6)
+       END AS heaps_beta
+FROM g, f ORDER BY g.source""")
+def heaps_law_sources(sf_dir: str) -> pd.DataFrame:
+    """Heaps'-law vocabulary growth across sources: per-source token
+    count, distinct vocabulary, hapax legomena (once-words — the
+    OCR-garbage / topic-breadth signal), plus the fitted Heaps
+    exponent β from the log-log OLS of vocab on tokens over the
+    source points (natural prose sits β ≈ 0.4–0.6; β → 1 screams
+    unique-token noise). One (source, word) count reduce bounds
+    everything at vocabulary cardinality; per-source rollups are
+    integer partials, and β is the shared closed-form OLS over
+    ≤|sources| log points (constant column, degenerate-variance
+    guard)."""
+    def words(batch: pa.Table) -> pd.DataFrame:
+        src = batch["source"].to_pandas()
+        w = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(batch["text"]), r"\s+")
+        counts = pc.list_value_length(w).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(w).to_pandas()
+        rep = np.repeat(src.to_numpy(), counts)
+        df = pd.DataFrame({"source": rep, "word": flat})
+        df = df[df["word"].str.len() > 0]
+        return df.groupby(["source", "word"], as_index=False) \
+            .size().rename(columns={"size": "cnt"})
+
+    c = reduce_sink(
+        _docs(sf_dir, ["text", "source"]).map_batches(
+            words, batch_format="pyarrow"),
+        ["source", "word"], {"cnt": ("cnt", "sum")})
+
+    g = reduce_sink(
+        c.map_batches(
+            lambda df: df.assign(one=(df["cnt"] == 1)
+                                 .astype(np.int64))
+            .groupby("source", as_index=False)
+            .agg(n_tokens=("cnt", "sum"), vocab=("cnt", "size"),
+                 hapax=("one", "sum")),
+            batch_format="pandas"),
+        ["source"], {"n_tokens": ("n_tokens", "sum"),
+                     "vocab": ("vocab", "sum"),
+                     "hapax": ("hapax", "sum")}).to_pandas() \
+        .sort_values("source", ignore_index=True)
+    k = len(g)
+    x = np.log(g["n_tokens"].to_numpy(np.float64))
+    y = np.log(g["vocab"].to_numpy(np.float64))
+    sx, sy = float(x.sum()), float(y.sum())
+    sxy = float((x * y).sum())
+    sxx = float((x * x).sum())
+    den = k * sxx - sx * sx
+    r6 = textstats.round_half_away
+    beta = 0.0 if den == 0 else r6((k * sxy - sx * sy) / den, 6)
+    g["heaps_beta"] = float(beta)
+    return g.astype({"n_tokens": np.int64, "vocab": np.int64,
+                     "hapax": np.int64})
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
