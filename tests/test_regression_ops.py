@@ -1916,3 +1916,55 @@ def _write_docs_min_local(d, texts, sources):
         "n_chars": pa.array(np.array([len(t) for t in texts],
                                      np.int64)),
     }), os.path.join(d, "documents.parquet"))
+
+
+def test_lincoln_petersen_closed_population(ray_session, tmp_path):
+    """If every user appears in both halves, N-hat equals the
+    observed population exactly."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T12:00:00", "us")
+    day = np.timedelta64(1, "D")
+    ts, users = [], []
+    for u in range(6):
+        ts.extend([t0, t0 + 10 * day])
+        users.extend([u, u])
+    d = str(tmp_path / "lp")
+    _write_events(d, ts, [1.0] * len(ts), users=users)
+    out = REGISTRY["lincoln_petersen_user_estimate"][0](d)
+    assert out["n_hat"][0] == 6.0
+    assert out["m"][0] == 6
+    # partial overlap: n1=4 (0..3), n2=4 (2..5), m=2 -> N-hat=8
+    ts2, users2 = [], []
+    for u in range(4):
+        ts2.append(t0); users2.append(u)
+    for u in range(2, 6):
+        ts2.append(t0 + 10 * day); users2.append(u)
+    d2 = str(tmp_path / "lp2")
+    _write_events(d2, ts2, [1.0] * len(ts2), users=users2)
+    o2 = REGISTRY["lincoln_petersen_user_estimate"][0](d2)
+    assert o2["n_hat"][0] == 8.0 and o2["observed"][0] == 6
+
+
+def test_odds_ratio_planted_effect(ray_session, tmp_path):
+    """Weekend purchase odds 4x weekday: OR = 4 and the CI excludes
+    1 with enough data."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    sat = np.datetime64("2024-01-06T12:00:00", "us")  # Saturday
+    mon = np.datetime64("2024-01-08T12:00:00", "us")  # Monday
+    s = np.timedelta64(1, "s")
+    ts, types = [], []
+    # weekend: 80 purchases, 20 views -> odds 4
+    for i in range(100):
+        ts.append(sat + i * s)
+        types.append("purchase" if i < 80 else "view")
+    # weekday: 50/50 -> odds 1
+    for i in range(100):
+        ts.append(mon + i * s)
+        types.append("purchase" if i < 50 else "view")
+    d = str(tmp_path / "orr")
+    _write_events(d, ts, [1.0] * len(ts), types=types)
+    out = REGISTRY["weekend_purchase_odds_ratio"][0](d)
+    assert out["odds_ratio"][0] == 4.0
+    assert out["ci_lo"][0] > 1.0

@@ -16172,6 +16172,152 @@ def heaps_law_sources(sf_dir: str) -> pd.DataFrame:
                      "hapax": np.int64})
 
 
+@register("lincoln_petersen_user_estimate", sql="""
+WITH b AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d
+           FROM events),
+sp AS (SELECT (MIN(d) + MAX(d) + 1) // 2 AS cut FROM b),
+u AS (SELECT user_id,
+             CAST(MAX(CASE WHEN d < cut THEN 1 ELSE 0 END)
+                  AS BIGINT) AS p1,
+             CAST(MAX(CASE WHEN d >= cut THEN 1 ELSE 0 END)
+                  AS BIGINT) AS p2
+      FROM b, sp GROUP BY user_id),
+c AS (SELECT CAST(SUM(p1) AS BIGINT) AS n1,
+             CAST(SUM(p2) AS BIGINT) AS n2,
+             CAST(SUM(p1 * p2) AS BIGINT) AS m,
+             CAST(COUNT(*) AS BIGINT) AS observed
+      FROM u)
+SELECT n1, n2, m, observed,
+       CASE WHEN m = 0 THEN 0.0
+            ELSE ROUND(CAST(n1 AS DOUBLE) * n2 / m, 6) END AS n_hat,
+       ROUND(CAST((n1 + 1) AS DOUBLE) * (n2 + 1) / (m + 1) - 1, 6)
+           AS n_hat_chapman
+FROM c""")
+def lincoln_petersen_user_estimate(sf_dir: str) -> pd.DataFrame:
+    """Capture–recapture population estimate: treat the two halves of
+    the date range as capture occasions and estimate the TOTAL user
+    population (including never-seen users) as N̂ = n₁n₂/m — the
+    ecology-textbook mark–recapture estimator applied to 'how many
+    users exist if each half samples them independently', with
+    Chapman's bias-corrected (n₁+1)(n₂+1)/(m+1) − 1 alongside. One
+    per-user MAX-flag reduce (the same shape as McNemar); the four
+    cells are exact integers; both estimates are single shared
+    divisions (m = 0 pins the raw estimate to 0)."""
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "d": (us // 86_400_000_000).astype(np.int64)})
+
+    base = _events(sf_dir, ["ts", "user_id"]) \
+        .map_batches(prep, batch_format="pandas").materialize()
+    bounds = base.map_batches(
+        lambda df: pd.DataFrame({"mn": [df["d"].min()],
+                                 "mx": [df["d"].max()]}),
+        batch_format="pandas").to_pandas()
+    cut = (int(bounds["mn"].min()) + int(bounds["mx"].max()) + 1) // 2
+
+    def flags(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"],
+            "p1": (df["d"] < cut).astype(np.int64),
+            "p2": (df["d"] >= cut).astype(np.int64)})
+
+    u = reduce_sink(base.map_batches(flags, batch_format="pandas"),
+                    ["user_id"], {"p1": ("p1", "max"),
+                                  "p2": ("p2", "max")}).to_pandas()
+    n1 = int(u["p1"].sum())
+    n2 = int(u["p2"].sum())
+    m = int((u["p1"] * u["p2"]).sum())
+    obs = len(u)
+    r6 = textstats.round_half_away
+    n_hat = 0.0 if m == 0 else r6(float(n1) * n2 / m, 6)
+    chap = r6(float(n1 + 1) * (n2 + 1) / (m + 1) - 1, 6)
+    return pd.DataFrame({"n1": np.array([n1], np.int64),
+                         "n2": np.array([n2], np.int64),
+                         "m": np.array([m], np.int64),
+                         "observed": np.array([obs], np.int64),
+                         "n_hat": [float(n_hat)],
+                         "n_hat_chapman": [float(chap)]})
+
+
+@register("weekend_purchase_odds_ratio", sql="""
+WITH b AS (SELECT CASE WHEN (epoch_us(ts) // 86400000000 + 4) % 7
+                            IN (0, 6) THEN 1 ELSE 0 END AS wkd,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                      AS s
+           FROM events),
+c AS (SELECT CAST(SUM(CASE WHEN wkd = 1 AND s = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN wkd = 1 AND s = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS bb,
+             CAST(SUM(CASE WHEN wkd = 0 AND s = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cc,
+             CAST(SUM(CASE WHEN wkd = 0 AND s = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d
+      FROM b)
+SELECT a, bb AS b, cc AS c, d,
+       CASE WHEN bb * cc = 0 THEN 0.0
+            ELSE ROUND(CAST(a AS DOUBLE) * d
+                       / (CAST(bb AS DOUBLE) * cc), 6) END
+           AS odds_ratio,
+       CASE WHEN a * bb * cc * d = 0 THEN 0.0
+            ELSE ROUND(EXP(LN(CAST(a AS DOUBLE) * d
+                              / (CAST(bb AS DOUBLE) * cc))
+                           - 1.96 * sqrt(1.0 / a + 1.0 / bb
+                                         + 1.0 / cc + 1.0 / d)), 6)
+       END AS ci_lo,
+       CASE WHEN a * bb * cc * d = 0 THEN 0.0
+            ELSE ROUND(EXP(LN(CAST(a AS DOUBLE) * d
+                              / (CAST(bb AS DOUBLE) * cc))
+                           + 1.96 * sqrt(1.0 / a + 1.0 / bb
+                                         + 1.0 / cc + 1.0 / d)), 6)
+       END AS ci_hi
+FROM c""")
+def weekend_purchase_odds_ratio(sf_dir: str) -> pd.DataFrame:
+    """Odds ratio of purchasing on weekends vs weekdays with the
+    Woolf 95% log-CI — the epidemiology-standard 2×2 effect size
+    (an OR CI excluding 1 = the weekend effect is real). One pass of
+    four integer cell partials per block ((epoch+4)%7 ∈ {0,6} is the
+    shared Sunday/Saturday test); OR = ad/bc and exp(ln OR ±
+    1.96·√(Σ1/cell)) are shared float expressions; any empty cell
+    short-circuits the CI (and bc = 0 the OR) to 0."""
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        wkd = ((us // 86_400_000_000 + 4) % 7)
+        wkd = ((wkd == 0) | (wkd == 6)).astype(np.int64)
+        s = (df["event_type"] == "purchase").to_numpy() \
+            .astype(np.int64)
+        return pd.DataFrame({
+            "a": [np.int64(((wkd == 1) & (s == 1)).sum())],
+            "b": [np.int64(((wkd == 1) & (s == 0)).sum())],
+            "c": [np.int64(((wkd == 0) & (s == 1)).sum())],
+            "d": [np.int64(((wkd == 0) & (s == 0)).sum())]})
+
+    cells = _events(sf_dir, ["ts", "event_type"]) \
+        .map_batches(prep, batch_format="pandas").to_pandas().sum()
+    a, b = int(cells["a"]), int(cells["b"])
+    c, d = int(cells["c"]), int(cells["d"])
+    r6 = textstats.round_half_away
+    if b * c == 0:
+        orr = 0.0
+    else:
+        orr = r6(float(a) * d / (float(b) * c), 6)
+    if a * b * c * d == 0:
+        lo = hi = 0.0
+    else:
+        lnor = np.log(float(a) * d / (float(b) * c))
+        se = np.sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)
+        lo = r6(np.exp(lnor - 1.96 * se), 6)
+        hi = r6(np.exp(lnor + 1.96 * se), 6)
+    return pd.DataFrame({"a": np.array([a], np.int64),
+                         "b": np.array([b], np.int64),
+                         "c": np.array([c], np.int64),
+                         "d": np.array([d], np.int64),
+                         "odds_ratio": [float(orr)],
+                         "ci_lo": [float(lo)], "ci_hi": [float(hi)]})
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
