@@ -1968,3 +1968,70 @@ def test_odds_ratio_planted_effect(ray_session, tmp_path):
     out = REGISTRY["weekend_purchase_odds_ratio"][0](d)
     assert out["odds_ratio"][0] == 4.0
     assert out["ci_lo"][0] > 1.0
+
+
+def test_vmr_regular_vs_bursty(ray_session, tmp_path):
+    """Constant daily counts -> VMR 0; one huge day among zeros ->
+    VMR far above 1."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T12:00:00", "us")
+    day = np.timedelta64(1, "D")
+    ts, types = [], []
+    for i in range(10):
+        ts.extend([t0 + i * day] * 4)
+        types.extend(["steady"] * 4)
+    ts.extend([t0] * 40)
+    types.extend(["bursty"] * 40)
+    d = str(tmp_path / "vmr")
+    _write_events(d, ts, [1.0] * len(ts), types=types)
+    out = REGISTRY["daily_vmr_by_type"][0](d)
+    got = {r.event_type: r.vmr for r in out.itertuples()}
+    assert got["steady"] == 0.0
+    assert got["bursty"] > 10.0
+
+
+def test_never_pairs_planted_wall(ray_session, tmp_path):
+    """Types a and b co-occur; type c lives in its own sessions ->
+    the never-pairs are (a, c) and (b, c)."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    hr = np.timedelta64(2, "h")
+    ts = [t0, t0 + s, t0 + hr, t0 + hr + s]
+    types = ["a", "b", "c", "c"]
+    d = str(tmp_path / "wall")
+    _write_events(d, ts, [1.0] * 4, types=types)
+    out = REGISTRY["session_type_never_pairs"][0](d)
+    got = set(zip(out["type_a"], out["type_b"]))
+    assert got == {("a", "c"), ("b", "c")}
+
+
+def test_cross_fact_corr_perfect_line(ray_session, tmp_path):
+    """Order cents exactly 3x event cents per user -> r = 1."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    d = str(tmp_path / "xcorr")
+    _write_events(d, [t0 + i * s for i in range(4)],
+                  [1.0, 2.0, 3.0, 4.0], users=[0, 1, 2, 3])
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(range(4), pa.int64()),
+        "o_custkey": pa.array(range(4), pa.int64()),
+        "o_orderstatus": pa.array(["F"] * 4),
+        "o_totalprice": pa.array([3.0, 6.0, 9.0, 12.0]),
+        "o_orderdate": pa.array(
+            np.array(["1995-01-01"] * 4, dtype="datetime64[us]"),
+            pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * 4)}),
+        os.path.join(d, "orders.parquet"))
+    out = REGISTRY["cross_fact_value_corr"][0](d)
+    assert out["pearson_r"][0] == 1.0
+    assert out["n"][0] == 4

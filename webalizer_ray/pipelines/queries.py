@@ -16318,6 +16318,238 @@ def weekend_purchase_odds_ratio(sf_dir: str) -> pd.DataFrame:
                          "ci_lo": [float(lo)], "ci_hi": [float(hi)]})
 
 
+@register("daily_vmr_by_type", sql="""
+WITH d0 AS (SELECT epoch_us(ts) // 86400000000 AS d, event_type AS g,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2),
+t AS (SELECT CAST(COUNT(DISTINCT d) AS BIGINT) AS t FROM d0),
+m AS (SELECT g, CAST(SUM(c) AS BIGINT) AS s,
+             CAST(SUM(c * c) AS BIGINT) AS ss FROM d0 GROUP BY g)
+SELECT g AS event_type, (SELECT t FROM t) AS t_days, s, ss,
+       ROUND(CAST(s AS DOUBLE) / (SELECT t FROM t), 6) AS mean,
+       CASE WHEN s = 0 THEN 0.0
+            ELSE ROUND((CAST(ss AS DOUBLE) / (SELECT t FROM t)
+                        - (CAST(s AS DOUBLE) / (SELECT t FROM t))
+                        * (CAST(s AS DOUBLE) / (SELECT t FROM t)))
+                       / (CAST(s AS DOUBLE) / (SELECT t FROM t)), 6)
+       END AS vmr
+FROM m ORDER BY 1""")
+def daily_vmr_by_type(sf_dir: str) -> pd.DataFrame:
+    """Variance-to-mean ratio (index of dispersion) of each type's
+    daily counts over the GLOBAL observed-day universe (absent days
+    are real zeros and contribute only through T) — the Poisson
+    diagnostic: VMR ≈ 1 means memoryless arrivals, ≫ 1 means
+    bursty/clustered days, ≪ 1 means scheduled/quota-like. Integer
+    (Σc, Σc²) moments off the one (day, type) reduce; mean and the
+    population VMR are shared float expressions with a zero-count
+    guard."""
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        return pd.DataFrame({
+            "d": (us // 86_400_000_000).astype(np.int64),
+            "g": df["event_type"].astype(str)})
+
+    d0 = reduce_sink(
+        _events(sf_dir, ["ts", "event_type"])
+        .map_batches(prep, batch_format="pandas"),
+        ["d", "g"], {"c": ("d", "size")}).to_pandas()
+    t = int(d0["d"].nunique())
+    r6 = textstats.round_half_away
+    rows = []
+    for g, grp in d0.groupby("g", sort=True):
+        c = grp["c"].to_numpy(np.int64)
+        s, ss = int(c.sum()), int((c * c).sum())
+        mean = float(s) / t
+        vmr = 0.0 if s == 0 else \
+            r6((float(ss) / t - mean * mean) / mean, 6)
+        rows.append((g, t, s, ss, float(r6(mean, 6)), float(vmr)))
+    return pd.DataFrame(rows, columns=["event_type", "t_days", "s",
+                                       "ss", "mean", "vmr"]) \
+        .astype({"t_days": np.int64, "s": np.int64, "ss": np.int64})
+
+
+@register("session_type_never_pairs", sql=f"""
+WITH sid AS (SELECT user_id, event_type, ts, event_id,
+                    SUM(ns) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+             FROM ({_NS_SQL})),
+st AS (SELECT DISTINCT user_id, sid, event_type FROM sid),
+types AS (SELECT DISTINCT event_type AS g FROM st),
+seen AS (SELECT DISTINCT a.event_type AS ga, b.event_type AS gb
+         FROM st a JOIN st b ON a.user_id = b.user_id
+                            AND a.sid = b.sid
+                            AND a.event_type < b.event_type),
+cnt AS (SELECT event_type AS g,
+               CAST(COUNT(DISTINCT user_id || '#' || sid) AS BIGINT)
+                   AS sessions
+        FROM st GROUP BY 1)
+SELECT ta.g AS type_a, tb.g AS type_b,
+       ca.sessions AS sessions_a, cb.sessions AS sessions_b
+FROM types ta JOIN types tb ON ta.g < tb.g
+JOIN cnt ca ON ca.g = ta.g JOIN cnt cb ON cb.g = tb.g
+WHERE NOT EXISTS (SELECT 1 FROM seen
+                  WHERE seen.ga = ta.g AND seen.gb = tb.g)
+ORDER BY 1, 2""")
+def session_type_never_pairs(sf_dir: str) -> pd.DataFrame:
+    """Anti-pattern mining: type pairs that NEVER share a session —
+    the co-absence complement of session_type_pairs (a pair of
+    features that never co-fire is a product-flow wall or an
+    instrumentation bug). The distinct (session, type) reduce and
+    the within-bucket pair self-merge are the market-basket
+    machinery verbatim; the driver subtracts the observed pair set
+    from the |types|² universe and annotates each type's session
+    support. Empty result = every pair co-occurs (the common case on
+    dense data; planted walls surface it)."""
+    sess = _sessionized_events(sf_dir)
+
+    def strip(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["user_id", "sid", "event_type"]].drop_duplicates()
+
+    st = reduce_sink(
+        sess.map_batches(strip, batch_format="pandas"),
+        ["user_id", "sid", "event_type"], {"n": ("sid", "size")})
+
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket_"] = (df["user_id"].to_numpy(np.int64) % 32) \
+            .astype(np.int32)
+        return df
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        j = g.merge(g, on=["user_id", "sid"])
+        j = j[j["event_type_x"] < j["event_type_y"]]
+        return j[["event_type_x", "event_type_y"]].drop_duplicates() \
+            .rename(columns={"event_type_x": "ga",
+                             "event_type_y": "gb"})
+
+    seen = reduce_sink(
+        st.map_batches(with_bucket, batch_format="pandas")
+        .groupby("bucket_")
+        .map_groups(lambda g: pairs(g.drop(columns=["bucket_", "n"])),
+                    batch_format="pandas"),
+        ["ga", "gb"], {"n": ("ga", "size")}).to_pandas()
+    seen_set = set(zip(seen["ga"], seen["gb"]))
+    cnt = reduce_sink(st, ["event_type"],
+                      {"sessions": ("n", "size")}).to_pandas()
+    support = dict(zip(cnt["event_type"], cnt["sessions"]))
+    types = sorted(support)
+    rows = [(a, b, int(support[a]), int(support[b]))
+            for i, a in enumerate(types) for b in types[i + 1:]
+            if (a, b) not in seen_set]
+    return pd.DataFrame(rows, columns=["type_a", "type_b",
+                                       "sessions_a", "sessions_b"]) \
+        .astype({"sessions_a": np.int64, "sessions_b": np.int64}) \
+        .sort_values(["type_a", "type_b"], ignore_index=True)
+
+
+@register("cross_fact_value_corr", sql="""
+WITH e AS (SELECT user_id AS k,
+                  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                       AS BIGINT) AS x
+           FROM events GROUP BY 1),
+o AS (SELECT o_custkey AS k,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1),
+j AS (SELECT e.x, o.y FROM e JOIN o ON e.k = o.k),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+      FROM j)
+SELECT n, CAST(sx AS BIGINT) AS sum_x, CAST(sy AS BIGINT) AS sum_y,
+       CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0
+            THEN 0.0
+            ELSE ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                              * CAST(n * syy - sy * sy AS DOUBLE)),
+                       6)
+       END AS pearson_r
+FROM m""")
+def cross_fact_value_corr(sf_dir: str) -> pd.DataFrame:
+    """Cross-fact value correlation: does a user's BEHAVIORAL spend
+    (event value) track their COMMERCIAL spend (order totals)? —
+    the identity-resolution sanity number computed over users
+    present in both facts. Both per-key reduces stay distributed;
+    the inner join happens inside user-hash buckets; per-block
+    moment partials use the gini-style two-word (hi, lo) int64
+    transport because Σxy/Σx²/Σy² overflow a single int64 by design
+    (the oracle goes HUGEINT), so Pearson closes from EXACT integers
+    with one shared division."""
+    ev = reduce_sink(
+        _events(sf_dir, ["user_id", "value"]).map_batches(
+            lambda df: pd.DataFrame({
+                "k": df["user_id"].to_numpy(np.int64),
+                "x": np.rint(df["value"].to_numpy(np.float64) * 100)
+                .astype(np.int64),
+                "y": np.zeros(len(df), np.int64),
+                "fe": np.ones(len(df), np.int64),
+                "fo": np.zeros(len(df), np.int64)}),
+            batch_format="pandas"),
+        ["k"], {"x": ("x", "sum"), "y": ("y", "sum"),
+                "fe": ("fe", "max"), "fo": ("fo", "max")})
+    orders = reduce_sink(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_totalprice"])
+        .map_batches(
+            lambda df: pd.DataFrame({
+                "k": df["o_custkey"].to_numpy(np.int64),
+                "x": np.zeros(len(df), np.int64),
+                "y": np.rint(df["o_totalprice"]
+                             .to_numpy(np.float64) * 100)
+                .astype(np.int64),
+                "fe": np.zeros(len(df), np.int64),
+                "fo": np.ones(len(df), np.int64)}),
+            batch_format="pandas"),
+        ["k"], {"x": ("x", "sum"), "y": ("y", "sum"),
+                "fe": ("fe", "max"), "fo": ("fo", "max")})
+    merged = reduce_sink(
+        ev.union(orders), ["k"],
+        {"x": ("x", "sum"), "y": ("y", "sum"),
+         "fe": ("fe", "max"), "fo": ("fo", "max")})
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[(df["fe"] == 1) & (df["fo"] == 1)]
+        x = df["x"].to_numpy(np.int64)
+        y = df["y"].to_numpy(np.int64)
+        xo = x.astype(object)
+        yo = y.astype(object)
+        sxy = int((xo * yo).sum()) if len(x) else 0
+        sxx = int((xo * xo).sum()) if len(x) else 0
+        syy = int((yo * yo).sum()) if len(y) else 0
+        row = {"n": [np.int64(len(df))],
+               "sx": [np.int64(x.sum() if len(x) else 0)],
+               "sy": [np.int64(y.sum() if len(y) else 0)]}
+        for name, v in (("sxy", sxy), ("sxx", sxx), ("syy", syy)):
+            hi, lo = divmod(v, 1 << 62)
+            row[name + "_hi"] = [np.int64(hi)]
+            row[name + "_lo"] = [np.int64(lo)]
+        return pd.DataFrame(row)
+
+    p = merged.map_batches(moments, batch_format="pandas").to_pandas()
+    n = int(p["n"].sum())
+    sx, sy = int(p["sx"].sum()), int(p["sy"].sum())
+
+    def word(sfx):
+        return sum(int(h) * (1 << 62) + int(l)
+                   for h, l in zip(p[sfx + "_hi"], p[sfx + "_lo"]))
+
+    sxy, sxx, syy = word("sxy"), word("sxx"), word("syy")
+    r6 = textstats.round_half_away
+    den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    r = 0.0 if den == 0 else \
+        r6(float(n * sxy - sx * sy)
+           / np.sqrt(float(n * sxx - sx * sx)
+                     * float(n * syy - sy * sy)), 6)
+    return pd.DataFrame({"n": np.array([n], np.int64),
+                         "sum_x": np.array([sx], np.int64),
+                         "sum_y": np.array([sy], np.int64),
+                         "pearson_r": [float(r)]})
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
