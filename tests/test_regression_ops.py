@@ -2035,3 +2035,42 @@ def test_cross_fact_corr_perfect_line(ray_session, tmp_path):
     out = REGISTRY["cross_fact_value_corr"][0](d)
     assert out["pearson_r"][0] == 1.0
     assert out["n"][0] == 4
+
+
+def test_qq_slope_scaled_distribution(ray_session, tmp_path):
+    """Purchases exactly 2x the view values -> every purchase decile
+    doubles the view decile and the Q-Q slope is 2."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    vals = [float(i + 1) for i in range(50)]
+    ts = [t0 + i * s for i in range(100)]
+    d = str(tmp_path / "qq")
+    _write_events(d, ts, vals + [2 * v for v in vals],
+                  types=["view"] * 50 + ["purchase"] * 50)
+    out = REGISTRY["qq_slope_view_purchase"][0](d)
+    assert (out["purchase_q"] == 2 * out["view_q"]).all()
+    assert out["qq_slope"].iloc[0] == 2.0
+
+
+def test_circadian_concentrated_vs_spread(ray_session, tmp_path):
+    """All events at exactly 06:00 -> R = 1 and mean hour 6; events
+    at two opposite hours -> R = 0."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T06:00:00", "us")
+    day = np.timedelta64(1, "D")
+    conc = str(tmp_path / "circ1")
+    _write_events(conc, [t0 + i * day for i in range(8)], [1.0] * 8)
+    o = REGISTRY["circadian_concentration"][0](conc)
+    assert o["r_global"][0] == 1.0
+    assert o["mean_hour"][0] == 6.0
+    assert o["mean_user_r"][0] == 1.0
+    # 06:00 and 18:00 are antipodal on the clock circle
+    spread = str(tmp_path / "circ2")
+    ts = [t0 + i * day for i in range(4)] \
+        + [t0 + np.timedelta64(12, "h") + i * day for i in range(4)]
+    _write_events(spread, ts, [1.0] * 8)
+    o2 = REGISTRY["circadian_concentration"][0](spread)
+    assert abs(o2["r_global"][0]) < 1e-9
