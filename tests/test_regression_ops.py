@@ -2074,3 +2074,21 @@ def test_circadian_concentrated_vs_spread(ray_session, tmp_path):
     _write_events(spread, ts, [1.0] * 8)
     o2 = REGISTRY["circadian_concentration"][0](spread)
     assert abs(o2["r_global"][0]) < 1e-9
+
+
+def test_exp_growth_exact_doubling(ray_session, tmp_path):
+    """Counts 1,2,4,8,16 -> growth rate exactly ln 2, doubling time
+    exactly 1 day."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T12:00:00", "us")
+    day = np.timedelta64(1, "D")
+    ts = []
+    for i, c in enumerate([1, 2, 4, 8, 16]):
+        ts.extend([t0 + i * day] * c)
+    d = str(tmp_path / "expg")
+    _write_events(d, ts, [1.0] * len(ts))
+    out = REGISTRY["exp_growth_fit_daily"][0](d)
+    assert abs(out["daily_growth_rate"][0] - round(np.log(2), 6)) \
+        < 1e-9
+    assert out["doubling_days"][0] == 1.0

@@ -238,3 +238,33 @@ def test_region_share_rollup_sums(ray_session):
         assert abs(grp["nation_share_of_region"].sum() - 1.0) < 1e-4
     regs = out.drop_duplicates("region")
     assert abs(regs["region_share_of_total"].sum() - 1.0) < 1e-4
+
+
+def test_dup_rate_by_source_planted(ray_session, tmp_path):
+    """Source A has 2 copies of one text among 4 docs -> dup_rate
+    0.5, removable 1; source B all unique -> 0."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    d = str(tmp_path / "dupsrc")
+    _write_docs_min(d, ["same text", "same text", "other", "third",
+                        "u1", "u2"],
+                    ["A", "A", "A", "A", "B", "B"])
+    out = REGISTRY["dup_rate_by_source"][0](d)
+    rows = {r.source: r for r in out.itertuples()}
+    assert rows["A"].docs == 4 and rows["A"].dup_docs == 2
+    assert rows["A"].removable == 1 and rows["A"].dup_rate == 0.5
+    assert rows["B"].dup_docs == 0 and rows["B"].dup_rate == 0.0
+
+
+def test_source_vocab_jaccard_hand(ray_session, tmp_path):
+    """A={a,b,c}, B={b,c,d}: jaccard 2/4; C={x} shares nothing ->
+    no (A,C)/(B,C) rows."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    d = str(tmp_path / "vjac")
+    _write_docs_min(d, ["a b c", "b c d", "x"], ["A", "B", "C"])
+    out = REGISTRY["source_vocab_jaccard"][0](d)
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r.source_a, r.source_b, r.both) == ("A", "B", 2)
+    assert r.jaccard == 0.5

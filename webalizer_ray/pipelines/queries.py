@@ -16697,6 +16697,215 @@ def circadian_concentration(sf_dir: str) -> pd.DataFrame:
         "mean_user_r": [float(mean_user_r)]})
 
 
+@register("dup_rate_by_source", sql="""
+WITH h AS (SELECT source, md5(text) AS fp,
+                  CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM documents GROUP BY 1, 2)
+SELECT source,
+       CAST(SUM(cnt) AS BIGINT) AS docs,
+       CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
+           AS dup_docs,
+       CAST(SUM(CASE WHEN cnt > 1 THEN cnt - 1 ELSE 0 END)
+            AS BIGINT) AS removable,
+       ROUND(CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)
+                  AS DOUBLE) / SUM(cnt), 6) AS dup_rate
+FROM h GROUP BY 1 ORDER BY 1""")
+def dup_rate_by_source(sf_dir: str) -> pd.DataFrame:
+    """Exact duplicate pressure per source: the share of docs whose
+    text appears more than once WITHIN their source, and how many a
+    dedup pass would remove — the per-provider quality scorecard
+    that decides which feeds need cleaning (a 30%-dup source is a
+    scraper bug, not content). Docs fingerprint map-side (md5 of the
+    text — the oracle's function, hex-string equality); only
+    (source, fp, cnt) aggregate rows shuffle, never text; the
+    per-source rollup is integer partials plus one division."""
+    import hashlib
+
+    def fp(batch: pa.Table) -> pd.DataFrame:
+        texts = batch["text"].to_pylist()
+        return pd.DataFrame({
+            "source": batch["source"].to_pandas(),
+            "fp": [hashlib.md5(t.encode("utf-8")).hexdigest()
+                   for t in texts],
+            "cnt": np.ones(len(texts), np.int64)})
+
+    h = reduce_sink(
+        _docs(sf_dir, ["text", "source"]).map_batches(
+            fp, batch_format="pyarrow"),
+        ["source", "fp"], {"cnt": ("cnt", "sum")})
+
+    def rollup(df: pd.DataFrame) -> pd.DataFrame:
+        dup = np.where(df["cnt"] > 1, df["cnt"], 0)
+        return pd.DataFrame({
+            "source": df["source"],
+            "docs": df["cnt"].to_numpy(np.int64),
+            "dup_docs": dup.astype(np.int64),
+            "removable": np.where(df["cnt"] > 1, df["cnt"] - 1, 0)
+            .astype(np.int64)}).groupby("source", as_index=False) \
+            .sum()
+
+    out = reduce_sink(
+        h.map_batches(rollup, batch_format="pandas"),
+        ["source"], {"docs": ("docs", "sum"),
+                     "dup_docs": ("dup_docs", "sum"),
+                     "removable": ("removable", "sum")}).to_pandas()
+    r6 = textstats.round_half_away
+    out["dup_rate"] = r6(out["dup_docs"].to_numpy(np.float64)
+                         / out["docs"].to_numpy(np.float64), 6)
+    return out.astype({"docs": np.int64, "dup_docs": np.int64,
+                       "removable": np.int64}) \
+        .sort_values("source", ignore_index=True)
+
+
+@register("source_vocab_jaccard", sql=r"""
+WITH w AS (SELECT DISTINCT source,
+                  unnest(regexp_extract_all(text, '\S+')) AS word
+           FROM documents),
+v AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab
+      FROM w GROUP BY 1),
+inter AS (SELECT a.source AS sa, b.source AS sb,
+                 CAST(COUNT(*) AS BIGINT) AS both
+          FROM w a JOIN w b ON a.word = b.word
+                           AND a.source < b.source
+          GROUP BY 1, 2)
+SELECT i.sa AS source_a, i.sb AS source_b, i.both,
+       va.vocab AS vocab_a, vb.vocab AS vocab_b,
+       ROUND(CAST(i.both AS DOUBLE)
+             / (va.vocab + vb.vocab - i.both), 6) AS jaccard
+FROM inter i JOIN v va ON i.sa = va.source
+             JOIN v vb ON i.sb = vb.source
+ORDER BY 1, 2""")
+def source_vocab_jaccard(sf_dir: str) -> pd.DataFrame:
+    """Pairwise vocabulary Jaccard between sources — the corpus-mix
+    similarity matrix ('are these two crawls the same content?')
+    computed on WORD SETS, so it survives reordering and dedup.
+    Scale shape: the distinct (source, word) reduce bounds the data
+    at vocabulary cardinality; intersections come from a per-WORD
+    expansion (each word's ≤|sources| list self-merges inside its
+    hash bucket — the same bounded-alphabet trick as the co-purchase
+    pass), so no all-pairs document work ever happens; only
+    (source_a, source_b, both) partials shuffle. Pairs that share
+    nothing simply don't appear (matching the oracle's inner
+    join)."""
+    def words(batch: pa.Table) -> pd.DataFrame:
+        src = batch["source"].to_pandas()
+        w = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(batch["text"]), r"\s+")
+        counts = pc.list_value_length(w).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(w).to_pandas()
+        rep = np.repeat(src.to_numpy(), counts)
+        df = pd.DataFrame({"source": rep, "word": flat})
+        df = df[df["word"].str.len() > 0].drop_duplicates()
+        return df
+
+    sw = reduce_sink(
+        _docs(sf_dir, ["text", "source"]).map_batches(
+            words, batch_format="pyarrow"),
+        ["source", "word"], {"n": ("word", "size")})
+    v = reduce_sink(sw, ["source"], {"vocab": ("n", "size")}) \
+        .to_pandas()
+    vocab = dict(zip(v["source"], v["vocab"]))
+
+    def wbucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket_"] = pd.util.hash_array(
+            df["word"].to_numpy(object)).astype(np.int64) % 64
+        return df
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        j = g.merge(g, on="word")
+        j = j[j["source_x"] < j["source_y"]]
+        out = j.groupby(["source_x", "source_y"], as_index=False) \
+            .size().rename(columns={"size": "both",
+                                    "source_x": "sa",
+                                    "source_y": "sb"})
+        return out
+
+    inter = reduce_sink(
+        sw.map_batches(wbucket, batch_format="pandas")
+        .groupby("bucket_")
+        .map_groups(lambda g: pairs(g.drop(columns=["bucket_",
+                                                    "n"])),
+                    batch_format="pandas"),
+        ["sa", "sb"], {"both": ("both", "sum")}).to_pandas()
+    r6 = textstats.round_half_away
+    inter["vocab_a"] = inter["sa"].map(vocab).astype(np.int64)
+    inter["vocab_b"] = inter["sb"].map(vocab).astype(np.int64)
+    inter["jaccard"] = r6(
+        inter["both"].to_numpy(np.float64)
+        / (inter["vocab_a"].to_numpy(np.int64)
+           + inter["vocab_b"].to_numpy(np.int64)
+           - inter["both"].to_numpy(np.int64)).astype(np.float64), 6)
+    out = inter.rename(columns={"sa": "source_a", "sb": "source_b"})
+    return out[["source_a", "source_b", "both", "vocab_a",
+                "vocab_b", "jaccard"]] \
+        .astype({"both": np.int64}) \
+        .sort_values(["source_a", "source_b"], ignore_index=True)
+
+
+@register("exp_growth_fit_daily", sql="""
+WITH daily AS (SELECT epoch_us(ts) // 86400000000 AS d,
+                      CAST(COUNT(*) AS BIGINT) AS y
+               FROM events GROUP BY 1),
+b AS (SELECT MIN(d) AS mn FROM daily),
+g AS (SELECT CAST(d - (SELECT mn FROM b) AS DOUBLE) AS t,
+             LN(CAST(y AS DOUBLE)) AS ly
+      FROM daily WHERE y > 0),
+f AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k, SUM(t) AS sx,
+             SUM(ly) AS sy, SUM(t * ly) AS sxy, SUM(t * t) AS sxx
+      FROM g)
+SELECT CAST(k AS BIGINT) AS n_days,
+       CASE WHEN k * sxx - sx * sx = 0 THEN 0.0
+            ELSE ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 6)
+       END AS daily_growth_rate,
+       CASE WHEN k * sxx - sx * sx = 0
+                 OR (k * sxy - sx * sy) / (k * sxx - sx * sx) <= 0
+            THEN 0.0
+            ELSE ROUND(LN(2) / ((k * sxy - sx * sy)
+                                / (k * sxx - sx * sx)), 6)
+       END AS doubling_days
+FROM f""")
+def exp_growth_fit_daily(sf_dir: str) -> pd.DataFrame:
+    """Exponential growth fit: log-linear OLS of the daily volume
+    (positive days only — ln 0 is not a data point) giving the
+    continuous daily growth rate and the doubling time ln 2 / rate —
+    what 'are we growing 5% a day?' actually asks, which the LINEAR
+    trend query systematically underestimates on compounding data.
+    One daily reduce; the closed-form OLS over (day-index, ln y)
+    shares every operand; non-positive slope pins doubling_days to
+    0 on both engines."""
+    ds = _events(sf_dir, ["ts"])
+
+    def day_col(t: pa.Table) -> pd.DataFrame:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pd.DataFrame({"d": (us // 86_400_000_000)
+                             .astype(np.int64)})
+
+    daily = reduce_sink(ds.map_batches(day_col, batch_format="pyarrow"),
+                        ["d"], {"y": ("d", "size")}) \
+        .to_pandas().sort_values("d", ignore_index=True)
+    daily = daily[daily["y"] > 0]
+    mn = int(daily["d"].min())
+    t = (daily["d"].to_numpy(np.int64) - mn).astype(np.float64)
+    ly = np.log(daily["y"].to_numpy(np.float64))
+    k = float(len(daily))
+    sx, sy = float(t.sum()), float(ly.sum())
+    sxy, sxx = float((t * ly).sum()), float((t * t).sum())
+    den = k * sxx - sx * sx
+    r6 = textstats.round_half_away
+    if den == 0:
+        rate, dbl = 0.0, 0.0
+    else:
+        raw = (k * sxy - sx * sy) / den
+        rate = r6(raw, 6)
+        dbl = 0.0 if raw <= 0 else r6(np.log(2) / raw, 6)
+    return pd.DataFrame({
+        "n_days": np.array([int(k)], np.int64),
+        "daily_growth_rate": [float(rate)],
+        "doubling_days": [float(dbl)]})
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
