@@ -2092,3 +2092,53 @@ def test_exp_growth_exact_doubling(ray_session, tmp_path):
     assert abs(out["daily_growth_rate"][0] - round(np.log(2), 6)) \
         < 1e-9
     assert out["doubling_days"][0] == 1.0
+
+
+def test_log2_bands_exact_powers(ray_session, tmp_path):
+    """Exact powers of two land in their own band (the float-log
+    failure mode this operator avoids): $1.28 -> band 7, $2.56 ->
+    band 8; $0.00 -> band -1."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    d = str(tmp_path / "l2")
+    _write_events(d, [t0 + i * s for i in range(4)],
+                  [1.28, 2.56, 2.55, 0.0])
+    out = REGISTRY["log2_value_histogram"][0](d)
+    got = dict(zip(out["band"], out["n"]))
+    assert got == {-1: 1, 7: 2, 8: 1}
+
+
+def test_modal_hour_share_extremes(ray_session, tmp_path):
+    """One-ritual-hour user -> share 1; a user spread over 4 hours
+    evenly -> 0.25; mean = 0.625."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T09:00:00", "us")
+    h = np.timedelta64(1, "h")
+    s = np.timedelta64(1, "s")
+    ts = [t0 + i * s for i in range(4)]            # u0 all hour 9
+    ts += [t0 + (i % 4) * h + i * s for i in range(4)]   # u1 spread
+    d = str(tmp_path / "modal")
+    _write_events(d, ts, [1.0] * 8, users=[0] * 4 + [1] * 4)
+    out = REGISTRY["modal_hour_share_mean"][0](d)
+    assert out["n_users"][0] == 2
+    assert out["mean_modal_share"][0] == 0.625
+
+
+def test_session_size_hist_hand(ray_session, tmp_path):
+    """u0: one 3-event session + one singleton; u1: one 2-event
+    session -> histogram {1:1, 2:1, 3:1}."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    m = np.timedelta64(1, "m")
+    hr = np.timedelta64(2, "h")
+    ts = [t0, t0 + m, t0 + 2 * m, t0 + hr,
+          t0 + 5 * m, t0 + 6 * m]
+    d = str(tmp_path / "ssh")
+    _write_events(d, ts, [1.0] * 6, users=[0, 0, 0, 0, 1, 1])
+    out = REGISTRY["session_size_hist"][0](d)
+    got = dict(zip(out["session_events"], out["sessions"]))
+    assert got == {1: 1, 2: 1, 3: 1}

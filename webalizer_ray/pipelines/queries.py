@@ -16906,6 +16906,130 @@ def exp_growth_fit_daily(sf_dir: str) -> pd.DataFrame:
         "doubling_days": [float(dbl)]})
 
 
+@register("log2_value_histogram", sql="""
+WITH c AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents
+           FROM events),
+b AS (SELECT CASE WHEN cents <= 0 THEN -1
+                  ELSE length(printf('%b', cents)) - 1 END AS band
+      FROM c)
+SELECT CAST(band AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM b GROUP BY 1 ORDER BY 1""")
+def log2_value_histogram(sf_dir: str) -> pd.DataFrame:
+    """Log-scale (powers-of-two) value histogram: band = ⌊log₂ c⌋
+    computed as BIT LENGTH − 1, never as a float log — floor(log2(8))
+    can land on 2.999… and misbin every power of two; the bit trick
+    is exact by construction on both engines (the oracle uses the
+    binary printf length). Non-positive cents pin to band −1. The
+    standard heavy-tail-friendly binning for value dashboards; one
+    map-side band + (band, n) partials."""
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.rint(df["value"].to_numpy(np.float64) * 100) \
+            .astype(np.int64)
+        pos = c > 0
+        band = np.full(len(c), -1, np.int64)
+        # vectorized bit length: int64→float64 is EXACT for cents
+        # (< 2^53), and frexp's exponent − 1 IS floor(log2)
+        _, ex = np.frexp(c[pos].astype(np.float64))
+        band[pos] = ex - 1
+        return pd.DataFrame({"band": band})
+
+    out = reduce_sink(
+        _events(sf_dir, ["value"]).map_batches(
+            prep, batch_format="pandas"),
+        ["band"], {"n": ("band", "size")}).to_pandas()
+    return out.sort_values("band", ignore_index=True)
+
+
+@register("modal_hour_share_mean", sql="""
+WITH c AS (SELECT user_id, CAST(hour(ts) AS BIGINT) AS h,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+tot AS (SELECT user_id, CAST(SUM(n) AS BIGINT) AS t
+        FROM c GROUP BY 1),
+m AS (SELECT c.user_id, c.n,
+             ROW_NUMBER() OVER (PARTITION BY c.user_id
+                                ORDER BY c.n DESC, c.h) AS rn
+      FROM c),
+s AS (SELECT m.user_id, m.n AS modal_n, tot.t
+      FROM m JOIN tot ON m.user_id = tot.user_id WHERE m.rn = 1)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND(SUM(CAST(modal_n AS DOUBLE) / t) / COUNT(*), 6)
+           AS mean_modal_share
+FROM s""")
+def modal_hour_share_mean(sf_dir: str) -> pd.DataFrame:
+    """Behavioral focus: the average share of a user's events that
+    fall in their SINGLE busiest hour-of-day (1.0 = everyone has one
+    ritual hour, 1/24 = uniform) — the per-user sibling of the
+    circadian resultant that survives multimodal schedules. One
+    (user, hour) reduce; the argmax (count DESC, hour ASC tiebreak)
+    and the share happen inside the per-user rows of the tiny
+    aggregate; only the (Σshare, n_users) scalars leave."""
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "h": df["ts"].dt.hour.to_numpy(np.int64)})
+
+    c = reduce_sink(
+        _events(sf_dir, ["ts", "user_id"])
+        .map_batches(prep, batch_format="pandas"),
+        ["user_id", "h"], {"n": ("h", "size")})
+
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket_"] = (df["user_id"].to_numpy(np.int64) % 32) \
+            .astype(np.int32)
+        return df
+
+    def share(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "n", "h"],
+                          ascending=[True, False, True],
+                          kind="mergesort")
+        top = g.groupby("user_id", as_index=False).first()
+        tot = g.groupby("user_id", as_index=False)["n"].sum() \
+            .rename(columns={"n": "t"})
+        j = top.merge(tot, on="user_id")
+        return pd.DataFrame({
+            "sshare": [float((j["n"] / j["t"]).sum())],
+            "n_users": [np.int64(len(j))]})
+
+    p = (c.map_batches(with_bucket, batch_format="pandas")
+         .groupby("bucket_")
+         .map_groups(lambda g: share(g.drop(columns=["bucket_"])),
+                     batch_format="pandas")).to_pandas()
+    n_users = int(p["n_users"].sum())
+    r6 = textstats.round_half_away
+    return pd.DataFrame({
+        "n_users": np.array([n_users], np.int64),
+        "mean_modal_share": [float(r6(float(p["sshare"].sum())
+                                      / n_users, 6))]})
+
+
+@register("session_size_hist", sql=f"""
+WITH sid AS (SELECT user_id, ts, event_id,
+                    SUM(ns) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+             FROM ({_NS_SQL})),
+s AS (SELECT user_id, sid, CAST(COUNT(*) AS BIGINT) AS k
+      FROM sid GROUP BY 1, 2)
+SELECT k AS session_events, CAST(COUNT(*) AS BIGINT) AS sessions
+FROM s GROUP BY 1 ORDER BY 1""")
+def session_size_hist(sf_dir: str) -> pd.DataFrame:
+    """Events-per-session distribution — the engagement-depth
+    histogram behind bounce analysis (k = 1) and the long tail of
+    marathon sessions. Sessions count inside the user-hash bucket
+    (sessions never span buckets), so only (k, sessions) histogram
+    partials leave the cluster; pure integers."""
+    sess = _sessionized_events(sf_dir)
+    per = reduce_sink(sess, ["user_id", "sid"],
+                      {"k": ("sid", "size")})
+    out = reduce_sink(per, ["k"], {"sessions": ("k", "size")}) \
+        .to_pandas().rename(columns={"k": "session_events"})
+    return out.sort_values("session_events", ignore_index=True) \
+        .astype({"session_events": np.int64, "sessions": np.int64})
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
