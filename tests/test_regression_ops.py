@@ -2142,3 +2142,33 @@ def test_session_size_hist_hand(ray_session, tmp_path):
     out = REGISTRY["session_size_hist"][0](d)
     got = dict(zip(out["session_events"], out["sessions"]))
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_duplicate_event_groups_planted(ray_session, tmp_path):
+    """Three rows sharing (user, type, ts) plus two unique rows:
+    1 dup group, 2 extras, worst 3."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    ts = [t0, t0, t0, t0 + s, t0 + 2 * s]
+    d = str(tmp_path / "dupg")
+    _write_events(d, ts, [1.0] * 5)
+    out = REGISTRY["duplicate_event_groups"][0](d)
+    r = out.iloc[0]
+    assert (r.n_groups, r.dup_groups, r.extra_rows, r.worst_group) \
+        == (3, 1, 2, 3)
+
+
+def test_constant_columns_audit_shapes(ray_session):
+    """NDV never exceeds rows; key columns are unique; every audited
+    column appears."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    out = REGISTRY["constant_columns_audit"][0](
+        "/root/testdata/sf0.001")
+    assert len(out) == 12
+    assert (out["ndv"] <= out["n_rows"]).all()
+    keys = out[out["col"].isin(["event_id", "o_orderkey",
+                                "c_custkey"])]
+    assert (keys["ndv"] == keys["n_rows"]).all()

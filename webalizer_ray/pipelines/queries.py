@@ -17030,6 +17030,98 @@ def session_size_hist(sf_dir: str) -> pd.DataFrame:
         .astype({"session_events": np.int64, "sessions": np.int64})
 
 
+@register("duplicate_event_groups", sql="""
+WITH g AS (SELECT user_id, event_type, ts,
+                  CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM events GROUP BY 1, 2, 3)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS dup_groups,
+       CAST(SUM(CASE WHEN cnt > 1 THEN cnt - 1 ELSE 0 END)
+            AS BIGINT) AS extra_rows,
+       CAST(MAX(cnt) AS BIGINT) AS worst_group
+FROM g""")
+def duplicate_event_groups(sf_dir: str) -> pd.DataFrame:
+    """Idempotency audit: (user, type, timestamp) groups carrying
+    more than one event row — the at-least-once-delivery residue an
+    exactly-once pipeline must quantify before anyone trusts raw
+    counts (extra_rows IS the overcount). One keyed reduce at group
+    cardinality; the rollup is integer partials (count, dup flag,
+    extras, max) that combine associatively."""
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "event_type": df["event_type"].astype(str),
+            "ts": df["ts"].to_numpy("datetime64[us]")
+            .astype(np.int64)})
+
+    g = reduce_sink(
+        _events(sf_dir, ["user_id", "event_type", "ts"])
+        .map_batches(prep, batch_format="pandas"),
+        ["user_id", "event_type", "ts"], {"cnt": ("ts", "size")})
+
+    def rollup(df: pd.DataFrame) -> pd.DataFrame:
+        cnt = df["cnt"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "n_groups": [np.int64(len(cnt))],
+            "dup_groups": [np.int64((cnt > 1).sum())],
+            "extra_rows": [np.int64(np.where(cnt > 1, cnt - 1, 0)
+                                    .sum())],
+            "worst_group": [np.int64(cnt.max() if len(cnt) else 0)]})
+
+    p = g.map_batches(rollup, batch_format="pandas").to_pandas()
+    return pd.DataFrame({
+        "n_groups": np.array([int(p["n_groups"].sum())], np.int64),
+        "dup_groups": np.array([int(p["dup_groups"].sum())],
+                               np.int64),
+        "extra_rows": np.array([int(p["extra_rows"].sum())],
+                               np.int64),
+        "worst_group": np.array([int(p["worst_group"].max())],
+                                np.int64)})
+
+
+_AUDIT_COLS = {
+    "events": ["event_id", "user_id", "event_type", "value"],
+    "orders": ["o_orderkey", "o_custkey", "o_orderstatus",
+               "o_totalprice", "o_orderpriority"],
+    "customer": ["c_custkey", "c_nationkey", "c_mktsegment"],
+}
+_AUDIT_SQL = " UNION ALL ".join(
+    f"SELECT '{t}' AS tbl, '{c}' AS col, "
+    f"CAST(COUNT(*) AS BIGINT) AS n_rows, "
+    f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS ndv FROM {t}"
+    for t, cols in _AUDIT_COLS.items() for c in cols) + \
+    " ORDER BY tbl, col"
+
+
+@register("constant_columns_audit", sql=_AUDIT_SQL)
+def constant_columns_audit(sf_dir: str) -> pd.DataFrame:
+    """Cross-table degenerate-dimension audit: row count and exact
+    NDV for every audited column of events/orders/customer, the
+    'is this column secretly constant (or secretly a key)' profile
+    schema-drift monitoring diffs between loads. Each column is its
+    own two-phase exact distinct (value-keyed reduce, then a
+    count) — native dtypes end to end, no stringly casts to disagree
+    on; |columns| independent small pipelines, each shuffling only
+    keyed partials."""
+    rows = []
+    for tbl, cols in _AUDIT_COLS.items():
+        path = f"{sf_dir}/{tbl}.parquet"
+        if tbl == "events":
+            base = _events(sf_dir, cols)
+        else:
+            base = rd.read_parquet(path, columns=cols)
+        n_rows = base.count()
+        for c in cols:
+            d = reduce_sink(base.select_columns([c]), [c],
+                            {"n": (c, "size")})
+            ndv = int(d.count())
+            rows.append((tbl, c, int(n_rows), ndv))
+    out = pd.DataFrame(rows, columns=["tbl", "col", "n_rows", "ndv"])
+    return out.astype({"n_rows": np.int64, "ndv": np.int64}) \
+        .sort_values(["tbl", "col"], ignore_index=True)
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
