@@ -2172,3 +2172,40 @@ def test_constant_columns_audit_shapes(ray_session):
     keys = out[out["col"].isin(["event_id", "o_orderkey",
                                 "c_custkey"])]
     assert (keys["ndv"] == keys["n_rows"]).all()
+
+
+def test_peak_60s_planted_burst(ray_session, tmp_path):
+    """A 10-event burst inside one minute dominates a sparse
+    background; window crossing a minute-bucket boundary still
+    counts (context replication)."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:30", "us")  # straddles
+    s = np.timedelta64(1, "s")
+    hr = np.timedelta64(1, "h")
+    ts = [t0 + i * 5 * s for i in range(10)]   # 00:00:30..00:01:15
+    ts += [t0 + 3 * hr, t0 + 5 * hr]
+    d = str(tmp_path / "burst")
+    _write_events(d, ts, [1.0] * len(ts))
+    out = REGISTRY["peak_events_60s"][0](d)
+    assert out["peak_count"][0] == 10
+    assert out["window_end_us"][0] == int(
+        (t0 + 45 * s).astype("datetime64[us]").astype(np.int64))
+
+
+def test_longest_gap_cross_bucket(ray_session, tmp_path):
+    """The longest silence spans several hour buckets: the seam
+    stitch must find it."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    m = np.timedelta64(1, "m")
+    hr = np.timedelta64(1, "h")
+    ts = [t0, t0 + 10 * m, t0 + 5 * hr, t0 + 5 * hr + 30 * m]
+    d = str(tmp_path / "quiet")
+    _write_events(d, ts, [1.0] * 4)
+    out = REGISTRY["longest_quiet_gap"][0](d)
+    assert out["gap_us"][0] == int(
+        (5 * hr - 10 * m) / np.timedelta64(1, "us"))
+    assert out["start_us"][0] == int(
+        (t0 + 10 * m).astype("datetime64[us]").astype(np.int64))

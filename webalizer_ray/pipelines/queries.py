@@ -17122,6 +17122,132 @@ def constant_columns_audit(sf_dir: str) -> pd.DataFrame:
         .sort_values(["tbl", "col"], ignore_index=True)
 
 
+@register("peak_events_60s", sql="""
+WITH k AS (SELECT e.ts, e.event_id,
+                  (SELECT COUNT(*) FROM events e2
+                   WHERE epoch_us(e2.ts) > epoch_us(e.ts) - 60000000
+                     AND (e2.ts < e.ts OR (e2.ts = e.ts
+                          AND e2.event_id <= e.event_id))) AS k
+           FROM events e),
+best AS (SELECT k, epoch_us(ts) AS us,
+                ROW_NUMBER() OVER (ORDER BY k DESC, ts, event_id)
+                    AS rn
+         FROM k)
+SELECT CAST(k AS BIGINT) AS peak_count,
+       CAST(us AS BIGINT) AS window_end_us
+FROM best WHERE rn = 1""")
+def peak_events_60s(sf_dir: str) -> pd.DataFrame:
+    """Global peak burst: the largest number of events in ANY
+    trailing 60-second window across the whole stream (arrival order
+    (ts, id), self included, strict lookback) and when it ended —
+    peak RPS for capacity planning, where the hourly table's average
+    hides 100× spikes. Unlike the per-user rate-limit audit this
+    window is GLOBAL, so the partition is TIME: events bucket by
+    minute, each event also replicates as context to the NEXT bucket
+    (everything a home row's window can reach lies in bucket ∪
+    predecessor-context by construction), one searchsorted per bucket
+    answers every home row, and only (max, argmin-ts) partials leave.
+    2× replication bounded, no global sort."""
+    ds = _events(sf_dir, ["event_id", "ts"])
+    win = 60_000_000
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        b = us // win
+        home = pd.DataFrame({"bucket_": b, "us": us, "eid": eid,
+                             "home": np.ones(len(us), np.int64)})
+        ctx = pd.DataFrame({"bucket_": b + 1, "us": us, "eid": eid,
+                            "home": np.zeros(len(us), np.int64)})
+        return pd.concat([home, ctx], ignore_index=True)
+
+    def local_peak(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["us", "eid"], ignore_index=True)
+        us = g["us"].to_numpy(np.int64)
+        is_home = g["home"].to_numpy(np.int64) == 1
+        lo = np.searchsorted(us, us - win, side="right")
+        k = np.arange(len(us)) - lo + 1
+        k = k[is_home]
+        hus = us[is_home]
+        if not len(k):
+            return pd.DataFrame({"k": pd.Series([], dtype=np.int64),
+                                 "us": pd.Series([],
+                                                 dtype=np.int64)})
+        best = np.lexsort((hus, -k))[0]
+        return pd.DataFrame({"k": [np.int64(k[best])],
+                             "us": [np.int64(hus[best])]})
+
+    p = (ds.map_batches(expand, batch_format="pandas")
+         .groupby("bucket_")
+         .map_groups(lambda g: local_peak(
+             g.drop(columns=["bucket_"])),
+             batch_format="pandas")).to_pandas()
+    p = p.sort_values(["k", "us"], ascending=[False, True],
+                      kind="mergesort").head(1)
+    return pd.DataFrame({
+        "peak_count": np.array([int(p["k"].iloc[0])], np.int64),
+        "window_end_us": np.array([int(p["us"].iloc[0])], np.int64)})
+
+
+@register("longest_quiet_gap", sql="""
+WITH o AS (SELECT epoch_us(ts) AS us,
+                  LEAD(epoch_us(ts)) OVER (ORDER BY ts, event_id)
+                      AS nxt
+           FROM events),
+g AS (SELECT us, nxt - us AS gap FROM o WHERE nxt IS NOT NULL),
+best AS (SELECT us, gap,
+                ROW_NUMBER() OVER (ORDER BY gap DESC, us) AS rn
+         FROM g)
+SELECT CAST(gap AS BIGINT) AS gap_us, CAST(us AS BIGINT) AS start_us
+FROM best WHERE rn = 1""")
+def longest_quiet_gap(sf_dir: str) -> pd.DataFrame:
+    """The longest silence in the global stream — the maximum gap
+    between consecutive events and when it started (earliest on
+    ties): the outage/ingest-stall detector ('did we really receive
+    nothing for 40 minutes?'). Time-range buckets answer their
+    INTERIOR gaps with one vectorized diff; the cross-bucket seams
+    close on the driver from each non-empty bucket's (min, max)
+    metadata — O(buckets) rows, the same stitch as the concurrency
+    histogram, so no task ever sees the whole stream and there is
+    no global sort."""
+    ds = _events(sf_dir, ["ts"])
+    width = 3_600_000_000  # 1h range buckets
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        return pd.DataFrame({"us": us, "bucket_": us // width})
+
+    def interior(g: pd.DataFrame) -> pd.DataFrame:
+        us = np.sort(g["us"].to_numpy(np.int64))
+        if len(us) > 1:
+            d = np.diff(us)
+            i = int(np.lexsort((us[:-1], -d))[0])
+            gap, start = int(d[i]), int(us[i])
+        else:
+            gap, start = -1, -1
+        return pd.DataFrame({
+            "gap": [np.int64(gap)], "start": [np.int64(start)],
+            "mn": [np.int64(us[0])], "mx": [np.int64(us[-1])]})
+
+    p = (ds.map_batches(tag, batch_format="pandas")
+         .groupby("bucket_")
+         .map_groups(lambda g: interior(g.drop(columns=["bucket_"])),
+                     batch_format="pandas")).to_pandas()
+    # seam gaps between consecutive non-empty buckets (driver,
+    # O(buckets)): sort by bucket min
+    p = p.sort_values("mn", ignore_index=True)
+    cands = list(zip(p["gap"].astype(int), p["start"].astype(int)))
+    mx = p["mx"].to_numpy(np.int64)
+    mn = p["mn"].to_numpy(np.int64)
+    for i in range(len(p) - 1):
+        cands.append((int(mn[i + 1] - mx[i]), int(mx[i])))
+    cands = [(g, s) for g, s in cands if g >= 0]
+    gap, start = max(cands, key=lambda t: (t[0], -t[1]))
+    return pd.DataFrame({
+        "gap_us": np.array([gap], np.int64),
+        "start_us": np.array([start], np.int64)})
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
