@@ -2209,3 +2209,64 @@ def test_longest_gap_cross_bucket(ray_session, tmp_path):
         (5 * hr - 10 * m) / np.timedelta64(1, "us"))
     assert out["start_us"][0] == int(
         (t0 + 10 * m).astype("datetime64[us]").astype(np.int64))
+
+
+def test_last_digit_uniform_vs_nines(ray_session, tmp_path):
+    """Uniform last digits -> chi2 = 0; everything ending .x9 ->
+    chi2 = 9n/... large."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    uni = str(tmp_path / "lduni")
+    _write_events(uni, [t0 + i * s for i in range(20)],
+                  [(100 + i % 10) / 100 for i in range(20)])
+    o = REGISTRY["cents_last_digit_chi2"][0](uni)
+    assert o["chi2"].iloc[0] == 0.0
+    nines = str(tmp_path / "ld9")
+    _write_events(nines, [t0 + i * s for i in range(20)],
+                  [1.99] * 20)
+    o2 = REGISTRY["cents_last_digit_chi2"][0](nines)
+    # all mass on digit 9: chi2 = sum over 10 cells; observed cells
+    # with 0 count don't appear in the histogram but the oracle only
+    # sums observed rows too -> chi2 = (20-2)^2/2 = 162
+    assert o2["chi2"].iloc[0] == 162.0
+
+
+def test_reach_ratio_hand(ray_session, tmp_path):
+    """Type a: 2 users x 3 events; type b: 1 user x 1 event; 2 users
+    total -> penetration 1.0 / 0.5, intensity 3 / 1."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    ts = [t0 + i * s for i in range(7)]
+    users = [0, 0, 0, 1, 1, 1, 1]
+    types = ["a"] * 6 + ["b"]
+    d = str(tmp_path / "reach")
+    _write_events(d, ts, [1.0] * 7, users=users, types=types)
+    out = REGISTRY["type_reach_ratio"][0](d)
+    rows = {r.event_type: r for r in out.itertuples()}
+    assert rows["a"].reach == 2 and rows["a"].penetration == 1.0
+    assert rows["a"].events_per_user == 3.0
+    assert rows["b"].penetration == 0.5
+
+
+def test_purchase_frequency_repeat_rate(ray_session, tmp_path):
+    """3 one-time buyers + 1 three-time buyer -> repeat rate 0.25."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    ts, users = [], []
+    for u in range(3):
+        ts.append(t0 + u * s); users.append(u)
+    for j in range(3):
+        ts.append(t0 + (10 + j) * s); users.append(9)
+    d = str(tmp_path / "freq")
+    _write_events(d, ts, [1.0] * 6, users=users,
+                  types=["purchase"] * 6)
+    out = REGISTRY["purchase_frequency_dist"][0](d)
+    got = dict(zip(out["purchases"], out["users"]))
+    assert got == {1: 3, 3: 1}
+    assert out["repeat_rate"].iloc[0] == 0.25

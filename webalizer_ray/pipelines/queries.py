@@ -17248,6 +17248,115 @@ def longest_quiet_gap(sf_dir: str) -> pd.DataFrame:
         "start_us": np.array([start], np.int64)})
 
 
+@register("cents_last_digit_chi2", sql="""
+WITH d AS (SELECT CAST(ROUND(value * 100) AS BIGINT) % 10 AS digit
+           FROM events WHERE value > 0),
+h AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS o FROM d GROUP BY 1),
+t AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM h)
+SELECT CAST(h.digit AS BIGINT) AS digit, h.o,
+       ROUND(SUM((o - CAST(n AS DOUBLE) / 10)
+                 * (o - CAST(n AS DOUBLE) / 10)
+                 / (CAST(n AS DOUBLE) / 10))
+             OVER (), 6) AS chi2
+FROM h, t ORDER BY 1""")
+def cents_last_digit_chi2(sf_dir: str) -> pd.DataFrame:
+    """Last-digit uniformity audit: the terminal cents digit should
+    be ~uniform for organic amounts — psychological pricing (.99),
+    hand-entered rounding, or synthesized data all bend it, which is
+    why auditors test last digits where Benford tests first ones.
+    One 10-bin integer histogram; Pearson χ² against uniform is a
+    shared float expression riding every row as a window constant."""
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.rint(df["value"].to_numpy(np.float64) * 100) \
+            .astype(np.int64)
+        return pd.DataFrame({"digit": c[df["value"]
+                                        .to_numpy(np.float64) > 0]
+                             % 10})
+
+    h = reduce_sink(
+        _events(sf_dir, ["value"]).map_batches(
+            prep, batch_format="pandas"),
+        ["digit"], {"o": ("digit", "size")}).to_pandas() \
+        .sort_values("digit", ignore_index=True)
+    o = h["o"].to_numpy(np.int64)
+    n = int(o.sum())
+    e = float(n) / 10
+    chi2 = float(((o - e) * (o - e) / e).sum())
+    r6 = textstats.round_half_away
+    h["chi2"] = float(r6(chi2, 6))
+    return h.astype({"digit": np.int64, "o": np.int64})
+
+
+@register("type_reach_ratio", sql="""
+WITH v AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS volume,
+                  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS reach
+           FROM events GROUP BY 1),
+t AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS all_users
+      FROM events)
+SELECT event_type, volume, reach,
+       ROUND(CAST(reach AS DOUBLE) / t.all_users, 6) AS penetration,
+       ROUND(CAST(volume AS DOUBLE) / reach, 6) AS events_per_user
+FROM v, t ORDER BY 1""")
+def type_reach_ratio(sf_dir: str) -> pd.DataFrame:
+    """Reach vs volume per event type: distinct-user penetration
+    (what share of the user base ever does this) against intensity
+    (events per reached user) — the split that separates a
+    broad-shallow feature from a narrow-deep one when raw volume
+    looks identical. Exact two-phase distinct per type plus one
+    global distinct; volumes are ordinary count partials; two shared
+    divisions per row."""
+    ds = _events(sf_dir, ["event_type", "user_id"])
+    vol = reduce_sink(ds, ["event_type"],
+                      {"volume": ("user_id", "size")}).to_pandas()
+    reach = distinct_count(ds, ["event_type"], "user_id", "reach") \
+        .to_pandas()
+    pairs = reduce_sink(ds, ["user_id"], {"n": ("user_id", "size")})
+    all_users = int(pairs.count())
+    out = vol.merge(reach, on="event_type")
+    r6 = textstats.round_half_away
+    out["penetration"] = r6(out["reach"].to_numpy(np.float64)
+                            / float(all_users), 6)
+    out["events_per_user"] = r6(out["volume"].to_numpy(np.float64)
+                                / out["reach"]
+                                .to_numpy(np.float64), 6)
+    return out.astype({"volume": np.int64, "reach": np.int64}) \
+        .sort_values("event_type", ignore_index=True)
+
+
+@register("purchase_frequency_dist", sql="""
+WITH p AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS k
+           FROM events WHERE event_type = 'purchase' GROUP BY 1),
+h AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS users FROM p GROUP BY k),
+t AS (SELECT CAST(SUM(users) AS BIGINT) AS buyers,
+             CAST(SUM(CASE WHEN k >= 2 THEN users ELSE 0 END)
+                  AS BIGINT) AS repeaters
+      FROM h)
+SELECT h.k AS purchases, h.users,
+       ROUND(CAST(t.repeaters AS DOUBLE) / t.buyers, 6)
+           AS repeat_rate
+FROM h, t ORDER BY 1""")
+def purchase_frequency_dist(sf_dir: str) -> pd.DataFrame:
+    """Purchase-frequency distribution with the repeat rate — the
+    one-and-done vs loyal split (the empirical input to any
+    Pareto/NBD-style repeat-buying model). Per-user purchase counts
+    reduce once; the frequency histogram is a second tiny reduce;
+    the repeat rate (buyers with ≥2 / all buyers) rides every row
+    as a shared-constant division."""
+    per = reduce_sink(
+        _events(sf_dir, ["event_type", "user_id"]).map_batches(
+            lambda df: df[df["event_type"] == "purchase"]
+            [["user_id"]], batch_format="pandas"),
+        ["user_id"], {"k": ("user_id", "size")})
+    h = reduce_sink(per, ["k"], {"users": ("k", "size")}) \
+        .to_pandas().sort_values("k", ignore_index=True)
+    buyers = int(h["users"].sum())
+    repeaters = int(h[h["k"] >= 2]["users"].sum())
+    r6 = textstats.round_half_away
+    h = h.rename(columns={"k": "purchases"})
+    h["repeat_rate"] = float(r6(float(repeaters) / buyers, 6))
+    return h.astype({"purchases": np.int64, "users": np.int64})
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
