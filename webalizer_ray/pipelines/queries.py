@@ -8929,6 +8929,13 @@ def geo_nearby_customer_pairs(sf_dir: str) -> pd.DataFrame:
                           columns=["c_custkey"]) \
         .map_batches(to_points, batch_format="pandas")
     out = grid_distance_join(pts, radius=5000).to_pandas()
+    if "id_a" not in out.columns:
+        # Ray drops the schema of all-empty block sets on to_pandas();
+        # an empty pair set is a legal answer at tiny scale
+        return pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                             "id_b": pd.Series([], dtype=np.int64),
+                             "dist_sq": pd.Series([],
+                                                  dtype=np.int64)})
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return out.sort_values(["id_a", "id_b"], ignore_index=True)
