@@ -2270,3 +2270,51 @@ def test_purchase_frequency_repeat_rate(ray_session, tmp_path):
     got = dict(zip(out["purchases"], out["users"]))
     assert got == {1: 3, 3: 1}
     assert out["repeat_rate"].iloc[0] == 0.25
+
+
+def test_hill_diversity_uniform_vs_skewed(ray_session, tmp_path):
+    """Four equal types -> q0 = q1 = q2 = 4; one dominant type pulls
+    q2 below q1 below q0."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    eq = str(tmp_path / "hilleq")
+    _write_events(eq, [t0 + i * s for i in range(8)], [1.0] * 8,
+                  types=["a", "b", "c", "d"] * 2)
+    o = REGISTRY["hill_diversity_types"][0](eq)
+    assert o["q0"][0] == 4
+    assert o["q1_exp_shannon"][0] == 4.0
+    assert o["q2_inv_simpson"][0] == 4.0
+    sk = str(tmp_path / "hillsk")
+    _write_events(sk, [t0 + i * s for i in range(10)], [1.0] * 10,
+                  types=["a"] * 7 + ["b", "c", "d"])
+    o2 = REGISTRY["hill_diversity_types"][0](sk)
+    assert o2["q0"][0] == 4
+    assert o2["q2_inv_simpson"][0] < o2["q1_exp_shannon"][0] < 4.0
+
+
+def test_tenure_hazard_censoring(ray_session, tmp_path):
+    """Users still active in the last observed week are censored:
+    a cohort that never stops shows hazard 0 at every tenure."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T12:00:00", "us")
+    wk = np.timedelta64(7, "D")
+    ts, users = [], []
+    for u in range(4):
+        for w in range(4):
+            ts.append(t0 + w * wk)
+            users.append(u)
+    d = str(tmp_path / "haz0")
+    _write_events(d, ts, [1.0] * len(ts), users=users)
+    out = REGISTRY["tenure_churn_hazard"][0](d)
+    assert (out["hazard"] == 0.0).all()
+    # one user stops after week 0 while others continue -> hazard at
+    # tenure 0 = 1/5
+    ts.append(t0)
+    users.append(99)
+    d2 = str(tmp_path / "haz1")
+    _write_events(d2, ts, [1.0] * len(ts), users=users)
+    o2 = REGISTRY["tenure_churn_hazard"][0](d2)
+    assert o2[o2["tenure_weeks"] == 0]["hazard"].iloc[0] == 0.2

@@ -17364,6 +17364,106 @@ def purchase_frequency_dist(sf_dir: str) -> pd.DataFrame:
     return h.astype({"purchases": np.int64, "users": np.int64})
 
 
+@register("hill_diversity_types", sql="""
+WITH c AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot,
+             CAST(COUNT(*) AS BIGINT) AS q0 FROM c),
+s AS (SELECT SUM(-(n / CAST(tot AS DOUBLE))
+                 * LN(n / CAST(tot AS DOUBLE))) AS h,
+             SUM((n / CAST(tot AS DOUBLE))
+                 * (n / CAST(tot AS DOUBLE))) AS simpson
+      FROM c, t)
+SELECT t.q0, ROUND(EXP(s.h), 6) AS q1_exp_shannon,
+       ROUND(1.0 / s.simpson, 6) AS q2_inv_simpson
+FROM t, s""")
+def hill_diversity_types(sf_dir: str) -> pd.DataFrame:
+    """Hill diversity numbers of the event-type mix — the ecology
+    triple on one axis: q0 = richness (how many types), q1 =
+    exp(Shannon) (effective types weighting all), q2 = inverse
+    Simpson (effective DOMINANT types) — the standard way to say
+    'we log 12 types but effectively run on 3'. One type-count
+    reduce; shares, entropy and Simpson close as shared float
+    expressions over ≤|types| terms."""
+    c = reduce_sink(
+        _events(sf_dir, ["event_type"]),
+        ["event_type"], {"n": ("event_type", "size")}).to_pandas() \
+        .sort_values("event_type", ignore_index=True)
+    n = c["n"].to_numpy(np.float64)
+    tot = int(n.sum())
+    p = n / float(tot)
+    h = float((-(p) * np.log(p)).sum())
+    simpson = float((p * p).sum())
+    r6 = textstats.round_half_away
+    return pd.DataFrame({
+        "q0": np.array([len(c)], np.int64),
+        "q1_exp_shannon": [float(r6(np.exp(h), 6))],
+        "q2_inv_simpson": [float(r6(1.0 / simpson, 6))]})
+
+
+@register("tenure_churn_hazard", sql="""
+WITH uw AS (SELECT DISTINCT user_id,
+                   epoch_us(ts) // 86400000000 // 7 AS w
+            FROM events),
+b AS (SELECT MAX(w) AS wmax FROM uw),
+u AS (SELECT user_id, CAST(MIN(w) AS BIGINT) AS f,
+             CAST(MAX(w) AS BIGINT) AS l
+      FROM uw GROUP BY 1),
+lf AS (SELECT l - f AS tenure,
+              CASE WHEN l < (SELECT wmax FROM b) THEN 1 ELSE 0 END
+                  AS churned
+       FROM u),
+ten AS (SELECT UNNEST(generate_series(
+            0, (SELECT CAST(MAX(tenure) AS BIGINT) FROM lf))) AS t),
+hz AS (SELECT ten.t,
+              CAST(SUM(CASE WHEN lf.tenure >= ten.t THEN 1 ELSE 0
+                       END) AS BIGINT) AS at_risk,
+              CAST(SUM(CASE WHEN lf.tenure = ten.t
+                            AND lf.churned = 1 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS events
+       FROM ten, lf GROUP BY ten.t)
+SELECT CAST(t AS BIGINT) AS tenure_weeks, at_risk, events,
+       ROUND(CAST(events AS DOUBLE) / at_risk, 6) AS hazard
+FROM hz WHERE at_risk > 0 ORDER BY 1""")
+def tenure_churn_hazard(sf_dir: str) -> pd.DataFrame:
+    """Discrete-time churn hazard by tenure: for each whole week of
+    user lifetime, the probability of churning EXACTLY then given
+    survival so far — the survival-analysis view of retention (a
+    week-2 hazard spike is an onboarding cliff), with users still
+    active in the final observed week treated as CENSORED (they
+    haven't churned, they ran out of observation — counting them as
+    deaths is the classic retention mistake). One per-user (first,
+    last) week reduce; the O(max-tenure) risk table closes
+    driver-side from exact integers."""
+    ds = _events(sf_dir, ["ts", "user_id"])
+
+    def pairs(t: pa.Table) -> pd.DataFrame:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            "w": (us // 86_400_000_000 // 7).astype(np.int64)}) \
+            .drop_duplicates()
+
+    u = reduce_sink(ds.map_batches(pairs, batch_format="pyarrow"),
+                    ["user_id"], {"f": ("w", "min"),
+                                  "l": ("w", "max")}).to_pandas()
+    wmax = int(u["l"].max())
+    tenure = (u["l"] - u["f"]).to_numpy(np.int64)
+    churned = (u["l"] < wmax).to_numpy()
+    r6 = textstats.round_half_away
+    rows = []
+    for t in range(int(tenure.max()) + 1):
+        at_risk = int((tenure >= t).sum())
+        ev = int(((tenure == t) & churned).sum())
+        if at_risk > 0:
+            rows.append((t, at_risk, ev,
+                         float(r6(float(ev) / at_risk, 6))))
+    return pd.DataFrame(rows, columns=["tenure_weeks", "at_risk",
+                                       "events", "hazard"]) \
+        .astype({"tenure_weeks": np.int64, "at_risk": np.int64,
+                 "events": np.int64})
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
