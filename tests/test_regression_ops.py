@@ -2318,3 +2318,48 @@ def test_tenure_hazard_censoring(ray_session, tmp_path):
     _write_events(d2, ts, [1.0] * len(ts), users=users)
     o2 = REGISTRY["tenure_churn_hazard"][0](d2)
     assert o2[o2["tenure_weeks"] == 0]["hazard"].iloc[0] == 0.2
+
+
+def test_youden_perfect_separation(ray_session, tmp_path):
+    """Purchases all above $5, others all below: the best cut sits at
+    the top of the negatives and J = 1."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    vals = [1.0, 2.0, 3.0, 8.0, 9.0, 10.0]
+    types = ["view"] * 3 + ["purchase"] * 3
+    d = str(tmp_path / "youden")
+    _write_events(d, [t0 + i * s for i in range(6)], vals,
+                  types=types)
+    out = REGISTRY["youden_threshold_value"][0](d)
+    r = out.iloc[0]
+    assert r.best_cut_cents == 300
+    assert (r.tp, r.fp, r.fn, r.tn) == (3, 0, 0, 3)
+    assert r.youden_j == 1.0
+
+
+def test_ltv_auc_heavy_buyers_spend_more(ray_session, tmp_path):
+    """Users with above-average purchase counts all out-spend the
+    rest -> AUC = 1; reversing the spend flips it to 0."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    ts, users, types, vals = [], [], [], []
+    i = 0
+    # users 0,1: three purchases each, high value; users 2,3: one
+    # view each, low value -> avg pc = 1.5, buyers = {0, 1}
+    for u in (0, 1):
+        for _ in range(3):
+            ts.append(t0 + i * s); i += 1
+            users.append(u); types.append("purchase")
+            vals.append(50.0)
+    for u in (2, 3):
+        ts.append(t0 + i * s); i += 1
+        users.append(u); types.append("view"); vals.append(1.0)
+    d = str(tmp_path / "ltvauc")
+    _write_events(d, ts, vals, users=users, types=types)
+    out = REGISTRY["ltv_targeting_auc"][0](d)
+    assert (out["buyers"][0], out["others"][0]) == (2, 2)
+    assert out["auc"][0] == 1.0

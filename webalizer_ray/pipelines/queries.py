@@ -17464,6 +17464,161 @@ def tenure_churn_hazard(sf_dir: str) -> pd.DataFrame:
                  "events": np.int64})
 
 
+@register("youden_threshold_value", sql="""
+WITH c AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                      AS pos
+           FROM events),
+h AS (SELECT cents, CAST(SUM(pos) AS BIGINT) AS p,
+             CAST(SUM(1 - pos) AS BIGINT) AS q FROM c GROUP BY 1),
+cum AS (SELECT cents,
+               CAST(SUM(p) OVER (ORDER BY cents) AS BIGINT) AS fp_,
+               CAST(SUM(q) OVER (ORDER BY cents) AS BIGINT) AS fq_
+        FROM h),
+t AS (SELECT CAST(SUM(p) AS BIGINT) AS np_,
+             CAST(SUM(q) AS BIGINT) AS nq_ FROM h),
+j AS (SELECT cents, (np_ - fp_) * nq_ - (nq_ - fq_) * np_ AS j_num,
+             np_ - fp_ AS tp, nq_ - fq_ AS fp, fp_ AS fn_, fq_ AS tn,
+             ROW_NUMBER() OVER (
+                 ORDER BY (np_ - fp_) * nq_ - (nq_ - fq_) * np_
+                     DESC, cents) AS rn
+      FROM cum, t)
+SELECT CAST(cents AS BIGINT) AS best_cut_cents,
+       CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn_ AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+       ROUND(CAST(j_num AS DOUBLE)
+             / ((SELECT np_ FROM t) * CAST((SELECT nq_ FROM t)
+                                           AS DOUBLE)), 6) AS youden_j
+FROM j WHERE rn = 1""")
+def youden_threshold_value(sf_dir: str) -> pd.DataFrame:
+    """Optimal classification threshold by Youden's J: the value cut
+    that best separates purchases from the rest (predict positive
+    when value > cut), maximizing TPR − FPR — the operating point an
+    AUC alone doesn't give you. The argmax runs on the INTEGER
+    cross product J_num = TP·N₋ − FP·N₊ over the shared cents
+    histogram (no float rate can reorder candidates), smallest cut
+    on ties; the confusion cells at the winner are exact and J
+    divides once at the end."""
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        pos = (df["event_type"] == "purchase").to_numpy() \
+            .astype(np.int64)
+        return pd.DataFrame({
+            "cents": np.rint(df["value"].to_numpy(np.float64) * 100)
+            .astype(np.int64),
+            "p": pos, "q": 1 - pos})
+
+    h = reduce_sink(
+        _events(sf_dir, ["event_type", "value"])
+        .map_batches(prep, batch_format="pandas"),
+        ["cents"], {"p": ("p", "sum"), "q": ("q", "sum")}) \
+        .to_pandas().sort_values("cents", ignore_index=True)
+    p = h["p"].to_numpy(np.int64)
+    q = h["q"].to_numpy(np.int64)
+    np_, nq_ = int(p.sum()), int(q.sum())
+    fp_ = p.cumsum()
+    fq_ = q.cumsum()
+    tp = np_ - fp_
+    fpos = nq_ - fq_
+    j_num = tp * nq_ - fpos * np_
+    i = int(np.lexsort((h["cents"].to_numpy(), -j_num))[0])
+    r6 = textstats.round_half_away
+    return pd.DataFrame({
+        "best_cut_cents": np.array([int(h["cents"].iloc[i])],
+                                   np.int64),
+        "tp": np.array([int(tp[i])], np.int64),
+        "fp": np.array([int(fpos[i])], np.int64),
+        "fn": np.array([int(fp_[i])], np.int64),
+        "tn": np.array([int(fq_[i])], np.int64),
+        "youden_j": [float(r6(float(int(j_num[i]))
+                              / (np_ * float(nq_)), 6))]})
+
+
+@register("ltv_targeting_auc", sql="""
+WITH u0 AS (SELECT user_id,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                        AS BIGINT) AS x,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS pc
+            FROM events GROUP BY 1),
+tp AS (SELECT CAST(COUNT(*) AS BIGINT) AS nu,
+              CAST(SUM(pc) AS BIGINT) AS tpc FROM u0),
+u AS (SELECT user_id, x,
+             CASE WHEN pc * (SELECT nu FROM tp) > (SELECT tpc FROM tp)
+                  THEN 1 ELSE 0 END AS buyer
+      FROM u0),
+h AS (SELECT x, CAST(SUM(buyer) AS BIGINT) AS b,
+             CAST(SUM(1 - buyer) AS BIGINT) AS nb
+      FROM u GROUP BY 1),
+cum AS (SELECT b, nb,
+               CAST(SUM(nb) OVER (ORDER BY x) AS BIGINT) AS fnb
+        FROM h),
+t AS (SELECT CAST(SUM(b) AS BIGINT) AS n1,
+             CAST(SUM(nb) AS BIGINT) AS n2 FROM h),
+a AS (SELECT CAST(SUM(CAST(b AS HUGEINT) * (2 * (fnb - nb) + nb))
+              AS HUGEINT) AS u2 FROM cum)
+SELECT (SELECT n1 FROM t) AS buyers, (SELECT n2 FROM t) AS others,
+       CASE WHEN (SELECT n1 FROM t) * (SELECT n2 FROM t) = 0 THEN 0.0
+            ELSE ROUND(CAST(u2 AS DOUBLE)
+                       / (2.0 * (SELECT n1 FROM t)
+                          * (SELECT n2 FROM t)), 6)
+       END AS auc
+FROM a""")
+def ltv_targeting_auc(sf_dir: str) -> pd.DataFrame:
+    """Targeting power of lifetime value: the probability a random
+    BUYER out-spends a random non-buyer (ties half) — the
+    Mann-Whitney AUC at USER grain, i.e. 'if we target by LTV, how
+    well does it find HEAVY purchasers' — the positive class is
+    users with an above-average purchase count, decided by the
+    integer cross-multiplication pc·n_users > total_purchases (the
+    Q22 trick: no float average exists to disagree, and both classes
+    are guaranteed non-empty on non-constant data). Reuses the
+    doubled-integer rank machinery on the per-user cents histogram
+    (2U = Σ b·(2F₋ + nb) exact 128-bit); one division closes AUC;
+    a single-class degenerate input returns 0."""
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "x": np.rint(df["value"].to_numpy(np.float64) * 100)
+            .astype(np.int64),
+            "pc": (df["event_type"] == "purchase")
+            .to_numpy().astype(np.int64)})
+
+    u = reduce_sink(
+        _events(sf_dir, ["user_id", "event_type", "value"])
+        .map_batches(prep, batch_format="pandas"),
+        ["user_id"], {"x": ("x", "sum"), "pc": ("pc", "sum")}) \
+        .materialize()
+    tot = u.map_batches(
+        lambda df: pd.DataFrame({"nu": [np.int64(len(df))],
+                                 "tpc": [np.int64(df["pc"].sum())]}),
+        batch_format="pandas").to_pandas()
+    nu, tpc = int(tot["nu"].sum()), int(tot["tpc"].sum())
+    h = reduce_sink(
+        u.map_batches(
+            lambda df: pd.DataFrame({
+                "x": df["x"],
+                "b": (df["pc"].to_numpy(np.int64) * nu > tpc)
+                .astype(np.int64),
+                "nb": (df["pc"].to_numpy(np.int64) * nu <= tpc)
+                .astype(np.int64)}),
+            batch_format="pandas"),
+        ["x"], {"b": ("b", "sum"), "nb": ("nb", "sum")}) \
+        .to_pandas().sort_values("x", ignore_index=True)
+    b = h["b"].to_numpy(np.int64)
+    nb = h["nb"].to_numpy(np.int64)
+    n1, n2 = int(b.sum()), int(nb.sum())
+    fnb = nb.cumsum() - nb
+    u2 = sum(int(bb) * (2 * int(f) + int(n))
+             for bb, f, n in zip(b, fnb, nb))
+    r6 = textstats.round_half_away
+    auc = 0.0 if n1 * n2 == 0 else \
+        r6(float(u2) / (2.0 * n1 * n2), 6)
+    return pd.DataFrame({
+        "buyers": np.array([n1], np.int64),
+        "others": np.array([n2], np.int64),
+        "auc": [float(auc)]})
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
