@@ -5775,6 +5775,14 @@ def tpch_q5_region_revenue(sf_dir: str) -> pd.DataFrame:
                       ["n_name"], {"revenue_dm": ("rev_dm", "sum"),
                                    "n_items": ("rev_dm", "size")}) \
         .to_pandas()
+    if "n_name" not in out.columns:
+        # Ray drops the schema of all-empty block sets on
+        # to_pandas(); zero qualifying flows is a legal tiny-scale
+        # answer
+        return pd.DataFrame(
+            {"n_name": pd.Series([], dtype=object),
+             "revenue_dm": pd.Series([], dtype=np.int64),
+             "n_items": pd.Series([], dtype=np.int64)})
     out["revenue_dm"] = out["revenue_dm"].astype(np.int64)
     out["n_items"] = out["n_items"].astype(np.int64)
     return out.sort_values("n_name", ignore_index=True)
@@ -7944,6 +7952,14 @@ def tpch_q7_nation_volume(sf_dir: str) -> pd.DataFrame:
     agg = reduce_sink(j.map_batches(classify, batch_format="pandas"),
                       ["supp_nation", "cust_nation", "l_year"],
                       {"revenue_dm": ("rev_dm", "sum")}).to_pandas()
+    if "revenue_dm" not in agg.columns:
+        # all-empty block sets lose their schema on to_pandas();
+        # zero qualifying symmetric flows is a legal tiny-scale answer
+        return pd.DataFrame(
+            {"supp_nation": pd.Series([], dtype=object),
+             "cust_nation": pd.Series([], dtype=object),
+             "l_year": pd.Series([], dtype=np.int64),
+             "revenue_dm": pd.Series([], dtype=np.int64)})
     agg["revenue_dm"] = agg["revenue_dm"].astype(np.int64)
     return agg.sort_values(["supp_nation", "cust_nation", "l_year"],
                            ignore_index=True)
@@ -8540,6 +8556,15 @@ def tpch_q2_min_cost_supplier(sf_dir: str) -> pd.DataFrame:
                        {"min_c": ("cost_c", "min")})
     winners = auto_join(eligible, best, on="l_partkey") \
         .filter(expr="cost_c == min_c").to_pandas()
+    if "l_suppkey" not in winners.columns:
+        # all-empty block sets lose their schema on to_pandas();
+        # no eligible supplier at tiny scale -> empty result
+        return pd.DataFrame(
+            {"s_acctbal": pd.Series([], dtype=np.float64),
+             "s_name": pd.Series([], dtype=object),
+             "n_name": pd.Series([], dtype=object),
+             "p_partkey": pd.Series([], dtype=np.int64),
+             "cost_c": pd.Series([], dtype=np.int64)})
 
     attrs = winners["l_suppkey"].map(ray.get(sup_ref))
     winners["s_acctbal"] = attrs.str[0].astype(np.float64)
