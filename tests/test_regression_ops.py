@@ -2363,3 +2363,42 @@ def test_ltv_auc_heavy_buyers_spend_more(ray_session, tmp_path):
     out = REGISTRY["ltv_targeting_auc"][0](d)
     assert (out["buyers"][0], out["others"][0]) == (2, 2)
     assert out["auc"][0] == 1.0
+
+
+def test_daily_return_prob_extremes(ray_session, tmp_path):
+    """A user active every day -> 1.0; a user active on alternating
+    days -> 0.0."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T12:00:00", "us")
+    day = np.timedelta64(1, "D")
+    every = str(tmp_path / "ret1")
+    _write_events(every, [t0 + i * day for i in range(5)], [1.0] * 5)
+    o = REGISTRY["daily_return_probability"][0](every)
+    assert o["return_prob"][0] == 1.0 and o["active_days"][0] == 4
+    alt = str(tmp_path / "ret0")
+    _write_events(alt, [t0 + 2 * i * day for i in range(5)],
+                  [1.0] * 5)
+    o2 = REGISTRY["daily_return_probability"][0](alt)
+    assert o2["return_prob"][0] == 0.0
+
+
+def test_type_hour_entropy_cron_vs_spread(ray_session, tmp_path):
+    """A single-hour type -> 0 bits, 1 effective hour; a type spread
+    over 4 hours evenly -> 2 bits, 4 effective hours."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T03:00:00", "us")
+    h = np.timedelta64(1, "h")
+    s = np.timedelta64(1, "s")
+    ts = [t0 + i * s for i in range(4)]
+    ts += [t0 + (i % 4) * h + i * s for i in range(8)]
+    types = ["cron"] * 4 + ["spread"] * 8
+    d = str(tmp_path / "thent")
+    _write_events(d, ts, [1.0] * 12, types=types)
+    out = REGISTRY["type_hour_entropy"][0](d)
+    rows = {r.event_type: r for r in out.itertuples()}
+    assert rows["cron"].hour_entropy_bits == 0.0
+    assert rows["cron"].effective_hours == 1.0
+    assert rows["spread"].hour_entropy_bits == 2.0
+    assert rows["spread"].effective_hours == 4.0

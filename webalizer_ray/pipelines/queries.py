@@ -17644,6 +17644,125 @@ def ltv_targeting_auc(sf_dir: str) -> pd.DataFrame:
         "auc": [float(auc)]})
 
 
+@register("daily_return_probability", sql="""
+WITH ud AS (SELECT DISTINCT user_id,
+                   epoch_us(ts) // 86400000000 AS d
+            FROM events),
+b AS (SELECT MAX(d) AS dmax FROM ud),
+f AS (SELECT u.user_id, u.d,
+             EXISTS(SELECT 1 FROM ud n WHERE n.user_id = u.user_id
+                    AND n.d = u.d + 1) AS nxt
+      FROM ud u WHERE u.d < (SELECT dmax FROM b))
+SELECT CAST(COUNT(*) AS BIGINT) AS active_days,
+       CAST(SUM(CASE WHEN nxt THEN 1 ELSE 0 END) AS BIGINT)
+           AS returned,
+       ROUND(CAST(SUM(CASE WHEN nxt THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS return_prob
+FROM f""")
+def daily_return_probability(sf_dir: str) -> pd.DataFrame:
+    """Day-over-day activity persistence: P(user active tomorrow |
+    active today) over all (user, day) activations — the single
+    number behind every 'sticky product' claim, and the transition
+    parameter a two-state activity Markov model needs. Same
+    shift-compare trick as the weekly churn decomposition, at DAILY
+    grain: the distinct (user, day) reduce sorts inside the user
+    bucket and next-day presence is next-row == d+1 (days unique per
+    user), last observed day excluded (no tomorrow to test). Only
+    two scalar partials per bucket."""
+    ds = _events(sf_dir, ["ts", "user_id"])
+
+    def pairs(t: pa.Table) -> pd.DataFrame:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            "d": (us // 86_400_000_000).astype(np.int64)}) \
+            .drop_duplicates()
+
+    ud = reduce_sink(ds.map_batches(pairs, batch_format="pyarrow"),
+                     ["user_id", "d"], {"n": ("d", "size")})
+    bounds = ud.map_batches(
+        lambda df: pd.DataFrame({"mx": [df["d"].max()]}),
+        batch_format="pandas").to_pandas()
+    dmax = int(bounds["mx"].max())
+
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket_"] = (df["user_id"].to_numpy(np.int64) % 32) \
+            .astype(np.int32)
+        return df
+
+    def flags(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "d"], ignore_index=True)
+        u = g["user_id"].to_numpy(np.int64)
+        d = g["d"].to_numpy(np.int64)
+        nxt = np.zeros(len(g), bool)
+        nxt[:-1] = (u[:-1] == u[1:]) & (d[1:] == d[:-1] + 1)
+        keep = d < dmax
+        return pd.DataFrame({
+            "active_days": [np.int64(keep.sum())],
+            "returned": [np.int64((nxt & keep).sum())]})
+
+    p = (ud.map_batches(with_bucket, batch_format="pandas")
+         .groupby("bucket_")
+         .map_groups(lambda g: flags(g.drop(columns=["bucket_",
+                                                     "n"])),
+                     batch_format="pandas")).to_pandas()
+    active = int(p["active_days"].sum())
+    ret = int(p["returned"].sum())
+    r6 = textstats.round_half_away
+    return pd.DataFrame({
+        "active_days": np.array([active], np.int64),
+        "returned": np.array([ret], np.int64),
+        "return_prob": [float(r6(float(ret) / active, 6))]})
+
+
+@register("type_hour_entropy", sql="""
+WITH h AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+t AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS tot
+      FROM h GROUP BY 1)
+SELECT h.event_type, t.tot AS n_events,
+       ROUND(SUM(-(h.n / CAST(t.tot AS DOUBLE))
+                 * LOG2(h.n / CAST(t.tot AS DOUBLE))), 6)
+           AS hour_entropy_bits,
+       ROUND(EXP(SUM(-(h.n / CAST(t.tot AS DOUBLE))
+                     * LN(h.n / CAST(t.tot AS DOUBLE)))), 6)
+           AS effective_hours
+FROM h JOIN t USING (event_type)
+GROUP BY h.event_type, t.tot ORDER BY 1""")
+def type_hour_entropy(sf_dir: str) -> pd.DataFrame:
+    """Schedule concentration per type: Shannon entropy of each
+    type's hour-of-day profile (log₂ 24 ≈ 4.58 bits = round-the-
+    clock, 0 = a cron job) plus the effective number of active hours
+    (exp of the nat entropy — the Hill q1 on the clock axis). One
+    (type, hour) reduce; both statistics are shared guarded float
+    expressions over ≤24 terms per type."""
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"].astype(str),
+            "hr": df["ts"].dt.hour.to_numpy(np.int64)})
+
+    h = reduce_sink(
+        _events(sf_dir, ["ts", "event_type"])
+        .map_batches(prep, batch_format="pandas"),
+        ["event_type", "hr"], {"n": ("hr", "size")}).to_pandas()
+    r6 = textstats.round_half_away
+    rows = []
+    for g, grp in h.groupby("event_type", sort=True):
+        n = grp["n"].to_numpy(np.float64)
+        tot = int(n.sum())
+        p = n / float(tot)
+        bits = float((-(p) * np.log2(p)).sum())
+        nats = float((-(p) * np.log(p)).sum())
+        rows.append((g, tot, float(r6(bits, 6)),
+                     float(r6(np.exp(nats), 6))))
+    return pd.DataFrame(rows, columns=["event_type", "n_events",
+                                       "hour_entropy_bits",
+                                       "effective_hours"]) \
+        .astype({"n_events": np.int64})
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
