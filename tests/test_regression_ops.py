@@ -2402,3 +2402,21 @@ def test_type_hour_entropy_cron_vs_spread(ray_session, tmp_path):
     assert rows["cron"].effective_hours == 1.0
     assert rows["spread"].hour_entropy_bits == 2.0
     assert rows["spread"].effective_hours == 4.0
+
+
+def test_inter_purchase_gaps_hand(ray_session, tmp_path):
+    """u0 purchases at 0, 60s, 180s (gaps 60, 120); u1 at 0, 600s
+    (gap 600): p50 = 120 (2cum>=3 at the 2nd of 3), max 600."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    ts = [t0, t0 + 60 * s, t0 + 180 * s, t0, t0 + 600 * s]
+    users = [0, 0, 0, 1, 1]
+    d = str(tmp_path / "ipg")
+    _write_events(d, ts, [1.0] * 5, users=users,
+                  types=["purchase"] * 5)
+    out = REGISTRY["inter_purchase_gap_quantiles"][0](d)
+    r = out.iloc[0]
+    assert (r.n_gaps, r.min_s, r.max_s) == (3, 60, 600)
+    assert r.p50_s == 120

@@ -17763,6 +17763,76 @@ def type_hour_entropy(sf_dir: str) -> pd.DataFrame:
         .astype({"n_events": np.int64})
 
 
+@register("inter_purchase_gap_quantiles", sql="""
+WITH p AS (SELECT user_id, ts, event_id FROM events
+           WHERE event_type = 'purchase'),
+g AS (SELECT (epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id)))
+              // 1000000 AS gap_s
+      FROM p),
+h AS (SELECT gap_s, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM g WHERE gap_s IS NOT NULL GROUP BY 1),
+cum AS (SELECT gap_s, cnt,
+               CAST(SUM(cnt) OVER (ORDER BY gap_s) AS BIGINT) AS cm,
+               CAST(SUM(cnt) OVER () AS BIGINT) AS n FROM h)
+SELECT (SELECT CAST(MAX(n) AS BIGINT) FROM cum) AS n_gaps,
+       (SELECT CAST(MIN(gap_s) AS BIGINT) FROM cum
+        WHERE 2 * cm >= n) AS p50_s,
+       (SELECT CAST(MIN(gap_s) AS BIGINT) FROM cum
+        WHERE 10 * cm >= 9 * n) AS p90_s,
+       (SELECT CAST(MIN(gap_s) AS BIGINT) FROM cum) AS min_s,
+       (SELECT CAST(MAX(gap_s) AS BIGINT) FROM cum) AS max_s""")
+def inter_purchase_gap_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Inter-purchase cadence: exact quantiles of the time between a
+    user's consecutive purchases (second-quantized like burstiness)
+    — the re-order cycle behind replenishment reminders and
+    churn-risk clocks ('median buyer returns in 6 days; this one is
+    at 20'). Per-user purchase gaps compute inside user buckets;
+    the lossless gap histogram is the only thing that shuffles, and
+    p50/p90 are the shared 2·cum ≥ n / 10·cum ≥ 9n integer order
+    statistics — no interpolated float quantile exists to
+    disagree."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"] == "purchase"].copy()
+        df["bucket_"] = (df["user_id"].to_numpy(np.int64) % 32) \
+            .astype(np.int32)
+        return df
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        us = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        uid = g["user_id"].to_numpy(np.int64)
+        same = np.zeros(len(g), bool)
+        same[1:] = uid[1:] == uid[:-1]
+        gap = ((us - np.roll(us, 1)) // 1_000_000)[same]
+        u, c = np.unique(gap, return_counts=True)
+        return pd.DataFrame({"gap_s": u.astype(np.int64),
+                             "cnt": c.astype(np.int64)})
+
+    h = reduce_sink(
+        ds.map_batches(with_bucket, batch_format="pandas")
+        .groupby("bucket_")
+        .map_groups(lambda g: gaps(g.drop(columns=["bucket_"])),
+                    batch_format="pandas"),
+        ["gap_s"], {"cnt": ("cnt", "sum")}).to_pandas() \
+        .sort_values("gap_s", ignore_index=True)
+    gap_s = h["gap_s"].to_numpy(np.int64)
+    cnt = h["cnt"].to_numpy(np.int64)
+    n = int(cnt.sum())
+    cm = np.cumsum(cnt)
+    p50 = int(gap_s[np.searchsorted(2 * cm, n, side="left")])
+    p90 = int(gap_s[np.searchsorted(10 * cm, 9 * n, side="left")])
+    return pd.DataFrame({
+        "n_gaps": np.array([n], np.int64),
+        "p50_s": np.array([p50], np.int64),
+        "p90_s": np.array([p90], np.int64),
+        "min_s": np.array([int(gap_s[0])], np.int64),
+        "max_s": np.array([int(gap_s[-1])], np.int64)})
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
