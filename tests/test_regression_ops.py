@@ -2420,3 +2420,40 @@ def test_inter_purchase_gaps_hand(ray_session, tmp_path):
     r = out.iloc[0]
     assert (r.n_gaps, r.min_s, r.max_s) == (3, 60, 600)
     assert r.p50_s == 120
+
+
+def test_rle_monotonous_vs_alternating(ray_session, tmp_path):
+    """All-same sequence -> ratio 1/n; perfect alternation -> 1."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    mono = str(tmp_path / "rlem")
+    _write_events(mono, [t0 + i * s for i in range(8)], [1.0] * 8,
+                  types=["a"] * 8)
+    o = REGISTRY["type_rle_compression_mean"][0](mono)
+    assert o["mean_rle_ratio"][0] == 0.125
+    alt = str(tmp_path / "rlea")
+    _write_events(alt, [t0 + i * s for i in range(8)], [1.0] * 8,
+                  types=["a", "b"] * 4)
+    o2 = REGISTRY["type_rle_compression_mean"][0](alt)
+    assert o2["mean_rle_ratio"][0] == 1.0
+
+
+def test_share_shift_planted_swing(ray_session, tmp_path):
+    """Type a dominates week 1, type b week 2 -> opposite deltas of
+    equal magnitude."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T12:00:00", "us")
+    wk = np.timedelta64(7, "D")
+    ts, types = [], []
+    for g, cnt in (("a", 8), ("b", 2)):
+        ts.extend([t0] * cnt); types.extend([g] * cnt)
+    for g, cnt in (("a", 2), ("b", 8)):
+        ts.extend([t0 + wk] * cnt); types.extend([g] * cnt)
+    d = str(tmp_path / "shift")
+    _write_events(d, ts, [1.0] * len(ts), types=types)
+    out = REGISTRY["type_share_shift_wow"][0](d)
+    got = {r.event_type: r.delta for r in out.itertuples()}
+    assert got["a"] == -0.6 and got["b"] == 0.6

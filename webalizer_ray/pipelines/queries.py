@@ -17833,6 +17833,127 @@ def inter_purchase_gap_quantiles(sf_dir: str) -> pd.DataFrame:
         "max_s": np.array([int(gap_s[-1])], np.int64)})
 
 
+@register("type_rle_compression_mean", sql="""
+WITH o AS (SELECT user_id, event_type,
+                  LAG(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev
+           FROM events),
+u AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN prev IS NULL
+                           OR event_type <> prev
+                           THEN 1 ELSE 0 END) AS BIGINT) AS runs
+      FROM o GROUP BY user_id)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       CAST(SUM(runs) AS BIGINT) AS n_runs,
+       ROUND(SUM(CAST(runs AS DOUBLE) / n) / COUNT(*), 6)
+           AS mean_rle_ratio
+FROM u""")
+def type_rle_compression_mean(sf_dir: str) -> pd.DataFrame:
+    """Behavioral repetitiveness: each user's type sequence
+    run-length-encodes to runs/n of its length (1.0 = never repeats
+    the same action twice in a row, → 0 = long monotonous streaks —
+    the bot/grinding smell), averaged over users. The same per-user
+    sort+shift as the transition reduce; only (n, runs) integer
+    partials per user leave the bucket and the mean is one bounded
+    float sum."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket_"] = (df["user_id"].to_numpy(np.int64) % 32) \
+            .astype(np.int32)
+        return df
+
+    def rle(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        et = g["event_type"].to_numpy()
+        new_run = np.ones(len(g), bool)
+        new_run[1:] = (uid[1:] != uid[:-1]) | (et[1:] != et[:-1])
+        agg = pd.DataFrame({"user_id": uid,
+                            "n": 1,
+                            "runs": new_run.astype(np.int64)}) \
+            .groupby("user_id", as_index=False).sum()
+        return pd.DataFrame({
+            "n_users": [np.int64(len(agg))],
+            "n_events": [np.int64(agg["n"].sum())],
+            "n_runs": [np.int64(agg["runs"].sum())],
+            "sratio": [float((agg["runs"] / agg["n"]).sum())]})
+
+    p = (ds.map_batches(with_bucket, batch_format="pandas")
+         .groupby("bucket_")
+         .map_groups(lambda g: rle(g.drop(columns=["bucket_"])),
+                     batch_format="pandas")).to_pandas()
+    n_users = int(p["n_users"].sum())
+    r6 = textstats.round_half_away
+    return pd.DataFrame({
+        "n_users": np.array([n_users], np.int64),
+        "n_events": np.array([int(p["n_events"].sum())], np.int64),
+        "n_runs": np.array([int(p["n_runs"].sum())], np.int64),
+        "mean_rle_ratio": [float(r6(float(p["sratio"].sum())
+                                    / n_users, 6))]})
+
+
+@register("type_share_shift_wow", sql="""
+WITH b AS (SELECT event_type,
+                  epoch_us(ts) // 86400000000 // 7 AS w FROM events),
+mx AS (SELECT MAX(w) AS wmax FROM b),
+c AS (SELECT event_type,
+             CAST(SUM(CASE WHEN w = (SELECT wmax FROM mx) - 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS prev_n,
+             CAST(SUM(CASE WHEN w = (SELECT wmax FROM mx)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS last_n
+      FROM b GROUP BY 1),
+t AS (SELECT CAST(SUM(prev_n) AS BIGINT) AS pt,
+             CAST(SUM(last_n) AS BIGINT) AS lt FROM c)
+SELECT event_type, prev_n, last_n,
+       ROUND(CAST(prev_n AS DOUBLE) / t.pt, 6) AS prev_share,
+       ROUND(CAST(last_n AS DOUBLE) / t.lt, 6) AS last_share,
+       ROUND(CAST(last_n AS DOUBLE) / t.lt
+             - CAST(prev_n AS DOUBLE) / t.pt, 6) AS delta
+FROM c, t WHERE prev_n + last_n > 0 ORDER BY 1""")
+def type_share_shift_wow(sf_dir: str) -> pd.DataFrame:
+    """Mix-shift monitor: each type's share of the FINAL observed
+    week against the week before (the 'what changed in the release'
+    readout — volume growth hides composition swings; this isolates
+    them). One conditional (type, two-week) reduce; shares and
+    deltas are shared divisions over exact integers; types absent
+    from both weeks drop."""
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        return pd.DataFrame({
+            "event_type": df["event_type"].astype(str),
+            "w": (us // 86_400_000_000 // 7).astype(np.int64)})
+
+    base = _events(sf_dir, ["ts", "event_type"]) \
+        .map_batches(prep, batch_format="pandas").materialize()
+    wmax = int(base.map_batches(
+        lambda df: pd.DataFrame({"mx": [df["w"].max()]}),
+        batch_format="pandas").to_pandas()["mx"].max())
+
+    def flags(df: pd.DataFrame) -> pd.DataFrame:
+        w = df["w"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "prev_n": (w == wmax - 1).astype(np.int64),
+            "last_n": (w == wmax).astype(np.int64)})
+
+    c = reduce_sink(base.map_batches(flags, batch_format="pandas"),
+                    ["event_type"], {"prev_n": ("prev_n", "sum"),
+                                     "last_n": ("last_n", "sum")}) \
+        .to_pandas().sort_values("event_type", ignore_index=True)
+    c = c[c["prev_n"] + c["last_n"] > 0].reset_index(drop=True)
+    pt, lt = int(c["prev_n"].sum()), int(c["last_n"].sum())
+    r6 = textstats.round_half_away
+    c["prev_share"] = r6(c["prev_n"].to_numpy(np.float64) / pt, 6)
+    c["last_share"] = r6(c["last_n"].to_numpy(np.float64) / lt, 6)
+    c["delta"] = r6(c["last_n"].to_numpy(np.float64) / lt
+                    - c["prev_n"].to_numpy(np.float64) / pt, 6)
+    return c.astype({"prev_n": np.int64, "last_n": np.int64})
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
