@@ -2457,3 +2457,40 @@ def test_share_shift_planted_swing(ray_session, tmp_path):
     out = REGISTRY["type_share_shift_wow"][0](d)
     got = {r.event_type: r.delta for r in out.itertuples()}
     assert got["a"] == -0.6 and got["b"] == 0.6
+
+
+def test_gini_by_type_equal_vs_concentrated(ray_session, tmp_path):
+    """Equal values -> Gini 0; one value dominating -> Gini near
+    (n-1)/n."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    ts = [t0 + i * s for i in range(8)]
+    d = str(tmp_path / "ginit")
+    _write_events(d, ts, [5.0] * 4 + [0.0, 0.0, 0.0, 40.0],
+                  types=["eq"] * 4 + ["conc"] * 4)
+    out = REGISTRY["value_gini_by_type"][0](d)
+    got = {r.event_type: r.gini for r in out.itertuples()}
+    assert got["eq"] == 0.0
+    assert got["conc"] == 0.75   # (n-1)/n with all mass on one of 4
+
+
+def test_zipf_slope_exact_power_law(ray_session, tmp_path):
+    """Counts proportional to 1/rank give slope exactly -1 on the
+    log-log fit (integer counts chosen as exact multiples)."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    ts, users = [], []
+    i = 0
+    # user u gets 840/(u+1) events for u=0..7 (840 = lcm denominator)
+    for u in range(8):
+        for _ in range(840 // (u + 1)):
+            ts.append(t0 + i * s); i += 1
+            users.append(u)
+    d = str(tmp_path / "zipfu")
+    _write_events(d, ts, [1.0] * len(ts), users=users)
+    out = REGISTRY["user_activity_zipf_slope"][0](d)
+    assert abs(out["zipf_slope"][0] + 1.0) < 1e-6

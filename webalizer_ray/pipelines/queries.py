@@ -17954,6 +17954,120 @@ def type_share_shift_wow(sf_dir: str) -> pd.DataFrame:
     return c.astype({"prev_n": np.int64, "last_n": np.int64})
 
 
+@register("value_gini_by_type", sql="""
+WITH v AS (SELECT event_type AS g,
+                  CAST(ROUND(value * 100) AS BIGINT) AS c FROM events),
+hh AS (SELECT g, c, CAST(COUNT(*) AS BIGINT) AS cnt FROM v GROUP BY 1, 2),
+cum AS (SELECT g, c, cnt,
+               CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY c)
+                    - cnt AS BIGINT) AS cb,
+               CAST(SUM(CAST(cnt AS HUGEINT) * c)
+                    OVER (PARTITION BY g ORDER BY c)
+                    - CAST(cnt AS HUGEINT) * c AS HUGEINT) AS sb
+        FROM hh),
+agg AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS n,
+               CAST(SUM(CAST(cnt AS HUGEINT) * c) AS HUGEINT) AS s,
+               CAST(SUM(CAST(cnt AS HUGEINT) * c * cb
+                        - CAST(cnt AS HUGEINT) * sb) AS HUGEINT)
+                   AS mad_num
+        FROM cum GROUP BY g)
+SELECT g AS event_type, n, CAST(s AS BIGINT) AS total_cents,
+       CASE WHEN s = 0 THEN 0.0
+            ELSE ROUND(CAST(mad_num AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE)), 6)
+       END AS gini
+FROM agg ORDER BY 1""")
+def value_gini_by_type(sf_dir: str) -> pd.DataFrame:
+    """Within-type value inequality: the Gini coefficient of each
+    type's event values — is 'purchase' revenue broad-based or a few
+    whale receipts? (the global Gini can't say which TYPE carries
+    the concentration). Exact O(V) closed form over the sorted cents
+    histogram: Σᵢ<ⱼ cᵢcⱼ(xⱼ−xᵢ) = Σⱼ cⱼ(xⱼ·C₍<ⱼ₎ − S₍<ⱼ₎) with
+    count/sum prefix integers (128-bit — the cross terms overflow
+    int64 by design), G = Σᵢ<ⱼ/(n·total) (the |Δ| double-count and
+    the mean-normalization 2 cancel); all-equal values pin 0."""
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "g": df["event_type"].astype(str),
+            "c": np.rint(df["value"].to_numpy(np.float64) * 100)
+            .astype(np.int64)})
+
+    hh = reduce_sink(
+        _events(sf_dir, ["event_type", "value"])
+        .map_batches(prep, batch_format="pandas"),
+        ["g", "c"], {"cnt": ("c", "size")}).to_pandas() \
+        .sort_values(["g", "c"], ignore_index=True)
+    r6 = textstats.round_half_away
+    rows = []
+    for g, grp in hh.groupby("g", sort=True):
+        cnt = [int(x) for x in grp["cnt"]]
+        c = [int(x) for x in grp["c"]]
+        n = sum(cnt)
+        s = sum(a * b for a, b in zip(cnt, c))
+        cb, sb, mad = 0, 0, 0
+        for a, x in zip(cnt, c):
+            mad += a * x * cb - a * sb
+            cb += a
+            sb += a * x
+        gini = 0.0 if s == 0 else \
+            r6(float(mad) / (float(n) * float(s)), 6)
+        rows.append((g, n, s, float(gini)))
+    return pd.DataFrame(rows, columns=["event_type", "n",
+                                       "total_cents", "gini"]) \
+        .astype({"n": np.int64, "total_cents": np.int64})
+
+
+@register("user_activity_zipf_slope", sql="""
+WITH u AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1),
+top AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS rk
+        FROM u),
+f AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k,
+             SUM(LN(CAST(rk AS DOUBLE))) AS sx,
+             SUM(LN(CAST(n AS DOUBLE))) AS sy,
+             SUM(LN(CAST(rk AS DOUBLE)) * LN(CAST(n AS DOUBLE)))
+                 AS sxy,
+             SUM(LN(CAST(rk AS DOUBLE)) * LN(CAST(rk AS DOUBLE)))
+                 AS sxx
+      FROM top WHERE rk <= 100)
+SELECT CAST(k AS BIGINT) AS k,
+       CASE WHEN k * sxx - sx * sx = 0 THEN 0.0
+            ELSE ROUND((k * sxy - sx * sy) / (k * sxx - sx * sx), 6)
+       END AS zipf_slope
+FROM f""")
+def user_activity_zipf_slope(sf_dir: str) -> pd.DataFrame:
+    """Zipf rank-frequency slope of USER activity (top-100 users):
+    how power-law the engagement curve is (slope ≈ −1 = classic
+    Zipf; near 0 = egalitarian usage) — the per-user sibling of the
+    vocabulary Zipf fit, consulted before sampling or quota design.
+    Per-block top-100 (count, user) partials provably contain the
+    global top; rank ties break by user_id so both engines rank the
+    identical integer pairs; the log-log OLS is a shared closed
+    form."""
+    per = reduce_sink(
+        _events(sf_dir, ["user_id"]),
+        ["user_id"], {"n": ("user_id", "size")})
+
+    def local_top(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["n", "user_id"],
+                              ascending=[False, True]).head(100)
+
+    cand = per.map_batches(local_top, batch_format="pandas") \
+        .to_pandas().sort_values(["n", "user_id"],
+                                 ascending=[False, True],
+                                 kind="mergesort").head(100)
+    k = len(cand)
+    x = np.log(np.arange(1, k + 1, dtype=np.float64))
+    y = np.log(cand["n"].to_numpy(np.float64))
+    sx, sy = float(x.sum()), float(y.sum())
+    sxy, sxx = float((x * y).sum()), float((x * x).sum())
+    den = k * sxx - sx * sx
+    r6 = textstats.round_half_away
+    slope = 0.0 if den == 0 else r6((k * sxy - sx * sy) / den, 6)
+    return pd.DataFrame({"k": np.array([k], np.int64),
+                         "zipf_slope": [float(slope)]})
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
