@@ -2494,3 +2494,40 @@ def test_zipf_slope_exact_power_law(ray_session, tmp_path):
     _write_events(d, ts, [1.0] * len(ts), users=users)
     out = REGISTRY["user_activity_zipf_slope"][0](d)
     assert abs(out["zipf_slope"][0] + 1.0) < 1e-6
+
+
+def test_orders_anova_separated_groups(ray_session, tmp_path):
+    """Two priorities with disjoint value levels -> F large; equal
+    distributions -> F = 0 (between = 0)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    def write(prices, prios, name):
+        d = str(tmp_path / name)
+        os.makedirs(d, exist_ok=True)
+        n = len(prices)
+        pq.write_table(pa.table({
+            "o_orderkey": pa.array(range(n), pa.int64()),
+            "o_custkey": pa.array([0] * n, pa.int64()),
+            "o_orderstatus": pa.array(["F"] * n),
+            "o_totalprice": pa.array(prices),
+            "o_orderdate": pa.array(
+                np.array(["1995-01-01"] * n, dtype="datetime64[us]"),
+                pa.timestamp("us")),
+            "o_orderpriority": pa.array(prios)}),
+            os.path.join(d, "orders.parquet"))
+        return d
+
+    sep = write([10.0, 11.0, 10.0, 11.0, 100.0, 101.0, 100.0, 101.0],
+                ["1-URGENT"] * 4 + ["5-LOW"] * 4, "anovasep")
+    o = REGISTRY["orders_anova_by_priority"][0](sep)
+    assert o["f"].iloc[0] > 100
+    same = write([10.0, 20.0, 10.0, 20.0],
+                 ["1-URGENT", "1-URGENT", "5-LOW", "5-LOW"],
+                 "anovasame")
+    o2 = REGISTRY["orders_anova_by_priority"][0](same)
+    assert o2["f"].iloc[0] == 0.0

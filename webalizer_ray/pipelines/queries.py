@@ -18068,6 +18068,83 @@ def user_activity_zipf_slope(sf_dir: str) -> pd.DataFrame:
                          "zipf_slope": [float(slope)]})
 
 
+@register("orders_anova_by_priority", sql="""
+WITH v AS (SELECT o_orderpriority AS g,
+                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+           FROM orders),
+m AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS HUGEINT) AS s,
+             CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS q
+      FROM v GROUP BY g),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(s) AS HUGEINT) AS st,
+             CAST(SUM(q) AS HUGEINT) AS qt,
+             SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) AS sb
+      FROM m)
+SELECT m.g AS priority, m.n, CAST(m.s AS BIGINT) AS sum_cents,
+       CASE WHEN CAST(t.qt AS DOUBLE) - t.sb = 0.0 THEN 0.0
+            ELSE ROUND(((t.nn - t.k)
+                        * (t.sb - CAST(t.st AS DOUBLE)
+                           * CAST(t.st AS DOUBLE) / t.nn))
+                       / ((t.k - 1)
+                          * (CAST(t.qt AS DOUBLE) - t.sb)), 6)
+       END AS f
+FROM m, t ORDER BY 1""")
+def orders_anova_by_priority(sf_dir: str) -> pd.DataFrame:
+    """Classic one-way ANOVA across order priorities on the ORDERS
+    fact: do urgency classes differ in mean order value? Per-group
+    integer moments (n, Σc, Σc² — 128-bit for the squares) come from
+    one reduce; between = Σ Sg²/ng − S²/N and within = ΣQ − Σ Sg²/ng
+    close as shared float expressions (the same moment algebra as
+    Brown–Forsythe, here on raw values with means as centers); F
+    rides every per-priority row as a constant column, zero-within
+    short-circuits to 0."""
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "g": df["o_orderpriority"].astype(str),
+            "c": np.rint(df["o_totalprice"].to_numpy(np.float64)
+                         * 100).astype(np.int64)})
+
+    base = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_totalprice"]) \
+        .map_batches(prep, batch_format="pandas")
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for g, grp in df.groupby("g", sort=False):
+            c = grp["c"].to_numpy(np.int64)
+            co = c.astype(object)
+            q = int((co * co).sum())
+            hi, lo = divmod(q, 1 << 62)
+            out.append((g, len(c), int(c.sum()), hi, lo))
+        return pd.DataFrame(out, columns=["g", "n", "s", "q_hi",
+                                          "q_lo"])
+
+    p = reduce_sink(
+        base.map_batches(moments, batch_format="pandas"),
+        ["g"], {"n": ("n", "sum"), "s": ("s", "sum"),
+                "q_hi": ("q_hi", "sum"), "q_lo": ("q_lo", "sum")}) \
+        .to_pandas().sort_values("g", ignore_index=True)
+    n_g = p["n"].to_numpy(np.int64)
+    s_g = [int(x) for x in p["s"]]
+    q_g = [int(h) * (1 << 62) + int(l)
+           for h, l in zip(p["q_hi"], p["q_lo"])]
+    nn, k = int(n_g.sum()), len(p)
+    st, qt = sum(s_g), sum(q_g)
+    sb = float(sum(float(s) * s / n for s, n in zip(s_g, n_g)))
+    w = float(qt) - sb
+    r6 = textstats.round_half_away
+    f = 0.0 if w == 0.0 else r6(
+        ((nn - k) * (sb - float(st) * st / nn)) / ((k - 1) * w), 6)
+    out = pd.DataFrame({"priority": p["g"],
+                        "n": n_g.astype(np.int64),
+                        "sum_cents": np.array(s_g, np.int64),
+                        "f": float(f)})
+    return out.sort_values("priority", ignore_index=True)
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
