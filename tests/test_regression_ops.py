@@ -2531,3 +2531,25 @@ def test_orders_anova_separated_groups(ray_session, tmp_path):
                  "anovasame")
     o2 = REGISTRY["orders_anova_by_priority"][0](same)
     assert o2["f"].iloc[0] == 0.0
+
+
+def test_quartile_mobility_perfect_persistence(ray_session,
+                                               tmp_path):
+    """Users keep their relative spend across halves -> all mass on
+    the diagonal, immobility 1.0."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T12:00:00", "us")
+    day = np.timedelta64(1, "D")
+    ts, users, vals = [], [], []
+    for u in range(8):
+        for dd in (0, 10):
+            ts.append(t0 + dd * day)
+            users.append(u)
+            vals.append(float((u + 1) * 10))
+    d = str(tmp_path / "mob")
+    _write_events(d, ts, vals, users=users)
+    out = REGISTRY["ltv_quartile_mobility"][0](d)
+    assert (out["q_first"] == out["q_second"]).all()
+    assert out["immobility"].iloc[0] == 1.0
+    assert out["n"].sum() == 8

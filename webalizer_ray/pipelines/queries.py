@@ -18145,6 +18145,121 @@ def orders_anova_by_priority(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("priority", ignore_index=True)
 
 
+@register("ltv_quartile_mobility", sql="""
+WITH b AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d,
+                  CAST(ROUND(value * 100) AS BIGINT) AS c
+           FROM events),
+sp AS (SELECT (MIN(d) + MAX(d) + 1) // 2 AS cut FROM b),
+u AS (SELECT user_id,
+             CAST(SUM(CASE WHEN d < cut THEN c ELSE 0 END)
+                  AS BIGINT) AS x1,
+             CAST(SUM(CASE WHEN d >= cut THEN c ELSE 0 END)
+                  AS BIGINT) AS x2,
+             CAST(MAX(CASE WHEN d < cut THEN 1 ELSE 0 END)
+                  AS BIGINT) AS p1,
+             CAST(MAX(CASE WHEN d >= cut THEN 1 ELSE 0 END)
+                  AS BIGINT) AS p2
+      FROM b, sp GROUP BY user_id),
+bth AS (SELECT x1, x2 FROM u WHERE p1 = 1 AND p2 = 1),
+h1 AS (SELECT x1 AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+       FROM bth GROUP BY 1),
+c1 AS (SELECT v, CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) AS cm,
+              CAST(SUM(cnt) OVER () AS BIGINT) AS n FROM h1),
+k1 AS (SELECT MIN(CASE WHEN 4 * cm >= n THEN v END) AS q1,
+              MIN(CASE WHEN 2 * cm >= n THEN v END) AS q2,
+              MIN(CASE WHEN 4 * cm >= 3 * n THEN v END) AS q3
+       FROM c1),
+h2 AS (SELECT x2 AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+       FROM bth GROUP BY 1),
+c2 AS (SELECT v, CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) AS cm,
+              CAST(SUM(cnt) OVER () AS BIGINT) AS n FROM h2),
+k2 AS (SELECT MIN(CASE WHEN 4 * cm >= n THEN v END) AS q1,
+              MIN(CASE WHEN 2 * cm >= n THEN v END) AS q2,
+              MIN(CASE WHEN 4 * cm >= 3 * n THEN v END) AS q3
+       FROM c2),
+cls AS (SELECT 1 + CASE WHEN x1 > k1.q1 THEN 1 ELSE 0 END
+                 + CASE WHEN x1 > k1.q2 THEN 1 ELSE 0 END
+                 + CASE WHEN x1 > k1.q3 THEN 1 ELSE 0 END AS qa,
+               1 + CASE WHEN x2 > k2.q1 THEN 1 ELSE 0 END
+                 + CASE WHEN x2 > k2.q2 THEN 1 ELSE 0 END
+                 + CASE WHEN x2 > k2.q3 THEN 1 ELSE 0 END AS qb
+        FROM bth, k1, k2),
+mat AS (SELECT qa, qb, CAST(COUNT(*) AS BIGINT) AS n
+        FROM cls GROUP BY 1, 2),
+im AS (SELECT SUM(CASE WHEN qa = qb THEN n ELSE 0 END) AS diag,
+              SUM(n) AS tot FROM mat)
+SELECT CAST(mat.qa AS BIGINT) AS q_first, CAST(mat.qb AS BIGINT)
+           AS q_second, mat.n,
+       ROUND(CAST(im.diag AS DOUBLE) / im.tot, 6) AS immobility
+FROM mat, im ORDER BY 1, 2""")
+def ltv_quartile_mobility(sf_dir: str) -> pd.DataFrame:
+    """Value-quartile mobility matrix: users active in BOTH halves of
+    the date range classified into spend quartiles per half, and the
+    4×4 transition counts between them — the income-mobility table
+    for engagement ('do Q1 users stay Q1?'), with the immobility
+    share (diagonal mass) as the headline. Quartile cuts use the
+    boxplot family's lower-convention integer order statistics over
+    each half's spend histogram, and bucket = 1 + #cuts strictly
+    below, so ties bind identically on both engines — no NTILE
+    row-ranking ambiguity. One per-user reduce + two tiny
+    histograms."""
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "d": (us // 86_400_000_000).astype(np.int64),
+            "c": np.rint(df["value"].to_numpy(np.float64) * 100)
+            .astype(np.int64)})
+
+    base = _events(sf_dir, ["ts", "user_id", "value"]) \
+        .map_batches(prep, batch_format="pandas").materialize()
+    bounds = base.map_batches(
+        lambda df: pd.DataFrame({"mn": [df["d"].min()],
+                                 "mx": [df["d"].max()]}),
+        batch_format="pandas").to_pandas()
+    cut = (int(bounds["mn"].min()) + int(bounds["mx"].max()) + 1) // 2
+
+    def halves(df: pd.DataFrame) -> pd.DataFrame:
+        first = df["d"] < cut
+        return pd.DataFrame({
+            "user_id": df["user_id"],
+            "x1": np.where(first, df["c"], 0),
+            "x2": np.where(first, 0, df["c"]),
+            "p1": first.astype(np.int64),
+            "p2": (~first).astype(np.int64)})
+
+    u = reduce_sink(base.map_batches(halves, batch_format="pandas"),
+                    ["user_id"],
+                    {"x1": ("x1", "sum"), "x2": ("x2", "sum"),
+                     "p1": ("p1", "max"), "p2": ("p2", "max")}) \
+        .to_pandas()
+    u = u[(u["p1"] == 1) & (u["p2"] == 1)]
+
+    def cuts(x):
+        vals, cnt = np.unique(x, return_counts=True)
+        cm = np.cumsum(cnt)
+        n = int(cm[-1])
+        return (int(vals[np.searchsorted(4 * cm, n, "left")]),
+                int(vals[np.searchsorted(2 * cm, n, "left")]),
+                int(vals[np.searchsorted(4 * cm, 3 * n, "left")]))
+
+    x1 = u["x1"].to_numpy(np.int64)
+    x2 = u["x2"].to_numpy(np.int64)
+    a1, a2, a3 = cuts(x1)
+    b1, b2, b3 = cuts(x2)
+    qa = 1 + (x1 > a1).astype(np.int64) + (x1 > a2) + (x1 > a3)
+    qb = 1 + (x2 > b1).astype(np.int64) + (x2 > b2) + (x2 > b3)
+    mat = pd.DataFrame({"q_first": qa, "q_second": qb, "n": 1}) \
+        .groupby(["q_first", "q_second"], as_index=False).sum()
+    diag = int(mat[mat["q_first"] == mat["q_second"]]["n"].sum())
+    tot = int(mat["n"].sum())
+    r6 = textstats.round_half_away
+    mat["immobility"] = float(r6(float(diag) / tot, 6))
+    return mat.astype({"q_first": np.int64, "q_second": np.int64,
+                       "n": np.int64}) \
+        .sort_values(["q_first", "q_second"], ignore_index=True)
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
