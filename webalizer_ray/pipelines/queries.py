@@ -18260,6 +18260,78 @@ def ltv_quartile_mobility(sf_dir: str) -> pd.DataFrame:
         .sort_values(["q_first", "q_second"], ignore_index=True)
 
 
+@register("part_size_price_corr", sql="""
+WITH p AS (SELECT CAST(p_size AS BIGINT) AS x,
+                  CAST(ROUND(p_retailprice * 100) AS BIGINT) AS y
+           FROM part),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+      FROM p)
+SELECT n, CAST(sx AS BIGINT) AS sum_size,
+       CAST(sy AS BIGINT) AS sum_price_cents,
+       CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0
+            THEN 0.0
+            ELSE ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                              * CAST(n * syy - sy * sy AS DOUBLE)),
+                       6)
+       END AS pearson_r
+FROM m""")
+def part_size_price_corr(sf_dir: str) -> pd.DataFrame:
+    """Dimension-table sanity correlation: does part size track
+    retail price in the catalog? — the quick 'is this attribute
+    informative or noise' check a feature-selection pass starts
+    with, on the PART dimension (catalogs are small enough that the
+    exact answer is cheap, but the moment partials still distribute
+    the same way as the cross-fact Pearson: 128-bit integers, one
+    shared division)."""
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["p_size"].to_numpy(np.int64)
+        y = np.rint(df["p_retailprice"].to_numpy(np.float64)
+                    * 100).astype(np.int64)
+        xo, yo = x.astype(object), y.astype(object)
+        row = {"n": [np.int64(len(x))],
+               "sx": [np.int64(x.sum() if len(x) else 0)],
+               "sy": [np.int64(y.sum() if len(y) else 0)]}
+        for name, v in (("sxy", int((xo * yo).sum()) if len(x)
+                         else 0),
+                        ("sxx", int((xo * xo).sum()) if len(x)
+                         else 0),
+                        ("syy", int((yo * yo).sum()) if len(y)
+                         else 0)):
+            hi, lo = divmod(v, 1 << 62)
+            row[name + "_hi"] = [np.int64(hi)]
+            row[name + "_lo"] = [np.int64(lo)]
+        return pd.DataFrame(row)
+
+    p = rd.read_parquet(f"{sf_dir}/part.parquet",
+                        columns=["p_size", "p_retailprice"]) \
+        .map_batches(moments, batch_format="pandas").to_pandas()
+    n = int(p["n"].sum())
+    sx, sy = int(p["sx"].sum()), int(p["sy"].sum())
+
+    def word(sfx):
+        return sum(int(h) * (1 << 62) + int(l)
+                   for h, l in zip(p[sfx + "_hi"], p[sfx + "_lo"]))
+
+    sxy, sxx, syy = word("sxy"), word("sxx"), word("syy")
+    den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    r6 = textstats.round_half_away
+    r = 0.0 if den == 0 else \
+        r6(float(n * sxy - sx * sy)
+           / np.sqrt(float(n * sxx - sx * sx)
+                     * float(n * syy - sy * sy)), 6)
+    return pd.DataFrame({
+        "n": np.array([n], np.int64),
+        "sum_size": np.array([sx], np.int64),
+        "sum_price_cents": np.array([sy], np.int64),
+        "pearson_r": [float(r)]})
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
