@@ -18332,6 +18332,50 @@ def part_size_price_corr(sf_dir: str) -> pd.DataFrame:
         "pearson_r": [float(r)]})
 
 
+@register("props_k_uniformity", sql=r"""
+WITH v AS (SELECT CAST(regexp_extract(props, '"k": (\d+)', 1)
+                       AS BIGINT) AS k
+           FROM events WHERE props LIKE '%"k"%'),
+b AS (SELECT k // 10 AS band FROM v),
+h AS (SELECT band, CAST(COUNT(*) AS BIGINT) AS o FROM b GROUP BY 1),
+t AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS nb FROM h)
+SELECT CAST(h.band AS BIGINT) AS band, h.o,
+       ROUND(SUM((o - CAST(n AS DOUBLE) / nb)
+                 * (o - CAST(n AS DOUBLE) / nb)
+                 / (CAST(n AS DOUBLE) / nb)) OVER (), 6) AS chi2
+FROM h, t ORDER BY 1""")
+def props_k_uniformity(sf_dir: str) -> pd.DataFrame:
+    """Semi-structured payload profiling: extract the JSON integer
+    from the props column (vectorized Arrow regex — never a per-row
+    json.loads), band it by tens, and χ²-test the band histogram
+    against uniform — the drift check for instrumented payload
+    fields ('did the client start clamping k?'). Rows without the
+    key drop on both engines; the expected count uses the OBSERVED
+    band count so the test is well-defined under partial coverage."""
+    def prep(t: pa.Table) -> pd.DataFrame:
+        ext = pc.extract_regex(t["props"], r'"k": (?P<v>\d+)')
+        v = pc.struct_field(ext, "v")
+        mask = pc.is_valid(v).to_numpy(zero_copy_only=False)
+        k = pd.to_numeric(
+            pd.Series(v.to_pandas()[mask])).to_numpy(np.int64)
+        return pd.DataFrame({"band": k // 10})
+
+    h = reduce_sink(
+        _events(sf_dir, ["props"]).map_batches(
+            prep, batch_format="pyarrow"),
+        ["band"], {"o": ("band", "size")}).to_pandas() \
+        .sort_values("band", ignore_index=True)
+    o = h["o"].to_numpy(np.int64)
+    n = int(o.sum())
+    nb = len(h)
+    e = float(n) / nb
+    chi2 = float(((o - e) * (o - e) / e).sum())
+    r6 = textstats.round_half_away
+    h["chi2"] = float(r6(chi2, 6))
+    return h.astype({"band": np.int64, "o": np.int64})
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
