@@ -2553,3 +2553,43 @@ def test_quartile_mobility_perfect_persistence(ray_session,
     assert (out["q_first"] == out["q_second"]).all()
     assert out["immobility"].iloc[0] == 1.0
     assert out["n"].sum() == 8
+
+
+def test_think_time_excludes_cross_session(ray_session, tmp_path):
+    """Gaps of 60s and 120s inside a session count; the 2h gap to
+    the next session does not; max is bounded below 1800."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    hr = np.timedelta64(2, "h")
+    ts = [t0, t0 + 60 * s, t0 + 180 * s, t0 + hr, t0 + hr + 30 * s]
+    d = str(tmp_path / "think")
+    _write_events(d, ts, [1.0] * 5)
+    out = REGISTRY["think_time_quantiles"][0](d)
+    r = out.iloc[0]
+    assert r.n_gaps == 3          # 60, 120, 30
+    assert r.max_s == 120
+    assert r.p50_s == 60
+
+
+def test_conversion_ordinal_second_session_converts(ray_session,
+                                                    tmp_path):
+    """Every user converts only in session 2 -> rate 0 at ordinal 1,
+    1.0 at ordinal 2."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    hr = np.timedelta64(2, "h")
+    s = np.timedelta64(1, "s")
+    ts, users, types = [], [], []
+    for u in range(3):
+        ts.append(t0 + u * s); users.append(u); types.append("view")
+        ts.append(t0 + hr + u * s); users.append(u)
+        types.append("purchase")
+    d = str(tmp_path / "convo")
+    _write_events(d, ts, [1.0] * len(ts), users=users, types=types)
+    out = REGISTRY["conversion_by_session_ordinal"][0](d)
+    got = {int(r.session_ordinal): r.conv_rate
+           for r in out.itertuples()}
+    assert got == {1: 0.0, 2: 1.0}

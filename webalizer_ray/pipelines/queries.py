@@ -18376,6 +18376,137 @@ def props_k_uniformity(sf_dir: str) -> pd.DataFrame:
     return h.astype({"band": np.int64, "o": np.int64})
 
 
+@register("think_time_quantiles", sql=f"""
+WITH sid AS (SELECT user_id, ts, event_id,
+                    SUM(ns) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+             FROM ({_NS_SQL})),
+g AS (SELECT (epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                  PARTITION BY user_id, sid ORDER BY ts, event_id)))
+              // 1000000 AS gap_s
+      FROM sid),
+h AS (SELECT gap_s, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM g WHERE gap_s IS NOT NULL GROUP BY 1),
+cum AS (SELECT gap_s, cnt,
+               CAST(SUM(cnt) OVER (ORDER BY gap_s) AS BIGINT) AS cm,
+               CAST(SUM(cnt) OVER () AS BIGINT) AS n FROM h)
+SELECT (SELECT CAST(MAX(n) AS BIGINT) FROM cum) AS n_gaps,
+       (SELECT CAST(MIN(gap_s) AS BIGINT) FROM cum
+        WHERE 2 * cm >= n) AS p50_s,
+       (SELECT CAST(MIN(gap_s) AS BIGINT) FROM cum
+        WHERE 10 * cm >= 9 * n) AS p90_s,
+       (SELECT CAST(MAX(gap_s) AS BIGINT) FROM cum) AS max_s""")
+def think_time_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Intra-session think time: exact quantiles of the
+    second-quantized gap between consecutive events INSIDE one
+    session (the human pacing signal — cross-session gaps are
+    absence, not thinking, and the 30-min sessionizer bounds max at
+    1799 s by construction). Gaps compute in the same bucket-local
+    sessionize; only the lossless gap histogram shuffles; p50/p90
+    are the shared integer order-statistic tests."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id"])
+
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket_"] = (df["user_id"].to_numpy(np.int64) % 32) \
+            .astype(np.int32)
+        return df
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        # sessionize and take gaps in ONE bucket-local pass — a
+        # map_batches over the sessionize output could see a session
+        # split across blocks and drop its boundary gap
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        us = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        uid = g["user_id"].to_numpy(np.int64)
+        same_user = np.zeros(len(g), bool)
+        same_user[1:] = uid[1:] == uid[:-1]
+        gap_us = us - np.roll(us, 1)
+        in_sess = same_user & (gap_us < 1_800_000_000)
+        gap = (gap_us // 1_000_000)[in_sess]
+        u, c = np.unique(gap, return_counts=True)
+        return pd.DataFrame({"gap_s": u.astype(np.int64),
+                             "cnt": c.astype(np.int64)})
+
+    h = reduce_sink(
+        ds.map_batches(with_bucket, batch_format="pandas")
+        .groupby("bucket_")
+        .map_groups(lambda g: gaps(g.drop(columns=["bucket_"])),
+                    batch_format="pandas"),
+        ["gap_s"], {"cnt": ("cnt", "sum")}).to_pandas() \
+        .sort_values("gap_s", ignore_index=True)
+    gap_s = h["gap_s"].to_numpy(np.int64)
+    cnt = h["cnt"].to_numpy(np.int64)
+    n = int(cnt.sum())
+    cm = np.cumsum(cnt)
+    p50 = int(gap_s[np.searchsorted(2 * cm, n, side="left")])
+    p90 = int(gap_s[np.searchsorted(10 * cm, 9 * n, side="left")])
+    return pd.DataFrame({
+        "n_gaps": np.array([n], np.int64),
+        "p50_s": np.array([p50], np.int64),
+        "p90_s": np.array([p90], np.int64),
+        "max_s": np.array([int(gap_s[-1])], np.int64)})
+
+
+@register("conversion_by_session_ordinal", sql=f"""
+WITH sid AS (SELECT user_id, event_type, ts, event_id,
+                    SUM(ns) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+             FROM ({_NS_SQL})),
+s AS (SELECT user_id, LEAST(sid, 10) AS ordinal,
+             CAST(MAX(CASE WHEN event_type = 'purchase'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS conv
+      FROM sid GROUP BY user_id, sid)
+SELECT CAST(ordinal AS BIGINT) AS session_ordinal,
+       CAST(COUNT(*) AS BIGINT) AS sessions,
+       CAST(SUM(conv) AS BIGINT) AS converted,
+       ROUND(CAST(SUM(conv) AS DOUBLE) / COUNT(*), 6) AS conv_rate
+FROM s GROUP BY ordinal ORDER BY 1""")
+def conversion_by_session_ordinal(sf_dir: str) -> pd.DataFrame:
+    """Conversion by session ORDINAL: does the first session convert
+    or the fifth? (the onboarding-funnel shape — ordinal 10 lumps
+    the tail) — per-session purchase flags roll up inside the
+    bucket-local sessionize (sessions never span buckets, sid IS
+    the per-user ordinal), so only (ordinal, sessions, converted)
+    partials shuffle; one shared division per row."""
+    sess = _sessionized_events(sf_dir)
+
+    def rows(df: pd.DataFrame) -> pd.DataFrame:
+        # NOTE: a session may span blocks of the sessionize output,
+        # so the per-(user, sid) MAX must be a KEYED reduce — a
+        # block-local rollup would double-count split sessions
+        return pd.DataFrame({
+            "user_id": df["user_id"],
+            "sid": df["sid"].to_numpy(np.int64),
+            "conv": (df["event_type"] == "purchase")
+            .to_numpy().astype(np.int64)})
+
+    per = reduce_sink(sess.map_batches(rows, batch_format="pandas"),
+                      ["user_id", "sid"], {"conv": ("conv", "max")})
+
+    def band(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "ordinal": np.minimum(df["sid"].to_numpy(np.int64), 10),
+            "sessions": np.ones(len(df), np.int64),
+            "converted": df["conv"].to_numpy(np.int64)})
+
+    out = reduce_sink(
+        per.map_batches(band, batch_format="pandas"),
+        ["ordinal"], {"sessions": ("sessions", "sum"),
+                      "converted": ("converted", "sum")}).to_pandas()
+    r6 = textstats.round_half_away
+    out = out.rename(columns={"ordinal": "session_ordinal"})
+    out["conv_rate"] = r6(out["converted"].to_numpy(np.float64)
+                          / out["sessions"].to_numpy(np.float64), 6)
+    return out.astype({"session_ordinal": np.int64,
+                       "sessions": np.int64,
+                       "converted": np.int64}) \
+        .sort_values("session_ordinal", ignore_index=True)
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
