@@ -2593,3 +2593,28 @@ def test_conversion_ordinal_second_session_converts(ray_session,
     got = {int(r.session_ordinal): r.conv_rate
            for r in out.itertuples()}
     assert got == {1: 0.0, 2: 1.0}
+
+
+def test_session_value_quartiles_hand(ray_session, tmp_path):
+    """Four sessions with totals 1, 2, 3, 100 dollars: p25 = 100c,
+    p50 = 200c, p75 = 300c, max = 10000c."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    hr = np.timedelta64(2, "h")
+    s = np.timedelta64(1, "s")
+    ts, users, vals = [], [], []
+    totals = [1.0, 2.0, 3.0, 100.0]
+    for i, tot in enumerate(totals):
+        # each session = two events summing to the total
+        base = t0 + i * hr
+        ts.extend([base, base + s])
+        users.extend([0, 0])
+        vals.extend([tot / 2, tot / 2])
+    d = str(tmp_path / "svq")
+    _write_events(d, ts, vals, users=users)
+    out = REGISTRY["session_value_quantiles"][0](d)
+    r = out.iloc[0]
+    assert r.n_sessions == 4
+    assert (r.p25_cents, r.p50_cents, r.p75_cents, r.max_cents) \
+        == (100, 200, 300, 10000)

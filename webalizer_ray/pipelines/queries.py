@@ -18507,6 +18507,96 @@ def conversion_by_session_ordinal(sf_dir: str) -> pd.DataFrame:
         .sort_values("session_ordinal", ignore_index=True)
 
 
+@register("session_value_quantiles", sql=f"""
+WITH sid AS (SELECT user_id, ts, event_id, value,
+                    SUM(ns) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+             FROM (SELECT user_id, event_type, ts, event_id, value,
+                          CASE WHEN prev_ts IS NULL
+                                    OR epoch_us(ts) - epoch_us(prev_ts)
+                                       >= 1800000000
+                               THEN 1 ELSE 0 END AS ns
+                   FROM (SELECT user_id, event_type, ts, event_id,
+                                value,
+                                LAG(ts) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id)
+                                    AS prev_ts
+                         FROM events))),
+s AS (SELECT user_id, sid,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+      FROM sid GROUP BY 1, 2),
+h AS (SELECT cents, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM s GROUP BY 1),
+cum AS (SELECT cents, cnt,
+               CAST(SUM(cnt) OVER (ORDER BY cents) AS BIGINT) AS cm,
+               CAST(SUM(cnt) OVER () AS BIGINT) AS n FROM h)
+SELECT (SELECT CAST(MAX(n) AS BIGINT) FROM cum) AS n_sessions,
+       (SELECT CAST(MIN(cents) AS BIGINT) FROM cum
+        WHERE 4 * cm >= n) AS p25_cents,
+       (SELECT CAST(MIN(cents) AS BIGINT) FROM cum
+        WHERE 2 * cm >= n) AS p50_cents,
+       (SELECT CAST(MIN(cents) AS BIGINT) FROM cum
+        WHERE 4 * cm >= 3 * n) AS p75_cents,
+       (SELECT CAST(MAX(cents) AS BIGINT) FROM cum) AS max_cents""")
+def session_value_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Session-basket size: exact quartiles of per-session total
+    value — the 'how much is one visit worth' distribution pricing
+    and caching decisions key on (per-EVENT quantiles hide that a
+    session bundles many). Per-session cents roll up as a KEYED
+    reduce (sessions may split across sessionize-output blocks);
+    the lossless session-value histogram is the only shuffle; the
+    quartiles are the shared lower-convention integer tests."""
+    sess = _sessionized_events_with_value(sf_dir)
+    per = reduce_sink(sess, ["user_id", "sid"],
+                      {"cents": ("cents", "sum")})
+    h = reduce_sink(per, ["cents"], {"cnt": ("cents", "size")}) \
+        .to_pandas().sort_values("cents", ignore_index=True)
+    cents = h["cents"].to_numpy(np.int64)
+    cnt = h["cnt"].to_numpy(np.int64)
+    n = int(cnt.sum())
+    cm = np.cumsum(cnt)
+    p25 = int(cents[np.searchsorted(4 * cm, n, side="left")])
+    p50 = int(cents[np.searchsorted(2 * cm, n, side="left")])
+    p75 = int(cents[np.searchsorted(4 * cm, 3 * n, side="left")])
+    return pd.DataFrame({
+        "n_sessions": np.array([n], np.int64),
+        "p25_cents": np.array([p25], np.int64),
+        "p50_cents": np.array([p50], np.int64),
+        "p75_cents": np.array([p75], np.int64),
+        "max_cents": np.array([int(cents[-1])], np.int64)})
+
+
+def _sessionized_events_with_value(sf_dir: str,
+                                   num_buckets: int = 32):
+    """Sessionize carrying integer cents (the value-aware sibling of
+    _sessionized_events — same bucket-local vectorized pass)."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "value"])
+
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket_"] = (df["user_id"].to_numpy(np.int64)
+                         % num_buckets).astype(np.int32)
+        return df
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        same = g["user_id"].eq(g["user_id"].shift())
+        gap_s = (g["ts"] - g["ts"].shift()).dt.total_seconds()
+        ns = (~same) | (gap_s >= 1800.0)
+        g["sid"] = ns.groupby(g["user_id"], sort=False).cumsum() \
+            .astype(np.int64)
+        g["cents"] = np.rint(g["value"].to_numpy(np.float64)
+                             * 100).astype(np.int64)
+        return g[["user_id", "sid", "cents"]]
+
+    return (ds.map_batches(with_bucket, batch_format="pandas")
+            .groupby("bucket_").map_groups(sessionize,
+                                           batch_format="pandas"))
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
