@@ -2618,3 +2618,35 @@ def test_session_value_quartiles_hand(ray_session, tmp_path):
     assert r.n_sessions == 4
     assert (r.p25_cents, r.p50_cents, r.p75_cents, r.max_cents) \
         == (100, 200, 300, 10000)
+
+
+def test_first_session_share_mean_vs_pooled(ray_session, tmp_path):
+    """A small user earning all value in session 1 and a whale
+    earning none there: mean = 0.5, pooled ~ first/total dollars."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    hr = np.timedelta64(2, "h")
+    s = np.timedelta64(1, "s")
+    # u0: session1 $10, session2 $0 -> share 1
+    # u1: session1 $0, session2 $90 -> share 0
+    ts = [t0, t0 + hr, t0 + s, t0 + hr + s]
+    users = [0, 0, 1, 1]
+    vals = [10.0, 0.0, 0.0, 90.0]
+    d = str(tmp_path / "fss")
+    _write_events(d, ts, vals, users=users)
+    out = REGISTRY["first_session_value_share"][0](d)
+    assert out["mean_first_share"][0] == 0.5
+    assert out["pooled_first_share"][0] == 0.1
+
+
+def test_first_event_type_tiebreak(ray_session, tmp_path):
+    """Two events at the same timestamp: the smaller event_id wins
+    (file order writes ids 0..n)."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    d = str(tmp_path / "ftt")
+    _write_events(d, [t0, t0], [1.0, 1.0], types=["a", "b"])
+    out = REGISTRY["first_event_type_dist"][0](d)
+    assert dict(zip(out["event_type"], out["users"])) == {"a": 1}

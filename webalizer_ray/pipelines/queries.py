@@ -18597,6 +18597,107 @@ def _sessionized_events_with_value(sf_dir: str,
                                            batch_format="pandas"))
 
 
+@register("first_session_value_share", sql=f"""
+WITH sid AS (SELECT user_id, ts, event_id, value,
+                    SUM(ns) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+             FROM (SELECT user_id, ts, event_id, value,
+                          CASE WHEN prev_ts IS NULL
+                                    OR epoch_us(ts) - epoch_us(prev_ts)
+                                       >= 1800000000
+                               THEN 1 ELSE 0 END AS ns
+                   FROM (SELECT user_id, ts, event_id, value,
+                                LAG(ts) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id)
+                                    AS prev_ts
+                         FROM events))),
+u AS (SELECT user_id,
+             CAST(SUM(CASE WHEN sid = 1
+                           THEN CAST(ROUND(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS first_c,
+             CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                  AS BIGINT) AS total_c
+      FROM sid GROUP BY user_id),
+f AS (SELECT first_c, total_c FROM u WHERE total_c > 0)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND(SUM(CAST(first_c AS DOUBLE) / total_c) / COUNT(*), 6)
+           AS mean_first_share,
+       ROUND(CAST(SUM(first_c) AS DOUBLE) / SUM(total_c), 6)
+           AS pooled_first_share
+FROM f""")
+def first_session_value_share(sf_dir: str) -> pd.DataFrame:
+    """How front-loaded is user value: the share of each user's
+    lifetime cents earned in their FIRST session, both per-user mean
+    (every user votes equally) and pooled (dollars vote) — the two
+    disagree exactly when whales behave differently, which is the
+    insight. Session 1 membership and both sums come from the
+    value-carrying bucket-local sessionize; only per-user (first,
+    total) integer partials leave; zero-value users drop."""
+    sess = _sessionized_events_with_value(sf_dir)
+
+    def split(df: pd.DataFrame) -> pd.DataFrame:
+        first = df["sid"].to_numpy(np.int64) == 1
+        return pd.DataFrame({
+            "user_id": df["user_id"],
+            "first_c": np.where(first, df["cents"], 0),
+            "total_c": df["cents"].to_numpy(np.int64)})
+
+    u = reduce_sink(sess.map_batches(split, batch_format="pandas"),
+                    ["user_id"], {"first_c": ("first_c", "sum"),
+                                  "total_c": ("total_c", "sum")}) \
+        .to_pandas()
+    u = u[u["total_c"] > 0]
+    n = len(u)
+    r6 = textstats.round_half_away
+    mean_share = r6(float((u["first_c"] / u["total_c"]).sum()) / n,
+                    6)
+    pooled = r6(float(int(u["first_c"].sum()))
+                / int(u["total_c"].sum()), 6)
+    return pd.DataFrame({
+        "n_users": np.array([n], np.int64),
+        "mean_first_share": [float(mean_share)],
+        "pooled_first_share": [float(pooled)]})
+
+
+@register("first_event_type_dist", sql="""
+WITH f AS (SELECT user_id, event_type,
+                  ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn
+           FROM events)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS users
+FROM f WHERE rn = 1 GROUP BY 1 ORDER BY 1""")
+def first_event_type_dist(sf_dir: str) -> pd.DataFrame:
+    """First-touch distribution: which event type begins each user's
+    lifetime — the acquisition-mix table attribution models anchor
+    on. The per-user argmin((ts, event_id)) happens inside the
+    user-hash bucket (one sort, first row per user); only (type,
+    users) partials shuffle."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket_"] = (df["user_id"].to_numpy(np.int64) % 32) \
+            .astype(np.int32)
+        return df
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        top = g.groupby("user_id", as_index=False).first()
+        return top.groupby("event_type", as_index=False).size() \
+            .rename(columns={"size": "users"})
+
+    out = reduce_sink(
+        ds.map_batches(with_bucket, batch_format="pandas")
+        .groupby("bucket_")
+        .map_groups(lambda g: first(g.drop(columns=["bucket_"])),
+                    batch_format="pandas"),
+        ["event_type"], {"users": ("users", "sum")}).to_pandas()
+    return out.astype({"users": np.int64}) \
+        .sort_values("event_type", ignore_index=True)
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
