@@ -2650,3 +2650,29 @@ def test_first_event_type_tiebreak(ray_session, tmp_path):
     _write_events(d, [t0, t0], [1.0, 1.0], types=["a", "b"])
     out = REGISTRY["first_event_type_dist"][0](d)
     assert dict(zip(out["event_type"], out["users"])) == {"a": 1}
+
+
+def test_residuals_planted_hot_cell(ray_session, tmp_path):
+    """One type concentrated at one hour against a uniform
+    background: that cell tops the residual list with a positive
+    residual."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    h = np.timedelta64(1, "h")
+    s = np.timedelta64(1, "s")
+    ts, types = [], []
+    i = 0
+    for hour in range(6):
+        for _ in range(5):
+            ts.append(t0 + hour * h + i * s); i += 1
+            types.append("bg")
+    for _ in range(20):
+        ts.append(t0 + 3 * h + i * s); i += 1
+        types.append("spike")
+    d = str(tmp_path / "resid")
+    _write_events(d, ts, [1.0] * len(ts), types=types)
+    out = REGISTRY["type_hour_residuals_topk"][0](d)
+    top = out.iloc[0]
+    assert (top.event_type, top.hour) == ("spike", 3)
+    assert top.std_residual > 3

@@ -18698,6 +18698,61 @@ def first_event_type_dist(sf_dir: str) -> pd.DataFrame:
         .sort_values("event_type", ignore_index=True)
 
 
+@register("type_hour_residuals_topk", sql="""
+WITH c AS (SELECT event_type AS g, CAST(hour(ts) AS BIGINT) AS h,
+                  CAST(COUNT(*) AS BIGINT) AS o
+           FROM events GROUP BY 1, 2),
+rm AS (SELECT g, CAST(SUM(o) AS BIGINT) AS rt FROM c GROUP BY 1),
+cm AS (SELECT h, CAST(SUM(o) AS BIGINT) AS ct FROM c GROUP BY 1),
+t AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM c),
+r AS (SELECT c.g, c.h, c.o,
+             (c.o - CAST(rm.rt AS DOUBLE) * cm.ct / t.n)
+             / sqrt(CAST(rm.rt AS DOUBLE) * cm.ct / t.n) AS resid
+      FROM c JOIN rm ON c.g = rm.g JOIN cm ON c.h = cm.h, t),
+best AS (SELECT g, h, o, resid,
+                ROW_NUMBER() OVER (ORDER BY ABS(ROUND(resid, 9))
+                                   DESC, g, h) AS rn
+         FROM r)
+SELECT g AS event_type, CAST(h AS BIGINT) AS hour, o,
+       ROUND(resid, 6) AS std_residual
+FROM best WHERE rn <= 10 ORDER BY rn""")
+def type_hour_residuals_topk(sf_dir: str) -> pd.DataFrame:
+    """The actionable half of the χ² independence test: the ten
+    (type, hour) cells with the largest standardized residuals
+    (o − e)/√e — χ² says THAT type and hour interact, the residual
+    table says WHERE ('errors spike at 03:00'). Same single
+    contingency reduce as chi_square_type_hour; residuals are
+    shared float expressions over exact integer marginals, ranked
+    on the 9-dp-ROUNDED magnitude with (type, hour) tiebreak."""
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "g": df["event_type"].astype(str),
+            "h": df["ts"].dt.hour.to_numpy(np.int64)})
+
+    c = reduce_sink(
+        _events(sf_dir, ["ts", "event_type"])
+        .map_batches(prep, batch_format="pandas"),
+        ["g", "h"], {"o": ("h", "size")}).to_pandas()
+    rt = c.groupby("g")["o"].sum()
+    ct = c.groupby("h")["o"].sum()
+    n = int(c["o"].sum())
+    e = (c["g"].map(rt).to_numpy(np.float64)
+         * c["h"].map(ct).to_numpy(np.float64) / n)
+    resid = (c["o"].to_numpy(np.float64) - e) / np.sqrt(e)
+    r9 = textstats.round_half_away
+    c = c.assign(resid=resid, key=np.abs(r9(resid, 9)))
+    c = c.sort_values(["key", "g", "h"],
+                      ascending=[False, True, True],
+                      kind="mergesort").head(10)
+    r6 = textstats.round_half_away
+    return pd.DataFrame({
+        "event_type": c["g"].to_numpy(),
+        "hour": c["h"].to_numpy(np.int64),
+        "o": c["o"].to_numpy(np.int64),
+        "std_residual": r6(c["resid"].to_numpy(np.float64), 6)}) \
+        .reset_index(drop=True)
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
