@@ -268,3 +268,45 @@ def test_source_vocab_jaccard_hand(ray_session, tmp_path):
     r = out.iloc[0]
     assert (r.source_a, r.source_b, r.both) == ("A", "B", 2)
     assert r.jaccard == 0.5
+
+
+def test_source_lang_entropy_mono_vs_mixed(ray_session, tmp_path):
+    """Monolingual source -> 0 bits; a 50/50 bilingual source -> 1
+    bit."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    d = str(tmp_path / "slent")
+    os.makedirs(d, exist_ok=True)
+    langs = ["en", "en", "en", "en", "en", "de", "en", "de"]
+    srcs = ["mono"] * 4 + ["mixed"] * 4
+    n = len(langs)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array(["x"] * n),
+        "lang": pa.array(langs),
+        "source": pa.array(srcs),
+        "n_chars": pa.array(np.ones(n, np.int64))}),
+        os.path.join(d, "documents.parquet"))
+    out = REGISTRY["source_lang_entropy"][0](d)
+    got = {r.source: r.lang_entropy_bits for r in out.itertuples()}
+    assert got["mono"] == 0.0
+    assert got["mixed"] == 1.0
+
+
+def test_doc_length_quartiles_hand(ray_session, tmp_path):
+    """Lengths 1..8 for one lang -> q1/q2/q3 = 2/4/6 (lower
+    convention)."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    d = str(tmp_path / "dlq")
+    texts = ["x" * (i + 1) for i in range(8)]
+    _write_docs_min(d, texts, ["s"] * 8)
+    out = REGISTRY["doc_length_quartiles_by_lang"][0](d)
+    r = out.iloc[0]
+    assert (r.q1, r.q2, r.q3) == (2, 4, 6)

@@ -18753,6 +18753,87 @@ def type_hour_residuals_topk(sf_dir: str) -> pd.DataFrame:
         .reset_index(drop=True)
 
 
+@register("source_lang_entropy", sql="""
+WITH c AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+           FROM documents GROUP BY 1, 2),
+t AS (SELECT source, CAST(SUM(n) AS BIGINT) AS tot,
+             CAST(COUNT(*) AS BIGINT) AS n_langs
+      FROM c GROUP BY 1)
+SELECT c.source, t.tot AS n_docs, t.n_langs,
+       ROUND(SUM(-(c.n / CAST(t.tot AS DOUBLE))
+                 * LOG2(c.n / CAST(t.tot AS DOUBLE))), 6)
+           AS lang_entropy_bits
+FROM c JOIN t USING (source)
+GROUP BY c.source, t.tot, t.n_langs ORDER BY 1""")
+def source_lang_entropy(sf_dir: str) -> pd.DataFrame:
+    """Language-mix entropy per source — the corpus-governance
+    number: a crawl claiming 'multilingual' at 0.2 bits is
+    monolingual with noise, and a spike in a known-English feed's
+    entropy is a pipeline bug. One (source, lang) count reduce;
+    entropy closes as the shared guarded p·log₂p expression per
+    source."""
+    c = reduce_sink(
+        _docs(sf_dir, ["source", "lang"]),
+        ["source", "lang"], {"n": ("lang", "size")}).to_pandas()
+    r6 = textstats.round_half_away
+    rows = []
+    for src, grp in c.groupby("source", sort=True):
+        n = grp["n"].to_numpy(np.float64)
+        tot = int(n.sum())
+        p = n / float(tot)
+        ent = float((-(p) * np.log2(p)).sum())
+        rows.append((src, tot, len(grp), float(r6(ent, 6))))
+    return pd.DataFrame(rows, columns=["source", "n_docs",
+                                       "n_langs",
+                                       "lang_entropy_bits"]) \
+        .astype({"n_docs": np.int64, "n_langs": np.int64})
+
+
+@register("doc_length_quartiles_by_lang", sql="""
+WITH h AS (SELECT lang, CAST(n_chars AS BIGINT) AS v,
+                  CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM documents GROUP BY 1, 2),
+cum AS (SELECT lang, v, cnt,
+               CAST(SUM(cnt) OVER (PARTITION BY lang ORDER BY v)
+                    AS BIGINT) AS cm,
+               CAST(SUM(cnt) OVER (PARTITION BY lang) AS BIGINT)
+                   AS n
+        FROM h)
+SELECT lang, MIN(n) AS n_docs,
+       CAST(MIN(CASE WHEN 4 * cm >= n THEN v END) AS BIGINT) AS q1,
+       CAST(MIN(CASE WHEN 2 * cm >= n THEN v END) AS BIGINT) AS q2,
+       CAST(MIN(CASE WHEN 4 * cm >= 3 * n THEN v END) AS BIGINT)
+           AS q3
+FROM cum GROUP BY lang ORDER BY 1""")
+def doc_length_quartiles_by_lang(sf_dir: str) -> pd.DataFrame:
+    """Document-length quartiles per language (exact, the boxplot
+    family's lower-convention order statistics over the n_chars
+    histogram) — the length-prior tokenizer budgeting and
+    per-language packing quotas read from; a language whose median
+    halves between crawls changed its extraction, not its prose.
+    One (lang, n_chars) reduce; integer rank tests close the
+    quartiles."""
+    h = reduce_sink(
+        _docs(sf_dir, ["lang", "n_chars"]),
+        ["lang", "n_chars"], {"cnt": ("n_chars", "size")}) \
+        .to_pandas().sort_values(["lang", "n_chars"],
+                                 ignore_index=True)
+    rows = []
+    for lang, grp in h.groupby("lang", sort=True):
+        cnt = grp["cnt"].to_numpy(np.int64)
+        v = grp["n_chars"].to_numpy(np.int64)
+        n = int(cnt.sum())
+        cm = np.cumsum(cnt)
+        q1 = int(v[np.searchsorted(4 * cm, n, side="left")])
+        q2 = int(v[np.searchsorted(2 * cm, n, side="left")])
+        q3 = int(v[np.searchsorted(4 * cm, 3 * n, side="left")])
+        rows.append((lang, n, q1, q2, q3))
+    return pd.DataFrame(rows, columns=["lang", "n_docs", "q1",
+                                       "q2", "q3"]) \
+        .astype({"n_docs": np.int64, "q1": np.int64,
+                 "q2": np.int64, "q3": np.int64})
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
