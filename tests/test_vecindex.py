@@ -95,3 +95,29 @@ def test_rebuild_replaces_not_appends(ray_session, index_dir):
     q = _queries()
     got = vecindex.query(index_dir, q, k=5, nprobe=None)
     assert len(got) == 15
+
+
+def test_embedding_norm_profile_planted(ray_session, tmp_path):
+    """Unit vectors count as in-band; a 2x vector moves max_norm."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    d = str(tmp_path / "nrm")
+    os.makedirs(d, exist_ok=True)
+    vecs = [[1.0, 0.0], [0.0, 1.0], [2.0, 0.0],
+            [0.6, 0.8]]
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(4), pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        "label": pa.array([0] * 4, pa.int32())}),
+        os.path.join(d, "embeddings.parquet"))
+    out = REGISTRY["embedding_norm_profile"][0](d)
+    r = out.iloc[0]
+    assert r.n_vectors == 4 and r.n_unit == 3
+    assert r.max_norm == 2.0 and r.min_norm == 1.0
+    assert r.mean_norm == 1.25

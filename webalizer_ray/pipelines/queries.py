@@ -18834,6 +18834,53 @@ def doc_length_quartiles_by_lang(sf_dir: str) -> pd.DataFrame:
                  "q2": np.int64, "q3": np.int64})
 
 
+@register("embedding_norm_profile", sql="""
+WITH n AS (SELECT ROUND(sqrt(list_dot_product(
+                      CAST(embedding AS DOUBLE[]),
+                      CAST(embedding AS DOUBLE[]))), 9) AS nrm
+           FROM embeddings)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       ROUND(SUM(nrm) / COUNT(*), 6) AS mean_norm,
+       ROUND(MIN(nrm), 6) AS min_norm,
+       ROUND(MAX(nrm), 6) AS max_norm,
+       CAST(SUM(CASE WHEN nrm >= 0.99 AND nrm <= 1.01
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_unit
+FROM n""")
+def embedding_norm_profile(sf_dir: str) -> pd.DataFrame:
+    """Embedding hygiene check: the L2-norm profile of the vector
+    column — 'are these unit-normalized?' decides whether cosine and
+    dot-product retrieval agree, and a norm tail is the first sign
+    of a bad encoder batch. Each row's norm computes vectorized
+    (float32 widens exactly to float64 on both engines) and ROUNDS
+    TO 9 DP before any aggregate or band test, so min/max/band
+    membership compare identical doubles; per-batch (n, Σ, min,
+    max, in-band) partials are all that shuffle."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["embedding"])
+    r9 = textstats.round_half_away
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        nrm = r9(np.sqrt((m * m).sum(axis=1)), 9)
+        return pd.DataFrame({
+            "n": [np.int64(len(nrm))],
+            "s": [float(nrm.sum())],
+            "mn": [float(nrm.min())],
+            "mx": [float(nrm.max())],
+            "unit": [np.int64(((nrm >= 0.99)
+                               & (nrm <= 1.01)).sum())]})
+
+    p = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    n = int(p["n"].sum())
+    r6 = textstats.round_half_away
+    return pd.DataFrame({
+        "n_vectors": np.array([n], np.int64),
+        "mean_norm": [float(r6(float(p["s"].sum()) / n, 6))],
+        "min_norm": [float(r6(float(p["mn"].min()), 6))],
+        "max_norm": [float(r6(float(p["mx"].max()), 6))],
+        "n_unit": np.array([int(p["unit"].sum())], np.int64)})
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
