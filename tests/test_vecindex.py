@@ -121,3 +121,34 @@ def test_embedding_norm_profile_planted(ray_session, tmp_path):
     assert r.n_vectors == 4 and r.n_unit == 3
     assert r.max_norm == 2.0 and r.min_norm == 1.0
     assert r.mean_norm == 1.25
+
+
+def test_fisher_ratio_separated_vs_mixed(ray_session, tmp_path):
+    """Two tight clusters far apart -> large ratio; identical
+    clusters -> ratio ~ 0."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    def write(vecs, labels, name):
+        d = str(tmp_path / name)
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(pa.table({
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array(labels, pa.int32())}),
+            os.path.join(d, "embeddings.parquet"))
+        return d
+
+    sep = write([[0.0, 0.1], [0.1, 0.0], [10.0, 10.1],
+                 [10.1, 10.0]], [0, 0, 1, 1], "fsep")
+    o = REGISTRY["embedding_fisher_ratio"][0](sep)
+    assert o["fisher_ratio"][0] > 100
+    mix = write([[0.0, 1.0], [1.0, 0.0], [0.0, 1.0], [1.0, 0.0]],
+                [0, 1, 0, 1], "fmix")
+    o2 = REGISTRY["embedding_fisher_ratio"][0](mix)
+    assert abs(o2["fisher_ratio"][0]) < 1e-6

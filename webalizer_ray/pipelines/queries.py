@@ -18881,6 +18881,81 @@ def embedding_norm_profile(sf_dir: str) -> pd.DataFrame:
         "n_unit": np.array([int(p["unit"].sum())], np.int64)})
 
 
+@register("embedding_fisher_ratio", sql="""
+WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+s2 AS (SELECT SUM(list_dot_product(v, v)) AS tot2,
+              CAST(COUNT(*) AS BIGINT) AS n FROM e),
+dims AS (SELECT UNNEST(generate_series(
+             1, (SELECT MAX(len(v)) FROM e))) AS dim),
+d AS (SELECT e.label, dims.dim, SUM(e.v[dims.dim]) AS s
+      FROM e, dims GROUP BY 1, 2),
+cn AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS nc
+       FROM e GROUP BY 1),
+mu AS (SELECT d.label, SUM(d.s * d.s) / MIN(cn.nc) AS nc_mu2
+       FROM d JOIN cn USING (label) GROUP BY d.label),
+gm AS (SELECT SUM(s) AS gs, dim FROM d GROUP BY dim),
+g2 AS (SELECT SUM(gs * gs) AS g2 FROM gm),
+agg AS (SELECT (SELECT SUM(nc_mu2) FROM mu) AS bsum,
+               (SELECT tot2 FROM s2) AS tot2,
+               (SELECT g2 FROM g2) AS g2,
+               (SELECT CAST(n AS DOUBLE) FROM s2) AS n)
+SELECT CAST(n AS BIGINT) AS n_vectors,
+       ROUND(tot2 - bsum, 6) AS within_ss,
+       ROUND(bsum - g2 / n, 6) AS between_ss,
+       CASE WHEN tot2 - bsum = 0.0 THEN 0.0
+            ELSE ROUND((bsum - g2 / n) / (tot2 - bsum), 6)
+       END AS fisher_ratio
+FROM agg""")
+def embedding_fisher_ratio(sf_dir: str) -> pd.DataFrame:
+    """Label separability of the embedding space: trace(S_between) /
+    trace(S_within) — the Fisher-criterion scalar ('do the classes
+    actually occupy different regions?') that predicts linear-probe
+    accuracy before training anything. Everything closes from three
+    moment families (Σ‖x‖², per-label per-dim sums, counts) via the
+    scatter identities Σ‖x−μ_c‖² = Σ‖x‖² − Σn_c‖μ_c‖² — per-batch
+    partials are (labels × dims) floats, no vector ever gathers;
+    the oracle pays an UNNEST WITH ORDINALITY instead. Collapsed
+    within-scatter pins the ratio to 0."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["embedding", "label"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        lab = df["label"].to_numpy(np.int64)
+        rows = []
+        tot2 = float((m * m).sum())
+        for lb in np.unique(lab):
+            sel = m[lab == lb]
+            rows.append((int(lb), len(sel), sel.sum(axis=0), 0.0))
+        out = pd.DataFrame(rows, columns=["label", "nc", "s", "z"])
+        out["tot2"] = 0.0
+        out.loc[out.index[:1], "tot2"] = tot2
+        return out[["label", "nc", "s", "tot2"]]
+
+    p = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    tot2 = float(p["tot2"].sum())
+    n = int(p["nc"].sum())
+    sums = {}
+    counts = {}
+    for lb, grp in p.groupby("label"):
+        counts[lb] = int(grp["nc"].sum())
+        sums[lb] = np.sum(np.stack(grp["s"].to_numpy()), axis=0)
+    bsum = float(sum(float((s * s).sum()) / counts[lb]
+                     for lb, s in sums.items()))
+    gs = np.sum(np.stack(list(sums.values())), axis=0)
+    g2 = float((gs * gs).sum())
+    r6 = textstats.round_half_away
+    within = tot2 - bsum
+    between = bsum - g2 / float(n)
+    ratio = 0.0 if within == 0.0 else r6(between / within, 6)
+    return pd.DataFrame({
+        "n_vectors": np.array([n], np.int64),
+        "within_ss": [float(r6(within, 6))],
+        "between_ss": [float(r6(between, 6))],
+        "fisher_ratio": [float(ratio)]})
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
