@@ -2676,3 +2676,23 @@ def test_residuals_planted_hot_cell(ray_session, tmp_path):
     top = out.iloc[0]
     assert (top.event_type, top.hour) == ("spike", 3)
     assert top.std_residual > 3
+
+
+def test_lag1_corr_repeating_vs_alternating(ray_session, tmp_path):
+    """A user repeating the same two values in order v,v,w,w,v,v...
+    -> positive lag-1; strict alternation v,w,v,w -> negative."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    rep = str(tmp_path / "lagrep")
+    vals = [1.0, 1.0, 9.0, 9.0] * 4
+    _write_events(rep, [t0 + i * s for i in range(len(vals))], vals)
+    o = REGISTRY["value_lag1_corr_within_user"][0](rep)
+    assert o["lag1_r"][0] > 0.3
+    alt = str(tmp_path / "lagalt")
+    vals2 = [1.0, 9.0] * 8
+    _write_events(alt, [t0 + i * s for i in range(len(vals2))],
+                  vals2)
+    o2 = REGISTRY["value_lag1_corr_within_user"][0](alt)
+    assert o2["lag1_r"][0] < -0.9

@@ -18956,6 +18956,136 @@ def embedding_fisher_ratio(sf_dir: str) -> pd.DataFrame:
         "fisher_ratio": [float(ratio)]})
 
 
+@register("value_lag1_corr_within_user", sql="""
+WITH o AS (SELECT user_id,
+                  CAST(ROUND(value * 100) AS BIGINT) AS c,
+                  CAST(ROUND(LAG(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                       * 100) AS BIGINT) AS pc
+           FROM events),
+p AS (SELECT pc AS x, c AS y FROM o WHERE pc IS NOT NULL),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+      FROM p)
+SELECT n,
+       CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0
+            THEN 0.0
+            ELSE ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                              * CAST(n * syy - sy * sy AS DOUBLE)),
+                       6)
+       END AS lag1_r
+FROM m""")
+def value_lag1_corr_within_user(sf_dir: str) -> pd.DataFrame:
+    """Spend persistence at transaction grain: Pearson between each
+    event's value and the SAME user's previous event value — do
+    amounts cluster within a user's stream (habitual spenders) or
+    reset every event? Consecutive pairs come from the shared
+    per-user sort+shift; the moment partials ride the two-word
+    128-bit transport (Σxy overflows int64 by design); one shared
+    division closes r."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "value"])
+
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket_"] = (df["user_id"].to_numpy(np.int64) % 32) \
+            .astype(np.int32)
+        return df
+
+    def moments(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        c = np.rint(g["value"].to_numpy(np.float64) * 100) \
+            .astype(np.int64)
+        same = np.zeros(len(g), bool)
+        same[1:] = uid[1:] == uid[:-1]
+        x = np.roll(c, 1)[same].astype(object)
+        y = c[same].astype(object)
+        row = {"n": [np.int64(len(y))],
+               "sx": [np.int64(int(x.sum()) if len(x) else 0)],
+               "sy": [np.int64(int(y.sum()) if len(y) else 0)]}
+        for name, v in (("sxy", int((x * y).sum()) if len(x) else 0),
+                        ("sxx", int((x * x).sum()) if len(x) else 0),
+                        ("syy", int((y * y).sum()) if len(y)
+                         else 0)):
+            hi, lo = divmod(v, 1 << 62)
+            row[name + "_hi"] = [np.int64(hi)]
+            row[name + "_lo"] = [np.int64(lo)]
+        return pd.DataFrame(row)
+
+    p = (ds.map_batches(with_bucket, batch_format="pandas")
+         .groupby("bucket_")
+         .map_groups(lambda g: moments(g.drop(columns=["bucket_"])),
+                     batch_format="pandas")).to_pandas()
+    n = int(p["n"].sum())
+    sx, sy = int(p["sx"].sum()), int(p["sy"].sum())
+
+    def word(sfx):
+        return sum(int(h) * (1 << 62) + int(l)
+                   for h, l in zip(p[sfx + "_hi"], p[sfx + "_lo"]))
+
+    sxy, sxx, syy = word("sxy"), word("sxx"), word("syy")
+    den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    r6 = textstats.round_half_away
+    r = 0.0 if den == 0 else \
+        r6(float(n * sxy - sx * sy)
+           / np.sqrt(float(n * sxx - sx * sx)
+                     * float(n * syy - sy * sy)), 6)
+    return pd.DataFrame({"n": np.array([n], np.int64),
+                         "lag1_r": [float(r)]})
+
+
+@register("lineitem_qty_discount_mi", sql="""
+WITH b AS (SELECT CAST(l_quantity AS BIGINT) // 10 AS qb,
+                  CAST(ROUND(l_discount * 100) AS BIGINT) // 2 AS db
+           FROM lineitem),
+c AS (SELECT qb, db, CAST(COUNT(*) AS BIGINT) AS o
+      FROM b GROUP BY 1, 2),
+rm AS (SELECT qb, CAST(SUM(o) AS BIGINT) AS rt FROM c GROUP BY 1),
+cm AS (SELECT db, CAST(SUM(o) AS BIGINT) AS ct FROM c GROUP BY 1),
+t AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM c)
+SELECT (SELECT n FROM t) AS n_items,
+       ROUND(SUM((c.o / CAST(t.n AS DOUBLE))
+                 * LN(c.o * CAST(t.n AS DOUBLE)
+                      / (CAST(rm.rt AS DOUBLE) * cm.ct))), 6)
+           AS mi_nats
+FROM c JOIN rm USING (qb) JOIN cm USING (db), t""")
+def lineitem_qty_discount_mi(sf_dir: str) -> pd.DataFrame:
+    """Pricing-policy dependence on the LINEITEM fact: mutual
+    information between quantity bands (tens) and discount bands
+    (2%-wide) — 0 nats means discounts ignore volume, anything
+    above means a volume-discount schedule exists (the
+    frequentist-free sibling of a χ² on the same grid). One banded
+    contingency reduce; MI closes over exact integer marginals with
+    the shared p·ln(pn/rc) expression."""
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "qb": df["l_quantity"].to_numpy(np.int64) // 10,
+            "db": np.rint(df["l_discount"].to_numpy(np.float64)
+                          * 100).astype(np.int64) // 2})
+
+    c = reduce_sink(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_quantity", "l_discount"])
+        .map_batches(prep, batch_format="pandas"),
+        ["qb", "db"], {"o": ("qb", "size")}).to_pandas()
+    rt = c.groupby("qb")["o"].sum()
+    ct = c.groupby("db")["o"].sum()
+    n = int(c["o"].sum())
+    o = c["o"].to_numpy(np.float64)
+    e = (c["qb"].map(rt).to_numpy(np.float64)
+         * c["db"].map(ct).to_numpy(np.float64))
+    mi = float(((o / n) * np.log(o * float(n) / e)).sum())
+    r6 = textstats.round_half_away
+    return pd.DataFrame({"n_items": np.array([n], np.int64),
+                         "mi_nats": [float(r6(mi, 6))]})
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
