@@ -2686,7 +2686,9 @@ def test_lag1_corr_repeating_vs_alternating(ray_session, tmp_path):
     t0 = np.datetime64("2024-01-01T00:00:00", "us")
     s = np.timedelta64(1, "s")
     rep = str(tmp_path / "lagrep")
-    vals = [1.0, 1.0, 9.0, 9.0] * 4
+    vals = ([1.0] * 4 + [9.0] * 4) * 2   # long runs -> same-pairs
+    # dominate (the 2-2 pattern has HALF its pairs cross-level and
+    # lag-1 ~ 0, not positive)
     _write_events(rep, [t0 + i * s for i in range(len(vals))], vals)
     o = REGISTRY["value_lag1_corr_within_user"][0](rep)
     assert o["lag1_r"][0] > 0.3
