@@ -2698,3 +2698,37 @@ def test_lag1_corr_repeating_vs_alternating(ray_session, tmp_path):
                   vals2)
     o2 = REGISTRY["value_lag1_corr_within_user"][0](alt)
     assert o2["lag1_r"][0] < -0.9
+
+
+def test_daily_median_robust_to_whale(ray_session, tmp_path):
+    """A single $1000 whale event doesn't move its day's median."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T12:00:00", "us")
+    s = np.timedelta64(1, "s")
+    day = np.timedelta64(1, "D")
+    ts = [t0 + i * s for i in range(5)] \
+        + [t0 + day + i * s for i in range(5)]
+    vals = [5.0] * 5 + [5.0, 5.0, 5.0, 5.0, 1000.0]
+    d = str(tmp_path / "dms")
+    _write_events(d, ts, vals)
+    out = REGISTRY["daily_median_value_series"][0](d)
+    assert (out["median_cents"] == 500).all()
+
+
+def test_single_type_share_hand(ray_session, tmp_path):
+    """2 of 4 users emit only one type -> share 0.5."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    ts = [t0 + i * s for i in range(8)]
+    users = [0, 0, 1, 1, 2, 2, 3, 3]
+    types = ["a", "a", "b", "b", "a", "b", "b", "a"]
+    d = str(tmp_path / "mono")
+    _write_events(d, ts, [1.0] * 8, users=users, types=types)
+    out = REGISTRY["single_type_user_share"][0](d)
+    r = out.iloc[0]
+    assert (r.n_users, r.single_type_users, r.their_events) \
+        == (4, 2, 4)
+    assert r.share == 0.5

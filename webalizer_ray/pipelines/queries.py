@@ -19086,6 +19086,90 @@ def lineitem_qty_discount_mi(sf_dir: str) -> pd.DataFrame:
                          "mi_nats": [float(r6(mi, 6))]})
 
 
+@register("daily_median_value_series", sql="""
+WITH h AS (SELECT epoch_us(ts) // 86400000000 AS d,
+                  CAST(ROUND(value * 100) AS BIGINT) AS c,
+                  CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM events GROUP BY 1, 2),
+cum AS (SELECT d, c, cnt,
+               CAST(SUM(cnt) OVER (PARTITION BY d ORDER BY c)
+                    AS BIGINT) AS cm,
+               CAST(SUM(cnt) OVER (PARTITION BY d) AS BIGINT) AS n
+        FROM h)
+SELECT CAST(d AS BIGINT) AS epoch_day, MIN(n) AS n_events,
+       CAST(MIN(CASE WHEN 2 * cm >= n THEN c END) AS BIGINT)
+           AS median_cents
+FROM cum GROUP BY d ORDER BY 1""")
+def daily_median_value_series(sf_dir: str) -> pd.DataFrame:
+    """Daily MEDIAN value series — the robust center per day that a
+    mean series can't give (one whale day doesn't move it), the
+    monitoring input for 'did typical transaction size shift'.
+    Per-(day, cents) histogram reduce, then each day's lower-median
+    order statistic (2·cum ≥ n) closes from integers; O(days ×
+    distinct cents) aggregate, no per-day sort of raw rows."""
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        return pd.DataFrame({
+            "d": (us // 86_400_000_000).astype(np.int64),
+            "c": np.rint(df["value"].to_numpy(np.float64) * 100)
+            .astype(np.int64)})
+
+    h = reduce_sink(
+        _events(sf_dir, ["ts", "value"])
+        .map_batches(prep, batch_format="pandas"),
+        ["d", "c"], {"cnt": ("c", "size")}).to_pandas() \
+        .sort_values(["d", "c"], ignore_index=True)
+    rows = []
+    for d, grp in h.groupby("d", sort=True):
+        cnt = grp["cnt"].to_numpy(np.int64)
+        c = grp["c"].to_numpy(np.int64)
+        n = int(cnt.sum())
+        cm = np.cumsum(cnt)
+        med = int(c[np.searchsorted(2 * cm, n, side="left")])
+        rows.append((int(d), n, med))
+    return pd.DataFrame(rows, columns=["epoch_day", "n_events",
+                                       "median_cents"]) \
+        .astype({"epoch_day": np.int64, "n_events": np.int64,
+                 "median_cents": np.int64})
+
+
+@register("single_type_user_share", sql="""
+WITH u AS (SELECT user_id,
+                  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS single_type_users,
+       CAST(SUM(CASE WHEN k = 1 THEN n ELSE 0 END) AS BIGINT)
+           AS their_events,
+       ROUND(CAST(SUM(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS share
+FROM u""")
+def single_type_user_share(sf_dir: str) -> pd.DataFrame:
+    """Monomaniac share: users who only ever emit ONE event type —
+    the scripted-client / shallow-integration signal (human usage
+    mixes types; a 40% single-type share means the 'users' metric
+    counts a lot of cron). Exact per-user distinct-type counts via
+    the two-phase (user, type) reduce; only per-user (k, n) rows
+    then three scalars shuffle."""
+    ds = _events(sf_dir, ["user_id", "event_type"])
+    ut = reduce_sink(ds, ["user_id", "event_type"],
+                     {"n": ("event_type", "size")})
+    u = reduce_sink(ut, ["user_id"],
+                    {"k": ("event_type", "size"),
+                     "n": ("n", "sum")}).to_pandas()
+    n_users = len(u)
+    single = u[u["k"] == 1]
+    r6 = textstats.round_half_away
+    return pd.DataFrame({
+        "n_users": np.array([n_users], np.int64),
+        "single_type_users": np.array([len(single)], np.int64),
+        "their_events": np.array([int(single["n"].sum())],
+                                 np.int64),
+        "share": [float(r6(float(len(single)) / n_users, 6))]})
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
