@@ -2732,3 +2732,20 @@ def test_single_type_share_hand(ray_session, tmp_path):
     assert (r.n_users, r.single_type_users, r.their_events) \
         == (4, 2, 4)
     assert r.share == 0.5
+
+
+def test_signature_time_planted(ray_session, tmp_path):
+    """Type concentrated at Monday 09:00 signs there; tie between
+    two cells resolves to the smaller (dow, hour)."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    mon9 = np.datetime64("2024-01-01T09:00:00", "us")  # Monday
+    s = np.timedelta64(1, "s")
+    hr = np.timedelta64(1, "h")
+    ts = [mon9 + i * s for i in range(5)]
+    ts += [mon9 + 3 * hr, mon9 + 5 * hr]
+    d = str(tmp_path / "sig")
+    _write_events(d, ts, [1.0] * len(ts))
+    out = REGISTRY["type_signature_time"][0](d)
+    r = out.iloc[0]
+    assert (int(r.dow), int(r.hour), int(r.n)) == (1, 9, 5)

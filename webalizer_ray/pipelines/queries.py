@@ -19170,6 +19170,104 @@ def single_type_user_share(sf_dir: str) -> pd.DataFrame:
         "share": [float(r6(float(len(single)) / n_users, 6))]})
 
 
+@register("orders_per_capita_by_nation", sql="""
+WITH cu AS (SELECT c_nationkey AS nk,
+                   CAST(COUNT(*) AS BIGINT) AS customers
+            FROM customer GROUP BY 1),
+o AS (SELECT c.c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS orders
+      FROM orders JOIN customer c ON o_custkey = c.c_custkey
+      GROUP BY 1)
+SELECT n.n_name AS nation, cu.customers,
+       COALESCE(o.orders, 0) AS orders,
+       ROUND(CAST(COALESCE(o.orders, 0) AS DOUBLE) / cu.customers,
+             6) AS orders_per_customer
+FROM cu JOIN nation n ON cu.nk = n.n_nationkey
+LEFT JOIN o ON cu.nk = o.nk
+ORDER BY 1""")
+def orders_per_capita_by_nation(sf_dir: str) -> pd.DataFrame:
+    """Per-capita ordering intensity by nation — raw order counts
+    rank big markets first; dividing by the customer base finds
+    where ENGAGEMENT is highest (the per-capita normalization every
+    geo comparison needs). Customer→nation broadcast once; orders
+    reduce per nationkey; the 25-row rollup joins names driver-side
+    with a LEFT join so customer-only nations keep zero orders."""
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"]) \
+        .to_pandas()
+    cmap_ref = ray.put(dict(zip(cust["c_custkey"].to_numpy(np.int64),
+                                cust["c_nationkey"]
+                                .to_numpy(np.int64))))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cmap = ray.get(cmap_ref)
+        nk = df["o_custkey"].map(cmap).to_numpy(np.int64)
+        return pd.DataFrame({"nk": nk}).groupby(
+            "nk", as_index=False).size() \
+            .rename(columns={"size": "orders"})
+
+    o = reduce_sink(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey"])
+        .map_batches(partial, batch_format="pandas"),
+        ["nk"], {"orders": ("orders", "sum")}).to_pandas()
+    cu = cust.groupby("c_nationkey", as_index=False).size() \
+        .rename(columns={"c_nationkey": "nk", "size": "customers"})
+    nat = rd.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    j = cu.merge(o, on="nk", how="left").fillna({"orders": 0}) \
+        .merge(nat, left_on="nk", right_on="n_nationkey")
+    r6 = textstats.round_half_away
+    out = pd.DataFrame({
+        "nation": j["n_name"],
+        "customers": j["customers"].astype(np.int64),
+        "orders": j["orders"].astype(np.int64),
+        "orders_per_customer": r6(
+            j["orders"].to_numpy(np.float64)
+            / j["customers"].to_numpy(np.float64), 6)})
+    return out.sort_values("nation", ignore_index=True)
+
+
+@register("type_signature_time", sql="""
+WITH c AS (SELECT event_type,
+                  (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+                  CAST(hour(ts) AS BIGINT) AS hr,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2, 3),
+best AS (SELECT event_type, dow, hr, n,
+                ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY n DESC, dow, hr) AS rn
+         FROM c)
+SELECT event_type, CAST(dow AS BIGINT) AS dow,
+       CAST(hr AS BIGINT) AS hour, n
+FROM best WHERE rn = 1 ORDER BY 1""")
+def type_signature_time(sf_dir: str) -> pd.DataFrame:
+    """Each type's signature cell: the single (day-of-week, hour)
+    slot where it fires most — the one-line answer to 'when does
+    this thing happen' that a full heatmap buries. One 168-cell
+    contingency per type; integer argmax with (count DESC, dow, hr)
+    tiebreak on both engines."""
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        return pd.DataFrame({
+            "event_type": df["event_type"].astype(str),
+            "dow": ((us // 86_400_000_000 + 4) % 7)
+            .astype(np.int64),
+            "hr": df["ts"].dt.hour.to_numpy(np.int64)})
+
+    c = reduce_sink(
+        _events(sf_dir, ["ts", "event_type"])
+        .map_batches(prep, batch_format="pandas"),
+        ["event_type", "dow", "hr"], {"n": ("hr", "size")}) \
+        .to_pandas()
+    c = c.sort_values(["event_type", "n", "dow", "hr"],
+                      ascending=[True, False, True, True],
+                      kind="mergesort")
+    out = c.groupby("event_type", as_index=False).first() \
+        .rename(columns={"hr": "hour"})
+    return out[["event_type", "dow", "hour", "n"]] \
+        .astype({"dow": np.int64, "hour": np.int64, "n": np.int64}) \
+        .sort_values("event_type", ignore_index=True)
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
