@@ -19268,6 +19268,80 @@ def type_signature_time(sf_dir: str) -> pd.DataFrame:
         .sort_values("event_type", ignore_index=True)
 
 
+@register("order_to_ship_lag_quantiles", sql="""
+WITH l AS (SELECT l_orderkey,
+                  epoch_us(l_shipdate) // 86400000000 AS sd
+           FROM lineitem),
+o AS (SELECT o_orderkey,
+             epoch_us(o_orderdate) // 86400000000 AS od
+      FROM orders),
+g AS (SELECT l.sd - o.od AS lag_d
+      FROM l JOIN o ON l.l_orderkey = o.o_orderkey),
+h AS (SELECT lag_d, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM g GROUP BY 1),
+cum AS (SELECT lag_d, cnt,
+               CAST(SUM(cnt) OVER (ORDER BY lag_d) AS BIGINT) AS cm,
+               CAST(SUM(cnt) OVER () AS BIGINT) AS n FROM h)
+SELECT (SELECT CAST(MAX(n) AS BIGINT) FROM cum) AS n_items,
+       (SELECT CAST(MIN(lag_d) AS BIGINT) FROM cum
+        WHERE 2 * cm >= n) AS p50_days,
+       (SELECT CAST(MIN(lag_d) AS BIGINT) FROM cum
+        WHERE 10 * cm >= 9 * n) AS p90_days,
+       (SELECT CAST(MIN(lag_d) AS BIGINT) FROM cum) AS min_days,
+       (SELECT CAST(MAX(lag_d) AS BIGINT) FROM cum) AS max_days""")
+def order_to_ship_lag_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Fulfillment latency: exact quantiles of the order-to-ship lag
+    in whole days across every line item — the SLA distribution a
+    mean lag hides (p90 is the promise customers feel). The
+    fact-to-fact join runs through auto_join's hash machinery
+    (lineitem co-partitions with orders on orderkey — no broadcast
+    of a fact table); day lags reduce to a lossless histogram and
+    the quantiles are the shared integer order-statistic tests."""
+    from webalizer_ray.stages.join import auto_join
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_shipdate"]).map_batches(
+        lambda df: pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+            "sd": df["l_shipdate"].to_numpy("datetime64[us]")
+            .astype(np.int64) // 86_400_000_000}),
+        batch_format="pandas")
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate"]).map_batches(
+        lambda df: pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].to_numpy(np.int64),
+            "od": df["o_orderdate"].to_numpy("datetime64[us]")
+            .astype(np.int64) // 86_400_000_000}),
+        batch_format="pandas")
+    j = auto_join(li, orders, on="l_orderkey",
+                  right_on="o_orderkey")
+
+    def lag_hist(df: pd.DataFrame) -> pd.DataFrame:
+        lag = df["sd"].to_numpy(np.int64) \
+            - df["od"].to_numpy(np.int64)
+        u, c = np.unique(lag, return_counts=True)
+        return pd.DataFrame({"lag_d": u.astype(np.int64),
+                             "cnt": c.astype(np.int64)})
+
+    h = reduce_sink(j.map_batches(lag_hist, batch_format="pandas"),
+                    ["lag_d"], {"cnt": ("cnt", "sum")}).to_pandas() \
+        .sort_values("lag_d", ignore_index=True)
+    lag_d = h["lag_d"].to_numpy(np.int64)
+    cnt = h["cnt"].to_numpy(np.int64)
+    n = int(cnt.sum())
+    cm = np.cumsum(cnt)
+    p50 = int(lag_d[np.searchsorted(2 * cm, n, side="left")])
+    p90 = int(lag_d[np.searchsorted(10 * cm, 9 * n, side="left")])
+    return pd.DataFrame({
+        "n_items": np.array([n], np.int64),
+        "p50_days": np.array([p50], np.int64),
+        "p90_days": np.array([p90], np.int64),
+        "min_days": np.array([int(lag_d[0])], np.int64),
+        "max_days": np.array([int(lag_d[-1])], np.int64)})
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
