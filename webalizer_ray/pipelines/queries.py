@@ -19342,6 +19342,68 @@ def order_to_ship_lag_quantiles(sf_dir: str) -> pd.DataFrame:
         "max_days": np.array([int(lag_d[-1])], np.int64)})
 
 
+@register("tax_band_revenue", sql="""
+WITH b AS (SELECT CAST(ROUND(l_tax * 100) AS BIGINT) AS tax_pct,
+                  CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                      AS cents
+           FROM lineitem)
+SELECT tax_pct, CAST(COUNT(*) AS BIGINT) AS items,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+       CAST(SUM(cents * tax_pct) AS BIGINT) AS tax_cents_x100
+FROM b GROUP BY 1 ORDER BY 1""")
+def tax_band_revenue(sf_dir: str) -> pd.DataFrame:
+    """Tax incidence profile: items, revenue and collected tax per
+    whole-percent tax band — the effective-rate table a finance
+    reconciliation checks against the ledger (Σ tax_cents_x100/100
+    must match remitted tax to the cent). Percent bands and all
+    three measures are exact integers off one map-side banding; the
+    tax amount keeps the ×100 scaling so no division ever rounds."""
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        tax = np.rint(df["l_tax"].to_numpy(np.float64) * 100) \
+            .astype(np.int64)
+        cents = np.rint(df["l_extendedprice"].to_numpy(np.float64)
+                        * 100).astype(np.int64)
+        return pd.DataFrame({"tax_pct": tax, "items": 1,
+                             "revenue_cents": cents,
+                             "tax_cents_x100": cents * tax})
+
+    out = reduce_sink(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_tax", "l_extendedprice"])
+        .map_batches(prep, batch_format="pandas"),
+        ["tax_pct"], {"items": ("items", "sum"),
+                      "revenue_cents": ("revenue_cents", "sum"),
+                      "tax_cents_x100": ("tax_cents_x100", "sum")}) \
+        .to_pandas()
+    return out.astype({"tax_pct": np.int64, "items": np.int64,
+                       "revenue_cents": np.int64,
+                       "tax_cents_x100": np.int64}) \
+        .sort_values("tax_pct", ignore_index=True)
+
+
+@register("suppliers_per_part_hist", sql="""
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+c AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS k
+      FROM ps GROUP BY 1)
+SELECT k AS n_suppliers, CAST(COUNT(*) AS BIGINT) AS parts
+FROM c GROUP BY 1 ORDER BY 1""")
+def suppliers_per_part_hist(sf_dir: str) -> pd.DataFrame:
+    """Supply-chain redundancy: how many distinct suppliers actually
+    shipped each part (from observed line items) — the
+    single-sourced tail (k = 1) is the supply-risk list procurement
+    wants. Two-phase exact distinct (part, supplier) then a
+    per-part count histogram; only keyed aggregates shuffle."""
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_suppkey"])
+    ps = reduce_sink(ds, ["l_partkey", "l_suppkey"],
+                     {"n": ("l_suppkey", "size")})
+    c = reduce_sink(ps, ["l_partkey"], {"k": ("n", "size")})
+    out = reduce_sink(c, ["k"], {"parts": ("k", "size")}) \
+        .to_pandas().rename(columns={"k": "n_suppliers"})
+    return out.astype({"n_suppliers": np.int64, "parts": np.int64}) \
+        .sort_values("n_suppliers", ignore_index=True)
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
