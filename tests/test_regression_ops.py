@@ -2749,3 +2749,20 @@ def test_signature_time_planted(ray_session, tmp_path):
     out = REGISTRY["type_signature_time"][0](d)
     r = out.iloc[0]
     assert (int(r.dow), int(r.hour), int(r.n)) == (1, 9, 5)
+
+
+def test_value_by_position_hand(ray_session, tmp_path):
+    """3-event session ($1, $2, $4) + singleton ($8): first=1, mid=2,
+    last=4, only=8."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    m = np.timedelta64(1, "m")
+    hr = np.timedelta64(2, "h")
+    ts = [t0, t0 + m, t0 + 2 * m, t0 + hr]
+    d = str(tmp_path / "vpos")
+    _write_events(d, ts, [1.0, 2.0, 4.0, 8.0])
+    out = REGISTRY["value_by_session_position"][0](d)
+    got = {r.pos: (r.n, r.cents) for r in out.itertuples()}
+    assert got == {"first": (1, 100), "middle": (1, 200),
+                   "last": (1, 400), "only": (1, 800)}

@@ -19404,6 +19404,110 @@ def suppliers_per_part_hist(sf_dir: str) -> pd.DataFrame:
         .sort_values("n_suppliers", ignore_index=True)
 
 
+@register("lines_per_order_hist", sql="""
+WITH c AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS k
+           FROM lineitem GROUP BY 1)
+SELECT k AS n_lines, CAST(COUNT(*) AS BIGINT) AS orders
+FROM c GROUP BY 1 ORDER BY 1""")
+def lines_per_order_hist(sf_dir: str) -> pd.DataFrame:
+    """Basket-width distribution on the commercial fact: line items
+    per order — the order-complexity profile batch sizing and
+    packing heuristics key on. Per-order counts then a count
+    histogram; two keyed reduces, integers end to end."""
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey"])
+    c = reduce_sink(ds, ["l_orderkey"], {"k": ("l_orderkey", "size")})
+    out = reduce_sink(c, ["k"], {"orders": ("k", "size")}) \
+        .to_pandas().rename(columns={"k": "n_lines"})
+    return out.astype({"n_lines": np.int64, "orders": np.int64}) \
+        .sort_values("n_lines", ignore_index=True)
+
+
+@register("value_by_session_position", sql=f"""
+WITH sid AS (SELECT user_id, ts, event_id, value,
+                    SUM(ns) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+             FROM (SELECT user_id, ts, event_id, value,
+                          CASE WHEN prev_ts IS NULL
+                                    OR epoch_us(ts) - epoch_us(prev_ts)
+                                       >= 1800000000
+                               THEN 1 ELSE 0 END AS ns
+                   FROM (SELECT user_id, ts, event_id, value,
+                                LAG(ts) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id)
+                                    AS prev_ts
+                         FROM events))),
+r AS (SELECT value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                                ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id, sid) AS sz
+      FROM sid),
+p AS (SELECT CASE WHEN sz = 1 THEN 'only'
+                  WHEN rn = 1 THEN 'first'
+                  WHEN rn = sz THEN 'last'
+                  ELSE 'middle' END AS pos,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM r)
+SELECT pos, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS cents,
+       ROUND(CAST(SUM(cents) AS DOUBLE) / COUNT(*), 6)
+           AS mean_cents
+FROM p GROUP BY 1 ORDER BY 1""")
+def value_by_session_position(sf_dir: str) -> pd.DataFrame:
+    """Where in a session the money happens: events classified as
+    first / middle / last (single-event sessions = 'only') with
+    count, exact cents and mean — closers vs openers is the
+    commerce question entry/exit TYPE tables can't answer (they
+    count, this one weighs). Position classes compute inside the
+    bucket-local sessionize in ONE pass (position = index within
+    the session run); only 4 class partials per bucket shuffle."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "value"])
+
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket_"] = (df["user_id"].to_numpy(np.int64) % 32) \
+            .astype(np.int32)
+        return df
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        us = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        uid = g["user_id"].to_numpy(np.int64)
+        cents = np.rint(g["value"].to_numpy(np.float64) * 100) \
+            .astype(np.int64)
+        same = np.zeros(len(g), bool)
+        same[1:] = uid[1:] == uid[:-1]
+        gap = us - np.roll(us, 1)
+        new_sess = ~(same & (gap < 1_800_000_000))
+        sess_id = np.cumsum(new_sess)
+        # position within session run
+        starts = np.flatnonzero(new_sess)
+        ends = np.r_[starts[1:], len(g)]
+        sz = np.repeat(ends - starts, ends - starts)
+        rn = np.arange(len(g)) - np.repeat(starts, ends - starts) + 1
+        pos = np.select(
+            [sz == 1, rn == 1, rn == sz],
+            ["only", "first", "last"], default="middle")
+        _ = sess_id
+        part = pd.DataFrame({"pos": pos, "n": 1, "cents": cents})
+        return part.groupby("pos", as_index=False).sum()
+
+    out = reduce_sink(
+        ds.map_batches(with_bucket, batch_format="pandas")
+        .groupby("bucket_")
+        .map_groups(lambda g: classify(g.drop(columns=["bucket_"])),
+                    batch_format="pandas"),
+        ["pos"], {"n": ("n", "sum"), "cents": ("cents", "sum")}) \
+        .to_pandas()
+    r6 = textstats.round_half_away
+    out["mean_cents"] = r6(out["cents"].to_numpy(np.float64)
+                           / out["n"].to_numpy(np.float64), 6)
+    return out.astype({"n": np.int64, "cents": np.int64}) \
+        .sort_values("pos", ignore_index=True)
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
