@@ -2766,3 +2766,23 @@ def test_value_by_position_hand(ray_session, tmp_path):
     got = {r.pos: (r.n, r.cents) for r in out.itertuples()}
     assert got == {"first": (1, 100), "middle": (1, 200),
                    "last": (1, 400), "only": (1, 800)}
+
+
+def test_top1pct_share_planted(ray_session, tmp_path):
+    """100 events of $1 plus nothing else: top 1% = 1 event holds
+    exactly 1/100 of value; adding one $99 whale makes the top 1%
+    (k=1, the whale) hold 99/199."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    flat = str(tmp_path / "tp1f")
+    _write_events(flat, [t0 + i * s for i in range(100)],
+                  [1.0] * 100)
+    o = REGISTRY["event_value_top1pct_share"][0](flat)
+    assert o["k_events"][0] == 1 and o["top1pct_share"][0] == 0.01
+    whale = str(tmp_path / "tp1w")
+    _write_events(whale, [t0 + i * s for i in range(101)],
+                  [1.0] * 100 + [99.0])
+    o2 = REGISTRY["event_value_top1pct_share"][0](whale)
+    assert abs(o2["top1pct_share"][0] - round(99 / 199, 6)) < 1e-12

@@ -19508,6 +19508,121 @@ def value_by_session_position(sf_dir: str) -> pd.DataFrame:
         .sort_values("pos", ignore_index=True)
 
 
+@register("benford_second_digit_orders", sql="""
+WITH d AS (SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100)
+                                        AS BIGINT) AS VARCHAR), 2, 1)
+                       AS BIGINT) AS digit
+           FROM orders
+           WHERE CAST(ROUND(o_totalprice * 100) AS BIGINT) >= 10),
+h AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS o FROM d GROUP BY 1),
+t AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM h),
+e AS (SELECT h.digit, h.o,
+             (SELECT SUM(LOG(1.0 + 1.0 / (10 * k.k + h.digit)))
+              FROM (SELECT UNNEST(generate_series(1, 9)) AS k) k)
+                 * (SELECT n FROM t) AS ex
+      FROM h)
+SELECT CAST(digit AS BIGINT) AS digit, o,
+       ROUND(ex, 6) AS expected,
+       ROUND(SUM((o - ex) * (o - ex) / ex) OVER (), 6) AS chi2
+FROM e ORDER BY 1""")
+def benford_second_digit_orders(sf_dir: str) -> pd.DataFrame:
+    """Benford SECOND-digit audit on order totals — the forensic
+    follow-up to the first-digit law (fabricated amounts often pass
+    first-digit but fail second; P(d) = Σₖ log₁₀(1 + 1/(10k+d))).
+    Digits come from the exact integer-cents decimal string on both
+    engines (no float log10 near a power of ten); expected counts
+    and χ² are shared float expressions over the 10-bin histogram."""
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.rint(df["o_totalprice"].to_numpy(np.float64) * 100) \
+            .astype(np.int64)
+        c = c[c >= 10]
+        digit = np.array([int(str(int(x))[1]) for x in c], np.int64)
+        return pd.DataFrame({"digit": digit})
+
+    h = reduce_sink(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_totalprice"])
+        .map_batches(prep, batch_format="pandas"),
+        ["digit"], {"o": ("digit", "size")}).to_pandas() \
+        .sort_values("digit", ignore_index=True)
+    n = int(h["o"].sum())
+    r6 = textstats.round_half_away
+    expect = {d: float(sum(np.log10(1.0 + 1.0 / (10 * k + d))
+                           for k in range(1, 10))) * n
+              for d in range(10)}
+    h["expected"] = r6(np.array([expect[int(d)]
+                                 for d in h["digit"]]), 6)
+    chi2 = float(sum((int(o) - expect[int(d)]) ** 2 / expect[int(d)]
+                     for d, o in zip(h["digit"], h["o"])))
+    h["chi2"] = float(r6(chi2, 6))
+    return h.astype({"digit": np.int64, "o": np.int64})
+
+
+@register("event_value_top1pct_share", sql="""
+WITH h AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS c,
+                  CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM events GROUP BY 1),
+cum AS (SELECT c, cnt,
+               CAST(SUM(cnt) OVER (ORDER BY c DESC) AS BIGINT)
+                   AS cm_top,
+               CAST(SUM(CAST(cnt AS HUGEINT) * c)
+                    OVER (ORDER BY c DESC) AS HUGEINT) AS s_top
+        FROM h),
+t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(SUM(CAST(cnt AS HUGEINT) * c) AS HUGEINT) AS s
+      FROM h),
+k AS (SELECT CAST(n // 100 AS BIGINT) AS k FROM t),
+cutbin AS (SELECT MAX(c) AS cut FROM cum, k WHERE cm_top >= k.k),
+parts AS (SELECT (SELECT COALESCE(SUM(CAST(cnt AS HUGEINT) * c), 0)
+                  FROM h, cutbin WHERE c > cut) AS above,
+                 (SELECT cm_top - cnt FROM cum, cutbin
+                  WHERE c = cut) AS cnt_above)
+SELECT (SELECT k FROM k) AS k_events,
+       CASE WHEN (SELECT k FROM k) = 0 THEN 0.0
+            ELSE ROUND(CAST(above + ((SELECT k FROM k) - cnt_above)
+                            * (SELECT cut FROM cutbin) AS DOUBLE)
+                       / CAST((SELECT s FROM t) AS DOUBLE), 6)
+       END AS top1pct_share
+FROM parts""")
+def event_value_top1pct_share(sf_dir: str) -> pd.DataFrame:
+    """Event-grain value concentration: the share of ALL value held
+    by the top 1% of events (k = n//100 largest; ties at the cut
+    value fill the remaining slots at exactly the cut price — pure
+    integer partial-bin arithmetic, the same rank-clipping trick as
+    the trimmed mean but from the top). The user-level Pareto table
+    says whales exist; this says whether single TRANSACTIONS carry
+    the book. One histogram reduce; 128-bit sums; one division."""
+    h = reduce_sink(
+        _events(sf_dir, ["value"]).map_batches(
+            lambda df: pd.DataFrame({
+                "c": np.rint(df["value"].to_numpy(np.float64) * 100)
+                .astype(np.int64)}),
+            batch_format="pandas"),
+        ["c"], {"cnt": ("c", "size")}).to_pandas() \
+        .sort_values("c", ascending=False, ignore_index=True)
+    cnt = [int(x) for x in h["cnt"]]
+    c = [int(x) for x in h["c"]]
+    n = sum(cnt)
+    s = sum(a * b for a, b in zip(cnt, c))
+    k = n // 100
+    r6 = textstats.round_half_away
+    if k == 0:
+        return pd.DataFrame({"k_events": np.array([0], np.int64),
+                             "top1pct_share": [0.0]})
+    cm = 0
+    above = 0
+    for a, x in zip(cnt, c):
+        if cm + a >= k:
+            cut = x
+            cnt_above = cm
+            break
+        cm += a
+        above += a * x
+    share = r6(float(above + (k - cnt_above) * cut) / float(s), 6)
+    return pd.DataFrame({"k_events": np.array([k], np.int64),
+                         "top1pct_share": [float(share)]})
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
