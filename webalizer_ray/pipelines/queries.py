@@ -19623,6 +19623,99 @@ def event_value_top1pct_share(sf_dir: str) -> pd.DataFrame:
                          "top1pct_share": [float(share)]})
 
 
+@register("conservation_audit", sql="""
+WITH base AS (SELECT event_type,
+                     epoch_us(ts) // 86400000000 AS d, user_id,
+                     CAST(ROUND(value * 100) AS BIGINT) AS c
+              FROM events),
+by_type AS (SELECT CAST(SUM(tc) AS BIGINT) AS t FROM
+            (SELECT SUM(c) AS tc FROM base GROUP BY event_type)),
+by_day AS (SELECT CAST(SUM(tc) AS BIGINT) AS t FROM
+           (SELECT SUM(c) AS tc FROM base GROUP BY d)),
+by_user AS (SELECT CAST(SUM(tc) AS BIGINT) AS t FROM
+            (SELECT SUM(c) AS tc FROM base GROUP BY user_id))
+SELECT (SELECT t FROM by_type) AS total_by_type,
+       (SELECT t FROM by_day) AS total_by_day,
+       (SELECT t FROM by_user) AS total_by_user,
+       CAST(CASE WHEN (SELECT t FROM by_type)
+                      = (SELECT t FROM by_day)
+                  AND (SELECT t FROM by_day)
+                      = (SELECT t FROM by_user)
+                 THEN 1 ELSE 0 END AS BIGINT) AS conserved""")
+def conservation_audit(sf_dir: str) -> pd.DataFrame:
+    """Aggregation-conservation self-audit: the grand total of cents
+    recomputed through THREE independent rollup paths (by type, by
+    day, by user) with a machine-checkable agreement flag — the
+    invariant every report page implicitly assumes and a lossy
+    filter or double-counting join silently breaks. Each path is
+    its own keyed reduce re-aggregated to a scalar; exact integers
+    make 'equal' meaningful."""
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        return pd.DataFrame({
+            "event_type": df["event_type"].astype(str),
+            "d": (us // 86_400_000_000).astype(np.int64),
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "c": np.rint(df["value"].to_numpy(np.float64) * 100)
+            .astype(np.int64)})
+
+    base = _events(sf_dir, ["ts", "event_type", "user_id", "value"]) \
+        .map_batches(prep, batch_format="pandas").materialize()
+
+    def total_via(key):
+        agg = reduce_sink(base, [key], {"tc": ("c", "sum")})
+        sc = agg.map_batches(
+            lambda df: pd.DataFrame({"t": [np.int64(df["tc"].sum())]}),
+            batch_format="pandas").to_pandas()
+        return int(sc["t"].sum())
+
+    t_type = total_via("event_type")
+    t_day = total_via("d")
+    t_user = total_via("user_id")
+    return pd.DataFrame({
+        "total_by_type": np.array([t_type], np.int64),
+        "total_by_day": np.array([t_day], np.int64),
+        "total_by_user": np.array([t_user], np.int64),
+        "conserved": np.array(
+            [1 if t_type == t_day == t_user else 0], np.int64)})
+
+
+@register("order_status_by_year", sql="""
+WITH b AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+                  o_orderstatus AS st FROM orders),
+c AS (SELECT yr, st, CAST(COUNT(*) AS BIGINT) AS n
+      FROM b GROUP BY 1, 2),
+t AS (SELECT yr, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+SELECT c.yr, c.st AS status, c.n,
+       ROUND(CAST(c.n AS DOUBLE) / t.tot, 6) AS share
+FROM c JOIN t USING (yr) ORDER BY 1, 2""")
+def order_status_by_year(sf_dir: str) -> pd.DataFrame:
+    """Order-status mix by year — the fulfillment-state drift table
+    ('F'inished share should approach 1 as cohorts age; a year whose
+    open share grows is a backlog). One (year, status) reduce;
+    shares divide against per-year totals."""
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        yr = df["o_orderdate"].to_numpy("datetime64[us]") \
+            .astype("datetime64[Y]").astype(np.int64) + 1970
+        return pd.DataFrame({"yr": yr.astype(np.int64),
+                             "st": df["o_orderstatus"].astype(str)})
+
+    c = reduce_sink(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderdate", "o_orderstatus"])
+        .map_batches(prep, batch_format="pandas"),
+        ["yr", "st"], {"n": ("st", "size")}).to_pandas()
+    tot = c.groupby("yr")["n"].transform("sum")
+    r6 = textstats.round_half_away
+    out = pd.DataFrame({
+        "yr": c["yr"].astype(np.int64),
+        "status": c["st"],
+        "n": c["n"].astype(np.int64),
+        "share": r6(c["n"].to_numpy(np.float64)
+                    / tot.to_numpy(np.float64), 6)})
+    return out.sort_values(["yr", "status"], ignore_index=True)
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
