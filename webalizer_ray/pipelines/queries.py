@@ -19716,6 +19716,89 @@ def order_status_by_year(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["yr", "status"], ignore_index=True)
 
 
+@register("active_days_per_user_hist", sql="""
+WITH ud AS (SELECT DISTINCT user_id,
+                   epoch_us(ts) // 86400000000 AS d FROM events),
+c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS k
+      FROM ud GROUP BY 1)
+SELECT k AS active_days, CAST(COUNT(*) AS BIGINT) AS users
+FROM c GROUP BY 1 ORDER BY 1""")
+def active_days_per_user_hist(sf_dir: str) -> pd.DataFrame:
+    """Engagement depth: the distribution of distinct active days
+    per user — the habit histogram (a spike at 1 is drive-by
+    traffic; mass in the tail is the habit cohort retention dollars
+    chase). Two-phase distinct (user, day) then per-user counts
+    then a count histogram; integers end to end."""
+    ds = _events(sf_dir, ["ts", "user_id"])
+
+    def pairs(t: pa.Table) -> pd.DataFrame:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pd.DataFrame({
+            "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+            "d": (us // 86_400_000_000).astype(np.int64)}) \
+            .drop_duplicates()
+
+    ud = reduce_sink(ds.map_batches(pairs, batch_format="pyarrow"),
+                     ["user_id", "d"], {"n": ("d", "size")})
+    c = reduce_sink(ud, ["user_id"], {"k": ("n", "size")})
+    out = reduce_sink(c, ["k"], {"users": ("k", "size")}) \
+        .to_pandas().rename(columns={"k": "active_days"})
+    return out.astype({"active_days": np.int64, "users": np.int64}) \
+        .sort_values("active_days", ignore_index=True)
+
+
+@register("order_value_by_basket_width", sql="""
+WITH w AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines
+           FROM lineitem GROUP BY 1),
+j AS (SELECT w.n_lines,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+      FROM w JOIN orders o ON w.l_orderkey = o.o_orderkey)
+SELECT n_lines, CAST(COUNT(*) AS BIGINT) AS orders,
+       CAST(SUM(cents) AS BIGINT) AS cents,
+       ROUND(CAST(SUM(cents) AS DOUBLE) / COUNT(*), 6)
+           AS mean_cents
+FROM j GROUP BY 1 ORDER BY 1""")
+def order_value_by_basket_width(sf_dir: str) -> pd.DataFrame:
+    """Order value as a function of basket width: does a 7-line
+    order cost 7× a 1-line order or do wide baskets skew cheap? —
+    the width-value curve pricing and free-shipping thresholds read.
+    The per-order line count joins order headers through auto_join's
+    hash machinery (both facts co-partition on orderkey); integer
+    cents and one shared division per width."""
+    from webalizer_ray.stages.join import auto_join
+
+    w = reduce_sink(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_orderkey"]),
+        ["l_orderkey"], {"n_lines": ("l_orderkey", "size")})
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice"]).map_batches(
+        lambda df: pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].to_numpy(np.int64),
+            "cents": np.rint(df["o_totalprice"]
+                             .to_numpy(np.float64) * 100)
+            .astype(np.int64)}),
+        batch_format="pandas")
+    j = auto_join(w, orders, on="l_orderkey",
+                  right_on="o_orderkey")
+    out = reduce_sink(
+        j.map_batches(
+            lambda df: pd.DataFrame({
+                "n_lines": df["n_lines"].to_numpy(np.int64),
+                "orders": np.ones(len(df), np.int64),
+                "cents": df["cents"].to_numpy(np.int64)}),
+            batch_format="pandas"),
+        ["n_lines"], {"orders": ("orders", "sum"),
+                      "cents": ("cents", "sum")}).to_pandas()
+    r6 = textstats.round_half_away
+    out["mean_cents"] = r6(out["cents"].to_numpy(np.float64)
+                           / out["orders"].to_numpy(np.float64), 6)
+    return out.astype({"n_lines": np.int64, "orders": np.int64,
+                       "cents": np.int64}) \
+        .sort_values("n_lines", ignore_index=True)
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
