@@ -19799,6 +19799,135 @@ def order_value_by_basket_width(sf_dir: str) -> pd.DataFrame:
         .sort_values("n_lines", ignore_index=True)
 
 
+@register("first_purchase_session_ordinal_hist", sql=f"""
+WITH sid AS (SELECT user_id, event_type, ts, event_id,
+                    SUM(ns) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+             FROM ({_NS_SQL})),
+fp AS (SELECT user_id, CAST(MIN(sid) AS BIGINT) AS first_sid
+       FROM sid WHERE event_type = 'purchase' GROUP BY user_id)
+SELECT CAST(LEAST(first_sid, 10) AS BIGINT) AS ordinal,
+       CAST(COUNT(*) AS BIGINT) AS users
+FROM fp GROUP BY 1 ORDER BY 1""")
+def first_purchase_session_ordinal_hist(sf_dir: str) -> pd.DataFrame:
+    """Time-to-convert in SESSIONS: the session ordinal of each
+    user's FIRST purchase (capped at 10) — 'most buyers convert in
+    session 1' vs 'conversion needs five visits' sets the whole
+    nurture strategy; the per-session rate table can't distinguish
+    a new converter from a repeat one. MIN(sid) over purchase rows
+    is a keyed reduce (split-session safe); only the ≤10-bin
+    histogram shuffles."""
+    sess = _sessionized_events(sf_dir)
+
+    def rows(df: pd.DataFrame) -> pd.DataFrame:
+        keep = (df["event_type"] == "purchase").to_numpy()
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64)[keep],
+            "sid": df["sid"].to_numpy(np.int64)[keep]})
+
+    fp = reduce_sink(sess.map_batches(rows, batch_format="pandas"),
+                     ["user_id"], {"first_sid": ("sid", "min")})
+
+    def band(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "ordinal": np.minimum(df["first_sid"]
+                                  .to_numpy(np.int64), 10),
+            "users": np.ones(len(df), np.int64)})
+
+    out = reduce_sink(fp.map_batches(band, batch_format="pandas"),
+                      ["ordinal"], {"users": ("users", "sum")}) \
+        .to_pandas()
+    return out.astype({"ordinal": np.int64, "users": np.int64}) \
+        .sort_values("ordinal", ignore_index=True)
+
+
+@register("post_purchase_reengagement_quantiles", sql="""
+WITH p AS (SELECT user_id, ts, event_id FROM events
+           WHERE event_type = 'purchase'),
+v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+g AS (SELECT (SELECT MIN(epoch_us(v.ts)) - epoch_us(p.ts) FROM v
+              WHERE v.user_id = p.user_id AND v.ts > p.ts) AS lag_us
+      FROM p),
+s AS (SELECT lag_us // 1000000 AS lag_s FROM g
+      WHERE lag_us IS NOT NULL),
+h AS (SELECT lag_s, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM s GROUP BY 1),
+cum AS (SELECT lag_s, cnt,
+               CAST(SUM(cnt) OVER (ORDER BY lag_s) AS BIGINT) AS cm,
+               CAST(SUM(cnt) OVER () AS BIGINT) AS n FROM h)
+SELECT (SELECT CAST(MAX(n) AS BIGINT) FROM cum) AS n_pairs,
+       (SELECT CAST(MIN(lag_s) AS BIGINT) FROM cum
+        WHERE 2 * cm >= n) AS p50_s,
+       (SELECT CAST(MIN(lag_s) AS BIGINT) FROM cum
+        WHERE 10 * cm >= 9 * n) AS p90_s""")
+def post_purchase_reengagement_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Post-purchase re-engagement: exact quantiles of the time from
+    each purchase to the same user's NEXT view — the forward-looking
+    mirror of last-view attribution (does buying end the session or
+    start browsing?). Both streams co-locate in the user bucket;
+    one searchsorted on the gap-shifted axis finds each purchase's
+    successor view; strictly-later convention (ties excluded) is
+    shared; purchases with no later view drop; the second-quantized
+    lag histogram closes the quantiles."""
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+    big = np.int64(1 << 62)
+
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin(["view", "purchase"])].copy()
+        df["bucket_"] = (df["user_id"].to_numpy(np.int64) % 32) \
+            .astype(np.int32)
+        return df
+
+    def lags(g: pd.DataFrame) -> pd.DataFrame:
+        us = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        uid = g["user_id"].to_numpy(np.int64)
+        isv = (g["event_type"] == "view").to_numpy()
+        order = np.lexsort((us, uid))
+        us, uid, isv = us[order], uid[order], isv[order]
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        ends = np.r_[starts[1:], len(uid)]
+        run_of = np.repeat(np.arange(len(starts)), ends - starts)
+        run_min, run_max = us[starts], us[ends - 1]
+        span = run_max - run_min
+        gap_w = (int(span.max()) if len(span) else 0) + 2
+        base = np.concatenate(([0], np.cumsum(span[:-1] + gap_w)))
+        adj = us - run_min[run_of] + base[run_of]
+        v_adj, v_uid = adj[isv], uid[isv]
+        p_adj, p_uid = adj[~isv], uid[~isv]
+        nmax = len(v_adj)
+        if nmax == 0 or len(p_adj) == 0:
+            return pd.DataFrame(
+                {"lag_s": pd.Series([], dtype=np.int64),
+                 "cnt": pd.Series([], dtype=np.int64)})
+        pos = np.searchsorted(v_adj, p_adj, side="right")
+        nxt = np.clip(pos, 0, nmax - 1)
+        lag = np.where((pos < nmax) & (v_uid[nxt] == p_uid),
+                       v_adj[nxt] - p_adj, big)
+        lag = lag[lag < big] // 1_000_000
+        u, c = np.unique(lag, return_counts=True)
+        return pd.DataFrame({"lag_s": u.astype(np.int64),
+                             "cnt": c.astype(np.int64)})
+
+    h = reduce_sink(
+        ds.map_batches(with_bucket, batch_format="pandas")
+        .groupby("bucket_")
+        .map_groups(lambda g: lags(g.drop(columns=["bucket_"])),
+                    batch_format="pandas"),
+        ["lag_s"], {"cnt": ("cnt", "sum")}).to_pandas() \
+        .sort_values("lag_s", ignore_index=True)
+    lag_s = h["lag_s"].to_numpy(np.int64)
+    cnt = h["cnt"].to_numpy(np.int64)
+    n = int(cnt.sum())
+    cm = np.cumsum(cnt)
+    p50 = int(lag_s[np.searchsorted(2 * cm, n, side="left")])
+    p90 = int(lag_s[np.searchsorted(10 * cm, 9 * n, side="left")])
+    return pd.DataFrame({
+        "n_pairs": np.array([n], np.int64),
+        "p50_s": np.array([p50], np.int64),
+        "p90_s": np.array([p90], np.int64)})
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
