@@ -19928,6 +19928,181 @@ def post_purchase_reengagement_quantiles(sf_dir: str) -> pd.DataFrame:
         "p90_s": np.array([p90], np.int64)})
 
 
+_HAAR_LEVELS = 5          # 32-day dyadic window → 5 detail scales
+
+
+def _haar_level_sql(prev: str, name: str) -> str:
+    return (f"{name} AS (SELECT j // 2 AS j, "
+            f"SUM(CASE WHEN j % 2 = 0 THEN v ELSE -v END) AS dd, "
+            f"SUM(v) AS v FROM {prev} GROUP BY 1)")
+
+
+_HAAR_SQL = ("""
+WITH d AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                  CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM events GROUP BY 1),
+x AS (SELECT g.i AS j, CAST(COALESCE(o.cnt, 0) AS BIGINT) AS v
+      FROM generate_series(0, 31) g(i)
+      LEFT JOIN (SELECT day - (SELECT MIN(day) FROM d) AS i, cnt
+                 FROM d) o ON o.i = g.i),
+""" + ",\n".join(_haar_level_sql(p, n) for p, n in
+                 zip(["x", "l1", "l2", "l3", "l4"],
+                     ["l1", "l2", "l3", "l4", "l5"])) + "\n"
+             + "\nUNION ALL ".join(
+                 f"SELECT CAST({k} AS BIGINT) AS level, "
+                 f"CAST(SUM(dd * dd) AS BIGINT) AS energy, "
+                 f"CAST(COUNT(*) AS BIGINT) AS n_coeffs FROM l{k}"
+                 for k in range(1, _HAAR_LEVELS + 1))
+             + "\nORDER BY level")
+
+
+@register("haar_daily_energy", sql=_HAAR_SQL)
+def haar_daily_energy(sf_dir: str) -> pd.DataFrame:
+    """Haar wavelet energy spectrum of the daily event-count series —
+    at WHICH time scale does the variance live? Level 1 (day-pair
+    details) is daily noise, level 3 (~week) is weekly structure,
+    level 5 is trend; a level-3 spike means day-of-week seasonality,
+    a level-5 spike means drift (the multi-scale sibling of
+    daily_acf's single-lag view). One per-day reduce is the only
+    distributed work (O(days) rows shuffle); the driver folds the
+    32-day dyadic window (missing days are true zeros, days ≥ 32
+    from the first fall outside the window — documented) with the
+    UNNORMALIZED Haar transform d=a−b, s=a+b so every coefficient
+    and every energy is an exact INTEGER on both engines."""
+    daily = reduce_sink(_events(sf_dir, ["ts"]).map_batches(
+        lambda df: pd.DataFrame(
+            {"day": df["ts"].to_numpy().astype("datetime64[D]")
+             .astype(np.int64)}), batch_format="pandas"),
+        ["day"], {"cnt": ("day", "size")}).to_pandas()
+    day = daily["day"].to_numpy(np.int64)
+    cnt = daily["cnt"].to_numpy(np.int64)
+    x = np.zeros(32, dtype=np.int64)
+    if len(day):                    # empty input → all-zero window
+        idx = day - day.min()
+        keep = idx < 32
+        x[idx[keep]] = cnt[keep]
+    rows = []
+    arr = x
+    for lvl in range(1, _HAAR_LEVELS + 1):
+        dd = arr[0::2] - arr[1::2]
+        arr = arr[0::2] + arr[1::2]
+        rows.append((lvl, int((dd.astype(object) ** 2).sum()), len(dd)))
+    return pd.DataFrame(rows, columns=["level", "energy", "n_coeffs"]) \
+        .astype({"level": np.int64, "energy": np.int64,
+                 "n_coeffs": np.int64})
+
+
+@register("twoway_anova_value", sql="""
+WITH v AS (SELECT event_type AS a,
+                  CAST(dayofweek(ts) AS BIGINT) AS b,
+                  CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+           FROM events),
+cell AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(c) AS HUGEINT) AS s,
+                CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS q
+         FROM v GROUP BY a, b),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+               CAST(COUNT(*) AS BIGINT) AS nc,
+               CAST(SUM(s) AS HUGEINT) AS st,
+               CAST(SUM(q) AS HUGEINT) AS qt,
+               SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) AS sc
+        FROM cell),
+ma AS (SELECT CAST(COUNT(*) AS BIGINT) AS ka,
+              SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) AS sa
+       FROM (SELECT a, SUM(n) AS n, SUM(s) AS s FROM cell GROUP BY a)),
+mb AS (SELECT CAST(COUNT(*) AS BIGINT) AS kb,
+              SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) AS sb
+       FROM (SELECT b, SUM(n) AS n, SUM(s) AS s FROM cell GROUP BY b)),
+f AS (SELECT nn, ka, kb, nc,
+             CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / nn AS cm,
+             CAST(qt AS DOUBLE) - sc AS ss_within,
+             CAST(qt AS DOUBLE)
+               - CAST(st AS DOUBLE) * CAST(st AS DOUBLE) / nn AS ss_tot,
+             sa, sb, sc
+      FROM tot, ma, mb)
+SELECT nn AS n, ka AS k_type, kb AS k_dow,
+       ROUND((sa - cm) / ss_tot, 6) AS eta2_type,
+       ROUND((sb - cm) / ss_tot, 6) AS eta2_dow,
+       ROUND((sc - sa - sb + cm) / ss_tot, 6) AS eta2_interaction,
+       ROUND(((sc - sa - sb + cm) / ((ka - 1) * (kb - 1)))
+             / (ss_within / (nn - nc)), 6) AS f_interaction
+FROM f""")
+def twoway_anova_value(sf_dir: str) -> pd.DataFrame:
+    """Two-way ANOVA of event value over TYPE × DAY-OF-WEEK with the
+    interaction term — does the weekend effect differ BY event type
+    (the question neither one-way ANOVA can pose)? Sequential
+    (Type-I, mains-then-interaction) convention on the cell-means
+    identity: SS_AB = SS_cells − SS_A − SS_B, SS_within = SS_total −
+    SS_cells; in an unbalanced design this is the stated convention,
+    not the unique answer. ONE (type, dow) cell-moment reduce (≤
+    |types|×7 rows, Σc² in two int64 words) is all that shuffles.
+    Outputs are the SCALE-FREE η² fractions and F (O(1) values where
+    a 6dp round absorbs float-order noise) — raw SS in cents² sit at
+    ~1e11 where one ULP already exceeds any fixed tolerance."""
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["ts"].to_numpy("datetime64[us]")
+        # DuckDB dayofweek: 0=Sunday; 1970-01-01 was a Thursday (=4)
+        dow = (ts.astype("datetime64[D]").astype(np.int64) + 4) % 7
+        return pd.DataFrame({
+            "a": df["event_type"].astype(str),
+            "b": dow.astype(np.int64),
+            "c": np.rint(df["value"].to_numpy(np.float64) * 100)
+            .astype(np.int64)})
+
+    base = _events(sf_dir, ["event_type", "ts", "value"]) \
+        .map_batches(prep, batch_format="pandas")
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for (a, b), grp in df.groupby(["a", "b"], sort=False):
+            c = grp["c"].to_numpy(np.int64).astype(object)
+            hi, lo = divmod(int((c * c).sum()), 1 << 62)
+            out.append((a, b, len(c), int(c.sum()), hi, lo))
+        return pd.DataFrame(out, columns=["a", "b", "n", "s",
+                                          "q_hi", "q_lo"])
+
+    cell = reduce_sink(
+        base.map_batches(moments, batch_format="pandas"),
+        ["a", "b"], {"n": ("n", "sum"), "s": ("s", "sum"),
+                     "q_hi": ("q_hi", "sum"), "q_lo": ("q_lo", "sum")}) \
+        .to_pandas().sort_values(["a", "b"], ignore_index=True)
+    n_c = cell["n"].to_numpy(np.int64)
+    s_c = np.array([int(v) for v in cell["s"]], dtype=object)
+    q_c = [int(h) * (1 << 62) + int(l)
+           for h, l in zip(cell["q_hi"], cell["q_lo"])]
+    nn = int(n_c.sum())
+    nc = len(cell)
+    st = int(s_c.sum())
+    qt = sum(q_c)
+    sc = float(sum(float(int(s)) * int(s) / int(n)
+                   for s, n in zip(s_c, n_c)))
+    ga = cell.assign(s=[int(v) for v in s_c]) \
+        .groupby("a", sort=True).agg(n=("n", "sum"), s=("s", "sum"))
+    gb = cell.assign(s=[int(v) for v in s_c]) \
+        .groupby("b", sort=True).agg(n=("n", "sum"), s=("s", "sum"))
+    sa = float(sum(float(int(s)) * int(s) / int(n)
+                   for s, n in zip(ga["s"], ga["n"])))
+    sb = float(sum(float(int(s)) * int(s) / int(n)
+                   for s, n in zip(gb["s"], gb["n"])))
+    ka, kb = len(ga), len(gb)
+    cm = float(st) * st / nn
+    ss_within = float(qt) - sc
+    ss_tot = float(qt) - cm
+    ss_ab = sc - sa - sb + cm
+    r = textstats.round_half_away
+    return pd.DataFrame({
+        "n": np.array([nn], np.int64),
+        "k_type": np.array([ka], np.int64),
+        "k_dow": np.array([kb], np.int64),
+        "eta2_type": [float(r(np.array([(sa - cm) / ss_tot]), 6)[0])],
+        "eta2_dow": [float(r(np.array([(sb - cm) / ss_tot]), 6)[0])],
+        "eta2_interaction": [float(r(np.array([ss_ab / ss_tot]),
+                                     6)[0])],
+        "f_interaction": [float(r(np.array(
+            [(ss_ab / ((ka - 1) * (kb - 1)))
+             / (ss_within / (nn - nc))]), 6)[0])]})
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
