@@ -20103,6 +20103,127 @@ def twoway_anova_value(sf_dir: str) -> pd.DataFrame:
              / (ss_within / (nn - nc))]), 6)[0])]})
 
 
+@register("twonn_intrinsic_dim", sql="""
+WITH d AS (
+  SELECT a.vec_id AS node, b.vec_id AS nb,
+         list_distance(CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])) AS dist
+  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id),
+r AS (SELECT node, dist,
+             ROW_NUMBER() OVER (PARTITION BY node
+                                ORDER BY dist, nb) AS rk
+      FROM d),
+t AS (SELECT node, MAX(CASE WHEN rk = 1 THEN dist END) AS r1,
+             MAX(CASE WHEN rk = 2 THEN dist END) AS r2
+      FROM r WHERE rk <= 2 GROUP BY node),
+k AS (SELECT ROUND(LN(r2 / r1), 9) AS lr FROM t WHERE r1 > 0)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+       ROUND(COUNT(*) / SUM(lr), 4) AS intrinsic_dim
+FROM k""")
+def twonn_intrinsic_dim(sf_dir: str) -> pd.DataFrame:
+    """Two-NN intrinsic dimension of the embedding manifold (Facco
+    et al. 2017): ID = n / Σ ln(r2/r1) over each point's two nearest
+    EUCLIDEAN neighbors — tells whether 32-dim vectors actually live
+    on a 4-dim manifold (then aggressive PQ/LSH compression is safe)
+    or genuinely fill the space. The full (small) matrix broadcasts
+    once via ray.put; each batch computes chunked diff-based
+    distances (no |a|²+|b|²−2ab cancellation exactly where r1→0
+    matters) and emits ONE (r1, r2) row per point — the only thing
+    that ever shuffles. Exact-duplicate points (r1 = 0) are excluded
+    on both engines; per-point log ratios round at 9dp before the
+    sum so addition order cannot flip the 4dp headline."""
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    ids = np.asarray(tbl["vec_id"], dtype=np.int64)
+    mat = np.stack(tbl["embedding"].to_pandas().to_numpy()) \
+        .astype(np.float64)
+    ref = ray.put((ids, mat))
+
+    def two_nn(df: pd.DataFrame) -> pd.DataFrame:
+        rids, rmat = ray.get(ref)
+        x = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        xid = df["vec_id"].to_numpy(np.int64)
+        best = np.full((len(x), 2), np.inf)
+        for lo in range(0, len(rmat), 1024):
+            chunk = rmat[lo:lo + 1024]
+            cid = rids[lo:lo + 1024]
+            d = np.sqrt(((x[:, None, :] - chunk[None, :, :]) ** 2)
+                        .sum(axis=2))
+            d[xid[:, None] == cid[None, :]] = np.inf   # self by id
+            top = np.sort(np.concatenate(
+                [best, np.partition(d, min(1, d.shape[1] - 1),
+                                    axis=1)[:, :2]], axis=1),
+                axis=1)[:, :2]
+            best = top
+        return pd.DataFrame({"r1": best[:, 0], "r2": best[:, 1]})
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    pairs = ds.map_batches(two_nn, batch_format="pandas").to_pandas()
+    keep = pairs["r1"].to_numpy() > 0.0
+    lr = textstats.round_half_away(
+        np.log(pairs["r2"].to_numpy()[keep]
+               / pairs["r1"].to_numpy()[keep]), 9)
+    n = int(keep.sum())
+    dim = float(textstats.round_half_away(
+        np.array([n / float(lr.sum())]), 4)[0])
+    return pd.DataFrame({"n_points": np.array([n], np.int64),
+                         "intrinsic_dim": [dim]})
+
+
+@register("knn_hubness_hist", sql="""
+WITH sims AS (
+  SELECT a.vec_id AS node, b.vec_id AS neighbor,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6)
+             AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id),
+r AS (SELECT node, neighbor,
+             ROW_NUMBER() OVER (PARTITION BY node
+                                ORDER BY cosine DESC, neighbor) AS rank
+      FROM sims),
+e AS (SELECT neighbor FROM r WHERE rank <= 2),
+deg AS (SELECT v.vec_id, COUNT(e.neighbor) AS d
+        FROM embeddings v LEFT JOIN e ON e.neighbor = v.vec_id
+        GROUP BY v.vec_id)
+SELECT CAST(d AS BIGINT) AS in_degree,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY 1 ORDER BY 1""")
+def knn_hubness_hist(sf_dir: str) -> pd.DataFrame:
+    """Hubness of the exact cosine 2-NN graph: the k-occurrence
+    (in-degree) distribution (Radovanović et al. 2010) — a long right
+    tail means a few 'hub' vectors appear in everyone's neighbor
+    list, the classic high-dim pathology that silently degrades kNN
+    dedup/classification; anti-hubs (in-degree 0) are never anyone's
+    neighbor. Edges come from the same broadcast-matrix local-top-k
+    combiner as knn_graph; the histogram folds the ≤ 2N-row edge
+    list, with zero-degree nodes recovered from the id universe —
+    every output value an exact integer."""
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    ids = np.asarray(tbl["vec_id"])
+    vecs = np.stack(tbl["embedding"].to_pandas().to_numpy())
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    out = ann.brute_force_topk(ds, vecs, k=3)     # k+1: self in there
+    out["node"] = ids[out["query_id"].to_numpy()]
+    out = out[out["node"] != out["vec_id"]].copy()
+    out = out.sort_values(["node", "rank"], ignore_index=True)
+    out["rank"] = (out.groupby("node", sort=False).cumcount() + 1) \
+        .astype(np.int64)
+    edges = out[out["rank"] <= 2]
+    deg = edges["vec_id"].value_counts()
+    n_zero = len(ids) - len(deg)
+    hist = deg.value_counts().sort_index()
+    in_deg = hist.index.to_numpy(np.int64)
+    n_nodes = hist.to_numpy(np.int64)
+    if n_zero:
+        in_deg = np.r_[np.int64(0), in_deg]
+        n_nodes = np.r_[np.int64(n_zero), n_nodes]
+    return pd.DataFrame({"in_degree": in_deg.astype(np.int64),
+                         "n_nodes": n_nodes.astype(np.int64)})
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
