@@ -20224,6 +20224,148 @@ def knn_hubness_hist(sf_dir: str) -> pd.DataFrame:
                          "n_nodes": n_nodes.astype(np.int64)})
 
 
+@register("session_type_trigrams", sql=f"""
+WITH sid AS (SELECT user_id, event_type, ts, event_id,
+                    SUM(ns) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+             FROM ({_NS_SQL})),
+w AS (SELECT event_type AS t1,
+             LEAD(event_type, 1) OVER (PARTITION BY user_id, sid
+                                       ORDER BY ts, event_id) AS t2,
+             LEAD(event_type, 2) OVER (PARTITION BY user_id, sid
+                                       ORDER BY ts, event_id) AS t3
+      FROM sid),
+g AS (SELECT t1 || '>' || t2 || '>' || t3 AS trigram,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM w WHERE t3 IS NOT NULL GROUP BY 1),
+r AS (SELECT trigram, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, trigram) AS rk
+      FROM g)
+SELECT trigram, n FROM r WHERE rk <= 15 ORDER BY n DESC, trigram""")
+def session_type_trigrams(sf_dir: str) -> pd.DataFrame:
+    """Sequential motif mining: the top-15 SLIDING type trigrams
+    within sessions (every consecutive a>b>c, not just the session
+    head that top_session_paths reports) — 'view>view>purchase' vs
+    'view>error>view' is the difference between a working funnel and
+    a rage loop. Sessionize and slide in ONE bucket-local pass (a
+    map over the sessionize output could see a session split across
+    blocks and drop its seam trigrams); only (trigram, n) partials —
+    cardinality ≤ |types|³ — shuffle; top-15 resolves on the driver
+    with (n desc, trigram asc) ties pinned on both engines."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket_"] = (df["user_id"].to_numpy(np.int64) % 32) \
+            .astype(np.int32)
+        return df
+
+    def trigrams(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        us = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        uid = g["user_id"].to_numpy(np.int64)
+        et = g["event_type"].to_numpy(object)
+        n = len(g)
+        if n < 3:
+            return pd.DataFrame({"trigram": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64)})
+        cont = np.zeros(n, bool)      # row continues previous session
+        cont[1:] = (uid[1:] == uid[:-1]) \
+            & ((us[1:] - us[:-1]) < 1_800_000_000)
+        ok = cont[1:-1] & cont[2:]    # start i: i+1 and i+2 continue
+        i = np.flatnonzero(ok)
+        tri = pd.Series(et[i]).str.cat(
+            [pd.Series(et[i + 1]), pd.Series(et[i + 2])], sep=">")
+        c = tri.value_counts()
+        return pd.DataFrame({"trigram": c.index.to_numpy(object),
+                             "n": c.to_numpy(np.int64)})
+
+    parts = (ds.map_batches(with_bucket, batch_format="pandas")
+             .groupby("bucket_").map_groups(trigrams,
+                                            batch_format="pandas"))
+    out = reduce_sink(parts, ["trigram"], {"n": ("n", "sum")}) \
+        .to_pandas()
+    out = out.sort_values(["n", "trigram"], ascending=[False, True],
+                          ignore_index=True).head(15)
+    out["n"] = out["n"].astype(np.int64)
+    return out
+
+
+@register("knn_degree_assortativity", sql="""
+WITH sims AS (
+  SELECT a.vec_id AS node, b.vec_id AS neighbor,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6)
+             AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id),
+r AS (SELECT node, neighbor,
+             ROW_NUMBER() OVER (PARTITION BY node
+                                ORDER BY cosine DESC, neighbor) AS rank
+      FROM sims),
+e AS (SELECT node, neighbor FROM r WHERE rank <= 2),
+ind AS (SELECT v.vec_id AS id,
+               CAST(2 + COUNT(e2.neighbor) AS BIGINT) AS deg
+        FROM embeddings v LEFT JOIN e e2 ON e2.neighbor = v.vec_id
+        GROUP BY v.vec_id),
+p AS (SELECT du.deg AS x, dw.deg AS y
+      FROM e JOIN ind du ON du.id = e.node
+             JOIN ind dw ON dw.id = e.neighbor),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM p)
+SELECT n AS n_edges,
+       CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0
+            THEN 0.0
+            ELSE ROUND((n * sxy - sx * sy)
+                       / sqrt((n * sxx - sx * sx) * 1.0
+                              * (n * syy - sy * sy)), 6)
+       END AS assortativity
+FROM m""")
+def knn_degree_assortativity(sf_dir: str) -> pd.DataFrame:
+    """Degree assortativity of the exact cosine 2-NN graph (Newman
+    2002): Pearson correlation of endpoint TOTAL degrees (out-degree
+    is 2 for every node, so deg = 2 + in-degree) over the DIRECTED
+    edge list — negative means hubs point at loners (the typical kNN
+    disassortativity that makes hub contamination spread), positive
+    means a dense core. Same broadcast local-top-k edges as
+    knn_graph; every moment is an INTEGER over the ≤ 2N edge rows,
+    the closed form evaluates in oracle order, zero variance pins
+    0."""
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    ids = np.asarray(tbl["vec_id"])
+    vecs = np.stack(tbl["embedding"].to_pandas().to_numpy())
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    out = ann.brute_force_topk(ds, vecs, k=3)
+    out["node"] = ids[out["query_id"].to_numpy()]
+    out = out[out["node"] != out["vec_id"]].copy()
+    out = out.sort_values(["node", "rank"], ignore_index=True)
+    out["rank"] = (out.groupby("node", sort=False).cumcount() + 1) \
+        .astype(np.int64)
+    edges = out[out["rank"] <= 2]
+    indeg = edges["vec_id"].value_counts()
+    deg = pd.Series(2, index=pd.Index(ids, name="id"), dtype=np.int64) \
+        .add(indeg.reindex(ids).fillna(0).astype(np.int64).to_numpy())
+    x = deg.loc[edges["node"].to_numpy()].to_numpy(np.int64)
+    y = deg.loc[edges["vec_id"].to_numpy()].to_numpy(np.int64)
+    n = len(x)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxy = int((x * y).sum())
+    sxx, syy = int((x * x).sum()), int((y * y).sum())
+    den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    a = 0.0 if den == 0 else float(textstats.round_half_away(
+        np.array([(n * sxy - sx * sy) / np.sqrt(den * 1.0)]), 6)[0])
+    return pd.DataFrame({"n_edges": np.array([n], np.int64),
+                         "assortativity": [a]})
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
