@@ -20366,6 +20366,110 @@ def knn_degree_assortativity(sf_dir: str) -> pd.DataFrame:
                          "assortativity": [a]})
 
 
+@register("readability_by_source", sql=r"""
+WITH d AS (SELECT source,
+                  len(regexp_extract_all(text, '\S+')) AS w,
+                  GREATEST(len(regexp_extract_all(text, '[.!?]')), 1)
+                      AS s,
+                  len(regexp_extract_all(lower(text), '[aeiou]+')) AS y
+           FROM documents),
+f AS (SELECT source,
+             ROUND(206.835 - 1.015 * (w * 1.0 / s)
+                   - 84.6 * (y * 1.0 / w), 6) AS fl
+      FROM d WHERE w > 0)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(SUM(fl) / COUNT(*), 4) AS mean_flesch
+FROM f GROUP BY source ORDER BY source""")
+def readability_by_source(sf_dir: str) -> pd.DataFrame:
+    """Flesch reading-ease profile per source (the readability prior
+    a curation pipeline reads before mixing corpora — legalese
+    scores ~30, chat ~80): 206.835 − 1.015·(words/sentences) −
+    84.6·(syllables/words) with the standard cheap proxies (words =
+    \\S+ runs, sentences = [.!?] count floored at 1, syllables =
+    maximal vowel runs — identical RE2 counts on both engines). One
+    vectorized Arrow pass per batch (three count_substring_regex
+    kernels, zero Python per row); per-doc scores round at 6dp
+    before the per-source partial sums so addition order cannot move
+    the 4dp mean."""
+    def feats(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        w = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64())
+        s = pc.max_element_wise(
+            pc.cast(pc.count_substring_regex(text, r"[.!?]"),
+                    pa.int64()), pa.scalar(1, pa.int64()))
+        y = pc.cast(pc.count_substring_regex(
+            pc.utf8_lower(text), r"[aeiou]+"), pa.int64())
+        wn = w.to_numpy(zero_copy_only=False).astype(np.float64)
+        sn = s.to_numpy(zero_copy_only=False).astype(np.float64)
+        yn = y.to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = wn > 0
+        fl = textstats.round_half_away(
+            206.835 - 1.015 * (wn[keep] / sn[keep])
+            - 84.6 * (yn[keep] / wn[keep]), 6)
+        src = batch["source"].to_pandas().to_numpy(object)[keep]
+        return pa.table({"source": pa.array(src, pa.string()),
+                         "fl": pa.array(fl, pa.float64())})
+
+    out = reduce_sink(
+        _docs(sf_dir, ["source", "text"])
+        .map_batches(feats, batch_format="pyarrow"),
+        ["source"], {"n_docs": ("fl", "size"), "sfl": ("fl", "sum")}) \
+        .to_pandas().sort_values("source", ignore_index=True)
+    mean = textstats.round_half_away(
+        out["sfl"].to_numpy(np.float64)
+        / out["n_docs"].to_numpy(np.float64), 4)
+    return pd.DataFrame({"source": out["source"],
+                         "n_docs": out["n_docs"].astype(np.int64),
+                         "mean_flesch": mean})
+
+
+@register("discount_cap_whatif", sql="""
+WITH l AS (SELECT CAST(ROUND(l_discount * 100) AS BIGINT) AS dpct,
+                  CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+           FROM lineitem),
+b AS (SELECT dpct, CAST(SUM(cents) AS BIGINT) AS cents
+      FROM l GROUP BY dpct),
+a AS (SELECT CAST(SUM(cents * (100 - dpct)) AS BIGINT) AS actual_dm
+      FROM b)
+SELECT g.cap AS cap_pct,
+       CAST(SUM(b.cents * (100 - LEAST(b.dpct, g.cap))) AS BIGINT)
+           AS revenue_dm,
+       CAST(SUM(b.cents * (100 - LEAST(b.dpct, g.cap)))
+            - MAX(a.actual_dm) AS BIGINT) AS uplift_dm
+FROM generate_series(0, 10) g(cap), b, a
+GROUP BY g.cap ORDER BY g.cap""")
+def discount_cap_whatif(sf_dir: str) -> pd.DataFrame:
+    """What-if pricing curve: total revenue if line discounts were
+    CAPPED at d% for every d in 0..10 — the uplift column is what
+    finance reads to price a discount-policy change (cap at the
+    observed max = uplift 0 by construction). Revenue in integer
+    deci-milli units (cents × percent) so every figure is EXACT: the
+    heavy fact table folds to an 11-row (discount-band, cents)
+    aggregate in one reduce, and the 11×11 cap fold happens on that
+    tiny table — same numbers on any execution order."""
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "dpct": np.rint(df["l_discount"].to_numpy(np.float64)
+                            * 100).astype(np.int64),
+            "cents": np.rint(df["l_extendedprice"].to_numpy(np.float64)
+                             * 100).astype(np.int64)})
+
+    b = reduce_sink(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_discount", "l_extendedprice"])
+        .map_batches(prep, batch_format="pandas"),
+        ["dpct"], {"cents": ("cents", "sum")}).to_pandas()
+    dpct = b["dpct"].to_numpy(np.int64)
+    cents = np.array([int(v) for v in b["cents"]], dtype=object)
+    actual = int((cents * (100 - dpct)).sum())
+    caps = np.arange(11, dtype=np.int64)
+    rev = np.array([int((cents * (100 - np.minimum(dpct, c))).sum())
+                    for c in caps], dtype=np.int64)
+    return pd.DataFrame({"cap_pct": caps,
+                         "revenue_dm": rev,
+                         "uplift_dm": (rev - actual).astype(np.int64)})
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
