@@ -20470,6 +20470,150 @@ def discount_cap_whatif(sf_dir: str) -> pd.DataFrame:
                          "uplift_dm": (rev - actual).astype(np.int64)})
 
 
+@register("user_median_thinktime_hist", sql=f"""
+WITH sid AS (SELECT user_id, ts, event_id,
+                    SUM(ns) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+             FROM ({_NS_SQL})),
+g AS (SELECT user_id,
+             (epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                  PARTITION BY user_id, sid ORDER BY ts, event_id)))
+             // 1000000 AS gap_s
+      FROM sid),
+gg AS (SELECT user_id, gap_s FROM g WHERE gap_s IS NOT NULL),
+r AS (SELECT user_id, gap_s,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY gap_s) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS cnt
+      FROM gg),
+m AS (SELECT gap_s AS med FROM r WHERE rn = (cnt + 1) // 2)
+SELECT CAST(LEAST(med // 60, 30) AS BIGINT) AS minute_band,
+       CAST(COUNT(*) AS BIGINT) AS users
+FROM m GROUP BY 1 ORDER BY 1""")
+def user_median_thinktime_hist(sf_dir: str) -> pd.DataFrame:
+    """Per-USER median think time, banded by minute (capped at 30):
+    the pooled think-time quantiles hide whether slow gaps come from
+    a few slow users or everyone — this is the distribution of each
+    user's OWN typical pace (two-level order statistics: a median
+    inside every user, then a histogram across users). Sessionize,
+    gap extraction AND the per-user lower-median all happen in ONE
+    bucket-local pass (a user's rows never span buckets); only the
+    ≤31-bin histogram partials shuffle. Lower-median convention
+    (rank ⌈n/2⌉) on both engines — never an averaging MEDIAN()."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id"])
+
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket_"] = (df["user_id"].to_numpy(np.int64) % 32) \
+            .astype(np.int32)
+        return df
+
+    def medians(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        us = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        uid = g["user_id"].to_numpy(np.int64)
+        n = len(g)
+        empty = pd.DataFrame({"minute_band": pd.Series([],
+                                                       dtype=np.int64),
+                              "users": pd.Series([], dtype=np.int64)})
+        if n < 2:
+            return empty
+        cont = (uid[1:] == uid[:-1]) \
+            & ((us[1:] - us[:-1]) < 1_800_000_000)
+        gap = (us[1:] - us[:-1])[cont] // 1_000_000
+        guid = uid[1:][cont]
+        if not len(gap):
+            return empty
+        order = np.lexsort((gap, guid))
+        gap, guid = gap[order], guid[order]
+        starts = np.flatnonzero(np.r_[True, guid[1:] != guid[:-1]])
+        cnts = np.diff(np.r_[starts, len(guid)])
+        med = gap[starts + (cnts - 1) // 2]   # lower median (⌈n/2⌉)
+        band = np.minimum(med // 60, 30)
+        u, c = np.unique(band, return_counts=True)
+        return pd.DataFrame({"minute_band": u.astype(np.int64),
+                             "users": c.astype(np.int64)})
+
+    parts = (ds.map_batches(with_bucket, batch_format="pandas")
+             .groupby("bucket_").map_groups(medians,
+                                            batch_format="pandas"))
+    return reduce_sink(parts, ["minute_band"],
+                       {"users": ("users", "sum")}).to_pandas() \
+        .astype({"minute_band": np.int64, "users": np.int64}) \
+        .sort_values("minute_band", ignore_index=True)
+
+
+_PERC_THRESHOLDS = (0.3, 0.4, 0.5)
+
+
+def _perc_sql_one(t: float, g: str) -> tuple[str, str]:
+    ctes = f"""
+p{g} AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                   CAST(b.embedding AS DOUBLE[])) >= {t}),
+e{g} AS (SELECT id_a AS u, id_b AS v FROM p{g}
+         UNION SELECT id_b, id_a FROM p{g}),
+w{g}(node, reach) AS (
+  SELECT u, u FROM e{g}
+  UNION
+  SELECT e.u, w.reach FROM e{g} e JOIN w{g} w ON w.node = e.v),
+c{g} AS (SELECT node, MIN(reach) AS cid FROM w{g} GROUP BY node)"""
+    row = f"""
+SELECT {t} AS threshold,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM p{g}) AS n_pairs,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM c{g}) AS n_nodes,
+       (SELECT CAST(COUNT(DISTINCT cid) AS BIGINT) FROM c{g})
+           AS n_clusters,
+       COALESCE((SELECT CAST(MAX(cnt) AS BIGINT) FROM
+                 (SELECT COUNT(*) AS cnt FROM c{g} GROUP BY cid)),
+                0) AS largest"""
+    return ctes, row
+
+
+_PERC_SQL = ("WITH RECURSIVE "
+             + ",".join(_perc_sql_one(t, str(i))[0]
+                        for i, t in enumerate(_PERC_THRESHOLDS))
+             + "\nUNION ALL".join(_perc_sql_one(t, str(i))[1]
+                                  for i, t in enumerate(_PERC_THRESHOLDS))
+             + "\nORDER BY threshold")
+
+
+@register("cosine_percolation_curve", sql=_PERC_SQL)
+def cosine_percolation_curve(sf_dir: str) -> pd.DataFrame:
+    """Percolation curve of the embedding similarity graph: component
+    structure at cosine thresholds 0.3/0.4/0.5 — THE table you read
+    before picking a near-dup clustering threshold (too low and one
+    giant component swallows the corpus: watch `largest` blow up;
+    too high and dups survive: `n_pairs` → 0). Candidate pairs
+    generate ONCE at the loosest threshold via hyperplane LSH
+    (k=3, L=64 → per-pair miss ≈ 2e-7 at cos 0.3 — deterministic
+    full recall on this fixture); each threshold then filters the
+    tiny verified pair list and runs union-find, so the quadratic
+    work never repeats."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    pairs = dedup.cosine_dup_pairs_lsh(
+        ds, threshold=min(_PERC_THRESHOLDS), n_planes=3, n_tables=64)
+    rows = []
+    for t in _PERC_THRESHOLDS:
+        sub = pairs[pairs["cosine"] >= t]
+        comp = dedup.connected_components(sub)
+        largest = int(comp["cluster_id"].value_counts().max()) \
+            if len(comp) else 0
+        rows.append((float(t), len(sub), len(comp),
+                     comp["cluster_id"].nunique() if len(comp) else 0,
+                     largest))
+    return pd.DataFrame(rows, columns=["threshold", "n_pairs",
+                                       "n_nodes", "n_clusters",
+                                       "largest"]) \
+        .astype({"threshold": np.float64, "n_pairs": np.int64,
+                 "n_nodes": np.int64, "n_clusters": np.int64,
+                 "largest": np.int64})
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
