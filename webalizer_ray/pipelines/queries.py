@@ -20614,6 +20614,133 @@ def cosine_percolation_curve(sf_dir: str) -> pd.DataFrame:
                  "largest": np.int64})
 
 
+@register("cross_source_dup_groups", sql="""
+WITH h AS (SELECT md5(text) AS fp, source FROM documents),
+g AS (SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+      FROM h GROUP BY fp),
+d AS (SELECT * FROM g WHERE n_docs > 1)
+SELECT CAST(COUNT(*) AS BIGINT) AS dup_groups,
+       CAST(COALESCE(SUM(CASE WHEN n_sources > 1 THEN 1 ELSE 0 END),
+                     0) AS BIGINT) AS cross_groups,
+       CAST(COALESCE(SUM(CASE WHEN n_sources > 1 THEN n_docs
+                              ELSE 0 END), 0) AS BIGINT)
+           AS docs_in_cross,
+       CASE WHEN COUNT(*) = 0 THEN 0.0
+            ELSE ROUND(SUM(CASE WHEN n_sources > 1 THEN 1 ELSE 0 END)
+                       * 1.0 / COUNT(*), 6)
+       END AS cross_share
+FROM d""")
+def cross_source_dup_groups(sf_dir: str) -> pd.DataFrame:
+    """Provenance leakage audit: of the exact-duplicate text groups,
+    how many SPAN sources? Within-source dups are scraper bugs you
+    fix per feed; cross-source dups mean the same document entered
+    through two providers — the case that defeats per-source dedup
+    quotas and silently double-weights content (and, for train/eval
+    feeds, the contamination vector). Texts fingerprint map-side
+    (md5, the oracle's function); the chain is three keyed reduces —
+    (fp, source, n) → per-fp (docs, distinct sources) → four global
+    scalars — so only aggregates ever shuffle, never text."""
+    import hashlib
+
+    def fp(batch: pa.Table) -> pd.DataFrame:
+        texts = batch["text"].to_pylist()
+        return pd.DataFrame({
+            "fp": [hashlib.md5(t.encode("utf-8")).hexdigest()
+                   for t in texts],
+            "source": batch["source"].to_pandas()})
+
+    per_pair = reduce_sink(
+        _docs(sf_dir, ["text", "source"])
+        .map_batches(fp, batch_format="pyarrow"),
+        ["fp", "source"], {"n": ("source", "size")})
+    per_fp = reduce_sink(
+        per_pair.map_batches(
+            lambda df: pd.DataFrame(
+                {"fp": df["fp"], "n_docs": df["n"].astype(np.int64),
+                 "n_sources": np.ones(len(df), np.int64)}),
+            batch_format="pandas"),
+        ["fp"], {"n_docs": ("n_docs", "sum"),
+                 "n_sources": ("n_sources", "sum")})
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["n_docs"] > 1]
+        cross = d["n_sources"].to_numpy(np.int64) > 1
+        return pd.DataFrame({
+            "dup_groups": [np.int64(len(d))],
+            "cross_groups": [np.int64(cross.sum())],
+            "docs_in_cross": [np.int64(
+                d["n_docs"].to_numpy(np.int64)[cross].sum())]})
+
+    t = per_fp.map_batches(fold, batch_format="pandas").to_pandas() \
+        .sum()
+    dg, cg, dc = (int(t["dup_groups"]), int(t["cross_groups"]),
+                  int(t["docs_in_cross"]))
+    share = 0.0 if dg == 0 else float(textstats.round_half_away(
+        np.array([cg * 1.0 / dg]), 6)[0])
+    return pd.DataFrame({"dup_groups": np.array([dg], np.int64),
+                         "cross_groups": np.array([cg], np.int64),
+                         "docs_in_cross": np.array([dc], np.int64),
+                         "cross_share": [share]})
+
+
+@register("hapax_share_by_source", sql=r"""
+WITH w AS (SELECT source, unnest(regexp_extract_all(text, '\S+'))
+                      AS word
+           FROM documents),
+c AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS n
+      FROM w GROUP BY 1, 2)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS hapax,
+       CAST(SUM(n) AS BIGINT) AS tokens,
+       ROUND(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*),
+             6) AS hapax_share
+FROM c GROUP BY source ORDER BY source""")
+def hapax_share_by_source(sf_dir: str) -> pd.DataFrame:
+    """Lexical richness per source: the hapax-legomena share (words
+    occurring exactly once ÷ vocabulary) — natural prose sits near
+    40-60%, template/boilerplate feeds collapse toward 0, OCR noise
+    inflates toward 1 (every typo is a new 'word'); the single-number
+    complement of the Heaps-law curve. Per-batch (source, word)
+    combiner partials → one keyed reduce builds the per-source
+    vocabulary table → per-source integer rollup; tokens never
+    shuffle individually."""
+    def wc(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.set_index("source")["text"].fillna("").str.split() \
+            .explode().dropna()
+        vc = s.groupby([s.index, s.values]).size()
+        idx = vc.index
+        return pd.DataFrame({"source": idx.get_level_values(0),
+                             "word": idx.get_level_values(1),
+                             "n": vc.to_numpy(np.int64)})
+
+    c = reduce_sink(
+        _docs(sf_dir, ["source", "text"])
+        .map_batches(wc, batch_format="pandas"),
+        ["source", "word"], {"n": ("n", "sum")})
+    per_src = reduce_sink(
+        c.map_batches(
+            lambda df: pd.DataFrame(
+                {"source": df["source"],
+                 "vocab": np.ones(len(df), np.int64),
+                 "hapax": (df["n"].to_numpy(np.int64) == 1)
+                 .astype(np.int64),
+                 "tokens": df["n"].astype(np.int64)}),
+            batch_format="pandas"),
+        ["source"], {"vocab": ("vocab", "sum"),
+                     "hapax": ("hapax", "sum"),
+                     "tokens": ("tokens", "sum")}) \
+        .to_pandas().sort_values("source", ignore_index=True)
+    share = textstats.round_half_away(
+        per_src["hapax"].to_numpy(np.float64)
+        / per_src["vocab"].to_numpy(np.float64), 6)
+    out = per_src.astype({"vocab": np.int64, "hapax": np.int64,
+                          "tokens": np.int64})
+    out["hapax_share"] = share
+    return out
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
