@@ -20741,6 +20741,190 @@ def hapax_share_by_source(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+@register("cuped_value_adjustment", sql="""
+WITH b AS (SELECT user_id,
+                  CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1
+                       END AS post,
+                  CAST(ROUND(value * 100) AS BIGINT) AS cents
+           FROM events),
+u AS (SELECT user_id, CAST(user_id % 2 AS BIGINT) AS arm,
+             CAST(SUM(CASE WHEN post = 0 THEN cents ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN post = 1 THEN cents ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM b GROUP BY user_id),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+             CAST(SUM(CASE WHEN arm = 1 THEN x ELSE 0 END)
+                  AS HUGEINT) AS sx1,
+             CAST(SUM(CASE WHEN arm = 1 THEN y ELSE 0 END)
+                  AS HUGEINT) AS sy1,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n1
+      FROM u)
+SELECT n, n1,
+       ROUND((n * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (n * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+           AS theta,
+       ROUND(((n * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              * (n * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+             / ((n * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (n * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+           AS variance_reduction,
+       ROUND(((CAST(sy1 AS DOUBLE) / n1
+               - CAST(sy - sy1 AS DOUBLE) / (n - n1))
+              - ((n * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (n * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                * (CAST(sx1 AS DOUBLE) / n1
+                   - CAST(sx - sx1 AS DOUBLE) / (n - n1))) / 100, 6)
+           AS cuped_effect_dollars
+FROM m""")
+def cuped_value_adjustment(sf_dir: str) -> pd.DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM 2013 — the
+    standard pre-experiment covariate adjustment every large
+    experimentation platform runs): X = each user's PRE-period spend,
+    Y = post-period spend, θ = cov(X,Y)/var(X); the adjusted metric
+    Y − θ(X − X̄) shrinks variance by exactly ρ² (reported, = how
+    much smaller the experiment could be), and the θ-adjusted
+    arm difference is the effect estimate the unadjusted DiD/z-test
+    queries can't denoise. Arm/period conventions shared with
+    did_uplift_estimate. One user-grain keyed reduce builds (x, y);
+    the nine global moments fold as per-block integer partials with
+    the quadratics in two int64 words (Σxy overflows by design) and
+    exact python-int recombination — O(blocks) scalar rows reach
+    the driver, never users."""
+    ds = _events(sf_dir, ["user_id", "ts", "value"])
+    split_us = np.datetime64("2024-01-16", "us").astype(np.int64)
+
+    def xy(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(df["value"].to_numpy(np.float64) * 100) \
+            .astype(np.int64)
+        post = df["ts"].to_numpy("datetime64[us]").astype(np.int64) \
+            >= split_us
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "x": np.where(post, 0, cents),
+            "y": np.where(post, cents, 0)})
+
+    users = reduce_sink(ds.map_batches(xy, batch_format="pandas"),
+                        ["user_id"], {"x": ("x", "sum"),
+                                      "y": ("y", "sum")})
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["x"].to_numpy(np.int64).astype(object)
+        y = df["y"].to_numpy(np.int64).astype(object)
+        arm1 = (df["user_id"].to_numpy(np.int64) % 2) == 1
+        row = {"n": len(df), "sx": int(x.sum()), "sy": int(y.sum()),
+               "n1": int(arm1.sum()),
+               "sx1": int(x[arm1].sum()) if arm1.any() else 0,
+               "sy1": int(y[arm1].sum()) if arm1.any() else 0}
+        for name, v in (("sxy", (x * y).sum()), ("sxx", (x * x).sum()),
+                        ("syy", (y * y).sum())):
+            hi, lo = divmod(int(v), 1 << 62)
+            row[f"{name}_hi"], row[f"{name}_lo"] = hi, lo
+        return pd.DataFrame([row])
+
+    p = users.map_batches(moments, batch_format="pandas").to_pandas()
+    n = int(p["n"].sum())
+    n1 = int(p["n1"].sum())
+    sx = sum(int(v) for v in p["sx"])
+    sy = sum(int(v) for v in p["sy"])
+    sx1 = sum(int(v) for v in p["sx1"])
+    sy1 = sum(int(v) for v in p["sy1"])
+    sxy, sxx, syy = (
+        sum(int(h) * (1 << 62) + int(l)
+            for h, l in zip(p[f"{k}_hi"], p[f"{k}_lo"]))
+        for k in ("sxy", "sxx", "syy"))
+    num = n * float(sxy) - float(sx) * float(sy)
+    vx = n * float(sxx) - float(sx) * float(sx)
+    vy = n * float(syy) - float(sy) * float(sy)
+    theta = num / vx
+    rho2 = (num * num) / (vx * vy)
+    eff = (((float(sy1) / n1 - float(sy - sy1) / (n - n1))
+            - theta * (float(sx1) / n1 - float(sx - sx1) / (n - n1)))
+           / 100)
+    r = textstats.round_half_away
+    return pd.DataFrame({
+        "n": np.array([n], np.int64),
+        "n1": np.array([n1], np.int64),
+        "theta": [float(r(np.array([theta]), 6)[0])],
+        "variance_reduction": [float(r(np.array([rho2]), 6)[0])],
+        "cuped_effect_dollars": [float(r(np.array([eff]), 6)[0])]})
+
+
+@register("ship_sla_miss_by_priority", sql="""
+WITH j AS (SELECT o.o_orderpriority AS priority,
+                  epoch_us(l.l_shipdate) // 86400000000
+                  - epoch_us(o.o_orderdate) // 86400000000 AS lag_d
+           FROM lineitem l JOIN orders o
+             ON l.l_orderkey = o.o_orderkey)
+SELECT priority, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN lag_d > 7 THEN 1 ELSE 0 END) AS BIGINT)
+           AS misses,
+       ROUND(SUM(CASE WHEN lag_d > 7 THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS miss_share
+FROM j GROUP BY priority ORDER BY priority""")
+def ship_sla_miss_by_priority(sf_dir: str) -> pd.DataFrame:
+    """Fulfillment SLA scorecard: the share of line items shipping
+    MORE than 7 days after the order, by order priority — the lag
+    quantiles say how slow shipping is overall; this says whether
+    URGENT actually ships faster (if miss_share is flat across
+    priorities, the priority field is decorative). Same fact-to-fact
+    orderkey join as the lag-quantile query (auto_join — no fact
+    broadcast); day lags and miss flags are exact integers, one
+    per-priority rollup shuffles."""
+    from webalizer_ray.stages.join import auto_join
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_shipdate"]).map_batches(
+        lambda df: pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+            "sd": df["l_shipdate"].to_numpy("datetime64[us]")
+            .astype(np.int64) // 86_400_000_000}),
+        batch_format="pandas")
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"]) \
+        .map_batches(
+        lambda df: pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].to_numpy(np.int64),
+            "priority": df["o_orderpriority"].astype(str),
+            "od": df["o_orderdate"].to_numpy("datetime64[us]")
+            .astype(np.int64) // 86_400_000_000}),
+        batch_format="pandas")
+    j = auto_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+
+    def flags(df: pd.DataFrame) -> pd.DataFrame:
+        lag = df["sd"].to_numpy(np.int64) - df["od"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "priority": df["priority"],
+            "n_lines": np.ones(len(df), np.int64),
+            "misses": (lag > 7).astype(np.int64)})
+
+    out = reduce_sink(j.map_batches(flags, batch_format="pandas"),
+                      ["priority"], {"n_lines": ("n_lines", "sum"),
+                                     "misses": ("misses", "sum")}) \
+        .to_pandas().sort_values("priority", ignore_index=True)
+    out = out.astype({"n_lines": np.int64, "misses": np.int64})
+    out["miss_share"] = textstats.round_half_away(
+        out["misses"].to_numpy(np.float64)
+        / out["n_lines"].to_numpy(np.float64), 6)
+    return out
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
