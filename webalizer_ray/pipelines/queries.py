@@ -20925,6 +20925,154 @@ def ship_sla_miss_by_priority(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+@register("transition_dwell_time", sql=f"""
+WITH sid AS (SELECT user_id, event_type, ts, event_id,
+                    SUM(ns) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+             FROM ({_NS_SQL})),
+p AS (SELECT LAG(event_type) OVER w AS from_type,
+             event_type AS to_type,
+             (epoch_us(ts) - epoch_us(LAG(ts) OVER w)) // 1000000
+                 AS gap_s
+      FROM sid
+      WINDOW w AS (PARTITION BY user_id, sid ORDER BY ts, event_id))
+SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(gap_s) AS BIGINT) AS total_s,
+       ROUND(SUM(gap_s) * 1.0 / COUNT(*), 4) AS mean_s
+FROM p WHERE from_type IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2""")
+def transition_dwell_time(sf_dir: str) -> pd.DataFrame:
+    """WHERE session time goes: the transition matrix weighted by
+    dwell — mean seconds spent on type A before moving to B within a
+    session (the count-only transition matrix says views lead to
+    purchases; this says whether that step takes 5 seconds or 5
+    minutes — the hesitation map). Sessionize, shift and gap in ONE
+    bucket-local pass (seam transitions survive block splits); only
+    ≤|types|² (from, to, n, Σgap) integer partials shuffle; the mean
+    is one rounded division on the tiny matrix."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket_"] = (df["user_id"].to_numpy(np.int64) % 32) \
+            .astype(np.int32)
+        return df
+
+    def dwell(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        us = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        uid = g["user_id"].to_numpy(np.int64)
+        et = g["event_type"].to_numpy(object)
+        if len(g) < 2:
+            return pd.DataFrame({"from_type": pd.Series([], object),
+                                 "to_type": pd.Series([], object),
+                                 "n": pd.Series([], dtype=np.int64),
+                                 "total_s": pd.Series([],
+                                                      dtype=np.int64)})
+        cont = (uid[1:] == uid[:-1]) \
+            & ((us[1:] - us[:-1]) < 1_800_000_000)
+        gap = (us[1:] - us[:-1])[cont] // 1_000_000
+        d = pd.DataFrame({"from_type": et[:-1][cont],
+                          "to_type": et[1:][cont], "gap": gap})
+        out = d.groupby(["from_type", "to_type"], sort=False).agg(
+            n=("gap", "size"), total_s=("gap", "sum")).reset_index()
+        return out.astype({"n": np.int64, "total_s": np.int64})
+
+    parts = (ds.map_batches(with_bucket, batch_format="pandas")
+             .groupby("bucket_").map_groups(dwell,
+                                            batch_format="pandas"))
+    out = reduce_sink(parts, ["from_type", "to_type"],
+                      {"n": ("n", "sum"),
+                       "total_s": ("total_s", "sum")}) \
+        .to_pandas().sort_values(["from_type", "to_type"],
+                                 ignore_index=True)
+    out = out.astype({"n": np.int64, "total_s": np.int64})
+    out["mean_s"] = textstats.round_half_away(
+        out["total_s"].to_numpy(np.float64)
+        / out["n"].to_numpy(np.float64), 4)
+    return out
+
+
+@register("energy_distance_view_purchase", sql="""
+WITH h AS (SELECT CAST(ROUND(value * 100) AS BIGINT) AS c,
+                  CAST(SUM(CASE WHEN event_type = 'view' THEN 1
+                                ELSE 0 END) AS BIGINT) AS a,
+                  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1
+                                ELSE 0 END) AS BIGINT) AS b
+           FROM events WHERE event_type IN ('view', 'purchase')
+           GROUP BY 1),
+t AS (SELECT CAST(SUM(a) AS HUGEINT) AS n,
+             CAST(SUM(b) AS HUGEINT) AS m FROM h),
+s AS (SELECT c, SUM(a) OVER (ORDER BY c) AS ca,
+             SUM(b) OVER (ORDER BY c) AS cb,
+             LEAD(c) OVER (ORDER BY c) AS nc
+      FROM h),
+g AS (SELECT
+  SUM(CAST(nc - c AS HUGEINT)
+      * (CAST(ca AS HUGEINT) * (t.m - cb)
+         + CAST(cb AS HUGEINT) * (t.n - ca))) AS sxy,
+  SUM(CAST(nc - c AS HUGEINT)
+      * (CAST(ca AS HUGEINT) * (t.n - ca))) AS sxx,
+  SUM(CAST(nc - c AS HUGEINT)
+      * (CAST(cb AS HUGEINT) * (t.m - cb))) AS syy
+  FROM s, t WHERE nc IS NOT NULL)
+SELECT CAST(t.n AS BIGINT) AS n_view, CAST(t.m AS BIGINT) AS n_purchase,
+       ROUND((2.0 * (CAST(g.sxy AS DOUBLE)
+                     / (CAST(t.n AS DOUBLE) * CAST(t.m AS DOUBLE)))
+              - 2.0 * CAST(g.sxx AS DOUBLE)
+                / (CAST(t.n AS DOUBLE) * CAST(t.n AS DOUBLE))
+              - 2.0 * CAST(g.syy AS DOUBLE)
+                / (CAST(t.m AS DOUBLE) * CAST(t.m AS DOUBLE))) / 100,
+             6) AS energy_distance_dollars
+FROM g, t""")
+def energy_distance_view_purchase(sf_dir: str) -> pd.DataFrame:
+    """Energy distance between the view and purchase value
+    distributions (Székely & Rizzo 2004): D² = 2E|X−Y| − E|X−X'| −
+    E|Y−Y'| — a true METRIC on distributions in dollar units,
+    sensitive to tail differences the KS sup-norm can't weigh
+    (completes the two-sample family: KS, CvM, MW, Welch are tests,
+    this is the distance). Every pairwise-|Δ| expectation collapses
+    to the exact O(V) prefix identity Σ gap_k·(crossings at k) over
+    the shared cents histogram — the gini trick, two samples at
+    once — with 128-bit cross terms in python ints; three exact
+    integers in, one rounded division out."""
+    def h(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df["event_type"].isin(("view", "purchase")).to_numpy()
+        d = df[keep]
+        isv = (d["event_type"] == "view").to_numpy()
+        return pd.DataFrame({
+            "c": np.rint(d["value"].to_numpy(np.float64) * 100)
+            .astype(np.int64),
+            "a": isv.astype(np.int64),
+            "b": (~isv).astype(np.int64)})
+
+    hist = reduce_sink(
+        _events(sf_dir, ["event_type", "value"])
+        .map_batches(h, batch_format="pandas"),
+        ["c"], {"a": ("a", "sum"), "b": ("b", "sum")}) \
+        .to_pandas().sort_values("c", ignore_index=True)
+    c = hist["c"].to_numpy(np.int64)
+    a = hist["a"].to_numpy(np.int64)
+    b = hist["b"].to_numpy(np.int64)
+    n, m = int(a.sum()), int(b.sum())
+    ca, cb = np.cumsum(a), np.cumsum(b)
+    gap = (c[1:] - c[:-1]).astype(object)
+    cao, cbo = ca[:-1].astype(object), cb[:-1].astype(object)
+    sxy = int((gap * (cao * (m - cbo) + cbo * (n - cao))).sum())
+    sxx = int((gap * (cao * (n - cao))).sum())
+    syy = int((gap * (cbo * (m - cbo))).sum())
+    e = (2.0 * (float(sxy) / (float(n) * float(m)))
+         - 2.0 * float(sxx) / (float(n) * float(n))
+         - 2.0 * float(syy) / (float(m) * float(m))) / 100
+    return pd.DataFrame({
+        "n_view": np.array([n], np.int64),
+        "n_purchase": np.array([m], np.int64),
+        "energy_distance_dollars": [float(textstats.round_half_away(
+            np.array([e]), 6)[0])]})
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
