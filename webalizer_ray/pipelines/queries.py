@@ -21073,6 +21073,133 @@ def energy_distance_view_purchase(sf_dir: str) -> pd.DataFrame:
             np.array([e]), 6)[0])]})
 
 
+@register("theil_decomposition_by_nation", sql="""
+WITH o AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c,
+                  o_custkey
+           FROM orders),
+j AS (SELECT n.n_name AS nation, o.c FROM o
+      JOIN customer cu ON cu.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = cu.c_nationkey),
+g AS (SELECT nation, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(c) AS HUGEINT) AS s,
+             SUM(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE))) AS l
+      FROM j GROUP BY nation),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+             CAST(SUM(s) AS HUGEINT) AS st FROM g),
+w AS (SELECT
+  SUM((CAST(s AS DOUBLE) / CAST(st AS DOUBLE))
+      * (l / CAST(s AS DOUBLE) - LN(CAST(s AS DOUBLE) / n)))
+      AS t_within,
+  SUM((CAST(s AS DOUBLE) / CAST(st AS DOUBLE))
+      * LN((CAST(s AS DOUBLE) / CAST(st AS DOUBLE))
+           * (CAST(nn AS DOUBLE) / n))) AS t_between
+  FROM g, t)
+SELECT g.nation, g.n AS n_orders, CAST(g.s AS BIGINT) AS sum_cents,
+       ROUND(g.l / CAST(g.s AS DOUBLE)
+             - LN(CAST(g.s AS DOUBLE) / g.n), 6) AS t_g,
+       ROUND(w.t_between, 6) AS t_between,
+       ROUND(w.t_within, 6) AS t_within
+FROM g, w ORDER BY g.nation""")
+def theil_decomposition_by_nation(sf_dir: str) -> pd.DataFrame:
+    """Theil-T inequality DECOMPOSITION of order value across
+    customer nations: T = T_between + Σ share·T_g — the one
+    inequality index that splits exactly into 'nations differ from
+    each other' vs 'inequality inside each nation' (a Gini can't);
+    t_between ≈ 0 says geographic segmentation explains nothing.
+    Customer→nation resolves map-side via broadcast dicts (the fact
+    table never shuffles for the dimension); per-nation partials are
+    (n, Σc, Σ c·ln c) with T_g = L/S − ln(S/n) closing the
+    within-group term from three aggregates — identical expression
+    order on both engines, 6dp on O(1) outputs."""
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"]) \
+        .to_pandas()
+    nat = rd.read_parquet(f"{sf_dir}/nation.parquet",
+                          columns=["n_nationkey", "n_name"]).to_pandas()
+    nmap = dict(zip(nat["n_nationkey"].to_numpy(np.int64),
+                    nat["n_name"].astype(str)))
+    cmap_ref = ray.put({
+        int(k): nmap[int(v)]
+        for k, v in zip(cust["c_custkey"].to_numpy(np.int64),
+                        cust["c_nationkey"].to_numpy(np.int64))})
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cmap = ray.get(cmap_ref)
+        c = np.rint(df["o_totalprice"].to_numpy(np.float64) * 100) \
+            .astype(np.int64)
+        d = pd.DataFrame({
+            "nation": df["o_custkey"].map(cmap),
+            "n": np.ones(len(df), np.int64), "s": c,
+            "l": c.astype(np.float64) * np.log(c.astype(np.float64))})
+        return d.groupby("nation", as_index=False).agg(
+            n=("n", "sum"), s=("s", "sum"), l=("l", "sum"))
+
+    g = reduce_sink(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_totalprice", "o_custkey"])
+        .map_batches(partial, batch_format="pandas"),
+        ["nation"], {"n": ("n", "sum"), "s": ("s", "sum"),
+                     "l": ("l", "sum")}) \
+        .to_pandas().sort_values("nation", ignore_index=True)
+    n_g = g["n"].to_numpy(np.int64)
+    s_g = np.array([int(v) for v in g["s"]], dtype=object)
+    l_g = g["l"].to_numpy(np.float64)
+    nn, st = int(n_g.sum()), int(s_g.sum())
+    share = np.array([float(int(s)) / float(st) for s in s_g])
+    t_g = l_g / np.array([float(int(s)) for s in s_g]) \
+        - np.log(np.array([float(int(s)) for s in s_g])
+                 / n_g.astype(np.float64))
+    t_within = float((share * t_g).sum())
+    t_between = float((share * np.log(
+        share * (float(nn) / n_g.astype(np.float64)))).sum())
+    r = textstats.round_half_away
+    return pd.DataFrame({
+        "nation": g["nation"],
+        "n_orders": n_g.astype(np.int64),
+        "sum_cents": np.array([int(v) for v in s_g], np.int64),
+        "t_g": r(t_g, 6),
+        "t_between": float(r(np.array([t_between]), 6)[0]),
+        "t_within": float(r(np.array([t_within]), 6)[0])})
+
+
+@register("return_rate_by_discount", sql="""
+SELECT CAST(ROUND(l_discount * 100) AS BIGINT) AS discount_pct,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+            AS BIGINT) AS returned,
+       ROUND(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+             * 1.0 / COUNT(*), 6) AS return_rate
+FROM lineitem GROUP BY 1 ORDER BY 1""")
+def return_rate_by_discount(sf_dir: str) -> pd.DataFrame:
+    """Return rate by discount band — the moral-hazard check: if
+    deeply-discounted lines come back MORE often, discounts are
+    buying regret, not revenue (read next to the discount-cap
+    what-if). One pruned two-column scan, 11 integer partial rows,
+    one rounded division per band."""
+    def flags(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "discount_pct": np.rint(
+                df["l_discount"].to_numpy(np.float64) * 100)
+            .astype(np.int64),
+            "n_lines": np.ones(len(df), np.int64),
+            "returned": (df["l_returnflag"].to_numpy(object) == "R")
+            .astype(np.int64)})
+
+    out = reduce_sink(
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_discount", "l_returnflag"])
+        .map_batches(flags, batch_format="pandas"),
+        ["discount_pct"], {"n_lines": ("n_lines", "sum"),
+                           "returned": ("returned", "sum")}) \
+        .to_pandas().sort_values("discount_pct", ignore_index=True)
+    out = out.astype({"discount_pct": np.int64, "n_lines": np.int64,
+                      "returned": np.int64})
+    out["return_rate"] = textstats.round_half_away(
+        out["returned"].to_numpy(np.float64)
+        / out["n_lines"].to_numpy(np.float64), 6)
+    return out
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
