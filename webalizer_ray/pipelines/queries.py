@@ -21200,6 +21200,159 @@ def return_rate_by_discount(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+_TIMEOUTS_S = (300, 900, 1800, 3600)
+
+_TIMEOUT_SQL = "\nUNION ALL ".join(f"""
+SELECT {t} AS timeout_s, CAST(SUM(ns) AS BIGINT) AS n_sessions,
+       ROUND(COUNT(*) * 1.0 / SUM(ns), 4) AS mean_events
+FROM (SELECT CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts)
+                          >= {t * 1_000_000}
+                  THEN 1 ELSE 0 END AS ns
+      FROM (SELECT ts, LAG(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_ts
+            FROM events))""" for t in _TIMEOUTS_S) + "\nORDER BY timeout_s"
+
+
+@register("session_timeout_calibration", sql=_TIMEOUT_SQL)
+def session_timeout_calibration(sf_dir: str) -> pd.DataFrame:
+    """Calibration curve for the session-timeout knob: session count
+    and mean events/session at 5/15/30/60-minute gaps — the table
+    you read BEFORE trusting any 30-minute-window metric (if
+    n_sessions still drops steeply between 30 and 60 min, the
+    '30-minute visit' is an artifact of the knob, not of behavior;
+    the reference hard-codes 1800 s — this measures that choice).
+    ONE bucket-local sort+gap pass evaluates all four thresholds on
+    the same gap array; only 4 (timeout, sessions, events) integer
+    partials per bucket shuffle."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id"])
+
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket_"] = (df["user_id"].to_numpy(np.int64) % 32) \
+            .astype(np.int32)
+        return df
+
+    def counts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        us = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        uid = g["user_id"].to_numpy(np.int64)
+        n = len(g)
+        gap = np.full(n, np.int64(1 << 62))
+        if n > 1:
+            same = uid[1:] == uid[:-1]
+            gap[1:] = np.where(same, us[1:] - us[:-1],
+                               np.int64(1 << 62))
+        rows = [(t, int((gap >= t * 1_000_000).sum()), n)
+                for t in _TIMEOUTS_S]
+        return pd.DataFrame(rows, columns=["timeout_s", "n_sessions",
+                                           "n_events"])
+
+    out = reduce_sink(
+        ds.map_batches(with_bucket, batch_format="pandas")
+        .groupby("bucket_").map_groups(counts, batch_format="pandas"),
+        ["timeout_s"], {"n_sessions": ("n_sessions", "sum"),
+                        "n_events": ("n_events", "sum")}) \
+        .to_pandas().sort_values("timeout_s", ignore_index=True)
+    mean = textstats.round_half_away(
+        out["n_events"].to_numpy(np.float64)
+        / out["n_sessions"].to_numpy(np.float64), 4)
+    return pd.DataFrame({
+        "timeout_s": out["timeout_s"].astype(np.int64),
+        "n_sessions": out["n_sessions"].astype(np.int64),
+        "mean_events": mean})
+
+
+@register("escalating_spend_share", sql="""
+WITH o AS (SELECT o_custkey AS c,
+                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+                  o_orderdate AS od, o_orderkey AS k
+           FROM orders),
+w AS (SELECT c, v,
+             ROW_NUMBER() OVER (PARTITION BY c ORDER BY od, k) AS rn,
+             COUNT(*) OVER (PARTITION BY c) AS cnt,
+             MAX(v) OVER (PARTITION BY c ORDER BY od, k
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prevmax,
+             LAG(v) OVER (PARTITION BY c ORDER BY od, k) AS prev
+      FROM o),
+per AS (SELECT c,
+               MAX(CASE WHEN rn = cnt AND v > prevmax THEN 1 ELSE 0
+                        END) AS last_is_max,
+               MIN(CASE WHEN rn > 1 AND v <= prev THEN 0 ELSE 1
+                        END) AS monotone
+        FROM w GROUP BY c HAVING MAX(cnt) >= 2)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_multi_customers,
+       CAST(SUM(last_is_max) AS BIGINT) AS last_is_max_n,
+       ROUND(SUM(last_is_max) * 1.0 / COUNT(*), 6)
+           AS last_is_max_share,
+       CAST(SUM(monotone) AS BIGINT) AS monotone_n,
+       ROUND(SUM(monotone) * 1.0 / COUNT(*), 6) AS monotone_share
+FROM per""")
+def escalating_spend_share(sf_dir: str) -> pd.DataFrame:
+    """Escalating-spend detector over multi-order customers: the
+    share whose LAST order is their strict lifetime maximum (growing
+    trust — upsell is working) and the share whose whole order
+    sequence is strictly increasing (the rare monotone climbers) —
+    per-entity ORDER-dependent booleans no value histogram can
+    recover. Customers hash-bucket; one vectorized sort + grouped
+    cummax/shift per bucket computes both flags; only three integer
+    partials per bucket shuffle. Ties lose (strict >) on both
+    engines."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_totalprice", "o_orderdate",
+                 "o_orderkey"])
+
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "c": df["o_custkey"].to_numpy(np.int64),
+            "v": np.rint(df["o_totalprice"].to_numpy(np.float64)
+                         * 100).astype(np.int64),
+            "od": df["o_orderdate"].to_numpy("datetime64[us]")
+            .astype(np.int64),
+            "k": df["o_orderkey"].to_numpy(np.int64),
+            "bucket_": (df["o_custkey"].to_numpy(np.int64) % 32)
+            .astype(np.int32)})
+
+    def flags(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["c", "od", "k"], kind="mergesort")
+        grp = g.groupby("c", sort=False)
+        cnt = grp["v"].transform("size").to_numpy(np.int64)
+        prevmax = grp["v"].cummax().groupby(g["c"], sort=False) \
+            .shift(1)
+        prev = grp["v"].shift(1)
+        is_last = grp.cumcount().to_numpy(np.int64) == cnt - 1
+        multi = cnt >= 2
+        last_is_max = (is_last & multi
+                       & (g["v"] > prevmax).to_numpy())
+        broke = ((g["v"] <= prev) & prev.notna()).to_numpy()
+        per = pd.DataFrame({"c": g["c"], "broke": broke,
+                            "lim": last_is_max, "multi": multi}) \
+            .groupby("c", sort=False).agg(
+            broke=("broke", "any"), lim=("lim", "any"),
+            multi=("multi", "any"))
+        per = per[per["multi"]]
+        return pd.DataFrame({
+            "n_multi": [np.int64(len(per))],
+            "lim_n": [np.int64(per["lim"].sum())],
+            "mono_n": [np.int64((~per["broke"]).sum())]})
+
+    p = (ds.map_batches(with_bucket, batch_format="pandas")
+         .groupby("bucket_").map_groups(flags, batch_format="pandas")) \
+        .to_pandas().sum()
+    n, lim_n, mono_n = (int(p["n_multi"]), int(p["lim_n"]),
+                        int(p["mono_n"]))
+    r = textstats.round_half_away
+    return pd.DataFrame({
+        "n_multi_customers": np.array([n], np.int64),
+        "last_is_max_n": np.array([lim_n], np.int64),
+        "last_is_max_share": [float(r(np.array([lim_n / n]), 6)[0])],
+        "monotone_n": np.array([mono_n], np.int64),
+        "monotone_share": [float(r(np.array([mono_n / n]), 6)[0])]})
+
+
 def all_queries():
     return {name: fn for name, (fn, _) in REGISTRY.items()}
 
