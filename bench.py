@@ -141,7 +141,15 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                      "linear_interp_value_sum",
                      # round-2 fifth-continuation additions
                      "user_value_skyline", "chi_square_type_hour",
-                     "user_max_streak", "spearman_activity_value"]:
+                     "user_max_streak", "spearman_activity_value",
+                     # round-2 sixth-continuation additions
+                     "haar_daily_energy", "twonn_intrinsic_dim",
+                     "session_type_trigrams", "cosine_percolation_curve",
+                     "cuped_value_adjustment",
+                     "energy_distance_view_purchase",
+                     "theil_decomposition_by_nation",
+                     "label_silhouette_mean", "sentence_dup_rate",
+                     "self_excitation_screen"]:
             fn = Q.REGISTRY[name][0]
             t0 = time.perf_counter()
             fn(sf_dir)
