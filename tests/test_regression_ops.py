@@ -2786,3 +2786,34 @@ def test_top1pct_share_planted(ray_session, tmp_path):
                   [1.0] * 100 + [99.0])
     o2 = REGISTRY["event_value_top1pct_share"][0](whale)
     assert abs(o2["top1pct_share"][0] - round(99 / 199, 6)) < 1e-12
+
+
+def test_markov_removal_attribution_planted(ray_session, tmp_path):
+    """Planted journeys: view->purchase x2, click->purchase x1,
+    view->end x1, click->end x1. Base conv = 3/5*2/3 + 2/5*1/2 = 0.6;
+    removing view leaves 0.2 (RE=2/3), removing click leaves 0.4
+    (RE=1/3); shares normalize to 2/3 and 1/3."""
+    from webalizer_ray.pipelines.queries import REGISTRY
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    s = np.timedelta64(1, "s")
+    gap = np.timedelta64(3600, "s")
+    seqs = [["view", "purchase"], ["view", "purchase"],
+            ["click", "purchase"], ["view"], ["click"]]
+    ts, types = [], []
+    cur = t0
+    for seq in seqs:
+        for i, e in enumerate(seq):
+            ts.append(cur + i * s)
+            types.append(e)
+        cur = cur + gap
+    d = str(tmp_path / "attr")
+    _write_events(d, ts, [1.0] * len(ts), types=types)
+    out = REGISTRY["markov_removal_attribution"][0](d)
+    got_re = dict(zip(out["channel"], out["removal_effect"]))
+    got_sh = dict(zip(out["channel"], out["attribution_share"]))
+    assert set(out["channel"]) == {"view", "click"}
+    assert abs(got_re["view"] - 2 / 3) < 1e-6
+    assert abs(got_re["click"] - 1 / 3) < 1e-6
+    assert abs(got_sh["view"] - 2 / 3) < 1e-6
+    assert abs(got_sh["click"] - 1 / 3) < 1e-6
