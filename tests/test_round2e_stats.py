@@ -595,3 +595,35 @@ def test_bh_fdr_planted_signal(tmp_path):
     pi0 = q("storey_pi0_hourweek_purchase")(d).iloc[0]
     assert pi0["m"] == 168
     assert 0.0 <= pi0["pi0"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# Kleinberg burst detection
+# ---------------------------------------------------------------------------
+
+def test_kleinberg_planted_burst(tmp_path):
+    d = str(tmp_path / "sf")
+    # 5/day baseline, 25/day for days 10..13 -> one burst interval
+    counts = [5] * 10 + [25] * 4 + [5] * 10
+    ts, us = _days("1995-01-01", counts)
+    _write_events(d, ts, us, ["view"] * len(ts))
+    iv = q("kleinberg_burst_intervals")(d)
+    assert len(iv) == 1
+    r = iv.iloc[0]
+    assert r["len_days"] == 4 and r["events"] == 100
+    # lambda0 = 200/24 days; burst mean 25 -> ratio = 3.0 exactly
+    assert r["rate_ratio"] == 3.0
+    days = q("kleinberg_burst_days")(d)
+    assert len(days) == 4 and (days["events"] == 25).all()
+
+
+def _days(start, counts):
+    ts, us = [], []
+    uid = 0
+    for i, c in enumerate(counts):
+        for k in range(c):
+            ts.append(np.datetime64(start, "D")
+                      + np.timedelta64(i, "D"))
+            us.append(uid)
+            uid += 1
+    return [str(t) + "T12:00:00" for t in ts], us
