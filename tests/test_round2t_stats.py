@@ -112,3 +112,42 @@ def test_sipp_single_hot_hour(tmp_path):
     assert f["flat_mean_server_hours"] == 24
     assert abs(f["peak_overstaff_ratio"] - 24.0) < 1e-6
     assert f["mean_understaffed_hours"] == 1
+
+
+# ---------------------------------------------------------------------------
+# Group-sequential boundaries on two planted weeks
+# ---------------------------------------------------------------------------
+
+def test_obf_and_pocock_two_weeks(tmp_path):
+    d = str(tmp_path / "sf")
+    # each week: Sun purchase + Sat view (p1=.5), one weekday
+    # purchase of five (p0=.2)
+    ts, us, tp = [], [], []
+    uid = 0
+    for wk in range(2):
+        base = 1 + 7 * wk
+        for off, t in [(0, "purchase"), (6, "view"),
+                       (1, "purchase"), (2, "view"),
+                       (3, "view"), (4, "view"), (5, "view")]:
+            ts.append(f"1995-01-{base + off:02d}T12:00:00")
+            us.append(uid)
+            tp.append(t)
+            uid += 1
+    _write_events(d, ts, us, tp)
+    r = q("obrien_fleming_monitor")(d)
+    assert len(r) == 2
+    assert abs(r["obf_boundary"].iloc[0]
+               - 1.959964 * np.sqrt(2.0)) < 1e-5
+    assert abs(r["obf_boundary"].iloc[1] - 1.959964) < 1e-6
+    # cumulative z at week 2: (.5-.2)/sqrt(.0625+.016)
+    z2 = 0.3 / np.sqrt(0.5 * 0.5 / 4 + 0.2 * 0.8 / 10)
+    assert abs(r["cumulative_z"].iloc[1] - z2) < 1e-5
+    assert list(r["obf_crossed"]) == [0, 0]
+    assert list(r["naive_crossed"]) == [0, 0]
+    v = q("pocock_vs_obf_verdict")(d).iloc[0]
+    assert v["n_analyses"] == 2
+    assert abs(v["pocock_boundary"] - 2.178) < 1e-9
+    import pandas as pd
+    assert pd.isna(v["first_cross_pocock"])
+    assert pd.isna(v["first_cross_obf"])
+    assert pd.isna(v["first_cross_naive"])
