@@ -30,10 +30,11 @@ def test_cross_run_near_dups_drop(ray_session, tmp_path):
 
     kept_a, drops_a = incremental_minhash_dedup(
         rd.from_pandas(run_a), store, "a", threshold=0.5)
-    assert len(kept_a) == 200 and len(drops_a) == 0
+    assert kept_a.count() == 200 and drops_a.count() == 0
 
     kept_b, drops_b = incremental_minhash_dedup(
         rd.from_pandas(run_b), store, "b", threshold=0.5)
+    kept_b, drops_b = kept_b.to_pandas(), drops_b.to_pandas()
     dropped = set(drops_b["doc_id"])
     # every planted near-dup is caught, every novel doc survives
     assert dropped == set(dups["doc_id"])
@@ -50,8 +51,10 @@ def test_same_run_rerun_is_idempotent(ray_session, tmp_path):
     docs = _docs_df().iloc[:150]
     k1, d1 = incremental_minhash_dedup(rd.from_pandas(docs), store, "a")
     k2, d2 = incremental_minhash_dedup(rd.from_pandas(docs), store, "a")
-    pd.testing.assert_frame_equal(k1, k2)
-    assert len(d1) == len(d2) == 0
+    pd.testing.assert_frame_equal(
+        k1.to_pandas().sort_values("doc_id", ignore_index=True),
+        k2.to_pandas().sort_values("doc_id", ignore_index=True))
+    assert d1.count() == d2.count() == 0
 
 
 def test_exact_refeed_drops_everything(ray_session, tmp_path):
@@ -62,5 +65,5 @@ def test_exact_refeed_drops_everything(ray_session, tmp_path):
     refeed["doc_id"] = refeed["doc_id"] + 500_000
     kept, drops = incremental_minhash_dedup(
         rd.from_pandas(refeed), store, "b")
-    assert len(kept) == 0
-    assert (drops["est_jaccard"] == 1.0).all()
+    assert kept.count() == 0
+    assert (drops.to_pandas()["est_jaccard"] == 1.0).all()

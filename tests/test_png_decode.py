@@ -1,0 +1,171 @@
+"""Real PNG decode (VERDICT r2 item 4): the stdlib-zlib decoder in
+pipelines/graphs.py now reads general 8-bit PNGs (all five scanline
+filters, gray/RGB/palette/alpha color types), and the multimodal image
+stages run REAL pixels for PNG payloads — pixel-exact against the
+known raster, with the NotImplementedError stub remaining only for
+JPEG-class formats."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from webalizer_ray.pipelines.graphs import _PNG_SIG, decode_png, encode_png
+
+
+def _rgb(h, w, seed=3):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return (struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+
+def _png_with_filters(rgb: np.ndarray, filters: list[int]) -> bytes:
+    """Spec-conforming forward filtering (PNG 9.4) with a chosen filter
+    type per row — exercises decode paths encode_png never emits."""
+    h, w = rgb.shape[:2]
+    bpp = 3
+    raw = rgb.reshape(h, w * 3).astype(np.int64)
+    out = bytearray()
+    prev = np.zeros(w * 3, np.int64)
+    for y in range(h):
+        f = filters[y % len(filters)]
+        cur = raw[y]
+        left = np.concatenate([np.zeros(bpp, np.int64), cur[:-bpp]])
+        ul = np.concatenate([np.zeros(bpp, np.int64), prev[:-bpp]])
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = (cur - left) & 0xFF
+        elif f == 2:
+            enc = (cur - prev) & 0xFF
+        elif f == 3:
+            enc = (cur - ((left + prev) >> 1)) & 0xFF
+        else:                                      # Paeth
+            p = left + prev - ul
+            pa_, pb, pc = (np.abs(p - left), np.abs(p - prev),
+                           np.abs(p - ul))
+            pred = np.where((pa_ <= pb) & (pa_ <= pc), left,
+                            np.where(pb <= pc, prev, ul))
+            enc = (cur - pred) & 0xFF
+        out.append(f)
+        out.extend(enc.astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (_PNG_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(out)))
+            + _chunk(b"IEND", b""))
+
+
+def test_all_five_filters_decode_pixel_exact():
+    rgb = _rgb(11, 7)
+    for filters in ([1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        got = decode_png(_png_with_filters(rgb, filters))
+        np.testing.assert_array_equal(got, rgb)
+
+
+def test_grayscale_and_rgba_color_types():
+    h, w = 5, 6
+    rng = np.random.default_rng(7)
+    gray = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    scan = np.zeros((h, 1 + w), np.uint8)
+    scan[:, 1:] = gray
+    data = (_PNG_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(scan.tobytes()))
+            + _chunk(b"IEND", b""))
+    got = decode_png(data)
+    np.testing.assert_array_equal(got, np.repeat(gray[:, :, None], 3, 2))
+
+    rgba = rng.integers(0, 256, size=(h, w, 4), dtype=np.uint8)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)
+    scan = np.zeros((h, 1 + w * 4), np.uint8)
+    scan[:, 1:] = rgba.reshape(h, w * 4)
+    data = (_PNG_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(scan.tobytes()))
+            + _chunk(b"IEND", b""))
+    np.testing.assert_array_equal(decode_png(data), rgba[:, :, :3])
+
+
+def test_palette_color_type():
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    idx = np.array([[0, 1, 2], [2, 1, 0]], np.uint8)
+    h, w = idx.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    scan = np.zeros((h, 1 + w), np.uint8)
+    scan[:, 1:] = idx
+    data = (_PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", pal.tobytes())
+            + _chunk(b"IDAT", zlib.compress(scan.tobytes()))
+            + _chunk(b"IEND", b""))
+    np.testing.assert_array_equal(decode_png(data), pal[idx])
+
+
+def test_interlaced_and_16bit_rejected():
+    rgb = _rgb(4, 4)
+    good = encode_png(rgb)
+    for depth, interlace in ((16, 0), (8, 1)):
+        ihdr = struct.pack(">IIBBBBB", 4, 4, depth, 2, 0, 0, interlace)
+        bad = (_PNG_SIG + _chunk(b"IHDR", ihdr)
+               + good[good.index(b"IDAT") - 4:])
+        with pytest.raises(ValueError):
+            decode_png(bad)
+
+
+def test_decode_image_stage_runs_real_png_pixels():
+    """DecodeImage on a PNG payload must equal DecodeImage on the SAME
+    raster as PPM — real pixels, not the fake stand-in."""
+    from webalizer_ray.stages.multimodal import DecodeImage, encode_ppm
+
+    rgb = _rgb(9, 13, seed=11)
+    png = _png_with_filters(rgb, [0, 1, 2, 3, 4])
+    ppm = encode_ppm(rgb)
+    batch = pa.table({
+        "media_id": pa.array([1, 2], pa.int64()),
+        "kind": pa.array(["image", "image"]),
+        "payload": pa.array([png, ppm], pa.large_binary())})
+    out = DecodeImage(feature_dim=8)(batch)    # no fake_decoder needed
+    f = out["features"].to_pylist()
+    assert f[0] == f[1]
+
+
+def test_dhash_and_resize_stages_accept_png():
+    from webalizer_ray.stages.multimodal import (
+        DHashImage,
+        ResizeImage,
+        decode_ppm,
+        dhash64,
+    )
+
+    rgb = _rgb(16, 12, seed=5)
+    png = encode_png(rgb)
+    batch = pa.table({
+        "media_id": pa.array([7], pa.int64()),
+        "kind": pa.array(["image"]),
+        "payload": pa.array([png], pa.large_binary())})
+    hashed = DHashImage()(batch)
+    assert hashed["dhash"].to_pylist() == [dhash64(rgb)]
+
+    thumb = ResizeImage(max_side=8)(batch)
+    px = decode_ppm(thumb["payload"].to_pylist()[0])
+    assert max(px.shape[:2]) <= 8
+
+
+def test_jpeg_class_still_stubbed():
+    from webalizer_ray.stages.multimodal import DecodeImage
+
+    jpeg_ish = b"\xff\xd8\xff\xe0" + b"\x00" * 32
+    batch = pa.table({
+        "media_id": pa.array([1], pa.int64()),
+        "kind": pa.array(["image"]),
+        "payload": pa.array([jpeg_ish], pa.large_binary())})
+    with pytest.raises(Exception) as ei:
+        DecodeImage(feature_dim=8)(batch)
+    assert "NotImplementedError" in repr(ei.getrepr()) \
+        or ei.type is NotImplementedError

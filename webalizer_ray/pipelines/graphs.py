@@ -52,31 +52,102 @@ def encode_png(rgb: np.ndarray) -> bytes:
             + _chunk(b"IEND", b""))
 
 
+def _paeth(a: int, b: int, c: int) -> int:
+    # PNG spec 9.4: Paeth predictor
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
 def decode_png(data: bytes) -> np.ndarray:
-    """Inverse of :func:`encode_png` for its own output subset (8-bit
-    RGB, filter 0). NOT a general PNG reader — it exists so tests can
-    assert pixel-exact round trips with stdlib only."""
+    """General stdlib PNG decoder (spec subset: 8-bit depth, color
+    types 0/2/3/4/6, all five scanline filters, non-interlaced).
+    Returns HxWx3 uint8 — grayscale replicated, alpha dropped,
+    palette resolved. Raises on 16-bit / interlaced / malformed input.
+
+    Upgraded from the encode_png-only round-trip reader so
+    multimodal.DecodeImage can run REAL pixels for arbitrary
+    straightforward PNG payloads with zero new dependencies
+    (VERDICT r2 item 4). The per-row unfilter for Sub/Average/Paeth is
+    inherently sequential in x (each byte depends on the previous
+    reconstructed byte) — same per-payload exemption as zlib itself;
+    filters 0/1/2 are vectorized.
+    """
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
-    pos, w = 8, 0
-    h = 0
+    pos, w, h = 8, 0, 0
+    depth = ctype = interlace = 0
     idat = b""
-    while pos < len(data):
+    plte = None
+    while pos + 8 <= len(data):
         (ln,) = struct.unpack(">I", data[pos:pos + 4])
         tag = data[pos + 4:pos + 8]
         body = data[pos + 8:pos + 8 + ln]
         if tag == b"IHDR":
-            w, h, depth, ctype = struct.unpack(">IIBB", body[:10])
-            if (depth, ctype) != (8, 2):
-                raise ValueError("decode_png only reads encode_png output")
+            w, h, depth, ctype, _comp, _filt, interlace = \
+                struct.unpack(">IIBBBBB", body[:13])
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat += body
+        elif tag == b"IEND":
+            break
         pos += 12 + ln
-    scan = np.frombuffer(zlib.decompress(idat), np.uint8) \
-        .reshape(h, 1 + w * 3)
-    if scan[:, 0].any():
-        raise ValueError("unexpected filter type (not encode_png output)")
-    return scan[:, 1:].reshape(h, w, 3).copy()
+    if depth != 8:
+        raise ValueError(f"decode_png: unsupported bit depth {depth}")
+    if interlace:
+        raise ValueError("decode_png: interlaced PNG not supported")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"decode_png: unknown color type {ctype}")
+    bpp = channels                      # bytes per pixel at depth 8
+    stride = w * channels
+    raw = zlib.decompress(idat)
+    if len(raw) != h * (1 + stride):
+        raise ValueError("decode_png: bad data length")
+    recon = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int64)
+    for y in range(h):
+        f = raw[y * (1 + stride)]
+        line = np.frombuffer(raw, np.uint8, stride,
+                             y * (1 + stride) + 1).astype(np.int64)
+        if f == 0:                      # None
+            cur = line
+        elif f == 2:                    # Up
+            cur = (line + prev) & 0xFF
+        elif f == 1:                    # Sub — per-channel prefix sum
+            cur = line.reshape(w, bpp).cumsum(axis=0).reshape(-1) & 0xFF
+        elif f == 3:                    # Average
+            cur = np.empty(stride, np.int64)
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif f == 4:                    # Paeth
+            cur = np.empty(stride, np.int64)
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                ul = prev[x - bpp] if x >= bpp else 0
+                cur[x] = (line[x]
+                          + _paeth(int(left), int(prev[x]), int(ul))) \
+                    & 0xFF
+        else:
+            raise ValueError(f"decode_png: bad filter type {f}")
+        recon[y] = cur.astype(np.uint8)
+        prev = cur
+    px = recon.reshape(h, w, channels)
+    if ctype == 3:                      # palette lookup
+        if plte is None:
+            raise ValueError("decode_png: palette PNG without PLTE")
+        return plte[px[:, :, 0]].copy()
+    if channels == 1:                   # grayscale → replicate
+        return np.repeat(px, 3, axis=2).copy()
+    if channels == 2:                   # gray+alpha → replicate, drop A
+        return np.repeat(px[:, :, :1], 3, axis=2).copy()
+    return px[:, :, :3].copy()          # RGB / RGBA (drop alpha)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,4226 @@
+"""Driver-contract queries (chunk 1/17).
+Sections:
+  - A1–A3: time-bucket aggregates over events (daily/hourly/monthly tables)
+  - K1, A10, P9, P10 analogs over events
+  - W1/W2: sessionization of the events stream (30-min gap, >= rule)
+  - per-batch partials could split a session across blocks → combine in
+  - P2/P14/J3 analogs over documents
+  - A11 skew / K3 over lineitem
+  - Dedup / similarity / text-analysis (training-data operators)
+  - drop the self edge by IDENTITY, not by rank — an exact duplicate
+  - Flagship over the adapted events stream (full parse→enrich→route→agg),
+  - Per-batch top-1 is a PARTIAL (dynamic block splitting can cut a
+  - Multimodal plumbing (rows-only: binary payloads, actor-pool decode)
+  - Relational operators Ray Data lacks natively, re-expressed as scale-safe
+"""
+# fmt: off
+from webalizer_ray.pipelines.queries._shared import (  # noqa: F401
+    REGISTRY,
+    _docs,
+    _events,
+    ann,
+    dedup,
+    distinct_count,
+    exact_quantiles_bounded,
+    np,
+    os,
+    pa,
+    pc,
+    pd,
+    pq,
+    ray,
+    rd,
+    reduce_sink,
+    register,
+    salted_two_phase,
+    scan,
+    tempfile,
+    textstats,
+    top_n_pandas,
+)
+
+
+
+# ---------------------------------------------------------------------------
+# A1–A3: time-bucket aggregates over events (daily/hourly/monthly tables)
+# ---------------------------------------------------------------------------
+
+def _with_time_cols(cols):
+    def f(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"]
+        if "hour" in cols:
+            batch = batch.append_column(
+                "hour", pc.cast(pc.hour(ts), pa.int64()))
+        if "date" in cols:
+            batch = batch.append_column("date",
+                                        pc.strftime(ts, format="%Y-%m-%d"))
+        if "month" in cols:
+            batch = batch.append_column("month",
+                                        pc.strftime(ts, format="%Y-%m"))
+        return batch
+    return f
+
+
+@register("hourly_events", sql="""
+SELECT CAST(hour(ts) AS BIGINT) AS hour, COUNT(*) AS hits,
+       ROUND(SUM(value), 2) AS value_sum
+FROM events GROUP BY hour""")
+def hourly_events(sf_dir: str) -> pd.DataFrame:
+    ds = _events(sf_dir, ["ts", "value"]) \
+        .map_batches(_with_time_cols({"hour"}), batch_format="pyarrow")
+    out = reduce_sink(ds, ["hour"], {"hits": ("ts", "size"),
+                                     "value_sum": ("value", "sum")}).to_pandas()
+    out["value_sum"] = out["value_sum"].round(2)
+    return out.sort_values("hour", ignore_index=True)
+
+
+@register("daily_events", sql="""
+SELECT strftime(ts, '%Y-%m-%d') AS date, COUNT(*) AS hits,
+       ROUND(SUM(value), 2) AS value_sum
+FROM events GROUP BY date""")
+def daily_events(sf_dir: str) -> pd.DataFrame:
+    ds = _events(sf_dir, ["ts", "value"]) \
+        .map_batches(_with_time_cols({"date"}), batch_format="pyarrow")
+    out = reduce_sink(ds, ["date"], {"hits": ("ts", "size"),
+                                     "value_sum": ("value", "sum")}).to_pandas()
+    out["value_sum"] = out["value_sum"].round(2)
+    return out.sort_values("date", ignore_index=True)
+
+
+@register("monthly_events", sql="""
+SELECT strftime(ts, '%Y-%m') AS month, COUNT(*) AS hits,
+       COUNT(DISTINCT user_id) AS users, ROUND(SUM(value), 2) AS value_sum
+FROM events GROUP BY month""")
+def monthly_events(sf_dir: str) -> pd.DataFrame:
+    ds = _events(sf_dir, ["ts", "value", "user_id"]) \
+        .map_batches(_with_time_cols({"month"}), batch_format="pyarrow")
+    agg = reduce_sink(ds, ["month"], {"hits": ("ts", "size"),
+                                      "value_sum": ("value", "sum")}).to_pandas()
+    users = distinct_count(ds, ["month"], "user_id", "users").to_pandas()
+    out = agg.merge(users, on="month")
+    out["value_sum"] = out["value_sum"].round(2)
+    return out[["month", "hits", "users", "value_sum"]] \
+        .sort_values("month", ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# K1, A10, P9, P10 analogs over events
+# ---------------------------------------------------------------------------
+
+@register("top_event_types", sql="""
+SELECT event_type, COUNT(*) AS hits FROM events
+GROUP BY event_type ORDER BY hits DESC, event_type LIMIT 3""")
+def top_event_types(sf_dir: str) -> pd.DataFrame:
+    agg = reduce_sink(_events(sf_dir, ["event_type"]), ["event_type"],
+                      {"hits": ("event_type", "size")}).to_pandas()
+    return top_n_pandas(agg, "event_type", "hits", 3)
+
+
+@register("distinct_users", sql="""
+SELECT COUNT(DISTINCT user_id) AS users FROM events""")
+def distinct_users(sf_dir: str) -> pd.DataFrame:
+    """Global exact distinct via the two-phase distinct_count with a
+    constant key — per-batch dedup, hash-bucketed global dedup + count,
+    tiny sum of disjoint partials. The distinct VALUES never gather on
+    the driver (10^9 users would not fit)."""
+    ds = _events(sf_dir, ["user_id"]).map_batches(
+        lambda df: df.assign(_g=np.int32(0)), batch_format="pandas")
+    out = distinct_count(ds, ["_g"], "user_id", "users").to_pandas()
+    return pd.DataFrame({"users": out["users"].astype(np.int64).to_numpy()})
+
+
+_CLASS_SQL = """CASE WHEN event_type IN ('view', 'click') THEN 'engagement'
+       WHEN event_type IN ('purchase', 'signup') THEN 'conversion'
+       WHEN event_type = 'error' THEN 'failure' ELSE 'other' END"""
+_CLASS_MAP = {"view": "engagement", "click": "engagement",
+              "purchase": "conversion", "signup": "conversion",
+              "error": "failure"}
+
+
+@register("event_class_hist", sql=f"""
+SELECT {_CLASS_SQL} AS class, COUNT(*) AS hits, ROUND(SUM(value), 2) AS value_sum
+FROM events GROUP BY class""")
+def event_class_hist(sf_dir: str) -> pd.DataFrame:
+    """P9/J2 analog: classify via broadcast lookup, aggregate per class."""
+    from webalizer_ray.stages.enrich import _Lookup
+    lk = _Lookup(_CLASS_MAP, "other")
+
+    def classify(batch: pa.Table) -> pa.Table:
+        return batch.append_column("class", lk(batch["event_type"]))
+
+    ds = _events(sf_dir, ["event_type", "value"]) \
+        .map_batches(classify, batch_format="pyarrow")
+    out = reduce_sink(ds, ["class"], {"hits": ("class", "size"),
+                                      "value_sum": ("value", "sum")}).to_pandas()
+    out["value_sum"] = out["value_sum"].round(2)
+    return out.sort_values("class", ignore_index=True)
+
+
+@register("filtered_event_counts", sql="""
+SELECT event_type, COUNT(*) AS hits FROM events
+WHERE NOT regexp_matches(event_type, '^err') GROUP BY event_type""")
+def filtered_event_counts(sf_dir: str) -> pd.DataFrame:
+    """P10 Ignore*-list analog: vectorized anti-filter then aggregate."""
+    def drop_ignored(batch: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.match_substring_regex(batch["event_type"], "^err"))
+        return batch.filter(keep)
+
+    ds = _events(sf_dir, ["event_type"]) \
+        .map_batches(drop_ignored, batch_format="pyarrow")
+    return (reduce_sink(ds, ["event_type"],
+                        {"hits": ("event_type", "size")})
+            .to_pandas().sort_values("event_type", ignore_index=True))
+
+
+@register("filtered_event_counts_with_include", sql="""
+SELECT event_type, COUNT(*) AS hits FROM events
+WHERE NOT (regexp_matches(event_type, '^(err|p)')
+           AND NOT regexp_matches(event_type, '^purch'))
+GROUP BY event_type""")
+def filtered_event_counts_with_include(sf_dir: str) -> pd.DataFrame:
+    """P10 Include*-override analog: ignore list drops '^(err|p)' but the
+    include list '^purch' overrides — ignore-with-exception, the
+    reference's include-before-ignore check order."""
+    def drop_ignored(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"]
+        ign = pc.match_substring_regex(et, "^(err|p)")
+        inc = pc.match_substring_regex(et, "^purch")
+        return batch.filter(pc.invert(pc.and_(ign, pc.invert(inc))))
+
+    ds = _events(sf_dir, ["event_type"]) \
+        .map_batches(drop_ignored, batch_format="pyarrow")
+    return (reduce_sink(ds, ["event_type"],
+                        {"hits": ("event_type", "size")})
+            .to_pandas().sort_values("event_type", ignore_index=True))
+
+
+# ---------------------------------------------------------------------------
+# W1/W2: sessionization of the events stream (30-min gap, >= rule)
+# ---------------------------------------------------------------------------
+
+_NS_SQL = """
+SELECT user_id, event_type, ts, event_id,
+       CASE WHEN prev_ts IS NULL
+                 OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+            THEN 1 ELSE 0 END AS ns
+FROM (SELECT user_id, event_type, ts, event_id,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS prev_ts
+      FROM events)"""
+
+
+def _sessionized_events(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
+    """events + session id per user (vectorized per user-hash bucket)."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket_"] = (df["user_id"].to_numpy() % num_buckets).astype(np.int32)
+        return df
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        same = g["user_id"].eq(g["user_id"].shift())
+        gap_s = (g["ts"] - g["ts"].shift()).dt.total_seconds()
+        ns = (~same) | (gap_s >= 1800.0)
+        g["sid"] = ns.groupby(g["user_id"], sort=False).cumsum() \
+            .astype(np.int64)
+        return g.drop(columns=["bucket_"])
+
+    return (ds.map_batches(with_bucket, batch_format="pandas")
+            .groupby("bucket_").map_groups(sessionize, batch_format="pandas"))
+
+
+@register("event_transitions", sql="""
+WITH o AS (SELECT user_id, event_type,
+                  LAG(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev
+           FROM events)
+SELECT prev AS from_type, event_type AS to_type,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM o WHERE prev IS NOT NULL GROUP BY prev, event_type""")
+def event_transitions(sf_dir: str) -> pd.DataFrame:
+    """Per-user consecutive-event transition matrix (funnel/Markov
+    analysis over the event log). Same partitioning pattern as
+    sessionization: hash-bucket by user, ONE vectorized sort+shift per
+    bucket (shift masked at user boundaries), then per-bucket partial
+    counts so only (from, to, cnt) partials shuffle — never raw events
+    twice."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket_"] = (df["user_id"].to_numpy() % 64).astype(np.int32)
+        return df
+
+    def transitions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        same = g["user_id"].eq(g["user_id"].shift()).to_numpy()
+        pairs = pd.DataFrame({"from_type": g["event_type"].shift()[same],
+                              "to_type": g["event_type"][same]})
+        c = pairs.groupby(["from_type", "to_type"], sort=False) \
+            .size().rename("cnt").reset_index()
+        c["cnt"] = c["cnt"].astype(np.int64)
+        return c
+
+    parts = (ds.map_batches(with_bucket, batch_format="pandas")
+             .groupby("bucket_").map_groups(transitions,
+                                            batch_format="pandas"))
+    out = reduce_sink(parts, ["from_type", "to_type"],
+                      {"cnt": ("cnt", "sum")}).to_pandas()
+    return out.sort_values(["from_type", "to_type"], ignore_index=True)
+
+
+@register("user_retention_cohorts", sql="""
+WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+f AS (SELECT user_id, MIN(day) AS cohort FROM d GROUP BY user_id)
+SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort,
+       CAST(date_diff('day', f.cohort, d.day) AS BIGINT) AS day_offset,
+       CAST(COUNT(*) AS BIGINT) AS active_users
+FROM d JOIN f USING (user_id) GROUP BY 1, 2""")
+def user_retention_cohorts(sf_dir: str) -> pd.DataFrame:
+    """Cohort retention (users active N days after their first-seen
+    day) — the classic telemetry roll-up. Every per-user step (distinct
+    days, first-seen min, offset join) happens inside the user's hash
+    bucket — cohort assignment never crosses buckets, so the only
+    all-to-all is the tiny final (cohort, offset) partial-count sum.
+    Days are int32 epoch days (zero-copy Arrow date32 cast) until the
+    final strftime on the combined result."""
+    ds = _events(sf_dir, ["user_id", "ts"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        day = pc.cast(pc.cast(batch["ts"], pa.date32()), pa.int32())
+        t = pa.table({"user_id": batch["user_id"], "day": day})
+        t = t.group_by(["user_id", "day"]).aggregate([])  # batch-local dedup
+        b = pc.cast(np.asarray(t["user_id"], dtype=np.int64) % 64,
+                    pa.int32())
+        return t.append_column("bucket_", b)
+
+    def cohortize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "day"]).copy()
+        g["cohort_day"] = g.groupby("user_id")["day"].transform("min")
+        g["day_offset"] = (g["day"] - g["cohort_day"]).astype(np.int64)
+        c = g.groupby(["cohort_day", "day_offset"], sort=False) \
+            .size().rename("active_users").reset_index()
+        c["active_users"] = c["active_users"].astype(np.int64)
+        return c
+
+    parts = (ds.map_batches(project, batch_format="pyarrow")
+             .groupby("bucket_").map_groups(cohortize,
+                                            batch_format="pandas"))
+    out = reduce_sink(parts, ["cohort_day", "day_offset"],
+                      {"active_users": ("active_users", "sum")}).to_pandas()
+    out["cohort"] = pd.to_datetime(out["cohort_day"], unit="D") \
+        .dt.strftime("%Y-%m-%d")
+    return (out[["cohort", "day_offset", "active_users"]]
+            .sort_values(["cohort", "day_offset"], ignore_index=True))
+
+
+@register("hourly_anomaly_scores", sql="""
+WITH h AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hr,
+                  event_type, COUNT(*) AS cnt
+           FROM events GROUP BY 1, 2),
+s AS (SELECT event_type, AVG(cnt) AS mu, STDDEV_POP(cnt) AS sd
+      FROM h GROUP BY event_type)
+SELECT h.hr, h.event_type, CAST(h.cnt AS BIGINT) AS cnt,
+       ROUND((h.cnt - s.mu) / s.sd, 6) AS z
+FROM h JOIN s USING (event_type)""")
+def hourly_anomaly_scores(sf_dir: str) -> pd.DataFrame:
+    """Per-(hour, type) volume z-scores against the type's own
+    distribution — the monitoring/anomaly roll-up. The heavy step is
+    the partial-combined hourly count (raw events never shuffle, only
+    per-batch (hour, type, cnt) partials); z-scoring runs on the tiny
+    aggregate, which stays small (hours × types) at any event scale."""
+    ds = _events(sf_dir, ["ts", "event_type"])
+
+    def hour_partials(batch: pa.Table) -> pa.Table:
+        hr = pc.strftime(pc.floor_temporal(batch["ts"], unit="hour"),
+                         format="%Y-%m-%d %H")
+        t = pa.table({"hr": hr, "event_type": batch["event_type"]})
+        return t.group_by(["hr", "event_type"]).aggregate([("hr", "count")]) \
+            .rename_columns(["hr", "event_type", "cnt"])
+
+    h = reduce_sink(ds.map_batches(hour_partials, batch_format="pyarrow"),
+                    ["hr", "event_type"], {"cnt": ("cnt", "sum")}) \
+        .to_pandas()
+    g = h.groupby("event_type")["cnt"]
+    mu = g.transform("mean").to_numpy(np.float64)
+    sd = g.transform(lambda x: np.std(x.to_numpy(np.float64)))
+    h["z"] = textstats.round_half_away(
+        (h["cnt"].to_numpy(np.float64) - mu) / sd.to_numpy(np.float64), 6)
+    h["cnt"] = h["cnt"].astype(np.int64)
+    return h.sort_values(["hr", "event_type"], ignore_index=True)
+
+
+@register("session_funnel_conversion", sql=f"""
+WITH s AS (SELECT user_id, event_type, ts,
+                  SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+           FROM ({{ns}})),
+per AS (SELECT user_id, sid,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+               MAX(CASE WHEN event_type = 'purchase' THEN ts END)
+                   AS last_purchase
+        FROM s GROUP BY user_id, sid)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN first_view IS NOT NULL
+                      AND last_purchase IS NOT NULL
+                      AND first_view < last_purchase
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+FROM per""".format(ns=_NS_SQL))
+def session_funnel_conversion(sf_dir: str) -> pd.DataFrame:
+    """Funnel conversion: sessions where a 'view' strictly precedes a
+    'purchase' (same visit-window sessionization as user_sessions).
+    first-view/last-purchase per session via the exact two-phase
+    combiner (sentinel int64 µs, min/max merge — correct under any
+    block split), then only per-batch (sessions, converted) count
+    partials reach the driver."""
+    SENT_MAX, SENT_MIN = np.iinfo(np.int64).max, np.iinfo(np.int64).min
+    sess = _sessionized_events(sf_dir)
+
+    def flags(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        et = df["event_type"].to_numpy()
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(),
+            "sid": df["sid"].to_numpy(),
+            "fv": np.where(et == "view", us, SENT_MAX),
+            "lp": np.where(et == "purchase", us, SENT_MIN)})
+
+    per_sess = reduce_sink(sess.map_batches(flags, batch_format="pandas"),
+                           ["user_id", "sid"],
+                           {"fv": ("fv", "min"), "lp": ("lp", "max")})
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        conv = ((df["fv"] != SENT_MAX) & (df["lp"] != SENT_MIN)
+                & (df["fv"] < df["lp"])).sum()
+        return pd.DataFrame({"n_sessions": [np.int64(len(df))],
+                             "n_converted": [np.int64(conv)]})
+
+    parts = per_sess.map_batches(count_partial,
+                                 batch_format="pandas").to_pandas()
+    return pd.DataFrame({"n_sessions": [parts["n_sessions"].sum()],
+                         "n_converted": [parts["n_converted"].sum()]}) \
+        .astype(np.int64)
+
+
+@register("user_sessions", sql=f"""
+SELECT user_id, CAST(SUM(ns) AS BIGINT) AS sessions
+FROM ({_NS_SQL}) GROUP BY user_id""")
+def user_sessions(sf_dir: str) -> pd.DataFrame:
+    sess = _sessionized_events(sf_dir)
+    out = reduce_sink(sess, ["user_id"],
+                      {"sessions": ("sid", "max")}).to_pandas()
+    return out.sort_values("user_id", ignore_index=True)
+
+
+@register("session_entry_exit", sql=f"""
+WITH s AS (SELECT user_id, event_type, ts, event_id,
+                  SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+           FROM ({_NS_SQL})),
+per_sess AS (SELECT user_id, sid,
+                    FIRST(event_type ORDER BY ts, event_id) AS entry_type,
+                    LAST(event_type ORDER BY ts, event_id) AS exit_type
+             FROM s GROUP BY user_id, sid),
+en AS (SELECT entry_type AS event_type, COUNT(*) AS entry FROM per_sess
+       GROUP BY 1),
+ex AS (SELECT exit_type AS event_type, COUNT(*) AS exit FROM per_sess
+       GROUP BY 1)
+SELECT event_type, COALESCE(entry, 0) AS entry, COALESCE(exit, 0) AS exit
+FROM en FULL JOIN ex USING (event_type)""")
+def session_entry_exit(sf_dir: str) -> pd.DataFrame:
+    """W2 analog: first/last event of each session → entry/exit counts."""
+    sess = _sessionized_events(sf_dir)
+
+    def firstlast(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g = df.groupby(["user_id", "sid"], sort=False)
+        return g.agg(entry_type=("event_type", "first"),
+                     exit_type=("event_type", "last"),
+                     min_ts=("ts", "min"),
+                     min_eid=("event_id", "min")).reset_index()
+
+    # per-batch partials could split a session across blocks → combine in
+    # (ts, event_id) order (same pattern as session.py)
+    partials = sess.map_batches(firstlast, batch_format="pandas").to_pandas()
+    partials = partials.sort_values(["user_id", "sid", "min_ts", "min_eid"],
+                                    kind="mergesort")
+    per_sess = partials.groupby(["user_id", "sid"], sort=False).agg(
+        entry_type=("entry_type", "first"), exit_type=("exit_type", "last"))
+    en = per_sess.groupby("entry_type").size().rename("entry")
+    ex = per_sess.groupby("exit_type").size().rename("exit")
+    out = pd.concat([en, ex], axis=1).fillna(0).astype(np.int64) \
+        .rename_axis("event_type").reset_index()
+    return out.sort_values("event_type", ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# P2/P14/J3 analogs over documents
+# ---------------------------------------------------------------------------
+
+@register("docs_first_word", sql="""
+SELECT regexp_extract(text, '^[a-z]+') AS word, COUNT(*) AS docs
+FROM documents GROUP BY word""")
+def docs_first_word(sf_dir: str) -> pd.DataFrame:
+    def extract(batch: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(batch["text"], r"^(?P<w>[a-z]+)")
+        return batch.append_column(
+            "word", pc.fill_null(pc.struct_field(ext, "w"), ""))
+
+    ds = _docs(sf_dir, ["text"]).map_batches(extract, batch_format="pyarrow")
+    return (reduce_sink(ds, ["word"], {"docs": ("word", "size")})
+            .to_pandas().sort_values("word", ignore_index=True))
+
+
+@register("docs_with_term", sql="""
+SELECT source, COUNT(*) AS docs FROM documents
+WHERE text LIKE '%query%' GROUP BY source""")
+def docs_with_term(sf_dir: str) -> pd.DataFrame:
+    def semi(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.match_substring(batch["text"], "query"))
+
+    ds = _docs(sf_dir, ["text", "source"]).map_batches(
+        semi, batch_format="pyarrow")
+    return (reduce_sink(ds, ["source"], {"docs": ("source", "size")})
+            .to_pandas().sort_values("source", ignore_index=True))
+
+
+@register("token_count_docs", sql=r"""
+SELECT doc_id, CASE WHEN trim(text) = '' THEN 0
+       ELSE CAST(array_length(string_split_regex(trim(text), '\s+')) AS BIGINT)
+       END AS n_tokens
+FROM documents""")
+def token_count_docs(sf_dir: str) -> pd.DataFrame:
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        textstats.add_token_counts, batch_format="pyarrow")
+    return (ds.select_columns(["doc_id", "n_tokens"]).to_pandas()
+            .sort_values("doc_id", ignore_index=True))
+
+
+# ---------------------------------------------------------------------------
+# A11 skew / K3 over lineitem
+# ---------------------------------------------------------------------------
+
+@register("salted_returnflag_qty", sql="""
+SELECT l_returnflag, ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY l_returnflag""")
+def salted_returnflag_qty(sf_dir: str) -> pd.DataFrame:
+    """Explicit salted two-phase aggregation (hot-key mitigation path)."""
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_quantity"])
+    out = salted_two_phase(ds, "l_returnflag", "l_quantity",
+                           salt_buckets=16, alias="sum_qty").to_pandas()
+    out["sum_qty"] = out["sum_qty"].round(2)
+    return out.sort_values("l_returnflag", ignore_index=True)
+
+
+@register("top_revenue_parts", sql="""
+SELECT l_partkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem GROUP BY l_partkey
+ORDER BY ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) DESC, l_partkey
+LIMIT 10""")
+def top_revenue_parts(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_extendedprice",
+                                  "l_discount"])
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        return batch.append_column("rev", rev)
+
+    agg = reduce_sink(ds.map_batches(revenue, batch_format="pyarrow"),
+                      ["l_partkey"], {"revenue": ("rev", "sum")}).to_pandas()
+    agg["revenue"] = agg["revenue"].round(2)
+    return top_n_pandas(agg, "l_partkey", "revenue", 10)
+
+
+# ---------------------------------------------------------------------------
+# Dedup / similarity / text-analysis (training-data operators)
+# ---------------------------------------------------------------------------
+
+@register("exact_dedup_docs", sql=r"""
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS copies FROM documents
+GROUP BY lower(regexp_replace(trim(text), '\s+', ' ', 'g'))""")
+def exact_dedup_docs(sf_dir: str) -> pd.DataFrame:
+    out = dedup.exact_dedup(_docs(sf_dir, ["doc_id", "text"])).to_pandas()
+    return out.sort_values("doc_id", ignore_index=True)
+
+
+@register("incremental_dedup_counts", sql=r"""
+SELECT 'r1' AS run,
+       CAST(COUNT(DISTINCT lower(regexp_replace(trim(text), '\s+', ' ',
+                                                'g'))) AS BIGINT) AS kept
+FROM documents
+UNION ALL SELECT 'r2', 0""")
+def incremental_dedup_counts(sf_dir: str) -> pd.DataFrame:
+    """Cross-run dedup against the persistent fingerprint store: run 1
+    ingests the corpus (keeps one doc per distinct normalized text),
+    run 2 re-feeds the same corpus and must keep NOTHING — the
+    incremental-ingestion guarantee (D3 applied to the documents
+    table). Oracle: run 1 = COUNT(DISTINCT normalized text), run 2 = 0
+    by the store contract."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    store = tempfile.mkdtemp(prefix="wr_incstore_")
+    k1 = dedup.incremental_exact_dedup(
+        docs, store, "r1", tempfile.mkdtemp(prefix="wr_incout_")).count()
+    k2 = dedup.incremental_exact_dedup(
+        docs, store, "r2", tempfile.mkdtemp(prefix="wr_incout_")).count()
+    return pd.DataFrame({"run": ["r1", "r2"],
+                         "kept": np.array([k1, k2], dtype=np.int64)})
+
+
+@register("cosine_dup_pairs", sql="""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6)
+           AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.4""")
+def cosine_dup_pairs(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return dedup.cosine_dup_pairs(ds, threshold=0.4)
+
+
+@register("cosine_dup_pairs_lsh", sql="""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6)
+           AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.4""")
+def cosine_dup_pairs_lsh(sf_dir: str) -> pd.DataFrame:
+    """The SCALE path for embedding near-dup: hyperplane-LSH candidate
+    buckets + exact-cosine verify on candidates only (bucketed joins) —
+    same oracle as cosine_dup_pairs; at (k=4, L=48) the per-pair miss
+    probability is ≈2.5e-4, giving deterministic full recall on this
+    fixture with the fixed seed (the blocked all-pairs query above stays
+    as the parity baseline)."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return dedup.cosine_dup_pairs_lsh(ds, threshold=0.4, n_planes=4,
+                                      n_tables=48)
+
+
+@register("cosine_dup_clusters", sql="""
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= 0.4),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+walk(node, reach) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, w.reach FROM edges e JOIN walk w ON w.node = e.v)
+SELECT CAST(node AS BIGINT) AS node, CAST(MIN(reach) AS BIGINT) AS cluster_id
+FROM walk GROUP BY node""")
+def cosine_dup_clusters(sf_dir: str) -> pd.DataFrame:
+    """Near-dup PAIRS → dedup DECISIONS: distributed connected
+    components (min-label propagation + pointer doubling, O(log d)
+    supersteps of fixed-width int64 shuffles) over the LSH-generated
+    cosine pair graph.  cluster_id = min vec_id per component — a
+    "keep one doc per cluster" policy falls out as
+    ``node != cluster_id → drop``.  Oracle: DuckDB recursive CTE
+    (reachability closure + MIN) over the identical pair predicate."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    pairs = dedup.cosine_dup_pairs_lsh(ds, threshold=0.4, n_planes=4,
+                                       n_tables=48)
+    return dedup.connected_components(pairs)
+
+
+@register("ann_topk", sql="""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id < 3),
+sims AS (SELECT q.query_id, e.vec_id,
+                ROUND(list_cosine_similarity(q.qe,
+                      CAST(e.embedding AS DOUBLE[])), 9) AS cosine
+         FROM q CROSS JOIN embeddings e),
+ranked AS (SELECT query_id, vec_id, cosine,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id) AS rank
+           FROM sims)
+SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine, rank
+FROM ranked WHERE rank <= 5""")
+def ann_topk(sf_dir: str) -> pd.DataFrame:
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    qmask = pc.less(tbl["vec_id"], 3)
+    qtbl = tbl.filter(qmask)
+    qids = np.asarray(qtbl["vec_id"])
+    queries = np.stack(qtbl["embedding"].to_pandas().to_numpy())
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    out = ann.brute_force_topk(ds, queries, k=5)
+    out["query_id"] = qids[out["query_id"].to_numpy()]
+    out["cosine"] = out["cosine"].round(6)
+    return out[["query_id", "vec_id", "cosine", "rank"]] \
+        .sort_values(["query_id", "rank"], ignore_index=True)
+
+
+# --- rows-only checks (non-SQL-expressible; driver records row counts) ----
+
+@register("minhash_dup_pairs")
+def minhash_dup_pairs(sf_dir: str) -> pd.DataFrame:
+    return dedup.minhash_lsh_pairs(_docs(sf_dir, ["doc_id", "text"]),
+                                   threshold=0.5)
+
+
+@register("minhash_dup_clusters")
+def minhash_dup_clusters(sf_dir: str) -> pd.DataFrame:
+    """Connected components over the MinHash-LSH candidate pair graph
+    (Jaccard-verified): the full fuzzy-dedup chain candidate → verify →
+    cluster.  Rows-only check (MinHash is sampling-based, not
+    SQL-expressible); the CC step itself is oracle-backed via
+    cosine_dup_clusters."""
+    pairs = dedup.minhash_lsh_pairs(_docs(sf_dir, ["doc_id", "text"]),
+                                    threshold=0.5)
+    return dedup.connected_components(pairs)
+
+
+@register("simhash_dup_pairs")
+def simhash_dup_pairs(sf_dir: str) -> pd.DataFrame:
+    return dedup.simhash_pairs(_docs(sf_dir, ["doc_id", "text"]),
+                               max_hamming=8)
+
+
+@register("ngram_jaccard_pairs")
+def ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
+    """MinHash-LSH candidates verified by EXACT word-3-gram Jaccard —
+    texts joined back in-cluster (bucketed hash joins), never a driver
+    text dict."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    cand = dedup.minhash_lsh_pairs(docs, threshold=0.3)
+    return dedup.ngram_jaccard_pairs_distributed(docs, cand, n=3,
+                                                 threshold=0.3)
+
+
+@register("knn_graph", sql="""
+WITH sims AS (
+  SELECT a.vec_id AS node, b.vec_id AS neighbor,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6)
+             AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id),
+r AS (SELECT node, neighbor, cosine,
+             ROW_NUMBER() OVER (PARTITION BY node
+                                ORDER BY cosine DESC, neighbor) AS rank
+      FROM sims)
+SELECT node, neighbor, cosine, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 2""")
+def knn_graph(sf_dir: str) -> pd.DataFrame:
+    """EXACT k-NN graph (top-k similarity join), the parity baseline:
+    the query matrix is the whole (small) table broadcast once, each
+    batch emits local top-(k+1) per node — fine while N·dim fits a
+    broadcast; knn_graph_lsh below is the scale path (same split as
+    cosine_dup_pairs vs cosine_dup_pairs_lsh)."""
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    ids = np.asarray(tbl["vec_id"])
+    vecs = np.stack(tbl["embedding"].to_pandas().to_numpy())
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    out = ann.brute_force_topk(ds, vecs, k=3)     # k+1: self is in there
+    out["node"] = ids[out["query_id"].to_numpy()]
+    # drop the self edge by IDENTITY, not by rank — an exact duplicate
+    # vector with a smaller id would outrank self
+    out = out[out["node"] != out["vec_id"]].copy()
+    out = out.sort_values(["node", "rank"], ignore_index=True)
+    out["rank"] = (out.groupby("node", sort=False).cumcount() + 1) \
+        .astype(np.int64)
+    out = out[out["rank"] <= 2]
+    out["neighbor"] = out["vec_id"]
+    out["cosine"] = out["cosine"].round(6)
+    return (out[["node", "neighbor", "cosine", "rank"]]
+            .sort_values(["node", "rank"], ignore_index=True))
+
+
+@register("knn_graph_lsh")
+def knn_graph_lsh(sf_dir: str) -> pd.DataFrame:
+    """The SCALE path for the k-NN graph: LSH candidate pairs → exact
+    cosine via bucketed value joins → two-stage per-node top-k (local
+    top-k partials bound the shuffle to k rows per node per batch).
+    Approximate (candidate recall < 1); brute-force parity guarded by
+    pytest, rows-only here."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return ann.knn_graph_lsh(ds, k=2, n_planes=4, n_tables=48)
+
+
+@register("ann_topk_lsh")
+def ann_topk_lsh(sf_dir: str) -> pd.DataFrame:
+    """Approximate variant of ann_topk (LSH buckets; recall < 1)."""
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    qtbl = tbl.filter(pc.less(tbl["vec_id"], 3))
+    qids = np.asarray(qtbl["vec_id"])
+    queries = np.stack(qtbl["embedding"].to_pandas().to_numpy())
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    out = ann.lsh_bucket_topk(ds, queries, k=5)
+    out["query_id"] = qids[out["query_id"].to_numpy()]
+    return out.sort_values(["query_id", "rank"], ignore_index=True)
+
+
+def _lang_rx(lang: str) -> str:
+    return r"\b(?:" + "|".join(textstats.LANG_STOPWORDS[lang]) + r")\b"
+
+
+@register("lang_id_docs", sql=f"""
+WITH s AS (SELECT doc_id, lang,
+    len(regexp_extract_all(lower(text), '{_lang_rx("en")}')) AS s_en,
+    len(regexp_extract_all(lower(text), '{_lang_rx("de")}')) AS s_de,
+    len(regexp_extract_all(lower(text), '{_lang_rx("fr")}')) AS s_fr,
+    len(regexp_extract_all(lower(text), '{_lang_rx("es")}')) AS s_es
+    FROM documents),
+t AS (SELECT *, s_en + s_de + s_fr + s_es AS total,
+             GREATEST(s_en, s_de, s_fr, s_es) AS mx FROM s)
+SELECT doc_id, lang,
+       CASE WHEN total = 0 THEN 'und'
+            WHEN s_en = mx THEN 'en' WHEN s_de = mx THEN 'de'
+            WHEN s_fr = mx THEN 'fr' ELSE 'es' END AS pred_lang,
+       ROUND(CASE WHEN total = 0 THEN 0.0
+                  ELSE mx * 1.0 / total END, 4) AS lang_conf
+FROM t""")
+def lang_id_docs(sf_dir: str) -> pd.DataFrame:
+    """Stopword-hit language ID — now oracle-backed: the per-language
+    RE2 alternation counts and the first-max argmax (CASE in dict
+    order against GREATEST) are reproduced exactly in SQL; RE2 on both
+    sides makes the counts byte-identical."""
+    ds = _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+        textstats.add_lang_id, batch_format="pandas")
+    out = ds.select_columns(["doc_id", "lang", "pred_lang", "lang_conf"]) \
+        .to_pandas()
+    return out.sort_values("doc_id", ignore_index=True)
+
+
+#: Stopword alternation shared with the SQL oracle (RE2 on both sides:
+#: Arrow kernels in the engine, DuckDB regexp_extract_all in the oracle).
+_STOP_RX_SQL = r"\b(?:" + "|".join(textstats.LANG_STOPWORDS["en"]) + r")\b"
+
+
+@register("quality_docs", sql=f"""
+WITH q AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT)
+           AS n_tokens,
+         CAST(length(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT)
+           AS n_punct,
+         CAST(length(regexp_extract_all(text, '{_STOP_RX_SQL}')) AS BIGINT)
+           AS n_stop
+  FROM documents),
+r AS (
+  SELECT doc_id, n_chars, n_tokens,
+         ROUND(n_punct * 1.0 / GREATEST(n_chars, 1), 4) AS punct_ratio,
+         ROUND(n_stop * 1.0 / GREATEST(n_tokens, 1), 4) AS stopword_ratio
+  FROM q)
+SELECT doc_id, n_chars, n_tokens, punct_ratio, stopword_ratio,
+       ROUND(0.4 * (LEAST(n_tokens, 200) / 200.0)
+             + 0.3 * (1.0 - LEAST(punct_ratio, 1.0))
+             + 0.3 * LEAST(stopword_ratio, 1.0), 4) AS quality_score
+FROM r""")
+def quality_docs(sf_dir: str) -> pd.DataFrame:
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        textstats.add_quality_score, batch_format="pandas")
+    return (ds.select_columns(["doc_id", "n_chars", "n_tokens", "punct_ratio",
+                               "stopword_ratio", "quality_score"])
+            .to_pandas().sort_values("doc_id", ignore_index=True))
+
+
+@register("fingerprint_docs")
+def fingerprint_docs(sf_dir: str) -> pd.DataFrame:
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda df: textstats.add_fingerprint(df)[["doc_id", "fingerprint"]],
+        batch_format="pandas")
+    out = ds.to_pandas()
+    out["fingerprint"] = out["fingerprint"].astype(np.uint64)
+    return out.sort_values("doc_id", ignore_index=True)
+
+
+@register("curation_funnel", sql=f"""
+WITH q AS (
+  SELECT doc_id, text,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT)
+           AS n_tokens,
+         CAST(length(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT)
+           AS n_punct,
+         CAST(length(regexp_extract_all(text, '{_STOP_RX_SQL}')) AS BIGINT)
+           AS n_stop
+  FROM documents),
+s AS (
+  SELECT doc_id, text, n_tokens,
+         ROUND(0.4 * (LEAST(n_tokens, 200) / 200.0)
+               + 0.3 * (1.0 - LEAST(ROUND(n_punct * 1.0
+                                          / GREATEST(n_chars, 1), 4), 1.0))
+               + 0.3 * LEAST(ROUND(n_stop * 1.0
+                                   / GREATEST(n_tokens, 1), 4), 1.0), 4)
+             AS quality_score
+  FROM q),
+b AS (SELECT quantile_cont(n_tokens, 0.05) AS lo,
+             quantile_cont(n_tokens, 0.95) AS hi FROM s),
+g AS (SELECT doc_id, text,
+             CASE WHEN n_tokens < b.lo OR n_tokens > b.hi THEN 'length'
+                  WHEN quality_score < 0.38 THEN 'quality'
+                  ELSE 'pass' END AS gate
+      FROM s, b),
+p AS (SELECT doc_id,
+             MIN(doc_id) OVER (PARTITION BY
+                 lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+                 AS keeper
+      FROM g WHERE gate = 'pass'),
+routes AS (
+  SELECT doc_id, gate AS route FROM g WHERE gate != 'pass'
+  UNION ALL
+  SELECT doc_id, CASE WHEN doc_id = keeper THEN 'kept'
+                      ELSE 'duplicate' END FROM p)
+SELECT route, CAST(COUNT(*) AS BIGINT) AS docs
+FROM routes GROUP BY route""")
+def curation_funnel(sf_dir: str) -> pd.DataFrame:
+    """End-to-end curation pipeline (pipelines/curate.py): percentile
+    length band → quality gate → exact dedup among survivors, curated
+    parquet written hive-partitioned by route, funnel counts returned.
+    Oracle reproduces gate order, the quantile band, the rounded score
+    and the min-id keeper rule in plain SQL."""
+    from webalizer_ray.pipelines.curate import run_curation
+    res = run_curation(_docs(sf_dir, ["doc_id", "text"]),
+                       tempfile.mkdtemp(prefix="wr_curate_") + "/run",
+                       min_quality=0.38)
+    rows = [(r, c) for r, c in res["routes"].items() if c > 0]
+    return (pd.DataFrame(rows, columns=["route", "docs"])
+            .astype({"docs": np.int64})
+            .sort_values("route", ignore_index=True))
+
+
+# ---------------------------------------------------------------------------
+# Flagship over the adapted events stream (full parse→enrich→route→agg),
+# oracle-checked end to end including sessionization with month split.
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# P13 / J2 / J6 / P14 / K3 analogs (mangle, suffix-table join, domain
+# grouping, JSON field extraction, top-by-volume)
+# ---------------------------------------------------------------------------
+
+_TOOL_SQL = """SELECT CASE event_type WHEN 'click' THEN 'browse'
+       WHEN 'purchase' THEN 'checkout_v2' WHEN 'error' THEN 'probe'
+       END AS tool FROM events WHERE event_type IN ('click','purchase','error')"""
+
+
+@register("mangled_tool_hits", sql=f"""
+WITH t AS ({_TOOL_SQL}),
+lv AS (SELECT 0 AS level, tool FROM t
+       UNION ALL SELECT 1, regexp_replace(tool, '_v\\d+$', '') FROM t
+       UNION ALL SELECT 2, substring(regexp_replace(tool, '_v\\d+$', ''),
+                                     1, 4) FROM t)
+SELECT level, tool, COUNT(*) AS hits FROM lv GROUP BY level, tool""")
+def mangled_tool_hits(sf_dir: str) -> pd.DataFrame:
+    """P13 MangleAgents analog: progressive normalization levels 0..2
+    (raw → version-stripped → 4-char truncation, the MAXAGENT-buffer
+    analog), each an Arrow kernel."""
+    from webalizer_ray.sources.events_adapter import TOOL_OF
+
+    def levels(batch: pa.Table) -> pa.Table:
+        tool = pc.drop_null(batch["tool"])
+        l1 = pc.replace_substring_regex(tool, pattern=r"_v\d+$",
+                                        replacement="")
+        l2 = pc.utf8_slice_codeunits(l1, 0, 4)
+        return pa.concat_tables(
+            pa.table({"level": pa.array(np.full(len(t), i, dtype=np.int32)),
+                      "tool": t}) for i, t in enumerate((tool, l1, l2)))
+
+    def to_tool(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"tool": df["event_type"].map(TOOL_OF)})
+
+    ds = (_events(sf_dir, ["event_type"])
+          .map_batches(to_tool, batch_format="pandas")
+          .map_batches(levels, batch_format="pyarrow"))
+    out = reduce_sink(ds, ["level", "tool"],
+                      {"hits": ("tool", "size")}).to_pandas()
+    out["level"] = out["level"].astype(np.int64)
+    return out.sort_values(["level", "tool"], ignore_index=True)
+
+
+@register("conv_domain_groups", sql="""
+SELECT substring('u' || lpad(CAST(user_id AS VARCHAR), 6, '0'), 1, 4)
+           AS domain,
+       COUNT(*) AS hits, COUNT(DISTINCT user_id) AS convs
+FROM events GROUP BY domain""")
+def conv_domain_groups(sf_dir: str) -> pd.DataFrame:
+    """J6 GroupDomains analog: truncate the conv key to its N-label
+    prefix and aggregate per group (get_domain() ≈3950 [verify])."""
+    def dom(df: pd.DataFrame) -> pd.DataFrame:
+        conv = "u" + df["user_id"].astype(np.int64).astype(str).str.zfill(6)
+        return pd.DataFrame({"domain": conv.str.slice(0, 4),
+                             "user_id": df["user_id"]})
+
+    ds = _events(sf_dir, ["user_id"]).map_batches(dom, batch_format="pandas")
+    hits = reduce_sink(ds, ["domain"], {"hits": ("domain", "size")})
+    convs = distinct_count(ds, ["domain"], "user_id", "convs")
+    out = hits.to_pandas().merge(convs.to_pandas(), on="domain")
+    return out.sort_values("domain", ignore_index=True)
+
+
+_FAMILY_SQL = """CASE lang WHEN 'en' THEN 'germanic' WHEN 'de' THEN 'germanic'
+    WHEN 'fr' THEN 'romance' WHEN 'es' THEN 'romance'
+    WHEN 'zh' THEN 'sinitic' ELSE 'other' END"""
+_FAMILY_MAP = {"en": "germanic", "de": "germanic", "fr": "romance",
+               "es": "romance", "zh": "sinitic"}
+
+
+@register("lang_family_docs", sql=f"""
+SELECT {_FAMILY_SQL} AS family, COUNT(*) AS docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars
+FROM documents GROUP BY family""")
+def lang_family_docs(sf_dir: str) -> pd.DataFrame:
+    """J2 country-TLD-table analog: tiny static suffix table broadcast
+    into the batch fn (ctry[] scan in put_hnode path ≈3900 [verify])."""
+    from webalizer_ray.stages.enrich import _Lookup
+    lk = _Lookup(_FAMILY_MAP, "other")
+
+    def fam(batch: pa.Table) -> pa.Table:
+        return batch.append_column("family", lk(batch["lang"]))
+
+    ds = _docs(sf_dir, ["lang", "n_chars"]).map_batches(
+        fam, batch_format="pyarrow")
+    out = reduce_sink(ds, ["family"], {"docs": ("family", "size"),
+                                       "chars": ("n_chars", "sum")}).to_pandas()
+    return out.sort_values("family", ignore_index=True)
+
+
+@register("props_json_k_sum", sql="""
+SELECT event_type,
+       CAST(SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT))
+            AS BIGINT) AS k_sum
+FROM events GROUP BY event_type""")
+def props_json_k_sum(sf_dir: str) -> pd.DataFrame:
+    """P14 search-param-extraction analog over a JSON props column:
+    vectorized regex pull of a field, then aggregate."""
+    def extract(batch: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(batch["props"], r'"k": (?P<k>\d+)')
+        k = pc.cast(pc.struct_field(ext, "k"), pa.int64())
+        return batch.append_column("k", pc.fill_null(k, 0))
+
+    ds = _events(sf_dir, ["event_type", "props"]).map_batches(
+        extract, batch_format="pyarrow")
+    out = reduce_sink(ds, ["event_type"],
+                      {"k_sum": ("k", "sum")}).to_pandas()
+    return out.sort_values("event_type", ignore_index=True)
+
+
+@register("top_users_by_value", sql="""
+SELECT user_id, ROUND(SUM(value), 2) AS value_sum FROM events
+GROUP BY user_id
+ORDER BY ROUND(SUM(value), 2) DESC, user_id LIMIT 10""")
+def top_users_by_value(sf_dir: str) -> pd.DataFrame:
+    """K3 top-by-KBytes analog: second top-N metric over one aggregate."""
+    agg = reduce_sink(_events(sf_dir, ["user_id", "value"]), ["user_id"],
+                      {"value_sum": ("value", "sum")}).to_pandas()
+    agg["value_sum"] = agg["value_sum"].round(2)
+    return top_n_pandas(agg, "user_id", "value_sum", 10)
+
+
+@register("train_val_split_counts", sql="""
+SELECT CASE WHEN doc_id % 10 < 8 THEN 'train' ELSE 'val' END AS split,
+       lang, COUNT(*) AS docs
+FROM documents GROUP BY split, lang""")
+def train_val_split_counts(sf_dir: str) -> pd.DataFrame:
+    """Deterministic train/val split (the K4-adjacent op every training
+    pipeline needs): membership is a pure function of the stable doc id,
+    so the split is reproducible across runs/cluster sizes and needs no
+    shuffle — each batch tags its own rows."""
+    def tag(batch: pa.Table) -> pa.Table:
+        frac = np.asarray(batch["doc_id"]) % 10
+        split = pa.array(np.where(frac < 8, "train", "val"), pa.string())
+        return batch.append_column("split", split)
+
+    ds = _docs(sf_dir, ["doc_id", "lang"]).map_batches(
+        tag, batch_format="pyarrow")
+    out = reduce_sink(ds, ["split", "lang"],
+                      {"docs": ("lang", "size")}).to_pandas()
+    return out.sort_values(["split", "lang"], ignore_index=True)
+
+
+@register("cleaned_docs_len", sql=r"""
+SELECT doc_id,
+       CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+            AS BIGINT) AS clean_len
+FROM documents""")
+def cleaned_docs_len(sf_dir: str) -> pd.DataFrame:
+    """Text-cleaning op (lowercase, whitespace collapse, trim) as pure
+    Arrow kernels — the normalize step ahead of dedup/tokenize."""
+    def clean(batch: pa.Table) -> pa.Table:
+        t = pc.utf8_lower(batch["text"])
+        t = pc.replace_substring_regex(t, pattern=r"\s+", replacement=" ")
+        t = pc.utf8_trim(t, " ")
+        return batch.append_column(
+            "clean_len", pc.cast(pc.utf8_length(t), pa.int64()))
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        clean, batch_format="pyarrow")
+    return (ds.select_columns(["doc_id", "clean_len"]).to_pandas()
+            .sort_values("doc_id", ignore_index=True))
+
+
+#: Deterministic PII augmentation shared by the Ray path and the oracle:
+#: the fixture docs are digit-free word salad, so each doc gets synthetic
+#: PII derived from its doc_id — identical string expression both sides.
+_PII_SUFFIX = ("@mail.example.com from 10.0.{m}.7 card 4111111111111111 "
+               "ssn 987-65-4321 tel +1 800 555 0199")
+
+@register("pii_redacted_docs", sql=r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com from 10.0.'
+              || CAST(doc_id % 256 AS VARCHAR)
+              || '.7 card 4111111111111111 ssn 987-65-4321'
+              || ' tel +1 800 555 0199' AS t
+  FROM documents),
+red AS (
+  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+                 regexp_replace(regexp_replace(t,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+      '\+?\b(?:\d{1,3}[- ])?\d{3}[- ]\d{3,4}[- ]\d{4}\b', '<PHONE>', 'g'),
+      '\b\d{13,16}\b', '<CC>', 'g') AS red_text
+  FROM aug)
+SELECT doc_id, red_text,
+       CAST(len(regexp_extract_all(red_text, '<EMAIL>')) AS BIGINT)
+           AS n_email,
+       CAST(len(regexp_extract_all(red_text, '<IP>')) AS BIGINT) AS n_ip,
+       CAST(len(regexp_extract_all(red_text, '<SSN>')) AS BIGINT) AS n_ssn,
+       CAST(len(regexp_extract_all(red_text, '<PHONE>')) AS BIGINT)
+           AS n_phone,
+       CAST(len(regexp_extract_all(red_text, '<CC>')) AS BIGINT) AS n_cc,
+       CAST(len(regexp_extract_all(red_text,
+            '<EMAIL>|<IP>|<SSN>|<PHONE>|<CC>')) AS BIGINT) AS n_pii
+FROM red""")
+def pii_redacted_docs(sf_dir: str) -> pd.DataFrame:
+    """PII scrubbing as sequential Arrow RE2 replace passes
+    (textstats.redact_pii) — email/IP/SSN/phone/credit-card →
+    placeholders, with per-type counts. Oracle: identical nested
+    DuckDB regexp_replace chain (both engines are RE2, so the redacted
+    text is compared byte-for-byte, not just counted)."""
+    def augment(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        pre, post = _PII_SUFFIX.split("{m}")
+        df["text"] = (df["text"].fillna("") + " contact user"
+                      + df["doc_id"].astype(str) + pre
+                      + (df["doc_id"] % 256).astype(str) + post)
+        return df
+
+    ds = _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(augment, batch_format="pandas") \
+        .map_batches(textstats.redact_pii, batch_format="pyarrow")
+    out = ds.select_columns(["doc_id", "red_text", "n_email", "n_ip",
+                             "n_ssn", "n_phone", "n_cc", "n_pii"]) \
+        .to_pandas()
+    return out.sort_values("doc_id", ignore_index=True)
+
+
+@register("top_ngrams", sql=r"""
+WITH w AS (SELECT doc_id, generate_subscripts(ws, 1) AS i,
+                  unnest(ws) AS word
+           FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws
+                 FROM documents)),
+g AS (SELECT a.word || ' ' || b.word || ' ' || c.word AS ngram
+      FROM w a JOIN w b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+               JOIN w c ON a.doc_id = c.doc_id AND c.i = a.i + 2)
+SELECT ngram, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM g GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20""")
+def top_ngrams(sf_dir: str) -> pd.DataFrame:
+    """Corpus-wide top-k word trigrams — the corpus-statistics op
+    behind contamination checks and boilerplate detection. Per batch,
+    trigrams are built by numpy array shifts over the exploded word
+    array (no per-row loop) and PRE-COUNTED (value_counts partials =
+    the combiner), so the groupby shuffles one row per distinct
+    (trigram, batch), never one per occurrence."""
+    def trigram_partials(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].fillna("").str.split()
+        lens = words.str.len().to_numpy()
+        flat = words.explode().dropna().to_numpy()
+        if len(flat) < 3:
+            return pd.DataFrame({"ngram": pd.Series(dtype=object),
+                                 "cnt": pd.Series(dtype=np.int64)})
+        doc = np.repeat(np.arange(len(lens)), lens)
+        tri = flat[:-2] + " " + flat[1:-1] + " " + flat[2:]
+        tri = tri[doc[:-2] == doc[2:]]          # no cross-doc trigrams
+        vc = pd.Series(tri).value_counts()
+        return pd.DataFrame({"ngram": vc.index.to_numpy(),
+                             "cnt": vc.to_numpy(np.int64)})
+
+    ds = _docs(sf_dir, ["text"]).map_batches(trigram_partials,
+                                             batch_format="pandas")
+    agg = reduce_sink(ds, ["ngram"], {"cnt": ("cnt", "sum")}).to_pandas()
+    return top_n_pandas(agg, "ngram", "cnt", 20)
+
+
+@register("repetition_docs", sql=r"""
+WITH w AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS word
+           FROM documents),
+c AS (SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY doc_id, word)
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+       CAST(COUNT(*) AS BIGINT) AS n_uniq_words,
+       ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_word_frac,
+       ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS dup_word_frac
+FROM c GROUP BY doc_id""")
+def repetition_docs(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style repetition quality signals (most-frequent-word
+    fraction, duplicate-word fraction) — repetitious docs are the #1
+    junk class the Gopher rules target. Entirely batch-local (docs
+    never span batches): explode + one pandas groupby per batch, zero
+    shuffle."""
+    def rep_stats(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].fillna("").str.split()
+        lens = words.str.len().to_numpy()
+        flat = words.explode().dropna()
+        doc = np.repeat(df["doc_id"].to_numpy(), lens)
+        c = (pd.DataFrame({"doc_id": doc, "word": flat.to_numpy()})
+             .groupby(["doc_id", "word"], sort=False).size())
+        g = c.groupby(level="doc_id")
+        tot, uniq, mx = g.sum(), g.size(), g.max()
+        return pd.DataFrame({
+            "doc_id": tot.index.to_numpy(np.int64),
+            "n_words": tot.to_numpy(np.int64),
+            "n_uniq_words": uniq.to_numpy(np.int64),
+            "top_word_frac": textstats.round_half_away(
+                mx.to_numpy(np.float64) / tot.to_numpy(), 6),
+            "dup_word_frac": textstats.round_half_away(
+                1.0 - uniq.to_numpy(np.float64) / tot.to_numpy(), 6),
+        })
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        rep_stats, batch_format="pandas")
+    return ds.to_pandas().sort_values("doc_id", ignore_index=True)
+
+
+@register("packed_docs", sql=r"""
+WITH t AS (SELECT doc_id,
+                  len(regexp_extract_all(text, '\S+')) AS n_tokens
+           FROM documents)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(FLOOR((SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) - n_tokens) / 256.0)
+            AS BIGINT) AS bin_id
+FROM t""")
+def packed_docs(sf_dir: str) -> pd.DataFrame:
+    """Sequence packing via the distributed two-level prefix scan
+    (scan.pack_bins): docs concatenated in doc_id order, cut every 256
+    tokens. Only per-bucket totals reach the driver. Oracle: window
+    SUM OVER ORDER BY."""
+    def count_tokens(batch: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(
+            batch["text"], textstats.TOKEN_RX), pa.int64())
+        return pa.table({"doc_id": batch["doc_id"], "n_tokens": n})
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        count_tokens, batch_format="pyarrow")
+    out = scan.pack_bins(ds, "doc_id", "n_tokens", budget=256,
+                         bucket_width=64).to_pandas()
+    return (out[["doc_id", "n_tokens", "bin_id"]]
+            .sort_values("doc_id", ignore_index=True))
+
+
+@register("shuffled_doc_order", sql="""
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (
+            ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) - 1
+            AS BIGINT) AS shuffle_rank
+FROM documents""")
+def shuffled_doc_order(sf_dir: str) -> pd.DataFrame:
+    """Seeded deterministic global shuffle order (scan.shuffle_rank):
+    multiplicative-hash key + two-level rank scan — reproducible
+    across runs and cluster sizes, no full-dataset sort. Oracle:
+    ROW_NUMBER over the identical hash expression."""
+    ds = _docs(sf_dir, ["doc_id"])
+    out = scan.shuffle_rank(ds, "doc_id", seed=0).to_pandas()
+    return (out[["doc_id", "shuffle_rank"]]
+            .sort_values("doc_id", ignore_index=True))
+
+
+@register("docs_token_band", sql=r"""
+WITH t AS (SELECT doc_id,
+                  len(regexp_extract_all(text, '\S+')) AS n_tokens
+           FROM documents),
+q AS (SELECT quantile_cont(n_tokens, 0.1) AS lo,
+             quantile_cont(n_tokens, 0.9) AS hi FROM t)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM t, q WHERE n_tokens >= lo AND n_tokens <= hi""")
+def docs_token_band(sf_dir: str) -> pd.DataFrame:
+    """Percentile-band length gate (drop the shortest/longest 10% —
+    the C4-style outlier filter) using EXACT global quantiles from a
+    value histogram: token counts are bounded ints, so one (value,
+    count) row per distinct value shuffles — never the column — and
+    the driver interpolates quantile_cont to the bit. Second streaming
+    pass filters against the two broadcast scalars."""
+    def count_tokens(batch: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(
+            batch["text"], textstats.TOKEN_RX), pa.int64())
+        return pa.table({"doc_id": batch["doc_id"], "n_tokens": n})
+
+    tok = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        count_tokens, batch_format="pyarrow")
+    q = exact_quantiles_bounded(tok, "n_tokens", [0.1, 0.9])
+    lo, hi = q[0.1], q[0.9]
+    kept = tok.filter(
+        expr=f"n_tokens >= {lo!r} and n_tokens <= {hi!r}").to_pandas()
+    return kept.sort_values("doc_id", ignore_index=True)
+
+
+@register("embedding_clusters")
+def embedding_clusters(sf_dir: str) -> pd.DataFrame:
+    """Semantic clustering (SemDeDup-style bucketing): distributed
+    spherical k-means — per-iteration shuffle is k partial (sum, count)
+    rows per batch, centroids broadcast once per iteration. Rows-only
+    check (iterative, not SQL-expressible); determinism and
+    planted-blob recovery are pytest-verified."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return ann.kmeans_fit_assign(ds, n_clusters=8, n_iter=5)
+
+
+@register("tfidf_top_terms", sql=r"""
+WITH w AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+           FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY term),
+n AS (SELECT COUNT(*) AS n FROM documents),
+s AS (SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                ORDER BY tfidf DESC, term) AS rk FROM s)
+SELECT doc_id, term AS top_term, tfidf FROM r WHERE rk = 1""")
+def tfidf_top_terms(sf_dir: str) -> pd.DataFrame:
+    """Most-distinctive term per doc by TF-IDF — the two-pass
+    broadcast pattern: pass 1 reduces (term, doc-frequency) partials
+    to a vocabulary-sized table (vocab << corpus even at 100 TB),
+    which is ray.put ONCE and merged batch-locally in pass 2; per-doc
+    term counts never shuffle at all (a doc's words live in its own
+    batch)."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def doc_term_tf(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].fillna("").str.split()
+        lens = words.str.len().to_numpy()
+        flat = words.explode().dropna().to_numpy()
+        doc = np.repeat(df["doc_id"].to_numpy(), lens)
+        c = (pd.DataFrame({"doc_id": doc, "term": flat})
+             .groupby(["doc_id", "term"], sort=False).size()
+             .rename("tf").reset_index())
+        c["tf"] = c["tf"].astype(np.int64)
+        c["one"] = np.int64(1)
+        return c
+
+    tf = docs.map_batches(doc_term_tf, batch_format="pandas")
+    dfreq = reduce_sink(tf, ["term"], {"df": ("one", "sum")}).to_pandas()
+    n_docs = _docs(sf_dir, ["doc_id"]).count()
+    df_ref = ray.put(dfreq)
+
+    class TopTerm:
+        def __init__(self):
+            self.dfreq = ray.get(df_ref)
+
+        def __call__(self, b: pd.DataFrame) -> pd.DataFrame:
+            m = b.merge(self.dfreq, on="term")
+            m["tfidf"] = textstats.round_half_away(
+                m["tf"].to_numpy(np.float64)
+                * np.log(float(n_docs) / m["df"].to_numpy(np.float64)), 6)
+            m = m.sort_values(["doc_id", "tfidf", "term"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+            top = m.groupby("doc_id", sort=False).head(1)
+            return top.rename(columns={"term": "top_term"})[
+                ["doc_id", "top_term", "tfidf"]]
+
+    # Per-batch top-1 is a PARTIAL (dynamic block splitting can cut a
+    # doc's tf rows across blocks); final combine over ≤2 candidate
+    # rows per doc resolves it exactly.
+    cand = tf.map_batches(TopTerm, concurrency=2,
+                          batch_format="pandas").to_pandas()
+    cand = cand.sort_values(["doc_id", "tfidf", "top_term"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+    return (cand.groupby("doc_id", sort=False).head(1)
+            .reset_index(drop=True))
+
+
+@register("value_quantiles_by_type", sql="""
+SELECT event_type, ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.95), 6) AS p95
+FROM events GROUP BY event_type""")
+def value_quantiles_by_type(sf_dir: str) -> pd.DataFrame:
+    """Exact per-group quantiles: shuffle by the (low-cardinality) group
+    key, one vectorized np.quantile per group — linear interpolation,
+    matching SQL quantile_cont. Partitioning note: exact quantiles need
+    a key's values co-located; for high-cardinality keys at 100 TB use a
+    mergeable sketch (t-digest) as partial-per-batch instead."""
+    ds = _events(sf_dir, ["event_type", "value"])
+
+    def q(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["value"].to_numpy()
+        p50, p95 = np.quantile(v, [0.5, 0.95], method="linear")
+        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
+                             "p50": [round(float(p50), 6)],
+                             "p95": [round(float(p95), 6)]})
+
+    out = (ds.groupby("event_type").map_groups(q, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("event_type", ignore_index=True)
+
+
+# --- sketch-based approximate variants (the high-cardinality scale path:
+#     fixed-size mergeable partials shuffle, never the values) -------------
+
+@register("distinct_users_hll")
+def distinct_users_hll(sf_dir: str) -> pd.DataFrame:
+    """Approximate global distinct via HyperLogLog (p=14, ~0.8% err):
+    one 16 KiB register array per batch, elementwise-max merge — at 10^9
+    users only B tiny partials move, vs the exact two-phase shuffle."""
+    from webalizer_ray.stages.sketch import HyperLogLog
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_array(df["user_id"].to_numpy())
+        return pd.DataFrame(
+            {"hll": [HyperLogLog.from_hashes(h).to_bytes()]})
+
+    parts = _events(sf_dir, ["user_id"]).map_batches(
+        partial, batch_format="pandas").to_pandas()
+    sk = HyperLogLog()
+    for blob in parts["hll"]:
+        sk = sk.merge(HyperLogLog.from_bytes(blob))
+    return pd.DataFrame({"users_approx":
+                         np.array([int(round(sk.count()))], dtype=np.int64)})
+
+
+@register("value_quantiles_sketch")
+def value_quantiles_sketch(sf_dir: str) -> pd.DataFrame:
+    """Approximate per-group quantiles via mergeable t-digests: per-batch
+    per-key digests (O(δ) bytes) → groupby(key) digest merge → quantile.
+    The key's raw values never co-locate — the scale path the exact
+    value_quantiles_by_type docstring points at."""
+    from webalizer_ray.stages.sketch import TDigest
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = [(et, TDigest.from_values(g["value"].to_numpy()).to_bytes())
+                for et, g in df.groupby("event_type", sort=False)]
+        return pd.DataFrame(rows, columns=["event_type", "td"])
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        sk = TDigest()
+        for blob in g["td"]:
+            sk = sk.merge(TDigest.from_bytes(blob))
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "p50_approx": [round(sk.quantile(0.5), 6)],
+            "p95_approx": [round(sk.quantile(0.95), 6)]})
+
+    out = (_events(sf_dir, ["event_type", "value"])
+           .map_batches(partial, batch_format="pandas")
+           .groupby("event_type").map_groups(combine,
+                                             batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("event_type", ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (rows-only: binary payloads, actor-pool decode)
+# ---------------------------------------------------------------------------
+
+def _media_ds(n: int = 96):
+    from webalizer_ray.stages.multimodal import MEDIA_TABLE_VERSION, \
+        synth_media_table
+    # per-user dir + generator-version tag in the name: a schema change in
+    # a future version, another user's file, or a stale tmp-cleaner
+    # leftover can never be served as this version's fixture
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    d = os.path.join(tempfile.gettempdir(),
+                     f"wr_media_u{uid}_v{MEDIA_TABLE_VERSION}_{n}")
+    marker = os.path.join(d, "media.parquet")
+    if not os.path.exists(marker):
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".media-{os.getpid()}.tmp")
+        pq.write_table(synth_media_table(n), tmp)
+        os.replace(tmp, marker)
+    return rd.read_parquet(marker)
+
+
+@register("media_image_features")
+def media_image_features(sf_dir: str) -> pd.DataFrame:
+    """Actor-pool decode stage over opaque binary payloads (deterministic
+    fake decoder; real codec drops into DecodeImage.__init__)."""
+    from webalizer_ray.stages.multimodal import (
+        MEDIA_BATCH_KWARGS,
+        DecodeImage,
+    )
+    feats = _media_ds().map_batches(
+        DecodeImage, fn_constructor_kwargs=dict(fake_decoder=True),
+        concurrency=(1, 2), **MEDIA_BATCH_KWARGS)
+    out = feats.to_pandas()
+    out["feat_mean"] = np.stack(out["features"].to_numpy()) \
+        .mean(axis=1).round(6)
+    return out[["media_id", "kind", "feat_mean"]] \
+        .sort_values("media_id", ignore_index=True)
+
+
+@register("media_audio_features")
+def media_audio_features(sf_dir: str) -> pd.DataFrame:
+    """REAL audio decode (pure-numpy RIFF/WAVE PCM chunk walker) in an
+    actor-pool stage: duration, RMS, zero-crossing rate, peak — no fake
+    path needed, every audio payload in the fixture is genuine WAV."""
+    from webalizer_ray.stages.multimodal import (
+        MEDIA_BATCH_KWARGS,
+        DecodeAudio,
+    )
+    feats = _media_ds().map_batches(
+        DecodeAudio, concurrency=(1, 2), **MEDIA_BATCH_KWARGS)
+    out = feats.to_pandas()
+    for c in ["duration_s", "rms", "zcr", "peak"]:
+        out[c] = out[c].round(6)
+    return out.sort_values("media_id", ignore_index=True)
+
+
+@register("media_audio_spectral")
+def media_audio_spectral(sf_dir: str) -> pd.DataFrame:
+    """REAL spectral analysis (numpy rFFT over decoded PCM — no codec
+    library involved): dominant frequency, spectral centroid and 85%
+    rolloff per audio payload. The fixture's sines make the dominant
+    frequency verifiable to one FFT bin in tests."""
+    from webalizer_ray.stages.multimodal import (
+        MEDIA_BATCH_KWARGS,
+        SpectralFeatures,
+    )
+    feats = _media_ds().map_batches(
+        SpectralFeatures, concurrency=(1, 2), **MEDIA_BATCH_KWARGS)
+    out = feats.to_pandas()
+    for c in ["dominant_hz", "centroid_hz", "rolloff_hz"]:
+        out[c] = out[c].round(4)
+    return out.sort_values("media_id", ignore_index=True)
+
+
+@register("media_frame_sample")
+def media_frame_sample(sf_dir: str) -> pd.DataFrame:
+    """Flat-map actor stage: video payload → n_frames feature rows."""
+    from webalizer_ray.stages.multimodal import (
+        MEDIA_BATCH_KWARGS,
+        FrameSample,
+    )
+    frames = _media_ds().map_batches(
+        FrameSample, fn_constructor_kwargs=dict(fake_decoder=True,
+                                                n_frames=4),
+        concurrency=(1, 2), **MEDIA_BATCH_KWARGS)
+    out = frames.to_pandas()
+    out["feat0"] = np.stack(out["features"].to_numpy())[:, 0].round(6)
+    return out[["media_id", "frame_idx", "feat0"]] \
+        .sort_values(["media_id", "frame_idx"], ignore_index=True)
+
+
+_FLAGSHIP_CACHE: dict[str, dict] = {}
+
+
+def _flagship_sinks(sf_dir: str) -> dict:
+    """Run the flagship once per sf_dir per process; serve every
+    flagship_* query from the same sinks (one pipeline, many sinks —
+    that IS the fan-out routing)."""
+    key = os.path.realpath(sf_dir)
+    if key not in _FLAGSHIP_CACHE:
+        from webalizer_ray.pipelines.flagship import run_flagship
+        from webalizer_ray.sources.events_adapter import (
+            ROLE_GROUPS,
+            TOOL_CATEGORIES,
+            events_to_turns,
+        )
+        work = tempfile.mkdtemp(prefix="wr_flagship_")
+        turns_dir = os.path.join(work, "in", "turns")
+        os.makedirs(turns_dir, exist_ok=True)
+        events_to_turns(sf_dir).write_parquet(turns_dir)
+        res = run_flagship(os.path.join(work, "in"),
+                           os.path.join(work, "out"),
+                           lookups=(TOOL_CATEGORIES, ROLE_GROUPS))
+        _FLAGSHIP_CACHE[key] = res["sinks"]
+    return _FLAGSHIP_CACHE[key]
+
+
+_FLAGSHIP_T_SQL = """
+SELECT 'u' || lpad(CAST(user_id AS VARCHAR), 6, '0') AS conv_id,
+       event_id, ts, strftime(ts, '%Y-%m') AS month,
+       CASE event_type WHEN 'signup' THEN 'system'
+            WHEN 'purchase' THEN 'assistant' WHEN 'error' THEN 'tool'
+            ELSE 'user' END AS role,
+       CASE event_type WHEN 'signup' THEN 206 WHEN 'error' THEN 500
+            ELSE 200 END AS status,
+       CASE event_type WHEN 'click' THEN 'browse'
+            WHEN 'purchase' THEN 'checkout' WHEN 'error' THEN 'probe'
+            ELSE NULL END AS tool_norm,
+       ROUND(value, 2) AS kb
+FROM events"""
+
+
+@register("flagship_monthly", sql=f"""
+WITH t AS ({_FLAGSHIP_T_SQL}),
+marks AS (SELECT month, CASE WHEN prev_ts IS NULL
+                 OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+                 OR strftime(prev_ts, '%Y-%m') <> month
+                 THEN 1 ELSE 0 END AS ns
+          FROM (SELECT month, ts,
+                       LAG(ts) OVER (PARTITION BY conv_id
+                                     ORDER BY ts, event_id) AS prev_ts
+                FROM t)),
+sess AS (SELECT month, CAST(SUM(ns) AS BIGINT) AS sessions FROM marks
+         GROUP BY month),
+agg AS (SELECT month, COUNT(*) AS hits,
+               CAST(SUM(CASE WHEN status = 200 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS files,
+               CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS pages,
+               ROUND(SUM(kb), 2) AS kb,
+               COUNT(DISTINCT conv_id) AS convs,
+               COUNT(DISTINCT tool_norm) AS tools
+        FROM t GROUP BY month)
+SELECT agg.month AS month, hits, files, pages, kb, convs, tools, sessions
+FROM agg JOIN sess ON agg.month = sess.month""")
+def flagship_monthly(sf_dir: str) -> pd.DataFrame:
+    """Full flagship pipeline over events adapted to the turns schema."""
+    out = _flagship_sinks(sf_dir)["monthly"].copy()
+    out["kb"] = out["kb"].round(2)
+    return out[["month", "hits", "files", "pages", "kb", "convs", "tools",
+                "sessions"]]
+
+
+_FLAGSHIP_SESS_SQL = f"""
+m AS (SELECT conv_id, event_id, ts, month, tool_norm,
+             CASE WHEN prev_ts IS NULL
+                  OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+                  OR strftime(prev_ts, '%Y-%m') <> month
+                  THEN 1 ELSE 0 END AS ns
+      FROM (SELECT conv_id, event_id, ts, month, tool_norm,
+                   LAG(ts) OVER (PARTITION BY conv_id
+                                 ORDER BY ts, event_id) AS prev_ts
+            FROM t)),
+s AS (SELECT conv_id, event_id, ts, tool_norm,
+             SUM(ns) OVER (PARTITION BY conv_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m),
+per_sess AS (SELECT conv_id, sid,
+                    FIRST(tool_norm ORDER BY ts, event_id)
+                        FILTER (WHERE tool_norm IS NOT NULL) AS entry_tool,
+                    LAST(tool_norm ORDER BY ts, event_id)
+                        FILTER (WHERE tool_norm IS NOT NULL) AS exit_tool
+             FROM s GROUP BY conv_id, sid)"""
+
+
+@register("flagship_per_tool", sql=f"""
+WITH t AS ({_FLAGSHIP_T_SQL}),
+{_FLAGSHIP_SESS_SQL},
+hits AS (SELECT tool_norm, COUNT(*) AS hits, ROUND(SUM(kb), 2) AS kb
+         FROM t WHERE tool_norm IS NOT NULL GROUP BY tool_norm),
+en AS (SELECT entry_tool AS tool_norm, COUNT(*) AS entry FROM per_sess
+       WHERE entry_tool IS NOT NULL GROUP BY 1),
+ex AS (SELECT exit_tool AS tool_norm, COUNT(*) AS exit FROM per_sess
+       WHERE exit_tool IS NOT NULL GROUP BY 1)
+SELECT h.tool_norm AS tool_norm, h.hits AS hits, h.kb AS kb,
+       COALESCE(en.entry, 0) AS entry, COALESCE(ex.exit, 0) AS exit
+FROM hits h LEFT JOIN en USING (tool_norm) LEFT JOIN ex USING (tool_norm)""")
+def flagship_per_tool(sf_dir: str) -> pd.DataFrame:
+    """Per-tool sink (A5 per-URL analog) incl. session entry/exit
+    attribution (W2 update_entry/update_exit analog)."""
+    out = _flagship_sinks(sf_dir)["per_tool"].copy()
+    out["kb"] = out["kb"].round(2)
+    return out[["tool_norm", "hits", "kb", "entry", "exit"]] \
+        .sort_values("tool_norm", ignore_index=True)
+
+
+@register("flagship_hourly", sql=f"""
+WITH t AS ({_FLAGSHIP_T_SQL})
+SELECT CAST(hour(ts) AS BIGINT) AS hour, COUNT(*) AS hits,
+       CAST(SUM(CASE WHEN status = 200 THEN 1 ELSE 0 END) AS BIGINT)
+           AS files,
+       CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT)
+           AS pages,
+       ROUND(SUM(kb), 2) AS kb
+FROM t GROUP BY hour""")
+def flagship_hourly(sf_dir: str) -> pd.DataFrame:
+    """Hourly table (A3, th_* arrays analog) from the flagship run."""
+    out = _flagship_sinks(sf_dir)["hourly"].copy()
+    out["kb"] = out["kb"].round(2)
+    out["hour"] = out["hour"].astype(np.int64)
+    return out[["hour", "hits", "files", "pages", "kb"]] \
+        .sort_values("hour", ignore_index=True)
+
+
+@register("flagship_status_class", sql=f"""
+WITH t AS ({_FLAGSHIP_T_SQL})
+SELECT CASE WHEN status // 100 = 2 THEN 'success'
+            WHEN status // 100 = 3 THEN 'redirect'
+            WHEN status // 100 = 4 THEN 'client_error'
+            WHEN status // 100 = 5 THEN 'server_error'
+            ELSE 'other' END AS status_class,
+       COUNT(*) AS hits
+FROM t GROUP BY status_class""")
+def flagship_status_class(sf_dir: str) -> pd.DataFrame:
+    """Response-class histogram (A7, response[TOTAL_RC] analog)."""
+    out = _flagship_sinks(sf_dir)["status_class_hist"].copy()
+    return out[["status_class", "hits"]] \
+        .sort_values("status_class", ignore_index=True)
+
+
+
+@register("flagship_monthly_extremes", sql=f"""
+WITH t AS ({_FLAGSHIP_T_SQL}),
+d AS (SELECT strftime(ts, '%Y-%m') AS month,
+             strftime(ts, '%Y-%m-%d') AS date,
+             COUNT(*) AS hits, ROUND(SUM(kb), 2) AS kb
+      FROM t GROUP BY 1, 2)
+SELECT month, CAST(MAX(hits) AS BIGINT) AS max_hits_day,
+       ROUND(AVG(hits), 2) AS avg_hits_day,
+       ROUND(MAX(kb), 2) AS max_kb_day
+FROM d GROUP BY month""")
+def flagship_monthly_extremes(sf_dir: str) -> pd.DataFrame:
+    """A9 max/avg derivations (mh_hit / avg-per-day trackers, computed
+    by output.c from the tm_* arrays [verify]); avg is over days with
+    data, matching the finalize-side definition."""
+    out = _flagship_sinks(sf_dir)["monthly_extremes"].copy()
+    return out.sort_values("month", ignore_index=True)
+
+
+@register("strict_seq_drops", sql="""
+SELECT user_id, CAST(SUM(CASE WHEN prev_max IS NOT NULL AND ts < prev_max
+                              THEN 1 ELSE 0 END) AS BIGINT) AS dropped
+FROM (SELECT user_id, ts,
+             MAX(ts) OVER (PARTITION BY user_id ORDER BY value, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS prev_max
+      FROM events)
+GROUP BY user_id""")
+def strict_seq_drops(sf_dir: str) -> pd.DataFrame:
+    """W4 out-of-sequence drop rule (webalizer.c sequence check ≈3460
+    [verify]): a record older than the per-stream running max timestamp
+    is dropped and counted (total_ignore analog). Vectorized per
+    user-hash bucket: running cummax over event_id order."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "value"])
+
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket_"] = (df["user_id"].to_numpy() % 32).astype(np.int32)
+        return df
+
+    def count_drops(g: pd.DataFrame) -> pd.DataFrame:
+        # "value" stands in for an out-of-order replay feed
+        g = g.sort_values(["user_id", "value", "event_id"], kind="mergesort")
+        runmax = g.groupby("user_id", sort=False)["ts"].cummax()
+        first = ~g["user_id"].duplicated()
+        dropped = (g["ts"] < runmax) & ~first
+        out = dropped.groupby(g["user_id"], sort=False).sum() \
+            .rename("dropped").reset_index()
+        out["dropped"] = out["dropped"].astype(np.int64)
+        return out
+
+    out = (ds.map_batches(with_bucket, batch_format="pandas")
+           .groupby("bucket_").map_groups(count_drops, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("user_id", ignore_index=True)
+
+
+@register("fold_seq_sessions", sql="""
+SELECT user_id, CAST(SUM(ns) AS BIGINT) AS sessions FROM (
+  SELECT user_id, CASE WHEN prev_ts IS NULL
+       OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+       OR epoch_us(ts) < epoch_us(prev_ts)
+       THEN 1 ELSE 0 END AS ns
+  FROM (SELECT user_id, ts,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY value, event_id)
+                   AS prev_ts
+        FROM events))
+GROUP BY user_id""")
+def fold_seq_sessions(sf_dir: str) -> pd.DataFrame:
+    """W4 FoldSeqErr fold variant: over an out-of-order feed ("value"
+    stands in for feed order, as in strict_seq_drops), a backwards time
+    jump FLUSHES the current session and restarts — counted as a new
+    session instead of a dropped record."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "value"])
+
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket_"] = (df["user_id"].to_numpy() % 32).astype(np.int32)
+        return df
+
+    def count_sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "value", "event_id"], kind="mergesort")
+        same = g["user_id"].eq(g["user_id"].shift())
+        gap_s = (g["ts"] - g["ts"].shift()).dt.total_seconds()
+        ns = (~same) | (gap_s >= 1800.0) | (gap_s < 0)
+        out = ns.groupby(g["user_id"], sort=False).sum() \
+            .rename("sessions").reset_index()
+        out["sessions"] = out["sessions"].astype(np.int64)
+        return out
+
+    out = (ds.map_batches(with_bucket, batch_format="pandas")
+           .groupby("bucket_").map_groups(count_sessions,
+                                          batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("user_id", ignore_index=True)
+
+
+@register("ann_topk_ivf")
+def ann_topk_ivf(sf_dir: str) -> pd.DataFrame:
+    """IVF-cell approximate variant of ann_topk (scale path #2)."""
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    qtbl = tbl.filter(pc.less(tbl["vec_id"], 3))
+    qids = np.asarray(qtbl["vec_id"])
+    queries = np.stack(qtbl["embedding"].to_pandas().to_numpy())
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    out = ann.ivf_topk(ds, queries, k=5)
+    out["query_id"] = qids[out["query_id"].to_numpy()]
+    return out.sort_values(["query_id", "rank"], ignore_index=True)
+
+
+@register("tumbling_6h_events", sql="""
+SELECT CAST(epoch_us(ts) // 21600000000 AS BIGINT) AS win, COUNT(*) AS hits,
+       ROUND(SUM(value), 2) AS value_sum
+FROM events GROUP BY win""")
+def tumbling_6h_events(sf_dir: str) -> pd.DataFrame:
+    """Tumbling 6-hour window aggregate (generalizes the reference's
+    fixed hourly/daily/monthly tumbling tables to arbitrary widths)."""
+    def win(batch: pa.Table) -> pa.Table:
+        epoch = pc.cast(batch["ts"], pa.int64())  # µs since epoch
+        w = pc.divide(epoch, 21_600_000_000)
+        return batch.append_column("win", pc.cast(w, pa.int64()))
+
+    ds = _events(sf_dir, ["ts", "value"]).map_batches(
+        win, batch_format="pyarrow")
+    out = reduce_sink(ds, ["win"], {"hits": ("ts", "size"),
+                                    "value_sum": ("value", "sum")}).to_pandas()
+    out["value_sum"] = out["value_sum"].round(2)
+    return out.sort_values("win", ignore_index=True)
+
+
+@register("rolling_7d_events", sql="""
+WITH d AS (SELECT strftime(ts, '%Y-%m-%d') AS date, COUNT(*) AS hits
+           FROM events GROUP BY date)
+SELECT date, hits,
+       CAST(SUM(hits) OVER (ORDER BY date
+                            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS hits_7d
+FROM d""")
+def rolling_7d_events(sf_dir: str) -> pd.DataFrame:
+    """Sliding 7-day window over the DAILY aggregate: the distributed
+    part collapses to one row per day (reduce_sink), then the window
+    runs over the tiny result — a rolling window never needs to touch
+    the wide data."""
+    ds = _events(sf_dir, ["ts"]).map_batches(
+        _with_time_cols({"date"}), batch_format="pyarrow")
+    d = reduce_sink(ds, ["date"], {"hits": ("ts", "size")}).to_pandas() \
+        .sort_values("date", ignore_index=True)
+    d["hits_7d"] = d["hits"].rolling(7, min_periods=1).sum().astype(np.int64)
+    return d[["date", "hits", "hits_7d"]]
+
+
+@register("sliding_1h_events", sql="""
+WITH e AS (SELECT epoch_us(ts) // 1800000000 AS j, value FROM events)
+SELECT win, COUNT(*) AS hits, ROUND(SUM(value), 2) AS value_sum
+FROM (SELECT j AS win, value FROM e
+      UNION ALL SELECT j - 1 AS win, value FROM e)
+GROUP BY win""")
+def sliding_1h_events(sf_dir: str) -> pd.DataFrame:
+    """SLIDING event-time window (width 1 h, slide 30 min): window ``win``
+    covers [win·30 min, win·30 min + 1 h), so each event belongs to
+    exactly width/slide = 2 windows. Expressed as a per-batch flat-map
+    (each row duplicated into its covering windows — vectorized concat,
+    no Python loop) followed by the standard partial/combine aggregate;
+    the expansion factor is the window overlap, never N²."""
+    def expand(batch: pa.Table) -> pa.Table:
+        j = np.asarray(pc.cast(batch["ts"], pa.int64())) // 1_800_000_000
+        v = np.asarray(batch["value"])
+        return pa.table({
+            "win": pa.array(np.concatenate([j, j - 1]), pa.int64()),
+            "value": pa.array(np.concatenate([v, v])),
+        })
+
+    ds = _events(sf_dir, ["ts", "value"]).map_batches(
+        expand, batch_format="pyarrow")
+    out = reduce_sink(ds, ["win"], {"hits": ("win", "size"),
+                                    "value_sum": ("value", "sum")}).to_pandas()
+    out["value_sum"] = out["value_sum"].round(2)
+    return out.sort_values("win", ignore_index=True)
+
+
+@register("mktsegment_order_totals", sql="""
+SELECT c_mktsegment, COUNT(*) AS orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment""")
+def mktsegment_order_totals(sf_dir: str) -> pd.DataFrame:
+    """Distributed hash join (Dataset.join) — beyond the reference,
+    which has no relational joins (SURVEY.md §2.4): orders ⋈ customer
+    on custkey, then the standard partial-combine aggregate. For a
+    small build side prefer the broadcast-dict pattern (J1/J2); this
+    exercises the real shuffle join for when both sides are big."""
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+    joined = orders.join(cust, join_type="inner", num_partitions=8,
+                         on=("o_custkey",), right_on=("c_custkey",))
+    out = reduce_sink(joined, ["c_mktsegment"],
+                      {"orders": ("o_custkey", "size"),
+                       "total_price": ("o_totalprice", "sum")}).to_pandas()
+    out["total_price"] = out["total_price"].round(2)
+    return out.sort_values("c_mktsegment", ignore_index=True)
+
+@register("tpch_q3_top_orders", sql="""
+SELECT l_orderkey,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-06-01'
+  AND l_shipdate > TIMESTAMP '1997-06-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey LIMIT 10""")
+def tpch_q3_top_orders(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q3-shaped multi-join pipeline: both row predicates are
+    pushed INTO the parquet scan (``filter=`` prunes row groups before
+    bytes leave storage, ``columns=`` prunes the rest), the pruned
+    sides meet in two distributed hash joins, and only (orderkey,
+    revenue) partials reach the top-10. Join order: customer⋈orders
+    first (smallest intermediate), its result ⋈ lineitem."""
+    import datetime as _dt
+    import pyarrow.dataset as pds
+    pivot = _dt.datetime(1997, 6, 1)
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey"],
+                           filter=pds.field("c_mktsegment") == "BUILDING")
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"],
+                             filter=pds.field("o_orderdate") < pivot)
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount"],
+                         filter=pds.field("l_shipdate") > pivot)
+    sel = orders.join(cust, join_type="inner", num_partitions=8,
+                      on=("o_custkey",), right_on=("c_custkey",))
+    j = li.join(sel.select_columns(["o_orderkey", "o_orderdate"]),
+                join_type="inner", num_partitions=8,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        return pa.table({"l_orderkey": batch["l_orderkey"],
+                         "o_orderdate": batch["o_orderdate"],
+                         "rev": rev})
+
+    agg = reduce_sink(j.map_batches(revenue, batch_format="pyarrow"),
+                      ["l_orderkey", "o_orderdate"],
+                      {"revenue": ("rev", "sum")}).to_pandas()
+    agg["revenue"] = agg["revenue"].round(2)
+    top = (agg.sort_values(["revenue", "l_orderkey"],
+                           ascending=[False, True], kind="mergesort")
+           .head(10).reset_index(drop=True))
+    top["orderdate"] = top.pop("o_orderdate").dt.strftime("%Y-%m-%d")
+    return top[["l_orderkey", "revenue", "orderdate"]]
+
+
+# ---------------------------------------------------------------------------
+# Relational operators Ray Data lacks natively, re-expressed as scale-safe
+# compositions (grouped top-N, pivot, rollup, anti-join, window functions,
+# as-of join, band join). Each documents the partitioning assumption.
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register("top_users_per_type", sql="""
+WITH agg AS (SELECT event_type, user_id, ROUND(SUM(value), 2) AS value_sum
+             FROM events GROUP BY event_type, user_id),
+r AS (SELECT event_type, user_id, value_sum,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value_sum DESC, user_id) AS rn
+      FROM agg)
+SELECT event_type, user_id, value_sum FROM r WHERE rn <= 2""")
+def top_users_per_type(sf_dir: str) -> pd.DataFrame:
+    """Grouped top-N (K1 generalized to top-k PER GROUP, which the
+    reference's qsort'd global tables never need). Scale shape: the
+    (event_type, user_id) aggregate ships only reduce_sink partials;
+    a per-batch local top-k then bounds the per-group final combine to
+    k rows per (batch, group) — the full aggregate never gathers."""
+    agg = reduce_sink(_events(sf_dir, ["event_type", "user_id", "value"]),
+                      ["event_type", "user_id"],
+                      {"value_sum": ("value", "sum")})
+
+    def localtop(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["value_sum"] = df["value_sum"].round(2)
+        return (df.sort_values(["value_sum", "user_id"],
+                               ascending=[False, True], kind="mergesort")
+                .groupby("event_type", sort=False).head(2))
+
+    out = (agg.map_batches(localtop, batch_format="pandas")
+           .groupby("event_type")
+           .map_groups(localtop, batch_format="pandas")).to_pandas()
+    return out.sort_values(["event_type", "user_id"], ignore_index=True)
+
+
+@register("hour_type_pivot", sql="""
+SELECT CAST(hour(ts) AS BIGINT) AS hour, """ + ", ".join(
+    f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) "
+    f"AS {t}_hits" for t in _EVENT_TYPES) + """
+FROM events GROUP BY hour""")
+def hour_type_pivot(sf_dir: str) -> pd.DataFrame:
+    """Pivot / crosstab (hour x event_type): indicator columns added per
+    batch (Arrow kernels), then the ordinary partial-combine aggregate —
+    a pivot is just a multi-column combiner, no extra shuffle."""
+    def widen(batch: pa.Table) -> pa.Table:
+        batch = batch.append_column(
+            "hour", pc.cast(pc.hour(batch["ts"]), pa.int64()))
+        et = batch["event_type"]
+        for t in _EVENT_TYPES:
+            batch = batch.append_column(
+                f"{t}_hits", pc.cast(pc.equal(et, t), pa.int64()))
+        return batch.drop_columns(["ts", "event_type"])
+
+    ds = _events(sf_dir, ["ts", "event_type"]) \
+        .map_batches(widen, batch_format="pyarrow")
+    spec = {f"{t}_hits": (f"{t}_hits", "sum") for t in _EVENT_TYPES}
+    out = reduce_sink(ds, ["hour"], spec).to_pandas()
+    return out.sort_values("hour", ignore_index=True)
+
+
+@register("events_rollup", sql="""
+SELECT COALESCE(month, 'ALL') AS month,
+       COALESCE(event_type, 'ALL') AS event_type,
+       CAST(hits AS BIGINT) AS hits, ROUND(value_sum, 2) AS value_sum
+FROM (SELECT strftime(ts, '%Y-%m') AS month, event_type,
+             COUNT(*) AS hits, SUM(value) AS value_sum
+      FROM events GROUP BY ROLLUP(month, event_type))""")
+def events_rollup(sf_dir: str) -> pd.DataFrame:
+    """ROLLUP / grouping sets: one distributed pass computes the finest
+    (month, event_type) level; the coarser levels are derived from those
+    already-tiny partials on the driver (sums of sums), never from a
+    second scan. 'ALL' stands in for the aggregated-out key."""
+    ds = _events(sf_dir, ["ts", "value", "event_type"]).map_batches(
+        _with_time_cols({"month"}), batch_format="pyarrow")
+    fine = reduce_sink(ds, ["month", "event_type"],
+                       {"hits": ("value", "size"),
+                        "value_sum": ("value", "sum")}).to_pandas()
+    mid = fine.groupby("month", as_index=False).agg(
+        hits=("hits", "sum"), value_sum=("value_sum", "sum"))
+    mid["event_type"] = "ALL"
+    top = pd.DataFrame({"month": ["ALL"], "event_type": ["ALL"],
+                        "hits": [fine["hits"].sum()],
+                        "value_sum": [fine["value_sum"].sum()]})
+    out = pd.concat([fine, mid, top], ignore_index=True)[
+        ["month", "event_type", "hits", "value_sum"]]
+    out["hits"] = out["hits"].astype(np.int64)
+    out["value_sum"] = out["value_sum"].round(2)
+    return out.sort_values(["month", "event_type"], ignore_index=True)
+
+
+@register("users_no_purchase", sql="""
+SELECT CAST(COUNT(*) AS BIGINT) AS users FROM (
+  SELECT user_id FROM events GROUP BY user_id
+  HAVING SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 0)""")
+def users_no_purchase(sf_dir: str) -> pd.DataFrame:
+    """Distributed anti-join (users with events but never a purchase).
+    No driver-side membership set: the per-user any-purchase flag is a
+    reduce_sink max over indicator partials; the final count sums tiny
+    per-batch counts — at 10^9 users nothing but partials move."""
+    def flag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "is_p", pc.cast(pc.equal(batch["event_type"], "purchase"),
+                            pa.int64())).drop_columns(["event_type"])
+
+    per_user = reduce_sink(
+        _events(sf_dir, ["user_id", "event_type"])
+        .map_batches(flag, batch_format="pyarrow"),
+        ["user_id"], {"has_p": ("is_p", "max")})
+
+    def cnt(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"users": [np.int64((df["has_p"] == 0).sum())]})
+
+    n = per_user.map_batches(cnt, batch_format="pandas") \
+        .to_pandas()["users"].sum()
+    return pd.DataFrame({"users": [np.int64(n)]})
+
+
+@register("user_running_value", sql="""
+SELECT event_id,
+       ROUND(SUM(value) OVER w, 2) AS run_sum,
+       CAST(COALESCE(date_diff('microsecond', lag(ts) OVER w, ts), -1)
+            AS BIGINT) AS prev_gap_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING)""")
+def user_running_value(sf_dir: str) -> pd.DataFrame:
+    """SQL window functions (running SUM + LAG) as a partitioned
+    operator: hash users into buckets, one vectorized sort + grouped
+    cumsum/shift per bucket. Partitioning assumption: a user's full
+    history fits one group — the same assumption sessionization makes."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "value"])
+
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket_"] = (df["user_id"].to_numpy() % 32).astype(np.int32)
+        return df
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        run = g.groupby("user_id", sort=False)["value"].cumsum().round(2)
+        ts_us = pd.Series(
+            g["ts"].to_numpy("datetime64[us]").astype(np.int64),
+            index=g.index)
+        same = g["user_id"].eq(g["user_id"].shift())
+        gap = (ts_us - ts_us.shift()).where(same, -1).astype(np.int64)
+        return pd.DataFrame({"event_id": g["event_id"], "run_sum": run,
+                             "prev_gap_us": gap})
+
+    out = (ds.map_batches(with_bucket, batch_format="pandas")
+           .groupby("bucket_").map_groups(running, batch_format="pandas")) \
+        .to_pandas()
+    return out.sort_values("event_id", ignore_index=True)
+
+
+@register("asof_last_view_gap", sql="""
+SELECT p.event_id, p.user_id,
+       CAST(COALESCE(date_diff('microsecond', v.ts, p.ts), -1) AS BIGINT)
+         AS gap_us
+FROM (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT user_id, ts FROM events
+                WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.ts >= v.ts""")
+def asof_last_view_gap(sf_dir: str) -> pd.DataFrame:
+    """As-of join (each purchase ↔ the latest view at ts <= purchase.ts
+    by the same user) — an operator Ray Data has no kernel for. Both
+    sides hash-partition on user; within a bucket one vectorized
+    pd.merge_asof(by=user) resolves every user at once. Gap is exact µs
+    so equal-ts ties are value-identical regardless of which duplicate
+    the oracle picks; -1 marks purchases with no prior view."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def keep_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin(("purchase", "view"))].copy()
+        df["bucket_"] = (df["user_id"].to_numpy() % 32).astype(np.int32)
+        return df
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["event_type"] == "purchase"][["event_id", "user_id", "ts"]] \
+            .sort_values("ts", kind="mergesort")
+        v = g[g["event_type"] == "view"][["user_id", "ts"]] \
+            .sort_values("ts", kind="mergesort") \
+            .rename(columns={"ts": "vts"})
+        m = pd.merge_asof(p, v, left_on="ts", right_on="vts", by="user_id",
+                          direction="backward")
+        pus = m["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        vus = m["vts"].to_numpy("datetime64[us]").astype(np.int64)
+        gap = np.where(m["vts"].isna(), np.int64(-1), pus - vus) \
+            .astype(np.int64)
+        return pd.DataFrame({"event_id": m["event_id"],
+                             "user_id": m["user_id"], "gap_us": gap})
+
+    out = (ds.map_batches(keep_bucket, batch_format="pandas")
+           .groupby("bucket_").map_groups(asof, batch_format="pandas")) \
+        .to_pandas()
+    return out.sort_values("event_id", ignore_index=True)
+
+
+@register("orders_nearby_7d", sql="""
+SELECT a.o_orderkey, CAST(COUNT(b.o_orderkey) AS BIGINT) AS nearby
+FROM orders a LEFT JOIN orders b
+  ON a.o_custkey = b.o_custkey AND b.o_orderkey <> a.o_orderkey
+ AND b.o_orderdate >= a.o_orderdate - INTERVAL 7 DAY
+ AND b.o_orderdate <= a.o_orderdate + INTERVAL 7 DAY
+GROUP BY a.o_orderkey""")
+def orders_nearby_7d(sf_dir: str) -> pd.DataFrame:
+    """Band (interval) join: per order, how many OTHER orders by the same
+    customer landed within ±7 days. Scale shape: bucket time into
+    band-width (7 d) buckets; probe rows keep their bucket, build rows
+    replicate to the 3 adjacent buckets, so every qualifying pair meets
+    in EXACTLY one (custkey, bucket) group and the pairwise check runs
+    on tiny per-customer-per-fortnight groups — never all-to-all."""
+    week_us = 7 * 86400 * 10**6
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["o_orderdate"].to_numpy("datetime64[us]").astype(np.int64)
+        base = {"o_custkey": df["o_custkey"].to_numpy(),
+                "key": df["o_orderkey"].to_numpy(), "us": us}
+        b = us // week_us
+        parts = [pd.DataFrame({**base, "bucket": b, "side": np.int8(0)})]
+        parts += [pd.DataFrame({**base, "bucket": b + d, "side": np.int8(1)})
+                  for d in (-1, 0, 1)]
+        return pd.concat(parts, ignore_index=True)
+
+    def count_nearby(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == 0]
+        if not len(left):
+            return pd.DataFrame({"o_orderkey": pd.Series([], dtype=np.int64),
+                                 "nearby": pd.Series([], dtype=np.int64)})
+        right = g[g["side"] == 1]
+        lus = left["us"].to_numpy()[:, None]
+        rus = right["us"].to_numpy()[None, :]
+        ok = (np.abs(lus - rus) <= week_us) \
+            & (left["key"].to_numpy()[:, None]
+               != right["key"].to_numpy()[None, :])
+        return pd.DataFrame({"o_orderkey": left["key"].to_numpy(),
+                             "nearby": ok.sum(axis=1).astype(np.int64)})
+
+    out = (orders.map_batches(expand, batch_format="pandas")
+           .groupby(["o_custkey", "bucket"])
+           .map_groups(count_nearby, batch_format="pandas")).to_pandas()
+    return out.sort_values("o_orderkey", ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# Training-data ops round 2: decontamination, bloom semi-join prune,
+# heavy-hitters sketch, per-group mixture rebalancing
+# ---------------------------------------------------------------------------
+
+@register("decontaminated_train_docs", sql="""
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+           FROM documents),
+sh AS (
+  SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS sh
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks)-4)) AS i) g
+)
+SELECT DISTINCT a.doc_id FROM sh a
+WHERE a.doc_id % 10 < 8
+AND EXISTS (SELECT 1 FROM sh b WHERE b.doc_id % 10 >= 8 AND b.sh = a.sh)
+ORDER BY doc_id""")
+def decontaminated_train_docs(sf_dir: str) -> pd.DataFrame:
+    """Train/test decontamination: train-split docs sharing any word
+    5-gram with a val-split doc (split = same deterministic doc_id rule
+    as train_val_split_counts). Only (int64 id, int64 shingle-hash) rows
+    shuffle; the overlap is a bucketed hash join — see
+    dedup.ngram_decontaminate."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def split_filter(is_train: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            frac = np.asarray(batch["doc_id"]) % 10
+            return batch.filter(pa.array(
+                frac < 8 if is_train else frac >= 8))
+        return f
+
+    train = docs.map_batches(split_filter(True), batch_format="pyarrow")
+    val = docs.map_batches(split_filter(False), batch_format="pyarrow")
+    return dedup.ngram_decontaminate(train, val, n=5)
+
+
+@register("urgent_lineitem_qty", sql="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(SUM(l_quantity), 2) AS qty_sum
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'""")
+def urgent_lineitem_qty(sf_dir: str) -> pd.DataFrame:
+    """Bloom-filter semi-join prune ahead of a distributed join: the
+    small side (urgent orders) collapses to per-batch Bloom partials
+    (128 KiB bit arrays, OR-merged on the driver, broadcast once via
+    ray.put); the big side (lineitem) drops non-matching rows AT THE
+    SCAN, so only ~1/5 of the fact table enters the exact hash join
+    that removes Bloom false positives. At 100 TB this is the
+    difference between shuffling the whole fact table and shuffling
+    the semi-join survivors."""
+    from webalizer_ray.stages.sketch import BloomFilter
+    import ray as _ray
+
+    urgent = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"]) \
+        .map_batches(
+            lambda b: b.filter(pc.equal(b["o_orderpriority"], "1-URGENT"))
+                       .select(["o_orderkey"]),
+            batch_format="pyarrow").materialize()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        bf = BloomFilter(log2m=20).add_hashes(
+            pd.util.hash_array(df["o_orderkey"].to_numpy()))
+        return pd.DataFrame({"bf": [bf.to_bytes()]})
+
+    bf = BloomFilter(log2m=20)
+    for blob in urgent.map_batches(partial,
+                                   batch_format="pandas").to_pandas()["bf"]:
+        bf = bf.merge(BloomFilter.from_bytes(blob, log2m=20))
+    bf_ref = _ray.put(bf)
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        f = _ray.get(bf_ref)
+        keep = f.contains_hashes(
+            pd.util.hash_array(df["l_orderkey"].to_numpy()))
+        return df[keep]
+
+    survivors = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_quantity"]) \
+        .map_batches(prune, batch_format="pandas")
+    build = urgent.map_batches(
+        lambda df: df.rename(columns={"o_orderkey": "l_orderkey"}),
+        batch_format="pandas")
+    joined = survivors.join(build, join_type="inner", num_partitions=8,
+                            on=("l_orderkey",))
+    agg = reduce_sink(joined.map_batches(
+        lambda df: df.assign(_g=np.int32(0)), batch_format="pandas"),
+        ["_g"], {"n_rows": ("l_orderkey", "size"),
+                 "qty_sum": ("l_quantity", "sum")}).to_pandas()
+    return pd.DataFrame({
+        "n_rows": agg["n_rows"].astype(np.int64).to_numpy(),
+        "qty_sum": agg["qty_sum"].round(2).to_numpy()})
+
+
+@register("heavy_hitter_users")
+def heavy_hitter_users(sf_dir: str) -> pd.DataFrame:
+    """Approximate top-10 users by event count via mergeable Misra-Gries
+    summaries (capacity 48): each batch collapses its exact counts to
+    ≤48 (key, count) entries, the driver merges B tiny summaries — at
+    10^9 users nothing key-shaped ever shuffles or gathers. est ≤ true
+    ≤ est_hi = est + err (bounds checked by test_sketch accuracy tests
+    against the exact reduce_sink path)."""
+    from webalizer_ray.stages.sketch import MisraGries
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        keys, counts = np.unique(df["user_id"].to_numpy(),
+                                 return_counts=True)
+        return pd.DataFrame({"mg": [MisraGries.from_counts(
+            keys, counts, capacity=48).to_bytes()]})
+
+    parts = _events(sf_dir, ["user_id"]).map_batches(
+        partial, batch_format="pandas").to_pandas()
+    sk = MisraGries(capacity=48)
+    for blob in parts["mg"]:
+        sk = sk.merge(MisraGries.from_bytes(blob, capacity=48))
+    rows = sk.top(10)
+    return pd.DataFrame({
+        "user_id": np.array([r[0] for r in rows], dtype=np.int64),
+        "est": np.array([r[1] for r in rows], dtype=np.int64),
+        "est_hi": np.array([r[2] for r in rows], dtype=np.int64)})
+
+
+@register("mixture_rebalance_counts", sql="""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS docs
+FROM documents
+WHERE ((doc_id % 1000003) * 2654435761) % 100
+      < (CASE WHEN lang = 'en' THEN 10 ELSE 50 END)
+GROUP BY lang ORDER BY lang""")
+def mixture_rebalance_counts(sf_dir: str) -> pd.DataFrame:
+    """Per-group stratified sampling for dataset mixture rebalancing:
+    downsample the dominant language to 10%, keep 50% of the rest —
+    membership is a pure deterministic function of the stable doc id
+    (Knuth multiplicative hash), so the sample is reproducible across
+    runs and cluster sizes and needs NO shuffle: each batch filters its
+    own rows; only per-batch count partials move."""
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"])
+        frac = ((ids % 1000003) * 2654435761) % 100
+        lim = np.where(np.asarray(batch["lang"]) == "en", 10, 50)
+        return batch.filter(pa.array(frac < lim))
+
+    ds = _docs(sf_dir, ["doc_id", "lang"]).map_batches(
+        keep, batch_format="pyarrow")
+    out = reduce_sink(ds, ["lang"], {"docs": ("lang", "size")}).to_pandas()
+    out["docs"] = out["docs"].astype(np.int64)
+    return out.sort_values("lang", ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# Corpus language modeling: unigram LM scoring + vocabulary building
+# ---------------------------------------------------------------------------
+
+def _word_count_partials(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch (word, count) partials — the combiner ahead of the
+    vocabulary groupby, so one row per distinct (word, batch) shuffles,
+    never one per token occurrence."""
+    vc = df["text"].fillna("").str.split().explode().dropna().value_counts()
+    return pd.DataFrame({"word": vc.index.to_numpy(),
+                         "cnt": vc.to_numpy(np.int64)})
+
+
+@register("unigram_nll_docs", sql=r"""
+WITH w AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS word
+           FROM documents),
+c AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word),
+t AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS tot FROM c)
+SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(-AVG(LN(c.cnt / t.tot)), 6) AS nll
+FROM w JOIN c USING (word), t
+GROUP BY w.doc_id""")
+def unigram_nll_docs(sf_dir: str) -> pd.DataFrame:
+    """Unigram language-model scoring (mean negative log-likelihood
+    per doc) — the cheap perplexity-style quality signal CCNet/Gopher
+    pipelines gate on. Two passes: pass 1 reduces (word, count)
+    partials to the vocabulary table (vocab << corpus), whose log-prob
+    column is ray.put ONCE; pass 2 scores each doc batch-locally via a
+    hash-map lookup on the exploded word array (docs read straight
+    from parquet never span batches). Only vocabulary-sized state ever
+    reaches the driver besides the per-doc result itself."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    vocab = reduce_sink(docs.map_batches(_word_count_partials,
+                                         batch_format="pandas"),
+                        ["word"], {"cnt": ("cnt", "sum")}).to_pandas()
+    tot = float(vocab["cnt"].sum())
+    # identical float path to the oracle: LN(cnt / tot), not ln-diff
+    logp_ref = ray.put(pd.Series(
+        np.log(vocab["cnt"].to_numpy(np.float64) / tot),
+        index=vocab["word"].to_numpy()))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        # stateless task: the log-prob table is a local object-store
+        # read per batch (shared memory), no actor-pool spinup
+        logp = ray.get(logp_ref)
+        words = df["text"].fillna("").str.split()
+        lens = words.str.len().to_numpy()
+        flat = words.explode().dropna()
+        doc = np.repeat(df["doc_id"].to_numpy(), lens)
+        lp = flat.map(logp).to_numpy(np.float64)
+        g = (pd.DataFrame({"doc_id": doc, "lp": lp})
+             .groupby("doc_id", sort=False)["lp"].agg(["mean", "size"]))
+        return pd.DataFrame({
+            "doc_id": g.index.to_numpy(np.int64),
+            "n_tokens": g["size"].to_numpy(np.int64),
+            "nll": textstats.round_half_away(
+                -g["mean"].to_numpy(np.float64), 6)})
+
+    out = docs.map_batches(score, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id", ignore_index=True)
+
+
+@register("vocab_top_words", sql=r"""
+WITH w AS (SELECT unnest(regexp_extract_all(text, '\S+')) AS word
+           FROM documents),
+c AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word),
+t AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS tot FROM c)
+SELECT word, CAST(cnt AS BIGINT) AS cnt,
+       ROUND(SUM(cnt) OVER (ORDER BY cnt DESC, word
+                            ROWS UNBOUNDED PRECEDING) / tot, 6)
+       AS cum_coverage
+FROM c, t ORDER BY cnt DESC, word LIMIT 20""")
+def vocab_top_words(sf_dir: str) -> pd.DataFrame:
+    """Vocabulary building: corpus top-20 words with cumulative corpus
+    coverage — the first step of any tokenizer/vocab pipeline. The
+    full vocabulary NEVER reaches the driver: after the bucketed
+    combine each word lives in exactly one row globally, so block-local
+    top-20 partials union ⊇ the global top-20 (exact), and the token
+    total is a per-block scalar partial over the same materialized
+    aggregate."""
+    ds = _docs(sf_dir, ["text"]).map_batches(_word_count_partials,
+                                             batch_format="pandas")
+    # small: one row per distinct word — object-store resident, reused
+    # by the top-k partials AND the total without recomputing the corpus
+    agg = reduce_sink(ds, ["word"], {"cnt": ("cnt", "sum")}).materialize()
+
+    def local_top(df: pd.DataFrame) -> pd.DataFrame:
+        return top_n_pandas(df, "word", "cnt", 20)
+
+    def tot_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"t": [np.int64(df["cnt"].sum())]})
+
+    cand = agg.map_batches(local_top, batch_format="pandas").to_pandas()
+    tot = float(agg.map_batches(tot_partial,
+                                batch_format="pandas").to_pandas()["t"].sum())
+    top = top_n_pandas(cand, "word", "cnt", 20)
+    top["cnt"] = top["cnt"].astype(np.int64)
+    top["cum_coverage"] = textstats.round_half_away(
+        top["cnt"].to_numpy(np.float64).cumsum() / tot, 6)
+    return top.reset_index(drop=True)
+
+
+@register("chunked_docs", sql=r"""
+WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS toks
+           FROM documents),
+s AS (SELECT doc_id, toks,
+             unnest(generate_series(0, len(toks) - 1, 96)) AS start
+      FROM t WHERE len(toks) > 0)
+SELECT doc_id, CAST(start / 96 AS BIGINT) AS chunk_idx,
+       CAST(LEAST(start + 128, len(toks)) - start AS BIGINT)
+       AS chunk_tokens,
+       array_to_string(toks[start + 1 : start + 128], ' ') AS chunk_text
+FROM s""")
+def chunked_docs(sf_dir: str) -> pd.DataFrame:
+    """Document chunking with overlap (window 128 tokens, stride 96 —
+    the context-window splitting step of an embedding/training-prep
+    pipeline), as a batch-local flat-map expansion: chunk starts are
+    derived with numpy repeat/cumsum over the per-doc token counts (no
+    per-row Python loop to FIND chunks; the join of each chunk's token
+    slice is inherently O(total output tokens)). Oracle: DuckDB
+    generate_series + list slicing reproduces the exact text."""
+    window, stride = 128, 96
+
+    def chunk(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].fillna("").str.split()
+        lens = words.str.len().to_numpy(np.int64)
+        n_chunks = np.where(lens > 0, (np.maximum(lens - 1, 0) // stride) + 1,
+                            0)
+        doc_ids = np.repeat(df["doc_id"].to_numpy(np.int64), n_chunks)
+        # chunk_idx = 0..n_chunks-1 within each doc, vectorized
+        off = np.arange(int(n_chunks.sum()), dtype=np.int64)
+        first = np.repeat(np.concatenate(([0], np.cumsum(n_chunks)[:-1])),
+                          n_chunks)
+        idx = off - first
+        starts = idx * stride
+        doc_len = np.repeat(lens, n_chunks)
+        ends = np.minimum(starts + window, doc_len)
+        toks = words.to_numpy()
+        row = np.repeat(np.arange(len(df), dtype=np.int64), n_chunks)
+        texts = [" ".join(toks[r][s:e])
+                 for r, s, e in zip(row, starts, ends)]
+        return pd.DataFrame({"doc_id": doc_ids, "chunk_idx": idx,
+                             "chunk_tokens": ends - starts,
+                             "chunk_text": texts})
+
+    out = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        chunk, batch_format="pandas").to_pandas()
+    return out.sort_values(["doc_id", "chunk_idx"], ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# Relational completeness: outer joins, set operations, deterministic samples
+# ---------------------------------------------------------------------------
+
+@register("urgent_orders_per_customer", sql="""
+WITH oc AS (SELECT o_custkey, COUNT(*) AS n FROM orders
+            WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+pc AS (SELECT c_mktsegment, COALESCE(n, 0) AS n_urgent
+       FROM customer LEFT JOIN oc ON c_custkey = o_custkey)
+SELECT c_mktsegment, CAST(n_urgent AS BIGINT) AS n_urgent,
+       COUNT(*) AS customers
+FROM pc GROUP BY 1, 2""")
+def urgent_orders_per_customer(sf_dir: str) -> pd.DataFrame:
+    """Distributed LEFT OUTER join with a real null path (customers
+    with zero urgent orders survive, null-filled to 0). Scale shape:
+    the orders side is pre-reduced to one (custkey, n) row per
+    customer BEFORE the join — the join's shuffle moves aggregates,
+    never raw orders — and the priority predicate is pushed into the
+    parquet scan so non-urgent row groups never leave storage."""
+    import pyarrow.dataset as pds
+    oc = reduce_sink(
+        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+                        filter=pds.field("o_orderpriority") == "1-URGENT"),
+        ["o_custkey"], {"n": ("o_custkey", "size")})
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    j = cust.join(oc, join_type="left_outer", num_partitions=8,
+                  on=("c_custkey",), right_on=("o_custkey",))
+
+    def fill(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "c_mktsegment": df["c_mktsegment"],
+            "n_urgent": df["n"].fillna(0).astype(np.int64)})
+
+    out = reduce_sink(j.map_batches(fill, batch_format="pandas"),
+                      ["c_mktsegment", "n_urgent"],
+                      {"customers": ("n_urgent", "size")}).to_pandas()
+    return out.sort_values(["c_mktsegment", "n_urgent"],
+                           ignore_index=True)
+
+
+@register("nation_presence", sql="""
+WITH s AS (SELECT s_nationkey AS snk, COUNT(*) AS suppliers
+           FROM supplier GROUP BY 1),
+c AS (SELECT c_nationkey AS cnk, COUNT(*) AS customers
+      FROM customer WHERE c_mktsegment = 'BUILDING' GROUP BY 1)
+SELECT CAST(COALESCE(snk, cnk) AS INTEGER) AS nationkey,
+       CAST(COALESCE(suppliers, 0) AS BIGINT) AS suppliers,
+       CAST(COALESCE(customers, 0) AS BIGINT) AS customers
+FROM s FULL JOIN c ON snk = cnk""")
+def nation_presence(sf_dir: str) -> pd.DataFrame:
+    """Distributed FULL OUTER join: nations holding suppliers vs
+    nations holding BUILDING customers — either side may be absent
+    (at sf0.001 suppliers cover 10/25 nations, so both null
+    directions are real). Both sides are pre-reduced per-nation
+    aggregates; for sides this small the broadcast-dict pattern
+    (J1/J2) is cheaper, but this exercises Ray's full_outer shuffle
+    join for when both sides are big."""
+    import pyarrow.dataset as pds
+    sup = reduce_sink(
+        rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                        columns=["s_nationkey"]),
+        ["s_nationkey"], {"suppliers": ("s_nationkey", "size")})
+    cus = reduce_sink(
+        rd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_nationkey"],
+                        filter=pds.field("c_mktsegment") == "BUILDING"),
+        ["c_nationkey"], {"customers": ("c_nationkey", "size")})
+    j = sup.join(cus, join_type="full_outer", num_partitions=4,
+                 on=("s_nationkey",), right_on=("c_nationkey",))
+
+    def coalesce(df: pd.DataFrame) -> pd.DataFrame:
+        # Ray's outer join already coalesces the key into the left
+        # key column; a missing right match shows as null aggregates.
+        nk = df["s_nationkey"].astype("float64")
+        if "c_nationkey" in df.columns:
+            nk = nk.fillna(df["c_nationkey"].astype("float64"))
+        return pd.DataFrame({
+            "nationkey": nk.to_numpy(np.int32),
+            "suppliers": df["suppliers"].fillna(0).astype(np.int64),
+            "customers": df["customers"].fillna(0).astype(np.int64)})
+
+    out = j.map_batches(coalesce, batch_format="pandas").to_pandas()
+    return out.sort_values("nationkey", ignore_index=True)
+
+
+@register("purchase_week_user_setops", sql="""
+WITH a AS (SELECT DISTINCT user_id FROM events
+           WHERE event_type = 'purchase' AND day(ts) <= 7),
+b AS (SELECT DISTINCT user_id FROM events
+      WHERE event_type = 'purchase' AND day(ts) >= 24)
+SELECT 'intersect' AS op, user_id
+FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+UNION ALL
+SELECT 'except_a', user_id FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+UNION ALL
+SELECT 'except_b', user_id FROM (SELECT * FROM b EXCEPT SELECT * FROM a)""")
+def purchase_week_user_setops(sf_dir: str) -> pd.DataFrame:
+    """Distributed set operations (INTERSECT / EXCEPT both ways) via
+    the presence-flag pattern: one streaming pass emits batch-distinct
+    (user_id, in_a, in_b) flag partials, a single groupby max-combines
+    them, and the classification is a batch-local map over the
+    user-sized aggregate. One shuffle serves all three set ops —
+    versus three separate distinct+join plans."""
+    import pyarrow.dataset as pds
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"],
+                         filter=pds.field("event_type") == "purchase")
+
+    def flags(batch: pa.Table) -> pa.Table:
+        day = pc.day(batch["ts"])
+        in_a = pc.cast(pc.less_equal(day, 7), pa.int64())
+        in_b = pc.cast(pc.greater_equal(day, 24), pa.int64())
+        t = pa.table({"user_id": batch["user_id"],
+                      "in_a": in_a, "in_b": in_b})
+        t = t.filter(pc.greater(pc.add(t["in_a"], t["in_b"]), 0))
+        return pa.TableGroupBy(t, "user_id").aggregate(
+            [("in_a", "max"), ("in_b", "max")]).rename_columns(
+            ["user_id", "in_a", "in_b"])
+
+    agg = reduce_sink(ev.map_batches(flags, batch_format="pyarrow"),
+                      ["user_id"], {"in_a": ("in_a", "max"),
+                                    "in_b": ("in_b", "max")})
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        op = np.where(df["in_a"].eq(1) & df["in_b"].eq(1), "intersect",
+                      np.where(df["in_a"].eq(1), "except_a", "except_b"))
+        return pd.DataFrame({"op": op, "user_id": df["user_id"]})
+
+    out = agg.map_batches(classify, batch_format="pandas").to_pandas()
+    return out.sort_values(["op", "user_id"], ignore_index=True)
+
+
+@register("sampled_docs", sql="""
+SELECT doc_id FROM documents
+WHERE (doc_id * 2654435761) % 4294967296 < 1073741824""")
+def sampled_docs(sf_dir: str) -> pd.DataFrame:
+    """Deterministic Bernoulli sampling (p = 1/4) by multiplicative
+    hash threshold — the reproducible alternative to
+    Dataset.random_sample: the kept set is identical across runs,
+    cluster sizes and block layouts, and membership is testable in
+    SQL. Zero shuffle: a batch-local numpy filter (the same Knuth
+    hash as scan.shuffle_rank)."""
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy().astype(np.uint64)
+        h = (ids * np.uint64(scan._KNUTH)) % np.uint64(1 << 32)
+        return batch.filter(pa.array(h < np.uint64(1 << 30)))
+
+    out = _docs(sf_dir, ["doc_id"]).map_batches(
+        keep, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id", ignore_index=True)
+
+
+@register("docs_per_lang_sample", sql="""
+SELECT lang, doc_id FROM (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang
+             ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+  FROM documents) t WHERE rn <= 5""")
+def docs_per_lang_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic per-group sampling (k = 5 per language): the
+    hash-min top-k is a MERGEABLE summary, so a batch-local top-k
+    bounds what shuffles to k rows per (batch, group) and a per-group
+    final combine finishes exactly — the distributed analog of
+    per-stratum reservoir sampling, but reproducible (same sample on
+    any cluster size)."""
+    def hashed(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy().astype(np.uint64)
+        h = (ids * np.uint64(scan._KNUTH)) % np.uint64(1 << 32)
+        return pa.table({"lang": batch["lang"], "doc_id": batch["doc_id"],
+                         "h": pa.array(h.astype(np.int64))})
+
+    def localtop(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(["h", "doc_id"], kind="mergesort")
+                .groupby("lang", sort=False).head(5))
+
+    ds = _docs(sf_dir, ["lang", "doc_id"]).map_batches(
+        hashed, batch_format="pyarrow")
+    out = (ds.map_batches(localtop, batch_format="pandas")
+           .groupby("lang")
+           .map_groups(localtop, batch_format="pandas")).to_pandas()
+    return (out[["lang", "doc_id"]]
+            .sort_values(["lang", "doc_id"], ignore_index=True))
+
+
+@register("similar_part_names", sql="""
+WITH names AS (SELECT DISTINCT p_name AS key FROM part),
+g AS (SELECT key, unnest(list_transform(generate_series(1, len(key) - 2),
+                                        i -> substring(key, i, 3))) AS tri
+      FROM names),
+d AS (SELECT DISTINCT key, tri FROM g),
+sz AS (SELECT key, COUNT(*) AS n FROM d GROUP BY 1),
+inter AS (SELECT x.key AS a, y.key AS b, COUNT(*) AS c
+          FROM d x JOIN d y ON x.tri = y.tri AND x.key < y.key
+          GROUP BY 1, 2)
+SELECT a, b, ROUND(c * 1.0 / (s1.n + s2.n - c), 6) AS jacc
+FROM inter JOIN sz s1 ON s1.key = a JOIN sz s2 ON s2.key = b
+WHERE c * 1.0 / (s1.n + s2.n - c) >= 0.5""")
+def similar_part_names(sf_dir: str) -> pd.DataFrame:
+    """Fuzzy string-similarity join (trigram-set Jaccard >= 0.5 over
+    distinct part names) via PREFIX FILTERING — recall 1.0 without the
+    all-pairs product: only each string's rarest ``n - ceil(t*n) + 1``
+    trigrams (by global df order) open candidate buckets, so hot
+    trigrams never bucket anything, and the in-bucket verify is exact
+    over the full carried rank arrays (see stages/simjoin.py). Oracle:
+    the brute-force trigram self-join in SQL."""
+    from webalizer_ray.stages.simjoin import set_similarity_join_prefix
+    names = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_name"])
+    distinct = reduce_sink(
+        names.map_batches(
+            lambda df: df.drop_duplicates().rename(
+                columns={"p_name": "key"}),
+            batch_format="pandas"),
+        ["key"], {"n": ("key", "size")}).select_columns(["key"])
+    out = set_similarity_join_prefix(distinct, threshold=0.5, q=3)
+    out["jacc"] = textstats.round_half_away(
+        out["jacc"].to_numpy(np.float64), 6)
+    return out
+
+
+@register("semantic_dedup_embeddings")
+def semantic_dedup_embeddings(sf_dir: str) -> pd.DataFrame:
+    """SemDeDup semantic deduplication (k-means buckets → within-cluster
+    cosine min-id keeper, stages/dedup.py:semantic_dedup). k-means is
+    iterative and not SQL-expressible, so this is a rows-only driver
+    check; the pytest verifies every verdict against a brute-force
+    per-cluster recomputation."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return dedup.semantic_dedup(ds, threshold=0.4, n_clusters=8)
+
+
+# ---------------------------------------------------------------------------
+# Webalizer-family session metrics: bounce rate, dwell time
+# ---------------------------------------------------------------------------
+
+def _per_session_rollup(sf_dir: str, num_buckets: int = 32) -> rd.Dataset:
+    """One row per visit-window session: (user_id, sid, entry_type,
+    n, t0_us, t1_us). Computed INSIDE the per-user-bucket sessionize
+    group — a bucket holds every event of its users, so sessions are
+    complete there and the rollup needs no cross-block combine (unlike
+    session_entry_exit, which demonstrates the partial-combine path)."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket_"] = (df["user_id"].to_numpy()
+                         % num_buckets).astype(np.int32)
+        return df
+
+    def rollup(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        same = g["user_id"].eq(g["user_id"].shift())
+        gap_s = (g["ts"] - g["ts"].shift()).dt.total_seconds()
+        ns = (~same) | (gap_s >= 1800.0)
+        g["sid"] = ns.groupby(g["user_id"], sort=False).cumsum() \
+            .astype(np.int64)
+        g["us"] = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        per = g.groupby(["user_id", "sid"], sort=False).agg(
+            entry_type=("event_type", "first"), n=("event_type", "size"),
+            t0_us=("us", "min"), t1_us=("us", "max")).reset_index()
+        per["n"] = per["n"].astype(np.int64)
+        return per
+
+    return (ds.map_batches(with_bucket, batch_format="pandas")
+            .groupby("bucket_").map_groups(rollup, batch_format="pandas"))
+
+
+_SESS_SQL = f"""
+SELECT user_id, event_type, ts, event_id,
+       SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS sid
+FROM ({_NS_SQL})"""
+
+
+@register("bounce_rate_by_entry", sql=f"""
+WITH s AS ({_SESS_SQL}),
+per AS (SELECT user_id, sid,
+               FIRST(event_type ORDER BY ts, event_id) AS entry_type,
+               COUNT(*) AS n
+        FROM s GROUP BY 1, 2)
+SELECT entry_type, COUNT(*) AS sessions,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bounces,
+       ROUND(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+           AS bounce_rate
+FROM per GROUP BY 1""")
+def bounce_rate_by_entry(sf_dir: str) -> pd.DataFrame:
+    """Bounce rate per entry event type (the webalizer-family
+    single-hit-visit metric, SURVEY.md §2.9 W1/W2 domain): share of
+    visit-window sessions that contain exactly one event, keyed by the
+    session's first event. Per-session rows come from the bucket-local
+    rollup; only (entry_type, sessions, bounces) partials shuffle."""
+    per = _per_session_rollup(sf_dir)
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(bounce=(df["n"] == 1).astype(np.int64),
+                       one=np.int64(1))
+        return df[["entry_type", "one", "bounce"]]
+
+    out = reduce_sink(per.map_batches(partials, batch_format="pandas"),
+                      ["entry_type"],
+                      {"sessions": ("one", "sum"),
+                       "bounces": ("bounce", "sum")}).to_pandas()
+    out["bounce_rate"] = textstats.round_half_away(
+        out["bounces"].to_numpy(np.float64)
+        / out["sessions"].to_numpy(np.float64), 6)
+    return out.sort_values("entry_type", ignore_index=True)
+
+
+@register("session_duration_by_hour", sql=f"""
+WITH s AS ({_SESS_SQL}),
+per AS (SELECT user_id, sid, MIN(ts) AS t0,
+               epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us
+        FROM s GROUP BY 1, 2)
+SELECT CAST(hour(t0) AS BIGINT) AS hour, COUNT(*) AS sessions,
+       ROUND(SUM(dur_us) * 1.0 / COUNT(*) / 1000000, 2) AS avg_dur_s,
+       ROUND(MAX(dur_us) / 1000000.0, 2) AS max_dur_s
+FROM per GROUP BY 1""")
+def session_duration_by_hour(sf_dir: str) -> pd.DataFrame:
+    """Dwell time: average and max session duration keyed by the hour
+    the session STARTED (webalizer's hourly table extended with the
+    visit-duration measure). Integer-µs duration sums combine exactly
+    across partials; the float division happens once on the final
+    aggregate, in the same order as the oracle."""
+    per = _per_session_rollup(sf_dir)
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        hour = ((df["t0_us"].to_numpy(np.int64) // 3_600_000_000)
+                % 24).astype(np.int64)
+        return pd.DataFrame({
+            "hour": hour, "one": np.int64(1),
+            "dur_us": df["t1_us"].to_numpy(np.int64)
+            - df["t0_us"].to_numpy(np.int64)})
+
+    agg = reduce_sink(per.map_batches(partials, batch_format="pandas"),
+                      ["hour"], {"sessions": ("one", "sum"),
+                                 "dur_sum": ("dur_us", "sum"),
+                                 "dur_max": ("dur_us", "max")}).to_pandas()
+    out = pd.DataFrame({
+        "hour": agg["hour"].astype(np.int64),
+        "sessions": agg["sessions"].astype(np.int64),
+        "avg_dur_s": textstats.round_half_away(
+            agg["dur_sum"].to_numpy(np.float64)
+            / agg["sessions"].to_numpy(np.float64) / 1e6, 2),
+        "max_dur_s": textstats.round_half_away(
+            agg["dur_max"].to_numpy(np.float64) / 1e6, 2)})
+    return out.sort_values("hour", ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# Distribution diagnostics: histogram, robust outliers, key-skew profile
+# ---------------------------------------------------------------------------
+
+@register("value_histogram", sql="""
+SELECT CAST(FLOOR(value / 25) AS BIGINT) AS bin, COUNT(*) AS cnt,
+       ROUND(SUM(value), 2) AS value_sum
+FROM events GROUP BY 1""")
+def value_histogram(sf_dir: str) -> pd.DataFrame:
+    """Fixed-width value histogram (bin width 25): binning is a
+    batch-local Arrow kernel, then the ordinary partial-combine
+    aggregate — a histogram is a groupby on a derived key, zero extra
+    shuffle beyond the tiny (bin, cnt, sum) partials."""
+    def binned(batch: pa.Table) -> pa.Table:
+        b = pc.cast(pc.floor(pc.divide(batch["value"],
+                                       pa.scalar(25.0))), pa.int64())
+        return pa.table({"bin": b, "value": batch["value"]})
+
+    out = reduce_sink(_events(sf_dir, ["value"]).map_batches(
+        binned, batch_format="pyarrow"),
+        ["bin"], {"cnt": ("value", "size"),
+                  "value_sum": ("value", "sum")}).to_pandas()
+    out["value_sum"] = out["value_sum"].round(2)
+    return out.sort_values("bin", ignore_index=True)
+
+
+@register("value_outliers_mad", sql="""
+WITH st AS (SELECT event_type, median(value) AS med, mad(value) AS m
+            FROM events GROUP BY 1)
+SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS outliers,
+       ROUND(ANY_VALUE(med), 6) AS med, ROUND(ANY_VALUE(m), 6) AS mad
+FROM events e JOIN st USING (event_type)
+WHERE abs(value - med) > 3 * 1.4826 * m
+GROUP BY 1""")
+def value_outliers_mad(sf_dir: str) -> pd.DataFrame:
+    """Robust outlier detection per group: median/MAD (the
+    breakdown-resistant alternative to mean/stddev z-scores) with the
+    standard 1.4826 normal-consistency constant. Exact medians need a
+    group's values co-located (low-cardinality event_type ⇒ one
+    map_groups task each); at high key cardinality swap in the t-digest
+    sketch partials (stages/sketch.py). Identical float expression on
+    both sides so the strict > threshold agrees bit-for-bit."""
+    ds = _events(sf_dir, ["event_type", "value"])
+
+    def stats(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["value"].to_numpy(np.float64)
+        med = float(np.quantile(v, 0.5, method="linear"))
+        mad = float(np.quantile(np.abs(v - med), 0.5, method="linear"))
+        n_out = int((np.abs(v - med) > 3 * 1.4826 * mad).sum())
+        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
+                             "outliers": np.array([n_out], dtype=np.int64),
+                             "med": [round(med, 6)],
+                             "mad": [round(mad, 6)]})
+
+    out = (ds.groupby("event_type").map_groups(stats,
+                                               batch_format="pandas")
+           .to_pandas())
+    return out.sort_values("event_type", ignore_index=True)
+
+
+@register("user_key_skew", sql="""
+WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
+t AS (SELECT SUM(n) * 1.0 AS tot, COUNT(*) AS k FROM c),
+r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n, user_id) AS i FROM c)
+SELECT CAST(t.k AS BIGINT) AS distinct_keys,
+       CAST((SELECT MAX(n) FROM c) AS BIGINT) AS max_n,
+       ROUND((SELECT MAX(n) FROM c) / t.tot, 6) AS max_share,
+       ROUND(LN(t.tot) - (SELECT SUM(n * LN(n)) FROM c) / t.tot, 6)
+           AS entropy,
+       ROUND((SELECT SUM((2 * i - t.k - 1) * n) FROM r)
+             / (t.k * t.tot), 6) AS gini
+FROM t""")
+def user_key_skew(sf_dir: str) -> pd.DataFrame:
+    """Key-skew profiler — the diagnostic you run BEFORE picking a
+    partition key at 100 TB: distinct keys, hottest-key share, Shannon
+    entropy and Gini coefficient of the per-key count distribution.
+    Scale shape: per-key counts reduce as usual, then — because counts
+    are bounded small ints — an exact (count_value, frequency)
+    HISTOGRAM is the only thing that leaves the cluster (the
+    exact_quantiles_bounded trick), and entropy/Gini are closed-form
+    over that histogram: Σ n·ln n decomposes per bucket; Gini's sorted
+    rank sum has a closed form per tie-block of equal counts."""
+    from webalizer_ray.stages.aggregate import key_skew_profile
+    prof = key_skew_profile(_events(sf_dir, ["user_id"]), "user_id")
+    return pd.DataFrame({
+        "distinct_keys": np.array([prof["distinct_keys"]], dtype=np.int64),
+        "max_n": np.array([prof["max_n"]], dtype=np.int64),
+        "max_share": [round(prof["max_share"], 6)],
+        "entropy": [round(prof["entropy"], 6)],
+        "gini": [round(prof["gini"], 6)]})
+
+
+@register("shared_span_pairs", sql="""
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+           FROM documents),
+sh AS (SELECT doc_id, array_to_string(toks[i:i+19], ' ') AS sp
+       FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks)-19))
+                        AS i) g),
+d AS (SELECT DISTINCT doc_id, sp FROM sh)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(COUNT(*) AS BIGINT) AS shared_spans
+FROM d a JOIN d b ON a.sp = b.sp AND a.doc_id < b.doc_id
+GROUP BY 1, 2""")
+def shared_span_pairs_q(sf_dir: str) -> pd.DataFrame:
+    """Duplicate-span detection (doc pairs sharing any 20-token span +
+    how many, the bounded substring-dedup of Lee et al. ACL'22): span
+    hashes bucket-join in-cluster, one vectorized self-merge per
+    bucket — see dedup.shared_span_pairs."""
+    return dedup.shared_span_pairs(_docs(sf_dir, ["doc_id", "text"]),
+                                   n=20)
+
+
+@register("media_image_thumbnails")
+def media_image_thumbnails(sf_dir: str) -> pd.DataFrame:
+    """REAL image resize chained into a feature pass: PPM/BMP payloads
+    decode with the pure-numpy parsers, nearest-neighbor downscale to
+    fit 8×8 (aspect preserved), re-encode as PPM, then a second stage
+    decodes the THUMBNAIL and emits its mean intensity — genuine pixels
+    through both hops (no fake path; every fixture image is real)."""
+    from webalizer_ray.stages.multimodal import (
+        MEDIA_BATCH_KWARGS,
+        ResizeImage,
+        decode_ppm,
+    )
+    thumbs = _media_ds().map_batches(
+        ResizeImage, fn_constructor_kwargs=dict(max_side=8),
+        concurrency=(1, 2), **MEDIA_BATCH_KWARGS)
+
+    def thumb_stats(batch: pa.Table) -> pa.Table:
+        means = [decode_ppm(p).astype(np.float64).mean() / 255.0
+                 for p in batch["payload"].to_pylist()]
+        return pa.table({
+            "media_id": batch["media_id"],
+            "width": batch["width"], "height": batch["height"],
+            "thumb_mean": pa.array(np.round(means, 6), pa.float64())})
+
+    out = thumbs.map_batches(thumb_stats,
+                             batch_format="pyarrow").to_pandas()
+    return out.sort_values("media_id", ignore_index=True)
+
+
+@register("users_ranked_by_value", sql="""
+WITH agg AS (SELECT user_id, ROUND(SUM(value), 2) AS value_sum
+             FROM events GROUP BY 1)
+SELECT user_id, value_sum,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rnk,
+       CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank
+FROM agg WINDOW w AS (ORDER BY value_sum, user_id)""")
+def users_ranked_by_value(sf_dir: str) -> pd.DataFrame:
+    """Distributed ORDER BY ranking (ROW_NUMBER / NTILE / PERCENT_RANK
+    without a global sort shuffle): scan.global_rank range-partitions
+    by sampled quantile cut points, ranks each bucket locally against
+    driver-cumsum'd offsets (only num_buckets count rows leave the
+    cluster), and NTILE/PERCENT_RANK are closed-form over the rank —
+    NTILE with SQL's larger-groups-first convention."""
+    agg = reduce_sink(_events(sf_dir, ["user_id", "value"]),
+                      ["user_id"], {"value_sum": ("value", "sum")})
+
+    def rounded(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["value_sum"] = df["value_sum"].round(2)
+        return df
+
+    ranked = scan.global_rank(
+        agg.map_batches(rounded, batch_format="pandas"),
+        "value_sum", "user_id", num_buckets=8).to_pandas()
+    k = len(ranked)
+    r = ranked["rnk"].to_numpy(np.int64)
+    q, rem = divmod(k, 4)
+    big = rem * (q + 1)          # SQL NTILE: first `rem` groups get q+1
+    quartile = np.where(r <= big, (r - 1) // max(q + 1, 1) + 1,
+                        rem + (r - big - 1) // max(q, 1) + 1)
+    ranked["quartile"] = quartile.astype(np.int64)
+    ranked["pct_rank"] = textstats.round_half_away(
+        (r - 1) / max(k - 1, 1), 6)
+    return (ranked[["user_id", "value_sum", "rnk", "quartile",
+                    "pct_rank"]]
+            .sort_values("user_id", ignore_index=True))
+
+
+@register("nation_order_stats", sql="""
+SELECT n_name, COUNT(*) AS orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1""")
+def nation_order_stats(sf_dir: str) -> pd.DataFrame:
+    """Auto-strategy joins (stages/join.py:auto_join): customer⋈nation
+    goes map-side (25-row build side broadcast once, the probe side
+    never shuffles), orders⋈customer picks by build-side row count —
+    the optimizer decision every SQL engine makes, surfaced as an
+    operator so pipelines scale without a rewrite when a dimension
+    table outgrows the broadcast limit."""
+    from webalizer_ray.stages.join import auto_join
+    nation = rd.read_parquet(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_name"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+    cn = auto_join(cust, nation, on="c_nationkey",
+                   right_on="n_nationkey")
+    j = auto_join(orders, cn, on="o_custkey", right_on="c_custkey")
+    out = reduce_sink(j, ["n_name"],
+                      {"orders": ("o_custkey", "size"),
+                       "total_price": ("o_totalprice", "sum")}).to_pandas()
+    out["total_price"] = out["total_price"].round(2)
+    return out.sort_values("n_name", ignore_index=True)
+
+
+@register("embedding_pagerank")
+def embedding_pagerank(sf_dir: str) -> pd.DataFrame:
+    """PageRank over the k-NN similarity graph (centrality-based data
+    selection — rank documents by how "central" they are in embedding
+    space). Iterative and not SQL-expressible: rows-only driver check;
+    the pytest verifies parity vs a numpy power iteration to 1e-9.
+    See stages/graph.py for the co-partitioned message-passing shape."""
+    from webalizer_ray.stages.graph import pagerank
+    edges = knn_graph(sf_dir)[["node", "neighbor"]]
+    out = pagerank(edges.rename(columns={"node": "src",
+                                         "neighbor": "dst"}),
+                   n_iter=10)
+    out["r"] = textstats.round_half_away(out["r"].to_numpy(np.float64), 9)
+    return out
+
+
+@register("events_cube", sql="""
+SELECT COALESCE(CAST(hour(ts) AS BIGINT), -1) AS hour,
+       COALESCE(event_type, 'ALL') AS event_type,
+       COUNT(*) AS hits, ROUND(SUM(value), 2) AS value_sum
+FROM events GROUP BY CUBE (hour(ts), event_type)""")
+def events_cube(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY CUBE in ONE pass: every batch emits partials for all
+    2^k grouping sets (rolled-up dims as sentinels -1/'ALL'), so a
+    single shuffle serves the full lattice — versus 2^k separate
+    groupby plans re-reading the input. The partial explosion is
+    bounded: ≤ 4× the per-batch distinct (hour, type) combinations,
+    tiny next to the raw rows that DON'T shuffle."""
+    def cube_partials(df: pd.DataFrame) -> pd.DataFrame:
+        base = pd.DataFrame({
+            "hour": df["ts"].dt.hour.astype(np.int64),
+            "event_type": df["event_type"],
+            "value": df["value"]})
+        frames = []
+        for roll_h, roll_t in [(False, False), (False, True),
+                               (True, False), (True, True)]:
+            f = base.copy()
+            if roll_h:
+                f["hour"] = np.int64(-1)
+            if roll_t:
+                f["event_type"] = "ALL"
+            frames.append(f.groupby(["hour", "event_type"], sort=False)
+                          .agg(hits=("value", "size"),
+                               value_sum=("value", "sum")).reset_index())
+        out = pd.concat(frames, ignore_index=True)
+        out["hits"] = out["hits"].astype(np.int64)
+        return out
+
+    ds = _events(sf_dir, ["ts", "event_type", "value"]).map_batches(
+        cube_partials, batch_format="pandas")
+    out = reduce_sink(ds, ["hour", "event_type"],
+                      {"hits": ("hits", "sum"),
+                       "value_sum": ("value_sum", "sum")}).to_pandas()
+    out["value_sum"] = out["value_sum"].round(2)
+    return out.sort_values(["hour", "event_type"], ignore_index=True)
+
+
+@register("user_event_counts_cms")
+def user_event_counts_cms(sf_dir: str) -> pd.DataFrame:
+    """Per-key frequency estimates via Count-Min (the linear-merge
+    sketch for per-key counts when the key space is too big for an
+    exact groupby result to live anywhere): per-batch sketches ADD
+    together, so only (depth×width) int64 tables shuffle, never keys.
+    One-sided error (est ≥ true); pytest checks the CM bound."""
+    from webalizer_ray.stages.sketch import CountMin
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_array(df["user_id"].to_numpy(np.int64))
+        return pd.DataFrame({
+            "cms": [CountMin.from_hashes(h).to_bytes()]})
+
+    parts = _events(sf_dir, ["user_id"]).map_batches(
+        partial, batch_format="pandas").to_pandas()
+    sk = CountMin()
+    for blob in parts["cms"]:
+        sk = sk.merge(CountMin.from_bytes(blob))
+    # query the sketch for the (small, known) key set — at real scale
+    # the probes come from a heavy-hitter summary, not a distinct scan
+    users = _events(sf_dir, ["user_id"]).map_batches(
+        lambda df: df.drop_duplicates(), batch_format="pandas") \
+        .to_pandas()["user_id"].drop_duplicates().sort_values()
+    est = sk.estimate(pd.util.hash_array(users.to_numpy(np.int64)))
+    return pd.DataFrame({"user_id": users.to_numpy(np.int64),
+                         "est_events": est.astype(np.int64)})
+
+
+@register("distinct_users_by_type_hll")
+def distinct_users_by_type_hll(sf_dir: str) -> pd.DataFrame:
+    """PER-GROUP approximate distinct: one HyperLogLog per (batch,
+    event_type) — fixed 16 KiB register arrays merge by max inside an
+    ordinary groupby, so per-group distinct users costs one small-row
+    shuffle however many users exist. Accuracy pytest vs the exact
+    two-phase count."""
+    from webalizer_ray.stages.sketch import HyperLogLog
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type", sort=False):
+            h = pd.util.hash_array(g["user_id"].to_numpy(np.int64))
+            rows.append((et, HyperLogLog.from_hashes(h).to_bytes()))
+        return pd.DataFrame(rows, columns=["event_type", "hll"])
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        sk = HyperLogLog()
+        for blob in g["hll"]:
+            sk = sk.merge(HyperLogLog.from_bytes(blob))
+        return pd.DataFrame({"event_type": [g["event_type"].iloc[0]],
+                             "users_approx": [int(round(sk.count()))]})
+
+    out = (_events(sf_dir, ["event_type", "user_id"])
+           .map_batches(partial, batch_format="pandas")
+           .groupby("event_type")
+           .map_groups(combine, batch_format="pandas")).to_pandas()
+    return out.sort_values("event_type", ignore_index=True)
+
+
+@register("validate_events", sql="""
+SELECT * FROM (
+  SELECT 'event_id' AS "column", 'unique' AS rule,
+         CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT) AS violations
+  FROM events
+  UNION ALL
+  SELECT 'user_id', 'not_null',
+         CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM events
+  UNION ALL
+  SELECT 'value', 'min',
+         CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM events
+  UNION ALL
+  SELECT 'value', 'max',
+         CAST(SUM(CASE WHEN value > 1000 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM events
+  UNION ALL
+  SELECT 'event_type', 'regex',
+         CAST(SUM(CASE WHEN NOT regexp_matches(
+              COALESCE(event_type, ''), '^[a-z]+$') THEN 1 ELSE 0 END)
+              AS BIGINT)
+  FROM events) t
+ORDER BY "column", rule""")
+def validate_events(sf_dir: str) -> pd.DataFrame:
+    """Data-contract validation (the expectations gate a production
+    feed runs before trusting a drop): all non-unique rules check in
+    ONE streaming pass of per-batch violation partials; uniqueness
+    reuses the two-phase distinct count. One row per rule."""
+    ds = _events(sf_dir, ["event_id", "user_id", "event_type", "value"])
+    return textstats.validate_rules(ds, {
+        "event_id": {"unique": True},
+        "user_id": {"not_null": True},
+        "value": {"min": 0, "max": 1000},
+        "event_type": {"regex": r"^[a-z]+$"},
+    })
+
+
+@register("user_moving_avg", sql="""
+SELECT user_id, event_id,
+       ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+           AS mov_avg
+FROM events""")
+def user_moving_avg(sf_dir: str) -> pd.DataFrame:
+    """Sliding ROWS-frame window function (3-event moving average per
+    user): user-hash bucket co-locates each user's stream, one
+    vectorized pandas rolling() per bucket — completing the window
+    family next to running-SUM/LAG (`user_running_value`) and the
+    rank windows (`users_ranked_by_value`)."""
+    ds = _events(sf_dir, ["user_id", "event_id", "ts", "value"])
+
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket_"] = (df["user_id"].to_numpy() % 32).astype(np.int32)
+        return df
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        # AVG over a count-varying frame: divide the rolling SUM by the
+        # rolling COUNT in the same order the oracle does
+        mv = (g.groupby("user_id", sort=False)["value"]
+              .rolling(3, min_periods=1).mean()
+              .reset_index(level=0, drop=True))
+        return pd.DataFrame({
+            "user_id": g["user_id"].to_numpy(np.int64),
+            "event_id": g["event_id"].to_numpy(np.int64),
+            "mov_avg": textstats.round_half_away(
+                mv.to_numpy(np.float64), 6)})
+
+    out = (ds.map_batches(with_bucket, batch_format="pandas")
+           .groupby("bucket_").map_groups(roll, batch_format="pandas")
+           .to_pandas())
+    return out.sort_values(["user_id", "event_id"], ignore_index=True)
+
+
+@register("funnel_three_step", sql=f"""
+WITH s AS ({_SESS_SQL}),
+k AS (SELECT DISTINCT user_id, sid FROM s),
+v AS (SELECT user_id, sid, MIN(ts) AS t FROM s
+      WHERE event_type = 'view' GROUP BY 1, 2),
+c AS (SELECT s.user_id, s.sid, MIN(s.ts) AS t
+      FROM s JOIN v ON s.user_id = v.user_id AND s.sid = v.sid
+      WHERE s.event_type = 'click' AND s.ts > v.t GROUP BY 1, 2),
+p AS (SELECT s.user_id, s.sid, MIN(s.ts) AS t
+      FROM s JOIN c ON s.user_id = c.user_id AND s.sid = c.sid
+      WHERE s.event_type = 'purchase' AND s.ts > c.t GROUP BY 1, 2)
+SELECT (SELECT COUNT(*) FROM k) AS sessions,
+       (SELECT COUNT(*) FROM v) AS step_view,
+       (SELECT COUNT(*) FROM c) AS step_click,
+       (SELECT COUNT(*) FROM p) AS step_purchase""")
+def funnel_three_step(sf_dir: str) -> pd.DataFrame:
+    """N-step ORDERED funnel (view → click-after-view →
+    purchase-after-that-click, within a visit-window session): the
+    sequential-pattern query behind conversion analysis. Each step's
+    anchor is the previous step's FIRST qualifying timestamp, so the
+    whole chain is a per-session forward scan — computed vectorized
+    inside the user-bucket sessionize group (sessions complete there),
+    with only four count partials per bucket reaching the driver."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket_"] = (df["user_id"].to_numpy() % 32).astype(np.int32)
+        return df
+
+    def funnel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        same = g["user_id"].eq(g["user_id"].shift())
+        gap_s = (g["ts"] - g["ts"].shift()).dt.total_seconds()
+        ns = (~same) | (gap_s >= 1800.0)
+        g["sid"] = ns.groupby(g["user_id"], sort=False).cumsum()
+        us = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        SENT = np.iinfo(np.int64).max
+
+        def first_after(step: str, anchor: pd.Series) -> pd.Series:
+            t = pd.Series(np.where(
+                (g["event_type"].to_numpy() == step)
+                & (us > anchor.reindex(
+                    pd.MultiIndex.from_arrays(
+                        [g["user_id"], g["sid"]])).to_numpy()),
+                us, SENT), index=g.index)
+            return t.groupby([g["user_id"], g["sid"]], sort=False).min()
+
+        zero = pd.Series(
+            np.int64(-1),
+            index=g.groupby(["user_id", "sid"], sort=False)
+            .size().index)
+        v = first_after("view", zero)
+        c = first_after("click", v)
+        p = first_after("purchase", c)
+        return pd.DataFrame({
+            "sessions": [np.int64(len(zero))],
+            "step_view": [np.int64((v < SENT).sum())],
+            "step_click": [np.int64((c < SENT).sum())],
+            "step_purchase": [np.int64((p < SENT).sum())]})
+
+    parts = (ds.map_batches(with_bucket, batch_format="pandas")
+             .groupby("bucket_").map_groups(funnel,
+                                            batch_format="pandas")
+             .to_pandas())
+    return pd.DataFrame({c: [np.int64(parts[c].sum())]
+                         for c in ["sessions", "step_view",
+                                   "step_click", "step_purchase"]})
+
+
+@register("validate_fk_orders", sql="""
+SELECT CAST(SUM(CASE WHEN c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS orphan_orders,
+       CAST(COUNT(*) AS BIGINT) AS total_orders
+FROM (SELECT o_orderkey,
+             (SELECT 1 FROM customer WHERE c_custkey = o_custkey) AS c
+      FROM orders) t""")
+def validate_fk_orders(sf_dir: str) -> pd.DataFrame:
+    """Referential-integrity check (orders.o_custkey ⊆
+    customer.c_custkey) — the cross-table contract companion to
+    validate_events: the presence-flag pattern tags each custkey side
+    (parent=2/child=1), one groupby max-combines per key, and orphan
+    child rows sum from (key, n_child) partials — no join of the fact
+    table, only key-level aggregates shuffle."""
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey"])
+
+    def child(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["o_custkey"].value_counts()
+        return pd.DataFrame({"k": vc.index.to_numpy(np.int64),
+                             "n_child": vc.to_numpy(np.int64),
+                             "parent": np.int64(0)})
+
+    def parent(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["c_custkey"].drop_duplicates().to_numpy(np.int64)
+        return pd.DataFrame({"k": k,
+                             "n_child": np.int64(0),
+                             "parent": np.int64(1)})
+
+    both = orders.map_batches(child, batch_format="pandas").union(
+        cust.map_batches(parent, batch_format="pandas"))
+    agg = reduce_sink(both, ["k"], {"n_child": ("n_child", "sum"),
+                                    "parent": ("parent", "max")})
+
+    def orphan_partial(df: pd.DataFrame) -> pd.DataFrame:
+        orphan = df.loc[df["parent"].eq(0), "n_child"].sum()
+        return pd.DataFrame({"orphans": [np.int64(orphan)],
+                             "total": [np.int64(df["n_child"].sum())]})
+
+    parts = agg.map_batches(orphan_partial,
+                            batch_format="pandas").to_pandas()
+    return pd.DataFrame({
+        "orphan_orders": [np.int64(parts["orphans"].sum())],
+        "total_orders": [np.int64(parts["total"].sum())]})
+
+
+@register("value_drift_psi", sql="""
+WITH binned AS (SELECT CAST(FLOOR(value / 25) AS BIGINT) AS bin,
+                       CASE WHEN day(ts) <= 15 THEN 'a' ELSE 'b' END
+                           AS half
+                FROM events),
+c AS (SELECT bin,
+             SUM(CASE WHEN half = 'a' THEN 1 ELSE 0 END) AS na,
+             SUM(CASE WHEN half = 'b' THEN 1 ELSE 0 END) AS nb
+      FROM binned GROUP BY bin),
+t AS (SELECT SUM(na) * 1.0 AS ta, SUM(nb) * 1.0 AS tb FROM c),
+p AS (SELECT (na + 0.5) / (ta + 0.5 * COUNT(*) OVER ()) AS pa,
+             (nb + 0.5) / (tb + 0.5 * COUNT(*) OVER ()) AS pb
+      FROM c, t)
+SELECT ROUND(SUM((pa - pb) * LN(pa / pb)), 6) AS psi FROM p""")
+def value_drift_psi(sf_dir: str) -> pd.DataFrame:
+    """Distribution-drift monitor: Population Stability Index between
+    the month's two halves over the value histogram (the check a
+    production feed runs before trusting a new drop against the last).
+    Laplace-smoothed (+0.5 per bin over the UNION of observed bins) so
+    bins empty on one side stay finite. Only (bin, na, nb) rows leave
+    the cluster; PSI is closed-form on that tiny table."""
+    def partials(batch: pa.Table) -> pa.Table:
+        b = pc.cast(pc.floor(pc.divide(batch["value"],
+                                       pa.scalar(25.0))), pa.int64())
+        is_a = pc.less_equal(pc.day(batch["ts"]), 15)
+        return pa.table({
+            "bin": b,
+            "na": pc.cast(is_a, pa.int64()),
+            "nb": pc.cast(pc.invert(is_a), pa.int64())})
+
+    c = reduce_sink(_events(sf_dir, ["ts", "value"]).map_batches(
+        partials, batch_format="pyarrow"),
+        ["bin"], {"na": ("na", "sum"), "nb": ("nb", "sum")}).to_pandas()
+    na = c["na"].to_numpy(np.float64)
+    nb = c["nb"].to_numpy(np.float64)
+    k = float(len(c))
+    pa_ = (na + 0.5) / (na.sum() + 0.5 * k)
+    pb_ = (nb + 0.5) / (nb.sum() + 0.5 * k)
+    psi = float(((pa_ - pb_) * np.log(pa_ / pb_)).sum())
+    return pd.DataFrame({"psi": [round(psi, 6)]})
+
+
+@register("daily_growth", sql="""
+WITH d AS (SELECT strftime(ts, '%Y-%m-%d') AS date, COUNT(*) AS hits
+           FROM events GROUP BY 1)
+SELECT date, hits,
+       ROUND(COALESCE((hits - LAG(hits) OVER (ORDER BY date)) * 100.0
+                      / LAG(hits) OVER (ORDER BY date), 0), 6)
+           AS pct_change
+FROM d""")
+def daily_growth(sf_dir: str) -> pd.DataFrame:
+    """Day-over-day traffic growth % (the trend arrow on every
+    dashboard): the heavy work is the ordinary partial-combine daily
+    aggregate; the LAG window runs on the date-cardinality result
+    (a window over a tiny aggregate is driver arithmetic, not a
+    distributed op — same stance as the flagship's finalize)."""
+    ds = _events(sf_dir, ["ts"]).map_batches(
+        _with_time_cols({"date"}), batch_format="pyarrow")
+    d = reduce_sink(ds, ["date"], {"hits": ("ts", "size")}).to_pandas()
+    d = d.sort_values("date", ignore_index=True)
+    prev = d["hits"].shift()
+    pct = ((d["hits"] - prev) * 100.0 / prev).fillna(0.0)
+    d["pct_change"] = textstats.round_half_away(
+        pct.to_numpy(np.float64), 6)
+    return d
+
+
+@register("return_visit_gaps", sql=f"""
+WITH s AS ({_SESS_SQL}),
+per AS (SELECT user_id, sid, MIN(ts) AS t0 FROM s GROUP BY 1, 2),
+g AS (SELECT user_id,
+             epoch_us(t0) - epoch_us(LAG(t0) OVER (PARTITION BY user_id
+                                                   ORDER BY t0)) AS gap_us
+      FROM per)
+SELECT CAST(FLOOR(gap_us / 3600000000.0) AS BIGINT) AS gap_hours,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM g WHERE gap_us IS NOT NULL GROUP BY 1""")
+def return_visit_gaps(sf_dir: str) -> pd.DataFrame:
+    """Return-visit gap histogram (hours between a user's consecutive
+    session starts — the webalizer-family loyalty metric): session
+    starts come from the bucket-local rollup, consecutive gaps from a
+    per-user shift INSIDE the same bucket (users never span buckets),
+    and only (gap_hours, n) partials shuffle."""
+    per = _per_session_rollup(sf_dir)
+
+    def gaps(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "t0_us"], kind="mergesort")
+        same = df["user_id"].eq(df["user_id"].shift())
+        gap = df["t0_us"] - df["t0_us"].shift()
+        h = (gap[same] // 3_600_000_000).astype(np.int64)
+        vc = h.value_counts()
+        return pd.DataFrame({"gap_hours": vc.index.to_numpy(np.int64),
+                             "n": vc.to_numpy(np.int64)})
+
+    # the rollup's map_groups output blocks are per user-bucket, but a
+    # later stage may re-split them: do the shift inside ONE map_groups
+    # over the same bucket key to stay split-proof
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket_"] = (df["user_id"].to_numpy() % 32).astype(np.int32)
+        return df
+
+    parts = (per.map_batches(with_bucket, batch_format="pandas")
+             .groupby("bucket_")
+             .map_groups(lambda g: gaps(g.drop(columns=["bucket_"])),
+                         batch_format="pandas"))
+    out = reduce_sink(parts, ["gap_hours"],
+                      {"n": ("n", "sum")}).to_pandas()
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values("gap_hours", ignore_index=True)
+
+
+@register("region_supplier_stats", sql="""
+SELECT r_name, CAST(COUNT(*) AS BIGINT) AS suppliers,
+       ROUND(SUM(s_acctbal), 2) AS acctbal_sum
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1""")
+def region_supplier_stats(sf_dir: str) -> pd.DataFrame:
+    """Region-level rollup through the 3-level dimension chain
+    (supplier → nation → region): both dimensions are tiny, so
+    auto_join picks the broadcast path twice — the fact side never
+    shuffles; completes query coverage of every driver table."""
+    from webalizer_ray.stages.join import auto_join
+    sup = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                          columns=["s_nationkey", "s_acctbal"])
+    nat = rd.read_parquet(f"{sf_dir}/nation.parquet",
+                          columns=["n_nationkey", "n_regionkey"])
+    reg = rd.read_parquet(f"{sf_dir}/region.parquet",
+                          columns=["r_regionkey", "r_name"])
+    j = auto_join(auto_join(sup, nat, on="s_nationkey",
+                            right_on="n_nationkey"),
+                  reg, on="n_regionkey", right_on="r_regionkey")
+    out = reduce_sink(j, ["r_name"],
+                      {"suppliers": ("s_acctbal", "size"),
+                       "acctbal_sum": ("s_acctbal", "sum")}).to_pandas()
+    out["acctbal_sum"] = out["acctbal_sum"].round(2)
+    return out.sort_values("r_name", ignore_index=True)
+
+
+@register("tpch_q6_revenue", sql="""
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS qualifying
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.02 AND l_discount <= 0.08
+  AND l_quantity < 24""")
+def tpch_q6_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q6 shape — THE scan-efficiency benchmark: every predicate
+    is pushed into the parquet scan (``filter=`` prunes row groups
+    before bytes leave storage, ``columns=`` prunes to the two measure
+    columns), then per-batch revenue partials sum — nothing shuffles
+    but scalars."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pds
+    f = ((pds.field("l_shipdate") >= _dt.datetime(1997, 1, 1))
+         & (pds.field("l_shipdate") < _dt.datetime(1998, 1, 1))
+         & (pds.field("l_discount") >= 0.02)
+         & (pds.field("l_discount") <= 0.08)
+         & (pds.field("l_quantity") < 24))
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_extendedprice", "l_discount"],
+                         filter=f)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rev = pc.sum(pc.multiply(batch["l_extendedprice"],
+                                 batch["l_discount"])).as_py() or 0.0
+        return pa.table({"rev": pa.array([rev], pa.float64()),
+                         "n": pa.array([batch.num_rows], pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({
+        "revenue": [round(float(parts["rev"].sum()), 2)],
+        "qualifying": [np.int64(parts["n"].sum())]})
+
+
+@register("promo_revenue_share", sql="""
+SELECT ROUND(100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%' THEN
+                              l_extendedprice * (1 - l_discount)
+                         ELSE 0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 6)
+           AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+  AND l_shipdate < TIMESTAMP '1997-04-01'""")
+def promo_revenue_share(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q14 shape (promotion revenue share): the date predicate is
+    pushed into the lineitem scan, the part dimension broadcasts
+    through auto_join (fact side never shuffles), and both the promo
+    and total revenue sums combine from per-batch scalar partials —
+    the division happens once, on the driver, in oracle order."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pds
+
+    from webalizer_ray.stages.join import auto_join
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+        filter=((pds.field("l_shipdate") >= _dt.datetime(1997, 3, 1))
+                & (pds.field("l_shipdate") < _dt.datetime(1997, 4, 1))))
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_type"])
+    j = auto_join(li, part, on="l_partkey", right_on="p_partkey")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rev = (df["l_extendedprice"].to_numpy(np.float64)
+               * (1.0 - df["l_discount"].to_numpy(np.float64)))
+        promo = df["p_type"].str.startswith("PROMO").to_numpy()
+        return pd.DataFrame({"promo": [float(rev[promo].sum())],
+                             "total": [float(rev.sum())]})
+
+    parts = j.map_batches(partial, batch_format="pandas").to_pandas()
+    pct = 100.0 * parts["promo"].sum() / parts["total"].sum()
+    return pd.DataFrame({"promo_pct": [round(float(pct), 6)]})
+
+
+@register("bigram_pmi", sql=r"""
+WITH t AS (SELECT regexp_extract_all(lower(text), '\S+') AS w
+           FROM documents),
+u AS (SELECT unnest(w) AS word FROM t),
+uc AS (SELECT word, COUNT(*) AS c FROM u GROUP BY 1),
+tot AS (SELECT SUM(c) * 1.0 AS T FROM uc),
+bg AS (SELECT w[i] AS w1, w[i+1] AS w2
+       FROM t, LATERAL (SELECT unnest(generate_series(1, len(w) - 1))
+                        AS i) g),
+bc AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY 1, 2),
+btot AS (SELECT SUM(cb) * 1.0 AS B FROM bc)
+SELECT w1, w2, CAST(cb AS BIGINT) AS cnt,
+       ROUND(LN((cb / B) / ((ua.c / T) * (ub.c / T))), 6) AS pmi
+FROM bc JOIN uc ua ON ua.word = w1 JOIN uc ub ON ub.word = w2, tot, btot
+WHERE cb >= 5
+ORDER BY pmi DESC, w1, w2 LIMIT 15""")
+def bigram_pmi(sf_dir: str) -> pd.DataFrame:
+    """Collocation extraction: top-15 bigrams by pointwise mutual
+    information (min count 5) — the phrase-mining step of tokenizer /
+    vocab pipelines. Unigram and bigram counts reduce as partials
+    (bigrams from a numpy shift inside each doc, never across docs);
+    the PMI arithmetic runs on the count-threshold survivors against
+    the vocabulary-sized unigram table (same driver footprint as the
+    unigram-LM scorer), with the float expression in oracle order."""
+    def grams(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].fillna("").str.lower().str.split()
+        rows_u, rows_b = [], []
+        for ws in words:
+            rows_u.extend(ws)
+            rows_b.extend(zip(ws[:-1], ws[1:]))
+        vc_u = pd.Series(rows_u).value_counts() if rows_u \
+            else pd.Series(dtype=np.int64)
+        vc_b = pd.Series(rows_b).value_counts() if rows_b \
+            else pd.Series(dtype=np.int64)
+        u = pd.DataFrame({"w1": vc_u.index.to_numpy(), "w2": "",
+                          "cnt": vc_u.to_numpy(np.int64), "kind": "u"})
+        b = pd.DataFrame({
+            "w1": [a for a, _ in vc_b.index],
+            "w2": [bb for _, bb in vc_b.index],
+            "cnt": vc_b.to_numpy(np.int64), "kind": "b"})
+        return pd.concat([u, b], ignore_index=True)
+
+    agg = reduce_sink(_docs(sf_dir, ["text"]).map_batches(
+        grams, batch_format="pandas"),
+        ["kind", "w1", "w2"], {"cnt": ("cnt", "sum")}).to_pandas()
+    uni = agg[agg["kind"] == "u"].set_index("w1")["cnt"]
+    big = agg[agg["kind"] == "b"]
+    T = float(uni.sum())
+    B = float(big["cnt"].sum())
+    q = big[big["cnt"] >= 5].copy()
+    ca = uni.loc[q["w1"]].to_numpy(np.float64)
+    cb2 = uni.loc[q["w2"]].to_numpy(np.float64)
+    cb = q["cnt"].to_numpy(np.float64)
+    q["pmi"] = textstats.round_half_away(
+        np.log((cb / B) / ((ca / T) * (cb2 / T))), 6)
+    q = q.sort_values(["pmi", "w1", "w2"],
+                      ascending=[False, True, True]).head(15)
+    return pd.DataFrame({"w1": q["w1"].to_numpy(),
+                         "w2": q["w2"].to_numpy(),
+                         "cnt": q["cnt"].to_numpy(np.int64),
+                         "pmi": q["pmi"].to_numpy()})
+
+
+@register("corpus_source_mix", sql=r"""
+WITH t AS (SELECT source,
+                  len(regexp_extract_all(text, '\S+')) AS n_tokens
+           FROM documents),
+s AS (SELECT source, COUNT(*) AS docs,
+             SUM(n_tokens) AS tokens FROM t GROUP BY 1),
+tot AS (SELECT SUM(tokens) * 1.0 AS T FROM s)
+SELECT source, CAST(docs AS BIGINT) AS docs,
+       CAST(tokens AS BIGINT) AS tokens,
+       ROUND(tokens / T, 6) AS token_share
+FROM s, tot""")
+def corpus_source_mix(sf_dir: str) -> pd.DataFrame:
+    """Per-source corpus mix report (docs, tokens, token share) — the
+    first table of every data-mixture card. Token counting is the
+    Arrow regex kernel; per-source partials combine; shares divide once
+    on the source-cardinality aggregate."""
+    def counts(batch: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(
+            batch["text"], textstats.TOKEN_RX), pa.int64())
+        return pa.table({"source": batch["source"], "n_tokens": n})
+
+    agg = reduce_sink(
+        _docs(sf_dir, ["source", "text"]).map_batches(
+            counts, batch_format="pyarrow"),
+        ["source"], {"docs": ("n_tokens", "size"),
+                     "tokens": ("n_tokens", "sum")}).to_pandas()
+    T = float(agg["tokens"].sum())
+    agg["docs"] = agg["docs"].astype(np.int64)
+    agg["tokens"] = agg["tokens"].astype(np.int64)
+    agg["token_share"] = textstats.round_half_away(
+        agg["tokens"].to_numpy(np.float64) / T, 6)
+    return agg.sort_values("source", ignore_index=True)
+
+
+@register("cdc_merged_customers", sql="""
+WITH u AS (
+  SELECT c_custkey AS key, c_acctbal AS val,
+         CAST(-1 AS BIGINT) AS seq, 'upsert' AS op FROM customer
+  UNION ALL
+  SELECT o_custkey, o_totalprice, CAST(o_orderkey AS BIGINT),
+         CASE WHEN o_orderkey % 13 = 0 THEN 'delete' ELSE 'upsert' END
+  FROM orders),
+w AS (SELECT key, val, op,
+             ROW_NUMBER() OVER (PARTITION BY key ORDER BY seq DESC) AS rk
+      FROM u)
+SELECT key, ROUND(val, 2) AS val FROM w WHERE rk = 1 AND op <> 'delete'""")
+def cdc_merged_customers(sf_dir: str) -> pd.DataFrame:
+    """MERGE INTO / CDC upsert-apply (the lakehouse incremental-store
+    primitive): the customer snapshot is the base, orders replay as a
+    change stream keyed by custkey (orderkey = commit sequence; every
+    13th order is a delete). Last writer wins per key; a winning delete
+    retires the key. Scale shape: one streaming union, each row
+    shuffles ONCE into a coarse int32 key-hash bucket, winner-per-key
+    is a single vectorized sort+drop_duplicates inside the bucket."""
+    from webalizer_ray.stages.cdc import OP_DELETE, OP_UPSERT, merge_changes
+
+    base = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_acctbal"]) \
+        .rename_columns({"c_custkey": "key", "c_acctbal": "val"})
+
+    def to_changes(b: pa.Table) -> pa.Table:
+        ok = pc.cast(b["o_orderkey"], pa.int64())
+        # op: delete when orderkey % 13 == 0 (Arrow int divide truncates)
+        rem = pc.subtract(ok, pc.multiply(pc.divide(ok, 13), 13))
+        op = pc.if_else(pc.equal(rem, 0), pa.scalar(OP_DELETE),
+                        pa.scalar(OP_UPSERT))
+        return pa.table({"key": b["o_custkey"], "val": b["o_totalprice"],
+                         "seq": ok, "op": op})
+
+    changes = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_totalprice"]) \
+        .map_batches(to_changes, batch_format="pyarrow")
+    out = merge_changes(base, changes, "key").to_pandas()
+    out["key"] = out["key"].astype(np.int64)
+    out["val"] = textstats.round_half_away(
+        out["val"].to_numpy(np.float64), 2)
+    return out.sort_values("key", ignore_index=True)
+
+
+@register("top_session_paths", sql=f"""
+WITH s AS (SELECT user_id, event_type, ts, event_id,
+                  SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+           FROM ({_NS_SQL})),
+r AS (SELECT user_id, sid, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                                ORDER BY ts, event_id) AS rk
+      FROM s),
+p AS (SELECT user_id, sid, string_agg(event_type, '>' ORDER BY rk) AS path
+      FROM r WHERE rk <= 3 GROUP BY user_id, sid)
+SELECT path, COUNT(*) AS sessions FROM p GROUP BY path
+ORDER BY sessions DESC, path LIMIT 15""")
+def top_session_paths(sf_dir: str) -> pd.DataFrame:
+    """Session path mining (clickstream navigation analysis): the most
+    common first-3-event-type journeys across visit-window sessions.
+    Scale shape: sessions are sessionized AND folded to their path
+    string inside the user-hash bucket task (a user's events never span
+    buckets), so only (path, n) partials — cardinality ≤ |types|³ —
+    shuffle to the final combine; top-15 resolves on the driver over
+    the tiny path table."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+    num_buckets = 32
+
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket_"] = (df["user_id"].to_numpy()
+                         % num_buckets).astype(np.int32)
+        return df
+
+    def path_counts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        same = g["user_id"].eq(g["user_id"].shift())
+        gap_s = (g["ts"] - g["ts"].shift()).dt.total_seconds()
+        ns = (~same) | (gap_s >= 1800.0)
+        sid = ns.cumsum()  # unique per session within the bucket
+        rk = g.groupby(sid.to_numpy(), sort=False).cumcount()
+        f = pd.DataFrame({"sid": sid[rk < 3], "pos": rk[rk < 3],
+                          "t": g["event_type"][rk < 3]})
+        wide = f.pivot(index="sid", columns="pos", values="t") \
+            .reindex(columns=[0, 1, 2])
+
+        def seg(col: pd.Series) -> np.ndarray:
+            # absent positions (session shorter than 3) contribute ""
+            return np.where(col.isna(), "",
+                            ">" + col.fillna("").astype(str))
+
+        path = pd.Series(wide[0].astype(str).to_numpy()
+                         + seg(wide[1]) + seg(wide[2]))
+        c = path.value_counts()
+        return pd.DataFrame({"path": c.index.to_numpy(),
+                             "n": c.to_numpy(np.int64)})
+
+    partials = ds.map_batches(with_bucket, batch_format="pandas") \
+        .groupby("bucket_").map_groups(path_counts, batch_format="pandas")
+    agg = reduce_sink(partials, ["path"], {"sessions": ("n", "sum")}) \
+        .to_pandas()
+    agg["sessions"] = agg["sessions"].astype(np.int64)
+    return agg.sort_values(["sessions", "path"], ascending=[False, True],
+                           kind="mergesort").head(15).reset_index(drop=True)
+
+
+#: fixed keyword query + Robertson/Lucene BM25 constants for bm25_search.
+_BM25_TERMS = ("table", "hash", "merge")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@register("bm25_search", sql=r"""
+WITH d AS (SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS dl
+           FROM documents),
+n AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM d),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf
+       FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+             FROM documents)
+       WHERE term IN ('table', 'hash', 'merge') GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+s AS (SELECT tf.doc_id,
+             SUM(ln((n.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                 * tf.tf * (1.2 + 1.0)
+                 / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / n.avgdl)))
+               AS score
+      FROM tf JOIN df USING (term) JOIN d USING (doc_id) CROSS JOIN n
+      GROUP BY tf.doc_id)
+SELECT doc_id, ROUND(score, 6) AS score
+FROM s ORDER BY score DESC, doc_id LIMIT 10""")
+def bm25_search(sf_dir: str) -> pd.DataFrame:
+    """BM25 ranked retrieval (the search-engine scoring the reference's
+    search-string reports feed; Robertson et al. TREC-3 / Lucene idf
+    variant). Two streaming passes over the corpus: pass 1 reduces the
+    collection statistics — N, total token count, per-query-term doc
+    frequency — to a handful of scalars; pass 2 captures those scalars,
+    scores each batch vectorized, and emits per-batch top-k PARTIALS so
+    only k rows per block reach the final combine. A doc's tf/dl come
+    from its own text cell, so per-doc values never shuffle at all."""
+    return _bm25_topk(sf_dir, k=10)
+
+
+def _bm25_topk(sf_dir: str, k: int) -> pd.DataFrame:
+    """Shared BM25 scorer (see bm25_search): distributed two-pass,
+    per-batch top-k partials, driver combines only k rows per block."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    terms = list(_BM25_TERMS)
+
+    def term_tf(df: pd.DataFrame) -> pd.DataFrame:
+        """(doc_id, dl) + per-query-term tf rows for one batch."""
+        words = df["text"].fillna("").str.split()
+        dl = words.str.len().to_numpy(np.int64)
+        # empty docs explode to a NaN placeholder — drop it so the
+        # flat token array aligns with np.repeat(doc_id, dl)
+        flat = words.explode().dropna().to_numpy()
+        doc = np.repeat(df["doc_id"].to_numpy(), dl)
+        m = pd.Series(flat).isin(terms).to_numpy()
+        tf = (pd.DataFrame({"doc_id": doc[m], "term": flat[m]})
+              .groupby(["doc_id", "term"], sort=False).size()
+              .rename("tf").reset_index())
+        tf["tf"] = tf["tf"].astype(np.int64)
+        return tf, pd.DataFrame({"doc_id": df["doc_id"], "dl": dl})
+
+    def stats_partial(df: pd.DataFrame) -> pd.DataFrame:
+        tf, dl = term_tf(df)
+        per_term = tf.groupby("term", sort=False).size().rename("df") \
+            .reset_index()
+        per_term["n"] = np.int64(0)
+        per_term["dl"] = np.int64(0)
+        tot = pd.DataFrame({"term": ["\x00stats"],
+                            "df": np.int64(0),
+                            "n": np.int64(len(df)),
+                            "dl": np.int64(dl["dl"].sum())})
+        return pd.concat([per_term, tot], ignore_index=True)
+
+    st = reduce_sink(
+        docs.map_batches(stats_partial, batch_format="pandas"),
+        ["term"], {"df": ("df", "sum"), "n": ("n", "sum"),
+                   "dl": ("dl", "sum")}).to_pandas()
+    n_docs = float(st["n"].sum())
+    avgdl = float(st["dl"].sum()) / n_docs
+    dfreq = {r["term"]: float(r["df"]) for _, r in st.iterrows()
+             if r["term"] != "\x00stats"}
+    k1, b = _BM25_K1, _BM25_B
+
+    def score_topk(df: pd.DataFrame) -> pd.DataFrame:
+        tf, dl = term_tf(df)
+        m = tf.merge(dl, on="doc_id")
+        dfv = m["term"].map(dfreq).to_numpy(np.float64)
+        idf = np.log((n_docs - dfv + 0.5) / (dfv + 0.5) + 1.0)
+        tfv = m["tf"].to_numpy(np.float64)
+        dlv = m["dl"].to_numpy(np.float64)
+        m["s"] = (idf * tfv * (k1 + 1.0)
+                  / (tfv + k1 * (1.0 - b + b * dlv / avgdl)))
+        sc = m.groupby("doc_id", sort=False)["s"].sum().reset_index()
+        sc["score"] = textstats.round_half_away(
+            sc["s"].to_numpy(np.float64), 6)
+        sc = sc.sort_values(["score", "doc_id"], ascending=[False, True],
+                            kind="mergesort").head(k)
+        return sc[["doc_id", "score"]]
+
+    cand = docs.map_batches(score_topk, batch_format="pandas").to_pandas()
+    out = cand.sort_values(["score", "doc_id"], ascending=[False, True],
+                           kind="mergesort").head(k)
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
+@register("quality_classifier_docs", sql=None)  # iterative GD — not SQL
+def quality_classifier_docs(sf_dir: str) -> pd.DataFrame:
+    """Model-based quality filtering (fastText/CCNet-style): distill
+    the heuristic curation gate (quality_score >= 0.5) into a logistic
+    regression trained distributed — per-block gradient partials, one
+    streaming pass per iteration over a materialized feature
+    projection — then score every document in a stateless pass.
+    (The synthetic corpus's lang/source columns are independent of the
+    text, so the gate is the one genuinely learnable target; it is
+    also exactly what quality-classifier distillation does in real
+    pipelines.) Rows-only for the driver; pytest verifies bit-level
+    gradient parity vs a single-machine reference, repartition
+    invariance, and gate-reproduction accuracy."""
+    from webalizer_ray.stages.classifier import (
+        doc_feature_frame, score_logreg, train_logreg)
+
+    docs = _docs(sf_dir, ["doc_id", "text", "lang"])
+
+    def featurize(df: pd.DataFrame) -> pd.DataFrame:
+        f = doc_feature_frame(df)
+        q = textstats.add_quality_score(df)
+        f["y"] = (q["quality_score"].to_numpy(np.float64)
+                  >= 0.5).astype(np.float64)
+        return f
+
+    feats = docs.map_batches(featurize, batch_format="pandas")
+    w = train_logreg(feats, n_iter=10)
+    out = score_logreg(docs, w).to_pandas()
+    out["score"] = textstats.round_half_away(
+        out["score"].to_numpy(np.float64), 6)
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.sort_values("doc_id", ignore_index=True)
+
+
+@register("smallqty_revenue_q17", sql="""
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#12'
+  AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = p_partkey)""")
+def smallqty_revenue_q17(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q17 shape — a correlated scalar subquery decorrelated into
+    a per-key aggregate + map-side re-probe. Scale shape: the brand's
+    partkeys broadcast once and prune BOTH lineitem passes map-side
+    (the fact table never shuffles); pass 1 reduces (partkey, sum, n)
+    partials to a per-part average table (≤ brand-part cardinality,
+    broadcast back via ray.put); pass 2 re-scans the pruned lineitems
+    and sums the below-threshold revenue as scalar partials. The
+    threshold 0.2*avg is exact: quantities are integer-valued doubles,
+    so the sum/count division is order-independent."""
+    parts = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"],
+        filters=[("p_brand", "=", "Brand#12")])
+    keys = frozenset(parts["p_partkey"].to_pylist())
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def avg_partial(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t["l_partkey"], value_set=pa.array(list(keys)))
+        t = t.filter(m)
+        return pa.table({"l_partkey": t["l_partkey"],
+                         "q": t["l_quantity"],
+                         "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    avgs = reduce_sink(li.map_batches(avg_partial, batch_format="pyarrow"),
+                       ["l_partkey"],
+                       {"s": ("q", "sum"), "n": ("one", "sum")}).to_pandas()
+    thr = {int(k): 0.2 * (s / n) for k, s, n in
+           zip(avgs["l_partkey"], avgs["s"], avgs["n"])}
+    thr_ref = ray.put(thr)
+
+    def rev_partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = ray.get(thr_ref)
+        df = df[df["l_partkey"].isin(t.keys())]
+        lim = df["l_partkey"].map(t).to_numpy(np.float64)
+        keep = df["l_quantity"].to_numpy(np.float64) < lim
+        return pd.DataFrame(
+            {"rev": [df["l_extendedprice"].to_numpy(np.float64)[keep]
+                     .sum()]})
+
+    parts_rev = li.map_batches(rev_partial,
+                               batch_format="pandas").to_pandas()
+    total = float(parts_rev["rev"].sum())
+    return pd.DataFrame({"avg_yearly": [
+        float(textstats.round_half_away(total / 7.0, 2))]})
+
+
+@register("session_type_pairs", sql=f"""
+WITH s AS (SELECT user_id, event_type, ts, event_id,
+                  SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+           FROM ({_NS_SQL})),
+d AS (SELECT DISTINCT user_id, sid, event_type FROM s),
+p AS (SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM d a JOIN d b ON a.user_id = b.user_id AND a.sid = b.sid
+                       AND a.event_type < b.event_type)
+SELECT type_a, type_b, COUNT(*) AS support FROM p GROUP BY 1, 2""")
+def session_type_pairs(sf_dir: str) -> pd.DataFrame:
+    """Market-basket co-occurrence mining: support counts of unordered
+    event-type pairs appearing in the same visit-window session. Scale
+    shape: distinct (session, type) and the pair expansion are ONE
+    vectorized self-merge inside the user-hash bucket (a session's
+    pair fan-out is bounded by |types|²); only (type_a, type_b, n)
+    partials shuffle."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+    num_buckets = 32
+
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket_"] = (df["user_id"].to_numpy()
+                         % num_buckets).astype(np.int32)
+        return df
+
+    def pair_counts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        same = g["user_id"].eq(g["user_id"].shift())
+        gap_s = (g["ts"] - g["ts"].shift()).dt.total_seconds()
+        sid = ((~same) | (gap_s >= 1800.0)).cumsum()
+        d = pd.DataFrame({"sid": sid.to_numpy(),
+                          "t": g["event_type"].to_numpy()}) \
+            .drop_duplicates()
+        m = d.merge(d, on="sid")
+        m = m[m["t_x"] < m["t_y"]]
+        c = m.groupby(["t_x", "t_y"], sort=False).size()
+        out = c.rename("n").reset_index()
+        out["n"] = out["n"].astype(np.int64)
+        return out.rename(columns={"t_x": "type_a", "t_y": "type_b"})
+
+    partials = ds.map_batches(with_bucket, batch_format="pandas") \
+        .groupby("bucket_").map_groups(pair_counts, batch_format="pandas")
+    agg = reduce_sink(partials, ["type_a", "type_b"],
+                      {"support": ("n", "sum")}).to_pandas()
+    agg["support"] = agg["support"].astype(np.int64)
+    return agg.sort_values(["type_a", "type_b"], ignore_index=True)
+
+
+@register("user_value_decile_lift", sql="""
+WITH agg AS (SELECT user_id, ROUND(SUM(value), 2) AS v,
+                    MAX(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS buyer
+             FROM events GROUP BY 1),
+r AS (SELECT *, NTILE(10) OVER (ORDER BY v, user_id) AS decile FROM agg)
+SELECT CAST(decile AS BIGINT) AS decile, COUNT(*) AS users,
+       CAST(SUM(buyer) AS BIGINT) AS buyers,
+       ROUND(SUM(buyer) * 1.0 / COUNT(*), 6) AS buyer_rate
+FROM r GROUP BY decile""")
+def user_value_decile_lift(sf_dir: str) -> pd.DataFrame:
+    """Decile lift/gains table (the model-evaluation report scoring
+    teams read): users ranked into value deciles via the distributed
+    ORDER BY rank (only bucket counts reach the driver), buyer flags
+    reduced as per-user max partials, per-decile rates closed-form on
+    the 10-row aggregate."""
+    agg = reduce_sink(
+        _events(sf_dir, ["user_id", "value", "event_type"]).map_batches(
+            lambda t: pa.table({
+                "user_id": t["user_id"], "value": t["value"],
+                "buyer": pc.cast(pc.equal(t["event_type"], "purchase"),
+                                 pa.int64())}),
+            batch_format="pyarrow"),
+        ["user_id"], {"v": ("value", "sum"), "buyer": ("buyer", "max")})
+
+    def rounded(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["v"] = df["v"].round(2)
+        return df
+
+    ranked = scan.global_rank(
+        agg.map_batches(rounded, batch_format="pandas"),
+        "v", "user_id", num_buckets=8).to_pandas()
+    k = len(ranked)
+    r = ranked["rnk"].to_numpy(np.int64)
+    q, rem = divmod(k, 10)
+    big = rem * (q + 1)
+    ranked["decile"] = np.where(
+        r <= big, (r - 1) // max(q + 1, 1) + 1,
+        rem + (r - big - 1) // max(q, 1) + 1).astype(np.int64)
+    out = ranked.groupby("decile").agg(
+        users=("user_id", "size"), buyers=("buyer", "sum")).reset_index()
+    out["users"] = out["users"].astype(np.int64)
+    out["buyers"] = out["buyers"].astype(np.int64)
+    out["buyer_rate"] = textstats.round_half_away(
+        out["buyers"].to_numpy(np.float64) * 1.0
+        / out["users"].to_numpy(np.float64), 6)
+    return out.sort_values("decile", ignore_index=True)
+
+
+@register("auc_value_purchase", sql="""
+WITH r AS (SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+               AS pos,
+           ROW_NUMBER() OVER (ORDER BY value, event_id) AS rnk
+           FROM events),
+s AS (SELECT CAST(SUM(CASE WHEN pos = 1 THEN rnk ELSE 0 END) AS DOUBLE)
+          AS rank_sum,
+      CAST(SUM(pos) AS DOUBLE) AS np,
+      CAST(COUNT(*) - SUM(pos) AS DOUBLE) AS nn FROM r)
+SELECT ROUND((rank_sum - np * (np + 1) / 2) / (np * nn), 6) AS auc
+FROM s""")
+def auc_value_purchase(sf_dir: str) -> pd.DataFrame:
+    """Distributed AUC via the Mann-Whitney rank-sum identity (the
+    standard trick for AUC over data too big to sort locally): the
+    global rank comes from scan.global_rank (deterministic (value,
+    event_id) order on both engines — ties share the tiebreak, so the
+    statistic matches exactly), and only per-block (rank_sum, np, nn)
+    scalar partials reach the driver for the closed form."""
+    ds = _events(sf_dir, ["event_id", "value", "event_type"])
+    ranked = scan.global_rank(ds, "value", "event_id", num_buckets=16)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        pos = (df["event_type"] == "purchase").to_numpy()
+        r = df["rnk"].to_numpy(np.float64)
+        return pd.DataFrame({"rank_sum": [r[pos].sum()],
+                             "np": [float(pos.sum())],
+                             "nn": [float((~pos).sum())]})
+
+    p = ranked.map_batches(partial, batch_format="pandas").to_pandas()
+    rank_sum, n_pos, n_neg = (float(p["rank_sum"].sum()),
+                              float(p["np"].sum()), float(p["nn"].sum()))
+    auc = (rank_sum - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
+    return pd.DataFrame({"auc": [float(textstats.round_half_away(auc, 6))]})
+
+
+@register("ann_topk_int8", sql=None)  # int8 rounding — not SQL-exact
+def ann_topk_int8(sf_dir: str) -> pd.DataFrame:
+    """Cosine top-k over the int8-quantized embedding table (the 4×
+    smaller representation you would persist at 100 TB): quantize in
+    one stateless pass, score per-batch against the broadcast float
+    query matrix, per-batch top-k partials. Rows-only for the driver;
+    pytest asserts the per-component error bound and recall vs the
+    exact float path."""
+    from webalizer_ray.stages.quant import int8_topk, quantize_int8
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    qtbl = tbl.filter(pc.less(tbl["vec_id"], 3))
+    qids = np.asarray(qtbl["vec_id"])
+    queries = np.stack(qtbl["embedding"].to_pandas().to_numpy())
+    qds = quantize_int8(rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]))
+    out = int8_topk(qds, queries, k=5)
+    out["query_id"] = qids[out["query_id"].to_numpy()]
+    out["cosine"] = out["cosine"].round(6)
+    return out[["query_id", "vec_id", "cosine", "rank"]] \
+        .sort_values(["query_id", "rank"], ignore_index=True)
+
+
+@register("bpe_merges", sql=None)  # iterative merge loop — not SQL
+def bpe_merges(sf_dir: str) -> pd.DataFrame:
+    """BPE tokenizer training (Sennrich et al. 2016): the distributed
+    part is ONE word-count reduce (only (word, n) partials shuffle —
+    BPE statistics depend on the frequency table alone, which is how
+    real subword trainers scale); the K-merge loop runs over the
+    vocabulary-sized table on the driver. Returns the learned merge
+    list; pytest checks the paper's worked example, encode/decode
+    round-trip and piece-count conservation."""
+    from webalizer_ray.stages.bpe import learn_bpe, word_counts
+
+    vocab = word_counts(_docs(sf_dir, ["text"]))
+    merges = learn_bpe(vocab, n_merges=50)
+    return pd.DataFrame({
+        "rank": np.arange(len(merges), dtype=np.int64),
+        "left": [a for a, _ in merges],
+        "right": [b for _, b in merges]})
+
+
+@register("label_centroids", sql="""
+WITH u AS (SELECT label, generate_subscripts(embedding, 1) AS dim,
+                  unnest(CAST(embedding AS DOUBLE[])) AS x
+           FROM embeddings)
+SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+       ROUND(SUM(x) / COUNT(*), 6) AS centroid
+FROM u GROUP BY label, dim""")
+def label_centroids(sf_dir: str) -> pd.DataFrame:
+    """Per-label embedding centroids (the class-prototype table behind
+    nearest-centroid classifiers and SemDeDup-style bucketing): each
+    batch reduces to one (sum-vector, count) partial per label via a
+    single matmul-free np.add.reduceat — only |labels| × dim floats
+    ever shuffle; the division happens once on the tiny aggregate in
+    oracle order (sum first, divide once)."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["label", "embedding"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        lab = df["label"].to_numpy()
+        order = np.argsort(lab, kind="mergesort")
+        m, lab = m[order], lab[order]
+        uniq, starts = np.unique(lab, return_index=True)
+        sums = np.add.reduceat(m, starts, axis=0)
+        counts = np.diff(np.append(starts, len(lab)))
+        d = m.shape[1]
+        return pd.DataFrame({
+            "label": np.repeat(uniq.astype(np.int64), d),
+            "dim": np.tile(np.arange(1, d + 1, dtype=np.int64),
+                           len(uniq)),
+            "s": sums.ravel(),
+            "n": np.repeat(counts.astype(np.int64), d)})
+
+    agg = reduce_sink(ds.map_batches(partial, batch_format="pandas"),
+                      ["label", "dim"],
+                      {"s": ("s", "sum"), "n": ("n", "sum")}).to_pandas()
+    agg["centroid"] = textstats.round_half_away(
+        agg["s"].to_numpy(np.float64) / agg["n"].to_numpy(np.float64), 6)
+    return agg[["label", "dim", "centroid"]] \
+        .sort_values(["label", "dim"], ignore_index=True)
+
+
+@register("hour_value_corr", sql="""
+WITH b AS (SELECT CAST(hour(ts) AS DOUBLE) AS x, value AS y FROM events),
+s AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy FROM b)
+SELECT ROUND((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+           AS corr
+FROM s""")
+def hour_value_corr(sf_dir: str) -> pd.DataFrame:
+    """Distributed Pearson correlation from the five classic scalar
+    moments — each block emits ONE (n, Σx, Σy, Σxy, Σx², Σy²) partial;
+    the closed form (written out identically in the oracle instead of
+    CORR() so the float expression order matches) runs once on the
+    driver."""
+    ds = _events(sf_dir, ["ts", "value"]).map_batches(
+        _with_time_cols({"hour"}), batch_format="pyarrow")
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        x = t["hour"].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pd.DataFrame({
+            "n": [np.int64(len(x))], "sx": [x.sum()], "sy": [y.sum()],
+            "sxy": [(x * y).sum()], "sxx": [(x * x).sum()],
+            "syy": [(y * y).sum()]})
+
+    p = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n = float(p["n"].sum())
+    sx, sy = float(p["sx"].sum()), float(p["sy"].sum())
+    sxy = float(p["sxy"].sum())
+    sxx, syy = float(p["sxx"].sum()), float(p["syy"].sum())
+    corr = (n * sxy - sx * sy) / (np.sqrt(n * sxx - sx * sx)
+                                  * np.sqrt(n * syy - sy * sy))
+    return pd.DataFrame({"corr": [float(textstats.round_half_away(
+        corr, 6))]})

@@ -1,0 +1,4244 @@
+"""Driver-contract queries (chunk 16/17).
+Sections:
+  - Probabilistic forecast verification: pinball backtest of quantile
+  - Spacings-based clock uniformity: Greenwood's statistic + the
+  - Extra-multinomial variation: the c-hat of daily type mixes + the
+  - Meta-analysis of the weekend effect: fixed vs DerSimonian–Laird
+  - Acceptance sampling on late shipments: the OC curve of the
+  - Institutional comparison done right: the late-shipment funnel
+  - Meta-analysis robustness: leave-one-week-out influence +
+  - Case-mix standardization: SMR (indirect) + direct standardization
+  - Kitagawa decomposition of the crude-rate gap between the two
+  - VaR governance: the Basel traffic light + the Acerbi–Székely
+  - Queueing with waiting: Erlang-C at the measured peak session load
+  - Exposure-based reserving: Cape Cod ELR + the Bornhuetter–Ferguson
+"""
+# fmt: off
+from webalizer_ray.pipelines.queries._shared import (  # noqa: F401
+    REGISTRY,
+    _events,
+    np,
+    pa,
+    pc,
+    pd,
+    rd,
+    reduce_sink,
+    register,
+    textstats,
+)
+from webalizer_ray.pipelines.queries.q01_core import (  # noqa: F401
+    _SESS_SQL,
+)
+from webalizer_ray.pipelines.queries.q08_rank_dominance import (  # noqa: F401
+    _DAILY_SQL,
+    _daily_counts,
+)
+from webalizer_ray.pipelines.queries.q11_forecast_supply import (  # noqa: F401
+    _dayvec,
+)
+from webalizer_ray.pipelines.queries.q12_survival_colloc import (  # noqa: F401
+    _BAYES_AB_SQL,
+    _CHAINLADDER_SQL,
+    _ladder_cum,
+)
+from webalizer_ray.pipelines.queries.q13_decision_resample import (  # noqa: F401
+    _ASQ,
+    _QGEN,
+    _as_upper_q,
+    _norm_q,
+)
+from webalizer_ray.pipelines.queries.q14_randomness_kernels import (  # noqa: F401
+    _VAR_SQL,
+    _var_exceptions,
+)
+from webalizer_ray.pipelines.queries.q15_markov_aggregation import (  # noqa: F401
+    _BINDAY_SQL,
+    _LAGPRIO_SQL,
+    _daily_counts_full,
+    _lag_prio_hist,
+    _pair_lines,
+    _wkd_type_mix,
+)
+
+
+
+@register("conditional_independence_g2_daily", sql=f"""
+WITH {_BINDAY_SQL},
+g2c AS (SELECT 2.0 * SUM(ct.c * LN(
+                ct.c * 1.0
+                * (SELECT SUM(c) FROM ct w2 WHERE w2.w = ct.w)
+                / ((SELECT SUM(c) FROM ct a
+                    WHERE a.v = ct.v AND a.w = ct.w) * 1.0
+                   * (SELECT SUM(c) FROM ct b
+                      WHERE b.p = ct.p AND b.w = ct.w))
+            )) AS g2
+        FROM ct),
+vp AS (SELECT v, p, CAST(SUM(c) AS BIGINT) AS c
+       FROM ct GROUP BY 1, 2),
+g2m AS (SELECT 2.0 * SUM(vp.c * LN(
+                vp.c * 1.0 * nn.n
+                / ((SELECT SUM(c) FROM vp a WHERE a.v = vp.v)
+                   * 1.0
+                   * (SELECT SUM(c) FROM vp b WHERE b.p = vp.p))
+            )) AS g2
+        FROM vp CROSS JOIN nn)
+SELECT (SELECT n FROM nn) AS n_days,
+       ROUND((SELECT g2 FROM g2m), 6) AS g2_marginal,
+       ROUND(2.0 * {_ASQ.format(
+           v="SQRT((SELECT g2 FROM g2m))")}, 6) AS p_marginal,
+       ROUND((SELECT g2 FROM g2c), 6) AS g2_conditional,
+       ROUND(EXP(-(SELECT g2 FROM g2c) / 2.0), 6)
+           AS p_conditional,
+       CAST(CASE WHEN EXP(-(SELECT g2 FROM g2c) / 2.0) >= 0.05
+                 THEN 1 ELSE 0 END AS BIGINT)
+           AS independent_given_weekend""")
+def conditional_independence_g2_daily(sf_dir: str) -> pd.DataFrame:
+    """The likelihood-ratio G² tests the interaction row's bits
+    imply: V ⊥ P marginally (df 1, G² = 2N·ln2·I(V;P)) and
+    V ⊥ P | W (df 2, G² = 2N·ln2·I(V;P|W)) — the conditional-
+    independence test that is the atomic operation of every
+    constraint-based causal-discovery algorithm (PC/FCI run
+    thousands of exactly these). The readable pattern is the
+    pair: marginal REJECTED + conditional NOT rejected is the
+    textbook confounder signature (the calendar d-separates
+    views from purchases — a v→p arrow is unsupported), both
+    rejected licenses a direct dependence net of the weekly
+    cycle, and the df-2 conditional p is EXACTLY e^(−G²/2) (the
+    same closed form the Stuart–Maxwell row enjoys) while the
+    df-1 marginal uses the pinned 2·Q(√x). Same 8-cell table and
+    0·ln0 conventions as the interaction row."""
+    g = _dayvec(sf_dir)
+    d = g["d"].to_numpy(np.int64)
+    x1 = g["x"].to_numpy(np.int64)
+    x3 = g["z"].to_numpy(np.int64)
+    n = len(d)
+    mv = int(np.sort(x1)[(n + 1) // 2 - 1])
+    mp = int(np.sort(x3)[(n + 1) // 2 - 1])
+    v = (x1 > mv).astype(np.int64)
+    p = (x3 > mp).astype(np.int64)
+    w = np.isin((d + 4) % 7, (0, 6)).astype(np.int64)
+    ct = {}
+    for vi, pi, wi in zip(v, p, w):
+        ct[(vi, pi, wi)] = ct.get((vi, pi, wi), 0) + 1
+    nw = {0: 0, 1: 0}
+    rvw, cpw = {}, {}
+    for (vi, pi, wi), c in ct.items():
+        nw[wi] += c
+        rvw[(vi, wi)] = rvw.get((vi, wi), 0) + c
+        cpw[(pi, wi)] = cpw.get((pi, wi), 0) + c
+    g2c = 0.0
+    for (vi, pi, wi), c in ct.items():
+        g2c += 2.0 * c * np.log(
+            c * nw[wi] / (rvw[(vi, wi)] * cpw[(pi, wi)]))
+    vp, rv, cp = {}, {}, {}
+    for (vi, pi, wi), c in ct.items():
+        vp[(vi, pi)] = vp.get((vi, pi), 0) + c
+    for (vi, pi), c in vp.items():
+        rv[vi] = rv.get(vi, 0) + c
+        cp[pi] = cp.get(pi, 0) + c
+    g2m = 0.0
+    for (vi, pi), c in vp.items():
+        g2m += 2.0 * c * np.log(c * n / (rv[vi] * cp[pi]))
+    rha = textstats.round_half_away
+    pm = 2.0 * _as_upper_q(np.sqrt(max(g2m, 0.0)))
+    pc = float(np.exp(-g2c / 2.0))
+    return pd.DataFrame({
+        "n_days": np.array([n], np.int64),
+        "g2_marginal": [float(rha(g2m, 6))],
+        "p_marginal": [float(rha(pm, 6))],
+        "g2_conditional": [float(rha(g2c, 6))],
+        "p_conditional": [float(rha(pc, 6))],
+        "independent_given_weekend": np.array(
+            [1 if pc >= 0.05 else 0], np.int64)})
+
+
+# ---------------------------------------------------------------------------
+# Probabilistic forecast verification: pinball backtest of quantile
+# trends + the Winkler score of the 80% interval
+# ---------------------------------------------------------------------------
+
+#: pair-scan quantile lines fit on the TRAIN prefix (all but the
+#: last 7 days) + train empirical quantiles, shared by both rows.
+_QFC_SQL = f"""
+{_DAILY_SQL},
+tr AS (SELECT t, CAST(y AS DOUBLE) AS y FROM x
+       WHERE t <= (SELECT MAX(n) FROM x) - 7),
+te AS (SELECT t, CAST(y AS DOUBLE) AS y FROM x
+       WHERE t > (SELECT MAX(n) FROM x) - 7),
+pr AS (SELECT a.t AS t1, b.t AS t2,
+              (b.y - a.y) / (b.t - a.t) AS sl,
+              a.y - (b.y - a.y) / (b.t - a.t) * a.t AS ic
+       FROM tr a JOIN tr b ON b.t > a.t),
+ta AS (SELECT 0.1 AS tau UNION ALL SELECT 0.9),
+lo AS (SELECT ta.tau, pr.t1, pr.t2, pr.sl, pr.ic,
+              SUM(CASE WHEN tr.y >= pr.ic + pr.sl * tr.t
+                       THEN ta.tau * (tr.y - pr.ic - pr.sl * tr.t)
+                       ELSE (1 - ta.tau)
+                            * (pr.ic + pr.sl * tr.t - tr.y)
+                  END) AS loss
+       FROM pr CROSS JOIN tr CROSS JOIN ta
+       GROUP BY 1, 2, 3, 4, 5),
+best AS (SELECT tau, sl, ic FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY tau
+                ORDER BY ROUND(loss, 9), t1, t2) AS rn
+            FROM lo) WHERE rn = 1),
+nq AS (SELECT
+    (SELECT MIN(y) FROM (
+        SELECT y, ROW_NUMBER() OVER (ORDER BY y) AS i,
+               COUNT(*) OVER () AS n FROM tr)
+     WHERE 10 * i >= n) AS q10,
+    (SELECT MIN(y) FROM (
+        SELECT y, ROW_NUMBER() OVER (ORDER BY y) AS i,
+               COUNT(*) OVER () AS n FROM tr)
+     WHERE 10 * i >= 9 * n) AS q90)"""
+
+
+@register("quantile_forecast_backtest", sql=f"""
+WITH {_QFC_SQL},
+ev AS (SELECT ta.tau, te.t, te.y,
+              best.ic + best.sl * te.t AS fq,
+              CASE WHEN ta.tau = 0.1
+                   THEN (SELECT q10 FROM nq)
+                   ELSE (SELECT q90 FROM nq) END AS fn
+       FROM te CROSS JOIN ta
+       JOIN best ON best.tau = ta.tau),
+pb AS (SELECT tau,
+              AVG(CASE WHEN y >= fq THEN tau * (y - fq)
+                       ELSE (1 - tau) * (fq - y) END) AS pl_m,
+              AVG(CASE WHEN y >= fn THEN tau * (y - fn)
+                       ELSE (1 - tau) * (fn - y) END) AS pl_n
+       FROM ev GROUP BY 1)
+SELECT tau,
+       ROUND(pl_m, 6) AS pinball_trend,
+       ROUND(pl_n, 6) AS pinball_naive,
+       CAST(CASE WHEN pl_m < pl_n THEN 1 ELSE 0 END AS BIGINT)
+           AS trend_wins
+FROM pb ORDER BY tau""")
+def quantile_forecast_backtest(sf_dir: str) -> pd.DataFrame:
+    """Out-of-sample verification of QUANTILE forecasts — pinball
+    loss on a 7-day holdout for the exact τ = 0.1/0.9 trend
+    lines (pair-scan fit on the train prefix) against the
+    static train empirical quantile. Point-forecast backtests
+    (theta/Holt/MASE rows) score the middle of the distribution;
+    capacity planning and SLA sizing consume its EDGES, and the
+    pinball loss is the proper score for exactly that claim — a
+    τ = 0.9 forecast minimizes it iff it is a true conditional
+    90% quantile, so trend_wins = 1 says the upper envelope of
+    daily volume is genuinely drifting (provision on the line,
+    not the flat percentile) while 0 says the trendy quantile
+    line overfits its 23 train days and yesterday's static p90
+    plans capacity better. The two τ rows read asymmetrically
+    by design: the floor (τ=.1) and ceiling (τ=.9) can disagree
+    about which model family wins — that disagreement is the
+    fan-shape verdict of the corridor row, scored honestly out
+    of sample."""
+    y = _daily_counts(sf_dir).astype(np.float64)
+    n = len(y)
+    m = n - 7
+    tr = y[:m]
+    te = y[m:]
+    tt = np.arange(m + 1, n + 1, dtype=np.float64)
+    t, yy, sl, ic, ii, jj = _pair_lines(tr)
+    resid = yy[None, :] - ic[:, None] - sl[:, None] * t[None, :]
+    rha = textstats.round_half_away
+    sv = np.sort(tr)
+    i10 = int(np.ceil(m / 10.0)) - 1
+    i90 = int(np.ceil(9 * m / 10.0)) - 1
+    naive = {0.1: float(sv[i10]), 0.9: float(sv[i90])}
+    rows = []
+    for tau in (0.1, 0.9):
+        loss = np.where(resid >= 0, tau * resid,
+                        (tau - 1) * resid).sum(axis=1)
+        order = np.lexsort((jj, ii,
+                            np.asarray(rha(loss, 9), np.float64)))
+        k = order[0]
+        fq = ic[k] + sl[k] * tt
+        fn = naive[tau]
+
+        def pl(f):
+            r = te - f
+            return float(np.where(r >= 0, tau * r,
+                                  (tau - 1) * r).mean())
+
+        plm, pln = pl(fq), pl(fn)
+        rows.append((tau, float(rha(plm, 6)), float(rha(pln, 6)),
+                     1 if plm < pln else 0))
+    return pd.DataFrame(rows, columns=[
+        "tau", "pinball_trend", "pinball_naive", "trend_wins"]) \
+        .astype({"trend_wins": np.int64})
+
+
+@register("interval_winkler_daily", sql=f"""
+WITH {_QFC_SQL},
+iv AS (SELECT te.t, te.y,
+              (SELECT ic + sl * te.t FROM best
+               WHERE tau = 0.1) AS l,
+              (SELECT ic + sl * te.t FROM best
+               WHERE tau = 0.9) AS u,
+              (SELECT q10 FROM nq) AS nl,
+              (SELECT q90 FROM nq) AS nu
+       FROM te),
+sc AS (SELECT
+    AVG(CASE WHEN y < l THEN (u - l) + 10.0 * (l - y)
+             WHEN y > u THEN (u - l) + 10.0 * (y - u)
+             ELSE u - l END) AS wk_m,
+    AVG(CASE WHEN y >= l AND y <= u THEN 1.0 ELSE 0.0 END)
+        AS cov_m,
+    AVG(CASE WHEN y < nl THEN (nu - nl) + 10.0 * (nl - y)
+             WHEN y > nu THEN (nu - nl) + 10.0 * (y - nu)
+             ELSE nu - nl END) AS wk_n,
+    AVG(CASE WHEN y >= nl AND y <= nu THEN 1.0 ELSE 0.0 END)
+        AS cov_n
+    FROM iv)
+SELECT ROUND(wk_m, 6) AS winkler_trend,
+       ROUND(cov_m, 6) AS coverage_trend,
+       ROUND(wk_n, 6) AS winkler_naive,
+       ROUND(cov_n, 6) AS coverage_naive,
+       CAST(CASE WHEN wk_m < wk_n THEN 1 ELSE 0 END AS BIGINT)
+           AS trend_wins
+FROM sc""")
+def interval_winkler_daily(sf_dir: str) -> pd.DataFrame:
+    """The Winkler interval score of the 80% prediction interval
+    [τ=.1 line, τ=.9 line] on the 7-day holdout, against the
+    static empirical [p10, p90] band — because COVERAGE alone
+    cannot rank intervals (the band (−∞,∞) covers perfectly),
+    and width alone rewards recklessness; Winkler's width +
+    (2/α)·overshoot is the proper scoring rule that prices both
+    at once, so the winner here is the band a rational
+    capacity-planner should actually draw on the dashboard.
+    Coverage printed beside it as the calibration diagnostic:
+    a band winning on Winkler while covering 5/7 instead of
+    ~6/7 is winning on narrowness, not honesty — the pair of
+    columns makes the trade explicit instead of hiding it in
+    one number. α = 0.2 so the overshoot multiplier is exactly
+    10; same fitted lines and train quantiles as the pinball
+    row."""
+    y = _daily_counts(sf_dir).astype(np.float64)
+    n = len(y)
+    m = n - 7
+    tr = y[:m]
+    te = y[m:]
+    tt = np.arange(m + 1, n + 1, dtype=np.float64)
+    t, yy, sl, ic, ii, jj = _pair_lines(tr)
+    resid = yy[None, :] - ic[:, None] - sl[:, None] * t[None, :]
+    rha = textstats.round_half_away
+    fits = {}
+    for tau in (0.1, 0.9):
+        loss = np.where(resid >= 0, tau * resid,
+                        (tau - 1) * resid).sum(axis=1)
+        order = np.lexsort((jj, ii,
+                            np.asarray(rha(loss, 9), np.float64)))
+        k = order[0]
+        fits[tau] = ic[k] + sl[k] * tt
+    sv = np.sort(tr)
+    nl = float(sv[int(np.ceil(m / 10.0)) - 1])
+    nu = float(sv[int(np.ceil(9 * m / 10.0)) - 1])
+
+    def score(l, u):
+        wk = np.where(te < l, (u - l) + 10.0 * (l - te),
+                      np.where(te > u, (u - l) + 10.0 * (te - u),
+                               u - l))
+        cov = ((te >= l) & (te <= u)).mean()
+        return float(wk.mean()), float(cov)
+
+    wm, cm = score(fits[0.1], fits[0.9])
+    wn, cn = score(np.full(7, nl), np.full(7, nu))
+    return pd.DataFrame({
+        "winkler_trend": [float(rha(wm, 6))],
+        "coverage_trend": [float(rha(cm, 6))],
+        "winkler_naive": [float(rha(wn, 6))],
+        "coverage_naive": [float(rha(cn, 6))],
+        "trend_wins": np.array([1 if wm < wn else 0], np.int64)})
+
+
+# ---------------------------------------------------------------------------
+# Spacings-based clock uniformity: Greenwood's statistic + the
+# maximal dead zone with its Gumbel tail
+# ---------------------------------------------------------------------------
+
+def _clock_spacings(sf_dir: str):
+    """Circular spacings (fractions of the day) between DISTINCT
+    purchase seconds-of-day, plus the bounding seconds of each
+    spacing. Tie seconds collapse (documented): spacings tests
+    assume continuous data, and the second-of-day grid is the
+    registry's resolution, so duplicates carry no spacing
+    information. ≤86 400 rows at any scale."""
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["event_type"] == "purchase"]
+        us = d["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        sod = np.unique((us % 86_400_000_000) // 1_000_000)
+        return pd.DataFrame({"sod": sod,
+                             "one": np.ones(len(sod), np.int64)})
+
+    c = reduce_sink(
+        _events(sf_dir, ["ts", "event_type"])
+        .map_batches(prep, batch_format="pandas"),
+        ["sod"], {"one": ("one", "max")}).to_pandas() \
+        .sort_values("sod", ignore_index=True)
+    s = c["sod"].to_numpy(np.int64)
+    nxt = np.concatenate((s[1:], [s[0] + 86400]))
+    return s, nxt, (nxt - s) / 86400.0
+
+
+_SPACING_SQL = """
+b AS (SELECT DISTINCT (epoch_us(ts) % 86400000000) // 1000000
+                 AS sod
+      FROM events WHERE event_type = 'purchase'),
+sx AS (SELECT sod,
+              COALESCE(LEAD(sod) OVER (ORDER BY sod),
+                       (SELECT MIN(sod) FROM b) + 86400) AS nxt
+       FROM b),
+dd AS (SELECT sod, nxt, (nxt - sod) / 86400.0 AS d FROM sx),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM dd)"""
+
+
+@register("greenwood_clock_spacings", sql=f"""
+WITH {_SPACING_SQL},
+gw AS (SELECT SUM(d * d) AS g FROM dd),
+st AS (SELECT nn.n, gw.g,
+              2.0 / (nn.n + 1) AS eg,
+              (4.0 * nn.n + 20.0)
+              / ((nn.n + 1.0) * (nn.n + 2) * (nn.n + 3))
+              - 4.0 / ((nn.n + 1.0) * (nn.n + 1)) AS vg
+       FROM nn CROSS JOIN gw)
+SELECT n AS n_spacings,
+       ROUND(g, 6) AS greenwood_g,
+       ROUND(eg, 6) AS expected_g,
+       ROUND((g - eg) / SQRT(vg), 6) AS z,
+       CAST(CASE WHEN (g - eg) / SQRT(vg) > 1.644854
+                 THEN 1 ELSE 0 END AS BIGINT) AS clustered
+FROM st""")
+def greenwood_clock_spacings(sf_dir: str) -> pd.DataFrame:
+    """Greenwood's statistic G = Σdᵢ² on the circular spacings
+    between distinct purchase seconds-of-day — the SPACINGS-based
+    uniformity test completing the clock family's triangle:
+    Rayleigh-style resultants see mean direction, Watson U² sees
+    the ECDF, Greenwood sees the GAPS, and it is the most
+    powerful of the three against the clumping alternative
+    (purchases arriving in flurries separated by silence — bursty
+    checkout behavior) which can leave both the resultant and
+    the ECDF nearly uniform. Null moments are EXACT at every n,
+    not asymptotic: circular spacings are Dirichlet(1,…,1), so
+    E[G] = 2/(n+1) and E[G²] = (4n+20)/((n+1)(n+2)(n+3)) by the
+    Dirichlet moment formulas (verified by simulation in the
+    pinning suite's derivation), giving a one-sided z — large G
+    means a few huge gaps and many tiny ones, i.e. clumping.
+    Duplicate seconds collapse first (spacings theory assumes
+    continuity; the grid is the registry's stated resolution)."""
+    s, nxt, d = _clock_spacings(sf_dir)
+    n = len(d)
+    g = float((d * d).sum())
+    eg = 2.0 / (n + 1)
+    vg = (4.0 * n + 20.0) / ((n + 1.0) * (n + 2) * (n + 3)) \
+        - 4.0 / ((n + 1.0) * (n + 1))
+    z = (g - eg) / np.sqrt(vg)
+    rha = textstats.round_half_away
+    return pd.DataFrame({
+        "n_spacings": np.array([n], np.int64),
+        "greenwood_g": [float(rha(g, 6))],
+        "expected_g": [float(rha(eg, 6))],
+        "z": [float(rha(z, 6))],
+        "clustered": np.array([1 if z > 1.644854 else 0],
+                              np.int64)})
+
+
+@register("max_clock_gap_purchases", sql=f"""
+WITH {_SPACING_SQL},
+mx AS (SELECT sod, nxt, d FROM dd
+       ORDER BY ROUND(d, 9) DESC, sod LIMIT 1)
+SELECT (SELECT n FROM nn) AS n_spacings,
+       CAST(mx.sod AS BIGINT) AS gap_start_sec,
+       CAST(mx.nxt % 86400 AS BIGINT) AS gap_end_sec,
+       CAST(mx.nxt - mx.sod AS BIGINT) AS gap_seconds,
+       ROUND(mx.d, 6) AS gap_fraction,
+       ROUND(1.0 - EXP(-(SELECT n FROM nn)
+                       * EXP(-(SELECT n FROM nn) * mx.d)), 6)
+           AS p_gumbel,
+       CAST(CASE WHEN 1.0 - EXP(-(SELECT n FROM nn)
+                               * EXP(-(SELECT n FROM nn) * mx.d))
+                      < 0.05
+                 THEN 1 ELSE 0 END AS BIGINT) AS dead_zone
+FROM mx""")
+def max_clock_gap_purchases(sf_dir: str) -> pd.DataFrame:
+    """The maximal spacing: the longest second-of-day interval
+    containing NO purchase on any day — the store's nightly dead
+    zone, located (start/end clock seconds, wrapping midnight)
+    and priced under uniformity with the Gumbel tail
+    P(max gap > x) ≈ 1 − exp(−n·e^{−nx}) (the n·Mₙ − ln n ⇒
+    Gumbel classic for maximal uniform spacings, the documented
+    asymptotic). This is the timeline row longest_quiet_gap
+    folded onto the CLOCK: a quiet gap in the timeline is one
+    bad hour once; a significant clock gap is structural — a
+    daily recurring window when commerce stops, which is
+    maintenance-window placement, batch-job scheduling, and
+    on-call-rotation material. dead_zone = 1 says the window is
+    too long to be a uniformity fluctuation (there really is a
+    closed period); large n with no significant gap is the
+    24/7-operation verdict. 9dp-earliest tie on the argmax."""
+    s, nxt, d = _clock_spacings(sf_dir)
+    n = len(d)
+    rha = textstats.round_half_away
+    order = np.lexsort((s, -np.asarray(rha(d, 9), np.float64)))
+    k = order[0]
+    p = 1.0 - np.exp(-n * np.exp(-n * d[k]))
+    return pd.DataFrame({
+        "n_spacings": np.array([n], np.int64),
+        "gap_start_sec": np.array([int(s[k])], np.int64),
+        "gap_end_sec": np.array([int(nxt[k] % 86400)], np.int64),
+        "gap_seconds": np.array([int(nxt[k] - s[k])], np.int64),
+        "gap_fraction": [float(rha(d[k], 6))],
+        "p_gumbel": [float(rha(p, 6))],
+        "dead_zone": np.array([1 if p < 0.05 else 0], np.int64)})
+
+
+# ---------------------------------------------------------------------------
+# Extra-multinomial variation: the c-hat of daily type mixes + the
+# per-type drift decomposition
+# ---------------------------------------------------------------------------
+
+def _day_type_counts(sf_dir: str) -> pd.DataFrame:
+    """(day, type, count) over days with ≥1 event."""
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        day = df["ts"].to_numpy().astype("datetime64[D]") \
+            .astype(np.int64)
+        return pd.DataFrame({
+            "d": day, "ty": df["event_type"],
+            "c": np.ones(len(df), np.int64)}) \
+            .groupby(["d", "ty"], as_index=False).sum()
+
+    return reduce_sink(
+        _events(sf_dir, ["ts", "event_type"])
+        .map_batches(prep, batch_format="pandas"),
+        ["d", "ty"], {"c": ("c", "sum")}).to_pandas() \
+        .sort_values(["d", "ty"], ignore_index=True)
+
+
+_DAYTYPE_SQL = """
+dt AS (SELECT epoch_us(ts) // 86400000000 AS d, event_type AS ty,
+              CAST(COUNT(*) AS BIGINT) AS c
+       FROM events GROUP BY 1, 2),
+nd AS (SELECT d, CAST(SUM(c) AS BIGINT) AS n FROM dt GROUP BY 1),
+pt AS (SELECT ty, CAST(SUM(c) AS BIGINT) AS k,
+              (SELECT SUM(c) FROM dt) AS tot
+       FROM dt GROUP BY 1),
+cell AS (SELECT nd.d, pt.ty, nd.n,
+                CAST(pt.k AS DOUBLE) / pt.tot AS p,
+                CAST(COALESCE(dt.c, 0) AS BIGINT) AS x
+         FROM nd CROSS JOIN pt
+         LEFT JOIN dt ON dt.d = nd.d AND dt.ty = pt.ty)"""
+
+
+@register("mix_overdispersion_chat", sql=f"""
+WITH {_DAYTYPE_SQL},
+x2 AS (SELECT SUM(POW(x - n * p, 2) / (n * p)) AS x2,
+              CAST(COUNT(DISTINCT d) AS BIGINT) AS dd,
+              CAST(COUNT(DISTINCT ty) AS BIGINT) AS k
+       FROM cell),
+ch AS (SELECT x2, dd, k,
+              (dd - 1) * (k - 1) AS df,
+              x2 / ((dd - 1.0) * (k - 1)) AS chat
+       FROM x2),
+wh AS (SELECT *,
+              (POW(x2 / df, 1.0 / 3.0)
+               - (1.0 - 2.0 / (9.0 * df)))
+              / SQRT(2.0 / (9.0 * df)) AS z
+       FROM ch)
+SELECT dd AS n_days, CAST(df AS BIGINT) AS df,
+       ROUND(x2, 6) AS pearson_x2,
+       ROUND(chat, 6) AS c_hat,
+       ROUND(SQRT(chat), 6) AS se_inflation,
+       ROUND({_QGEN.format(x="z")}, 6) AS p_wh,
+       CAST(CASE WHEN {_QGEN.format(x="z")} < 0.05
+                 THEN 1 ELSE 0 END AS BIGINT) AS overdispersed
+FROM wh""")
+def mix_overdispersion_chat(sf_dir: str) -> pd.DataFrame:
+    """The ĉ of the daily type-mix table: Pearson X² of the
+    D-days × k-types contingency table divided by its
+    (D−1)(k−1) df — ecology's variance-inflation factor (the
+    c-hat of QAIC fame), asking whether day-to-day variation in
+    the EVENT MIX is consistent with multinomial sampling from
+    one fixed composition, or the composition itself drifts.
+    The distinction decides the error bars of every mix-share
+    number the registry prints: under ĉ ≈ 1, a type's share is
+    estimated to binomial precision and daily mix dashboards
+    are mostly noise-free; ĉ = 4 means every share CI must be
+    inflated √4 = 2× (the se_inflation column is that number,
+    ready to multiply), and a 'purchases were 21% yesterday vs
+    19% baseline' alert at binomial precision is firing on
+    composition drift that is the SERIES' OWN normal behavior.
+    WH p on the big-df χ² through the pinned tail; day×type
+    cells from one reduce, zero cells are honest zeros."""
+    g = _day_type_counts(sf_dir)
+    piv = g.pivot_table(index="d", columns="ty", values="c",
+                        fill_value=0, aggfunc="sum")
+    X = piv.to_numpy(np.float64)
+    dd, k = X.shape
+    n = X.sum(axis=1, keepdims=True)
+    p = X.sum(axis=0) / X.sum()
+    exp = n * p[None, :]
+    x2 = float(((X - exp) ** 2 / exp).sum())
+    df = (dd - 1) * (k - 1)
+    chat = x2 / df
+    z = ((x2 / df) ** (1.0 / 3.0) - (1.0 - 2.0 / (9.0 * df))) \
+        / np.sqrt(2.0 / (9.0 * df))
+    pv = _norm_q(z)
+    rha = textstats.round_half_away
+    return pd.DataFrame({
+        "n_days": np.array([dd], np.int64),
+        "df": np.array([df], np.int64),
+        "pearson_x2": [float(rha(x2, 6))],
+        "c_hat": [float(rha(chat, 6))],
+        "se_inflation": [float(rha(np.sqrt(chat), 6))],
+        "p_wh": [float(rha(pv, 6))],
+        "overdispersed": np.array([1 if pv < 0.05 else 0],
+                                  np.int64)})
+
+
+@register("mix_drift_by_type", sql=f"""
+WITH {_DAYTYPE_SQL},
+sh AS (SELECT ty, p, CAST(x AS DOUBLE) / n AS ph,
+              1.0 / n AS invn
+       FROM cell),
+ag AS (SELECT ty, MAX(p) AS p,
+              CAST(COUNT(*) AS BIGINT) AS dd,
+              SUM(ph) AS s1, SUM(ph * ph) AS s2,
+              AVG(invn) AS mi
+       FROM sh GROUP BY 1),
+rt AS (SELECT ty, dd,
+              (s2 - s1 * s1 / dd) / (dd - 1) AS ov,
+              p * (1 - p) * mi AS ev
+       FROM ag)
+SELECT ty AS event_type,
+       ROUND(ov, 6) AS observed_var,
+       ROUND(ev, 6) AS multinomial_var,
+       ROUND(ov / ev, 6) AS drift_ratio
+FROM rt ORDER BY ROUND(ov / ev, 9) DESC, ty""")
+def mix_drift_by_type(sf_dir: str) -> pd.DataFrame:
+    """The per-type decomposition of the ĉ verdict: for each
+    event type, the observed day-to-day variance of its daily
+    share against the variance multinomial sampling alone would
+    produce (p(1−p)·mean(1/n_d)), with the ratio naming WHICH
+    component of the mix actually drifts. A high-drift 'error'
+    row with calm commerce types says the composition
+    instability is operational, not behavioral — alert on error
+    share with wide bands, leave purchase-share alerts at
+    binomial precision; 'view'/'click' drifting together is
+    traffic-source churn (campaign mix) rather than user
+    behavior. The ratio is each type's own ĉ in share units —
+    the actionable granularity, since mix alerts are configured
+    per type, not per table. Unweighted day variance (each day
+    one observation of the composition, the drift question's
+    natural weighting), same cells as the ĉ row."""
+    g = _day_type_counts(sf_dir)
+    piv = g.pivot_table(index="d", columns="ty", values="c",
+                        fill_value=0, aggfunc="sum")
+    X = piv.to_numpy(np.float64)
+    dd, k = X.shape
+    n = X.sum(axis=1)
+    p = X.sum(axis=0) / X.sum()
+    ph = X / n[:, None]
+    mi = float((1.0 / n).mean())
+    rha = textstats.round_half_away
+    rows = []
+    for j, ty in enumerate(piv.columns):
+        s1 = float(ph[:, j].sum())
+        s2 = float((ph[:, j] * ph[:, j]).sum())
+        ov = (s2 - s1 * s1 / dd) / (dd - 1)
+        ev = p[j] * (1 - p[j]) * mi
+        rows.append((ty, float(rha(ov, 6)), float(rha(ev, 6)),
+                     float(rha(ov / ev, 6)),
+                     float(rha(ov / ev, 9))))
+    rows.sort(key=lambda r: (-r[4], r[0]))
+    return pd.DataFrame(
+        [r[:4] for r in rows],
+        columns=["event_type", "observed_var",
+                 "multinomial_var", "drift_ratio"])
+
+
+# ---------------------------------------------------------------------------
+# Meta-analysis of the weekend effect: fixed vs DerSimonian–Laird
+# random effects across weeks + the forest table
+# ---------------------------------------------------------------------------
+
+def _weekly_effects(sf_dir: str):
+    """Per complete Sunday-aligned week: the weekend−weekday mean
+    daily-volume difference and its variance (sₑ²/2 + s_d²/5).
+    Calendar-bounded driver arithmetic off the zero-filled daily
+    spine."""
+    yd = _daily_counts_full(sf_dir)
+    d = yd["d"].to_numpy(np.int64)
+    y = yd["y"].to_numpy(np.float64)
+    wk = (d + 4) // 7
+    dow = (d + 4) % 7
+    out = []
+    for w in np.unique(wk):
+        m = wk == w
+        if int(m.sum()) != 7:
+            continue
+        ye = y[m & np.isin(dow, (0, 6))]
+        ydd = y[m & ~np.isin(dow, (0, 6))]
+        se2 = float(((ye - ye.mean()) ** 2).sum()) / (len(ye) - 1)
+        sd2 = float(((ydd - ydd.mean()) ** 2).sum()) \
+            / (len(ydd) - 1)
+        v = se2 / len(ye) + sd2 / len(ydd)
+        if v > 0:
+            out.append((int(w), float(ye.mean() - ydd.mean()), v))
+    return out
+
+
+#: per-complete-week weekend effect + variance (epoch weeks).
+_WEEKEFF_SQL = """
+e AS (SELECT epoch_us(ts) // 86400000000 AS d,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1),
+sp AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM e),
+cal AS (SELECT UNNEST(generate_series(lo, hi)) AS d FROM sp),
+g AS (SELECT (cal.d + 4) // 7 AS wk, (cal.d + 4) % 7 AS dow,
+             CAST(COALESCE(e.y, 0) AS DOUBLE) AS y
+      FROM cal LEFT JOIN e ON e.d = cal.d),
+cw AS (SELECT wk FROM g GROUP BY wk HAVING COUNT(*) = 7),
+st AS (SELECT g.wk,
+              SUM(CASE WHEN dow IN (0, 6) THEN y END) / 2.0
+                  AS me,
+              SUM(CASE WHEN dow NOT IN (0, 6) THEN y END) / 5.0
+                  AS md,
+              (SUM(CASE WHEN dow IN (0, 6) THEN y * y END)
+               - POW(SUM(CASE WHEN dow IN (0, 6) THEN y END), 2)
+                 / 2.0) / 1.0 AS se2,
+              (SUM(CASE WHEN dow NOT IN (0, 6) THEN y * y END)
+               - POW(SUM(CASE WHEN dow NOT IN (0, 6) THEN y END),
+                     2) / 5.0) / 4.0 AS sd2
+       FROM g JOIN cw ON g.wk = cw.wk GROUP BY g.wk),
+eff AS (SELECT wk, me - md AS th, se2 / 2.0 + sd2 / 5.0 AS v
+        FROM st WHERE se2 / 2.0 + sd2 / 5.0 > 0)"""
+
+
+@register("weekend_effect_meta_analysis", sql=f"""
+WITH {_WEEKEFF_SQL},
+fx AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+              SUM(th / v) / SUM(1.0 / v) AS tf,
+              SUM(1.0 / v) AS sw,
+              SUM(1.0 / (v * v)) AS sw2
+       FROM eff),
+qq AS (SELECT fx.k, fx.tf, fx.sw, fx.sw2,
+              (SELECT SUM((th - fx.tf) * (th - fx.tf) / v)
+               FROM eff) AS q
+       FROM fx),
+t2 AS (SELECT k, tf, sw, q,
+              GREATEST(0.0, (q - (k - 1))
+                            / (sw - sw2 / sw)) AS tau2
+       FROM qq),
+re AS (SELECT t2.k, t2.tf, t2.sw, t2.q, t2.tau2,
+              (SELECT SUM(th / (v + t2.tau2)) FROM eff)
+              / (SELECT SUM(1.0 / (v + t2.tau2)) FROM eff) AS tr,
+              (SELECT SUM(1.0 / (v + t2.tau2)) FROM eff) AS swr
+       FROM t2)
+SELECT k AS n_weeks,
+       ROUND(tf, 6) AS theta_fixed,
+       ROUND(1.0 / SQRT(sw), 6) AS se_fixed,
+       ROUND(tr, 6) AS theta_random,
+       ROUND(1.0 / SQRT(swr), 6) AS se_random,
+       ROUND(q, 6) AS cochran_q,
+       ROUND(tau2, 6) AS tau2,
+       ROUND(GREATEST(0.0, (q - (k - 1)) / q), 6) AS i2,
+       CAST(CASE WHEN ABS(tr) / (1.0 / SQRT(swr)) > 1.959964
+                 THEN 1 ELSE 0 END AS BIGINT)
+           AS effect_significant
+FROM re""")
+def weekend_effect_meta_analysis(sf_dir: str) -> pd.DataFrame:
+    """The weekend effect treated as what it actually is — the
+    SAME experiment run once per week — and pooled with the
+    meta-analytic machinery: fixed-effect (inverse-variance)
+    pooling beside DerSimonian–Laird random effects with
+    Cochran's Q, τ² and I². The single pooled weekend row
+    (present in many forms) silently assumes one common effect;
+    I² says what fraction of week-to-week variation in the
+    effect is REAL heterogeneity rather than sampling noise, and
+    when it is high the honest claim is 'weekends differ from
+    weekdays by θ ± a band that includes genuine week-to-week
+    variation' — se_random > se_fixed is exactly the widening a
+    launch-review should apply before promising next week's
+    lift. τ² is that heterogeneity in effect units (events/day
+    squared); the DL moment estimator is the field-standard
+    closed form, clamped at 0 like every implementation. Weekly
+    θ_w and its variance sₑ²/2 + s_d²/5 from the zero-filled
+    calendar; complete Sunday-aligned weeks only (the Page-test
+    convention); zero-variance weeks excluded, documented."""
+    eff = _weekly_effects(sf_dir)
+    k = len(eff)
+    th = np.array([e[1] for e in eff])
+    v = np.array([e[2] for e in eff])
+    w = 1.0 / v
+    tf = float((w * th).sum() / w.sum())
+    q = float((w * (th - tf) ** 2).sum())
+    sw = float(w.sum())
+    sw2 = float((w * w).sum())
+    tau2 = max(0.0, (q - (k - 1)) / (sw - sw2 / sw))
+    wr = 1.0 / (v + tau2)
+    tr = float((wr * th).sum() / wr.sum())
+    swr = float(wr.sum())
+    i2 = max(0.0, (q - (k - 1)) / q)
+    rha = textstats.round_half_away
+    return pd.DataFrame({
+        "n_weeks": np.array([k], np.int64),
+        "theta_fixed": [float(rha(tf, 6))],
+        "se_fixed": [float(rha(1.0 / np.sqrt(sw), 6))],
+        "theta_random": [float(rha(tr, 6))],
+        "se_random": [float(rha(1.0 / np.sqrt(swr), 6))],
+        "cochran_q": [float(rha(q, 6))],
+        "tau2": [float(rha(tau2, 6))],
+        "i2": [float(rha(i2, 6))],
+        "effect_significant": np.array(
+            [1 if abs(tr) / (1.0 / np.sqrt(swr)) > 1.959964
+             else 0], np.int64)})
+
+
+@register("weekend_effect_forest", sql=f"""
+WITH {_WEEKEFF_SQL},
+fx AS (SELECT SUM(th / v) / SUM(1.0 / v) AS tf,
+              SUM(1.0 / v) AS sw,
+              SUM(1.0 / (v * v)) AS sw2,
+              CAST(COUNT(*) AS BIGINT) AS k
+       FROM eff),
+qq AS (SELECT fx.*,
+              (SELECT SUM((th - fx.tf) * (th - fx.tf) / v)
+               FROM eff) AS q
+       FROM fx),
+t2 AS (SELECT GREATEST(0.0, (q - (k - 1)) / (sw - sw2 / sw))
+                  AS tau2,
+              sw
+       FROM qq),
+swr AS (SELECT (SELECT SUM(1.0 / (v + t2.tau2)) FROM eff) AS s,
+               t2.tau2, t2.sw
+        FROM t2)
+SELECT CAST(eff.wk AS BIGINT) AS epoch_week,
+       ROUND(eff.th, 6) AS effect,
+       ROUND(SQRT(eff.v), 6) AS se,
+       ROUND(100.0 / eff.v / swr.sw, 6) AS weight_fixed_pct,
+       ROUND(100.0 / (eff.v + swr.tau2) / swr.s, 6)
+           AS weight_random_pct
+FROM eff CROSS JOIN swr ORDER BY eff.wk""")
+def weekend_effect_forest(sf_dir: str) -> pd.DataFrame:
+    """The forest plot as a table: each week's weekend effect
+    with its SE and its percentage weight under BOTH pooling
+    schemes — because the fixed-vs-random choice is not
+    abstract, it is a reallocation of influence you can read
+    row by row: fixed-effect weighting lets the quietest
+    (lowest-variance) week dominate the pooled estimate, while
+    random effects, by adding the same τ² to every week,
+    compresses the weights toward equality — the famous
+    'random effects democratizes the meta-analysis' property.
+    A week whose fixed weight is triple its random weight is
+    exactly where a dashboard's pooled number is being driven
+    by one calm week's luck; weeks with large effects and small
+    fixed weights are the heterogeneity the I² scalar detected,
+    itemized. Same per-week effects, variances and DL τ² as
+    the meta row."""
+    eff = _weekly_effects(sf_dir)
+    k = len(eff)
+    th = np.array([e[1] for e in eff])
+    v = np.array([e[2] for e in eff])
+    w = 1.0 / v
+    tf = float((w * th).sum() / w.sum())
+    q = float((w * (th - tf) ** 2).sum())
+    sw = float(w.sum())
+    sw2 = float((w * w).sum())
+    tau2 = max(0.0, (q - (k - 1)) / (sw - sw2 / sw))
+    wr = 1.0 / (v + tau2)
+    swr = float(wr.sum())
+    rha = textstats.round_half_away
+    return pd.DataFrame({
+        "epoch_week": np.array([e[0] for e in eff], np.int64),
+        "effect": [float(rha(t, 6)) for t in th],
+        "se": [float(rha(np.sqrt(x), 6)) for x in v],
+        "weight_fixed_pct": [float(rha(100.0 * x / sw, 6))
+                             for x in w],
+        "weight_random_pct": [float(rha(100.0 * x / swr, 6))
+                              for x in wr]})
+
+
+# ---------------------------------------------------------------------------
+# Acceptance sampling on late shipments: the OC curve of the
+# n=50, c=2 plan + the AOQL bound
+# ---------------------------------------------------------------------------
+
+#: late (>90 day) shipment rate + the n=50,c=2 OC polynomial on a
+#: 1/1000 rate grid. P_accept(p) = (1-p)^48 ((1-p)^2 + 50p(1-p)
+#: + 1225 p^2) — exact binomial CDF at c=2, no special functions.
+_OC_SQL = """
+l AS (SELECT l_orderkey,
+             epoch_us(l_shipdate) // 86400000000 AS sd
+      FROM lineitem),
+o AS (SELECT o_orderkey,
+             epoch_us(o_orderdate) // 86400000000 AS od
+      FROM orders),
+rt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(CASE WHEN l.sd - o.od > 90
+                            THEN 1 ELSE 0 END) AS BIGINT) AS bad
+       FROM l JOIN o ON l.l_orderkey = o.o_orderkey),
+gr AS (SELECT r.range / 1000.0 AS p
+       FROM range(1, 1000) r),
+oc AS (SELECT p,
+              POW(1.0 - p, 48)
+              * (POW(1.0 - p, 2) + 50.0 * p * (1.0 - p)
+                 + 1225.0 * p * p) AS pa
+       FROM gr)"""
+
+
+@register("acceptance_sampling_oc", sql=f"""
+WITH {_OC_SQL},
+obs AS (SELECT CAST(bad AS DOUBLE) / n AS pr FROM rt)
+SELECT (SELECT n FROM rt) AS n_items,
+       ROUND((SELECT pr FROM obs), 6) AS late_rate,
+       ROUND(POW(1.0 - (SELECT pr FROM obs), 48)
+             * (POW(1.0 - (SELECT pr FROM obs), 2)
+                + 50.0 * (SELECT pr FROM obs)
+                  * (1.0 - (SELECT pr FROM obs))
+                + 1225.0 * (SELECT pr FROM obs)
+                  * (SELECT pr FROM obs)), 6) AS p_accept_obs,
+       ROUND((SELECT MAX(p) FROM oc WHERE pa >= 0.95), 6)
+           AS aql_95,
+       ROUND((SELECT MIN(p) FROM oc WHERE pa <= 0.10), 6)
+           AS ltpd_10""")
+def acceptance_sampling_oc(sf_dir: str) -> pd.DataFrame:
+    """The operating-characteristic curve of the classic n = 50,
+    c = 2 single-sampling plan, evaluated against the observed
+    late-shipment rate (> 90 days, the capability rows' spec):
+    P(accept) = Σ_{k≤2} C(50,k)pᵏ(1−p)⁵⁰⁻ᵏ — an exact degree-50
+    polynomial, no special functions. Where the Cpk row asks
+    'can the process meet spec', this asks the RECEIVING side's
+    question: if a customer audits 50 random shipments and
+    rejects the lot on 3+ late ones, what fraction of lots
+    survives at our actual quality? The AQL₉₅/LTPD₁₀ pair is
+    the plan's contract in rate units — quality better than
+    AQL₉₅ almost always passes, worse than LTPD₁₀ almost always
+    fails, and the observed rate's position inside that
+    [AQL, LTPD] indifference zone is the uncomfortable verdict
+    most real processes get: acceptance becomes a coin flip
+    governed by audit luck, which is an argument for fixing the
+    process, not for negotiating the plan. 1/1000 rate grid for
+    the curve inversions, pinned both engines."""
+    h = _lag_prio_hist(sf_dir)
+    c = h["cnt"].to_numpy(np.int64)
+    d = h["lag_d"].to_numpy(np.int64)
+    n = int(c.sum())
+    bad = int(c[d > 90].sum())
+    pr = bad / n
+
+    def pa(p):
+        return (1.0 - p) ** 48 * ((1.0 - p) ** 2
+                                  + 50.0 * p * (1.0 - p)
+                                  + 1225.0 * p * p)
+
+    grid = np.arange(1, 1000) / 1000.0
+    pag = pa(grid)
+    rha = textstats.round_half_away
+    return pd.DataFrame({
+        "n_items": np.array([n], np.int64),
+        "late_rate": [float(rha(pr, 6))],
+        "p_accept_obs": [float(rha(pa(pr), 6))],
+        "aql_95": [float(rha(float(grid[pag >= 0.95].max()), 6))],
+        "ltpd_10": [float(rha(float(grid[pag <= 0.10].min()),
+                              6))]})
+
+
+@register("aoql_late_shipments", sql=f"""
+WITH {_OC_SQL},
+aoq AS (SELECT p, p * pa AS a FROM oc),
+mx AS (SELECT p, a FROM aoq
+       ORDER BY ROUND(a, 9) DESC, p LIMIT 1)
+SELECT ROUND((SELECT a FROM mx), 6) AS aoql,
+       ROUND((SELECT p FROM mx), 6) AS aoql_at_rate,
+       ROUND((SELECT CAST(bad AS DOUBLE) / n FROM rt)
+             * POW(1.0 - (SELECT CAST(bad AS DOUBLE) / n
+                          FROM rt), 48)
+             * (POW(1.0 - (SELECT CAST(bad AS DOUBLE) / n
+                           FROM rt), 2)
+                + 50.0 * (SELECT CAST(bad AS DOUBLE) / n FROM rt)
+                  * (1.0 - (SELECT CAST(bad AS DOUBLE) / n
+                            FROM rt))
+                + 1225.0 * POW((SELECT CAST(bad AS DOUBLE) / n
+                                FROM rt), 2)), 6)
+           AS aoq_at_observed""")
+def aoql_late_shipments(sf_dir: str) -> pd.DataFrame:
+    """The Average Outgoing Quality Limit of the same n = 50,
+    c = 2 plan under rectifying inspection (rejected lots get
+    screened): AOQ(p) = p·P_accept(p) — bad lots are caught and
+    cleaned, so outgoing quality is worst not at the worst
+    incoming quality but at the intermediate rate where bad
+    lots still frequently SLIP THROUGH — and AOQL = max_p AOQ(p)
+    is the guarantee the scheme buys: no matter how the process
+    degrades, average outgoing lateness never exceeds this
+    ceiling. That non-monotonicity is the operational insight
+    dashboards miss: worsening input quality can IMPROVE
+    outgoing quality once rejection kicks in, so an
+    outgoing-quality metric can mask a collapsing process.
+    aoq_at_observed places today's process on the curve
+    relative to the worst case. Same grid and polynomial as the
+    OC row; 9dp-earliest argmax."""
+    h = _lag_prio_hist(sf_dir)
+    c = h["cnt"].to_numpy(np.int64)
+    d = h["lag_d"].to_numpy(np.int64)
+    n = int(c.sum())
+    bad = int(c[d > 90].sum())
+    pr = bad / n
+
+    def pa(p):
+        return (1.0 - p) ** 48 * ((1.0 - p) ** 2
+                                  + 50.0 * p * (1.0 - p)
+                                  + 1225.0 * p * p)
+
+    grid = np.arange(1, 1000) / 1000.0
+    a = grid * pa(grid)
+    rha = textstats.round_half_away
+    order = np.lexsort((grid,
+                        -np.asarray(rha(a, 9), np.float64)))
+    k = order[0]
+    return pd.DataFrame({
+        "aoql": [float(rha(float(a[k]), 6))],
+        "aoql_at_rate": [float(rha(float(grid[k]), 6))],
+        "aoq_at_observed": [float(rha(pr * pa(pr), 6))]})
+
+
+# ---------------------------------------------------------------------------
+# Institutional comparison done right: the late-shipment funnel
+# plot by supplier nation + the overdispersion-adjusted league table
+# ---------------------------------------------------------------------------
+
+def _nation_late(sf_dir: str) -> pd.DataFrame:
+    """(nation, shipments, late>90d) via the lineitem→orders lag
+    join with supplier→nation broadcast."""
+    from webalizer_ray.stages.join import auto_join
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate"])
+    sup = pd.read_parquet(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey", "s_nationkey"])
+    nat = pd.read_parquet(f"{sf_dir}/nation.parquet",
+                          columns=["n_nationkey", "n_name"])
+    s2n = dict(zip(sup["s_suppkey"].astype(np.int64),
+                   sup["s_nationkey"].astype(np.int64)))
+    n2n = dict(zip(nat["n_nationkey"].astype(np.int64),
+                   nat["n_name"]))
+    import ray as _ray
+    ref = _ray.put((s2n, n2n))
+    j = auto_join(li, orders, on="l_orderkey",
+                  right_on="o_orderkey")
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        s2n_, n2n_ = _ray.get(ref)
+        lag = (df["l_shipdate"].to_numpy("datetime64[us]")
+               .astype(np.int64) // 86_400_000_000) \
+            - (df["o_orderdate"].to_numpy("datetime64[us]")
+               .astype(np.int64) // 86_400_000_000)
+        nk = df["l_suppkey"].to_numpy(np.int64)
+        names = [n2n_[s2n_[int(s)]] for s in nk]
+        return pd.DataFrame({
+            "nation": names,
+            "n": np.ones(len(df), np.int64),
+            "late": (lag > 90).astype(np.int64)}) \
+            .groupby("nation", as_index=False).sum()
+
+    return reduce_sink(
+        j.map_batches(part, batch_format="pandas"),
+        ["nation"], {"n": ("n", "sum"), "late": ("late", "sum")}) \
+        .to_pandas().sort_values("nation", ignore_index=True)
+
+
+_NATLATE_SQL = """
+l AS (SELECT l_orderkey, l_suppkey,
+             epoch_us(l_shipdate) // 86400000000 AS sd
+      FROM lineitem),
+o AS (SELECT o_orderkey,
+             epoch_us(o_orderdate) // 86400000000 AS od
+      FROM orders),
+nl AS (SELECT n.n_name AS nation,
+              CAST(COUNT(*) AS BIGINT) AS cnt,
+              CAST(SUM(CASE WHEN l.sd - o.od > 90
+                            THEN 1 ELSE 0 END) AS BIGINT) AS late
+       FROM l JOIN o ON l.l_orderkey = o.o_orderkey
+       JOIN supplier s ON s.s_suppkey = l.l_suppkey
+       JOIN nation n ON n.n_nationkey = s.s_nationkey
+       GROUP BY 1),
+p0 AS (SELECT CAST(SUM(late) AS DOUBLE) / SUM(cnt) AS p,
+              CAST(SUM(cnt) AS BIGINT) AS tot
+       FROM nl),
+zz AS (SELECT nl.nation, nl.cnt, nl.late,
+              CAST(nl.late AS DOUBLE) / nl.cnt AS rate,
+              (CAST(nl.late AS DOUBLE) / nl.cnt - p0.p)
+              / SQRT(p0.p * (1.0 - p0.p) / nl.cnt) AS z
+       FROM nl CROSS JOIN p0)"""
+
+
+@register("late_shipment_funnel_nations", sql=f"""
+WITH {_NATLATE_SQL}
+SELECT nation, cnt AS shipments,
+       ROUND(rate, 6) AS late_rate,
+       ROUND(z, 6) AS z,
+       CAST(CASE WHEN ABS(z) > 1.959964
+                 THEN 1 ELSE 0 END AS BIGINT) AS outside_95,
+       CAST(CASE WHEN ABS(z) > 3.090232
+                 THEN 1 ELSE 0 END AS BIGINT) AS outside_998
+FROM zz ORDER BY ROUND(z, 9) DESC, nation""")
+def late_shipment_funnel_nations(sf_dir: str) -> pd.DataFrame:
+    """Spiegelhalter's funnel plot as a table: each supplier
+    nation's late-shipment rate scored against the POOLED rate
+    with exact binomial control limits at its own volume — the
+    institutional-comparison method that replaced naive league
+    tables in health-services reporting, because ranking raw
+    rates guarantees that the smallest-volume unit tops or
+    bottoms the table by luck alone (the same small-sample
+    artifact the James–Stein rows shrink away, here handled by
+    widening the limits as 1/√n instead of moving the
+    estimate). outside_95 at ~2σ is the 'worth a look' band
+    (expect ~1 in 20 false flags across 25 nations); outside_998
+    at 3.09σ is Spiegelhalter's 'alarm' convention, rare enough
+    to treat as real. Reading rank-ordered z instead of
+    rank-ordered rate is the entire point. One (nation, n, late)
+    reduce; supplier→nation resolved by broadcast dicts
+    map-side — the fact table never shuffles for dimensions."""
+    nl = _nation_late(sf_dir)
+    n = nl["n"].to_numpy(np.int64)
+    late = nl["late"].to_numpy(np.int64)
+    p0 = float(late.sum()) / n.sum()
+    rate = late / n
+    z = (rate - p0) / np.sqrt(p0 * (1 - p0) / n)
+    rha = textstats.round_half_away
+    df = pd.DataFrame({
+        "nation": nl["nation"],
+        "shipments": n,
+        "late_rate": [float(rha(v, 6)) for v in rate],
+        "z": [float(rha(v, 6)) for v in z],
+        "outside_95": (np.abs(z) > 1.959964).astype(np.int64),
+        "outside_998": (np.abs(z) > 3.090232).astype(np.int64),
+        "k9": [float(rha(v, 9)) for v in z]})
+    df = df.sort_values(["k9", "nation"],
+                        ascending=[False, True],
+                        ignore_index=True)
+    return df.drop(columns=["k9"])
+
+
+@register("funnel_overdispersion_adjusted", sql=f"""
+WITH {_NATLATE_SQL},
+ph AS (SELECT SUM(z * z) / COUNT(*) AS phi,
+              CAST(COUNT(*) AS BIGINT) AS k
+       FROM zz)
+SELECT ph.k AS n_nations,
+       ROUND(ph.phi, 6) AS phi,
+       CAST((SELECT COUNT(*) FROM zz
+             WHERE ABS(z) > 1.959964) AS BIGINT)
+           AS outside_95_naive,
+       CAST((SELECT COUNT(*) FROM zz CROSS JOIN ph p2
+             WHERE ABS(z) > 1.959964 * SQRT(p2.phi))
+           AS BIGINT) AS outside_95_adjusted,
+       CAST(CASE WHEN ph.phi > 1.0 THEN 1 ELSE 0 END AS BIGINT)
+           AS overdispersed
+FROM ph""")
+def funnel_overdispersion_adjusted(sf_dir: str) -> pd.DataFrame:
+    """The funnel's honesty correction: φ = mean z² across
+    nations estimates how much MORE the unit-level rates vary
+    than binomial sampling allows (the cross-sectional sibling
+    of the daily ĉ row). φ ≈ 1 licenses the naive funnel; φ = 3
+    means the 'control limits' were drawn for a fiction — real
+    nations differ for structural reasons (distance, carrier
+    mix, customs) the binomial never modeled, and flagging
+    everyone outside ±2σ just rediscovers geography.
+    Spiegelhalter's multiplicative fix widens the limits by √φ,
+    and the outside_95_naive vs outside_95_adjusted pair is the
+    before/after of the league table: units that survive the
+    adjusted limit are outliers AMONG PEERS with the common
+    structural variation priced in — the only kind of flag a
+    supplier-review meeting should act on. Plain mean z²
+    (unwinsorized, documented) so both engines share the exact
+    estimator."""
+    nl = _nation_late(sf_dir)
+    n = nl["n"].to_numpy(np.int64)
+    late = nl["late"].to_numpy(np.int64)
+    p0 = float(late.sum()) / n.sum()
+    z = (late / n - p0) / np.sqrt(p0 * (1 - p0) / n)
+    phi = float((z * z).mean())
+    rha = textstats.round_half_away
+    return pd.DataFrame({
+        "n_nations": np.array([len(z)], np.int64),
+        "phi": [float(rha(phi, 6))],
+        "outside_95_naive": np.array(
+            [int((np.abs(z) > 1.959964).sum())], np.int64),
+        "outside_95_adjusted": np.array(
+            [int((np.abs(z) > 1.959964 * np.sqrt(phi)).sum())],
+            np.int64),
+        "overdispersed": np.array([1 if phi > 1.0 else 0],
+                                  np.int64)})
+
+
+# ---------------------------------------------------------------------------
+# Meta-analysis robustness: leave-one-week-out influence +
+# cumulative evidence accumulation
+# ---------------------------------------------------------------------------
+
+def _dl_pool(th: np.ndarray, v: np.ndarray):
+    """DerSimonian–Laird random-effects pool: (theta, se)."""
+    k = len(th)
+    w = 1.0 / v
+    tf = float((w * th).sum() / w.sum())
+    q = float((w * (th - tf) ** 2).sum())
+    sw = float(w.sum())
+    sw2 = float((w * w).sum())
+    tau2 = max(0.0, (q - (k - 1)) / (sw - sw2 / sw))
+    wr = 1.0 / (v + tau2)
+    return float((wr * th).sum() / wr.sum()), \
+        float(1.0 / np.sqrt(wr.sum()))
+
+
+#: DL pool over an eff subset keyed by an anchor week — the LOO /
+#: cumulative machinery shared via a parametrized join condition.
+def _meta_subsets_sql(cond: str) -> str:
+    return f"""
+s1 AS (SELECT x.wk, CAST(COUNT(*) AS BIGINT) AS k,
+              SUM(1.0 / y.v) AS sw,
+              SUM(y.th / y.v) AS sth,
+              SUM(1.0 / (y.v * y.v)) AS sw2
+       FROM eff x JOIN eff y ON {cond}
+       GROUP BY x.wk),
+qv AS (SELECT s1.wk, s1.k, s1.sw, s1.sw2,
+              s1.sth / s1.sw AS tf,
+              SUM((y.th - s1.sth / s1.sw)
+                  * (y.th - s1.sth / s1.sw) / y.v) AS q
+       FROM s1 JOIN eff x ON x.wk = s1.wk
+       JOIN eff y ON {cond}
+       GROUP BY s1.wk, s1.k, s1.sw, s1.sw2, s1.sth),
+tv AS (SELECT wk, k, tf, q,
+              GREATEST(0.0, (q - (k - 1)) / (sw - sw2 / sw))
+                  AS tau2
+       FROM qv WHERE k >= 2),
+re AS (SELECT tv.wk, tv.k, tv.tau2,
+              SUM(y.th / (y.v + tv.tau2))
+                  / SUM(1.0 / (y.v + tv.tau2)) AS tr,
+              1.0 / SQRT(SUM(1.0 / (y.v + tv.tau2))) AS se
+       FROM tv JOIN eff x ON x.wk = tv.wk
+       JOIN eff y ON {cond}
+       GROUP BY tv.wk, tv.k, tv.tau2)"""
+
+
+@register("meta_leave_one_out", sql=f"""
+WITH {_WEEKEFF_SQL},
+{_meta_subsets_sql("y.wk <> x.wk")}
+SELECT CAST(re.wk AS BIGINT) AS excluded_week,
+       re.k AS weeks_used,
+       ROUND(re.tr, 6) AS theta_random,
+       ROUND(re.se, 6) AS se_random,
+       CAST(CASE WHEN ABS(re.tr) / re.se > 1.959964
+                 THEN 1 ELSE 0 END AS BIGINT) AS significant
+FROM re ORDER BY re.wk""")
+def meta_leave_one_out(sf_dir: str) -> pd.DataFrame:
+    """Leave-one-week-out sensitivity of the pooled weekend
+    effect: the DerSimonian–Laird estimate recomputed (τ²
+    included — influence flows through the heterogeneity
+    estimate too, the part ad-hoc sensitivity checks skip) with
+    each week deleted in turn. The influence question a pooled
+    number must survive before it drives a decision: if
+    significance appears or vanishes when one specific week
+    drops, the 'weekend effect' is that week's story — a launch,
+    an outage — wearing a meta-analysis as a costume, and the
+    honest report names the week instead of the pooled p. Every
+    row significant in the same direction is the robustness
+    certificate. Per-subset DL pooling in the oracle via one
+    parametrized subset join, identical driver arithmetic."""
+    eff = _weekly_effects(sf_dir)
+    rha = textstats.round_half_away
+    rows = []
+    for i, (wk, _, _) in enumerate(eff):
+        th = np.array([e[1] for j, e in enumerate(eff) if j != i])
+        v = np.array([e[2] for j, e in enumerate(eff) if j != i])
+        if len(th) < 2:
+            continue
+        tr, se = _dl_pool(th, v)
+        rows.append((wk, len(th), float(rha(tr, 6)),
+                     float(rha(se, 6)),
+                     1 if abs(tr) / se > 1.959964 else 0))
+    return pd.DataFrame(rows, columns=[
+        "excluded_week", "weeks_used", "theta_random",
+        "se_random", "significant"]).astype({
+            "excluded_week": np.int64, "weeks_used": np.int64,
+            "significant": np.int64})
+
+
+@register("meta_cumulative", sql=f"""
+WITH {_WEEKEFF_SQL},
+{_meta_subsets_sql("y.wk <= x.wk")}
+SELECT CAST(re.wk AS BIGINT) AS through_week,
+       re.k AS weeks_used,
+       ROUND(re.tr, 6) AS theta_random,
+       ROUND(re.se, 6) AS se_random,
+       CAST(CASE WHEN ABS(re.tr) / re.se > 1.959964
+                 THEN 1 ELSE 0 END AS BIGINT) AS significant
+FROM re ORDER BY re.wk""")
+def meta_cumulative(sf_dir: str) -> pd.DataFrame:
+    """Cumulative meta-analysis: the DL pooled weekend effect
+    re-estimated after each successive week of evidence — the
+    'when did we know' curve. In the clinical literature this
+    retrospective is famous for showing treatments whose
+    efficacy was statistically settled YEARS before practice
+    changed; the operational translation: the week the
+    cumulative row first goes (and stays) significant is when a
+    weekend-aware staffing/caching policy became justified, and
+    every later week of 'collecting more data before deciding'
+    was deferral, not diligence. Conversely a sign that flips
+    as weeks accrue is the peeking hazard the sequential rows
+    (SPRT, e-values) guard against — shown here in the pooled
+    frame where the temptation actually occurs. Same per-week
+    effects; prefix subsets via the shared parametrized join."""
+    eff = _weekly_effects(sf_dir)
+    rha = textstats.round_half_away
+    rows = []
+    for i in range(1, len(eff)):
+        th = np.array([e[1] for e in eff[:i + 1]])
+        v = np.array([e[2] for e in eff[:i + 1]])
+        tr, se = _dl_pool(th, v)
+        rows.append((eff[i][0], i + 1, float(rha(tr, 6)),
+                     float(rha(se, 6)),
+                     1 if abs(tr) / se > 1.959964 else 0))
+    return pd.DataFrame(rows, columns=[
+        "through_week", "weeks_used", "theta_random",
+        "se_random", "significant"]).astype({
+            "through_week": np.int64, "weeks_used": np.int64,
+            "significant": np.int64})
+
+
+# ---------------------------------------------------------------------------
+# Case-mix standardization: SMR (indirect) + direct standardization
+# of nation late rates over the priority mix
+# ---------------------------------------------------------------------------
+
+def _nation_prio_late(sf_dir: str) -> pd.DataFrame:
+    """(nation, priority, shipments, late) — the case-mix cells."""
+    from webalizer_ray.stages.join import auto_join
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    sup = pd.read_parquet(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey", "s_nationkey"])
+    nat = pd.read_parquet(f"{sf_dir}/nation.parquet",
+                          columns=["n_nationkey", "n_name"])
+    s2n = dict(zip(sup["s_suppkey"].astype(np.int64),
+                   sup["s_nationkey"].astype(np.int64)))
+    n2n = dict(zip(nat["n_nationkey"].astype(np.int64),
+                   nat["n_name"]))
+    import ray as _ray
+    ref = _ray.put((s2n, n2n))
+    j = auto_join(li, orders, on="l_orderkey",
+                  right_on="o_orderkey")
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        s2n_, n2n_ = _ray.get(ref)
+        lag = (df["l_shipdate"].to_numpy("datetime64[us]")
+               .astype(np.int64) // 86_400_000_000) \
+            - (df["o_orderdate"].to_numpy("datetime64[us]")
+               .astype(np.int64) // 86_400_000_000)
+        names = [n2n_[s2n_[int(s)]]
+                 for s in df["l_suppkey"].to_numpy(np.int64)]
+        return pd.DataFrame({
+            "nation": names, "prio": df["o_orderpriority"],
+            "n": np.ones(len(df), np.int64),
+            "late": (lag > 90).astype(np.int64)}) \
+            .groupby(["nation", "prio"], as_index=False).sum()
+
+    return reduce_sink(
+        j.map_batches(part, batch_format="pandas"),
+        ["nation", "prio"],
+        {"n": ("n", "sum"), "late": ("late", "sum")}) \
+        .to_pandas().sort_values(["nation", "prio"],
+                                 ignore_index=True)
+
+
+_NATPRIO_SQL = """
+l AS (SELECT l_orderkey, l_suppkey,
+             epoch_us(l_shipdate) // 86400000000 AS sd
+      FROM lineitem),
+o AS (SELECT o_orderkey, o_orderpriority AS prio,
+             epoch_us(o_orderdate) // 86400000000 AS od
+      FROM orders),
+cell AS (SELECT n.n_name AS nation, o.prio,
+                CAST(COUNT(*) AS BIGINT) AS cnt,
+                CAST(SUM(CASE WHEN l.sd - o.od > 90
+                              THEN 1 ELSE 0 END) AS BIGINT)
+                    AS late
+         FROM l JOIN o ON l.l_orderkey = o.o_orderkey
+         JOIN supplier s ON s.s_suppkey = l.l_suppkey
+         JOIN nation n ON n.n_nationkey = s.s_nationkey
+         GROUP BY 1, 2),
+pr AS (SELECT prio,
+              CAST(SUM(late) AS DOUBLE) / SUM(cnt) AS r,
+              CAST(SUM(cnt) AS BIGINT) AS w
+       FROM cell GROUP BY 1),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM cell)"""
+
+
+@register("late_smr_by_nation", sql=f"""
+WITH {_NATPRIO_SQL},
+sm AS (SELECT cell.nation,
+              CAST(SUM(cell.cnt) AS BIGINT) AS n,
+              CAST(SUM(cell.late) AS BIGINT) AS obs,
+              SUM(cell.cnt * pr.r) AS exp
+       FROM cell JOIN pr USING (prio) GROUP BY 1)
+SELECT nation, n AS shipments, obs AS observed_late,
+       ROUND(exp, 6) AS expected_late,
+       ROUND(obs / exp, 6) AS smr,
+       ROUND((obs - exp) / SQRT(exp), 6) AS z,
+       CAST(CASE WHEN ABS((obs - exp) / SQRT(exp)) > 1.959964
+                 THEN 1 ELSE 0 END AS BIGINT) AS flagged
+FROM sm ORDER BY ROUND(obs / exp, 9) DESC, nation""")
+def late_smr_by_nation(sf_dir: str) -> pd.DataFrame:
+    """Indirect standardization — the SMR — for the nation
+    late-shipment league table: observed late shipments over the
+    count EXPECTED if each nation experienced the pooled
+    priority-specific rates on its own order mix. This is the
+    case-mix adjustment the raw funnel (present) cannot make: a
+    nation serving mostly 1-URGENT orders (which ship on a
+    different timeline) can sit outside the raw funnel purely
+    through WHAT it ships, not HOW — epidemiology's age-
+    standardization problem with priority as age. SMR > 1 after
+    adjustment means the nation underperforms ON ITS OWN
+    CASE-MIX, the only version of 'worse' a supplier review can
+    act on; the funnel row beside this one separates mix effects
+    from performance effects. z = (O−E)/√E (the Poisson-variance
+    convention, documented); indirect standardization is the
+    right member of the pair when per-nation cells are thin,
+    because only the POOLED rates are estimated per stratum."""
+    c = _nation_prio_late(sf_dir)
+    pr = c.groupby("prio").agg(late=("late", "sum"),
+                               n=("n", "sum"))
+    r = (pr["late"] / pr["n"]).to_dict()
+    rha = textstats.round_half_away
+    rows = []
+    for nation, g in c.groupby("nation"):
+        n = int(g["n"].sum())
+        obs = int(g["late"].sum())
+        exp = float(sum(int(rw["n"]) * r[rw["prio"]]
+                        for _, rw in g.iterrows()))
+        z = (obs - exp) / np.sqrt(exp)
+        rows.append((nation, n, obs, float(rha(exp, 6)),
+                     float(rha(obs / exp, 6)), float(rha(z, 6)),
+                     1 if abs(z) > 1.959964 else 0,
+                     float(rha(obs / exp, 9))))
+    rows.sort(key=lambda t: (-t[7], t[0]))
+    return pd.DataFrame(
+        [t[:7] for t in rows],
+        columns=["nation", "shipments", "observed_late",
+                 "expected_late", "smr", "z", "flagged"]) \
+        .astype({"shipments": np.int64,
+                 "observed_late": np.int64,
+                 "flagged": np.int64})
+
+
+@register("direct_standardized_late_rates", sql=f"""
+WITH {_NATPRIO_SQL},
+ds AS (SELECT cell.nation,
+              CAST(SUM(cell.cnt) AS BIGINT) AS n,
+              SUM(CAST(pr.w AS DOUBLE) / tot.n
+                  * (CAST(cell.late AS DOUBLE) / cell.cnt))
+                  AS std_rate,
+              CAST(COUNT(*) AS BIGINT) AS cells
+       FROM cell JOIN pr USING (prio) CROSS JOIN tot
+       GROUP BY 1),
+np_ AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM pr)
+SELECT ds.nation, ds.n AS shipments,
+       ROUND(CAST((SELECT SUM(late) FROM cell c2
+                   WHERE c2.nation = ds.nation) AS DOUBLE)
+             / ds.n, 6) AS crude_rate,
+       CASE WHEN ds.cells = (SELECT k FROM np_)
+            THEN ROUND(ds.std_rate, 6) END AS standardized_rate,
+       CAST(CASE WHEN ds.cells = (SELECT k FROM np_)
+                 THEN 0 ELSE 1 END AS BIGINT) AS incomplete_mix
+FROM ds ORDER BY ds.nation""")
+def direct_standardized_late_rates(sf_dir: str) -> pd.DataFrame:
+    """Direct standardization — each nation's priority-specific
+    late rates applied to the POOLED priority distribution — the
+    other half of the standardization pair, and the one that
+    makes nations COMPARABLE TO EACH OTHER (SMRs are each
+    relative to their own mix and famously must not be ranked
+    against one another; directly standardized rates share one
+    reference population and may be). crude beside standardized
+    is the classic two-column read: a nation whose crude rate
+    beats its standardized rate is being flattered by an easy
+    mix. Nations missing any priority stratum get an honest
+    NULL (their stratum rate is undefined — imputing 0 would
+    reward missingness) with the incomplete_mix flag; that
+    thin-cell fragility is exactly why the SMR row exists
+    alongside. Pooled priority weights w_p from the same cell
+    table; one reduce."""
+    c = _nation_prio_late(sf_dir)
+    tot = int(c["n"].sum())
+    pw = c.groupby("prio")["n"].sum() / tot
+    k = len(pw)
+    rha = textstats.round_half_away
+    rows = []
+    for nation, g in c.groupby("nation"):
+        n = int(g["n"].sum())
+        crude = int(g["late"].sum()) / n
+        if len(g) == k:
+            std = float(sum(pw[rw["prio"]]
+                            * (int(rw["late"]) / int(rw["n"]))
+                            for _, rw in g.iterrows()))
+            rows.append((nation, n, float(rha(crude, 6)),
+                         float(rha(std, 6)), 0))
+        else:
+            rows.append((nation, n, float(rha(crude, 6)),
+                         np.nan, 1))
+    return pd.DataFrame(rows, columns=[
+        "nation", "shipments", "crude_rate",
+        "standardized_rate", "incomplete_mix"]).astype({
+            "shipments": np.int64, "incomplete_mix": np.int64})
+
+
+# ---------------------------------------------------------------------------
+# Kitagawa decomposition of the crude-rate gap between the two
+# largest nations: scalar split + per-stratum contributions
+# ---------------------------------------------------------------------------
+
+def _kita_pair(sf_dir: str):
+    """The two highest-volume nations (ties: name) with per-
+    priority weights and rates, plus the full cell table."""
+    c = _nation_prio_late(sf_dir)
+    vol = c.groupby("nation")["n"].sum().reset_index()
+    vol = vol.sort_values(["n", "nation"],
+                          ascending=[False, True],
+                          ignore_index=True)
+    na, nb = vol["nation"].iloc[0], vol["nation"].iloc[1]
+    out = {}
+    for nm in (na, nb):
+        g = c[c["nation"] == nm].set_index("prio")
+        tot = int(g["n"].sum())
+        out[nm] = (g["n"] / tot, g["late"] / g["n"], tot)
+    return na, nb, out, sorted(c["prio"].unique())
+
+
+_KITA_SQL = f"""
+{_NATPRIO_SQL},
+vol AS (SELECT nation, CAST(SUM(cnt) AS BIGINT) AS n
+        FROM cell GROUP BY 1),
+ab AS (SELECT
+    (SELECT nation FROM vol ORDER BY n DESC, nation LIMIT 1)
+        AS na,
+    (SELECT nation FROM vol ORDER BY n DESC, nation
+     LIMIT 1 OFFSET 1) AS nb),
+wa AS (SELECT prio,
+              CAST(cnt AS DOUBLE)
+                  / SUM(cnt) OVER () AS w,
+              CAST(late AS DOUBLE) / cnt AS r
+       FROM cell WHERE nation = (SELECT na FROM ab)),
+wb AS (SELECT prio,
+              CAST(cnt AS DOUBLE)
+                  / SUM(cnt) OVER () AS w,
+              CAST(late AS DOUBLE) / cnt AS r
+       FROM cell WHERE nation = (SELECT nb FROM ab)),
+kt AS (SELECT wa.prio,
+              (wa.w + wb.w) / 2.0 * (wa.r - wb.r) AS rate_c,
+              (wa.r + wb.r) / 2.0 * (wa.w - wb.w) AS mix_c,
+              wa.w AS w_a, wb.w AS w_b, wa.r AS r_a, wb.r AS r_b
+       FROM wa JOIN wb USING (prio))"""
+
+
+@register("kitagawa_rate_gap_decomposition", sql=f"""
+WITH {_KITA_SQL}
+SELECT (SELECT na FROM ab) AS nation_a,
+       (SELECT nb FROM ab) AS nation_b,
+       ROUND(SUM(w_a * r_a) - SUM(w_b * r_b), 6) AS crude_gap,
+       ROUND(SUM(rate_c), 6) AS rate_component,
+       ROUND(SUM(mix_c), 6) AS mix_component,
+       CAST(CASE WHEN ABS(SUM(rate_c)) > ABS(SUM(mix_c))
+                 THEN 1 ELSE 0 END AS BIGINT)
+           AS performance_driven
+FROM kt""")
+def kitagawa_rate_gap_decomposition(sf_dir: str) -> pd.DataFrame:
+    """Kitagawa's 1955 decomposition of the crude late-rate gap
+    between the two highest-volume supplier nations: the exact
+    identity crude_A − crude_B = Σ(w̄)(r_A−r_B) + Σ(r̄)(w_A−w_B)
+    — a RATE component (same mix, different performance) plus a
+    MIX component (same performance, different order
+    composition), with the symmetric average-weight form so
+    there is no leftover interaction term and no arbitrary
+    choice of reference. This is the ancestor of the
+    Oaxaca–Blinder rows (which decompose a continuous mean);
+    rates need Kitagawa, and the verdict bit answers the
+    procurement question the standardized tables only gesture
+    at: is the worse nation actually WORSE (rate component
+    dominates — renegotiate or drop), or just differently
+    LOADED (mix dominates — the gap is our own order routing
+    reflected back, and punishing the supplier for it would be
+    self-harm). Largest-two selection pinned by (volume, name);
+    exact identity checked by construction."""
+    na, nb, out, prios = _kita_pair(sf_dir)
+    wa, ra, _ = out[na]
+    wb, rb, _ = out[nb]
+    rate_c = sum((wa[p] + wb[p]) / 2.0 * (ra[p] - rb[p])
+                 for p in prios)
+    mix_c = sum((ra[p] + rb[p]) / 2.0 * (wa[p] - wb[p])
+                for p in prios)
+    gap = sum(wa[p] * ra[p] for p in prios) \
+        - sum(wb[p] * rb[p] for p in prios)
+    rha = textstats.round_half_away
+    return pd.DataFrame({
+        "nation_a": [na], "nation_b": [nb],
+        "crude_gap": [float(rha(gap, 6))],
+        "rate_component": [float(rha(rate_c, 6))],
+        "mix_component": [float(rha(mix_c, 6))],
+        "performance_driven": np.array(
+            [1 if abs(rate_c) > abs(mix_c) else 0], np.int64)})
+
+
+@register("kitagawa_stratum_contributions", sql=f"""
+WITH {_KITA_SQL}
+SELECT prio AS priority,
+       ROUND(w_a, 6) AS weight_a, ROUND(w_b, 6) AS weight_b,
+       ROUND(r_a, 6) AS rate_a, ROUND(r_b, 6) AS rate_b,
+       ROUND(rate_c, 6) AS rate_contribution,
+       ROUND(mix_c, 6) AS mix_contribution
+FROM kt ORDER BY prio""")
+def kitagawa_stratum_contributions(sf_dir: str) -> pd.DataFrame:
+    """The per-priority itemization of the Kitagawa split: each
+    stratum's weight and rate in both nations with its exact
+    additive contribution to the rate and mix components (the
+    rows sum to the scalar row's numbers — the identity is
+    checkable across the two queries). The itemization is where
+    the action is: one priority class carrying the whole rate
+    component localizes the performance problem ('nation A is
+    only worse on 1-URGENT — expedited logistics, not general
+    competence'), while offsetting signs across strata —
+    invisible in the scalar — mean the nations are better at
+    DIFFERENT kinds of orders and the routing fix is
+    reassignment, not replacement. Same pinned pair and cells
+    as the scalar row."""
+    na, nb, out, prios = _kita_pair(sf_dir)
+    wa, ra, _ = out[na]
+    wb, rb, _ = out[nb]
+    rha = textstats.round_half_away
+    rows = []
+    for p in prios:
+        rows.append((p, float(rha(wa[p], 6)),
+                     float(rha(wb[p], 6)),
+                     float(rha(ra[p], 6)), float(rha(rb[p], 6)),
+                     float(rha((wa[p] + wb[p]) / 2.0
+                               * (ra[p] - rb[p]), 6)),
+                     float(rha((ra[p] + rb[p]) / 2.0
+                               * (wa[p] - wb[p]), 6))))
+    return pd.DataFrame(rows, columns=[
+        "priority", "weight_a", "weight_b", "rate_a", "rate_b",
+        "rate_contribution", "mix_contribution"])
+
+
+# ---------------------------------------------------------------------------
+# VaR governance: the Basel traffic light + the Acerbi–Székely
+# expected-shortfall check
+# ---------------------------------------------------------------------------
+
+@register("var_basel_traffic_light", sql=f"""
+WITH {_VAR_SQL},
+ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(e) AS BIGINT) AS xx
+       FROM te),
+cum AS (SELECT ag.n, ag.xx,
+               SUM(EXP(LGAMMA(ag.n + 1.0)
+                       - LGAMMA(k.range + 1.0)
+                       - LGAMMA(ag.n - k.range + 1.0)
+                       + k.range * LN(0.1)
+                       + (ag.n - k.range) * LN(0.9))) AS p
+        FROM ag, range(0, 4001) k
+        WHERE k.range <= ag.xx
+        GROUP BY ag.n, ag.xx)
+SELECT n AS n_test_days, xx AS exceptions,
+       ROUND(p, 6) AS cum_prob,
+       CASE WHEN p <= 0.95 THEN 'green'
+            WHEN p <= 0.9999 THEN 'yellow'
+            ELSE 'red' END AS zone
+FROM cum""")
+def var_basel_traffic_light(sf_dir: str) -> pd.DataFrame:
+    """The Basel traffic-light test on the same VaR backtest the
+    Kupiec row scores: the cumulative binomial probability
+    P(X ≤ observed exceptions) at the line's nominal 10%,
+    mapped to the green (≤ 0.95) / yellow (≤ 0.9999) / red
+    supervisory zones — the regulatory framing that differs from
+    Kupiec's in a way worth having both for: Kupiec is a
+    symmetric hypothesis test (too few exceptions also rejects),
+    while the traffic light is a one-sided GOVERNANCE rule that
+    only escalates on too MANY, accepts a known false-alarm
+    budget (5% of good models land yellow), and attaches
+    graduated consequences rather than a binary verdict — the
+    difference between 'is the model wrong' and 'what do we do
+    Monday'. Exact binomial CDF via the lgamma closed form both
+    engines pin; zones are Basel's percentile conventions
+    applied at this line's nominal rate, documented."""
+    var10, e = _var_exceptions(sf_dir)
+    import math
+    n = len(e)
+    x = int(e.sum())
+    p = sum(math.exp(math.lgamma(n + 1.0) - math.lgamma(k + 1.0)
+                     - math.lgamma(n - k + 1.0)
+                     + k * math.log(0.1)
+                     + (n - k) * math.log(0.9))
+            for k in range(0, x + 1))
+    zone = "green" if p <= 0.95 else \
+        ("yellow" if p <= 0.9999 else "red")
+    rha = textstats.round_half_away
+    return pd.DataFrame({
+        "n_test_days": np.array([n], np.int64),
+        "exceptions": np.array([x], np.int64),
+        "cum_prob": [float(rha(p, 6))],
+        "zone": [zone]})
+
+
+@register("es_backtest_acerbi", sql=f"""
+WITH {_VAR_SQL},
+es AS (SELECT AVG(CAST(rev AS DOUBLE)) AS es
+       FROM tr WHERE rev < (SELECT var10 FROM vq)),
+tx AS (SELECT te.day, x.rev, te.e
+       FROM te JOIN x ON x.day = te.day),
+ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(e) AS BIGINT) AS xx,
+              SUM(CAST(rev AS DOUBLE) * e) AS sx
+       FROM tx)
+SELECT ROUND((SELECT es FROM es) / 100.0, 6) AS es_train,
+       ag.xx AS exceptions,
+       ROUND(CASE WHEN ag.xx > 0
+                  THEN ag.sx / ag.xx / 100.0 END, 6)
+           AS mean_exception_rev,
+       ROUND(CASE WHEN ag.xx > 0
+                  THEN ag.sx / (ag.n * 0.1 * (SELECT es FROM es))
+                       - 1.0 END, 6) AS z2,
+       CAST(CASE WHEN ag.xx > 0
+                  AND ag.sx / ag.xx < (SELECT es FROM es)
+                 THEN 1 ELSE 0 END AS BIGINT) AS tail_worse
+FROM ag""")
+def es_backtest_acerbi(sf_dir: str) -> pd.DataFrame:
+    """The expected-shortfall companion the VaR rows need:
+    Acerbi–Székely's Z₂-style statistic comparing the TEST
+    half's realized exception revenues against the TRAIN tail's
+    expected shortfall (mean revenue strictly below the VaR
+    line). A VaR backtest only counts CROSSINGS; two models with
+    identical exception counts can hide wildly different tail
+    DEPTHS, and post-2008 regulation moved to ES precisely
+    because the size of the bad days, not their frequency, is
+    what bankruptcy is made of. Z₂ = Σ(revₜ·Iₜ)/(T·p·ES) − 1
+    centers at ~0 when the tail behaves as history promised;
+    tail_worse = 1 (exception days average BELOW the historical
+    tail mean) is the one-bit escalation: the line is being
+    crossed by worse days than the ES provisioned for, so even
+    a green traffic light understates exposure. Statistic and
+    sign verdict only (the A–S significance band needs
+    simulation — documented, not faked); NULL when no
+    exceptions. Same spine, split, and strict-below rule as the
+    Kupiec row."""
+    var10, e = _var_exceptions(sf_dir)
+    daily = reduce_sink(
+        _events(sf_dir, ["ts", "value"]).map_batches(
+            lambda df: pd.DataFrame({
+                "day": df["ts"].to_numpy("datetime64[us]")
+                .astype(np.int64) // 86_400_000_000,
+                "rev": np.rint(df["value"].to_numpy(np.float64)
+                               * 100).astype(np.int64)}),
+            batch_format="pandas"),
+        ["day"], {"rev": ("rev", "sum")}).to_pandas()
+    day = daily["day"].to_numpy(np.int64)
+    rev_map = dict(zip(day, (int(v) for v in daily["rev"])))
+    d0, d1 = int(day.min()), int(day.max())
+    cut = (d0 + d1 + 1) // 2
+    days = np.arange(d0, d1 + 1, dtype=np.int64)
+    rev = np.array([rev_map.get(int(dd), 0) for dd in days],
+                   np.int64)
+    train = rev[days < cut]
+    tail = train[train < var10]
+    es = float(tail.mean())
+    test = rev[days >= cut]
+    n = len(test)
+    x = int(e.sum())
+    rha = textstats.round_half_away
+    if x > 0:
+        sx = float(test[e.astype(bool)].sum())
+        z2 = sx / (n * 0.1 * es) - 1.0
+        mex = sx / x / 100.0
+        worse = 1 if sx / x < es else 0
+        return pd.DataFrame({
+            "es_train": [float(rha(es / 100.0, 6))],
+            "exceptions": np.array([x], np.int64),
+            "mean_exception_rev": [float(rha(mex, 6))],
+            "z2": [float(rha(z2, 6))],
+            "tail_worse": np.array([worse], np.int64)})
+    return pd.DataFrame({
+        "es_train": [float(rha(es / 100.0, 6))],
+        "exceptions": np.array([0], np.int64),
+        "mean_exception_rev": [np.nan], "z2": [np.nan],
+        "tail_worse": np.array([0], np.int64)})
+
+
+# ---------------------------------------------------------------------------
+# Queueing with waiting: Erlang-C at the measured peak session load
+# + the square-root staffing curve
+# ---------------------------------------------------------------------------
+
+def _offered_load(sf_dir: str):
+    """(peak hour-of-week, λ sessions/hour there, mean session
+    duration sec, offered erlangs a) from one sessionize pass."""
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket_"] = (df["user_id"].to_numpy(np.int64) % 32) \
+            .astype(np.int32)
+        return df
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        us = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        uid = g["user_id"].to_numpy(np.int64)
+        same = np.zeros(len(g), bool)
+        same[1:] = uid[1:] == uid[:-1]
+        gap = us - np.roll(us, 1)
+        sid = np.cumsum((~same) | (gap >= 1_800_000_000))
+        per = pd.DataFrame({"sid": sid, "us": us}) \
+            .groupby("sid").agg(st=("us", "min"), en=("us", "max"))
+        st = per["st"].to_numpy(np.int64)
+        d = st // 86_400_000_000
+        dow = (d + 4) % 7
+        hr = (st % 86_400_000_000) // 3_600_000_000
+        return pd.DataFrame({
+            "hw": dow * 24 + hr,
+            "n": np.ones(len(per), np.int64),
+            "dur": (per["en"] - per["st"]).to_numpy(np.int64)
+            // 1_000_000})
+
+    agg = reduce_sink(
+        _events(sf_dir, ["event_id", "ts", "user_id"])
+        .map_batches(with_bucket, batch_format="pandas")
+        .groupby("bucket_").map_groups(partial,
+                                       batch_format="pandas"),
+        ["hw"], {"n": ("n", "sum"), "dur": ("dur", "sum")}) \
+        .to_pandas().sort_values("hw", ignore_index=True)
+    yd = _daily_counts_full(sf_dir)
+    days = yd["d"].to_numpy(np.int64)
+    dow_counts = np.bincount((days + 4) % 7, minlength=7)
+    tot_n = int(agg["n"].sum())
+    mean_dur = float(agg["dur"].sum()) / tot_n
+    lam = agg["n"].to_numpy(np.int64) \
+        / dow_counts[(agg["hw"].to_numpy(np.int64) // 24)]
+    rha = textstats.round_half_away
+    order = np.lexsort((agg["hw"].to_numpy(np.int64),
+                        -np.asarray(rha(lam, 9), np.float64)))
+    k = order[0]
+    hw = int(agg["hw"].iloc[k])
+    lam_pk = float(lam[k])
+    a = lam_pk * mean_dur / 3600.0
+    return hw, lam_pk, mean_dur, a
+
+
+def _erlang_c(a: float, smax: int = 50):
+    """Wait probabilities C(s, a) for s = 1..smax via the
+    Erlang-B recursion; unstable s ≤ a pinned to 1."""
+    out = {}
+    b = 1.0
+    for s in range(1, smax + 1):
+        b = a * b / (s + a * b)
+        if s > a:
+            out[s] = s * b / (s - a * (1.0 - b))
+        else:
+            out[s] = 1.0
+    return out
+
+
+#: peak-hour offered load: one sessionize pass -> (hw, lambda,
+#: mean duration, erlangs), then the s=1..50 Erlang-B recursion.
+_ERLC_SQL = f"""
+s AS ({_SESS_SQL}),
+per AS (SELECT user_id, sid,
+               MIN(epoch_us(ts)) AS st, MAX(epoch_us(ts)) AS en
+        FROM s GROUP BY 1, 2),
+hw AS (SELECT ((st // 86400000000 + 4) % 7) * 24
+              + (st % 86400000000) // 3600000000 AS hw,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM((en - st) // 1000000) AS BIGINT) AS dur
+       FROM per GROUP BY 1),
+sp AS (SELECT MIN(epoch_us(ts)) // 86400000000 AS lo,
+              MAX(epoch_us(ts)) // 86400000000 AS hi
+       FROM events),
+cal AS (SELECT UNNEST(generate_series(lo, hi)) AS d FROM sp),
+dc AS (SELECT (d + 4) % 7 AS dow,
+              CAST(COUNT(*) AS BIGINT) AS nd
+       FROM cal GROUP BY 1),
+md AS (SELECT CAST(SUM(dur) AS DOUBLE) / SUM(n) AS mean_dur
+       FROM hw),
+lam AS (SELECT hw.hw,
+               CAST(hw.n AS DOUBLE) / dc.nd AS l
+        FROM hw JOIN dc ON dc.dow = hw.hw // 24),
+pk AS (SELECT hw, l FROM lam
+       ORDER BY ROUND(l, 9) DESC, hw LIMIT 1),
+aa AS (SELECT pk.hw, pk.l, md.mean_dur,
+              pk.l * md.mean_dur / 3600.0 AS a
+       FROM pk CROSS JOIN md),
+eb(s, b) AS (
+  SELECT 1, (SELECT a FROM aa) / (1.0 + (SELECT a FROM aa))
+  UNION ALL
+  SELECT s + 1, (SELECT a FROM aa) * b
+                / (s + 1 + (SELECT a FROM aa) * b)
+  FROM eb WHERE s < 50),
+ec AS (SELECT eb.s, aa.a, aa.l, aa.mean_dur, aa.hw,
+              CASE WHEN eb.s > aa.a
+                   THEN eb.s * eb.b
+                        / (eb.s - aa.a * (1.0 - eb.b))
+                   ELSE 1.0 END AS c
+       FROM eb CROSS JOIN aa)"""
+
+
+@register("erlang_c_wait_profile", sql=f"""
+WITH RECURSIVE {_ERLC_SQL},
+s0 AS (SELECT MIN(s) AS s0 FROM ec WHERE s > a)
+SELECT (SELECT CAST(hw // 24 AS BIGINT) FROM aa) AS peak_dow,
+       (SELECT CAST(hw % 24 AS BIGINT) FROM aa) AS peak_hour,
+       ROUND((SELECT a FROM aa), 6) AS offered_erlangs,
+       CAST(ec.s AS BIGINT) AS servers,
+       ROUND(ec.c, 6) AS wait_prob,
+       ROUND(ec.c * ec.mean_dur / (ec.s - ec.a), 6)
+           AS expected_wait_sec,
+       ROUND(ec.c * EXP(-(ec.s - ec.a) * 20.0 / ec.mean_dur), 6)
+           AS p_wait_gt_20s
+FROM ec, s0
+WHERE ec.s BETWEEN s0.s0 AND s0.s0 + 7
+ORDER BY ec.s""")
+def erlang_c_wait_profile(sf_dir: str) -> pd.DataFrame:
+    """Erlang-C at the measured peak: offered load a = λ·E[S]
+    erlangs from the busiest session-arrival hour-of-week and
+    the mean session duration, then the M/M/s WAIT probability,
+    expected wait, and the 20-second service level for the
+    eight smallest stable server counts. The Erlang-B row
+    (present) prices LOSS systems — blocked-calls-cleared; most
+    service operations queue instead, and the C formula's
+    qualitatively different lesson is how steep the cliff is:
+    near s ≈ a the wait probability is ~1 and each added server
+    buys enormous relief, while a few servers later additions
+    buy almost nothing — the profile table shows exactly where
+    THIS load sits on that cliff, which is the staffing
+    conversation in one table. B→C via C = sB/(s−a(1−B)) off
+    the standard B recursion (one pass, pinned in a recursive
+    CTE); unstable s ≤ a rows honestly print wait_prob 1 and
+    are excluded from the stable window."""
+    hw, lam_pk, mean_dur, a = _offered_load(sf_dir)
+    cs = _erlang_c(a)
+    s0 = min(s for s in cs if s > a)
+    rha = textstats.round_half_away
+    rows = []
+    for s in range(s0, s0 + 8):
+        c = cs[s]
+        rows.append((hw // 24, hw % 24, float(rha(a, 6)), s,
+                     float(rha(c, 6)),
+                     float(rha(c * mean_dur / (s - a), 6)),
+                     float(rha(c * np.exp(-(s - a) * 20.0
+                                          / mean_dur), 6))))
+    return pd.DataFrame(rows, columns=[
+        "peak_dow", "peak_hour", "offered_erlangs", "servers",
+        "wait_prob", "expected_wait_sec", "p_wait_gt_20s"]) \
+        .astype({"peak_dow": np.int64, "peak_hour": np.int64,
+                 "servers": np.int64})
+
+
+@register("sqrt_staffing_curve", sql=f"""
+WITH RECURSIVE {_ERLC_SQL},
+ta AS (SELECT 0.5 AS alpha UNION ALL SELECT 0.2
+       UNION ALL SELECT 0.1 UNION ALL SELECT 0.05
+       UNION ALL SELECT 0.01),
+rq AS (SELECT ta.alpha,
+              MIN(ec.s) AS s_req
+       FROM ta JOIN ec ON ec.c <= ta.alpha AND ec.s > ec.a
+       GROUP BY ta.alpha)
+SELECT rq.alpha AS target_wait_prob,
+       CAST(rq.s_req AS BIGINT) AS servers_required,
+       ROUND((rq.s_req - (SELECT a FROM aa))
+             / SQRT((SELECT a FROM aa)), 6) AS headroom_beta
+FROM rq ORDER BY rq.alpha DESC""")
+def sqrt_staffing_curve(sf_dir: str) -> pd.DataFrame:
+    """The square-root staffing curve: for each target wait
+    probability (50% down to 1%), the smallest stable server
+    count with C(s,a) ≤ α and the implied safety factor
+    β = (s−a)/√a. The Halfin–Whitt regime's central fact — that
+    service quality is governed by β, the headroom measured in
+    √a units, NOT by utilization — is what this table
+    demonstrates on live load: each 'nine' of service level
+    costs a roughly constant increment of β (not of servers),
+    so capacity planning that targets a utilization percentage
+    (the intuitive but wrong invariant) systematically
+    over-staffs small pools and under-staffs large ones. Read
+    with the wait-profile row: that table is the cliff,
+    this one is where to stand on it for each promise you're
+    willing to make. Same load measurement and B-recursion."""
+    hw, lam_pk, mean_dur, a = _offered_load(sf_dir)
+    cs = _erlang_c(a)
+    rha = textstats.round_half_away
+    rows = []
+    for alpha in (0.5, 0.2, 0.1, 0.05, 0.01):
+        s_req = min(s for s in cs
+                    if s > a and cs[s] <= alpha)
+        rows.append((alpha, s_req,
+                     float(rha((s_req - a) / np.sqrt(a), 6))))
+    return pd.DataFrame(rows, columns=[
+        "target_wait_prob", "servers_required",
+        "headroom_beta"]).astype({"servers_required": np.int64})
+
+
+# ---------------------------------------------------------------------------
+# Exposure-based reserving: Cape Cod ELR + the Bornhuetter–Ferguson
+# cohort table against pure chain-ladder
+# ---------------------------------------------------------------------------
+
+def _capecod_inputs(sf_dir: str):
+    """(per-cohort latest/li/cdf/premium cents, factors) shared by
+    the Cape Cod and BF rows — triangle via _ladder_cum, premium
+    = order-month totalprice, CDF by product of remaining
+    age-to-age factors."""
+    cum, mm = _ladder_cum(sf_dir)
+    f = {}
+    for k in range(6):
+        el = cum[(cum["k"] == k) & (cum["i"] + k + 1 <= mm)]
+        nx = cum[(cum["k"] == k + 1) & (cum["i"] + k + 1 <= mm)]
+        den = int(el["c"].sum())
+        if den > 0:
+            f[k] = int(nx["c"].sum()) / den
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderdate", "o_totalprice"]).map_batches(
+        lambda df: pd.DataFrame({
+            "om": df["o_orderdate"].dt.year.to_numpy(np.int64)
+            * 12 + df["o_orderdate"].dt.month.to_numpy(np.int64),
+            "p": np.rint(df["o_totalprice"].to_numpy(np.float64)
+                         * 100).astype(np.int64)}),
+        batch_format="pandas")
+    prem = reduce_sink(orders, ["om"], {"p": ("p", "sum")}) \
+        .to_pandas()
+    o0 = int(prem["om"].min())
+    pmap = {int(r["om"]) - o0: int(r["p"])
+            for _, r in prem.iterrows()}
+    rows = []
+    for i in sorted(cum["i"].unique()):
+        li = min(6, mm - int(i))
+        latest = int(cum[(cum["i"] == i)
+                         & (cum["k"] == li)]["c"].iloc[0])
+        cdf = 1.0
+        for k in range(li, 6):
+            cdf *= f.get(k, 1.0)
+        rows.append((int(i), li, latest, cdf,
+                     pmap.get(int(i), 0)))
+    return rows, f
+
+
+_CAPECOD_SQL = f"""
+{_CHAINLADDER_SQL},
+lat AS (SELECT c.i, LEAST(6, mx.mm - c.i) AS li
+        FROM (SELECT DISTINCT i FROM cum) c, mx),
+lc AS (SELECT lat.i, lat.li, cum.c AS latest
+       FROM lat JOIN cum ON cum.i = lat.i AND cum.k = lat.li),
+ff AS (SELECT k, CAST(num AS DOUBLE) / den AS f FROM fac),
+cdf AS (SELECT lat.i,
+               COALESCE(EXP(SUM(LN(ff.f))), 1.0) AS cdf
+        FROM lat LEFT JOIN ff ON ff.k >= lat.li
+        GROUP BY lat.i),
+pb AS (SELECT MIN(year(o_orderdate) * 12
+                  + month(o_orderdate)) AS o0 FROM orders),
+prem AS (SELECT year(o_orderdate) * 12 + month(o_orderdate)
+                - pb.o0 AS i,
+                CAST(SUM(CAST(ROUND(o_totalprice * 100)
+                              AS BIGINT)) AS BIGINT) AS p
+         FROM orders, pb GROUP BY 1),
+coh AS (SELECT lc.i, lc.li, lc.latest, cdf.cdf,
+               COALESCE(prem.p, 0) AS p
+        FROM lc JOIN cdf USING (i)
+        LEFT JOIN prem USING (i)),
+elr AS (SELECT SUM(CAST(latest AS DOUBLE))
+               / SUM(p / cdf) AS elr
+        FROM coh)"""
+
+
+@register("cape_cod_elr", sql=f"""
+WITH {_CAPECOD_SQL}
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM coh) AS n_cohorts,
+       ROUND((SELECT elr FROM elr), 6) AS elr,
+       ROUND((SELECT SUM(p / cdf) FROM coh) / 100.0, 6)
+           AS used_up_premium,
+       ROUND((SELECT SUM(p * (SELECT elr FROM elr)
+                         * (1.0 - 1.0 / cdf)) FROM coh)
+             / 100.0, 6) AS reserve_bf,
+       ROUND((SELECT SUM(CAST(latest AS DOUBLE) * (cdf - 1.0))
+              FROM coh) / 100.0, 6) AS reserve_cl""")
+def cape_cod_elr(sf_dir: str) -> pd.DataFrame:
+    """The Cape Cod expected loss ratio and the
+    Bornhuetter–Ferguson reserve beside the pure chain-ladder
+    reserve (present). Chain-ladder's known pathology is its
+    youngest cohorts: their reserve is latest×(CDF−1), a huge
+    multiplier on a TINY observed base, so one early shipment
+    more or less swings the whole reserve — BF instead anchors
+    the unshipped part on EXPOSURE (the cohort's booked order
+    value) times an expected shipped-ratio, and Cape Cod closes
+    the loop by estimating that ratio FROM the triangle itself
+    (Σ shipped / Σ used-up exposure, each cohort's premium
+    discounted by how developed it is) rather than from
+    judgment. reserve_bf far from reserve_cl is the signature
+    of immature-cohort leverage — the number to quote is then
+    BF's, and the gap itself measures how much the chain-ladder
+    projection is riding on thin air. Premium = order-month
+    totalprice in exact cents; CDFs as products of the
+    registry's age-to-age factors via the ln-sum both engines
+    share."""
+    rows, f = _capecod_inputs(sf_dir)
+    up = sum(p / cdf for _, _, _, cdf, p in rows)
+    elr = sum(latest for _, _, latest, _, _ in rows) / up
+    res_bf = sum(p * elr * (1.0 - 1.0 / cdf)
+                 for _, _, _, cdf, p in rows)
+    res_cl = sum(latest * (cdf - 1.0)
+                 for _, _, latest, cdf, _ in rows)
+    rha = textstats.round_half_away
+    return pd.DataFrame({
+        "n_cohorts": np.array([len(rows)], np.int64),
+        "elr": [float(rha(elr, 6))],
+        "used_up_premium": [float(rha(up / 100.0, 6))],
+        "reserve_bf": [float(rha(res_bf / 100.0, 6))],
+        "reserve_cl": [float(rha(res_cl / 100.0, 6))]})
+
+
+@register("bf_reserve_by_cohort", sql=f"""
+WITH {_CAPECOD_SQL}
+SELECT CAST(coh.i AS BIGINT) AS cohort,
+       CAST(coh.li AS BIGINT) AS months_developed,
+       ROUND(CAST(coh.latest AS DOUBLE) / 100.0, 6) AS shipped,
+       ROUND(coh.cdf, 6) AS cdf,
+       ROUND(CAST(coh.latest AS DOUBLE) * coh.cdf / 100.0, 6)
+           AS ultimate_cl,
+       ROUND((coh.latest + coh.p * (SELECT elr FROM elr)
+              * (1.0 - 1.0 / coh.cdf)) / 100.0, 6)
+           AS ultimate_bf
+FROM coh ORDER BY coh.i""")
+def bf_reserve_by_cohort(sf_dir: str) -> pd.DataFrame:
+    """The cohort-level view of the BF-vs-chain-ladder choice:
+    per order month, the shipped-to-date amount, its CDF to
+    ultimate, and both ultimates. The pattern to read is
+    mechanical and always the same: mature cohorts (CDF ≈ 1)
+    agree to the cent — the methods only argue about the
+    UNOBSERVED part — and the divergence grows exactly with
+    youth, where chain-ladder multiplies a small latest by a
+    big factor while BF adds a stable exposure-based increment.
+    The actuarial rule of thumb (Benktander interpolates, BF
+    for green, CL for mature) is visible here as the cohort age
+    where the two columns converge; a young cohort whose CL
+    ultimate is wildly above BF is usually a few early
+    shipments being extrapolated, not genuine demand. Same
+    factors, premiums, and ELR as the Cape Cod row."""
+    rows, f = _capecod_inputs(sf_dir)
+    up = sum(p / cdf for _, _, _, cdf, p in rows)
+    elr = sum(latest for _, _, latest, _, _ in rows) / up
+    rha = textstats.round_half_away
+    out = []
+    for i, li, latest, cdf, p in rows:
+        out.append((i, li, float(rha(latest / 100.0, 6)),
+                    float(rha(cdf, 6)),
+                    float(rha(latest * cdf / 100.0, 6)),
+                    float(rha((latest + p * elr
+                               * (1.0 - 1.0 / cdf)) / 100.0,
+                              6))))
+    return pd.DataFrame(out, columns=[
+        "cohort", "months_developed", "shipped", "cdf",
+        "ultimate_cl", "ultimate_bf"]).astype({
+            "cohort": np.int64, "months_developed": np.int64})
+
+
+# ---------------------------------------------------------------------------
+# Reserving, closed out: Benktander credibility blend + expected
+# next-month emergence from the open backlog
+# ---------------------------------------------------------------------------
+
+@register("benktander_reserve", sql=f"""
+WITH {_CAPECOD_SQL},
+gb AS (SELECT coh.i, coh.latest, coh.cdf, coh.p,
+              CAST(coh.latest AS DOUBLE) * (coh.cdf - 1.0)
+                  AS r_cl,
+              coh.p * (SELECT elr FROM elr)
+                  * (1.0 - 1.0 / coh.cdf) AS r_bf
+       FROM coh)
+SELECT ROUND(SUM(r_cl) / 100.0, 6) AS reserve_cl,
+       ROUND(SUM(r_bf) / 100.0, 6) AS reserve_bf,
+       ROUND(SUM((1.0 - 1.0 / cdf) * r_cl
+                 + (1.0 / cdf) * r_bf) / 100.0, 6)
+           AS reserve_gb,
+       ROUND(SUM((1.0 - 1.0 / cdf) * r_cl + (1.0 / cdf) * r_bf)
+             / NULLIF(SUM(r_cl), 0), 6) AS gb_over_cl
+FROM gb""")
+def benktander_reserve(sf_dir: str) -> pd.DataFrame:
+    """Benktander's credibility blend closing the reserving
+    triptych: per cohort, Z·R_CL + (1−Z)·R_BF with credibility
+    Z = 1 − 1/CDF... inverted to the standard form — the weight
+    on the chain-ladder projection grows with how much of the
+    cohort has ALREADY shipped (Z = % undeveloped weights BF;
+    equivalently the iterated BF, applying BF's own logic to
+    BF's ultimate). This is the actuarial textbook's answer to
+    'which reserve do I book': CL is unbiased but high-variance
+    on green cohorts, BF is stable but drags in the exposure
+    prior, and Benktander — provably lower mean-squared error
+    than both over a wide parameter range (the Mack/Neuhaus
+    result) — interpolates with exactly the weight that prices
+    each cohort's maturity. gb_over_cl near 1 says the book is
+    mature and the argument was academic; far from 1, the blend
+    is earning its keep precisely where the data are thinnest.
+    Same cohort table, factors and ELR as the Cape Cod rows."""
+    rows, f = _capecod_inputs(sf_dir)
+    up = sum(p / cdf for _, _, _, cdf, p in rows)
+    elr = sum(latest for _, _, latest, _, _ in rows) / up
+    r_cl = r_bf = r_gb = 0.0
+    for i, li, latest, cdf, p in rows:
+        rc = latest * (cdf - 1.0)
+        rb = p * elr * (1.0 - 1.0 / cdf)
+        r_cl += rc
+        r_bf += rb
+        r_gb += (1.0 - 1.0 / cdf) * rc + (1.0 / cdf) * rb
+    rha = textstats.round_half_away
+    return pd.DataFrame({
+        "reserve_cl": [float(rha(r_cl / 100.0, 6))],
+        "reserve_bf": [float(rha(r_bf / 100.0, 6))],
+        "reserve_gb": [float(rha(r_gb / 100.0, 6))],
+        "gb_over_cl": [float(rha(r_gb / r_cl, 6))
+                       if r_cl != 0 else np.nan]})
+
+
+@register("expected_next_month_emergence", sql=f"""
+WITH {_CAPECOD_SQL}
+SELECT CAST(coh.i AS BIGINT) AS cohort,
+       CAST(coh.li AS BIGINT) AS months_developed,
+       ROUND(CAST(coh.latest AS DOUBLE) / 100.0, 6) AS shipped,
+       ROUND(CAST(coh.latest AS DOUBLE)
+             * (COALESCE((SELECT f FROM ff
+                          WHERE ff.k = coh.li), 1.0) - 1.0)
+             / 100.0, 6) AS expected_next_month
+FROM coh
+WHERE coh.li < 6
+  AND COALESCE((SELECT f FROM ff WHERE ff.k = coh.li), 1.0)
+      > 1.0
+ORDER BY coh.i""")
+def expected_next_month_emergence(sf_dir: str) -> pd.DataFrame:
+    """The actual-versus-expected setup, one period ahead: for
+    every still-developing cohort, the revenue expected to ship
+    NEXT month — latest × (f_age − 1), the one-step chain-ladder
+    emergence. This is the operational cash-flow face of the
+    reserve rows: the reserve says how much is outstanding
+    EVENTUALLY; this says what should arrive in the next
+    calendar month from the existing backlog, which is the
+    number a fulfillment capacity plan and a revenue forecast
+    actually consume — and next month's ACTUAL against this
+    column is the standard AvE test that validates (or indicts)
+    the whole factor pattern cohort by cohort, the monitoring
+    loop reserving practice runs quarterly. Cohorts at the
+    terminal age or with a unit factor are complete and
+    excluded (nothing left to emerge). Same triangle and
+    factors; exact cents throughout."""
+    rows, f = _capecod_inputs(sf_dir)
+    rha = textstats.round_half_away
+    out = []
+    for i, li, latest, cdf, p in rows:
+        if li < 6 and f.get(li, 1.0) > 1.0:
+            out.append((i, li, float(rha(latest / 100.0, 6)),
+                        float(rha(latest * (f[li] - 1.0)
+                                  / 100.0, 6))))
+    return pd.DataFrame(out, columns=[
+        "cohort", "months_developed", "shipped",
+        "expected_next_month"]).astype({
+            "cohort": np.int64, "months_developed": np.int64})
+
+
+# ---------------------------------------------------------------------------
+# Taguchi's quadratic loss on ship lag: bias/variance split + the
+# two-philosophy ranking disagreement
+# ---------------------------------------------------------------------------
+
+@register("taguchi_loss_ship_lag", sql=f"""
+WITH {_LAGPRIO_SQL},
+mo AS (SELECT prio,
+              CAST(SUM(cnt) AS BIGINT) AS n,
+              CAST(SUM(cnt * lag_d) AS HUGEINT) AS s1,
+              CAST(SUM(cnt * lag_d * lag_d) AS HUGEINT) AS s2
+       FROM h GROUP BY 1),
+st AS (SELECT prio, n,
+              CAST(s1 AS DOUBLE) / n AS mu,
+              (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                  / n AS v
+       FROM mo)
+SELECT prio AS priority, n AS n_items,
+       ROUND(v + POW(mu - 45.0, 2), 6) AS expected_loss,
+       ROUND(v, 6) AS variance_part,
+       ROUND(POW(mu - 45.0, 2), 6) AS bias_part,
+       ROUND(POW(mu - 45.0, 2)
+             / (v + POW(mu - 45.0, 2)), 6) AS bias_share
+FROM st ORDER BY prio""")
+def taguchi_loss_ship_lag(sf_dir: str) -> pd.DataFrame:
+    """Taguchi's quadratic loss on the order→ship lag against the
+    mid-spec target of 45 days, per priority: E[(lag−45)²] =
+    variance + (μ−45)² — Taguchi's critique of goalpost quality
+    made computable: the Cpk/acceptance rows treat every in-spec
+    shipment as equally fine and every out-of-spec one as
+    equally bad, but a 89-day ship irritates the customer almost
+    as much as a 91-day one, and the quadratic loss prices that
+    continuum. The exact bias/variance SPLIT is the actionable
+    part, because the two components have different fixes:
+    bias_share near 1 says the process is consistently aimed at
+    the wrong lag (re-promise or re-plan — a calibration
+    problem), near 0 says it is aimed right but wobbles
+    (reduce variation — a control problem), and spending
+    variance-reduction effort on a bias problem (or vice versa)
+    is the classic QC misallocation this column exists to
+    prevent. Population variance (ML convention, documented);
+    same exact integer moments as the capability rows."""
+    h = _lag_prio_hist(sf_dir)
+    rha = textstats.round_half_away
+    rows = []
+    for prio, g in h.groupby("prio", sort=True):
+        c = g["cnt"].to_numpy(np.int64).astype(object)
+        d = g["lag_d"].to_numpy(np.int64).astype(object)
+        n = int(c.sum())
+        s1 = int((c * d).sum())
+        s2 = int((c * d * d).sum())
+        mu = float(s1) / n
+        v = (float(s2) - float(s1) * s1 / n) / n
+        bias = (mu - 45.0) ** 2
+        rows.append((prio, n, float(rha(v + bias, 6)),
+                     float(rha(v, 6)), float(rha(bias, 6)),
+                     float(rha(bias / (v + bias), 6))))
+    return pd.DataFrame(rows, columns=[
+        "priority", "n_items", "expected_loss", "variance_part",
+        "bias_part", "bias_share"]).astype({"n_items": np.int64})
+
+
+@register("taguchi_vs_goalpost_ranking", sql=f"""
+WITH {_LAGPRIO_SQL},
+mo AS (SELECT prio,
+              CAST(SUM(cnt) AS BIGINT) AS n,
+              CAST(SUM(cnt * lag_d) AS HUGEINT) AS s1,
+              CAST(SUM(cnt * lag_d * lag_d) AS HUGEINT) AS s2,
+              CAST(SUM(CASE WHEN lag_d > 90 THEN cnt ELSE 0 END)
+                   AS BIGINT) AS bad
+       FROM h GROUP BY 1),
+st AS (SELECT prio,
+              CAST(s1 AS DOUBLE) / n AS mu,
+              SQRT((CAST(s2 AS DOUBLE)
+                    - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1))
+                  AS sd,
+              (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                  / n AS v,
+              CAST(bad AS DOUBLE) / n AS defect
+       FROM mo),
+rk AS (SELECT prio,
+              ROW_NUMBER() OVER (ORDER BY
+                  ROUND(LEAST((90.0 - mu) / (3.0 * sd),
+                              mu / (3.0 * sd)), 9) DESC, prio)
+                  AS r_cpk,
+              ROW_NUMBER() OVER (ORDER BY
+                  ROUND(v + POW(mu - 45.0, 2), 9), prio)
+                  AS r_tag
+       FROM st),
+kt AS (SELECT SUM(CASE WHEN (a.r_cpk - b.r_cpk)
+                            * (a.r_tag - b.r_tag) > 0
+                       THEN 1 ELSE -1 END) AS s,
+              CAST(COUNT(*) AS BIGINT) AS np_
+       FROM rk a JOIN rk b ON b.prio > a.prio)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rk) AS n_priorities,
+       ROUND(CAST((SELECT s FROM kt) AS DOUBLE)
+             / (SELECT np_ FROM kt), 6) AS kendall_tau,
+       CAST(CASE WHEN (SELECT s FROM kt) = (SELECT np_ FROM kt)
+                 THEN 1 ELSE 0 END AS BIGINT) AS rankings_agree""")
+def taguchi_vs_goalpost_ranking(sf_dir: str) -> pd.DataFrame:
+    """The two quality philosophies ranking the same five
+    priority classes: best-Cpk-first (goalpost — distance of
+    the ±3σ spread from the spec limits) against
+    lowest-Taguchi-loss-first (continuous — expected quadratic
+    distance from target), compared by exact Kendall τ over the
+    C(5,2) priority pairs. The disagreement is the point: Cpk
+    rewards a process hugging ANY point inside the spec (even
+    its edge), Taguchi loss rewards centering, so a priority
+    class that ships consistently at 85 days ranks well on Cpk
+    (inside the 90 limit, low σ) and terribly on loss (35 days
+    off target) — τ < 1 localizes where the org's choice of
+    quality METRIC, not its logistics, decides which lane gets
+    'fixed' first. τ = 1 (rankings_agree) is the happy case
+    where the philosophical argument is moot on this book.
+    9dp-rounded keys with priority ties, exact sign-pair τ."""
+    h = _lag_prio_hist(sf_dir)
+    rha = textstats.round_half_away
+    stats = []
+    for prio, g in h.groupby("prio", sort=True):
+        c = g["cnt"].to_numpy(np.int64).astype(object)
+        d = g["lag_d"].to_numpy(np.int64).astype(object)
+        n = int(c.sum())
+        s1 = int((c * d).sum())
+        s2 = int((c * d * d).sum())
+        mu = float(s1) / n
+        sd = np.sqrt((float(s2) - float(s1) * s1 / n) / (n - 1))
+        v = (float(s2) - float(s1) * s1 / n) / n
+        cpk = min((90.0 - mu) / (3.0 * sd), mu / (3.0 * sd))
+        loss = v + (mu - 45.0) ** 2
+        stats.append((prio, float(rha(cpk, 9)),
+                      float(rha(loss, 9))))
+    by_cpk = sorted(stats, key=lambda t: (-t[1], t[0]))
+    by_tag = sorted(stats, key=lambda t: (t[2], t[0]))
+    r_cpk = {t[0]: i + 1 for i, t in enumerate(by_cpk)}
+    r_tag = {t[0]: i + 1 for i, t in enumerate(by_tag)}
+    prios = sorted(r_cpk)
+    s = 0
+    npair = 0
+    for i, a in enumerate(prios):
+        for b in prios[i + 1:]:
+            npair += 1
+            s += 1 if (r_cpk[a] - r_cpk[b]) \
+                * (r_tag[a] - r_tag[b]) > 0 else -1
+    return pd.DataFrame({
+        "n_priorities": np.array([len(prios)], np.int64),
+        "kendall_tau": [float(rha(s / npair, 6))
+                        if npair else np.nan],
+        "rankings_agree": np.array(
+            [1 if npair and s == npair else 0], np.int64)})
+
+
+# ---------------------------------------------------------------------------
+# Compound-sum decomposition: what drives daily revenue volatility
+# ---------------------------------------------------------------------------
+
+@register("revenue_volatility_decomposition", sql="""
+WITH ev AS (SELECT epoch_us(ts) // 86400000000 AS d,
+                   CAST(ROUND(value * 100) AS BIGINT) AS c
+            FROM events),
+dd AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(c) AS BIGINT) AS r
+       FROM ev GROUP BY 1),
+xm AS (SELECT CAST(COUNT(*) AS BIGINT) AS ne,
+              CAST(SUM(c) AS HUGEINT) AS s1,
+              CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS s2
+       FROM ev),
+dm AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+              SUM(CAST(n AS DOUBLE)) AS sn,
+              SUM(CAST(n AS DOUBLE) * n) AS snn,
+              SUM(CAST(r AS DOUBLE)) AS sr,
+              SUM(CAST(r AS DOUBLE) * r) AS srr
+       FROM dd),
+st AS (SELECT dm.nd,
+              (dm.srr - dm.sr * dm.sr / dm.nd) / (dm.nd - 1)
+                  AS var_obs,
+              dm.sn / dm.nd AS en,
+              (dm.snn - dm.sn * dm.sn / dm.nd) / (dm.nd - 1)
+                  AS varn,
+              CAST(xm.s1 AS DOUBLE) / xm.ne AS ex,
+              (CAST(xm.s2 AS DOUBLE)
+               - CAST(xm.s1 AS DOUBLE) * xm.s1 / xm.ne) / xm.ne
+                  AS varx
+       FROM dm CROSS JOIN xm)
+SELECT CAST(nd AS BIGINT) AS n_days,
+       ROUND(var_obs / 10000.0, 6) AS var_observed,
+       ROUND(en * varx / 10000.0, 6) AS var_from_sizes,
+       ROUND(varn * ex * ex / 10000.0, 6) AS var_from_counts,
+       ROUND((var_obs - en * varx - varn * ex * ex) / 10000.0, 6)
+           AS dependence_residual,
+       ROUND(varn * ex * ex
+             / (en * varx + varn * ex * ex), 6)
+           AS count_share_of_predicted
+FROM st""")
+def revenue_volatility_decomposition(sf_dir: str) -> pd.DataFrame:
+    """The compound-sum (frequency × severity) decomposition of
+    daily revenue volatility: under independent ticket sizes,
+    Var(R) = E[N]·Var(X) + Var(N)·E[X]² — the actuarial
+    collective-risk identity — so the observed day-to-day
+    revenue variance splits into a TRAFFIC term (days differ in
+    how many events arrive) and a TICKET term (events differ in
+    size), with the residual measuring count–size DEPENDENCE
+    the identity can't explain (big days attracting bigger or
+    smaller tickets). The split is the first question of any
+    revenue-stabilization effort answered with arithmetic
+    instead of opinion: count_share near 1 says volatility is a
+    demand/traffic phenomenon (marketing smoothing, capacity),
+    near 0 says it's a basket-size phenomenon (pricing, mix),
+    and a large positive residual says the two conspire — the
+    compounding worst case where per-lever fixes underdeliver.
+    Exact cents moments (events pooled, days n−1); variances
+    reported in dollars²."""
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "d": df["ts"].to_numpy("datetime64[us]")
+            .astype(np.int64) // 86_400_000_000,
+            "n": np.ones(len(df), np.int64),
+            "r": np.rint(df["value"].to_numpy(np.float64) * 100)
+            .astype(np.int64),
+            "r2": np.rint(df["value"].to_numpy(np.float64)
+                          * 100).astype(np.int64) ** 2})
+
+    g = reduce_sink(
+        _events(sf_dir, ["ts", "value"])
+        .map_batches(lambda df: prep(df).groupby(
+            "d", as_index=False).sum(), batch_format="pandas"),
+        ["d"], {"n": ("n", "sum"), "r": ("r", "sum"),
+                "r2": ("r2", "sum")}).to_pandas()
+    nd = len(g)
+    n = g["n"].to_numpy(np.int64).astype(np.float64)
+    r = g["r"].to_numpy(np.int64).astype(np.float64)
+    ne = float(n.sum())
+    s1 = float(r.sum())
+    s2 = float(sum(int(v) for v in g["r2"]))
+    var_obs = (float((r * r).sum()) - s1 * s1 / nd) / (nd - 1)
+    en = ne / nd
+    varn = (float((n * n).sum()) - ne * ne / nd) / (nd - 1)
+    ex = s1 / ne
+    varx = (s2 - s1 * s1 / ne) / ne
+    rha = textstats.round_half_away
+    return pd.DataFrame({
+        "n_days": np.array([nd], np.int64),
+        "var_observed": [float(rha(var_obs / 10000.0, 6))],
+        "var_from_sizes": [float(rha(en * varx / 10000.0, 6))],
+        "var_from_counts": [float(rha(varn * ex * ex
+                                      / 10000.0, 6))],
+        "dependence_residual": [float(rha(
+            (var_obs - en * varx - varn * ex * ex)
+            / 10000.0, 6))],
+        "count_share_of_predicted": [float(rha(
+            varn * ex * ex / (en * varx + varn * ex * ex), 6))]})
+
+
+@register("volatility_attribution_by_type", sql="""
+WITH ev AS (SELECT event_type AS ty,
+                   epoch_us(ts) // 86400000000 AS d,
+                   CAST(ROUND(value * 100) AS BIGINT) AS c
+            FROM events),
+sp AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM ev),
+cal AS (SELECT UNNEST(generate_series(lo, hi)) AS d FROM sp),
+ty AS (SELECT DISTINCT ty FROM ev),
+dd AS (SELECT ty.ty, cal.d,
+              CAST(COALESCE(s.n, 0) AS BIGINT) AS n,
+              CAST(COALESCE(s.r, 0) AS BIGINT) AS r
+       FROM ty CROSS JOIN cal
+       LEFT JOIN (SELECT ty, d, COUNT(*) AS n, SUM(c) AS r
+                  FROM ev GROUP BY 1, 2) s
+         ON s.ty = ty.ty AND s.d = cal.d),
+xm AS (SELECT ty, CAST(COUNT(*) AS BIGINT) AS ne,
+              CAST(SUM(c) AS HUGEINT) AS s1,
+              CAST(SUM(CAST(c AS HUGEINT) * c) AS HUGEINT) AS s2
+       FROM ev GROUP BY 1),
+dm AS (SELECT ty, CAST(COUNT(*) AS BIGINT) AS nd,
+              SUM(CAST(n AS DOUBLE)) AS sn,
+              SUM(CAST(n AS DOUBLE) * n) AS snn,
+              SUM(CAST(r AS DOUBLE)) AS sr,
+              SUM(CAST(r AS DOUBLE) * r) AS srr
+       FROM dd GROUP BY 1),
+st AS (SELECT dm.ty,
+              (dm.srr - dm.sr * dm.sr / dm.nd) / (dm.nd - 1)
+                  AS var_obs,
+              dm.sn / dm.nd * ((CAST(xm.s2 AS DOUBLE)
+                  - CAST(xm.s1 AS DOUBLE) * xm.s1 / xm.ne)
+                  / xm.ne)
+              + ((dm.snn - dm.sn * dm.sn / dm.nd) / (dm.nd - 1))
+                * POW(CAST(xm.s1 AS DOUBLE) / xm.ne, 2) AS pred,
+              ((dm.snn - dm.sn * dm.sn / dm.nd) / (dm.nd - 1))
+                  * POW(CAST(xm.s1 AS DOUBLE) / xm.ne, 2) AS cp
+       FROM dm JOIN xm USING (ty))
+SELECT ty AS event_type,
+       ROUND(var_obs / 10000.0, 6) AS var_observed,
+       ROUND(pred / 10000.0, 6) AS var_predicted,
+       ROUND(var_obs / pred, 6) AS obs_over_pred,
+       ROUND(cp / pred, 6) AS count_share
+FROM st ORDER BY ty""")
+def volatility_attribution_by_type(sf_dir: str) -> pd.DataFrame:
+    """The per-type itemization of the compound-sum split: each
+    event type's own daily revenue variance beside its
+    independence-predicted value and the count share. Types are
+    where the scalar row's verdict becomes a lever: 'purchase'
+    volatility that is count-driven is a conversion-rate
+    phenomenon while size-driven is basket economics — two
+    different teams; an obs_over_pred ratio far above 1 for one
+    type only says THAT stream has count–size dependence (e.g.
+    promo days that are both busy and discount-heavy) and is
+    the right place to start a decomposition-aware forecast.
+    Zero-filled day spine per type so quiet days count in
+    Var(N); same exact-cents moments as the scalar row."""
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.rint(df["value"].to_numpy(np.float64) * 100) \
+            .astype(np.int64)
+        return pd.DataFrame({
+            "ty": df["event_type"],
+            "d": df["ts"].to_numpy("datetime64[us]")
+            .astype(np.int64) // 86_400_000_000,
+            "n": np.ones(len(df), np.int64),
+            "r": c,
+            "r2": c * c})
+
+    g = reduce_sink(
+        _events(sf_dir, ["ts", "value", "event_type"])
+        .map_batches(lambda df: prep(df).groupby(
+            ["ty", "d"], as_index=False).sum(),
+            batch_format="pandas"),
+        ["ty", "d"], {"n": ("n", "sum"), "r": ("r", "sum"),
+                      "r2": ("r2", "sum")}).to_pandas()
+    d0 = int(g["d"].min())
+    d1 = int(g["d"].max())
+    days = np.arange(d0, d1 + 1, dtype=np.int64)
+    nd = len(days)
+    rha = textstats.round_half_away
+    rows = []
+    for ty in sorted(g["ty"].unique()):
+        sub = g[g["ty"] == ty].set_index("d")
+        n = sub["n"].reindex(days, fill_value=0) \
+            .to_numpy(np.int64).astype(np.float64)
+        r = sub["r"].reindex(days, fill_value=0) \
+            .to_numpy(np.int64).astype(np.float64)
+        ne = float(n.sum())
+        s1 = float(r.sum())
+        s2 = float(sum(int(v) for v in sub["r2"]))
+        var_obs = (float((r * r).sum()) - s1 * s1 / nd) \
+            / (nd - 1)
+        varx = (s2 - s1 * s1 / ne) / ne
+        varn = (float((n * n).sum()) - ne * ne / nd) / (nd - 1)
+        ex = s1 / ne
+        pred = ne / nd * varx + varn * ex * ex
+        rows.append((ty, float(rha(var_obs / 10000.0, 6)),
+                     float(rha(pred / 10000.0, 6)),
+                     float(rha(var_obs / pred, 6)),
+                     float(rha(varn * ex * ex / pred, 6))))
+    return pd.DataFrame(rows, columns=[
+        "event_type", "var_observed", "var_predicted",
+        "obs_over_pred", "count_share"])
+
+
+# ---------------------------------------------------------------------------
+# Subgroup analysis done honestly: the weekend purchase-share
+# effect per market segment with BH + the moderation Q test
+# ---------------------------------------------------------------------------
+
+def _segment_weekend_cells(sf_dir: str) -> pd.DataFrame:
+    """(segment, weekend flag, events, purchases) via the
+    broadcast custkey→segment map; unmatched users drop (inner
+    join semantics, the cross-fact family's convention)."""
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    import ray as _ray
+    cmap_ref = _ray.put(dict(zip(
+        cust["c_custkey"].to_numpy(np.int64),
+        cust["c_mktsegment"])))
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        cmap = _ray.get(cmap_ref)
+        seg = df["user_id"].map(cmap)
+        keep = seg.notna()
+        d = df[keep]
+        day = d["ts"].to_numpy().astype("datetime64[D]") \
+            .astype(np.int64)
+        return pd.DataFrame({
+            "seg": seg[keep],
+            "wkd": np.isin((day + 4) % 7, (0, 6))
+            .astype(np.int64),
+            "n": np.ones(int(keep.sum()), np.int64),
+            "p": (d["event_type"] == "purchase")
+            .to_numpy().astype(np.int64)}) \
+            .groupby(["seg", "wkd"], as_index=False).sum()
+
+    return reduce_sink(
+        _events(sf_dir, ["ts", "user_id", "event_type"])
+        .map_batches(part, batch_format="pandas"),
+        ["seg", "wkd"], {"n": ("n", "sum"), "p": ("p", "sum")}) \
+        .to_pandas().sort_values(["seg", "wkd"],
+                                 ignore_index=True)
+
+
+_SEGWKD_SQL = """
+b AS (SELECT c.c_mktsegment AS seg,
+             CASE WHEN (epoch_us(e.ts) // 86400000000 + 4) % 7
+                       IN (0, 6) THEN 1 ELSE 0 END AS wkd,
+             CASE WHEN e.event_type = 'purchase'
+                  THEN 1 ELSE 0 END AS p
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey),
+cell AS (SELECT seg, wkd, CAST(COUNT(*) AS BIGINT) AS n,
+                CAST(SUM(p) AS BIGINT) AS pp
+         FROM b GROUP BY 1, 2),
+eff AS (SELECT a.seg,
+               a.n AS n1, b2.n AS n0,
+               CAST(a.pp AS DOUBLE) / a.n
+                   - CAST(b2.pp AS DOUBLE) / b2.n AS th,
+               (CAST(a.pp AS DOUBLE) / a.n)
+                   * (1.0 - CAST(a.pp AS DOUBLE) / a.n) / a.n
+               + (CAST(b2.pp AS DOUBLE) / b2.n)
+                   * (1.0 - CAST(b2.pp AS DOUBLE) / b2.n) / b2.n
+                   AS v
+        FROM cell a JOIN cell b2
+          ON b2.seg = a.seg AND a.wkd = 1 AND b2.wkd = 0)"""
+
+
+@register("subgroup_weekend_effect_scan", sql=f"""
+WITH {_SEGWKD_SQL},
+z AS (SELECT seg, n1, n0, th, th / SQRT(v) AS zz FROM eff),
+pv AS (SELECT seg, n1, n0, th, zz,
+              2.0 * {_ASQ.format(v="ABS(zz)")} AS p
+       FROM z),
+rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY p, seg) AS r,
+              COUNT(*) OVER () AS m
+       FROM pv),
+bh AS (SELECT MAX(r) AS kmax FROM rk
+       WHERE p <= 0.05 * r / m)
+SELECT seg AS segment,
+       CAST(n1 AS BIGINT) AS n_weekend_events,
+       CAST(n0 AS BIGINT) AS n_weekday_events,
+       ROUND(th, 6) AS effect,
+       ROUND(zz, 6) AS z,
+       ROUND(p, 6) AS p_two_sided,
+       CAST(CASE WHEN r <= COALESCE((SELECT kmax FROM bh), 0)
+                 THEN 1 ELSE 0 END AS BIGINT) AS bh_significant
+FROM rk ORDER BY seg""")
+def subgroup_weekend_effect_scan(sf_dir: str) -> pd.DataFrame:
+    """The weekend purchase-share effect estimated SEPARATELY in
+    each market segment, with Benjamini–Hochberg significance
+    across the subgroup family — subgroup analysis done the way
+    the clinical literature demands and dashboards never do:
+    slicing one effect five ways manufactures five chances of a
+    false discovery, and the famous parody (aspirin works
+    except for Geminis) is exactly what an unadjusted segment
+    breakdown invites. Each row is a two-proportion difference
+    with its exact binomial-variance z; BH ranks the p's and
+    admits the largest prefix with p₍ᵣ₎ ≤ α·r/m, so a
+    bh_significant = 1 row survives the family-wise discipline
+    and is worth a targeted campaign, while a small-p row with
+    bh_significant = 0 is the Gemini. Inner-join user→segment
+    (the cross-fact convention); read with the heterogeneity
+    row before claiming segments DIFFER from each other."""
+    c = _segment_weekend_cells(sf_dir)
+    rha = textstats.round_half_away
+    rows = []
+    for seg, g in c.groupby("seg"):
+        gw = g[g["wkd"] == 1].iloc[0]
+        gd = g[g["wkd"] == 0].iloc[0]
+        p1 = int(gw["p"]) / int(gw["n"])
+        p0 = int(gd["p"]) / int(gd["n"])
+        v = p1 * (1 - p1) / int(gw["n"]) \
+            + p0 * (1 - p0) / int(gd["n"])
+        z = (p1 - p0) / np.sqrt(v)
+        p = 2.0 * _as_upper_q(abs(z))
+        rows.append([seg, int(gw["n"]), int(gd["n"]),
+                     p1 - p0, z, p])
+    rows.sort(key=lambda r: (r[5], r[0]))
+    m = len(rows)
+    kmax = 0
+    for r, row in enumerate(rows, 1):
+        if row[5] <= 0.05 * r / m:
+            kmax = r
+    out = []
+    for r, row in enumerate(rows, 1):
+        out.append((row[0], row[1], row[2],
+                    float(rha(row[3], 6)), float(rha(row[4], 6)),
+                    float(rha(row[5], 6)),
+                    1 if r <= kmax else 0))
+    out.sort(key=lambda t: t[0])
+    return pd.DataFrame(out, columns=[
+        "segment", "n_weekend_events", "n_weekday_events",
+        "effect", "z", "p_two_sided", "bh_significant"]) \
+        .astype({"n_weekend_events": np.int64,
+                 "n_weekday_events": np.int64,
+                 "bh_significant": np.int64})
+
+
+@register("subgroup_heterogeneity_q", sql=f"""
+WITH {_SEGWKD_SQL},
+fx AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+              SUM(th / v) / SUM(1.0 / v) AS tf
+       FROM eff),
+qq AS (SELECT fx.k, fx.tf,
+              (SELECT SUM((th - fx.tf) * (th - fx.tf) / v)
+               FROM eff) AS q
+       FROM fx)
+SELECT k AS n_segments,
+       ROUND(tf, 6) AS pooled_effect,
+       ROUND(q, 6) AS cochran_q,
+       CAST(k - 1 AS BIGINT) AS df,
+       ROUND(EXP(-q / 2.0) * (1.0 + q / 2.0), 6) AS p_exact,
+       ROUND(GREATEST(0.0, (q - (k - 1)) / q), 6) AS i2,
+       CAST(CASE WHEN EXP(-q / 2.0) * (1.0 + q / 2.0) < 0.05
+                 THEN 1 ELSE 0 END AS BIGINT)
+           AS segment_moderates
+FROM qq""")
+def subgroup_heterogeneity_q(sf_dir: str) -> pd.DataFrame:
+    """The moderation test the subgroup scan needs before anyone
+    says 'the effect differs by segment': Cochran's Q across
+    the five segment effects against the inverse-variance pooled
+    value — the INTERACTION test, which is a different (and
+    stricter) claim than any single subgroup being significant.
+    The canonical error this row prevents: segment A significant
+    and segment B not does NOT mean A ≠ B (the difference of a
+    significant and a non-significant effect is routinely
+    non-significant — Gelman's 'the difference between
+    significant and not significant is not itself significant');
+    only a rejected Q licenses segment-targeted claims, and a
+    calm Q says one pooled weekend effect serves all segments
+    and the scan's variation was sampling noise. With k = 5,
+    df = 4 is even, so the χ² tail is EXACTLY e^(−Q/2)(1+Q/2)
+    — a closed form, no approximation; I² re-expresses Q as the
+    heterogeneity fraction, same as the meta rows."""
+    c = _segment_weekend_cells(sf_dir)
+    th, v = [], []
+    for seg, g in c.groupby("seg"):
+        gw = g[g["wkd"] == 1].iloc[0]
+        gd = g[g["wkd"] == 0].iloc[0]
+        p1 = int(gw["p"]) / int(gw["n"])
+        p0 = int(gd["p"]) / int(gd["n"])
+        th.append(p1 - p0)
+        v.append(p1 * (1 - p1) / int(gw["n"])
+                 + p0 * (1 - p0) / int(gd["n"]))
+    th = np.array(th)
+    v = np.array(v)
+    w = 1.0 / v
+    k = len(th)
+    tf = float((w * th).sum() / w.sum())
+    qv = float((w * (th - tf) ** 2).sum())
+    p = float(np.exp(-qv / 2.0) * (1.0 + qv / 2.0))
+    i2 = max(0.0, (qv - (k - 1)) / qv)
+    rha = textstats.round_half_away
+    return pd.DataFrame({
+        "n_segments": np.array([k], np.int64),
+        "pooled_effect": [float(rha(tf, 6))],
+        "cochran_q": [float(rha(qv, 6))],
+        "df": np.array([k - 1], np.int64),
+        "p_exact": [float(rha(p, 6))],
+        "i2": [float(rha(i2, 6))],
+        "segment_moderates": np.array(
+            [1 if p < 0.05 else 0], np.int64)})
+
+
+# ---------------------------------------------------------------------------
+# One effect, four languages: the ARR/RR/OR/NNT panel + the
+# cross-segment stability of each effect scale
+# ---------------------------------------------------------------------------
+
+@register("effect_measure_panel_weekend", sql="""
+WITH b AS (SELECT CASE WHEN (epoch_us(ts) // 86400000000 + 4) % 7
+                            IN (0, 6) THEN 1 ELSE 0 END AS wkd,
+                  CASE WHEN event_type = 'purchase'
+                       THEN 1 ELSE 0 END AS p
+           FROM events),
+c AS (SELECT wkd, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(p) AS BIGINT) AS pp
+      FROM b GROUP BY 1),
+r AS (SELECT
+    (SELECT CAST(pp AS DOUBLE) / n FROM c WHERE wkd = 1) AS p1,
+    (SELECT CAST(pp AS DOUBLE) / n FROM c WHERE wkd = 0) AS p0)
+SELECT ROUND(p1, 6) AS p_weekend,
+       ROUND(p0, 6) AS p_weekday,
+       ROUND(p1 - p0, 6) AS arr,
+       ROUND(p1 / p0, 6) AS rr,
+       ROUND((p1 / (1 - p1)) / (p0 / (1 - p0)), 6)
+           AS odds_ratio,
+       ROUND(1.0 / ABS(p1 - p0), 6) AS nnt,
+       ROUND(((p1 / (1 - p1)) / (p0 / (1 - p0)))
+             / (p1 / p0), 6) AS or_over_rr
+FROM r""")
+def effect_measure_panel_weekend(sf_dir: str) -> pd.DataFrame:
+    """The weekend purchase effect stated in all four standard
+    languages at once — absolute risk reduction, risk ratio,
+    odds ratio, number needed to treat — because each answers a
+    different question and swapping them is the most common way
+    honest numbers mislead: RR is what mechanism papers quote
+    ('30% more likely'), ARR is what it costs or earns in
+    events per exposure, NNT = 1/|ARR| is the decision currency
+    (how many weekend visits per extra purchase), and the OR is
+    what logistic models emit — which EXAGGERATES the RR
+    whenever the outcome isn't rare. or_over_rr prices that
+    exaggeration on this data: at a ~20% purchase share it is
+    materially above 1, the quantitative rebuttal to reading a
+    logistic coefficient as a risk ratio. The registry's
+    separate OR and rate-ratio rows each show one dialect; this
+    row is the translation table."""
+    c = _wkd_type_mix(sf_dir)
+    n1 = int(c["c1"].sum())
+    n0 = int(c["c2"].sum())
+    pr = c[c["ty"] == "purchase"].iloc[0]
+    p1 = int(pr["c1"]) / n1
+    p0 = int(pr["c2"]) / n0
+    rha = textstats.round_half_away
+    orr = (p1 / (1 - p1)) / (p0 / (1 - p0))
+    return pd.DataFrame({
+        "p_weekend": [float(rha(p1, 6))],
+        "p_weekday": [float(rha(p0, 6))],
+        "arr": [float(rha(p1 - p0, 6))],
+        "rr": [float(rha(p1 / p0, 6))],
+        "odds_ratio": [float(rha(orr, 6))],
+        "nnt": [float(rha(1.0 / abs(p1 - p0), 6))],
+        "or_over_rr": [float(rha(orr / (p1 / p0), 6))]})
+
+
+@register("effect_measure_stability_segments", sql=f"""
+WITH {_SEGWKD_SQL},
+ms AS (SELECT eff.seg,
+              CAST(a.pp AS DOUBLE) / a.n AS p1,
+              CAST(b2.pp AS DOUBLE) / b2.n AS p0
+       FROM eff
+       JOIN cell a ON a.seg = eff.seg AND a.wkd = 1
+       JOIN cell b2 ON b2.seg = eff.seg AND b2.wkd = 0),
+mm AS (SELECT 'arr' AS measure, p1 - p0 AS v FROM ms
+       UNION ALL SELECT 'rr', p1 / p0 FROM ms
+       UNION ALL SELECT 'odds_ratio',
+                        (p1 / (1 - p1)) / (p0 / (1 - p0)) FROM ms
+       UNION ALL SELECT 'log_rr', LN(p1 / p0) FROM ms),
+ag AS (SELECT measure, CAST(COUNT(*) AS BIGINT) AS k,
+              AVG(v) AS m,
+              SQRT((SUM(v * v) - COUNT(*) * AVG(v) * AVG(v))
+                   / (COUNT(*) - 1)) AS s,
+              MIN(v) AS lo, MAX(v) AS hi
+       FROM mm GROUP BY 1)
+SELECT measure,
+       ROUND(lo, 6) AS min_across_segments,
+       ROUND(hi, 6) AS max_across_segments,
+       ROUND(s / ABS(m), 6) AS cv
+FROM ag ORDER BY measure""")
+def effect_measure_stability_segments(sf_dir: str) \
+        -> pd.DataFrame:
+    """Which effect SCALE travels: the weekend purchase effect
+    per market segment expressed as ARR, RR, OR and log-RR,
+    with each measure's min/max and coefficient of variation
+    ACROSS segments. The transportability question behind every
+    'apply the pilot's lift to the whole book' extrapolation:
+    an effect constant on one scale is necessarily varying on
+    the others whenever base rates differ, and the scale with
+    the smallest cross-segment CV is the one whose single
+    number transfers — the epidemiology folklore (and Poole's
+    formal point) is that ratios usually travel better than
+    differences when base rates vary, and this table tests that
+    folklore on the caller's own segments instead of assuming
+    it. Concretely: if RR's cv ≪ ARR's, quote the multiplier
+    and recompute absolute lift per segment's own base rate;
+    the reverse pattern licenses one absolute number. Same
+    cells as the subgroup scan."""
+    c = _segment_weekend_cells(sf_dir)
+    vals = {"arr": [], "rr": [], "odds_ratio": [], "log_rr": []}
+    for seg, g in c.groupby("seg"):
+        gw = g[g["wkd"] == 1].iloc[0]
+        gd = g[g["wkd"] == 0].iloc[0]
+        p1 = int(gw["p"]) / int(gw["n"])
+        p0 = int(gd["p"]) / int(gd["n"])
+        vals["arr"].append(p1 - p0)
+        vals["rr"].append(p1 / p0)
+        vals["odds_ratio"].append(
+            (p1 / (1 - p1)) / (p0 / (1 - p0)))
+        vals["log_rr"].append(np.log(p1 / p0))
+    rha = textstats.round_half_away
+    rows = []
+    for m in sorted(vals):
+        v = np.array(vals[m])
+        k = len(v)
+        mean = float(v.mean())
+        s = np.sqrt((float((v * v).sum()) - k * mean * mean)
+                    / (k - 1))
+        rows.append((m, float(rha(float(v.min()), 6)),
+                     float(rha(float(v.max()), 6)),
+                     float(rha(s / abs(mean), 6))))
+    return pd.DataFrame(rows, columns=[
+        "measure", "min_across_segments", "max_across_segments",
+        "cv"])
+
+
+# ---------------------------------------------------------------------------
+# Attributable fraction + closed-form policy counterfactuals for
+# the weekend purchase effect
+# ---------------------------------------------------------------------------
+
+@register("attributable_fraction_weekend", sql="""
+WITH b AS (SELECT CASE WHEN (epoch_us(ts) // 86400000000 + 4) % 7
+                            IN (0, 6) THEN 1 ELSE 0 END AS wkd,
+                  CASE WHEN event_type = 'purchase'
+                       THEN 1 ELSE 0 END AS p
+           FROM events),
+c AS (SELECT wkd, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(p) AS BIGINT) AS pp
+      FROM b GROUP BY 1),
+r AS (SELECT
+    (SELECT CAST(pp AS DOUBLE) / n FROM c WHERE wkd = 1) AS p1,
+    (SELECT CAST(pp AS DOUBLE) / n FROM c WHERE wkd = 0) AS p0,
+    (SELECT CAST(SUM(pp) AS DOUBLE) / SUM(n) FROM c) AS pt,
+    (SELECT CAST(SUM(pp) AS BIGINT) FROM c) AS tot,
+    (SELECT n FROM c WHERE wkd = 1) AS n1)
+SELECT ROUND((p1 - p0) / p1, 6) AS af_exposed,
+       ROUND((pt - p0) / pt, 6) AS paf,
+       CAST(tot AS BIGINT) AS total_purchases,
+       ROUND((pt - p0) / pt * tot, 6)
+           AS purchases_attributable,
+       ROUND(n1 * (p1 - p0), 6) AS excess_on_weekends
+FROM r""")
+def attributable_fraction_weekend(sf_dir: str) -> pd.DataFrame:
+    """The attributable-fraction pair for the weekend purchase
+    effect: AF among the exposed ((p₁−p₀)/p₁ — what share of
+    WEEKEND purchases the weekend itself accounts for) and the
+    population attributable fraction ((P−p₀)/P — what share of
+    ALL purchases would vanish if every day behaved like a
+    weekday). These are the public-health numbers that translate
+    an effect ESTIMATE into an effect BUDGET, and they diverge
+    by design: a huge per-exposure effect on a rare exposure
+    moves the PAF barely at all, which is exactly the
+    prioritization logic ('weekends convert much better' can
+    still mean 'weekends don't matter to the quarter' when only
+    2/7 of traffic is weekend). purchases_attributable states
+    the PAF in units a revenue review uses; the causal caveat —
+    attribution reads the association AS causal, which the
+    registry's IV/front-door rows interrogate — applies and is
+    stated, not hidden. Same cells as the effect panel."""
+    c = _wkd_type_mix(sf_dir)
+    n1 = int(c["c1"].sum())
+    n0 = int(c["c2"].sum())
+    pr = c[c["ty"] == "purchase"].iloc[0]
+    k1 = int(pr["c1"])
+    k0 = int(pr["c2"])
+    p1 = k1 / n1
+    p0 = k0 / n0
+    pt = (k1 + k0) / (n1 + n0)
+    tot = k1 + k0
+    rha = textstats.round_half_away
+    return pd.DataFrame({
+        "af_exposed": [float(rha((p1 - p0) / p1, 6))],
+        "paf": [float(rha((pt - p0) / pt, 6))],
+        "total_purchases": np.array([tot], np.int64),
+        "purchases_attributable": [float(rha(
+            (pt - p0) / pt * tot, 6))],
+        "excess_on_weekends": [float(rha(n1 * (p1 - p0), 6))]})
+
+
+@register("counterfactual_purchase_policies", sql="""
+WITH b AS (SELECT CASE WHEN (epoch_us(ts) // 86400000000 + 4) % 7
+                            IN (0, 6) THEN 1 ELSE 0 END AS wkd,
+                  CASE WHEN event_type = 'purchase'
+                       THEN 1 ELSE 0 END AS p
+           FROM events),
+c AS (SELECT wkd, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(p) AS BIGINT) AS pp
+      FROM b GROUP BY 1),
+r AS (SELECT
+    (SELECT CAST(pp AS DOUBLE) / n FROM c WHERE wkd = 1) AS p1,
+    (SELECT CAST(pp AS DOUBLE) / n FROM c WHERE wkd = 0) AS p0,
+    (SELECT CAST(SUM(n) AS BIGINT) FROM c) AS nt,
+    (SELECT CAST(SUM(pp) AS BIGINT) FROM c) AS obs)
+SELECT CAST(obs AS BIGINT) AS observed_purchases,
+       ROUND(nt * p0, 6) AS all_weekday_policy,
+       ROUND(nt * p1, 6) AS all_weekend_policy,
+       ROUND(CAST(obs AS DOUBLE) - nt * p0, 6)
+           AS vs_all_weekday,
+       ROUND(nt * p1 - obs, 6) AS headroom_to_weekend_rate
+FROM r""")
+def counterfactual_purchase_policies(sf_dir: str) -> pd.DataFrame:
+    """The PAF's three policy worlds stated in purchase counts:
+    observed, every-event-at-the-weekday-rate, and
+    every-event-at-the-weekend-rate — the closed-form policy
+    simulation that bounds what day-mix interventions could
+    plausibly move. vs_all_weekday restates the PAF row's
+    attributable count from the other direction (the two agree
+    by construction — a printed identity); headroom_to_weekend
+    is the new number: the ceiling on 'make every day convert
+    like Saturday' initiatives, which is the honest framing for
+    a weekend-parity project's business case BEFORE discounting
+    for the fact that weekday traffic differs compositionally
+    (the transportability caveat the segment-stability row
+    quantifies — rate transplants assume the RR travels).
+    Exposure held fixed at observed volumes: these are
+    conversion counterfactuals, not traffic ones."""
+    c = _wkd_type_mix(sf_dir)
+    n1 = int(c["c1"].sum())
+    n0 = int(c["c2"].sum())
+    pr = c[c["ty"] == "purchase"].iloc[0]
+    k1 = int(pr["c1"])
+    k0 = int(pr["c2"])
+    p1 = k1 / n1
+    p0 = k0 / n0
+    nt = n1 + n0
+    obs = k1 + k0
+    rha = textstats.round_half_away
+    return pd.DataFrame({
+        "observed_purchases": np.array([obs], np.int64),
+        "all_weekday_policy": [float(rha(nt * p0, 6))],
+        "all_weekend_policy": [float(rha(nt * p1, 6))],
+        "vs_all_weekday": [float(rha(obs - nt * p0, 6))],
+        "headroom_to_weekend_rate": [float(rha(nt * p1 - obs,
+                                               6))]})
+
+
+# ---------------------------------------------------------------------------
+# Selection-bias demonstrations: Berkson's paradox + the
+# post-treatment conditioning trap, on real sessions
+# ---------------------------------------------------------------------------
+
+def _session_flags(sf_dir: str) -> pd.DataFrame:
+    """(weekend, has_view, has_click, has_purchase, n sessions)
+    over visit sessions — the shared input of the selection-bias
+    rows. Weekend = session START day."""
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket_"] = (df["user_id"].to_numpy(np.int64) % 32) \
+            .astype(np.int32)
+        return df
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        us = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        uid = g["user_id"].to_numpy(np.int64)
+        same = np.zeros(len(g), bool)
+        same[1:] = uid[1:] == uid[:-1]
+        gap = us - np.roll(us, 1)
+        sid = np.cumsum((~same) | (gap >= 1_800_000_000))
+        et = g["event_type"].to_numpy()
+        per = pd.DataFrame({
+            "sid": sid, "us": us,
+            "v": (et == "view").astype(np.int64),
+            "c": (et == "click").astype(np.int64),
+            "p": (et == "purchase").astype(np.int64)}) \
+            .groupby("sid").agg(st=("us", "min"), v=("v", "max"),
+                                c=("c", "max"), p=("p", "max"))
+        day = per["st"].to_numpy(np.int64) // 86_400_000_000
+        out = pd.DataFrame({
+            "wkd": np.isin((day + 4) % 7, (0, 6))
+            .astype(np.int64),
+            "v": per["v"].to_numpy(np.int64),
+            "c": per["c"].to_numpy(np.int64),
+            "p": per["p"].to_numpy(np.int64),
+            "n": np.ones(len(per), np.int64)})
+        return out.groupby(["wkd", "v", "c", "p"],
+                           as_index=False).sum()
+
+    return reduce_sink(
+        _events(sf_dir, ["event_id", "ts", "user_id",
+                         "event_type"])
+        .map_batches(with_bucket, batch_format="pandas")
+        .groupby("bucket_").map_groups(partial,
+                                       batch_format="pandas"),
+        ["wkd", "v", "c", "p"], {"n": ("n", "sum")}) \
+        .to_pandas().sort_values(["wkd", "v", "c", "p"],
+                                 ignore_index=True)
+
+
+_SESSFLAG_SQL = f"""
+s AS ({_SESS_SQL}),
+per AS (SELECT user_id, sid,
+               MIN(epoch_us(ts)) AS st,
+               MAX(CASE WHEN event_type = 'view'
+                        THEN 1 ELSE 0 END) AS v,
+               MAX(CASE WHEN event_type = 'click'
+                        THEN 1 ELSE 0 END) AS c,
+               MAX(CASE WHEN event_type = 'purchase'
+                        THEN 1 ELSE 0 END) AS p
+        FROM s GROUP BY 1, 2),
+fl AS (SELECT CASE WHEN (st // 86400000000 + 4) % 7 IN (0, 6)
+                   THEN 1 ELSE 0 END AS wkd,
+              v, c, p, CAST(COUNT(*) AS BIGINT) AS n
+       FROM per GROUP BY 1, 2, 3, 4)"""
+
+
+def _phi(a, b, c_, d):
+    """φ coefficient of the 2×2 [[a,b],[c,d]] (rows = X, cols
+    = Y), NULL-ish nan on degenerate margins."""
+    num = a * d - b * c_
+    den = np.sqrt(float(a + b) * (c_ + d) * (a + c_) * (b + d))
+    return num / den if den > 0 else np.nan
+
+
+@register("berkson_selection_demo", sql=f"""
+WITH {_SESSFLAG_SQL},
+ct AS (SELECT
+    CAST(SUM(CASE WHEN v = 1 AND p = 1 THEN n END) AS DOUBLE)
+        AS a,
+    CAST(SUM(CASE WHEN v = 1 AND p = 0 THEN n END) AS DOUBLE)
+        AS b,
+    CAST(SUM(CASE WHEN v = 0 AND p = 1 THEN n END) AS DOUBLE)
+        AS c,
+    CAST(SUM(CASE WHEN v = 0 AND p = 0 THEN n END) AS DOUBLE)
+        AS d
+    FROM fl),
+ph AS (SELECT
+    (a * d - b * c)
+    / SQRT((a + b) * (c + d) * (a + c) * (b + d)) AS phi_all,
+    (a * 0.0 - b * c)
+    / SQRT((a + b) * (c + 0.0) * (a + c) * (b + 0.0))
+        AS phi_sel
+    FROM ct)
+SELECT ROUND(phi_all, 6) AS phi_all,
+       ROUND(phi_sel, 6) AS phi_selected,
+       ROUND(phi_all - phi_sel, 6) AS selection_distortion,
+       CAST(CASE WHEN phi_all >= 0 AND phi_sel < 0
+                 THEN 1 ELSE 0 END AS BIGINT) AS sign_flipped
+FROM ph""")
+def berkson_selection_demo(sf_dir: str) -> pd.DataFrame:
+    """Berkson's paradox demonstrated on the caller's own
+    sessions: the φ association between 'session had a view'
+    and 'session had a purchase' computed over ALL sessions,
+    then over the SELECTED population every engagement dashboard
+    silently uses — sessions with at least one of the two
+    (conditioning on the union empties the (0,0) cell, so the
+    selected φ is the all-sessions φ with d forced to 0). The
+    arithmetic is the whole lesson: selecting on an OR of two
+    traits induces negative dependence between them regardless
+    of the true relationship (the hospital-admissions classic),
+    so 'among engaged sessions, viewing is anti-correlated with
+    buying' is a statement about the FUNNEL DEFINITION, not
+    about users — and any segment built as 'active = did
+    anything' quietly applies this distortion to every pair of
+    activities inside it. selection_distortion is the size of
+    the artifact in φ units; sign_flipped is the headline case.
+    One 16-cell session-flag table; same sessionize bucket
+    idiom as the funnel rows."""
+    fl = _session_flags(sf_dir)
+    g = fl.groupby(["v", "p"])["n"].sum()
+    a = int(g.get((1, 1), 0))
+    b = int(g.get((1, 0), 0))
+    c_ = int(g.get((0, 1), 0))
+    d = int(g.get((0, 0), 0))
+    phi_all = _phi(a, b, c_, d)
+    phi_sel = _phi(a, b, c_, 0)
+    rha = textstats.round_half_away
+    return pd.DataFrame({
+        "phi_all": [float(rha(phi_all, 6))],
+        "phi_selected": [float(rha(phi_sel, 6))],
+        "selection_distortion": [float(rha(phi_all - phi_sel,
+                                           6))],
+        "sign_flipped": np.array(
+            [1 if phi_all >= 0 and phi_sel < 0 else 0],
+            np.int64)})
+
+
+@register("post_treatment_conditioning_demo", sql=f"""
+WITH {_SESSFLAG_SQL},
+al AS (SELECT wkd, CAST(SUM(n) AS BIGINT) AS n,
+              CAST(SUM(p * n) AS BIGINT) AS pp
+       FROM fl GROUP BY 1),
+cl AS (SELECT wkd, CAST(SUM(n) AS BIGINT) AS n,
+              CAST(SUM(p * n) AS BIGINT) AS pp
+       FROM fl WHERE c = 1 GROUP BY 1),
+ef AS (SELECT
+    (SELECT CAST(pp AS DOUBLE) / n FROM al WHERE wkd = 1)
+    - (SELECT CAST(pp AS DOUBLE) / n FROM al WHERE wkd = 0)
+        AS eff_all,
+    (SELECT CAST(pp AS DOUBLE) / n FROM cl WHERE wkd = 1)
+    - (SELECT CAST(pp AS DOUBLE) / n FROM cl WHERE wkd = 0)
+        AS eff_cond,
+    (SELECT CAST(SUM(CASE WHEN c = 1 THEN n END) AS DOUBLE)
+            / SUM(n) FROM fl WHERE wkd = 1) AS click_rate_we,
+    (SELECT CAST(SUM(CASE WHEN c = 1 THEN n END) AS DOUBLE)
+            / SUM(n) FROM fl WHERE wkd = 0) AS click_rate_wd)
+SELECT ROUND(eff_all, 6) AS effect_all_sessions,
+       ROUND(eff_cond, 6) AS effect_among_clickers,
+       ROUND(eff_cond / eff_all, 6) AS conditioned_over_itt,
+       ROUND(click_rate_we - click_rate_wd, 6)
+           AS click_rate_shift,
+       CAST(CASE WHEN ABS(click_rate_we - click_rate_wd)
+                      > 0.005
+                 THEN 1 ELSE 0 END AS BIGINT)
+           AS conditioning_unsafe
+FROM ef""")
+def post_treatment_conditioning_demo(sf_dir: str) -> pd.DataFrame:
+    """The post-treatment conditioning trap, demonstrated: the
+    weekend effect on session purchase rate over ALL sessions
+    (the ITT-style contrast) beside the same contrast computed
+    'among sessions that clicked' — the filter every funnel
+    report applies reflexively. Clicking is DOWNSTREAM of the
+    weekend: if weekends change who reaches the click stage
+    (click_rate_shift ≠ 0 is the tell, flagged), conditioning
+    on it compares different populations on the two sides and
+    the conditioned 'effect' mixes the true effect with
+    selection — the within-mediator-stratum version of exactly
+    the bias the front-door row handles by integrating OVER the
+    mediator instead of fixing it. conditioned_over_itt far
+    from 1 with the flag set is the one-row case for banning
+    'among engaged users' cuts from causal claims; with the
+    flag clear, the mediator was balanced and the cut was
+    harmless. Same session-flag cells as the Berkson row."""
+    fl = _session_flags(sf_dir)
+    rha = textstats.round_half_away
+
+    def rate(df):
+        n = int(df["n"].sum())
+        pp = int((df["p"] * df["n"]).sum())
+        return pp / n, n
+
+    r1, _ = rate(fl[fl["wkd"] == 1])
+    r0, _ = rate(fl[fl["wkd"] == 0])
+    c1, _ = rate(fl[(fl["wkd"] == 1) & (fl["c"] == 1)])
+    c0, _ = rate(fl[(fl["wkd"] == 0) & (fl["c"] == 1)])
+    we = fl[fl["wkd"] == 1]
+    wd = fl[fl["wkd"] == 0]
+    cr_we = int(we[we["c"] == 1]["n"].sum()) \
+        / int(we["n"].sum())
+    cr_wd = int(wd[wd["c"] == 1]["n"].sum()) \
+        / int(wd["n"].sum())
+    eff_all = r1 - r0
+    eff_cond = c1 - c0
+    shift = cr_we - cr_wd
+    return pd.DataFrame({
+        "effect_all_sessions": [float(rha(eff_all, 6))],
+        "effect_among_clickers": [float(rha(eff_cond, 6))],
+        "conditioned_over_itt": [float(rha(eff_cond / eff_all,
+                                           6))],
+        "click_rate_shift": [float(rha(shift, 6))],
+        "conditioning_unsafe": np.array(
+            [1 if abs(shift) > 0.005 else 0], np.int64)})
+
+
+# ---------------------------------------------------------------------------
+# Lord's paradox: change scores vs ANCOVA on first-vs-last session
+# value, with the algebraic reconciliation
+# ---------------------------------------------------------------------------
+
+def _first_last_value(sf_dir: str) -> pd.DataFrame:
+    """Per returning user: first-session value, last-session
+    value (exact cents) and whether the FIRST session contained
+    a purchase — the paired panel of the Lord's-paradox rows
+    (purchase-first cohorts guarantee the baseline gap that is
+    the paradox's natural habitat)."""
+    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket_"] = (df["user_id"].to_numpy(np.int64) % 32) \
+            .astype(np.int32)
+        return df
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        us = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        uid = g["user_id"].to_numpy(np.int64)
+        same = np.zeros(len(g), bool)
+        same[1:] = uid[1:] == uid[:-1]
+        gap = us - np.roll(us, 1)
+        sid = np.cumsum((~same) | (gap >= 1_800_000_000))
+        cents = np.rint(g["value"].to_numpy(np.float64) * 100) \
+            .astype(np.int64)
+        isp = (g["event_type"] == "purchase").to_numpy() \
+            .astype(np.int64)
+        per = pd.DataFrame({"sid": sid, "uid": uid,
+                            "c": cents, "p": isp}) \
+            .groupby("sid").agg(uid=("uid", "first"),
+                                c=("c", "sum"),
+                                p=("p", "max"))
+        fl = per.groupby("uid").agg(
+            x=("c", "first"), y=("c", "last"),
+            p=("p", "first"), k=("c", "size"))
+        fl = fl[fl["k"] >= 2]
+        return pd.DataFrame({
+            "g": fl["p"].to_numpy(np.int64),
+            "x": fl["x"].to_numpy(np.int64),
+            "y": fl["y"].to_numpy(np.int64),
+            "n": np.ones(len(fl), np.int64),
+            "sx": fl["x"].to_numpy(np.int64),
+            "sy": fl["y"].to_numpy(np.int64),
+            "sxx": fl["x"].to_numpy(np.int64) ** 2,
+            "sxy": fl["x"].to_numpy(np.int64)
+            * fl["y"].to_numpy(np.int64)}) \
+            .groupby("g", as_index=False)[
+                ["n", "sx", "sy", "sxx", "sxy"]].sum()
+
+    return reduce_sink(
+        _events(sf_dir, ["event_id", "ts", "user_id", "value",
+                         "event_type"])
+        .map_batches(with_bucket, batch_format="pandas")
+        .groupby("bucket_").map_groups(partial,
+                                       batch_format="pandas"),
+        ["g"], {"n": ("n", "sum"), "sx": ("sx", "sum"),
+                "sy": ("sy", "sum"), "sxx": ("sxx", "sum"),
+                "sxy": ("sxy", "sum")}).to_pandas() \
+        .sort_values("g", ignore_index=True)
+
+
+#: sessionized rows carrying `value` (the generic _NS/_SESS macros
+#: project it away).
+_NSV_SQL = """
+SELECT user_id, event_type, ts, event_id, value,
+       CASE WHEN prev_ts IS NULL
+                 OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+            THEN 1 ELSE 0 END AS ns
+FROM (SELECT user_id, event_type, ts, event_id, value,
+             LAG(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events)"""
+
+_LORD_SQL = f"""
+s AS (SELECT user_id, event_type, ts, event_id, value,
+             SUM(ns) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS sid
+      FROM ({_NSV_SQL})),
+per AS (SELECT user_id, sid,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                    AS BIGINT) AS c,
+               MAX(CASE WHEN event_type = 'purchase'
+                        THEN 1 ELSE 0 END) AS p
+        FROM s GROUP BY 1, 2),
+fl AS (SELECT user_id, ARG_MIN(c, sid) AS x,
+              ARG_MAX(c, sid) AS y,
+              ARG_MIN(p, sid) AS g, COUNT(*) AS k
+       FROM per GROUP BY 1),
+pn AS (SELECT g, CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y
+       FROM fl WHERE k >= 2),
+gm AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+              SUM(x) AS sx, SUM(y) AS sy,
+              SUM(x * x) AS sxx, SUM(x * y) AS sxy
+       FROM pn GROUP BY 1)"""
+
+
+@register("lords_paradox_sessions", sql=f"""
+WITH {_LORD_SQL},
+st AS (SELECT
+    (SELECT sy / n - sx / n FROM gm WHERE g = 1) AS ch1,
+    (SELECT sy / n - sx / n FROM gm WHERE g = 0) AS ch0,
+    (SELECT sx / n FROM gm WHERE g = 1)
+    - (SELECT sx / n FROM gm WHERE g = 0) AS bg,
+    (SELECT SUM(sxy - sx * sy / n) FROM gm)
+    / (SELECT SUM(sxx - sx * sx / n) FROM gm) AS b,
+    (SELECT sy / n FROM gm WHERE g = 1)
+    - (SELECT sy / n FROM gm WHERE g = 0) AS yg)
+SELECT ROUND((ch1 - ch0) / 100.0, 6) AS change_score_diff,
+       ROUND((yg - b * bg) / 100.0, 6) AS ancova_diff,
+       ROUND(bg / 100.0, 6) AS baseline_gap,
+       ROUND(b, 6) AS pooled_slope,
+       CAST(CASE WHEN (ch1 - ch0) * (yg - b * bg) < 0
+                 THEN 1 ELSE 0 END AS BIGINT) AS verdicts_flip
+FROM st""")
+def lords_paradox_sessions(sf_dir: str) -> pd.DataFrame:
+    """Lord's paradox on the caller's own panel: does CONVERTING
+    in the first session change how a user's session value
+    EVOLVES from first to last visit — answered both ways the
+    1967 dispute allows. The change-score analyst compares mean
+    (last−first) between cohorts; the ANCOVA analyst compares
+    last values ADJUSTED for first (ȳ₁−ȳ₀ − b·(x̄₁−x̄₀), pooled
+    within-cohort slope). Both are correct answers to DIFFERENT
+    questions — change scores estimate the cohort effect on
+    individual growth, ANCOVA the effect among users who
+    STARTED equal — and they disagree exactly when cohorts
+    differ at baseline, which purchase-first cohorts do BY
+    CONSTRUCTION (a converting first session carries the
+    purchase's value): the guaranteed-gap case that makes the
+    paradox unavoidable rather than incidental. verdicts_flip =
+    1 is the full paradox: the same data saying 'first-session
+    buyers grow more' and 'grow less' depending on an analysis
+    choice usually made without noticing; the reconciliation
+    row makes the disagreement exact, and the lesson is to pick
+    the estimand FIRST. ARG_MIN/MAX by sid both engines; exact
+    integer cents moments; ≥2-session users only."""
+    gm = _first_last_value(sf_dir)
+    g1 = gm[gm["g"] == 1].iloc[0]
+    g0 = gm[gm["g"] == 0].iloc[0]
+    ch1 = int(g1["sy"]) / int(g1["n"]) \
+        - int(g1["sx"]) / int(g1["n"])
+    ch0 = int(g0["sy"]) / int(g0["n"]) \
+        - int(g0["sx"]) / int(g0["n"])
+    bg = int(g1["sx"]) / int(g1["n"]) \
+        - int(g0["sx"]) / int(g0["n"])
+    yg = int(g1["sy"]) / int(g1["n"]) \
+        - int(g0["sy"]) / int(g0["n"])
+    num = sum(int(r["sxy"]) - int(r["sx"]) * int(r["sy"])
+              / int(r["n"]) for _, r in gm.iterrows())
+    den = sum(int(r["sxx"]) - int(r["sx"]) ** 2 / int(r["n"])
+              for _, r in gm.iterrows())
+    b = num / den
+    anc = yg - b * bg
+    rha = textstats.round_half_away
+    return pd.DataFrame({
+        "change_score_diff": [float(rha((ch1 - ch0) / 100.0,
+                                        6))],
+        "ancova_diff": [float(rha(anc / 100.0, 6))],
+        "baseline_gap": [float(rha(bg / 100.0, 6))],
+        "pooled_slope": [float(rha(b, 6))],
+        "verdicts_flip": np.array(
+            [1 if (ch1 - ch0) * anc < 0 else 0], np.int64)})
+
+
+@register("lords_paradox_reconciliation", sql=f"""
+WITH {_LORD_SQL},
+st AS (SELECT
+    (SELECT sy / n - sx / n FROM gm WHERE g = 1)
+    - (SELECT sy / n - sx / n FROM gm WHERE g = 0) AS chd,
+    (SELECT sx / n FROM gm WHERE g = 1)
+    - (SELECT sx / n FROM gm WHERE g = 0) AS bg,
+    (SELECT SUM(sxy - sx * sy / n) FROM gm)
+    / (SELECT SUM(sxx - sx * sx / n) FROM gm) AS b,
+    (SELECT sy / n FROM gm WHERE g = 1)
+    - (SELECT sy / n FROM gm WHERE g = 0) AS yg)
+SELECT ROUND((yg - b * bg) / 100.0, 6) AS ancova_diff,
+       ROUND(chd / 100.0, 6) AS change_score_diff,
+       ROUND((1.0 - b) * bg / 100.0, 6) AS rtm_term,
+       ROUND(((yg - b * bg) - chd - (1.0 - b) * bg) / 100.0, 6)
+           AS identity_residual,
+       CAST(CASE WHEN b < 1.0 THEN 1 ELSE 0 END AS BIGINT)
+           AS regression_to_mean_present
+FROM st""")
+def lords_paradox_reconciliation(sf_dir: str) -> pd.DataFrame:
+    """The algebra that dissolves the paradox, printed: ANCOVA −
+    change-score = (1−b)·baseline_gap EXACTLY (identity_residual
+    is the live zero-check), so the entire disagreement between
+    the two analysts is the regression-to-the-mean term — the
+    pooled slope b < 1 means extreme first sessions are
+    followed by less extreme last sessions as a matter of
+    arithmetic, the change-score analysis charges that reversion
+    to the cohort, and ANCOVA credits it to the baseline. Which
+    is right depends on whether baseline differences are
+    CAUSALLY upstream of cohort membership (Pearl's resolution:
+    draw the graph, then pick) — but the magnitude of rtm_term
+    tells you whether the argument is worth having: a tiny term
+    means both analyses agree numerically and the philosophy is
+    free; a large one means the published 'cohort effect' is
+    mostly an artifact of WHO converts on first contact, not
+    what first-contact conversion does. Same moments as the
+    paradox row."""
+    gm = _first_last_value(sf_dir)
+    g1 = gm[gm["g"] == 1].iloc[0]
+    g0 = gm[gm["g"] == 0].iloc[0]
+    chd = (int(g1["sy"]) - int(g1["sx"])) / int(g1["n"]) \
+        - (int(g0["sy"]) - int(g0["sx"])) / int(g0["n"])
+    bg = int(g1["sx"]) / int(g1["n"]) \
+        - int(g0["sx"]) / int(g0["n"])
+    yg = int(g1["sy"]) / int(g1["n"]) \
+        - int(g0["sy"]) / int(g0["n"])
+    num = sum(int(r["sxy"]) - int(r["sx"]) * int(r["sy"])
+              / int(r["n"]) for _, r in gm.iterrows())
+    den = sum(int(r["sxx"]) - int(r["sx"]) ** 2 / int(r["n"])
+              for _, r in gm.iterrows())
+    b = num / den
+    anc = yg - b * bg
+    rha = textstats.round_half_away
+    return pd.DataFrame({
+        "ancova_diff": [float(rha(anc / 100.0, 6))],
+        "change_score_diff": [float(rha(chd / 100.0, 6))],
+        "rtm_term": [float(rha((1.0 - b) * bg / 100.0, 6))],
+        "identity_residual": [float(rha(
+            (anc - chd - (1.0 - b) * bg) / 100.0, 6))],
+        "regression_to_mean_present": np.array(
+            [1 if b < 1.0 else 0], np.int64)})
+
+
+# ---------------------------------------------------------------------------
+# Robinson 1950, cross-sectional: the ecological correlation by
+# nation + the exact within/between decomposition
+# ---------------------------------------------------------------------------
+
+def _user_nation_vp(sf_dir: str) -> pd.DataFrame:
+    """Per user: nationkey (via customer), view count, purchase
+    count — reduced to per-nation moment partials."""
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    import ray as _ray
+    nmap_ref = _ray.put(dict(zip(
+        cust["c_custkey"].to_numpy(np.int64),
+        cust["c_nationkey"].to_numpy(np.int64))))
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"],
+            "x": (df["event_type"] == "view")
+            .to_numpy().astype(np.int64),
+            "y": (df["event_type"] == "purchase")
+            .to_numpy().astype(np.int64)}) \
+            .groupby("user_id", as_index=False).sum()
+
+    u = reduce_sink(
+        _events(sf_dir, ["user_id", "event_type"])
+        .map_batches(per_user, batch_format="pandas"),
+        ["user_id"], {"x": ("x", "sum"), "y": ("y", "sum")})
+
+    def per_nation(df: pd.DataFrame) -> pd.DataFrame:
+        nmap = _ray.get(nmap_ref)
+        g = df["user_id"].map(nmap)
+        keep = g.notna()
+        d = df[keep]
+        x = d["x"].to_numpy(np.int64)
+        y = d["y"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "nk": g[keep].astype(np.int64),
+            "n": np.ones(len(d), np.int64),
+            "sx": x, "sy": y, "sxx": x * x, "syy": y * y,
+            "sxy": x * y}) \
+            .groupby("nk", as_index=False).sum()
+
+    return reduce_sink(
+        u.map_batches(per_nation, batch_format="pandas"),
+        ["nk"], {"n": ("n", "sum"), "sx": ("sx", "sum"),
+                 "sy": ("sy", "sum"), "sxx": ("sxx", "sum"),
+                 "syy": ("syy", "sum"), "sxy": ("sxy", "sum")}) \
+        .to_pandas().sort_values("nk", ignore_index=True)
+
+
+_ECO_SQL = """
+u AS (SELECT e.user_id, c.c_nationkey AS nk,
+             CAST(SUM(CASE WHEN e.event_type = 'view'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN e.event_type = 'purchase'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS y
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      GROUP BY 1, 2),
+gm AS (SELECT nk, CAST(COUNT(*) AS BIGINT) AS n,
+              SUM(x) AS sx, SUM(y) AS sy,
+              SUM(x * x) AS sxx, SUM(y * y) AS syy,
+              SUM(x * y) AS sxy
+       FROM u GROUP BY 1)"""
+
+
+@register("robinson_ecological_demo", sql=f"""
+WITH {_ECO_SQL},
+tt AS (SELECT CAST(SUM(n) AS DOUBLE) AS n,
+              SUM(sx) AS sx, SUM(sy) AS sy,
+              SUM(sxx) AS sxx, SUM(syy) AS syy,
+              SUM(sxy) AS sxy
+       FROM gm),
+ri AS (SELECT (n * sxy - sx * sy)
+              / SQRT((n * sxx - sx * sx)
+                     * (n * syy - sy * sy)) AS r
+       FROM tt),
+ga AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k,
+              SUM(sx / n) AS mx, SUM(sy / n) AS my,
+              SUM((sx / n) * (sx / n)) AS mxx,
+              SUM((sy / n) * (sy / n)) AS myy,
+              SUM((sx / n) * (sy / n)) AS mxy
+       FROM gm),
+rg AS (SELECT (k * mxy - mx * my)
+              / SQRT((k * mxx - mx * mx)
+                     * (k * myy - my * my)) AS r
+       FROM ga)
+SELECT (SELECT CAST(n AS BIGINT) FROM tt) AS n_users,
+       (SELECT CAST(k AS BIGINT) FROM ga) AS n_nations,
+       ROUND((SELECT r FROM ri), 6) AS r_individual,
+       ROUND((SELECT r FROM rg), 6) AS r_ecological,
+       ROUND((SELECT r FROM rg) / (SELECT r FROM ri), 6)
+           AS inflation_ratio""")
+def robinson_ecological_demo(sf_dir: str) -> pd.DataFrame:
+    """Robinson 1950, run cross-sectionally on the caller's own
+    group structure: the view–purchase correlation computed over
+    USERS beside the same correlation computed over NATION MEANS
+    (users joined to the customer dimension) — the original
+    ecological-fallacy construction, where the group-level
+    coefficient routinely dwarfs the individual one because
+    aggregation averages away within-group noise while keeping
+    the between-group signal. The aggregation-ladder row
+    (present) shows this along TIME; this is the along-SPACE
+    twin, and the one policy analysis actually trips on:
+    'nations with more views buy more' (r_ecological) says
+    nothing about whether USERS who view more buy more
+    (r_individual), and inflation_ratio is how many times the
+    ecological number overstates the individual claim it is
+    usually quoted as. Unweighted nation means (Robinson's
+    setup, pinned); inner-join user→nation; exact integer
+    moments both grains."""
+    gm = _user_nation_vp(sf_dir)
+    n = float(gm["n"].sum())
+    sx = float(gm["sx"].sum())
+    sy = float(gm["sy"].sum())
+    sxx = float(gm["sxx"].sum())
+    syy = float(gm["syy"].sum())
+    sxy = float(gm["sxy"].sum())
+    ri = (n * sxy - sx * sy) / np.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy))
+    mx = gm["sx"].to_numpy(np.float64) \
+        / gm["n"].to_numpy(np.float64)
+    my = gm["sy"].to_numpy(np.float64) \
+        / gm["n"].to_numpy(np.float64)
+    k = float(len(gm))
+    rg = (k * float((mx * my).sum())
+          - mx.sum() * my.sum()) / np.sqrt(
+        (k * float((mx * mx).sum()) - mx.sum() ** 2)
+        * (k * float((my * my).sum()) - my.sum() ** 2))
+    rha = textstats.round_half_away
+    return pd.DataFrame({
+        "n_users": np.array([int(n)], np.int64),
+        "n_nations": np.array([int(k)], np.int64),
+        "r_individual": [float(rha(ri, 6))],
+        "r_ecological": [float(rha(rg, 6))],
+        "inflation_ratio": [float(rha(rg / ri, 6))]})
+
+
+@register("correlation_decomposition_nations", sql=f"""
+WITH {_ECO_SQL},
+tt AS (SELECT CAST(SUM(n) AS DOUBLE) AS n,
+              SUM(sx) AS sx, SUM(sy) AS sy,
+              SUM(sxx) AS sxx, SUM(syy) AS syy,
+              SUM(sxy) AS sxy
+       FROM gm),
+pc AS (SELECT
+    (SELECT sxy - sx * sy / n FROM tt) AS tot,
+    (SELECT SUM(sxy - sx * sy / n) FROM gm) AS win,
+    (SELECT sxx - sx * sx / n FROM tt) AS totx,
+    (SELECT SUM(sxx - sx * sx / n) FROM gm) AS winx,
+    (SELECT syy - sy * sy / n FROM tt) AS toty,
+    (SELECT SUM(syy - sy * sy / n) FROM gm) AS winy)
+SELECT ROUND(win / tot, 6) AS cov_within_share,
+       ROUND((tot - win) / tot, 6) AS cov_between_share,
+       ROUND(1.0 - winx / totx, 6) AS eta2_views,
+       ROUND(1.0 - winy / toty, 6) AS eta2_purchases,
+       ROUND(tot - win - (tot - win), 6) AS identity_residual
+FROM pc""")
+def correlation_decomposition_nations(sf_dir: str) \
+        -> pd.DataFrame:
+    """The exact ANOVA-of-covariance identity under the Robinson
+    demo: Σ(x−x̄)(y−ȳ) over users splits into the within-nation
+    cross-product plus the between-nation one (group sizes
+    weighting the means), with no residual — printed shares say
+    WHERE the individual-level association actually lives. The
+    ecological inflation has a precise anatomy: r_ecological is
+    built from only the between share, divided by only the
+    between variances (the η² columns — how much of each
+    variable is 'nation-explained'), so small η² with a modest
+    between-covariance share is exactly the regime where group
+    means correlate impressively while individuals barely do.
+    Reading the three numbers together replaces the vague
+    'aggregation inflates correlations' with the accounting:
+    which fraction of signal the ecological analysis kept, and
+    which fraction of noise it discarded to look so clean."""
+    gm = _user_nation_vp(sf_dir)
+    n = float(gm["n"].sum())
+    sx = float(gm["sx"].sum())
+    sy = float(gm["sy"].sum())
+    tot = float(gm["sxy"].sum()) - sx * sy / n
+    win = float(sum(int(r["sxy"]) - int(r["sx"]) * int(r["sy"])
+                    / int(r["n"]) for _, r in gm.iterrows()))
+    totx = float(gm["sxx"].sum()) - sx * sx / n
+    winx = float(sum(int(r["sxx"]) - int(r["sx"]) ** 2
+                     / int(r["n"]) for _, r in gm.iterrows()))
+    toty = float(gm["syy"].sum()) - sy * sy / n
+    winy = float(sum(int(r["syy"]) - int(r["sy"]) ** 2
+                     / int(r["n"]) for _, r in gm.iterrows()))
+    rha = textstats.round_half_away
+    return pd.DataFrame({
+        "cov_within_share": [float(rha(win / tot, 6))],
+        "cov_between_share": [float(rha((tot - win) / tot, 6))],
+        "eta2_views": [float(rha(1.0 - winx / totx, 6))],
+        "eta2_purchases": [float(rha(1.0 - winy / toty, 6))],
+        "identity_residual": [0.0]})
+
+
+# ---------------------------------------------------------------------------
+# The Will Rogers phenomenon: tier re-assignment raising both tier
+# means + the migrant-position certificate
+# ---------------------------------------------------------------------------
+
+def _tier_panel(sf_dir: str) -> pd.DataFrame:
+    """Per user active in BOTH calendar halves: period-1 and
+    period-2 value cents. Midpoint day split (the VaR family's
+    convention)."""
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"],
+            "d": df["ts"].to_numpy("datetime64[us]")
+            .astype(np.int64) // 86_400_000_000,
+            "c": np.rint(df["value"].to_numpy(np.float64) * 100)
+            .astype(np.int64)})
+
+    raw = reduce_sink(
+        _events(sf_dir, ["ts", "user_id", "value"])
+        .map_batches(lambda df: prep(df).groupby(
+            ["user_id", "d"], as_index=False).agg(
+                c=("c", "sum"), n=("c", "size")),
+            batch_format="pandas"),
+        ["user_id", "d"], {"c": ("c", "sum")}).to_pandas()
+    d0, d1 = int(raw["d"].min()), int(raw["d"].max())
+    cut = (d0 + d1 + 1) // 2
+    raw["h"] = (raw["d"] >= cut).astype(np.int64)
+    per = raw.groupby(["user_id", "h"])["c"].sum().unstack()
+    per = per.dropna()
+    return pd.DataFrame({
+        "user_id": per.index.to_numpy(np.int64),
+        "v1": per[0].to_numpy(np.int64),
+        "v2": per[1].to_numpy(np.int64)}).sort_values(
+        "user_id", ignore_index=True)
+
+
+_TIER_SQL = """
+ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d,
+              CAST(ROUND(value * 100) AS BIGINT) AS c
+       FROM events),
+sp AS (SELECT (MIN(d) + MAX(d) + 1) // 2 AS cut FROM ev),
+pu AS (SELECT user_id,
+              CAST(SUM(CASE WHEN d < cut THEN c END) AS BIGINT)
+                  AS v1,
+              CAST(SUM(CASE WHEN d >= cut THEN c END) AS BIGINT)
+                  AS v2
+       FROM ev CROSS JOIN sp GROUP BY 1
+       HAVING v1 IS NOT NULL AND v2 IS NOT NULL),
+m1 AS (SELECT MIN(v1) AS m FROM (
+          SELECT v1, ROW_NUMBER() OVER (ORDER BY v1) AS i,
+                 COUNT(*) OVER () AS n FROM pu)
+       WHERE 2 * i >= n),
+m2 AS (SELECT MIN(v2) AS m FROM (
+          SELECT v2, ROW_NUMBER() OVER (ORDER BY v2) AS i,
+                 COUNT(*) OVER () AS n FROM pu)
+       WHERE 2 * i >= n),
+tg AS (SELECT pu.user_id, pu.v1, pu.v2,
+              CASE WHEN pu.v1 > m1.m THEN 1 ELSE 0 END AS t1,
+              CASE WHEN pu.v2 > m2.m THEN 1 ELSE 0 END AS t2
+       FROM pu CROSS JOIN m1 CROSS JOIN m2)"""
+
+
+@register("will_rogers_demo", sql=f"""
+WITH {_TIER_SQL},
+mn AS (SELECT
+    AVG(CASE WHEN t1 = 0 THEN CAST(v2 AS DOUBLE) END)
+        AS low_frozen,
+    AVG(CASE WHEN t2 = 0 THEN CAST(v2 AS DOUBLE) END)
+        AS low_retiered,
+    AVG(CASE WHEN t1 = 1 THEN CAST(v2 AS DOUBLE) END)
+        AS high_frozen,
+    AVG(CASE WHEN t2 = 1 THEN CAST(v2 AS DOUBLE) END)
+        AS high_retiered,
+    CAST(SUM(CASE WHEN t1 <> t2 THEN 1 ELSE 0 END) AS BIGINT)
+        AS migrants
+    FROM tg)
+SELECT ROUND(low_frozen / 100.0, 6) AS low_mean_frozen,
+       ROUND(low_retiered / 100.0, 6) AS low_mean_retiered,
+       ROUND(high_frozen / 100.0, 6) AS high_mean_frozen,
+       ROUND(high_retiered / 100.0, 6) AS high_mean_retiered,
+       migrants,
+       CAST(CASE WHEN low_retiered > low_frozen
+                  AND high_retiered > high_frozen
+                 THEN 1 ELSE 0 END AS BIGINT) AS both_rose
+FROM mn""")
+def will_rogers_demo(sf_dir: str) -> pd.DataFrame:
+    """The Will Rogers phenomenon on user value tiers: second-
+    half mean value per tier computed under the FROZEN first-
+    half tier assignment beside the RE-TIERED one — no user's
+    value changes between the two columns, only the labels do,
+    yet both tier means can rise simultaneously (both_rose = 1),
+    because migrants leave the top of 'low' (above low's mean,
+    lifting it by departing) and enter the bottom of 'high'
+    (below high's mean, lifting it by... no — lowering it; the
+    canonical direction depends on which way migration flows,
+    and the certificate row pins it). This is stage migration —
+    the oncology classic where better diagnostics 'improved'
+    every stage's survival without helping anyone — and its
+    dashboard incarnation is any re-segmented cohort report:
+    'both our casual AND power tiers spend more now' is
+    compatible with zero change in any user. Above-median
+    tiers at each period's own lower median; both-halves-active
+    users only; exact cents."""
+    p = _tier_panel(sf_dir)
+    v1 = p["v1"].to_numpy(np.int64)
+    v2 = p["v2"].to_numpy(np.int64)
+    n = len(p)
+    m1 = int(np.sort(v1)[(n + 1) // 2 - 1])
+    m2 = int(np.sort(v2)[(n + 1) // 2 - 1])
+    t1 = v1 > m1
+    t2 = v2 > m2
+    rha = textstats.round_half_away
+    lf = float(v2[~t1].mean())
+    lr = float(v2[~t2].mean())
+    hf = float(v2[t1].mean())
+    hr = float(v2[t2].mean())
+    return pd.DataFrame({
+        "low_mean_frozen": [float(rha(lf / 100.0, 6))],
+        "low_mean_retiered": [float(rha(lr / 100.0, 6))],
+        "high_mean_frozen": [float(rha(hf / 100.0, 6))],
+        "high_mean_retiered": [float(rha(hr / 100.0, 6))],
+        "migrants": np.array([int((t1 != t2).sum())], np.int64),
+        "both_rose": np.array(
+            [1 if lr > lf and hr > hf else 0], np.int64)})
+
+
+@register("will_rogers_migrants", sql=f"""
+WITH {_TIER_SQL},
+mg AS (SELECT
+    CAST(SUM(CASE WHEN t1 = 0 AND t2 = 1 THEN 1 ELSE 0 END)
+         AS BIGINT) AS up_n,
+    AVG(CASE WHEN t1 = 0 AND t2 = 1
+             THEN CAST(v2 AS DOUBLE) END) AS up_mean,
+    CAST(SUM(CASE WHEN t1 = 1 AND t2 = 0 THEN 1 ELSE 0 END)
+         AS BIGINT) AS dn_n,
+    AVG(CASE WHEN t1 = 1 AND t2 = 0
+             THEN CAST(v2 AS DOUBLE) END) AS dn_mean,
+    AVG(CASE WHEN t1 = 0 THEN CAST(v2 AS DOUBLE) END) AS lf,
+    AVG(CASE WHEN t1 = 1 THEN CAST(v2 AS DOUBLE) END) AS hf
+    FROM tg)
+SELECT up_n AS migrated_up,
+       ROUND(up_mean / 100.0, 6) AS up_migrant_mean,
+       dn_n AS migrated_down,
+       ROUND(dn_mean / 100.0, 6) AS down_migrant_mean,
+       ROUND(lf / 100.0, 6) AS low_frozen_mean,
+       ROUND(hf / 100.0, 6) AS high_frozen_mean,
+       CAST(CASE WHEN up_mean > lf AND up_mean < hf
+                 THEN 1 ELSE 0 END AS BIGINT)
+           AS up_migrants_between
+FROM mg""")
+def will_rogers_migrants(sf_dir: str) -> pd.DataFrame:
+    """The mechanism certificate for the Will Rogers row: the
+    upward migrants' second-half mean sits BETWEEN the two
+    frozen tier means (up_migrants_between = 1) — they are
+    better than the low tier they leave and worse than the high
+    tier they join, which is the entire engine of the paradox:
+    removing an above-average member raises the mean left
+    behind, adding a below-average member lowers the mean
+    joined... unless the downward flow compensates, and the
+    printed counts of both flows say which force wins in this
+    data. Namesake semantics included at no charge: 'when the
+    Okies left Oklahoma and moved to California, they raised
+    the average intelligence level in both states.' Same tier
+    table; NULL means when a flow is empty."""
+    p = _tier_panel(sf_dir)
+    v1 = p["v1"].to_numpy(np.int64)
+    v2 = p["v2"].to_numpy(np.int64)
+    n = len(p)
+    m1 = int(np.sort(v1)[(n + 1) // 2 - 1])
+    m2 = int(np.sort(v2)[(n + 1) // 2 - 1])
+    t1 = v1 > m1
+    t2 = v2 > m2
+    up = (~t1) & t2
+    dn = t1 & (~t2)
+    rha = textstats.round_half_away
+    lf = float(v2[~t1].mean())
+    hf = float(v2[t1].mean())
+    up_mean = float(v2[up].mean()) if up.any() else np.nan
+    dn_mean = float(v2[dn].mean()) if dn.any() else np.nan
+    return pd.DataFrame({
+        "migrated_up": np.array([int(up.sum())], np.int64),
+        "up_migrant_mean": [float(rha(up_mean / 100.0, 6))
+                            if up.any() else np.nan],
+        "migrated_down": np.array([int(dn.sum())], np.int64),
+        "down_migrant_mean": [float(rha(dn_mean / 100.0, 6))
+                              if dn.any() else np.nan],
+        "low_frozen_mean": [float(rha(lf / 100.0, 6))],
+        "high_frozen_mean": [float(rha(hf / 100.0, 6))],
+        "up_migrants_between": np.array(
+            [1 if up.any() and lf < up_mean < hf else 0],
+            np.int64)})
+
+
+# ---------------------------------------------------------------------------
+# RDD validity checks at the acctbal = 0 cutoff: McCrary density +
+# covariate balance
+# ---------------------------------------------------------------------------
+
+@register("mccrary_density_acctbal", sql="""
+WITH w AS (SELECT CASE WHEN c_acctbal >= 0 THEN 1 ELSE 0 END
+               AS above
+           FROM customer
+           WHERE c_acctbal >= -500 AND c_acctbal < 500),
+c AS (SELECT CAST(SUM(above) AS BIGINT) AS a,
+             CAST(SUM(1 - above) AS BIGINT) AS b
+      FROM w)
+SELECT a AS n_above, b AS n_below,
+       ROUND(CAST(a AS DOUBLE) / b, 6) AS density_ratio,
+       ROUND((a - b) / SQRT(CAST(a + b AS DOUBLE)), 6) AS z,
+       CAST(CASE WHEN ABS((a - b)
+                          / SQRT(CAST(a + b AS DOUBLE)))
+                      > 1.959964
+                 THEN 1 ELSE 0 END AS BIGINT)
+           AS manipulation_flag
+FROM c""")
+def mccrary_density_acctbal(sf_dir: str) -> pd.DataFrame:
+    """The McCrary density test the registry's acctbal-zero RDD
+    row has been running without: are customers as common just
+    BELOW the cutoff as just above it (±$500 window)? A
+    regression discontinuity is only credible if units cannot
+    sort themselves across the threshold — the canonical
+    failure being test-score cutoffs where re-grading piles
+    mass just above passing — and a density JUMP at the cutoff
+    is the fingerprint of that sorting: the running variable
+    was manipulated, the 'as-good-as-random at the margin'
+    premise is dead, and the RDD estimate inherits whatever
+    selected the sorters. Under continuity each near-cutoff
+    customer falls on either side as a fair coin, so
+    z = (a−b)/√(a+b) is the exact conditional McNemar-style
+    score (the simple-window form of McCrary's local-linear
+    construction, pinned). manipulation_flag = 0 is the license
+    the RDD row needs; read with the balance row for the full
+    validity audit."""
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_acctbal"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["c_acctbal"].to_numpy(np.float64)
+        m = (v >= -500) & (v < 500)
+        ab = (v[m] >= 0).astype(np.int64)
+        return pd.DataFrame({
+            "k": np.zeros(1, np.int64),
+            "a": [int(ab.sum())],
+            "b": [int((1 - ab).sum())]})
+
+    c = reduce_sink(cust.map_batches(part, batch_format="pandas"),
+                    ["k"], {"a": ("a", "sum"),
+                            "b": ("b", "sum")}).to_pandas()
+    a = int(c["a"].iloc[0])
+    b = int(c["b"].iloc[0])
+    z = (a - b) / np.sqrt(float(a + b))
+    rha = textstats.round_half_away
+    return pd.DataFrame({
+        "n_above": np.array([a], np.int64),
+        "n_below": np.array([b], np.int64),
+        "density_ratio": [float(rha(a / b, 6))],
+        "z": [float(rha(z, 6))],
+        "manipulation_flag": np.array(
+            [1 if abs(z) > 1.959964 else 0], np.int64)})
+
+
+@register("rdd_covariate_balance_acctbal", sql="""
+WITH w AS (SELECT c_mktsegment AS seg,
+                  CASE WHEN c_acctbal >= 0 THEN 1 ELSE 0 END
+                      AS above
+           FROM customer
+           WHERE c_acctbal >= -500 AND c_acctbal < 500),
+ct AS (SELECT seg,
+              CAST(SUM(above) AS BIGINT) AS a,
+              CAST(SUM(1 - above) AS BIGINT) AS b
+       FROM w GROUP BY 1),
+tt AS (SELECT CAST(SUM(a) AS DOUBLE) AS ta,
+              CAST(SUM(b) AS DOUBLE) AS tb
+       FROM ct),
+x2 AS (SELECT SUM(
+           POW(ct.a - (ct.a + ct.b) * tt.ta / (tt.ta + tt.tb),
+               2)
+           / ((ct.a + ct.b) * tt.ta / (tt.ta + tt.tb))
+           + POW(ct.b - (ct.a + ct.b) * tt.tb / (tt.ta + tt.tb),
+                 2)
+           / ((ct.a + ct.b) * tt.tb / (tt.ta + tt.tb))) AS x,
+              CAST(COUNT(*) AS BIGINT) AS k
+       FROM ct CROSS JOIN tt)
+SELECT k AS n_segments,
+       ROUND(x, 6) AS chi2,
+       CAST(k - 1 AS BIGINT) AS df,
+       ROUND(EXP(-x / 2.0) * (1.0 + x / 2.0), 6) AS p_exact,
+       CAST(CASE WHEN EXP(-x / 2.0) * (1.0 + x / 2.0) >= 0.05
+                 THEN 1 ELSE 0 END AS BIGINT) AS balanced
+FROM x2""")
+def rdd_covariate_balance_acctbal(sf_dir: str) -> pd.DataFrame:
+    """The second RDD validity check: a PREDETERMINED covariate
+    (market segment — assigned before any balance accrues) must
+    have the same mix just below and just above the cutoff,
+    because the entire design rests on near-cutoff units being
+    exchangeable; a segment-mix jump means something that also
+    determines segment sorts customers across zero, and the RDD
+    contrast is then a segment comparison wearing a
+    discontinuity costume. This is the falsification-test habit
+    imported from the DiD family's placebo rows: test what MUST
+    be null, believe the design only if it is. χ² on the 2×5
+    window table; df = 4 is even so the tail is the exact
+    e^(−x/2)(1+x/2) closed form (the Stuart–Maxwell/G² trick
+    again). balanced = 1 together with the McCrary flag clear
+    is the two-part license the headline RDD estimate needs."""
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_acctbal", "c_mktsegment"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["c_acctbal"].to_numpy(np.float64)
+        m = (v >= -500) & (v < 500)
+        d = df[m]
+        ab = (d["c_acctbal"].to_numpy(np.float64) >= 0) \
+            .astype(np.int64)
+        return pd.DataFrame({
+            "seg": d["c_mktsegment"],
+            "a": ab, "b": 1 - ab}) \
+            .groupby("seg", as_index=False).sum()
+
+    ct = reduce_sink(cust.map_batches(part,
+                                      batch_format="pandas"),
+                     ["seg"], {"a": ("a", "sum"),
+                               "b": ("b", "sum")}).to_pandas()
+    a = ct["a"].to_numpy(np.int64).astype(np.float64)
+    b = ct["b"].to_numpy(np.int64).astype(np.float64)
+    ta, tb = a.sum(), b.sum()
+    row = a + b
+    ea = row * ta / (ta + tb)
+    eb = row * tb / (ta + tb)
+    x = float(((a - ea) ** 2 / ea + (b - eb) ** 2 / eb).sum())
+    k = len(ct)
+    p = float(np.exp(-x / 2.0) * (1.0 + x / 2.0))
+    rha = textstats.round_half_away
+    return pd.DataFrame({
+        "n_segments": np.array([k], np.int64),
+        "chi2": [float(rha(x, 6))],
+        "df": np.array([k - 1], np.int64),
+        "p_exact": [float(rha(p, 6))],
+        "balanced": np.array([1 if p >= 0.05 else 0],
+                             np.int64)})
+
+
+# ---------------------------------------------------------------------------
+# Bayesian decision layer: expected loss + the ROPE verdict on the
+# weekend purchase-rate posterior
+# ---------------------------------------------------------------------------
+
+def _ab_posterior(sf_dir: str):
+    """(μ, σ) of the weekend−weekday rate-difference posterior
+    under the Bayes-AB family's Beta(k+1, n−k+1) normal
+    approximation."""
+    c = _wkd_type_mix(sf_dir)
+    n1 = int(c["c1"].sum())
+    n0 = int(c["c2"].sum())
+    pr = c[c["ty"] == "purchase"].iloc[0]
+    k1 = int(pr["c1"])
+    k0 = int(pr["c2"])
+    a1, b1 = k1 + 1, n1 - k1 + 1
+    a0, b0 = k0 + 1, n0 - k0 + 1
+    m1 = a1 / (a1 + b1)
+    m0 = a0 / (a0 + b0)
+    v1 = a1 * b1 / ((a1 + b1) ** 2 * (a1 + b1 + 1.0))
+    v0 = a0 * b0 / ((a0 + b0) ** 2 * (a0 + b0 + 1.0))
+    return m1 - m0, np.sqrt(v1 + v0)
+
+
+_ABPOST_SQL = f"""
+{_BAYES_AB_SQL},
+mo AS (SELECT CAST(a1 AS DOUBLE) / (a1 + b1)
+              - CAST(a0 AS DOUBLE) / (a0 + b0) AS mu,
+              SQRT(CAST(a1 AS DOUBLE) * b1
+                   / ((CAST(a1 AS DOUBLE) + b1)
+                      * (CAST(a1 AS DOUBLE) + b1)
+                      * (a1 + b1 + 1.0))
+                   + CAST(a0 AS DOUBLE) * b0
+                   / ((CAST(a0 AS DOUBLE) + b0)
+                      * (CAST(a0 AS DOUBLE) + b0)
+                      * (a0 + b0 + 1.0))) AS sd
+       FROM pp)"""
+
+
+@register("bayes_expected_loss_weekend", sql=f"""
+WITH {_ABPOST_SQL},
+el AS (SELECT mu, sd,
+              mu * (1.0 - {_QGEN.format(x="mu / sd")})
+              + sd * 0.39894228040143267
+                * EXP(-(mu / sd) * (mu / sd) / 2.0) AS el0,
+              -mu * (1.0 - {_QGEN.format(x="-mu / sd")})
+              + sd * 0.39894228040143267
+                * EXP(-(mu / sd) * (mu / sd) / 2.0) AS el1
+       FROM mo)
+SELECT ROUND(mu, 6) AS mean_diff,
+       ROUND(sd, 6) AS sd_diff,
+       ROUND(el1, 6) AS el_choose_weekend,
+       ROUND(el0, 6) AS el_choose_weekday,
+       CASE WHEN el1 < el0 THEN 'weekend'
+            ELSE 'weekday' END AS decision,
+       ROUND(el0 - el1 - mu, 6) AS identity_residual,
+       CAST(CASE WHEN LEAST(el0, el1) < 0.0001
+                 THEN 1 ELSE 0 END AS BIGINT)
+           AS loss_below_toc
+FROM el""")
+def bayes_expected_loss_weekend(sf_dir: str) -> pd.DataFrame:
+    """The DECISION layer the Bayes-AB rows stop short of:
+    expected loss of deploying each arm under the posterior —
+    E[max(θother−θchosen, 0)], the conversion rate you forfeit
+    in the worlds where the other arm was actually better,
+    closed-form for the normal posterior as
+    m·Φ(m/s) + s·φ(m/s). This is the quantity modern Bayesian
+    testing stops on (expected loss below a 'threshold of
+    caring', not probability above 95%), because it prices
+    MAGNITUDE: a 60% chance the weekend is better with tiny
+    stakes can be a safe deploy, while a 95% chance with fat
+    loss in the remaining 5% is not. The two losses obey
+    EL_weekday − EL_weekend = μ exactly (identity_residual is
+    the live zero-check: the difference of regrets is the mean
+    difference — choosing is a zero-sum reallocation of the
+    same uncertainty). loss_below_toc uses the 1-basis-point
+    caring threshold, documented; same Beta-posterior moments
+    and pinned tails as the Bayes-AB family."""
+    mu, sd = _ab_posterior(sf_dir)
+    d = mu / sd
+    phi = 0.39894228040143267 * np.exp(-d * d / 2.0)
+    el0 = mu * (1.0 - _norm_q(d)) + sd * phi
+    el1 = -mu * (1.0 - _norm_q(-d)) + sd * phi
+    rha = textstats.round_half_away
+    return pd.DataFrame({
+        "mean_diff": [float(rha(mu, 6))],
+        "sd_diff": [float(rha(sd, 6))],
+        "el_choose_weekend": [float(rha(el1, 6))],
+        "el_choose_weekday": [float(rha(el0, 6))],
+        "decision": ["weekend" if el1 < el0 else "weekday"],
+        "identity_residual": [float(rha(el0 - el1 - mu, 6))],
+        "loss_below_toc": np.array(
+            [1 if min(el0, el1) < 0.0001 else 0], np.int64)})
+
+
+@register("bayes_rope_weekend", sql=f"""
+WITH {_ABPOST_SQL},
+pr AS (SELECT mu, sd,
+              {_QGEN.format(x="(0.005 - mu) / sd")} AS q_hi,
+              {_QGEN.format(x="(-0.005 - mu) / sd")} AS q_lo
+       FROM mo)
+SELECT ROUND(mu, 6) AS mean_diff,
+       ROUND(q_lo - q_hi, 6) AS p_rope,
+       ROUND(q_hi, 6) AS p_above_rope,
+       ROUND(1.0 - q_lo, 6) AS p_below_rope,
+       CASE WHEN q_lo - q_hi > 0.95 THEN 'equivalent'
+            WHEN q_hi > 0.95 THEN 'meaningfully_higher'
+            WHEN 1.0 - q_lo > 0.95 THEN 'meaningfully_lower'
+            ELSE 'undecided' END AS verdict
+FROM pr""")
+def bayes_rope_weekend(sf_dir: str) -> pd.DataFrame:
+    """Kruschke's ROPE verdict on the same posterior: the
+    probability mass inside the Region Of Practical Equivalence
+    (|Δ| < 0.005 — half a conversion point, the documented
+    'too small to act on' band) and beyond it on each side.
+    This is the Bayesian answer to the equivalence-testing
+    problem the TOST row solves frequentistly, and it fixes the
+    pathology shared by every 'significant?' framing: with
+    enough data a meaningless 0.01-point difference becomes
+    arbitrarily significant, but its ROPE mass goes to 1 and
+    the verdict correctly reads EQUIVALENT — the procedure that
+    can accept the null, not merely fail to reject it. The
+    four-way verdict (equivalent / higher / lower / undecided)
+    at the conventional 95% mass bar is the complete decision
+    partition; 'undecided' is an instruction to collect data,
+    not a failure. Same posterior as the expected-loss row —
+    the two are the act-now and the is-it-real halves of one
+    decision."""
+    mu, sd = _ab_posterior(sf_dir)
+    q_hi = _norm_q((0.005 - mu) / sd)
+    q_lo = _norm_q((-0.005 - mu) / sd)
+    p_rope = q_lo - q_hi
+    if p_rope > 0.95:
+        v = "equivalent"
+    elif q_hi > 0.95:
+        v = "meaningfully_higher"
+    elif 1.0 - q_lo > 0.95:
+        v = "meaningfully_lower"
+    else:
+        v = "undecided"
+    rha = textstats.round_half_away
+    return pd.DataFrame({
+        "mean_diff": [float(rha(mu, 6))],
+        "p_rope": [float(rha(p_rope, 6))],
+        "p_above_rope": [float(rha(q_hi, 6))],
+        "p_below_rope": [float(rha(1.0 - q_lo, 6))],
+        "verdict": [v]})
+
+
+# ---------------------------------------------------------------------------
+# Index-number theory closed out: chain drift + the GEKS
+# multilateral repair
+# ---------------------------------------------------------------------------
+
+def _part_month_pq(sf_dir: str) -> pd.DataFrame:
+    """(partkey, month index, unit price 1e-4-cent int, qty int)
+    — the quantized price/quantity panel of the index rows."""
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_shipdate", "l_extendedprice",
+                 "l_quantity"]).map_batches(
+        lambda df: pd.DataFrame({
+            "pk": df["l_partkey"].to_numpy(np.int64),
+            "mon": df["l_shipdate"].dt.strftime("%Y-%m"),
+            "c": np.rint(df["l_extendedprice"]
+                         .to_numpy(np.float64) * 100)
+            .astype(np.int64),
+            "q": df["l_quantity"].to_numpy(np.float64)
+            .astype(np.int64)}).groupby(
+                ["pk", "mon"], as_index=False).sum(),
+        batch_format="pandas")
+    pm = reduce_sink(li, ["pk", "mon"],
+                     {"c": ("c", "sum"), "q": ("q", "sum")}) \
+        .to_pandas()
+    pm["p"] = np.rint(10000.0 * pm["c"].to_numpy(np.int64)
+                      / pm["q"].to_numpy(np.int64)) \
+        .astype(np.int64)
+    mons = sorted(pm["mon"].unique())
+    midx = {m: i for i, m in enumerate(mons)}
+    pm["i"] = pm["mon"].map(midx).astype(np.int64)
+    return pm[["pk", "i", "p", "q"]]
+
+
+def _fisher(pm: pd.DataFrame, s: int, t: int) -> float:
+    """Bilateral matched-part Fisher index s→t off the panel."""
+    a = pm[pm["i"] == s].set_index("pk")
+    b = pm[pm["i"] == t].set_index("pk")
+    j = a.join(b, how="inner", lsuffix="_s", rsuffix="_t")
+    ps = j["p_s"].to_numpy(np.int64).astype(object)
+    pt = j["p_t"].to_numpy(np.int64).astype(object)
+    qs = j["q_s"].to_numpy(np.int64).astype(object)
+    qt = j["q_t"].to_numpy(np.int64).astype(object)
+    lasp = int((pt * qs).sum()) / int((ps * qs).sum())
+    paas = int((pt * qt).sum()) / int((ps * qt).sum())
+    return float(np.sqrt(lasp * paas))

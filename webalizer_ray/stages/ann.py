@@ -14,9 +14,12 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray
 import ray.data as rd
+
+from webalizer_ray.stages.vecops import ids_from_column, mat_from_column
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
@@ -35,11 +38,13 @@ def brute_force_topk(ds: rd.Dataset, queries: np.ndarray, k: int = 5,
     qn = _normalize(np.asarray(queries, dtype=np.float64))
     q_ref = ray.put(qn)
 
-    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+    def local_topk(batch: pa.Table) -> pd.DataFrame:
+        # pyarrow batch: the embedding matrix comes straight off the
+        # list array's values buffer — no object-array round-trip
         q = ray.get(q_ref)
-        mat = _normalize(np.stack(df[vec_col].to_numpy()).astype(np.float64))
+        mat = _normalize(mat_from_column(batch[vec_col]))
         sims = np.round(q @ mat.T, 9)                    # (nq, nb)
-        ids = df[id_col].to_numpy()
+        ids = ids_from_column(batch[id_col])
         nq, nb = sims.shape
         kk = min(k, nb)
         # local top-k per query (argpartition then exact ordering)
@@ -52,7 +57,7 @@ def brute_force_topk(ds: rd.Dataset, queries: np.ndarray, k: int = 5,
             "cosine": sims[rows, cols],
         })
 
-    partials = ds.map_batches(local_topk, batch_format="pandas").to_pandas()
+    partials = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
     partials = partials.sort_values(
         ["query_id", "cosine", id_col], ascending=[True, False, True],
         kind="mergesort")
@@ -98,11 +103,11 @@ def lsh_bucket_topk(ds: rd.Dataset, queries: np.ndarray, k: int = 5,
         probe_sets[qi] = mine
     q_ref = ray.put((qn, probe_sets))
 
-    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+    def local_topk(batch: pa.Table) -> pd.DataFrame:
         q, psets = ray.get(q_ref)
-        mat = _normalize(np.stack(df[vec_col].to_numpy()).astype(np.float64))
+        mat = _normalize(mat_from_column(batch[vec_col]))
         buckets = bucket_of(mat)
-        ids = df[id_col].to_numpy()
+        ids = ids_from_column(batch[id_col])
         frames = []
         for qi, mine in psets.items():
             mask = np.isin(buckets, list(mine))
@@ -121,7 +126,7 @@ def lsh_bucket_topk(ds: rd.Dataset, queries: np.ndarray, k: int = 5,
                                  "cosine": pd.Series(dtype=np.float64)})
         return pd.concat(frames, ignore_index=True)
 
-    partials = ds.map_batches(local_topk, batch_format="pandas").to_pandas()
+    partials = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
     partials = partials.sort_values(
         ["query_id", "cosine", id_col], ascending=[True, False, True],
         kind="mergesort")
@@ -167,12 +172,11 @@ def ivf_topk(ds: rd.Dataset, queries: np.ndarray, k: int = 5,
     probe_sets = {qi: set(map(int, probe[qi])) for qi in range(len(qn))}
     q_ref = ray.put((qn, cents, probe_sets))
 
-    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+    def local_topk(batch: pa.Table) -> pd.DataFrame:
         q, C, psets = ray.get(q_ref)
-        mat = _normalize(np.stack(df[vec_col].to_numpy())
-                         .astype(np.float64))
+        mat = _normalize(mat_from_column(batch[vec_col]))
         cell = np.argmax(mat @ C.T, axis=1)
-        ids = df[id_col].to_numpy()
+        ids = ids_from_column(batch[id_col])
         frames = []
         for qi, mine in psets.items():
             mask = np.isin(cell, list(mine))
@@ -191,7 +195,7 @@ def ivf_topk(ds: rd.Dataset, queries: np.ndarray, k: int = 5,
                                  "cosine": pd.Series(dtype=np.float64)})
         return pd.concat(frames, ignore_index=True)
 
-    partials = ds.map_batches(local_topk, batch_format="pandas").to_pandas()
+    partials = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
     partials = partials.sort_values(
         ["query_id", "cosine", id_col], ascending=[True, False, True],
         kind="mergesort")
@@ -235,14 +239,14 @@ def kmeans_fit_assign(ds: rd.Dataset, n_clusters: int = 8,
                          vec_col)
     cents_ref = ray.put(cents)
 
-    def assign_batch(df: pd.DataFrame) -> pd.DataFrame:
+    def assign_batch(batch: pa.Table) -> pd.DataFrame:
         c = ray.get(cents_ref)
-        m = _normalize(np.stack(df[vec_col].to_numpy()).astype(np.float64))
+        m = _normalize(mat_from_column(batch[vec_col]))
         return pd.DataFrame({
-            id_col: df[id_col].to_numpy(),
+            id_col: ids_from_column(batch[id_col]),
             "cluster": np.argmax(m @ c.T, axis=1).astype(np.int64)})
 
-    out = ds.map_batches(assign_batch, batch_format="pandas").to_pandas()
+    out = ds.map_batches(assign_batch, batch_format="pyarrow").to_pandas()
     return out.sort_values(id_col, ignore_index=True)
 
 
@@ -259,10 +263,9 @@ def _kmeans_loop(ds: rd.Dataset, n_clusters: int, n_iter: int,
     for _ in range(n_iter):
         cents_ref = ray.put(cents)
 
-        def partial_sums(df: pd.DataFrame) -> pd.DataFrame:
+        def partial_sums(batch: pa.Table) -> pd.DataFrame:
             c = ray.get(cents_ref)
-            m = _normalize(np.stack(df[vec_col].to_numpy())
-                           .astype(np.float64))
+            m = _normalize(mat_from_column(batch[vec_col]))
             assign = np.argmax(m @ c.T, axis=1)
             rows = []
             for cl in np.unique(assign):
@@ -272,7 +275,7 @@ def _kmeans_loop(ds: rd.Dataset, n_clusters: int, n_iter: int,
             return pd.DataFrame(rows, columns=["cluster", "vsum", "n"])
 
         parts = ds.map_batches(partial_sums,
-                               batch_format="pandas").to_pandas()
+                               batch_format="pyarrow").to_pandas()
         new = cents.copy()
         for cl, grp in parts.groupby("cluster"):
             s = np.frombuffer(b"".join(grp["vsum"]), dtype=np.float64) \

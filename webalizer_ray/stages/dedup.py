@@ -37,6 +37,7 @@ from ray.data.aggregate import Min, Sum
 
 from webalizer_ray.stages.aggregate import key_bucket
 from webalizer_ray.stages.textstats import add_fingerprint
+from webalizer_ray.stages.vecops import ids_from_column, mat_from_column
 
 _MIX = np.uint64(0x9E3779B97F4A7C15)  # 64-bit golden-ratio mix constant
 
@@ -197,16 +198,22 @@ def join_pairs_to_values(pairs: rd.Dataset, values: rd.Dataset,
         num_partitions = max(2, min(
             32, int(_ray.cluster_resources().get("CPU", 8))))
     def side(suffix):
-        def f(df: pd.DataFrame) -> pd.DataFrame:
-            vals = _pack_rows(df[value_col], pack_dtype) if pack_dtype \
-                else df[value_col].to_numpy()
+        def f(batch: pa.Table) -> pd.DataFrame:
+            if pack_dtype:
+                # zero-copy matrix off the list column, then one
+                # contiguous tobytes per row for the Acero join
+                arr = np.ascontiguousarray(
+                    mat_from_column(batch[value_col], dtype=pack_dtype))
+                vals = [r.tobytes() for r in arr]
+            else:
+                vals = batch[value_col].to_pandas().to_numpy()
             return pd.DataFrame({
-                f"id_{suffix}": df[id_col].to_numpy(),
+                f"id_{suffix}": ids_from_column(batch[id_col]),
                 f"{value_col}_{suffix}": vals})
         return f
 
-    va = values.map_batches(side("a"), batch_format="pandas")
-    vb = values.map_batches(side("b"), batch_format="pandas")
+    va = values.map_batches(side("a"), batch_format="pyarrow")
+    vb = values.map_batches(side("b"), batch_format="pyarrow")
     j = pairs.join(va, join_type="inner", num_partitions=num_partitions,
                    on=("id_a",))
     return j.join(vb, join_type="inner", num_partitions=num_partitions,
@@ -507,11 +514,11 @@ def lsh_candidate_pairs(ds: rd.Dataset, id_col: str, vec_col: str,
     weights = (1 << np.arange(n_planes, dtype=np.int64))
     planes_ref = ray.put(planes)
 
-    def explode(df: pd.DataFrame) -> pd.DataFrame:
+    def explode(batch: pa.Table) -> pd.DataFrame:
         P = ray.get(planes_ref)
-        m = np.stack(df[vec_col].to_numpy()).astype(np.float64)
-        ids = df[id_col].to_numpy()
-        n = len(df)
+        m = mat_from_column(batch[vec_col])
+        ids = ids_from_column(batch[id_col])
+        n = len(ids)
         frames = []
         for t in range(n_tables):
             b = ((m @ P[t]) > 0).astype(np.int64) @ weights
@@ -546,7 +553,7 @@ def lsh_candidate_pairs(ds: rd.Dataset, id_col: str, vec_col: str,
         return pd.DataFrame({"id_a": np.concatenate(out_a),
                              "id_b": np.concatenate(out_b)})
 
-    cand = (ds.map_batches(explode, batch_format="pandas")
+    cand = (ds.map_batches(explode, batch_format="pyarrow")
             .groupby("ck")
             .map_groups(coarse_pairs, batch_format="pandas"))
     return dedup_pairs_ds(cand).materialize()
@@ -614,18 +621,20 @@ def cosine_dup_pairs(ds: rd.Dataset, id_col: str = "vec_id",
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     mat_ref = ray.put((ids, mat))
 
-    def block(df: pd.DataFrame) -> pd.DataFrame:
+    def block(batch: pa.Table) -> pd.DataFrame:
         all_ids, all_mat = ray.get(mat_ref)
-        q = np.stack(df[vec_col].to_numpy()).astype(np.float64)
-        q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        # zero-copy matrices are read-only — normalize out of place
+        q = mat_from_column(batch[vec_col])
+        q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True),
+                           1e-12)
         sims = q @ all_mat.T
-        qi = df[id_col].to_numpy()
+        qi = ids_from_column(batch[id_col])
         keep = (sims >= threshold) & (qi[:, None] < all_ids[None, :])
         r, c = np.nonzero(keep)
         return pd.DataFrame({"id_a": qi[r], "id_b": all_ids[c],
                              "cosine": np.round(sims[r, c], 6)})
 
-    out = ds.map_batches(block, batch_format="pandas").to_pandas()
+    out = ds.map_batches(block, batch_format="pyarrow").to_pandas()
     if "id_a" not in out.columns:  # fully-empty result loses its schema
         out = pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
                             "id_b": pd.Series(dtype=np.int64),
@@ -746,6 +755,33 @@ def _union_find_components(pairs: pd.DataFrame, id_a: str,
                                dtype=np.int64)})
 
 
+def connected_components_ds(pairs: rd.Dataset,
+                            id_a: str = "id_a", id_b: str = "id_b",
+                            num_partitions: int = 8,
+                            max_rounds: int = 40,
+                            out_dir: str | None = None) -> rd.Dataset:
+    """Distributed connected components returning a DATASET of
+    (node, cluster_id) — the corpus-scale contract (VERDICT r2 item 1:
+    no O(nodes) driver pull in the library path).  Same min-label +
+    pointer-doubling supersteps as ``connected_components`` (which
+    wraps this for the sf-scale pandas query contract); with
+    ``out_dir`` the labels are also written as partitioned Parquet so
+    a downstream keep-one-per-cluster pass can stream them back
+    without re-running the supersteps.
+    """
+    labels = _cc_labels(pairs, id_a, id_b, num_partitions, max_rounds)
+
+    def _rename(b: pa.Table) -> pa.Table:
+        return pa.table({"node": pc.cast(b["node"], pa.int64()),
+                         "cluster_id": pc.cast(b["label"], pa.int64())})
+
+    out = labels.map_batches(_rename, batch_format="pyarrow")
+    if out_dir is not None:
+        out = out.materialize()
+        out.write_parquet(out_dir)
+    return out
+
+
 def connected_components(pairs: rd.Dataset | pd.DataFrame,
                          id_a: str = "id_a", id_b: str = "id_b",
                          num_partitions: int = 8,
@@ -792,7 +828,17 @@ def connected_components(pairs: rd.Dataset | pd.DataFrame,
     if pairs is None:
         return pd.DataFrame({"node": pd.Series(dtype=np.int64),
                              "cluster_id": pd.Series(dtype=np.int64)})
+    labels = _cc_labels(pairs, id_a, id_b, num_partitions, max_rounds)
+    out = labels.to_pandas()
+    out.columns = ["node", "cluster_id"]
+    return (out.astype(np.int64)
+            .sort_values("node", ignore_index=True))
 
+
+def _cc_labels(pairs: rd.Dataset, id_a: str, id_b: str,
+               num_partitions: int, max_rounds: int) -> rd.Dataset:
+    """The distributed CC supersteps; returns the converged
+    (node, label) Dataset (label = min node id in the component)."""
     lbl_schema = pa.schema([("node", pa.int64()), ("label", pa.int64())])
     # message rows: tag 0 = "table" (key=node, val=label),
     #               tag 1 = "query" (key=lookup key, val=output node)
@@ -827,8 +873,7 @@ def connected_components(pairs: rd.Dataset | pd.DataFrame,
     equeries = pairs.map_batches(edge_queries, batch_format="pyarrow") \
         .repartition(num_partitions).materialize()
     if equeries.count() == 0:
-        return pd.DataFrame({"node": pd.Series(dtype=np.int64),
-                             "cluster_id": pd.Series(dtype=np.int64)})
+        return rd.from_arrow(lbl_schema.empty_table())
 
     def resolve(g: pd.DataFrame) -> pa.Table:
         """One bucket: answer every query row from the table rows —
@@ -877,10 +922,7 @@ def connected_components(pairs: rd.Dataset | pd.DataFrame,
         if s == prev_sum:
             break
         prev_sum = s
-    out = labels.to_pandas()
-    out.columns = ["node", "cluster_id"]
-    return (out.astype(np.int64)
-            .sort_values("node", ignore_index=True))
+    return labels
 
 
 # ---------------------------------------------------------------------------
@@ -986,12 +1028,11 @@ def semantic_dedup(ds: rd.Dataset, threshold: float = 0.9,
                        seed=seed, id_col=id_col, vec_col=vec_col)
     cents_ref = ray.put(cents)
 
-    def assign(df: pd.DataFrame) -> pd.DataFrame:
+    def assign(batch: pa.Table) -> pd.DataFrame:
         c = ray.get(cents_ref)
-        m = _normalize(np.stack(df[vec_col].to_numpy())
-                       .astype(np.float64))
+        m = _normalize(mat_from_column(batch[vec_col]))
         return pd.DataFrame({
-            id_col: df[id_col].to_numpy(np.int64),
+            id_col: ids_from_column(batch[id_col]),
             "cluster": np.argmax(m @ c.T, axis=1).astype(np.int64),
             "vec": [r.tobytes() for r in m]})
 
@@ -1011,7 +1052,7 @@ def semantic_dedup(ds: rd.Dataset, threshold: float = 0.9,
         return pd.DataFrame({id_col: g[id_col], "cluster": g["cluster"],
                              "keep": keep})
 
-    out = (ds.map_batches(assign, batch_format="pandas")
+    out = (ds.map_batches(assign, batch_format="pyarrow")
            .groupby("cluster")
            .map_groups(cluster_dedup, batch_format="pandas")).to_pandas()
     return out.sort_values(id_col, ignore_index=True)
@@ -1075,8 +1116,9 @@ def incremental_minhash_dedup(ds: rd.Dataset, store_dir: str, run_id: str,
                               bands: int = 16, threshold: float = 0.7,
                               shingle_k: int = 5, seed: int = 7,
                               num_buckets: int = 32,
-                              concurrency=2) -> tuple[pd.DataFrame,
-                                                      pd.DataFrame]:
+                              concurrency=2,
+                              out_dir: str | None = None
+                              ) -> tuple[rd.Dataset, rd.Dataset]:
     """FUZZY dedup ACROSS ingestion runs — the near-dup counterpart of
     incremental_exact_dedup (corpus refresh: drop new docs that are
     near-duplicates of anything any PRIOR run kept).
@@ -1094,8 +1136,14 @@ def incremental_minhash_dedup(ds: rd.Dataset, store_dir: str, run_id: str,
     side). Within-run near-dups are NOT this op's job: run
     minhash_lsh_pairs/exact_dedup on the batch first.
 
-    Returns (kept ids, drops) where drops = (id, matched_id,
-    est_jaccard).
+    Returns (kept, drops) as DATASETS — kept = (id_col,) rows, drops =
+    (id_col, matched_id, est_jaccard) with the best (highest-estimate,
+    then lowest matched_id) prior match per dropped id. Nothing
+    O(corpus) is ever gathered on the driver (VERDICT r2 item 1): the
+    kept set is derived per id-bucket by subtracting that bucket's
+    dropped ids from the run's own stored signature file, so only DROP
+    rows shuffle. With ``out_dir`` the kept ids are also written as
+    partitioned Parquet. sf-scale callers `.to_pandas()` the results.
     """
     bands_dir = os.path.join(store_dir, "bands")
     sigs_dir = os.path.join(store_dir, "sigs")
@@ -1180,14 +1228,15 @@ def incremental_minhash_dedup(ds: rd.Dataset, store_dir: str, run_id: str,
         .groupby("_sk").map_groups(sig_bucket_task,
                                    batch_format="pandas").materialize()
 
-    empty_drops = pd.DataFrame({
-        id_col: pd.Series(dtype=np.int64),
-        "matched_id": pd.Series(dtype=np.int64),
-        "est_jaccard": pd.Series(dtype=np.float64)})
+    drops_schema = pa.schema([(id_col, pa.int64()),
+                              ("matched_id", pa.int64()),
+                              ("est_jaccard", pa.float64())])
     if cands.count() == 0:
-        kept = sigs.select_columns([id_col]).to_pandas() \
-            .sort_values(id_col, ignore_index=True)
-        return kept, empty_drops
+        kept = sigs.select_columns([id_col])
+        if out_dir is not None:
+            kept = kept.materialize()
+            kept.write_parquet(out_dir)
+        return kept, rd.from_arrow(drops_schema.empty_table())
 
     # verify: join candidates back to this run's signatures (bucketed
     # hash join semantics via Dataset.join), then one task per OLD
@@ -1239,15 +1288,61 @@ def incremental_minhash_dedup(ds: rd.Dataset, store_dir: str, run_id: str,
                              .to_numpy(np.int64)[keep],
                              "est_jaccard": np.round(est[keep], 6)})
 
+    def best_match(g: pd.DataFrame) -> pd.DataFrame:
+        # one dropped id may match priors in several old buckets —
+        # keep the highest-estimate (ties: lowest matched_id) row
+        g = g.sort_values([id_col, "est_jaccard", "matched_id"],
+                          ascending=[True, False, True])
+        return g.drop_duplicates(id_col)
+
     drops = j.map_batches(add_obk, batch_format="pandas") \
         .groupby("_obk").map_groups(verify_task, batch_format="pandas") \
-        .to_pandas()
-    if len(drops):
-        drops = drops.sort_values([id_col, "est_jaccard", "matched_id"],
-                                  ascending=[True, False, True]) \
-            .drop_duplicates(id_col).reset_index(drop=True)
-    dropped = set(drops[id_col].tolist()) if len(drops) else set()
-    all_ids = sigs.select_columns([id_col]).to_pandas()
-    kept = all_ids[~all_ids[id_col].isin(dropped)] \
-        .sort_values(id_col, ignore_index=True)
+        .groupby(id_col).map_groups(best_match, batch_format="pandas") \
+        .materialize()
+    if drops.count() == 0:
+        # all candidates failed verify — schema-degraded empty blocks
+        # must not reach the union below
+        kept = sigs.select_columns([id_col])
+        if out_dir is not None:
+            kept = kept.materialize()
+            kept.write_parquet(out_dir)
+        return kept, rd.from_arrow(drops_schema.empty_table())
+
+    # kept = this run's ids minus dropped ids, per id-bucket: route the
+    # (small) drop rows to their id bucket, union a one-row-per-bucket
+    # spine so bucket tasks with zero drops still emit their kept ids,
+    # and subtract inside the task against the run's own sig file for
+    # that bucket (written above). Only drop rows + num_buckets spine
+    # rows shuffle; kept ids go driver-free into the returned Dataset.
+    spine = pd.DataFrame({
+        "_sk": np.arange(num_buckets, dtype=np.int32),
+        id_col: np.full(num_buckets, -1, dtype=np.int64)})
+
+    def drop_keys(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({id_col: df[id_col].to_numpy(np.int64)})
+        out["_sk"] = (out[id_col].to_numpy(np.int64)
+                      % num_buckets).astype(np.int32)
+        return out
+
+    kept_schema = pa.schema([(id_col, pa.int64())])
+
+    def kept_bucket_task(g: pd.DataFrame) -> pa.Table:
+        bk = int(g["_sk"].iat[0])
+        path = os.path.join(sigs_dir, f"bucket={bk}", own)
+        if not os.path.exists(path):
+            return kept_schema.empty_table()
+        mine = pq.read_table(path, columns=[id_col])[id_col] \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        dropped = g[g[id_col] >= 0][id_col].to_numpy(np.int64)
+        keep = mine[~np.isin(mine, dropped)]
+        return pa.Table.from_arrays([pa.array(np.sort(keep))],
+                                    schema=kept_schema)
+
+    kept = (drops.map_batches(drop_keys, batch_format="pandas")
+            .union(rd.from_pandas(spine))
+            .groupby("_sk")
+            .map_groups(kept_bucket_task, batch_format="pandas"))
+    if out_dir is not None:
+        kept = kept.materialize()
+        kept.write_parquet(out_dir)
     return kept, drops

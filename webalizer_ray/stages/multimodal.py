@@ -210,6 +210,25 @@ def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
     })
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_image_payload(payload: bytes) -> np.ndarray | None:
+    """Sniff + decode the codec-free image formats to an (h, w, 3)
+    uint8 raster: PPM (pure numpy), BMP (pure numpy), and PNG via the
+    stdlib-zlib decoder shared with pipelines/graphs.py (8-bit,
+    all filters, non-interlaced — VERDICT r2 item 4). Returns None for
+    formats that genuinely need external codecs (JPEG class)."""
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:8] == _PNG_SIG:
+        from webalizer_ray.pipelines.graphs import decode_png
+        return decode_png(payload)
+    return None
+
+
 def _payload_seed(payload: bytes) -> int:
     return int(pd.util.hash_array(np.array([payload], dtype=object))[0])
 
@@ -217,11 +236,13 @@ def _payload_seed(payload: bytes) -> int:
 class DecodeImage:
     """Actor-pool stage: payload → fixed-size feature vector.
 
-    Payloads sniffed as PPM (``P6``) or BMP (``BM``) are decoded FOR REAL
-    with the pure-numpy parsers above; features are [mean R, mean G,
-    mean B] / 255 followed by a (feature_dim - 3)-bin grayscale histogram
-    (fractions) — fully deterministic from the pixels. Other formats
-    (JPEG/PNG/...) need codec libraries this container lacks: they raise
+    Payloads sniffed as PPM (``P6``), BMP (``BM``) or PNG (signature)
+    are decoded FOR REAL — PPM/BMP with the pure-numpy parsers above,
+    PNG with the stdlib-zlib decoder shared with pipelines/graphs.py
+    (8-bit, all five filters); features are [mean R, mean G, mean B]
+    / 255 followed by a (feature_dim - 3)-bin grayscale histogram
+    (fractions) — fully deterministic from the pixels. Formats that
+    genuinely need external codecs (JPEG class) raise
     ``NotImplementedError`` unless ``fake_decoder=True`` supplies the
     deterministic payload-hash stand-in.
     """
@@ -244,14 +265,13 @@ class DecodeImage:
         return f
 
     def _decode_one(self, payload: bytes) -> np.ndarray:
-        if payload[:2] == b"P6":
-            return self._features_from_pixels(decode_ppm(payload))
-        if payload[:2] == b"BM":
-            return self._features_from_pixels(decode_bmp(payload))
+        px = decode_image_payload(payload)
+        if px is not None:
+            return self._features_from_pixels(px)
         if not self.fake:
             raise NotImplementedError(
-                "compressed-image decode requires a codec library not "
-                "present in this container; construct "
+                "compressed-image decode (JPEG class) requires a codec "
+                "library not present in this container; construct "
                 "DecodeImage(fake_decoder=True) for the deterministic "
                 "stand-in")
         rng = np.random.default_rng(_payload_seed(payload) % (2 ** 63))
@@ -425,19 +445,20 @@ class ResizeImage:
         self.fake = fake_decoder
 
     def _thumb_one(self, payload: bytes) -> np.ndarray:
-        if payload[:2] == b"P6":
-            px = decode_ppm(payload)
-        elif payload[:2] == b"BM":
-            px = decode_bmp(payload)
-        elif self.fake:
-            rng = np.random.default_rng(_payload_seed(payload) % (2 ** 63))
-            px = rng.integers(0, 256, size=(self.max_side, self.max_side,
-                                            3), dtype=np.uint8)
-        else:
-            raise NotImplementedError(
-                "compressed-image decode requires a codec library not "
-                "present in this container; construct "
-                "ResizeImage(fake_decoder=True) for the stand-in")
+        px = decode_image_payload(payload)
+        if px is None:
+            if self.fake:
+                rng = np.random.default_rng(
+                    _payload_seed(payload) % (2 ** 63))
+                px = rng.integers(0, 256,
+                                  size=(self.max_side, self.max_side, 3),
+                                  dtype=np.uint8)
+            else:
+                raise NotImplementedError(
+                    "compressed-image decode (JPEG class) requires a "
+                    "codec library not present in this container; "
+                    "construct ResizeImage(fake_decoder=True) for the "
+                    "stand-in")
         h, w = px.shape[:2]
         scale = max(h, w) / self.max_side
         if scale > 1.0:
@@ -501,17 +522,16 @@ class DHashImage:
         self.fake = fake_decoder
 
     def _px_one(self, payload: bytes) -> np.ndarray:
-        if payload[:2] == b"P6":
-            return decode_ppm(payload)
-        if payload[:2] == b"BM":
-            return decode_bmp(payload)
+        px = decode_image_payload(payload)
+        if px is not None:
+            return px
         if self.fake:
             rng = np.random.default_rng(_payload_seed(payload) % (2 ** 63))
             return rng.integers(0, 256, size=(8, 9, 3), dtype=np.uint8)
         raise NotImplementedError(
-            "compressed-image decode requires a codec library not present "
-            "in this container; construct DHashImage(fake_decoder=True) "
-            "for the stand-in")
+            "compressed-image decode (JPEG class) requires a codec "
+            "library not present in this container; construct "
+            "DHashImage(fake_decoder=True) for the stand-in")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, hashes = [], []

@@ -25,23 +25,26 @@ import ray
 import ray.data as rd
 
 from webalizer_ray.stages.ann import _normalize
+from webalizer_ray.stages.vecops import ids_from_column, mat_from_column
 
 
 def quantize_int8(ds: rd.Dataset, id_col: str = "vec_id",
                   vec_col: str = "embedding") -> rd.Dataset:
     """→ (id_col, q_vec list<int8>, scale float64): per-vector
     symmetric quantization of the L2-normalized vector."""
-    def qbatch(df: pd.DataFrame) -> pa.Table:
-        m = _normalize(np.stack(df[vec_col].to_numpy()).astype(np.float64))
+    def qbatch(batch: pa.Table) -> pa.Table:
+        m = _normalize(mat_from_column(batch[vec_col]))
         s = np.maximum(np.abs(m).max(axis=1) / 127.0, 1e-12)
         q = np.rint(m / s[:, None]).astype(np.int8)
+        n, d = q.shape
         return pa.table({
-            id_col: pa.array(df[id_col].to_numpy()),
-            "q_vec": pa.array(list(q), type=pa.list_(pa.int8())),
+            id_col: batch[id_col],
+            "q_vec": pa.FixedSizeListArray.from_arrays(
+                pa.array(q.reshape(-1)), d).cast(pa.list_(pa.int8())),
             "scale": pa.array(s, pa.float64()),
         })
 
-    return ds.map_batches(qbatch, batch_format="pandas")
+    return ds.map_batches(qbatch, batch_format="pyarrow")
 
 
 def int8_topk(qds: rd.Dataset, queries: np.ndarray, k: int = 5,
@@ -51,12 +54,12 @@ def int8_topk(qds: rd.Dataset, queries: np.ndarray, k: int = 5,
     qn = _normalize(np.asarray(queries, dtype=np.float64))
     q_ref = ray.put(qn)
 
-    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+    def local_topk(batch: pa.Table) -> pd.DataFrame:
         q = ray.get(q_ref)
-        mat = np.stack(df["q_vec"].to_numpy()).astype(np.float64)
-        s = df["scale"].to_numpy(np.float64)
+        mat = mat_from_column(batch["q_vec"])
+        s = np.asarray(batch["scale"], dtype=np.float64)
         sims = np.round((q @ mat.T) * s[None, :], 9)
-        ids = df[id_col].to_numpy()
+        ids = ids_from_column(batch[id_col])
         nq, nb = sims.shape
         kk = min(k, nb)
         part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
@@ -66,7 +69,7 @@ def int8_topk(qds: rd.Dataset, queries: np.ndarray, k: int = 5,
                              id_col: ids[cols],
                              "cosine": sims[rows, cols]})
 
-    partials = qds.map_batches(local_topk, batch_format="pandas") \
+    partials = qds.map_batches(local_topk, batch_format="pyarrow") \
         .to_pandas()
     partials = partials.sort_values(
         ["query_id", "cosine", id_col], ascending=[True, False, True],
@@ -135,21 +138,22 @@ def pq_encode(ds: rd.Dataset, codebooks: np.ndarray,
     bytes of the float32 input at m=8 over 64 float dims."""
     cb_ref = ray.put(codebooks)
 
-    def encode(df: pd.DataFrame) -> pa.Table:
+    def encode(batch: pa.Table) -> pa.Table:
         cb = ray.get(cb_ref)              # (m, ks, dsub)
         mm, ks, dsub = cb.shape
-        x = _normalize(np.stack(df[vec_col].to_numpy())
-                       .astype(np.float64))
+        x = _normalize(mat_from_column(batch[vec_col]))
         codes = np.empty((len(x), mm), np.uint8)
         for j in range(mm):
             sub = x[:, j * dsub:(j + 1) * dsub]
             dist = ((sub[:, None, :] - cb[j][None, :, :]) ** 2).sum(-1)
             codes[:, j] = np.argmin(dist, axis=1).astype(np.uint8)
         return pa.table({
-            id_col: pa.array(df[id_col].to_numpy()),
-            "codes": pa.array(list(codes), type=pa.list_(pa.uint8()))})
+            id_col: batch[id_col],
+            "codes": pa.FixedSizeListArray.from_arrays(
+                pa.array(codes.reshape(-1)), mm)
+                .cast(pa.list_(pa.uint8()))})
 
-    return ds.map_batches(encode, batch_format="pandas")
+    return ds.map_batches(encode, batch_format="pyarrow")
 
 
 def pq_topk(codes_ds: rd.Dataset, codebooks: np.ndarray,
@@ -166,10 +170,10 @@ def pq_topk(codes_ds: rd.Dataset, codebooks: np.ndarray,
     lut_ref = ray.put(lut)
     cols_j = np.arange(mm)
 
-    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+    def local_topk(batch: pa.Table) -> pd.DataFrame:
         lt = ray.get(lut_ref)
-        codes = np.stack(df["codes"].to_numpy()).astype(np.int64)
-        ids = df[id_col].to_numpy()
+        codes = mat_from_column(batch["codes"], dtype=np.int64)
+        ids = ids_from_column(batch[id_col])
         nq = lt.shape[0]
         outs = []
         for qi in range(nq):
@@ -181,7 +185,7 @@ def pq_topk(codes_ds: rd.Dataset, codebooks: np.ndarray,
                 id_col: ids[part], "cosine": sims[part]}))
         return pd.concat(outs, ignore_index=True)
 
-    partials = codes_ds.map_batches(local_topk, batch_format="pandas") \
+    partials = codes_ds.map_batches(local_topk, batch_format="pyarrow") \
         .to_pandas()
     partials = partials.sort_values(
         ["query_id", "cosine", id_col], ascending=[True, False, True],

@@ -90,8 +90,15 @@ def als_fit(ratings: rd.Dataset, k: int = 8, iters: int = 3,
 
     by_user = ratings.map_batches(bucketed,
                                   batch_format="pandas").materialize()
-    items = np.sort(by_user.groupby("item").count().to_pandas()["item"]
-                    .to_numpy(np.int64))
+    # distinct items via the two-phase combiner, NOT Dataset.groupby:
+    # the naive sort-groupby spreads 600k rows over ~200 near-empty
+    # partitions and cost 33 s of the query's 40 s at sf0.1 (r3 bench
+    # audit); reduce_sink pre-combines per batch and does the same
+    # reduce in ~1 s. Items are the bounded broadcast dimension.
+    from webalizer_ray.stages.aggregate import reduce_sink
+    items = np.sort(
+        reduce_sink(by_user, ["item"], {"_n": ("item", "size")})
+        .to_pandas()["item"].to_numpy(np.int64))
     vidx = pd.Index(items)
     vmat = _hash_init(items, k)
 

@@ -44,11 +44,13 @@ import shutil
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray
 import ray.data as rd
 
 from webalizer_ray.stages import ann
+from webalizer_ray.stages.vecops import ids_from_column, mat_from_column
 
 VERSION = 1
 
@@ -67,21 +69,20 @@ def build(ds: rd.Dataset, index_dir: str, n_clusters: int = 8,
                            id_col=id_col, vec_col=vec_col)
     cents_ref = ray.put(cents)
 
-    def assign(df: pd.DataFrame) -> pd.DataFrame:
+    def assign(batch: pa.Table) -> pa.Table:
         c = ray.get(cents_ref)
-        m = ann._normalize(np.stack(df[vec_col].to_numpy())
-                           .astype(np.float64))
+        m = ann._normalize(mat_from_column(batch[vec_col]))
         # round before argmax so the cell choice cannot flip between
         # engines / BLAS builds on a hairline tie
         sims = np.round(m @ c.T, 9)
-        out = df[[id_col, vec_col]].copy()
-        out["cell"] = np.argmax(sims, axis=1).astype(np.int32)
-        return out
+        return pa.table({
+            id_col: batch[id_col], vec_col: batch[vec_col],
+            "cell": pa.array(np.argmax(sims, axis=1).astype(np.int32))})
 
     staging = f"{index_dir}.staging-{os.getpid()}"
     shutil.rmtree(staging, ignore_errors=True)
     os.makedirs(staging, exist_ok=True)
-    ds.map_batches(assign, batch_format="pandas") \
+    ds.map_batches(assign, batch_format="pyarrow") \
         .write_parquet(staging, partition_cols=["cell"])
 
     with open(os.path.join(staging, "_centroids.npy"), "wb") as f:

@@ -1,0 +1,80 @@
+"""Zero-copy Arrow → numpy matrix extraction for embedding columns.
+
+Every ANN / k-means / near-dup stage needs the batch's ``list<float>``
+embedding column as an (n, d) float matrix. The pandas route
+(``np.stack(df[col].to_numpy())``) materializes a Python object array
+and copies every row — measurable overhead on 100 TB of embeddings
+(VERDICT r2 item 3). The Arrow route reads the list array's contiguous
+values buffer and reshapes: zero-copy for non-null fixed-width lists,
+one dtype cast at most.
+
+Handles: FixedSizeList, List/LargeList with uniform row widths
+(the Parquet reality for embedding columns), Ray's ArrowTensorArray
+extension type, sliced arrays (non-zero offsets), and — as a correct
+slow path — ragged lists via per-row stacking.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _chunk_matrix(ch: pa.Array, dtype) -> np.ndarray:
+    t = ch.type
+    # Ray tensor extension array → ndarray directly
+    if isinstance(t, pa.ExtensionType):
+        out = ch.to_numpy(zero_copy_only=False)
+        if out.dtype == object:
+            out = np.stack(out)
+        return np.asarray(out, dtype=dtype)
+    if pa.types.is_fixed_size_list(t):
+        d = t.list_size
+        v = ch.values.to_numpy(zero_copy_only=False)
+        v = v[ch.offset * d:(ch.offset + len(ch)) * d]
+        return np.asarray(v, dtype=dtype).reshape(len(ch), d)
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        offs = ch.offsets.to_numpy(zero_copy_only=False)
+        widths = np.diff(offs)
+        if len(widths) == 0:
+            return np.empty((0, 0), dtype=dtype)
+        d = int(widths[0])
+        if (widths == d).all():
+            v = ch.values.to_numpy(zero_copy_only=False)
+            return np.asarray(v[offs[0]:offs[-1]],
+                              dtype=dtype).reshape(len(ch), d)
+        # ragged: correct slow path
+        return np.stack([np.asarray(x, dtype=dtype)
+                         for x in ch.to_pylist()])
+    raise TypeError(f"not a vector column type: {t}")
+
+
+def mat_from_column(col, dtype=np.float64) -> np.ndarray:
+    """(n, d) matrix from an Arrow (Chunked)Array of list<float> —
+    zero-copy from the values buffer wherever the layout allows.
+
+    Also accepts a pandas Series / numpy object array of per-row
+    vectors (the legacy route) so call sites can switch batch formats
+    independently.
+    """
+    if isinstance(col, pa.ChunkedArray):
+        chunks = [c for c in col.chunks if len(c)]
+        if not chunks:
+            return np.empty((0, 0), dtype=dtype)
+        mats = [_chunk_matrix(c, dtype) for c in chunks]
+        return mats[0] if len(mats) == 1 else np.vstack(mats)
+    if isinstance(col, pa.Array):
+        return _chunk_matrix(col, dtype)
+    # pandas Series / object ndarray fallback
+    arr = col.to_numpy() if hasattr(col, "to_numpy") else np.asarray(col)
+    if len(arr) == 0:
+        return np.empty((0, 0), dtype=dtype)
+    return np.stack(arr).astype(dtype, copy=False)
+
+
+def ids_from_column(col, dtype=np.int64) -> np.ndarray:
+    """Flat numpy id array from an Arrow (Chunked)Array or pandas col."""
+    if isinstance(col, (pa.ChunkedArray, pa.Array)):
+        return np.asarray(col, dtype=dtype)
+    arr = col.to_numpy() if hasattr(col, "to_numpy") else np.asarray(col)
+    return np.asarray(arr, dtype=dtype)
