@@ -156,12 +156,46 @@ class PipelineConfig:
     #: becoming the straggler that gates the whole pass.
     bucket_split_target_bytes: int = 24 * 2**20
 
+    # --- report cosmetics (webalizer.conf Color* / GroupShading /
+    #     GroupHighlight analogs; SURVEY §2.10, output.c/graphs.c) ------
+    #: Graph series colors, "#RRGGBB" — ColorHit / ColorFile /
+    #: ColorPage / ColorVisit / ColorSite / ColorKbyte analogs
+    #: (graphs.c palette; defaults match the reference's libgd colors).
+    color_hit: str = "#00805c"
+    color_file: str = "#0000ff"
+    color_page: str = "#00c0c0"
+    color_session: str = "#ffd000"
+    color_conv: str = "#ff8000"
+    color_value: str = "#ff0000"
+    #: GroupShading analog: shade grouped rows in the HTML report.
+    group_shading: bool = True
+    #: GroupHighlight analog: render grouped rows bold.
+    group_highlight: bool = True
+    #: GroupShading fill ("#RRGGBB") when group_shading is on.
+    group_shade_color: str = "#d0d0e0"
+
+    def graph_palette(self) -> dict:
+        """{series: (r, g, b)} for pipelines/graphs.py from the Color*
+        knobs; raises on malformed hex (config errors fail loudly)."""
+        def rgb(hexs: str) -> tuple:
+            h = hexs.lstrip("#")
+            if len(h) != 6:
+                raise ValueError(f"bad color {hexs!r} (want #RRGGBB)")
+            return tuple(int(h[i:i + 2], 16) for i in (0, 2, 4))
+        return {"hits": rgb(self.color_hit),
+                "files": rgb(self.color_file),
+                "pages": rgb(self.color_page),
+                "sess": rgb(self.color_session),
+                "convs": rgb(self.color_conv),
+                "kb": rgb(self.color_value)}
+
     def __post_init__(self):
         if self.strict_seq and self.fold_seq:
             raise ValueError("strict_seq and fold_seq are mutually "
                              "exclusive out-of-sequence policies")
         if not 0 <= self.mangle_level <= 4:
             raise ValueError("mangle_level must be in 0..4")
+        self.graph_palette()   # validate Color* hex up front
 
 
 DEFAULT_CONFIG = PipelineConfig()

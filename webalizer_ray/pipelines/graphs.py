@@ -281,54 +281,71 @@ def _col(df: pd.DataFrame, name: str, n: int,
     return out
 
 
-def daily_usage_graph(daily: pd.DataFrame) -> np.ndarray:
+def _palette(colors: dict | None) -> dict:
+    """Series → RGB, defaulting to the reference libgd palette; callers
+    pass PipelineConfig.graph_palette() to honor the Color* knobs."""
+    base = {"hits": C_HITS, "files": C_FILES, "pages": C_PAGES,
+            "sess": C_SESS, "convs": C_CONVS, "kb": C_KB}
+    if colors:
+        base.update(colors)
+    return base
+
+
+def daily_usage_graph(daily: pd.DataFrame,
+                      colors: dict | None = None) -> np.ndarray:
     """`month_graph6()` analog: 31 day slots, hits/files/pages band,
     sessions/convs band, kb band. ``daily.date`` is 'YYYY-MM-DD'."""
+    c = _palette(colors)
     n = 31
     idx = (daily["date"].str.slice(8, 10).astype(int).to_numpy() - 1
            if len(daily) else np.array([], np.int64))
     return _bar_graph(n, [
-        [(_col(daily, "hits", n, idx), C_HITS),
-         (_col(daily, "files", n, idx), C_FILES),
-         (_col(daily, "pages", n, idx), C_PAGES)],
-        [(_col(daily, "sessions", n, idx), C_SESS),
-         (_col(daily, "convs", n, idx), C_CONVS)],
-        [(_col(daily, "kb", n, idx), C_KB)],
+        [(_col(daily, "hits", n, idx), c["hits"]),
+         (_col(daily, "files", n, idx), c["files"]),
+         (_col(daily, "pages", n, idx), c["pages"])],
+        [(_col(daily, "sessions", n, idx), c["sess"]),
+         (_col(daily, "convs", n, idx), c["convs"])],
+        [(_col(daily, "kb", n, idx), c["kb"])],
     ])
 
 
-def hourly_usage_graph(hourly: pd.DataFrame) -> np.ndarray:
+def hourly_usage_graph(hourly: pd.DataFrame,
+                       colors: dict | None = None) -> np.ndarray:
     """`day_graph3()` analog: 24 hour slots, hits/files/pages + kb."""
+    c = _palette(colors)
     n = 24
     idx = (hourly["hour"].astype(int).to_numpy()
            if len(hourly) else np.array([], np.int64))
     return _bar_graph(n, [
-        [(_col(hourly, "hits", n, idx), C_HITS),
-         (_col(hourly, "files", n, idx), C_FILES),
-         (_col(hourly, "pages", n, idx), C_PAGES)],
-        [(_col(hourly, "kb", n, idx), C_KB)],
+        [(_col(hourly, "hits", n, idx), c["hits"]),
+         (_col(hourly, "files", n, idx), c["files"]),
+         (_col(hourly, "pages", n, idx), c["pages"])],
+        [(_col(hourly, "kb", n, idx), c["kb"])],
     ])
 
 
-def yearly_index_graph(monthly: pd.DataFrame) -> np.ndarray:
+def yearly_index_graph(monthly: pd.DataFrame,
+                       colors: dict | None = None) -> np.ndarray:
     """`year_graph6x()` analog over the monthly sink (up to 12 most
     recent months, slot order = chronological)."""
+    c = _palette(colors)
     m = monthly.sort_values("month", ignore_index=True).tail(12) \
         .reset_index(drop=True) if len(monthly) else monthly
     n = max(len(m), 1)
     return _bar_graph(n, [
-        [(_col(m, "hits", n), C_HITS),
-         (_col(m, "files", n), C_FILES),
-         (_col(m, "pages", n), C_PAGES)],
-        [(_col(m, "sessions", n), C_SESS),
-         (_col(m, "convs", n), C_CONVS)],
-        [(_col(m, "kb", n), C_KB)],
+        [(_col(m, "hits", n), c["hits"]),
+         (_col(m, "files", n), c["files"]),
+         (_col(m, "pages", n), c["pages"])],
+        [(_col(m, "sessions", n), c["sess"]),
+         (_col(m, "convs", n), c["convs"])],
+        [(_col(m, "kb", n), c["kb"])],
     ])
 
 
 def category_pie(per_cat: pd.DataFrame, value_col: str = "hits",
                  key_col: str = "category", top: int = 9,
-                 w: int = 512, h: int = 300) -> np.ndarray:
+                 w: int = 512, h: int = 300,
+                 colors: dict | None = None) -> np.ndarray:
     """`pie_chart()` analog (country pie): top-N slices + 'other',
     drawn as one vectorized angle/radius mask — no per-pixel Python."""
     canvas = np.full((h, w, 3), BG, np.uint8)
@@ -351,8 +368,13 @@ def category_pie(per_cat: pd.DataFrame, value_col: str = "hits",
     ang = np.arctan2(xx - cx, cy - yy)
     t = np.mod(ang, 2 * np.pi) / (2 * np.pi)
     slice_idx = np.searchsorted(cum[:-1], t, side="right")
+    # slice palette honors the Color* knobs for the first six slices
+    # (the reference reuses its series colors for the country pie)
+    c = _palette(colors)
+    pie = [c["hits"], c["files"], c["pages"], c["sess"], c["convs"],
+           c["kb"]] + PIE_COLORS[6:]
     for k in range(len(frac)):
-        canvas[inside & (slice_idx == k)] = PIE_COLORS[k % len(PIE_COLORS)]
+        canvas[inside & (slice_idx == k)] = pie[k % len(pie)]
     return canvas
 
 
@@ -375,12 +397,15 @@ def _write_png_atomic(path: str, rgb: np.ndarray) -> None:
     os.replace(tmp, path)
 
 
-def write_flagship_graphs(out_dir: str) -> dict[str, str]:
+def write_flagship_graphs(out_dir: str,
+                          config=None) -> dict[str, str]:
     """Render every graph whose sink table exists under
     ``out_dir/sinks`` into ``out_dir/graphs``; idempotent (atomic
-    replace), returns {png_name: path}."""
+    replace), returns {png_name: path}. ``config`` (PipelineConfig)
+    supplies the Color* palette knobs."""
     import pyarrow.parquet as pq
 
+    colors = config.graph_palette() if config is not None else None
     sink_dir = os.path.join(out_dir, "sinks")
     gdir = os.path.join(out_dir, "graphs")
     written: dict[str, str] = {}
@@ -388,7 +413,7 @@ def write_flagship_graphs(out_dir: str) -> dict[str, str]:
         p = os.path.join(sink_dir, f"{sink}.parquet")
         if not os.path.exists(p):
             continue
-        rgb = fn(pq.read_table(p).to_pandas())
+        rgb = fn(pq.read_table(p).to_pandas(), colors=colors)
         os.makedirs(gdir, exist_ok=True)
         dest = os.path.join(gdir, png_name)
         _write_png_atomic(dest, rgb)

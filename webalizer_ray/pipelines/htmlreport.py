@@ -31,6 +31,22 @@ text-align:right} td.k{text-align:left} img{border:2px solid #404040;
 margin-bottom:1em}"""
 
 
+def _css(config=None) -> str:
+    """Stylesheet honoring the GroupShading / GroupHighlight /
+    group_shade_color knobs (webalizer.conf analogs; SURVEY §2.10):
+    grouped rows carry class ``g``."""
+    css = _CSS
+    if config is None:
+        return css + " tr.g td{background:#d0d0e0}"
+    rules = []
+    if getattr(config, "group_shading", True):
+        rules.append(
+            f"tr.g td{{background:{config.group_shade_color}}}")
+    if getattr(config, "group_highlight", True):
+        rules.append("tr.g td{font-weight:bold}")
+    return css + (" " + " ".join(rules) if rules else "")
+
+
 def _fmt(v) -> str:
     if isinstance(v, (int, np.integer)):
         return f"{int(v):,}"
@@ -39,25 +55,30 @@ def _fmt(v) -> str:
     return html.escape(str(v))
 
 
-def _table(df: pd.DataFrame, title: str, key_cols=("",)) -> str:
+def _table(df: pd.DataFrame, title: str, key_cols=("",),
+           grouped: bool = False) -> str:
+    """``grouped=True`` marks every row class ``g`` — the GroupShading
+    / GroupHighlight styling hook (grouped rows are the per-group
+    sink's rows in this engine's report)."""
     if df is None or not len(df):
         return ""
     head = "".join(f"<th>{html.escape(str(c))}</th>" for c in df.columns)
+    tr = '<tr class="g">' if grouped else "<tr>"
     rows = []
     for rec in df.itertuples(index=False):
         cells = "".join(
             f'<td class="k">{_fmt(v)}</td>' if c in key_cols
             else f"<td>{_fmt(v)}</td>"
             for c, v in zip(df.columns, rec))
-        rows.append(f"<tr>{cells}</tr>")
+        rows.append(f"{tr}{cells}</tr>")
     return (f"<h2>{html.escape(title)}</h2>\n<table>\n"
             f"<tr>{head}</tr>\n" + "\n".join(rows) + "\n</table>\n")
 
 
-def _page(title: str, body: str) -> str:
+def _page(title: str, body: str, config=None) -> str:
     return (f"<!DOCTYPE html>\n<html><head><meta charset=\"utf-8\">"
             f"<title>{html.escape(title)}</title>"
-            f"<style>{_CSS}</style></head>\n"
+            f"<style>{_css(config)}</style></head>\n"
             f"<body>\n<h1>{html.escape(title)}</h1>\n{body}</body></html>\n")
 
 
@@ -72,7 +93,8 @@ def _top(df: pd.DataFrame, by: str, key: str, n: int) -> tuple[pd.DataFrame,
     return out, len(df)
 
 
-def render_month_page(month: str, sinks: dict, top_n: int = 10) -> str:
+def render_month_page(month: str, sinks: dict, top_n: int = 10,
+                      config=None) -> str:
     """One `usage_YYYYMM.html` analog. Daily rows filter to the month;
     hourly and top-N tables are the run's aggregates (one flagship run
     = one report period, the incremental monthly split lives in the
@@ -108,16 +130,17 @@ def render_month_page(month: str, sinks: dict, top_n: int = 10) -> str:
         top, m = _top(df, by, key, top_n)
         if len(top):
             parts.append(_table(top, f"Top {len(top)} of {m} {title}",
-                                key_cols=(key,)))
+                                key_cols=(key,),
+                                grouped=(sink == "per_grp")))
     pie = '<img src="graphs/ctry_usage.png" alt="category pie">'
     parts.append(pie)
     parts.append(_table(sinks.get("status_hist", pd.DataFrame()),
                         "HTTP Status Codes", key_cols=("status",)))
     return _page(f"Usage Statistics — {month}",
-                 "\n".join(p for p in parts if p))
+                 "\n".join(p for p in parts if p), config)
 
 
-def render_index_page(sinks: dict) -> str:
+def render_index_page(sinks: dict, config=None) -> str:
     """`index.html` analog: the yearly summary table over the monthly
     sink, each month linking its detail page."""
     monthly = sinks.get("monthly", pd.DataFrame())
@@ -137,10 +160,12 @@ def render_index_page(sinks: dict) -> str:
             rows.append("<tr>" + "".join(cells) + "</tr>")
         body.append("<h2>Summary by Month</h2>\n<table>\n"
                     f"<tr>{head}</tr>\n" + "\n".join(rows) + "\n</table>\n")
-    return _page("Usage Statistics — Summary", "\n".join(body))
+    return _page("Usage Statistics — Summary", "\n".join(body),
+                 config)
 
 
-def write_html_report(out_dir: str, top_n: int = 10) -> dict[str, str]:
+def write_html_report(out_dir: str, top_n: int = 10,
+                      config=None) -> dict[str, str]:
     """Compose index.html + one usage_YYYYMM.html per month under
     ``out_dir`` from its parquet sinks; renders the PNG graphs first so
     the <img> references resolve. Idempotent (atomic replace)."""
@@ -156,7 +181,7 @@ def write_html_report(out_dir: str, top_n: int = 10) -> dict[str, str]:
         if f.endswith(".parquet"):
             sinks[f[:-8]] = pq.read_table(
                 os.path.join(sink_dir, f)).to_pandas()
-    write_flagship_graphs(out_dir)
+    write_flagship_graphs(out_dir, config=config)
 
     def _write(name: str, text: str) -> str:
         dest = os.path.join(out_dir, name)
@@ -167,10 +192,11 @@ def write_html_report(out_dir: str, top_n: int = 10) -> dict[str, str]:
         return dest
 
     written = {"index.html": _write("index.html",
-                                    render_index_page(sinks))}
+                                    render_index_page(sinks, config))}
     monthly = sinks.get("monthly", pd.DataFrame())
     for month in (monthly["month"].tolist() if len(monthly) else []):
         name = f"usage_{month.replace('-', '')}.html"
         written[name] = _write(name,
-                               render_month_page(month, sinks, top_n))
+                               render_month_page(month, sinks, top_n,
+                                                 config))
     return written

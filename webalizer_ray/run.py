@@ -191,9 +191,13 @@ def cmd_graphs(args) -> int:
 def cmd_html_report(args) -> int:
     """Compose the static HTML report tree (index.html + one
     usage_YYYYMM.html per month, PNG graphs embedded) from a flagship
-    output directory's sinks — driver-side, no Ray session."""
+    output directory's sinks — driver-side, no Ray session. The
+    Color* / GroupShading / GroupHighlight knobs come from --config /
+    --set (webalizer.conf cosmetics analogs)."""
     from webalizer_ray.pipelines.htmlreport import write_html_report
-    written = write_html_report(args.out, top_n=args.top_n)
+    cfg = load_config(getattr(args, "config", None),
+                      getattr(args, "set", None) or [])
+    written = write_html_report(args.out, top_n=args.top_n, config=cfg)
     print(json.dumps({"out": args.out, "pages": sorted(written.keys())}))
     return 0
 
@@ -432,6 +436,29 @@ def cmd_lookup(args) -> int:
     elif args.op == "export":
         df.to_csv(args.value or "/dev/stdout", index=False)
         return 0
+    elif args.op == "import":
+        # wcmgr import analog: bulk-load (key, value) records from a
+        # CSV or Parquet file; imported entries win over existing ones
+        # (same last-writer rule as ``add``), each stamped now.
+        src = args.key
+        inc = (pq.read_table(src).to_pandas()
+               if src.endswith(".parquet") else pd.read_csv(src))
+        cols = list(inc.columns)
+        if key in cols and val in cols:
+            inc = inc[[key, val]]
+        elif len(cols) >= 2:
+            inc = inc[cols[:2]]
+            inc.columns = [key, val]
+        else:
+            raise SystemExit(
+                f"import: {src} needs ({key},{val}) or two columns")
+        inc = inc.dropna().astype(str).drop_duplicates(key, keep="last")
+        if "ts" not in df.columns:
+            df["ts"] = np.nan
+        df = df[~df[key].isin(inc[key])]
+        inc["ts"] = _time.time()
+        df = pd.concat([df, inc], ignore_index=True) \
+            .sort_values(key, ignore_index=True)
     elif args.op == "prefill":
         # DNS-resolver PRE-PASS analog (SURVEY §3.2, `webalizer -N10 -D
         # cache.db`): scan the turns store for distinct keys the lookup
@@ -546,6 +573,10 @@ def build_parser() -> argparse.ArgumentParser:
     hr.add_argument("--out", required=True,
                     help="flagship output dir (reads <out>/sinks)")
     hr.add_argument("--top-n", type=int, default=10, dest="top_n")
+    hr.add_argument("--config", default=None,
+                    help="JSON config file (Color*/GroupShading knobs)")
+    hr.add_argument("--set", action="append", default=None,
+                    help="config override key=value (repeatable)")
     hr.set_defaults(fn=cmd_html_report)
 
     se = sub.add_parser("search", help="BM25 keyword search over a "
@@ -622,12 +653,13 @@ def build_parser() -> argparse.ArgumentParser:
     lk = sub.add_parser("lookup", help="manage enrichment lookup tables "
                                        "(wcmgr analog)")
     lk.add_argument("op", choices=["list", "add", "del", "purge",
-                               "export", "prefill"])
+                               "export", "import", "prefill"])
     lk.add_argument("table", help="path to tool_categories.parquet / "
                                   "role_groups.parquet")
     lk.add_argument("key", nargs="?",
-                    help="entry key (add/del), TTL seconds (purge), or "
-                         "fixture dir holding turns/ (prefill)")
+                    help="entry key (add/del), TTL seconds (purge), "
+                         "CSV/Parquet path (import), or fixture dir "
+                         "holding turns/ (prefill)")
     lk.add_argument("value", nargs="?")
     lk.add_argument("--num-cpus", type=int, default=None, dest="num_cpus")
     lk.set_defaults(fn=cmd_lookup)
