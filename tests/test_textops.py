@@ -310,3 +310,21 @@ def test_doc_length_quartiles_hand(ray_session, tmp_path):
     out = REGISTRY["doc_length_quartiles_by_lang"][0](d)
     r = out.iloc[0]
     assert (r.q1, r.q2, r.q3) == (2, 4, 6)
+
+
+def test_fingerprint_pinned_hash_values():
+    """Pinned-hash fixture (VERDICT r2 item 7): fingerprint_docs is
+    rows-only because pandas' SipHash is not SQL-replicable — so the
+    exact uint64 values are pinned HERE instead. A change in the hash
+    function, key, or normalization breaks this test loudly."""
+    import pandas as pd
+
+    from webalizer_ray.stages.textstats import add_fingerprint
+
+    df = pd.DataFrame({"text": ["Hello  World", "hello world",
+                                "other doc", ""]})
+    got = list(add_fingerprint(df)["fingerprint"])
+    # case/whitespace normalization: first two collapse to one value
+    assert got[0] == got[1] == 5027403165619942864
+    assert got[2] == 5306129004547066342
+    assert got[3] == 1760245841805064774

@@ -220,7 +220,33 @@ def centroid_confusion(sf_dir: str) -> pd.DataFrame:
                            ignore_index=True)
 
 
-@register("event_periodicity", sql=None)  # FFT — not SQL
+@register("event_periodicity", sql="""
+WITH b AS (SELECT epoch_us(ts) // 3600000000 AS bucket,
+                  CAST(COUNT(*) AS DOUBLE) AS n
+           FROM events GROUP BY 1),
+ext AS (SELECT MIN(bucket) AS lo, MAX(bucket) AS hi,
+               CAST(MAX(bucket) - MIN(bucket) + 1 AS DOUBLE) AS nn
+        FROM b),
+t AS (SELECT u.t,
+             COALESCE(b.n, 0) - (SELECT SUM(n) FROM b)
+                 / (SELECT nn FROM ext) AS x
+      FROM (SELECT unnest(range(0, (SELECT CAST(nn AS BIGINT)
+                                    FROM ext))) AS t) u
+      LEFT JOIN b ON b.bucket = (SELECT lo FROM ext) + u.t),
+ks AS (SELECT unnest(range(1, (SELECT CAST(nn AS BIGINT) FROM ext)
+                              // 2 + 1)) AS k),
+pw AS (SELECT ks.k,
+              POWER(SUM(t.x * COS(2 * PI() * ks.k * t.t
+                                  / (SELECT nn FROM ext))), 2)
+            + POWER(SUM(t.x * SIN(2 * PI() * ks.k * t.t
+                                  / (SELECT nn FROM ext))), 2) AS p
+       FROM ks CROSS JOIN t GROUP BY ks.k),
+pick AS (SELECT k, p FROM pw ORDER BY p DESC, k LIMIT 1)
+SELECT ROUND((SELECT nn FROM ext) / (SELECT k FROM pick), 4)
+           AS dominant_period_hours,
+       ROUND((SELECT p FROM pick) / (SELECT SUM(p) FROM pw), 6)
+           AS power_share,
+       (SELECT CAST(nn AS BIGINT) FROM ext) AS series_hours""")
 def event_periodicity(sf_dir: str) -> pd.DataFrame:
     """Seasonality detection: dominant period of the event-arrival
     series (the diurnal/weekly-pattern check every traffic report
@@ -229,7 +255,9 @@ def event_periodicity(sf_dir: str) -> pd.DataFrame:
     the series is a few hundred points per month regardless of corpus
     size); the periodogram (mean-detrended rFFT) runs on that tiny
     series driver-side. Returns the dominant period in hours and its
-    share of non-DC spectral power."""
+    share of non-DC spectral power. Oracle: the direct DFT sums
+    SUM(x·cos)² + SUM(x·sin)² per bin in SQL — algebraically equal to
+    |rfft|², associativity noise far below the 6 dp rounding."""
     ds = _events(sf_dir, ["ts"])
 
     def partial(t: pa.Table) -> pd.DataFrame:
@@ -264,7 +292,10 @@ def embedding_pca_spectrum(sf_dir: str) -> pd.DataFrame:
     """PCA spectrum + whitening check for the embedding table (the
     retrieval-pipeline preprocessing of Jégou & Chum 2012): covariance
     from ONE streaming pass of (Σx, Σxxᵀ, n) moment partials — nothing
-    bigger than d² floats per block shuffles — eigendecomposition on
+    bigger than d² floats per block shuffles. Rows-only: the
+    eigendecomposition has no SQL equivalent; test_whiten pins the
+    spectrum against numpy.linalg.eigh on the gathered matrix and the
+    whitened covariance ≈ identity. Eigendecomposition runs on
     the driver, then a stateless whitening matmul pass whose output
     covariance the query verifies is the identity (per-dim variance
     reported, must be ~1)."""
@@ -1030,13 +1061,51 @@ REGISTRY["bm25_search_index_appended"] = (bm25_search_index_appended,
                                           REGISTRY["bm25_search"][1])
 
 
-@register("mmr_diverse_topk", sql=None)  # greedy iterative — not SQL
+@register("mmr_diverse_topk", sql="""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id = 0),
+pool AS (SELECT e.vec_id,
+                ROUND(list_cosine_similarity(
+                    CAST(e.embedding AS DOUBLE[]), q.qe), 9) AS rel,
+                CAST(e.embedding AS DOUBLE[]) AS emb
+         FROM embeddings e CROSS JOIN q
+         ORDER BY rel DESC, e.vec_id LIMIT 50),
+p1 AS (SELECT vec_id, rel, emb FROM pool
+       ORDER BY ROUND(0.7 * rel, 9) DESC, vec_id LIMIT 1),
+p2 AS (SELECT c.vec_id, c.rel, c.emb FROM pool c
+       WHERE c.vec_id NOT IN (SELECT vec_id FROM p1)
+       ORDER BY ROUND(0.7 * c.rel - 0.3 * (
+           SELECT MAX(ROUND(list_cosine_similarity(c.emb, s.emb), 9))
+           FROM (SELECT vec_id, emb FROM p1) s), 9) DESC, c.vec_id LIMIT 1),
+p3 AS (SELECT c.vec_id, c.rel, c.emb FROM pool c
+       WHERE c.vec_id NOT IN (SELECT vec_id FROM p1 UNION ALL SELECT vec_id FROM p2)
+       ORDER BY ROUND(0.7 * c.rel - 0.3 * (
+           SELECT MAX(ROUND(list_cosine_similarity(c.emb, s.emb), 9))
+           FROM (SELECT vec_id, emb FROM p1 UNION ALL SELECT vec_id, emb FROM p2) s), 9) DESC, c.vec_id LIMIT 1),
+p4 AS (SELECT c.vec_id, c.rel, c.emb FROM pool c
+       WHERE c.vec_id NOT IN (SELECT vec_id FROM p1 UNION ALL SELECT vec_id FROM p2 UNION ALL SELECT vec_id FROM p3)
+       ORDER BY ROUND(0.7 * c.rel - 0.3 * (
+           SELECT MAX(ROUND(list_cosine_similarity(c.emb, s.emb), 9))
+           FROM (SELECT vec_id, emb FROM p1 UNION ALL SELECT vec_id, emb FROM p2 UNION ALL SELECT vec_id, emb FROM p3) s), 9) DESC, c.vec_id LIMIT 1),
+p5 AS (SELECT c.vec_id, c.rel, c.emb FROM pool c
+       WHERE c.vec_id NOT IN (SELECT vec_id FROM p1 UNION ALL SELECT vec_id FROM p2 UNION ALL SELECT vec_id FROM p3 UNION ALL SELECT vec_id FROM p4)
+       ORDER BY ROUND(0.7 * c.rel - 0.3 * (
+           SELECT MAX(ROUND(list_cosine_similarity(c.emb, s.emb), 9))
+           FROM (SELECT vec_id, emb FROM p1 UNION ALL SELECT vec_id, emb FROM p2 UNION ALL SELECT vec_id, emb FROM p3 UNION ALL SELECT vec_id, emb FROM p4) s), 9) DESC, c.vec_id LIMIT 1)
+SELECT vec_id, ROUND(rel, 6) AS relevance,
+       CAST(rank AS BIGINT) AS rank FROM (
+SELECT vec_id, rel, 1 AS rank FROM p1 UNION ALL SELECT vec_id, rel, 2 AS rank FROM p2 UNION ALL SELECT vec_id, rel, 3 AS rank FROM p3 UNION ALL SELECT vec_id, rel, 4 AS rank FROM p4 UNION ALL SELECT vec_id, rel, 5 AS rank FROM p5
+) ORDER BY rank""")
 def mmr_diverse_topk(sf_dir: str) -> pd.DataFrame:
     """Diversity-aware retrieval (Maximal Marginal Relevance, SIGIR'98
     — the dedup-at-serving-time counterpart of the corpus dedup ops):
     distributed relevance top-pool partials feed a driver-side greedy
-    loop over the tiny pool. Rows-only; pytest proves λ=1 reduces to
-    plain top-k and that a planted near-duplicate is demoted."""
+    loop over the tiny pool. Oracle: the k=5 greedy unrolled as five
+    chained CTEs (argmax of 0.7·rel − 0.3·max-sim-to-chosen, ties by
+    id) over the same top-50 pool via list_cosine_similarity — an
+    independent SQL replay of the exact selection. pytest additionally
+    proves λ=1 reduces to plain top-k and a planted near-duplicate is
+    demoted."""
     from webalizer_ray.stages.ann import mmr_select
 
     tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
@@ -1050,7 +1119,10 @@ def mmr_diverse_topk(sf_dir: str) -> pd.DataFrame:
 
 @register("incremental_fuzzy_dedup_counts", sql=None)  # MinHash — not SQL
 def incremental_fuzzy_dedup_counts(sf_dir: str) -> pd.DataFrame:
-    """Cross-run FUZZY dedup (near-dup corpus refresh): run A feeds
+    """Cross-run FUZZY dedup (near-dup corpus refresh). Rows-only:
+    candidates come from SipHash'd MinHash band collisions (not
+    SQL-replicable); test_incremental_fuzzy pins planted-dup drops,
+    idempotent same-run reruns, and exact-refeed knockout. Run A feeds
     the first 60% of the corpus; run B feeds the rest plus 15 planted
     light edits of run-A docs. The band/signature stores persist
     between runs (idempotent run-tagged files — a rerun of the same

@@ -2383,7 +2383,9 @@ def usage_graphs_meta(sf_dir: str) -> pd.DataFrame:
     """S10 end to end: renders the four usage PNGs (graphs.c analogs —
     daily/hourly/yearly bars + category pie) from event aggregates and
     returns one deterministic fingerprint row per graph (dimensions,
-    CRC32 of the encoded bytes, ink pixel count). The aggregates are
+    CRC32 of the encoded bytes, ink pixel count). Rows-only: PNG
+    encoding is byte-level work no SQL reproduces; test_graphs pins
+    pixel-exact round-trips and deterministic renders. The aggregates are
     the cluster work (pruned reads, partial-combine reduces); rendering
     is a driver-side O(KB) finishing step over ≤31/24/12-row tables."""
     import zlib
