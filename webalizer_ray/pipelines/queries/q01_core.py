@@ -4262,14 +4262,45 @@ def auc_value_purchase(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"auc": [float(textstats.round_half_away(auc, 6))]})
 
 
-@register("ann_topk_int8", sql=None)  # int8 rounding — not SQL-exact
+@register("ann_topk_int8", sql="""
+WITH dims AS (SELECT unnest(range(1, 1 + len(
+                  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                   LIMIT 1)))) AS i),
+long AS (SELECT e.vec_id, d.i,
+                CAST(embedding AS DOUBLE[])[d.i] AS v
+         FROM embeddings e CROSS JOIN dims d),
+nrm AS (SELECT vec_id, GREATEST(SQRT(SUM(v * v)), 1e-12) AS nv
+        FROM long GROUP BY vec_id),
+vn AS (SELECT l.vec_id, l.i, l.v / n.nv AS v
+       FROM long l JOIN nrm n USING (vec_id)),
+sc AS (SELECT vec_id, GREATEST(MAX(ABS(v)) / 127.0, 1e-12) AS s
+       FROM vn GROUP BY vec_id),
+qv AS (SELECT v.vec_id, v.i, ROUND(v.v / s.s) AS q, s.s
+       FROM vn v JOIN sc s USING (vec_id)),
+ql AS (SELECT vec_id AS query_id, i, v
+       FROM vn WHERE vec_id < 3),
+sims AS (SELECT ql.query_id, qv.vec_id,
+                ROUND(SUM(ql.v * qv.q) * ANY_VALUE(qv.s), 9) AS cosine
+         FROM ql JOIN qv ON ql.i = qv.i
+         GROUP BY ql.query_id, qv.vec_id),
+ranked AS (SELECT query_id, vec_id, cosine,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id) AS rank
+           FROM sims)
+SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine, rank
+FROM ranked WHERE rank <= 5""")
 def ann_topk_int8(sf_dir: str) -> pd.DataFrame:
     """Cosine top-k over the int8-quantized embedding table (the 4×
     smaller representation you would persist at 100 TB): quantize in
     one stateless pass, score per-batch against the broadcast float
-    query matrix, per-batch top-k partials. Rows-only for the driver;
-    pytest asserts the per-component error bound and recall vs the
-    exact float path."""
+    query matrix, per-batch top-k partials. Oracle (r3): the whole
+    quantization replayed in SQL — long-form per-dim explode,
+    normalize, per-vector symmetric scale max|v|/127, ROUND to int8
+    codes, scaled integer dot products — so a quantization-arithmetic
+    bug cannot hide behind the approximation (np.rint half-even vs
+    SQL ROUND half-away differs only on exact .5 quotients, measure
+    zero for real-valued scales). pytest additionally asserts the
+    per-component error bound and recall vs the exact float path."""
     from webalizer_ray.stages.quant import int8_topk, quantize_int8
 
     tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",

@@ -3030,17 +3030,274 @@ def naive_bayes_lang_confusion(sf_dir: str) -> pd.DataFrame:
     return out
 
 
-@register("logreg_purchase_coefs")
+@register("logreg_purchase_coefs", sql="""
+WITH f AS (SELECT CAST(epoch_us(ts) // 3600000000 % 24 AS DOUBLE)
+                      / 24.0 AS x1,
+                  value / 100.0 AS x2,
+                  CASE WHEN event_type = 'purchase'
+                       THEN 1.0 ELSE 0.0 END AS y
+           FROM events),
+w0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2),
+s1 AS (
+  SELECT SUM(y - p) AS g0, SUM((y - p) * x1) AS g1,
+         SUM((y - p) * x2) AS g2,
+         SUM(p * (1 - p)) AS h00,
+         SUM(p * (1 - p) * x1) AS h01,
+         SUM(p * (1 - p) * x2) AS h02,
+         SUM(p * (1 - p) * x1 * x1) AS h11,
+         SUM(p * (1 - p) * x1 * x2) AS h12,
+         SUM(p * (1 - p) * x2 * x2) AS h22
+  FROM (SELECT f.*,
+               1.0 / (1.0 + EXP(-(w.b0 + w.b1 * f.x1 + w.b2 * f.x2)))
+                   AS p
+        FROM f CROSS JOIN w0 w)),
+w1 AS (
+  SELECT w.b0 + ((a11 * a22 - a12 * a12) * g0
+               + (a02 * a12 - a01 * a22) * g1
+               + (a01 * a12 - a02 * a11) * g2) / det AS b0,
+         w.b1 + ((a02 * a12 - a01 * a22) * g0
+               + (a00 * a22 - a02 * a02) * g1
+               + (a01 * a02 - a00 * a12) * g2) / det AS b1,
+         w.b2 + ((a01 * a12 - a02 * a11) * g0
+               + (a01 * a02 - a00 * a12) * g1
+               + (a00 * a11 - a01 * a01) * g2) / det AS b2
+  FROM (SELECT g0, g1, g2,
+               h00 + 1e-9 AS a00, h01 AS a01, h02 AS a02,
+               h11 + 1e-9 AS a11, h12 AS a12, h22 + 1e-9 AS a22,
+               (h00 + 1e-9) * ((h11 + 1e-9) * (h22 + 1e-9) - h12 * h12)
+             - h01 * (h01 * (h22 + 1e-9) - h12 * h02)
+             + h02 * (h01 * h12 - (h11 + 1e-9) * h02) AS det
+        FROM s1) , w0 w),
+s2 AS (
+  SELECT SUM(y - p) AS g0, SUM((y - p) * x1) AS g1,
+         SUM((y - p) * x2) AS g2,
+         SUM(p * (1 - p)) AS h00,
+         SUM(p * (1 - p) * x1) AS h01,
+         SUM(p * (1 - p) * x2) AS h02,
+         SUM(p * (1 - p) * x1 * x1) AS h11,
+         SUM(p * (1 - p) * x1 * x2) AS h12,
+         SUM(p * (1 - p) * x2 * x2) AS h22
+  FROM (SELECT f.*,
+               1.0 / (1.0 + EXP(-(w.b0 + w.b1 * f.x1 + w.b2 * f.x2)))
+                   AS p
+        FROM f CROSS JOIN w1 w)),
+w2 AS (
+  SELECT w.b0 + ((a11 * a22 - a12 * a12) * g0
+               + (a02 * a12 - a01 * a22) * g1
+               + (a01 * a12 - a02 * a11) * g2) / det AS b0,
+         w.b1 + ((a02 * a12 - a01 * a22) * g0
+               + (a00 * a22 - a02 * a02) * g1
+               + (a01 * a02 - a00 * a12) * g2) / det AS b1,
+         w.b2 + ((a01 * a12 - a02 * a11) * g0
+               + (a01 * a02 - a00 * a12) * g1
+               + (a00 * a11 - a01 * a01) * g2) / det AS b2
+  FROM (SELECT g0, g1, g2,
+               h00 + 1e-9 AS a00, h01 AS a01, h02 AS a02,
+               h11 + 1e-9 AS a11, h12 AS a12, h22 + 1e-9 AS a22,
+               (h00 + 1e-9) * ((h11 + 1e-9) * (h22 + 1e-9) - h12 * h12)
+             - h01 * (h01 * (h22 + 1e-9) - h12 * h02)
+             + h02 * (h01 * h12 - (h11 + 1e-9) * h02) AS det
+        FROM s2) , w1 w),
+s3 AS (
+  SELECT SUM(y - p) AS g0, SUM((y - p) * x1) AS g1,
+         SUM((y - p) * x2) AS g2,
+         SUM(p * (1 - p)) AS h00,
+         SUM(p * (1 - p) * x1) AS h01,
+         SUM(p * (1 - p) * x2) AS h02,
+         SUM(p * (1 - p) * x1 * x1) AS h11,
+         SUM(p * (1 - p) * x1 * x2) AS h12,
+         SUM(p * (1 - p) * x2 * x2) AS h22
+  FROM (SELECT f.*,
+               1.0 / (1.0 + EXP(-(w.b0 + w.b1 * f.x1 + w.b2 * f.x2)))
+                   AS p
+        FROM f CROSS JOIN w2 w)),
+w3 AS (
+  SELECT w.b0 + ((a11 * a22 - a12 * a12) * g0
+               + (a02 * a12 - a01 * a22) * g1
+               + (a01 * a12 - a02 * a11) * g2) / det AS b0,
+         w.b1 + ((a02 * a12 - a01 * a22) * g0
+               + (a00 * a22 - a02 * a02) * g1
+               + (a01 * a02 - a00 * a12) * g2) / det AS b1,
+         w.b2 + ((a01 * a12 - a02 * a11) * g0
+               + (a01 * a02 - a00 * a12) * g1
+               + (a00 * a11 - a01 * a01) * g2) / det AS b2
+  FROM (SELECT g0, g1, g2,
+               h00 + 1e-9 AS a00, h01 AS a01, h02 AS a02,
+               h11 + 1e-9 AS a11, h12 AS a12, h22 + 1e-9 AS a22,
+               (h00 + 1e-9) * ((h11 + 1e-9) * (h22 + 1e-9) - h12 * h12)
+             - h01 * (h01 * (h22 + 1e-9) - h12 * h02)
+             + h02 * (h01 * h12 - (h11 + 1e-9) * h02) AS det
+        FROM s3) , w2 w),
+s4 AS (
+  SELECT SUM(y - p) AS g0, SUM((y - p) * x1) AS g1,
+         SUM((y - p) * x2) AS g2,
+         SUM(p * (1 - p)) AS h00,
+         SUM(p * (1 - p) * x1) AS h01,
+         SUM(p * (1 - p) * x2) AS h02,
+         SUM(p * (1 - p) * x1 * x1) AS h11,
+         SUM(p * (1 - p) * x1 * x2) AS h12,
+         SUM(p * (1 - p) * x2 * x2) AS h22
+  FROM (SELECT f.*,
+               1.0 / (1.0 + EXP(-(w.b0 + w.b1 * f.x1 + w.b2 * f.x2)))
+                   AS p
+        FROM f CROSS JOIN w3 w)),
+w4 AS (
+  SELECT w.b0 + ((a11 * a22 - a12 * a12) * g0
+               + (a02 * a12 - a01 * a22) * g1
+               + (a01 * a12 - a02 * a11) * g2) / det AS b0,
+         w.b1 + ((a02 * a12 - a01 * a22) * g0
+               + (a00 * a22 - a02 * a02) * g1
+               + (a01 * a02 - a00 * a12) * g2) / det AS b1,
+         w.b2 + ((a01 * a12 - a02 * a11) * g0
+               + (a01 * a02 - a00 * a12) * g1
+               + (a00 * a11 - a01 * a01) * g2) / det AS b2
+  FROM (SELECT g0, g1, g2,
+               h00 + 1e-9 AS a00, h01 AS a01, h02 AS a02,
+               h11 + 1e-9 AS a11, h12 AS a12, h22 + 1e-9 AS a22,
+               (h00 + 1e-9) * ((h11 + 1e-9) * (h22 + 1e-9) - h12 * h12)
+             - h01 * (h01 * (h22 + 1e-9) - h12 * h02)
+             + h02 * (h01 * h12 - (h11 + 1e-9) * h02) AS det
+        FROM s4) , w3 w),
+s5 AS (
+  SELECT SUM(y - p) AS g0, SUM((y - p) * x1) AS g1,
+         SUM((y - p) * x2) AS g2,
+         SUM(p * (1 - p)) AS h00,
+         SUM(p * (1 - p) * x1) AS h01,
+         SUM(p * (1 - p) * x2) AS h02,
+         SUM(p * (1 - p) * x1 * x1) AS h11,
+         SUM(p * (1 - p) * x1 * x2) AS h12,
+         SUM(p * (1 - p) * x2 * x2) AS h22
+  FROM (SELECT f.*,
+               1.0 / (1.0 + EXP(-(w.b0 + w.b1 * f.x1 + w.b2 * f.x2)))
+                   AS p
+        FROM f CROSS JOIN w4 w)),
+w5 AS (
+  SELECT w.b0 + ((a11 * a22 - a12 * a12) * g0
+               + (a02 * a12 - a01 * a22) * g1
+               + (a01 * a12 - a02 * a11) * g2) / det AS b0,
+         w.b1 + ((a02 * a12 - a01 * a22) * g0
+               + (a00 * a22 - a02 * a02) * g1
+               + (a01 * a02 - a00 * a12) * g2) / det AS b1,
+         w.b2 + ((a01 * a12 - a02 * a11) * g0
+               + (a01 * a02 - a00 * a12) * g1
+               + (a00 * a11 - a01 * a01) * g2) / det AS b2
+  FROM (SELECT g0, g1, g2,
+               h00 + 1e-9 AS a00, h01 AS a01, h02 AS a02,
+               h11 + 1e-9 AS a11, h12 AS a12, h22 + 1e-9 AS a22,
+               (h00 + 1e-9) * ((h11 + 1e-9) * (h22 + 1e-9) - h12 * h12)
+             - h01 * (h01 * (h22 + 1e-9) - h12 * h02)
+             + h02 * (h01 * h12 - (h11 + 1e-9) * h02) AS det
+        FROM s5) , w4 w),
+s6 AS (
+  SELECT SUM(y - p) AS g0, SUM((y - p) * x1) AS g1,
+         SUM((y - p) * x2) AS g2,
+         SUM(p * (1 - p)) AS h00,
+         SUM(p * (1 - p) * x1) AS h01,
+         SUM(p * (1 - p) * x2) AS h02,
+         SUM(p * (1 - p) * x1 * x1) AS h11,
+         SUM(p * (1 - p) * x1 * x2) AS h12,
+         SUM(p * (1 - p) * x2 * x2) AS h22
+  FROM (SELECT f.*,
+               1.0 / (1.0 + EXP(-(w.b0 + w.b1 * f.x1 + w.b2 * f.x2)))
+                   AS p
+        FROM f CROSS JOIN w5 w)),
+w6 AS (
+  SELECT w.b0 + ((a11 * a22 - a12 * a12) * g0
+               + (a02 * a12 - a01 * a22) * g1
+               + (a01 * a12 - a02 * a11) * g2) / det AS b0,
+         w.b1 + ((a02 * a12 - a01 * a22) * g0
+               + (a00 * a22 - a02 * a02) * g1
+               + (a01 * a02 - a00 * a12) * g2) / det AS b1,
+         w.b2 + ((a01 * a12 - a02 * a11) * g0
+               + (a01 * a02 - a00 * a12) * g1
+               + (a00 * a11 - a01 * a01) * g2) / det AS b2
+  FROM (SELECT g0, g1, g2,
+               h00 + 1e-9 AS a00, h01 AS a01, h02 AS a02,
+               h11 + 1e-9 AS a11, h12 AS a12, h22 + 1e-9 AS a22,
+               (h00 + 1e-9) * ((h11 + 1e-9) * (h22 + 1e-9) - h12 * h12)
+             - h01 * (h01 * (h22 + 1e-9) - h12 * h02)
+             + h02 * (h01 * h12 - (h11 + 1e-9) * h02) AS det
+        FROM s6) , w5 w),
+s7 AS (
+  SELECT SUM(y - p) AS g0, SUM((y - p) * x1) AS g1,
+         SUM((y - p) * x2) AS g2,
+         SUM(p * (1 - p)) AS h00,
+         SUM(p * (1 - p) * x1) AS h01,
+         SUM(p * (1 - p) * x2) AS h02,
+         SUM(p * (1 - p) * x1 * x1) AS h11,
+         SUM(p * (1 - p) * x1 * x2) AS h12,
+         SUM(p * (1 - p) * x2 * x2) AS h22
+  FROM (SELECT f.*,
+               1.0 / (1.0 + EXP(-(w.b0 + w.b1 * f.x1 + w.b2 * f.x2)))
+                   AS p
+        FROM f CROSS JOIN w6 w)),
+w7 AS (
+  SELECT w.b0 + ((a11 * a22 - a12 * a12) * g0
+               + (a02 * a12 - a01 * a22) * g1
+               + (a01 * a12 - a02 * a11) * g2) / det AS b0,
+         w.b1 + ((a02 * a12 - a01 * a22) * g0
+               + (a00 * a22 - a02 * a02) * g1
+               + (a01 * a02 - a00 * a12) * g2) / det AS b1,
+         w.b2 + ((a01 * a12 - a02 * a11) * g0
+               + (a01 * a02 - a00 * a12) * g1
+               + (a00 * a11 - a01 * a01) * g2) / det AS b2
+  FROM (SELECT g0, g1, g2,
+               h00 + 1e-9 AS a00, h01 AS a01, h02 AS a02,
+               h11 + 1e-9 AS a11, h12 AS a12, h22 + 1e-9 AS a22,
+               (h00 + 1e-9) * ((h11 + 1e-9) * (h22 + 1e-9) - h12 * h12)
+             - h01 * (h01 * (h22 + 1e-9) - h12 * h02)
+             + h02 * (h01 * h12 - (h11 + 1e-9) * h02) AS det
+        FROM s7) , w6 w),
+s8 AS (
+  SELECT SUM(y - p) AS g0, SUM((y - p) * x1) AS g1,
+         SUM((y - p) * x2) AS g2,
+         SUM(p * (1 - p)) AS h00,
+         SUM(p * (1 - p) * x1) AS h01,
+         SUM(p * (1 - p) * x2) AS h02,
+         SUM(p * (1 - p) * x1 * x1) AS h11,
+         SUM(p * (1 - p) * x1 * x2) AS h12,
+         SUM(p * (1 - p) * x2 * x2) AS h22
+  FROM (SELECT f.*,
+               1.0 / (1.0 + EXP(-(w.b0 + w.b1 * f.x1 + w.b2 * f.x2)))
+                   AS p
+        FROM f CROSS JOIN w7 w)),
+w8 AS (
+  SELECT w.b0 + ((a11 * a22 - a12 * a12) * g0
+               + (a02 * a12 - a01 * a22) * g1
+               + (a01 * a12 - a02 * a11) * g2) / det AS b0,
+         w.b1 + ((a02 * a12 - a01 * a22) * g0
+               + (a00 * a22 - a02 * a02) * g1
+               + (a01 * a02 - a00 * a12) * g2) / det AS b1,
+         w.b2 + ((a01 * a12 - a02 * a11) * g0
+               + (a01 * a02 - a00 * a12) * g1
+               + (a00 * a11 - a01 * a01) * g2) / det AS b2
+  FROM (SELECT g0, g1, g2,
+               h00 + 1e-9 AS a00, h01 AS a01, h02 AS a02,
+               h11 + 1e-9 AS a11, h12 AS a12, h22 + 1e-9 AS a22,
+               (h00 + 1e-9) * ((h11 + 1e-9) * (h22 + 1e-9) - h12 * h12)
+             - h01 * (h01 * (h22 + 1e-9) - h12 * h02)
+             + h02 * (h01 * h12 - (h11 + 1e-9) * h02) AS det
+        FROM s8) , w7 w)
+SELECT t.term, t.coef FROM (
+  SELECT 'intercept' AS term, ROUND(b0, 4) AS coef, 0 AS o FROM w8
+  UNION ALL
+  SELECT 'hour_frac', ROUND(b1, 4), 1 FROM w8
+  UNION ALL
+  SELECT 'value_scaled', ROUND(b2, 4), 2 FROM w8) t
+ORDER BY t.o""")
 def logreg_purchase_coefs(sf_dir: str) -> pd.DataFrame:
-    """Distributed logistic regression by IRLS / Newton's method
-    (rows-only: iterative float fitting has no SQL form): predict
+    """Distributed logistic regression by IRLS / Newton's method:
+    predict
     P(event_type = 'purchase') from (hour, value). Every iteration is
     ONE streaming pass where each block emits a 3-float gradient and a
     3x3 Hessian partial (15 floats per block total — the GLM sibling
     of the OLS Gram pattern); the driver solves the 3x3 Newton step.
     p features cost O(p^2) floats per block at any corpus size.
-    Deterministic given the fixed iteration count; coefficients are
-    reported at 4 dp with a planted-separation recovery test in
+    Deterministic given the fixed iteration count. Oracle (r3): the
+    8 Newton steps unrolled as chained CTEs — per-step gradient/
+    Hessian SUMs over the same features, the jittered 3×3 solve as a
+    closed-form adjugate; LAPACK-vs-adjugate round-off stays far
+    below the 4 dp report. Planted-separation recovery test in
     tests/test_regression_ops.py."""
     ds = _events(sf_dir, ["ts", "event_type", "value"])
 
@@ -3430,11 +3687,67 @@ def daily_seasonal_decompose(sf_dir: str) -> pd.DataFrame:
         "residual": r6(y - fit - seasonal, 6)})
 
 
-@register("knn_kcore_sizes")
+@register("knn_kcore_sizes", sql="""
+WITH RECURSIVE sims AS (
+  SELECT a.vec_id AS node, b.vec_id AS neighbor,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6)
+             AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id),
+kr AS (SELECT node, neighbor, cosine,
+             ROW_NUMBER() OVER (PARTITION BY node
+                                ORDER BY cosine DESC, neighbor) AS rank
+      FROM sims),
+canon AS (SELECT DISTINCT LEAST(node, neighbor) AS src,
+                 GREATEST(node, neighbor) AS dst
+          FROM kr WHERE rank <= 2 AND node != neighbor),
+und AS (SELECT src AS n, dst AS m FROM canon
+        UNION ALL SELECT dst, src FROM canon),
+p1(iter, node) AS (
+  SELECT 0, n FROM (SELECT DISTINCT n FROM und)
+  UNION ALL
+  SELECT p.iter + 1, p.node FROM p1 p
+  WHERE p.iter < 100 AND p.node IN (
+    SELECT n FROM (
+      SELECT u.n, COUNT(*) AS c FROM und u
+      WHERE u.n IN (SELECT node FROM p1 q WHERE q.iter = p.iter)
+        AND u.m IN (SELECT node FROM p1 q WHERE q.iter = p.iter)
+      GROUP BY u.n) WHERE c >= 1)),
+p2(iter, node) AS (
+  SELECT 0, n FROM (SELECT DISTINCT n FROM und)
+  UNION ALL
+  SELECT p.iter + 1, p.node FROM p2 p
+  WHERE p.iter < 100 AND p.node IN (
+    SELECT n FROM (
+      SELECT u.n, COUNT(*) AS c FROM und u
+      WHERE u.n IN (SELECT node FROM p2 q WHERE q.iter = p.iter)
+        AND u.m IN (SELECT node FROM p2 q WHERE q.iter = p.iter)
+      GROUP BY u.n) WHERE c >= 2)),
+p3(iter, node) AS (
+  SELECT 0, n FROM (SELECT DISTINCT n FROM und)
+  UNION ALL
+  SELECT p.iter + 1, p.node FROM p3 p
+  WHERE p.iter < 100 AND p.node IN (
+    SELECT n FROM (
+      SELECT u.n, COUNT(*) AS c FROM und u
+      WHERE u.n IN (SELECT node FROM p3 q WHERE q.iter = p.iter)
+        AND u.m IN (SELECT node FROM p3 q WHERE q.iter = p.iter)
+      GROUP BY u.n) WHERE c >= 3))
+SELECT k, core_nodes FROM (
+SELECT 1 AS k, (SELECT CAST(COUNT(*) AS BIGINT) FROM p1 WHERE iter = 100) AS core_nodes
+UNION ALL
+SELECT 2 AS k, (SELECT CAST(COUNT(*) AS BIGINT) FROM p2 WHERE iter = 100) AS core_nodes
+UNION ALL
+SELECT 3 AS k, (SELECT CAST(COUNT(*) AS BIGINT) FROM p3 WHERE iter = 100) AS core_nodes
+) ORDER BY k""")
 def knn_kcore_sizes(sf_dir: str) -> pd.DataFrame:
-    """k-core decomposition of the k-NN similarity graph (rows-only:
-    the iterative peel has no SQL form; pytest proves parity against
-    a driver-side brute-force peel on planted graphs): how many nodes
+    """k-core decomposition of the k-NN similarity graph. Oracle
+    (r3): the peel as a DuckDB RECURSIVE CTE — each iteration
+    re-emits exactly the nodes with ≥ k surviving neighbors, capped
+    at 100 rounds (a fixpoint re-emits itself, so overshooting is
+    harmless and an emptied core simply stops recursing); pytest
+    additionally proves parity against a driver-side brute-force
+    peel on planted graphs. Reported: how many nodes
     survive at min-degree 1, 2 and 3 — the embedding-space density
     diagnostic that separates tight semantic clusters (deep cores)
     from thin hubs. Each peel round is ONE distributed degree reduce
