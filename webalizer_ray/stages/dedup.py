@@ -185,18 +185,24 @@ def join_pairs_to_values(pairs: rd.Dataset, values: rd.Dataset,
     array values (signatures, embeddings) into binary for the join;
     consumers unpack with ``_unpack_rows``.
 
-    num_partitions defaults to the session's CPU count capped at 32:
-    Ray's hash join spins up one shuffle-aggregator actor per
-    partition, so asking for more partitions than the session has CPUs
-    deadlocks the actor pool on a small ray.init (measured: 32
-    partitions hang under num_cpus=8), while too few leaves cores idle
-    on the verify-heavy dense case (8 → 32 partitions cut the 1.9M-pair
-    cosine verify 18 s → 13 s at 32 CPUs).
+    num_partitions defaults to the session's CPU count capped at 32
+    AND scaled down to the candidate-pair count: Ray's hash join spins
+    up one shuffle-aggregator actor per partition, so asking for more
+    partitions than the session has CPUs deadlocks the actor pool on a
+    small ray.init (measured: 32 partitions hang under num_cpus=8),
+    too few leaves cores idle on the verify-heavy dense case (8 → 32
+    partitions cut the 1.9M-pair cosine verify 18 s → 13 s at 32
+    CPUs), and too MANY for a small pair set pays ~64 actor spin-ups
+    to route a few hundred rows (r3: ~1 partition per 25k pairs).
+    ``pairs`` is materialized at every call site, so the sizing
+    ``count()`` is a free metadata read — if you pass a lazy Dataset,
+    pass ``num_partitions`` explicitly to avoid a double execution.
     """
     if num_partitions is None:
         import ray as _ray
-        num_partitions = max(2, min(
+        cpu_cap = max(2, min(
             32, int(_ray.cluster_resources().get("CPU", 8))))
+        num_partitions = max(2, min(cpu_cap, 1 + pairs.count() // 25_000))
     def side(suffix):
         def f(batch: pa.Table) -> pd.DataFrame:
             if pack_dtype:
