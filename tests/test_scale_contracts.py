@@ -73,6 +73,22 @@ def test_bfs_and_sssp_return_datasets(ray_session):
     assert got == {0: 0.0, 1: 1.0, 2: 3.0, 3: 7.0}
 
 
+def test_bfs_sssp_out_dir_sinks(ray_session, tmp_path):
+    from webalizer_ray.stages.graph import bfs_levels, sssp_distances
+
+    edges = pd.DataFrame({"src": [0, 1, 2], "dst": [1, 2, 3]})
+    out = str(tmp_path / "bfs")
+    bfs_levels(rd.from_pandas(edges), roots=[0], out_dir=out)
+    disk = pq.read_table(out).to_pandas().set_index("node")["level"]         .to_dict()
+    assert disk == {0: 0, 1: 1, 2: 2, 3: 3}
+
+    w = edges.assign(w=[1.0, 2.0, 4.0])
+    out = str(tmp_path / "sssp")
+    sssp_distances(rd.from_pandas(w), roots=[0], out_dir=out)
+    disk = pq.read_table(out).to_pandas().set_index("node")["dist"]         .to_dict()
+    assert disk == {0: 0.0, 1: 1.0, 2: 3.0, 3: 7.0}
+
+
 def test_incremental_minhash_dedup_dataset_contract(ray_session,
                                                     tmp_path):
     from webalizer_ray.stages.dedup import incremental_minhash_dedup

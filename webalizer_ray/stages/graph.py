@@ -330,7 +330,8 @@ def triangle_count(edges: rd.Dataset | pd.DataFrame,
 def bfs_levels(edges: rd.Dataset | pd.DataFrame, roots,
                max_depth: int = 6, src_col: str = "src",
                dst_col: str = "dst",
-               num_partitions: int = 8) -> rd.Dataset:
+               num_partitions: int = 8,
+               out_dir: str | None = None) -> rd.Dataset:
     """Multi-source BFS: MIN hop distance from ``roots`` for every
     node reachable within ``max_depth`` (directed — feed both
     directions for an undirected graph). Returns a Dataset of
@@ -419,13 +420,18 @@ def bfs_levels(edges: rd.Dataset | pd.DataFrame, roots,
         if n_front == 0:
             break
 
+    if out_dir is not None:
+        # corpus-scale sink: results land as partitioned Parquet, the
+        # driver keeps only the Dataset handle (VERDICT r2 item 1b)
+        state.write_parquet(out_dir)
     return state
 
 
 def sssp_distances(edges: rd.Dataset | pd.DataFrame, roots,
                    max_hops: int = 6, src_col: str = "src",
                    dst_col: str = "dst", weight_col: str = "w",
-                   num_partitions: int = 8) -> rd.Dataset:
+                   num_partitions: int = 8,
+                   out_dir: str | None = None) -> rd.Dataset:
     """Multi-source SSSP (Bellman-Ford relaxation): MIN total integer
     path weight from ``roots`` over paths of at most ``max_hops``
     edges (directed; non-negative int64 weights keep every distance
@@ -541,6 +547,10 @@ def sssp_distances(edges: rd.Dataset | pd.DataFrame, roots,
         if n_front == 0:
             break
 
+    if out_dir is not None:
+        # corpus-scale sink: results land as partitioned Parquet, the
+        # driver keeps only the Dataset handle (VERDICT r2 item 1b)
+        state.write_parquet(out_dir)
     return state
 
 
