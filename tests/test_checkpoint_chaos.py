@@ -163,3 +163,32 @@ def test_sigkill_driver_between_pass1_commits(small_fixture, lookups,
     assert len(res["resume"]["pass1"]["skipped"]) == 2
     assert len(res["resume"]["pass1"]["recomputed"]) >= 1
     _assert_sinks_equal(res, golden)
+
+
+def test_sigkill_actor_worker_mid_pass1(ray_session, small_fixture,
+                                        lookups, golden, tmp_path,
+                                        monkeypatch):
+    """Same worker-kill chaos but with use_actors=True: the killer
+    stage fuses into (or follows) the EnrichActor pool, so the SIGKILL
+    takes down an ACTOR process mid-batch — Ray restarts it (the pool
+    is created with restarts enabled) and the run must still complete
+    with golden sinks. Note the golden fixture runs use_actors=False:
+    actor-vs-task parity is part of what this asserts."""
+    sentinel = str(tmp_path / "killed_actor")
+    real = ckpt.parse_enrich_dataset
+    maybe_die = _kill_once(sentinel)
+
+    def chaotic(paths, config, lk, use_actors):
+        def killer(batch):
+            maybe_die()
+            return batch
+
+        return real(paths, config, lk, use_actors).map_batches(
+            killer, batch_format="pyarrow")
+
+    monkeypatch.setattr(ckpt, "parse_enrich_dataset", chaotic)
+    out = str(tmp_path / "run")
+    res = ckpt.run_flagship_resumable(small_fixture, out, CFG,
+                                      lookups=lookups, use_actors=True)
+    assert os.path.exists(sentinel), "kill never fired"
+    _assert_sinks_equal(res, golden)

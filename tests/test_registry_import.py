@@ -1,0 +1,63 @@
+"""Query-package import contracts (r3 split): the package import is
+near-free (PEP 562 lazy __init__), a single chunk module imports
+standalone (what a Ray worker deserializing one query function pays),
+and the lazy REGISTRY populates itself on first read."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+
+def _run(code: str) -> str:
+    out = subprocess.run([sys.executable, "-c", code],
+                         capture_output=True, text=True, check=True)
+    return out.stdout.strip()
+
+
+def test_package_import_is_lazy_and_registry_self_populates():
+    got = _run("""
+import time, webalizer_ray.pipelines.queries as Q
+from webalizer_ray.pipelines.queries import REGISTRY
+import sys
+chunks_before = [m for m in sys.modules
+                 if m.startswith('webalizer_ray.pipelines.queries.q')]
+n = len(REGISTRY)              # first READ triggers the one-time load
+chunks_after = [m for m in sys.modules
+                if m.startswith('webalizer_ray.pipelines.queries.q')]
+print(len(chunks_before), n, len(chunks_after) >= 17)
+""")
+    before, n, loaded = got.split()
+    assert before == "0", "chunks imported eagerly at package import"
+    assert int(n) == 960
+    assert loaded == "True"
+
+
+def test_single_chunk_imports_standalone():
+    # a worker deserializing a q01 function imports only q01 and its
+    # backward deps — never the whole registry
+    got = _run("""
+import sys
+import webalizer_ray.pipelines.queries.q01_core as q1
+from webalizer_ray.pipelines.queries._shared import REGISTRY
+loaded = [m for m in sys.modules
+          if m.startswith('webalizer_ray.pipelines.queries.q')]
+print(len(loaded), callable(q1.hourly_events),
+      dict.__len__(REGISTRY) > 0)
+""")
+    nmod, is_callable, registered = got.split()
+    assert int(nmod) < 17, f"chunk import pulled {nmod} chunk modules"
+    assert is_callable == "True" and registered == "True"
+
+
+def test_core_queries_cover_survey_mapped_names():
+    got = _run("""
+import webalizer_ray.pipelines.queries as Q
+cq = Q.core_queries()
+aq = list(Q.all_queries())
+print(len(cq), aq[:len(cq)] == list(cq))
+""")
+    n, prefix_ok = got.split()
+    assert int(n) >= 65
+    assert prefix_ok == "True", \
+        "all_queries() must enumerate core (SURVEY-S2) names first"
