@@ -714,9 +714,13 @@ def finalize_sinks(long: pd.DataFrame, out_dir: str,
     """Driver-side combine of per-bucket partials → finished sinks + top-N."""
     # combine sum-style sinks across buckets. Pair-style sinks (one row
     # per (key, member)) dedup FIRST: tools span buckets, and a
-    # session-split giant conv spans residue slices
-    is_pair = (long["sink"] == "monthly_tools") \
-        | long["sink"].str.endswith("_pairs")
+    # session-split giant conv spans residue slices. The endswith test
+    # runs on the ~20-name sink VOCABULARY, not the million-row column
+    # (a per-row .str.endswith cost 0.56 s of the 1.3 s finalize).
+    vocab = long["sink"].unique()
+    pair_names = [v for v in vocab
+                  if v == "monthly_tools" or v.endswith("_pairs")]
+    is_pair = long["sink"].isin(pair_names)
     pairs = long[is_pair].drop_duplicates(subset=["sink", "key", "sub"])
     long = pd.concat([long[~is_pair], pairs], ignore_index=True)
     comb = (long.groupby(["sink", "key"], sort=True)
