@@ -61,3 +61,28 @@ print(len(cq), aq[:len(cq)] == list(cq))
     assert int(n) >= 65
     assert prefix_ok == "True", \
         "all_queries() must enumerate core (SURVEY-S2) names first"
+
+
+def test_every_chunk_imports_standalone():
+    """r3 review finding: chunks with module-level REGISTRY reads
+    (backward SQL references) used to crash q10-q17 on standalone
+    import by firing the full load mid-import. Keyed lookups now
+    resolve from what is already registered; every chunk must import
+    alone in a fresh process."""
+    import webalizer_ray.pipelines.queries as Q
+
+    for chunk in Q._CHUNKS:
+        _run(f"import webalizer_ray.pipelines.queries.{chunk}")
+
+
+def test_late_chunk_names_reachable_after_partial_import():
+    """r3 review finding: a reentrant load used to snapshot a
+    half-initialized q02, permanently hiding its later names from the
+    package attribute map."""
+    got = _run("""
+import webalizer_ray.pipelines.queries.q02_relational_media
+import webalizer_ray.pipelines.queries as Q
+print(callable(Q.tpch_q9_nation_profit), len(Q.REGISTRY))
+""")
+    ok, n = got.split()
+    assert ok == "True" and int(n) == 960

@@ -196,6 +196,11 @@ class PipelineConfig:
         if not 0 <= self.mangle_level <= 4:
             raise ValueError("mangle_level must be in 0..4")
         self.graph_palette()   # validate Color* hex up front
+        h = self.group_shade_color.lstrip("#")
+        if (len(h) != 6 or len(self.group_shade_color) != 7
+                or any(c not in "0123456789abcdefABCDEF" for c in h)):
+            raise ValueError(
+                f"bad color {self.group_shade_color!r} (want #RRGGBB)")
 
 
 DEFAULT_CONFIG = PipelineConfig()

@@ -894,11 +894,11 @@ def finalize_sinks(long: pd.DataFrame, out_dir: str,
         # S6–S8 + S10: HTML report pages (render graphs first so the
         # <img> references resolve) — driver-side O(KB) finishing step
         from webalizer_ray.pipelines.htmlreport import write_html_report
-        write_html_report(out_dir)
+        write_html_report(out_dir, config=config)
     elif config.emit_graphs:
         # S10 only: the four usage PNGs from the parquet sinks
         from webalizer_ray.pipelines.graphs import write_flagship_graphs
-        write_flagship_graphs(out_dir)
+        write_flagship_graphs(out_dir, config=config)
     return sinks
 
 

@@ -37,7 +37,11 @@ def _css(config=None) -> str:
     grouped rows carry class ``g``."""
     css = _CSS
     if config is None:
-        return css + " tr.g td{background:#d0d0e0}"
+        # match DEFAULT_CONFIG (shading AND highlight on) so a report
+        # rendered without an explicit config equals one rendered with
+        # PipelineConfig() (r3 review)
+        return (css + " tr.g td{background:#d0d0e0}"
+                " tr.g td{font-weight:bold}")
     rules = []
     if getattr(config, "group_shading", True):
         rules.append(

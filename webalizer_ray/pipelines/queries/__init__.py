@@ -32,16 +32,24 @@ _name2mod: dict = {}
 
 
 def _load() -> None:
+    """Import every chunk module, then build the name→module map.
+
+    Two passes (r3 review): the vars() scan runs only AFTER all chunk
+    imports complete, so a module that happened to be mid-import when
+    the load fired is never snapshotted half-initialized.  ``_loaded``
+    commits only on success — a failed chunk import propagates and the
+    next access retries instead of leaving a silently partial registry.
+    """
     global _loaded
     if _loaded:
         return
-    _loaded = True
-    for c in _CHUNKS:
-        mod = importlib.import_module(
-            f"webalizer_ray.pipelines.queries.{c}")
+    mods = [importlib.import_module(
+        f"webalizer_ray.pipelines.queries.{c}") for c in _CHUNKS]
+    for mod in mods:
         for k, v in vars(mod).items():
             if not k.startswith("__"):
                 _name2mod.setdefault(k, mod)
+    _loaded = True
 
 
 REGISTRY._loader = _load

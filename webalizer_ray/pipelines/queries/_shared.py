@@ -38,28 +38,46 @@ from webalizer_ray.stages.topn import top_n_pandas
 class _LazyRegistry(dict):
     """name -> (ray_callable, oracle_sql|None); self-populating.
 
-    The query registry spans ~16 chunk modules under
+    The query registry spans ~17 chunk modules under
     ``pipelines/queries/``.  Importing the package is near-free; the
     first READ access (lookup/iteration/len) triggers a one-time import
     of every chunk module via the loader installed by ``__init__``.
     Writes (``register``) never trigger loading, so chunk modules can be
     imported individually (e.g. by Ray workers deserializing a single
     query function) without paying for the whole registry.
+
+    Reentrancy (r3 review): a few chunk modules READ an earlier entry's
+    SQL at module level (e.g. ``REGISTRY["bm25_search"][1]``).  Keyed
+    lookups therefore only fire the loader when the key is actually
+    MISSING — a backward read during a standalone chunk import resolves
+    from what is already registered instead of recursively importing
+    every chunk mid-import (which crashed q10–q17: the full load would
+    re-enter half-initialized modules).  A load in progress is never
+    re-entered (``_loading``), and the loader is only consumed on
+    SUCCESS so a failed import leaves the registry retryable rather
+    than silently partial.
     """
 
     _loader = None
+    _loading = False
 
-    def _ensure(self):
-        if self._loader is not None:
-            loader, self._loader = self._loader, None
+    def _ensure(self, missing_key: bool = True):
+        if self._loader is None or self._loading or not missing_key:
+            return
+        loader = self._loader
+        type(self)._loading = True
+        try:
             loader()
+        finally:
+            type(self)._loading = False
+        self._loader = None          # consumed only on success
 
     def __getitem__(self, k):
-        self._ensure()
+        self._ensure(not dict.__contains__(self, k))
         return dict.__getitem__(self, k)
 
     def __contains__(self, k):
-        self._ensure()
+        self._ensure(not dict.__contains__(self, k))
         return dict.__contains__(self, k)
 
     def __iter__(self):
@@ -71,7 +89,7 @@ class _LazyRegistry(dict):
         return dict.__len__(self)
 
     def get(self, k, default=None):
-        self._ensure()
+        self._ensure(not dict.__contains__(self, k))
         return dict.get(self, k, default)
 
     def items(self):
@@ -115,6 +133,11 @@ def np_lookup(keys_sorted: "np.ndarray", values: "np.ndarray",
     per batch. ``keys_sorted`` must be sorted ascending; rows whose
     key is absent get hit=False (their value slot is arbitrary).
     """
+    if len(keys_sorted) == 0:
+        # all-miss, not IndexError (e.g. a dimension filter matched
+        # nothing — the Series.map path this replaces returned empty)
+        return (np.zeros(len(query), dtype=bool),
+                np.empty(len(query), dtype=values.dtype))
     pos = np.searchsorted(keys_sorted, query)
     pos = np.minimum(pos, len(keys_sorted) - 1)
     hit = keys_sorted[pos] == query

@@ -182,7 +182,9 @@ def cmd_graphs(args) -> int:
     flagship output directory's finished sinks — driver-side O(KB), no
     Ray session needed."""
     from webalizer_ray.pipelines.graphs import write_flagship_graphs
-    written = write_flagship_graphs(args.out)
+    cfg = load_config(getattr(args, "config", None),
+                      getattr(args, "set", None) or [])
+    written = write_flagship_graphs(args.out, config=cfg)
     print(json.dumps({"out": args.out,
                       "graphs": sorted(written.keys())}))
     return 0
@@ -441,6 +443,9 @@ def cmd_lookup(args) -> int:
         # CSV or Parquet file; imported entries win over existing ones
         # (same last-writer rule as ``add``), each stamped now.
         src = args.key
+        if not src:
+            raise SystemExit(
+                "import: missing source path (CSV or Parquet)")
         inc = (pq.read_table(src).to_pandas()
                if src.endswith(".parquet") else pd.read_csv(src))
         cols = list(inc.columns)
@@ -564,6 +569,10 @@ def build_parser() -> argparse.ArgumentParser:
     gr.add_argument("--out", required=True,
                     help="flagship output dir (reads <out>/sinks, "
                          "writes <out>/graphs)")
+    gr.add_argument("--config", default=None,
+                    help="JSON config file (Color* knobs)")
+    gr.add_argument("--set", action="append", default=None,
+                    help="config override key=value")
     gr.set_defaults(fn=cmd_graphs)
 
     hr = sub.add_parser("html-report", help="compose the static HTML "
