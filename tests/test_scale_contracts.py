@@ -153,3 +153,56 @@ def test_triangle_count_scalars_only(ray_session):
                           "id_b": [2, 3, 1, 4, 5]})
     st = triangle_count(edges)
     assert st == {"n_nodes": 5, "n_edges": 5, "n_triangles": 1}
+
+
+def test_pair_generators_dataset_contract(ray_session, tmp_path):
+    """The LSH pair generators and SemDeDup/k-means hand back Datasets
+    (+out_dir Parquet) at corpus scale; pandas stays the sf-scale
+    query contract."""
+    import ray.data as rd
+
+    from webalizer_ray.stages.ann import kmeans_fit_assign
+    from webalizer_ray.stages.dedup import (
+        cosine_dup_pairs_lsh,
+        minhash_lsh_pairs,
+        semantic_dedup,
+    )
+
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text"]).iloc[:200]
+    want = minhash_lsh_pairs(rd.from_pandas(docs), threshold=0.5)
+    out = str(tmp_path / "mh")
+    got = minhash_lsh_pairs(rd.from_pandas(docs), threshold=0.5,
+                            as_dataset=True, out_dir=out)
+    assert isinstance(got, rd.Dataset)
+    gp = got.to_pandas().sort_values(["id_a", "id_b"],
+                                     ignore_index=True)
+    pd.testing.assert_frame_equal(gp, want)
+    disk = pq.read_table(out).to_pandas().sort_values(
+        ["id_a", "id_b"], ignore_index=True)
+    pd.testing.assert_frame_equal(disk, want)
+
+    emb = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    # threshold low enough that sf0.001 yields pairs (an all-empty
+    # Dataset's blocks lose their schema — documented caveat)
+    want = cosine_dup_pairs_lsh(emb, threshold=0.3)
+    assert len(want) > 0
+    got = cosine_dup_pairs_lsh(emb, threshold=0.3, as_dataset=True)
+    assert isinstance(got, rd.Dataset)
+    pd.testing.assert_frame_equal(
+        got.to_pandas().sort_values(["id_a", "id_b"],
+                                    ignore_index=True), want)
+
+    want = semantic_dedup(emb, threshold=0.4, n_clusters=4)
+    got = semantic_dedup(emb, threshold=0.4, n_clusters=4,
+                         as_dataset=True)
+    assert isinstance(got, rd.Dataset)
+    pd.testing.assert_frame_equal(
+        got.to_pandas().sort_values("vec_id", ignore_index=True), want)
+
+    want = kmeans_fit_assign(emb, n_clusters=4)
+    got = kmeans_fit_assign(emb, n_clusters=4, as_dataset=True)
+    assert isinstance(got, rd.Dataset)
+    pd.testing.assert_frame_equal(
+        got.to_pandas().sort_values("vec_id", ignore_index=True), want)

@@ -1314,13 +1314,117 @@ def docs_token_band(sf_dir: str) -> pd.DataFrame:
     return kept.sort_values("doc_id", ignore_index=True)
 
 
-@register("embedding_clusters")
+@register("embedding_clusters", sql="""
+WITH dims AS (SELECT unnest(range(1, 1 + len(
+                  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                   LIMIT 1)))) AS i),
+rawl AS MATERIALIZED (SELECT e.vec_id, d.i,
+                CAST(embedding AS DOUBLE[])[d.i] AS v
+         FROM embeddings e CROSS JOIN dims d),
+nrm AS MATERIALIZED (SELECT vec_id, GREATEST(SQRT(SUM(v * v)), 1e-12) AS nv
+        FROM rawl GROUP BY vec_id),
+vn AS MATERIALIZED (SELECT l.vec_id, l.i, ROUND(l.v / n.nv, 9) AS v
+       FROM rawl l JOIN nrm n USING (vec_id)),
+cnt AS MATERIALIZED (SELECT LEAST(1024, COUNT(*)) AS n FROM embeddings),
+samp AS MATERIALIZED (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS rn
+         FROM embeddings),
+seeds AS (SELECT unnest(range(0, 8)) AS cl),
+c0 AS MATERIALIZED (SELECT s.cl, l.i, l.v
+       FROM seeds s
+       JOIN samp sp ON sp.rn = (s.cl * (SELECT n FROM cnt)) // 8
+       JOIN vn l ON l.vec_id = sp.vec_id),
+a1 AS MATERIALIZED (SELECT vec_id, cl FROM (
+    SELECT l.vec_id, c.cl,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(l.v * c.v), 9) DESC, c.cl) AS rnk
+    FROM vn l JOIN c0 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cl) WHERE rnk = 1),
+u1 AS MATERIALIZED (SELECT a.cl, l.i, AVG(l.v) AS v
+        FROM a1 a JOIN vn l USING (vec_id) GROUP BY a.cl, l.i),
+un1 AS MATERIALIZED (SELECT cl, GREATEST(SQRT(SUM(v * v)), 1e-12) AS nv
+         FROM u1 GROUP BY cl),
+c1 AS MATERIALIZED (SELECT u.cl, u.i, ROUND(u.v / un.nv, 9) AS v
+        FROM u1 u JOIN un1 un USING (cl)
+        UNION ALL
+        SELECT c.cl, c.i, c.v FROM c0 c
+        WHERE c.cl NOT IN (SELECT DISTINCT cl FROM u1)),
+a2 AS MATERIALIZED (SELECT vec_id, cl FROM (
+    SELECT l.vec_id, c.cl,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(l.v * c.v), 9) DESC, c.cl) AS rnk
+    FROM vn l JOIN c1 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cl) WHERE rnk = 1),
+u2 AS MATERIALIZED (SELECT a.cl, l.i, AVG(l.v) AS v
+        FROM a2 a JOIN vn l USING (vec_id) GROUP BY a.cl, l.i),
+un2 AS MATERIALIZED (SELECT cl, GREATEST(SQRT(SUM(v * v)), 1e-12) AS nv
+         FROM u2 GROUP BY cl),
+c2 AS MATERIALIZED (SELECT u.cl, u.i, ROUND(u.v / un.nv, 9) AS v
+        FROM u2 u JOIN un2 un USING (cl)
+        UNION ALL
+        SELECT c.cl, c.i, c.v FROM c1 c
+        WHERE c.cl NOT IN (SELECT DISTINCT cl FROM u2)),
+a3 AS MATERIALIZED (SELECT vec_id, cl FROM (
+    SELECT l.vec_id, c.cl,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(l.v * c.v), 9) DESC, c.cl) AS rnk
+    FROM vn l JOIN c2 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cl) WHERE rnk = 1),
+u3 AS MATERIALIZED (SELECT a.cl, l.i, AVG(l.v) AS v
+        FROM a3 a JOIN vn l USING (vec_id) GROUP BY a.cl, l.i),
+un3 AS MATERIALIZED (SELECT cl, GREATEST(SQRT(SUM(v * v)), 1e-12) AS nv
+         FROM u3 GROUP BY cl),
+c3 AS MATERIALIZED (SELECT u.cl, u.i, ROUND(u.v / un.nv, 9) AS v
+        FROM u3 u JOIN un3 un USING (cl)
+        UNION ALL
+        SELECT c.cl, c.i, c.v FROM c2 c
+        WHERE c.cl NOT IN (SELECT DISTINCT cl FROM u3)),
+a4 AS MATERIALIZED (SELECT vec_id, cl FROM (
+    SELECT l.vec_id, c.cl,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(l.v * c.v), 9) DESC, c.cl) AS rnk
+    FROM vn l JOIN c3 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cl) WHERE rnk = 1),
+u4 AS MATERIALIZED (SELECT a.cl, l.i, AVG(l.v) AS v
+        FROM a4 a JOIN vn l USING (vec_id) GROUP BY a.cl, l.i),
+un4 AS MATERIALIZED (SELECT cl, GREATEST(SQRT(SUM(v * v)), 1e-12) AS nv
+         FROM u4 GROUP BY cl),
+c4 AS MATERIALIZED (SELECT u.cl, u.i, ROUND(u.v / un.nv, 9) AS v
+        FROM u4 u JOIN un4 un USING (cl)
+        UNION ALL
+        SELECT c.cl, c.i, c.v FROM c3 c
+        WHERE c.cl NOT IN (SELECT DISTINCT cl FROM u4)),
+a5 AS MATERIALIZED (SELECT vec_id, cl FROM (
+    SELECT l.vec_id, c.cl,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(l.v * c.v), 9) DESC, c.cl) AS rnk
+    FROM vn l JOIN c4 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cl) WHERE rnk = 1),
+u5 AS MATERIALIZED (SELECT a.cl, l.i, AVG(l.v) AS v
+        FROM a5 a JOIN vn l USING (vec_id) GROUP BY a.cl, l.i),
+un5 AS MATERIALIZED (SELECT cl, GREATEST(SQRT(SUM(v * v)), 1e-12) AS nv
+         FROM u5 GROUP BY cl),
+c5 AS MATERIALIZED (SELECT u.cl, u.i, ROUND(u.v / un.nv, 9) AS v
+        FROM u5 u JOIN un5 un USING (cl)
+        UNION ALL
+        SELECT c.cl, c.i, c.v FROM c4 c
+        WHERE c.cl NOT IN (SELECT DISTINCT cl FROM u5))
+SELECT vec_id, CAST(cl AS BIGINT) AS cluster FROM (
+    SELECT l.vec_id, c.cl,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(l.v * c.v), 9) DESC, c.cl) AS rnk
+    FROM vn l JOIN c5 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cl) WHERE rnk = 1
+ORDER BY vec_id""")
 def embedding_clusters(sf_dir: str) -> pd.DataFrame:
     """Semantic clustering (SemDeDup-style bucketing): distributed
     spherical k-means — per-iteration shuffle is k partial (sum, count)
-    rows per batch, centroids broadcast once per iteration. Rows-only
-    check (iterative, not SQL-expressible); determinism and
-    planted-blob recovery are pytest-verified."""
+    rows per batch, centroids broadcast once per iteration. Oracle
+    (r3): the 5 Lloyd iterations unrolled as MATERIALIZED SQL CTEs —
+    possible because the engine's kmeans is now engine-independent
+    (strided seeding over the ordered sample, 9 dp rounding of
+    normalized vectors / assignment dots / centroids, ties to the
+    lowest cluster, empty clusters keep their centroid verbatim).
+    Determinism and planted-blob recovery are pytest-verified."""
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     return ann.kmeans_fit_assign(ds, n_clusters=8, n_iter=5)
@@ -2778,12 +2882,129 @@ def similar_part_names(sf_dir: str) -> pd.DataFrame:
     return out
 
 
-@register("semantic_dedup_embeddings")
+@register("semantic_dedup_embeddings", sql="""
+WITH dims AS (SELECT unnest(range(1, 1 + len(
+                  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                   LIMIT 1)))) AS i),
+rawl AS MATERIALIZED (SELECT e.vec_id, d.i,
+                CAST(embedding AS DOUBLE[])[d.i] AS v
+         FROM embeddings e CROSS JOIN dims d),
+nrm AS MATERIALIZED (SELECT vec_id, GREATEST(SQRT(SUM(v * v)), 1e-12) AS nv
+        FROM rawl GROUP BY vec_id),
+vn AS MATERIALIZED (SELECT l.vec_id, l.i, ROUND(l.v / n.nv, 9) AS v
+       FROM rawl l JOIN nrm n USING (vec_id)),
+cnt AS MATERIALIZED (SELECT LEAST(1024, COUNT(*)) AS n FROM embeddings),
+samp AS MATERIALIZED (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS rn
+         FROM embeddings),
+seeds AS (SELECT unnest(range(0, 8)) AS cl),
+c0 AS MATERIALIZED (SELECT s.cl, l.i, l.v
+       FROM seeds s
+       JOIN samp sp ON sp.rn = (s.cl * (SELECT n FROM cnt)) // 8
+       JOIN vn l ON l.vec_id = sp.vec_id),
+a1 AS MATERIALIZED (SELECT vec_id, cl FROM (
+    SELECT l.vec_id, c.cl,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(l.v * c.v), 9) DESC, c.cl) AS rnk
+    FROM vn l JOIN c0 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cl) WHERE rnk = 1),
+u1 AS MATERIALIZED (SELECT a.cl, l.i, AVG(l.v) AS v
+        FROM a1 a JOIN vn l USING (vec_id) GROUP BY a.cl, l.i),
+un1 AS MATERIALIZED (SELECT cl, GREATEST(SQRT(SUM(v * v)), 1e-12) AS nv
+         FROM u1 GROUP BY cl),
+c1 AS MATERIALIZED (SELECT u.cl, u.i, ROUND(u.v / un.nv, 9) AS v
+        FROM u1 u JOIN un1 un USING (cl)
+        UNION ALL
+        SELECT c.cl, c.i, c.v FROM c0 c
+        WHERE c.cl NOT IN (SELECT DISTINCT cl FROM u1)),
+a2 AS MATERIALIZED (SELECT vec_id, cl FROM (
+    SELECT l.vec_id, c.cl,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(l.v * c.v), 9) DESC, c.cl) AS rnk
+    FROM vn l JOIN c1 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cl) WHERE rnk = 1),
+u2 AS MATERIALIZED (SELECT a.cl, l.i, AVG(l.v) AS v
+        FROM a2 a JOIN vn l USING (vec_id) GROUP BY a.cl, l.i),
+un2 AS MATERIALIZED (SELECT cl, GREATEST(SQRT(SUM(v * v)), 1e-12) AS nv
+         FROM u2 GROUP BY cl),
+c2 AS MATERIALIZED (SELECT u.cl, u.i, ROUND(u.v / un.nv, 9) AS v
+        FROM u2 u JOIN un2 un USING (cl)
+        UNION ALL
+        SELECT c.cl, c.i, c.v FROM c1 c
+        WHERE c.cl NOT IN (SELECT DISTINCT cl FROM u2)),
+a3 AS MATERIALIZED (SELECT vec_id, cl FROM (
+    SELECT l.vec_id, c.cl,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(l.v * c.v), 9) DESC, c.cl) AS rnk
+    FROM vn l JOIN c2 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cl) WHERE rnk = 1),
+u3 AS MATERIALIZED (SELECT a.cl, l.i, AVG(l.v) AS v
+        FROM a3 a JOIN vn l USING (vec_id) GROUP BY a.cl, l.i),
+un3 AS MATERIALIZED (SELECT cl, GREATEST(SQRT(SUM(v * v)), 1e-12) AS nv
+         FROM u3 GROUP BY cl),
+c3 AS MATERIALIZED (SELECT u.cl, u.i, ROUND(u.v / un.nv, 9) AS v
+        FROM u3 u JOIN un3 un USING (cl)
+        UNION ALL
+        SELECT c.cl, c.i, c.v FROM c2 c
+        WHERE c.cl NOT IN (SELECT DISTINCT cl FROM u3)),
+a4 AS MATERIALIZED (SELECT vec_id, cl FROM (
+    SELECT l.vec_id, c.cl,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(l.v * c.v), 9) DESC, c.cl) AS rnk
+    FROM vn l JOIN c3 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cl) WHERE rnk = 1),
+u4 AS MATERIALIZED (SELECT a.cl, l.i, AVG(l.v) AS v
+        FROM a4 a JOIN vn l USING (vec_id) GROUP BY a.cl, l.i),
+un4 AS MATERIALIZED (SELECT cl, GREATEST(SQRT(SUM(v * v)), 1e-12) AS nv
+         FROM u4 GROUP BY cl),
+c4 AS MATERIALIZED (SELECT u.cl, u.i, ROUND(u.v / un.nv, 9) AS v
+        FROM u4 u JOIN un4 un USING (cl)
+        UNION ALL
+        SELECT c.cl, c.i, c.v FROM c3 c
+        WHERE c.cl NOT IN (SELECT DISTINCT cl FROM u4)),
+a5 AS MATERIALIZED (SELECT vec_id, cl FROM (
+    SELECT l.vec_id, c.cl,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(l.v * c.v), 9) DESC, c.cl) AS rnk
+    FROM vn l JOIN c4 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cl) WHERE rnk = 1),
+u5 AS MATERIALIZED (SELECT a.cl, l.i, AVG(l.v) AS v
+        FROM a5 a JOIN vn l USING (vec_id) GROUP BY a.cl, l.i),
+un5 AS MATERIALIZED (SELECT cl, GREATEST(SQRT(SUM(v * v)), 1e-12) AS nv
+         FROM u5 GROUP BY cl),
+c5 AS MATERIALIZED (SELECT u.cl, u.i, ROUND(u.v / un.nv, 9) AS v
+        FROM u5 u JOIN un5 un USING (cl)
+        UNION ALL
+        SELECT c.cl, c.i, c.v FROM c4 c
+        WHERE c.cl NOT IN (SELECT DISTINCT cl FROM u5)),
+asg AS MATERIALIZED (SELECT vec_id, cl AS cluster FROM (
+    SELECT l.vec_id, c.cl,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(l.v * c.v), 9) DESC, c.cl) AS rnk
+    FROM vn l JOIN c5 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cl) WHERE rnk = 1),
+pr AS MATERIALIZED (
+  SELECT b.vec_id AS vj, MAX(ROUND(sim, 9)) AS best
+  FROM (SELECT a.vec_id AS ai, b2.vec_id AS bi, SUM(x.v * y.v) AS sim
+        FROM asg a JOIN asg b2
+             ON a.cluster = b2.cluster AND a.vec_id < b2.vec_id
+        JOIN vn x ON x.vec_id = a.vec_id
+        JOIN vn y ON y.vec_id = b2.vec_id AND y.i = x.i
+        GROUP BY a.vec_id, b2.vec_id) s
+  JOIN asg b ON b.vec_id = s.bi
+  GROUP BY b.vec_id)
+SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+       COALESCE(pr.best < 0.4, TRUE) AS keep
+FROM asg a LEFT JOIN pr ON pr.vj = a.vec_id
+ORDER BY a.vec_id""")
 def semantic_dedup_embeddings(sf_dir: str) -> pd.DataFrame:
     """SemDeDup semantic deduplication (k-means buckets → within-cluster
-    cosine min-id keeper, stages/dedup.py:semantic_dedup). k-means is
-    iterative and not SQL-expressible, so this is a rows-only driver
-    check; the pytest verifies every verdict against a brute-force
+    cosine min-id keeper, stages/dedup.py:semantic_dedup). Oracle (r3):
+    the deterministic 5-iteration k-means chain (see
+    embedding_clusters) extended with the keeper rule — keep(j) iff no
+    earlier same-cluster vector has ROUND(cos, 9) ≥ threshold,
+    replayed as a per-pair SUM join; possible since the engine rounds
+    the assignment dots and within-cluster cosines to 9 dp. pytest
+    additionally verifies every verdict against a brute-force
     per-cluster recomputation."""
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])

@@ -220,7 +220,10 @@ def kmeans_fit(ds: rd.Dataset, n_clusters: int = 8,
 def kmeans_fit_assign(ds: rd.Dataset, n_clusters: int = 8,
                       n_iter: int = 5, sample_rows: int = 1024,
                       seed: int = 7, id_col: str = "vec_id",
-                      vec_col: str = "embedding") -> pd.DataFrame:
+                      vec_col: str = "embedding",
+                      as_dataset: bool = False,
+                      out_dir: str | None = None
+                      ) -> pd.DataFrame | rd.Dataset:
     """Distributed spherical k-means (the SemDeDup-style semantic
     bucketing step): seeded init from a driver-side sample, then
     ``n_iter`` DISTRIBUTED Lloyd iterations — each iteration broadcasts
@@ -241,32 +244,57 @@ def kmeans_fit_assign(ds: rd.Dataset, n_clusters: int = 8,
 
     def assign_batch(batch: pa.Table) -> pd.DataFrame:
         c = ray.get(cents_ref)
-        m = _normalize(mat_from_column(batch[vec_col]))
+        m = np.round(_normalize(mat_from_column(batch[vec_col])), 9)
+        # rounded dots: assignment ties break to the LOWEST cluster on
+        # both engines (np.argmax first-max ≡ SQL ROW_NUMBER dot DESC,
+        # cluster ASC)
         return pd.DataFrame({
             id_col: ids_from_column(batch[id_col]),
-            "cluster": np.argmax(m @ c.T, axis=1).astype(np.int64)})
+            "cluster": np.argmax(np.round(m @ c.T, 9),
+                                 axis=1).astype(np.int64)})
 
-    out = ds.map_batches(assign_batch, batch_format="pyarrow").to_pandas()
-    return out.sort_values(id_col, ignore_index=True)
+    assigned = ds.map_batches(assign_batch, batch_format="pyarrow")
+    if out_dir is not None:
+        assigned = assigned.materialize()
+        assigned.write_parquet(out_dir)
+    if as_dataset:
+        # corpus-scale contract: (id, cluster) stays distributed
+        return assigned
+    return assigned.to_pandas().sort_values(id_col, ignore_index=True)
 
 
 def _kmeans_loop(ds: rd.Dataset, n_clusters: int, n_iter: int,
                  sample_rows: int, seed: int,
                  vec_col: str) -> np.ndarray:
+    """Distributed Lloyd loop with ENGINE-INDEPENDENT determinism (r3):
+
+    - seeding is STRIDED over the (deterministically ordered) sample —
+      row floor(i·N/k) for i < k — which stratifies ordered input
+      (planted-blob fixtures pick one seed per blob) and, unlike the
+      previous rng.choice, is replicable in SQL so kmeans-derived
+      queries can carry a DuckDB oracle. ``seed`` is kept for API
+      compatibility but no longer consumed.
+    - normalized vectors, assignment dot products, and updated
+      centroids are all rounded to 9 dp, so the argmax decisions (ties
+      → lowest cluster, np.argmax convention) cannot flip on the
+      ~1e-16 float-association noise between this engine's partial
+      sums and an oracle's single-pass SUMs.
+    """
+    del seed  # deterministic strided seeding (see docstring)
     sample = ds.limit(sample_rows).to_pandas()
-    train = _normalize(np.stack(sample[vec_col].to_numpy())
-                       .astype(np.float64))
-    rng = np.random.default_rng(seed)
+    train = np.round(_normalize(np.stack(sample[vec_col].to_numpy())
+                                .astype(np.float64)), 9)
     k = min(n_clusters, len(train))
-    cents = train[rng.choice(len(train), k, replace=False)]
+    idx = (np.arange(k, dtype=np.int64) * len(train)) // k
+    cents = train[idx]
 
     for _ in range(n_iter):
         cents_ref = ray.put(cents)
 
         def partial_sums(batch: pa.Table) -> pd.DataFrame:
             c = ray.get(cents_ref)
-            m = _normalize(mat_from_column(batch[vec_col]))
-            assign = np.argmax(m @ c.T, axis=1)
+            m = np.round(_normalize(mat_from_column(batch[vec_col])), 9)
+            assign = np.argmax(np.round(m @ c.T, 9), axis=1)
             rows = []
             for cl in np.unique(assign):
                 sub = m[assign == cl]
@@ -277,13 +305,20 @@ def _kmeans_loop(ds: rd.Dataset, n_clusters: int, n_iter: int,
         parts = ds.map_batches(partial_sums,
                                batch_format="pyarrow").to_pandas()
         new = cents.copy()
+        touched = []
         for cl, grp in parts.groupby("cluster"):
             s = np.frombuffer(b"".join(grp["vsum"]), dtype=np.float64) \
                 .reshape(len(grp), -1).sum(axis=0)
             n = grp["n"].sum()
             if n:
                 new[cl] = s / n
-        cents = _normalize(new)
+                touched.append(cl)
+        # only TOUCHED rows renormalize: an empty cluster keeps its
+        # previous centroid verbatim — renormalizing an already-rounded
+        # unit vector can wiggle the 9th decimal and desync the oracle
+        if touched:
+            new[touched] = np.round(_normalize(new[touched]), 9)
+        cents = new
     return cents
 
 

@@ -230,7 +230,10 @@ def minhash_lsh_pairs(ds: rd.Dataset, id_col: str = "doc_id",
                       text_col: str = "text", num_perm: int = 64,
                       bands: int = 16, threshold: float = 0.7,
                       shingle_k: int = 5, seed: int = 7,
-                      concurrency=2, bucket_cap: int = 256) -> pd.DataFrame:
+                      concurrency=2, bucket_cap: int = 256,
+                      as_dataset: bool = False,
+                      out_dir: str | None = None
+                      ) -> pd.DataFrame | rd.Dataset:
     """MinHash+LSH near-duplicate pairs with estimated Jaccard ≥ threshold.
 
     shingle→minhash (actor pool) → explode to (band, band_hash, id) rows →
@@ -300,6 +303,8 @@ def minhash_lsh_pairs(ds: rd.Dataset, id_col: str = "doc_id",
             .map_groups(coarse_pairs, batch_format="pandas"))
     cand = dedup_pairs_ds(cand).materialize()
     if cand.count() == 0:
+        if as_dataset:
+            return rd.from_pandas(_empty_pairs("est_jaccard"))
         return _empty_pairs("est_jaccard")
 
     j = join_pairs_to_values(cand, sigs, id_col, "sig",
@@ -316,7 +321,13 @@ def minhash_lsh_pairs(ds: rd.Dataset, id_col: str = "doc_id",
                             "est_jaccard": est})
         return out[out["est_jaccard"] >= threshold]
 
-    out = j.map_batches(verify, batch_format="pandas").to_pandas()
+    verified = j.map_batches(verify, batch_format="pandas")
+    if out_dir is not None:
+        verified = verified.materialize()
+        verified.write_parquet(out_dir)
+    if as_dataset:
+        return verified
+    out = verified.to_pandas()
     if "id_a" not in out.columns:
         return _empty_pairs("est_jaccard")
     return out.sort_values(["id_a", "id_b"], ignore_index=True)
@@ -569,7 +580,10 @@ def cosine_dup_pairs_lsh(ds: rd.Dataset, id_col: str = "vec_id",
                          vec_col: str = "embedding",
                          threshold: float = 0.9, n_planes: int = 4,
                          n_tables: int = 48, seed: int = 7,
-                         bucket_cap: int = 4096) -> pd.DataFrame:
+                         bucket_cap: int = 4096,
+                         as_dataset: bool = False,
+                         out_dir: str | None = None
+                         ) -> pd.DataFrame | rd.Dataset:
     """LSH-bucketed embedding near-dup pairs — the scale path replacing
     the blocked all-pairs ``cosine_dup_pairs``.
 
@@ -586,6 +600,8 @@ def cosine_dup_pairs_lsh(ds: rd.Dataset, id_col: str = "vec_id",
     cand = lsh_candidate_pairs(ds, id_col, vec_col, n_planes, n_tables,
                                seed, bucket_cap)
     if cand.count() == 0:
+        if as_dataset:
+            return rd.from_pandas(_empty_pairs("cosine"))
         return _empty_pairs("cosine")
 
     j = join_pairs_to_values(cand, ds, id_col, vec_col,
@@ -603,7 +619,13 @@ def cosine_dup_pairs_lsh(ds: rd.Dataset, id_col: str = "vec_id",
                             "id_b": df["id_b"].to_numpy(), "cosine": cos})
         return out[out["cosine"] >= threshold]
 
-    out = j.map_batches(verify, batch_format="pandas").to_pandas()
+    verified = j.map_batches(verify, batch_format="pandas")
+    if out_dir is not None:
+        verified = verified.materialize()
+        verified.write_parquet(out_dir)
+    if as_dataset:
+        return verified
+    out = verified.to_pandas()
     if "id_a" not in out.columns:
         return _empty_pairs("cosine")
     return out.sort_values(["id_a", "id_b"], ignore_index=True)
@@ -1007,7 +1029,10 @@ def semantic_dedup(ds: rd.Dataset, threshold: float = 0.9,
                    n_clusters: int = 8, n_iter: int = 5,
                    id_col: str = "vec_id",
                    vec_col: str = "embedding",
-                   seed: int = 7) -> pd.DataFrame:
+                   seed: int = 7,
+                   as_dataset: bool = False,
+                   out_dir: str | None = None
+                   ) -> pd.DataFrame | rd.Dataset:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540 — public construction): spherical k-means buckets
     the embedding space, then near-duplicates are found ONLY within
@@ -1035,11 +1060,15 @@ def semantic_dedup(ds: rd.Dataset, threshold: float = 0.9,
     cents_ref = ray.put(cents)
 
     def assign(batch: pa.Table) -> pd.DataFrame:
+        # same 9 dp rounding convention as ann._kmeans_loop (r3): the
+        # assignment and the within-cluster cosines become
+        # engine-independent, so the query carries a SQL oracle
         c = ray.get(cents_ref)
-        m = _normalize(mat_from_column(batch[vec_col]))
+        m = np.round(_normalize(mat_from_column(batch[vec_col])), 9)
         return pd.DataFrame({
             id_col: ids_from_column(batch[id_col]),
-            "cluster": np.argmax(m @ c.T, axis=1).astype(np.int64),
+            "cluster": np.argmax(np.round(m @ c.T, 9),
+                                 axis=1).astype(np.int64),
             "vec": [r.tobytes() for r in m]})
 
     def cluster_dedup(g: pd.DataFrame) -> pd.DataFrame:
@@ -1051,17 +1080,23 @@ def semantic_dedup(ds: rd.Dataset, threshold: float = 0.9,
         blk = 2048
         for s in range(1, len(g), blk):
             e = min(s + blk, len(g))
-            sims = m[s:e] @ m[:e].T              # (e-s, e)
+            sims = np.round(m[s:e] @ m[:e].T, 9)  # (e-s, e)
             for r in range(s, e):
                 if (sims[r - s, :r] >= threshold).any():
                     keep[r] = False
         return pd.DataFrame({id_col: g[id_col], "cluster": g["cluster"],
                              "keep": keep})
 
-    out = (ds.map_batches(assign, batch_format="pyarrow")
-           .groupby("cluster")
-           .map_groups(cluster_dedup, batch_format="pandas")).to_pandas()
-    return out.sort_values(id_col, ignore_index=True)
+    verdicts = (ds.map_batches(assign, batch_format="pyarrow")
+                .groupby("cluster")
+                .map_groups(cluster_dedup, batch_format="pandas"))
+    if out_dir is not None:
+        verdicts = verdicts.materialize()
+        verdicts.write_parquet(out_dir)
+    if as_dataset:
+        # corpus-scale contract: per-vector verdicts stay distributed
+        return verdicts
+    return verdicts.to_pandas().sort_values(id_col, ignore_index=True)
 
 
 def shared_span_pairs(docs: rd.Dataset, n: int = 20,
