@@ -86,3 +86,19 @@ print(callable(Q.tpch_q9_nation_profit), len(Q.REGISTRY))
 """)
     ok, n = got.split()
     assert ok == "True" and int(n) == 960
+
+
+def test_ray_worker_deserializes_chunk_function(ray_session):
+    """The split's whole point for workers: a Ray task that receives a
+    chunk-module function must import that chunk (plus backward deps)
+    on the worker and run it — without the test process's modules."""
+    import ray
+
+    from webalizer_ray.pipelines.queries.q01_core import hourly_events
+
+    @ray.remote
+    def run(fn):
+        out = fn("/root/testdata/sf0.001")
+        return len(out)
+
+    assert ray.get(run.remote(hourly_events)) == 24
