@@ -102,3 +102,25 @@ def test_ray_worker_deserializes_chunk_function(ray_session):
         return len(out)
 
     assert ray.get(run.remote(hourly_events)) == 24
+
+
+def test_late_names_reachable_after_each_chunk_standalone_import():
+    """Generalization of the q02 regression (r3 review latent-gap):
+    for EVERY chunk, a standalone import followed by package attribute
+    access must resolve that chunk's registered names — if a future
+    module-level REGISTRY read for a non-imported chunk's key fires
+    the loader mid-import, the half-initialized snapshot would surface
+    here as an AttributeError."""
+    import webalizer_ray.pipelines.queries as Q
+
+    for chunk in Q._CHUNKS:
+        _run(f"""
+import webalizer_ray.pipelines.queries.{chunk} as ch
+import webalizer_ray.pipelines.queries as Q
+from webalizer_ray.pipelines.queries._shared import REGISTRY
+names = [k for k in dict.keys(REGISTRY)
+         if getattr(ch, k.replace('-', '_'), None) is not None][-3:]
+assert len(Q.REGISTRY) == 960
+for n in names:
+    getattr(Q, n)
+""")

@@ -35,6 +35,18 @@ STATUS_CLASSES = {
     5: "server_error",
 }
 
+def _rgb(hexs: str) -> tuple:
+    """'#RRGGBB' (leading '#' optional) → (r, g, b); the single hex
+    validator for every color knob."""
+    h = hexs.lstrip("#")
+    if len(h) != 6:
+        raise ValueError(f"bad color {hexs!r} (want #RRGGBB)")
+    try:
+        return tuple(int(h[i:i + 2], 16) for i in (0, 2, 4))
+    except ValueError:
+        raise ValueError(f"bad color {hexs!r} (want #RRGGBB)") from None
+
+
 # Top-N table sizes, mirroring the reference defaults (webalizer.conf.sample:
 # TopSites=30 TopKSites=10 TopURLs=30 TopKURLs=10 TopEntry=10 TopExit=10
 # TopRefs=30 TopAgents=15 TopSearch=20 TopUsers=20 [verify]).
@@ -177,17 +189,12 @@ class PipelineConfig:
     def graph_palette(self) -> dict:
         """{series: (r, g, b)} for pipelines/graphs.py from the Color*
         knobs; raises on malformed hex (config errors fail loudly)."""
-        def rgb(hexs: str) -> tuple:
-            h = hexs.lstrip("#")
-            if len(h) != 6:
-                raise ValueError(f"bad color {hexs!r} (want #RRGGBB)")
-            return tuple(int(h[i:i + 2], 16) for i in (0, 2, 4))
-        return {"hits": rgb(self.color_hit),
-                "files": rgb(self.color_file),
-                "pages": rgb(self.color_page),
-                "sess": rgb(self.color_session),
-                "convs": rgb(self.color_conv),
-                "kb": rgb(self.color_value)}
+        return {"hits": _rgb(self.color_hit),
+                "files": _rgb(self.color_file),
+                "pages": _rgb(self.color_page),
+                "sess": _rgb(self.color_session),
+                "convs": _rgb(self.color_conv),
+                "kb": _rgb(self.color_value)}
 
     def __post_init__(self):
         if self.strict_seq and self.fold_seq:
@@ -196,11 +203,12 @@ class PipelineConfig:
         if not 0 <= self.mangle_level <= 4:
             raise ValueError("mangle_level must be in 0..4")
         self.graph_palette()   # validate Color* hex up front
-        h = self.group_shade_color.lstrip("#")
-        if (len(h) != 6 or len(self.group_shade_color) != 7
-                or any(c not in "0123456789abcdefABCDEF" for c in h)):
-            raise ValueError(
-                f"bad color {self.group_shade_color!r} (want #RRGGBB)")
+        # same validator as the Color* knobs (ONE hex rule — r3
+        # review); normalized to '#RRGGBB' since this one lands
+        # verbatim in CSS, where a bare hex would be invalid
+        r, g, b = _rgb(self.group_shade_color)
+        object.__setattr__(self, "group_shade_color",
+                           f"#{r:02x}{g:02x}{b:02x}")  # frozen dataclass
 
 
 DEFAULT_CONFIG = PipelineConfig()

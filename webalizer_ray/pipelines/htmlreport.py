@@ -37,11 +37,10 @@ def _css(config=None) -> str:
     grouped rows carry class ``g``."""
     css = _CSS
     if config is None:
-        # match DEFAULT_CONFIG (shading AND highlight on) so a report
-        # rendered without an explicit config equals one rendered with
-        # PipelineConfig() (r3 review)
-        return (css + " tr.g td{background:#d0d0e0}"
-                " tr.g td{font-weight:bold}")
+        # delegate so config=None ALWAYS equals PipelineConfig() by
+        # construction, not by a hand-synced literal (r3 review)
+        from webalizer_ray.config import DEFAULT_CONFIG
+        config = DEFAULT_CONFIG
     rules = []
     if getattr(config, "group_shading", True):
         rules.append(

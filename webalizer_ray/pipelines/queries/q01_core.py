@@ -1314,7 +1314,31 @@ def docs_token_band(sf_dir: str) -> pd.DataFrame:
     return kept.sort_values("doc_id", ignore_index=True)
 
 
-@register("embedding_clusters", sql="""
+def _assert_kmeans_oracle_assumptions(sf_dir: str) -> None:
+    """The k-means oracles' seeds CTE assumes (a) the embeddings file
+    is written in vec_id order (the engine samples file order, the SQL
+    samples ORDER BY vec_id) and (b) at least 8 vectors (the SQL emits
+    exactly 8 seeds; the engine fits k=min(8, N)). Fail LOUDLY if a
+    regenerated fixture breaks either, instead of letting the oracles
+    silently diverge (r3 review)."""
+    ids = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id"])["vec_id"].to_numpy()
+    if len(ids) < 8:
+        raise AssertionError(
+            f"k-means oracle needs >= 8 embeddings, got {len(ids)}")
+    if not (np.diff(ids) > 0).all():
+        raise AssertionError(
+            "embeddings.parquet is not vec_id-sorted: the k-means "
+            "oracle's ORDER BY vec_id sample no longer matches the "
+            "engine's file-order sample")
+
+
+#: shared deterministic-k-means CTE chain (strided seeding,
+#: 9 dp rounding, ties to lowest cluster, empty clusters keep
+#: their centroid) — composed into BOTH the embedding_clusters
+#: and semantic_dedup_embeddings oracles so the determinism
+#: discipline lives in ONE place (r3 review)
+_KMEANS_CTES = """
 WITH dims AS (SELECT unnest(range(1, 1 + len(
                   (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
                    LIMIT 1)))) AS i),
@@ -1407,7 +1431,10 @@ c5 AS MATERIALIZED (SELECT u.cl, u.i, ROUND(u.v / un.nv, 9) AS v
         FROM u5 u JOIN un5 un USING (cl)
         UNION ALL
         SELECT c.cl, c.i, c.v FROM c4 c
-        WHERE c.cl NOT IN (SELECT DISTINCT cl FROM u5))
+        WHERE c.cl NOT IN (SELECT DISTINCT cl FROM u5))"""
+
+
+@register("embedding_clusters", sql=_KMEANS_CTES + """
 SELECT vec_id, CAST(cl AS BIGINT) AS cluster FROM (
     SELECT l.vec_id, c.cl,
            ROW_NUMBER() OVER (PARTITION BY l.vec_id
@@ -1425,6 +1452,7 @@ def embedding_clusters(sf_dir: str) -> pd.DataFrame:
     normalized vectors / assignment dots / centroids, ties to the
     lowest cluster, empty clusters keep their centroid verbatim).
     Determinism and planted-blob recovery are pytest-verified."""
+    _assert_kmeans_oracle_assumptions(sf_dir)
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     return ann.kmeans_fit_assign(ds, n_clusters=8, n_iter=5)
@@ -2882,100 +2910,7 @@ def similar_part_names(sf_dir: str) -> pd.DataFrame:
     return out
 
 
-@register("semantic_dedup_embeddings", sql="""
-WITH dims AS (SELECT unnest(range(1, 1 + len(
-                  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
-                   LIMIT 1)))) AS i),
-rawl AS MATERIALIZED (SELECT e.vec_id, d.i,
-                CAST(embedding AS DOUBLE[])[d.i] AS v
-         FROM embeddings e CROSS JOIN dims d),
-nrm AS MATERIALIZED (SELECT vec_id, GREATEST(SQRT(SUM(v * v)), 1e-12) AS nv
-        FROM rawl GROUP BY vec_id),
-vn AS MATERIALIZED (SELECT l.vec_id, l.i, ROUND(l.v / n.nv, 9) AS v
-       FROM rawl l JOIN nrm n USING (vec_id)),
-cnt AS MATERIALIZED (SELECT LEAST(1024, COUNT(*)) AS n FROM embeddings),
-samp AS MATERIALIZED (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS rn
-         FROM embeddings),
-seeds AS (SELECT unnest(range(0, 8)) AS cl),
-c0 AS MATERIALIZED (SELECT s.cl, l.i, l.v
-       FROM seeds s
-       JOIN samp sp ON sp.rn = (s.cl * (SELECT n FROM cnt)) // 8
-       JOIN vn l ON l.vec_id = sp.vec_id),
-a1 AS MATERIALIZED (SELECT vec_id, cl FROM (
-    SELECT l.vec_id, c.cl,
-           ROW_NUMBER() OVER (PARTITION BY l.vec_id
-               ORDER BY ROUND(SUM(l.v * c.v), 9) DESC, c.cl) AS rnk
-    FROM vn l JOIN c0 c ON c.i = l.i
-    GROUP BY l.vec_id, c.cl) WHERE rnk = 1),
-u1 AS MATERIALIZED (SELECT a.cl, l.i, AVG(l.v) AS v
-        FROM a1 a JOIN vn l USING (vec_id) GROUP BY a.cl, l.i),
-un1 AS MATERIALIZED (SELECT cl, GREATEST(SQRT(SUM(v * v)), 1e-12) AS nv
-         FROM u1 GROUP BY cl),
-c1 AS MATERIALIZED (SELECT u.cl, u.i, ROUND(u.v / un.nv, 9) AS v
-        FROM u1 u JOIN un1 un USING (cl)
-        UNION ALL
-        SELECT c.cl, c.i, c.v FROM c0 c
-        WHERE c.cl NOT IN (SELECT DISTINCT cl FROM u1)),
-a2 AS MATERIALIZED (SELECT vec_id, cl FROM (
-    SELECT l.vec_id, c.cl,
-           ROW_NUMBER() OVER (PARTITION BY l.vec_id
-               ORDER BY ROUND(SUM(l.v * c.v), 9) DESC, c.cl) AS rnk
-    FROM vn l JOIN c1 c ON c.i = l.i
-    GROUP BY l.vec_id, c.cl) WHERE rnk = 1),
-u2 AS MATERIALIZED (SELECT a.cl, l.i, AVG(l.v) AS v
-        FROM a2 a JOIN vn l USING (vec_id) GROUP BY a.cl, l.i),
-un2 AS MATERIALIZED (SELECT cl, GREATEST(SQRT(SUM(v * v)), 1e-12) AS nv
-         FROM u2 GROUP BY cl),
-c2 AS MATERIALIZED (SELECT u.cl, u.i, ROUND(u.v / un.nv, 9) AS v
-        FROM u2 u JOIN un2 un USING (cl)
-        UNION ALL
-        SELECT c.cl, c.i, c.v FROM c1 c
-        WHERE c.cl NOT IN (SELECT DISTINCT cl FROM u2)),
-a3 AS MATERIALIZED (SELECT vec_id, cl FROM (
-    SELECT l.vec_id, c.cl,
-           ROW_NUMBER() OVER (PARTITION BY l.vec_id
-               ORDER BY ROUND(SUM(l.v * c.v), 9) DESC, c.cl) AS rnk
-    FROM vn l JOIN c2 c ON c.i = l.i
-    GROUP BY l.vec_id, c.cl) WHERE rnk = 1),
-u3 AS MATERIALIZED (SELECT a.cl, l.i, AVG(l.v) AS v
-        FROM a3 a JOIN vn l USING (vec_id) GROUP BY a.cl, l.i),
-un3 AS MATERIALIZED (SELECT cl, GREATEST(SQRT(SUM(v * v)), 1e-12) AS nv
-         FROM u3 GROUP BY cl),
-c3 AS MATERIALIZED (SELECT u.cl, u.i, ROUND(u.v / un.nv, 9) AS v
-        FROM u3 u JOIN un3 un USING (cl)
-        UNION ALL
-        SELECT c.cl, c.i, c.v FROM c2 c
-        WHERE c.cl NOT IN (SELECT DISTINCT cl FROM u3)),
-a4 AS MATERIALIZED (SELECT vec_id, cl FROM (
-    SELECT l.vec_id, c.cl,
-           ROW_NUMBER() OVER (PARTITION BY l.vec_id
-               ORDER BY ROUND(SUM(l.v * c.v), 9) DESC, c.cl) AS rnk
-    FROM vn l JOIN c3 c ON c.i = l.i
-    GROUP BY l.vec_id, c.cl) WHERE rnk = 1),
-u4 AS MATERIALIZED (SELECT a.cl, l.i, AVG(l.v) AS v
-        FROM a4 a JOIN vn l USING (vec_id) GROUP BY a.cl, l.i),
-un4 AS MATERIALIZED (SELECT cl, GREATEST(SQRT(SUM(v * v)), 1e-12) AS nv
-         FROM u4 GROUP BY cl),
-c4 AS MATERIALIZED (SELECT u.cl, u.i, ROUND(u.v / un.nv, 9) AS v
-        FROM u4 u JOIN un4 un USING (cl)
-        UNION ALL
-        SELECT c.cl, c.i, c.v FROM c3 c
-        WHERE c.cl NOT IN (SELECT DISTINCT cl FROM u4)),
-a5 AS MATERIALIZED (SELECT vec_id, cl FROM (
-    SELECT l.vec_id, c.cl,
-           ROW_NUMBER() OVER (PARTITION BY l.vec_id
-               ORDER BY ROUND(SUM(l.v * c.v), 9) DESC, c.cl) AS rnk
-    FROM vn l JOIN c4 c ON c.i = l.i
-    GROUP BY l.vec_id, c.cl) WHERE rnk = 1),
-u5 AS MATERIALIZED (SELECT a.cl, l.i, AVG(l.v) AS v
-        FROM a5 a JOIN vn l USING (vec_id) GROUP BY a.cl, l.i),
-un5 AS MATERIALIZED (SELECT cl, GREATEST(SQRT(SUM(v * v)), 1e-12) AS nv
-         FROM u5 GROUP BY cl),
-c5 AS MATERIALIZED (SELECT u.cl, u.i, ROUND(u.v / un.nv, 9) AS v
-        FROM u5 u JOIN un5 un USING (cl)
-        UNION ALL
-        SELECT c.cl, c.i, c.v FROM c4 c
-        WHERE c.cl NOT IN (SELECT DISTINCT cl FROM u5)),
+@register("semantic_dedup_embeddings", sql=_KMEANS_CTES + """,
 asg AS MATERIALIZED (SELECT vec_id, cl AS cluster FROM (
     SELECT l.vec_id, c.cl,
            ROW_NUMBER() OVER (PARTITION BY l.vec_id
@@ -3006,6 +2941,7 @@ def semantic_dedup_embeddings(sf_dir: str) -> pd.DataFrame:
     the assignment dots and within-cluster cosines to 9 dp. pytest
     additionally verifies every verdict against a brute-force
     per-cluster recomputation."""
+    _assert_kmeans_oracle_assumptions(sf_dir)
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
     return dedup.semantic_dedup(ds, threshold=0.4, n_clusters=8)

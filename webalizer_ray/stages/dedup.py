@@ -303,9 +303,13 @@ def minhash_lsh_pairs(ds: rd.Dataset, id_col: str = "doc_id",
             .map_groups(coarse_pairs, batch_format="pandas"))
     cand = dedup_pairs_ds(cand).materialize()
     if cand.count() == 0:
-        if as_dataset:
-            return rd.from_pandas(_empty_pairs("est_jaccard"))
-        return _empty_pairs("est_jaccard")
+        empty = rd.from_pandas(_empty_pairs("est_jaccard"))
+        if out_dir is not None:
+            # the sink contract holds on the empty result too (r3
+            # review): consumers read the path regardless of whether
+            # LSH produced candidates
+            empty.write_parquet(out_dir)
+        return empty if as_dataset else _empty_pairs("est_jaccard")
 
     j = join_pairs_to_values(cand, sigs, id_col, "sig",
                              pack_dtype=np.uint64)
@@ -600,9 +604,10 @@ def cosine_dup_pairs_lsh(ds: rd.Dataset, id_col: str = "vec_id",
     cand = lsh_candidate_pairs(ds, id_col, vec_col, n_planes, n_tables,
                                seed, bucket_cap)
     if cand.count() == 0:
-        if as_dataset:
-            return rd.from_pandas(_empty_pairs("cosine"))
-        return _empty_pairs("cosine")
+        empty = rd.from_pandas(_empty_pairs("cosine"))
+        if out_dir is not None:
+            empty.write_parquet(out_dir)
+        return empty if as_dataset else _empty_pairs("cosine")
 
     j = join_pairs_to_values(cand, ds, id_col, vec_col,
                              pack_dtype=np.float64)
