@@ -19,16 +19,20 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+
 import ray
 import ray.data as rd
+
+from webalizer_ray.stages.vecops import mat_from_column
 
 
 def covariance_moments(ds: rd.Dataset, vec_col: str = "embedding"
                        ) -> tuple[np.ndarray, np.ndarray, int]:
     """One streaming pass → (mean, covariance, n). Population
     covariance (divide by n), matching numpy's np.cov(bias=True)."""
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        m = np.stack(df[vec_col].to_numpy()).astype(np.float64)
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        m = mat_from_column(batch[vec_col])
         sx = m.sum(axis=0)
         sxx = m.T @ m
         row = {f"s{i}": [sx[i]] for i in range(len(sx))}
@@ -36,7 +40,7 @@ def covariance_moments(ds: rd.Dataset, vec_col: str = "embedding"
         row["n"] = [np.int64(len(m))]
         return pd.DataFrame(row)
 
-    p = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    p = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     n = int(p["n"].sum())
     # columns = d (sums) + d² (outer products) + 1 (n) → solve for d
     d = int(round((-1 + np.sqrt(1 + 4 * (len(p.columns) - 1))) / 2))
@@ -62,12 +66,12 @@ def whiten(ds: rd.Dataset, mean: np.ndarray, eigvals: np.ndarray,
     W = eigvecs @ np.diag(1.0 / np.sqrt(eigvals + eps))
     ref = ray.put((mean.copy(), W))
 
-    def transform(df: pd.DataFrame) -> pd.DataFrame:
+    def transform(batch: pa.Table) -> pd.DataFrame:
         mu, Wm = ray.get(ref)
-        m = np.stack(df[vec_col].to_numpy()).astype(np.float64)
+        m = mat_from_column(batch[vec_col])
         z = (m - mu) @ Wm
-        out = df.copy()
+        out = batch.drop_columns([vec_col]).to_pandas()
         out[vec_col] = list(z)
         return out
 
-    return ds.map_batches(transform, batch_format="pandas")
+    return ds.map_batches(transform, batch_format="pyarrow")
