@@ -803,6 +803,15 @@ def connected_components_ds(pairs: rd.Dataset,
     without re-running the supersteps.
     """
     labels = _cc_labels(pairs, id_a, id_b, num_partitions, max_rounds)
+    out_schema = pa.schema([("node", pa.int64()),
+                            ("cluster_id", pa.int64())])
+    if labels.count() == 0:
+        # Ray's map operators skip empty blocks, so the rename below
+        # would never run and the empty result would lose its schema
+        out = rd.from_arrow(out_schema.empty_table())
+        if out_dir is not None:
+            out.write_parquet(out_dir)
+        return out
 
     def _rename(b: pa.Table) -> pa.Table:
         return pa.table({"node": pc.cast(b["node"], pa.int64()),
