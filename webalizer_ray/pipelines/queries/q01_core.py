@@ -1551,18 +1551,45 @@ def value_quantiles_by_type(sf_dir: str) -> pd.DataFrame:
 # --- sketch-based approximate variants (the high-cardinality scale path:
 #     fixed-size mergeable partials shuffle, never the values) -------------
 
-@register("distinct_users_hll")
+@register("distinct_users_hll", sql="""
+WITH src AS MATERIALIZED (SELECT user_id AS u FROM events),
+h0 AS (SELECT CAST((CAST(u AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z0
+       FROM src),
+h1 AS (SELECT CAST((((CAST((xor(z0, z0 >> 30)) >> 32 AS HUGEINT) * 13787848793156543929) % 4294967296) * 4294967296 + (CAST((xor(z0, z0 >> 30)) & 4294967295 AS HUGEINT) * 13787848793156543929)) % 18446744073709551616 AS UBIGINT) AS z1 FROM h0),
+h2 AS (SELECT CAST((((CAST((xor(z1, z1 >> 27)) >> 32 AS HUGEINT) * 10723151780598845931) % 4294967296) * 4294967296 + (CAST((xor(z1, z1 >> 27)) & 4294967295 AS HUGEINT) * 10723151780598845931)) % 18446744073709551616 AS UBIGINT) AS z2 FROM h1),
+hx AS MATERIALIZED (SELECT xor(z2, z2 >> 31) AS h FROM h2),
+regs AS MATERIALIZED (
+  SELECT CAST(h >> 50 AS BIGINT) AS idx,
+         MAX(CASE WHEN (h & 1125899906842623) = 0 THEN 51
+                  ELSE 50 - (length(bin(h & 1125899906842623)) - 1)
+             END) AS r
+  FROM hx GROUP BY idx),
+est AS (
+  SELECT 
+         16384.0 * 16384.0 * (0.7213 / (1.0 + 1.079 / 16384.0))
+             / ((16384 - COUNT(*)) + SUM(POWER(2.0, -r))) AS e,
+         16384 - COUNT(*) AS zeros
+  FROM regs )
+SELECT CAST(ROUND(CASE WHEN e <= 2.5 * 16384 AND zeros > 0
+                 THEN 16384.0 * LN(16384.0 / zeros) ELSE e END)
+           AS BIGINT) AS users_approx
+FROM est""")
 def distinct_users_hll(sf_dir: str) -> pd.DataFrame:
     """Approximate global distinct via HyperLogLog (p=14, ~0.8% err):
     one 16 KiB register array per batch, elementwise-max merge — at 10^9
     users only B tiny partials move, vs the exact two-phase shuffle.
-    Rows-only BY NATURE: the output is the sketch's estimate, which no
-    exact SQL reproduces; test_sketch bounds it against the exact
-    distinct count within the p=14 error envelope."""
-    from webalizer_ray.stages.sketch import HyperLogLog
+    Oracle (r3): the sketch is DETERMINISTIC given the hash, and the
+    hash is now SplitMix64 (SQL-replicable integer mixing) — the
+    oracle rebuilds the identical 16384 registers (top-14-bit index,
+    rank via exact bin-length log2, max per register) and applies the
+    same estimator with linear-counting correction, reproducing the
+    estimate bit-for-bit, error and all. test_sketch still bounds it
+    against the exact distinct count."""
+    from webalizer_ray.stages.sketch import HyperLogLog, splitmix64
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        h = pd.util.hash_array(df["user_id"].to_numpy())
+        h = splitmix64(df["user_id"].to_numpy(np.int64)
+                       .astype(np.uint64))
         return pd.DataFrame(
             {"hll": [HyperLogLog.from_hashes(h).to_bytes()]})
 
@@ -3417,17 +3444,42 @@ def events_cube(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["hour", "event_type"], ignore_index=True)
 
 
-@register("user_event_counts_cms")
+@register("user_event_counts_cms", sql="""
+WITH mixes(d, mix) AS (VALUES (0, 11400714819323198485), (1, 14029467366897019727), (2, 1609587929392839161), (3, 2870177450012600261)),
+ix AS MATERIALIZED (
+  SELECT e.user_id, m.d,
+         CAST(xor(mm, mm >> 33) % 2048 AS BIGINT) AS w
+  FROM (SELECT user_id,
+               CAST(user_id AS HUGEINT) AS uh FROM events) e
+  CROSS JOIN mixes m
+  CROSS JOIN LATERAL (SELECT CAST((e.uh * m.mix)
+                      % 18446744073709551616 AS UBIGINT) AS mm) x),
+cells AS MATERIALIZED (
+  SELECT d, w, CAST(COUNT(*) AS BIGINT) AS c FROM ix GROUP BY d, w),
+probes AS (
+  SELECT DISTINCT user_id, d, w FROM ix)
+SELECT p.user_id, CAST(MIN(c.c) AS BIGINT) AS est_events
+FROM probes p JOIN cells c ON c.d = p.d AND c.w = p.w
+GROUP BY p.user_id
+ORDER BY p.user_id""")
 def user_event_counts_cms(sf_dir: str) -> pd.DataFrame:
     """Per-key frequency estimates via Count-Min (the linear-merge
     sketch for per-key counts when the key space is too big for an
     exact groupby result to live anywhere): per-batch sketches ADD
     together, so only (depth×width) int64 tables shuffle, never keys.
-    One-sided error (est ≥ true); pytest checks the CM bound."""
+    One-sided error (est ≥ true); pytest checks the CM bound. Oracle
+    (r3): the sketch is LINEAR, so SQL can rebuild the identical
+    table — the multiplicative xor-shift row mix replayed in HUGEINT
+    arithmetic, cell counts by GROUP BY (d, idx), estimate = MIN over
+    depths — collisions and all."""
     from webalizer_ray.stages.sketch import CountMin
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        h = pd.util.hash_array(df["user_id"].to_numpy(np.int64))
+        # raw int64 ids as the 64-bit input: CountMin's odd
+        # multiplicative _MIX family IS the row hash, and unlike
+        # SipHash it is SQL-replicable, so this query carries an
+        # oracle (r3)
+        h = df["user_id"].to_numpy(np.int64).astype(np.uint64)
         return pd.DataFrame({
             "cms": [CountMin.from_hashes(h).to_bytes()]})
 
@@ -3441,24 +3493,49 @@ def user_event_counts_cms(sf_dir: str) -> pd.DataFrame:
     users = _events(sf_dir, ["user_id"]).map_batches(
         lambda df: df.drop_duplicates(), batch_format="pandas") \
         .to_pandas()["user_id"].drop_duplicates().sort_values()
-    est = sk.estimate(pd.util.hash_array(users.to_numpy(np.int64)))
+    est = sk.estimate(users.to_numpy(np.int64).astype(np.uint64))
     return pd.DataFrame({"user_id": users.to_numpy(np.int64),
                          "est_events": est.astype(np.int64)})
 
 
-@register("distinct_users_by_type_hll")
+@register("distinct_users_by_type_hll", sql="""
+WITH src AS MATERIALIZED (SELECT event_type, user_id AS u FROM events),
+h0 AS (SELECT event_type, CAST((CAST(u AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z0
+       FROM src),
+h1 AS (SELECT event_type, CAST((((CAST((xor(z0, z0 >> 30)) >> 32 AS HUGEINT) * 13787848793156543929) % 4294967296) * 4294967296 + (CAST((xor(z0, z0 >> 30)) & 4294967295 AS HUGEINT) * 13787848793156543929)) % 18446744073709551616 AS UBIGINT) AS z1 FROM h0),
+h2 AS (SELECT event_type, CAST((((CAST((xor(z1, z1 >> 27)) >> 32 AS HUGEINT) * 10723151780598845931) % 4294967296) * 4294967296 + (CAST((xor(z1, z1 >> 27)) & 4294967295 AS HUGEINT) * 10723151780598845931)) % 18446744073709551616 AS UBIGINT) AS z2 FROM h1),
+hx AS MATERIALIZED (SELECT event_type, xor(z2, z2 >> 31) AS h FROM h2),
+regs AS MATERIALIZED (
+  SELECT event_type, CAST(h >> 50 AS BIGINT) AS idx,
+         MAX(CASE WHEN (h & 1125899906842623) = 0 THEN 51
+                  ELSE 50 - (length(bin(h & 1125899906842623)) - 1)
+             END) AS r
+  FROM hx GROUP BY event_type, idx),
+est AS (
+  SELECT event_type, 
+         16384.0 * 16384.0 * (0.7213 / (1.0 + 1.079 / 16384.0))
+             / ((16384 - COUNT(*)) + SUM(POWER(2.0, -r))) AS e,
+         16384 - COUNT(*) AS zeros
+  FROM regs GROUP BY event_type)
+SELECT event_type, CAST(ROUND(CASE WHEN e <= 2.5 * 16384 AND zeros > 0
+                 THEN 16384.0 * LN(16384.0 / zeros) ELSE e END)
+           AS BIGINT) AS users_approx
+FROM est ORDER BY event_type""")
 def distinct_users_by_type_hll(sf_dir: str) -> pd.DataFrame:
     """PER-GROUP approximate distinct: one HyperLogLog per (batch,
     event_type) — fixed 16 KiB register arrays merge by max inside an
     ordinary groupby, so per-group distinct users costs one small-row
-    shuffle however many users exist. Accuracy pytest vs the exact
-    two-phase count."""
-    from webalizer_ray.stages.sketch import HyperLogLog
+    shuffle however many users exist. Oracle (r3): SplitMix64 hashing
+    makes the registers SQL-reproducible per group — see
+    distinct_users_hll. Accuracy pytest vs the exact two-phase
+    count."""
+    from webalizer_ray.stages.sketch import HyperLogLog, splitmix64
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for et, g in df.groupby("event_type", sort=False):
-            h = pd.util.hash_array(g["user_id"].to_numpy(np.int64))
+            h = splitmix64(g["user_id"].to_numpy(np.int64)
+                           .astype(np.uint64))
             rows.append((et, HyperLogLog.from_hashes(h).to_bytes()))
         return pd.DataFrame(rows, columns=["event_type", "hll"])
 

@@ -1516,14 +1516,2135 @@ def changepoint_day(sf_dir: str) -> pd.DataFrame:
         "mean_after": [round(ma, 4)]})
 
 
-@register("ann_topk_pq", sql=None)  # quantized/approximate — not SQL
+@register("ann_topk_pq", sql="""
+WITH dims AS (SELECT unnest(range(1, 65)) AS i),
+rawl AS MATERIALIZED (SELECT e.vec_id, d.i,
+              CAST(embedding AS DOUBLE[])[d.i] AS v
+       FROM embeddings e CROSS JOIN dims d),
+nrm AS MATERIALIZED (SELECT vec_id, GREATEST(SQRT(SUM(v * v)), 1e-12) AS nv
+       FROM rawl GROUP BY vec_id),
+vn AS MATERIALIZED (SELECT l.vec_id, l.i, ROUND(l.v / n.nv, 9) AS v
+      FROM rawl l JOIN nrm n USING (vec_id)),
+cnt AS (SELECT LEAST(2048, COUNT(*)) AS n FROM embeddings),
+samp AS MATERIALIZED (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS rn
+        FROM embeddings),
+seeds AS (SELECT unnest(range(0, 256)) AS cw),
+sv0 AS MATERIALIZED ((SELECT vec_id, i - 0 AS i, v FROM vn WHERE i BETWEEN 1 AND 4)),
+s0c0 AS MATERIALIZED (
+  SELECT s.cw, l.i, l.v FROM seeds s
+  JOIN samp sp ON sp.rn = (s.cw * (SELECT n FROM cnt)) // 256
+  JOIN sv0 l ON l.vec_id = sp.vec_id),
+s0a1 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv0 l JOIN s0c0 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s0c1 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s0a1 a JOIN sv0 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s0c0 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s0a1)),
+s0a2 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv0 l JOIN s0c1 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s0c2 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s0a2 a JOIN sv0 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s0c1 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s0a2)),
+s0a3 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv0 l JOIN s0c2 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s0c3 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s0a3 a JOIN sv0 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s0c2 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s0a3)),
+s0a4 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv0 l JOIN s0c3 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s0c4 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s0a4 a JOIN sv0 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s0c3 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s0a4)),
+s0a5 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv0 l JOIN s0c4 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s0c5 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s0a5 a JOIN sv0 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s0c4 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s0a5)),
+s0a6 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv0 l JOIN s0c5 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s0c6 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s0a6 a JOIN sv0 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s0c5 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s0a6)),
+s0a7 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv0 l JOIN s0c6 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s0c7 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s0a7 a JOIN sv0 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s0c6 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s0a7)),
+s0a8 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv0 l JOIN s0c7 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s0c8 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s0a8 a JOIN sv0 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s0c7 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s0a8)),
+s0code AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv0 l JOIN s0c8 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s0lut AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, c.cw, ROUND(SUM(q.v * c.v), 9) AS dot
+  FROM (SELECT vec_id, i, v FROM sv0 WHERE vec_id < 3) q
+  JOIN s0c8 c ON c.i = q.i
+  GROUP BY q.vec_id, c.cw),
+sv1 AS MATERIALIZED ((SELECT vec_id, i - 4 AS i, v FROM vn WHERE i BETWEEN 5 AND 8)),
+s1c0 AS MATERIALIZED (
+  SELECT s.cw, l.i, l.v FROM seeds s
+  JOIN samp sp ON sp.rn = (s.cw * (SELECT n FROM cnt)) // 256
+  JOIN sv1 l ON l.vec_id = sp.vec_id),
+s1a1 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv1 l JOIN s1c0 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s1c1 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s1a1 a JOIN sv1 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s1c0 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s1a1)),
+s1a2 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv1 l JOIN s1c1 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s1c2 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s1a2 a JOIN sv1 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s1c1 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s1a2)),
+s1a3 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv1 l JOIN s1c2 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s1c3 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s1a3 a JOIN sv1 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s1c2 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s1a3)),
+s1a4 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv1 l JOIN s1c3 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s1c4 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s1a4 a JOIN sv1 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s1c3 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s1a4)),
+s1a5 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv1 l JOIN s1c4 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s1c5 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s1a5 a JOIN sv1 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s1c4 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s1a5)),
+s1a6 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv1 l JOIN s1c5 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s1c6 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s1a6 a JOIN sv1 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s1c5 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s1a6)),
+s1a7 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv1 l JOIN s1c6 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s1c7 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s1a7 a JOIN sv1 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s1c6 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s1a7)),
+s1a8 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv1 l JOIN s1c7 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s1c8 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s1a8 a JOIN sv1 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s1c7 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s1a8)),
+s1code AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv1 l JOIN s1c8 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s1lut AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, c.cw, ROUND(SUM(q.v * c.v), 9) AS dot
+  FROM (SELECT vec_id, i, v FROM sv1 WHERE vec_id < 3) q
+  JOIN s1c8 c ON c.i = q.i
+  GROUP BY q.vec_id, c.cw),
+sv2 AS MATERIALIZED ((SELECT vec_id, i - 8 AS i, v FROM vn WHERE i BETWEEN 9 AND 12)),
+s2c0 AS MATERIALIZED (
+  SELECT s.cw, l.i, l.v FROM seeds s
+  JOIN samp sp ON sp.rn = (s.cw * (SELECT n FROM cnt)) // 256
+  JOIN sv2 l ON l.vec_id = sp.vec_id),
+s2a1 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv2 l JOIN s2c0 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s2c1 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s2a1 a JOIN sv2 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s2c0 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s2a1)),
+s2a2 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv2 l JOIN s2c1 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s2c2 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s2a2 a JOIN sv2 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s2c1 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s2a2)),
+s2a3 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv2 l JOIN s2c2 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s2c3 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s2a3 a JOIN sv2 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s2c2 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s2a3)),
+s2a4 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv2 l JOIN s2c3 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s2c4 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s2a4 a JOIN sv2 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s2c3 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s2a4)),
+s2a5 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv2 l JOIN s2c4 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s2c5 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s2a5 a JOIN sv2 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s2c4 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s2a5)),
+s2a6 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv2 l JOIN s2c5 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s2c6 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s2a6 a JOIN sv2 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s2c5 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s2a6)),
+s2a7 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv2 l JOIN s2c6 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s2c7 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s2a7 a JOIN sv2 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s2c6 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s2a7)),
+s2a8 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv2 l JOIN s2c7 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s2c8 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s2a8 a JOIN sv2 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s2c7 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s2a8)),
+s2code AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv2 l JOIN s2c8 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s2lut AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, c.cw, ROUND(SUM(q.v * c.v), 9) AS dot
+  FROM (SELECT vec_id, i, v FROM sv2 WHERE vec_id < 3) q
+  JOIN s2c8 c ON c.i = q.i
+  GROUP BY q.vec_id, c.cw),
+sv3 AS MATERIALIZED ((SELECT vec_id, i - 12 AS i, v FROM vn WHERE i BETWEEN 13 AND 16)),
+s3c0 AS MATERIALIZED (
+  SELECT s.cw, l.i, l.v FROM seeds s
+  JOIN samp sp ON sp.rn = (s.cw * (SELECT n FROM cnt)) // 256
+  JOIN sv3 l ON l.vec_id = sp.vec_id),
+s3a1 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv3 l JOIN s3c0 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s3c1 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s3a1 a JOIN sv3 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s3c0 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s3a1)),
+s3a2 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv3 l JOIN s3c1 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s3c2 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s3a2 a JOIN sv3 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s3c1 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s3a2)),
+s3a3 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv3 l JOIN s3c2 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s3c3 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s3a3 a JOIN sv3 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s3c2 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s3a3)),
+s3a4 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv3 l JOIN s3c3 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s3c4 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s3a4 a JOIN sv3 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s3c3 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s3a4)),
+s3a5 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv3 l JOIN s3c4 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s3c5 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s3a5 a JOIN sv3 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s3c4 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s3a5)),
+s3a6 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv3 l JOIN s3c5 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s3c6 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s3a6 a JOIN sv3 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s3c5 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s3a6)),
+s3a7 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv3 l JOIN s3c6 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s3c7 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s3a7 a JOIN sv3 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s3c6 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s3a7)),
+s3a8 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv3 l JOIN s3c7 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s3c8 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s3a8 a JOIN sv3 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s3c7 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s3a8)),
+s3code AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv3 l JOIN s3c8 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s3lut AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, c.cw, ROUND(SUM(q.v * c.v), 9) AS dot
+  FROM (SELECT vec_id, i, v FROM sv3 WHERE vec_id < 3) q
+  JOIN s3c8 c ON c.i = q.i
+  GROUP BY q.vec_id, c.cw),
+sv4 AS MATERIALIZED ((SELECT vec_id, i - 16 AS i, v FROM vn WHERE i BETWEEN 17 AND 20)),
+s4c0 AS MATERIALIZED (
+  SELECT s.cw, l.i, l.v FROM seeds s
+  JOIN samp sp ON sp.rn = (s.cw * (SELECT n FROM cnt)) // 256
+  JOIN sv4 l ON l.vec_id = sp.vec_id),
+s4a1 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv4 l JOIN s4c0 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s4c1 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s4a1 a JOIN sv4 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s4c0 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s4a1)),
+s4a2 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv4 l JOIN s4c1 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s4c2 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s4a2 a JOIN sv4 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s4c1 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s4a2)),
+s4a3 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv4 l JOIN s4c2 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s4c3 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s4a3 a JOIN sv4 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s4c2 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s4a3)),
+s4a4 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv4 l JOIN s4c3 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s4c4 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s4a4 a JOIN sv4 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s4c3 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s4a4)),
+s4a5 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv4 l JOIN s4c4 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s4c5 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s4a5 a JOIN sv4 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s4c4 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s4a5)),
+s4a6 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv4 l JOIN s4c5 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s4c6 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s4a6 a JOIN sv4 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s4c5 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s4a6)),
+s4a7 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv4 l JOIN s4c6 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s4c7 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s4a7 a JOIN sv4 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s4c6 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s4a7)),
+s4a8 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv4 l JOIN s4c7 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s4c8 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s4a8 a JOIN sv4 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s4c7 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s4a8)),
+s4code AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv4 l JOIN s4c8 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s4lut AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, c.cw, ROUND(SUM(q.v * c.v), 9) AS dot
+  FROM (SELECT vec_id, i, v FROM sv4 WHERE vec_id < 3) q
+  JOIN s4c8 c ON c.i = q.i
+  GROUP BY q.vec_id, c.cw),
+sv5 AS MATERIALIZED ((SELECT vec_id, i - 20 AS i, v FROM vn WHERE i BETWEEN 21 AND 24)),
+s5c0 AS MATERIALIZED (
+  SELECT s.cw, l.i, l.v FROM seeds s
+  JOIN samp sp ON sp.rn = (s.cw * (SELECT n FROM cnt)) // 256
+  JOIN sv5 l ON l.vec_id = sp.vec_id),
+s5a1 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv5 l JOIN s5c0 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s5c1 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s5a1 a JOIN sv5 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s5c0 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s5a1)),
+s5a2 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv5 l JOIN s5c1 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s5c2 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s5a2 a JOIN sv5 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s5c1 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s5a2)),
+s5a3 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv5 l JOIN s5c2 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s5c3 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s5a3 a JOIN sv5 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s5c2 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s5a3)),
+s5a4 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv5 l JOIN s5c3 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s5c4 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s5a4 a JOIN sv5 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s5c3 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s5a4)),
+s5a5 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv5 l JOIN s5c4 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s5c5 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s5a5 a JOIN sv5 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s5c4 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s5a5)),
+s5a6 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv5 l JOIN s5c5 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s5c6 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s5a6 a JOIN sv5 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s5c5 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s5a6)),
+s5a7 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv5 l JOIN s5c6 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s5c7 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s5a7 a JOIN sv5 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s5c6 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s5a7)),
+s5a8 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv5 l JOIN s5c7 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s5c8 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s5a8 a JOIN sv5 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s5c7 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s5a8)),
+s5code AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv5 l JOIN s5c8 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s5lut AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, c.cw, ROUND(SUM(q.v * c.v), 9) AS dot
+  FROM (SELECT vec_id, i, v FROM sv5 WHERE vec_id < 3) q
+  JOIN s5c8 c ON c.i = q.i
+  GROUP BY q.vec_id, c.cw),
+sv6 AS MATERIALIZED ((SELECT vec_id, i - 24 AS i, v FROM vn WHERE i BETWEEN 25 AND 28)),
+s6c0 AS MATERIALIZED (
+  SELECT s.cw, l.i, l.v FROM seeds s
+  JOIN samp sp ON sp.rn = (s.cw * (SELECT n FROM cnt)) // 256
+  JOIN sv6 l ON l.vec_id = sp.vec_id),
+s6a1 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv6 l JOIN s6c0 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s6c1 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s6a1 a JOIN sv6 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s6c0 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s6a1)),
+s6a2 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv6 l JOIN s6c1 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s6c2 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s6a2 a JOIN sv6 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s6c1 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s6a2)),
+s6a3 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv6 l JOIN s6c2 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s6c3 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s6a3 a JOIN sv6 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s6c2 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s6a3)),
+s6a4 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv6 l JOIN s6c3 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s6c4 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s6a4 a JOIN sv6 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s6c3 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s6a4)),
+s6a5 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv6 l JOIN s6c4 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s6c5 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s6a5 a JOIN sv6 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s6c4 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s6a5)),
+s6a6 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv6 l JOIN s6c5 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s6c6 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s6a6 a JOIN sv6 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s6c5 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s6a6)),
+s6a7 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv6 l JOIN s6c6 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s6c7 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s6a7 a JOIN sv6 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s6c6 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s6a7)),
+s6a8 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv6 l JOIN s6c7 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s6c8 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s6a8 a JOIN sv6 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s6c7 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s6a8)),
+s6code AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv6 l JOIN s6c8 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s6lut AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, c.cw, ROUND(SUM(q.v * c.v), 9) AS dot
+  FROM (SELECT vec_id, i, v FROM sv6 WHERE vec_id < 3) q
+  JOIN s6c8 c ON c.i = q.i
+  GROUP BY q.vec_id, c.cw),
+sv7 AS MATERIALIZED ((SELECT vec_id, i - 28 AS i, v FROM vn WHERE i BETWEEN 29 AND 32)),
+s7c0 AS MATERIALIZED (
+  SELECT s.cw, l.i, l.v FROM seeds s
+  JOIN samp sp ON sp.rn = (s.cw * (SELECT n FROM cnt)) // 256
+  JOIN sv7 l ON l.vec_id = sp.vec_id),
+s7a1 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv7 l JOIN s7c0 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s7c1 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s7a1 a JOIN sv7 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s7c0 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s7a1)),
+s7a2 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv7 l JOIN s7c1 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s7c2 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s7a2 a JOIN sv7 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s7c1 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s7a2)),
+s7a3 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv7 l JOIN s7c2 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s7c3 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s7a3 a JOIN sv7 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s7c2 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s7a3)),
+s7a4 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv7 l JOIN s7c3 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s7c4 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s7a4 a JOIN sv7 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s7c3 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s7a4)),
+s7a5 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv7 l JOIN s7c4 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s7c5 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s7a5 a JOIN sv7 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s7c4 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s7a5)),
+s7a6 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv7 l JOIN s7c5 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s7c6 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s7a6 a JOIN sv7 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s7c5 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s7a6)),
+s7a7 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv7 l JOIN s7c6 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s7c7 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s7a7 a JOIN sv7 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s7c6 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s7a7)),
+s7a8 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv7 l JOIN s7c7 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s7c8 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s7a8 a JOIN sv7 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s7c7 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s7a8)),
+s7code AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv7 l JOIN s7c8 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s7lut AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, c.cw, ROUND(SUM(q.v * c.v), 9) AS dot
+  FROM (SELECT vec_id, i, v FROM sv7 WHERE vec_id < 3) q
+  JOIN s7c8 c ON c.i = q.i
+  GROUP BY q.vec_id, c.cw),
+sv8 AS MATERIALIZED ((SELECT vec_id, i - 32 AS i, v FROM vn WHERE i BETWEEN 33 AND 36)),
+s8c0 AS MATERIALIZED (
+  SELECT s.cw, l.i, l.v FROM seeds s
+  JOIN samp sp ON sp.rn = (s.cw * (SELECT n FROM cnt)) // 256
+  JOIN sv8 l ON l.vec_id = sp.vec_id),
+s8a1 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv8 l JOIN s8c0 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s8c1 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s8a1 a JOIN sv8 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s8c0 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s8a1)),
+s8a2 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv8 l JOIN s8c1 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s8c2 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s8a2 a JOIN sv8 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s8c1 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s8a2)),
+s8a3 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv8 l JOIN s8c2 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s8c3 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s8a3 a JOIN sv8 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s8c2 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s8a3)),
+s8a4 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv8 l JOIN s8c3 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s8c4 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s8a4 a JOIN sv8 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s8c3 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s8a4)),
+s8a5 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv8 l JOIN s8c4 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s8c5 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s8a5 a JOIN sv8 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s8c4 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s8a5)),
+s8a6 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv8 l JOIN s8c5 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s8c6 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s8a6 a JOIN sv8 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s8c5 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s8a6)),
+s8a7 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv8 l JOIN s8c6 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s8c7 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s8a7 a JOIN sv8 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s8c6 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s8a7)),
+s8a8 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv8 l JOIN s8c7 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s8c8 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s8a8 a JOIN sv8 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s8c7 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s8a8)),
+s8code AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv8 l JOIN s8c8 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s8lut AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, c.cw, ROUND(SUM(q.v * c.v), 9) AS dot
+  FROM (SELECT vec_id, i, v FROM sv8 WHERE vec_id < 3) q
+  JOIN s8c8 c ON c.i = q.i
+  GROUP BY q.vec_id, c.cw),
+sv9 AS MATERIALIZED ((SELECT vec_id, i - 36 AS i, v FROM vn WHERE i BETWEEN 37 AND 40)),
+s9c0 AS MATERIALIZED (
+  SELECT s.cw, l.i, l.v FROM seeds s
+  JOIN samp sp ON sp.rn = (s.cw * (SELECT n FROM cnt)) // 256
+  JOIN sv9 l ON l.vec_id = sp.vec_id),
+s9a1 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv9 l JOIN s9c0 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s9c1 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s9a1 a JOIN sv9 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s9c0 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s9a1)),
+s9a2 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv9 l JOIN s9c1 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s9c2 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s9a2 a JOIN sv9 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s9c1 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s9a2)),
+s9a3 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv9 l JOIN s9c2 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s9c3 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s9a3 a JOIN sv9 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s9c2 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s9a3)),
+s9a4 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv9 l JOIN s9c3 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s9c4 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s9a4 a JOIN sv9 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s9c3 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s9a4)),
+s9a5 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv9 l JOIN s9c4 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s9c5 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s9a5 a JOIN sv9 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s9c4 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s9a5)),
+s9a6 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv9 l JOIN s9c5 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s9c6 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s9a6 a JOIN sv9 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s9c5 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s9a6)),
+s9a7 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv9 l JOIN s9c6 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s9c7 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s9a7 a JOIN sv9 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s9c6 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s9a7)),
+s9a8 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv9 l JOIN s9c7 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s9c8 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s9a8 a JOIN sv9 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s9c7 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s9a8)),
+s9code AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv9 l JOIN s9c8 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s9lut AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, c.cw, ROUND(SUM(q.v * c.v), 9) AS dot
+  FROM (SELECT vec_id, i, v FROM sv9 WHERE vec_id < 3) q
+  JOIN s9c8 c ON c.i = q.i
+  GROUP BY q.vec_id, c.cw),
+sv10 AS MATERIALIZED ((SELECT vec_id, i - 40 AS i, v FROM vn WHERE i BETWEEN 41 AND 44)),
+s10c0 AS MATERIALIZED (
+  SELECT s.cw, l.i, l.v FROM seeds s
+  JOIN samp sp ON sp.rn = (s.cw * (SELECT n FROM cnt)) // 256
+  JOIN sv10 l ON l.vec_id = sp.vec_id),
+s10a1 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv10 l JOIN s10c0 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s10c1 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s10a1 a JOIN sv10 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s10c0 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s10a1)),
+s10a2 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv10 l JOIN s10c1 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s10c2 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s10a2 a JOIN sv10 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s10c1 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s10a2)),
+s10a3 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv10 l JOIN s10c2 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s10c3 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s10a3 a JOIN sv10 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s10c2 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s10a3)),
+s10a4 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv10 l JOIN s10c3 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s10c4 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s10a4 a JOIN sv10 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s10c3 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s10a4)),
+s10a5 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv10 l JOIN s10c4 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s10c5 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s10a5 a JOIN sv10 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s10c4 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s10a5)),
+s10a6 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv10 l JOIN s10c5 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s10c6 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s10a6 a JOIN sv10 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s10c5 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s10a6)),
+s10a7 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv10 l JOIN s10c6 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s10c7 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s10a7 a JOIN sv10 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s10c6 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s10a7)),
+s10a8 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv10 l JOIN s10c7 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s10c8 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s10a8 a JOIN sv10 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s10c7 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s10a8)),
+s10code AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv10 l JOIN s10c8 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s10lut AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, c.cw, ROUND(SUM(q.v * c.v), 9) AS dot
+  FROM (SELECT vec_id, i, v FROM sv10 WHERE vec_id < 3) q
+  JOIN s10c8 c ON c.i = q.i
+  GROUP BY q.vec_id, c.cw),
+sv11 AS MATERIALIZED ((SELECT vec_id, i - 44 AS i, v FROM vn WHERE i BETWEEN 45 AND 48)),
+s11c0 AS MATERIALIZED (
+  SELECT s.cw, l.i, l.v FROM seeds s
+  JOIN samp sp ON sp.rn = (s.cw * (SELECT n FROM cnt)) // 256
+  JOIN sv11 l ON l.vec_id = sp.vec_id),
+s11a1 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv11 l JOIN s11c0 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s11c1 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s11a1 a JOIN sv11 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s11c0 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s11a1)),
+s11a2 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv11 l JOIN s11c1 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s11c2 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s11a2 a JOIN sv11 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s11c1 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s11a2)),
+s11a3 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv11 l JOIN s11c2 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s11c3 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s11a3 a JOIN sv11 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s11c2 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s11a3)),
+s11a4 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv11 l JOIN s11c3 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s11c4 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s11a4 a JOIN sv11 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s11c3 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s11a4)),
+s11a5 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv11 l JOIN s11c4 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s11c5 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s11a5 a JOIN sv11 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s11c4 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s11a5)),
+s11a6 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv11 l JOIN s11c5 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s11c6 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s11a6 a JOIN sv11 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s11c5 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s11a6)),
+s11a7 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv11 l JOIN s11c6 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s11c7 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s11a7 a JOIN sv11 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s11c6 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s11a7)),
+s11a8 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv11 l JOIN s11c7 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s11c8 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s11a8 a JOIN sv11 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s11c7 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s11a8)),
+s11code AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv11 l JOIN s11c8 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s11lut AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, c.cw, ROUND(SUM(q.v * c.v), 9) AS dot
+  FROM (SELECT vec_id, i, v FROM sv11 WHERE vec_id < 3) q
+  JOIN s11c8 c ON c.i = q.i
+  GROUP BY q.vec_id, c.cw),
+sv12 AS MATERIALIZED ((SELECT vec_id, i - 48 AS i, v FROM vn WHERE i BETWEEN 49 AND 52)),
+s12c0 AS MATERIALIZED (
+  SELECT s.cw, l.i, l.v FROM seeds s
+  JOIN samp sp ON sp.rn = (s.cw * (SELECT n FROM cnt)) // 256
+  JOIN sv12 l ON l.vec_id = sp.vec_id),
+s12a1 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv12 l JOIN s12c0 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s12c1 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s12a1 a JOIN sv12 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s12c0 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s12a1)),
+s12a2 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv12 l JOIN s12c1 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s12c2 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s12a2 a JOIN sv12 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s12c1 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s12a2)),
+s12a3 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv12 l JOIN s12c2 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s12c3 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s12a3 a JOIN sv12 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s12c2 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s12a3)),
+s12a4 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv12 l JOIN s12c3 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s12c4 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s12a4 a JOIN sv12 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s12c3 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s12a4)),
+s12a5 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv12 l JOIN s12c4 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s12c5 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s12a5 a JOIN sv12 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s12c4 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s12a5)),
+s12a6 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv12 l JOIN s12c5 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s12c6 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s12a6 a JOIN sv12 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s12c5 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s12a6)),
+s12a7 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv12 l JOIN s12c6 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s12c7 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s12a7 a JOIN sv12 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s12c6 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s12a7)),
+s12a8 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv12 l JOIN s12c7 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s12c8 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s12a8 a JOIN sv12 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s12c7 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s12a8)),
+s12code AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv12 l JOIN s12c8 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s12lut AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, c.cw, ROUND(SUM(q.v * c.v), 9) AS dot
+  FROM (SELECT vec_id, i, v FROM sv12 WHERE vec_id < 3) q
+  JOIN s12c8 c ON c.i = q.i
+  GROUP BY q.vec_id, c.cw),
+sv13 AS MATERIALIZED ((SELECT vec_id, i - 52 AS i, v FROM vn WHERE i BETWEEN 53 AND 56)),
+s13c0 AS MATERIALIZED (
+  SELECT s.cw, l.i, l.v FROM seeds s
+  JOIN samp sp ON sp.rn = (s.cw * (SELECT n FROM cnt)) // 256
+  JOIN sv13 l ON l.vec_id = sp.vec_id),
+s13a1 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv13 l JOIN s13c0 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s13c1 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s13a1 a JOIN sv13 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s13c0 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s13a1)),
+s13a2 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv13 l JOIN s13c1 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s13c2 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s13a2 a JOIN sv13 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s13c1 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s13a2)),
+s13a3 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv13 l JOIN s13c2 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s13c3 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s13a3 a JOIN sv13 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s13c2 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s13a3)),
+s13a4 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv13 l JOIN s13c3 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s13c4 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s13a4 a JOIN sv13 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s13c3 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s13a4)),
+s13a5 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv13 l JOIN s13c4 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s13c5 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s13a5 a JOIN sv13 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s13c4 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s13a5)),
+s13a6 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv13 l JOIN s13c5 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s13c6 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s13a6 a JOIN sv13 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s13c5 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s13a6)),
+s13a7 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv13 l JOIN s13c6 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s13c7 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s13a7 a JOIN sv13 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s13c6 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s13a7)),
+s13a8 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv13 l JOIN s13c7 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s13c8 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s13a8 a JOIN sv13 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s13c7 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s13a8)),
+s13code AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv13 l JOIN s13c8 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s13lut AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, c.cw, ROUND(SUM(q.v * c.v), 9) AS dot
+  FROM (SELECT vec_id, i, v FROM sv13 WHERE vec_id < 3) q
+  JOIN s13c8 c ON c.i = q.i
+  GROUP BY q.vec_id, c.cw),
+sv14 AS MATERIALIZED ((SELECT vec_id, i - 56 AS i, v FROM vn WHERE i BETWEEN 57 AND 60)),
+s14c0 AS MATERIALIZED (
+  SELECT s.cw, l.i, l.v FROM seeds s
+  JOIN samp sp ON sp.rn = (s.cw * (SELECT n FROM cnt)) // 256
+  JOIN sv14 l ON l.vec_id = sp.vec_id),
+s14a1 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv14 l JOIN s14c0 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s14c1 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s14a1 a JOIN sv14 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s14c0 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s14a1)),
+s14a2 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv14 l JOIN s14c1 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s14c2 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s14a2 a JOIN sv14 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s14c1 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s14a2)),
+s14a3 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv14 l JOIN s14c2 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s14c3 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s14a3 a JOIN sv14 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s14c2 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s14a3)),
+s14a4 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv14 l JOIN s14c3 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s14c4 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s14a4 a JOIN sv14 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s14c3 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s14a4)),
+s14a5 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv14 l JOIN s14c4 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s14c5 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s14a5 a JOIN sv14 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s14c4 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s14a5)),
+s14a6 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv14 l JOIN s14c5 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s14c6 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s14a6 a JOIN sv14 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s14c5 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s14a6)),
+s14a7 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv14 l JOIN s14c6 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s14c7 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s14a7 a JOIN sv14 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s14c6 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s14a7)),
+s14a8 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv14 l JOIN s14c7 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s14c8 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s14a8 a JOIN sv14 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s14c7 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s14a8)),
+s14code AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv14 l JOIN s14c8 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s14lut AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, c.cw, ROUND(SUM(q.v * c.v), 9) AS dot
+  FROM (SELECT vec_id, i, v FROM sv14 WHERE vec_id < 3) q
+  JOIN s14c8 c ON c.i = q.i
+  GROUP BY q.vec_id, c.cw),
+sv15 AS MATERIALIZED ((SELECT vec_id, i - 60 AS i, v FROM vn WHERE i BETWEEN 61 AND 64)),
+s15c0 AS MATERIALIZED (
+  SELECT s.cw, l.i, l.v FROM seeds s
+  JOIN samp sp ON sp.rn = (s.cw * (SELECT n FROM cnt)) // 256
+  JOIN sv15 l ON l.vec_id = sp.vec_id),
+s15a1 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv15 l JOIN s15c0 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s15c1 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s15a1 a JOIN sv15 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s15c0 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s15a1)),
+s15a2 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv15 l JOIN s15c1 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s15c2 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s15a2 a JOIN sv15 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s15c1 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s15a2)),
+s15a3 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv15 l JOIN s15c2 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s15c3 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s15a3 a JOIN sv15 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s15c2 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s15a3)),
+s15a4 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv15 l JOIN s15c3 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s15c4 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s15a4 a JOIN sv15 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s15c3 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s15a4)),
+s15a5 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv15 l JOIN s15c4 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s15c5 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s15a5 a JOIN sv15 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s15c4 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s15a5)),
+s15a6 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv15 l JOIN s15c5 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s15c6 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s15a6 a JOIN sv15 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s15c5 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s15a6)),
+s15a7 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv15 l JOIN s15c6 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s15c7 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s15a7 a JOIN sv15 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s15c6 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s15a7)),
+s15a8 AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv15 l JOIN s15c7 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s15c8 AS MATERIALIZED (
+  SELECT u.cw, u.i, ROUND(u.v, 9) AS v FROM (
+    SELECT a.cw, l.i, AVG(l.v) AS v
+    FROM s15a8 a JOIN sv15 l USING (vec_id) GROUP BY a.cw, l.i) u
+  UNION ALL
+  SELECT c.cw, c.i, c.v FROM s15c7 c
+  WHERE c.cw NOT IN (SELECT DISTINCT cw FROM s15a8)),
+s15code AS MATERIALIZED (
+  SELECT vec_id, cw FROM (
+    SELECT l.vec_id, c.cw,
+           ROW_NUMBER() OVER (PARTITION BY l.vec_id
+               ORDER BY ROUND(SUM(POWER(l.v - c.v, 2)), 9), c.cw) AS rnk
+    FROM sv15 l JOIN s15c8 c ON c.i = l.i
+    GROUP BY l.vec_id, c.cw) WHERE rnk = 1),
+s15lut AS MATERIALIZED (
+  SELECT q.vec_id AS query_id, c.cw, ROUND(SUM(q.v * c.v), 9) AS dot
+  FROM (SELECT vec_id, i, v FROM sv15 WHERE vec_id < 3) q
+  JOIN s15c8 c ON c.i = q.i
+  GROUP BY q.vec_id, c.cw),
+simparts AS MATERIALIZED (
+SELECT d.vec_id, l.query_id, l.dot FROM s0code d JOIN s0lut l ON l.cw = d.cw
+UNION ALL
+SELECT d.vec_id, l.query_id, l.dot FROM s1code d JOIN s1lut l ON l.cw = d.cw
+UNION ALL
+SELECT d.vec_id, l.query_id, l.dot FROM s2code d JOIN s2lut l ON l.cw = d.cw
+UNION ALL
+SELECT d.vec_id, l.query_id, l.dot FROM s3code d JOIN s3lut l ON l.cw = d.cw
+UNION ALL
+SELECT d.vec_id, l.query_id, l.dot FROM s4code d JOIN s4lut l ON l.cw = d.cw
+UNION ALL
+SELECT d.vec_id, l.query_id, l.dot FROM s5code d JOIN s5lut l ON l.cw = d.cw
+UNION ALL
+SELECT d.vec_id, l.query_id, l.dot FROM s6code d JOIN s6lut l ON l.cw = d.cw
+UNION ALL
+SELECT d.vec_id, l.query_id, l.dot FROM s7code d JOIN s7lut l ON l.cw = d.cw
+UNION ALL
+SELECT d.vec_id, l.query_id, l.dot FROM s8code d JOIN s8lut l ON l.cw = d.cw
+UNION ALL
+SELECT d.vec_id, l.query_id, l.dot FROM s9code d JOIN s9lut l ON l.cw = d.cw
+UNION ALL
+SELECT d.vec_id, l.query_id, l.dot FROM s10code d JOIN s10lut l ON l.cw = d.cw
+UNION ALL
+SELECT d.vec_id, l.query_id, l.dot FROM s11code d JOIN s11lut l ON l.cw = d.cw
+UNION ALL
+SELECT d.vec_id, l.query_id, l.dot FROM s12code d JOIN s12lut l ON l.cw = d.cw
+UNION ALL
+SELECT d.vec_id, l.query_id, l.dot FROM s13code d JOIN s13lut l ON l.cw = d.cw
+UNION ALL
+SELECT d.vec_id, l.query_id, l.dot FROM s14code d JOIN s14lut l ON l.cw = d.cw
+UNION ALL
+SELECT d.vec_id, l.query_id, l.dot FROM s15code d JOIN s15lut l ON l.cw = d.cw),
+sims AS (SELECT query_id, vec_id, ROUND(SUM(dot), 9) AS cosine
+         FROM simparts GROUP BY query_id, vec_id),
+ranked AS (SELECT query_id, vec_id, cosine,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, vec_id) AS rank
+           FROM sims)
+SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine, rank
+FROM ranked WHERE rank <= 5""")
 def ann_topk_pq(sf_dir: str) -> pd.DataFrame:
     """PQ/ADC cosine top-k (Jégou et al. TPAMI'11): vectors stored as
     16 uint8 codes (16x smaller than float32 — the scan/shuffle tier
     below SQ8's 4x); each query builds ONE (m, ks) partial-dot lookup
-    table and every data vector costs m table lookups. Rows-only
-    (quantized); pytest pins recall >= 0.6 vs the exact path at these
-    params (0.87 measured)."""
+    table and every data vector costs m table lookups. Oracle (r3):
+    quant._kmeans_np now follows the deterministic discipline (strided
+    seeding, 9 dp rounding of distances/centroids/LUT partial dots),
+    so SQL replays all 16 per-subspace codebook trainings, the
+    encoding argmins, and the ADC lookup sums bit-for-bit — the
+    QUANTIZED result, approximation error included. pytest pins
+    recall >= 0.6 vs the exact path at these params (0.87 measured
+    pre-determinism; re-measured in test)."""
     from webalizer_ray.stages import quant
 
     tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
@@ -1536,7 +3657,9 @@ def ann_topk_pq(sf_dir: str) -> pd.DataFrame:
     cb = quant.pq_train(ds, m=16, ks=256)
     out = quant.pq_topk(quant.pq_encode(ds, cb), cb, queries, k=5)
     out["query_id"] = qids[out["query_id"].to_numpy()]
-    return out.sort_values(["query_id", "rank"], ignore_index=True)
+    out["cosine"] = out["cosine"].round(6)
+    return out[["query_id", "vec_id", "cosine", "rank"]] \
+        .sort_values(["query_id", "rank"], ignore_index=True)
 
 
 @register("forget_user_counts", sql="""
@@ -2356,7 +4479,55 @@ def dup_rate_by_threshold(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("band", ignore_index=True)
 
 
-@register("week_overlap_users_hll")
+@register("week_overlap_users_hll", sql="""
+WITH src AS MATERIALIZED (
+  SELECT CASE WHEN ts >= TIMESTAMP '2024-01-01'
+               AND ts < TIMESTAMP '2024-01-08' THEN 'a'
+              WHEN ts >= TIMESTAMP '2024-01-08'
+               AND ts < TIMESTAMP '2024-01-15' THEN 'b' END AS week,
+         user_id AS u
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-15'),
+h0 AS (SELECT week, CAST((CAST(u AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT)
+              AS z0 FROM src),
+h1 AS (SELECT week, CAST((((CAST((xor(z0, z0 >> 30)) >> 32 AS HUGEINT) * 13787848793156543929) % 4294967296) * 4294967296 + (CAST((xor(z0, z0 >> 30)) & 4294967295 AS HUGEINT) * 13787848793156543929)) % 18446744073709551616 AS UBIGINT) AS z1 FROM h0),
+h2 AS (SELECT week, CAST((((CAST((xor(z1, z1 >> 27)) >> 32 AS HUGEINT) * 10723151780598845931) % 4294967296) * 4294967296 + (CAST((xor(z1, z1 >> 27)) & 4294967295 AS HUGEINT) * 10723151780598845931)) % 18446744073709551616 AS UBIGINT) AS z2 FROM h1),
+hx AS MATERIALIZED (SELECT week, xor(z2, z2 >> 31) AS h FROM h2),
+regs AS MATERIALIZED (
+  SELECT week, CAST(h >> 50 AS BIGINT) AS idx,
+         MAX(CASE WHEN (h & 1125899906842623) = 0 THEN 51
+                  ELSE 50 - (length(bin(h & 1125899906842623)) - 1)
+             END) AS r
+  FROM hx GROUP BY week, idx),
+uregs AS MATERIALIZED (
+  SELECT idx, MAX(r) AS r FROM regs GROUP BY idx),
+ecnt AS (
+  SELECT week,
+         16384.0 * 16384.0 * (0.7213 / (1.0 + 1.079 / 16384.0))
+             / ((16384 - COUNT(*)) + SUM(POWER(2.0, -r))) AS e,
+         16384 - COUNT(*) AS zeros
+  FROM regs GROUP BY week),
+ucnt AS (
+  SELECT 16384.0 * 16384.0 * (0.7213 / (1.0 + 1.079 / 16384.0))
+             / ((16384 - COUNT(*)) + SUM(POWER(2.0, -r))) AS e,
+         16384 - COUNT(*) AS zeros
+  FROM uregs),
+fixed AS (
+  SELECT week, CASE WHEN e <= 2.5 * 16384 AND zeros > 0
+               THEN 16384.0 * LN(16384.0 / zeros) ELSE e END AS c
+  FROM ecnt),
+ufix AS (
+  SELECT CASE WHEN e <= 2.5 * 16384 AND zeros > 0
+         THEN 16384.0 * LN(16384.0 / zeros) ELSE e END AS c
+  FROM ucnt)
+SELECT CAST(ROUND(a.c) AS BIGINT) AS users_a,
+       CAST(ROUND(b.c) AS BIGINT) AS users_b,
+       CAST(ROUND(un.c) AS BIGINT) AS users_union,
+       CAST(ROUND(GREATEST(0.0, a.c + b.c - un.c)) AS BIGINT)
+           AS users_overlap
+FROM (SELECT c FROM fixed WHERE week = 'a') a,
+     (SELECT c FROM fixed WHERE week = 'b') b,
+     ufix un""")
 def week_overlap_users_hll(sf_dir: str) -> pd.DataFrame:
     """Sketch set algebra: estimated user overlap between the first
     two weeks via HyperLogLog inclusion–exclusion
@@ -2364,11 +4535,14 @@ def week_overlap_users_hll(sf_dir: str) -> pd.DataFrame:
     the mergeable-summary answer when two 10⁹-key sets live on
     different clusters and an exact presence-flag shuffle
     (purchase_week_user_setops) is too expensive). ONE pass computes
-    both weeks' sketches (a week-tag per partial); rows-only — pytest
-    pins the estimate within 5% of the exact overlap."""
+    both weeks' sketches (a week-tag per partial). Oracle (r3):
+    SplitMix64 hashing lets SQL rebuild both weeks' registers AND the
+    union registers (per-index MAX across weeks), replaying the
+    inclusion–exclusion bit-for-bit; pytest additionally pins the
+    estimate within 5% of the exact overlap."""
     import datetime as _dt
 
-    from webalizer_ray.stages.sketch import HyperLogLog
+    from webalizer_ray.stages.sketch import HyperLogLog, splitmix64
 
     d0 = _dt.datetime(2024, 1, 1)
     d1 = d0 + _dt.timedelta(days=7)
@@ -2380,7 +4554,7 @@ def week_overlap_users_hll(sf_dir: str) -> pd.DataFrame:
         for tag, lo, hi in (("a", d0, d1), ("b", d1, d2)):
             u = df.loc[(ts >= lo) & (ts < hi), "user_id"].to_numpy()
             if len(u):
-                h = pd.util.hash_array(u)
+                h = splitmix64(u.astype(np.int64).astype(np.uint64))
                 out.append({"week": tag,
                             "hll": HyperLogLog.from_hashes(h).to_bytes()})
         return pd.DataFrame(

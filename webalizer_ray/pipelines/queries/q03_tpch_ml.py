@@ -3873,21 +3873,46 @@ def daily_cusum_peak(sf_dir: str) -> pd.DataFrame:
         "cusum_scaled": [np.int64(a[i])]})
 
 
-@register("type_user_ndv_hll")
+@register("type_user_ndv_hll", sql="""
+WITH src AS MATERIALIZED (SELECT event_type, user_id AS u FROM events),
+h0 AS (SELECT event_type, CAST((CAST(u AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z0
+       FROM src),
+h1 AS (SELECT event_type, CAST((((CAST((xor(z0, z0 >> 30)) >> 32 AS HUGEINT) * 13787848793156543929) % 4294967296) * 4294967296 + (CAST((xor(z0, z0 >> 30)) & 4294967295 AS HUGEINT) * 13787848793156543929)) % 18446744073709551616 AS UBIGINT) AS z1 FROM h0),
+h2 AS (SELECT event_type, CAST((((CAST((xor(z1, z1 >> 27)) >> 32 AS HUGEINT) * 10723151780598845931) % 4294967296) * 4294967296 + (CAST((xor(z1, z1 >> 27)) & 4294967295 AS HUGEINT) * 10723151780598845931)) % 18446744073709551616 AS UBIGINT) AS z2 FROM h1),
+hx AS MATERIALIZED (SELECT event_type, xor(z2, z2 >> 31) AS h FROM h2),
+regs AS MATERIALIZED (
+  SELECT event_type, CAST(h >> 50 AS BIGINT) AS idx,
+         MAX(CASE WHEN (h & 1125899906842623) = 0 THEN 51
+                  ELSE 50 - (length(bin(h & 1125899906842623)) - 1)
+             END) AS r
+  FROM hx GROUP BY event_type, idx),
+est AS (
+  SELECT event_type, 
+         16384.0 * 16384.0 * (0.7213 / (1.0 + 1.079 / 16384.0))
+             / ((16384 - COUNT(*)) + SUM(POWER(2.0, -r))) AS e,
+         16384 - COUNT(*) AS zeros
+  FROM regs GROUP BY event_type)
+SELECT event_type, CAST(ROUND(CASE WHEN e <= 2.5 * 16384 AND zeros > 0
+                 THEN 16384.0 * LN(16384.0 / zeros) ELSE e END)
+           AS BIGINT) AS ndv_users_est
+FROM est ORDER BY event_type""")
 def type_user_ndv_hll(sf_dir: str) -> pd.DataFrame:
     """Per-group approximate distinct count (HLL per event type) —
     the mergeable-summary path for per-key NDV when the keys are too
     many or the sets too large for the exact two-phase distinct
     (which stays the small-cardinality baseline; pytest pins each
-    estimate within 5% of it). ONE pass: each batch emits one
+    estimate within 5% of it; SplitMix64 hashing gives it a
+    bit-exact SQL oracle — see distinct_users_hll). ONE pass: each
+    batch emits one
     (type, registers) sketch partial per type it saw; register-max
     merges are associative, so only |types| x 16 KiB ever shuffles."""
-    from webalizer_ray.stages.sketch import HyperLogLog
+    from webalizer_ray.stages.sketch import HyperLogLog, splitmix64
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for t, g in df.groupby("event_type", sort=False):
-            h = pd.util.hash_array(g["user_id"].to_numpy(np.int64))
+            h = splitmix64(g["user_id"].to_numpy(np.int64)
+                           .astype(np.uint64))
             rows.append({"event_type": t,
                          "hll": HyperLogLog.from_hashes(h).to_bytes()})
         return pd.DataFrame({

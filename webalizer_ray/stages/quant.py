@@ -99,19 +99,28 @@ def int8_topk(qds: rd.Dataset, queries: np.ndarray, k: int = 5,
 
 def _kmeans_np(x: np.ndarray, ks: int, n_iter: int,
                rng: np.random.Generator) -> np.ndarray:
-    """Plain seeded Lloyd on a (small) sample; empty clusters keep
-    their previous centroid. Deterministic given the rng state."""
-    c = x[rng.choice(len(x), size=min(ks, len(x)), replace=False)]
+    """Plain Lloyd on a (small) sample; empty clusters keep their
+    previous centroid. Engine-independent determinism (r3, same
+    discipline as ann._kmeans_loop): STRIDED seeding over the sample
+    (row floor(i·N/k)), squared distances rounded to 9 dp before the
+    argmin (ties → lowest codeword), centroids rounded to 9 dp after
+    each update — replicable in SQL so the PQ query can carry an
+    oracle. ``rng`` kept for API compatibility, no longer consumed."""
+    del rng
+    k = min(ks, len(x))
+    idx = (np.arange(k, dtype=np.int64) * len(x)) // k
+    c = x[idx]
     if len(c) < ks:  # degenerate tiny sample: pad by repeating
         c = np.concatenate([c, np.repeat(c[:1], ks - len(c), axis=0)])
     for _ in range(n_iter):
-        d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+        d = np.round(((x[:, None, :] - c[None, :, :]) ** 2).sum(-1), 9)
         a = np.argmin(d, axis=1)
         sums = np.zeros_like(c)
         np.add.at(sums, a, x)
         cnt = np.bincount(a, minlength=ks).astype(np.float64)
         nz = cnt > 0
-        c = np.where(nz[:, None], sums / np.maximum(cnt, 1)[:, None], c)
+        c = np.where(nz[:, None],
+                     np.round(sums / np.maximum(cnt, 1)[:, None], 9), c)
     return c
 
 
@@ -120,7 +129,8 @@ def pq_train(ds: rd.Dataset, m: int = 8, ks: int = 16,
              vec_col: str = "embedding") -> np.ndarray:
     """Train per-subspace codebooks on a sample → (m, ks, d/m)."""
     sample = ds.limit(sample_rows).to_pandas()
-    x = _normalize(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
+    x = np.round(_normalize(np.stack(sample[vec_col].to_numpy())
+                            .astype(np.float64)), 9)
     d = x.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -141,11 +151,12 @@ def pq_encode(ds: rd.Dataset, codebooks: np.ndarray,
     def encode(batch: pa.Table) -> pa.Table:
         cb = ray.get(cb_ref)              # (m, ks, dsub)
         mm, ks, dsub = cb.shape
-        x = _normalize(mat_from_column(batch[vec_col]))
+        x = np.round(_normalize(mat_from_column(batch[vec_col])), 9)
         codes = np.empty((len(x), mm), np.uint8)
         for j in range(mm):
             sub = x[:, j * dsub:(j + 1) * dsub]
-            dist = ((sub[:, None, :] - cb[j][None, :, :]) ** 2).sum(-1)
+            dist = np.round(
+                ((sub[:, None, :] - cb[j][None, :, :]) ** 2).sum(-1), 9)
             codes[:, j] = np.argmin(dist, axis=1).astype(np.uint8)
         return pa.table({
             id_col: batch[id_col],
@@ -162,11 +173,14 @@ def pq_topk(codes_ds: rd.Dataset, codebooks: np.ndarray,
     """ADC cosine top-k over the PQ table (same output shape and tie
     rule as ann.brute_force_topk). Per query the (m, ks) partial-dot
     LUT is built ONCE; each data vector costs m uint8 lookups."""
-    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    qn = np.round(_normalize(np.asarray(queries, dtype=np.float64)), 9)
     mm, ks, dsub = codebooks.shape
     # LUT[q, j, c] = <query subvector j, codeword c of subspace j>
     qsub = qn.reshape(len(qn), mm, dsub)               # (nq, m, dsub)
-    lut = np.einsum("qjd,jcd->qjc", qsub, codebooks)   # (nq, m, ks)
+    # rounded LUT: the per-(query, subspace, codeword) partial dots are
+    # the addends of the final sim — rounding them makes the engine and
+    # the SQL oracle sum IDENTICAL terms (r3)
+    lut = np.round(np.einsum("qjd,jcd->qjc", qsub, codebooks), 9)
     lut_ref = ray.put(lut)
     cols_j = np.arange(mm)
 

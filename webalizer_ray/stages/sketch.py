@@ -136,6 +136,17 @@ class TDigest:
 # HyperLogLog
 # ---------------------------------------------------------------------------
 
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Public-domain SplitMix64 finalizer (Steele/Lea/Vigna) over
+    uint64: high-avalanche and — unlike SipHash — replicable in SQL
+    integer arithmetic, so sketch queries hashed with it can carry
+    DuckDB oracles that rebuild the sketch bit-for-bit (r3)."""
+    z = np.asarray(x, dtype=np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
 _HLL_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
 
 
