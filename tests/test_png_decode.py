@@ -169,3 +169,29 @@ def test_jpeg_class_still_stubbed():
         DecodeImage(feature_dim=8)(batch)
     assert "NotImplementedError" in repr(ei.getrepr()) \
         or ei.type is NotImplementedError
+
+
+def test_decode_png_malformed_raises_valueerror():
+    """ADVICE r3: truncated IHDR and chunk lengths pointing past the
+    buffer raise the documented ValueError, not struct.error."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from webalizer_ray.pipelines.graphs import (
+        _PNG_SIG,
+        _chunk,
+        encode_png,
+    )
+    from webalizer_ray.pipelines.graphs import decode_png
+
+    # IHDR with a short body
+    bad = _PNG_SIG + _chunk(b"IHDR", struct.pack(">II", 4, 4))
+    with pytest.raises(ValueError, match="malformed PNG"):
+        decode_png(bad)
+    # chunk length pointing past the buffer
+    good = encode_png(np.zeros((2, 2, 3), np.uint8))
+    trunc = good[:20]
+    with pytest.raises(ValueError, match="PNG"):
+        decode_png(trunc)

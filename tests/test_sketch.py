@@ -117,16 +117,22 @@ def test_bloom_filter_semantics():
         np.array([], dtype=np.uint64)).shape == (0,)
 
 
-def test_heavy_hitter_query_bounds(ray_session):
-    """Query-level: every sketch row's bounds bracket the exact count."""
+def test_heavy_hitter_query_exact(ray_session):
+    """Query-level (r4 two-pass design): the MG-candidates + exact
+    recount output equals the plain exact top-10 of the φ-frequent
+    set, computed independently in pandas."""
     from webalizer_ray.pipelines import queries as Q
     sf = "/root/testdata/sf0.001"
-    approx = Q.REGISTRY["heavy_hitter_users"][0](sf)
+    got = Q.REGISTRY["heavy_hitter_users"][0](sf)
     events = pd.read_parquet(f"{sf}/events.parquet", columns=["user_id"])
     true = events["user_id"].value_counts()
-    for _, r in approx.iterrows():
-        t = int(true.get(r["user_id"], 0))
-        assert r["est"] <= t <= r["est_hi"], dict(r)
+    n = len(events)
+    want = (true[true > n / 257.0].rename("cnt").reset_index()
+            .sort_values(["cnt", "user_id"], ascending=[False, True],
+                         kind="mergesort").head(10)
+            .reset_index(drop=True))
+    assert got["user_id"].tolist() == want["user_id"].tolist()
+    assert got["cnt"].tolist() == want["cnt"].tolist()
 
 
 def test_sketch_queries_match_exact(ray_session):

@@ -313,10 +313,12 @@ def test_doc_length_quartiles_hand(ray_session, tmp_path):
 
 
 def test_fingerprint_pinned_hash_values():
-    """Pinned-hash fixture (VERDICT r2 item 7): fingerprint_docs is
-    rows-only because pandas' SipHash is not SQL-replicable — so the
-    exact uint64 values are pinned HERE instead. A change in the hash
-    function, key, or normalization breaks this test loudly."""
+    """Pinned-hash fixture (VERDICT r2 item 7): the exact uint64
+    values are pinned HERE so a change in the hash construction, key
+    stride, or normalization breaks this test loudly.  r4: the hash
+    is strhash's SplitMix64 position-keyed tabulation (SQL-replicable
+    — fingerprint_docs now carries a bit-exact DuckDB oracle too);
+    h("") = 0 by construction."""
     import pandas as pd
 
     from webalizer_ray.stages.textstats import add_fingerprint
@@ -325,6 +327,6 @@ def test_fingerprint_pinned_hash_values():
                                 "other doc", ""]})
     got = list(add_fingerprint(df)["fingerprint"])
     # case/whitespace normalization: first two collapse to one value
-    assert got[0] == got[1] == 5027403165619942864
-    assert got[2] == 5306129004547066342
-    assert got[3] == 1760245841805064774
+    assert got[0] == got[1] == 1180689619058122833
+    assert got[2] == 3202806985579377012
+    assert got[3] == 0

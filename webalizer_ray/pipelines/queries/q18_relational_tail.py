@@ -1,0 +1,2808 @@
+"""Driver-contract queries (chunk 18/18): the relational tail split
+out of q02 (r4 — the r2 "no source file > 5k lines" bar drifted; this
+restores it along the pre-existing section boundary).  Sections:
+  - TPC-H join-breadth family: Q5 / Q10 / Q18 shapes
+  - session concurrency / attribution / classifier-eval analogs
+  - incremental views, zonemap pruning, HLL set algebra
+  - containment / quote detection, term statistics, cohort curves
+  - Completing the TPC-H 22 (the remaining adapted shapes)
+"""
+# fmt: off
+from webalizer_ray.pipelines.queries._shared import (  # noqa: F401
+    REGISTRY,
+    _docs,
+    _events,
+    ann,
+    dedup,
+    distinct_count,
+    np,
+    np_lookup,
+    os,
+    pa,
+    pc,
+    pd,
+    pq,
+    ray,
+    rd,
+    reduce_sink,
+    register,
+    scan,
+    tempfile,
+    textstats,
+)
+from webalizer_ray.pipelines.queries.q01_core import (  # noqa: F401
+    _NS_SQL,
+    _bm25_topk,
+    _sessionized_events,
+    _with_time_cols,
+    cosine_dup_clusters,
+    knn_graph,
+)
+from webalizer_ray.pipelines.queries.q02_relational_media import (  # noqa: F401
+    _build_vstore,
+)
+
+
+# --- TPC-H join-breadth family: Q5 / Q10 / Q18 shapes ---------------------
+# Float discipline: revenue = l_extendedprice * (1 - l_discount) is a
+# ≤4-dp decimal; CAST(ROUND(rev * 10000) AS BIGINT) makes every revenue
+# an exact int64 so group sums cannot depend on summation order.
+
+@register("tpch_q5_region_revenue", sql="""
+SELECT n_name,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                     AS BIGINT)) AS BIGINT) AS revenue_dm,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name""")
+def tpch_q5_region_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q5 shape (6-table local-supplier volume): the date
+    predicate is pushed into the orders scan; customer rides a
+    distributed/auto join; the big lineitem side joins on orderkey;
+    supplier and the ASIA nation/region dims are tiny and broadcast
+    once (ray.put dicts in a map-side filter implementing the
+    c_nationkey = s_nationkey correlation) — the fact table never
+    shuffles for the dimension predicates."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pds
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    reg = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    asia = nat.merge(reg[reg["r_name"] == "ASIA"],
+                     left_on="n_regionkey", right_on="r_regionkey")
+    nk2name = dict(zip(asia["n_nationkey"].astype(int),
+                       asia["n_name"]))
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sk2nk_ref = ray.put(dict(zip(sup["s_suppkey"].astype(int),
+                                 sup["s_nationkey"].astype(int))))
+    nk2name_ref = ray.put(nk2name)
+
+    from webalizer_ray.stages.join import auto_join
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"],
+        filter=((pds.field("o_orderdate") >= _dt.datetime(1996, 1, 1))
+                & (pds.field("o_orderdate") < _dt.datetime(1997, 1, 1))))
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    ordc = auto_join(orders, cust, on="o_custkey", right_on="c_custkey")
+
+    def rev_dm(df: pd.DataFrame) -> pd.DataFrame:
+        p = df["l_extendedprice"].to_numpy(np.float64)
+        d = df["l_discount"].to_numpy(np.float64)
+        return pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+            "l_suppkey": df["l_suppkey"].to_numpy(np.int64),
+            "rev_dm": np.rint(p * (1 - d) * 10000).astype(np.int64)})
+
+    items = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"]) \
+        .map_batches(rev_dm, batch_format="pandas")
+    joined = auto_join(items, ordc, on="l_orderkey",
+                       right_on="o_orderkey")
+
+    def local_filter(df: pd.DataFrame) -> pd.DataFrame:
+        sk2nk = ray.get(sk2nk_ref)
+        nknm = ray.get(nk2name_ref)
+        snk = df["l_suppkey"].map(sk2nk)
+        keep = snk.eq(df["c_nationkey"]) & snk.isin(nknm.keys())
+        df = df[keep]
+        return pd.DataFrame({
+            "n_name": df["l_suppkey"].map(sk2nk).map(nknm),
+            "rev_dm": df["rev_dm"].to_numpy(np.int64)})
+
+    out = reduce_sink(joined.map_batches(local_filter,
+                                         batch_format="pandas"),
+                      ["n_name"], {"revenue_dm": ("rev_dm", "sum"),
+                                   "n_items": ("rev_dm", "size")}) \
+        .to_pandas()
+    if "n_name" not in out.columns:
+        # Ray drops the schema of all-empty block sets on
+        # to_pandas(); zero qualifying flows is a legal tiny-scale
+        # answer
+        return pd.DataFrame(
+            {"n_name": pd.Series([], dtype=object),
+             "revenue_dm": pd.Series([], dtype=np.int64),
+             "n_items": pd.Series([], dtype=np.int64)})
+    out["revenue_dm"] = out["revenue_dm"].astype(np.int64)
+    out["n_items"] = out["n_items"].astype(np.int64)
+    return out.sort_values("n_name", ignore_index=True)
+
+
+@register("tpch_q10_returned_revenue", sql="""
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                           * 10000) AS BIGINT)) AS BIGINT) AS revenue_dm
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-07-01'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue_dm DESC, c.c_custkey LIMIT 20""")
+def tpch_q10_returned_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q10 shape (returned-item revenue, top 20 customers):
+    returnflag pushed into the lineitem scan and the date window into
+    orders; revenue pre-reduces PER CUSTKEY before the customer
+    dimension is consulted, so the top-N works on |customers| rows and
+    the name/nation attributes join only onto the 20 winners (driver-
+    side merge of a broadcast-scale dim). Integer revenue makes the
+    DESC/custkey tiebreak engine-stable."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pds
+
+    from webalizer_ray.stages.join import auto_join
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"],
+        filter=((pds.field("o_orderdate") >= _dt.datetime(1996, 1, 1))
+                & (pds.field("o_orderdate") < _dt.datetime(1996, 7, 1))))
+
+    def rev_dm(df: pd.DataFrame) -> pd.DataFrame:
+        p = df["l_extendedprice"].to_numpy(np.float64)
+        d = df["l_discount"].to_numpy(np.float64)
+        return pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+            "rev_dm": np.rint(p * (1 - d) * 10000).astype(np.int64)})
+
+    items = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pds.field("l_returnflag") == "R") \
+        .map_batches(rev_dm, batch_format="pandas")
+    joined = auto_join(items, orders, on="l_orderkey",
+                       right_on="o_orderkey")
+    per_cust = reduce_sink(joined, ["o_custkey"],
+                           {"revenue_dm": ("rev_dm", "sum")}).to_pandas()
+    per_cust["revenue_dm"] = per_cust["revenue_dm"].astype(np.int64)
+    top = per_cust.sort_values(["revenue_dm", "o_custkey"],
+                               ascending=[False, True],
+                               kind="mergesort").head(20)
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey"]).to_pandas()
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"]).to_pandas()
+    out = top.merge(cust, left_on="o_custkey", right_on="c_custkey") \
+        .merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+    out = out.sort_values(["revenue_dm", "c_custkey"],
+                          ascending=[False, True], kind="mergesort")
+    return out[["c_custkey", "c_name", "n_name", "revenue_dm"]] \
+        .reset_index(drop=True)
+
+
+@register("tpch_q18_large_orders", sql="""
+WITH big AS (SELECT l_orderkey,
+                    CAST(SUM(l_quantity) AS BIGINT) AS qty
+             FROM lineitem GROUP BY l_orderkey
+             HAVING SUM(l_quantity) > 300)
+SELECT c.c_custkey, b.l_orderkey AS o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+       b.qty
+FROM big b JOIN orders o ON b.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY total_cents DESC, o_orderkey LIMIT 100""")
+def tpch_q18_large_orders(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q18 shape (large-volume orders — HAVING over a grouped
+    fact): per-order quantity sums reduce distributedly (only
+    (orderkey, qty) partials shuffle), the HAVING filter shrinks the
+    set to the rare giants, and ONLY those survivors join back to
+    orders/customer (broadcast-scale after the filter). Quantities and
+    cents are integers — exact under any order."""
+    from webalizer_ray.stages.join import auto_join
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_quantity"])
+
+    def qty_int(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+            "qty": np.rint(df["l_quantity"].to_numpy(np.float64))
+            .astype(np.int64)})
+
+    per_order = reduce_sink(li.map_batches(qty_int,
+                                           batch_format="pandas"),
+                            ["l_orderkey"], {"qty": ("qty", "sum")})
+    # vectorized HAVING — a row-lambda filter here costs a Python call
+    # per order (measured 26 s → 4 s at sf0.1)
+    big = per_order.map_batches(lambda df: df[df["qty"] > 300],
+                                batch_format="pandas")
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_totalprice"])
+    joined = auto_join(orders, big, on="o_orderkey",
+                       right_on="l_orderkey").to_pandas()
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey"]).to_pandas()
+    out = joined.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    out["total_cents"] = np.rint(
+        out["o_totalprice"].to_numpy(np.float64) * 100).astype(np.int64)
+    out["orderdate"] = out["o_orderdate"].dt.strftime("%Y-%m-%d")
+    out["qty"] = out["qty"].astype(np.int64)
+    out = out.sort_values(["total_cents", "o_orderkey"],
+                          ascending=[False, True],
+                          kind="mergesort").head(100)
+    return out[["c_custkey", "o_orderkey", "orderdate", "total_cents",
+                "qty"]].reset_index(drop=True)
+
+
+@register("peak_concurrent_sessions", sql=f"""
+WITH sid AS (SELECT user_id, event_type, ts, event_id,
+                    SUM(ns) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+             FROM ({_NS_SQL})),
+s AS (SELECT user_id, sid, MIN(ts) AS st, MAX(ts) AS en
+      FROM sid GROUP BY user_id, sid),
+b AS (SELECT st AS ts, 1 AS pos, 0 AS neg FROM s
+      UNION ALL SELECT en, 0, 1 FROM s),
+g AS (SELECT ts, SUM(pos) AS pos, SUM(neg) AS neg FROM b GROUP BY ts),
+c AS (SELECT ts,
+             SUM(pos - neg) OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING)
+               - (pos - neg) + pos AS conc
+      FROM g)
+SELECT CAST(conc AS BIGINT) AS peak,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS peak_ts
+FROM c ORDER BY conc DESC, ts LIMIT 1""")
+def peak_concurrent_sessions(sf_dir: str) -> pd.DataFrame:
+    """Peak concurrency (the classic +1/-1 interval sweep — 'how many
+    sessions were live at once, and when first'): sessions reduce to
+    intervals inside the user-hash bucket, intervals flat-map to
+    per-timestamp (starts, ends) partials, and the global running sum
+    rides the TWO-LEVEL range prefix scan (stages/scan.py — bucket
+    totals, driver offsets over O(buckets) rows, per-bucket cumsum) so
+    no single task ever sees the whole boundary stream. Tie rule:
+    starts apply before ends at an equal timestamp (touching sessions
+    count as concurrent) — candidate peak at t = exclusive-cumsum +
+    starts(t), identical expression in the oracle."""
+    sess = _sessionized_events(sf_dir)
+    iv = reduce_sink(sess, ["user_id", "sid"],
+                     {"st": ("ts", "min"), "en": ("ts", "max")})
+
+    def boundaries(df: pd.DataFrame) -> pd.DataFrame:
+        st = df["st"].to_numpy("datetime64[us]").astype(np.int64)
+        en = df["en"].to_numpy("datetime64[us]").astype(np.int64)
+        out = pd.DataFrame({
+            "ts_us": np.concatenate([st, en]),
+            "pos": np.concatenate([np.ones(len(st), np.int64),
+                                   np.zeros(len(en), np.int64)]),
+            "neg": np.concatenate([np.zeros(len(st), np.int64),
+                                   np.ones(len(en), np.int64)])})
+        return out.groupby("ts_us", as_index=False).sum()
+
+    per_ts = reduce_sink(iv.map_batches(boundaries,
+                                        batch_format="pandas"),
+                         ["ts_us"], {"pos": ("pos", "sum"),
+                                     "neg": ("neg", "sum")})
+
+    def add_net(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["net"] = df["pos"] - df["neg"]
+        return df
+
+    day_us = 86_400_000_000
+    cum = scan.range_prefix_sum(
+        per_ts.map_batches(add_net, batch_format="pandas"),
+        key_col="ts_us", val_col="net", out_col="cum_excl",
+        bucket_width=day_us)
+
+    def local_peak(df: pd.DataFrame) -> pd.DataFrame:
+        cand = df["cum_excl"].to_numpy(np.int64) \
+            + df["pos"].to_numpy(np.int64)
+        i = int(np.lexsort((df["ts_us"].to_numpy(), -cand))[0])
+        return pd.DataFrame({"peak": [np.int64(cand[i])],
+                             "ts_us": [np.int64(df["ts_us"].iloc[i])]})
+
+    p = cum.map_batches(local_peak, batch_format="pandas").to_pandas()
+    p = p.sort_values(["peak", "ts_us"], ascending=[False, True],
+                      kind="mergesort").head(1)
+    ts = pd.Timestamp(int(p["ts_us"].iloc[0]), unit="us")
+    return pd.DataFrame({
+        "peak": [np.int64(p["peak"].iloc[0])],
+        "peak_ts": [ts.strftime("%Y-%m-%d %H:%M:%S.%f")]})
+
+
+@register("attribution_by_hour", sql="""
+WITH v AS (SELECT user_id, ts AS vts, event_id AS vid FROM events
+           WHERE event_type = 'view'),
+p AS (SELECT user_id, ts AS pts, event_id AS pid FROM events
+      WHERE event_type = 'purchase'),
+pairs AS (SELECT pid, vts, vid,
+                 COUNT(*) OVER (PARTITION BY pid) AS n,
+                 ROW_NUMBER() OVER (PARTITION BY pid
+                                    ORDER BY vts, vid) AS rf,
+                 ROW_NUMBER() OVER (PARTITION BY pid
+                                    ORDER BY vts DESC, vid DESC) AS rl
+          FROM p JOIN v ON p.user_id = v.user_id
+               AND v.vts <= p.pts
+               AND v.vts > p.pts - INTERVAL 1 HOUR)
+SELECT CAST(hour(vts) AS BIGINT) AS hour,
+       CAST(SUM(CASE WHEN rf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS first_touch,
+       CAST(SUM(CASE WHEN rl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS last_touch,
+       ROUND(SUM(1.0 / n), 4) AS linear_credit
+FROM pairs GROUP BY hour""")
+def attribution_by_hour(sf_dir: str) -> pd.DataFrame:
+    """Multi-touch attribution (first-touch / last-touch / linear —
+    the three standard marketing credit models) over the 1-hour
+    pre-purchase window, credited to the touch's hour of day. Both
+    event streams co-locate in the user-hash bucket; ONE composite-key
+    searchsorted per bucket finds every purchase's view window (no
+    join explosion — expansion is bounded by views-per-hour), ties at
+    equal timestamps broken by view event_id so engines agree; only
+    (hour, credit) partials shuffle."""
+    ds = _events(sf_dir, ["event_id", "ts", "user_id", "event_type"])
+
+    def keep_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin(("purchase", "view"))].copy()
+        df["bucket_"] = (df["user_id"].to_numpy() % 32).astype(np.int32)
+        return df
+
+    hour_us = np.int64(3_600_000_000)
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame({"hour": pd.Series([], dtype=np.int64),
+                             "ft": pd.Series([], dtype=np.int64),
+                             "lt": pd.Series([], dtype=np.int64),
+                             "lin": pd.Series([], dtype=np.float64)})
+
+    def credit(g: pd.DataFrame) -> pd.DataFrame:
+        is_v = (g["event_type"] == "view").to_numpy()
+        if not is_v.any() or is_v.all():
+            return _empty()
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        is_v = (g["event_type"] == "view").to_numpy()
+        us = g["ts"].astype("int64").to_numpy()
+        uid = g["user_id"].to_numpy()
+        # composite int64 key (user_rank * span + relative_ts): ONE
+        # sorted view-key array answers every purchase window — same
+        # overflow-guarded construction as view_purchase_1h_conversion
+        base = us - us.min()
+        span = np.int64(base.max()) + np.int64(hour_us) + 2
+        uranks = np.searchsorted(np.unique(uid), uid).astype(np.int64)
+        if int(uranks.max(initial=0) + 1) > (2 ** 63 - 1) // int(span):
+            raise ValueError("composite key overflow: raise num_buckets")
+        key = uranks * span + base
+        vkey = key[is_v]          # nondecreasing (g sorted); ties keep
+        vh = g["ts"].dt.hour.to_numpy(np.int64)[is_v]  # event_id order
+        pkey = key[~is_v]
+        lo = np.searchsorted(vkey, pkey - hour_us, side="right")
+        hi = np.searchsorted(vkey, pkey, side="right")
+        n = hi - lo
+        has = n > 0
+        if not has.any():
+            return _empty()
+        reps = n[has]
+        # window expansion without a Python loop (repeat/arange trick);
+        # bounded: a window holds at most one user's views of one hour
+        offs = np.concatenate(([0], np.cumsum(reps)))[:-1]
+        flat = np.repeat(lo[has], reps) \
+            + (np.arange(reps.sum()) - np.repeat(offs, reps))
+        cat = pd.concat([
+            pd.DataFrame({"hour": vh[lo[has]], "ft": np.int64(1),
+                          "lt": np.int64(0), "lin": 0.0}),
+            pd.DataFrame({"hour": vh[hi[has] - 1], "ft": np.int64(0),
+                          "lt": np.int64(1), "lin": 0.0}),
+            pd.DataFrame({"hour": vh[flat], "ft": np.int64(0),
+                          "lt": np.int64(0),
+                          "lin": np.repeat(1.0 / reps, reps)}),
+        ], ignore_index=True)
+        part = cat.groupby("hour", as_index=False).sum()
+        part["ft"] = part["ft"].astype(np.int64)
+        part["lt"] = part["lt"].astype(np.int64)
+        return part
+
+    parts = (ds.map_batches(keep_bucket, batch_format="pandas")
+             .groupby("bucket_").map_groups(credit,
+                                            batch_format="pandas"))
+    out = reduce_sink(parts, ["hour"],
+                      {"first_touch": ("ft", "sum"),
+                       "last_touch": ("lt", "sum"),
+                       "linear_credit": ("lin", "sum")}).to_pandas()
+    out["first_touch"] = out["first_touch"].astype(np.int64)
+    out["last_touch"] = out["last_touch"].astype(np.int64)
+    out["linear_credit"] = out["linear_credit"].round(4)
+    return out.sort_values("hour", ignore_index=True)
+
+
+def _classifier_feats(sf_dir: str) -> rd.Dataset:
+    from webalizer_ray.stages.classifier import doc_feature_frame
+
+    docs = _docs(sf_dir, ["doc_id", "text", "lang"])
+
+    def featurize(df: pd.DataFrame) -> pd.DataFrame:
+        f = doc_feature_frame(df)
+        q = textstats.add_quality_score(df)
+        f["y"] = (q["quality_score"].to_numpy(np.float64)
+                  >= 0.5).astype(np.float64)
+        f["doc_id"] = df["doc_id"].to_numpy(np.int64)
+        return f
+
+    return docs.map_batches(featurize, batch_format="pandas")
+
+
+@register("classifier_kfold_metrics", sql=None)  # iterative — not SQL
+def classifier_kfold_metrics(sf_dir: str) -> pd.DataFrame:
+    """Out-of-fold evaluation of the quality classifier: deterministic
+    hash folds, per-fold IRLS training on the other k-1 folds, scalar
+    accuracy/Brier partials — the no-leakage eval a model-based filter
+    needs before its threshold is trusted. Rows-only (iterative);
+    pytest proves fold partition, determinism and near-perfect CV
+    accuracy on a separable planted set."""
+    from webalizer_ray.stages.classifier import kfold_eval
+
+    return kfold_eval(_classifier_feats(sf_dir), k=5, n_iter=10)
+
+
+@register("classifier_calibration", sql=None)  # model scores — not SQL
+def classifier_calibration(sf_dir: str) -> pd.DataFrame:
+    """Reliability table + ECE terms for the quality classifier's
+    scores: fixed-width score bins, (bin, n, sums) partials only.
+    Rows-only; pytest pins the closed form on a hand-computable set
+    and conservation of n across bins."""
+    from webalizer_ray.stages.classifier import (
+        FEATURE_COLS, _sigmoid, calibration_table, train_logreg)
+
+    feats = _classifier_feats(sf_dir).materialize()
+    w = train_logreg(feats, n_iter=10)
+
+    def add_score(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["score"] = _sigmoid(df[FEATURE_COLS].to_numpy(np.float64) @ w)
+        return df
+
+    return calibration_table(
+        feats.map_batches(add_score, batch_format="pandas"))
+
+
+@register("incremental_view_counts", sql="""
+WITH v1 AS (SELECT c_custkey AS k, c_custkey % 10 AS grp,
+                   CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+            FROM customer),
+u2 AS (SELECT k, grp, cents + 10000 AS cents FROM v1
+       WHERE k % 5 = 0 AND k % 7 <> 0),
+v2 AS (SELECT k, grp, cents FROM v1
+       WHERE k % 7 <> 0 AND NOT (k % 5 = 0 AND k % 7 <> 0)
+       UNION ALL SELECT k, grp, cents FROM u2),
+u3 AS (SELECT k, grp, 555 + k AS cents FROM v1 WHERE k % 3 = 0),
+v3 AS (SELECT k, grp, cents FROM v2 WHERE k % 3 <> 0
+       UNION ALL SELECT k, grp, cents FROM u3)
+SELECT CAST(grp AS BIGINT) AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS s
+FROM v3 GROUP BY grp""")
+def incremental_view_counts(sf_dir: str) -> pd.DataFrame:
+    """Incrementally-maintained materialized view
+    (state/incremental_view.py): the per-group SUM/COUNT aggregate of
+    the versioned store stays exact across commits by folding ONLY the
+    touched buckets' old/new file partials (view(V) = view(V-1) − old
+    + new) — untouched buckets contribute byte-identically because
+    their files carry over by name. Oracle checks the view at the
+    latest version; pytest proves incremental == full recompute and
+    that untouched files are never read."""
+    import shutil
+
+    from webalizer_ray.state.incremental_view import read_view, refresh
+
+    store = _build_vstore(sf_dir)
+    view_dir = tempfile.mkdtemp(prefix="wr_iview_")
+    try:
+        refresh(store, view_dir, group_col="grp", val_col="cents")
+        out = read_view(view_dir)
+        out = out.rename(columns={"grp": "grp"})
+        out["grp"] = out["grp"].astype(np.int64)
+        return out.sort_values("grp", ignore_index=True)
+    finally:
+        shutil.rmtree(view_dir, ignore_errors=True)
+
+
+@register("cumulative_users_by_day", sql="""
+WITH f AS (SELECT user_id, MIN(strftime(ts, '%Y-%m-%d')) AS day
+           FROM events GROUP BY user_id),
+d AS (SELECT day, COUNT(*) AS new_users FROM f GROUP BY day)
+SELECT day, CAST(new_users AS BIGINT) AS new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_users
+FROM d""")
+def cumulative_users_by_day(sf_dir: str) -> pd.DataFrame:
+    """Running distinct-user count (cumulative NDV — the 'total users
+    ever seen' growth curve window frames cannot express as COUNT
+    (DISTINCT) OVER): distinct collapses to each user's FIRST-SEEN day
+    (one keyed min-reduce — only (user, day) partials shuffle), daily
+    new-user counts follow, and the cumsum runs over the O(days)
+    series on the driver."""
+    ds = _events(sf_dir, ["ts", "user_id"]) \
+        .map_batches(_with_time_cols({"date"}), batch_format="pyarrow")
+    first = reduce_sink(ds, ["user_id"], {"day": ("date", "min")})
+    daily = reduce_sink(first, ["day"],
+                        {"new_users": ("user_id", "size")}).to_pandas() \
+        .sort_values("day", ignore_index=True)
+    daily["new_users"] = daily["new_users"].astype(np.int64)
+    daily["cum_users"] = daily["new_users"].cumsum().astype(np.int64)
+    return daily.rename(columns={"day": "day"})[
+        ["day", "new_users", "cum_users"]]
+
+
+_ZONEMAP_VERSION = 1
+
+
+def _zonemap_dir(sf_dir: str) -> str:
+    """ts-sorted 8-file re-layout of events + its zone map (the layout
+    that makes time-range file pruning effective); built once per
+    (user, corpus, version), atomic staging+rename."""
+    import hashlib
+    import shutil
+
+    from webalizer_ray.stages.zonemap import build_zonemap
+
+    ev = f"{sf_dir}/events.parquet"
+    st = os.stat(ev)
+    tag = hashlib.sha1(
+        f"{os.path.abspath(ev)}|{st.st_size}|{st.st_mtime_ns}|"
+        f"v{_ZONEMAP_VERSION}".encode()).hexdigest()[:16]
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    out = os.path.join(tempfile.gettempdir(), f"wr_zm_u{uid}_{tag}")
+    if os.path.exists(os.path.join(out, "_zonemap.parquet")):
+        return out
+    staging = out + f".staging-{os.getpid()}"
+    shutil.rmtree(staging, ignore_errors=True)
+    os.makedirs(os.path.join(staging, "data"))
+    df = pq.read_table(ev).to_pandas() \
+        .sort_values(["ts", "event_id"], ignore_index=True)
+    for i, part in enumerate(np.array_split(df, 8)):
+        part.to_parquet(os.path.join(staging, "data",
+                                     f"f{i}.parquet"), index=False)
+    build_zonemap(os.path.join(staging, "data"), ["ts", "value"],
+                  os.path.join(staging, "_zonemap.parquet"))
+    shutil.rmtree(out, ignore_errors=True)
+    os.replace(staging, out)
+    return out
+
+
+@register("zonemap_pruned_daily_hits", sql="""
+SELECT strftime(ts, '%Y-%m-%d') AS day, CAST(COUNT(*) AS BIGINT) AS hits
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10' AND ts <= TIMESTAMP '2024-01-16'
+GROUP BY day""")
+def zonemap_pruned_daily_hits(sf_dir: str) -> pd.DataFrame:
+    """Range scan through the PERSISTED zone-map skipping index
+    (stages/zonemap.py): file-level min/max rows built once from
+    footers; the query reads the tiny index, skips every file whose
+    interval misses the week, and pushes the same predicate into the
+    surviving scans. Unknown files are never pruned; vanished mapped
+    files raise. Pytest proves pruning by deleting the pruned files."""
+    import datetime as _dt
+
+    from webalizer_ray.stages.zonemap import pruned_scan
+
+    d = _zonemap_dir(sf_dir)
+    ds = pruned_scan(os.path.join(d, "data"),
+                     os.path.join(d, "_zonemap.parquet"), "ts",
+                     _dt.datetime(2024, 1, 10), _dt.datetime(2024, 1, 16),
+                     columns=["ts"])
+    out = reduce_sink(
+        ds.map_batches(_with_time_cols({"date"}), batch_format="pyarrow"),
+        ["date"], {"hits": ("ts", "size")}).to_pandas()
+    out["hits"] = out["hits"].astype(np.int64)
+    return out.rename(columns={"date": "day"}) \
+        .sort_values("day", ignore_index=True)
+
+
+@register("html_stripped_docs", sql=r"""
+WITH aug AS (
+  SELECT doc_id,
+         '<html><head><script type="text/javascript">var x = 1 < 2;'
+         || '</script><style>p { color: red; }</style></head><body><h1>'
+         || 'Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>'
+         || text || ' &amp; tail &lt;x&gt;</p><!-- trailing comment -->'
+         || '</body></html>' AS t
+  FROM documents),
+clean AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           replace(replace(replace(replace(
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               t,
+               '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+               '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+               '(?s)<!--.*?-->', ' ', 'g'),
+               '<[^>]+>', ' ', 'g'),
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&amp;', '&'),
+           '\s+', ' ', 'g')) AS clean_text
+  FROM aug)
+SELECT doc_id, clean_text, CAST(len(clean_text) AS BIGINT) AS clean_len
+FROM clean""")
+def html_stripped_docs(sf_dir: str) -> pd.DataFrame:
+    """HTML boilerplate extraction (the main-content step of a web
+    corpus): documents wrapped in deterministic doc_id-derived HTML
+    (script/style blocks, tags, comments, entities), then stripped by
+    the IDENTICAL RE2 chain on both sides — byte-identical clean_text
+    is the check, not just lengths (stages/textstats.py:strip_html)."""
+    def augment(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["text"] = (
+            '<html><head><script type="text/javascript">var x = 1 < 2;'
+            "</script><style>p { color: red; }</style></head><body><h1>"
+            "Doc " + df["doc_id"].astype(str) + "</h1><p>"
+            + df["text"].fillna("")
+            + " &amp; tail &lt;x&gt;</p><!-- trailing comment -->"
+            "</body></html>")
+        return df
+
+    out = _docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(augment, batch_format="pandas") \
+        .map_batches(textstats.strip_html, batch_format="pyarrow") \
+        .to_pandas()
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    out["clean_len"] = out["clean_len"].astype(np.int64)
+    return out[["doc_id", "clean_text", "clean_len"]] \
+        .sort_values("doc_id", ignore_index=True)
+
+
+_BLOOMIDX_VERSION = 1
+
+
+def _bloomidx_dir(sf_dir: str) -> str:
+    """user-hash-bucketed 8-file re-layout of events + a per-file
+    Bloom index on user_id (point lookups prune to ~1 file); built
+    once per (user, corpus, version), atomic staging+rename."""
+    import hashlib
+    import shutil
+
+    from webalizer_ray.stages.zonemap import build_bloom_index
+
+    ev = f"{sf_dir}/events.parquet"
+    st = os.stat(ev)
+    tag = hashlib.sha1(
+        f"{os.path.abspath(ev)}|{st.st_size}|{st.st_mtime_ns}|"
+        f"v{_BLOOMIDX_VERSION}".encode()).hexdigest()[:16]
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    out = os.path.join(tempfile.gettempdir(), f"wr_bloomidx_u{uid}_{tag}")
+    if os.path.exists(os.path.join(out, "_bloom.parquet")):
+        return out
+    staging = out + f".staging-{os.getpid()}"
+    shutil.rmtree(staging, ignore_errors=True)
+    os.makedirs(os.path.join(staging, "data"))
+    df = pq.read_table(ev).to_pandas()
+    for b in range(8):
+        df[df["user_id"] % 8 == b].to_parquet(
+            os.path.join(staging, "data", f"b{b}.parquet"), index=False)
+    build_bloom_index(os.path.join(staging, "data"), "user_id",
+                      os.path.join(staging, "_bloom.parquet"))
+    shutil.rmtree(out, ignore_errors=True)
+    os.replace(staging, out)
+    return out
+
+
+@register("bloom_point_user_stats", sql="""
+SELECT CAST(COUNT(*) AS BIGINT) AS hits,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents,
+       COUNT(DISTINCT event_type) AS types
+FROM events WHERE user_id = 7""")
+def bloom_point_user_stats(sf_dir: str) -> pd.DataFrame:
+    """Point lookup through the PERSISTED per-file Bloom index
+    (stages/zonemap.py:bloom_point_scan) over a user-bucketed layout:
+    the tiny filter table routes the lookup to the files that might
+    hold the key (no false negatives; the pushed equality predicate
+    makes false positives wasted reads, never wrong rows). Pytest
+    proves pruning by deleting the non-candidate files."""
+    from webalizer_ray.stages.zonemap import bloom_point_scan
+
+    d = _bloomidx_dir(sf_dir)
+    ds = bloom_point_scan(os.path.join(d, "data"),
+                          os.path.join(d, "_bloom.parquet"),
+                          "user_id", np.int64(7),
+                          columns=["user_id", "value", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "hits": [np.int64(len(df))],
+            "value_cents": [np.int64(np.rint(
+                df["value"].to_numpy(np.float64) * 100).sum())
+                if len(df) else np.int64(0)],
+            "types": [df["event_type"].unique().tolist()]})
+
+    p = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    types = set()
+    for t in p["types"]:
+        types.update(t)
+    return pd.DataFrame({
+        "hits": [np.int64(p["hits"].sum())],
+        "value_cents": [np.int64(p["value_cents"].sum())],
+        "types": [np.int64(len(types))]})
+
+
+@register("wap_published_counts", sql="""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS hits,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events WHERE value >= 0 GROUP BY event_type""")
+def wap_published_counts(sf_dir: str) -> pd.DataFrame:
+    """Write–Audit–Publish (state/wap.py): the events feed stages to
+    an isolated directory, the data-contract gate audits the STAGED
+    files (not-null, range, regex — one streaming pass), and only then
+    does the atomic rename publish; the aggregate reads the PUBLISHED
+    files, proving the gated copy is what serves. Pytest proves a
+    failing batch never becomes visible."""
+    import shutil
+
+    from webalizer_ray.state.wap import write_audit_publish
+
+    work = tempfile.mkdtemp(prefix="wr_wap_")
+    out = os.path.join(work, "serving")
+    try:
+        ds = _events(sf_dir, ["event_id", "event_type", "value"])
+        write_audit_publish(ds, out, {
+            "event_id": {"not_null": True, "min": 0},
+            "value": {"min": 0.0},
+            "event_type": {"regex": r"^[a-z_]+$"}})
+        pub = rd.read_parquet(out, columns=["event_type", "value"])
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("event_type", as_index=False).agg(
+                hits=("value", "size"),
+                value_cents=("value", lambda v: np.int64(
+                    np.rint(v.to_numpy(np.float64) * 100).sum())))
+            return g
+
+        agg = reduce_sink(pub.map_batches(partial, batch_format="pandas"),
+                          ["event_type"],
+                          {"hits": ("hits", "sum"),
+                           "value_cents": ("value_cents", "sum")}) \
+            .to_pandas()
+        agg["hits"] = agg["hits"].astype(np.int64)
+        agg["value_cents"] = agg["value_cents"].astype(np.int64)
+        return agg.sort_values("event_type", ignore_index=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register("dup_rate_by_threshold", sql="""
+WITH p AS (SELECT ROUND(list_cosine_similarity(
+                    CAST(a.embedding AS DOUBLE[]),
+                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                 CAST(b.embedding AS DOUBLE[])) >= 0.3)
+SELECT CAST(FLOOR(cosine * 20) AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM p GROUP BY band""")
+def dup_rate_by_threshold(sf_dir: str) -> pd.DataFrame:
+    """Dedup-threshold calibration curve: candidate-pair cosines
+    banded into 0.05 steps — the table you read before PICKING the
+    near-dup threshold (how many pairs does each cut keep?). Bands
+    computed from the 6-dp-rounded similarity on both sides so band
+    edges cannot flip between engines."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    pairs = dedup.cosine_dup_pairs(ds, threshold=0.3)
+    band = np.floor(pairs["cosine"].to_numpy(np.float64) * 20) \
+        .astype(np.int64)
+    out = pd.DataFrame({"band": band}).groupby(
+        "band", as_index=False).size().rename(columns={"size": "n_pairs"})
+    out["n_pairs"] = out["n_pairs"].astype(np.int64)
+    return out.sort_values("band", ignore_index=True)
+
+
+@register("week_overlap_users_hll", sql="""
+WITH src AS MATERIALIZED (
+  SELECT CASE WHEN ts >= TIMESTAMP '2024-01-01'
+               AND ts < TIMESTAMP '2024-01-08' THEN 'a'
+              WHEN ts >= TIMESTAMP '2024-01-08'
+               AND ts < TIMESTAMP '2024-01-15' THEN 'b' END AS week,
+         user_id AS u
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-15'),
+h0 AS (SELECT week, CAST((CAST(u AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT)
+              AS z0 FROM src),
+h1 AS (SELECT week, CAST((((CAST((xor(z0, z0 >> 30)) >> 32 AS HUGEINT) * 13787848793156543929) % 4294967296) * 4294967296 + (CAST((xor(z0, z0 >> 30)) & 4294967295 AS HUGEINT) * 13787848793156543929)) % 18446744073709551616 AS UBIGINT) AS z1 FROM h0),
+h2 AS (SELECT week, CAST((((CAST((xor(z1, z1 >> 27)) >> 32 AS HUGEINT) * 10723151780598845931) % 4294967296) * 4294967296 + (CAST((xor(z1, z1 >> 27)) & 4294967295 AS HUGEINT) * 10723151780598845931)) % 18446744073709551616 AS UBIGINT) AS z2 FROM h1),
+hx AS MATERIALIZED (SELECT week, xor(z2, z2 >> 31) AS h FROM h2),
+regs AS MATERIALIZED (
+  SELECT week, CAST(h >> 50 AS BIGINT) AS idx,
+         MAX(CASE WHEN (h & 1125899906842623) = 0 THEN 51
+                  ELSE 50 - (length(bin(h & 1125899906842623)) - 1)
+             END) AS r
+  FROM hx GROUP BY week, idx),
+uregs AS MATERIALIZED (
+  SELECT idx, MAX(r) AS r FROM regs GROUP BY idx),
+ecnt AS (
+  SELECT week,
+         16384.0 * 16384.0 * (0.7213 / (1.0 + 1.079 / 16384.0))
+             / ((16384 - COUNT(*)) + SUM(POWER(2.0, -r))) AS e,
+         16384 - COUNT(*) AS zeros
+  FROM regs GROUP BY week),
+ucnt AS (
+  SELECT 16384.0 * 16384.0 * (0.7213 / (1.0 + 1.079 / 16384.0))
+             / ((16384 - COUNT(*)) + SUM(POWER(2.0, -r))) AS e,
+         16384 - COUNT(*) AS zeros
+  FROM uregs),
+fixed AS (
+  SELECT week, CASE WHEN e <= 2.5 * 16384 AND zeros > 0
+               THEN 16384.0 * LN(16384.0 / zeros) ELSE e END AS c
+  FROM ecnt),
+ufix AS (
+  SELECT CASE WHEN e <= 2.5 * 16384 AND zeros > 0
+         THEN 16384.0 * LN(16384.0 / zeros) ELSE e END AS c
+  FROM ucnt)
+SELECT CAST(ROUND(a.c) AS BIGINT) AS users_a,
+       CAST(ROUND(b.c) AS BIGINT) AS users_b,
+       CAST(ROUND(un.c) AS BIGINT) AS users_union,
+       CAST(ROUND(GREATEST(0.0, a.c + b.c - un.c)) AS BIGINT)
+           AS users_overlap
+FROM (SELECT c FROM fixed WHERE week = 'a') a,
+     (SELECT c FROM fixed WHERE week = 'b') b,
+     ufix un""")
+def week_overlap_users_hll(sf_dir: str) -> pd.DataFrame:
+    """Sketch set algebra: estimated user overlap between the first
+    two weeks via HyperLogLog inclusion–exclusion
+    (|A∩B| ≈ |A| + |B| − |A∪B|, union = elementwise register max —
+    the mergeable-summary answer when two 10⁹-key sets live on
+    different clusters and an exact presence-flag shuffle
+    (purchase_week_user_setops) is too expensive). ONE pass computes
+    both weeks' sketches (a week-tag per partial). Oracle (r3):
+    SplitMix64 hashing lets SQL rebuild both weeks' registers AND the
+    union registers (per-index MAX across weeks), replaying the
+    inclusion–exclusion bit-for-bit; pytest additionally pins the
+    estimate within 5% of the exact overlap."""
+    import datetime as _dt
+
+    from webalizer_ray.stages.sketch import HyperLogLog, splitmix64
+
+    d0 = _dt.datetime(2024, 1, 1)
+    d1 = d0 + _dt.timedelta(days=7)
+    d2 = d0 + _dt.timedelta(days=14)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        ts = df["ts"]
+        for tag, lo, hi in (("a", d0, d1), ("b", d1, d2)):
+            u = df.loc[(ts >= lo) & (ts < hi), "user_id"].to_numpy()
+            if len(u):
+                h = splitmix64(u.astype(np.int64).astype(np.uint64))
+                out.append({"week": tag,
+                            "hll": HyperLogLog.from_hashes(h).to_bytes()})
+        return pd.DataFrame(
+            {"week": pd.Series([r["week"] for r in out], dtype="string"),
+             "hll": pd.Series([r["hll"] for r in out], dtype=object)})
+
+    parts = _events(sf_dir, ["ts", "user_id"]).map_batches(
+        partial, batch_format="pandas").to_pandas()
+    sk = {"a": HyperLogLog(), "b": HyperLogLog()}
+    for _, r in parts.iterrows():
+        sk[r["week"]] = sk[r["week"]].merge(
+            HyperLogLog.from_bytes(r["hll"]))
+    a, b = sk["a"].count(), sk["b"].count()
+    union = sk["a"].merge(sk["b"]).count()
+    inter = max(0.0, a + b - union)
+    return pd.DataFrame({
+        "users_a": [np.int64(round(a))],
+        "users_b": [np.int64(round(b))],
+        "users_union": [np.int64(round(union))],
+        "users_overlap": [np.int64(round(inter))]})
+
+
+def _image_dup_ds(columns=None):
+    from webalizer_ray.stages.multimodal import (
+        IMAGE_DUP_TABLE_VERSION,
+        synth_image_dup_table,
+    )
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    d = os.path.join(tempfile.gettempdir(),
+                     f"wr_imgdup_u{uid}_v{IMAGE_DUP_TABLE_VERSION}")
+    marker = os.path.join(d, "images.parquet")
+    if not os.path.exists(marker):
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".images-{os.getpid()}.tmp")
+        pq.write_table(synth_image_dup_table(), tmp)
+        os.replace(tmp, marker)
+    return rd.read_parquet(marker, columns=columns)
+
+
+@register("media_image_dhash_pairs")
+def media_image_dhash_pairs(sf_dir: str) -> pd.DataFrame:
+    """Perceptual near-dup IMAGE pairs: real pixels → 64-bit dHash in an
+    actor-pool stage → chunk-banded Hamming pairs (n_chunks=8 >
+    max_hamming=6, so recall is exact by pigeonhole — the distributed
+    result provably equals brute force). Catches what byte/exact dedup
+    cannot: the fixture plants format-converted (PPM↔BMP), 2×-upscaled
+    and noised copies, all different bytes, same or near-same dHash.
+    Rows-only (pixel hashing isn't SQL); pytest verifies equality with
+    the driver-side brute-force pair set and that every planted variant
+    pairs with its base."""
+    from webalizer_ray.stages.multimodal import (
+        MEDIA_BATCH_KWARGS,
+        DHashImage,
+    )
+    hashed = _image_dup_ds(["media_id", "kind", "payload"]).map_batches(
+        DHashImage, concurrency=(1, 2), **MEDIA_BATCH_KWARGS)
+    return dedup.hamming64_pairs(hashed, id_col="media_id",
+                                 hash_col="dhash", max_hamming=6,
+                                 n_chunks=8)
+
+
+@register("hybrid_search_rrf", sql=r"""
+WITH d AS (SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS dl
+           FROM documents),
+n AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM d),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf
+       FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS term
+             FROM documents)
+       WHERE term IN ('table', 'hash', 'merge') GROUP BY doc_id, term),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+s AS (SELECT tf.doc_id,
+             ROUND(SUM(ln((n.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+                 * tf.tf * (1.2 + 1.0)
+                 / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / n.avgdl))), 6)
+               AS score
+      FROM tf JOIN dfq USING (term) JOIN d USING (doc_id) CROSS JOIN n
+      GROUP BY tf.doc_id),
+lex AS (SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS lr
+        FROM s QUALIFY lr <= 50),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+      WHERE vec_id = 0),
+vs AS (SELECT e.vec_id AS doc_id,
+              ROUND(list_cosine_similarity(q.qe,
+                    CAST(e.embedding AS DOUBLE[])), 9) AS cos
+       FROM embeddings e CROSS JOIN q),
+vec AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS vr
+        FROM vs QUALIFY vr <= 50),
+f AS (SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id,
+             COALESCE(1.0 / (60 + lr), 0) + COALESCE(1.0 / (60 + vr), 0)
+               AS rrf,
+             COALESCE(lr, 0) AS lex_rank, COALESCE(vr, 0) AS vec_rank
+      FROM lex FULL JOIN vec ON lex.doc_id = vec.doc_id)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, ROUND(rrf, 9) AS rrf,
+       CAST(lex_rank AS BIGINT) AS lex_rank,
+       CAST(vec_rank AS BIGINT) AS vec_rank
+FROM f ORDER BY rrf DESC, doc_id LIMIT 10""")
+def hybrid_search_rrf(sf_dir: str) -> pd.DataFrame:
+    """Hybrid retrieval with Reciprocal Rank Fusion (Cormack et al.
+    SIGIR'09 — the standard way a RAG/search stack combines a lexical
+    and a vector index): the BM25 leg and the exact-cosine leg each
+    produce their distributed top-50 (per-batch top-k partials; only
+    k rows per block reach the driver), then RRF fuses the two tiny
+    rank lists driver-side: score = Σ 1/(60 + rank), absent leg
+    contributes 0. Ranks on both engines are over 6-dp (BM25) / 9-dp
+    (cosine) rounded scores with id tiebreaks, so no float noise can
+    flip a rank; the fused score is one two-term double add."""
+    lex = _bm25_topk(sf_dir, k=50)
+    lex_rank = {int(d): r + 1 for r, d in enumerate(lex["doc_id"])}
+
+    qtbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "=", 0)])
+    query = np.stack(qtbl["embedding"].to_pandas().to_numpy())
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    vec = ann.brute_force_topk(ds, query, k=50)
+    vec_rank = {int(v): int(r) for v, r in zip(vec["vec_id"], vec["rank"])}
+
+    ids = sorted(set(lex_rank) | set(vec_rank))
+    lr = np.array([lex_rank.get(i, 0) for i in ids], dtype=np.int64)
+    vr = np.array([vec_rank.get(i, 0) for i in ids], dtype=np.int64)
+    rrf = (np.where(lr > 0, 1.0 / (60.0 + lr), 0.0)
+           + np.where(vr > 0, 1.0 / (60.0 + vr), 0.0))
+    out = pd.DataFrame({"doc_id": np.array(ids, dtype=np.int64),
+                        "rrf": np.round(rrf, 9),
+                        "lex_rank": lr, "vec_rank": vr})
+    return (out.sort_values(["rrf", "doc_id"], ascending=[False, True],
+                            kind="mergesort")
+            .head(10).reset_index(drop=True))
+
+
+@register("ab_test_conversion_ztest", sql="""
+WITH u AS (SELECT user_id, user_id % 2 AS arm,
+                  MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS conv
+           FROM events GROUP BY user_id),
+a AS (SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b,
+             CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT)
+               AS conv_a,
+             CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT)
+               AS conv_b
+      FROM u)
+SELECT n_a, n_b, conv_a, conv_b,
+       ROUND((conv_a / CAST(n_a AS DOUBLE) - conv_b / CAST(n_b AS DOUBLE))
+             / sqrt(((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                    * (1.0 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                    * (1.0 / n_a + 1.0 / n_b)), 6) AS z
+FROM a""")
+def ab_test_conversion_ztest(sf_dir: str) -> pd.DataFrame:
+    """Experiment analysis: two-proportion z-test on user-level purchase
+    conversion under a deterministic id-parity assignment (the split a
+    real experimenation system computes over billions of users). Per-user
+    conversion flags are indicator-max partials (users never reach the
+    driver); the four arm counts are the only rows that move; the
+    z statistic is ONE closed-form expression written identically on
+    both engines (integer counts in, one rounded double out)."""
+    ds = _events(sf_dir, ["user_id", "event_type"])
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"],
+            "conv": (df["event_type"] == "purchase").astype(np.int64)})
+
+    per_user = reduce_sink(ds.map_batches(flag, batch_format="pandas"),
+                           ["user_id"], {"conv": ("conv", "max")})
+
+    def arm_partial(df: pd.DataFrame) -> pd.DataFrame:
+        arm = (df["user_id"].to_numpy(np.int64) % 2)
+        c = df["conv"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "n_a": [np.int64((arm == 0).sum())],
+            "n_b": [np.int64((arm == 1).sum())],
+            "conv_a": [np.int64(c[arm == 0].sum())],
+            "conv_b": [np.int64(c[arm == 1].sum())]})
+
+    tot = per_user.map_batches(arm_partial,
+                               batch_format="pandas").to_pandas().sum()
+    n_a, n_b = float(tot["n_a"]), float(tot["n_b"])
+    conv_a, conv_b = float(tot["conv_a"]), float(tot["conv_b"])
+    p = (conv_a + conv_b) / (n_a + n_b)
+    z = ((conv_a / n_a - conv_b / n_b)
+         / np.sqrt(p * (1.0 - p) * (1.0 / n_a + 1.0 / n_b)))
+    return pd.DataFrame({
+        "n_a": [np.int64(tot["n_a"])], "n_b": [np.int64(tot["n_b"])],
+        "conv_a": [np.int64(tot["conv_a"])],
+        "conv_b": [np.int64(tot["conv_b"])],
+        "z": [float(textstats.round_half_away(z, 6))]})
+
+
+@register("k_anonymity_audit", sql="""
+WITH g AS (SELECT event_type, hour(ts) AS hr, dayofweek(ts) AS dow,
+                  COUNT(*) AS n
+           FROM events GROUP BY 1, 2, 3)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS groups_violating,
+       CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+         AS rows_at_risk
+FROM g""")
+def k_anonymity_audit(sf_dir: str) -> pd.DataFrame:
+    """Privacy-governance audit: k-anonymity (k=5) over the
+    quasi-identifier tuple (event_type, hour, weekday) — a release is
+    k-anonymous when every QI group holds ≥ k rows, else the small
+    groups re-identify individuals (Sweeney 2002). Group sizes are
+    ordinary count partials; the audit then folds the COUNT TABLE (not
+    the rows) to three integers with per-batch partial sums, so neither
+    the events nor the group table ever reach the driver. The weekday
+    NUMBERING differs between engines (pandas Monday=0, DuckDB
+    Sunday=0) but the PARTITION it induces is identical, and only group
+    sizes matter."""
+    def qi(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": df["event_type"],
+                             "hr": df["ts"].dt.hour.astype(np.int64),
+                             "dow": df["ts"].dt.dayofweek.astype(np.int64)})
+
+    groups = reduce_sink(
+        _events(sf_dir, ["ts", "event_type"])
+        .map_batches(qi, batch_format="pandas"),
+        ["event_type", "hr", "dow"], {"n": ("hr", "size")})
+
+    def audit_partial(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy(np.int64)
+        small = n < 5
+        return pd.DataFrame({"n_groups": [np.int64(len(n))],
+                             "groups_violating": [np.int64(small.sum())],
+                             "rows_at_risk": [np.int64(n[small].sum())]})
+
+    tot = groups.map_batches(audit_partial,
+                             batch_format="pandas").to_pandas().sum()
+    return pd.DataFrame({k: [np.int64(tot[k])]
+                         for k in ("n_groups", "groups_violating",
+                                   "rows_at_risk")})
+
+
+@register("containment_quote_pairs", sql=r"""
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+           FROM documents),
+sh AS (SELECT doc_id, array_to_string(toks[i:i+19], ' ') AS sp
+       FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks)-19))
+                        AS i) g),
+d AS (SELECT DISTINCT doc_id, sp FROM sh),
+cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM d a JOIN d b ON a.sp = b.sp AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+g3 AS (SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS g
+       FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks)-2))
+                        AS i) gg),
+dg AS (SELECT DISTINCT doc_id, g FROM g3),
+sz AS (SELECT doc_id, COUNT(*) AS n FROM dg GROUP BY 1),
+inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS i
+          FROM cand c JOIN dg x ON x.doc_id = c.id_a
+               JOIN dg y ON y.doc_id = c.id_b AND y.g = x.g
+          GROUP BY 1, 2)
+SELECT c.id_a, c.id_b,
+       ROUND(COALESCE(i.i, 0) / CAST(LEAST(sa.n, sb.n) AS DOUBLE), 6)
+         AS containment,
+       ROUND(COALESCE(i.i, 0)
+             / CAST(sa.n + sb.n - COALESCE(i.i, 0) AS DOUBLE), 6)
+         AS jaccard
+FROM cand c JOIN sz sa ON sa.doc_id = c.id_a
+     JOIN sz sb ON sb.doc_id = c.id_b
+     LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+WHERE COALESCE(i.i, 0) / CAST(LEAST(sa.n, sb.n) AS DOUBLE) >= 0.8""")
+def containment_quote_pairs(sf_dir: str) -> pd.DataFrame:
+    """Quote/subset detection via n-gram CONTAINMENT, C(A,B) =
+    |G₃(A)∩G₃(B)| / min(|G₃(A)|,|G₃(B)|) — the asymmetric cousin of
+    Jaccard (Broder's resemblance vs containment split): a short doc
+    quoted inside a long one scores containment ≈ 1 but low Jaccard,
+    so symmetric dedup misses it. Candidates come from the
+    DETERMINISTIC shared-20-token-span prefilter (itself oracle-backed
+    — a containing pair shares its spans by construction, so recall
+    vs this filter is exact, which is what makes the whole chain
+    SQL-checkable, unlike the sampling-based MinHash candidates);
+    the verify joins candidate texts back in-cluster and emits both
+    measures so the containment-vs-jaccard gap is visible."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    cand = dedup.shared_span_pairs(docs, n=20)
+    empty = pd.DataFrame({"id_a": pd.Series(dtype=np.int64),
+                          "id_b": pd.Series(dtype=np.int64),
+                          "containment": pd.Series(dtype=np.float64),
+                          "jaccard": pd.Series(dtype=np.float64)})
+    if not len(cand):
+        return empty
+    p = rd.from_pandas(cand[["id_a", "id_b"]])
+    j = dedup.join_pairs_to_values(p, docs, "doc_id", "text")
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for a, b, ta, tb in zip(df["id_a"], df["id_b"],
+                                df["text_a"], df["text_b"]):
+            sa, sb = dedup.word_ngrams(ta, 3), dedup.word_ngrams(tb, 3)
+            inter = len(sa & sb)
+            cont = inter / min(len(sa), len(sb))
+            if cont >= 0.8:
+                jac = inter / (len(sa) + len(sb) - inter)
+                rows.append((a, b,
+                             float(textstats.round_half_away(cont, 6)),
+                             float(textstats.round_half_away(jac, 6))))
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "containment",
+                                           "jaccard"]) \
+            .astype({"id_a": np.int64, "id_b": np.int64})
+
+    out = j.map_batches(verify, batch_format="pandas").to_pandas()
+    if "id_a" not in out.columns or not len(out):
+        return empty
+    return out.sort_values(["id_a", "id_b"], ignore_index=True)
+
+
+@register("knn_triangle_stats", sql="""
+WITH sims AS (
+  SELECT a.vec_id AS node, b.vec_id AS neighbor,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6)
+             AS cosine
+  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id),
+r AS (SELECT node, neighbor,
+             ROW_NUMBER() OVER (PARTITION BY node
+                                ORDER BY cosine DESC, neighbor) AS rank
+      FROM sims),
+k AS (SELECT node, neighbor FROM r WHERE rank <= 2),
+e AS (SELECT DISTINCT LEAST(node, neighbor) AS a,
+                      GREATEST(node, neighbor) AS b FROM k),
+nn AS (SELECT COUNT(DISTINCT x) AS n
+       FROM (SELECT a AS x FROM e UNION ALL SELECT b AS x FROM e)),
+tri AS (SELECT COUNT(*) AS t
+        FROM e e1 JOIN e e2 ON e2.a = e1.b
+             JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+SELECT CAST(nn.n AS BIGINT) AS n_nodes,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+       CAST(tri.t AS BIGINT) AS n_triangles
+FROM nn CROSS JOIN tri""")
+def knn_triangle_stats(sf_dir: str) -> pd.DataFrame:
+    """Triangle census of the k-NN similarity graph — the standard
+    embedding-space clustering diagnostic (many triangles = tight
+    semantic clusters; a triangle-free kNN graph means the space is
+    spread thin). Distributed node-iterator counting in
+    graph.triangle_count: canonical edges → wedges by middle node →
+    closing-edge check, each step a co-partitioned union+groupby (the
+    CC/PageRank message pattern), only three scalars reach the driver.
+    Oracle: triple self-join over the identical canonical edge set."""
+    from webalizer_ray.stages import graph
+
+    edges = knn_graph(sf_dir)[["node", "neighbor"]].rename(
+        columns={"node": "id_a", "neighbor": "id_b"})
+    st = graph.triangle_count(edges)
+    return pd.DataFrame({"n_nodes": [np.int64(st["n_nodes"])],
+                         "n_edges": [np.int64(st["n_edges"])],
+                         "n_triangles": [np.int64(st["n_triangles"])]})
+
+
+@register("events_table_checksum", sql="""
+WITH d AS (SELECT (CAST(user_id AS HUGEINT) * 1000003
+                   + CAST(CAST(ROUND(value * 100, 0) AS BIGINT) AS HUGEINT)
+                     * 8191
+                   + CAST(hour(ts) AS HUGEINT) * 131071
+                   + CAST(ascii(event_type) * 131 + length(event_type)
+                          AS HUGEINT) * 524287)
+                  % 18446744073709551616 AS dig
+           FROM events)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(dig) % 18446744073709551616 AS VARCHAR) AS checksum
+FROM d""")
+def events_table_checksum(sf_dir: str) -> pd.DataFrame:
+    """Order-independent content checksum — the replication/migration
+    verifier: after copying a table between engines or clusters, two
+    sides agree iff (n_rows, checksum) agree, no sort and no row
+    transfer needed. The row digest is an ARITHMETIC closed form over
+    integer-coerced fields (cents-quantized value, hour, a char-code
+    fold of the type) in uint64 wrap-around — numpy's per-op wrapping
+    and SQL's single end mod are congruent because +/× commute with
+    mod 2⁶⁴ — and SUM is commutative, so any row order / any
+    partitioning yields the identical checksum. One uint64 partial per
+    batch reaches the driver."""
+    M = 1 << 64
+
+    def digest_partial(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].to_numpy(np.uint64)
+        cents = textstats.round_half_away(
+            df["value"].to_numpy(np.float64) * 100.0, 0) \
+            .astype(np.int64).astype(np.uint64)
+        hr = df["ts"].dt.hour.to_numpy().astype(np.uint64)
+        types = {t: np.uint64(ord(t[0]) * 131 + len(t))
+                 for t in df["event_type"].unique()}
+        tcode = df["event_type"].map(types).to_numpy(np.uint64)
+        dig = (u * np.uint64(1000003) + cents * np.uint64(8191)
+               + hr * np.uint64(131071) + tcode * np.uint64(524287))
+        s = int(np.sum(dig, dtype=np.uint64))   # wrap == mod 2^64
+        return pd.DataFrame({"n": [np.int64(len(df))],
+                             "s": [str(s)]})
+
+    parts = _events(sf_dir, ["ts", "user_id", "event_type", "value"]) \
+        .map_batches(digest_partial, batch_format="pandas").to_pandas()
+    total = 0
+    for s in parts["s"]:
+        total = (total + int(s)) % M
+    return pd.DataFrame({"n_rows": [np.int64(parts["n"].sum())],
+                         "checksum": [str(total)]})
+
+
+@register("target_encoded_event_types", sql="""
+WITH c AS (SELECT event_type, event_id % 3 AS fold,
+                  CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+           FROM events),
+f AS (SELECT event_type, fold, SUM(cents) AS s, COUNT(*) AS n
+      FROM c GROUP BY 1, 2),
+t AS (SELECT event_type, SUM(s) AS ts, SUM(n) AS tn FROM f GROUP BY 1)
+SELECT f.event_type, CAST(f.fold AS BIGINT) AS fold,
+       CAST(f.n AS BIGINT) AS n_rows,
+       ROUND((t.ts - f.s) / (100.0 * (t.tn - f.n)), 6) AS enc
+FROM f JOIN t USING (event_type)
+WHERE t.tn > f.n""")
+def target_encoded_event_types(sf_dir: str) -> pd.DataFrame:
+    """Leakage-protected (out-of-fold) target encoding — the standard
+    way a categorical feature absorbs a target without memorizing its
+    own row: fold k's encoding of a category is the target mean over
+    the OTHER folds, (tot − fold)/(n_tot − n_fold). Everything reduces
+    to per-(category, fold) integer partials — the 2-dp value column is
+    cent-quantized, so sums are EXACT in any order and partitioning
+    (the dyadic-fixture lesson applied to real money columns); the one
+    float division happens once per output row on both engines."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = textstats.round_half_away(
+            df["value"].to_numpy(np.float64) * 100.0, 0).astype(np.int64)
+        g = pd.DataFrame({
+            "event_type": df["event_type"],
+            "fold": df["event_id"].to_numpy(np.int64) % 3,
+            "s": cents,
+        }).groupby(["event_type", "fold"], sort=False) \
+            .agg(s=("s", "sum"), n=("s", "size")).reset_index()
+        g["s"] = g["s"].astype(np.int64)
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    f = reduce_sink(ds.map_batches(partial, batch_format="pandas"),
+                    ["event_type", "fold"],
+                    {"s": ("s", "sum"), "n": ("n", "sum")}).to_pandas()
+    t = f.groupby("event_type", sort=False) \
+        .agg(ts=("s", "sum"), tn=("n", "sum")).reset_index()
+    m = f.merge(t, on="event_type")
+    m = m[m["tn"] > m["n"]].copy()
+    m["enc"] = textstats.round_half_away(
+        (m["ts"] - m["s"]).to_numpy(np.float64)
+        / (100.0 * (m["tn"] - m["n"]).to_numpy(np.float64)), 6)
+    m["n_rows"] = m["n"].astype(np.int64)
+    m["fold"] = m["fold"].astype(np.int64)
+    return m[["event_type", "fold", "n_rows", "enc"]] \
+        .sort_values(["event_type", "fold"], ignore_index=True)
+
+
+@register("benford_first_digit", sql="""
+WITH d AS (SELECT CAST(substr(CAST(CAST(ROUND(value * 100, 0) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+           FROM events
+           WHERE CAST(ROUND(value * 100, 0) AS BIGINT) > 0),
+c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+t AS (SELECT SUM(n) AS tot FROM c)
+SELECT digit, CAST(n AS BIGINT) AS n,
+       ROUND(n / CAST(t.tot AS DOUBLE), 6) AS observed,
+       ROUND(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS benford
+FROM c CROSS JOIN t""")
+def benford_first_digit(sf_dir: str) -> pd.DataFrame:
+    """Benford's-law digit audit — the classic fraud / synthetic-data
+    smell test on a money column: the first significant digit of
+    natural multiplicative data follows log10(1 + 1/d). Digits come
+    from the EXACT cent integer (decimal-string head, no float log
+    tricks that disagree at powers of ten), counts are ordinary
+    partials, and both the observed share and the Benford expectation
+    are one rounded expression per digit. The verdict (uniform-ish
+    synthetic values ≠ Benford) is the point — the table is what an
+    auditor reads."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+
+    def digit_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = textstats.round_half_away(
+            df["value"].to_numpy(np.float64) * 100.0, 0).astype(np.int64)
+        d = cents[cents > 0]
+        while (d >= 10).any():     # strip digits: O(log10 max) passes
+            d = np.where(d >= 10, d // 10, d)
+        g = pd.Series(d).value_counts()
+        return pd.DataFrame({"digit": g.index.to_numpy(np.int64),
+                             "n": g.to_numpy(np.int64)})
+
+    c = reduce_sink(ds.map_batches(digit_partial, batch_format="pandas"),
+                    ["digit"], {"n": ("n", "sum")}).to_pandas()
+    tot = float(c["n"].sum())
+    c["observed"] = textstats.round_half_away(
+        c["n"].to_numpy(np.float64) / tot, 6)
+    c["benford"] = textstats.round_half_away(
+        np.log(1.0 + 1.0 / c["digit"].to_numpy(np.float64))
+        / np.log(10.0), 6)
+    c["n"] = c["n"].astype(np.int64)
+    return c.sort_values("digit", ignore_index=True)
+
+
+@register("term_info_gain", sql=r"""
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+           FROM documents),
+lab AS (SELECT doc_id,
+               CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END
+                 AS y
+        FROM t),
+dw AS (SELECT DISTINCT doc_id, unnest(toks) AS w FROM t),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn,
+             CAST(SUM(y) AS DOUBLE) AS n1 FROM lab),
+c AS (SELECT w, CAST(COUNT(*) AS DOUBLE) AS dt,
+             CAST(SUM(y) AS DOUBLE) AS a
+      FROM dw JOIN lab USING (doc_id) GROUP BY w),
+ig AS (SELECT w,
+  (CASE WHEN n1 / nn <= 0 OR n1 / nn >= 1 THEN 0
+        ELSE -((n1 / nn) * ln(n1 / nn)
+               + (1 - n1 / nn) * ln(1 - n1 / nn)) END)
+  - (dt / nn) * (CASE WHEN a / dt <= 0 OR a / dt >= 1 THEN 0
+                      ELSE -((a / dt) * ln(a / dt)
+                             + (1 - a / dt) * ln(1 - a / dt)) END)
+  - (CASE WHEN nn - dt = 0 THEN 0
+          ELSE ((nn - dt) / nn)
+               * (CASE WHEN (n1 - a) / (nn - dt) <= 0
+                            OR (n1 - a) / (nn - dt) >= 1 THEN 0
+                       ELSE -(((n1 - a) / (nn - dt))
+                              * ln((n1 - a) / (nn - dt))
+                              + (1 - (n1 - a) / (nn - dt))
+                              * ln(1 - (n1 - a) / (nn - dt))) END) END)
+    AS gain
+  FROM c CROSS JOIN n)
+SELECT w AS term, ROUND(gain, 6) AS info_gain
+FROM ig ORDER BY ROUND(gain, 6) DESC, term LIMIT 10""")
+def term_info_gain(sf_dir: str) -> pd.DataFrame:
+    """Feature selection by information gain: IG(term; label) =
+    H(label) − Σ_splits p(split)·H(label | term present/absent), the
+    classic filter-method term ranker (and the decision-tree split
+    criterion). Label = doc contains 'spark', so the top term must be
+    'spark' itself (IG = H(label)) — a built-in sanity check. The heavy
+    work is ONE distinct-(doc, term) count reduce carrying the label
+    (vocab-sized output; the corpus never re-shuffles); the entropy
+    closed form runs on that tiny table in the oracle's exact
+    expression order, branches guarded the same way on both engines."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].fillna("").str.lower().str.split()
+        y = np.array([1 if "spark" in (w or []) else 0 for w in words],
+                     dtype=np.int64)
+        dl = words.str.len().to_numpy(np.int64)
+        flat = words.explode().dropna().to_numpy()
+        pairs = pd.DataFrame({
+            "doc_id": np.repeat(df["doc_id"].to_numpy(), dl),
+            "w": flat,
+            "y": np.repeat(y, dl)}).drop_duplicates(["doc_id", "w"])
+        # scalar partials ride as a sentinel row so one reduce serves
+        # both the per-term counts and (N, n1)
+        head = pd.DataFrame({"doc_id": [np.int64(-1)], "w": ["\x00n"],
+                             "y": [np.int64(y.sum())]})
+        head["dt"] = np.int64(len(df))
+        pairs["dt"] = np.int64(1)
+        return pd.concat([pairs[["w", "dt", "y"]],
+                          head[["w", "dt", "y"]]], ignore_index=True)
+
+    st = reduce_sink(docs.map_batches(explode, batch_format="pandas"),
+                     ["w"], {"dt": ("dt", "sum"), "a": ("y", "sum")}) \
+        .to_pandas()
+    tot = st[st["w"] == "\x00n"]
+    nn, n1 = float(tot["dt"].iloc[0]), float(tot["a"].iloc[0])
+    c = st[st["w"] != "\x00n"].copy()
+    dt = c["dt"].to_numpy(np.float64)
+    a = c["a"].to_numpy(np.float64)
+
+    def h(p: np.ndarray) -> np.ndarray:
+        p = np.asarray(p, dtype=np.float64)
+        inner = (p > 0) & (p < 1)
+        q = np.where(inner, p, 0.5)     # dummy where the branch is dead
+        return np.where(inner, -(q * np.log(q)
+                                 + (1 - q) * np.log(1 - q)), 0.0)
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cond = h(np.where(nn - dt == 0, 0.0,
+                          (n1 - a) / np.where(nn - dt == 0, 1.0,
+                                              nn - dt)))
+        gain = (h(n1 / nn) - (dt / nn) * h(a / dt)
+                - np.where(nn - dt == 0, 0.0, ((nn - dt) / nn) * cond))
+    c["info_gain"] = textstats.round_half_away(gain, 6)
+    c["term"] = c["w"]
+    return (c.sort_values(["info_gain", "term"],
+                          ascending=[False, True], kind="mergesort")
+            .head(10)[["term", "info_gain"]].reset_index(drop=True))
+
+
+@register("survival_time_to_purchase", sql="""
+WITH u AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'purchase'
+                  THEN CAST(ts AS DATE) END) AS pday,
+         MIN(CAST(ts AS DATE)) AS fday,
+         MAX(CAST(ts AS DATE)) AS lday
+  FROM events GROUP BY user_id),
+obs AS (SELECT CASE WHEN pday IS NOT NULL
+                    THEN datediff('day', fday, pday)
+                    ELSE datediff('day', fday, lday) END AS t,
+               CASE WHEN pday IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM u),
+e AS (SELECT t, SUM(ev) AS d, COUNT(*) AS ending FROM obs GROUP BY t),
+r AS (SELECT t, d,
+             (SELECT COUNT(*) FROM obs)
+             - COALESCE(SUM(ending) OVER (ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS n_risk
+      FROM e)
+SELECT CAST(t AS BIGINT) AS t_day, CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS events,
+       ROUND(PRODUCT(1.0 - d / CAST(n_risk AS DOUBLE))
+             OVER (ORDER BY t), 6) AS survival
+FROM r WHERE d > 0""")
+def survival_time_to_purchase(sf_dir: str) -> pd.DataFrame:
+    """Survival analysis: Kaplan–Meier estimate of time from a user's
+    first event to first purchase, RIGHT-CENSORED at the last seen day
+    for users who never purchase — the estimator conversion-lag and
+    churn studies actually need (a naive mean-over-converters is
+    biased). Heavy work = ONE per-user (min purchase day, first day,
+    last day) reduce; the (t, deaths, at-risk) life table is O(days)
+    and the ordered product runs on the driver in the oracle's exact
+    multiply order. d=0 rows contribute factor 1, so filtering them
+    before or after the product is equivalent (both engines filter)."""
+    ds = _events(sf_dir, ["ts", "user_id", "event_type"])
+    SENT = np.int64(1 << 60)
+
+    def per_user_partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = df["ts"].to_numpy().astype("datetime64[D]") \
+            .astype(np.int64)
+        is_p = (df["event_type"] == "purchase").to_numpy()
+        return pd.DataFrame({
+            "user_id": df["user_id"],
+            "pday": np.where(is_p, day, SENT),
+            "fday": day, "lday": day})
+
+    u = reduce_sink(ds.map_batches(per_user_partial,
+                                   batch_format="pandas"),
+                    ["user_id"], {"pday": ("pday", "min"),
+                                  "fday": ("fday", "min"),
+                                  "lday": ("lday", "max")})
+
+    def obs_partial(df: pd.DataFrame) -> pd.DataFrame:
+        conv = df["pday"].to_numpy(np.int64) < SENT
+        t = np.where(conv,
+                     df["pday"].to_numpy(np.int64)
+                     - df["fday"].to_numpy(np.int64),
+                     df["lday"].to_numpy(np.int64)
+                     - df["fday"].to_numpy(np.int64))
+        g = pd.DataFrame({"t": t, "ev": conv.astype(np.int64)}) \
+            .groupby("t", sort=False) \
+            .agg(d=("ev", "sum"), ending=("ev", "size")).reset_index()
+        g["d"] = g["d"].astype(np.int64)
+        g["ending"] = g["ending"].astype(np.int64)
+        return g
+
+    e = reduce_sink(u.map_batches(obs_partial, batch_format="pandas"),
+                    ["t"], {"d": ("d", "sum"),
+                            "ending": ("ending", "sum")}).to_pandas()
+    e = e.sort_values("t", ignore_index=True)
+    n_total = int(e["ending"].sum())
+    before = np.concatenate(([0], np.cumsum(e["ending"].to_numpy())[:-1]))
+    e["n_risk"] = n_total - before
+    surv = 1.0
+    out_rows = []
+    for t, d, nr in zip(e["t"], e["d"], e["n_risk"]):
+        surv = surv * (1.0 - float(d) / float(nr))
+        if d > 0:
+            out_rows.append((int(t), int(nr), int(d),
+                             float(textstats.round_half_away(surv, 6))))
+    return pd.DataFrame(out_rows, columns=["t_day", "n_risk", "events",
+                                           "survival"]) \
+        .astype({"t_day": np.int64, "n_risk": np.int64,
+                 "events": np.int64})
+
+
+@register("typo_part_name_pairs", sql="""
+WITH n AS (SELECT DISTINCT p_name AS key FROM part)
+SELECT a.key AS a, b.key AS b,
+       CAST(levenshtein(a.key, b.key) AS BIGINT) AS ed
+FROM n a JOIN n b ON a.key < b.key
+WHERE levenshtein(a.key, b.key) <= 2""")
+def typo_part_name_pairs(sf_dir: str) -> pd.DataFrame:
+    """Edit-distance fuzzy join (typo detection / entity resolution):
+    all distinct part-name pairs within Levenshtein distance ≤ 2 via
+    PassJoin segment signatures — k edits leave one of k+1 segments
+    verbatim in any partner, so candidates come from a signature
+    groupby (O(k·n) rows per key) and the banded-DP verify runs
+    in-cluster; recall is exact, proven against the brute-force
+    all-pairs oracle. Complements similar_part_names (set Jaccard):
+    edit distance sees transpositions/typos that q-gram sets score
+    leniently, and vice versa."""
+    from webalizer_ray.stages.simjoin import edit_distance_join
+
+    names = rd.read_parquet(f"{sf_dir}/part.parquet",
+                            columns=["p_name"]).map_batches(
+        lambda df: df.rename(columns={"p_name": "key"}),
+        batch_format="pandas")
+    return edit_distance_join(names, k=2)
+
+
+@register("type_hour_chi2", sql="""
+WITH j AS (SELECT event_type AS x, CAST(hour(ts) AS BIGINT) AS y,
+                  COUNT(*) AS nxy FROM events GROUP BY 1, 2),
+mx AS (SELECT x, SUM(nxy) AS nx FROM j GROUP BY 1),
+my AS (SELECT y, SUM(nxy) AS ny FROM j GROUP BY 1),
+t AS (SELECT CAST(SUM(nxy) AS DOUBLE) AS n FROM j),
+chi AS (SELECT SUM((nxy - nx * ny / n) * (nxy - nx * ny / n)
+                   / (nx * ny / n)) AS c2,
+               (SELECT COUNT(*) FROM mx) AS r,
+               (SELECT COUNT(*) FROM my) AS c
+        FROM j JOIN mx USING (x) JOIN my USING (y) CROSS JOIN t)
+SELECT ROUND(c2, 6) AS chi2,
+       CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+       ROUND(sqrt(c2 / ((SELECT n FROM t)
+                        * CAST(LEAST(r - 1, c - 1) AS DOUBLE))), 6)
+         AS cramers_v
+FROM chi""")
+def type_hour_chi2(sf_dir: str) -> pd.DataFrame:
+    """Pearson χ² test of independence (event_type × hour) with
+    Cramér's V effect size — the frequentist sibling of type_hour_mi
+    (MI measures shared information, χ²/V calibrates deviation against
+    sampling noise). Corpus reduces to the |types|×24 joint histogram
+    (integer partials); the χ² sum and V run on the tiny table in the
+    oracle's expression order. NOTE the missing-cell convention: only
+    OBSERVED (x, y) cells enter the sum on both engines — a zero cell
+    contributes its expected count; this implementation and the SQL
+    share the same (documented) convention so the statistic matches."""
+    def qi(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"x": df["event_type"],
+                             "y": df["ts"].dt.hour.astype(np.int64)})
+
+    j = reduce_sink(_events(sf_dir, ["ts", "event_type"])
+                    .map_batches(qi, batch_format="pandas"),
+                    ["x", "y"], {"nxy": ("x", "size")}).to_pandas()
+    nx = j.groupby("x")["nxy"].sum()
+    ny = j.groupby("y")["nxy"].sum()
+    n = float(j["nxy"].sum())
+    nxv = j["x"].map(nx).to_numpy(np.float64)
+    nyv = j["y"].map(ny).to_numpy(np.float64)
+    nxy = j["nxy"].to_numpy(np.float64)
+    exp = nxv * nyv / n
+    chi2 = float(np.sum((nxy - exp) * (nxy - exp) / exp))
+    r, c = len(nx), len(ny)
+    v = np.sqrt(chi2 / (n * float(min(r - 1, c - 1))))
+    return pd.DataFrame({
+        "chi2": [float(textstats.round_half_away(chi2, 6))],
+        "dof": [np.int64((r - 1) * (c - 1))],
+        "cramers_v": [float(textstats.round_half_away(v, 6))]})
+
+
+@register("daily_events_gapfilled", sql="""
+WITH b AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+           FROM events GROUP BY 1, 2),
+span AS (SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+         FROM b GROUP BY 1),
+cal AS (SELECT event_type, CAST(unnest(generate_series(d0, d1,
+                    INTERVAL 1 DAY)) AS DATE) AS day
+        FROM span)
+SELECT cal.event_type, strftime(cal.day, '%Y-%m-%d') AS day,
+       CAST(COALESCE(b.n, 0) AS BIGINT) AS hits
+FROM cal LEFT JOIN b ON b.event_type = cal.event_type
+                    AND b.day = cal.day""")
+def daily_events_gapfilled(sf_dir: str) -> pd.DataFrame:
+    """Calendar densification (gap filling): the daily-count series per
+    type with EXPLICIT zero rows for silent days — what every
+    time-series consumer downstream (charting, anomaly z-scores,
+    forecasting) assumes, and what a bare groupby cannot produce
+    because absent groups yield no row. Heavy work = the one daily
+    count reduce; the calendar expansion runs on the O(types × days)
+    aggregate with numpy repeat/arange — no per-day loop, no extra
+    shuffle."""
+    def day_col(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "day": df["ts"].to_numpy().astype("datetime64[D]")
+            .astype(np.int64)})
+
+    b = reduce_sink(_events(sf_dir, ["ts", "event_type"])
+                    .map_batches(day_col, batch_format="pandas"),
+                    ["event_type", "day"],
+                    {"n": ("day", "size")}).to_pandas()
+    span = b.groupby("event_type")["day"].agg(["min", "max"])
+    lens = (span["max"] - span["min"] + 1).to_numpy(np.int64)
+    types = np.repeat(span.index.to_numpy(), lens)
+    days = np.concatenate([np.arange(d0, d1 + 1, dtype=np.int64)
+                           for d0, d1 in zip(span["min"], span["max"])])
+    cal = pd.DataFrame({"event_type": types, "day": days})
+    out = cal.merge(b, on=["event_type", "day"], how="left")
+    out["hits"] = out["n"].fillna(0).astype(np.int64)
+    out["day"] = pd.to_datetime(out["day"], unit="D") \
+        .dt.strftime("%Y-%m-%d")
+    return out[["event_type", "day", "hits"]] \
+        .sort_values(["event_type", "day"], ignore_index=True)
+
+
+@register("cohort_ltv_curve", sql="""
+WITH um AS (SELECT user_id, (year(ts) * 12 + month(ts)) AS ym,
+                   CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+            FROM events),
+uc AS (SELECT user_id, MIN(ym) AS cohort FROM um GROUP BY 1),
+ca AS (SELECT cohort, ym - cohort AS age, SUM(cents) AS cents
+       FROM um JOIN uc USING (user_id) GROUP BY 1, 2),
+sz AS (SELECT cohort, COUNT(*) AS users FROM uc GROUP BY 1)
+SELECT CAST(ca.cohort AS BIGINT) AS cohort_ym,
+       CAST(age AS BIGINT) AS age_months,
+       CAST(sz.users AS BIGINT) AS users,
+       ROUND(SUM(ca.cents) OVER (PARTITION BY ca.cohort ORDER BY age)
+             / (100.0 * sz.users), 6) AS cum_ltv
+FROM ca JOIN sz USING (cohort)""")
+def cohort_ltv_curve(sf_dir: str) -> pd.DataFrame:
+    """Cohort lifetime-value curve: cumulative value per user by cohort
+    age (the retention report's revenue twin). Per-(user, month) cent
+    partials reduce first; each user's cohort (min month) and age
+    offsets derive INSIDE the user-hash bucket so the fact rows never
+    join back to a cohort table; the (cohort, age) table is O(months²)
+    and the cumulative sum runs over exact integer cents — one division
+    per output row on both engines."""
+    ds = _events(sf_dir, ["ts", "user_id", "value"])
+
+    def um_partial(df: pd.DataFrame) -> pd.DataFrame:
+        ym = (df["ts"].dt.year * 12 + df["ts"].dt.month) \
+            .to_numpy(np.int64)
+        cents = textstats.round_half_away(
+            df["value"].to_numpy(np.float64) * 100.0, 0).astype(np.int64)
+        g = pd.DataFrame({"user_id": df["user_id"], "ym": ym,
+                          "cents": cents}) \
+            .groupby(["user_id", "ym"], sort=False)["cents"].sum() \
+            .reset_index()
+        g["cents"] = g["cents"].astype(np.int64)
+        return g
+
+    um = reduce_sink(ds.map_batches(um_partial, batch_format="pandas"),
+                     ["user_id", "ym"], {"cents": ("cents", "sum")})
+
+    def bucket_cohort(df: pd.DataFrame) -> pd.DataFrame:
+        cohort = df.groupby("user_id", sort=False)["ym"].transform("min")
+        out = pd.DataFrame({"cohort": cohort.to_numpy(np.int64),
+                            "age": df["ym"].to_numpy(np.int64)
+                            - cohort.to_numpy(np.int64),
+                            "cents": df["cents"].to_numpy(np.int64)})
+        g = out.groupby(["cohort", "age"], sort=False)["cents"].sum() \
+            .reset_index()
+        g["users"] = np.int64(0)
+        # cohort sizes ride as age = -1 sentinel rows (one per cohort
+        # per bucket; users are bucket-disjoint so the final sum is
+        # exact and never double-counts across age rows)
+        users = df.groupby("user_id", sort=False)["ym"].min()
+        u = users.value_counts().rename("users").reset_index() \
+            .rename(columns={"ym": "cohort"})
+        u["age"] = np.int64(-1)
+        u["cents"] = np.int64(0)
+        both = pd.concat([g, u[["cohort", "age", "cents", "users"]]],
+                         ignore_index=True)
+        both["cents"] = both["cents"].astype(np.int64)
+        both["users"] = both["users"].astype(np.int64)
+        return both
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        from webalizer_ray.stages.aggregate import key_bucket
+        df = df.copy()
+        df["_h"] = key_bucket(df, ["user_id"], 64)
+        return df
+
+    ca = reduce_sink(
+        (um.map_batches(add_bucket, batch_format="pandas")
+         .groupby("_h").map_groups(bucket_cohort,
+                                   batch_format="pandas")),
+        ["cohort", "age"], {"cents": ("cents", "sum"),
+                            "users": ("users", "sum")}).to_pandas()
+    sz = ca[ca["age"] == -1].set_index("cohort")["users"]
+    ca = ca[ca["age"] >= 0].sort_values(["cohort", "age"],
+                                        ignore_index=True)
+    ca["cum"] = ca.groupby("cohort")["cents"].cumsum()
+    return pd.DataFrame({
+        "cohort_ym": ca["cohort"].astype(np.int64),
+        "age_months": ca["age"].astype(np.int64),
+        "users": ca["cohort"].map(sz).astype(np.int64),
+        "cum_ltv": textstats.round_half_away(
+            ca["cum"].to_numpy(np.float64)
+            / (100.0 * ca["cohort"].map(sz).to_numpy(np.float64)), 6)})
+
+
+@register("event_type_lift", sql="""
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+n AS (SELECT CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS nu FROM events),
+m AS (SELECT event_type, COUNT(*) AS c FROM ut GROUP BY 1),
+p AS (SELECT a.event_type AS ta, b.event_type AS tb, COUNT(*) AS cab
+      FROM ut a JOIN ut b ON a.user_id = b.user_id
+                         AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+SELECT ta, tb, CAST(cab AS BIGINT) AS users_both,
+       ROUND(cab * nu / (ma.c * mb.c), 6) AS lift
+FROM p JOIN m ma ON ma.event_type = ta
+       JOIN m mb ON mb.event_type = tb CROSS JOIN n""")
+def event_type_lift(sf_dir: str) -> pd.DataFrame:
+    """Association-rules lift over user baskets: lift(a,b) =
+    P(a,b)/(P(a)P(b)) — >1 means the types co-occur in the same users
+    beyond chance (the market-basket statistic behind
+    recommendations). Distinct (user, type) pairs reduce two-phase;
+    pair expansion is one vectorized self-merge INSIDE the user-hash
+    bucket (types per user is bounded by |types|, so no blowup);
+    margins and the lift expression run on the |types|²-sized table."""
+    from webalizer_ray.stages.aggregate import key_bucket
+
+    ds = _events(sf_dir, ["user_id", "event_type"])
+
+    def dedup_local(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates().copy()
+        d["_h"] = key_bucket(d, ["user_id"], 64)
+        return d
+
+    def bucket_stats(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["user_id", "event_type"])
+        pairs = d.merge(d, on="user_id")
+        pairs = pairs[pairs["event_type_x"] < pairs["event_type_y"]]
+        pc = pairs.groupby(["event_type_x", "event_type_y"],
+                           sort=False).size().rename("cab").reset_index()
+        pc.columns = ["ta", "tb", "cab"]
+        marg = d.groupby("event_type", sort=False).size().rename("c") \
+            .reset_index()
+        out = pd.DataFrame({
+            "ta": pd.concat([pc["ta"], marg["event_type"],
+                             pd.Series(["\x00nu"])], ignore_index=True),
+            "tb": pd.concat([pc["tb"],
+                             pd.Series(["\x00m"] * len(marg)),
+                             pd.Series(["\x00nu"])], ignore_index=True),
+            "n": pd.concat([pc["cab"], marg["c"],
+                            pd.Series([d["user_id"].nunique()])],
+                           ignore_index=True).astype(np.int64)})
+        return out
+
+    st = reduce_sink(
+        (ds.map_batches(dedup_local, batch_format="pandas")
+         .groupby("_h").map_groups(bucket_stats, batch_format="pandas")),
+        ["ta", "tb"], {"n": ("n", "sum")}).to_pandas()
+    nu = float(st.loc[st["ta"] == "\x00nu", "n"].iloc[0])
+    marg = st[st["tb"] == "\x00m"].set_index("ta")["n"]
+    p = st[(st["tb"] != "\x00m") & (st["ta"] != "\x00nu")].copy()
+    ca = p["ta"].map(marg).to_numpy(np.float64)
+    cb = p["tb"].map(marg).to_numpy(np.float64)
+    p["users_both"] = p["n"].astype(np.int64)
+    p["lift"] = textstats.round_half_away(
+        p["n"].to_numpy(np.float64) * nu / (ca * cb), 6)
+    return p[["ta", "tb", "users_both", "lift"]] \
+        .sort_values(["ta", "tb"], ignore_index=True)
+
+
+@register("new_vs_returning_daily", sql="""
+WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS fday
+           FROM events GROUP BY 1)
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       CAST(SUM(CASE WHEN CAST(ts AS DATE) = fday THEN 1 ELSE 0 END)
+            AS BIGINT) AS new_hits,
+       CAST(SUM(CASE WHEN CAST(ts AS DATE) > fday THEN 1 ELSE 0 END)
+            AS BIGINT) AS returning_hits
+FROM events JOIN f USING (user_id) GROUP BY 1""")
+def new_vs_returning_daily(sf_dir: str) -> pd.DataFrame:
+    """New-vs-returning daily split (the acquisition-vs-retention
+    headline every traffic report leads with): a hit is 'new' iff it
+    falls on its user's first-seen day. Per-(user, day) count partials
+    reduce first; the first-seen day derives INSIDE the user-hash
+    bucket (no join back to the fact rows); only (day, new, returning)
+    partials leave the buckets."""
+    from webalizer_ray.stages.aggregate import key_bucket
+
+    ds = _events(sf_dir, ["ts", "user_id"])
+
+    def ud_partial(df: pd.DataFrame) -> pd.DataFrame:
+        day = df["ts"].to_numpy().astype("datetime64[D]") \
+            .astype(np.int64)
+        g = pd.DataFrame({"user_id": df["user_id"], "day": day}) \
+            .groupby(["user_id", "day"], sort=False).size().rename("n") \
+            .reset_index()
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    ud = reduce_sink(ds.map_batches(ud_partial, batch_format="pandas"),
+                     ["user_id", "day"], {"n": ("n", "sum")})
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_h"] = key_bucket(df, ["user_id"], 64)
+        return df
+
+    def bucket_split(df: pd.DataFrame) -> pd.DataFrame:
+        fday = df.groupby("user_id", sort=False)["day"].transform("min")
+        new = df["day"].to_numpy(np.int64) == fday.to_numpy(np.int64)
+        n = df["n"].to_numpy(np.int64)
+        out = pd.DataFrame({"day": df["day"].to_numpy(np.int64),
+                            "new_hits": np.where(new, n, 0),
+                            "returning_hits": np.where(new, 0, n)})
+        g = out.groupby("day", sort=False).sum().reset_index()
+        for c in ("new_hits", "returning_hits"):
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    daily = reduce_sink(
+        (ud.map_batches(add_bucket, batch_format="pandas")
+         .groupby("_h").map_groups(bucket_split, batch_format="pandas")),
+        ["day"], {"new_hits": ("new_hits", "sum"),
+                  "returning_hits": ("returning_hits", "sum")}) \
+        .to_pandas()
+    daily["day"] = pd.to_datetime(daily["day"], unit="D") \
+        .dt.strftime("%Y-%m-%d")
+    for c in ("new_hits", "returning_hits"):
+        daily[c] = daily[c].astype(np.int64)
+    return daily.sort_values("day", ignore_index=True)
+
+
+@register("leakage_safe_split_counts", sql="""
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= 0.4),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+walk(node, reach) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, w.reach FROM edges e JOIN walk w ON w.node = e.v),
+cl AS (SELECT node, MIN(reach) AS rep FROM walk GROUP BY node),
+r AS (SELECT e.vec_id, e.label, COALESCE(c.rep, e.vec_id) AS rep
+      FROM embeddings e LEFT JOIN cl c ON c.node = e.vec_id)
+SELECT CASE WHEN rep % 10 < 8 THEN 'train' ELSE 'val' END AS split,
+       CAST(label AS BIGINT) AS label, CAST(COUNT(*) AS BIGINT) AS vecs
+FROM r GROUP BY split, label""")
+def leakage_safe_split_counts(sf_dir: str) -> pd.DataFrame:
+    """Cluster-aware (leakage-safe) train/val split: a doc-id hash split
+    puts near-duplicates on BOTH sides of the cut — the eval set then
+    scores memorization, not generalization. Fix: split on the near-dup
+    CLUSTER representative (min id of the connected component over the
+    verified cosine pair graph), so every cluster lands atomically in
+    one split; singletons fall back to their own id, reproducing the
+    plain deterministic split. Scale shape: the clustered-node → rep
+    map is sparse (dup clusters are a small fraction of any corpus) and
+    broadcasts once via ray.put; membership is then a pure per-batch
+    function — no shuffle beyond the tiny (split, label) partials."""
+    cl = cosine_dup_clusters(sf_dir)
+    rep_ref = ray.put(dict(zip(cl["node"].to_numpy(),
+                               cl["cluster_id"].to_numpy())))
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        lut = ray.get(rep_ref)
+        rep = (df["vec_id"].map(lut).fillna(df["vec_id"])
+               .astype(np.int64))
+        return pd.DataFrame({
+            "split": np.where(rep % 10 < 8, "train", "val"),
+            "label": df["label"].to_numpy(np.int64)})
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "label"]) \
+        .map_batches(tag, batch_format="pandas")
+    out = reduce_sink(ds, ["split", "label"],
+                      {"vecs": ("label", "size")}).to_pandas()
+    return out.sort_values(["split", "label"], ignore_index=True)
+
+
+@register("tpch_q21_sole_late_supplier", sql="""
+WITH f AS (
+  SELECT l_orderkey, l_suppkey,
+         MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                  THEN 1 ELSE 0 END) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY 1, 2),
+o AS (SELECT l_orderkey, COUNT(*) AS n_supp, SUM(late) AS n_late
+      FROM f GROUP BY 1)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM f JOIN o USING (l_orderkey)
+     JOIN supplier ON s_suppkey = l_suppkey
+WHERE f.late = 1 AND o.n_supp > 1 AND o.n_late = 1
+GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""")
+def tpch_q21_sole_late_supplier(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q21-shaped correlated EXISTS + NOT-EXISTS (the hardest
+    standard join shape): suppliers who were the ONLY late supplier on
+    a multi-supplier finished order (late = shipped >90 days after the
+    order date; the dataset has no commit/receipt dates, so lateness is
+    date-arithmetic on the columns that exist). Re-expression: the two
+    correlated subqueries collapse to per-order aggregates — n_supp and
+    n_late over the per-(order, supplier) late flag — joined back to
+    the flag table; EXISTS ⇔ n_supp > 1, NOT EXISTS ⇔ n_late = 1.
+    Only (order, supplier, flag) partials and O(orders) aggregate rows
+    shuffle; raw lineitem never re-shuffles after the first join."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pds
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderdate"],
+                             filter=pds.field("o_orderstatus") == "F")
+    j = li.join(orders, join_type="inner", num_partitions=8,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def late_flag(batch: pa.Table) -> pa.Table:
+        cutoff = pc.add(batch["o_orderdate"],
+                        pa.scalar(_dt.timedelta(days=90)))
+        late = pc.cast(pc.greater(batch["l_shipdate"], cutoff), pa.int64())
+        return pa.table({"l_orderkey": batch["l_orderkey"],
+                         "l_suppkey": batch["l_suppkey"], "late": late})
+
+    f = reduce_sink(j.map_batches(late_flag, batch_format="pyarrow"),
+                    ["l_orderkey", "l_suppkey"], {"late": ("late", "max")})
+    per_order = reduce_sink(f, ["l_orderkey"],
+                            {"n_supp": ("late", "size"),
+                             "n_late": ("late", "sum")})
+    fo = f.join(per_order, join_type="inner", num_partitions=8,
+                on=("l_orderkey",), right_on=("l_orderkey",))
+
+    def qualify(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df[(df["late"] == 1) & (df["n_supp"] > 1)
+                  & (df["n_late"] == 1)]
+        return keep[["l_suppkey"]]
+
+    sup = rd.read_parquet(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey", "s_name"])
+    named = (fo.map_batches(qualify, batch_format="pandas")
+             .join(sup, join_type="inner", num_partitions=8,
+                   on=("l_suppkey",), right_on=("s_suppkey",)))
+    agg = reduce_sink(named, ["s_name"],
+                      {"numwait": ("s_name", "size")}).to_pandas()
+    return (agg.sort_values(["numwait", "s_name"],
+                            ascending=[False, True], kind="mergesort")
+            .head(20).reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Completing the TPC-H 22 (Q3/5/6/10/14/17/18/21 live above). Where the
+# fixture lacks a TPC-H column (no partsupp table, no l_commitdate /
+# l_receiptdate / l_shipmode / c_phone / comments), the query keeps the
+# ORIGINAL's distributed pattern over the columns that exist and the
+# docstring says exactly what was adapted; the oracle runs the identical
+# adapted SQL, so the correctness gate is unchanged.
+# ---------------------------------------------------------------------------
+
+
+@register("tpch_q1_pricing_summary", sql="""
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0,
+             2) AS sum_base,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                     AS BIGINT)) AS BIGINT) AS sum_disc_dm,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                           * (1 + l_tax) * 1000000) AS BIGINT))
+            AS BIGINT) AS sum_charge_mu,
+       ROUND(SUM(l_quantity) / COUNT(*), 6) AS avg_qty,
+       ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+             / (100.0 * COUNT(*)), 6) AS avg_price,
+       ROUND(SUM(CAST(ROUND(l_discount * 100) AS BIGINT))
+             / (100.0 * COUNT(*)), 6) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-08-06'
+GROUP BY l_returnflag, l_linestatus""")
+def tpch_q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1 (pricing summary): ONE pruned scan, every aggregate a
+    per-batch integer partial (cents for base price/discount, exact
+    decimal grids deci-milli for disc price and micro for charge — the
+    3-factor product has 6 decimal digits, so the scaled value is
+    integral and rint can never sit on a .5 boundary), and the three
+    averages are ONE float division each over the exact sums — the
+    classic partial+final aggregate at its widest (8 measures, one
+    shuffle of |flags×status| partial rows per block)."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pds
+
+    def measures(df: pd.DataFrame) -> pd.DataFrame:
+        p = df["l_extendedprice"].to_numpy(np.float64)
+        d = df["l_discount"].to_numpy(np.float64)
+        t = df["l_tax"].to_numpy(np.float64)
+        return pd.DataFrame({
+            "l_returnflag": df["l_returnflag"],
+            "l_linestatus": df["l_linestatus"],
+            "qty": df["l_quantity"].to_numpy(np.float64),
+            "base_c": np.rint(p * 100).astype(np.int64),
+            "disc_dm": np.rint(p * (1 - d) * 10000).astype(np.int64),
+            "charge_mu": np.rint(p * (1 - d) * (1 + t)
+                                 * 1000000).astype(np.int64),
+            "disc_c": np.rint(d * 100).astype(np.int64)})
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax"],
+        filter=(pds.field("l_shipdate")
+                <= _dt.datetime(2001, 8, 6)))
+    agg = reduce_sink(ds.map_batches(measures, batch_format="pandas"),
+                      ["l_returnflag", "l_linestatus"],
+                      {"sum_qty": ("qty", "sum"),
+                       "base_c": ("base_c", "sum"),
+                       "sum_disc_dm": ("disc_dm", "sum"),
+                       "sum_charge_mu": ("charge_mu", "sum"),
+                       "disc_c": ("disc_c", "sum"),
+                       "count_order": ("qty", "size")}).to_pandas()
+    n = agg["count_order"].to_numpy(np.float64)
+    out = pd.DataFrame({
+        "l_returnflag": agg["l_returnflag"],
+        "l_linestatus": agg["l_linestatus"],
+        "sum_qty": agg["sum_qty"].round(2),
+        "sum_base": (agg["base_c"].to_numpy(np.int64) / 100.0).round(2),
+        "sum_disc_dm": agg["sum_disc_dm"].astype(np.int64),
+        "sum_charge_mu": agg["sum_charge_mu"].astype(np.int64),
+        "avg_qty": textstats.round_half_away(
+            agg["sum_qty"].to_numpy(np.float64) / n, 6),
+        "avg_price": textstats.round_half_away(
+            agg["base_c"].to_numpy(np.int64) / (100.0 * n), 6),
+        "avg_disc": textstats.round_half_away(
+            agg["disc_c"].to_numpy(np.int64) / (100.0 * n), 6),
+        "count_order": agg["count_order"].astype(np.int64)})
+    return out.sort_values(["l_returnflag", "l_linestatus"],
+                           ignore_index=True)
+
+
+@register("tpch_q4_priority_check", sql="""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority""")
+def tpch_q4_priority_check(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q4 (order priority checking). Adapted: the fixture has no
+    l_commitdate/l_receiptdate, so "late" = shipped more than 60 days
+    after o_orderdate — the EXISTS decorrelation is identical: the
+    quarter's orders join lineitem once, the per-order MAX(late) flag
+    reduces the fact to |orders| rows, and only (priority, count)
+    partials reach the driver. Priority rides the per-order reduce as
+    an extra key so no second join back to orders is needed."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pds
+
+    from webalizer_ray.stages.join import auto_join
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        filter=((pds.field("o_orderdate") >= _dt.datetime(1997, 1, 1))
+                & (pds.field("o_orderdate") < _dt.datetime(1997, 4, 1))))
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_shipdate"])
+    j = auto_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+
+    def late_flag(df: pd.DataFrame) -> pd.DataFrame:
+        late = (df["l_shipdate"].to_numpy("datetime64[ns]")
+                > df["o_orderdate"].to_numpy("datetime64[ns]")
+                + np.timedelta64(60, "D")).astype(np.int64)
+        # the join coalesces the right key into l_orderkey (Ray 2.49)
+        return pd.DataFrame({"l_orderkey": df["l_orderkey"],
+                             "o_orderpriority": df["o_orderpriority"],
+                             "late": late})
+
+    per_order = reduce_sink(
+        j.map_batches(late_flag, batch_format="pandas"),
+        ["l_orderkey", "o_orderpriority"], {"late": ("late", "max")})
+    hit = per_order.filter(expr="late == 1")
+    agg = reduce_sink(hit, ["o_orderpriority"],
+                      {"order_count": ("late", "size")}).to_pandas()
+    agg["order_count"] = agg["order_count"].astype(np.int64)
+    return agg.sort_values("o_orderpriority", ignore_index=True)
+
+
+@register("tpch_q12_ship_class", sql="""
+SELECT CASE WHEN l_shipdate >= o_orderdate + INTERVAL 30 DAY
+            THEN 'slow' ELSE 'fast' END AS ship_class,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1""")
+def tpch_q12_ship_class(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q12 (shipping modes / priority). Adapted: no l_shipmode or
+    receipt/commit dates in the fixture, so lines class as fast/slow by
+    ship latency (>= 30 days after order) — the pattern is unchanged:
+    year filter pushed into the lineitem scan, ONE join to orders, the
+    high/low priority CASE counts reduce as two integer partials per
+    (block, class)."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pds
+
+    from webalizer_ray.stages.join import auto_join
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_shipdate"],
+        filter=((pds.field("l_shipdate") >= _dt.datetime(1997, 1, 1))
+                & (pds.field("l_shipdate") < _dt.datetime(1998, 1, 1))))
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    j = auto_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        slow = (df["l_shipdate"].to_numpy("datetime64[ns]")
+                >= df["o_orderdate"].to_numpy("datetime64[ns]")
+                + np.timedelta64(30, "D"))
+        high = df["o_orderpriority"].isin(["1-URGENT", "2-HIGH"]) \
+            .to_numpy()
+        return pd.DataFrame({
+            "ship_class": np.where(slow, "slow", "fast"),
+            "high_line_count": high.astype(np.int64),
+            "low_line_count": (~high).astype(np.int64)})
+
+    agg = reduce_sink(j.map_batches(classify, batch_format="pandas"),
+                      ["ship_class"],
+                      {"high_line_count": ("high_line_count", "sum"),
+                       "low_line_count": ("low_line_count", "sum")}) \
+        .to_pandas()
+    for c in ("high_line_count", "low_line_count"):
+        agg[c] = agg[c].astype(np.int64)
+    return agg.sort_values("ship_class", ignore_index=True)
+
+
+@register("tpch_q15_top_supplier", sql="""
+WITH rev AS (SELECT l_suppkey,
+                    SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                   * 10000) AS BIGINT)) AS total_dm
+             FROM lineitem
+             WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+               AND l_shipdate < TIMESTAMP '1997-04-01'
+             GROUP BY l_suppkey)
+SELECT s_suppkey, s_name,
+       CAST(total_dm AS BIGINT) AS total_revenue_dm
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total_dm = (SELECT MAX(total_dm) FROM rev)
+ORDER BY s_suppkey""")
+def tpch_q15_top_supplier(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q15 (top supplier = the revenue view + its global MAX):
+    the quarter's revenue reduces to ONE integer partial per (block,
+    suppkey); the view is |suppliers|-sized, its MAX comes back as one
+    scalar via a streaming Dataset.max (no driver materialization of
+    the view), and only the winner rows — ties included, hence the
+    deterministic suppkey order — are collected and joined to the
+    supplier dim driver-side."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pds
+
+    def rev_dm(df: pd.DataFrame) -> pd.DataFrame:
+        p = df["l_extendedprice"].to_numpy(np.float64)
+        d = df["l_discount"].to_numpy(np.float64)
+        return pd.DataFrame({
+            "l_suppkey": df["l_suppkey"].to_numpy(np.int64),
+            "rev_dm": np.rint(p * (1 - d) * 10000).astype(np.int64)})
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+        filter=((pds.field("l_shipdate") >= _dt.datetime(1997, 1, 1))
+                & (pds.field("l_shipdate") < _dt.datetime(1997, 4, 1))))
+    view = reduce_sink(li.map_batches(rev_dm, batch_format="pandas"),
+                       ["l_suppkey"],
+                       {"total_dm": ("rev_dm", "sum")}).materialize()
+    best = view.max("total_dm")
+    winners = view.filter(expr=f"total_dm == {best}").to_pandas()
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name"]).to_pandas()
+    out = winners.merge(sup, left_on="l_suppkey", right_on="s_suppkey")
+    out["total_revenue_dm"] = out["total_dm"].astype(np.int64)
+    return out[["s_suppkey", "s_name", "total_revenue_dm"]] \
+        .sort_values("s_suppkey", ignore_index=True)
+
+
+@register("tpch_q7_nation_volume", sql="""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(rev_dm) AS BIGINT) AS revenue_dm
+FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                  AS BIGINT) AS rev_dm
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+           JOIN supplier ON s_suppkey = l_suppkey
+           JOIN customer ON c_custkey = o_custkey
+           JOIN nation n1 ON s_nationkey = n1.n_nationkey
+           JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01') shipping
+GROUP BY supp_nation, cust_nation, l_year""")
+def tpch_q7_nation_volume(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q7 (volume shipping between two nations): the 2-year ship
+    window is pushed into the fact scan; orders and customer attach via
+    auto_join (broadcast below the size limit, hash join above — the
+    only shuffles a 6-table join needs); supplier→nation and the
+    nation-name map are tiny broadcast dicts applied map-side, so the
+    symmetric nation-pair predicate filters rows before any partials
+    ship. Output partials are |2 pairs × years| rows per block."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pds
+
+    from webalizer_ray.stages.join import auto_join
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    nk2name = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sk2nk_ref = ray.put(dict(zip(sup["s_suppkey"].astype(int),
+                                 sup["s_nationkey"].astype(int))))
+    nk2name_ref = ray.put(nk2name)
+    pair = {"NATION_1": "NATION_2", "NATION_2": "NATION_1"}
+
+    def rev_dm(df: pd.DataFrame) -> pd.DataFrame:
+        p = df["l_extendedprice"].to_numpy(np.float64)
+        d = df["l_discount"].to_numpy(np.float64)
+        return pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+            "l_suppkey": df["l_suppkey"].to_numpy(np.int64),
+            "l_year": df["l_shipdate"].dt.year.to_numpy(np.int64),
+            "rev_dm": np.rint(p * (1 - d) * 10000).astype(np.int64)})
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount", "l_shipdate"],
+        filter=((pds.field("l_shipdate") >= _dt.datetime(1996, 1, 1))
+                & (pds.field("l_shipdate") < _dt.datetime(1998, 1, 1)))) \
+        .map_batches(rev_dm, batch_format="pandas")
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    j = auto_join(auto_join(li, orders, on="l_orderkey",
+                            right_on="o_orderkey"),
+                  cust, on="o_custkey", right_on="c_custkey")
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        sk2nk = ray.get(sk2nk_ref)
+        nknm = ray.get(nk2name_ref)
+        sn = df["l_suppkey"].map(sk2nk).map(nknm)
+        cn = df["c_nationkey"].map(nknm)
+        keep = sn.map(pair).eq(cn)
+        df = df[keep.fillna(False)]
+        return pd.DataFrame({"supp_nation": sn[keep.fillna(False)],
+                             "cust_nation": cn[keep.fillna(False)],
+                             "l_year": df["l_year"].to_numpy(np.int64),
+                             "rev_dm": df["rev_dm"].to_numpy(np.int64)})
+
+    agg = reduce_sink(j.map_batches(classify, batch_format="pandas"),
+                      ["supp_nation", "cust_nation", "l_year"],
+                      {"revenue_dm": ("rev_dm", "sum")}).to_pandas()
+    if "revenue_dm" not in agg.columns:
+        # all-empty block sets lose their schema on to_pandas();
+        # zero qualifying symmetric flows is a legal tiny-scale answer
+        return pd.DataFrame(
+            {"supp_nation": pd.Series([], dtype=object),
+             "cust_nation": pd.Series([], dtype=object),
+             "l_year": pd.Series([], dtype=np.int64),
+             "revenue_dm": pd.Series([], dtype=np.int64)})
+    agg["revenue_dm"] = agg["revenue_dm"].astype(np.int64)
+    return agg.sort_values(["supp_nation", "cust_nation", "l_year"],
+                           ignore_index=True)
+
+
+@register("tpch_q8_market_share", sql="""
+SELECT l_year,
+       ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_5'
+                           THEN rev_dm ELSE 0 END) AS DOUBLE)
+             / SUM(rev_dm), 6) AS mkt_share
+FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS l_year,
+             n1.n_name AS supp_nation,
+             CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                  AS BIGINT) AS rev_dm
+      FROM part JOIN lineitem ON p_partkey = l_partkey
+           JOIN supplier ON s_suppkey = l_suppkey
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation n2 ON c_nationkey = n2.n_nationkey
+           JOIN region ON n2.n_regionkey = r_regionkey
+           JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01') all_nations
+GROUP BY l_year""")
+def tpch_q8_market_share(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q8 (national market share within a region, 8 tables): the
+    PROMO partkey set and supplier→nation map broadcast once and prune
+    the fact map-side; orders (date window pushed into its scan) and
+    customer attach via auto_join; the ASIA nation set filters
+    customers map-side. Both numerator and denominator reduce in ONE
+    pass as (year, nation_dm, total_dm) integer partials; the share is
+    one float division per year on the driver, written identically in
+    the oracle."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pds
+
+    from webalizer_ray.stages.join import auto_join
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    reg = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    asia_nk = set(nat.merge(reg[reg["r_name"] == "ASIA"],
+                            left_on="n_regionkey",
+                            right_on="r_regionkey")["n_nationkey"]
+                  .astype(int))
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    nk2name = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    sk2name = {int(s): nk2name[int(n)]
+               for s, n in zip(sup["s_suppkey"], sup["s_nationkey"])}
+    promo = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey"],
+        filters=[("p_type", "==", "PROMO")]).to_pandas()
+    promo_ref = ray.put(set(promo["p_partkey"].astype(int)))
+    sk2name_ref = ray.put(sk2name)
+    asia_ref = ray.put(asia_nk)
+
+    def rev_dm(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df["l_partkey"].isin(ray.get(promo_ref)).to_numpy()
+        df = df[keep]
+        p = df["l_extendedprice"].to_numpy(np.float64)
+        d = df["l_discount"].to_numpy(np.float64)
+        return pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+            "l_suppkey": df["l_suppkey"].to_numpy(np.int64),
+            "rev_dm": np.rint(p * (1 - d) * 10000).astype(np.int64)})
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"]) \
+        .map_batches(rev_dm, batch_format="pandas")
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=((pds.field("o_orderdate") >= _dt.datetime(1996, 1, 1))
+                & (pds.field("o_orderdate") < _dt.datetime(1998, 1, 1))))
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    j = auto_join(auto_join(li, orders, on="l_orderkey",
+                            right_on="o_orderkey"),
+                  cust, on="o_custkey", right_on="c_custkey")
+
+    def split(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df["c_nationkey"].isin(ray.get(asia_ref)).to_numpy()
+        df = df[keep]
+        is_nat = df["l_suppkey"].map(ray.get(sk2name_ref)) \
+            .eq("NATION_5").to_numpy()
+        rev = df["rev_dm"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "l_year": df["o_orderdate"].dt.year.to_numpy(np.int64),
+            "nat_dm": np.where(is_nat, rev, 0),
+            "tot_dm": rev})
+
+    agg = reduce_sink(j.map_batches(split, batch_format="pandas"),
+                      ["l_year"], {"nat_dm": ("nat_dm", "sum"),
+                                   "tot_dm": ("tot_dm", "sum")}) \
+        .to_pandas()
+    return pd.DataFrame({
+        "l_year": agg["l_year"].astype(np.int64),
+        "mkt_share": textstats.round_half_away(
+            agg["nat_dm"].to_numpy(np.float64)
+            / agg["tot_dm"].to_numpy(np.float64), 6)}) \
+        .sort_values("l_year", ignore_index=True)
+
+
+@register("tpch_q9_nation_profit", sql="""
+SELECT nation, o_year, CAST(SUM(amount_dm) AS BIGINT) AS profit_dm
+FROM (SELECT n_name AS nation,
+             CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                  AS BIGINT)
+             - CAST(ROUND(p_retailprice * 0.6 * 10000) AS BIGINT)
+               * CAST(l_quantity AS BIGINT) AS amount_dm
+      FROM part JOIN lineitem ON p_partkey = l_partkey
+           JOIN supplier ON s_suppkey = l_suppkey
+           JOIN orders ON o_orderkey = l_orderkey
+           JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%red%') profit
+GROUP BY nation, o_year""")
+def tpch_q9_nation_profit(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q9 (product-type profit by nation/year). Adapted: the
+    fixture has no partsupp, so supply cost = 0.6 × p_retailprice —
+    integerized PER UNIT then multiplied by the integral quantity, so
+    both engines compute the identical integer amount. The 'red'
+    partkey→unit-cost dict broadcasts once and prunes the fact
+    map-side (profit needs the part attribute anyway, the classic
+    map-side dimension join); orders attaches via auto_join for the
+    year; supplier→nation-name is a broadcast dict; (nation, year)
+    integer partials are all that shuffle."""
+    from webalizer_ray.stages.join import auto_join
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name",
+                                  "p_retailprice"]).to_pandas()
+    red = part[part["p_name"].str.contains("red")] \
+        .sort_values("p_partkey")
+    cost_dm = np.rint(red["p_retailprice"].to_numpy(np.float64)
+                      * 0.6 * 10000).astype(np.int64)
+    pk2cost_ref = ray.put((red["p_partkey"].to_numpy(np.int64),
+                           cost_dm))
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    nk2name = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"]).to_pandas() \
+        .sort_values("s_suppkey")
+    sk2name_ref = ray.put((
+        sup["s_suppkey"].to_numpy(np.int64),
+        np.array([nk2name[int(n)] for n in sup["s_nationkey"]],
+                 dtype=object)))
+
+    def amount(df: pd.DataFrame) -> pd.DataFrame:
+        # vectorized map-side dimension joins: one searchsorted per
+        # batch, no per-element Python dict hops (VERDICT r2 minor)
+        pkeys, pcosts = ray.get(pk2cost_ref)
+        hit, unit = np_lookup(pkeys, pcosts,
+                              df["l_partkey"].to_numpy(np.int64))
+        df = df[hit]
+        unit = unit[hit]
+        skeys, snames = ray.get(sk2name_ref)
+        _, nation = np_lookup(skeys, snames,
+                              df["l_suppkey"].to_numpy(np.int64))
+        p = df["l_extendedprice"].to_numpy(np.float64)
+        d = df["l_discount"].to_numpy(np.float64)
+        q = df["l_quantity"].to_numpy(np.float64).astype(np.int64)
+        return pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+            "nation": nation,
+            "amount_dm": np.rint(p * (1 - d) * 10000).astype(np.int64)
+            - unit * q})
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+                 "l_extendedprice", "l_discount"]) \
+        .map_batches(amount, batch_format="pandas")
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderdate"])
+    j = auto_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+
+    def add_year(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "nation": df["nation"],
+            "o_year": df["o_orderdate"].dt.year.to_numpy(np.int64),
+            "amount_dm": df["amount_dm"].to_numpy(np.int64)})
+
+    agg = reduce_sink(j.map_batches(add_year, batch_format="pandas"),
+                      ["nation", "o_year"],
+                      {"profit_dm": ("amount_dm", "sum")}).to_pandas()
+    agg["profit_dm"] = agg["profit_dm"].astype(np.int64)
+    return agg.sort_values(["nation", "o_year"], ignore_index=True)
+
+
+@register("tpch_q11_important_parts", sql="""
+WITH val AS (SELECT l_partkey,
+                    SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                    AS value_c
+             FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+                  JOIN nation ON s_nationkey = n_nationkey
+             WHERE n_name = 'NATION_3'
+             GROUP BY l_partkey)
+SELECT l_partkey, CAST(value_c AS BIGINT) AS value_c
+FROM val WHERE value_c > (SELECT SUM(value_c) * 0.001 FROM val)""")
+def tpch_q11_important_parts(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q11 (important stock: HAVING against a GLOBAL aggregate).
+    Adapted: no partsupp, so a part's "inventory value" is its shipped
+    extendedprice (exact cents) from NATION_3's suppliers — the
+    pattern is intact: the nation's supplier set broadcasts and
+    filters the fact map-side, the per-part view reduces once and is
+    materialized, its global total comes back as ONE streaming scalar,
+    and the threshold filter runs distributed over the view (the view
+    is |parts|-sized and never gathers to the driver before the
+    filter)."""
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    nk = int(nat.loc[nat["n_name"] == "NATION_3", "n_nationkey"]
+             .iloc[0])
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    keep_ref = ray.put(set(
+        sup.loc[sup["s_nationkey"] == nk, "s_suppkey"].astype(int)))
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_suppkey"].isin(ray.get(keep_ref))]
+        return pd.DataFrame({
+            "l_partkey": df["l_partkey"].to_numpy(np.int64),
+            "c": np.rint(df["l_extendedprice"].to_numpy(np.float64)
+                         * 100).astype(np.int64)})
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"]) \
+        .map_batches(cents, batch_format="pandas")
+    view = reduce_sink(li, ["l_partkey"],
+                       {"value_c": ("c", "sum")}).materialize()
+    thresh = view.sum("value_c") * 0.001
+    out = view.filter(expr=f"value_c > {thresh!r}").to_pandas()
+    out["value_c"] = out["value_c"].astype(np.int64)
+    return out.sort_values("l_partkey", ignore_index=True)
+
+
+@register("tpch_q13_order_distribution", sql="""
+WITH co AS (SELECT o_custkey, COUNT(*) AS c_count FROM orders
+            WHERE o_orderpriority <> '4-NOT SPECIFIED'
+            GROUP BY o_custkey)
+SELECT CAST(COALESCE(c_count, 0) AS BIGINT) AS c_count,
+       CAST(COUNT(*) AS BIGINT) AS custdist
+FROM customer LEFT JOIN co ON c_custkey = o_custkey
+GROUP BY 1""")
+def tpch_q13_order_distribution(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q13 (customer order-count distribution). Adapted: the
+    comment NOT LIKE filter becomes priority <> '4-NOT SPECIFIED'.
+    The LEFT JOIN's only job is the zero bucket, so it never runs:
+    per-customer counts reduce (|customers| rows max), the histogram
+    is a second O(distinct counts) reduce, and the c_count=0 row is
+    total customers (a parquet-metadata count, zero data bytes) minus
+    the customers the histogram covered — exact, join-free."""
+    import pyarrow.dataset as pds
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+        filter=pds.field("o_orderpriority") != "4-NOT SPECIFIED")
+    co = reduce_sink(orders, ["o_custkey"],
+                     {"c_count": ("o_custkey", "size")})
+    hist = reduce_sink(co, ["c_count"],
+                       {"custdist": ("c_count", "size")}).to_pandas()
+    n_cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey"]).count()
+    zero = n_cust - int(hist["custdist"].sum())
+    if zero > 0:
+        hist = pd.concat([hist, pd.DataFrame({"c_count": [0],
+                                              "custdist": [zero]})],
+                         ignore_index=True)
+    for c in ("c_count", "custdist"):
+        hist[c] = hist[c].astype(np.int64)
+    return hist.sort_values("c_count", ignore_index=True)
+
+
+@register("tpch_q16_supplier_cnt", sql="""
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 2, 3, 4, 5, 6, 7, 8)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")
+def tpch_q16_supplier_cnt(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q16 (supplier count by part attributes). Adapted: the
+    part–supplier relation comes from lineitem (no partsupp) and the
+    complaint-comment exclusion becomes s_acctbal < 0. The qualifying
+    partkey→(brand, type, size) map and the excluded-supplier set
+    broadcast once and apply map-side; the COUNT(DISTINCT) is the
+    two-phase exact distinct (per-batch dedup, then each (group,
+    suppkey) pair counted in exactly one bucket) — the same machinery
+    as A10, never a driver set."""
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_type",
+                                  "p_size"]).to_pandas()
+    ok = part[(part["p_brand"] != "Brand#1") & (part["p_type"] != "PROMO")
+              & part["p_size"].isin(range(1, 9))]
+    attr_ref = ray.put({int(k): (b, t, int(s)) for k, b, t, s in
+                        zip(ok["p_partkey"], ok["p_brand"],
+                            ok["p_type"], ok["p_size"])})
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_acctbal"]).to_pandas()
+    bad_ref = ray.put(set(
+        sup.loc[sup["s_acctbal"] < 0, "s_suppkey"].astype(int)))
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        attrs = df["l_partkey"].map(ray.get(attr_ref))
+        keep = attrs.notna() & ~df["l_suppkey"].isin(ray.get(bad_ref))
+        attrs = attrs[keep]
+        return pd.DataFrame({
+            "p_brand": attrs.str[0].to_numpy(object),
+            "p_type": attrs.str[1].to_numpy(object),
+            "p_size": attrs.str[2].to_numpy(np.int64),
+            "l_suppkey": df.loc[keep, "l_suppkey"]
+            .to_numpy(np.int64)})
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_suppkey"]) \
+        .map_batches(attach, batch_format="pandas")
+    out = distinct_count(li, ["p_brand", "p_type", "p_size"],
+                         "l_suppkey", alias="supplier_cnt").to_pandas()
+    out["supplier_cnt"] = out["supplier_cnt"].astype(np.int64)
+    out["p_size"] = out["p_size"].astype(np.int64)
+    return out.sort_values(
+        ["supplier_cnt", "p_brand", "p_type", "p_size"],
+        ascending=[False, True, True, True], kind="mergesort",
+        ignore_index=True)
+
+
+@register("tpch_q19_disjunctive_revenue", sql="""
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                     AS BIGINT)) AS BIGINT) AS revenue_dm
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)""")
+def tpch_q19_disjunctive_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q19 (three OR'd brand/size/quantity branches — the
+    disjunctive-predicate pattern no single pushed filter expresses):
+    the three brands' partkey→(brand, size) map broadcasts once; each
+    branch evaluates as a vectorized mask inside map_batches and the
+    disjunction keeps a row if ANY branch holds; revenue reduces to
+    ONE scalar partial per block. Adapted: container/shipmode columns
+    don't exist, brand/size/qty carry the three-branch shape."""
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand",
+                                  "p_size"]).to_pandas()
+    sel = part[part["p_brand"].isin(["Brand#1", "Brand#2", "Brand#3"])]
+    attr_ref = ray.put({int(k): (b, int(s)) for k, b, s in
+                        zip(sel["p_partkey"], sel["p_brand"],
+                            sel["p_size"])})
+    branches = [("Brand#1", 5, 1, 11), ("Brand#2", 10, 10, 20),
+                ("Brand#3", 15, 20, 30)]
+
+    def rev(df: pd.DataFrame) -> pd.DataFrame:
+        attrs = df["l_partkey"].map(ray.get(attr_ref))
+        df = df[attrs.notna()]
+        attrs = attrs.dropna()
+        brand = attrs.str[0].to_numpy(object)
+        size = attrs.str[1].to_numpy(np.int64)
+        q = df["l_quantity"].to_numpy(np.float64)
+        keep = np.zeros(len(df), dtype=bool)
+        for b, smax, qlo, qhi in branches:
+            keep |= ((brand == b) & (size >= 1) & (size <= smax)
+                     & (q >= qlo) & (q <= qhi))
+        p = df.loc[keep, "l_extendedprice"].to_numpy(np.float64)
+        d = df.loc[keep, "l_discount"].to_numpy(np.float64)
+        dm = np.rint(p * (1 - d) * 10000).astype(np.int64)
+        return pd.DataFrame({"rev_dm": [int(dm.sum())]})
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice",
+                 "l_discount"]) \
+        .map_batches(rev, batch_format="pandas")
+    return pd.DataFrame({"revenue_dm":
+                         np.array([li.sum("rev_dm")], dtype=np.int64)})
+
+
+@register("tpch_q20_heavy_shippers", sql="""
+SELECT s_suppkey, s_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_7' AND s_suppkey IN (
+  SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE '%red%'
+    AND l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_suppkey, l_partkey HAVING SUM(l_quantity) > 30)
+ORDER BY s_suppkey""")
+def tpch_q20_heavy_shippers(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q20 (nested IN over a grouped HAVING aggregate). Adapted:
+    no partsupp/availqty, so a supplier qualifies by shipping > 30
+    units of some 'red' part in 1997 — the shape is intact: the date
+    window is pushed into the fact scan, the red partkey set broadcasts
+    and prunes map-side, quantities reduce per (supplier, part) as
+    exact integral-float partials, the HAVING filter runs distributed,
+    and only the qualifying supplier KEYS (≤ |suppliers| rows) reach
+    the driver for the final nation semi-join."""
+    import pyarrow.dataset as pds
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name"]).to_pandas()
+    red_ref = ray.put(set(
+        part.loc[part["p_name"].str.contains("red"), "p_partkey"]
+        .astype(int)))
+    import datetime as _dt
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_partkey"].isin(ray.get(red_ref))]
+        return pd.DataFrame({
+            "l_suppkey": df["l_suppkey"].to_numpy(np.int64),
+            "l_partkey": df["l_partkey"].to_numpy(np.int64),
+            "qty": df["l_quantity"].to_numpy(np.float64)})
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity"],
+        filter=((pds.field("l_shipdate") >= _dt.datetime(1997, 1, 1))
+                & (pds.field("l_shipdate") < _dt.datetime(1998, 1, 1)))) \
+        .map_batches(prune, batch_format="pandas")
+    per_ps = reduce_sink(li, ["l_suppkey", "l_partkey"],
+                         {"qty": ("qty", "sum")})
+    heavy = per_ps.filter(expr="qty > 30") \
+        .select_columns(["l_suppkey"]).to_pandas()
+    keys = set(heavy["l_suppkey"].astype(int))
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name",
+                                 "s_nationkey"]).to_pandas()
+    nat = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    nk = int(nat.loc[nat["n_name"] == "NATION_7", "n_nationkey"]
+             .iloc[0])
+    out = sup[(sup["s_nationkey"] == nk)
+              & sup["s_suppkey"].isin(keys)]
+    return out[["s_suppkey", "s_name"]] \
+        .sort_values("s_suppkey", ignore_index=True)

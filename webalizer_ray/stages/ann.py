@@ -280,6 +280,13 @@ def _kmeans_loop(ds: rd.Dataset, n_clusters: int, n_iter: int,
       ~1e-16 float-association noise between this engine's partial
       sums and an oracle's single-pass SUMs.
     """
+    if seed != 7:
+        import warnings
+        warnings.warn(
+            "seed is no longer consumed: k-means seeding is the "
+            "deterministic strided rule and the clustering is identical "
+            "for every seed (ADVICE r3 — silent ignore removed)",
+            DeprecationWarning, stacklevel=3)
     del seed  # deterministic strided seeding (see docstring)
     sample = ds.limit(sample_rows).to_pandas()
     train = np.round(_normalize(np.stack(sample[vec_col].to_numpy())
@@ -322,10 +329,71 @@ def _kmeans_loop(ds: rd.Dataset, n_clusters: int, n_iter: int,
     return cents
 
 
+def knn_graph(ds: rd.Dataset, k: int = 2, id_col: str = "vec_id",
+              vec_col: str = "embedding", as_dataset: bool = False,
+              out_dir: str | None = None) -> pd.DataFrame | rd.Dataset:
+    """EXACT k-NN graph (top-k similarity join) — the parity baseline
+    for :func:`knn_graph_lsh`, with the same Dataset/out_dir contract
+    (r4; previously driver-pandas only).
+
+    The full normalized matrix is broadcast ONCE via ``ray.put`` (the
+    documented all-pairs baseline exemption, same as
+    ``cosine_dup_pairs``: fine while N·dim fits a broadcast; the LSH
+    variant is the 100-TB path).  Each batch then computes the exact
+    top-k for ITS OWN rows against the broadcast — nodes are
+    batch-partitioned, so every node's neighbor list completes inside
+    one task and the O(N·k) edge set never lands on the driver unless
+    the caller asks for pandas.  Self-edges are dropped by IDENTITY
+    (an exact-duplicate vector with a smaller id would outrank self);
+    ties break by (cosine@9dp desc, neighbor asc) like
+    brute_force_topk.  Returns (node, neighbor, cosine, rank).
+    """
+    tbl = ds.to_pandas()      # baseline broadcast build (see docstring)
+    all_ids = tbl[id_col].to_numpy(np.int64)
+    mat = _normalize(np.stack(tbl[vec_col].to_numpy())
+                     .astype(np.float64))
+    ref = ray.put((all_ids, mat))
+
+    def local(batch: pa.Table) -> pd.DataFrame:
+        aid, m = ray.get(ref)
+        mine = _normalize(mat_from_column(batch[vec_col]))
+        my_ids = ids_from_column(batch[id_col]).astype(np.int64)
+        sims = np.round(mine @ m.T, 9)
+        sims[my_ids[:, None] == aid[None, :]] = -np.inf
+        nq, nb = sims.shape
+        kk = min(k, nb - 1)
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(np.arange(nq), kk)
+        cols = part.reshape(-1)
+        out = pd.DataFrame({
+            "node": my_ids[rows],
+            "neighbor": aid[cols],
+            "cosine": sims[rows, cols]})
+        out = out.sort_values(["node", "cosine", "neighbor"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+        out["rank"] = (out.groupby("node", sort=False).cumcount() + 1) \
+            .astype(np.int64)
+        out = out[out["rank"] <= k].copy()
+        out["cosine"] = out["cosine"].round(6)
+        return out
+
+    graph = ds.map_batches(local, batch_format="pyarrow")
+    if out_dir is not None:
+        graph = graph.materialize()
+        graph.write_parquet(out_dir)
+    if as_dataset:
+        return graph
+    return graph.to_pandas().sort_values(["node", "rank"],
+                                         ignore_index=True)
+
+
 def knn_graph_lsh(ds: rd.Dataset, k: int = 2, n_planes: int = 4,
                   n_tables: int = 48, seed: int = 7,
                   id_col: str = "vec_id", vec_col: str = "embedding",
-                  bucket_cap: int = 4096) -> pd.DataFrame:
+                  bucket_cap: int = 4096, as_dataset: bool = False,
+                  out_dir: str | None = None
+                  ) -> pd.DataFrame | rd.Dataset:
     """Approximate k-nearest-neighbor GRAPH (the similarity JOIN with
     top-k semantics — every vector gets its k most-cosine-similar
     peers): LSH candidate pairs (shared generator with the threshold
@@ -336,20 +404,26 @@ def knn_graph_lsh(ds: rd.Dataset, k: int = 2, n_planes: int = 4,
     (miss prob (1-p^planes)^tables per pair); the pytest baseline is
     brute_force_topk over the full table.
 
-    Returns (node, neighbor, cosine, rank) sorted by (node, rank).
+    Returns (node, neighbor, cosine, rank) sorted by (node, rank) —
+    as a DATASET with ``as_dataset=True`` / written with ``out_dir``
+    (r4: the same contract as knn_graph/CC/PageRank, so graph
+    consumers never assemble the O(N·k) edge set on the driver).
     """
     from webalizer_ray.stages.dedup import (
         _unpack_rows,
         join_pairs_to_values,
         lsh_candidate_pairs,
     )
+    empty = pd.DataFrame({"node": pd.Series(dtype=np.int64),
+                          "neighbor": pd.Series(dtype=np.int64),
+                          "cosine": pd.Series(dtype=np.float64),
+                          "rank": pd.Series(dtype=np.int64)})
     cand = lsh_candidate_pairs(ds, id_col, vec_col, n_planes, n_tables,
                                seed, bucket_cap)
     if cand.count() == 0:
-        return pd.DataFrame({"node": pd.Series(dtype=np.int64),
-                             "neighbor": pd.Series(dtype=np.int64),
-                             "cosine": pd.Series(dtype=np.float64),
-                             "rank": pd.Series(dtype=np.int64)})
+        if out_dir is not None:
+            rd.from_pandas(empty).write_parquet(out_dir)
+        return rd.from_pandas(empty) if as_dataset else empty
     j = join_pairs_to_values(cand, ds, id_col, vec_col,
                              pack_dtype=np.float64)
 
@@ -379,12 +453,20 @@ def knn_graph_lsh(ds: rd.Dataset, k: int = 2, n_planes: int = 4,
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = local_topk(g.drop_duplicates(["node", "neighbor"]))
         g = g.copy()
-        g["rank"] = g.groupby("node", sort=False).cumcount() + 1
+        g["rank"] = (g.groupby("node", sort=False).cumcount() + 1) \
+            .astype(np.int64)
         return g
 
-    out = part.groupby("node").map_groups(final_topk,
-                                          batch_format="pandas") \
-        .to_pandas()
+    graph = part.groupby("node").map_groups(final_topk,
+                                            batch_format="pandas")
+    if out_dir is not None:
+        graph = graph.materialize()
+        graph.write_parquet(out_dir)
+    if as_dataset:
+        return graph
+    out = graph.to_pandas()
+    if "rank" not in out.columns:          # all-empty blocks
+        return empty
     out["rank"] = out["rank"].astype(np.int64)
     return out.sort_values(["node", "rank"], ignore_index=True)
 

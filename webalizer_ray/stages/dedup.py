@@ -35,8 +35,10 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Min, Sum
 
+from webalizer_ray.stages import strhash
 from webalizer_ray.stages.aggregate import key_bucket
-from webalizer_ray.stages.textstats import add_fingerprint
+from webalizer_ray.stages.sketch import splitmix64
+from webalizer_ray.stages.textstats import add_fingerprint, round_half_away
 from webalizer_ray.stages.vecops import ids_from_column, mat_from_column
 
 _MIX = np.uint64(0x9E3779B97F4A7C15)  # 64-bit golden-ratio mix constant
@@ -75,49 +77,43 @@ def exact_dedup(ds: rd.Dataset, text_col: str = "text",
 # MinHash + LSH (near-dup, Broder resemblance over char shingles)
 # ---------------------------------------------------------------------------
 
-_PRIME = np.uint64((1 << 61) - 1)
-
-
 def _hash_strings(strings: list[str]) -> np.ndarray:
     return pd.util.hash_array(np.asarray(strings, dtype=object))
-
-
-def _char_shingles(text: str, k: int) -> list[str]:
-    t = " ".join(text.lower().split())
-    if len(t) < k:
-        return [t]
-    return [t[i:i + k] for i in range(len(t) - k + 1)]
 
 
 class MinHashSignatures:
     """Actor-pool stage: text → minhash signature (list<uint64>).
 
-    Permutation parameters are drawn ONCE per actor in ``__init__`` from a
-    fixed seed (identical across actors → signatures agree cluster-wide).
-    Per batch, all docs' shingles are hashed in one vectorized call and the
-    per-permutation min is a ``np.minimum.reduceat`` over doc segments —
-    the loop is over the 64 permutations, never over docs.
+    Permutation constants are derived ONCE per actor in ``__init__``
+    from a fixed seed (identical across actors → signatures agree
+    cluster-wide).  Shingle hashing is the SQL-replicable SplitMix64
+    tabulation from :mod:`webalizer_ray.stages.strhash` (r4: replaced
+    pandas' SipHash so minhash queries carry bit-exact DuckDB
+    oracles, the swap round 3 proved on HLL/CMS/PQ), and the p-th
+    "permutation" is ``splitmix64(shingle_hash XOR c_p)`` with
+    ``c_p = splitmix64((seed << 32) + p + 1)`` — a keyed re-mix with
+    full avalanche, replayable in SQL integer arithmetic.  Per batch,
+    all docs' shingles hash in one vectorized call and the
+    per-permutation min is a ``np.minimum.reduceat`` over doc
+    segments — the loop is over the 64 permutations, never over docs.
     """
 
     def __init__(self, num_perm: int = 64, shingle_k: int = 5,
                  seed: int = 7, text_col: str = "text"):
-        rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, _PRIME, num_perm, dtype=np.uint64)
-        self.b = rng.integers(0, _PRIME, num_perm, dtype=np.uint64)
+        self.c = splitmix64((np.uint64(seed) << np.uint64(32))
+                            + np.arange(1, num_perm + 1, dtype=np.uint64))
         self.num_perm = num_perm
         self.k = shingle_k
         self.text_col = text_col
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        texts = df[self.text_col].fillna("").tolist()
-        shingles = [_char_shingles(t, self.k) for t in texts]  # ragged build
-        counts = np.array([len(s) for s in shingles])
+        texts = [strhash.normalize(t) for t in df[self.text_col].fillna("")]
+        flat, counts = strhash.shingle_hashes(texts, self.k)
         offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
-        flat = _hash_strings([s for doc in shingles for s in doc])
         sig = np.empty((len(df), self.num_perm), dtype=np.uint64)
         for p in range(self.num_perm):  # vectorized over ALL shingles
-            hp = (self.a[p] * flat + self.b[p]) % _PRIME
-            sig[:, p] = np.minimum.reduceat(hp, offsets)
+            sig[:, p] = np.minimum.reduceat(splitmix64(flat ^ self.c[p]),
+                                            offsets)
         out = df.drop(columns=[self.text_col]).copy()
         out["sig"] = list(sig)
         return out
@@ -348,12 +344,15 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
         .sum(axis=1).astype(np.int64)
 
 def simhash_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
-    """64-bit SimHash per row; token hashing vectorized, bit loop is 64."""
-    tokens = [t.lower().split() for t in df[text_col].fillna("")]
+    """64-bit SimHash per row; token hashing vectorized, bit loop is 64.
+
+    Token hashes are SplitMix64 tabulation (strhash, r4) — stable
+    across nodes AND bit-for-bit replayable in the DuckDB oracle."""
+    tokens = [str(t).lower().split() for t in df[text_col].fillna("")]
     counts = np.array([max(len(t), 1) for t in tokens])
     offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
-    flat = pd.util.hash_array(
-        np.asarray([w for doc in tokens for w in (doc or [""])], dtype=object))
+    flat = strhash.string_hashes(
+        [w for doc in tokens for w in (doc or [""])])
     sim = np.zeros(len(df), dtype=np.uint64)
     for bit in range(64):
         contrib = (((flat >> np.uint64(bit)) & np.uint64(1)).astype(np.int64)
@@ -477,7 +476,8 @@ def ngram_jaccard_verify(texts_by_id: dict, pairs: pd.DataFrame, n: int = 3,
         sa, sb = word_ngrams(texts_by_id[a], n), word_ngrams(texts_by_id[b], n)
         j = len(sa & sb) / max(len(sa | sb), 1)
         if j >= threshold:
-            rows.append((a, b, round(j, 6)))
+            # half-away rounding = SQL ROUND (oracle parity, r4)
+            rows.append((a, b, float(round_half_away(j, 6))))
     return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"]).astype(
         {"id_a": np.int64, "id_b": np.int64})
 
@@ -507,7 +507,7 @@ def ngram_jaccard_pairs_distributed(docs: rd.Dataset, pairs: pd.DataFrame,
             sa, sb = word_ngrams(ta, n), word_ngrams(tb, n)
             jac = len(sa & sb) / max(len(sa | sb), 1)
             if jac >= threshold:
-                rows.append((a, b, round(jac, 6)))
+                rows.append((a, b, float(round_half_away(jac, 6))))
         return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"]) \
             .astype({"id_a": np.int64, "id_b": np.int64})
 

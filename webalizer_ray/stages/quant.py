@@ -97,16 +97,14 @@ def int8_topk(qds: rd.Dataset, queries: np.ndarray, k: int = 5,
 # shuffle bytes of float32.
 # ---------------------------------------------------------------------------
 
-def _kmeans_np(x: np.ndarray, ks: int, n_iter: int,
-               rng: np.random.Generator) -> np.ndarray:
+def _kmeans_np(x: np.ndarray, ks: int, n_iter: int) -> np.ndarray:
     """Plain Lloyd on a (small) sample; empty clusters keep their
     previous centroid. Engine-independent determinism (r3, same
     discipline as ann._kmeans_loop): STRIDED seeding over the sample
     (row floor(i·N/k)), squared distances rounded to 9 dp before the
     argmin (ties → lowest codeword), centroids rounded to 9 dp after
     each update — replicable in SQL so the PQ query can carry an
-    oracle. ``rng`` kept for API compatibility, no longer consumed."""
-    del rng
+    oracle. (r4: the dead ``rng`` parameter is gone — ADVICE r3.)"""
     k = min(ks, len(x))
     idx = (np.arange(k, dtype=np.int64) * len(x)) // k
     c = x[idx]
@@ -135,9 +133,15 @@ def pq_train(ds: rd.Dataset, m: int = 8, ks: int = 16,
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
     dsub = d // m
-    rng = np.random.default_rng(seed)
+    if seed != 7:
+        import warnings
+        warnings.warn(
+            "seed is no longer consumed: codebook training uses the "
+            "deterministic strided seeding and is identical for every "
+            "seed (ADVICE r3 — silent ignore removed)",
+            DeprecationWarning, stacklevel=2)
     return np.stack([
-        _kmeans_np(x[:, j * dsub:(j + 1) * dsub], ks, n_iter, rng)
+        _kmeans_np(x[:, j * dsub:(j + 1) * dsub], ks, n_iter)
         for j in range(m)])
 
 

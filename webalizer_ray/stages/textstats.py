@@ -163,16 +163,18 @@ def redact_pii(batch: pa.Table, text_col: str = "text") -> pa.Table:
 def add_fingerprint(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     """Deterministic 64-bit document fingerprint over normalized text.
 
-    Normalization (lowercase, collapse whitespace) then SipHash via
-    pandas.util.hash_array — stable across processes/runs, so fingerprints
-    computed on different nodes agree (the requirement for distributed
-    dedup joins).
+    Normalization (lowercase, collapse whitespace, strip) then the
+    SplitMix64 position-keyed tabulation hash from
+    :mod:`webalizer_ray.stages.strhash` (r4; previously SipHash) —
+    stable across processes/runs/nodes (the requirement for
+    distributed dedup joins) AND replicable in DuckDB SQL, so
+    fingerprint queries carry a bit-exact independent oracle.
     """
+    from webalizer_ray.stages import strhash
     norm = (df[text_col].fillna("").str.lower()
             .str.replace(r"\s+", " ", regex=True).str.strip())
     out = df.copy()
-    out["fingerprint"] = pd.util.hash_array(norm.to_numpy(dtype=object)) \
-        .astype(np.uint64)
+    out["fingerprint"] = strhash.string_hashes(norm.tolist())
     return out
 
 

@@ -73,8 +73,16 @@ def mat_from_column(col, dtype=np.float64) -> np.ndarray:
 
 
 def ids_from_column(col, dtype=np.int64) -> np.ndarray:
-    """Flat numpy id array from an Arrow (Chunked)Array or pandas col."""
+    """Flat numpy id array from an Arrow (Chunked)Array or pandas col.
+
+    ``dtype`` applies to integer-typed columns only; a non-integer id
+    column (e.g. string keys) keeps its native dtype instead of being
+    force-coerced (ADVICE r3: the coercion crashed string-id callers)."""
     if isinstance(col, (pa.ChunkedArray, pa.Array)):
-        return np.asarray(col, dtype=dtype)
+        if pa.types.is_integer(col.type):
+            return np.asarray(col, dtype=dtype)
+        return np.asarray(col.to_pandas())
     arr = col.to_numpy() if hasattr(col, "to_numpy") else np.asarray(col)
-    return np.asarray(arr, dtype=dtype)
+    if arr.dtype.kind in "iu":
+        return np.asarray(arr, dtype=dtype)
+    return arr
