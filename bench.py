@@ -49,6 +49,98 @@ def build_bench_fixture() -> str:
     return BENCH_FIXTURE
 
 
+PRESPLIT_FIXTURE = "/tmp/wr_presplit_fixture_v3"
+
+
+def run_presplit_ab() -> dict:
+    """Giant-conversation skew evidence (VERDICT r3 item 5): time the
+    bucket pass over a giant-dominated fixture (20 background convs +
+    one 1M-turn giant ≈ 99.9%% of all rows — the hot-conversation skew
+    case), with the two-stage presplit forced ON (production default)
+    vs OFF (every slice task re-reads + re-sessionizes the giant dir).
+    The split target is shrunk proportionally so the giant dir plans
+    the capped k = 16 slices — the k ≥ 4 regime the presplit exists
+    for (production: 24 MiB target, ≥ 96 MiB dirs).  Ray session owned
+    by the caller (run_bench)."""
+    import dataclasses
+
+    from webalizer_ray import fixtures
+    from webalizer_ray.config import DEFAULT_CONFIG
+    from webalizer_ray.pipelines import flagship
+
+    marker = os.path.join(PRESPLIT_FIXTURE, ".complete")
+    if not os.path.exists(marker):
+        shutil.rmtree(PRESPLIT_FIXTURE, ignore_errors=True)
+        fixtures.build_fixture_dir(PRESPLIT_FIXTURE, scale="tiny",
+                                   giant_conv_size=1_000_000)
+        open(marker, "w").close()
+    import ray
+
+    cfg = dataclasses.replace(DEFAULT_CONFIG,
+                              bucket_split_target_bytes=2 * 2 ** 20)
+    out = tempfile.mkdtemp(prefix="wr_presplit_")
+    flagship.run_parse_pass(PRESPLIT_FIXTURE, out, cfg, None, False)
+    res: dict = {"giant_conv_turns": 1_000_000}
+
+    # Wall time on an IDLE box under-reports the skew cost: with
+    # cores to spare, the k redundant re-sessionize tasks of the
+    # presplit-OFF path run in parallel and the waste hides.  On the
+    # loaded fixed-size cluster the rule targets, wasted CPU is the
+    # real cost — so ALSO meter total task-seconds of the bucket pass
+    # via a per-task timing wrapper around make_bucket_task.
+    @ray.remote(num_cpus=0)
+    class _WorkMeter:
+        def __init__(self):
+            self.t = 0.0
+
+        def add(self, dt: float) -> None:
+            self.t += dt
+
+        def get(self) -> float:
+            return self.t
+
+    meter = _WorkMeter.remote()
+    orig_make = flagship.make_bucket_task
+
+    def make_timed(out_dir, config):
+        inner = orig_make(out_dir, config)
+
+        def timed(df):
+            t0 = time.perf_counter()
+            try:
+                return inner(df)
+            finally:
+                meter.add.remote(time.perf_counter() - t0)
+
+        return timed
+
+    saved = flagship.PRESPLIT_MIN_K
+    flagship.make_bucket_task = make_timed
+    try:
+        for label, mink in (("on", saved), ("off", 10 ** 9)):
+            flagship.PRESPLIT_MIN_K = mink
+            best_wall = best_work = None
+            for _ in range(2):          # best-of-2 (shared-host noise)
+                w0 = ray.get(meter.get.remote())
+                t0 = time.perf_counter()
+                flagship.run_bucket_pass(out, cfg)
+                wall = time.perf_counter() - t0
+                work = ray.get(meter.get.remote()) - w0
+                if best_wall is None or wall < best_wall:
+                    best_wall, best_work = wall, work
+            res[f"wall_sec_presplit_{label}"] = round(best_wall, 3)
+            res[f"work_sec_presplit_{label}"] = round(best_work, 3)
+    finally:
+        flagship.PRESPLIT_MIN_K = saved
+        flagship.make_bucket_task = orig_make
+        shutil.rmtree(out, ignore_errors=True)
+    res["presplit_wall_speedup"] = round(
+        res["wall_sec_presplit_off"] / res["wall_sec_presplit_on"], 3)
+    res["presplit_work_ratio_off_over_on"] = round(
+        res["work_sec_presplit_off"] / res["work_sec_presplit_on"], 3)
+    return res
+
+
 def run_bench(sf_dir: str, num_cpus: int) -> dict:
     import ray
     from ray.data import DataContext
@@ -155,6 +247,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             fn(sf_dir)
             qtimes[name] = round(time.perf_counter() - t0, 3)
 
+    presplit = None if os.environ.get("WR_BENCH_HEADLINE_ONLY") \
+        else run_presplit_ab()
+
     result = {
         "metric": "flagship parse→enrich→route→sessionize→aggregate "
                   f"wall sec over {n_turns} synthetic transcript turns",
@@ -166,6 +261,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "bench_turns": int(n_turns),
         "turns_per_sec": int(n_turns / headline),
     }
+    if presplit is not None:
+        result["presplit_ab"] = presplit
     ray.shutdown()
     return result
 

@@ -4,11 +4,17 @@ Runs every ``queries()`` entry at the given sf_dir, compares against
 ``oracle_sql()`` via DuckDB: row count, sorted column names, and
 order-insensitive value equality. Non-SQL queries get a rows-only check.
 
-Usage: python tools/check_oracle.py [sf_dir]
+Usage: python tools/check_oracle.py [sf_dir] [only-patterns] [sweep-out]
+
+A FULL run (no ``only`` filter) also writes a sweep artifact —
+``SWEEP_r{N}.json`` when ``sweep-out`` is given, recording per query
+{ok|fail, rows, oracle|rows_only} plus summary counts — so a judge can
+diff sweeps without re-running 960 queries (VERDICT r3 item 7).
 """
 
 from __future__ import annotations
 
+import json
 import sys
 
 import duckdb
@@ -62,7 +68,8 @@ def compare(name, ours: pd.DataFrame, ref: pd.DataFrame) -> list[str]:
     return errs
 
 
-def main(sf_dir: str, only: str | None = None):
+def main(sf_dir: str, only: str | None = None,
+         sweep_out: str | None = None):
     import os
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
@@ -85,6 +92,7 @@ def main(sf_dir: str, only: str | None = None):
 
     n_ok = n_fail = 0
     pats = only.split(",") if only else None
+    sweep: dict = {}
     for name, fn in qs.items():
         if pats and not any(p in name for p in pats):
             continue
@@ -92,26 +100,50 @@ def main(sf_dir: str, only: str | None = None):
             ours = to_pandas(fn(sf_dir))
         except Exception as ex:
             print(f"FAIL {name}: query raised {type(ex).__name__}: {ex}")
+            sweep[name] = {"status": "fail", "rows": None,
+                           "check": "query_raised",
+                           "err": f"{type(ex).__name__}: {ex}"[:200]}
             n_fail += 1
             continue
         if name not in osql:
             print(f"ok   {name} (rows-only): {len(ours)} rows")
+            sweep[name] = {"status": "ok", "rows": len(ours),
+                           "check": "rows_only"}
             n_ok += 1
             continue
         try:
             ref = con.sql(osql[name]).df()
         except Exception as ex:
             print(f"FAIL {name}: oracle raised {ex}")
+            sweep[name] = {"status": "fail", "rows": len(ours),
+                           "check": "oracle_raised",
+                           "err": str(ex)[:200]}
             n_fail += 1
             continue
         errs = compare(name, ours, ref)
         if errs:
             print(f"FAIL {name}: " + "; ".join(str(e0) for e0 in errs))
+            sweep[name] = {"status": "fail", "rows": len(ours),
+                           "check": "oracle",
+                           "err": "; ".join(str(e0) for e0 in errs)[:200]}
             n_fail += 1
         else:
             print(f"ok   {name}: {len(ours)} rows match oracle")
+            sweep[name] = {"status": "ok", "rows": len(ours),
+                           "check": "oracle"}
             n_ok += 1
     print(f"\n{n_ok} ok, {n_fail} fail")
+    if sweep_out and not pats:
+        art = {"sf_dir": sf_dir, "n_ok": n_ok, "n_fail": n_fail,
+               "n_oracle": sum(1 for v in sweep.values()
+                               if v["check"] == "oracle"
+                               and v["status"] == "ok"),
+               "n_rows_only": sum(1 for v in sweep.values()
+                                  if v["check"] == "rows_only"),
+               "queries": sweep}
+        with open(sweep_out, "w") as f:
+            json.dump(art, f, indent=1, sort_keys=True)
+        print(f"sweep artifact -> {sweep_out}")
     ray.shutdown()
     return n_fail
 
@@ -119,4 +151,5 @@ def main(sf_dir: str, only: str | None = None):
 if __name__ == "__main__":
     sys.exit(1 if main(sys.argv[1] if len(sys.argv) > 1
                        else "/root/testdata/sf0.01",
-                       sys.argv[2] if len(sys.argv) > 2 else None) else 0)
+                       sys.argv[2] if len(sys.argv) > 2 else None,
+                       sys.argv[3] if len(sys.argv) > 3 else None) else 0)
