@@ -28,6 +28,7 @@ import ray.data as rd
 from webalizer_ray.stages import ann, dedup, scan, simjoin, textstats
 from webalizer_ray.stages.aggregate import (
     distinct_count,
+    join_partitions,
     exact_quantiles_bounded,
     reduce_sink,
     salted_two_phase,

@@ -15,6 +15,7 @@ Sections:
 """
 # fmt: off
 from webalizer_ray.pipelines.queries._shared import (  # noqa: F401
+    join_partitions,
     REGISTRY,
     _docs,
     _events,
@@ -2108,7 +2109,7 @@ def mktsegment_order_totals(sf_dir: str) -> pd.DataFrame:
                            columns=["c_custkey", "c_mktsegment"])
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_custkey", "o_totalprice"])
-    joined = orders.join(cust, join_type="inner", num_partitions=8,
+    joined = orders.join(cust, join_type="inner", num_partitions=join_partitions(),
                          on=("o_custkey",), right_on=("c_custkey",))
     out = reduce_sink(joined, ["c_mktsegment"],
                       {"orders": ("o_custkey", "size"),
@@ -2148,10 +2149,10 @@ def tpch_q3_top_orders(sf_dir: str) -> pd.DataFrame:
                          columns=["l_orderkey", "l_extendedprice",
                                   "l_discount"],
                          filter=pds.field("l_shipdate") > pivot)
-    sel = orders.join(cust, join_type="inner", num_partitions=8,
+    sel = orders.join(cust, join_type="inner", num_partitions=join_partitions(),
                       on=("o_custkey",), right_on=("c_custkey",))
     j = li.join(sel.select_columns(["o_orderkey", "o_orderdate"]),
-                join_type="inner", num_partitions=8,
+                join_type="inner", num_partitions=join_partitions(),
                 on=("l_orderkey",), right_on=("o_orderkey",))
 
     def revenue(batch: pa.Table) -> pa.Table:
@@ -2509,7 +2510,7 @@ def urgent_lineitem_qty(sf_dir: str) -> pd.DataFrame:
     build = urgent.map_batches(
         lambda df: df.rename(columns={"o_orderkey": "l_orderkey"}),
         batch_format="pandas")
-    joined = survivors.join(build, join_type="inner", num_partitions=8,
+    joined = survivors.join(build, join_type="inner", num_partitions=join_partitions(),
                             on=("l_orderkey",))
     agg = reduce_sink(joined.map_batches(
         lambda df: df.assign(_g=np.int32(0)), batch_format="pandas"),
@@ -2778,7 +2779,7 @@ def urgent_orders_per_customer(sf_dir: str) -> pd.DataFrame:
         ["o_custkey"], {"n": ("o_custkey", "size")})
     cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey", "c_mktsegment"])
-    j = cust.join(oc, join_type="left_outer", num_partitions=8,
+    j = cust.join(oc, join_type="left_outer", num_partitions=join_partitions(),
                   on=("c_custkey",), right_on=("o_custkey",))
 
     def fill(df: pd.DataFrame) -> pd.DataFrame:

@@ -15,6 +15,7 @@ Sections:
 """
 # fmt: off
 from webalizer_ray.pipelines.queries._shared import (  # noqa: F401
+    join_partitions,
     REGISTRY,
     _docs,
     _events,
@@ -97,7 +98,7 @@ def tpch_q22_dormant_customers(sf_dir: str) -> pd.DataFrame:
         filter=pds.field("o_orderdate") >= _dt.datetime(2000, 1, 1))
     per_cust = reduce_sink(recent, ["o_custkey"],
                            {"n_ord": ("o_custkey", "size")})
-    j = act.join(per_cust, join_type="left_outer", num_partitions=8,
+    j = act.join(per_cust, join_type="left_outer", num_partitions=join_partitions(),
                  on=("c_custkey",), right_on=("o_custkey",))
 
     def qualify(df: pd.DataFrame) -> pd.DataFrame:

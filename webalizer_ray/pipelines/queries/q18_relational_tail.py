@@ -9,6 +9,7 @@ restores it along the pre-existing section boundary).  Sections:
 """
 # fmt: off
 from webalizer_ray.pipelines.queries._shared import (  # noqa: F401
+    join_partitions,
     REGISTRY,
     _docs,
     _events,
@@ -1996,7 +1997,7 @@ def tpch_q21_sole_late_supplier(sf_dir: str) -> pd.DataFrame:
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_orderdate"],
                              filter=pds.field("o_orderstatus") == "F")
-    j = li.join(orders, join_type="inner", num_partitions=8,
+    j = li.join(orders, join_type="inner", num_partitions=join_partitions(),
                 on=("l_orderkey",), right_on=("o_orderkey",))
 
     def late_flag(batch: pa.Table) -> pa.Table:
@@ -2011,7 +2012,7 @@ def tpch_q21_sole_late_supplier(sf_dir: str) -> pd.DataFrame:
     per_order = reduce_sink(f, ["l_orderkey"],
                             {"n_supp": ("late", "size"),
                              "n_late": ("late", "sum")})
-    fo = f.join(per_order, join_type="inner", num_partitions=8,
+    fo = f.join(per_order, join_type="inner", num_partitions=join_partitions(),
                 on=("l_orderkey",), right_on=("l_orderkey",))
 
     def qualify(df: pd.DataFrame) -> pd.DataFrame:
@@ -2022,7 +2023,7 @@ def tpch_q21_sole_late_supplier(sf_dir: str) -> pd.DataFrame:
     sup = rd.read_parquet(f"{sf_dir}/supplier.parquet",
                           columns=["s_suppkey", "s_name"])
     named = (fo.map_batches(qualify, batch_format="pandas")
-             .join(sup, join_type="inner", num_partitions=8,
+             .join(sup, join_type="inner", num_partitions=join_partitions(),
                    on=("l_suppkey",), right_on=("s_suppkey",)))
     agg = reduce_sink(named, ["s_name"],
                       {"numwait": ("s_name", "size")}).to_pandas()

@@ -36,7 +36,7 @@ import ray.data as rd
 from ray.data.aggregate import Min, Sum
 
 from webalizer_ray.stages import strhash
-from webalizer_ray.stages.aggregate import key_bucket
+from webalizer_ray.stages.aggregate import join_partitions, key_bucket
 from webalizer_ray.stages.sketch import splitmix64
 from webalizer_ray.stages.textstats import add_fingerprint, round_half_away
 from webalizer_ray.stages.vecops import ids_from_column, mat_from_column
@@ -1306,7 +1306,7 @@ def incremental_minhash_dedup(ds: rd.Dataset, store_dir: str, run_id: str,
                      for s in df["sig"]]})
 
     j = cands.join(sigs.map_batches(pack, batch_format="pandas"),
-                   join_type="inner", num_partitions=8,
+                   join_type="inner", num_partitions=join_partitions(),
                    on=(id_col,), right_on=(id_col,))
 
     def add_obk(df: pd.DataFrame) -> pd.DataFrame:
