@@ -12,7 +12,6 @@ from __future__ import annotations
 import duckdb
 import numpy as np
 import pandas as pd
-import pytest
 
 from webalizer_ray.stages.sketch import splitmix64
 from webalizer_ray.stages.strhash import (
