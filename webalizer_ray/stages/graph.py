@@ -407,8 +407,15 @@ def bfs_levels(edges: rd.Dataset | pd.DataFrame, roots,
                     front_msgs, batch_format="pandas"))
                 .groupby("_h").map_groups(expand, batch_format="pandas")
                 .union(state))
+        # repartition BOUNDS the per-round block count (same
+        # discipline as the CC/PageRank supersteps): union output
+        # carries one block per input block, so without it the
+        # state/frontier block counts DOUBLE each round — measured
+        # geometric slowdown on multi-block edge inputs (r4; the knn
+        # Dataset-edges path)
         state = reduce_sink(cand, ["node"],
-                            {"level": ("level", "min")}).materialize()
+                            {"level": ("level", "min")}) \
+            .repartition(num_partitions).materialize()
 
         def front(df: pd.DataFrame, _d=depth) -> pa.Table:
             sel = df[df["level"] == _d]
@@ -531,12 +538,15 @@ def sssp_distances(edges: rd.Dataset | pd.DataFrame, roots,
         cand = (emsgs.union(frontier.map_batches(
                     front_msgs, batch_format="pandas"))
                 .groupby("_h").map_groups(relax, batch_format="pandas"))
+        # repartition bounds the per-round block count (see bfs_levels
+        # — without it state/frontier blocks double every round on
+        # multi-block edge inputs; r4)
         merged = (state.map_batches(tag_rows(0), batch_format="pandas")
                   .union(cand.map_batches(tag_rows(1),
                                           batch_format="pandas"))
                   .groupby("_h").map_groups(settle,
                                             batch_format="pandas")
-                  .materialize())
+                  .repartition(num_partitions).materialize())
         state = merged.map_batches(
             lambda df: typed_state(df), batch_format="pandas") \
             .materialize()
