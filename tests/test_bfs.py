@@ -124,3 +124,37 @@ def test_sssp_layout_invariance(ray_session):
     a = _dists(rd.from_pandas(e).repartition(1), [0, 1])
     b = _dists(rd.from_pandas(e).repartition(6), [0, 1])
     assert a == b
+
+
+def test_superstep_block_counts_stay_bounded(ray_session):
+    """r4 regression pin: on a MULTI-BLOCK edge Dataset the per-round
+    state/frontier block counts must stay bounded (they doubled every
+    superstep before the repartition fix — 34→100→232→496→1024 blocks,
+    turning a 6-s BFS into 35 minutes of scheduling overhead). The
+    returned state is the last round's materialized Dataset, so its
+    block count is the direct observable."""
+    from webalizer_ray.stages.graph import bfs_levels, sssp_distances
+
+    rng = np.random.RandomState(7)
+    n = 400
+    edges = pd.DataFrame({
+        "src": rng.randint(0, n, 3000).astype(np.int64),
+        "dst": rng.randint(0, n, 3000).astype(np.int64)})
+    e32 = rd.from_pandas(edges).repartition(32).materialize()
+    st = bfs_levels(e32, roots=[0, 1], max_depth=6)
+    assert st.num_blocks() <= 8          # num_partitions default
+    # and the result equals the single-block run
+    one = bfs_levels(rd.from_pandas(edges), roots=[0, 1], max_depth=6)
+    a = st.to_pandas().sort_values("node", ignore_index=True)
+    b = one.to_pandas().sort_values("node", ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)
+
+    edges["w"] = rng.randint(1, 9, 3000).astype(np.int64)
+    e32w = rd.from_pandas(edges).repartition(32).materialize()
+    stw = sssp_distances(e32w, roots=[0, 1], max_hops=5)
+    assert stw.num_blocks() <= 8
+    onew = sssp_distances(rd.from_pandas(edges), roots=[0, 1],
+                          max_hops=5)
+    aw = stw.to_pandas().sort_values("node", ignore_index=True)
+    bw = onew.to_pandas().sort_values("node", ignore_index=True)
+    pd.testing.assert_frame_equal(aw, bw)
