@@ -55,13 +55,28 @@ def test_gif_malformed_raises_valueerror():
         encode_gif(rng.integers(0, 256, (32, 32, 3), dtype=np.uint8))
 
 
-def test_gif_interlaced_rejected():
-    ok = bytearray(encode_gif(np.zeros((2, 2, 3), np.uint8)))
-    # image descriptor starts right after header+LSD+GCT; find 0x2C
-    idx = ok.index(0x2C, 13)
-    ok[idx + 9] |= 0x40             # set the interlace flag
-    with pytest.raises(ValueError, match="interlaced"):
-        decode_gif(bytes(ok))
+def test_gif_interlaced_decodes_pixel_exact():
+    """r4: 4-pass interlaced GIFs decode for real — build one by hand
+    (rows stored in 0::8, 4::8, 2::4, 1::2 order, interlace flag set)
+    and expect the original image back."""
+    import struct
+
+    from webalizer_ray.stages.multimodal import _lzw_encode
+
+    rng = np.random.default_rng(4)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    for h, w in [(13, 7), (8, 8), (1, 5), (2, 9)]:
+        idxs = rng.integers(0, 16, (h, w))
+        img = pal[idxs]
+        order = np.concatenate([np.arange(0, h, 8), np.arange(4, h, 8),
+                                np.arange(2, h, 4), np.arange(1, h, 2)])
+        stored = idxs[order]
+        lsd = struct.pack("<HHBBB", w, h, 0x80 | 3, 0, 0)
+        idesc = struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x40)
+        data = (b"GIF89a" + lsd + pal.tobytes() + idesc
+                + _lzw_encode(stored.reshape(-1).astype(np.int64), 4)
+                + b"\x3B")
+        assert (decode_gif(data) == img).all(), (h, w)
 
 
 def test_decode_image_payload_sniffs_gif():

@@ -261,11 +261,11 @@ def encode_gif(rgb: np.ndarray) -> bytes:
 
 
 def decode_gif(data: bytes) -> np.ndarray:
-    """Single-frame GIF87a/89a → (h, w, 3) uint8 RGB (spec subset:
-    non-interlaced, first image block; extensions skipped; local
-    color table honored over the global one).  Raises ValueError on
-    interlaced or malformed input — the same honest-subset discipline
-    as decode_png."""
+    """Single-frame GIF87a/89a → (h, w, 3) uint8 RGB (first image
+    block; extensions skipped; local color table honored over the
+    global one; 4-pass interlaced row order handled — r4).  Raises
+    ValueError on malformed input — the same honest-subset
+    discipline as decode_png."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     if len(data) < 13:
@@ -293,8 +293,7 @@ def decode_gif(data: bytes) -> np.ndarray:
             raise ValueError("malformed GIF: truncated image descriptor")
         _x, _y, w, h, ipk = struct.unpack_from("<HHHHB", data, pos + 1)
         pos += 10
-        if ipk & 0x40:
-            raise ValueError("decode_gif: interlaced GIF not supported")
+        interlaced = bool(ipk & 0x40)
         ct = gct
         if ipk & 0x80:
             n = 2 << (ipk & 0x07)
@@ -315,7 +314,18 @@ def decode_gif(data: bytes) -> np.ndarray:
         idx = _lzw_decode(bytes(lzw), mcs, w * h)
         if idx.max(initial=0) >= len(ct):
             raise ValueError("malformed GIF: index outside color table")
-        return ct[idx].reshape(h, w, 3).copy()
+        px = ct[idx].reshape(h, w, 3)
+        if interlaced:
+            # GIF89a 4-pass interlace: stored row order is rows
+            # 0::8, 4::8, 2::4, 1::2 of the final image (r4)
+            order = np.concatenate([np.arange(0, h, 8),
+                                    np.arange(4, h, 8),
+                                    np.arange(2, h, 4),
+                                    np.arange(1, h, 2)])
+            out = np.empty_like(px)
+            out[order] = px
+            return out.copy()
+        return px.copy()
     raise ValueError("malformed GIF: no image block")
 
 
