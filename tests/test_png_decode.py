@@ -157,14 +157,17 @@ def test_dhash_and_resize_stages_accept_png():
     assert max(px.shape[:2]) <= 8
 
 
-def test_jpeg_class_still_stubbed():
+def test_unknown_formats_still_stubbed():
+    """r4: JPEG decodes for REAL now (stages/jpeg.py) — only formats
+    with no pure-numpy path (video-codec bytes) keep the honest
+    NotImplementedError stub."""
     from webalizer_ray.stages.multimodal import DecodeImage
 
-    jpeg_ish = b"\xff\xd8\xff\xe0" + b"\x00" * 32
+    video_ish = b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 32
     batch = pa.table({
         "media_id": pa.array([1], pa.int64()),
-        "kind": pa.array(["image"]),
-        "payload": pa.array([jpeg_ish], pa.large_binary())})
+        "kind": pa.array(["video"]),
+        "payload": pa.array([video_ish], pa.large_binary())})
     with pytest.raises(Exception) as ei:
         DecodeImage(feature_dim=8)(batch)
     assert "NotImplementedError" in repr(ei.getrepr()) \
