@@ -101,7 +101,10 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError(f"decode_png: unknown color type {ctype}")
     bpp = channels                      # bytes per pixel at depth 8
     stride = w * channels
-    raw = zlib.decompress(idat)
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as ex:
+        raise ValueError(f"malformed PNG: bad IDAT ({ex})") from ex
     if len(raw) != h * (1 + stride):
         raise ValueError("decode_png: bad data length")
     recon = np.zeros((h, stride), np.uint8)

@@ -212,6 +212,14 @@ class _BitReader:
         raise ValueError("malformed JPEG: bad Huffman code")
 
 
+def c_h(hv: int) -> int:
+    return hv >> 4
+
+
+def c_v(hv: int) -> int:
+    return hv & 15
+
+
 def _extend(v: int, t: int) -> int:
     """T.81 F.2.2.1 EXTEND: map t received bits to a signed value."""
     return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
@@ -267,9 +275,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError("decode_jpeg: only 8-bit precision")
+            if len(body) < 6 + 3 * nc:
+                raise ValueError("malformed JPEG: short SOF0")
             comps = []
             for c in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * c)
+                if not (1 <= c_h(hv) <= 4 and 1 <= c_v(hv) <= 4):
+                    raise ValueError("malformed JPEG: bad sampling")
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15,
                               "tq": tq})
         elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
@@ -290,6 +302,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     if comps is None or scan is None:
         raise ValueError("malformed JPEG: missing SOF0/SOS")
 
+    for sden in scan:
+        if sden["cs"] not in {c["id"] for c in comps}:
+            raise ValueError("malformed JPEG: scan references an "
+                             "unknown component")
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     if hmax > 2 or vmax > 2:
@@ -303,9 +319,21 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         c["td"], c["ta"] = s["td"], s["ta"]
         c["blocks"] = []
 
+    for c in order:
+        if c["td"] not in huff_dc or c["ta"] not in huff_ac:
+            raise ValueError("malformed JPEG: missing Huffman table")
+        if c["tq"] not in qt:
+            raise ValueError("malformed JPEG: missing quant table")
     rdr = _BitReader(data, pos)
     pred = {c["id"]: 0 for c in comps}
     n_mcu = mcux * mcuy
+    blocks_per_mcu = sum(c["h"] * c["v"] for c in comps)
+    # every block costs ≥ 2 Huffman symbols ≥ ~3 bits; a corrupted SOF
+    # declaring huge dimensions would otherwise spin millions of MCU
+    # iterations against a few bytes of entropy data
+    if n_mcu * blocks_per_mcu > max(len(data) - pos, 1) * 8:
+        raise ValueError("malformed JPEG: dimensions inconsistent "
+                         "with stream size")
     for mi in range(n_mcu):
         if restart_interval and mi and mi % restart_interval == 0:
             rdr.restart()

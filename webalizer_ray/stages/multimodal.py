@@ -105,6 +105,8 @@ def decode_bmp(data: bytes) -> np.ndarray:
     """Uncompressed 24-bit BI_RGB BMP → (h, w, 3) uint8 RGB."""
     if data[:2] != b"BM":
         raise ValueError("not a BMP")
+    if len(data) < 54:
+        raise ValueError("malformed BMP: truncated header")
     off = struct.unpack_from("<I", data, 10)[0]
     w, h = struct.unpack_from("<ii", data, 18)
     bpp = struct.unpack_from("<H", data, 28)[0]
@@ -305,6 +307,10 @@ def decode_gif(data: bytes) -> np.ndarray:
             raise ValueError("malformed GIF: no color table")
         mcs = data[pos]
         pos += 1
+        if not 2 <= mcs <= 11:
+            # spec range (initial code size ≤ 12 bits); a corrupted
+            # byte here would otherwise build a 2^mcs-entry base table
+            raise ValueError("malformed GIF: bad LZW min code size")
         lzw = bytearray()
         while pos < len(data) and data[pos]:
             ln = data[pos]
@@ -313,6 +319,12 @@ def decode_gif(data: bytes) -> np.ndarray:
                 raise ValueError("malformed GIF: truncated sub-block")
             lzw += blk
             pos += 1 + ln
+        if w * h > max(len(lzw), 1) * _GIF_MAX_CODE:
+            # LZW cannot expand a stream beyond ~4096 px per byte —
+            # a corrupted descriptor declaring huge dimensions would
+            # otherwise allocate GBs before the stream runs dry
+            raise ValueError("malformed GIF: dimensions inconsistent "
+                             "with data size")
         idx = _lzw_decode(bytes(lzw), mcs, w * h)
         if idx.max(initial=0) >= len(ct):
             raise ValueError("malformed GIF: index outside color table")
