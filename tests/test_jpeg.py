@@ -108,3 +108,40 @@ def test_media_fixture_jpeg_rows_decode_real(ray_session):
                                          range=(0.0, 255.0 + 1e-9))[0]
                             / px[:, :, 0].size]).mean()), 6)
         assert abs(float(r["feat_mean"]) - want) < 1e-9
+
+
+def test_adpcm_wav_round_trip_and_fixture(ray_session):
+    """IMA ADPCM (r4): ~4:1 compressed audio round-trips with SNR >
+    20 dB across multiple blocks, decode_wav dispatches on the format
+    tag transparently, and the media fixture (v6) feeds REAL ADPCM
+    payloads through media_audio_features."""
+    from webalizer_ray.pipelines import queries as Q
+    from webalizer_ray.pipelines.queries.q01_core import _media_ds
+    from webalizer_ray.stages.multimodal import (
+        decode_wav,
+        encode_adpcm_wav,
+    )
+
+    t = np.arange(4000) / 8000.0
+    s16 = np.clip(0.5 * np.sin(2 * np.pi * 330 * t) * 32767,
+                  -32768, 32767).astype(np.int16)
+    data = encode_adpcm_wav(s16, 8000)
+    assert len(data) < 2 * len(s16) // 3          # really compressed
+    back, rate = decode_wav(data)
+    assert rate == 8000 and len(back) == len(s16)
+    err = back.astype(np.float64) - s16.astype(np.float64)
+    snr = 10 * np.log10((s16.astype(np.float64) ** 2).mean()
+                        / max((err ** 2).mean(), 1e-12))
+    assert snr > 20
+
+    out = Q.REGISTRY["media_audio_features"][0]("/root/testdata/sf0.001")
+    tbl = _media_ds().to_pandas()
+    ad = tbl[tbl["mime"] == "audio/wav;codec=adpcm"]
+    assert len(ad) > 0
+    m = out.merge(ad[["media_id"]], on="media_id")
+    assert len(m) == len(ad)
+    # durations survive the lossy codec exactly (fact chunk)
+    for _, r in m.iterrows():
+        want = tbl.loc[tbl["media_id"] == r["media_id"],
+                       "duration_ms"].iloc[0]
+        assert abs(r["duration_s"] * 1000 - want) < 1.0

@@ -31,7 +31,7 @@ import pyarrow as pa
 
 #: Version tag of synth_media_table's schema+payloads; bump on any change
 #: so cached fixture files are never served across versions.
-MEDIA_TABLE_VERSION = 5
+MEDIA_TABLE_VERSION = 6
 
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.int64()),
@@ -359,26 +359,187 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
             + b"data" + struct.pack("<I", len(data)) + data)
 
 
+#: IMA/DVI ADPCM step-size and index-adjust tables (public domain,
+#: the IMA "Recommended Practices for Enhancing Digital Audio
+#: Compatibility" reference algorithm)
+_ADPCM_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767], dtype=np.int64)
+_ADPCM_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8,
+                         -1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
+
+
+def _adpcm_decode_block(body: bytes, n_samples: int) -> np.ndarray:
+    """One IMA ADPCM mono block → int16 samples (header sample + 4-bit
+    nibbles, low nibble first). Bit-serial by spec — the per-payload
+    exemption shared with every entropy decoder here."""
+    if len(body) < 4:
+        raise ValueError("malformed ADPCM block")
+    pred = struct.unpack_from("<h", body, 0)[0]
+    index = body[2]
+    if index > 88:
+        raise ValueError("malformed ADPCM block: bad step index")
+    out = np.empty(n_samples, dtype=np.int16)
+    out[0] = pred
+    nib = []
+    for byte in body[4:]:
+        nib.append(byte & 0x0F)
+        nib.append(byte >> 4)
+    if n_samples - 1 > len(nib):
+        raise ValueError("malformed ADPCM block: short nibble data")
+    for i in range(1, n_samples):
+        code = nib[i - 1]
+        step = int(_ADPCM_STEPS[index])
+        diff = step >> 3
+        if code & 1:
+            diff += step >> 2
+        if code & 2:
+            diff += step >> 1
+        if code & 4:
+            diff += step
+        if code & 8:
+            diff = -diff
+        pred = max(-32768, min(32767, pred + diff))
+        index = max(0, min(88, index + int(_ADPCM_INDEX[code])))
+        out[i] = pred
+    return out
+
+
+def _adpcm_encode_block(samples: np.ndarray, index: int) -> tuple:
+    """Encode one mono block; returns (bytes, next_index)."""
+    pred = int(samples[0])
+    out = bytearray(struct.pack("<hBB", pred, index, 0))
+    nibbles = []
+    for s in samples[1:]:
+        step = int(_ADPCM_STEPS[index])
+        diff = int(s) - pred
+        code = 0
+        if diff < 0:
+            code = 8
+            diff = -diff
+        d = step >> 3
+        if diff >= step:
+            code |= 4
+            diff -= step
+            d += step
+        if diff >= step >> 1:
+            code |= 2
+            diff -= step >> 1
+            d += step >> 1
+        if diff >= step >> 2:
+            code |= 1
+            d += step >> 2
+        pred = max(-32768, min(32767, pred + (-d if code & 8 else d)))
+        index = max(0, min(88, index + int(_ADPCM_INDEX[code])))
+        nibbles.append(code)
+    if len(nibbles) % 2:
+        nibbles.append(0)
+    for lo, hi in zip(nibbles[::2], nibbles[1::2]):
+        out.append(lo | (hi << 4))
+    return bytes(out), index
+
+
+#: mono ADPCM block: 4-byte header (predictor, index, pad) + nibbles
+_ADPCM_BLOCK_ALIGN = 256
+
+
+def encode_adpcm_wav(samples: np.ndarray,
+                     sample_rate: int = 8000) -> bytes:
+    """int16 mono PCM → RIFF/WAVE with IMA ADPCM compression (format
+    tag 0x11, ~4:1) — real lossy audio compression with zero external
+    libraries, the audio counterpart of the GIF/JPEG story (r4)."""
+    s = np.asarray(samples, dtype=np.int16)
+    spb = (_ADPCM_BLOCK_ALIGN - 4) * 2 + 1
+    blocks = []
+    index = 0
+    n = len(s)
+    if n == 0:
+        raise ValueError("encode_adpcm_wav: empty sample array")
+    for start in range(0, n, spb):
+        chunk = s[start:start + spb]
+        if len(chunk) < spb:             # pad the tail block
+            chunk = np.concatenate([
+                chunk, np.full(spb - len(chunk), chunk[-1], np.int16)])
+        blk, index = _adpcm_encode_block(chunk, index)
+        blocks.append(blk)
+    data = b"".join(blocks)
+    fmt = struct.pack("<HHIIHHHH", 0x11, 1, sample_rate,
+                      sample_rate * _ADPCM_BLOCK_ALIGN // spb,
+                      _ADPCM_BLOCK_ALIGN, 4, 2, spb)
+    fact = struct.pack("<I", n)
+    return (b"RIFF"
+            + struct.pack("<I",
+                          4 + 8 + len(fmt) + 8 + 4 + 8 + len(data))
+            + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"fact" + struct.pack("<I", 4) + fact
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
-    """RIFF/WAVE 16-bit mono PCM → (int16 samples, sample_rate).
-    Walks the chunk list (spec-compliant readers must skip unknown
-    chunks like LIST/fact), so non-canonical writers still decode."""
+    """RIFF/WAVE mono → (int16 samples, sample_rate): 16-bit PCM
+    (format tag 1) or IMA ADPCM (tag 0x11, r4 — real compressed audio
+    decoded with the public IMA reference algorithm). Walks the chunk
+    list (spec-compliant readers must skip unknown chunks like LIST),
+    so non-canonical writers still decode."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
-    pos, rate, samples = 12, None, None
+    pos, rate = 12, None
+    tag = block_align = spb = n_total = None
+    raw = None
     while pos + 8 <= len(data):
-        cid, sz = data[pos:pos + 4], struct.unpack_from("<I", data, pos + 4)[0]
+        cid, sz = data[pos:pos + 4], struct.unpack_from("<I", data,
+                                                        pos + 4)[0]
         body = data[pos + 8:pos + 8 + sz]
         if cid == b"fmt ":
-            tag, ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", body)
-            if tag != 1 or ch != 1 or bits != 16:
-                raise ValueError(
-                    f"unsupported WAV (tag={tag}, ch={ch}, bits={bits})")
+            if len(body) < 16:
+                raise ValueError("malformed WAV: short fmt chunk")
+            tag, ch, rate, _, block_align, bits = \
+                struct.unpack_from("<HHIIHH", body)
+            if tag == 1:
+                if ch != 1 or bits != 16:
+                    raise ValueError(
+                        f"unsupported WAV (tag={tag}, ch={ch}, "
+                        f"bits={bits})")
+            elif tag == 0x11:
+                if ch != 1 or bits != 4 or len(body) < 20:
+                    raise ValueError(
+                        f"unsupported ADPCM WAV (ch={ch}, "
+                        f"bits={bits})")
+                spb = struct.unpack_from("<H", body, 18)[0]
+                if spb < 1 or block_align < 5 \
+                        or spb > (block_align - 4) * 2 + 1:
+                    raise ValueError("malformed ADPCM fmt")
+            else:
+                raise ValueError(f"unsupported WAV format tag {tag}")
+        elif cid == b"fact":
+            if len(body) >= 4:
+                n_total = struct.unpack_from("<I", body, 0)[0]
         elif cid == b"data":
-            samples = np.frombuffer(body, dtype="<i2").copy()
+            raw = body
         pos += 8 + sz + (sz & 1)          # chunks are word-aligned
-    if rate is None or samples is None:
+    if rate is None or raw is None:
         raise ValueError("truncated WAV (missing fmt/data chunk)")
+    if tag == 1:
+        return np.frombuffer(raw[:len(raw) & ~1], dtype="<i2").copy(), \
+            rate
+    parts = []
+    for start in range(0, max(len(raw) - 4, 0), block_align):
+        blk = raw[start:start + block_align]
+        if len(blk) < 5:
+            break
+        parts.append(_adpcm_decode_block(blk, spb))
+    if not parts:
+        raise ValueError("malformed ADPCM WAV: no blocks")
+    samples = np.concatenate(parts)
+    if n_total is not None:
+        samples = samples[:n_total]
     return samples, rate
 
 
@@ -386,9 +547,9 @@ def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
     """Deterministic media table: image rows carry REAL encoded pixels
     (PPM / BMP / GIF / JPEG rotating — GIF rows use a ≤64-color
     palette + real LZW; JPEG rows are real baseline T.81 streams,
-    some 4:2:0, some with restart markers), audio rows carry REAL
-    16-bit PCM WAV (seeded sine + noise), video rows carry seeded
-    fake bytes."""
+    some 4:2:0, some with restart markers), audio rows alternate REAL
+    16-bit PCM WAV and REAL IMA-ADPCM-compressed WAV (seeded sine +
+    noise), video rows carry seeded fake bytes."""
     rng = np.random.default_rng(seed)
     kinds = np.array(["image", "audio", "video"])[rng.integers(0, 3, n)]
     payloads, widths, heights, mimes, durations = [], [], [], [], []
@@ -428,10 +589,14 @@ def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
             amp = float(rng.uniform(0.1, 0.8))
             wave = (amp * np.sin(2 * np.pi * freq * t)
                     + 0.02 * rng.standard_normal(n_samp))
-            payloads.append(encode_wav(
-                np.clip(wave * 32767, -32768, 32767).astype(np.int16),
-                rate))
-            mimes.append("audio/wav")
+            s16 = np.clip(wave * 32767, -32768,
+                          32767).astype(np.int16)
+            if i % 2:
+                payloads.append(encode_adpcm_wav(s16, rate))
+                mimes.append("audio/wav;codec=adpcm")
+            else:
+                payloads.append(encode_wav(s16, rate))
+                mimes.append("audio/wav")
             widths.append(-1)
             heights.append(-1)
             durations.append(int(n_samp * 1000 / rate))
