@@ -1,4 +1,4 @@
-"""Driver-contract queries (chunk 1/17).
+"""Driver-contract queries (chunk 1/18).
 Sections:
   - A1–A3: time-bucket aggregates over events (daily/hourly/monthly tables)
   - K1, A10, P9, P10 analogs over events

@@ -1,4 +1,4 @@
-"""Driver-contract queries (chunk 2/17).
+"""Driver-contract queries (chunk 2/18).
 Sections:
   - argmax with smaller-label tiebreak: labels ascend, argmax
   - composite int64 key (user_rank * span + relative_ts) makes

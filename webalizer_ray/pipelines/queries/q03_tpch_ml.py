@@ -1,4 +1,4 @@
-"""Driver-contract queries (chunk 3/17).
+"""Driver-contract queries (chunk 3/18).
 Sections:
   - all-empty block sets lose their schema on to_pandas();
   - Ray drops the schema of all-empty block sets on to_pandas();

@@ -1,4 +1,4 @@
-"""Driver-contract queries (chunk 4/17).
+"""Driver-contract queries (chunk 4/18).
 Sections:
   - last segment of the bucket extends to the next non-empty
   - U_t = Σ_{i<=t} Σ_{j>t} sgn(y_i − y_j): direct masked sums over

@@ -1,4 +1,4 @@
-"""Driver-contract queries (chunk 5/17).
+"""Driver-contract queries (chunk 5/18).
 Sections:
   - vectorized bit length: int64→float64 is EXACT for cents
   - seam gaps between consecutive non-empty buckets (driver,

@@ -1,4 +1,4 @@
-"""Driver-contract queries (chunk 6/17).
+"""Driver-contract queries (chunk 6/18).
 Sections:
   - reduceat segments ending before the next start are the
   - seam gaps between adjacent buckets (buckets are disjoint time

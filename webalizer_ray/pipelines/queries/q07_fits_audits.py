@@ -1,4 +1,4 @@
-"""Driver-contract queries (chunk 7/17).
+"""Driver-contract queries (chunk 7/18).
 Sections:
   - top-2 values (ties leave the margin unchanged)
   - python ints: n*sxx overflows int64 at full scale

@@ -1,4 +1,4 @@
-"""Driver-contract queries (chunk 8/17).
+"""Driver-contract queries (chunk 8/18).
 Sections:
   - SQL (lo+hi)/2 is float division; match its threshold exactly
   - ascending rank with DESC user_id ties == reverse of the

@@ -1,4 +1,4 @@
-"""Driver-contract queries (chunk 9/17).
+"""Driver-contract queries (chunk 9/18).
 Sections:
   - southwest exclusive 2-D cumulative: pairs below-left of (i,j)
 """

@@ -1,4 +1,4 @@
-"""Driver-contract queries (chunk 10/17).
+"""Driver-contract queries (chunk 10/18).
 Sections:
   - sessions never span user-hash buckets, so sessionize AND
   - Multiple-testing control over the hour-of-week purchase-rate family

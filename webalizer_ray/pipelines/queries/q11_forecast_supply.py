@@ -1,4 +1,4 @@
-"""Driver-contract queries (chunk 11/17).
+"""Driver-contract queries (chunk 11/18).
 Sections:
   - Intermittent-demand forecasting + inventory policy (the operators the
   - L-moments: robust shape statistics via exact probability-weighted

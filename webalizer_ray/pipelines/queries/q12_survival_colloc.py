@@ -1,4 +1,4 @@
-"""Driver-contract queries (chunk 12/17).
+"""Driver-contract queries (chunk 12/18).
 Sections:
   - Nelson–Aalen cumulative hazard vs Kaplan–Meier (tie-heavy discrete
   - Distribution-free quantile confidence intervals (order-statistic

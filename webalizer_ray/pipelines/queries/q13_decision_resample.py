@@ -1,4 +1,4 @@
-"""Driver-contract queries (chunk 13/17).
+"""Driver-contract queries (chunk 13/18).
 Sections:
   - Newsvendor stocking: critical-fractile quantiles + the empirical
   - Jackknife audit of the ratio estimator: leave-one-unit-out vs the

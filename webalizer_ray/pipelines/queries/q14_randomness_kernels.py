@@ -1,4 +1,4 @@
-"""Driver-contract queries (chunk 14/17).
+"""Driver-contract queries (chunk 14/18).
 Sections:
   - Randomness audits on cent digits: Knuth's serial-pair and gap tests
   - Nonparametric smoothing: circular Nadaraya–Watson purchase rate by

@@ -1,4 +1,4 @@
-"""Driver-contract queries (chunk 15/17).
+"""Driver-contract queries (chunk 15/18).
 Sections:
   - Markov mixing structure: Dobrushin contraction + per-state memory
   - Aggregation bias (the modifiable-temporal-unit problem): correlation

@@ -1,4 +1,4 @@
-"""Driver-contract queries (chunk 16/17).
+"""Driver-contract queries (chunk 16/18).
 Sections:
   - Probabilistic forecast verification: pinball backtest of quantile
   - Spacings-based clock uniformity: Greenwood's statistic + the

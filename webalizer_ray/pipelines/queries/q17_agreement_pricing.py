@@ -1,4 +1,4 @@
-"""Driver-contract queries (chunk 17/17).
+"""Driver-contract queries (chunk 17/18).
 Sections:
   - The kappa paradox on the two outlier rules' daily verdicts +
   - Workforce management: SIPP per-hour Erlang-C staffing + the
