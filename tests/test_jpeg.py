@@ -145,3 +145,15 @@ def test_adpcm_wav_round_trip_and_fixture(ray_session):
         want = tbl.loc[tbl["media_id"] == r["media_id"],
                        "duration_ms"].iloc[0]
         assert abs(r["duration_s"] * 1000 - want) < 1.0
+
+
+def test_grayscale_jpeg_round_trip():
+    """r4: single-component (grayscale) JPEG — encoder emits nc=1,
+    decoder replicates the luma plane into RGB."""
+    yy, xx = np.mgrid[0:30, 0:41]
+    g = ((yy * 5 + xx * 3) % 256).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(g, 90))
+    assert out.shape == (30, 41, 3)
+    assert (out[:, :, 0] == out[:, :, 1]).all()
+    assert (out[:, :, 1] == out[:, :, 2]).all()
+    assert _psnr(np.repeat(g[:, :, None], 3, axis=2), out) > 40

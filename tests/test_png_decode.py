@@ -107,7 +107,11 @@ def test_palette_color_type():
     np.testing.assert_array_equal(decode_png(data), pal[idx])
 
 
-def test_interlaced_and_16bit_rejected():
+def test_16bit_rejected_and_interlace_needs_adam7_layout():
+    """16-bit depth stays rejected; an interlace FLAG over
+    non-interlaced data is a length mismatch (r4: real Adam7 decoding
+    replaced the blanket interlace rejection — see
+    test_adam7_interlaced_decodes_pixel_exact)."""
     rgb = _rgb(4, 4)
     good = encode_png(rgb)
     for depth, interlace in ((16, 0), (8, 1)):
@@ -198,3 +202,39 @@ def test_decode_png_malformed_raises_valueerror():
     trunc = good[:20]
     with pytest.raises(ValueError, match="PNG"):
         decode_png(trunc)
+
+
+def test_adam7_interlaced_decodes_pixel_exact():
+    """r4: Adam7 interlaced PNGs decode for real — build one by hand
+    (seven filter-0 sub-images in pass order, interlace flag set) and
+    expect the original image back, across edge sizes where several
+    passes are empty."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from webalizer_ray.pipelines.graphs import (
+        _ADAM7,
+        _PNG_SIG,
+        _chunk,
+        decode_png,
+    )
+
+    rng = np.random.default_rng(6)
+    for h, w in [(13, 9), (8, 8), (1, 1), (3, 17), (16, 5)]:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        parts = []
+        for (x0, y0, dx, dy) in _ADAM7:
+            sub = img[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            ph, pw = sub.shape[:2]
+            scan = np.zeros((ph, 1 + pw * 3), np.uint8)
+            scan[:, 1:] = sub.reshape(ph, pw * 3)
+            parts.append(scan.tobytes())
+        idat = zlib.compress(b"".join(parts), 9)
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+        data = (_PNG_SIG + _chunk(b"IHDR", ihdr)
+                + _chunk(b"IDAT", idat) + _chunk(b"IEND", b""))
+        assert (decode_png(data) == img).all(), (h, w)

@@ -52,11 +52,70 @@ def encode_png(rgb: np.ndarray) -> bytes:
             + _chunk(b"IEND", b""))
 
 
+#: Adam7 pass grids: (x0, y0, dx, dy) per pass (PNG spec 8.2)
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _unfilter(raw: bytes, off: int, h: int, w: int,
+              channels: int) -> np.ndarray:
+    """Reverse the five PNG scanline filters over an (h, w·channels)
+    region starting at ``off`` (each row: 1 filter byte + w·channels
+    data bytes). Average/Paeth loop per PIXEL, vectorized across the
+    channels (ADVICE r3)."""
+    bpp = channels
+    stride = w * channels
+    recon = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int64)
+    for y in range(h):
+        base = off + y * (1 + stride)
+        f = raw[base]
+        line = np.frombuffer(raw, np.uint8, stride,
+                             base + 1).astype(np.int64)
+        if f == 0:                      # None
+            cur = line
+        elif f == 2:                    # Up
+            cur = (line + prev) & 0xFF
+        elif f == 1:                    # Sub — per-channel prefix sum
+            cur = line.reshape(w, bpp).cumsum(axis=0).reshape(-1) & 0xFF
+        elif f == 3:                    # Average
+            cur = np.empty(stride, np.int64)
+            lv, pv = line.reshape(w, bpp), prev.reshape(w, bpp)
+            cv = cur.reshape(w, bpp)
+            left = np.zeros(bpp, np.int64)
+            for x in range(w):
+                left = (lv[x] + ((left + pv[x]) >> 1)) & 0xFF
+                cv[x] = left
+        elif f == 4:                    # Paeth
+            cur = np.empty(stride, np.int64)
+            lv, pv = line.reshape(w, bpp), prev.reshape(w, bpp)
+            cv = cur.reshape(w, bpp)
+            left = np.zeros(bpp, np.int64)
+            ul = np.zeros(bpp, np.int64)
+            for x in range(w):
+                b = pv[x]
+                p = left + b - ul
+                pa_ = np.abs(p - left)
+                pb_ = np.abs(p - b)
+                pc_ = np.abs(p - ul)
+                pred = np.where((pa_ <= pb_) & (pa_ <= pc_), left,
+                                np.where(pb_ <= pc_, b, ul))
+                left = (lv[x] + pred) & 0xFF
+                cv[x] = left
+                ul = b
+        else:
+            raise ValueError(f"decode_png: bad filter type {f}")
+        recon[y] = cur.astype(np.uint8)
+        prev = cur
+    return recon
+
+
 def decode_png(data: bytes) -> np.ndarray:
     """General stdlib PNG decoder (spec subset: 8-bit depth, color
-    types 0/2/3/4/6, all five scanline filters, non-interlaced).
+    types 0/2/3/4/6, all five scanline filters, non-interlaced AND
+    Adam7 interlaced — r4).
     Returns HxWx3 uint8 — grayscale replicated, alpha dropped,
-    palette resolved. Raises on 16-bit / interlaced / malformed input.
+    palette resolved. Raises on 16-bit / malformed input.
 
     Upgraded from the encode_png-only round-trip reader so
     multimodal.DecodeImage can run REAL pixels for arbitrary
@@ -94,63 +153,38 @@ def decode_png(data: bytes) -> np.ndarray:
         pos += 12 + ln
     if depth != 8:
         raise ValueError(f"decode_png: unsupported bit depth {depth}")
-    if interlace:
-        raise ValueError("decode_png: interlaced PNG not supported")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if channels is None:
         raise ValueError(f"decode_png: unknown color type {ctype}")
-    bpp = channels                      # bytes per pixel at depth 8
     stride = w * channels
     try:
         raw = zlib.decompress(idat)
     except zlib.error as ex:
         raise ValueError(f"malformed PNG: bad IDAT ({ex})") from ex
-    if len(raw) != h * (1 + stride):
-        raise ValueError("decode_png: bad data length")
-    recon = np.zeros((h, stride), np.uint8)
-    prev = np.zeros(stride, np.int64)
-    for y in range(h):
-        f = raw[y * (1 + stride)]
-        line = np.frombuffer(raw, np.uint8, stride,
-                             y * (1 + stride) + 1).astype(np.int64)
-        if f == 0:                      # None
-            cur = line
-        elif f == 2:                    # Up
-            cur = (line + prev) & 0xFF
-        elif f == 1:                    # Sub — per-channel prefix sum
-            cur = line.reshape(w, bpp).cumsum(axis=0).reshape(-1) & 0xFF
-        elif f == 3:                    # Average
-            # loop over pixels, vectorized across the bpp channels
-            # (ADVICE r3: was a per-BYTE Python loop)
-            cur = np.empty(stride, np.int64)
-            lv, pv = line.reshape(w, bpp), prev.reshape(w, bpp)
-            cv = cur.reshape(w, bpp)
-            left = np.zeros(bpp, np.int64)
-            for x in range(w):
-                left = (lv[x] + ((left + pv[x]) >> 1)) & 0xFF
-                cv[x] = left
-        elif f == 4:                    # Paeth
-            cur = np.empty(stride, np.int64)
-            lv, pv = line.reshape(w, bpp), prev.reshape(w, bpp)
-            cv = cur.reshape(w, bpp)
-            left = np.zeros(bpp, np.int64)
-            ul = np.zeros(bpp, np.int64)
-            for x in range(w):
-                b = pv[x]
-                p = left + b - ul
-                pa_ = np.abs(p - left)
-                pb_ = np.abs(p - b)
-                pc_ = np.abs(p - ul)
-                pred = np.where((pa_ <= pb_) & (pa_ <= pc_), left,
-                                np.where(pb_ <= pc_, b, ul))
-                left = (lv[x] + pred) & 0xFF
-                cv[x] = left
-                ul = b
-        else:
-            raise ValueError(f"decode_png: bad filter type {f}")
-        recon[y] = cur.astype(np.uint8)
-        prev = cur
-    px = recon.reshape(h, w, channels)
+    if not interlace:
+        if len(raw) != h * (1 + stride):
+            raise ValueError("decode_png: bad data length")
+        recon = _unfilter(raw, 0, h, w, channels)
+        px = recon.reshape(h, w, channels)
+    else:
+        # Adam7 (r4): seven sub-images, each filtered independently,
+        # scattered onto the (x0 + i·dx, y0 + j·dy) grids
+        px = np.zeros((h, w, channels), np.uint8)
+        off = 0
+        for (x0, y0, dx, dy) in _ADAM7:
+            pw = max(0, -(-(w - x0) // dx))
+            ph = max(0, -(-(h - y0) // dy))
+            if pw == 0 or ph == 0:
+                continue
+            need = ph * (1 + pw * channels)
+            if off + need > len(raw):
+                raise ValueError("decode_png: bad data length "
+                                 "(interlaced)")
+            sub = _unfilter(raw[off:off + need], 0, ph, pw, channels)
+            px[y0::dy, x0::dx] = sub.reshape(ph, pw, channels)
+            off += need
+        if off != len(raw):
+            raise ValueError("decode_png: bad data length (interlaced)")
     if ctype == 3:                      # palette lookup
         if plte is None:
             raise ValueError("decode_png: palette PNG without PLTE")

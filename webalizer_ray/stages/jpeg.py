@@ -463,29 +463,41 @@ def encode_jpeg(rgb: np.ndarray, quality: int = 85,
     layout).  ``restart_interval`` > 0 emits DRI + RSTn markers every
     that many MCUs (the decoder's restart path is then exercised by
     real streams, not synthetic ones)."""
-    if rgb.dtype != np.uint8 or rgb.ndim != 3 or rgb.shape[2] != 3:
-        raise ValueError("encode_jpeg expects HxWx3 uint8")
+    gray = rgb.ndim == 2
+    if rgb.dtype != np.uint8 or (not gray and
+                                 (rgb.ndim != 3 or rgb.shape[2] != 3)):
+        raise ValueError("encode_jpeg expects HxWx3 (or HxW grayscale) "
+                         "uint8")
     if subsample not in ("444", "420"):
         raise ValueError("subsample must be '444' or '420'")
     h, w = rgb.shape[:2]
-    hmax = vmax = 1 if subsample == "444" else 2
+    hmax = vmax = 1 if (subsample == "444" or gray) else 2
     # pad to full MCUs with edge replication BEFORE the color split so
     # every plane blockifies exactly
     ph = -(-h // (8 * vmax)) * 8 * vmax
     pw = -(-w // (8 * hmax)) * 8 * hmax
-    pad = np.empty((ph, pw, 3), np.uint8)
-    pad[:h, :w] = rgb
-    pad[h:, :w] = rgb[-1:, :, :]
-    pad[:, w:] = pad[:, w - 1:w, :]
-    f = pad.astype(np.float64)
-    y = (0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2])
-    cb = 128.0 - 0.168736 * f[:, :, 0] - 0.331264 * f[:, :, 1] \
-        + 0.5 * f[:, :, 2]
-    cr = 128.0 + 0.5 * f[:, :, 0] - 0.418688 * f[:, :, 1] \
-        - 0.081312 * f[:, :, 2]
-    if subsample == "420":
-        cb = cb.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
-        cr = cr.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+    if gray:
+        pad = np.empty((ph, pw), np.uint8)
+        pad[:h, :w] = rgb
+        pad[h:, :w] = rgb[-1:, :]
+        pad[:, w:] = pad[:, w - 1:w]
+        y = pad.astype(np.float64)
+        cb = cr = None
+    else:
+        pad = np.empty((ph, pw, 3), np.uint8)
+        pad[:h, :w] = rgb
+        pad[h:, :w] = rgb[-1:, :, :]
+        pad[:, w:] = pad[:, w - 1:w, :]
+        f = pad.astype(np.float64)
+        y = (0.299 * f[:, :, 0] + 0.587 * f[:, :, 1]
+             + 0.114 * f[:, :, 2])
+        cb = 128.0 - 0.168736 * f[:, :, 0] - 0.331264 * f[:, :, 1] \
+            + 0.5 * f[:, :, 2]
+        cr = 128.0 + 0.5 * f[:, :, 0] - 0.418688 * f[:, :, 1] \
+            - 0.081312 * f[:, :, 2]
+        if subsample == "420":
+            cb = cb.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            cr = cr.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
     qy = _quality_scale(QUANT_LUMA, quality)
     qc = _quality_scale(QUANT_CHROMA, quality)
 
@@ -498,9 +510,9 @@ def encode_jpeg(rgb: np.ndarray, quality: int = 85,
         return quant.reshape(-1, 64)[:, ZIGZAG], nbx
 
     cspecs = []          # (zz blocks, nbx, h_i, v_i, table index)
-    for plane, q, hi, vi, ti in ((y, qy, hmax, vmax, 0),
-                                 (cb, qc, 1, 1, 1),
-                                 (cr, qc, 1, 1, 1)):
+    comp_planes = [(y, qy, hmax, vmax, 0)] if gray else \
+        [(y, qy, hmax, vmax, 0), (cb, qc, 1, 1, 1), (cr, qc, 1, 1, 1)]
+    for plane, q, hi, vi, ti in comp_planes:
         zz, nbx = blockify(plane, q)
         cspecs.append((zz, nbx, hi, vi, ti))
 
@@ -569,9 +581,14 @@ def encode_jpeg(rgb: np.ndarray, quality: int = 85,
                    + bytes(vals))
 
     yhv = (hmax << 4) | vmax
-    sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, 3)
-              + bytes([1, yhv, 0, 2, 0x11, 1, 3, 0x11, 1]))
-    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    if gray:
+        sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, 1)
+                  + bytes([1, 0x11, 0]))
+        sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    else:
+        sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, 3)
+                  + bytes([1, yhv, 0, 2, 0x11, 1, 3, 0x11, 1]))
+        sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     dri = seg(0xDD, struct.pack(">H", restart_interval)) \
         if restart_interval else b""
     jfif = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
