@@ -157,3 +157,17 @@ def test_grayscale_jpeg_round_trip():
     assert (out[:, :, 0] == out[:, :, 1]).all()
     assert (out[:, :, 1] == out[:, :, 2]).all()
     assert _psnr(np.repeat(g[:, :, None], 3, axis=2), out) > 40
+
+
+def test_422_subsampling_round_trip():
+    """r4: 4:2:2 (horizontal-only chroma halving) exercises the
+    decoder's asymmetric-sampling upsample path (h=2, v=1)."""
+    img = _gradient(33, 49)
+    out = decode_jpeg(encode_jpeg(img, 90, subsample="422"))
+    assert out.shape == img.shape
+    assert _psnr(img, out) > 40
+    rng = np.random.default_rng(3)
+    for h, w in [(1, 1), (7, 9), (17, 23)]:
+        im = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert decode_jpeg(
+            encode_jpeg(im, 92, subsample="422")).shape == im.shape

@@ -458,9 +458,9 @@ def encode_jpeg(rgb: np.ndarray, quality: int = 85,
                 restart_interval: int = 0) -> bytes:
     """(h, w, 3) uint8 RGB → baseline JFIF bytes.
 
-    ``subsample``: "444" (one block per component per MCU) or "420"
-    (2×2 luma blocks + box-averaged chroma — the common camera
-    layout).  ``restart_interval`` > 0 emits DRI + RSTn markers every
+    ``subsample``: "444" (one block per component per MCU), "422"
+    (horizontal-only chroma halving) or "420" (2×2 luma blocks +
+    box-averaged chroma — the common camera layout).  ``restart_interval`` > 0 emits DRI + RSTn markers every
     that many MCUs (the decoder's restart path is then exercised by
     real streams, not synthetic ones)."""
     gray = rgb.ndim == 2
@@ -468,10 +468,15 @@ def encode_jpeg(rgb: np.ndarray, quality: int = 85,
                                  (rgb.ndim != 3 or rgb.shape[2] != 3)):
         raise ValueError("encode_jpeg expects HxWx3 (or HxW grayscale) "
                          "uint8")
-    if subsample not in ("444", "420"):
-        raise ValueError("subsample must be '444' or '420'")
+    if subsample not in ("444", "422", "420"):
+        raise ValueError("subsample must be '444', '422' or '420'")
     h, w = rgb.shape[:2]
-    hmax = vmax = 1 if (subsample == "444" or gray) else 2
+    if gray or subsample == "444":
+        hmax = vmax = 1
+    elif subsample == "422":
+        hmax, vmax = 2, 1
+    else:
+        hmax = vmax = 2
     # pad to full MCUs with edge replication BEFORE the color split so
     # every plane blockifies exactly
     ph = -(-h // (8 * vmax)) * 8 * vmax
@@ -498,6 +503,9 @@ def encode_jpeg(rgb: np.ndarray, quality: int = 85,
         if subsample == "420":
             cb = cb.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
             cr = cr.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+        elif subsample == "422":
+            cb = cb.reshape(ph, pw // 2, 2).mean(axis=2)
+            cr = cr.reshape(ph, pw // 2, 2).mean(axis=2)
     qy = _quality_scale(QUANT_LUMA, quality)
     qc = _quality_scale(QUANT_CHROMA, quality)
 
