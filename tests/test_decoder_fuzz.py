@@ -87,3 +87,15 @@ def test_fuzz_ppm_bmp(rng):
 def test_fuzz_wav(rng):
     samples = (np.sin(np.arange(500) / 7.0) * 20000).astype(np.int16)
     _fuzz_one(decode_wav, encode_wav(samples, 8000), rng)
+
+
+def test_fuzz_mjpeg_avi(rng):
+    from webalizer_ray.stages.multimodal import (
+        decode_mjpeg_avi,
+        encode_mjpeg_avi,
+    )
+
+    frames = [_img(rng, 6, 8) for _ in range(3)]
+    def dec(b):
+        return np.array([len(decode_mjpeg_avi(b))])
+    _fuzz_one(dec, encode_mjpeg_avi(frames, 10, 90), rng)

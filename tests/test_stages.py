@@ -61,18 +61,42 @@ def test_decode_image_stub_raises_without_codec():
                                          pa.large_binary())})
     with pytest.raises(NotImplementedError):
         DecodeImage()(fake)
+    fake_video = pa.table({"media_id": [0], "kind": ["video"],
+                           "payload": pa.array([b"\x00garbage video"],
+                                               pa.large_binary())})
     with pytest.raises(NotImplementedError):
-        FrameSample()(fake)
+        FrameSample()(fake_video)
 
 
 def test_frame_sample_flatmap_shape():
+    """r4: the fixture's video rows are REAL Motion-JPEG AVI streams —
+    FrameSample demuxes + decodes them: per video min(n, F) rows,
+    evenly spaced SOURCE frame indices, and the first sampled frame's
+    features equal decoding frame 0 directly."""
+    from webalizer_ray.stages.jpeg import decode_jpeg
+    from webalizer_ray.stages.multimodal import (
+        decode_mjpeg_avi,
+        raster_features,
+    )
+
     tbl = synth_media_table(n=48, seed=9)
-    n_videos = sum(1 for k in tbl["kind"].to_pylist() if k == "video")
-    out = FrameSample(n_frames=3, fake_decoder=True)(tbl)
-    assert out.num_rows == 3 * n_videos
+    vids = {m: p for m, k, p in zip(tbl["media_id"].to_pylist(),
+                                    tbl["kind"].to_pylist(),
+                                    tbl["payload"].to_pylist())
+            if k == "video"}
+    assert vids
+    out = FrameSample(n_frames=3)(tbl)
     df = out.to_pandas()
-    assert (df.groupby("media_id")["frame_idx"].apply(list)
-            .map(lambda v: v == [0, 1, 2]).all())
+    assert set(df["media_id"]) == set(vids)
+    for mid, grp in df.groupby("media_id"):
+        jpegs = decode_mjpeg_avi(vids[mid])
+        nf = len(jpegs)
+        assert len(grp) == min(3, nf)
+        idxs = sorted(grp["frame_idx"])
+        assert idxs[0] == 0 and idxs[-1] == nf - 1 if nf > 1 else True
+        first = grp.sort_values("frame_idx").iloc[0]
+        want = raster_features(decode_jpeg(jpegs[0]), 8)
+        assert np.allclose(np.asarray(list(first["features"])), want)
 
 
 def test_session_partials_combine_equals_direct(lookups):

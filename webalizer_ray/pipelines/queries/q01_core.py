@@ -1724,18 +1724,19 @@ def media_audio_spectral(sf_dir: str) -> pd.DataFrame:
 
 @register("media_frame_sample")
 def media_frame_sample(sf_dir: str) -> pd.DataFrame:
-    """Flat-map actor stage: video payload → n_frames feature rows.
-    Rows-only: frame extraction over opaque binary payloads (real
-    codecs absent in this container — deterministic fake per payload
-    hash); test_stages pins row fan-out and per-payload determinism,
-    the Ray-side plumbing this entry exists to exercise."""
+    """Flat-map actor stage: video payload → sampled-frame feature
+    rows. REAL video demux + decode since r4: the fixture's video
+    rows are Motion-JPEG AVI streams (RIFF walk + the pure-numpy
+    T.81 JPEG decoder; evenly spaced frames, frame_idx = source
+    index). Rows-only: byte-level container/codec work SQL cannot
+    express; test_stages pins fan-out and decoded-frame feature
+    parity."""
     from webalizer_ray.stages.multimodal import (
         MEDIA_BATCH_KWARGS,
         FrameSample,
     )
     frames = _media_ds().map_batches(
-        FrameSample, fn_constructor_kwargs=dict(fake_decoder=True,
-                                                n_frames=4),
+        FrameSample, fn_constructor_kwargs=dict(n_frames=4),
         concurrency=(1, 2), **MEDIA_BATCH_KWARGS)
     out = frames.to_pandas()
     out["feat0"] = np.stack(out["features"].to_numpy())[:, 0].round(6)

@@ -12,13 +12,15 @@ pure numpy — binary PPM (P6, the netpbm spec), uncompressed 24-bit BMP
 PNG (stdlib zlib, shared with pipelines/graphs.py) and 16-bit PCM
 RIFF/WAVE audio (chunk-list walker) — no external library needed.
 Baseline JPEG decodes for real too (r4): the pure-numpy ITU-T T.81
-codec in ``stages/jpeg.py`` (SOF0, 4:4:4/4:2:0, restart markers). The
-only remaining stubs are formats with no public pure-numpy path here
-(video codecs, mp3): ``DecodeImage`` raises ``NotImplementedError`` for
-those unless constructed with ``fake_decoder=True``, in which case a
-deterministic fake (seeded from the payload hash) produces stable
-features so the Ray-side plumbing — schema, batch sizing, actor
-signature, output layout — stays fully real and tested.
+codec in ``stages/jpeg.py`` (SOF0, 4:4:4/4:2:2/4:2:0, restart
+markers); Motion-JPEG AVI video demuxes + decodes for real on top of
+it (RIFF container walk, r4). The only remaining stubs are formats
+with no public pure-numpy path here (inter-frame video codecs, mp3):
+the decode stages raise ``NotImplementedError`` for those unless
+constructed with ``fake_decoder=True``, in which case a deterministic
+fake (seeded from the payload hash) produces stable features so the
+Ray-side plumbing — schema, batch sizing, actor signature, output
+layout — stays fully real and tested.
 """
 
 from __future__ import annotations
@@ -31,7 +33,7 @@ import pyarrow as pa
 
 #: Version tag of synth_media_table's schema+payloads; bump on any change
 #: so cached fixture files are never served across versions.
-MEDIA_TABLE_VERSION = 6
+MEDIA_TABLE_VERSION = 7
 
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.int64()),
@@ -344,6 +346,70 @@ def decode_gif(data: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Motion-JPEG AVI container (RIFF spec + the T.81 JPEG codec — REAL
+# video frames with zero new codec math; r4. The honest remaining
+# limit is inter-frame codecs (H.264 class), which have no public
+# pure-numpy path in this tree.)
+# ---------------------------------------------------------------------------
+
+def _riff_chunk(fourcc: bytes, body: bytes) -> bytes:
+    pad = b"\x00" if len(body) % 2 else b""
+    return fourcc + struct.pack("<I", len(body)) + body + pad
+
+
+def encode_mjpeg_avi(frames, fps: int = 10, quality: int = 85) -> bytes:
+    """List of (h, w, 3) uint8 frames → RIFF AVI with MJPG '00dc'
+    chunks (each frame an independent baseline JPEG)."""
+    from webalizer_ray.stages.jpeg import encode_jpeg
+    if not frames:
+        raise ValueError("encode_mjpeg_avi: no frames")
+    h, w = frames[0].shape[:2]
+    jpegs = [encode_jpeg(f, quality) for f in frames]
+    avih = struct.pack("<14I", 1_000_000 // fps, 0, 0, 0x10,
+                       len(jpegs), 0, 1, 0, w, h, 0, 0, 0, 0)
+    strh = struct.pack("<4s4sIHHIIIIIIIi4H", b"vids", b"MJPG", 0, 0, 0,
+                       0, 1, fps, 0, len(jpegs), 0, 0, -1,
+                       0, 0, w, h)
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG",
+                       w * h * 3, 0, 0, 0, 0)
+    strl = _riff_chunk(b"LIST", b"strl" + _riff_chunk(b"strh", strh)
+                       + _riff_chunk(b"strf", strf))
+    hdrl = _riff_chunk(b"LIST", b"hdrl" + _riff_chunk(b"avih", avih)
+                       + strl)
+    movi = _riff_chunk(b"LIST", b"movi" + b"".join(
+        _riff_chunk(b"00dc", j) for j in jpegs))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_mjpeg_avi(data: bytes) -> list:
+    """RIFF AVI → list of JPEG frame payloads ('00dc'/'00db' chunks
+    inside any 'movi' LIST). Container walk only — callers decode
+    frames with decode_jpeg. Raises ValueError on malformed input."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF AVI")
+    frames: list = []
+
+    def walk(buf: bytes) -> None:
+        pos = 0
+        while pos + 8 <= len(buf):
+            fourcc = buf[pos:pos + 4]
+            ln = struct.unpack_from("<I", buf, pos + 4)[0]
+            body = buf[pos + 8:pos + 8 + ln]
+            if len(body) != ln:
+                raise ValueError("malformed AVI: truncated chunk")
+            if fourcc == b"LIST":
+                walk(body[4:])
+            elif fourcc[2:4] in (b"dc", b"db"):
+                frames.append(bytes(body))
+            pos += 8 + ln + (ln & 1)
+    walk(data[12:])
+    if not frames:
+        raise ValueError("malformed AVI: no frame chunks")
+    return frames
+
+
+# ---------------------------------------------------------------------------
 # pure-numpy PCM audio codec (RIFF/WAVE spec; no libraries needed)
 # ---------------------------------------------------------------------------
 
@@ -549,7 +615,8 @@ def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
     palette + real LZW; JPEG rows are real baseline T.81 streams,
     some 4:2:0, some with restart markers), audio rows alternate REAL
     16-bit PCM WAV and REAL IMA-ADPCM-compressed WAV (seeded sine +
-    noise), video rows carry seeded fake bytes."""
+    noise), and video rows carry REAL Motion-JPEG AVI streams (RIFF
+    container, per-frame baseline JPEG)."""
     rng = np.random.default_rng(seed)
     kinds = np.array(["image", "audio", "video"])[rng.integers(0, 3, n)]
     payloads, widths, heights, mimes, durations = [], [], [], [], []
@@ -601,13 +668,17 @@ def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
             heights.append(-1)
             durations.append(int(n_samp * 1000 / rate))
         else:
-            ln = int(rng.integers(256, 4096))
-            payloads.append(rng.integers(0, 256, ln, dtype=np.uint8)
-                            .tobytes())
-            mimes.append("video/x-fake")
-            widths.append(-1)
-            heights.append(-1)
-            durations.append(int(rng.integers(1000, 60000)))
+            fps = 10
+            nf = int(rng.integers(3, 10))
+            w, h = int(rng.integers(4, 16)), int(rng.integers(4, 16))
+            frames = [rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+                      for _ in range(nf)]
+            payloads.append(encode_mjpeg_avi(frames, fps=fps,
+                                             quality=90))
+            mimes.append("video/x-msvideo;codec=mjpeg")
+            widths.append(w)
+            heights.append(h)
+            durations.append(nf * 1000 // fps)
     return pa.table({
         "media_id": pa.array(np.arange(n), pa.int64()),
         "kind": pa.array(kinds.tolist(), pa.string()),
@@ -646,6 +717,20 @@ def decode_image_payload(payload: bytes) -> np.ndarray | None:
     return None
 
 
+def raster_features(px: np.ndarray, dim: int) -> np.ndarray:
+    """Deterministic pixel features: [mean R, mean G, mean B]/255 then
+    a (dim-3)-bin grayscale histogram (fractions). Shared by
+    DecodeImage and FrameSample (r4)."""
+    f = np.empty(dim, dtype=np.float64)
+    flat = px.reshape(-1, 3).astype(np.float64)
+    f[:3] = flat.mean(axis=0) / 255.0
+    gray = flat.mean(axis=1)
+    hist, _ = np.histogram(gray, bins=dim - 3,
+                           range=(0.0, 255.0 + 1e-9))
+    f[3:] = hist / max(len(gray), 1)
+    return f
+
+
 def _payload_seed(payload: bytes) -> int:
     return int(pd.util.hash_array(np.array([payload], dtype=object))[0])
 
@@ -674,14 +759,7 @@ class DecodeImage:
         # (per actor), e.g. libjpeg bindings; kernels, colorspace LUTs.
 
     def _features_from_pixels(self, px: np.ndarray) -> np.ndarray:
-        f = np.empty(self.feature_dim, dtype=np.float64)
-        flat = px.reshape(-1, 3).astype(np.float64)
-        f[:3] = flat.mean(axis=0) / 255.0
-        gray = flat.mean(axis=1)
-        hist, _ = np.histogram(gray, bins=self.feature_dim - 3,
-                               range=(0.0, 255.0 + 1e-9))
-        f[3:] = hist / max(len(gray), 1)
-        return f
+        return raster_features(px, self.feature_dim)
 
     def _decode_one(self, payload: bytes) -> np.ndarray:
         px = decode_image_payload(payload)
@@ -799,11 +877,16 @@ class SpectralFeatures:
 
 
 class FrameSample:
-    """Actor-pool stage: video payload → n_frames rows of frame features.
+    """Actor-pool stage: video payload → sampled-frame feature rows
+    (flat-map shaped: one input row → up to n_frames output rows).
 
-    Flat-map shaped (one input row → n output rows); the fake produces
-    deterministic per-frame seeds. Real impl: demux + decode keyframes.
-    """
+    Motion-JPEG AVI payloads demux + decode FOR REAL (r4): evenly
+    spaced frames via the RIFF walk + the T.81 JPEG decoder,
+    ``frame_idx`` = the sampled SOURCE frame index, features from the
+    shared raster_features. Other video formats (inter-frame codecs —
+    no public pure-numpy path here) raise ``NotImplementedError``
+    unless ``fake_decoder=True`` supplies the deterministic
+    payload-hash stand-in (frame_idx 0..n-1)."""
 
     def __init__(self, n_frames: int = 4, feature_dim: int = 8,
                  fake_decoder: bool = False):
@@ -812,20 +895,37 @@ class FrameSample:
         self.fake = fake_decoder
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self.fake:
-            raise NotImplementedError(
-                "video demux requires codec libraries not in this container")
-        ids, kinds, feats, frame_ix = [], [], [], []
+        from webalizer_ray.stages.jpeg import decode_jpeg
+        ids, feats, frame_ix = [], [], []
         for mid, kind, payload in zip(batch["media_id"].to_pylist(),
                                       batch["kind"].to_pylist(),
                                       batch["payload"].to_pylist()):
             if kind != "video":
                 continue
+            if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+                jpegs = decode_mjpeg_avi(payload)
+                n = min(self.n_frames, len(jpegs))
+                if n == 1:
+                    pick = [0]
+                else:
+                    pick = [(i * (len(jpegs) - 1)) // (n - 1)
+                            for i in range(n)]
+                for fi in pick:
+                    ids.append(mid)
+                    frame_ix.append(fi)
+                    feats.append(raster_features(decode_jpeg(jpegs[fi]),
+                                                 self.dim))
+                continue
+            if not self.fake:
+                raise NotImplementedError(
+                    "no pure-numpy demux for this video format "
+                    "(inter-frame codecs); construct "
+                    "FrameSample(fake_decoder=True) for the "
+                    "deterministic stand-in")
             base = _payload_seed(payload) % (2 ** 62)
             for f in range(self.n_frames):
                 rng = np.random.default_rng(base + f)
                 ids.append(mid)
-                kinds.append(kind)
                 frame_ix.append(f)
                 feats.append(rng.random(self.dim, dtype=np.float64))
         return pa.table({
