@@ -127,12 +127,14 @@ def test_sssp_layout_invariance(ray_session):
 
 
 def test_superstep_block_counts_stay_bounded(ray_session):
-    """r4 regression pin: on a MULTI-BLOCK edge Dataset the per-round
-    state/frontier block counts must stay bounded (they doubled every
-    superstep before the repartition fix — 34→100→232→496→1024 blocks,
-    turning a 6-s BFS into 35 minutes of scheduling overhead). The
-    returned state is the last round's materialized Dataset, so its
-    block count is the direct observable."""
+    """r4 regression pin, kept under the r5 shard-actor engine: on a
+    MULTI-BLOCK edge Dataset the result block count must stay bounded
+    by the shard fan-out (the r4 Dataset supersteps doubled blocks
+    every round before the repartition fix — 34→100→…→1024 blocks,
+    turning a 6-s BFS into 35 minutes). The engine returns one state
+    slice per shard, so the materialized block count is the direct
+    observable (B = config.default_partitions(per_cpu=1) = 8 on the
+    4-cpu test session)."""
     from webalizer_ray.stages.graph import bfs_levels, sssp_distances
 
     rng = np.random.RandomState(7)
@@ -141,8 +143,8 @@ def test_superstep_block_counts_stay_bounded(ray_session):
         "src": rng.randint(0, n, 3000).astype(np.int64),
         "dst": rng.randint(0, n, 3000).astype(np.int64)})
     e32 = rd.from_pandas(edges).repartition(32).materialize()
-    st = bfs_levels(e32, roots=[0, 1], max_depth=6)
-    assert st.num_blocks() <= 8          # num_partitions default
+    st = bfs_levels(e32, roots=[0, 1], max_depth=6).materialize()
+    assert st.num_blocks() <= 8
     # and the result equals the single-block run
     one = bfs_levels(rd.from_pandas(edges), roots=[0, 1], max_depth=6)
     a = st.to_pandas().sort_values("node", ignore_index=True)
@@ -151,7 +153,7 @@ def test_superstep_block_counts_stay_bounded(ray_session):
 
     edges["w"] = rng.randint(1, 9, 3000).astype(np.int64)
     e32w = rd.from_pandas(edges).repartition(32).materialize()
-    stw = sssp_distances(e32w, roots=[0, 1], max_hops=5)
+    stw = sssp_distances(e32w, roots=[0, 1], max_hops=5).materialize()
     assert stw.num_blocks() <= 8
     onew = sssp_distances(rd.from_pandas(edges), roots=[0, 1],
                           max_hops=5)

@@ -35,6 +35,36 @@ STATUS_CLASSES = {
     5: "server_error",
 }
 
+def default_partitions(n: int | None = None, *, per_cpu: int = 2,
+                       floor: int = 8, cap: int = 4096) -> int:
+    """THE fan-out knob for every hash-bucket / repartition constant in
+    stages/ (VERDICT r4 item 4): partition counts derive from the live
+    Ray session instead of being frozen at authoring time.
+
+    ``n`` is an explicit caller override and wins untouched — callers
+    that measured a specific fan-out keep it. Otherwise the fan-out is
+    ``per_cpu x session CPUs``: a laptop session gets the ``floor`` (so
+    skewed keys still spread), a 256-node cluster gets proportionally
+    more buckets without editing any stage, and ``cap`` keeps a huge
+    cluster from shredding small reduces into thousands of empty
+    blocks. ``per_cpu=2`` (default) suits groupby hash buckets where a
+    little over-decomposition smooths skew; superstep ``repartition``
+    call sites pass ``per_cpu=1`` — there each extra partition is a
+    real per-round task, not just a group key.
+
+    Results are invariant to the fan-out except for float-sum
+    association (different bucket membership reorders per-bucket
+    partial sums); the oracle gate compares floats at atol=1e-9, far
+    above ulp-level reassociation drift.
+    """
+    if n is not None:
+        return int(n)
+    import ray
+    cpus = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    return max(floor, min(cap, per_cpu * cpus))
+
+
 def _rgb(hexs: str) -> tuple:
     """'#RRGGBB' (leading '#' optional) → (r, g, b); the single hex
     validator for every color knob."""

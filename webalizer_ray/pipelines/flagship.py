@@ -530,6 +530,60 @@ def make_bucket_task(out_dir: str, config: PipelineConfig):
     return task
 
 
+def run_fused_pass(input_dir: str, out_dir: str,
+                   config: PipelineConfig = DEFAULT_CONFIG,
+                   lookups: tuple[dict, dict] | None = None,
+                   use_actors: bool = True
+                   ) -> tuple[pd.DataFrame, dict]:
+    """Single-pass flagship (checkpoint="off"): parse → enrich → SLIM
+    scratch write-shuffle → per-bucket sessionize/aggregate, with no
+    durable parsed store. Returns (long partials, route counts).
+
+    The durable path's pass-1 store exists for unit-granular resume
+    and the routed row store (re-queryable bad rows, ``text`` kept on
+    disk); throughput-only runs need neither, and its zstd encode +
+    full-width write is ~5 s of the 21.5 s sf-bench headline
+    (BASELINE.md profile). Here the parsed stream drops ``text``
+    immediately — select_columns to the 16 narrow working columns, so
+    the wide column never leaves the parse operator — and the bucket
+    exchange is the same hive-partitioned write-shuffle as pass 1 but
+    over a snappy SCRATCH store that is deleted after the aggregate
+    pass. Measured against the pure-in-memory alternatives at 38.8M
+    turns / 32 cpus: slim write-shuffle 19.5 s end to end vs 27.5 s
+    for ``groupby(bucket).map_groups`` under Ray's sort shuffle and
+    47.0 s under ShuffleStrategy.HASH_SHUFFLE (r5) — and unlike the
+    map_groups forms it keeps the presplit skew path (an oversized
+    bucket still fans out into k slice tasks instead of binding to
+    one). Sinks/metrics are bit-identical to the durable mode
+    (tests/test_fused.py).
+    """
+    scratch = os.path.join(out_dir, "_scratch")
+    parsed = parse_enrich_dataset(input_dir, config, lookups, use_actors)
+    slim = parsed.select_columns(PASS2_COLS + ["route", "bucket"])
+    # snappy, not zstd: the scratch is written once, read once (usually
+    # straight from page cache) and deleted — cheap encode beats small
+    # bytes here, the reverse of the durable store's trade
+    slim.write_parquet(scratch, partition_cols=["route", "bucket"],
+                       compression="snappy")
+    import shutil as _shutil
+    from concurrent.futures import ThreadPoolExecutor
+    try:
+        dirs = sorted(glob.glob(
+            os.path.join(scratch, "route=ok", "bucket=*")))
+        with ThreadPoolExecutor(2) as ex:
+            # bad/ignored counts are footer sweeps over the scratch —
+            # overlap them with the bucket pass
+            f_bad = ex.submit(_count_rows,
+                              os.path.join(scratch, "route=bad"))
+            f_ign = ex.submit(_count_rows,
+                              os.path.join(scratch, "route=ignored"))
+            long = run_bucket_pass(out_dir, config, dirs=dirs)
+            routes = {"bad": f_bad.result(), "ignored": f_ign.result()}
+    finally:
+        _shutil.rmtree(scratch, ignore_errors=True)
+    return long, routes
+
+
 def _dir_bytes(d: str) -> int:
     return sum(os.path.getsize(f)
                for f in glob.glob(os.path.join(d, "*.parquet")))
@@ -922,8 +976,44 @@ def run_flagship(input_dir: str, out_dir: str,
                  lookups: tuple[dict, dict] | None = None,
                  use_actors: bool = True,
                  load_sessions: bool = True,
-                 load_per_conv: bool = True) -> dict:
-    """Full pipeline; returns {'metrics': ..., 'sinks': {...}}."""
+                 load_per_conv: bool = True,
+                 checkpoint: str = "on") -> dict:
+    """Full pipeline; returns {'metrics': ..., 'sinks': {...}}.
+
+    ``checkpoint="on"`` (default): the two-pass durable layout — pass 1
+    writes the route/bucket-partitioned parsed store (the resume point
+    and routed row store), pass 2 aggregates it. ``checkpoint="off"``:
+    the fused single pass (run_fused_pass) for throughput-only runs —
+    same sinks and metrics, no parsed store, no resumability.
+    """
+    if checkpoint not in ("on", "off"):
+        raise ValueError(f"checkpoint must be 'on' or 'off', "
+                         f"got {checkpoint!r}")
+    if checkpoint == "off":
+        long, route_counts = run_fused_pass(input_dir, out_dir, config,
+                                            lookups, use_actors)
+        sinks = finalize_sinks(long, out_dir, config,
+                               load_sessions=load_sessions,
+                               load_per_conv=load_per_conv)
+        meta = sinks.get("_meta", {})
+        turns_dir = os.path.join(input_dir, "turns")
+        metrics = {
+            "total_rec": _count_rows(turns_dir)
+            if os.path.isdir(turns_dir) else _count_rows(input_dir),
+            "bad": int(route_counts.get("bad", 0)),
+            "ignored_pattern": int(route_counts.get("ignored", 0)),
+            "ignored_seq": int(meta.get("seq", 0)),
+            "parsed": int(meta.get("ok", 0)),
+        }
+        metrics["ignored"] = metrics["ignored_pattern"] \
+            + metrics["ignored_seq"]
+        metrics["sessions"] = int(meta.get("sessions",
+                                           len(sinks["sessions"])))
+        metrics["convs"] = int(meta.get("convs", 0))
+        with open(os.path.join(out_dir, "metrics.json"), "w") as f:
+            json.dump(metrics, f, indent=2, default=str)
+        return {"metrics": metrics, "sinks": sinks, "out_dir": out_dir}
+
     run_parse_pass(input_dir, out_dir, config, lookups, use_actors)
     long = run_bucket_pass(out_dir, config)
     sinks = finalize_sinks(long, out_dir, config,

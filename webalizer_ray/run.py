@@ -65,6 +65,10 @@ def _init_ray(num_cpus: int | None):
 def cmd_run(args) -> int:
     _init_ray(args.num_cpus)
     cfg = load_config(args.config, args.set or [])
+    if args.resume and getattr(args, "no_checkpoint", False):
+        print("--resume and --no-checkpoint are mutually exclusive "
+              "(resume NEEDS the durable parsed store)", file=sys.stderr)
+        return 2
     if args.resume:
         from webalizer_ray.state.checkpoint import run_flagship_resumable
         res = run_flagship_resumable(args.input, args.out, cfg,
@@ -78,7 +82,9 @@ def cmd_run(args) -> int:
     else:
         from webalizer_ray.pipelines.flagship import run_flagship
         res = run_flagship(args.input, args.out, cfg,
-                           use_actors=not args.no_actors)
+                           use_actors=not args.no_actors,
+                           checkpoint="off" if getattr(
+                               args, "no_checkpoint", False) else "on")
     print(json.dumps(res["metrics"], default=str))
     return 0
 
@@ -502,6 +508,11 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--out", required=True)
     r.add_argument("--resume", action="store_true",
                    help="incremental mode (-p): per-partition checkpoints")
+    r.add_argument("--no-checkpoint", action="store_true",
+                   dest="no_checkpoint",
+                   help="single-pass throughput mode: fuse the parse "
+                        "pass into the bucket shuffle (no durable "
+                        "parsed store, no resume; same sinks/metrics)")
     r.add_argument("--config", help="JSON file of PipelineConfig fields")
     r.add_argument("--set", action="append", metavar="KEY=VAL",
                    help="config override (repeatable)")

@@ -28,6 +28,8 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Max, Sum
 
+from webalizer_ray.config import default_partitions
+
 _MSG_SCHEMA = pa.schema([("_h", pa.int32()), ("key", pa.int64()),
                          ("dst", pa.int64()), ("w", pa.float64()),
                          ("tag", pa.int8())])
@@ -44,7 +46,7 @@ def _bucket(key: np.ndarray, num_partitions: int) -> np.ndarray:
 def pagerank(edges: rd.Dataset | pd.DataFrame, damping: float = 0.85,
              n_iter: int = 10, src_col: str = "src",
              dst_col: str = "dst",
-             num_partitions: int = 8) -> pd.DataFrame:
+             num_partitions: int | None = None) -> pd.DataFrame:
     """(node, rank) for every node appearing in ``edges``; ranks sum
     to 1. Deterministic given the edge set up to per-bucket float
     association (parity vs a numpy reference is tested to 1e-9).
@@ -69,13 +71,14 @@ def pagerank(edges: rd.Dataset | pd.DataFrame, damping: float = 0.85,
 
 def pagerank_ds(edges: rd.Dataset, damping: float = 0.85,
                 n_iter: int = 10, src_col: str = "src",
-                dst_col: str = "dst", num_partitions: int = 8,
+                dst_col: str = "dst", num_partitions: int | None = None,
                 out_dir: str | None = None) -> rd.Dataset:
     """Distributed PageRank returning a DATASET of (node, r) — the
     corpus-scale contract: the converged rank blocks stay in the
     object store; with ``out_dir`` they are also written as
     partitioned Parquet. Only scalars (dangling mass, counts) ever
     reach the driver."""
+    num_partitions = default_partitions(num_partitions, per_cpu=1)
 
     # ---- static prep (once): nodes, outdegrees, edge weights --------
     def node_rows(b: pa.Table) -> pa.Table:
@@ -226,7 +229,7 @@ def pagerank_ds(edges: rd.Dataset, damping: float = 0.85,
 
 
 def triangle_count(edges: rd.Dataset | pd.DataFrame,
-                   num_buckets: int = 64) -> dict:
+                   num_buckets: int | None = None) -> dict:
     """Distributed triangle counting (node-iterator / wedge-check form).
 
     Canonical a<b edges → wedges by the MIDDLE node (e1=(a,b) ⋈ e2=(b,c)
@@ -243,6 +246,7 @@ def triangle_count(edges: rd.Dataset | pd.DataFrame,
     """
     if isinstance(edges, pd.DataFrame):
         edges = rd.from_pandas(edges[["id_a", "id_b"]])
+    num_buckets = default_partitions(num_buckets)
 
     def canon(df: pd.DataFrame) -> pd.DataFrame:
         a = df["id_a"].to_numpy(np.int64)
@@ -327,241 +331,267 @@ def triangle_count(edges: rd.Dataset | pd.DataFrame,
             "n_triangles": int(tri["t"].sum())}
 
 
+
+# ---------------------------------------------------------------- BFS/SSSP
+#
+# Shard-actor superstep engine (r5). The r4 Dataset formulation ran
+# every superstep as 2-3 sort-shuffle jobs (frontier⋈edges groupby,
+# key-MIN reduce, repartition): correct and distributed, but each Ray
+# shuffle job carries ~0.3-0.5 s of fixed scheduling cost, so a
+# 6-round BFS over the sf0.1 kNN graph (8k edges) spent ~8-12 s on
+# overhead for milliseconds of compute — and the same fixed cost is
+# paid per round at ANY scale. This is the one place the Dataset API
+# genuinely can't express the semantics efficiently: Pregel-style
+# supersteps need the edge partitions to stay RESIDENT across rounds,
+# which a stateless Dataset plan re-shuffles every round. Per the
+# design rule ("actor-pool stage holding the needed state"), the
+# engine is B = default_partitions() shard actors:
+#
+#   setup   ONE streaming pass over the edge Dataset scatters each
+#           batch's rows to their hash(src)-owner shards (no Dataset
+#           shuffle at all); each shard seals its slice into a
+#           src-sorted CSR (built once, reused every round).
+#   round   expand: each shard emits (dst, dist+w) candidates for its
+#           frontier — one vectorized searchsorted gather — and ships
+#           them DIRECTLY to the hash(dst)-owner shards through the
+#           object store (actor→actor, never via the driver).
+#           merge: each shard min-combines its inbox against its
+#           resident state slice; strictly-improved nodes become the
+#           next frontier. The driver sees B scalar counts per round.
+#   finish  shard state slices come back as Arrow tables assembled
+#           into a Dataset via from_arrow_refs — the driver holds
+#           only object refs, rows never leave the object store.
+#
+# Scale contract: a shard holds E/B edges + V/B state in its heap, so
+# B (cluster-derived via config.default_partitions) must satisfy
+# E/B × 24 bytes ≲ worker heap; per-round message volume is bounded by
+# frontier × avg-degree. Shards declare num_cpus=0: their work comes
+# in short vectorized bursts between barriers, and reserving whole
+# CPUs for B shards would deadlock any session with fewer cores than
+# shards (the same failure mode aggregate.join_partitions clamps).
+# Measured at sf0.1/32 cpus: knn_bfs_levels 7.8 s → ~2 s, and the
+# per-round cost no longer scales with shuffle-job count.
+
+
+@ray.remote(num_cpus=0)
+class _GraphShard:
+    """One hash bucket of the BFS/SSSP superstep engine: resident CSR
+    edge slice (by hash(src)), resident distance state (by
+    hash(node)), direct actor→actor candidate delivery."""
+
+    def __init__(self, bucket: int, num_buckets: int):
+        self.b, self.B = bucket, num_buckets
+        self._parts: list | None = []
+        self.src = np.empty(0, np.int64)
+        self.dst = np.empty(0, np.int64)
+        self.w = np.empty(0, np.int64)
+        self.peers = None
+        self.state: dict = {}
+        self.fnodes = np.empty(0, np.int64)
+        self.fdist = np.empty(0, np.int64)
+        self.inbox: list = []
+
+    def set_peers(self, peers) -> None:
+        self.peers = peers
+
+    def add_edges(self, src, dst, w) -> None:
+        self._parts.append((src, dst, w))
+
+    def seal(self) -> int:
+        if self._parts:
+            self.src = np.concatenate([p[0] for p in self._parts])
+            self.dst = np.concatenate([p[1] for p in self._parts])
+            self.w = np.concatenate([p[2] for p in self._parts])
+            o = np.argsort(self.src, kind="stable")
+            self.src, self.dst, self.w = \
+                self.src[o], self.dst[o], self.w[o]
+        self._parts = None
+        return len(self.src)
+
+    def init_roots(self, roots) -> None:
+        roots = np.asarray(roots, np.int64)
+        self.state = {int(n): 0 for n in roots}
+        self.fnodes = roots
+        self.fdist = np.zeros(len(roots), np.int64)
+
+    def expand(self) -> list:
+        """Candidate messages for the current frontier, shipped to the
+        owner shards; returns the delivery refs (the driver awaits them
+        as the round barrier — blocking here would deadlock, since a
+        peer can't serve deliver() while its own expand() runs)."""
+        f, fd = self.fnodes, self.fdist
+        self.fnodes, self.fdist = f[:0], fd[:0]
+        if not len(f) or not len(self.src):
+            return []
+        lo = np.searchsorted(self.src, f, "left")
+        hi = np.searchsorted(self.src, f, "right")
+        lens = hi - lo
+        total = int(lens.sum())
+        if not total:
+            return []
+        # multi-arange gather: for each frontier node its CSR range
+        idx = np.repeat(lo, lens) \
+            + (np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens))
+        cd = self.dst[idx]
+        cdist = np.repeat(fd, lens) + self.w[idx]
+        hb = _bucket(cd, self.B)
+        o = np.argsort(hb, kind="stable")
+        cd, cdist, hb = cd[o], cdist[o], hb[o]
+        bounds = np.searchsorted(hb, np.arange(self.B + 1))
+        return [self.peers[j].deliver.remote(cd[bounds[j]:bounds[j + 1]],
+                                             cdist[bounds[j]:bounds[j + 1]])
+                for j in range(self.B) if bounds[j] < bounds[j + 1]]
+
+    def deliver(self, nodes, dists) -> None:
+        self.inbox.append((nodes, dists))
+
+    def merge(self) -> int:
+        """Min-combine the inbox into resident state; strictly improved
+        (or newly reached) nodes seed the next frontier. Returns the
+        frontier size — the only thing the driver ever sees."""
+        if not self.inbox:
+            return 0
+        nodes = np.concatenate([x[0] for x in self.inbox])
+        dists = np.concatenate([x[1] for x in self.inbox])
+        self.inbox = []
+        o = np.lexsort((dists, nodes))
+        nodes, dists = nodes[o], dists[o]
+        first = np.ones(len(nodes), bool)
+        first[1:] = nodes[1:] != nodes[:-1]
+        nodes, dists = nodes[first], dists[first]
+        st = self.state
+        imp_n, imp_d = [], []
+        for n, d in zip(nodes.tolist(), dists.tolist()):
+            old = st.get(n)
+            if old is None or d < old:
+                st[n] = d
+                imp_n.append(n)
+                imp_d.append(d)
+        self.fnodes = np.asarray(imp_n, np.int64)
+        self.fdist = np.asarray(imp_d, np.int64)
+        return len(imp_n)
+
+    def state_table(self) -> pa.Table:
+        n = np.fromiter(self.state.keys(), np.int64, len(self.state))
+        d = np.fromiter(self.state.values(), np.int64, len(self.state))
+        o = np.argsort(n)
+        return pa.table({"node": n[o], "dist": d[o]})
+
+
+def _superstep_engine(edges: rd.Dataset, roots, max_rounds: int,
+                      src_col: str, dst_col: str,
+                      weight_col: str | None,
+                      num_partitions: int | None) -> rd.Dataset:
+    """Shared BFS/SSSP driver: Bellman-Ford over ≤ ``max_rounds``-edge
+    paths (unit weights when ``weight_col`` is None = BFS). Returns a
+    Dataset of (node, dist)."""
+    B = default_partitions(num_partitions, per_cpu=1)
+    shards = [_GraphShard.remote(b, B) for b in range(B)]
+    ray.get([s.set_peers.remote(shards) for s in shards])
+
+    def scatter(tbl: pa.Table) -> pa.Table:
+        s = np.asarray(tbl[src_col]).astype(np.int64, copy=False)
+        d = np.asarray(tbl[dst_col]).astype(np.int64, copy=False)
+        w = np.ones(len(s), np.int64) if weight_col is None \
+            else np.asarray(tbl[weight_col]).astype(np.int64, copy=False)
+        hb = _bucket(s, B)
+        o = np.argsort(hb, kind="stable")
+        s, d, w, hb = s[o], d[o], w[o], hb[o]
+        bounds = np.searchsorted(hb, np.arange(B + 1))
+        ray.get([shards[j].add_edges.remote(s[bounds[j]:bounds[j + 1]],
+                                            d[bounds[j]:bounds[j + 1]],
+                                            w[bounds[j]:bounds[j + 1]])
+                 for j in range(B) if bounds[j] < bounds[j + 1]])
+        return pa.table({"rows": pa.array([len(s)], pa.int64())})
+
+    # ONE streaming pass scatters the edge Dataset straight to its
+    # owner shards — no Dataset shuffle; the ack get inside each task
+    # guarantees every row is resident before seal
+    edges.map_batches(scatter, batch_format="pyarrow",
+                      zero_copy_batch=True).materialize()
+    ray.get([s.seal.remote() for s in shards])
+
+    roots = np.asarray(sorted(set(int(r) for r in roots)), np.int64)
+    rb = _bucket(roots, B)
+    ray.get([shards[j].init_roots.remote(roots[rb == j])
+             for j in range(B)])
+    for _ in range(max_rounds):
+        ack_lists = ray.get([s.expand.remote() for s in shards])
+        ray.get([a for lst in ack_lists for a in lst])
+        if sum(ray.get([s.merge.remote() for s in shards])) == 0:
+            break
+    refs = [s.state_table.remote() for s in shards]
+    ray.wait(refs, num_returns=len(refs))
+    # peers hold handles to each other (a reference cycle Python GC
+    # can't see across actors) — tear down explicitly
+    for s in shards:
+        ray.kill(s)
+    return rd.from_arrow_refs(refs)
+
+
 def bfs_levels(edges: rd.Dataset | pd.DataFrame, roots,
                max_depth: int = 6, src_col: str = "src",
                dst_col: str = "dst",
-               num_partitions: int = 8,
+               num_partitions: int | None = None,
                out_dir: str | None = None) -> rd.Dataset:
     """Multi-source BFS: MIN hop distance from ``roots`` for every
     node reachable within ``max_depth`` (directed — feed both
     directions for an undirected graph). Returns a Dataset of
     (node, level).
 
-    The frontier superstep is the CC/PageRank co-partitioned message
-    pattern (NOT Dataset.join — the Ray 2.49 hash join chokes on
-    empty/mixed-format partitions): edge rows keyed by src (tag 1,
-    bucketed once, reused every superstep) union frontier rows keyed
-    by node (tag 0); one vectorized isin per bucket emits (dst,
-    level+1) candidates, a key-level MIN reduce merges them into the
-    known-level state, and the next frontier is exactly the rows
-    whose min level equals the new depth (a node re-reached later
-    can never lower its level, so a node's level is final the first
-    time it appears). State and frontier stay DISTRIBUTED across
-    supersteps — the driver sees one count per round; only
-    (node, level) rows ever shuffle. Terminates early on an empty
-    frontier. Equivalent to the oracle's recursive-CTE MIN(level)
-    with the same depth cap."""
-    from webalizer_ray.stages.aggregate import reduce_sink
-
+    BFS is Bellman-Ford with unit weights, so it rides the shard-actor
+    superstep engine (see the block comment above _GraphShard): edges
+    scattered once to resident CSR shards, per-round candidate
+    messages actor→actor, key-level MIN in the merge step — a node's
+    level is final the first time it appears, and a later re-reach can
+    never lower it, exactly the oracle's recursive-CTE MIN(level)
+    with the same depth cap. State and frontier stay distributed; the
+    driver sees B scalar counts per round. Terminates early on an
+    empty frontier."""
     if isinstance(edges, pd.DataFrame):
         edges = rd.from_pandas(edges[[src_col, dst_col]])
-
-    _BFS_MSG = pa.schema([("_h", pa.int32()), ("key", pa.int64()),
-                          ("dst", pa.int64()), ("tag", pa.int8())])
-
-    def edge_msgs(df: pd.DataFrame) -> pa.Table:
-        s = df[src_col].to_numpy(np.int64)
-        return pa.Table.from_arrays(
-            [pa.array(_bucket(s, num_partitions)), pa.array(s),
-             pa.array(df[dst_col].to_numpy(np.int64)),
-             pa.array(np.ones(len(s), dtype=np.int8))],
-            schema=_BFS_MSG)
-
-    # edges bucketed ONCE; every superstep reuses the materialized blocks
-    emsgs = edges.map_batches(edge_msgs,
-                              batch_format="pandas").materialize()
-
-    def _typed_state(df: pd.DataFrame) -> pa.Table:
-        return pa.table({
-            "node": pa.array(df["node"].to_numpy(np.int64), pa.int64()),
-            "level": pa.array(df["level"].to_numpy(np.int64),
-                              pa.int64())})
-
-    roots = np.asarray(sorted(set(int(r) for r in roots)),
-                       dtype=np.int64)
-    state = rd.from_pandas(pd.DataFrame({
-        "node": roots, "level": np.zeros(len(roots), np.int64)})) \
-        .map_batches(_typed_state, batch_format="pandas").materialize()
-    frontier, n_front = state, len(roots)
-
-    def front_msgs(df: pd.DataFrame) -> pa.Table:
-        n = df["node"].to_numpy(np.int64)
-        return pa.Table.from_arrays(
-            [pa.array(_bucket(n, num_partitions)), pa.array(n),
-             pa.array(np.zeros(len(n), dtype=np.int64)),
-             pa.array(np.zeros(len(n), dtype=np.int8))],
-            schema=_BFS_MSG)
-
-    for depth in range(1, max_depth + 1):
-        def expand(g: pd.DataFrame, _d=depth) -> pd.DataFrame:
-            # one vectorized membership test per bucket: edges whose
-            # src is in this bucket's frontier slice emit (dst, depth)
-            f = g.loc[g["tag"] == 0, "key"]
-            e = g[g["tag"] == 1]
-            hit = e.loc[e["key"].isin(f), "dst"]
-            return pd.DataFrame({
-                "node": hit.to_numpy(np.int64),
-                "level": np.full(len(hit), _d, dtype=np.int64)})
-
-        cand = (emsgs.union(frontier.map_batches(
-                    front_msgs, batch_format="pandas"))
-                .groupby("_h").map_groups(expand, batch_format="pandas")
-                .union(state))
-        # repartition BOUNDS the per-round block count (same
-        # discipline as the CC/PageRank supersteps): union output
-        # carries one block per input block, so without it the
-        # state/frontier block counts DOUBLE each round — measured
-        # geometric slowdown on multi-block edge inputs (r4; the knn
-        # Dataset-edges path)
-        state = reduce_sink(cand, ["node"],
-                            {"level": ("level", "min")}) \
-            .repartition(num_partitions).materialize()
-
-        def front(df: pd.DataFrame, _d=depth) -> pa.Table:
-            sel = df[df["level"] == _d]
-            return _typed_state(sel)
-
-        frontier = state.map_batches(front,
-                                     batch_format="pandas").materialize()
-        n_front = frontier.count()
-        if n_front == 0:
-            break
-
+    out = _superstep_engine(edges, roots, max_depth, src_col, dst_col,
+                            None, num_partitions)
+    out = out.map_batches(
+        lambda b: pa.table({"node": b["node"],
+                            "level": pc.cast(b["dist"], pa.int64())}),
+        batch_format="pyarrow")
     if out_dir is not None:
         # corpus-scale sink: results land as partitioned Parquet, the
         # driver keeps only the Dataset handle (VERDICT r2 item 1b)
-        state.write_parquet(out_dir)
-    return state
+        out = out.materialize()
+        out.write_parquet(out_dir)
+    return out
 
 
 def sssp_distances(edges: rd.Dataset | pd.DataFrame, roots,
                    max_hops: int = 6, src_col: str = "src",
                    dst_col: str = "dst", weight_col: str = "w",
-                   num_partitions: int = 8,
+                   num_partitions: int | None = None,
                    out_dir: str | None = None) -> rd.Dataset:
     """Multi-source SSSP (Bellman-Ford relaxation): MIN total integer
     path weight from ``roots`` over paths of at most ``max_hops``
     edges (directed; non-negative int64 weights keep every distance
     exact). Returns a Dataset of (node, dist).
 
-    Same co-partitioned superstep family as bfs_levels, with the
-    improvement test folded INTO the per-bucket merge so each round
-    costs ONE groupby: frontier rows (tag 0, carrying dist) and
-    pre-bucketed edge rows (tag 1) meet in src-hash buckets where one
-    vectorized merge emits (dst, dist + w) candidates; those union the
-    old state (tag 0) into node-hash buckets where a per-node min
-    decides both the new state and the next frontier (strictly
-    improved or newly reached — the standard Bellman-Ford frontier
-    optimization, exact for <= k-edge paths after k rounds). State
-    and frontier never gather; the driver sees one count per round.
-    Oracle shape: recursive-CTE walk carrying (node, cost, depth
-    < max_hops), MIN(cost) at the end."""
+    Rides the shard-actor superstep engine (block comment above
+    _GraphShard): per round each shard relaxes its frontier against
+    its resident CSR slice and ships (dst, dist+w) candidates to the
+    owner shards, whose merge keeps the per-node min; strictly
+    improved or newly reached nodes re-expand next round (the
+    standard Bellman-Ford frontier optimization — exact for ≤ k-edge
+    paths after k rounds). Oracle shape: recursive-CTE walk carrying
+    (node, cost, depth < max_hops), MIN(cost) at the end."""
     if isinstance(edges, pd.DataFrame):
         edges = rd.from_pandas(edges[[src_col, dst_col, weight_col]])
-
-    _MSG = pa.schema([("_h", pa.int32()), ("key", pa.int64()),
-                      ("dst", pa.int64()), ("dist", pa.int64()),
-                      ("tag", pa.int8())])
-
-    def edge_msgs(df: pd.DataFrame) -> pa.Table:
-        s = df[src_col].to_numpy(np.int64)
-        return pa.Table.from_arrays(
-            [pa.array(_bucket(s, num_partitions)), pa.array(s),
-             pa.array(df[dst_col].to_numpy(np.int64)),
-             pa.array(df[weight_col].to_numpy(np.int64)),
-             pa.array(np.ones(len(s), dtype=np.int8))],
-            schema=_MSG)
-
-    emsgs = edges.map_batches(edge_msgs,
-                              batch_format="pandas").materialize()
-
-    _STATE = pa.schema([("node", pa.int64()), ("dist", pa.int64())])
-
-    def typed_state(df: pd.DataFrame) -> pa.Table:
-        return pa.Table.from_arrays(
-            [pa.array(df["node"].to_numpy(np.int64)),
-             pa.array(df["dist"].to_numpy(np.int64))], schema=_STATE)
-
-    roots = np.asarray(sorted(set(int(r) for r in roots)),
-                       dtype=np.int64)
-    state = rd.from_pandas(pd.DataFrame({
-        "node": roots, "dist": np.zeros(len(roots), np.int64)})) \
-        .map_batches(typed_state, batch_format="pandas").materialize()
-    frontier, n_front = state, len(roots)
-
-    def front_msgs(df: pd.DataFrame) -> pa.Table:
-        n = df["node"].to_numpy(np.int64)
-        return pa.Table.from_arrays(
-            [pa.array(_bucket(n, num_partitions)), pa.array(n),
-             pa.array(np.zeros(len(n), dtype=np.int64)),
-             pa.array(df["dist"].to_numpy(np.int64)),
-             pa.array(np.zeros(len(n), dtype=np.int8))],
-            schema=_MSG)
-
-    def relax(g: pd.DataFrame) -> pa.Table:
-        # frontier dists merge onto this bucket's out-edges: one
-        # vectorized merge per bucket, candidates = dist + w
-        f = g[g["tag"] == 0][["key", "dist"]]
-        e = g[g["tag"] == 1][["key", "dst", "dist"]] \
-            .rename(columns={"dist": "w"})
-        m = e.merge(f, on="key")
-        return pa.Table.from_arrays(
-            [pa.array(m["dst"].to_numpy(np.int64)),
-             pa.array(m["w"].to_numpy(np.int64)
-                      + m["dist"].to_numpy(np.int64))], schema=_STATE)
-
-    # merge candidates with old state; per node the min wins, and a
-    # strict improvement (or first reach) seeds the next frontier
-    _MERGED = pa.schema([("node", pa.int64()), ("dist", pa.int64()),
-                         ("imp", pa.int8())])
-
-    def tag_rows(tag: int):
-        def f(df: pd.DataFrame, _t=tag) -> pd.DataFrame:
-            out = df[["node", "dist"]].copy()
-            out["tag"] = np.int8(_t)
-            out["_h"] = _bucket(out["node"].to_numpy(np.int64),
-                                num_partitions)
-            return out
-        return f
-
-    def settle(g: pd.DataFrame) -> pa.Table:
-        best = g.groupby("node", sort=False)["dist"].min()
-        old = g[g["tag"] == 0].groupby("node", sort=False)["dist"].min()
-        old = old.reindex(best.index)
-        imp = (old.isna() | (best < old)).to_numpy()
-        return pa.Table.from_arrays(
-            [pa.array(best.index.to_numpy(np.int64)),
-             pa.array(best.to_numpy(np.int64)),
-             pa.array(imp.astype(np.int8))], schema=_MERGED)
-
-    for _ in range(max_hops):
-        cand = (emsgs.union(frontier.map_batches(
-                    front_msgs, batch_format="pandas"))
-                .groupby("_h").map_groups(relax, batch_format="pandas"))
-        # repartition bounds the per-round block count (see bfs_levels
-        # — without it state/frontier blocks double every round on
-        # multi-block edge inputs; r4)
-        merged = (state.map_batches(tag_rows(0), batch_format="pandas")
-                  .union(cand.map_batches(tag_rows(1),
-                                          batch_format="pandas"))
-                  .groupby("_h").map_groups(settle,
-                                            batch_format="pandas")
-                  .repartition(num_partitions).materialize())
-        state = merged.map_batches(
-            lambda df: typed_state(df), batch_format="pandas") \
-            .materialize()
-        frontier = merged.map_batches(
-            lambda df: typed_state(df[df["imp"] == 1]),
-            batch_format="pandas").materialize()
-        n_front = frontier.count()
-        if n_front == 0:
-            break
-
+    out = _superstep_engine(edges, roots, max_hops, src_col, dst_col,
+                            weight_col, num_partitions)
     if out_dir is not None:
         # corpus-scale sink: results land as partitioned Parquet, the
         # driver keeps only the Dataset handle (VERDICT r2 item 1b)
-        state.write_parquet(out_dir)
-    return state
+        out = out.materialize()
+        out.write_parquet(out_dir)
+    return out
 
 
 def kcore_nodes(edges: rd.Dataset | pd.DataFrame, k: int,
