@@ -1610,33 +1610,121 @@ def distinct_users_hll(sf_dir: str) -> pd.DataFrame:
                          np.array([int(round(sk.count()))], dtype=np.int64)})
 
 
-@register("value_quantiles_sketch")
+@register("value_quantiles_sketch", sql="""
+WITH src AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         event_id, event_id % 16 AS bk FROM events),
+t1 AS (
+  SELECT event_type, bk, cents, event_id,
+         NTILE(100) OVER (PARTITION BY event_type, bk
+                          ORDER BY cents, event_id) AS c
+  FROM src),
+cent AS (
+  SELECT event_type, bk, c, SUM(cents) AS s, COUNT(*) AS w
+  FROM t1 GROUP BY event_type, bk, c),
+ord AS (
+  SELECT event_type, bk, c, s, w,
+         CAST(s AS DOUBLE) / w AS m,
+         COALESCE(SUM(w) OVER (PARTITION BY event_type
+             ORDER BY CAST(s AS DOUBLE) / w, bk, c
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cw,
+         SUM(w) OVER (PARTITION BY event_type) AS tot
+  FROM cent),
+mg AS (
+  SELECT event_type, CAST(FLOOR(cw * 100.0 / tot) AS BIGINT) AS cl,
+         s, w
+  FROM ord),
+fin AS (
+  SELECT event_type, cl, SUM(s) AS s, SUM(w) AS w
+  FROM mg GROUP BY event_type, cl),
+pos AS (
+  SELECT event_type, cl, CAST(s AS DOUBLE) / w AS m, w,
+         (COALESCE(SUM(w) OVER (PARTITION BY event_type ORDER BY cl
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          + w / 2.0)
+         / SUM(w) OVER (PARTITION BY event_type) AS p
+  FROM fin),
+qq AS (SELECT * FROM (VALUES (0.5), (0.95)) t(q)),
+lo AS (
+  SELECT event_type, q, MAX_BY(m, p) AS m_lo, MAX(p) AS p_lo
+  FROM pos, qq WHERE p <= q GROUP BY event_type, q),
+hi AS (
+  SELECT event_type, q, MIN_BY(m, p) AS m_hi, MIN(p) AS p_hi
+  FROM pos, qq WHERE p > q GROUP BY event_type, q),
+est AS (
+  SELECT COALESCE(lo.event_type, hi.event_type) AS event_type,
+         COALESCE(lo.q, hi.q) AS q,
+         CASE WHEN lo.event_type IS NULL THEN hi.m_hi
+              WHEN hi.event_type IS NULL THEN lo.m_lo
+              ELSE lo.m_lo + (COALESCE(lo.q, hi.q) - lo.p_lo)
+                   / (hi.p_hi - lo.p_lo) * (hi.m_hi - lo.m_lo)
+         END AS v
+  FROM lo FULL OUTER JOIN hi
+    ON lo.event_type = hi.event_type AND lo.q = hi.q)
+SELECT event_type,
+       ROUND(MAX(CASE WHEN q = 0.5 THEN v END) / 100.0, 6)
+           AS p50_approx,
+       ROUND(MAX(CASE WHEN q = 0.95 THEN v END) / 100.0, 6)
+           AS p95_approx
+FROM est GROUP BY event_type ORDER BY event_type""")
 def value_quantiles_sketch(sf_dir: str) -> pd.DataFrame:
-    """Approximate per-group quantiles via mergeable t-digests: per-batch
-    per-key digests (O(δ) bytes) → groupby(key) digest merge → quantile.
-    The key's raw values never co-locate — the scale path the exact
-    value_quantiles_by_type docstring points at. Rows-only BY NATURE
-    (sketch estimate); test_sketch bounds it against the exact
-    quantiles from the oracle-backed exact query."""
-    from webalizer_ray.stages.sketch import TDigest
+    """Approximate per-group quantiles via a DETERMINISTIC k0-scale
+    merging t-digest (stages/sketch.py tdk0_*): values — as integer
+    cents, the same exactness trick the stats-test oracles use —
+    split per key into 16 fixed event_id-residue groups; each group
+    builds δ=100 equal-weight centroids over its sorted values (NTILE
+    boundary rule, exact int64 (sum, weight) per centroid), and the
+    per-key merge folds the ≤ 16×100 centroids in (mean, bucket,
+    centroid) order with floor-of-cumweight cluster assignment. A
+    key's raw values co-locate only 1/16th at a time (raise
+    TDK0_BUCKETS with corpus size); only O(δ) centroid rows shuffle
+    to the merge. ORACLE (r5): every accumulation is an integer sum
+    and every float op a single shared-expression division, so DuckDB
+    window functions replay the digest bit-for-bit — the
+    register-exact HLL pattern extended to quantiles. test_sketch
+    additionally bounds the estimates against the exact per-key
+    quantiles."""
+    from webalizer_ray.stages.sketch import (
+        TDK0_BUCKETS,
+        tdk0_centroids,
+        tdk0_merge,
+        tdk0_quantile,
+    )
+    from webalizer_ray.stages.textstats import round_half_away
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        rows = [(et, TDigest.from_values(g["value"].to_numpy()).to_bytes())
-                for et, g in df.groupby("event_type", sort=False)]
-        return pd.DataFrame(rows, columns=["event_type", "td"])
+    def add_bk(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "event_type": df["event_type"],
+            "cents": np.round(df["value"].to_numpy(np.float64)
+                              * 100).astype(np.int64),
+            "event_id": df["event_id"].to_numpy(np.int64)})
+        out["bk"] = (out["event_id"] % TDK0_BUCKETS).astype(np.int64)
+        return out
 
-    def combine(g: pd.DataFrame) -> pd.DataFrame:
-        sk = TDigest()
-        for blob in g["td"]:
-            sk = sk.merge(TDigest.from_bytes(blob))
+    def group_cent(g: pd.DataFrame) -> pd.DataFrame:
+        s, w = tdk0_centroids(g["cents"].to_numpy(np.int64),
+                              g["event_id"].to_numpy(np.int64))
+        return pd.DataFrame({
+            "event_type": g["event_type"].iloc[0],
+            "bk": np.int64(g["bk"].iloc[0]),
+            "c": np.arange(1, len(s) + 1, dtype=np.int64),
+            "s": s, "w": w})
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        gs, gw = tdk0_merge(g["s"].to_numpy(), g["w"].to_numpy(),
+                            g["bk"].to_numpy(), g["c"].to_numpy())
         return pd.DataFrame({
             "event_type": [g["event_type"].iloc[0]],
-            "p50_approx": [round(sk.quantile(0.5), 6)],
-            "p95_approx": [round(sk.quantile(0.95), 6)]})
+            "p50_approx": [round_half_away(
+                tdk0_quantile(gs, gw, 0.5) / 100.0, 6)],
+            "p95_approx": [round_half_away(
+                tdk0_quantile(gs, gw, 0.95) / 100.0, 6)]})
 
-    out = (_events(sf_dir, ["event_type", "value"])
-           .map_batches(partial, batch_format="pandas")
-           .groupby("event_type").map_groups(combine,
+    out = (_events(sf_dir, ["event_type", "value", "event_id"])
+           .map_batches(add_bk, batch_format="pandas")
+           .groupby(["event_type", "bk"])
+           .map_groups(group_cent, batch_format="pandas")
+           .groupby("event_type").map_groups(final,
                                              batch_format="pandas")
            .to_pandas())
     return out.sort_values("event_type", ignore_index=True)

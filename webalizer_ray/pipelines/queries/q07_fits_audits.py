@@ -565,7 +565,7 @@ def lang_word_affinity(sf_dir: str) -> pd.DataFrame:
 
 
 @register("part_type_hierarchy_revenue", sql="""
-WITH pt AS (SELECT p_partkey, string_split(p_type, ' ')[1] AS cat
+WITH pt AS MATERIALIZED (SELECT p_partkey, string_split(p_type, ' ')[1] AS cat
             FROM part),
 rev AS (SELECT cat, CAST(SUM(CAST(ROUND(l_extendedprice * 100)
                                   AS BIGINT)) AS BIGINT) AS cents
@@ -3190,7 +3190,7 @@ grid AS (SELECT s.source, vals.v, COALESCE(h.n, 0) AS n
 cum AS (SELECT source, v,
                SUM(n) OVER (PARTITION BY source ORDER BY v) AS c
         FROM grid),
-pairs AS (SELECT a.source AS sa, b.source AS sb,
+pairs AS MATERIALIZED (SELECT a.source AS sa, b.source AS sb,
                  ABS(a.c * tb.tot - b.c * ta.tot) AS num,
                  ta.tot AS ta_t, tb.tot AS tb_t
           FROM cum a
@@ -3323,7 +3323,366 @@ def word_bigram_entropy_by_source(sf_dir: str) -> pd.DataFrame:
         "perplexity": rha(np.exp(h), 6)})
 
 
-@register("markov_removal_attribution")
+@register("markov_removal_attribution", sql="""
+WITH e AS (SELECT user_id, ts, event_id, event_type AS et FROM events),
+o AS (SELECT *, LAG(ts) OVER
+          (PARTITION BY user_id ORDER BY ts, event_id) AS pts FROM e),
+ns AS (SELECT *, CASE WHEN pts IS NULL
+                       OR epoch_us(ts) - epoch_us(pts) >= 1800000000
+                      THEN 1 ELSE 0 END AS brk FROM o),
+sid AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS s
+        FROM ns),
+tp AS (SELECT *, SUM(CASE WHEN et = 'purchase' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id, s ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS sp FROM sid),
+keep AS MATERIALIZED (SELECT * FROM tp
+         WHERE sp = 0 OR (et = 'purchase' AND sp = 1)),
+seq AS MATERIALIZED (SELECT *, LAG(et) OVER
+            (PARTITION BY user_id, s ORDER BY ts, event_id) AS prev,
+          ROW_NUMBER() OVER (PARTITION BY user_id, s
+              ORDER BY ts DESC, event_id DESC) AS rlast
+        FROM keep),
+tr AS MATERIALIZED (SELECT COALESCE(prev, 'start_') AS frm, et AS to_ FROM seq
+       UNION ALL
+       SELECT et, 'null_' FROM seq
+       WHERE rlast = 1 AND et != 'purchase'),
+cnt AS MATERIALIZED (SELECT frm, to_, COUNT(*) AS n FROM tr GROUP BY frm, to_),
+rs AS (SELECT frm, SUM(n) AS total FROM cnt GROUP BY frm),
+pt AS (SELECT c.frm, c.to_, CAST(c.n AS DOUBLE) / r.total AS p
+       FROM cnt c JOIN rs r ON r.frm = c.frm),
+channels AS (
+  SELECT DISTINCT ch FROM (
+    SELECT frm AS ch FROM cnt UNION SELECT to_ FROM cnt)
+  WHERE ch NOT IN ('start_', 'purchase', 'null_')),
+rem AS MATERIALIZED (SELECT '__base__' AS removed
+        UNION ALL SELECT ch FROM channels),
+qmat AS MATERIALIZED (SELECT rem.removed, pt.frm, pt.to_, pt.p
+         FROM rem, pt
+         WHERE pt.frm IN (SELECT ch FROM channels)
+           AND pt.to_ IN (SELECT ch FROM channels)
+           AND pt.frm != rem.removed AND pt.to_ != rem.removed),
+rvec AS MATERIALIZED (SELECT rem.removed, c.ch,
+                COALESCE((SELECT p FROM pt
+                          WHERE pt.frm = c.ch AND pt.to_ = 'purchase'
+                            AND c.ch != rem.removed), 0.0) AS v
+         FROM rem, channels c),
+svec AS MATERIALIZED (SELECT rem.removed, pt.to_ AS ch, pt.p
+         FROM rem, pt
+         WHERE pt.frm = 'start_'
+           AND pt.to_ IN (SELECT ch FROM channels)
+           AND pt.to_ != rem.removed),
+sconv AS MATERIALIZED (SELECT COALESCE(SUM(p), 0.0) AS v FROM pt
+          WHERE frm = 'start_' AND to_ = 'purchase'),
+x0 AS MATERIALIZED (SELECT removed, ch, v FROM rvec),
+x1 AS MATERIALIZED (
+  SELECT r.removed, r.ch, r.v + COALESCE(sx.sv, 0.0) AS v
+  FROM rvec r LEFT JOIN (
+    SELECT q.removed, q.frm AS ch,
+           SUM(q.p * x.v ORDER BY q.to_) AS sv
+    FROM qmat q JOIN x0 x
+      ON x.removed = q.removed AND x.ch = q.to_
+    GROUP BY q.removed, q.frm) sx
+  ON sx.removed = r.removed AND sx.ch = r.ch),
+x2 AS MATERIALIZED (
+  SELECT r.removed, r.ch, r.v + COALESCE(sx.sv, 0.0) AS v
+  FROM rvec r LEFT JOIN (
+    SELECT q.removed, q.frm AS ch,
+           SUM(q.p * x.v ORDER BY q.to_) AS sv
+    FROM qmat q JOIN x1 x
+      ON x.removed = q.removed AND x.ch = q.to_
+    GROUP BY q.removed, q.frm) sx
+  ON sx.removed = r.removed AND sx.ch = r.ch),
+x3 AS MATERIALIZED (
+  SELECT r.removed, r.ch, r.v + COALESCE(sx.sv, 0.0) AS v
+  FROM rvec r LEFT JOIN (
+    SELECT q.removed, q.frm AS ch,
+           SUM(q.p * x.v ORDER BY q.to_) AS sv
+    FROM qmat q JOIN x2 x
+      ON x.removed = q.removed AND x.ch = q.to_
+    GROUP BY q.removed, q.frm) sx
+  ON sx.removed = r.removed AND sx.ch = r.ch),
+x4 AS MATERIALIZED (
+  SELECT r.removed, r.ch, r.v + COALESCE(sx.sv, 0.0) AS v
+  FROM rvec r LEFT JOIN (
+    SELECT q.removed, q.frm AS ch,
+           SUM(q.p * x.v ORDER BY q.to_) AS sv
+    FROM qmat q JOIN x3 x
+      ON x.removed = q.removed AND x.ch = q.to_
+    GROUP BY q.removed, q.frm) sx
+  ON sx.removed = r.removed AND sx.ch = r.ch),
+x5 AS MATERIALIZED (
+  SELECT r.removed, r.ch, r.v + COALESCE(sx.sv, 0.0) AS v
+  FROM rvec r LEFT JOIN (
+    SELECT q.removed, q.frm AS ch,
+           SUM(q.p * x.v ORDER BY q.to_) AS sv
+    FROM qmat q JOIN x4 x
+      ON x.removed = q.removed AND x.ch = q.to_
+    GROUP BY q.removed, q.frm) sx
+  ON sx.removed = r.removed AND sx.ch = r.ch),
+x6 AS MATERIALIZED (
+  SELECT r.removed, r.ch, r.v + COALESCE(sx.sv, 0.0) AS v
+  FROM rvec r LEFT JOIN (
+    SELECT q.removed, q.frm AS ch,
+           SUM(q.p * x.v ORDER BY q.to_) AS sv
+    FROM qmat q JOIN x5 x
+      ON x.removed = q.removed AND x.ch = q.to_
+    GROUP BY q.removed, q.frm) sx
+  ON sx.removed = r.removed AND sx.ch = r.ch),
+x7 AS MATERIALIZED (
+  SELECT r.removed, r.ch, r.v + COALESCE(sx.sv, 0.0) AS v
+  FROM rvec r LEFT JOIN (
+    SELECT q.removed, q.frm AS ch,
+           SUM(q.p * x.v ORDER BY q.to_) AS sv
+    FROM qmat q JOIN x6 x
+      ON x.removed = q.removed AND x.ch = q.to_
+    GROUP BY q.removed, q.frm) sx
+  ON sx.removed = r.removed AND sx.ch = r.ch),
+x8 AS MATERIALIZED (
+  SELECT r.removed, r.ch, r.v + COALESCE(sx.sv, 0.0) AS v
+  FROM rvec r LEFT JOIN (
+    SELECT q.removed, q.frm AS ch,
+           SUM(q.p * x.v ORDER BY q.to_) AS sv
+    FROM qmat q JOIN x7 x
+      ON x.removed = q.removed AND x.ch = q.to_
+    GROUP BY q.removed, q.frm) sx
+  ON sx.removed = r.removed AND sx.ch = r.ch),
+x9 AS MATERIALIZED (
+  SELECT r.removed, r.ch, r.v + COALESCE(sx.sv, 0.0) AS v
+  FROM rvec r LEFT JOIN (
+    SELECT q.removed, q.frm AS ch,
+           SUM(q.p * x.v ORDER BY q.to_) AS sv
+    FROM qmat q JOIN x8 x
+      ON x.removed = q.removed AND x.ch = q.to_
+    GROUP BY q.removed, q.frm) sx
+  ON sx.removed = r.removed AND sx.ch = r.ch),
+x10 AS MATERIALIZED (
+  SELECT r.removed, r.ch, r.v + COALESCE(sx.sv, 0.0) AS v
+  FROM rvec r LEFT JOIN (
+    SELECT q.removed, q.frm AS ch,
+           SUM(q.p * x.v ORDER BY q.to_) AS sv
+    FROM qmat q JOIN x9 x
+      ON x.removed = q.removed AND x.ch = q.to_
+    GROUP BY q.removed, q.frm) sx
+  ON sx.removed = r.removed AND sx.ch = r.ch),
+x11 AS MATERIALIZED (
+  SELECT r.removed, r.ch, r.v + COALESCE(sx.sv, 0.0) AS v
+  FROM rvec r LEFT JOIN (
+    SELECT q.removed, q.frm AS ch,
+           SUM(q.p * x.v ORDER BY q.to_) AS sv
+    FROM qmat q JOIN x10 x
+      ON x.removed = q.removed AND x.ch = q.to_
+    GROUP BY q.removed, q.frm) sx
+  ON sx.removed = r.removed AND sx.ch = r.ch),
+x12 AS MATERIALIZED (
+  SELECT r.removed, r.ch, r.v + COALESCE(sx.sv, 0.0) AS v
+  FROM rvec r LEFT JOIN (
+    SELECT q.removed, q.frm AS ch,
+           SUM(q.p * x.v ORDER BY q.to_) AS sv
+    FROM qmat q JOIN x11 x
+      ON x.removed = q.removed AND x.ch = q.to_
+    GROUP BY q.removed, q.frm) sx
+  ON sx.removed = r.removed AND sx.ch = r.ch),
+x13 AS MATERIALIZED (
+  SELECT r.removed, r.ch, r.v + COALESCE(sx.sv, 0.0) AS v
+  FROM rvec r LEFT JOIN (
+    SELECT q.removed, q.frm AS ch,
+           SUM(q.p * x.v ORDER BY q.to_) AS sv
+    FROM qmat q JOIN x12 x
+      ON x.removed = q.removed AND x.ch = q.to_
+    GROUP BY q.removed, q.frm) sx
+  ON sx.removed = r.removed AND sx.ch = r.ch),
+x14 AS MATERIALIZED (
+  SELECT r.removed, r.ch, r.v + COALESCE(sx.sv, 0.0) AS v
+  FROM rvec r LEFT JOIN (
+    SELECT q.removed, q.frm AS ch,
+           SUM(q.p * x.v ORDER BY q.to_) AS sv
+    FROM qmat q JOIN x13 x
+      ON x.removed = q.removed AND x.ch = q.to_
+    GROUP BY q.removed, q.frm) sx
+  ON sx.removed = r.removed AND sx.ch = r.ch),
+x15 AS MATERIALIZED (
+  SELECT r.removed, r.ch, r.v + COALESCE(sx.sv, 0.0) AS v
+  FROM rvec r LEFT JOIN (
+    SELECT q.removed, q.frm AS ch,
+           SUM(q.p * x.v ORDER BY q.to_) AS sv
+    FROM qmat q JOIN x14 x
+      ON x.removed = q.removed AND x.ch = q.to_
+    GROUP BY q.removed, q.frm) sx
+  ON sx.removed = r.removed AND sx.ch = r.ch),
+x16 AS MATERIALIZED (
+  SELECT r.removed, r.ch, r.v + COALESCE(sx.sv, 0.0) AS v
+  FROM rvec r LEFT JOIN (
+    SELECT q.removed, q.frm AS ch,
+           SUM(q.p * x.v ORDER BY q.to_) AS sv
+    FROM qmat q JOIN x15 x
+      ON x.removed = q.removed AND x.ch = q.to_
+    GROUP BY q.removed, q.frm) sx
+  ON sx.removed = r.removed AND sx.ch = r.ch),
+x17 AS MATERIALIZED (
+  SELECT r.removed, r.ch, r.v + COALESCE(sx.sv, 0.0) AS v
+  FROM rvec r LEFT JOIN (
+    SELECT q.removed, q.frm AS ch,
+           SUM(q.p * x.v ORDER BY q.to_) AS sv
+    FROM qmat q JOIN x16 x
+      ON x.removed = q.removed AND x.ch = q.to_
+    GROUP BY q.removed, q.frm) sx
+  ON sx.removed = r.removed AND sx.ch = r.ch),
+x18 AS MATERIALIZED (
+  SELECT r.removed, r.ch, r.v + COALESCE(sx.sv, 0.0) AS v
+  FROM rvec r LEFT JOIN (
+    SELECT q.removed, q.frm AS ch,
+           SUM(q.p * x.v ORDER BY q.to_) AS sv
+    FROM qmat q JOIN x17 x
+      ON x.removed = q.removed AND x.ch = q.to_
+    GROUP BY q.removed, q.frm) sx
+  ON sx.removed = r.removed AND sx.ch = r.ch),
+x19 AS MATERIALIZED (
+  SELECT r.removed, r.ch, r.v + COALESCE(sx.sv, 0.0) AS v
+  FROM rvec r LEFT JOIN (
+    SELECT q.removed, q.frm AS ch,
+           SUM(q.p * x.v ORDER BY q.to_) AS sv
+    FROM qmat q JOIN x18 x
+      ON x.removed = q.removed AND x.ch = q.to_
+    GROUP BY q.removed, q.frm) sx
+  ON sx.removed = r.removed AND sx.ch = r.ch),
+x20 AS MATERIALIZED (
+  SELECT r.removed, r.ch, r.v + COALESCE(sx.sv, 0.0) AS v
+  FROM rvec r LEFT JOIN (
+    SELECT q.removed, q.frm AS ch,
+           SUM(q.p * x.v ORDER BY q.to_) AS sv
+    FROM qmat q JOIN x19 x
+      ON x.removed = q.removed AND x.ch = q.to_
+    GROUP BY q.removed, q.frm) sx
+  ON sx.removed = r.removed AND sx.ch = r.ch),
+x21 AS MATERIALIZED (
+  SELECT r.removed, r.ch, r.v + COALESCE(sx.sv, 0.0) AS v
+  FROM rvec r LEFT JOIN (
+    SELECT q.removed, q.frm AS ch,
+           SUM(q.p * x.v ORDER BY q.to_) AS sv
+    FROM qmat q JOIN x20 x
+      ON x.removed = q.removed AND x.ch = q.to_
+    GROUP BY q.removed, q.frm) sx
+  ON sx.removed = r.removed AND sx.ch = r.ch),
+x22 AS MATERIALIZED (
+  SELECT r.removed, r.ch, r.v + COALESCE(sx.sv, 0.0) AS v
+  FROM rvec r LEFT JOIN (
+    SELECT q.removed, q.frm AS ch,
+           SUM(q.p * x.v ORDER BY q.to_) AS sv
+    FROM qmat q JOIN x21 x
+      ON x.removed = q.removed AND x.ch = q.to_
+    GROUP BY q.removed, q.frm) sx
+  ON sx.removed = r.removed AND sx.ch = r.ch),
+x23 AS MATERIALIZED (
+  SELECT r.removed, r.ch, r.v + COALESCE(sx.sv, 0.0) AS v
+  FROM rvec r LEFT JOIN (
+    SELECT q.removed, q.frm AS ch,
+           SUM(q.p * x.v ORDER BY q.to_) AS sv
+    FROM qmat q JOIN x22 x
+      ON x.removed = q.removed AND x.ch = q.to_
+    GROUP BY q.removed, q.frm) sx
+  ON sx.removed = r.removed AND sx.ch = r.ch),
+x24 AS MATERIALIZED (
+  SELECT r.removed, r.ch, r.v + COALESCE(sx.sv, 0.0) AS v
+  FROM rvec r LEFT JOIN (
+    SELECT q.removed, q.frm AS ch,
+           SUM(q.p * x.v ORDER BY q.to_) AS sv
+    FROM qmat q JOIN x23 x
+      ON x.removed = q.removed AND x.ch = q.to_
+    GROUP BY q.removed, q.frm) sx
+  ON sx.removed = r.removed AND sx.ch = r.ch),
+x25 AS MATERIALIZED (
+  SELECT r.removed, r.ch, r.v + COALESCE(sx.sv, 0.0) AS v
+  FROM rvec r LEFT JOIN (
+    SELECT q.removed, q.frm AS ch,
+           SUM(q.p * x.v ORDER BY q.to_) AS sv
+    FROM qmat q JOIN x24 x
+      ON x.removed = q.removed AND x.ch = q.to_
+    GROUP BY q.removed, q.frm) sx
+  ON sx.removed = r.removed AND sx.ch = r.ch),
+x26 AS MATERIALIZED (
+  SELECT r.removed, r.ch, r.v + COALESCE(sx.sv, 0.0) AS v
+  FROM rvec r LEFT JOIN (
+    SELECT q.removed, q.frm AS ch,
+           SUM(q.p * x.v ORDER BY q.to_) AS sv
+    FROM qmat q JOIN x25 x
+      ON x.removed = q.removed AND x.ch = q.to_
+    GROUP BY q.removed, q.frm) sx
+  ON sx.removed = r.removed AND sx.ch = r.ch),
+x27 AS MATERIALIZED (
+  SELECT r.removed, r.ch, r.v + COALESCE(sx.sv, 0.0) AS v
+  FROM rvec r LEFT JOIN (
+    SELECT q.removed, q.frm AS ch,
+           SUM(q.p * x.v ORDER BY q.to_) AS sv
+    FROM qmat q JOIN x26 x
+      ON x.removed = q.removed AND x.ch = q.to_
+    GROUP BY q.removed, q.frm) sx
+  ON sx.removed = r.removed AND sx.ch = r.ch),
+x28 AS MATERIALIZED (
+  SELECT r.removed, r.ch, r.v + COALESCE(sx.sv, 0.0) AS v
+  FROM rvec r LEFT JOIN (
+    SELECT q.removed, q.frm AS ch,
+           SUM(q.p * x.v ORDER BY q.to_) AS sv
+    FROM qmat q JOIN x27 x
+      ON x.removed = q.removed AND x.ch = q.to_
+    GROUP BY q.removed, q.frm) sx
+  ON sx.removed = r.removed AND sx.ch = r.ch),
+x29 AS MATERIALIZED (
+  SELECT r.removed, r.ch, r.v + COALESCE(sx.sv, 0.0) AS v
+  FROM rvec r LEFT JOIN (
+    SELECT q.removed, q.frm AS ch,
+           SUM(q.p * x.v ORDER BY q.to_) AS sv
+    FROM qmat q JOIN x28 x
+      ON x.removed = q.removed AND x.ch = q.to_
+    GROUP BY q.removed, q.frm) sx
+  ON sx.removed = r.removed AND sx.ch = r.ch),
+x30 AS MATERIALIZED (
+  SELECT r.removed, r.ch, r.v + COALESCE(sx.sv, 0.0) AS v
+  FROM rvec r LEFT JOIN (
+    SELECT q.removed, q.frm AS ch,
+           SUM(q.p * x.v ORDER BY q.to_) AS sv
+    FROM qmat q JOIN x29 x
+      ON x.removed = q.removed AND x.ch = q.to_
+    GROUP BY q.removed, q.frm) sx
+  ON sx.removed = r.removed AND sx.ch = r.ch),
+x31 AS MATERIALIZED (
+  SELECT r.removed, r.ch, r.v + COALESCE(sx.sv, 0.0) AS v
+  FROM rvec r LEFT JOIN (
+    SELECT q.removed, q.frm AS ch,
+           SUM(q.p * x.v ORDER BY q.to_) AS sv
+    FROM qmat q JOIN x30 x
+      ON x.removed = q.removed AND x.ch = q.to_
+    GROUP BY q.removed, q.frm) sx
+  ON sx.removed = r.removed AND sx.ch = r.ch),
+x32 AS MATERIALIZED (
+  SELECT r.removed, r.ch, r.v + COALESCE(sx.sv, 0.0) AS v
+  FROM rvec r LEFT JOIN (
+    SELECT q.removed, q.frm AS ch,
+           SUM(q.p * x.v ORDER BY q.to_) AS sv
+    FROM qmat q JOIN x31 x
+      ON x.removed = q.removed AND x.ch = q.to_
+    GROUP BY q.removed, q.frm) sx
+  ON sx.removed = r.removed AND sx.ch = r.ch),
+
+sx AS (SELECT x.removed, SUM(s.p * x.v ORDER BY s.ch) AS sv
+       FROM svec s JOIN x32 x
+         ON x.removed = s.removed AND x.ch = s.ch
+       GROUP BY x.removed),
+conv AS (SELECT rem.removed,
+                (SELECT v FROM sconv) + COALESCE(sx.sv, 0.0) AS cv
+         FROM rem LEFT JOIN sx ON sx.removed = rem.removed),
+re AS (SELECT removed AS channel,
+              GREATEST(0.0, ((SELECT cv FROM conv
+                              WHERE removed = '__base__') - cv)
+                            / (SELECT cv FROM conv
+                               WHERE removed = '__base__')) AS r
+       FROM conv WHERE removed != '__base__'),
+tot AS (SELECT SUM(r ORDER BY channel) AS t FROM re)
+SELECT channel, ROUND(r, 6) AS removal_effect,
+       CASE WHEN (SELECT t FROM tot) > 0
+            THEN ROUND(r / (SELECT t FROM tot), 6) ELSE 0.0
+       END AS attribution_share
+FROM re ORDER BY channel""")
 def markov_removal_attribution(sf_dir: str) -> pd.DataFrame:
     """Markov removal-effect attribution (Anderl et al. 2014): model
     each visit-window session as a first-order chain over event
@@ -3332,13 +3691,18 @@ def markov_removal_attribution(sf_dir: str) -> pd.DataFrame:
     conversion probability DISAPPEARS when journeys through it are
     failed — the data-driven alternative to last-touch that the
     suite's hitting-time and stationary queries don't provide
-    (they describe the chain, this prices each state). Not
-    SQL-expressible (each removal solves an absorbing-chain linear
-    system), so driver-verified by a planted-chain pytest parity
-    test instead of the DuckDB oracle. Transition counts come from
-    the same 32-way user-bucket sessionize map_groups as the funnel
-    — only (from, to, n) integer partials shuffle; the ≤(T+1)²
-    linear solves run on the driver's tiny matrix.
+    (they describe the chain, this prices each state). Transition
+    counts come from the same 32-way user-bucket sessionize
+    map_groups as the funnel — only (from, to, n) integer partials
+    shuffle; the tiny per-removal chains run on the driver.
+
+    ORACLE (r5): the absorbing-chain solve is defined as the K=32
+    Neumann truncation x = Σ_{k<=32} Q^k R (exact for journeys of
+    ≤ 32 steps; longer journeys carry negligible mass) computed with
+    per-row left-fold sums in ascending to-channel order, so the
+    DuckDB oracle replays it bit-for-bit with 32 unrolled
+    matrix-vector CTEs — the PageRank unrolled-SQL pattern. The
+    planted-chain pytest parity test still pins the semantics.
 
     Output: one row per non-purchase channel with its removal
     effect and normalized attribution share."""
@@ -3382,41 +3746,58 @@ def markov_removal_attribution(sf_dir: str) -> pd.DataFrame:
         .groupby("bucket_").map_groups(transitions,
                                        batch_format="pandas"),
         ["frm", "to"], {"n": ("n", "sum")}).to_pandas()
+    cnt = cnt.sort_values(["frm", "to"], ignore_index=True)
     channels = sorted((set(cnt["frm"]) | set(cnt["to"]))
                       - {"start_", "purchase", "null_"})
-    idx = {c: i for i, c in enumerate(channels)}
-    T = len(channels)
+    chset = set(channels)
     rowsum = cnt.groupby("frm")["n"].sum().to_dict()
+    # shared-expression transition probabilities (CAST(n AS DOUBLE)/rs)
+    pt = [(f, t, float(n) / float(rowsum[f]))
+          for f, t, n in zip(cnt["frm"], cnt["to"], cnt["n"])]
+
+    K = 32
 
     def conv_prob(removed=None):
-        # x_i = P(reach purchase from channel i); journeys through
-        # the removed channel fail (its inbound mass goes to null)
-        Q = np.zeros((T, T))
-        R = np.zeros(T)
-        s = np.zeros(T)
-        s_conv = 0.0
-        for frm, to, n in zip(cnt["frm"], cnt["to"], cnt["n"]):
-            p = n / rowsum[frm]
-            if to == removed:
+        # x = Σ_{k<=K} Q^k R via K left-fold updates, Q rows walked in
+        # ascending to-channel order — the exact op order the oracle's
+        # SUM(p*v ORDER BY to_) replays
+        R = {c: 0.0 for c in channels}
+        Qrows = {c: [] for c in channels}
+        s_rows, s_conv = [], 0.0
+        for f, t, p in pt:              # sorted by (frm, to)
+            if t == removed:
                 continue
-            if frm == "start_":
-                if to == "purchase":
+            if f == "start_":
+                if t == "purchase":
                     s_conv += p
-                elif to in idx:
-                    s[idx[to]] += p
-            elif frm in idx and frm != removed:
-                if to == "purchase":
-                    R[idx[frm]] += p
-                elif to in idx:
-                    Q[idx[frm], idx[to]] += p
-        x = np.linalg.solve(np.eye(T) - Q, R)
-        return s_conv + float(s @ x)
+                elif t in chset:
+                    s_rows.append((t, p))
+            elif f in chset and f != removed:
+                if t == "purchase":
+                    R[f] = p
+                elif t in chset:
+                    Qrows[f].append((t, p))
+        x = dict(R)
+        for _ in range(K):
+            nx = {}
+            for i in channels:
+                acc = R[i]
+                for t, p in Qrows[i]:
+                    acc = acc + p * x[t]
+                nx[i] = acc
+            x = nx
+        acc = s_conv
+        for t, p in s_rows:             # ascending channel
+            acc = acc + p * x[t]
+        return acc
 
     base = conv_prob()
     rha = textstats.round_half_away
     re = {c: max(0.0, (base - conv_prob(c)) / base)
           for c in channels}
-    tot = sum(re.values())
+    tot = 0.0
+    for c in channels:                  # SUM(r ORDER BY channel)
+        tot = tot + re[c]
     return pd.DataFrame({
         "channel": channels,
         "removal_effect": [float(rha(re[c], 6)) for c in channels],

@@ -27,6 +27,8 @@ import pandas as pd
 import ray.data as rd
 from ray.data.aggregate import Max, Min, Sum
 
+from webalizer_ray.config import default_partitions
+
 # spec: out_col -> (in_col, how);  how ∈ {size, sum, min, max, nunique-free}
 STD_SPEC = {
     "hits": ("ts", "size"),
@@ -79,7 +81,7 @@ def key_bucket(df: pd.DataFrame, keys, num_buckets: int) -> np.ndarray:
 
 
 def bucket_combine(partials: rd.Dataset, keys: list[str], spec: dict,
-                   num_buckets: int = 64) -> rd.Dataset:
+                   num_buckets: int | None = None) -> rd.Dataset:
     """Final combine of per-batch partials: int-bucket shuffle + ONE
     vectorized pandas groupby per bucket.
 
@@ -91,6 +93,8 @@ def bucket_combine(partials: rd.Dataset, keys: list[str], spec: dict,
     num_buckets bounds both parallelism and per-task memory; size it to
     #distinct-keys × row-width at the target scale.
     """
+    num_buckets = default_partitions(num_buckets)
+
     def add_h(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         df["_h"] = key_bucket(df, keys, num_buckets)
@@ -106,7 +110,8 @@ def bucket_combine(partials: rd.Dataset, keys: list[str], spec: dict,
 
 
 def reduce_sink(ds: rd.Dataset, keys: list[str], spec: dict = STD_SPEC,
-                dropna: bool = True, num_buckets: int = 64) -> rd.Dataset:
+                dropna: bool = True,
+                num_buckets: int | None = None) -> rd.Dataset:
     """partial-per-batch → bucketed final combine over partials only."""
     partials = ds.map_batches(make_partial_fn(keys, spec, dropna),
                               batch_format="pandas")
@@ -114,13 +119,15 @@ def reduce_sink(ds: rd.Dataset, keys: list[str], spec: dict = STD_SPEC,
 
 
 def distinct_count(ds: rd.Dataset, keys: list[str], of: str,
-                   alias: str = "n", num_buckets: int = 64) -> rd.Dataset:
+                   alias: str = "n",
+                   num_buckets: int | None = None) -> rd.Dataset:
     """Exact distinct-count of ``of`` per ``keys`` (A10), two-phase.
 
     per-batch dedup (big reduction) → bucket on (keys+of) → per-bucket
     global dedup + count (each (key, member) pair lives in exactly one
     bucket, so per-bucket counts are disjoint partials) → tiny final sum.
     """
+    num_buckets = default_partitions(num_buckets)
     cols = keys + [of]
 
     def batch_dedup(df: pd.DataFrame) -> pd.DataFrame:
@@ -141,7 +148,9 @@ def distinct_count(ds: rd.Dataset, keys: list[str], of: str,
                       .groupby("_h")
                       .map_groups(bucket_count, batch_format="pandas"))
     return bucket_combine(partial_counts, keys,
-                          {alias: (alias, "sum")}, num_buckets=8)
+                          {alias: (alias, "sum")},
+                          num_buckets=8)  # fixed small fan-out: input is
+    #                       already <= num_buckets x keys partial rows
 
 
 def salted_two_phase(ds: rd.Dataset, key: str, value: str,
@@ -252,7 +261,8 @@ def key_skew_profile(ds: rd.Dataset, key: str) -> dict:
 
 
 def sink_pandas(ds: rd.Dataset, keys: list[str], spec: dict,
-                dropna: bool = True, num_buckets: int = 64) -> "pd.DataFrame":
+                dropna: bool = True,
+                num_buckets: int | None = None) -> "pd.DataFrame":
     """reduce_sink → pandas with a SCHEMA-STABLE empty: Ray's all-empty
     block path loses column names, so a zero-row result comes back as a
     named (object-dtyped) frame instead of a column-less one — callers'

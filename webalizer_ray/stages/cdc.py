@@ -33,6 +33,8 @@ import ray.data as rd
 
 from webalizer_ray.stages.aggregate import key_bucket
 
+from webalizer_ray.config import default_partitions
+
 #: sequence assigned to base-snapshot rows — any real change outranks it.
 BASE_SEQ = -1
 
@@ -42,7 +44,7 @@ OP_DELETE = "delete"
 
 def merge_changes(base: rd.Dataset | None, changes: rd.Dataset,
                   key: str, seq: str = "seq", op: str = "op",
-                  num_buckets: int = 64) -> rd.Dataset:
+                  num_buckets: int | None = None) -> rd.Dataset:
     """Apply ``changes`` (columns: key, seq, op, payload...) to ``base``
     (columns: key, payload...). Returns the merged table WITHOUT the
     seq/op bookkeeping columns. ``base=None`` materializes the change
@@ -51,6 +53,8 @@ def merge_changes(base: rd.Dataset | None, changes: rd.Dataset,
     ``seq`` must be unique per key (e.g. a log offset or commit id);
     ties would make last-writer-wins ambiguous across engines.
     """
+    num_buckets = default_partitions(num_buckets)
+
     def tag_base(t: "pa.Table") -> "pa.Table":
         n = t.num_rows
         t = t.append_column(seq, pa.array(

@@ -36,6 +36,7 @@ import ray.data as rd
 from ray.data.aggregate import Min, Sum
 
 from webalizer_ray.stages import strhash
+from webalizer_ray.config import default_partitions
 from webalizer_ray.stages.aggregate import join_partitions, key_bucket
 from webalizer_ray.stages.sketch import splitmix64
 from webalizer_ray.stages.textstats import add_fingerprint, round_half_away
@@ -138,10 +139,13 @@ def _empty_pairs(value_col: str) -> pd.DataFrame:
                          value_col: pd.Series(dtype=np.float64)})
 
 
-def dedup_pairs_ds(pairs: rd.Dataset, num_buckets: int = 32) -> rd.Dataset:
+def dedup_pairs_ds(pairs: rd.Dataset,
+                   num_buckets: int | None = None) -> rd.Dataset:
     """Distributed exact dedup of (id_a, id_b) rows — per-batch dedup,
     then per-hash-bucket global dedup (a pair lives in exactly one
     bucket). The pair set never lands on the driver."""
+    num_buckets = default_partitions(num_buckets)
+
     def local(df: pd.DataFrame) -> pd.DataFrame:
         d = df.drop_duplicates().copy()
         d["_h"] = key_bucket(d, ["id_a", "id_b"], num_buckets)
@@ -713,7 +717,8 @@ def _shingle_hash_table(batch: pa.Table, n: int, id_col: str,
 
 def ngram_decontaminate(train: rd.Dataset, val: rd.Dataset, n: int = 5,
                         id_col: str = "doc_id", text_col: str = "text",
-                        num_partitions: int = 8) -> pd.DataFrame:
+                        num_partitions: int | None = None
+                        ) -> pd.DataFrame:
     """Ids of TRAIN docs sharing at least one word n-gram with ANY val doc
     — the train/test decontamination sweep every eval-safe training
     pipeline runs (n-gram overlap as in the GPT-3 appendix-C methodology,
@@ -730,6 +735,8 @@ def ngram_decontaminate(train: rd.Dataset, val: rd.Dataset, n: int = 5,
     set. 64-bit hashing makes a false match ~n_shingles²/2⁶⁵ —
     negligible next to the FP rate of the n-gram heuristic itself.
     """
+    num_partitions = join_partitions(
+        default_partitions(num_partitions, per_cpu=1))
     t_pairs = train.map_batches(
         lambda b: _shingle_hash_table(b, n, id_col, text_col, True),
         batch_format="pyarrow")
@@ -790,7 +797,7 @@ def _union_find_components(pairs: pd.DataFrame, id_a: str,
 
 def connected_components_ds(pairs: rd.Dataset,
                             id_a: str = "id_a", id_b: str = "id_b",
-                            num_partitions: int = 8,
+                            num_partitions: int | None = None,
                             max_rounds: int = 40,
                             out_dir: str | None = None) -> rd.Dataset:
     """Distributed connected components returning a DATASET of
@@ -802,7 +809,9 @@ def connected_components_ds(pairs: rd.Dataset,
     a downstream keep-one-per-cluster pass can stream them back
     without re-running the supersteps.
     """
-    labels = _cc_labels(pairs, id_a, id_b, num_partitions, max_rounds)
+    labels = _cc_labels(pairs, id_a, id_b,
+                        default_partitions(num_partitions, per_cpu=1),
+                        max_rounds)
     out_schema = pa.schema([("node", pa.int64()),
                             ("cluster_id", pa.int64())])
     if labels.count() == 0:
@@ -826,7 +835,7 @@ def connected_components_ds(pairs: rd.Dataset,
 
 def connected_components(pairs: rd.Dataset | pd.DataFrame,
                          id_a: str = "id_a", id_b: str = "id_b",
-                         num_partitions: int = 8,
+                         num_partitions: int | None = None,
                          max_rounds: int = 40,
                          driver_limit: int = 2_000_000) -> pd.DataFrame:
     """(node, cluster_id) for every node of the undirected pair graph;
@@ -870,7 +879,9 @@ def connected_components(pairs: rd.Dataset | pd.DataFrame,
     if pairs is None:
         return pd.DataFrame({"node": pd.Series(dtype=np.int64),
                              "cluster_id": pd.Series(dtype=np.int64)})
-    labels = _cc_labels(pairs, id_a, id_b, num_partitions, max_rounds)
+    labels = _cc_labels(pairs, id_a, id_b,
+                        default_partitions(num_partitions, per_cpu=1),
+                        max_rounds)
     out = labels.to_pandas()
     out.columns = ["node", "cluster_id"]
     return (out.astype(np.int64)
@@ -996,6 +1007,11 @@ def incremental_exact_dedup(ds: rd.Dataset, store_dir: str, run_id: str,
 
     Within one run, duplicate texts keep min(id) (same rule as
     exact_dedup). Returns the kept (id_col, fingerprint) Dataset.
+
+    num_buckets is a LAYOUT CONSTANT: the store's bucket dirs persist
+    across runs and a later run must hash fingerprints with the SAME
+    modulus to find them, so it must never derive from the live
+    session size.
     """
     os.makedirs(out_dir, exist_ok=True)
 
@@ -1115,7 +1131,7 @@ def semantic_dedup(ds: rd.Dataset, threshold: float = 0.9,
 
 def shared_span_pairs(docs: rd.Dataset, n: int = 20,
                       id_col: str = "doc_id", text_col: str = "text",
-                      num_buckets: int = 64) -> pd.DataFrame:
+                      num_buckets: int | None = None) -> pd.DataFrame:
     """Train-train duplicate-SPAN detection (the bounded cousin of
     suffix-array substring dedup, Lee et al. "Deduplicating Training
     Data Makes Language Models Better", ACL 2022 — public
@@ -1133,6 +1149,9 @@ def shared_span_pairs(docs: rd.Dataset, n: int = 20,
     first (drop spans with document frequency > cap), which this
     keeps off to stay oracle-exact.
     """
+    # the bucket id is a BITMASK (sh & (B-1)) — round the derived
+    # fan-out down to a power of two
+    num_buckets = 1 << (default_partitions(num_buckets).bit_length() - 1)
     sh = docs.map_batches(
         lambda b: _shingle_hash_table(b, n, id_col, text_col, True),
         batch_format="pyarrow")
@@ -1199,6 +1218,10 @@ def incremental_minhash_dedup(ds: rd.Dataset, store_dir: str, run_id: str,
     dropped ids from the run's own stored signature file, so only DROP
     rows shuffle. With ``out_dir`` the kept ids are also written as
     partitioned Parquet. sf-scale callers `.to_pandas()` the results.
+
+    num_buckets is a LAYOUT CONSTANT: band/sig bucket dirs persist
+    across runs and later runs must hash with the SAME modulus to find
+    prior rows — never derive it from the live session size.
     """
     bands_dir = os.path.join(store_dir, "bands")
     sigs_dir = os.path.join(store_dir, "sigs")

@@ -27,6 +27,10 @@ import pandas as pd
 import pyarrow.dataset as pads
 import ray.data as rd
 
+#: build-time DEFAULT shard count only — the chosen value is persisted
+#: in the index's _meta.json and every later read/append session uses
+#: THAT, so deriving the default from the live session is safe (unlike
+#: the join-store LAYOUT CONSTANTS, the layout is self-describing).
 NUM_BUCKETS = 32
 K1, B = 1.2, 0.75
 
@@ -37,9 +41,11 @@ def _term_bucket(terms: pd.Series, num_buckets: int) -> np.ndarray:
 
 
 def build_index(ds: rd.Dataset, index_dir: str,
-                num_buckets: int = NUM_BUCKETS,
+                num_buckets: int | None = None,
                 text_col: str = "text", id_col: str = "doc_id") -> str:
     """One streaming pass corpus → term-sharded postings store."""
+    from webalizer_ray.config import default_partitions
+    num_buckets = default_partitions(num_buckets)
     os.makedirs(index_dir, exist_ok=True)
 
     def postings(df: pd.DataFrame) -> pd.DataFrame:

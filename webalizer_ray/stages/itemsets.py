@@ -30,12 +30,14 @@ import pandas as pd
 import ray
 import ray.data as rd
 
+from webalizer_ray.config import default_partitions
+
 _SENTINEL = "\x00baskets"
 
 
 def frequent_triples(rows: rd.Dataset, basket_col: str = "basket",
                      item_col: str = "item", num: int = 1, den: int = 2,
-                     num_buckets: int = 32) -> pd.DataFrame:
+                     num_buckets: int | None = None) -> pd.DataFrame:
     """Frequent 3-itemsets over ``rows`` of (basket_id, item).
 
     ``basket_col`` must be integer (hash co-location key); rows need
@@ -44,6 +46,8 @@ def frequent_triples(rows: rd.Dataset, basket_col: str = "basket",
     ordered a < b < c, sorted.
     """
     from webalizer_ray.stages.aggregate import reduce_sink
+
+    num_buckets = default_partitions(num_buckets)
 
     def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({

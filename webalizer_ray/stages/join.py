@@ -42,12 +42,16 @@ def broadcast_join(left: rd.Dataset, right: pd.DataFrame,
 def auto_join(left: rd.Dataset, right: rd.Dataset, on: str,
               right_on: str | None = None,
               broadcast_limit: int = 1_000_000,
-              num_partitions: int = 8) -> rd.Dataset:
+              num_partitions: int | None = None) -> rd.Dataset:
     """Inner join with automatic strategy: build sides up to
     ``broadcast_limit`` rows broadcast (count() on a parquet read is a
     metadata-only footer sum — no scan); bigger sides take Ray's
     distributed hash join. Both paths emit the same columns (right key
     dropped when names differ)."""
+    from webalizer_ray.config import default_partitions
+    from webalizer_ray.stages.aggregate import join_partitions
+    num_partitions = join_partitions(
+        default_partitions(num_partitions, per_cpu=1))
     right_on = right_on or on
     # materialize ONCE: count() then to_pandas()/join() on a lazy
     # computed side would re-execute its whole upstream plan (measured
@@ -70,7 +74,12 @@ def write_bucketed(ds: rd.Dataset, key: str, out_dir: str,
     — the storage layout that makes later same-key joins shuffle-FREE
     (the lakehouse bucket-transform / storage-partitioned-join
     technique; same explicit partitioning the flagship store uses for
-    conv_id). Returns out_dir."""
+    conv_id). Returns out_dir.
+
+    num_buckets is a LAYOUT CONSTANT, not a parallelism knob: every
+    store that will be joined together must be written with the SAME
+    value (bucketed_join pairs dirs by bucket id), so it must never
+    derive from the live session size."""
     from webalizer_ray.stages.aggregate import key_bucket
 
     def tag(df: pd.DataFrame) -> pd.DataFrame:
@@ -92,7 +101,9 @@ def bucketed_join(dir_left: str, dir_right: str, on: str,
     bucket reads its two partitions and merges locally. The join's
     all-to-all moved into the (one-time) bucketed writes; every
     subsequent join on that key is embarrassingly parallel. Buckets
-    missing on either side contribute nothing (inner semantics)."""
+    missing on either side contribute nothing (inner semantics).
+    num_buckets is the LAYOUT CONSTANT both stores were written with
+    (see write_bucketed) — session-independent by design."""
     import os
 
     import pyarrow.dataset as pads
@@ -122,7 +133,8 @@ def bucketed_join(dir_left: str, dir_right: str, on: str,
 
 def skew_join(left: rd.Dataset, right: rd.Dataset, on: str,
               salt_src: str, right_on: str | None = None,
-              num_salts: int = 8, num_partitions: int = 8,
+              num_salts: int | None = None,
+              num_partitions: int | None = None,
               sample_rows: int = 8192,
               hot_threshold: float = 0.05) -> rd.Dataset:
     """Skew-mitigated distributed inner join (the standard salted-join
@@ -138,6 +150,11 @@ def skew_join(left: rd.Dataset, right: rd.Dataset, on: str,
     mis-selects WHICH keys get salted, never correctness: non-hot keys
     keep salt 0 on both sides.
     """
+    from webalizer_ray.config import default_partitions
+    from webalizer_ray.stages.aggregate import join_partitions
+    num_salts = default_partitions(num_salts, per_cpu=1)
+    num_partitions = join_partitions(
+        default_partitions(num_partitions, per_cpu=1))
     right_on = right_on or on
     sample = left.limit(sample_rows).to_pandas()[on]
     freq = sample.value_counts(normalize=True)
@@ -176,7 +193,7 @@ def skew_join(left: rd.Dataset, right: rd.Dataset, on: str,
 def temporal_join(facts: rd.Dataset, dim: rd.Dataset, key: str,
                   ts_col: str, from_col: str = "valid_from",
                   to_col: str = "valid_to", how: str = "inner",
-                  num_buckets: int = 32) -> rd.Dataset:
+                  num_buckets: int | None = None) -> rd.Dataset:
     """SCD2 / temporal-validity join: each fact row picks the dimension
     row valid at its event time — ``valid_from <= ts < valid_to``
     (a null ``valid_to`` means open-ended, the current generation).
@@ -202,7 +219,9 @@ def temporal_join(facts: rd.Dataset, dim: rd.Dataset, key: str,
         raise ValueError(f"how={how!r}")
     import pyarrow as pa
 
+    from webalizer_ray.config import default_partitions
     from webalizer_ray.stages.aggregate import key_bucket
+    num_buckets = default_partitions(num_buckets)
 
     def arrow_schema(ds: rd.Dataset) -> "pa.Schema":
         # after a pandas-format map_batches Ray reports a

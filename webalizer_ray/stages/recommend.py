@@ -33,7 +33,10 @@ import pandas as pd
 import ray
 import ray.data as rd
 
-from webalizer_ray.stages.aggregate import key_bucket, reduce_sink
+from webalizer_ray.config import default_partitions
+
+from webalizer_ray.stages.aggregate import (join_partitions, key_bucket,
+                                             reduce_sink)
 
 _KNUTH = np.uint64(2654435761)
 
@@ -70,12 +73,13 @@ def _segment_normal_eq(key: np.ndarray, feats: np.ndarray,
 
 
 def als_fit(ratings: rd.Dataset, k: int = 8, iters: int = 3,
-            reg: float = 0.1, num_buckets: int = 32):
+            reg: float = 0.1, num_buckets: int | None = None):
     """Fit ALS over a (user, item, rating) Dataset.
 
     Returns (user_factors Dataset[user, f0..f{k-1}],
              item_factors pd.DataFrame[item, f0..f{k-1}]).
     Items must be the bounded dimension (broadcast per iteration)."""
+    num_buckets = default_partitions(num_buckets)
     fcols = [f"f{d}" for d in range(k)]
     acols = [f"a{i}_{j}" for i in range(k) for j in range(k)]
     bcols = [f"b{i}" for i in range(k)]
@@ -168,9 +172,10 @@ def als_fit(ratings: rd.Dataset, k: int = 8, iters: int = 3,
 
 def als_rmse(ratings: rd.Dataset, user_factors: rd.Dataset,
              item_factors: pd.DataFrame, k: int = 8,
-             num_buckets: int = 32) -> float:
+             num_buckets: int | None = None) -> float:
     """Distributed RMSE of the factor model: item factors broadcast,
     ratings ⋈ user factors, (Σerr², n) scalar partials only."""
+    num_buckets = default_partitions(num_buckets)
     fcols = [f"f{d}" for d in range(k)]
     vref = ray.put((item_factors[fcols].to_numpy(np.float64),
                     pd.Index(item_factors["item"].to_numpy(np.int64))))
@@ -184,7 +189,8 @@ def als_rmse(ratings: rd.Dataset, user_factors: rd.Dataset,
                              "n": [len(g)]})
 
     j = ratings.join(user_factors, join_type="inner",
-                     num_partitions=min(8, num_buckets),
+                     num_partitions=join_partitions(
+                         min(8, num_buckets)),
                      on=("user",), right_on=("user",))
     p = j.map_batches(err, batch_format="pandas").materialize()
     return float(np.sqrt(p.sum("se") / p.sum("n")))

@@ -34,6 +34,8 @@ import pandas as pd
 import pyarrow as pa
 
 import ray.data as rd
+
+from webalizer_ray.config import default_partitions
 from ray.data.aggregate import Count, Sum
 
 #: Knuth multiplicative hash constant — also written out in the oracle
@@ -114,7 +116,7 @@ def pack_bins(ds: rd.Dataset, key_col: str, tokens_col: str,
 
 
 def shuffle_rank(ds: rd.Dataset, id_col: str, seed: int = 0,
-                 num_buckets: int = 64) -> rd.Dataset:
+                 num_buckets: int | None = None) -> rd.Dataset:
     """Seeded deterministic GLOBAL shuffle order without a global sort:
     ``key = ((id XOR seed) * KNUTH) % 2^32`` scatters ids uniformly
     (XOR, not +: an additive seed shifts every key by the same
@@ -123,6 +125,8 @@ def shuffle_rank(ds: rd.Dataset, id_col: str, seed: int = 0,
     balances by construction; rank = bucket offset + local (key, id)
     order. Reproducible across runs/cluster sizes — the property a
     training dataloader needs from "global shuffle"."""
+
+    num_buckets = default_partitions(num_buckets)
 
     def keyed(batch: pa.Table) -> pa.Table:
         i = np.asarray(batch[id_col], dtype=np.int64)
@@ -137,7 +141,7 @@ def shuffle_rank(ds: rd.Dataset, id_col: str, seed: int = 0,
 
 
 def global_rank(ds: rd.Dataset, value_col: str, id_col: str,
-                out_col: str = "rnk", num_buckets: int = 32,
+                out_col: str = "rnk", num_buckets: int | None = None,
                 sample_rows: int = 4096) -> rd.Dataset:
     """EXACT 1-based global rank in (value, id) order — the distributed
     ORDER BY primitive (ROW_NUMBER without a global sort shuffle):
@@ -156,6 +160,7 @@ def global_rank(ds: rd.Dataset, value_col: str, id_col: str,
     """
     import ray
 
+    num_buckets = default_partitions(num_buckets)
     sample = ds.limit(sample_rows).to_pandas()[value_col] \
         .to_numpy(np.float64)
     cuts = np.unique(np.quantile(

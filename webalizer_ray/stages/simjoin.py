@@ -40,6 +40,8 @@ import pandas as pd
 import ray
 import ray.data as rd
 
+from webalizer_ray.config import default_partitions
+
 from webalizer_ray.stages.aggregate import reduce_sink
 from webalizer_ray.stages.dedup import dedup_pairs_ds
 
@@ -142,7 +144,7 @@ def set_similarity_join_prefix(keys: rd.Dataset, threshold: float,
     pairs = prefix.groupby("bucket").map_groups(bucket_verify,
                                                 batch_format="pandas")
     # a pair can surface from several shared prefix grams: bucketed dedup
-    out = dedup_pairs_ds(pairs, num_buckets=8).to_pandas()
+    out = dedup_pairs_ds(pairs).to_pandas()
     if out.empty:  # all-empty blocks arrive column-less
         return pd.DataFrame({"a": pd.Series([], dtype=object),
                              "b": pd.Series([], dtype=object),
@@ -183,7 +185,7 @@ def _lev_banded(a: str, b: str, k: int) -> int:
 
 def edit_distance_join(keys: rd.Dataset, k: int = 2,
                        key_col: str = "key",
-                       num_buckets: int = 64) -> pd.DataFrame:
+                       num_buckets: int | None = None) -> pd.DataFrame:
     """All DISTINCT key pairs within Levenshtein distance ≤ k, without
     the all-pairs product (PassJoin segment signatures, Li et al.
     VLDB'11 — public construction).
@@ -202,6 +204,8 @@ def edit_distance_join(keys: rd.Dataset, k: int = 2,
     is the brute-force all-pairs SQL. Production tightening (position
     windows, length partitioning) shrinks constants only.
     """
+    num_buckets = default_partitions(num_buckets)
+
     def sig_rows(df: pd.DataFrame) -> pd.DataFrame:
         ks, sigs, roles = [], [], []
         for s in df[key_col].dropna().unique():

@@ -410,3 +410,98 @@ class CountMin:
         n = int(np.frombuffer(blob[:8], dtype=np.int64)[0])
         t = np.frombuffer(blob[8:], dtype=np.int64).reshape(depth, width)
         return cls(width, depth, t.copy(), n)
+
+
+# ------------------------------------------------------- deterministic digest
+#
+# k0-scale ("uniform") merging t-digest, the Dunning t-digest variant
+# whose scale function k0(q) = δq/2 yields EQUAL-weight centroids
+# (Dunning & Ertl, "Computing extremely accurate quantiles using
+# t-digests", arXiv:1902.04023 §2.2 — public construction). Unlike the
+# asin-scale TDigest class above, every step here is a closed form over
+# sorted input (NTILE boundaries, floor-of-cumweight cluster
+# assignment, midpoint interpolation), which makes the whole chain
+# ORDER-INVARIANT given a deterministic grouping — and therefore
+# replayable bit-for-bit in SQL window functions (the register-exact
+# HLL oracle pattern, r4). Used by the value_quantiles_sketch query:
+# values are split per key into TDK0_BUCKETS fixed event_id-residue
+# groups, each group builds δ centroids, and the per-key merge folds
+# the B×δ centroids in (mean, bucket, centroid) order.
+
+TDK0_DELTA = 100
+TDK0_BUCKETS = 16
+
+
+def tdk0_centroids(values: np.ndarray,
+                   tie: np.ndarray,
+                   delta: int = TDK0_DELTA) -> tuple:
+    """(sums, weights) of the k0 digest over ONE group of INTEGER
+    values: rows sorted by (value, tie), then NTILE(delta) boundaries
+    — the first n % delta centroids take ceil(n/delta) rows, the rest
+    floor(n/delta); a group smaller than delta keeps one row per
+    centroid. Centroids carry exact int64 (sum, weight) rather than
+    float means so every accumulation is order-independent — the
+    property that lets the SQL replay match bit-for-bit (the same
+    integer-cents trick the stats-test oracles use); the mean s/w is
+    a single float division, identical on both sides."""
+    n = len(values)
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    v = np.asarray(values, np.int64)
+    o = np.lexsort((np.asarray(tie), v))
+    v = v[o]
+    k = min(int(delta), n)
+    base, rem = divmod(n, k)
+    sizes = np.full(k, base, np.int64)
+    sizes[:rem] += 1
+    starts = np.cumsum(sizes) - sizes
+    return np.add.reduceat(v, starts), sizes
+
+
+def tdk0_merge(sums: np.ndarray, weights: np.ndarray,
+               bucket: np.ndarray, cidx: np.ndarray,
+               delta: int = TDK0_DELTA) -> tuple:
+    """Merge centroids from several groups of one key: order by
+    (mean = s/w, bucket, centroid-idx) — the deterministic tiebreak
+    the SQL ORDER BY mirrors — then assign each centroid to cluster
+    floor(exclusive_cumweight * delta / total) and sum the integer
+    (s, w) per cluster (left-boundary k0 assignment; centroids are
+    atomic, never split). Returns (sums, weights) in cluster order."""
+    if not len(sums):
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    s = np.asarray(sums, np.int64)
+    w = np.asarray(weights, np.int64)
+    m = s.astype(np.float64) / w
+    o = np.lexsort((np.asarray(cidx), np.asarray(bucket), m))
+    s, w = s[o], w[o]
+    cw = np.concatenate(([0], np.cumsum(w)[:-1]))
+    tot = float(w.sum())
+    cl = np.floor(cw * float(delta) / tot).astype(np.int64)
+    first = np.ones(len(cl), bool)
+    first[1:] = cl[1:] != cl[:-1]
+    starts = np.flatnonzero(first)
+    return np.add.reduceat(s, starts), np.add.reduceat(w, starts)
+
+
+def tdk0_quantile(sums: np.ndarray, weights: np.ndarray,
+                  q: float) -> float:
+    """Midpoint-interpolated quantile over cluster-ordered integer
+    centroids: centroid i has mean s_i/w_i and sits at rank position
+    p_i = (cumw_before_i + w_i/2) / total; linear interpolation
+    between the bracketing centroids, clamped to the first/last mean
+    — the exact expression the SQL replay computes."""
+    if not len(sums):
+        return float("nan")
+    w = np.asarray(weights, np.int64)
+    means = np.asarray(sums, np.int64).astype(np.float64) / w
+    cwi = np.concatenate(([0], np.cumsum(w)[:-1]))
+    tot = float(w.sum())
+    p = (cwi + w / 2.0) / tot
+    if q <= p[0]:
+        return float(means[0])
+    if q >= p[-1]:
+        return float(means[-1])
+    i = int(np.searchsorted(p, q, side="right"))
+    p_lo, p_hi = p[i - 1], p[i]
+    m_lo, m_hi = float(means[i - 1]), float(means[i])
+    return m_lo + (q - p_lo) / (p_hi - p_lo) * (m_hi - m_lo)

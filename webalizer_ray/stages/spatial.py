@@ -33,17 +33,20 @@ import pandas as pd
 
 import ray.data as rd
 
+from webalizer_ray.config import default_partitions
+
 
 def grid_distance_join(points: rd.Dataset, radius: int,
                        id_col: str = "id", x_col: str = "x",
                        y_col: str = "y",
-                       num_buckets: int = 64) -> rd.Dataset:
+                       num_buckets: int | None = None) -> rd.Dataset:
     """All pairs (id_a < id_b) with squared euclidean distance
     <= radius² over integer coordinates. Returns a Dataset of
     (id_a, id_b, dist_sq)."""
     r = int(radius)
     if r <= 0:
         raise ValueError("radius must be a positive integer")
+    num_buckets = default_partitions(num_buckets)
 
     def replicate(df: pd.DataFrame) -> pd.DataFrame:
         x = df[x_col].to_numpy(np.int64)
