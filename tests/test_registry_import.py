@@ -124,3 +124,20 @@ assert len(Q.REGISTRY) == 960
 for n in names:
     getattr(Q, n)
 """)
+
+
+def test_chunk_size_bar():
+    """VERDICT r4 item 6: no query chunk drifts past the 4.5k-line
+    bar (q01 was at 4,685 and climbing; the session/window family now
+    lives in q19). New queries go in the thematically-right chunk or a
+    new one — not the biggest existing file."""
+    import glob
+    import os
+    qdir = os.path.join(os.path.dirname(__file__), "..",
+                        "webalizer_ray", "pipelines", "queries")
+    over = []
+    for p in glob.glob(os.path.join(qdir, "q*.py")):
+        n = sum(1 for _ in open(p))
+        if n > 4500:
+            over.append(f"{os.path.basename(p)}: {n}")
+    assert not over, over

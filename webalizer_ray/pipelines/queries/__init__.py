@@ -25,7 +25,8 @@ import importlib
 
 from webalizer_ray.pipelines.queries._shared import REGISTRY  # noqa: F401
 
-_CHUNKS = ['q01_core', 'q02_relational_media', 'q03_tpch_ml', 'q04_stats_tests', 'q05_text_distrib', 'q06_causal_effects', 'q07_fits_audits', 'q08_rank_dominance', 'q09_nonparam_tests', 'q10_session_bias', 'q11_forecast_supply', 'q12_survival_colloc', 'q13_decision_resample', 'q14_randomness_kernels', 'q15_markov_aggregation', 'q16_forecast_verify', 'q17_agreement_pricing', 'q18_relational_tail']
+_CHUNKS = ['q01_core', 'q02_relational_media', 'q03_tpch_ml', 'q04_stats_tests', 'q05_text_distrib', 'q06_causal_effects', 'q07_fits_audits', 'q08_rank_dominance', 'q09_nonparam_tests', 'q10_session_bias', 'q11_forecast_supply', 'q12_survival_colloc', 'q13_decision_resample', 'q14_randomness_kernels', 'q15_markov_aggregation', 'q16_forecast_verify', 'q17_agreement_pricing', 'q18_relational_tail',
+           'q19_sessions_windows']
 
 _loaded = False
 _name2mod: dict = {}

@@ -2669,51 +2669,6 @@ def user_type_entropy_mean(sf_dir: str) -> pd.DataFrame:
             float(p["h_sum"].sum()) / users, 6))]})
 
 
-@register("hopping_window_stats", sql="""
-WITH e AS (SELECT epoch_us(ts) // 900000000 AS slot,
-                  CAST(ROUND(value * 100) AS BIGINT) AS cents
-           FROM events),
-x AS (SELECT e.slot - k.k AS wslot, e.cents
-      FROM e, (SELECT unnest([0, 1, 2, 3]) AS k) k)
-SELECT CAST(wslot AS BIGINT) AS window_slot,
-       CAST(COUNT(*) AS BIGINT) AS hits,
-       CAST(SUM(cents) AS BIGINT) AS cents_sum
-FROM x GROUP BY wslot""")
-def hopping_window_stats(sf_dir: str) -> pd.DataFrame:
-    """Hopping (sliding) window aggregate — 1 h windows advancing every
-    15 min, the standard streaming-telemetry rate view that a tumbling
-    bucket cannot express (each event belongs to exactly window/hop = 4
-    overlapping windows). Scale shape: the 4x expansion happens INSIDE
-    map_batches as a numpy tile (never a row loop) and is immediately
-    collapsed to per-(window) partials within the batch, so at most
-    4 x |distinct windows per batch| rows shuffle — not 4x the corpus.
-    Values quantize to exact integer cents so the float order can't
-    drift between engines."""
-    hop_us, n_hops = 900_000_000, 4
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        slot = df["ts"].to_numpy("datetime64[us]").astype(np.int64) \
-            // hop_us
-        cents = np.rint(df["value"].to_numpy(np.float64) * 100) \
-            .astype(np.int64)
-        wslot = (slot[None, :] - np.arange(n_hops, dtype=np.int64)[:, None]
-                 ).ravel()
-        c = np.tile(cents, n_hops)
-        g = pd.DataFrame({"window_slot": wslot, "cents": c}) \
-            .groupby("window_slot", sort=False)
-        out = g.agg(hits=("cents", "size"), cents_sum=("cents", "sum"))
-        return out.reset_index()
-
-    agg = reduce_sink(
-        _events(sf_dir, ["ts", "value"]).map_batches(
-            partial, batch_format="pandas"),
-        ["window_slot"],
-        {"hits": ("hits", "sum"), "cents_sum": ("cents_sum", "sum")})
-    out = agg.to_pandas()
-    out["window_slot"] = out["window_slot"].astype(np.int64)
-    out["hits"] = out["hits"].astype(np.int64)
-    out["cents_sum"] = out["cents_sum"].astype(np.int64)
-    return out
 
 
 @register("ols_value_hour_dow", sql="""
@@ -2868,68 +2823,6 @@ def dsir_importance_top_docs(sf_dir: str) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
-@register("user_trailing_1h_value", sql="""
-WITH b AS (SELECT event_id, user_id, ts,
-                  CAST(ROUND(value * 100) AS BIGINT) AS cents
-           FROM events)
-SELECT event_id,
-       CAST(SUM(cents) OVER (
-           PARTITION BY user_id ORDER BY ts
-           RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
-           AS BIGINT) AS trailing_cents
-FROM b""")
-def user_trailing_1h_value(sf_dir: str) -> pd.DataFrame:
-    """RANGE-frame window aggregate (per-user trailing 1-hour value
-    sum) — the interval frame the existing ROWS-frame moving average
-    cannot express: the window holds however many events fall in the
-    last hour, including same-timestamp peers. Scale shape: users hash
-    into buckets (a user never spans buckets), each bucket sorts once
-    and answers every row with two vectorized searchsorteds against
-    the bucket's prefix-sum — no per-row loop, no global sort, and
-    only (event_id, sum) rows leave the task. Exact integer cents."""
-    ds = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
-    hour_us = 3_600_000_000
-
-    def with_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["bucket_"] = (df["user_id"].to_numpy(np.int64) % 32) \
-            .astype(np.int32)
-        return df
-
-    def window(g: pd.DataFrame) -> pd.DataFrame:
-        us = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
-        cents = np.rint(g["value"].to_numpy(np.float64) * 100) \
-            .astype(np.int64)
-        uid = g["user_id"].to_numpy(np.int64)
-        eid = g["event_id"].to_numpy(np.int64)
-        order = np.lexsort((us, uid))
-        us, cents, uid, eid = us[order], cents[order], uid[order], \
-            eid[order]
-        prefix = np.concatenate(([0], np.cumsum(cents)))
-        # the lexsorted array is time-sorted only WITHIN each user run:
-        # shift every run onto a shared strictly-increasing axis with
-        # gaps wider than the frame, so one global searchsorted answers
-        # every row and a query can never fall into a neighboring user
-        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
-        ends = np.r_[starts[1:], len(uid)]
-        run_of = np.repeat(np.arange(len(starts)), ends - starts)
-        run_min, run_max = us[starts], us[ends - 1]
-        span = run_max - run_min
-        base = np.concatenate(
-            ([0], np.cumsum(span[:-1] + 2 * hour_us + 2)))
-        adj = us - run_min[run_of] + base[run_of]
-        left = np.searchsorted(adj, adj - hour_us, side="left")
-        right = np.searchsorted(adj, adj, side="right")
-        return pd.DataFrame({
-            "event_id": eid,
-            "trailing_cents": prefix[right] - prefix[left]})
-
-    out = (ds.map_batches(with_bucket, batch_format="pandas")
-           .groupby("bucket_")
-           .map_groups(lambda g: window(g.drop(columns=["bucket_"])),
-                       batch_format="pandas")).to_pandas()
-    out["trailing_cents"] = out["trailing_cents"].astype(np.int64)
-    return out.sort_values("event_id", ignore_index=True)
 
 
 @register("naive_bayes_lang_confusion", sql=r"""

@@ -3323,7 +3323,20 @@ def word_bigram_entropy_by_source(sf_dir: str) -> pd.DataFrame:
         "perplexity": rha(np.exp(h), 6)})
 
 
-@register("markov_removal_attribution", sql="""
+_MARKOV_STEP = """x{k} AS MATERIALIZED (
+  SELECT r.removed, r.ch, r.v + COALESCE(sx.sv, 0.0) AS v
+  FROM rvec r LEFT JOIN (
+    SELECT q.removed, q.frm AS ch,
+           SUM(q.p * x.v ORDER BY q.to_) AS sv
+    FROM qmat q JOIN x{prev} x
+      ON x.removed = q.removed AND x.ch = q.to_
+    GROUP BY q.removed, q.frm) sx
+  ON sx.removed = r.removed AND sx.ch = r.ch),
+"""
+
+#: the 32 unrolled Neumann steps are generated, not baked in —
+#: chunk-size discipline; the SQL text is identical either way
+_MARKOV_SQL = """
 WITH e AS (SELECT user_id, ts, event_id, event_type AS et FROM events),
 o AS (SELECT *, LAG(ts) OVER
           (PARTITION BY user_id ORDER BY ts, event_id) AS pts FROM e),
@@ -3375,296 +3388,9 @@ svec AS MATERIALIZED (SELECT rem.removed, pt.to_ AS ch, pt.p
 sconv AS MATERIALIZED (SELECT COALESCE(SUM(p), 0.0) AS v FROM pt
           WHERE frm = 'start_' AND to_ = 'purchase'),
 x0 AS MATERIALIZED (SELECT removed, ch, v FROM rvec),
-x1 AS MATERIALIZED (
-  SELECT r.removed, r.ch, r.v + COALESCE(sx.sv, 0.0) AS v
-  FROM rvec r LEFT JOIN (
-    SELECT q.removed, q.frm AS ch,
-           SUM(q.p * x.v ORDER BY q.to_) AS sv
-    FROM qmat q JOIN x0 x
-      ON x.removed = q.removed AND x.ch = q.to_
-    GROUP BY q.removed, q.frm) sx
-  ON sx.removed = r.removed AND sx.ch = r.ch),
-x2 AS MATERIALIZED (
-  SELECT r.removed, r.ch, r.v + COALESCE(sx.sv, 0.0) AS v
-  FROM rvec r LEFT JOIN (
-    SELECT q.removed, q.frm AS ch,
-           SUM(q.p * x.v ORDER BY q.to_) AS sv
-    FROM qmat q JOIN x1 x
-      ON x.removed = q.removed AND x.ch = q.to_
-    GROUP BY q.removed, q.frm) sx
-  ON sx.removed = r.removed AND sx.ch = r.ch),
-x3 AS MATERIALIZED (
-  SELECT r.removed, r.ch, r.v + COALESCE(sx.sv, 0.0) AS v
-  FROM rvec r LEFT JOIN (
-    SELECT q.removed, q.frm AS ch,
-           SUM(q.p * x.v ORDER BY q.to_) AS sv
-    FROM qmat q JOIN x2 x
-      ON x.removed = q.removed AND x.ch = q.to_
-    GROUP BY q.removed, q.frm) sx
-  ON sx.removed = r.removed AND sx.ch = r.ch),
-x4 AS MATERIALIZED (
-  SELECT r.removed, r.ch, r.v + COALESCE(sx.sv, 0.0) AS v
-  FROM rvec r LEFT JOIN (
-    SELECT q.removed, q.frm AS ch,
-           SUM(q.p * x.v ORDER BY q.to_) AS sv
-    FROM qmat q JOIN x3 x
-      ON x.removed = q.removed AND x.ch = q.to_
-    GROUP BY q.removed, q.frm) sx
-  ON sx.removed = r.removed AND sx.ch = r.ch),
-x5 AS MATERIALIZED (
-  SELECT r.removed, r.ch, r.v + COALESCE(sx.sv, 0.0) AS v
-  FROM rvec r LEFT JOIN (
-    SELECT q.removed, q.frm AS ch,
-           SUM(q.p * x.v ORDER BY q.to_) AS sv
-    FROM qmat q JOIN x4 x
-      ON x.removed = q.removed AND x.ch = q.to_
-    GROUP BY q.removed, q.frm) sx
-  ON sx.removed = r.removed AND sx.ch = r.ch),
-x6 AS MATERIALIZED (
-  SELECT r.removed, r.ch, r.v + COALESCE(sx.sv, 0.0) AS v
-  FROM rvec r LEFT JOIN (
-    SELECT q.removed, q.frm AS ch,
-           SUM(q.p * x.v ORDER BY q.to_) AS sv
-    FROM qmat q JOIN x5 x
-      ON x.removed = q.removed AND x.ch = q.to_
-    GROUP BY q.removed, q.frm) sx
-  ON sx.removed = r.removed AND sx.ch = r.ch),
-x7 AS MATERIALIZED (
-  SELECT r.removed, r.ch, r.v + COALESCE(sx.sv, 0.0) AS v
-  FROM rvec r LEFT JOIN (
-    SELECT q.removed, q.frm AS ch,
-           SUM(q.p * x.v ORDER BY q.to_) AS sv
-    FROM qmat q JOIN x6 x
-      ON x.removed = q.removed AND x.ch = q.to_
-    GROUP BY q.removed, q.frm) sx
-  ON sx.removed = r.removed AND sx.ch = r.ch),
-x8 AS MATERIALIZED (
-  SELECT r.removed, r.ch, r.v + COALESCE(sx.sv, 0.0) AS v
-  FROM rvec r LEFT JOIN (
-    SELECT q.removed, q.frm AS ch,
-           SUM(q.p * x.v ORDER BY q.to_) AS sv
-    FROM qmat q JOIN x7 x
-      ON x.removed = q.removed AND x.ch = q.to_
-    GROUP BY q.removed, q.frm) sx
-  ON sx.removed = r.removed AND sx.ch = r.ch),
-x9 AS MATERIALIZED (
-  SELECT r.removed, r.ch, r.v + COALESCE(sx.sv, 0.0) AS v
-  FROM rvec r LEFT JOIN (
-    SELECT q.removed, q.frm AS ch,
-           SUM(q.p * x.v ORDER BY q.to_) AS sv
-    FROM qmat q JOIN x8 x
-      ON x.removed = q.removed AND x.ch = q.to_
-    GROUP BY q.removed, q.frm) sx
-  ON sx.removed = r.removed AND sx.ch = r.ch),
-x10 AS MATERIALIZED (
-  SELECT r.removed, r.ch, r.v + COALESCE(sx.sv, 0.0) AS v
-  FROM rvec r LEFT JOIN (
-    SELECT q.removed, q.frm AS ch,
-           SUM(q.p * x.v ORDER BY q.to_) AS sv
-    FROM qmat q JOIN x9 x
-      ON x.removed = q.removed AND x.ch = q.to_
-    GROUP BY q.removed, q.frm) sx
-  ON sx.removed = r.removed AND sx.ch = r.ch),
-x11 AS MATERIALIZED (
-  SELECT r.removed, r.ch, r.v + COALESCE(sx.sv, 0.0) AS v
-  FROM rvec r LEFT JOIN (
-    SELECT q.removed, q.frm AS ch,
-           SUM(q.p * x.v ORDER BY q.to_) AS sv
-    FROM qmat q JOIN x10 x
-      ON x.removed = q.removed AND x.ch = q.to_
-    GROUP BY q.removed, q.frm) sx
-  ON sx.removed = r.removed AND sx.ch = r.ch),
-x12 AS MATERIALIZED (
-  SELECT r.removed, r.ch, r.v + COALESCE(sx.sv, 0.0) AS v
-  FROM rvec r LEFT JOIN (
-    SELECT q.removed, q.frm AS ch,
-           SUM(q.p * x.v ORDER BY q.to_) AS sv
-    FROM qmat q JOIN x11 x
-      ON x.removed = q.removed AND x.ch = q.to_
-    GROUP BY q.removed, q.frm) sx
-  ON sx.removed = r.removed AND sx.ch = r.ch),
-x13 AS MATERIALIZED (
-  SELECT r.removed, r.ch, r.v + COALESCE(sx.sv, 0.0) AS v
-  FROM rvec r LEFT JOIN (
-    SELECT q.removed, q.frm AS ch,
-           SUM(q.p * x.v ORDER BY q.to_) AS sv
-    FROM qmat q JOIN x12 x
-      ON x.removed = q.removed AND x.ch = q.to_
-    GROUP BY q.removed, q.frm) sx
-  ON sx.removed = r.removed AND sx.ch = r.ch),
-x14 AS MATERIALIZED (
-  SELECT r.removed, r.ch, r.v + COALESCE(sx.sv, 0.0) AS v
-  FROM rvec r LEFT JOIN (
-    SELECT q.removed, q.frm AS ch,
-           SUM(q.p * x.v ORDER BY q.to_) AS sv
-    FROM qmat q JOIN x13 x
-      ON x.removed = q.removed AND x.ch = q.to_
-    GROUP BY q.removed, q.frm) sx
-  ON sx.removed = r.removed AND sx.ch = r.ch),
-x15 AS MATERIALIZED (
-  SELECT r.removed, r.ch, r.v + COALESCE(sx.sv, 0.0) AS v
-  FROM rvec r LEFT JOIN (
-    SELECT q.removed, q.frm AS ch,
-           SUM(q.p * x.v ORDER BY q.to_) AS sv
-    FROM qmat q JOIN x14 x
-      ON x.removed = q.removed AND x.ch = q.to_
-    GROUP BY q.removed, q.frm) sx
-  ON sx.removed = r.removed AND sx.ch = r.ch),
-x16 AS MATERIALIZED (
-  SELECT r.removed, r.ch, r.v + COALESCE(sx.sv, 0.0) AS v
-  FROM rvec r LEFT JOIN (
-    SELECT q.removed, q.frm AS ch,
-           SUM(q.p * x.v ORDER BY q.to_) AS sv
-    FROM qmat q JOIN x15 x
-      ON x.removed = q.removed AND x.ch = q.to_
-    GROUP BY q.removed, q.frm) sx
-  ON sx.removed = r.removed AND sx.ch = r.ch),
-x17 AS MATERIALIZED (
-  SELECT r.removed, r.ch, r.v + COALESCE(sx.sv, 0.0) AS v
-  FROM rvec r LEFT JOIN (
-    SELECT q.removed, q.frm AS ch,
-           SUM(q.p * x.v ORDER BY q.to_) AS sv
-    FROM qmat q JOIN x16 x
-      ON x.removed = q.removed AND x.ch = q.to_
-    GROUP BY q.removed, q.frm) sx
-  ON sx.removed = r.removed AND sx.ch = r.ch),
-x18 AS MATERIALIZED (
-  SELECT r.removed, r.ch, r.v + COALESCE(sx.sv, 0.0) AS v
-  FROM rvec r LEFT JOIN (
-    SELECT q.removed, q.frm AS ch,
-           SUM(q.p * x.v ORDER BY q.to_) AS sv
-    FROM qmat q JOIN x17 x
-      ON x.removed = q.removed AND x.ch = q.to_
-    GROUP BY q.removed, q.frm) sx
-  ON sx.removed = r.removed AND sx.ch = r.ch),
-x19 AS MATERIALIZED (
-  SELECT r.removed, r.ch, r.v + COALESCE(sx.sv, 0.0) AS v
-  FROM rvec r LEFT JOIN (
-    SELECT q.removed, q.frm AS ch,
-           SUM(q.p * x.v ORDER BY q.to_) AS sv
-    FROM qmat q JOIN x18 x
-      ON x.removed = q.removed AND x.ch = q.to_
-    GROUP BY q.removed, q.frm) sx
-  ON sx.removed = r.removed AND sx.ch = r.ch),
-x20 AS MATERIALIZED (
-  SELECT r.removed, r.ch, r.v + COALESCE(sx.sv, 0.0) AS v
-  FROM rvec r LEFT JOIN (
-    SELECT q.removed, q.frm AS ch,
-           SUM(q.p * x.v ORDER BY q.to_) AS sv
-    FROM qmat q JOIN x19 x
-      ON x.removed = q.removed AND x.ch = q.to_
-    GROUP BY q.removed, q.frm) sx
-  ON sx.removed = r.removed AND sx.ch = r.ch),
-x21 AS MATERIALIZED (
-  SELECT r.removed, r.ch, r.v + COALESCE(sx.sv, 0.0) AS v
-  FROM rvec r LEFT JOIN (
-    SELECT q.removed, q.frm AS ch,
-           SUM(q.p * x.v ORDER BY q.to_) AS sv
-    FROM qmat q JOIN x20 x
-      ON x.removed = q.removed AND x.ch = q.to_
-    GROUP BY q.removed, q.frm) sx
-  ON sx.removed = r.removed AND sx.ch = r.ch),
-x22 AS MATERIALIZED (
-  SELECT r.removed, r.ch, r.v + COALESCE(sx.sv, 0.0) AS v
-  FROM rvec r LEFT JOIN (
-    SELECT q.removed, q.frm AS ch,
-           SUM(q.p * x.v ORDER BY q.to_) AS sv
-    FROM qmat q JOIN x21 x
-      ON x.removed = q.removed AND x.ch = q.to_
-    GROUP BY q.removed, q.frm) sx
-  ON sx.removed = r.removed AND sx.ch = r.ch),
-x23 AS MATERIALIZED (
-  SELECT r.removed, r.ch, r.v + COALESCE(sx.sv, 0.0) AS v
-  FROM rvec r LEFT JOIN (
-    SELECT q.removed, q.frm AS ch,
-           SUM(q.p * x.v ORDER BY q.to_) AS sv
-    FROM qmat q JOIN x22 x
-      ON x.removed = q.removed AND x.ch = q.to_
-    GROUP BY q.removed, q.frm) sx
-  ON sx.removed = r.removed AND sx.ch = r.ch),
-x24 AS MATERIALIZED (
-  SELECT r.removed, r.ch, r.v + COALESCE(sx.sv, 0.0) AS v
-  FROM rvec r LEFT JOIN (
-    SELECT q.removed, q.frm AS ch,
-           SUM(q.p * x.v ORDER BY q.to_) AS sv
-    FROM qmat q JOIN x23 x
-      ON x.removed = q.removed AND x.ch = q.to_
-    GROUP BY q.removed, q.frm) sx
-  ON sx.removed = r.removed AND sx.ch = r.ch),
-x25 AS MATERIALIZED (
-  SELECT r.removed, r.ch, r.v + COALESCE(sx.sv, 0.0) AS v
-  FROM rvec r LEFT JOIN (
-    SELECT q.removed, q.frm AS ch,
-           SUM(q.p * x.v ORDER BY q.to_) AS sv
-    FROM qmat q JOIN x24 x
-      ON x.removed = q.removed AND x.ch = q.to_
-    GROUP BY q.removed, q.frm) sx
-  ON sx.removed = r.removed AND sx.ch = r.ch),
-x26 AS MATERIALIZED (
-  SELECT r.removed, r.ch, r.v + COALESCE(sx.sv, 0.0) AS v
-  FROM rvec r LEFT JOIN (
-    SELECT q.removed, q.frm AS ch,
-           SUM(q.p * x.v ORDER BY q.to_) AS sv
-    FROM qmat q JOIN x25 x
-      ON x.removed = q.removed AND x.ch = q.to_
-    GROUP BY q.removed, q.frm) sx
-  ON sx.removed = r.removed AND sx.ch = r.ch),
-x27 AS MATERIALIZED (
-  SELECT r.removed, r.ch, r.v + COALESCE(sx.sv, 0.0) AS v
-  FROM rvec r LEFT JOIN (
-    SELECT q.removed, q.frm AS ch,
-           SUM(q.p * x.v ORDER BY q.to_) AS sv
-    FROM qmat q JOIN x26 x
-      ON x.removed = q.removed AND x.ch = q.to_
-    GROUP BY q.removed, q.frm) sx
-  ON sx.removed = r.removed AND sx.ch = r.ch),
-x28 AS MATERIALIZED (
-  SELECT r.removed, r.ch, r.v + COALESCE(sx.sv, 0.0) AS v
-  FROM rvec r LEFT JOIN (
-    SELECT q.removed, q.frm AS ch,
-           SUM(q.p * x.v ORDER BY q.to_) AS sv
-    FROM qmat q JOIN x27 x
-      ON x.removed = q.removed AND x.ch = q.to_
-    GROUP BY q.removed, q.frm) sx
-  ON sx.removed = r.removed AND sx.ch = r.ch),
-x29 AS MATERIALIZED (
-  SELECT r.removed, r.ch, r.v + COALESCE(sx.sv, 0.0) AS v
-  FROM rvec r LEFT JOIN (
-    SELECT q.removed, q.frm AS ch,
-           SUM(q.p * x.v ORDER BY q.to_) AS sv
-    FROM qmat q JOIN x28 x
-      ON x.removed = q.removed AND x.ch = q.to_
-    GROUP BY q.removed, q.frm) sx
-  ON sx.removed = r.removed AND sx.ch = r.ch),
-x30 AS MATERIALIZED (
-  SELECT r.removed, r.ch, r.v + COALESCE(sx.sv, 0.0) AS v
-  FROM rvec r LEFT JOIN (
-    SELECT q.removed, q.frm AS ch,
-           SUM(q.p * x.v ORDER BY q.to_) AS sv
-    FROM qmat q JOIN x29 x
-      ON x.removed = q.removed AND x.ch = q.to_
-    GROUP BY q.removed, q.frm) sx
-  ON sx.removed = r.removed AND sx.ch = r.ch),
-x31 AS MATERIALIZED (
-  SELECT r.removed, r.ch, r.v + COALESCE(sx.sv, 0.0) AS v
-  FROM rvec r LEFT JOIN (
-    SELECT q.removed, q.frm AS ch,
-           SUM(q.p * x.v ORDER BY q.to_) AS sv
-    FROM qmat q JOIN x30 x
-      ON x.removed = q.removed AND x.ch = q.to_
-    GROUP BY q.removed, q.frm) sx
-  ON sx.removed = r.removed AND sx.ch = r.ch),
-x32 AS MATERIALIZED (
-  SELECT r.removed, r.ch, r.v + COALESCE(sx.sv, 0.0) AS v
-  FROM rvec r LEFT JOIN (
-    SELECT q.removed, q.frm AS ch,
-           SUM(q.p * x.v ORDER BY q.to_) AS sv
-    FROM qmat q JOIN x31 x
-      ON x.removed = q.removed AND x.ch = q.to_
-    GROUP BY q.removed, q.frm) sx
-  ON sx.removed = r.removed AND sx.ch = r.ch),
-
-sx AS (SELECT x.removed, SUM(s.p * x.v ORDER BY s.ch) AS sv
+""" + "".join(
+    _MARKOV_STEP.format(k=k, prev=k - 1) for k in range(1, 33)
+) + """sx AS (SELECT x.removed, SUM(s.p * x.v ORDER BY s.ch) AS sv
        FROM svec s JOIN x32 x
          ON x.removed = s.removed AND x.ch = s.ch
        GROUP BY x.removed),
@@ -3682,7 +3408,10 @@ SELECT channel, ROUND(r, 6) AS removal_effect,
        CASE WHEN (SELECT t FROM tot) > 0
             THEN ROUND(r / (SELECT t FROM tot), 6) ELSE 0.0
        END AS attribution_share
-FROM re ORDER BY channel""")
+FROM re ORDER BY channel"""
+
+
+@register("markov_removal_attribution", sql=_MARKOV_SQL)
 def markov_removal_attribution(sf_dir: str) -> pd.DataFrame:
     """Markov removal-effect attribution (Anderl et al. 2014): model
     each visit-window session as a first-order chain over event
