@@ -99,3 +99,128 @@ def test_fuzz_mjpeg_avi(rng):
     def dec(b):
         return np.array([len(decode_mjpeg_avi(b))])
     _fuzz_one(dec, encode_mjpeg_avi(frames, 10, 90), rng)
+
+
+# ---------------------------------------------------------------------
+# r5: container-walker structure attacks (VERDICT r4 item 7) — the two
+# walkers that trust length fields the most get TARGETED cases beyond
+# the random corruption above: crafted RIFF chunk chains and PNG chunk
+# CRC corruption.
+# ---------------------------------------------------------------------
+
+import struct
+
+
+def test_avi_nested_list_bomb_is_valueerror():
+    """A 5000-deep chain of nested LISTs blew the recursive walker as
+    RecursionError (found r5); the iterative walk must answer with the
+    contract ValueError (no frames) in bounded time."""
+    from webalizer_ray.stages.multimodal import decode_mjpeg_avi
+    inner = b""
+    for _ in range(5000):
+        inner = b"LIST" + struct.pack("<I", len(inner) + 4) + b"movi" \
+            + inner
+    data = b"RIFF" + struct.pack("<I", len(inner) + 4) + b"AVI " + inner
+    with pytest.raises(ValueError):
+        decode_mjpeg_avi(data)
+
+
+def test_avi_length_field_attacks(rng):
+    """Length fields pointing past the buffer, zero-length chunk runs,
+    and odd-length padding abuse must all end in ValueError or a valid
+    frame list — never IndexError/struct.error/hang."""
+    from webalizer_ray.stages.multimodal import (
+        decode_mjpeg_avi,
+        encode_mjpeg_avi,
+    )
+    frames = [np.full((6, 6, 3), 40 * i, np.uint8) for i in range(3)]
+    good = bytearray(encode_mjpeg_avi(frames, 10, 85))
+
+    def chunk(fourcc, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    crafted = [
+        # chunk length pointing far past the end
+        b"RIFF" + struct.pack("<I", 64) + b"AVI "
+        + b"00dc" + struct.pack("<I", 1 << 30) + b"x" * 32,
+        # a run of zero-length chunks then a truncated one
+        b"RIFF" + struct.pack("<I", 200) + b"AVI "
+        + chunk(b"00dc", b"") * 12 + b"00dc" + struct.pack("<I", 9),
+        # LIST whose declared length covers only half its body
+        b"RIFF" + struct.pack("<I", 100) + b"AVI "
+        + b"LIST" + struct.pack("<I", 10) + b"movi"
+        + chunk(b"00dc", b"abcdef"),
+        # movi LIST terminated mid-header of an inner chunk
+        b"RIFF" + struct.pack("<I", 30) + b"AVI "
+        + b"LIST" + struct.pack("<I", 9) + b"movi" + b"00dc\x05",
+    ]
+    # plus random surgery on the length fields of a VALID file: find
+    # each chunk header and overwrite its length with edge values
+    for off in range(12, len(good) - 8, 4):
+        if bytes(good[off:off + 2]) == b"00":
+            for v in (0, 1, 0xFFFFFFFF, len(good)):
+                b = bytearray(good)
+                struct.pack_into("<I", b, off + 4, v)
+                crafted.append(bytes(b))
+    for payload in crafted:
+        try:
+            out = decode_mjpeg_avi(bytes(payload))
+            assert isinstance(out, list)
+        except ValueError:
+            pass
+
+
+def test_avi_frame_order_survives_split_movi():
+    """Two sibling movi LISTs: frames must come back in stream order
+    (the iterative walker pushes continuation-then-body to keep the
+    recursive walker's depth-first order)."""
+    from webalizer_ray.stages.multimodal import decode_mjpeg_avi
+
+    def chunk(fourcc, body):
+        pad = b"\x00" if len(body) % 2 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    movi1 = chunk(b"LIST", b"movi" + chunk(b"00dc", b"AA")
+                  + chunk(b"00dc", b"BB"))
+    movi2 = chunk(b"LIST", b"movi" + chunk(b"00dc", b"CC"))
+    body = b"AVI " + movi1 + movi2
+    data = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert decode_mjpeg_avi(data) == [b"AA", b"BB", b"CC"]
+
+
+def test_png_chunk_crc_is_verified(rng):
+    """Flipping any single byte inside a chunk's tag, data or CRC must
+    raise ValueError (PNG spec §5.3 per-chunk CRC): before r5 a
+    data-byte flip could sail through to zlib and only fail by luck."""
+    img = (np.arange(7 * 9 * 3, dtype=np.uint8).reshape(7, 9, 3) * 3) \
+        % 255
+    good = encode_png(img)
+    # walk the real chunk layout to find data/crc byte offsets
+    pos, targets = 8, []
+    while pos + 8 <= len(good):
+        (ln,) = struct.unpack(">I", good[pos:pos + 4])
+        targets.extend([pos + 4,                 # tag byte
+                        pos + 8 + max(0, ln // 2),  # data byte
+                        pos + 8 + ln])           # first CRC byte
+        pos += 12 + ln
+    flipped = 0
+    for off in targets:
+        if off >= len(good):
+            continue
+        b = bytearray(good)
+        b[off] ^= 0x5A
+        try:
+            decode_png(bytes(b))
+        except ValueError:
+            flipped += 1
+        else:
+            pytest.fail(f"byte flip at {off} decoded silently")
+    assert flipped == len([t for t in targets if t < len(good)])
+
+
+def test_png_crc_check_does_not_reject_valid(rng):
+    """Round-trip sanity alongside the CRC check: valid encodes still
+    decode pixel-exact."""
+    img = rng.integers(0, 256, (11, 5, 3), dtype=np.uint8)
+    assert (decode_png(encode_png(img)) == img).all()

@@ -139,6 +139,15 @@ def decode_png(data: bytes) -> np.ndarray:
             # chunk length pointing past the buffer (ADVICE r3): one
             # well-defined exception type for any truncation
             raise ValueError("malformed PNG: truncated chunk")
+        # per-chunk CRC verification (PNG spec §5.3; r5 fuzz): before
+        # this check a flipped byte in chunk DATA could slip through
+        # to zlib or the raster and only fail by luck — now any
+        # corruption inside a chunk is caught deterministically here
+        if pos + 12 + ln > len(data):
+            raise ValueError("malformed PNG: missing chunk CRC")
+        (crc,) = struct.unpack(">I", data[pos + 8 + ln:pos + 12 + ln])
+        if crc != zlib.crc32(tag + body):
+            raise ValueError(f"malformed PNG: bad CRC in {tag!r}")
         if tag == b"IHDR":
             if len(body) < 13:
                 raise ValueError("malformed PNG: short IHDR")

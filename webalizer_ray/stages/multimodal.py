@@ -389,21 +389,31 @@ def decode_mjpeg_avi(data: bytes) -> list:
     if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not a RIFF AVI")
     frames: list = []
-
-    def walk(buf: bytes) -> None:
+    # explicit work stack, not recursion: a crafted chain of nested
+    # LIST chunks (12 bytes of header around the next) blew the Python
+    # stack as RecursionError — a contract violation found by the r5
+    # container-walker fuzz. On a LIST the walker pushes the
+    # continuation of the current level, then the LIST body, so frames
+    # still surface in depth-first (stream) order; stack depth is
+    # bounded by input size (every push consumes ≥ 12 input bytes).
+    stack = [memoryview(data)[12:]]
+    while stack:
+        buf = stack.pop()
         pos = 0
         while pos + 8 <= len(buf):
-            fourcc = buf[pos:pos + 4]
+            fourcc = bytes(buf[pos:pos + 4])
             ln = struct.unpack_from("<I", buf, pos + 4)[0]
             body = buf[pos + 8:pos + 8 + ln]
             if len(body) != ln:
                 raise ValueError("malformed AVI: truncated chunk")
+            nxt = pos + 8 + ln + (ln & 1)
             if fourcc == b"LIST":
-                walk(body[4:])
-            elif fourcc[2:4] in (b"dc", b"db"):
+                stack.append(buf[nxt:])
+                stack.append(body[4:])
+                break
+            if fourcc[2:4] in (b"dc", b"db"):
                 frames.append(bytes(body))
-            pos += 8 + ln + (ln & 1)
-    walk(data[12:])
+            pos = nxt
     if not frames:
         raise ValueError("malformed AVI: no frame chunks")
     return frames
