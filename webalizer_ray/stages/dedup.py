@@ -176,28 +176,85 @@ def _unpack_rows(col: pd.Series, dtype) -> np.ndarray:
 def join_pairs_to_values(pairs: rd.Dataset, values: rd.Dataset,
                          id_col: str, value_col: str,
                          num_partitions: int | None = None,
-                         pack_dtype=None) -> rd.Dataset:
+                         pack_dtype=None,
+                         broadcast_bytes: int = 128 * 2**20
+                         ) -> rd.Dataset:
     """(id_a, id_b) ⋈ values twice → (id_a, id_b, <value>_a, <value>_b).
 
-    Two bucketed hash joins — the scale-safe replacement for broadcasting
-    the whole value table to the driver: only candidate ids and their
-    values move, partitioned by id hash. ``pack_dtype`` packs fixed-width
-    array values (signatures, embeddings) into binary for the join;
-    consumers unpack with ``_unpack_rows``.
+    SIZE-ADAPTIVE (r5). The candidate-pair set is usually much larger
+    than the value table it needs rows from (the sf0.1 cosine chain:
+    1.9M pairs against a 1 MB, 2000-row embedding table) — in that
+    regime two hash joins pay ~num_partitions shuffle-aggregator
+    actors each to route megabytes, 7.6 s of the chain's 13 s. A value
+    table under ``broadcast_bytes`` (est. rows × one probed row's
+    payload) therefore ships ONCE via ray.put as (sorted ids, packed
+    values); each pair batch gathers both sides with two vectorized
+    searchsorted lookups — a pure map, no shuffle, identical output
+    schema and inner-join semantics (pairs whose id is absent drop).
+    Above the budget the BUCKETED HASH JOIN path engages unchanged:
+    only candidate ids and their values move, partitioned by id hash —
+    the corpus-scale contract. ``pack_dtype`` packs fixed-width array
+    values into binary either way; consumers unpack with
+    ``_unpack_rows``.
 
-    num_partitions defaults to the session's CPU count capped at 32
-    AND scaled down to the candidate-pair count: Ray's hash join spins
-    up one shuffle-aggregator actor per partition, so asking for more
-    partitions than the session has CPUs deadlocks the actor pool on a
-    small ray.init (measured: 32 partitions hang under num_cpus=8),
-    too few leaves cores idle on the verify-heavy dense case (8 → 32
-    partitions cut the 1.9M-pair cosine verify 18 s → 13 s at 32
-    CPUs), and too MANY for a small pair set pays ~64 actor spin-ups
-    to route a few hundred rows (r3: ~1 partition per 25k pairs).
-    ``pairs`` is materialized at every call site, so the sizing
-    ``count()`` is a free metadata read — if you pass a lazy Dataset,
-    pass ``num_partitions`` explicitly to avoid a double execution.
+    Hash-join num_partitions defaults to the session's CPU count
+    capped at 32 AND scaled down to the candidate-pair count: Ray's
+    hash join spins up one shuffle-aggregator actor per partition, so
+    asking for more partitions than the session has CPUs deadlocks the
+    actor pool on a small ray.init (measured: 32 partitions hang under
+    num_cpus=8), too few leaves cores idle on the verify-heavy dense
+    case, and too MANY for a small pair set pays ~64 actor spin-ups to
+    route a few hundred rows (r3: ~1 partition per 25k pairs).
+    ``pairs`` and ``values`` are materialized/parquet at every call
+    site, so the sizing ``count()`` is a free metadata read — if you
+    pass a lazy Dataset, pass ``num_partitions`` explicitly.
     """
+    n_vals = values.count()
+    if n_vals == 0:
+        # inner semantics: nothing can match — empty with the joined
+        # schema (cheap: map over the pairs, emit nothing)
+        def drop_all(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "id_a": pd.Series(dtype=np.int64),
+                "id_b": pd.Series(dtype=np.int64),
+                f"{value_col}_a": pd.Series(dtype=object),
+                f"{value_col}_b": pd.Series(dtype=object)})
+        return pairs.map_batches(drop_all, batch_format="pandas")
+    probe = values.limit(1).to_pandas()[value_col].iloc[0]
+    if pack_dtype:
+        row_bytes = len(np.asarray(probe, dtype=pack_dtype).tobytes())
+    elif isinstance(probe, (bytes, str)):
+        row_bytes = len(probe)
+    else:
+        row_bytes = int(np.asarray(probe).nbytes)             if hasattr(probe, "__len__") else 8
+    if n_vals * max(row_bytes, 8) <= broadcast_bytes:
+        vp = values.to_pandas()
+        ids = np.asarray(vp[id_col], dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids_s = ids[order]
+        if pack_dtype:
+            arr = np.ascontiguousarray(
+                np.stack(vp[value_col].to_numpy())).astype(
+                pack_dtype, copy=False)[order]
+            vals_s = np.empty(len(arr), dtype=object)
+            vals_s[:] = [r.tobytes() for r in arr]
+        else:
+            vals_s = vp[value_col].to_numpy()[order].astype(object)
+        ref = ray.put((ids_s, vals_s))
+
+        def gather(df: pd.DataFrame) -> pd.DataFrame:
+            sids, svals = ray.get(ref)
+            a = df["id_a"].to_numpy(np.int64)
+            b = df["id_b"].to_numpy(np.int64)
+            ia = np.clip(np.searchsorted(sids, a), 0, len(sids) - 1)
+            ib = np.clip(np.searchsorted(sids, b), 0, len(sids) - 1)
+            ok = (sids[ia] == a) & (sids[ib] == b)
+            return pd.DataFrame({
+                "id_a": a[ok], "id_b": b[ok],
+                f"{value_col}_a": svals[ia[ok]],
+                f"{value_col}_b": svals[ib[ok]]})
+
+        return pairs.map_batches(gather, batch_format="pandas")
     if num_partitions is None:
         import ray as _ray
         cpu_cap = max(2, min(
