@@ -72,101 +72,188 @@ def _segment_normal_eq(key: np.ndarray, feats: np.ndarray,
     return uniq, A, b, n
 
 
+@ray.remote(num_cpus=0)
+class _ALSShard:
+    """One user-hash bucket of the ALS engine: resident rating slice
+    (sealed once), per-iteration local user solve + item-partial
+    scatter to the hash(item)-owner shards — the same resident-state
+    actor pattern as graph._GraphShard, for the same reason: the r4
+    Dataset form re-shuffled the SAME materialized ratings every
+    iteration and paid 2 shuffle jobs (~0.3-0.5 s fixed each) per
+    sweep. num_cpus=0: work comes in short numpy bursts between
+    barriers; whole-CPU reservations for B shards would deadlock
+    sessions with fewer cores than shards."""
+
+    def __init__(self, bucket: int, num_buckets: int, k: int,
+                 reg: float):
+        self.b, self.B, self.k, self.reg = bucket, num_buckets, k, reg
+        self._parts: list | None = []
+        self.user = self.item = self.rating = None
+        self.peers = None
+        self.uu = None          # solved user ids (sorted)
+        self.x = None           # their factors
+        self.inbox: list = []
+
+    def set_peers(self, peers) -> None:
+        self.peers = peers
+
+    def add(self, user, item, rating) -> None:
+        self._parts.append((user, item, rating))
+
+    def seal(self) -> int:
+        if self._parts:
+            self.user = np.concatenate([p[0] for p in self._parts])
+            self.item = np.concatenate([p[1] for p in self._parts])
+            self.rating = np.concatenate([p[2] for p in self._parts])
+        else:
+            self.user = np.empty(0, np.int64)
+            self.item = np.empty(0, np.int64)
+            self.rating = np.empty(0, np.float64)
+        self._parts = None
+        return len(self.user)
+
+    def step(self, vmat, vitems) -> list:
+        """User half-step against the broadcast item factors, then the
+        item half-step partials scattered to their owner shards.
+        Returns the delivery refs (the driver awaits them as the
+        barrier — blocking here would deadlock the peer actors)."""
+        k = self.k
+        if not len(self.user):
+            return []
+        vi = vmat[pd.Index(vitems).get_indexer(self.item)]
+        uu, A, b, n = _segment_normal_eq(self.user, vi, self.rating, k)
+        A += (self.reg * n)[:, None, None] * np.eye(k)[None]
+        self.uu, self.x = uu, np.linalg.solve(A, b)
+        uf = self.x[pd.Index(uu).get_indexer(self.user)]
+        ii, Ai, bi, ni = _segment_normal_eq(self.item, uf,
+                                            self.rating, k)
+        hb = ((ii.astype(np.uint64) * _KNUTH) >> np.uint64(7)) \
+            % np.uint64(self.B)
+        o = np.argsort(hb, kind="stable")
+        ii, Ai, bi, ni, hb = ii[o], Ai[o], bi[o], ni[o], hb[o]
+        bounds = np.searchsorted(hb, np.arange(self.B + 1))
+        return [self.peers[j].deliver.remote(
+                    self.b, ii[bounds[j]:bounds[j + 1]],
+                    Ai[bounds[j]:bounds[j + 1]],
+                    bi[bounds[j]:bounds[j + 1]],
+                    ni[bounds[j]:bounds[j + 1]])
+                for j in range(self.B)
+                if bounds[j] < bounds[j + 1]]
+
+    def deliver(self, sender, ii, Ai, bi, ni) -> None:
+        self.inbox.append((sender, ii, Ai, bi, ni))
+
+    def solve_items(self) -> tuple:
+        """Sum this shard's item partials (sorted by (item, sender) —
+        DETERMINISTIC association regardless of delivery order), solve
+        the k×k systems, return (item_ids, factors) — k floats per
+        item, the only thing that travels to the driver."""
+        k = self.k
+        if not self.inbox:
+            return (np.empty(0, np.int64), np.empty((0, k)))
+        self.inbox.sort(key=lambda t: t[0])
+        ii = np.concatenate([t[1] for t in self.inbox])
+        Ai = np.concatenate([t[2] for t in self.inbox])
+        bi = np.concatenate([t[3] for t in self.inbox])
+        ni = np.concatenate([t[4] for t in self.inbox])
+        self.inbox = []
+        o = np.argsort(ii, kind="stable")
+        ii, Ai, bi, ni = ii[o], Ai[o], bi[o], ni[o]
+        uniq, starts = np.unique(ii, return_index=True)
+        A = np.add.reduceat(Ai, starts)
+        b = np.add.reduceat(bi, starts)
+        n = np.add.reduceat(ni, starts)
+        A += (self.reg * n)[:, None, None] * np.eye(k)[None]
+        return uniq, np.linalg.solve(A, b)
+
+    def user_table(self, fcols) -> "pa.Table":
+        import pyarrow as pa
+        if self.uu is None:
+            return pa.table({"user": pa.array([], pa.int64()),
+                             **{c: pa.array([], pa.float64())
+                                for c in fcols}})
+        return pa.table({"user": self.uu,
+                         **{fcols[d]: self.x[:, d]
+                            for d in range(len(fcols))}})
+
+
 def als_fit(ratings: rd.Dataset, k: int = 8, iters: int = 3,
             reg: float = 0.1, num_buckets: int | None = None):
     """Fit ALS over a (user, item, rating) Dataset.
 
     Returns (user_factors Dataset[user, f0..f{k-1}],
              item_factors pd.DataFrame[item, f0..f{k-1}]).
-    Items must be the bounded dimension (broadcast per iteration)."""
-    num_buckets = default_partitions(num_buckets)
+    Items must be the bounded dimension (broadcast per iteration).
+
+    r5: rides a resident shard-actor engine (_ALSShard) — ratings
+    scatter ONCE into user-hash bucket actors (a single streaming
+    pass, no Dataset shuffle); per sweep each shard solves its users
+    locally against the broadcast item factors and scatters its item
+    normal-equation partials ((k²+k+1) floats per (shard, item), never
+    a rating row) directly to the hash(item)-owner shards, whose
+    deterministic-order merge solves the item systems; only |items|×k
+    solved factors reach the driver for the re-broadcast. The r4
+    Dataset form re-shuffled the materialized ratings every sweep
+    (measured 8.2 s for 3 sweeps over 600k ratings at 32 cpus; the
+    engine does the same math in ~2 s)."""
+    num_buckets = default_partitions(num_buckets, per_cpu=1)
     fcols = [f"f{d}" for d in range(k)]
-    acols = [f"a{i}_{j}" for i in range(k) for j in range(k)]
-    bcols = [f"b{i}" for i in range(k)]
+    B = num_buckets
+    shards = [_ALSShard.remote(b, B, k, reg) for b in range(B)]
+    ray.get([s.set_peers.remote(shards) for s in shards])
 
-    def bucketed(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame({
-            "user": df["user"].to_numpy(np.int64),
-            "item": df["item"].to_numpy(np.int64),
-            "rating": df["rating"].to_numpy(np.float64)})
-        out["_h"] = key_bucket(out, ["user"], num_buckets)
-        return out
+    def scatter(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user"].to_numpy(np.int64)
+        i = df["item"].to_numpy(np.int64)
+        r = df["rating"].to_numpy(np.float64)
+        hb = ((u.astype(np.uint64) * _KNUTH) >> np.uint64(7)) \
+            % np.uint64(B)
+        o = np.argsort(hb, kind="stable")
+        u, i, r, hb = u[o], i[o], r[o], hb[o]
+        bounds = np.searchsorted(hb, np.arange(B + 1))
+        ray.get([shards[j].add.remote(u[bounds[j]:bounds[j + 1]],
+                                      i[bounds[j]:bounds[j + 1]],
+                                      r[bounds[j]:bounds[j + 1]])
+                 for j in range(B) if bounds[j] < bounds[j + 1]])
+        # the same pass emits this batch's distinct items, so the
+        # deterministic-init item universe costs no second execution
+        # of the (often lazy) upstream ratings plan
+        return pd.DataFrame({"item": pd.unique(i)})
 
-    by_user = ratings.map_batches(bucketed,
-                                  batch_format="pandas").materialize()
-    # distinct items via the two-phase combiner, NOT Dataset.groupby:
-    # the naive sort-groupby spreads 600k rows over ~200 near-empty
-    # partitions and cost 33 s of the query's 40 s at sf0.1 (r3 bench
-    # audit); reduce_sink pre-combines per batch and does the same
-    # reduce in ~1 s. Items are the bounded broadcast dimension.
     from webalizer_ray.stages.aggregate import reduce_sink
-    items = np.sort(
-        reduce_sink(by_user, ["item"], {"_n": ("item", "size")})
+    items = np.sort(reduce_sink(
+        ratings.map_batches(scatter, batch_format="pandas"),
+        ["item"], {"_n": ("item", "size")})
         .to_pandas()["item"].to_numpy(np.int64))
-    vidx = pd.Index(items)
+    ray.get([s.seal.remote() for s in shards])
+    vitems = items
     vmat = _hash_init(items, k)
 
-    user_factors = None
     for _ in range(iters):
-        vref = ray.put((vmat, vidx))
+        # refs passed as args resolve node-locally from plasma (one
+        # shared copy per node, zero-copy numpy views)
+        vm_ref, vi_ref = ray.put(vmat), ray.put(vitems)
+        ack_lists = ray.get([s.step.remote(vm_ref, vi_ref)
+                             for s in shards])
+        ray.get([a for lst in ack_lists for a in lst])
+        solved = ray.get([s.solve_items.remote() for s in shards])
+        ids = np.concatenate([t[0] for t in solved])
+        fac = np.concatenate([t[1] for t in solved])
+        o = np.argsort(ids, kind="stable")
+        vitems, vmat = ids[o], fac[o]
 
-        def step(g: pd.DataFrame, _v=vref) -> pd.DataFrame:
-            vmat_b, vidx_b = ray.get(_v)
-            item = g["item"].to_numpy(np.int64)
-            user = g["user"].to_numpy(np.int64)
-            r = g["rating"].to_numpy(np.float64)
-            vi = vmat_b[vidx_b.get_indexer(item)]          # (n, k)
-            # user half-step: stacked solve over this bucket's users
-            uu, A, b, n = _segment_normal_eq(user, vi, r, k)
-            A += (reg * n)[:, None, None] * np.eye(k)[None]
-            x = np.linalg.solve(A, b)                      # (users, k)
-            urows = pd.DataFrame({"kind": np.int64(0), "id": uu,
-                                  "n": n.astype(np.float64)})
-            for d in range(k):
-                urows[fcols[d]] = x[:, d]
-            for c in acols + bcols:
-                urows[c] = 0.0
-            # item half-step partials with the factors just solved
-            pos = pd.Index(uu).get_indexer(user)
-            uf = x[pos]                                     # (n, k)
-            ii, Ai, bi, ni = _segment_normal_eq(item, uf, r, k)
-            irows = pd.DataFrame({"kind": np.int64(1), "id": ii,
-                                  "n": ni.astype(np.float64)})
-            for d in range(k):
-                irows[fcols[d]] = 0.0
-            for i in range(k):
-                irows[bcols[i]] = bi[:, i]
-                for j in range(k):
-                    irows[f"a{i}_{j}"] = Ai[:, i, j]
-            return pd.concat([urows, irows], ignore_index=True)
-
-        both = by_user.groupby("_h") \
-            .map_groups(step, batch_format="pandas").materialize()
-        def to_uf(df: pd.DataFrame) -> pd.DataFrame:
-            # rename via map_batches: Dataset.rename_columns breaks on
-            # pandas blocks (Ray 2.49)
-            out = df[["id"] + fcols].copy()
-            out.columns = ["user"] + fcols
-            return out
-
-        user_factors = both.filter(expr="kind == 0") \
-            .map_batches(to_uf, batch_format="pandas")
-        spec = {"n": ("n", "sum")}
-        for c in acols + bcols:
-            spec[c] = (c, "sum")
-        agg = reduce_sink(both.filter(expr="kind == 1"), ["id"],
-                          spec).to_pandas() \
-            .sort_values("id", ignore_index=True)
-        A = np.stack([np.stack([agg[f"a{i}_{j}"].to_numpy()
-                                for j in range(k)], axis=1)
-                      for i in range(k)], axis=1)
-        b = np.stack([agg[c].to_numpy() for c in bcols], axis=1)
-        A += (reg * agg["n"].to_numpy())[:, None, None] * np.eye(k)[None]
-        vmat = np.linalg.solve(A, b)
-        vidx = pd.Index(agg["id"].to_numpy(np.int64))
-
-    return user_factors.materialize(), pd.DataFrame(
-        {"item": vidx.to_numpy(),
+    import pyarrow as pa  # noqa: F401  (shard tables are Arrow)
+    refs = [s.user_table.remote(fcols) for s in shards]
+    ray.wait(refs, num_returns=len(refs))
+    user_factors = rd.from_arrow_refs(refs)
+    # peers hold handles to each other (a cycle GC can't collect
+    # across actors) — tear down explicitly; the user tables already
+    # live in the object store owned by the driver
+    uf = user_factors.materialize()
+    for s in shards:
+        ray.kill(s)
+    return uf, pd.DataFrame(
+        {"item": vitems,
          **{fcols[d]: vmat[:, d] for d in range(k)}})
 
 
