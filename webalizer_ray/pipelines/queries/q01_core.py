@@ -1754,9 +1754,13 @@ def _flagship_sinks(sf_dir: str) -> dict:
         turns_dir = os.path.join(work, "in", "turns")
         os.makedirs(turns_dir, exist_ok=True)
         events_to_turns(sf_dir).write_parquet(turns_dir)
+        # checkpoint="off" (r5): the query wants the sinks, not a
+        # resumable store — the fused single pass is bit-identical
+        # (tests/test_fused.py) and skips the durable parsed store
         res = run_flagship(os.path.join(work, "in"),
                            os.path.join(work, "out"),
-                           lookups=(TOOL_CATEGORIES, ROLE_GROUPS))
+                           lookups=(TOOL_CATEGORIES, ROLE_GROUPS),
+                           checkpoint="off")
         _FLAGSHIP_CACHE[key] = res["sinks"]
     return _FLAGSHIP_CACHE[key]
 

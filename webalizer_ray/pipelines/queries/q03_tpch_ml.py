@@ -366,10 +366,15 @@ def rfm_segments(sf_dir: str) -> pd.DataFrame:
 
     u = u.map_batches(keys, batch_format="pandas").materialize()
     n = u.count()
+    # materialize between the chained passes: each global_rank samples
+    # AND count-reduces its input, so a lazy chain re-executes the
+    # previous pass's shuffle for every one of those consumptions
     ranked = scan.global_rank(u, "neg_rec", "user_id",
-                              out_col="r_rnk", num_buckets=8)
+                              out_col="r_rnk",
+                              num_buckets=8).materialize()
     ranked = scan.global_rank(ranked, "freq_f", "user_id",
-                              out_col="f_rnk", num_buckets=8)
+                              out_col="f_rnk",
+                              num_buckets=8).materialize()
     ranked = scan.global_rank(ranked, "mon_f", "user_id",
                               out_col="m_rnk", num_buckets=8)
 

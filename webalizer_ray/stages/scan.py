@@ -175,7 +175,11 @@ def global_rank(ds: rd.Dataset, value_col: str, id_col: str,
             side="right").astype(np.int64)
         return df
 
-    tagged = ds.map_batches(tag, batch_format="pandas")
+    # materialized: consumed TWICE (counts reduce + the final ranking
+    # map_groups) and usually fed to a chained consumer — without this
+    # every downstream execution re-ran the whole upstream plan (r5:
+    # the 3-pass RFM chain re-executed pass 1 up to 3x)
+    tagged = ds.map_batches(tag, batch_format="pandas").materialize()
     counts = tagged.groupby("_bk").aggregate(
         Count(alias_name="_n")).to_pandas().sort_values(
         "_bk", ignore_index=True)
