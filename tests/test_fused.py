@@ -91,3 +91,28 @@ def test_fused_rejects_bad_checkpoint_value(small_fixture, tmp_path):
     with pytest.raises(ValueError, match="checkpoint"):
         run_flagship(small_fixture, str(tmp_path), DEFAULT_CONFIG,
                      checkpoint="maybe")
+
+
+def test_fused_rerun_over_stale_scratch_does_not_double(
+        ray_session, small_fixture, tmp_path_factory):
+    """A crashed fused run leaves out_dir/_scratch behind; Ray's
+    write_parquet APPENDS, so a rerun over the stale scratch would
+    double every row. The fused pass must clear it (the scratch is
+    not a resume point)."""
+    import pyarrow.parquet as pq
+
+    out = tmp_path_factory.mktemp("fused_stale")
+    scratch = os.path.join(str(out), "_scratch", "route=ok",
+                           "bucket=7")
+    os.makedirs(scratch)
+    # plant a fake stale slice that would inflate bucket 7
+    pd.DataFrame({"conv_id": ["zzz"], "turn_idx": [0]}).pipe(
+        lambda df: pq.write_table(
+            __import__("pyarrow").Table.from_pandas(df),
+            os.path.join(scratch, "stale.parquet")))
+    res = run_flagship(small_fixture, str(out), DEFAULT_CONFIG,
+                       checkpoint="off")
+    ref = run_flagship(small_fixture,
+                       str(tmp_path_factory.mktemp("fused_clean")),
+                       DEFAULT_CONFIG, checkpoint="off")
+    assert res["metrics"] == ref["metrics"]

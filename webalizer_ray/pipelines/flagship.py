@@ -567,6 +567,12 @@ def run_fused_pass(input_dir: str, out_dir: str,
     bit-identical to the durable mode (tests/test_fused.py).
     """
     scratch = os.path.join(out_dir, "_scratch")
+    # a crashed earlier run leaves a stale scratch behind, and Ray's
+    # write_parquet APPENDS uuid-named files — rerunning over it would
+    # silently double every row in the bucket pass. The scratch is not
+    # a resume point (that's the durable mode's job), so clear it.
+    import shutil as _sh
+    _sh.rmtree(scratch, ignore_errors=True)
     parsed = parse_enrich_dataset(input_dir, config, lookups, use_actors)
     slim = parsed.select_columns(PASS2_COLS + ["route", "bucket"])
     # snappy, not zstd: the scratch is written once, read once (usually
