@@ -487,6 +487,21 @@ def _superstep_engine(edges: rd.Dataset, roots, max_rounds: int,
     Dataset of (node, dist)."""
     B = default_partitions(num_partitions, per_cpu=1)
     shards = [_GraphShard.remote(b, B) for b in range(B)]
+    try:
+        return _superstep_run(edges, roots, max_rounds, src_col,
+                              dst_col, weight_col, B, shards)
+    finally:
+        # peers hold handles to each other (a reference cycle Python
+        # GC can't see across actors) — tear down explicitly, ALSO on
+        # failure, or every failed call leaks B actors
+        for s in shards:
+            ray.kill(s)
+
+
+def _superstep_run(edges: rd.Dataset, roots, max_rounds: int,
+                   src_col: str, dst_col: str,
+                   weight_col: str | None, B: int,
+                   shards: list) -> rd.Dataset:
     ray.get([s.set_peers.remote(shards) for s in shards])
 
     def scatter(tbl: pa.Table) -> pa.Table:
@@ -521,11 +536,9 @@ def _superstep_engine(edges: rd.Dataset, roots, max_rounds: int,
         if sum(ray.get([s.merge.remote() for s in shards])) == 0:
             break
     refs = [s.state_table.remote() for s in shards]
+    # the returned refs are owned by the driver — safe to kill the
+    # shards (the caller's finally) once the tasks have completed
     ray.wait(refs, num_returns=len(refs))
-    # peers hold handles to each other (a reference cycle Python GC
-    # can't see across actors) — tear down explicitly
-    for s in shards:
-        ray.kill(s)
     return rd.from_arrow_refs(refs)
 
 

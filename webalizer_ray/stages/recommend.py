@@ -200,6 +200,17 @@ def als_fit(ratings: rd.Dataset, k: int = 8, iters: int = 3,
     fcols = [f"f{d}" for d in range(k)]
     B = num_buckets
     shards = [_ALSShard.remote(b, B, k, reg) for b in range(B)]
+    try:
+        return _als_fit_run(ratings, k, iters, reg, B, fcols, shards)
+    finally:
+        # cyclic peer handles — explicit teardown, ALSO on failure,
+        # or every failed call leaks B actors
+        for s in shards:
+            ray.kill(s)
+
+
+def _als_fit_run(ratings: rd.Dataset, k: int, iters: int, reg: float,
+                 B: int, fcols: list, shards: list):
     ray.get([s.set_peers.remote(shards) for s in shards])
 
     def scatter(df: pd.DataFrame) -> pd.DataFrame:
@@ -245,13 +256,9 @@ def als_fit(ratings: rd.Dataset, k: int = 8, iters: int = 3,
     import pyarrow as pa  # noqa: F401  (shard tables are Arrow)
     refs = [s.user_table.remote(fcols) for s in shards]
     ray.wait(refs, num_returns=len(refs))
-    user_factors = rd.from_arrow_refs(refs)
-    # peers hold handles to each other (a cycle GC can't collect
-    # across actors) — tear down explicitly; the user tables already
-    # live in the object store owned by the driver
-    uf = user_factors.materialize()
-    for s in shards:
-        ray.kill(s)
+    # materialize before the caller's finally kills the shards: the
+    # user tables then live in the object store owned by the driver
+    uf = rd.from_arrow_refs(refs).materialize()
     return uf, pd.DataFrame(
         {"item": vitems,
          **{fcols[d]: vmat[:, d] for d in range(k)}})
