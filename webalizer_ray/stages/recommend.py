@@ -101,10 +101,25 @@ class _ALSShard:
         self._parts.append((user, item, rating))
 
     def seal(self) -> int:
+        """Concatenate the scattered slices and pre-sum duplicate
+        (user, item) pairs — EXACT relative to a global reduce because
+        a user's rows all land in this shard (user-hash scatter), and
+        deterministic regardless of arrival order (sorted before the
+        segment sum). Callers can therefore feed raw per-event rating
+        rows and skip a whole pre-aggregation shuffle."""
         if self._parts:
-            self.user = np.concatenate([p[0] for p in self._parts])
-            self.item = np.concatenate([p[1] for p in self._parts])
-            self.rating = np.concatenate([p[2] for p in self._parts])
+            u = np.concatenate([p[0] for p in self._parts])
+            i = np.concatenate([p[1] for p in self._parts])
+            r = np.concatenate([p[2] for p in self._parts])
+            o = np.lexsort((i, u))
+            u, i, r = u[o], i[o], r[o]
+            first = np.ones(len(u), bool)
+            first[1:] = (u[1:] != u[:-1]) | (i[1:] != i[:-1])
+            starts = np.flatnonzero(first)
+            self.user = u[starts]
+            self.item = i[starts]
+            self.rating = np.add.reduceat(r, starts) if len(starts) \
+                else np.empty(0, np.float64)
         else:
             self.user = np.empty(0, np.int64)
             self.item = np.empty(0, np.int64)
